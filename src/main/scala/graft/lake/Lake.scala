@@ -1,0 +1,193 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{FileOutcome, IngestStats, SyncLog, Transaction}
+
+/** The datalake write path: composite-key merge-upsert, per-source
+  * partitioned tables, sync-log audit append and job stats — the reference's
+  * Mongo repository (storage/mongo_repository.go:33-75) re-expressed as
+  * parquet-native DataFrame algebra.
+  *
+  * Scale posture (100 TB): the merge is `existing LEFT ANTI incoming` on the
+  * composite key + union — Catalyst picks broadcast-hash when the incoming
+  * batch is small (the common ingest case) and AQE handles skewed keys. The
+  * lake is hive-partitioned by `data_source` (replacing the reference's
+  * collection-per-source, mongo_repository.go:55) with DYNAMIC partition
+  * overwrite so a merge only rewrites the sources present in the batch,
+  * never the whole lake.
+  */
+object Lake {
+
+  /** Deterministic keep-one dedup on the composite upsert key (K1,
+    * reference storage/mongo_repository.go:44-52). The reference's unordered
+    * BulkWrite leaves intra-batch duplicate survival nondeterministic
+    * (SetOrdered(false), mongo_repository.go:57); we pin first-by-tiebreak
+    * so results are stable and oracle-checkable.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** MERGE semantics: incoming rows replace existing rows sharing the
+    * composite key; unmatched existing rows are kept; intra-batch duplicates
+    * collapse to one (K1). `existing LEFT ANTI incoming ∪ dedup(incoming)` —
+    * last-write-wins like the reference's `$set` upsert
+    * (mongo_repository.go:52).
+    */
+  def merge(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String] = Transaction.mergeKey,
+      tieBreak: Seq[String] = Transaction.tieBreak): DataFrame = {
+    val dedupedIncoming = dedupKeepFirst(incoming, keys, tieBreak)
+    existing.join(dedupedIncoming, keys, "left_anti").unionByName(dedupedIncoming)
+  }
+
+  /** Write/merge a canonical batch into the partitioned lake (K2). One
+    * physical table partitioned by data_source replaces the reference's
+    * collection-per-source naming (`transactions_{dataSource}`,
+    * mongo_repository.go:15-16,55) — and drops its one-source-per-batch
+    * assumption for free.
+    */
+  def upsertIntoLake(spark: SparkSession, batch: DataFrame, lakePath: String): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val exists = new java.io.File(lakePath).exists()
+    val merged =
+      if (exists) merge(spark.read.parquet(lakePath), batch)
+      else dedupKeepFirst(batch, Transaction.mergeKey, Transaction.tieBreak)
+    // Self-referential overwrite: materialize keys present, then overwrite
+    // only those partitions. Local parquet cannot read+overwrite the same
+    // path in one job, so stage through a temp dir (Delta MERGE would do
+    // this natively; parquet is the container's only lake format).
+    val staged = lakePath + ".staging"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("data_source").parquet(staged)
+    val out = spark.read.parquet(staged)
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite).partitionBy("data_source").parquet(lakePath)
+    deleteRecursively(new java.io.File(staged))
+    n
+  }
+
+  /** Sync-log audit append (K3, reference storage/mongo_repository.go:63-72):
+    * one row per (source, batch) with the reference's collection naming.
+    */
+  def appendSyncLog(
+      spark: SparkSession,
+      syncLogPath: String,
+      counts: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    counts
+      .map { case (ds, n) => SyncLog(s"transactions_$ds", now, n) }
+      .toDS()
+      .write
+      .mode(SaveMode.Append)
+      .parquet(syncLogPath)
+  }
+
+  /** Stats aggregation (A2, reference datalake/stats.go:9-44): per-file
+    * outcomes → counters + failure map.
+    */
+  def stats(outcomes: Dataset[FileOutcome]): IngestStats = {
+    val agg = outcomes
+      .groupBy(col("outcome"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val failures = outcomes
+      .filter(col("outcome") === "failed")
+      .collect()
+      .map(o => o.file -> o.reason)
+      .toMap
+    IngestStats(
+      total_files = agg.values.sum,
+      processed_files = agg.getOrElse("processed", 0L),
+      failed_files = agg.getOrElse("failed", 0L),
+      failures = failures)
+  }
+
+  /** End-to-end ingest (reference `ingest` command, main.go:64-91 +
+    * datalake/client.go:33-79): scan dir → canonicalize → merge into lake →
+    * sync log → stats. The per-file sequential loop collapses into one
+    * distributed job; per-file outcomes are recovered from `_file` lineage
+    * (O1 fault isolation via outcome rows instead of try/catch).
+    */
+  def ingestDirectory(
+      spark: SparkSession,
+      unprocessedDir: String,
+      lakePath: String,
+      syncLogPath: String,
+      processedDir: Option[String] = None): IngestStats = {
+    import spark.implicits._
+    import graft.source.CsvIngest
+    import graft.transform.Canonicalize
+
+    val raw = CsvIngest.readCsvDir(spark, unprocessedDir)
+    val (valid, rejected) = Canonicalize.split(spark, raw)
+    val validDf = valid.toDF().cache()
+
+    // Per-file accounting: raw rows vs valid rows; >0 raw && 0 valid ⇒ file
+    // failure "no valid transactions" (P10, reference datalake.go:200-204).
+    val rawPerFile = raw.groupBy(col("_file")).count().as("r")
+    val validPerFile = validDf
+      .groupBy(col("data_source"), col("account_id"))
+      .count()
+    val files = CsvIngest.listCsvFiles(unprocessedDir)
+    val rawCounts = rawPerFile.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val validBySource = validPerFile
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val outcomes = files.map { f =>
+      val info = CsvIngest.extractInfo(f.getName).get
+      val rawN = rawCounts.getOrElse(f.getName.toLowerCase, 0L)
+      val validN = validBySource.getOrElse((info.dataSource, info.accountId), 0L)
+      if (rawN > 0L && validN == 0L)
+        FileOutcome(f.getName, "failed", "no valid transactions", 0L)
+      else FileOutcome(f.getName, "processed", "", rawN)
+    } ++ CsvIngest.skippedFiles(unprocessedDir).map {
+      case (name, reason) => FileOutcome(name, "failed", reason, 0L)
+    }
+
+    val uploaded: Seq[(String, Long)] =
+      if (validDf.isEmpty) Seq.empty
+      else {
+        upsertIntoLake(spark, validDf, lakePath)
+        validDf
+          .groupBy(col("data_source"))
+          .count()
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .toSeq
+      }
+    if (uploaded.nonEmpty) appendSyncLog(spark, syncLogPath, uploaded)
+
+    // Move-to-processed (K6, reference datalake.go:274-318): driver-side FS
+    // rename after a successful write, only for successfully processed files.
+    processedDir.foreach { pd =>
+      val dir = new java.io.File(pd)
+      if (!dir.exists()) dir.mkdirs()
+      outcomes.filter(_.outcome == "processed").foreach { o =>
+        val src = new java.io.File(unprocessedDir, o.file)
+        if (src.exists()) src.renameTo(new java.io.File(dir, o.file))
+      }
+    }
+
+    val st = stats(spark.createDataset(outcomes))
+    validDf.unpersist()
+    st
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -1,0 +1,222 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.query.Registry.table
+
+/** Analytics battery: the query classes the reference lacks entirely
+  * (SURVEY §2.7 — joins, windows, sort/limit, set ops, rollup, distinct
+  * aggregates) plus the flagship end-to-end pipeline shape. These are the
+  * headline bench queries, tuned for scale: dims broadcast, filters pushed
+  * to the parquet scan, one shuffle per agg/join key.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----- flagship: TPC-H Q1-shaped pricing summary -----
+    Q(
+      "q01_pricing_summary",
+      Some(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+          "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+          "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+          "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "scan + pushed filter + hash agg; map-side partial aggregation keeps the shuffle at |groups| rows"
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ----- window functions: running sum + row_number -----
+    Q(
+      "q11_window_running",
+      Some(
+        "SELECT user_id, ts, event_id, " +
+          "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+          "FROM events WHERE user_id < 10 ORDER BY user_id, ts, event_id"),
+      "one shuffle on user_id serves both window functions (same partitioning+ordering)"
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id"),
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running"),
+          row_number().over(w).as("rn"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // ----- sort / top-k -----
+    Q(
+      "q12_topk",
+      Some(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      "ORDER BY + LIMIT plans as TakeOrderedAndProject — per-partition top-k, no global sort"
+    ) { (s, dir) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ----- star join over broadcast dims -----
+    Q(
+      "q13_star_join",
+      Some(
+        "SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+      "dims broadcast (nation 25 rows, region 5) — zero shuffle until the final agg"
+    ) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ----- fact-fact shuffle join -----
+    Q(
+      "q14_fact_join",
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_items, " +
+          "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "both sides shuffle on the join key; at 100 TB this is the query to co-partition/bucket by orderkey"
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- anti join (NOT EXISTS) -----
+    Q(
+      "q15_anti_join",
+      Some(
+        "SELECT c_nationkey, count(*) AS n FROM customer c " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "GROUP BY c_nationkey ORDER BY c_nationkey"),
+      "left_anti join — customers with no orders; Catalyst broadcasts the smaller side"
+    ) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ----- semi join (EXISTS) -----
+    Q(
+      "q16_semi_join",
+      Some(
+        "SELECT c_nationkey, count(*) AS n FROM customer c " +
+          "WHERE c_acctbal > 5000 AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "GROUP BY c_nationkey ORDER BY c_nationkey"),
+      "left_semi join with a pushed scan filter on the probe side"
+    ) { (s, dir) =>
+      table(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ----- set operations -----
+    Q(
+      "q17_set_ops",
+      Some(
+        "SELECT user_id FROM ((SELECT user_id FROM events WHERE event_type = 'click' " +
+          "INTERSECT SELECT user_id FROM events WHERE event_type = 'view') " +
+          "EXCEPT SELECT user_id FROM events WHERE event_type = 'error') ORDER BY user_id"),
+      "INTERSECT/EXCEPT — users who clicked and viewed but never errored"
+    ) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      def ids(t: String) = ev.filter(col("event_type") === t).select("user_id")
+      ids("click").intersect(ids("view")).except(ids("error")).orderBy("user_id")
+    },
+
+    // ----- rollup -----
+    Q(
+      "q18_rollup",
+      Some(
+        "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, " +
+          "round(sum(value), 2) AS v FROM events GROUP BY ROLLUP(event_type, day) " +
+          "ORDER BY event_type NULLS FIRST, day NULLS FIRST"),
+      "hierarchical totals in one pass (expand + single shuffle)"
+    ) { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    },
+
+    // ----- distinct aggregates -----
+    Q(
+      "q20_distinct_agg",
+      Some(
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+          "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "multiple distinct aggregates → Catalyst expand; approx_count_distinct is the 100 TB escape hatch"
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ----- flagship pipeline shape: filter → dedup-on-key → aggregate -----
+    Q(
+      "q21_pipeline_e2e",
+      Some(
+        "WITH ded AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey " +
+          "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem " +
+          "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00') " +
+          "WHERE rn = 1) SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total " +
+          "FROM ded GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "the reference's whole dataflow in one plan: scan → filter → keep-one dedup → aggregate"
+    ) { (s, dir) =>
+      val w = Window
+        .partitionBy("l_partkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1994-01-01 00:00:00").cast("timestamp"),
+          lit("1996-12-31 00:00:00").cast("timestamp")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic transaction generator (S6, reference synthetic/data.go:40-63):
+  * N rows with Details="SALE", today's date, "Synthetic transaction {i}"
+  * descriptions, random amount ∈ [0,1000), balance ∈ [0,10000), 4-digit
+  * account id, Type="DEBIT", Category/DataSource="synthetic".
+  *
+  * `spark.range(n)` is an embarrassingly parallel source — no shuffle, scales
+  * linearly with executors; the reference builds the rows one-by-one on a
+  * single thread (data.go:40-63).
+  */
+object Synthetic {
+
+  /** Faithful variant: non-deterministic `rand(seed)` like the reference's
+    * rand.Float64 (data.go:44-48).
+    */
+  def transactions(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+    decorate(
+      spark.range(n),
+      amount = rand(seed) * 1000.0,
+      balance = rand(seed + 1) * 10000.0,
+      acct = (rand(seed + 2) * 10000.0).cast("int"))
+
+  /** Deterministic variant (oracle-checkable): the random draws are replaced
+    * by fixed multiplicative-congruential arithmetic on the row id, so DuckDB
+    * can reproduce the exact rows in SQL. Same value ranges as the reference
+    * (amount [0,1000), balance [0,10000), account [0000,9999],
+    * synthetic/data.go:16-23).
+    */
+  def transactionsDeterministic(spark: SparkSession, n: Long): DataFrame =
+    decorate(
+      spark.range(n),
+      amount = (col("id") * 9973 % 100000).cast("double") / 100.0,
+      balance = (col("id") * 6151 % 1000000).cast("double") / 100.0,
+      acct = (col("id") * 7919 % 10000).cast("int"))
+
+  private def decorate(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      amount: org.apache.spark.sql.Column,
+      balance: org.apache.spark.sql.Column,
+      acct: org.apache.spark.sql.Column): DataFrame =
+    ids.select(
+      lit("SALE").as("details"), // data.go:17 detailsValue
+      date_format(
+        date_add(to_date(lit("2024-01-01")), (col("id") % 365).cast("int")),
+        "MM/dd/yyyy").as("posting_date"),
+      concat(lit("Synthetic transaction "), col("id")).as("description"),
+      amount.as("amount"),
+      balance.as("balance"),
+      lit("synthetic").as("category"), // data.go:20
+      lit("DEBIT").as("txn_type"), // data.go:21
+      lit("").as("check_or_slip_num"),
+      lit("synthetic").as("data_source"),
+      lpad(acct.cast("string"), 4, "0").as("account_id")) // %04d, data.go:48
+
+  /** CSV sink with the reference's header + %.2f money formatting
+    * (K4, synthetic/data.go:108-160).
+    */
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    df.select(
+        col("details").as("Details"),
+        col("posting_date").as("Posting Date"),
+        col("description").as("Description"),
+        col("category").as("Category"),
+        format_string("%.2f", col("amount")).as("Amount"),
+        col("txn_type").as("Type"),
+        format_string("%.2f", col("balance")).as("Balance"),
+        col("check_or_slip_num").as("Check or Slip #"))
+      .write
+      .option("header", "true")
+      .mode("overwrite")
+      .csv(dir)
+}

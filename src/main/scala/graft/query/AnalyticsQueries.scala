@@ -58,7 +58,7 @@ object AnalyticsQueries {
           col("event_id"),
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .as("running"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .orderBy("user_id", "ts", "event_id")
     },
 
@@ -217,6 +217,81 @@ object AnalyticsQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
         .orderBy("l_returnflag")
+    },
+
+    // ----- as-of join: each error event matched to the latest prior click -----
+    Q(
+      "q22_asof_join",
+      Some(
+        "SELECT event_id, user_id, ts, last_click_ts FROM (" +
+          "SELECT event_id, user_id, ts, event_type, " +
+          "MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts " +
+          "FROM events WHERE event_type IN ('click', 'error')) " +
+          "WHERE event_type = 'error' ORDER BY event_id"),
+      "as-of (backward) join expressed as a running MAX over a union of both event streams — " +
+        "ONE shuffle on user_id instead of a range join; the classic Spark as-of pattern"
+    ) { (s, dir) =>
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    },
+
+    // ----- sessionization: 30-min-gap sessions per user -----
+    Q(
+      "q23_sessionize",
+      Some(
+        "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - " +
+          "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+          "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+          "THEN 1 ELSE 0 END AS new_s FROM events), " +
+          "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
+          "SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+          "FROM s WHERE user_id < 50 GROUP BY user_id ORDER BY user_id"),
+      "gap-based sessionization (30 min) via lag + running sum — one shuffle on user_id serves " +
+        "every window; the batch twin of a streaming session window"
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn(
+          "new_s",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(running))
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ----- exact interpolated quantiles -----
+    Q(
+      "q24_quantiles",
+      Some(
+        "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+          "round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n " +
+          "FROM events GROUP BY event_type ORDER BY event_type"),
+      "exact linear-interpolated percentiles (DuckDB quantile_cont parity); at 100 TB swap to " +
+        "approx_percentile — same API shape, sketch-mergeable"
+    ) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1,0 +1,237 @@
+package graft.xscale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.query.Q
+import graft.query.Registry.table
+import XHash.{h60, h60Sql, P}
+
+/** Document deduplication at training-data scale: exact (hash groupBy),
+  * MinHash+LSH (shingle → minhash → band → bucket join), SimHash (bitwise
+  * fingerprint + hamming), exact n-gram Jaccard (the verify step / oracle
+  * for the sketches), and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): signatures (minhash sig, simhash, norms) are pure
+  * per-row array expressions — no UDF, no shuffle, computed inside the scan.
+  * The only shuffles are the final candidate joins: LSH keys its join on
+  * (band, bucket) so cost is O(candidates), never O(n²); the quadratic
+  * variants (x04 hamming, x05 cosine) are the small-table verify paths —
+  * at scale you run them only on LSH candidates.
+  */
+object Dedup {
+
+  /** MinHash parameters: K permutations in B bands of R rows.
+    * h_i(s) = (a_i * (h60(s) mod P) + b_i) mod P stays < 2^62, so int64
+    * arithmetic is identical in Spark and DuckDB.
+    */
+  val K = 16
+  val B = 4
+  val R = 4
+  val As: Seq[Long] = (0 until K).map(i => 2L * i + 1)
+  val Bs: Seq[Long] = (0 until K).map(i => (104729L * (i + 1)) % P)
+
+  /** Aggressive text normalization for exact dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** doc_id + 60-bit hashes of the doc's distinct word-3-gram shingles. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      transform(XText.shingles(XText.words(col("text")), 3), s => h60(s)).as("hs"))
+
+  /** Per-doc MinHash signature columns sig0..sig{K-1} (array_min over the
+    * permuted shingle hashes — per-row, shuffle-free).
+    */
+  def withSignature(docs: DataFrame): DataFrame = {
+    val hs = shingleHashes(docs)
+    val sigs = (0 until K).map { i =>
+      array_min(transform(col("hs"), h => (lit(As(i)) * (h % P) + lit(Bs(i))) % P))
+        .as(s"sig$i")
+    }
+    hs.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** Shared SQL prefix: shingle → hash → signature CTEs for the oracle. */
+  private def sigSqlCtes: String = {
+    val ws = XText.wordsSql("text")
+    val sh = XText.shinglesSql("ws", 3)
+    val sigExprs = (0 until K)
+      .map(i =>
+        s"list_aggregate(list_transform(hl, h -> (${As(i)} * (h % $P) + ${Bs(i)}) % $P), 'min')")
+      .mkString(", ")
+    s"w AS (SELECT doc_id, $ws AS ws FROM documents), " +
+      s"sh AS (SELECT doc_id, $sh AS ss FROM w), " +
+      s"hs AS (SELECT doc_id, list_transform(ss, sgl -> ${h60Sql("sgl")}) AS hl FROM sh), " +
+      s"sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hs)"
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ----- x01: exact dedup after normalization (hash groupBy keep-first) -----
+    Q(
+      "x01_dedup_exact",
+      Some(
+        "SELECT source, count(*) AS n_after FROM (" +
+          s"SELECT source, ROW_NUMBER() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn " +
+          "FROM documents) WHERE rn = 1 GROUP BY source ORDER BY source"),
+      "exact dedup on normalized text: one shuffle on the norm key; survivors attributed to source"
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").withColumn("_norm", normText(col("text")))
+      graft.lake.Lake
+        .dedupKeepFirst(d, Seq("_norm"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_after"))
+        .orderBy("source")
+    },
+
+    // ----- x02: MinHash + LSH banding near-dup candidates -----
+    Q(
+      "x02_dedup_minhash",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        s"WITH $sigSqlCtes, " +
+          s"bk AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
+          s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+          s"len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS n_match " +
+          "FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+          s"SELECT da AS doc_id_a, db AS doc_id_b, n_match FROM cand WHERE n_match >= ${K / 2} " +
+          "ORDER BY doc_id_a, doc_id_b"
+      },
+      "MinHash(16) in 4 bands of 4; candidates share >=1 band bucket, kept when >=8/16 minhashes agree. " +
+        "The join is keyed on (band, bucket) — O(candidates), the 100 TB dedup path"
+    ) { (s, dir) =>
+      val sig = withSignature(table(s, dir, "documents"))
+        .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
+      val bandKeys = (0 until B).map(b =>
+        md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
+      val bands = sig.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+        .toDF("doc_id", "sig", "band", "key")
+      val a = bands.select(col("band"), col("key"), col("doc_id").as("da"), col("sig").as("sa"))
+      val b = bands.select(col("band"), col("key"), col("doc_id").as("db"), col("sig").as("sb"))
+      val nMatch = aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L),
+        (acc, x) => acc + x)
+      a.join(b, Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), nMatch.as("n_match"))
+        .distinct()
+        .filter(col("n_match") >= K / 2)
+        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x03: exact n-gram Jaccard (the verify step for the sketches) -----
+    Q(
+      "x03_ngram_jaccard",
+      Some {
+        val ws = XText.wordsSql("text")
+        val sh = XText.shinglesSql("ws", 3)
+        s"WITH w AS (SELECT doc_id, $ws AS ws FROM documents), " +
+          s"shd AS (SELECT doc_id, unnest($sh) AS sgl FROM w), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id), " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
+          "JOIN shd b ON a.sgl = b.sgl AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b " +
+          "FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db " +
+          "WHERE 10 * i >= 3 * (sa.n + sb.n - i) ORDER BY doc_id_a, doc_id_b"
+      },
+      "exact Jaccard >= 0.3 on distinct word-3-gram sets, kept in integer arithmetic (10i >= 3(na+nb-i)) " +
+        "so no float crosses the oracle; shingle self-join — at 100 TB run it on LSH candidates only"
+    ) { (s, dir) =>
+      val shd = table(s, dir, "documents")
+        .select(col("doc_id"), explode(XText.shingles(XText.words(col("text")), 3)).as("sgl"))
+      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shd.as("a")
+        .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      val sa = sz.select(col("doc_id").as("da"), col("n").as("n_a"))
+      val sb = sz.select(col("doc_id").as("db"), col("n").as("n_b"))
+      inter.join(sa, "da").join(sb, "db")
+        .filter(lit(10) * col("i") >= lit(3) * (col("n_a") + col("n_b") - col("i")))
+        .select(
+          col("da").as("doc_id_a"),
+          col("db").as("doc_id_b"),
+          col("i").as("n_inter"),
+          col("n_a"),
+          col("n_b"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x04: SimHash near-dup (60-bit fingerprint, hamming <= 8) -----
+    Q(
+      "x04_dedup_simhash",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1) " +
+          "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, " +
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+          "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY doc_id_a, doc_id_b"
+      },
+      "tf-weighted 60-bit SimHash as a single per-row expression (zero shuffle); pair scan for hamming<=8. " +
+        "At 100 TB, block by simhash chunks (pigeonhole) instead of the full pair scan"
+    ) { (s, dir) =>
+      val sh = table(s, dir, "documents")
+        .withColumn("hs", transform(XText.words(col("text")), w => h60(w)))
+        .withColumn(
+          "simhash",
+          expr(
+            "aggregate(sequence(0, 59), 0L, (acc, k) -> acc + IF(" +
+              "aggregate(hs, 0L, (a, h) -> a + IF(shiftright(h, k) % 2 = 1, 1L, -1L)) > 0, " +
+              "shiftleft(1L, k), 0L))"))
+        .select("doc_id", "simhash")
+      val a = sh.select(col("doc_id").as("da"), col("simhash").as("sa"))
+      val b = sh.select(col("doc_id").as("db"), col("simhash").as("sb"))
+      a.join(b, col("da") < col("db"))
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x05: embedding-cosine near-dup -----
+    Q(
+      "x05_embed_neardup",
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), " +
+          "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+          "list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') " +
+          "/ (a.nrm * b.nrm) AS c FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+          "SELECT va AS vec_id_a, vb AS vec_id_b, round(c, 4) AS cosine FROM p " +
+          "WHERE c >= 0.45 ORDER BY vec_id_a, vec_id_b"),
+      "cosine >= 0.45 over float64-upcast embeddings; norms precomputed per row. Quadratic verify path — " +
+        "at 100 TB route through the x07 LSH buckets first"
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+      val dot = aggregate(
+        zip_with(col("xa"), col("xb"), (x, y) => x * y),
+        lit(0.0),
+        (acc, x) => acc + x)
+      a.join(b, col("va") < col("vb"))
+        .withColumn("cos", dot / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("va").as("vec_id_a"), col("vb").as("vec_id_b"), round(col("cos"), 4).as("cosine"))
+        .orderBy("vec_id_a", "vec_id_b")
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.xscale
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.Q
+import graft.query.Registry.table
+
+/** A raw multimodal row: opaque payload bytes + typed metadata. At 100 TB
+  * the payload column dominates storage — keep it `binary` in parquet,
+  * size-partition the table, and never let a wide payload column through a
+  * shuffle you don't need (project it away before joins/aggs).
+  */
+final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
+
+/** Decoded features — the narrow output schema that downstream joins see. */
+final case class MediaFeatures(
+    doc_id: Long,
+    modality: String,
+    n_bytes: Long,
+    width: Long,
+    height: Long)
+
+/** Multimodal columns: image/audio/video treated as opaque `binary` columns
+  * with typed metadata; decode / feature-extract runs batched per partition.
+  *
+  * The decode step itself is STUBBED (no codec libraries in this container):
+  * [[Multimodal.decodeStub]] derives deterministic fake dimensions from the
+  * payload's md5, so the Spark-side plumbing — schema, partition batching,
+  * feature extraction shape — is real and testable, and the oracle can
+  * reproduce the values.
+  */
+object Multimodal {
+
+  /** Batch size for per-partition decoding — mirrors the batch shape a real
+    * vectorized decoder (or Arrow-based UDF) would use.
+    */
+  val decodeBatchSize = 64
+
+  /** STUB decoder. A real implementation would parse the image/audio header
+    * here; the container has no codec libs, so dimensions are derived
+    * deterministically from md5(payload) — same formula as the SQL oracle:
+    * h = first 15 hex digits of md5; width = h mod 1024,
+    * height = (h >> 10) mod 1024.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).take(8).map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 1024, (h >> 10) % 1024)
+  }
+
+  /** Distributed batched decode: the real plumbing. Batches amortize
+    * per-batch decoder setup exactly like `mapInPandas` batches do in
+    * PySpark; output is the narrow features schema.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (w, h) = decodeStub(m.payload)
+          MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong, w, h)
+        }
+      }
+    }
+  }
+
+  /** Documents table → media records: text bytes stand in for the opaque
+    * payload; modality assigned round-robin. (The testdata has no real
+    * image bytes — the point is the binary-column plumbing.)
+    */
+  def asMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ----- x12: multimodal feature extraction over binary payloads -----
+    Q(
+      "x12_multimodal",
+      Some(
+        "SELECT doc_id, (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality, " +
+          "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          s"${XHash.h60Sql("text")} % 1024 AS width, " +
+          s"(${XHash.h60Sql("text")} >> 10) % 1024 AS height " +
+          "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+      "binary payload column + typed metadata; batched per-partition decode (STUB — deterministic " +
+        "md5-derived dimensions; schema/partitioning/batching are the real plumbing)"
+    ) { (s, dir) =>
+      val media = asMedia(s, table(s, dir, "documents").filter(col("doc_id") < 200))
+      extractFeatures(media).toDF().orderBy("doc_id")
+    }
+  )
+}

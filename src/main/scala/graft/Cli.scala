@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line surface mirroring the reference's two commands
+  * (reference: main.go:59-94):
+  *
+  *   - `ingest <unprocessedDir> <lakePath> <syncLogPath> [processedDir]` —
+  *     scan a directory of bank-export CSVs, canonicalize/validate,
+  *     dedup-upsert into the partitioned parquet lake, append the sync log,
+  *     optionally move processed files, print the stats JSON report
+  *     (reference: main.go:64-91, datalake/stats.go:35-44).
+  *   - `generate-synthetic-data <rows> <outDir>` — write N synthetic
+  *     transactions as CSV (reference: main.go:60-61,
+  *     synthetic/generate.go:14-50).
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: unprocessed :: lake :: syncLog :: rest if rest.size <= 1 =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val stats = graft.lake.Lake.ingestDirectory(
+        spark, unprocessed, lake, syncLog, rest.headOption)
+      // Stats JSON report, same shape as the reference's
+      // (datalake/stats.go:35-44).
+      val failures = stats.failures.toSeq.sortBy(_._1)
+        .map { case (f, r) => s"${jsonStr(f)}: ${jsonStr(r)}" }
+        .mkString("{", ",", "}")
+      println(
+        s"""{"total_files":${stats.total_files},"processed_files":${stats.processed_files},""" +
+          s""""failed_files":${stats.failed_files},"failures":$failures}""")
+      spark.stop()
+
+    case "generate-synthetic-data" :: rows :: outDir :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.source.Synthetic.writeCsv(
+        graft.source.Synthetic.transactions(spark, rows.toLong), outDir)
+      println(s"""{"rows":$rows,"out":${jsonStr(outDir)}}""")
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        "usage: graft.Cli ingest <unprocessedDir> <lakePath> <syncLogPath> [processedDir]\n" +
+          "       graft.Cli generate-synthetic-data <rows> <outDir>")
+      sys.exit(2)
+  }
+}

@@ -54,23 +54,35 @@ object Lake {
     * collection-per-source naming (`transactions_{dataSource}`,
     * mongo_repository.go:15-16,55) — and drops its one-source-per-batch
     * assumption for free.
+    *
+    * Only partitions whose `data_source` appears in the batch are touched:
+    * existing rows from OTHER sources never enter the merge, and the final
+    * write uses per-writer dynamic partition overwrite, so at 100 TB a
+    * small ingest batch rewrites O(batch sources) partitions, not the lake.
+    * Self-referential read+overwrite of the same parquet path is staged
+    * through a temp dir (Delta MERGE would do this natively; parquet is the
+    * container's only lake format). Returns the number of rows written.
     */
   def upsertIntoLake(spark: SparkSession, batch: DataFrame, lakePath: String): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val exists = new java.io.File(lakePath).exists()
+    val hPath = new org.apache.hadoop.fs.Path(lakePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
     val merged =
-      if (exists) merge(spark.read.parquet(lakePath), batch)
-      else dedupKeepFirst(batch, Transaction.mergeKey, Transaction.tieBreak)
-    // Self-referential overwrite: materialize keys present, then overwrite
-    // only those partitions. Local parquet cannot read+overwrite the same
-    // path in one job, so stage through a temp dir (Delta MERGE would do
-    // this natively; parquet is the container's only lake format).
+      if (fs.exists(hPath)) {
+        val existing = spark.read.parquet(lakePath)
+          .filter(col("data_source").isin(sources.map(x => x: Any): _*))
+        merge(existing, batch)
+      } else dedupKeepFirst(batch, Transaction.mergeKey, Transaction.tieBreak)
     val staged = lakePath + ".staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy("data_source").parquet(staged)
     val out = spark.read.parquet(staged)
     val n = out.count()
-    out.write.mode(SaveMode.Overwrite).partitionBy("data_source").parquet(lakePath)
-    deleteRecursively(new java.io.File(staged))
+    out.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("data_source")
+      .parquet(lakePath)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     n
   }
 
@@ -130,29 +142,27 @@ object Lake {
     import graft.transform.Canonicalize
 
     val raw = CsvIngest.readCsvDir(spark, unprocessedDir)
-    val (valid, rejected) = Canonicalize.split(spark, raw)
-    val validDf = valid.toDF().cache()
+    val (validWithFile, rejected) = Canonicalize.split(spark, raw)
+    val validDf = validWithFile.cache()
 
-    // Per-file accounting: raw rows vs valid rows; >0 raw && 0 valid ⇒ file
-    // failure "no valid transactions" (P10, reference datalake.go:200-204).
-    val rawPerFile = raw.groupBy(col("_file")).count().as("r")
-    val validPerFile = validDf
-      .groupBy(col("data_source"), col("account_id"))
-      .count()
+    // Per-file accounting, both sides keyed by the `_file` lineage column:
+    // raw rows vs valid rows per FILE; >0 raw && 0 valid ⇒ file failure
+    // "no valid transactions" (P10, reference datalake.go:200-204). Keying
+    // valid counts by _file (not data_source/account_id) keeps two files of
+    // the same account from cross-contaminating each other's outcome.
     val files = CsvIngest.listCsvFiles(unprocessedDir)
-    val rawCounts = rawPerFile.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val validBySource = validPerFile
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    val rawCounts = raw.groupBy(col("_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val validCounts = validDf.groupBy(col("_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val outcomes = files.map { f =>
-      val info = CsvIngest.extractInfo(f.getName).get
-      val rawN = rawCounts.getOrElse(f.getName.toLowerCase, 0L)
-      val validN = validBySource.getOrElse((info.dataSource, info.accountId), 0L)
+      val key = f.getName.toLowerCase
+      val rawN = rawCounts.getOrElse(key, 0L)
+      val validN = validCounts.getOrElse(key, 0L)
       if (rawN > 0L && validN == 0L)
         FileOutcome(f.getName, "failed", "no valid transactions", 0L)
-      else FileOutcome(f.getName, "processed", "", rawN)
+      else FileOutcome(f.getName, "processed", "", validN)
     } ++ CsvIngest.skippedFiles(unprocessedDir).map {
       case (name, reason) => FileOutcome(name, "failed", reason, 0L)
     }
@@ -160,7 +170,7 @@ object Lake {
     val uploaded: Seq[(String, Long)] =
       if (validDf.isEmpty) Seq.empty
       else {
-        upsertIntoLake(spark, validDf, lakePath)
+        upsertIntoLake(spark, validDf.drop("_file"), lakePath)
         validDf
           .groupBy(col("data_source"))
           .count()

@@ -118,12 +118,16 @@ object AnalyticsQueries {
       "q15_anti_join",
       Some(
         "SELECT c_nationkey, count(*) AS n FROM customer c " +
-          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_orderdate >= DATE '1998-01-01') " +
           "GROUP BY c_nationkey ORDER BY c_nationkey"),
-      "left_anti join — customers with no orders; Catalyst broadcasts the smaller side"
+      "left_anti join — customers with no 1998 orders; the date filter pushes to the build-side scan"
     ) { (s, dir) =>
       table(s, dir, "customer")
-        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          table(s, dir, "orders").filter(col("o_orderdate") >= lit("1998-01-01").cast("date")),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"))
         .orderBy("c_nationkey")
@@ -150,12 +154,14 @@ object AnalyticsQueries {
     Q(
       "q17_set_ops",
       Some(
-        "SELECT user_id FROM ((SELECT user_id FROM events WHERE event_type = 'click' " +
-          "INTERSECT SELECT user_id FROM events WHERE event_type = 'view') " +
-          "EXCEPT SELECT user_id FROM events WHERE event_type = 'error') ORDER BY user_id"),
-      "INTERSECT/EXCEPT — users who clicked and viewed but never errored"
+        "WITH w AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00') " +
+          "SELECT user_id FROM ((SELECT user_id FROM w WHERE event_type = 'click' " +
+          "INTERSECT SELECT user_id FROM w WHERE event_type = 'view') " +
+          "EXCEPT SELECT user_id FROM w WHERE event_type = 'error') ORDER BY user_id"),
+      "INTERSECT/EXCEPT — first-week users who clicked and viewed but never errored"
     ) { (s, dir) =>
       val ev = table(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
       def ids(t: String) = ev.filter(col("event_type") === t).select("user_id")
       ids("click").intersect(ids("view")).except(ids("error")).orderBy("user_id")
     },

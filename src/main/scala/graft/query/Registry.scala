@@ -3,6 +3,8 @@ package graft.query
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** One engine query + its DuckDB oracle, kept side by side so the column
   * names / semantics can never drift apart (the driver hash-compares values
@@ -16,9 +18,21 @@ final case class Q(
 
 object Registry {
 
-  /** Read a driver testdata table (TESTDATA.md). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a driver testdata table (TESTDATA.md).
+    *
+    * The driver's `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set in Verify/Bench/test
+    * sessions — which surfaces it as a BIGINT of epoch-nanos. Convert to a
+    * microsecond timestamp (truncating, exactly how DuckDB reads
+    * TIMESTAMP_NS into its default TIMESTAMP) so both engines agree.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   lazy val all: Seq[Q] =
     ParityQueries.all ++ AnalyticsQueries.all ++ graft.xscale.XScaleQueries.all

@@ -43,7 +43,10 @@ object CsvIngest {
     * routed to failure stats, mirroring ErrUnableToExtractInfo.
     */
   def withSourceInfo(df: DataFrame): DataFrame = {
-    val fname = lower(element_at(split(input_file_name(), "/"), -1))
+    // input_file_name() returns a URI whose path segments are URL-encoded;
+    // decode so filenames with spaces/%xx match the on-disk name used by the
+    // per-file accounting and the move-to-processed step.
+    val fname = lower(url_decode(element_at(split(input_file_name(), "/"), -1)))
     val chaseAcct = regexp_extract(fname, "chase(\\d{4})", 1)
     df.withColumn("_file", fname)
       .withColumn(

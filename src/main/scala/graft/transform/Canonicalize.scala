@@ -1,10 +1,8 @@
 package graft.transform
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
-
-import graft.model.Transaction
 
 /** Row canonicalization / validation: the reference's `fromRecords` row loop
   * (datalake/datalake.go:208-271) re-expressed as declarative column algebra
@@ -69,9 +67,10 @@ object Canonicalize {
     * store the validated date back as its MM/dd/yyyy string
     * (datalake.go:259).
     */
-  def project(annotated: DataFrame): DataFrame = {
+  def project(annotated: DataFrame, extra: Seq[Column] = Nil): DataFrame = {
     val df = annotated
     df.select(
+      Seq(
       strOrEmpty(df, "details").as("details"),
       date_format(col("_posting_date"), "MM/dd/yyyy").as("posting_date"),
       strOrEmpty(df, "description").as("description"),
@@ -81,17 +80,19 @@ object Canonicalize {
       strOrEmpty(df, "type").as("txn_type"),
       strOrEmpty(df, "check or slip #").as("check_or_slip_num"),
       col("data_source"),
-      col("account_id"))
+      col("account_id")) ++ extra: _*)
   }
 
-  /** Full canonicalization: returns (valid typed rows, rejected rows with
-    * reason + file lineage for the quarantine/stats path — the reference
-    * logs-and-skips, datalake.go:220-239).
+  /** Full canonicalization: returns (valid rows with `_file` lineage kept
+    * for per-file accounting, rejected rows with reason + file lineage for
+    * the quarantine/stats path — the reference logs-and-skips,
+    * datalake.go:220-239). The valid side carries the canonical Transaction
+    * columns plus `_file`; drop `_file` before writing to the lake.
     */
-  def split(spark: SparkSession, raw: DataFrame): (Dataset[Transaction], DataFrame) = {
-    import spark.implicits._
+  def split(spark: SparkSession, raw: DataFrame): (DataFrame, DataFrame) = {
     val ann = annotate(raw)
-    val valid = project(ann.filter(col("_reject_reason").isNull)).as[Transaction]
+    val validAnn = ann.filter(col("_reject_reason").isNull)
+    val valid = project(validAnn, Seq(col("_file")))
     val rejected = ann
       .filter(col("_reject_reason").isNotNull)
       .select(col("_file"), col("_reject_reason").as("reason"))

@@ -60,7 +60,12 @@ object TextAnalysis {
       def cond(l: String, i: Int): Column = {
         val rest = markers.drop(i + 1).map { case (o, _) => col(s"h_$o") }
         if (rest.isEmpty) col(s"h_$l") > 0
-        else col(s"h_$l") > 0 && col(s"h_$l") >= greatest(rest: _*)
+        else {
+          // Spark's greatest() requires >= 2 args; a single competitor
+          // compares directly.
+          val maxRest = if (rest.size == 1) rest.head else greatest(rest: _*)
+          col(s"h_$l") > 0 && col(s"h_$l") >= maxRest
+        }
       }
       val predicted = markers.zipWithIndex.tail
         .foldLeft(when(cond(markers.head._1, 0), markers.head._1)) {

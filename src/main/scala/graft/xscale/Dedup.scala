@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, graftnative}
 import org.apache.spark.sql.functions._
 
 import graft.query.Q
@@ -40,21 +40,19 @@ object Dedup {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  /** doc_id + 60-bit hashes of the doc's distinct word-3-gram shingles. */
+  /** doc_id + 60-bit hashes of the doc's distinct word-3-gram shingles
+    * (native codegen expression — one pass, no interpreted lambdas).
+    */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      transform(XText.shingles(XText.words(col("text")), 3), s => h60(s)).as("hs"))
+    docs.select(col("doc_id"), graftnative.api.shingleHash60(col("text"), 3).as("hs"))
 
-  /** Per-doc MinHash signature columns sig0..sig{K-1} (array_min over the
-    * permuted shingle hashes — per-row, shuffle-free).
+  /** Per-doc MinHash signature columns sig0..sig{K-1} (one fused native
+    * pass over the shingle hashes — per-row, shuffle-free).
     */
   def withSignature(docs: DataFrame): DataFrame = {
     val hs = shingleHashes(docs)
-    val sigs = (0 until K).map { i =>
-      array_min(transform(col("hs"), h => (lit(As(i)) * (h % P) + lit(Bs(i))) % P))
-        .as(s"sig$i")
-    }
+      .withColumn("_sig", graftnative.api.minhashSig(col("hs"), K))
+    val sigs = (0 until K).map(i => col("_sig")(i).as(s"sig$i"))
     hs.select(col("doc_id") +: sigs: _*)
   }
 
@@ -135,7 +133,8 @@ object Dedup {
         val ws = XText.wordsSql("text")
         val sh = XText.shinglesSql("ws", 3)
         s"WITH w AS (SELECT doc_id, $ws AS ws FROM documents), " +
-          s"shd AS (SELECT doc_id, unnest($sh) AS sgl FROM w), " +
+          s"shs AS (SELECT doc_id, $sh AS ss FROM w), " +
+          s"shd AS (SELECT doc_id, unnest(list_transform(ss, sgl -> ${h60Sql("sgl")})) AS sgl FROM shs), " +
           "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id), " +
           "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
           "JOIN shd b ON a.sgl = b.sgl AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -145,10 +144,11 @@ object Dedup {
           "WHERE 10 * i >= 3 * (sa.n + sb.n - i) ORDER BY doc_id_a, doc_id_b"
       },
       "exact Jaccard >= 0.3 on distinct word-3-gram sets, kept in integer arithmetic (10i >= 3(na+nb-i)) " +
-        "so no float crosses the oracle; shingle self-join — at 100 TB run it on LSH candidates only"
+        "so no float crosses the oracle; shingles carried as 60-bit hashes so the self-join shuffles " +
+        "16-byte rows, not strings — at 100 TB run it on LSH candidates only"
     ) { (s, dir) =>
       val shd = table(s, dir, "documents")
-        .select(col("doc_id"), explode(XText.shingles(XText.words(col("text")), 3)).as("sgl"))
+        .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), 3)).as("sgl"))
       val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = shd.as("a")
         .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
@@ -183,24 +183,34 @@ object Dedup {
           "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY doc_id_a, doc_id_b"
       },
-      "tf-weighted 60-bit SimHash as a single per-row expression (zero shuffle); pair scan for hamming<=8. " +
-        "At 100 TB, block by simhash chunks (pigeonhole) instead of the full pair scan"
+      "tf-weighted 60-bit SimHash as a native codegen expression (zero shuffle); pigeonhole-blocked " +
+        "candidate equi-join: hamming<=8 pairs must agree on one of 9 simhash blocks, so the join is " +
+        "keyed on (block, value) — O(candidates), the 100 TB path — then hamming verified exactly"
     ) { (s, dir) =>
+      // 9 blocks cover 60 bits (6 blocks of 7 bits + 3 of 6); any pair with
+      // hamming <= 8 differs in at most 8 blocks, so it matches exactly on
+      // at least one (pigeonhole). Candidates are verified with the exact
+      // bit_count, so results are identical to the all-pairs scan the oracle
+      // runs — just never O(n^2).
+      val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
+      val blockOff = blockBits.scanLeft(0)(_ + _).init
       val sh = table(s, dir, "documents")
         .withColumn("hs", transform(XText.words(col("text")), w => h60(w)))
-        .withColumn(
-          "simhash",
-          expr(
-            "aggregate(sequence(0, 59), 0L, (acc, k) -> acc + IF(" +
-              "aggregate(hs, 0L, (a, h) -> a + IF(shiftright(h, k) % 2 = 1, 1L, -1L)) > 0, " +
-              "shiftleft(1L, k), 0L))"))
-        .select("doc_id", "simhash")
-      val a = sh.select(col("doc_id").as("da"), col("simhash").as("sa"))
-      val b = sh.select(col("doc_id").as("db"), col("simhash").as("sb"))
-      a.join(b, col("da") < col("db"))
+        .select(col("doc_id"), graftnative.api.simhash60(col("hs")).as("simhash"))
+      val blocks = sh.select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(array(blockBits.zip(blockOff).map { case (bits, off) =>
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
+        }: _*)).as(Seq("blk", "bv")))
+      val a = blocks.select(col("blk"), col("bv"), col("doc_id").as("da"), col("simhash").as("sa"))
+      val b = blocks.select(col("blk"), col("bv"), col("doc_id").as("db"), col("simhash").as("sb"))
+      a.join(b, Seq("blk", "bv"))
+        .filter(col("da") < col("db"))
         .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .filter(col("hamming") <= 8)
         .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+        .distinct()
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -215,20 +225,16 @@ object Dedup {
           "/ (a.nrm * b.nrm) AS c FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
           "SELECT va AS vec_id_a, vb AS vec_id_b, round(c, 4) AS cosine FROM p " +
           "WHERE c >= 0.45 ORDER BY vec_id_a, vec_id_b"),
-      "cosine >= 0.45 over float64-upcast embeddings; norms precomputed per row. Quadratic verify path — " +
-        "at 100 TB route through the x07 LSH buckets first"
+      "cosine >= 0.45 over float64-upcast embeddings; norms precomputed per row, dot product a native " +
+        "codegen expression. Quadratic verify path — at 100 TB route through the x07 LSH buckets first"
     ) { (s, dir) =>
       val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graftnative.api.dot(col("v"), col("v"))))
       val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
-      val dot = aggregate(
-        zip_with(col("xa"), col("xb"), (x, y) => x * y),
-        lit(0.0),
-        (acc, x) => acc + x)
       a.join(b, col("va") < col("vb"))
-        .withColumn("cos", dot / (col("na") * col("nb")))
+        .withColumn("cos", graftnative.api.dot(col("xa"), col("xb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("va").as("vec_id_a"), col("vb").as("vec_id_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("vec_id_a", "vec_id_b")

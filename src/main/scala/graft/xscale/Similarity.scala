@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, graftnative}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,11 +33,13 @@ object Similarity {
 
   /** embeddings → (vec_id, v: array<double>, nrm). */
   def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product — same left-fold float semantics as
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but a primitive loop.
+    */
+  def dot(a: Column, b: Column): Column = graftnative.api.dot(a, b)
 
   /** LSH bucket id: bit j set iff v · plane_j > 0. Pure per-row expression. */
   def bucket(v: Column): Column =

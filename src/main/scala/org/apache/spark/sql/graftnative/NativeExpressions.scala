@@ -1,0 +1,261 @@
+/** Native Catalyst expressions for the hot inner loops of the similarity /
+  * dedup operators (graft.xscale). Spark's higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) are CodegenFallback — every lambda
+  * step is interpreted with boxing — so a 64-dim dot product inside an
+  * all-pairs join pays ~128 allocations per pair. These expressions generate
+  * tight primitive Java loops inside whole-stage codegen instead, which is
+  * the preferred extension order for this engine: builtin functions > native
+  * codegen Expression > UDF.
+  *
+  * Lives under `org.apache.spark.sql` so it can use
+  * [[org.apache.spark.sql.classic.ExpressionUtils]] (private[sql]) to wrap
+  * an [[Expression]] into a public [[Column]] — same technique the Spark
+  * connectors use; only public semantics are exposed via [[api]].
+  */
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+
+/** Dot product of two `array<double>` columns as one codegen'd loop.
+  *
+  * Matches the left-fold semantics (and float addition order — so results
+  * are bit-identical) of
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` on equal-length arrays;
+  * shorter array truncates.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 60-bit tf-weighted SimHash over an `array<long>` of term hashes:
+  * bit k of the result is set iff `sum over h of ((h>>k)&1 == 1 ? +1 : -1)`
+  * is positive. One pass over the terms with 60 primitive counters —
+  * replaces a doubly-nested interpreted `aggregate(sequence(0,59), ...)`
+  * that cost 60 lambda evaluations per term.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < 60) {
+        cnt(k) += (if (((h >> k) & 1L) == 1L) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var k = 0
+    while (k < 60) { if (cnt(k) > 0) r |= (1L << k); k += 1 }
+    r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < 60; $k++) {
+         |    $cnt[$k] += ((($h >> $k) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $k = 0; $k < 60; $k++) {
+         |  if ($cnt[$k] > 0) $r |= (1L << $k);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Distinct 60-bit hashes of a document's word k-gram shingles, as one
+  * codegen-friendly pass: whitespace-tokenize (same semantics as Spark's
+  * `split(text, "\\s+")` / DuckDB's `regexp_split_to_array`), form k-gram
+  * shingles joined by single spaces (a doc shorter than k words contributes
+  * its whole token join as one shingle), hash each with md5 and keep the
+  * first 15 hex digits as a positive 60-bit long (identical in DuckDB:
+  * `('0x' || substr(md5(s),1,15))::BIGINT`), dedup preserving first
+  * occurrence. Replaces an interpreted `transform(shingles(words(text)))`
+  * chain that cost ~2 ms/doc.
+  */
+case class ShingleHash60(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash60.compute(input.toString, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.ShingleHash60.compute($a.toString(), $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+object ShingleHash60 {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = top 60 bits of the first 8 bytes, sign-free
+    var r = 0L
+    var i = 0
+    while (i < 8) { r = (r << 8) | (d(i) & 0xffL); i += 1 }
+    r >>> 4
+  }
+
+  def compute(text: String, k: Int): ArrayData = {
+    val words = ws.split(text, -1)
+    if (words.length < k) {
+      ArrayData.toArrayData(Array(h60(words.mkString(" "))))
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(h60(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = it.next(); n += 1 }
+      ArrayData.toArrayData(out)
+    }
+  }
+}
+
+/** MinHash signature over an `array<long>` of shingle hashes: element i is
+  * `min over h of (a_i * (h mod p) + b_i) mod p` with `a_i = 2i+1`,
+  * `b_i = (104729 * (i+1)) mod p`, `p = 2^31-1` — the same permutation
+  * family [[graft.xscale.Dedup]] inlines into its DuckDB oracle. One fused
+  * pass instead of K interpreted `array_min(transform(...))` scans.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.MinHashSig.compute($a, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  final val P = 2147483647L
+
+  def compute(hs: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val hm = hs.getLong(i) % P
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 1) * hm + 104729L * (j + 1) % P) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+}
+
+/** Public Column-level API for the native expressions. */
+object api {
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def simhash60(termHashes: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(termHashes)))
+
+  def shingleHash60(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHash60(ExpressionUtils.expression(text), k))
+
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingleHashes), k))
+}

@@ -116,26 +116,58 @@ object CsvIngest {
     *  - only `.csv`/`.CSV` regular files (datalake.go:321-328); others are
     *    reported by [[skippedFiles]]
     *  - header lowercased (csv/csv.go:64-67)
-    *  - ragged rows (fewer fields than header) DROPPED — Spark's
-    *    `mode=DROPMALFORMED` treats token-count mismatch as malformed,
-    *    exactly the reference's skip (csv/csv.go:82-84)
+    *  - ragged rows (fewer fields than header) DROPPED, rows with EXTRA
+    *    fields KEPT with the extras ignored — the reference reads with
+    *    `FieldsPerRecord = -1` (csv/csv.go:53) and only skips
+    *    `len(record) < len(header)` (csv/csv.go:82-84). Spark's PERMISSIVE
+    *    mode marks both kinds of token mismatch in `_corrupt_record`; a
+    *    short row is distinguished by its null tail column, and the drop is
+    *    an explicit filter in the plan (DROPMALFORMED would also drop the
+    *    extra-field rows — and is silently bypassed by `count()`-only plans
+    *    where nothing is parsed)
     *  - empty file ⇒ 0 rows, no error (csv/csv.go:57-61)
     *  - schema never inferred: all columns string (csv parser emits
     *    map[string]string, csv/parser.go:6-13)
     */
   def readCsvDir(spark: SparkSession, dir: String): DataFrame = {
+    // With CSV column pruning (default on), univocity parses only the
+    // indexes a plan needs, so a ragged row is only *detected* when the
+    // pruned subset happens to include a missing index — `count()`-shaped
+    // plans would keep rows that full scans drop. Ingest correctness
+    // (per-file valid/raw accounting) needs one answer, so pin pruning off
+    // for this session; ingest projects nearly every column anyway.
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     val files = listCsvFiles(dir)
     val groups: Map[Seq[String], Seq[java.io.File]] =
       files.flatMap(f => readHeader(f).map(h => (h, f))).groupBy(_._1).map {
         case (h, fs) => (h, fs.map(_._2))
       }
     val parts = groups.toSeq.map { case (header, fs) =>
-      val schema = StructType(dedupHeader(header).map(StructField(_, StringType)))
+      val cols = dedupHeader(header)
+      val schema = StructType(
+        (cols :+ "_corrupt_record").map(StructField(_, StringType)))
       val df = spark.read
         .option("header", "true")
-        .option("mode", "DROPMALFORMED")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema)
         .csv(fs.map(_.getPath): _*)
+        // reference semantics (csv/csv.go:82-84 with FieldsPerRecord=-1):
+        // drop only rows SHORTER than the header; keep extra-field rows,
+        // extras ignored. A null tail column can't distinguish "missing
+        // field" from "empty field" (both parse to null), so the raw
+        // corrupt line's fields are counted with a CSV-aware expression.
+        // The last disjunct is always false; it exists so aggressive
+        // column pruning (e.g. a bare count()) still references a real
+        // data column — Spark rejects scans whose only referenced column
+        // is the corrupt-record column [QUERY_ONLY_CORRUPT_RECORD_COLUMN],
+        // and the optimizer can't eliminate a length() on live data.
+        .filter(
+          col("_corrupt_record").isNull ||
+            org.apache.spark.sql.graftnative.api
+              .csvFieldCount(col("_corrupt_record")) >= cols.size.toLong ||
+            length(coalesce(col(cols.head), lit(""))) < 0)
+        .drop("_corrupt_record")
       withSourceInfo(df)
     }
     if (parts.isEmpty) emptyRaw(spark)

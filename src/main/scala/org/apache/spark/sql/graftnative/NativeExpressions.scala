@@ -244,6 +244,50 @@ object MinHashSig {
   }
 }
 
+/** Number of CSV fields in a raw line (RFC-4180 quoting: commas inside
+  * double quotes don't split; `""` is an escaped quote). Used to replicate
+  * the reference's ragged-row test `len(record) < len(header)`
+  * (csv/csv.go:82-84) on Spark's `_corrupt_record` column, where "fewer
+  * tokens" and "empty trailing token" are otherwise indistinguishable (both
+  * surface as null under PERMISSIVE parsing).
+  */
+case class CsvFieldCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_csv_field_count"
+
+  override def nullSafeEval(input: Any): Any =
+    CsvFieldCount.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.CsvFieldCount.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CsvFieldCount =
+    copy(child = newChild)
+}
+
+object CsvFieldCount {
+  def compute(line: String): Long = {
+    var count = 1L
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') i += 1
+        else if (c == '"') inQ = false
+      } else if (c == '"') inQ = true
+      else if (c == ',') count += 1
+      i += 1
+    }
+    count
+  }
+}
+
 /** Public Column-level API for the native expressions. */
 object api {
   def dot(a: Column, b: Column): Column =
@@ -258,4 +302,7 @@ object api {
 
   def minhashSig(shingleHashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingleHashes), k))
+
+  def csvFieldCount(line: Column): Column =
+    ExpressionUtils.column(CsvFieldCount(ExpressionUtils.expression(line)))
 }

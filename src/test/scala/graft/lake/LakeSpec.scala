@@ -1,0 +1,102 @@
+package graft.lake
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.model.Transaction
+
+/** Merge-upsert semantics (K1, reference storage/mongo_repository.go:33-61)
+  * + the ScalaCheck idempotence property from SURVEY §5 (generators sampled
+  * with fixed seeds — scalatestplus isn't on the offline classpath).
+  */
+class LakeSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  import spark.implicits._
+
+  private def tx(
+      details: String = "DEBIT",
+      date: String = "01/01/2024",
+      desc: String = "d",
+      amount: Double = 1.0,
+      balance: Double = 0.0,
+      source: String = "chase",
+      acct: String = "1234"): Transaction =
+    Transaction(details, date, desc, amount, balance, "", "", "", source, acct)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[Transaction] =
+    df.as[Transaction].collect().toSet
+
+  test("matched key: incoming replaces existing ($set upsert, mongo_repository.go:52)") {
+    val existing = Seq(tx(amount = 1.0), tx(desc = "other", amount = 5.0)).toDF()
+    val incoming = Seq(tx(amount = 9.9)).toDF()
+    assert(asSet(Lake.merge(existing, incoming)) ===
+      Set(tx(amount = 9.9), tx(desc = "other", amount = 5.0)))
+  }
+
+  test("unmatched incoming key inserts") {
+    val existing = Seq(tx()).toDF()
+    val incoming = Seq(tx(desc = "new")).toDF()
+    assert(asSet(Lake.merge(existing, incoming)) === Set(tx(), tx(desc = "new")))
+  }
+
+  test("same key, different source/account are distinct rows (key includes both)") {
+    val existing = Seq(tx()).toDF()
+    val incoming = Seq(tx(acct = "5678", amount = 7.0)).toDF()
+    assert(asSet(Lake.merge(existing, incoming)).size === 2)
+  }
+
+  test("intra-batch duplicates collapse deterministically to the tie-break minimum") {
+    val incoming = Seq(tx(amount = 3.0), tx(amount = 1.0), tx(amount = 2.0)).toDF()
+    val merged = Lake.merge(Seq.empty[Transaction].toDF(), incoming)
+    assert(asSet(merged) === Set(tx(amount = 1.0)))
+  }
+
+  test("merge is idempotent: merge(merge(e,b),b) == merge(e,b) (ScalaCheck)") {
+    val genTx: Gen[Transaction] = for {
+      details <- Gen.oneOf("DEBIT", "CREDIT")
+      date <- Gen.oneOf("01/01/2024", "01/02/2024")
+      desc <- Gen.oneOf("a", "b", "c")
+      amount <- Gen.chooseNum(-5.0, 5.0)
+      source <- Gen.oneOf("chase", "synthetic")
+    } yield tx(details, date, desc, amount, 0.0, source)
+    val genBatch = Gen.listOfN(8, genTx)
+
+    for (Seq(e, b) <- samples(Gen.zip(genBatch, genBatch).map(t => Seq(t._1, t._2)), 10)) {
+      val existing = Lake.merge(Seq.empty[Transaction].toDF(), e.toDF()) // key-unique base
+      val once = Lake.merge(existing, b.toDF())
+      val twice = Lake.merge(once, b.toDF())
+      assert(asSet(once) === asSet(twice), s"e=$e b=$b")
+    }
+  }
+
+  test("post-merge keys are unique (ScalaCheck)") {
+    val genTx = for {
+      desc <- Gen.oneOf("a", "b")
+      amount <- Gen.chooseNum(0.0, 9.0)
+    } yield tx(desc = desc, amount = amount)
+    for (Seq(e, b) <- samples(
+        Gen.zip(Gen.listOfN(6, genTx), Gen.listOfN(6, genTx)).map(t => Seq(t._1, t._2)), 10)) {
+      val merged = Lake.merge(
+        Lake.merge(Seq.empty[Transaction].toDF(), e.toDF()), b.toDF())
+      val keys = merged.select(Transaction.mergeKey.head, Transaction.mergeKey.tail: _*)
+      assert(keys.count() === keys.distinct().count(), s"e=$e b=$b")
+    }
+  }
+
+  test("upsertIntoLake only touches partitions present in the batch") {
+    val lake = new java.io.File(tmpDir("lake"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(source = "chase"), tx(source = "synthetic", acct = "0000")).toDF(), lake)
+    val syntheticFiles = new java.io.File(lake, "data_source=synthetic").listFiles().map(_.getName).toSet
+    // second batch: chase only — synthetic partition files must be untouched
+    Lake.upsertIntoLake(spark, Seq(tx(source = "chase", amount = 2.0)).toDF(), lake)
+    val after = new java.io.File(lake, "data_source=synthetic").listFiles().map(_.getName).toSet
+    assert(after === syntheticFiles)
+    val all = asSet(spark.read.parquet(lake)
+      .select("details", "posting_date", "description", "amount", "balance",
+        "category", "txn_type", "check_or_slip_num", "data_source", "account_id"))
+    assert(all === Set(tx(source = "chase", amount = 2.0), tx(source = "synthetic", acct = "0000")))
+  }
+}

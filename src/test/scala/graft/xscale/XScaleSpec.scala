@@ -1,0 +1,106 @@
+package graft.xscale
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative
+
+import graft.SparkSpec
+
+/** Semantics tests for the training-data operators: the blocked/bucketed
+  * scale paths must return exactly what their brute-force definitions return.
+  */
+class XScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
+    val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
+    val blocked = q.run(spark, sf).collect().toSeq
+
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("hs", transform(XText.words(col("text")), w => XHash.h60(w)))
+      .select(col("doc_id"), graftnative.api.simhash60(col("hs")).as("simhash"))
+    val a = sh.select(col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("simhash").as("sb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().toSeq
+
+    assert(blocked === brute)
+    assert(brute.nonEmpty) // corpus contains near-dups; empty would be vacuous
+  }
+
+  test("x01 exact dedup: normalization collapses case/punct/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!", "a"),
+      (2L, "hello   world", "a"),
+      (3L, "HELLO WORLD.", "b"),
+      (4L, "different doc", "b")).toDF("doc_id", "text", "source")
+    val d = docs.withColumn("_norm", Dedup.normText(col("text")))
+    val survivors = graft.lake.Lake
+      .dedupKeepFirst(d, Seq("_norm"), Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 4L)) // doc 1 wins its dup cluster by doc_id
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs at sf0.001") {
+    // Every pair the exact-jaccard query (>=0.3) returns whose true minhash
+    // agreement is >= 8/16 must appear in the x02 candidate output.
+    val x02 = Dedup.queries.find(_.name == "x02_dedup_minhash").get
+      .run(spark, sf).select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val sig = Dedup.withSignature(spark.read.parquet(s"$sf/documents.parquet"))
+    val sigMap = sig.collect().map(r => r.getLong(0) -> (1 until 17).map(r.getLong)).toMap
+    val x03 = Dedup.queries.find(_.name == "x03_ngram_jaccard").get
+      .run(spark, sf).select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val expected = x03.filter { case (a, b) =>
+      sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y } >= 8
+    }
+    assert(expected.subsetOf(x02))
+  }
+
+  test("language-ID predicts the marker language on clean sentences") {
+    val docs = Seq(
+      (1L, "en", "the cat sat of the mat a dog"),
+      (2L, "de", "der hund und die katze und der vogel"),
+      (3L, "fr", "le chat et les chiens une maison"),
+      (4L, "es", "el perro y los gatos una casa")).toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("documents_mem")
+    val d = docs.withColumn("ws", XText.words(col("text")))
+    val hits = TextAnalysis.markers.foldLeft(d) { case (df, (l, set)) =>
+      df.withColumn(s"h_$l", size(filter(col("ws"), w => w.isin(set.map(x => x: Any): _*))).cast("long"))
+    }
+    // reuse the query's own predicted-language logic via the registered query
+    // on a temp dir is heavyweight; assert hit counts drive the right argmax
+    val rows = hits.select("lang", "h_en", "h_de", "h_fr", "h_es").collect()
+    for (r <- rows) {
+      val scores = Map("en" -> r.getLong(1), "de" -> r.getLong(2), "fr" -> r.getLong(3), "es" -> r.getLong(4))
+      assert(scores(r.getString(0)) === scores.values.max, r.toString)
+    }
+  }
+
+  test("fingerprint: identical docs share fingerprints, distinct docs differ") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally different words in this document here now")).toDF("doc_id", "text")
+    val fp = df.select(
+      col("doc_id"),
+      array_min(transform(XText.shingles(XText.words(col("text")), 5), x => XHash.h60(x))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("knn: lsh bucket assignment is deterministic and complete") {
+    val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .withColumn("bucket", Similarity.bucket(col("v")))
+    val buckets = e.select("bucket").as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < (1 << Similarity.NP)))
+    // deterministic: recompute equals first pass
+    val again = e.select("bucket").as[Long].collect()
+    assert(buckets.toSeq === again.toSeq)
+  }
+}

@@ -86,6 +86,16 @@ object Lake {
     n
   }
 
+  /** Single-transaction insert (K7/Q4, the API client's
+    * `PUT /history/transaction`, apiClient/apiClient.go:246-302): a one-row
+    * batch through the same merge path, so the lake's key-unique invariant
+    * holds for API writes exactly as for file ingest.
+    */
+  def insertTransaction(spark: SparkSession, t: Transaction, lakePath: String): Long = {
+    import spark.implicits._
+    upsertIntoLake(spark, Seq(t).toDF(), lakePath)
+  }
+
   /** Sync-log audit append (K3, reference storage/mongo_repository.go:63-72):
     * one row per (source, batch) with the reference's collection naming.
     */

@@ -73,4 +73,16 @@ object Synthetic {
       .option("header", "true")
       .mode("overwrite")
       .csv(dir)
+
+  /** Direct-to-lake persistence (K5, reference
+    * GenerateAndPersistSyntheticData → InsertMany, synthetic/data.go:66-105):
+    * a plain partitioned APPEND — the reference's InsertMany does not upsert,
+    * so neither does this; use [[graft.lake.Lake.upsertIntoLake]] when merge
+    * semantics are wanted.
+    */
+  def persistToLake(df: DataFrame, lakePath: String): Unit =
+    df.write
+      .mode("append")
+      .partitionBy("data_source")
+      .parquet(lakePath)
 }

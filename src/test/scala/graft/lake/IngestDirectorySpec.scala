@@ -1,0 +1,64 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.model.Transaction
+
+/** End-to-end directory ingest: per-file outcomes (P10/O1/A2), per-file
+  * counts (A1), move-to-processed (K6), and the single-row API insert (K7).
+  */
+class IngestDirectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingestDirectory: outcomes, counts, all-invalid guard, move-to-processed") {
+    val root = tmpDir("ingest")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val done = new java.io.File(root, "done")
+    val lake = new java.io.File(root, "lake").getPath
+    val sync = new java.io.File(root, "sync").getPath
+
+    writeFile(in, "chase1234_jan.csv",
+      """Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #
+        |DEBIT,01/15/2024,COFFEE SHOP,-4.50,ACH_DEBIT,995.50,
+        |CREDIT,01/16/2024,PAYROLL,2000.00,ACH_CREDIT,2995.50,
+        |DEBIT,badrow,DROPPED,1.00,X,1.0,""".stripMargin)
+    // all-invalid file sharing account 1234 — must fail independently (P10)
+    writeFile(in, "chase1234_feb.csv",
+      """Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #
+        |DEBIT,notadate,BAD,-1.00,ACH_DEBIT,100.00,""".stripMargin)
+    writeFile(in, "mystery.csv", "a,b\n1,2")
+    writeFile(in, "notes.txt", "hi")
+
+    val stats = Lake.ingestDirectory(spark, in.getPath, lake, sync, Some(done.getPath))
+
+    assert(stats.total_files === 4)
+    assert(stats.processed_files === 1)
+    assert(stats.failed_files === 3)
+    assert(stats.failures === Map(
+      "chase1234_feb.csv" -> "no valid transactions",
+      "mystery.csv" -> "unable to extract source info from filename",
+      "notes.txt" -> "Not a valid CSV file"))
+
+    // lake holds only jan's 2 valid rows; bad row dropped (P6)
+    val rows = spark.read.parquet(lake).as[Transaction].collect()
+    assert(rows.map(_.description).toSet === Set("COFFEE SHOP", "PAYROLL"))
+
+    // K6: only the processed file moved
+    assert(new java.io.File(done, "chase1234_jan.csv").exists())
+    assert(new java.io.File(in, "chase1234_feb.csv").exists())
+
+    // A3/K3: sync log records 2 uploaded rows for chase
+    val log = spark.read.parquet(sync).collect()
+    assert(log.map(r => (r.getAs[String]("collection_name"), r.getAs[Long]("records_uploaded"))).toSeq
+      === Seq(("transactions_chase", 2L)))
+  }
+
+  test("insertTransaction: single-row API insert upserts through the merge path (K7/Q4)") {
+    val lake = new java.io.File(tmpDir("api"), "lake").getPath
+    val t = Transaction("DEBIT", "01/01/2024", "api row", 1.0, 0.0, "", "", "", "chase", "1234")
+    assert(Lake.insertTransaction(spark, t, lake) === 1L)
+    assert(Lake.insertTransaction(spark, t.copy(amount = 2.0), lake) === 1L) // update, not dup
+    val rows = spark.read.parquet(lake)
+      .select("description", "amount").as[(String, Double)].collect().toSeq
+    assert(rows === Seq(("api row", 2.0)))
+  }
+}

@@ -195,8 +195,9 @@ object Dedup {
       val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
       val blockOff = blockBits.scanLeft(0)(_ + _).init
       val sh = table(s, dir, "documents")
-        .withColumn("hs", transform(XText.words(col("text")), w => h60(w)))
-        .select(col("doc_id"), graftnative.api.simhash60(col("hs")).as("simhash"))
+        .select(
+          col("doc_id"),
+          graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("simhash"))
       val blocks = sh.select(
         col("doc_id"),
         col("simhash"),

@@ -198,6 +198,51 @@ object ShingleHash60 {
   }
 }
 
+/** 60-bit hashes of every whitespace token of a document, duplicates kept
+  * and order preserved (unlike [[ShingleHash60]], which dedups) — the input
+  * to tf-weighted SimHash. Same tokenization and md5-60bit semantics as
+  * `transform(split(text, "\\s+"), h60)` in one codegen-friendly pass.
+  */
+case class TokenHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash60.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.TokenHash60.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash60 =
+    copy(child = newChild)
+}
+
+object TokenHash60 {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: String): ArrayData = {
+    val words = ws.split(text, -1)
+    val out = new Array[Long](words.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var r = 0L
+      var j = 0
+      while (j < 8) { r = (r << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = r >>> 4
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** MinHash signature over an `array<long>` of shingle hashes: element i is
   * `min over h of (a_i * (h mod p) + b_i) mod p` with `a_i = 2i+1`,
   * `b_i = (104729 * (i+1)) mod p`, `p = 2^31-1` — the same permutation
@@ -305,4 +350,7 @@ object api {
 
   def csvFieldCount(line: Column): Column =
     ExpressionUtils.column(CsvFieldCount(ExpressionUtils.expression(line)))
+
+  def tokenHash60(text: Column): Column =
+    ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))
 }

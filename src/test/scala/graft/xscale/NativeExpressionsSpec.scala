@@ -72,6 +72,22 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatch === 0)
   }
 
+  test("TokenHash60 == transform(words(text), h60), duplicates and order kept") {
+    val texts = Seq(
+      "the quick brown fox",
+      "dup dup dup",
+      "  leading space",
+      "trailing space ",
+      "single",
+      "tabs\tand\nnewlines")
+    val df = texts.toDF("text")
+    val mismatch = df.select(
+      graftnative.api.tokenHash60(col("text")).as("fast"),
+      transform(XText.words(col("text")), w => XHash.h60(w)).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(mismatch.collect().toSeq === Seq.empty)
+  }
+
   test("CsvFieldCount handles quoting like the reference's csv.Reader") {
     val cases = Seq(
       ("a,b,c", 3L),

@@ -36,19 +36,30 @@ object Cli {
     } + "\""
 
   def main(args: Array[String]): Unit = args.toList match {
+    // no-arg form: everything from the environment (O2, loadConfig.go) —
+    // CSV_DIR, UNPROCESSED_DIR, PROCESSED_DIR, MOVE_PROCESSED_FILES,
+    // LAKE_PATH, SYNC_LOG_PATH, QUARANTINE_PATH
+    case "ingest" :: Nil =>
+      val cfg = Config.load()
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val stats = graft.lake.Lake.ingestDirectory(
+        spark,
+        cfg.unprocessedDir,
+        cfg.lakePath,
+        cfg.syncLogPath,
+        if (cfg.moveProcessedFiles) Some(cfg.processedDir) else None,
+        sys.env.get("QUARANTINE_PATH").filter(_.nonEmpty))
+      printStats(stats)
+      spark.stop()
+
     case "ingest" :: unprocessed :: lake :: syncLog :: rest if rest.size <= 1 =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val stats = graft.lake.Lake.ingestDirectory(
-        spark, unprocessed, lake, syncLog, rest.headOption)
-      // Stats JSON report, same shape as the reference's
-      // (datalake/stats.go:35-44).
-      val failures = stats.failures.toSeq.sortBy(_._1)
-        .map { case (f, r) => s"${jsonStr(f)}: ${jsonStr(r)}" }
-        .mkString("{", ",", "}")
-      println(
-        s"""{"total_files":${stats.total_files},"processed_files":${stats.processed_files},""" +
-          s""""failed_files":${stats.failed_files},"failures":$failures}""")
+        spark, unprocessed, lake, syncLog, rest.headOption,
+        sys.env.get("QUARANTINE_PATH").filter(_.nonEmpty))
+      printStats(stats)
       spark.stop()
 
     case "generate-synthetic-data" :: rows :: outDir :: Nil =>
@@ -61,8 +72,22 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli ingest <unprocessedDir> <lakePath> <syncLogPath> [processedDir]\n" +
-          "       graft.Cli generate-synthetic-data <rows> <outDir>")
+        "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
+          "       graft.Cli generate-synthetic-data <rows> <outDir>\n" +
+          "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
+          "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
       sys.exit(2)
+  }
+
+  /** Stats JSON report, same shape as the reference's
+    * (datalake/stats.go:35-44).
+    */
+  private def printStats(stats: graft.model.IngestStats): Unit = {
+    val failures = stats.failures.toSeq.sortBy(_._1)
+      .map { case (f, r) => s"${jsonStr(f)}: ${jsonStr(r)}" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"total_files":${stats.total_files},"processed_files":${stats.processed_files},""" +
+        s""""failed_files":${stats.failed_files},"failures":$failures}""")
   }
 }

@@ -146,7 +146,8 @@ object Lake {
       unprocessedDir: String,
       lakePath: String,
       syncLogPath: String,
-      processedDir: Option[String] = None): IngestStats = {
+      processedDir: Option[String] = None,
+      quarantinePath: Option[String] = None): IngestStats = {
     import spark.implicits._
     import graft.source.CsvIngest
     import graft.transform.Canonicalize
@@ -154,6 +155,15 @@ object Lake {
     val raw = CsvIngest.readCsvDir(spark, unprocessedDir)
     val (validWithFile, rejected) = Canonicalize.split(spark, raw)
     val validDf = validWithFile.cache()
+
+    // Rejected rows (the reference logs-and-skips, datalake.go:220-239) go
+    // to a quarantine table when configured — at scale, silently dropping
+    // rows is how a lake rots; (file, reason) lineage makes skips auditable.
+    quarantinePath.foreach { qp =>
+      rejected
+        .withColumn("quarantined_at", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(qp)
+    }
 
     // Per-file accounting, both sides keyed by the `_file` lineage column:
     // raw rows vs valid rows per FILE; >0 raw && 0 valid ⇒ file failure

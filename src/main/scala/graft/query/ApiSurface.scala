@@ -1,0 +1,80 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.Lake
+import graft.model.Transaction
+
+/** The reference's HTTP read/write surface (apiClient/apiClient.go) as
+  * library calls over the lake — the "second schema": the API `Transaction`
+  * DTO (apiClient.go:96-110) is a projection/rename of the datalake model
+  * (SURVEY §2.5), so in Spark it's a `select`/`alias` view, and the three
+  * query shapes (echo, point lookup, time-range history search) are
+  * filters over it.
+  *
+  * Scale posture: [[historySearch]] filters on the derived epoch column —
+  * at 100 TB the lake would additionally be partitioned/z-ordered by a
+  * date-derived column so this becomes partition pruning instead of a scan;
+  * the predicate shape (range on one column + equality on another) is
+  * already the pruning-friendly form.
+  */
+object ApiSurface {
+
+  /** Stable transaction id: md5 of the composite merge key — the lake has
+    * no surrogate id (the reference's Mongo _id is storage-assigned), so the
+    * id IS the key, which also makes `add` + `getById` round-trip naturally.
+    */
+  private val idCol =
+    md5(concat_ws("", Transaction.mergeKey.map(col): _*)).as("id")
+
+  /** The API DTO view (apiClient.go:96-110): transactionType is
+    * ingress/egress by amount sign, transactionSource is the lake's
+    * data_source, datePosted keeps the reference's MM/dd/yyyy string, and
+    * datePostedEpoch adds the UTC epoch-seconds form the range search
+    * binds on (apiClient.go:316-319).
+    */
+  def transactionsView(lake: DataFrame): DataFrame =
+    lake.select(
+      idCol,
+      when(col("amount") >= 0, "ingress").otherwise("egress").as("transactionType"),
+      col("data_source").as("transactionSource"),
+      col("posting_date").as("datePosted"),
+      unix_timestamp(to_date(col("posting_date"), "MM/dd/yyyy")).as("datePostedEpoch"),
+      col("description").as("description"),
+      col("amount").as("amount"),
+      col("check_or_slip_num").as("slipNumber"))
+
+  /** Q1 echo (apiClient.go:131-185): engine liveness round-trip. */
+  def echo(spark: SparkSession, inputVal: String): String =
+    spark.sql("SELECT ?", Array(inputVal)).collect()(0).getString(0)
+
+  /** Q2 point lookup by id + type (apiClient.go:188-243). */
+  def getTransactionById(lake: DataFrame, id: String, transactionType: String): DataFrame =
+    transactionsView(lake)
+      .filter(col("id") === id && col("transactionType") === transactionType)
+
+  /** Q4 insert (apiClient.go:246-302): returns the transaction id the PUT
+    * response carries (TransactionPutResponse.transactionId).
+    */
+  def addTransaction(spark: SparkSession, t: Transaction, lakePath: String): String = {
+    import spark.implicits._
+    Lake.insertTransaction(spark, t, lakePath)
+    Seq(t).toDF().select(idCol).collect()(0).getString(0)
+  }
+
+  /** Q3 time-range history search by type (apiClient.go:305-358): epoch-
+    * second bounds, inclusive, returning the id list the API returns
+    * (TransactionHistorySearchResponse → HistoryTransaction.ID).
+    */
+  def historySearch(
+      lake: DataFrame,
+      transactionType: String,
+      startEpochSec: Long,
+      endEpochSec: Long): DataFrame =
+    transactionsView(lake)
+      .filter(
+        col("transactionType") === transactionType &&
+          col("datePostedEpoch").between(startEpochSec, endEpochSec))
+      .select("id")
+}

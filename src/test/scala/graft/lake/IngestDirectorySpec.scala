@@ -28,7 +28,9 @@ class IngestDirectorySpec extends SparkSpec {
     writeFile(in, "mystery.csv", "a,b\n1,2")
     writeFile(in, "notes.txt", "hi")
 
-    val stats = Lake.ingestDirectory(spark, in.getPath, lake, sync, Some(done.getPath))
+    val quarantine = new java.io.File(root, "quarantine").getPath
+    val stats = Lake.ingestDirectory(
+      spark, in.getPath, lake, sync, Some(done.getPath), Some(quarantine))
 
     assert(stats.total_files === 4)
     assert(stats.processed_files === 1)
@@ -45,6 +47,13 @@ class IngestDirectorySpec extends SparkSpec {
     // K6: only the processed file moved
     assert(new java.io.File(done, "chase1234_jan.csv").exists())
     assert(new java.io.File(in, "chase1234_feb.csv").exists())
+
+    // quarantine holds the two skipped rows with file + reason lineage
+    val q = spark.read.parquet(quarantine)
+      .select("_file", "reason").as[(String, String)].collect().toSet
+    assert(q === Set(
+      ("chase1234_jan.csv", "invalid posting date"),
+      ("chase1234_feb.csv", "invalid posting date")))
 
     // A3/K3: sync log records 2 uploaded rows for chase
     val log = spark.read.parquet(sync).collect()

@@ -1,0 +1,60 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.model.Transaction
+
+/** API surface over the lake: echo, add → point-lookup round trip, and the
+  * epoch-bounded history search (reference apiClient/apiClient.go).
+  */
+class ApiSurfaceSpec extends SparkSpec {
+
+  private def tx(date: String, desc: String, amount: Double): Transaction =
+    Transaction("DEBIT", date, desc, amount, 0.0, "", "", "42", "chase", "1234")
+
+  test("echo round-trips (Q1)") {
+    assert(ApiSurface.echo(spark, "hello") === "hello")
+  }
+
+  test("add + getTransactionById round-trip (Q4 → Q2)") {
+    val lakePath = new java.io.File(tmpDir("api"), "lake").getPath
+    val id = ApiSurface.addTransaction(spark, tx("01/05/2024", "coffee", -4.5), lakePath)
+    assert(id.length === 32)
+
+    val lake = spark.read.parquet(lakePath)
+    val hit = ApiSurface.getTransactionById(lake, id, "egress").collect()
+    assert(hit.length === 1)
+    val r = hit(0)
+    assert(r.getAs[String]("transactionType") === "egress") // amount < 0
+    assert(r.getAs[String]("transactionSource") === "chase")
+    assert(r.getAs[String]("datePosted") === "01/05/2024")
+    assert(r.getAs[String]("slipNumber") === "42")
+    // wrong type finds nothing
+    assert(ApiSurface.getTransactionById(lake, id, "ingress").count() === 0)
+  }
+
+  test("historySearch: inclusive epoch bounds, filtered by type (Q3)") {
+    val lakePath = new java.io.File(tmpDir("api"), "lake").getPath
+    import spark.implicits._
+    val batch = Seq(
+      tx("01/01/2024", "early egress", -1.0),
+      tx("01/10/2024", "in-window egress", -2.0),
+      tx("01/10/2024", "in-window ingress", 3.0),
+      tx("01/20/2024", "late egress", -4.0)).toDF()
+    graft.lake.Lake.upsertIntoLake(spark, batch, lakePath)
+    val lake = spark.read.parquet(lakePath)
+
+    def epoch(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+    val ids = ApiSurface.historySearch(lake, "egress", epoch("2024-01-05"), epoch("2024-01-15"))
+      .collect().map(_.getString(0)).toSet
+    val expected = ApiSurface.transactionsView(lake)
+      .filter($"description" === "in-window egress")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids === expected)
+
+    // inclusive lower bound: window starting exactly on 01/10 still matches
+    val incl = ApiSurface.historySearch(lake, "egress", epoch("2024-01-10"), epoch("2024-01-10"))
+    assert(incl.count() === 1)
+  }
+}

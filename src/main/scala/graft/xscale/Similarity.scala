@@ -25,11 +25,24 @@ object Similarity {
   /** Number of random hyperplanes → 2^NP buckets. */
   val NP = 4
 
-  /** Deterministic pseudo-random hyperplanes: component (j,d) =
-    * h60("plane{j}_{d}") mod 2001 - 1000 ∈ [-1000, 1000].
+  /** IVF coarse-quantizer size and probe count (x13). */
+  val NC = 8
+  val NPROBE = 2
+
+  /** Number of independent LSH tables; a near-neighbor is a candidate if it
+    * collides in ANY table — recall 1-(1-p^NP)^NL instead of p^NP.
     */
-  val planes: Seq[Seq[Long]] =
-    (0 until NP).map(j => (0 until 64).map(d => XHash.h60(s"plane${j}_$d") % 2001 - 1000))
+  val NL = 8
+
+  /** Deterministic pseudo-random hyperplanes, one set per table: component
+    * (t,j,d) = h60("plane{t}_{j}_{d}") mod 2001 - 1000 ∈ [-1000, 1000].
+    */
+  val tablePlanes: Seq[Seq[Seq[Long]]] =
+    (0 until NL).map(t =>
+      (0 until NP).map(j => (0 until 64).map(d => XHash.h60(s"plane${t}_${j}_$d") % 2001 - 1000)))
+
+  /** Table 0's planes (kept for bucket()'s single-table uses). */
+  val planes: Seq[Seq[Long]] = tablePlanes.head
 
   /** embeddings → (vec_id, v: array<double>, nrm). */
   def withNorm(df: DataFrame): DataFrame =
@@ -41,20 +54,25 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graftnative.api.dot(a, b)
 
-  /** LSH bucket id: bit j set iff v · plane_j > 0. Pure per-row expression. */
-  def bucket(v: Column): Column =
+  /** LSH bucket id in table t: bit j set iff v · plane_tj > 0. Pure per-row
+    * expression.
+    */
+  def bucketT(v: Column, t: Int): Column =
     (0 until NP).map { j =>
-      val plane = array(planes(j).map(x => lit(x.toDouble)): _*)
+      val plane = array(tablePlanes(t)(j).map(x => lit(x.toDouble)): _*)
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def planeSql(j: Int): String =
-    s"([${planes(j).mkString(", ")}]::DOUBLE[])"
+  /** Table-0 bucket (single-table uses / tests). */
+  def bucket(v: Column): Column = bucketT(v, 0)
 
-  private val bucketSql: String =
+  private def planeSql(t: Int, j: Int): String =
+    s"([${tablePlanes(t)(j).mkString(", ")}]::DOUBLE[])"
+
+  private def bucketSqlT(t: Int): String =
     (0 until NP).map { j =>
       s"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(v)), " +
-        s"i -> v[i] * ${planeSql(j)}[i]), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
+        s"i -> v[i] * ${planeSql(t, j)}[i]), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private val normCtes =
@@ -94,30 +112,100 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
-    // ----- x07: LSH-bucketed ANN (the scale path) -----
+    // ----- x13: IVF ANN (coarse-quantizer scale path) -----
     Q(
-      "x07_knn_lsh",
-      Some(
+      "x13_knn_ivf",
+      Some {
+        // centroids: the first NC vectors (deterministic coarse quantizer —
+        // a k-means refinement would train these; the *search* plumbing is
+        // identical). dist = squared L2. Assignment + probe both rank by
+        // (dist, cid) so ties are deterministic in both engines.
         s"WITH $normCtes, " +
-          s"bkt AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n), " +
-          "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-          "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
-          "/ (q.nrm * c.nrm) AS cos " +
-          "FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+          s"cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $NC), " +
+          "d AS (SELECT n.vec_id, ct.cid, " +
+          "list_aggregate(list_transform(generate_series(1, len(n.v)), " +
+          "i -> (n.v[i] - ct.cv[i]) * (n.v[i] - ct.cv[i])), 'sum') AS dist FROM n CROSS JOIN cent ct), " +
+          "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
+          s"probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) " +
+          s"WHERE rn <= $NPROBE AND vec_id < 10), " +
+          "s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, " +
+          s"$cosSql AS cos FROM probe p JOIN asg a ON a.cid = p.cid " +
+          "JOIN n q ON q.vec_id = p.vec_id JOIN n c ON c.vec_id = a.vec_id " +
+          "AND a.vec_id <> p.vec_id), " +
           "r AS (SELECT query_id, neighbor_id, " +
           "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
           "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3 " +
-          "ORDER BY query_id, rank"),
-      "random-hyperplane LSH: per-row bucket signature (no shuffle), join keyed on bucket — " +
-        "candidates only, never O(n^2); approximate recall vs x06"
+          "ORDER BY query_id, rank"
+      },
+      "IVF: assign every vector to its nearest of NC coarse centroids (one broadcast pass, no shuffle), " +
+        "probe the NPROBE nearest inverted lists per query — candidates only, the FAISS-style 100 TB path; " +
+        "approximate recall vs x06"
     ) { (s, dir) =>
-      val e = withNorm(table(s, dir, "embeddings")).withColumn("bucket", bucket(col("v")))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+      val e = withNorm(table(s, dir, "embeddings"))
+      val cents = e.filter(col("vec_id") < NC)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // squared L2 via the native dot: |v-c|^2 summed element-wise is the
+      // same left-fold order as the oracle's generate_series sum
+      val diffDist = aggregate(
+        zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      val d = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cid"), diffDist.as("dist"), col("v"), col("nrm"))
+      val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val ranked = d.withColumn("rn", row_number().over(byDist))
+      val asg = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid"), col("v").as("cv2"), col("nrm").as("cn"))
+      val probe = ranked.filter(col("rn") <= NPROBE && col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      q.join(c, Seq("bucket"))
+      probe.join(asg, Seq("cid"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- x07: LSH-bucketed ANN (the scale path) -----
+    Q(
+      "x07_knn_lsh",
+      Some {
+        val bucketList = (0 until NL).map(bucketSqlT).mkString(", ")
+        val tblList = (0 until NL).mkString(", ")
+        s"WITH $normCtes, " +
+          s"bkt AS (SELECT vec_id, unnest([$bucketList]) AS bucket, " +
+          s"unnest([$tblList]) AS tbl FROM n), " +
+          "cand AS (SELECT DISTINCT b1.vec_id AS query_id, b2.vec_id AS neighbor_id " +
+          "FROM bkt b1 JOIN bkt b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket " +
+          "AND b2.vec_id <> b1.vec_id WHERE b1.vec_id < 10), " +
+          "s AS (SELECT query_id, neighbor_id, " +
+          s"$cosSql AS cos FROM cand " +
+          "JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+          "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3 " +
+          "ORDER BY query_id, rank"
+      },
+      s"random-hyperplane LSH, $NL independent tables of $NP planes: per-row bucket signatures " +
+        "(no shuffle to compute), candidates = collision in ANY table (union lifts recall from p^4 " +
+        "to 1-(1-p^4)^4), joins keyed on (table, bucket) — never O(n^2)"
+    ) { (s, dir) =>
+      val e = withNorm(table(s, dir, "embeddings"))
+        .withColumn("bks", array((0 until NL).map(t => bucketT(col("v"), t)): _*))
+      val side = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      val cand = side.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+        .join(side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+      val qv = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      cand.join(qv, "query_id").join(cv, "neighbor_id")
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)

@@ -81,6 +81,44 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** A sampled frame: 1→N output of frame sampling, keyed back to its doc. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, payload: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub deterministically re-hashes payload+dims so downstream schema and
+    * the batched per-partition shape are exercised for real.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.update(s"${w}x$h".getBytes)
+    md.digest()
+  }
+
+  /** Batched per-partition resize — same `mapPartitions` plumbing a real
+    * codec-backed implementation would keep; only [[resizeStub]] changes.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(_.map(m =>
+      m.copy(payload = resizeStub(m.payload, w, h)))))
+  }
+
+  /** Frame sampling: every video payload yields ceil(len / stride) "frames"
+    * (payload slices in the stub; decoded frames for real) — the 1→N
+    * flatMap shape that makes frame extraction distributable: downstream
+    * operators join on (doc_id, frame_idx), never re-touching the source
+    * video bytes.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("modality") === "video").flatMap { m =>
+      m.payload.grouped(stride).zipWithIndex.map {
+        case (slice, i) => MediaFrame(m.doc_id, i.toLong, slice)
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x12: multimodal feature extraction over binary payloads -----
     Q(

@@ -298,6 +298,99 @@ object AnalyticsQueries {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // ----- grouping sets -----
+    Q(
+      "q25_grouping_sets",
+      Some(
+        "SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
+          "coalesce(o_orderstatus, 'ALL') AS status, " +
+          "count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
+          "ORDER BY priority, status"),
+      "GROUPING SETS — two independent marginals + grand total in ONE scan (vs 3 queries); " +
+        "Catalyst expands then aggregates with partial map-side combine"
+    ) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"),
+          col("total"))
+        .orderBy("priority", "status")
+    },
+
+    // ----- pivot -----
+    Q(
+      "q26_pivot",
+      Some(
+        "SELECT user_id, " +
+          "count(*) FILTER (event_type = 'click') AS click, " +
+          "count(*) FILTER (event_type = 'view') AS view, " +
+          "count(*) FILTER (event_type = 'purchase') AS purchase " +
+          "FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"),
+      "pivot long→wide on a bounded value set: one hash aggregate, no join; unbounded pivots need a " +
+        "distinct-values pass first (Spark does it implicitly — always pass explicit values at scale)"
+    ) { (s, dir) =>
+      table(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy("user_id")
+    },
+
+    // ----- correlated scalar subquery (decorrelated to a join) -----
+    Q(
+      "q27_scalar_subquery",
+      Some(
+        "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer c " +
+          "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
+          "WHERE c2.c_nationkey = c.c_nationkey) * 1.5 " +
+          "ORDER BY c_custkey"),
+      "correlated scalar subquery (balance > 1.5× nation average) — expressed as the decorrelated " +
+        "form Catalyst rewrites to anyway: per-nation aggregate + equi-join, one shuffle on nationkey"
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val nationAvg = c.groupBy("c_nationkey").agg(avg("c_acctbal").as("_nation_avg"))
+      c.join(broadcast(nationAvg), "c_nationkey")
+        .filter(col("c_acctbal") > col("_nation_avg") * 1.5)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    },
+
+    // ----- array aggregation + higher-order array functions -----
+    Q(
+      "q28_array_funcs",
+      Some(
+        "WITH a AS (SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber) AS qtys " +
+          "FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey) " +
+          "SELECT l_orderkey, len(qtys) AS n_lines, " +
+          "list_aggregate(qtys, 'sum') AS total_qty, " +
+          "len(list_filter(qtys, q -> q > 25)) AS n_large " +
+          "FROM a ORDER BY l_orderkey"),
+      "collect rows into per-key arrays (deterministic order), then higher-order array ops — the " +
+        "long→nested shape embeddings/token pipelines use; arrays stay inside one row, no re-shuffle"
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("_sorted"))
+        .select(
+          col("l_orderkey"),
+          transform(col("_sorted"), x => x.getField("l_quantity")).as("qtys"))
+        .select(
+          col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n_lines"),
+          aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("total_qty"),
+          size(filter(col("qtys"), q => q > 25)).cast("long").as("n_large"))
+        .orderBy("l_orderkey")
     }
   )
 }

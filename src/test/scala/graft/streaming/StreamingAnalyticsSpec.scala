@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import StreamingAnalytics._
+
+/** Watermarked windowed aggregation and event-time sessionization over a
+  * MemoryStream — late-data drop and watermark-driven session close
+  * observed through real micro-batches. Everything is event-time, so the
+  * tests are deterministic (no wall-clock sleeps).
+  */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int): Timestamp = new Timestamp(sec * 1000L)
+
+  test("windowedCounts: tumbling event-time windows; watermark drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF(), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two windows' worth of clicks; max ts 25s → watermark 20s
+    in.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(4), 2, "click", 2.0),
+      Event(3, ts(25), 3, "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: a row at 3s is BEHIND the 20s watermark → dropped;
+    // a row at 26s lands in the open [20,30) window
+    in.addData(Event(4, ts(3), 4, "click", 8.0), Event(5, ts(26), 5, "click", 16.0))
+    q.processAllAvailable()
+    // advance watermark past 30s so the [20,30) window finalizes
+    in.addData(Event(6, ts(40), 6, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // [0,10) click: events 1,2 only — the late event 4 was dropped
+    assert(rows.contains((0L, "click", 2L, 3.0)), rows.toString)
+    // [20,30) click: events 3 and 5
+    assert(rows.contains((20L, "click", 2L, 20.0)), rows.toString)
+  }
+
+  test("sessionWindowStats: built-in session_window merges by gap, closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionWindowStats(in.toDF(), "5 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("sw_stats")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 7: events at 10s,12s (one session); user 8: 11s
+    in.addData(
+      Event(1, ts(10), 7, "click", 1.0),
+      Event(2, ts(12), 7, "view", 2.0),
+      Event(3, ts(11), 8, "click", 5.0))
+    q.processAllAvailable()
+    // watermark jumps past every session's end+gap → sessions emit
+    in.addData(Event(4, ts(60), 9, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(5, ts(120), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sw_stats")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    assert(rows.contains((7L, 2L, 3.0)), rows.toString)
+    assert(rows.contains((8L, 1L, 5.0)), rows.toString)
+  }
+
+  test("sessionize: custom state closes sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMs = 5000, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(
+      Event(1, ts(10), 7, "click", 1.0),
+      Event(2, ts(12), 7, "view", 2.0),
+      Event(3, ts(11), 8, "click", 5.0))
+    q.processAllAvailable()
+    // nothing closed yet: watermark is 12s, sessions time out at 17s/16s
+    assert(spark.table("sessions").count() === 0)
+    // watermark → 60s: both sessions pass last_event + 5s → emitted
+    in.addData(Event(4, ts(60), 9, "click", 0.0))
+    q.processAllAvailable()
+    // one more batch so the state-timeout emissions commit to the sink
+    in.addData(Event(5, ts(61), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val byUser = spark.table("sessions").as[Session].collect()
+      .map(s => s.user_id -> s).toMap
+    assert(byUser.contains(7L) && byUser.contains(8L), byUser.toString)
+    val s7 = byUser(7L)
+    assert(s7.n_events === 2L)
+    assert(s7.started === ts(10) && s7.ended === ts(12))
+    assert(s7.total_value === 3.0)
+    assert(byUser(8L).n_events === 1L)
+  }
+}

@@ -63,24 +63,48 @@ object Lake {
     * through a temp dir (Delta MERGE would do this natively; parquet is the
     * container's only lake format). Returns the number of rows written.
     */
-  def upsertIntoLake(spark: SparkSession, batch: DataFrame, lakePath: String): Long = {
+  /** `posting_date` is the validated `MM/dd/yyyy` string; the derived
+    * `yyyy-MM` month makes a pruning-friendly second partition level for
+    * time-range queries (see [[monthsBetween]]).
+    */
+  def postingMonth(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(substring(c, 7, 4), lit("-"), substring(c, 1, 2))
+
+  def upsertIntoLake(
+      spark: SparkSession,
+      batch: DataFrame,
+      lakePath: String,
+      monthPartitioned: Boolean = false): Long = {
     val hPath = new org.apache.hadoop.fs.Path(lakePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = if (monthPartitioned) Seq("data_source", "posting_month") else Seq("data_source")
+    val batchP =
+      if (monthPartitioned) batch.withColumn("posting_month", postingMonth(col("posting_date")))
+      else batch
     val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
     val merged =
       if (fs.exists(hPath)) {
-        val existing = spark.read.parquet(lakePath)
+        // Only partitions the batch touches enter the merge: filter the
+        // existing side by the batch's sources AND (when month-partitioned)
+        // its months, so a daily batch re-reads O(days' partitions), not
+        // years of history.
+        val base = spark.read.parquet(lakePath)
           .filter(col("data_source").isin(sources.map(x => x: Any): _*))
-        merge(existing, batch)
-      } else dedupKeepFirst(batch, Transaction.mergeKey, Transaction.tieBreak)
+        val existing =
+          if (monthPartitioned) {
+            val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
+            base.filter(col("posting_month").isin(months.map(x => x: Any): _*))
+          } else base
+        merge(existing, batchP)
+      } else dedupKeepFirst(batchP, Transaction.mergeKey, Transaction.tieBreak)
     val staged = lakePath + ".staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("data_source").parquet(staged)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(staged)
     val out = spark.read.parquet(staged)
     val n = out.count()
     out.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("data_source")
+      .partitionBy(parts: _*)
       .parquet(lakePath)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     n

@@ -77,4 +77,35 @@ object ApiSurface {
         col("transactionType") === transactionType &&
           col("datePostedEpoch").between(startEpochSec, endEpochSec))
       .select("id")
+
+  /** The `yyyy-MM` months covered by an inclusive epoch-second range (UTC) —
+    * the partition values a month-partitioned lake must read for it.
+    */
+  def monthsBetween(startEpochSec: Long, endEpochSec: Long): Seq[String] = {
+    import java.time.{Instant, ZoneOffset}
+    val start = Instant.ofEpochSecond(startEpochSec).atZone(ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+    val end = Instant.ofEpochSecond(endEpochSec).atZone(ZoneOffset.UTC).toLocalDate
+    Iterator.iterate(start)(_.plusMonths(1))
+      .takeWhile(!_.isAfter(end))
+      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      .toSeq
+  }
+
+  /** [[historySearch]] against a month-partitioned lake
+    * (`Lake.upsertIntoLake(monthPartitioned = true)`): the month list
+    * derived from the epoch bounds becomes a PARTITION filter, so at 100 TB
+    * the scan reads only the months the window touches — the row-level
+    * epoch filter then trims the partial months. Identical results to the
+    * unpruned search.
+    */
+  def historySearchPruned(
+      lake: DataFrame,
+      transactionType: String,
+      startEpochSec: Long,
+      endEpochSec: Long): DataFrame = {
+    val months = monthsBetween(startEpochSec, endEpochSec)
+    historySearch(
+      lake.filter(col("posting_month").isin(months.map(x => x: Any): _*)),
+      transactionType, startEpochSec, endEpochSec)
+  }
 }

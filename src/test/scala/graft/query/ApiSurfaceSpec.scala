@@ -57,4 +57,41 @@ class ApiSurfaceSpec extends SparkSpec {
     val incl = ApiSurface.historySearch(lake, "egress", epoch("2024-01-10"), epoch("2024-01-10"))
     assert(incl.count() === 1)
   }
+
+  test("monthsBetween enumerates covering yyyy-MM partitions") {
+    def epoch(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(ApiSurface.monthsBetween(epoch("2023-11-15"), epoch("2024-02-03")) ===
+      Seq("2023-11", "2023-12", "2024-01", "2024-02"))
+    assert(ApiSurface.monthsBetween(epoch("2024-01-01"), epoch("2024-01-31")) === Seq("2024-01"))
+  }
+
+  test("historySearchPruned: identical results, scan pruned to the window's months") {
+    val lakePath = new java.io.File(tmpDir("apiM"), "lake").getPath
+    import spark.implicits._
+    val batch = Seq(
+      tx("11/20/2023", "nov", -1.0),
+      tx("01/10/2024", "jan", -2.0),
+      tx("02/05/2024", "feb", -3.0),
+      tx("06/01/2024", "jun", -4.0)).toDF()
+    graft.lake.Lake.upsertIntoLake(spark, batch, lakePath, monthPartitioned = true)
+    // month directories exist under each source partition
+    assert(new java.io.File(lakePath, "data_source=chase/posting_month=2024-01").exists())
+    val lake = spark.read.parquet(lakePath)
+
+    def epoch(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val (s, e) = (epoch("2024-01-01"), epoch("2024-02-29"))
+
+    val pruned = ApiSurface.historySearchPruned(lake, "egress", s, e)
+    val plain = ApiSurface.historySearch(lake, "egress", s, e)
+    assert(pruned.collect().map(_.getString(0)).toSet ===
+      plain.collect().map(_.getString(0)).toSet)
+    assert(pruned.count() === 2) // jan + feb
+
+    // the month predicate must land in PartitionFilters, not a row filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("posting_month"),
+      s"expected posting_month partition pruning:\n$plan")
+  }
 }

@@ -120,6 +120,35 @@ object Lake {
     upsertIntoLake(spark, Seq(t).toDF(), lakePath)
   }
 
+  /** Compact a lake: collapse every hive partition to ONE parquet file.
+    * Merge-heavy ingest accretes small files (every upsert rewrites touched
+    * partitions with the writer's task count); at 100 TB the file count —
+    * not the byte count — is what kills scan planning and open() overhead.
+    * `parallelism` is the shuffle task count (hash on the partition cols
+    * sends each partition's rows to exactly one task ⇒ one output file per
+    * partition; partitions bigger than one task should handle, salt-split
+    * instead). Run as a periodic maintenance job; layout-only, never rows
+    * (spec-checked).
+    */
+  def compact(spark: SparkSession, lakePath: String, parallelism: Int = 32): Long = {
+    val df = spark.read.parquet(lakePath)
+    val partCols = df.schema.fieldNames.filter(Seq("data_source", "posting_month").contains)
+    val staged = lakePath + ".compacting"
+    df.repartition(parallelism, partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(staged)
+    val out = spark.read.parquet(staged)
+    val n = out.count()
+    out.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(lakePath)
+    val fs = new org.apache.hadoop.fs.Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    n
+  }
+
   /** Sync-log audit append (K3, reference storage/mongo_repository.go:63-72):
     * one row per (source, batch) with the reference's collection naming.
     */

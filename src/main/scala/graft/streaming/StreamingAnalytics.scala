@@ -54,6 +54,18 @@ object StreamingAnalytics {
         col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup on an id column: duplicates arriving within the
+    * watermark horizon are dropped, and state for ids older than the
+    * watermark is evicted — bounded state, unlike a naive dropDuplicates
+    * whose seen-set grows forever. This is the streaming half of the exact
+    * dedup story (x01 is the batch half): an at-least-once upstream (kafka
+    * retries, file re-deliveries) becomes effectively-once downstream.
+    */
+  def dedupEvents(events: DataFrame, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based session aggregation with the BUILT-IN session_window —
     * preference order says compose existing ops when semantics allow, and
     * they do: Spark merges overlapping per-event windows into sessions and

@@ -61,6 +61,22 @@ class IngestDirectorySpec extends SparkSpec {
       === Seq(("transactions_chase", 2L)))
   }
 
+  test("compact: collapses partitions to one file each; rows unchanged") {
+    val lake = new java.io.File(tmpDir("cmp"), "lake").getPath
+    // three upserts -> several small files per partition
+    for (amt <- Seq(1.0, 2.0, 3.0)) {
+      val t = Transaction("DEBIT", "01/01/2024", s"row$amt", amt, 0.0, "", "", "", "chase", "1234")
+      Lake.upsertIntoLake(spark, Seq(t).toDF(), lake)
+    }
+    val before = spark.read.parquet(lake).as[Transaction].collect().toSet
+    def files = new java.io.File(lake, "data_source=chase")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1)
+    assert(Lake.compact(spark, lake) === 3L)
+    assert(files === 1)
+    assert(spark.read.parquet(lake).as[Transaction].collect().toSet === before)
+  }
+
   test("insertTransaction: single-row API insert upserts through the merge path (K7/Q4)") {
     val lake = new java.io.File(tmpDir("api"), "lake").getPath
     val t = Transaction("DEBIT", "01/01/2024", "api row", 1.0, 0.0, "", "", "", "chase", "1234")

@@ -50,6 +50,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(rows.contains((20L, "click", 2L, 20.0)), rows.toString)
   }
 
+  test("dedupEvents: duplicate ids within the watermark horizon dropped once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingAnalytics.dedupEvents(in.toDF(), "10 seconds")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(11), 2, "view", 2.0))
+    q.processAllAvailable()
+    // redelivery of event 1 (same id) in a later batch → dropped
+    in.addData(Event(1, ts(10), 1, "click", 1.0), Event(3, ts(12), 3, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_ev").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("sessionWindowStats: built-in session_window merges by gap, closes on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -83,6 +83,33 @@ object StreamingAnalytics {
         col("n_events"),
         col("total_value"))
 
+  /** Stream-stream interval join: attribute each purchase to the clicks
+    * the same user made within `horizon` BEFORE it. Both sides carry
+    * watermarks and the join condition bounds the time skew, so Spark can
+    * evict join state older than (watermark - horizon) — without the
+    * interval bound, stream-stream join state grows forever.
+    */
+  def attribution(events: DataFrame, lateness: String, horizon: String): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", lateness)
+    clicks.join(
+      purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(
+        col("purchase_user").as("user_id"),
+        col("click_ts"),
+        col("purchase_ts"),
+        col("value"))
+  }
+
   /** Gap-based sessionization with EXPLICIT state (the custom-state escape
     * hatch for session logic session_window can't express — e.g. emitting
     * the first/last event payloads, or capping session length). A session

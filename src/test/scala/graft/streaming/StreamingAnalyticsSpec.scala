@@ -95,6 +95,30 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(rows.contains((8L, 1L, 5.0)), rows.toString)
   }
 
+  test("attribution: stream-stream interval join within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingAnalytics.attribution(in.toDF(), "0 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(
+      Event(1, ts(10), 1, "click", 0.0),
+      Event(2, ts(20), 1, "purchase", 9.99), // 10s after click: attributed
+      Event(3, ts(15), 2, "click", 0.0),
+      Event(4, ts(90), 2, "purchase", 5.0)) // 75s after click: outside horizon
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    in.addData(Event(5, ts(200), 3, "click", 0.0), Event(6, ts(200), 3, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(rows.contains((1L, 9.99)), rows.toString)
+    assert(!rows.exists(_._1 == 2L), rows.toString) // outside the horizon
+  }
+
   test("sessionize: custom state closes sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -62,6 +62,24 @@ object Cli {
       printStats(stats)
       spark.stop()
 
+    // run a registered query by name against a testdata dir (the read
+    // surface of the engine, mirroring the reference API's GET endpoints)
+    case "query" :: name :: dir :: rest if rest.size <= 1 =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      query.Registry.queries.get(name) match {
+        case Some(fn) =>
+          fn(spark, dir).show(rest.headOption.map(_.toInt).getOrElse(20), false)
+        case None =>
+          System.err.println(
+            s"unknown query '$name'; available:\n  " +
+              query.Registry.queries.keys.toSeq.sorted.mkString("\n  "))
+          spark.stop()
+          sys.exit(2)
+      }
+      spark.stop()
+
     case "generate-synthetic-data" :: rows :: outDir :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
@@ -73,6 +91,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
+          "       graft.Cli query <name> <sfDir> [numRows]\n" +
           "       graft.Cli generate-synthetic-data <rows> <outDir>\n" +
           "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
           "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")

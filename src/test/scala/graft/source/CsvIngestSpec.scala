@@ -106,6 +106,28 @@ class CsvIngestSpec extends SparkSpec {
     assert(CsvIngest.listCsvFiles(dir.getPath).map(_.getName) === Seq("chase4444.csv"))
   }
 
+  test("duplicate lowercased headers: last occurrence wins (csv.go:64-67 colIndex overwrite)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase6666.csv",
+      """Amount,AMOUNT,Details
+        |1.11,2.22,DEBIT""".stripMargin)
+    val df = CsvIngest.readCsvDir(spark, dir.getPath)
+    val r = df.collect()(0)
+    // the surviving 'amount' column is the LAST one; the first is suffixed
+    assert(r.getAs[String]("amount") === "2.22")
+    assert(df.columns.count(_.startsWith("amount")) === 2)
+  }
+
+  test("both 'post date' and 'posting date' present: 'post date' wins (priority order, datalake.go:184-189)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase7777.csv",
+      """Details,Post Date,Posting Date,Amount
+        |DEBIT,01/05/2024,01/09/2024,-1.00""".stripMargin)
+    val raw = CsvIngest.readCsvDir(spark, dir.getPath)
+    val (valid, _) = graft.transform.Canonicalize.split(spark, raw)
+    assert(valid.select("posting_date").collect()(0).getString(0) === "01/05/2024")
+  }
+
   test("files with different headers union by name (one scan per header group)") {
     val dir = tmpDir("csv")
     writeFile(dir, "chase1234.csv", "Details,Posting Date,Amount\nDEBIT,01/01/2024,-1.0")

@@ -31,6 +31,45 @@ object Dedup {
   val As: Seq[Long] = (0 until K).map(i => 2L * i + 1)
   val Bs: Seq[Long] = (0 until K).map(i => (104729L * (i + 1)) % P)
 
+  /** Hamming<=8 near-dup pairs by pigeonhole-blocked simhash.
+    *
+    * 9 blocks cover 60 bits (6 blocks of 7 bits + 3 of 6); any pair with
+    * hamming <= 8 differs in at most 8 blocks, so it matches exactly on at
+    * least one (pigeonhole). Candidates are verified with the exact
+    * bit_count, so results are identical to an all-pairs scan — just never
+    * O(n^2).
+    *
+    * Scale envelope: RANDOM block collisions are ~n²/2^bits per block, so
+    * 6-7-bit blocks stay selective up to n ≈ 10^5 docs per shard (smoke-
+    * tested at 50k: 38s, all candidates verified). Beyond that, widen the
+    * fingerprint (128-bit simhash → 4 blocks of 16 bits at hamming<=3, the
+    * Manku/WWW'07 configuration) or pre-shard the corpus by a simhash
+    * prefix. The OUTPUT is all-pairs within duplicate clusters (quadratic
+    * in cluster size by definition); [[DedupClusters.dedupByPairs]] (x14)
+    * collapses pairs to cluster representatives.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
+    val blockOff = blockBits.scanLeft(0)(_ + _).init
+    val sh = docs.select(
+      col("doc_id"),
+      graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("simhash"))
+    val blocks = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array(blockBits.zip(blockOff).map { case (bits, off) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
+      }: _*)).as(Seq("blk", "bv")))
+    val a = blocks.select(col("blk"), col("bv"), col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = blocks.select(col("blk"), col("bv"), col("doc_id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("da") < col("db"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Aggressive text normalization for exact dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace.
     */
@@ -187,42 +226,42 @@ object Dedup {
         "candidate equi-join: hamming<=8 pairs must agree on one of 9 simhash blocks, so the join is " +
         "keyed on (block, value) — O(candidates), the 100 TB path — then hamming verified exactly"
     ) { (s, dir) =>
-      // 9 blocks cover 60 bits (6 blocks of 7 bits + 3 of 6); any pair with
-      // hamming <= 8 differs in at most 8 blocks, so it matches exactly on
-      // at least one (pigeonhole). Candidates are verified with the exact
-      // bit_count, so results are identical to the all-pairs scan the oracle
-      // runs — just never O(n^2).
-      //
-      // Scale envelope: RANDOM block collisions are ~n²/2^bits per block, so
-      // 6-7-bit blocks stay selective up to n ≈ 10^5 docs per shard (smoke-
-      // tested at 50k: 38s, all candidates verified). Beyond that, widen the
-      // fingerprint (128-bit simhash → 4 blocks of 16 bits at hamming<=3,
-      // the Manku/WWW'07 configuration) or pre-shard the corpus by a
-      // simhash prefix so each shard stays inside the envelope. Also note
-      // the OUTPUT is all-pairs within duplicate clusters (quadratic in
-      // cluster size by definition); a production dedup would emit
-      // cluster representatives (group by the connected component) instead.
-      val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
-      val blockOff = blockBits.scanLeft(0)(_ + _).init
-      val sh = table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("simhash"))
-      val blocks = sh.select(
-        col("doc_id"),
-        col("simhash"),
-        posexplode(array(blockBits.zip(blockOff).map { case (bits, off) =>
-          shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
-        }: _*)).as(Seq("blk", "bv")))
-      val a = blocks.select(col("blk"), col("bv"), col("doc_id").as("da"), col("simhash").as("sa"))
-      val b = blocks.select(col("blk"), col("bv"), col("doc_id").as("db"), col("simhash").as("sb"))
-      a.join(b, Seq("blk", "bv"))
-        .filter(col("da") < col("db"))
-        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-        .filter(col("hamming") <= 8)
-        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
-        .distinct()
+      simhashPairs(table(s, dir, "documents"))
         .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x14: fuzzy dedup end-to-end (pairs → clusters → survivors) -----
+    Q(
+      "x14_dedup_clusters",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component) " +
+          "SELECT source, count(*) AS n_after FROM documents " +
+          "WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY source ORDER BY source"
+      },
+      "fuzzy dedup END-TO-END: simhash near-dup pairs → connected components (label propagation; " +
+        "recursive-CTE transitive closure in the oracle) → one survivor per cluster; the per-source " +
+        "survivor counts a training-data pipeline reports"
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      DedupClusters.dedupByPairs(docs, pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_after"))
+        .orderBy("source")
     },
 
     // ----- x05: embedding-cosine near-dup -----

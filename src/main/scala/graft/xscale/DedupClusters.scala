@@ -22,9 +22,10 @@ object DedupClusters {
     * `(id, component)` where component = min node id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // pairs are unique undirected edges (callers emit a<b), so the
+    // symmetric union is already duplicate-free — no distinct shuffle
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -32,7 +33,9 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels); the old label
+      // rides along into the one materialization so the convergence check
+      // reads the checkpointed result instead of re-joining
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
@@ -42,13 +45,11 @@ object DedupClusters {
         .select(
           col("id"),
           least(col("component"), coalesce(col("_neighbor_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("_old"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("component", "_old"), "id")
-        .filter(col("component") =!= col("_old"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("component") =!= col("_old")).isEmpty
+      labels = updated.drop("_old")
       i += 1
     }
     labels

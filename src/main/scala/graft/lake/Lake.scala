@@ -49,27 +49,28 @@ object Lake {
     existing.join(dedupedIncoming, keys, "left_anti").unionByName(dedupedIncoming)
   }
 
-  /** Write/merge a canonical batch into the partitioned lake (K2). One
-    * physical table partitioned by data_source replaces the reference's
-    * collection-per-source naming (`transactions_{dataSource}`,
-    * mongo_repository.go:15-16,55) — and drops its one-source-per-batch
-    * assumption for free.
-    *
-    * Only partitions whose `data_source` appears in the batch are touched:
-    * existing rows from OTHER sources never enter the merge, and the final
-    * write uses per-writer dynamic partition overwrite, so at 100 TB a
-    * small ingest batch rewrites O(batch sources) partitions, not the lake.
-    * Self-referential read+overwrite of the same parquet path is staged
-    * through a temp dir (Delta MERGE would do this natively; parquet is the
-    * container's only lake format). Returns the number of rows written.
-    */
   /** `posting_date` is the validated `MM/dd/yyyy` string; the derived
     * `yyyy-MM` month makes a pruning-friendly second partition level for
-    * time-range queries (see [[monthsBetween]]).
+    * time-range queries (see `ApiSurface.historySearchPruned`).
     */
   def postingMonth(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(substring(c, 7, 4), lit("-"), substring(c, 1, 2))
 
+  /** Write/merge a canonical batch into the partitioned lake (K2). One
+    * physical table partitioned by data_source replaces the reference's
+    * collection-per-source naming (`transactions_{dataSource}`,
+    * mongo_repository.go:15-16,55) — and drops its one-source-per-batch
+    * assumption for free. `monthPartitioned` adds a derived yyyy-MM
+    * second partition level.
+    *
+    * Only partitions the batch touches are affected: existing rows from
+    * OTHER sources (and months) never enter the merge, and the final
+    * write uses per-writer dynamic partition overwrite, so at 100 TB a
+    * small ingest batch rewrites O(batch partitions), not the lake.
+    * Self-referential read+overwrite of the same parquet path is staged
+    * through a temp dir (Delta MERGE would do this natively; parquet is the
+    * container's only lake format). Returns the number of rows written.
+    */
   def upsertIntoLake(
       spark: SparkSession,
       batch: DataFrame,
@@ -89,11 +90,11 @@ object Lake {
         // its months, so a daily batch re-reads O(days' partitions), not
         // years of history.
         val base = spark.read.parquet(lakePath)
-          .filter(col("data_source").isin(sources.map(x => x: Any): _*))
+          .filter(col("data_source").isin(sources.toSeq.map(x => x: Any): _*))
         val existing =
           if (monthPartitioned) {
             val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
-            base.filter(col("posting_month").isin(months.map(x => x: Any): _*))
+            base.filter(col("posting_month").isin(months.toSeq.map(x => x: Any): _*))
           } else base
         merge(existing, batchP)
       } else dedupKeepFirst(batchP, Transaction.mergeKey, Transaction.tieBreak)
@@ -134,14 +135,14 @@ object Lake {
     val df = spark.read.parquet(lakePath)
     val partCols = df.schema.fieldNames.filter(Seq("data_source", "posting_month").contains)
     val staged = lakePath + ".compacting"
-    df.repartition(parallelism, partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(staged)
+    df.repartition(parallelism, partCols.toSeq.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols.toSeq: _*).parquet(staged)
     val out = spark.read.parquet(staged)
     val n = out.count()
     out.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
+      .partitionBy(partCols.toSeq: _*)
       .parquet(lakePath)
     val fs = new org.apache.hadoop.fs.Path(staged)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -30,7 +30,7 @@ object SkewJoin {
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltCol: Column =
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salts))
+      pmod(hash(struct(big.columns.toSeq.map(col): _*)), lit(salts))
     val bigSalted = big.withColumn("_salt", saltCol)
     val smallExploded = small.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     bigSalted
@@ -48,7 +48,7 @@ object SkewJoin {
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    df.withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), lit(salts)))
+    df.withColumn("_salt", pmod(hash(struct(df.columns.toSeq.map(col): _*)), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

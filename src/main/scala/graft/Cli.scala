@@ -98,15 +98,15 @@ object Cli {
       sys.exit(2)
   }
 
-  /** Stats JSON report, same shape as the reference's
-    * (datalake/stats.go:35-44).
+  /** Stats JSON report, same shape AND key spelling as the reference's
+    * (datalake/stats.go:9-14 json tags, logged at stats.go:35-44).
     */
   private def printStats(stats: graft.model.IngestStats): Unit = {
     val failures = stats.failures.toSeq.sortBy(_._1)
       .map { case (f, r) => s"${jsonStr(f)}: ${jsonStr(r)}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"total_files":${stats.total_files},"processed_files":${stats.processed_files},""" +
-        s""""failed_files":${stats.failed_files},"failures":$failures}""")
+      s"""{"totalFiles":${stats.total_files},"processedFiles":${stats.processed_files},""" +
+        s""""failedFiles":${stats.failed_files},"failures":$failures}""")
   }
 }

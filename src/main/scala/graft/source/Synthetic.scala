@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
 object Synthetic {
 
   /** Faithful variant: non-deterministic `rand(seed)` like the reference's
-    * rand.Float64 (data.go:44-48).
+    * rand.Float64 (data.go:44-48), and TODAY's date on every row exactly
+    * like `time.Now().Format("01/02/2006")` (data.go:51).
     */
   def transactions(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
     decorate(
       spark.range(n),
       amount = rand(seed) * 1000.0,
       balance = rand(seed + 1) * 10000.0,
-      acct = (rand(seed + 2) * 10000.0).cast("int"))
+      acct = (rand(seed + 2) * 10000.0).cast("int"),
+      postingDate = date_format(current_date(), "MM/dd/yyyy"))
 
   /** Deterministic variant (oracle-checkable): the random draws are replaced
     * by fixed multiplicative-congruential arithmetic on the row id, so DuckDB
@@ -41,12 +43,15 @@ object Synthetic {
       ids: org.apache.spark.sql.Dataset[java.lang.Long],
       amount: org.apache.spark.sql.Column,
       balance: org.apache.spark.sql.Column,
-      acct: org.apache.spark.sql.Column): DataFrame =
+      acct: org.apache.spark.sql.Column,
+      // deterministic variant spreads dates over a fixed year so the oracle
+      // can reproduce them; the faithful variant passes today's date
+      postingDate: org.apache.spark.sql.Column = date_format(
+        date_add(to_date(lit("2024-01-01")), (col("id") % 365).cast("int")),
+        "MM/dd/yyyy")): DataFrame =
     ids.select(
       lit("SALE").as("details"), // data.go:17 detailsValue
-      date_format(
-        date_add(to_date(lit("2024-01-01")), (col("id") % 365).cast("int")),
-        "MM/dd/yyyy").as("posting_date"),
+      postingDate.as("posting_date"),
       concat(lit("Synthetic transaction "), col("id")).as("description"),
       amount.as("amount"),
       balance.as("balance"),

@@ -40,7 +40,9 @@ object Config {
       lakePath = get("LAKE_PATH", "./lake"),
       syncLogPath = get("SYNC_LOG_PATH", "./sync_log"),
       syntheticDataDir = get("SYNTHETIC_DATA_DIR", "tmp/synthetic"),
-      syntheticDataRows = 100L)
+      syntheticDataRows = env.get("SYNTHETIC_DATA_ROWS")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(100L))
   }
 
   /** Go strconv.ParseBool: 1/t/T/TRUE/true/True and 0/f/F/FALSE/false/False. */

@@ -78,21 +78,28 @@ object Lake {
       monthPartitioned: Boolean = false): Long = {
     val hPath = new org.apache.hadoop.fs.Path(lakePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = if (monthPartitioned) Seq("data_source", "posting_month") else Seq("data_source")
+    val exists = fs.exists(hPath)
+    // The lake's ON-DISK layout wins over the flag once it exists — a
+    // single-row API insert or a streaming batch must not need to know how
+    // the lake was created (and a mismatched union would throw).
+    val effectiveMonthly =
+      if (exists) spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
+      else monthPartitioned
+    val parts = if (effectiveMonthly) Seq("data_source", "posting_month") else Seq("data_source")
     val batchP =
-      if (monthPartitioned) batch.withColumn("posting_month", postingMonth(col("posting_date")))
+      if (effectiveMonthly) batch.withColumn("posting_month", postingMonth(col("posting_date")))
       else batch
-    val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
     val merged =
-      if (fs.exists(hPath)) {
+      if (exists) {
         // Only partitions the batch touches enter the merge: filter the
         // existing side by the batch's sources AND (when month-partitioned)
         // its months, so a daily batch re-reads O(days' partitions), not
         // years of history.
+        val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
         val base = spark.read.parquet(lakePath)
           .filter(col("data_source").isin(sources.toSeq.map(x => x: Any): _*))
         val existing =
-          if (monthPartitioned) {
+          if (effectiveMonthly) {
             val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
             base.filter(col("posting_month").isin(months.toSeq.map(x => x: Any): _*))
           } else base
@@ -202,6 +209,32 @@ object Lake {
       syncLogPath: String,
       processedDir: Option[String] = None,
       quarantinePath: Option[String] = None): IngestStats = {
+    import spark.implicits._
+    import graft.source.CsvIngest
+    import graft.transform.Canonicalize
+
+    // readCsvDir needs CSV parser column pruning off for plan-independent
+    // ragged-row detection; every action on `raw` happens inside this
+    // method, so scope the session mutation here and restore on exit.
+    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+    val prevPrune = spark.conf.getOption(pruneKey)
+    try {
+      ingestDirectoryInner(spark, unprocessedDir, lakePath, syncLogPath, processedDir, quarantinePath)
+    } finally {
+      prevPrune match {
+        case Some(v) => spark.conf.set(pruneKey, v)
+        case None    => spark.conf.unset(pruneKey)
+      }
+    }
+  }
+
+  private def ingestDirectoryInner(
+      spark: SparkSession,
+      unprocessedDir: String,
+      lakePath: String,
+      syncLogPath: String,
+      processedDir: Option[String],
+      quarantinePath: Option[String]): IngestStats = {
     import spark.implicits._
     import graft.source.CsvIngest
     import graft.transform.Canonicalize

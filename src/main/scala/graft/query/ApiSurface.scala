@@ -25,8 +25,11 @@ object ApiSurface {
     * no surrogate id (the reference's Mongo _id is storage-assigned), so the
     * id IS the key, which also makes `add` + `getById` round-trip naturally.
     */
+  // Fields are length-prefixed before hashing so distinct keys can never
+  // serialize identically, even when a field contains the separator itself.
   private val idCol =
-    md5(concat_ws("", Transaction.mergeKey.map(col): _*)).as("id")
+    md5(concat(Transaction.mergeKey.flatMap(k =>
+      Seq(length(col(k)).cast("string"), lit(":"), col(k))): _*)).as("id")
 
   /** The API DTO view (apiClient.go:96-110): transactionType is
     * ingress/egress by amount sign, transactionSource is the lake's

@@ -45,8 +45,11 @@ object CsvIngest {
   def withSourceInfo(df: DataFrame): DataFrame = {
     // input_file_name() returns a URI whose path segments are URL-encoded;
     // decode so filenames with spaces/%xx match the on-disk name used by the
-    // per-file accounting and the move-to-processed step.
-    val fname = lower(url_decode(element_at(split(input_file_name(), "/"), -1)))
+    // per-file accounting and the move-to-processed step. URI paths keep
+    // '+' literal but url_decode applies form semantics ('+' → ' '), so
+    // protect literal pluses by re-encoding them first.
+    val rawSeg = element_at(split(input_file_name(), "/"), -1)
+    val fname = lower(url_decode(regexp_replace(rawSeg, "\\+", "%2B")))
     val chaseAcct = regexp_extract(fname, "chase(\\d{4})", 1)
     df.withColumn("_file", fname)
       .withColumn(

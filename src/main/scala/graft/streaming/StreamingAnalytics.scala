@@ -132,17 +132,33 @@ object StreamingAnalytics {
             Iterator.single(
               Session(userId, new Timestamp(s.started), new Timestamp(s.ended), s.n, s.total))
           } else {
-            val merged = rows.foldLeft(state.getOption.getOrElse(
-              SessionState(Long.MaxValue, Long.MinValue, 0L, 0.0))) { (s, e) =>
-              SessionState(
-                math.min(s.started, e.ts.getTime),
-                math.max(s.ended, e.ts.getTime),
-                s.n + 1,
-                s.total + e.value)
+            // walk the batch's events in event-time order, CLOSING the open
+            // session whenever the next event is more than gapMs after it —
+            // sessions can split inside a batch, not only via the timeout
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.ended > gapMs =>
+                  closed += Session(
+                    userId, new Timestamp(s.started), new Timestamp(s.ended), s.n, s.total)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  open = Some(SessionState(
+                    math.min(s.started, t), math.max(s.ended, t), s.n + 1, s.total + e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.ended + gapMs)
-            Iterator.empty
+            open.foreach { s =>
+              state.update(s)
+              // a timeout timestamp must sit beyond the current watermark
+              // (events can arrive with ended+gap already passed)
+              state.setTimeoutTimestamp(
+                math.max(s.ended + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
       }
   }

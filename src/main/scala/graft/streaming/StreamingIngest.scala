@@ -54,15 +54,27 @@ object StreamingIngest {
       archiveDir: String,
       header: Seq[String] = defaultHeader,
       maxFilesPerTrigger: Int = 1000): DataFrame = {
-    val schema = StructType(header.map(StructField(_, StringType)))
+    // same ragged-row semantics as the batch path (csv.go:82-84 via
+    // PERMISSIVE + corrupt-line field count): short rows drop, extra-field
+    // rows keep — a file must ingest identically batch or streamed
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    val schema = StructType((header :+ "_corrupt_record").map(StructField(_, StringType)))
     val raw = spark.readStream
       .option("header", "true")
       .option("pathGlobFilter", "*.{csv,CSV}") // S3 file-type predicate
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema)
       .csv(unprocessedDir)
+      .filter(
+        col("_corrupt_record").isNull ||
+          org.apache.spark.sql.graftnative.api
+            .csvFieldCount(col("_corrupt_record")) >= header.size.toLong ||
+          length(coalesce(col(header.head), lit(""))) < 0)
+      .drop("_corrupt_record")
     CsvIngest.withSourceInfo(raw)
   }
 

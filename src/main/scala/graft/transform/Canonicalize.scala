@@ -93,9 +93,16 @@ object Canonicalize {
     val ann = annotate(raw)
     val validAnn = ann.filter(col("_reject_reason").isNull)
     val valid = project(validAnn, Seq(col("_file")))
+    // the rejected side carries the WHOLE raw row as JSON (schema varies per
+    // header group, so serialize) — a quarantine that only counts skips
+    // can't be audited or re-ingested after a fix
+    val rawCols = raw.columns.filterNot(_.startsWith("_")).toSeq
     val rejected = ann
       .filter(col("_reject_reason").isNotNull)
-      .select(col("_file"), col("_reject_reason").as("reason"))
+      .select(
+        col("_file"),
+        col("_reject_reason").as("reason"),
+        to_json(struct(rawCols.map(col): _*)).as("raw_row"))
     (valid, rejected)
   }
 }

@@ -52,6 +52,12 @@ object DedupClusters {
       labels = updated.drop("_old")
       i += 1
     }
+    // silent non-convergence would quietly under-dedup (a chain longer
+    // than maxIter keeps >1 representative); fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter (rounds needed = largest component diameter)")
     labels
   }
 

@@ -28,6 +28,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.lakePath === "/lake")
   }
 
+  test("SYNTHETIC_DATA_ROWS overrides; garbage falls back to 100") {
+    assert(Config.load(Map("SYNTHETIC_DATA_ROWS" -> "50000")).syntheticDataRows === 50000L)
+    assert(Config.load(Map("SYNTHETIC_DATA_ROWS" -> "lots")).syntheticDataRows === 100L)
+  }
+
   test("MOVE_PROCESSED_FILES follows strconv.ParseBool incl. garbage→default") {
     for (t <- Seq("1", "t", "T", "TRUE", "true", "True"))
       assert(Config.load(Map("MOVE_PROCESSED_FILES" -> t)).moveProcessedFiles, t)

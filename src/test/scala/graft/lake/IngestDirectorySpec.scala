@@ -48,12 +48,15 @@ class IngestDirectorySpec extends SparkSpec {
     assert(new java.io.File(done, "chase1234_jan.csv").exists())
     assert(new java.io.File(in, "chase1234_feb.csv").exists())
 
-    // quarantine holds the two skipped rows with file + reason lineage
+    // quarantine holds the skipped rows with file + reason lineage AND the
+    // raw row payload (JSON), so fixes can be re-ingested
     val q = spark.read.parquet(quarantine)
-      .select("_file", "reason").as[(String, String)].collect().toSet
-    assert(q === Set(
+      .select("_file", "reason", "raw_row").as[(String, String, String)].collect()
+    assert(q.map(r => (r._1, r._2)).toSet === Set(
       ("chase1234_jan.csv", "invalid posting date"),
       ("chase1234_feb.csv", "invalid posting date")))
+    assert(q.forall(_._3.contains("\"posting date\":")), q.mkString("; "))
+    assert(q.exists(_._3.contains("badrow")), q.mkString("; "))
 
     // A3/K3: sync log records 2 uploaded rows for chase
     val log = spark.read.parquet(sync).collect()
@@ -85,5 +88,16 @@ class IngestDirectorySpec extends SparkSpec {
     val rows = spark.read.parquet(lake)
       .select("description", "amount").as[(String, Double)].collect().toSeq
     assert(rows === Seq(("api row", 2.0)))
+  }
+
+  test("upsert auto-detects the lake's month layout: flag-less writes into a monthly lake work") {
+    val lake = new java.io.File(tmpDir("apiM2"), "lake").getPath
+    val t = Transaction("DEBIT", "01/10/2024", "first", 1.0, 0.0, "", "", "", "chase", "1234")
+    Lake.upsertIntoLake(spark, Seq(t).toDF(), lake, monthPartitioned = true)
+    // a later caller that doesn't know the layout (API insert, streaming)
+    Lake.insertTransaction(spark, t.copy(description = "second", posting_date = "02/15/2024"), lake)
+    val rows = spark.read.parquet(lake).as[Transaction].collect()
+    assert(rows.map(_.description).toSet === Set("first", "second"))
+    assert(new java.io.File(lake, "data_source=chase/posting_month=2024-02").exists())
   }
 }

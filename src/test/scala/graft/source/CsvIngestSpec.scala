@@ -106,6 +106,14 @@ class CsvIngestSpec extends SparkSpec {
     assert(CsvIngest.listCsvFiles(dir.getPath).map(_.getName) === Seq("chase4444.csv"))
   }
 
+  test("literal '+' in filename survives URI decoding (_file keys must match disk names)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase1234+feb.csv",
+      "Details,Posting Date,Description,Amount\nDEBIT,01/01/2024,plus,-1.0")
+    val df = CsvIngest.readCsvDir(spark, dir.getPath)
+    assert(df.select("_file").collect()(0).getString(0) === "chase1234+feb.csv")
+  }
+
   test("duplicate lowercased headers: last occurrence wins (csv.go:64-67 colIndex overwrite)") {
     val dir = tmpDir("csv")
     writeFile(dir, "chase6666.csv",

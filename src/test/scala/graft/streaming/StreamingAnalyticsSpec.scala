@@ -129,10 +129,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
     in.addData(
       Event(1, ts(10), 7, "click", 1.0),
       Event(2, ts(12), 7, "view", 2.0),
-      Event(3, ts(11), 8, "click", 5.0))
+      Event(3, ts(11), 8, "click", 5.0),
+      // user 9: two events 80s apart IN THE SAME BATCH — the first session
+      // must close on the gap, not be merged into one 80s session
+      Event(7, ts(10), 9, "click", 1.5),
+      Event(8, ts(90), 9, "view", 2.5))
     q.processAllAvailable()
-    // nothing closed yet: watermark is 12s, sessions time out at 17s/16s
-    assert(spark.table("sessions").count() === 0)
+    // user 9's first session closed by the IN-BATCH gap split (the key
+    // assertion: 10s and 90s did not merge into one 80s session); users
+    // 7/8 may also close here because processAllAvailable runs the
+    // watermark-advance batch too
+    val early = spark.table("sessions").as[Session].collect()
+    assert(early.exists(s => s.user_id == 9L && s.n_events == 1L && s.total_value == 1.5),
+      early.mkString(";"))
+    assert(!early.exists(s => s.user_id == 9L && s.n_events == 2L), early.mkString(";"))
     // watermark → 60s: both sessions pass last_event + 5s → emitted
     in.addData(Event(4, ts(60), 9, "click", 0.0))
     q.processAllAvailable()

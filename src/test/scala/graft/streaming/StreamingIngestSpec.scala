@@ -14,7 +14,9 @@ class StreamingIngestSpec extends SparkSpec {
     """Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #
       |DEBIT,01/15/2024,COFFEE SHOP,-4.50,ACH_DEBIT,995.50,
       |CREDIT,01/16/2024,PAYROLL,2000.00,ACH_CREDIT,2995.50,
+      |DEBIT,01/17/2024
       |BAD,notadate,DROPPED,1.00,X,1.0,""".stripMargin
+  // the ragged 2-field row must drop in streaming exactly as in batch
 
   test("streaming ingest: canonicalize, merge, archive, incremental upsert") {
     val root = tmpDir("stream")

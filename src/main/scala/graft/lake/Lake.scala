@@ -239,7 +239,13 @@ object Lake {
     import graft.source.CsvIngest
     import graft.transform.Canonicalize
 
-    val raw = CsvIngest.readCsvDir(spark, unprocessedDir)
+    // Listing + strict-quote validation run once here; quote-corrupt files
+    // are whole-file failures like the reference (csv/csv.go:75-79 →
+    // datalake.go:84-96) — never partially ingested, never moved.
+    val files = CsvIngest.listCsvFiles(spark, unprocessedDir)
+    val quoteFailed = CsvIngest.quoteErrors(spark, files)
+    val goodFiles = files.filterNot(f => quoteFailed.contains(f.name))
+    val raw = CsvIngest.readCsvFiles(spark, goodFiles)
     val (validWithFile, rejected) = Canonicalize.split(spark, raw)
     val validDf = validWithFile.cache()
 
@@ -257,20 +263,21 @@ object Lake {
     // "no valid transactions" (P10, reference datalake.go:200-204). Keying
     // valid counts by _file (not data_source/account_id) keeps two files of
     // the same account from cross-contaminating each other's outcome.
-    val files = CsvIngest.listCsvFiles(unprocessedDir)
     val rawCounts = raw.groupBy(col("_file")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val validCounts = validDf.groupBy(col("_file")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    val outcomes = files.map { f =>
-      val key = f.getName.toLowerCase
+    val outcomes = goodFiles.map { f =>
+      val key = f.name.toLowerCase
       val rawN = rawCounts.getOrElse(key, 0L)
       val validN = validCounts.getOrElse(key, 0L)
       if (rawN > 0L && validN == 0L)
-        FileOutcome(f.getName, "failed", "no valid transactions", 0L)
-      else FileOutcome(f.getName, "processed", "", validN)
-    } ++ CsvIngest.skippedFiles(unprocessedDir).map {
+        FileOutcome(f.name, "failed", "no valid transactions", 0L)
+      else FileOutcome(f.name, "processed", "", validN)
+    } ++ quoteFailed.toSeq.map {
+      case (name, reason) => FileOutcome(name, "failed", reason, 0L)
+    } ++ CsvIngest.skippedFiles(spark, unprocessedDir).map {
       case (name, reason) => FileOutcome(name, "failed", reason, 0L)
     }
 
@@ -287,14 +294,18 @@ object Lake {
       }
     if (uploaded.nonEmpty) appendSyncLog(spark, syncLogPath, uploaded)
 
-    // Move-to-processed (K6, reference datalake.go:274-318): driver-side FS
-    // rename after a successful write, only for successfully processed files.
+    // Move-to-processed (K6, reference datalake.go:274-318): driver-side
+    // rename after a successful write, only for successfully processed
+    // files. Hadoop FileSystem so the same code moves files on file://,
+    // HDFS, or an object store (where rename is copy+delete — still the
+    // reference's semantics, not its syscall).
     processedDir.foreach { pd =>
-      val dir = new java.io.File(pd)
-      if (!dir.exists()) dir.mkdirs()
+      val pdPath = new org.apache.hadoop.fs.Path(pd)
+      val fs = pdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(pdPath)) fs.mkdirs(pdPath)
       outcomes.filter(_.outcome == "processed").foreach { o =>
-        val src = new java.io.File(unprocessedDir, o.file)
-        if (src.exists()) src.renameTo(new java.io.File(dir, o.file))
+        val src = new org.apache.hadoop.fs.Path(unprocessedDir, o.file)
+        if (fs.exists(src)) fs.rename(src, new org.apache.hadoop.fs.Path(pdPath, o.file))
       }
     }
 
@@ -303,8 +314,4 @@ object Lake {
     st
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 }

@@ -333,6 +333,118 @@ object CsvFieldCount {
   }
 }
 
+/** First strict-quoting violation in a whole CSV file, or null if the file
+  * is well-formed. Replicates Go `encoding/csv` with `LazyQuotes=false`
+  * (reference csv/csv.go:52-56 uses the stock reader): a bare `"` inside a
+  * non-quoted field, or anything but `,` / end-of-line / EOF / `""` after a
+  * closing quote, is an error — and the reference then fails the WHOLE file
+  * (csv/csv.go:75-79 returns the error ⇒ datalake.go:84-96 counts the file
+  * failed). Spark's PERMISSIVE mode has no whole-file failure notion, so
+  * ingest runs this validator over `wholetext` rows first and excludes
+  * offending files from the parse. One codegen'd byte scan per file — no
+  * field materialization, embarrassingly parallel across files.
+  */
+case class CsvQuoteError(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_csv_quote_error"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = CsvQuoteError.compute(input.toString)
+    if (r == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |String $r = org.apache.spark.sql.graftnative.CsvQuoteError.compute($a.toString());
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CsvQuoteError =
+    copy(child = newChild)
+}
+
+object CsvQuoteError {
+  // Go's csv error texts (encoding/csv ErrBareQuote / ErrQuote).
+  private val BareQuote = "bare \" in non-quoted field"
+  private val Quote = "extraneous or missing \" in quoted-field"
+
+  private def err(line: Int, msg: String): String = s"parse error on line $line: $msg"
+
+  /** Scan `content` with Go's record grammar; return the first error or null.
+    * Blank lines are skipped (encoding/csv skips them before each record);
+    * `\r\n` and `\n` both terminate records; a lone `\r` is field data.
+    */
+  def compute(content: String): String = {
+    val n = content.length
+    var i = 0
+    var line = 1
+    while (i < n) {
+      if (content.charAt(i) == '\n') { line += 1; i += 1 }
+      else if (content.charAt(i) == '\r' && i + 1 < n && content.charAt(i + 1) == '\n') {
+        line += 1; i += 2
+      } else {
+        // one record
+        var recordDone = false
+        while (!recordDone) {
+          if (i < n && content.charAt(i) == '"') {
+            // quoted field
+            i += 1
+            var fieldDone = false
+            while (!fieldDone) {
+              if (i >= n) return err(line, Quote) // unterminated at EOF
+              val c = content.charAt(i)
+              if (c == '"') {
+                if (i + 1 < n && content.charAt(i + 1) == '"') i += 2 // escaped ""
+                else {
+                  i += 1 // closing quote: next must be , / EOL / EOF
+                  if (i >= n) { fieldDone = true; recordDone = true }
+                  else if (content.charAt(i) == ',') { i += 1; fieldDone = true }
+                  else if (content.charAt(i) == '\n') { line += 1; i += 1; fieldDone = true; recordDone = true }
+                  else if (content.charAt(i) == '\r' && i + 1 < n && content.charAt(i + 1) == '\n') {
+                    line += 1; i += 2; fieldDone = true; recordDone = true
+                  } else if (content.charAt(i) == '\r' && i + 1 >= n) {
+                    i += 1; fieldDone = true; recordDone = true
+                  } else return err(line, Quote)
+                }
+              } else {
+                if (c == '\n') line += 1
+                i += 1
+              }
+            }
+          } else {
+            // non-quoted field: any '"' inside it is a bare quote
+            var fieldDone = false
+            while (!fieldDone) {
+              if (i >= n) { fieldDone = true; recordDone = true }
+              else {
+                val c = content.charAt(i)
+                if (c == ',') { i += 1; fieldDone = true }
+                else if (c == '\n') { line += 1; i += 1; fieldDone = true; recordDone = true }
+                else if (c == '\r' && i + 1 < n && content.charAt(i + 1) == '\n') {
+                  line += 1; i += 2; fieldDone = true; recordDone = true
+                } else if (c == '"') return err(line, BareQuote)
+                else i += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    null
+  }
+}
+
 /** Public Column-level API for the native expressions. */
 object api {
   def dot(a: Column, b: Column): Column =
@@ -350,6 +462,9 @@ object api {
 
   def csvFieldCount(line: Column): Column =
     ExpressionUtils.column(CsvFieldCount(ExpressionUtils.expression(line)))
+
+  def csvQuoteError(content: Column): Column =
+    ExpressionUtils.column(CsvQuoteError(ExpressionUtils.expression(content)))
 
   def tokenHash60(text: Column): Column =
     ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))

@@ -64,6 +64,51 @@ class IngestDirectorySpec extends SparkSpec {
       === Seq(("transactions_chase", 2L)))
   }
 
+  test("quote-corrupt file is a WHOLE-file failure: not ingested, not moved (csv.go:75-79 → datalake.go:84-96)") {
+    val root = tmpDir("ingestQ")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val done = new java.io.File(root, "done")
+    val lake = new java.io.File(root, "lake").getPath
+    val sync = new java.io.File(root, "sync").getPath
+
+    writeFile(in, "chase1111_ok.csv",
+      """Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #
+        |DEBIT,01/15/2024,CLEAN ROW,-4.50,ACH_DEBIT,995.50,""".stripMargin)
+    // line 3 has a bare quote — the file ALSO contains a perfectly valid
+    // row, which must NOT be ingested (whole-file atomicity like Go)
+    writeFile(in, "chase2222_bad.csv",
+      "Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #\n" +
+        "DEBIT,01/16/2024,WOULD BE FINE,-1.00,ACH_DEBIT,100.00,\n" +
+        "DEBIT,01/17/2024,oops\"quote,-2.00,ACH_DEBIT,98.00,")
+
+    val stats = Lake.ingestDirectory(spark, in.getPath, lake, sync, Some(done.getPath))
+    assert(stats.total_files === 2)
+    assert(stats.processed_files === 1)
+    assert(stats.failed_files === 1)
+    assert(stats.failures === Map(
+      "chase2222_bad.csv" -> "parse error on line 3: bare \" in non-quoted field"))
+
+    val rows = spark.read.parquet(lake).as[Transaction].collect()
+    assert(rows.map(_.description).toSeq === Seq("CLEAN ROW"))
+
+    assert(new java.io.File(done, "chase1111_ok.csv").exists())
+    assert(new java.io.File(in, "chase2222_bad.csv").exists()) // failed ⇒ stays
+  }
+
+  test("embedded-newline memo survives ingest end-to-end (multiLine parity)") {
+    val root = tmpDir("ingestM")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val lake = new java.io.File(root, "lake").getPath
+    val sync = new java.io.File(root, "sync").getPath
+    writeFile(in, "chase3333_memo.csv",
+      "Details,Posting Date,Description,Amount,Type,Balance,Check or Slip #\n" +
+        "DEBIT,01/15/2024,\"MEMO line1\nline2\",-4.50,ACH_DEBIT,995.50,")
+    val stats = Lake.ingestDirectory(spark, in.getPath, lake, sync)
+    assert(stats.processed_files === 1 && stats.failed_files === 0)
+    val rows = spark.read.parquet(lake).as[Transaction].collect()
+    assert(rows.map(_.description).toSeq === Seq("MEMO line1\nline2"))
+  }
+
   test("compact: collapses partitions to one file each; rows unchanged") {
     val lake = new java.io.File(tmpDir("cmp"), "lake").getPath
     // three upserts -> several small files per partition

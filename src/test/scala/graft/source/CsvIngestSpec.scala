@@ -99,11 +99,11 @@ class CsvIngestSpec extends SparkSpec {
     writeFile(dir, "notes.txt", "hello")
     writeFile(dir, "mystery.csv", "a,b\n1,2")
     writeFile(dir, "chase4444.csv", "Details,Posting Date,Description,Amount\nDEBIT,01/01/2024,x,-1.0")
-    val skipped = CsvIngest.skippedFiles(dir.getPath).toMap
+    val skipped = CsvIngest.skippedFiles(spark, dir.getPath).toMap
     assert(skipped === Map(
       "notes.txt" -> "Not a valid CSV file",
       "mystery.csv" -> "unable to extract source info from filename"))
-    assert(CsvIngest.listCsvFiles(dir.getPath).map(_.getName) === Seq("chase4444.csv"))
+    assert(CsvIngest.listCsvFiles(spark, dir.getPath).map(_.name) === Seq("chase4444.csv"))
   }
 
   test("literal '+' in filename survives URI decoding (_file keys must match disk names)") {
@@ -134,6 +134,59 @@ class CsvIngestSpec extends SparkSpec {
     val raw = CsvIngest.readCsvDir(spark, dir.getPath)
     val (valid, _) = graft.transform.Canonicalize.split(spark, raw)
     assert(valid.select("posting_date").collect()(0).getString(0) === "01/05/2024")
+  }
+
+  // --- RFC-4180 quoted embedded newlines + strict-quote file failure ---
+
+  test("quoted field with embedded newline parses as ONE record (Go encoding/csv parity, csv/csv.go:52-80)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase8888.csv",
+      "Details,Posting Date,Description,Amount\n" +
+        "DEBIT,01/01/2024,\"MEMO line1\nline2, still memo\",-5.00\n" +
+        "CREDIT,01/02/2024,plain,1.00")
+    val df = CsvIngest.readCsvDir(spark, dir.getPath)
+    assert(df.count() === 2)
+    val r = df.orderBy("posting date").collect()
+    assert(r(0).getAs[String]("description") === "MEMO line1\nline2, still memo")
+    assert(r(1).getAs[String]("description") === "plain")
+  }
+
+  test("multiline header field groups and parses (quote-aware header probe)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase8899.csv",
+      "Details,\"Posting\nDate\",Amount\nDEBIT,01/01/2024,-1.00")
+    val df = CsvIngest.readCsvDir(spark, dir.getPath)
+    assert(df.count() === 1)
+    assert(df.columns.contains("posting\ndate"))
+  }
+
+  test("bare quote fails the WHOLE file (csv.go:75-79): excluded from parse, reason reported") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase9990.csv",
+      "Details,Posting Date,Description,Amount\n" +
+        "DEBIT,01/01/2024,ab\"cd,-1.00\n" + // bare quote on line 2
+        "DEBIT,01/02/2024,fine,-2.00") // never ingested: whole file fails
+    writeFile(dir, "chase9991.csv",
+      "Details,Posting Date,Description,Amount\nDEBIT,01/03/2024,good,-3.00")
+    val files = CsvIngest.listCsvFiles(spark, dir.getPath)
+    val errs = CsvIngest.quoteErrors(spark, files)
+    assert(errs === Map(
+      "chase9990.csv" -> "parse error on line 2: bare \" in non-quoted field"))
+    val df = CsvIngest.readCsvDir(spark, dir.getPath)
+    assert(df.select("_file").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("chase9991.csv"))
+  }
+
+  test("text after a closing quote / unterminated quote fail the file (ErrQuote)") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "chase9992.csv", "Details,Amount\n\"ab\"x,1.0")
+    writeFile(dir, "chase9993.csv", "Details,Amount\n\"never closed,1.0")
+    // escaped "" and quoted newlines are NOT errors
+    writeFile(dir, "chase9994.csv", "Details,Amount\n\"say \"\"hi\"\"\n bye\",2.0")
+    val errs = CsvIngest.quoteErrors(spark, CsvIngest.listCsvFiles(spark, dir.getPath))
+    assert(errs === Map(
+      "chase9992.csv" -> "parse error on line 2: extraneous or missing \" in quoted-field",
+      "chase9993.csv" -> "parse error on line 2: extraneous or missing \" in quoted-field"))
   }
 
   test("files with different headers union by name (one scan per header group)") {

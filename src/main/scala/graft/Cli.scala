@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   *     dedup-upsert into the partitioned parquet lake, append the sync log,
   *     optionally move processed files, print the stats JSON report
   *     (reference: main.go:64-91, datalake/stats.go:35-44).
-  *   - `generate-synthetic-data <rows> <outDir>` — write N synthetic
-  *     transactions as CSV (reference: main.go:60-61,
-  *     synthetic/generate.go:14-50).
+  *   - `generate-synthetic-data <rows> <target> [--persist]` — write N
+  *     synthetic transactions as CSV, or with `--persist` append them
+  *     directly into the lake instead, mirroring the reference's
+  *     `--persist-to-mongo` either/or flag (reference: main.go:60-61,
+  *     synthetic/generate.go:14-50, data.go:94-105).
   */
 object Cli {
 
@@ -35,14 +37,27 @@ object Cli {
       case c            => c.toString
     } + "\""
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit =
+    if (!Set("ingest", "query", "generate-synthetic-data").contains(
+        args.headOption.getOrElse(""))) {
+      usage(); sys.exit(2)
+    } else {
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val code = try run(spark, args.toList) finally spark.stop()
+      if (code != 0) sys.exit(code)
+    }
+
+  /** Command dispatch on a caller-owned session (testable: specs drive this
+    * with the shared test session; `main` owns creation/stop). Returns the
+    * process exit code.
+    */
+  private[graft] def run(spark: SparkSession, args: List[String]): Int = args match {
     // no-arg form: everything from the environment (O2, loadConfig.go) —
     // CSV_DIR, UNPROCESSED_DIR, PROCESSED_DIR, MOVE_PROCESSED_FILES,
     // LAKE_PATH, SYNC_LOG_PATH, QUARANTINE_PATH
     case "ingest" :: Nil =>
       val cfg = Config.load()
-      val spark = session()
-      spark.sparkContext.setLogLevel("WARN")
       val stats = graft.lake.Lake.ingestDirectory(
         spark,
         cfg.unprocessedDir,
@@ -51,52 +66,56 @@ object Cli {
         if (cfg.moveProcessedFiles) Some(cfg.processedDir) else None,
         sys.env.get("QUARANTINE_PATH").filter(_.nonEmpty))
       printStats(stats)
-      spark.stop()
+      0
 
     case "ingest" :: unprocessed :: lake :: syncLog :: rest if rest.size <= 1 =>
-      val spark = session()
-      spark.sparkContext.setLogLevel("WARN")
       val stats = graft.lake.Lake.ingestDirectory(
         spark, unprocessed, lake, syncLog, rest.headOption,
         sys.env.get("QUARANTINE_PATH").filter(_.nonEmpty))
       printStats(stats)
-      spark.stop()
+      0
 
     // run a registered query by name against a testdata dir (the read
     // surface of the engine, mirroring the reference API's GET endpoints)
     case "query" :: name :: dir :: rest if rest.size <= 1 =>
-      val spark = session()
-      spark.sparkContext.setLogLevel("WARN")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       query.Registry.queries.get(name) match {
         case Some(fn) =>
           fn(spark, dir).show(rest.headOption.map(_.toInt).getOrElse(20), false)
+          0
         case None =>
           System.err.println(
             s"unknown query '$name'; available:\n  " +
               query.Registry.queries.keys.toSeq.sorted.mkString("\n  "))
-          spark.stop()
-          sys.exit(2)
+          2
       }
-      spark.stop()
 
-    case "generate-synthetic-data" :: rows :: outDir :: Nil =>
-      val spark = session()
-      spark.sparkContext.setLogLevel("WARN")
-      graft.source.Synthetic.writeCsv(
-        graft.source.Synthetic.transactions(spark, rows.toLong), outDir)
-      println(s"""{"rows":$rows,"out":${jsonStr(outDir)}}""")
-      spark.stop()
+    // either/or like the reference's --persist-to-mongo (generate.go:24-42):
+    // CSV sink by default, direct lake append with --persist
+    case "generate-synthetic-data" :: rows :: target :: rest
+        if rest.isEmpty || rest == List("--persist") =>
+      val df = graft.source.Synthetic.transactions(spark, rows.toLong)
+      if (rest.nonEmpty) {
+        graft.source.Synthetic.persistToLake(df, target)
+        println(s"""{"rows":$rows,"lake":${jsonStr(target)}}""")
+      } else {
+        graft.source.Synthetic.writeCsv(df, target)
+        println(s"""{"rows":$rows,"out":${jsonStr(target)}}""")
+      }
+      0
 
     case _ =>
-      System.err.println(
-        "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
-          "       graft.Cli query <name> <sfDir> [numRows]\n" +
-          "       graft.Cli generate-synthetic-data <rows> <outDir>\n" +
-          "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
-          "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
-      sys.exit(2)
+      usage()
+      2
   }
+
+  private def usage(): Unit =
+    System.err.println(
+      "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
+        "       graft.Cli query <name> <sfDir> [numRows]\n" +
+        "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
+        "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
+        "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 
   /** Stats JSON report, same shape AND key spelling as the reference's
     * (datalake/stats.go:9-14 json tags, logged at stats.go:35-44).

@@ -64,12 +64,16 @@ object Lake {
     * second partition level.
     *
     * Only partitions the batch touches are affected: existing rows from
-    * OTHER sources (and months) never enter the merge, and the final
-    * write uses per-writer dynamic partition overwrite, so at 100 TB a
+    * OTHER sources (and months) never enter the merge, so at 100 TB a
     * small ingest batch rewrites O(batch partitions), not the lake.
-    * Self-referential read+overwrite of the same parquet path is staged
-    * through a temp dir (Delta MERGE would do this natively; parquet is the
-    * container's only lake format). Returns the number of rows written.
+    * Spark can't overwrite a parquet path it is lazily reading, so the
+    * merged rows are written ONCE to a staging dir and then swapped into
+    * the lake partition-directory-by-partition-directory with filesystem
+    * renames — a metadata operation on HDFS/local (on true object stores
+    * rename is copy; a manifest table format like Delta/Iceberg MERGE is
+    * the real fix there). Data is written exactly once per touched
+    * partition — the previous re-read + dynamic-overwrite pass paid 2×
+    * write amplification. Returns the number of rows written.
     */
   def upsertIntoLake(
       spark: SparkSession,
@@ -89,33 +93,70 @@ object Lake {
     val batchP =
       if (effectiveMonthly) batch.withColumn("posting_month", postingMonth(col("posting_date")))
       else batch
-    val merged =
-      if (exists) {
-        // Only partitions the batch touches enter the merge: filter the
-        // existing side by the batch's sources AND (when month-partitioned)
-        // its months, so a daily batch re-reads O(days' partitions), not
-        // years of history.
-        val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
-        val base = spark.read.parquet(lakePath)
-          .filter(col("data_source").isin(sources.toSeq.map(x => x: Any): _*))
-        val existing =
-          if (effectiveMonthly) {
-            val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
-            base.filter(col("posting_month").isin(months.toSeq.map(x => x: Any): _*))
-          } else base
-        merge(existing, batchP)
-      } else dedupKeepFirst(batchP, Transaction.mergeKey, Transaction.tieBreak)
-    val staged = lakePath + ".staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(staged)
-    val out = spark.read.parquet(staged)
-    val n = out.count()
-    out.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(parts: _*)
-      .parquet(lakePath)
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    n
+    if (!exists) {
+      // First write: no self-reference, write the deduped batch directly.
+      dedupKeepFirst(batchP, Transaction.mergeKey, Transaction.tieBreak)
+        .write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(lakePath)
+      spark.read.parquet(lakePath).count()
+    } else {
+      // Only partitions the batch touches enter the merge: filter the
+      // existing side by the batch's sources AND (when month-partitioned)
+      // its months, so a daily batch re-reads O(days' partitions), not
+      // years of history.
+      val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
+      val base = spark.read.parquet(lakePath)
+        .filter(col("data_source").isin(sources.toSeq.map(x => x: Any): _*))
+      val existing =
+        if (effectiveMonthly) {
+          val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
+          base.filter(col("posting_month").isin(months.toSeq.map(x => x: Any): _*))
+        } else base
+      val merged = merge(existing, batchP)
+      val staged = lakePath + ".staging"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(staged)
+      swapStagedPartitions(spark, staged, lakePath, parts.length)
+    }
+  }
+
+  /** Move every hive partition directory under `staged` over its twin in
+    * `lake` (delete-old + rename-new per leaf dir), delete the staging
+    * root, and return the row count of the swapped-in data (a parquet
+    * footer-metadata read, not a rewrite). Every batch write above funnels
+    * through this so merged bytes land exactly once. The per-partition
+    * swap is not transactional across partitions — neither was dynamic
+    * partition overwrite; crash-consistency across partitions is a table
+    * format's job (Delta/Iceberg), out of scope for a plain-parquet lake.
+    */
+  private def swapStagedPartitions(
+      spark: SparkSession,
+      staged: String,
+      lake: String,
+      depth: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val stagedPath = new Path(staged)
+    val lakePath = new Path(lake)
+    val fs = stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def leafDirs(root: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(root)
+      else
+        fs.listStatus(root)
+          .toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => leafDirs(st.getPath, d - 1))
+
+    val swappedTargets = leafDirs(stagedPath, depth).map { src =>
+      // partition-relative path, e.g. data_source=chase/posting_month=2024-01
+      val rel = src.toUri.getPath.stripPrefix(stagedPath.toUri.getPath).stripPrefix("/")
+      val target = new Path(lakePath, rel)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(target.getParent)
+      fs.rename(src, target)
+      target
+    }
+    fs.delete(stagedPath, true)
+    if (swappedTargets.isEmpty) 0L
+    else spark.read.parquet(swappedTargets.map(_.toString): _*).count()
   }
 
   /** Single-transaction insert (K7/Q4, the API client's
@@ -144,17 +185,7 @@ object Lake {
     val staged = lakePath + ".compacting"
     df.repartition(parallelism, partCols.toSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCols.toSeq: _*).parquet(staged)
-    val out = spark.read.parquet(staged)
-    val n = out.count()
-    out.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols.toSeq: _*)
-      .parquet(lakePath)
-    val fs = new org.apache.hadoop.fs.Path(staged)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    n
+    swapStagedPartitions(spark, staged, lakePath, partCols.length)
   }
 
   /** Sync-log audit append (K3, reference storage/mongo_repository.go:63-72):

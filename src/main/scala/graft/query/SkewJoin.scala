@@ -29,6 +29,7 @@ object SkewJoin {
     */
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    requireNoSaltColumn(big); requireNoSaltColumn(small)
     val saltCol: Column =
       pmod(hash(struct(big.columns.toSeq.map(col): _*)), lit(salts))
     val bigSalted = big.withColumn("_salt", saltCol)
@@ -48,10 +49,19 @@ object SkewJoin {
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    requireNoSaltColumn(df)
     df.withColumn("_salt", pmod(hash(struct(df.columns.toSeq.map(col): _*)), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("count"))
   }
+
+  // withColumn would silently REPLACE a caller's _salt column and the final
+  // drop would eat their data, breaking the row-identity guarantee above —
+  // refuse loudly instead.
+  private def requireNoSaltColumn(df: DataFrame): Unit =
+    require(
+      !df.columns.contains("_salt"),
+      "input already has a _salt column; rename it before salting")
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state is one row per (window, event_type) — bounded by the watermark,
   * which lets Spark drop windows older than the allowed lateness. The
   * sessionizer keeps one [[SessionState]] per ACTIVE user (not per event) and
-  * the processing-time timeout evicts idle users, so state is O(concurrent
-  * users), never O(history). Both shuffle once, on their grouping key.
+  * the event-time timeout closes a session once the watermark passes its
+  * last event + gap, so state is O(concurrent users), never O(history).
+  * Both shuffle once, on their grouping key.
   */
 object StreamingAnalytics {
 

@@ -86,6 +86,31 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("upsert writes each merged row ONCE (staging swap, no double-write)") {
+    val lake = new java.io.File(tmpDir("lakeW"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0)).toDF(), lake)
+
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          written.addAndGet(e.taskMetrics.outputMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // merge 2 incoming rows with the 1 existing -> 2 merged rows on disk
+      val n = Lake.upsertIntoLake(
+        spark, Seq(tx(amount = 9.0), tx(desc = "new", amount = 2.0)).toDF(), lake)
+      assert(n === 2L)
+      // listener events drain asynchronously; wait for them to arrive
+      val deadline = System.currentTimeMillis() + 10000
+      while (written.get < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // a double-write would add MORE records after n
+      assert(written.get === n, "merged rows must hit disk exactly once")
+      assert(!new java.io.File(lake + ".staging").exists())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("upsertIntoLake only touches partitions present in the batch") {
     val lake = new java.io.File(tmpDir("lake"), "lake").getPath
     Lake.upsertIntoLake(spark, Seq(tx(source = "chase"), tx(source = "synthetic", acct = "0000")).toDF(), lake)

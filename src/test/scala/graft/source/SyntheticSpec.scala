@@ -42,4 +42,30 @@ class SyntheticSpec extends SparkSpec {
     assert(lines.head.toLowerCase.contains("details"))
     assert(lines.tail.forall(_.split(",", -1).exists(_.matches("-?\\d+\\.\\d{2}"))))
   }
+
+  test("CLI generate-synthetic-data --persist appends N rows to the lake (K5, generate.go:17-42)") {
+    val lake = new java.io.File(tmpDir("synP"), "lake").getPath
+    assert(graft.Cli.run(spark, List("generate-synthetic-data", "50", lake, "--persist")) === 0)
+    val df = spark.read.parquet(lake)
+    assert(df.count() === 50)
+    assert(df.select("data_source").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("synthetic"))
+    // InsertMany semantics: a second persist APPENDS (no upsert/dedup)
+    assert(graft.Cli.run(spark, List("generate-synthetic-data", "50", lake, "--persist")) === 0)
+    assert(spark.read.parquet(lake).count() === 100)
+  }
+
+  test("persistToLake into a month-partitioned lake follows the on-disk layout") {
+    import spark.implicits._
+    val lake = new java.io.File(tmpDir("synM"), "lake").getPath
+    val t = graft.model.Transaction(
+      "DEBIT", "01/10/2024", "seed", 1.0, 0.0, "", "", "", "chase", "1234")
+    graft.lake.Lake.upsertIntoLake(spark, Seq(t).toDF(), lake, monthPartitioned = true)
+    Synthetic.persistToLake(Synthetic.transactionsDeterministic(spark, 20), lake)
+    // mixed directory depths would make this read throw; layout must match
+    val df = spark.read.parquet(lake)
+    assert(df.count() === 21)
+    assert(df.schema.fieldNames.contains("posting_month"))
+    assert(df.filter($"posting_month".isNull).count() === 0)
+  }
 }

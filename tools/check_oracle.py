@@ -71,7 +71,11 @@ def main(sf_dir, out_dir):
                     print(f"  first diff at sorted row {i}:\n   oracle={a}\n   spark ={b}")
                     break
             else:
-                print(f"  one side has extra rows; oracle tail={ok_[len(sk_):][:2]} spark tail={sk_[len(ok_):][:2]}")
+                # zipped prefix agrees: show what each side has that the
+                # other lacks (prefix tails can be empty and useless here)
+                only_o = [r for r in ok_ if r not in set(sk_)][:2]
+                only_s = [r for r in sk_ if r not in set(ok_)][:2]
+                print(f"  rows only in oracle={only_o}; rows only in spark={only_s}")
     print(f"\n{n_ok}/{len(oracle)} queries match")
 
 

@@ -25,9 +25,19 @@ object Similarity {
   /** Number of random hyperplanes → 2^NP buckets. */
   val NP = 4
 
-  /** IVF coarse-quantizer size and probe count (x13). */
+  /** IVF coarse-quantizer size, probe count and k-means rounds (x13). */
   val NC = 8
   val NPROBE = 2
+  val NITER = 2
+
+  /** Fixed-point scale for the k-means quantizer: 2^20. Power-of-2 scaling
+    * of float-origin values is EXACT in doubles, and all training arithmetic
+    * (squared L2, per-dimension sums) then runs in long integers — order-
+    * independent, so Spark and the DuckDB oracle derive bit-identical
+    * centroids. A double-sum mean would be partition-order dependent and
+    * break the oracle.
+    */
+  val VSCALE = 1048576.0
 
   /** Number of independent LSH tables; a near-neighbor is a candidate if it
     * collides in ANY table — recall 1-(1-p^NP)^NL instead of p^NP.
@@ -116,20 +126,38 @@ object Similarity {
     Q(
       "x13_knn_ivf",
       Some {
-        // centroids: the first NC vectors (deterministic coarse quantizer —
-        // a k-means refinement would train these; the *search* plumbing is
-        // identical). dist = squared L2. Assignment + probe both rank by
-        // (dist, cid) so ties are deterministic in both engines.
+        // k-means-trained coarse quantizer in FIXED-POINT arithmetic:
+        // vectors quantized to floor(x*2^20) longs, NITER rounds of
+        // assign (integer squared-L2, ties by cid) + per-dimension mean
+        // (long sum, then floor(sum/count) — double division of exact
+        // integers, IEEE-identical in both engines). Seeds = first NC
+        // vectors. dist/probe rank by (dist, cid) so ties are
+        // deterministic in both engines.
+        def iter(k: Int): String = {
+          val prev = s"c${k - 1}"
+          s"d$k AS (SELECT vi.vec_id, c.cid, " +
+            "list_aggregate(list_transform(generate_series(1, 64), " +
+            s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist " +
+            s"FROM vi CROSS JOIN $prev c), " +
+            s"a$k AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+            s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$k) WHERE rn = 1), " +
+            s"s$k AS (SELECT a.cid, t.i, SUM(vi.vi[t.i]) AS sx, COUNT(*) AS cnt " +
+            s"FROM a$k a JOIN vi USING (vec_id) CROSS JOIN generate_series(1, 64) AS t(i) " +
+            "GROUP BY a.cid, t.i), " +
+            s"c$k AS (SELECT cid, list(CAST(floor(sx::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS ci " +
+            s"FROM s$k GROUP BY cid)"
+        }
         s"WITH $normCtes, " +
-          s"cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $NC), " +
-          "d AS (SELECT n.vec_id, ct.cid, " +
-          "list_aggregate(list_transform(generate_series(1, len(n.v)), " +
-          "i -> (n.v[i] - ct.cv[i]) * (n.v[i] - ct.cv[i])), 'sum') AS dist FROM n CROSS JOIN cent ct), " +
-          "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
-          s"probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-          s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) " +
-          s"WHERE rn <= $NPROBE AND vec_id < 10), " +
+          s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM n), " +
+          s"c0 AS (SELECT vec_id AS cid, vi AS ci FROM vi WHERE vec_id < $NC), " +
+          (1 to NITER).map(iter).mkString(", ") + ", " +
+          s"d AS (SELECT vi.vec_id, c.cid, " +
+          "list_aggregate(list_transform(generate_series(1, 64), " +
+          s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist FROM vi CROSS JOIN c$NITER c), " +
+          "r0 AS (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          s"probe AS (SELECT vec_id, cid FROM r0 WHERE rn <= $NPROBE AND vec_id < 10), " +
           "s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, " +
           s"$cosSql AS cos FROM probe p JOIN asg a ON a.cid = p.cid " +
           "JOIN n q ON q.vec_id = p.vec_id JOIN n c ON c.vec_id = a.vec_id " +
@@ -139,21 +167,37 @@ object Similarity {
           "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3 " +
           "ORDER BY query_id, rank"
       },
-      "IVF: assign every vector to its nearest of NC coarse centroids (one broadcast pass, no shuffle), " +
-        "probe the NPROBE nearest inverted lists per query — candidates only, the FAISS-style 100 TB path; " +
-        "approximate recall vs x06"
+      s"IVF with a $NITER-round k-means coarse quantizer trained as DataFrame algebra " +
+        "(fixed-point longs so centroids are bit-identical to the oracle's): assign every vector " +
+        "to its nearest of NC centroids (broadcast pass, no shuffle), probe the NPROBE nearest " +
+        "inverted lists per query — candidates only, the FAISS-style 100 TB path; recall vs x06 " +
+        "is spec-measured"
     ) { (s, dir) =>
       val e = withNorm(table(s, dir, "embeddings"))
-      val cents = e.filter(col("vec_id") < NC)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // squared L2 via the native dot: |v-c|^2 summed element-wise is the
-      // same left-fold order as the oracle's generate_series sum
-      val diffDist = aggregate(
-        zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        (acc, x) => acc + x)
-      val d = e.join(broadcast(cents))
-        .select(col("vec_id"), col("cid"), diffDist.as("dist"), col("v"), col("nrm"))
+      // fixed-point view; at 100 TB you'd train on a sample and cache —
+      // here the corpus IS sample-sized while the algebra is the same
+      val vi = e.withColumn(
+        "vi", transform(col("v"), x => floor(x * VSCALE).cast("long")))
+      var cents = vi.filter(col("vec_id") < NC)
+        .select(col("vec_id").as("cid"), col("vi").as("ci"))
+      for (_ <- 1 to NITER) {
+        val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val assigned = vi.join(broadcast(cents))
+          .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
+          .withColumn("rn", row_number().over(byDist))
+          .filter(col("rn") === 1)
+          .select(col("cid"), posexplode(col("vi")).as(Seq("i", "x")))
+        cents = assigned
+          .groupBy("cid", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+          .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("m")))),
+            t => t.getField("m")).as("ci"))
+      }
+      val d = vi.join(broadcast(cents))
+        .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
       val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       val ranked = d.withColumn("rn", row_number().over(byDist))
       val asg = ranked.filter(col("rn") === 1)

@@ -289,6 +289,58 @@ object MinHashSig {
   }
 }
 
+/** Squared L2 distance between two `array<long>` columns as one codegen'd
+  * primitive loop (shorter array truncates). Long-integer arithmetic is
+  * order-independent and exact, which is what makes the IVF k-means
+  * quantizer (graft.xscale.Similarity x13) reproducible bit-for-bit in both
+  * Spark and the DuckDB oracle — double sums would be partition-order
+  * dependent.
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Number of CSV fields in a raw line (RFC-4180 quoting: commas inside
   * double quotes don't split; `""` is an escaped quote). Used to replicate
   * the reference's ragged-row test `len(record) < len(header)`
@@ -465,6 +517,10 @@ object api {
 
   def csvQuoteError(content: Column): Column =
     ExpressionUtils.column(CsvQuoteError(ExpressionUtils.expression(content)))
+
+  def sqdistLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SqDistLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def tokenHash60(text: Column): Column =
     ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))

@@ -94,6 +94,15 @@ class XScaleSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("x13 trained-IVF recall@3 vs exact x06 is >= 0.83 at sf0.001") {
+    val exact = Similarity.queries.find(_.name == "x06_knn_brute").get
+      .run(spark, sf).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.queries.find(_.name == "x13_knn_ivf").get
+      .run(spark, sf).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.83, s"recall=$recall (exact=${exact.size}, hit=${ivf.intersect(exact).size})")
+  }
+
   test("knn: lsh bucket assignment is deterministic and complete") {
     val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
       .withColumn("bucket", Similarity.bucket(col("v")))

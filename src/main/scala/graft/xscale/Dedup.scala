@@ -31,43 +31,76 @@ object Dedup {
   val As: Seq[Long] = (0 until K).map(i => 2L * i + 1)
   val Bs: Seq[Long] = (0 until K).map(i => (104729L * (i + 1)) % P)
 
-  /** Hamming<=8 near-dup pairs by pigeonhole-blocked simhash.
+  /** Near-dup pairs by pigeonhole-blocked simhash.
     *
-    * 9 blocks cover 60 bits (6 blocks of 7 bits + 3 of 6); any pair with
-    * hamming <= 8 differs in at most 8 blocks, so it matches exactly on at
-    * least one (pigeonhole). Candidates are verified with the exact
-    * bit_count, so results are identical to an all-pairs scan — just never
-    * O(n^2).
+    * Narrow (default): one 60-bit fingerprint, 9 blocks (6×7 + 3×6 bits),
+    * hamming <= 8 — any qualifying pair differs in at most 8 blocks so it
+    * matches exactly on at least one (pigeonhole). Candidates are verified
+    * with the exact bit_count, so results are identical to an all-pairs
+    * scan — just never O(n^2).
     *
+    * Wide (`wide = true`): TWO independent 60-bit words per doc (first and
+    * second md5 half of each token — 120-bit fingerprint), 4 blocks of 30
+    * bits, hamming <= 3 over the concatenation — the Manku WWW'07 shape.
     * Scale envelope: RANDOM block collisions are ~n²/2^bits per block, so
-    * 6-7-bit blocks stay selective up to n ≈ 10^5 docs per shard (smoke-
-    * tested at 50k: 38s, all candidates verified). Beyond that, widen the
-    * fingerprint (128-bit simhash → 4 blocks of 16 bits at hamming<=3, the
-    * Manku/WWW'07 configuration) or pre-shard the corpus by a simhash
-    * prefix. The OUTPUT is all-pairs within duplicate clusters (quadratic
-    * in cluster size by definition); [[DedupClusters.dedupByPairs]] (x14)
-    * collapses pairs to cluster representatives.
+    * the narrow 6-7-bit blocks stay selective up to n ≈ 10^5 docs per
+    * shard (smoke-tested at 50k: 38s, all candidates verified); the wide
+    * 30-bit blocks push that to n ≈ 10^6-10^7. The OUTPUT is all-pairs
+    * within duplicate clusters (quadratic in cluster size by definition);
+    * [[DedupClusters.dedupByPairs]] (x14) collapses pairs to cluster
+    * representatives.
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
-    val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
-    val blockOff = blockBits.scanLeft(0)(_ + _).init
-    val sh = docs.select(
-      col("doc_id"),
-      graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("simhash"))
-    val blocks = sh.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(array(blockBits.zip(blockOff).map { case (bits, off) =>
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
-      }: _*)).as(Seq("blk", "bv")))
-    val a = blocks.select(col("blk"), col("bv"), col("doc_id").as("da"), col("simhash").as("sa"))
-    val b = blocks.select(col("blk"), col("bv"), col("doc_id").as("db"), col("simhash").as("sb"))
-    a.join(b, Seq("blk", "bv"))
-      .filter(col("da") < col("db"))
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-      .filter(col("hamming") <= 8)
+  def simhashPairs(docs: DataFrame, wide: Boolean = false): DataFrame = {
+    val maxHamming = if (wide) 3 else 8
+    simhashCandidates(docs, wide)
+      .withColumn("hamming", expr("CAST(bit_count(sa1 ^ sb1) + bit_count(sa2 ^ sb2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
       .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
       .distinct()
+  }
+
+  /** (doc_id, s1, s2) fingerprints; s2 is 0 in narrow mode so the unified
+    * hamming expression `bit_count(s1^s1') + bit_count(s2^s2')` works for
+    * both.
+    */
+  private def fingerprints(docs: DataFrame, wide: Boolean): DataFrame = {
+    val s1 = graftnative.api.simhash60(graftnative.api.tokenHash60(col("text")))
+    val s2 =
+      if (wide) graftnative.api.simhash60(graftnative.api.tokenHash60b(col("text")))
+      else lit(0L)
+    docs.select(col("doc_id"), s1.as("s1"), s2.as("s2"))
+  }
+
+  /** Pre-verification candidate pairs from the block equi-join (da < db,
+    * fingerprints carried). Package-private so specs can measure block
+    * selectivity directly.
+    */
+  private[xscale] def simhashCandidates(docs: DataFrame, wide: Boolean): DataFrame = {
+    val blockCols: Seq[Column] =
+      if (wide) {
+        val m30 = lit((1L << 30) - 1)
+        Seq(
+          col("s1").bitwiseAND(m30),
+          shiftright(col("s1"), 30).bitwiseAND(m30),
+          col("s2").bitwiseAND(m30),
+          shiftright(col("s2"), 30).bitwiseAND(m30))
+      } else {
+        val blockBits = Seq.fill(6)(7) ++ Seq.fill(3)(6)
+        val blockOff = blockBits.scanLeft(0)(_ + _).init
+        blockBits.zip(blockOff).map { case (bits, off) =>
+          shiftright(col("s1"), off).bitwiseAND(lit((1L << bits) - 1))
+        }
+      }
+    val blocks = fingerprints(docs, wide).select(
+      col("doc_id"),
+      col("s1"),
+      col("s2"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
+    val a = blocks.select(
+      col("blk"), col("bv"), col("doc_id").as("da"), col("s1").as("sa1"), col("s2").as("sa2"))
+    val b = blocks.select(
+      col("blk"), col("bv"), col("doc_id").as("db"), col("s1").as("sb1"), col("s2").as("sb2"))
+    a.join(b, Seq("blk", "bv")).filter(col("da") < col("db"))
   }
 
   /** Aggressive text normalization for exact dedup: lowercase, strip
@@ -227,6 +260,37 @@ object Dedup {
         "keyed on (block, value) — O(candidates), the 100 TB path — then hamming verified exactly"
     ) { (s, dir) =>
       simhashPairs(table(s, dir, "documents"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x15: WIDE (120-bit) SimHash near-dup, hamming <= 3 (Manku blocks) -----
+    Q(
+      "x15_dedup_simhash_wide",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, unnest($ws) AS wd FROM documents), " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h1, " +
+          "('0x' || substr(md5(wd), 17, 15))::BIGINT AS h2 FROM w), " +
+          "bt AS (SELECT doc_id, bit, " +
+          "sum(CASE WHEN (h1 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sg1, " +
+          "sum(CASE WHEN (h2 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sg2 " +
+          "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, " +
+          "CAST(sum(CASE WHEN sg1 > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS s1, " +
+          "CAST(sum(CASE WHEN sg2 > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS s2 " +
+          "FROM bt GROUP BY 1) " +
+          "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, " +
+          "CAST(bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS BIGINT) AS hamming " +
+          "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3 " +
+          "ORDER BY doc_id_a, doc_id_b"
+      },
+      "120-bit simhash (two 60-bit words from each token's two md5 halves) at hamming<=3 — the " +
+        "Manku WWW'07 wide configuration for shards beyond the 60-bit envelope (~1e5 docs): 4 " +
+        "blocks of 30 bits keep random block collisions ~n^2/2^30, selective to ~1e6-1e7 docs/shard; " +
+        "same pigeonhole equi-join shape as x04, exact-hamming verified"
+    ) { (s, dir) =>
+      simhashPairs(table(s, dir, "documents"), wide = true)
         .orderBy("doc_id_a", "doc_id_b")
     },
 

@@ -203,7 +203,7 @@ object ShingleHash60 {
   * to tf-weighted SimHash. Same tokenization and md5-60bit semantics as
   * `transform(split(text, "\\s+"), h60)` in one codegen-friendly pass.
   */
-case class TokenHash60(child: Expression)
+case class TokenHash60(child: Expression, off: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -211,11 +211,11 @@ case class TokenHash60(child: Expression)
   override def prettyName: String = "graft_token_hash60"
 
   override def nullSafeEval(input: Any): Any =
-    TokenHash60.compute(input.toString)
+    TokenHash60.compute(input.toString, off)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      s"${ev.value} = org.apache.spark.sql.graftnative.TokenHash60.compute($a.toString());"
+      s"${ev.value} = org.apache.spark.sql.graftnative.TokenHash60.compute($a.toString(), $off);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): TokenHash60 =
@@ -225,7 +225,12 @@ case class TokenHash60(child: Expression)
 object TokenHash60 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def compute(text: String): ArrayData = {
+  /** `off` selects which 8 md5 bytes feed the 60-bit word: 0 = hex digits
+    * 1-15 (`substr(md5(w), 1, 15)` in DuckDB), 8 = hex digits 17-31
+    * (`substr(md5(w), 17, 15)`) — an INDEPENDENT second word for the
+    * 120-bit wide simhash (graft.xscale.Dedup x15).
+    */
+  def compute(text: String, off: Int): ArrayData = {
     val words = ws.split(text, -1)
     val out = new Array[Long](words.length)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -234,8 +239,8 @@ object TokenHash60 {
       md.reset()
       val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var r = 0L
-      var j = 0
-      while (j < 8) { r = (r << 8) | (d(j) & 0xffL); j += 1 }
+      var j = off
+      while (j < off + 8) { r = (r << 8) | (d(j) & 0xffL); j += 1 }
       out(i) = r >>> 4
       i += 1
     }
@@ -521,6 +526,9 @@ object api {
   def sqdistLong(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SqDistLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def tokenHash60b(text: Column): Column =
+    ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text), 8))
 
   def tokenHash60(text: Column): Column =
     ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))

@@ -33,6 +33,38 @@ class XScaleSpec extends SparkSpec {
     assert(brute.nonEmpty) // corpus contains near-dups; empty would be vacuous
   }
 
+  test("x15 wide (120-bit) simhash: blocked join == brute-force all-pairs at hamming<=3") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blocked = Dedup.simhashPairs(docs, wide = true)
+      .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+
+    val fp = docs.select(
+      col("doc_id"),
+      graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("s1"),
+      graftnative.api.simhash60(graftnative.api.tokenHash60b(col("text"))).as("s2"))
+    val a = fp.select(col("doc_id").as("da"), col("s1").as("sa1"), col("s2").as("sa2"))
+    val b = fp.select(col("doc_id").as("db"), col("s1").as("sb1"), col("s2").as("sb2"))
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("hamming", expr("CAST(bit_count(sa1 ^ sb1) + bit_count(sa2 ^ sb2) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().toSeq
+
+    assert(blocked === brute)
+    assert(brute.nonEmpty) // corpus contains near-exact dups; empty would be vacuous
+  }
+
+  test("wide simhash blocks stay selective at 10x the corpus (narrow blocks don't)") {
+    // sf0.01 is the 10x smoke corpus: random collisions in a b-bit block
+    // are ~n^2/2^b, so the narrow 6-7-bit blocks drown in them while the
+    // 30-bit wide blocks keep the candidate set near the true-pair count.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val narrow = Dedup.simhashCandidates(docs, wide = false).count()
+    val wide = Dedup.simhashCandidates(docs, wide = true).count()
+    assert(wide < narrow / 10, s"wide=$wide narrow=$narrow")
+  }
+
   test("x01 exact dedup: normalization collapses case/punct/whitespace variants") {
     val docs = Seq(
       (1L, "Hello, World!", "a"),

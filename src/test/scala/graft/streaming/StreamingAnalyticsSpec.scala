@@ -119,6 +119,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 2L), rows.toString) // outside the horizon
   }
 
+  test("sessionize == batch q23 on the real events fixture (streaming/batch parity)") {
+    // The custom-state streaming sessionizer and the batch lag+running-sum
+    // sessionizer (q23, 30-min gap) must agree on per-user session counts
+    // when the stream is fully flushed — one definition, two engines.
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val fixture = graft.query.Registry.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMs = 1800L * 1000L, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_fixture")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(fixture: _*)
+    q.processAllAvailable()
+    // flush: watermark far past every session's end + gap, then one more
+    // batch so the timeout emissions commit to the sink
+    val flushTs = new Timestamp(fixture.map(_.ts.getTime).max + 86400L * 1000L)
+    in.addData(Event(-1L, flushTs, 999999L, "flush", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(-2L, new Timestamp(flushTs.getTime + 1000L), 999999L, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_fixture").as[Session].collect()
+      .filter(_.user_id < 50)
+      .groupBy(_.user_id)
+      .map { case (u, ss) => (u, ss.size.toLong, ss.map(_.n_events).sum) }
+      .toSeq.sortBy(_._1)
+
+    val batch = graft.query.Registry.queries("q23_sessionize")(spark, sf)
+      .collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toSeq.sortBy(_._1)
+
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize: custom state closes sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

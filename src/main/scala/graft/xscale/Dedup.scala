@@ -52,23 +52,28 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, wide: Boolean = false): DataFrame = {
     val maxHamming = if (wide) 3 else 8
+    val hamming =
+      if (wide) expr("CAST(bit_count(sa1 ^ sb1) + bit_count(sa2 ^ sb2) AS BIGINT)")
+      else expr("CAST(bit_count(sa1 ^ sb1) AS BIGINT)")
     simhashCandidates(docs, wide)
-      .withColumn("hamming", expr("CAST(bit_count(sa1 ^ sb1) + bit_count(sa2 ^ sb2) AS BIGINT)"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
       .distinct()
   }
 
-  /** (doc_id, s1, s2) fingerprints; s2 is 0 in narrow mode so the unified
-    * hamming expression `bit_count(s1^s1') + bit_count(s2^s2')` works for
-    * both.
+  /** (doc_id, s1[, s2]) fingerprints — the second word exists only in wide
+    * mode so narrow candidates don't shuffle a dead column through the
+    * (potentially millions-row) block join.
     */
   private def fingerprints(docs: DataFrame, wide: Boolean): DataFrame = {
-    val s1 = graftnative.api.simhash60(graftnative.api.tokenHash60(col("text")))
-    val s2 =
-      if (wide) graftnative.api.simhash60(graftnative.api.tokenHash60b(col("text")))
-      else lit(0L)
-    docs.select(col("doc_id"), s1.as("s1"), s2.as("s2"))
+    val s1 = graftnative.api.simhash60(graftnative.api.tokenHash60(col("text"))).as("s1")
+    if (wide)
+      docs.select(
+        col("doc_id"),
+        s1,
+        graftnative.api.simhash60(graftnative.api.tokenHash60b(col("text"))).as("s2"))
+    else docs.select(col("doc_id"), s1)
   }
 
   /** Pre-verification candidate pairs from the block equi-join (da < db,
@@ -91,16 +96,14 @@ object Dedup {
           shiftright(col("s1"), off).bitwiseAND(lit((1L << bits) - 1))
         }
       }
+    val fpCols = if (wide) Seq("s1", "s2") else Seq("s1")
     val blocks = fingerprints(docs, wide).select(
-      col("doc_id"),
-      col("s1"),
-      col("s2"),
-      posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
-    val a = blocks.select(
-      col("blk"), col("bv"), col("doc_id").as("da"), col("s1").as("sa1"), col("s2").as("sa2"))
-    val b = blocks.select(
-      col("blk"), col("bv"), col("doc_id").as("db"), col("s1").as("sb1"), col("s2").as("sb2"))
-    a.join(b, Seq("blk", "bv")).filter(col("da") < col("db"))
+      col("doc_id") +: fpCols.map(col) :+
+        posexplode(array(blockCols: _*)).as(Seq("blk", "bv")): _*)
+    def side(pre: String, id: String) = blocks.select(
+      col("blk") +: col("bv") +: col("doc_id").as(id) +:
+        fpCols.map(c => col(c).as(s"$pre${c.drop(1)}")): _*)
+    side("sa", "da").join(side("sb", "db"), Seq("blk", "bv")).filter(col("da") < col("db"))
   }
 
   /** Aggressive text normalization for exact dedup: lowercase, strip

@@ -173,30 +173,40 @@ object Similarity {
         "inverted lists per query — candidates only, the FAISS-style 100 TB path; recall vs x06 " +
         "is spec-measured"
     ) { (s, dir) =>
+      import s.implicits._
       val e = withNorm(table(s, dir, "embeddings"))
       // fixed-point view; at 100 TB you'd train on a sample and cache —
       // here the corpus IS sample-sized while the algebra is the same
       val vi = e.withColumn(
         "vi", transform(col("v"), x => floor(x * VSCALE).cast("long")))
-      var cents = vi.filter(col("vec_id") < NC)
-        .select(col("vec_id").as("cid"), col("vi").as("ci"))
+      // Each round COLLECTS the centroids to the driver (bounded: NC x 64
+      // longs — the quantizer is driver-resident state, exactly like a
+      // FAISS coarse quantizer) and re-broadcasts them as literals. Keeping
+      // the rounds as one lazy plan instead would re-execute every prior
+      // round's aggregation inside each later round (Spark doesn't dedupe
+      // repeated un-cached subtrees), so training cost would grow
+      // geometrically with NITER; this way each round is one corpus scan.
+      def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+      var cents: Seq[(Long, Seq[Long])] = collectCents(
+        vi.filter(col("vec_id") < NC).select(col("vec_id"), col("vi")))
       for (_ <- 1 to NITER) {
         val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-        val assigned = vi.join(broadcast(cents))
-          .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
-          .withColumn("rn", row_number().over(byDist))
-          .filter(col("rn") === 1)
-          .select(col("cid"), posexplode(col("vi")).as(Seq("i", "x")))
-        cents = assigned
-          .groupBy("cid", "i")
-          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-          .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
-          .groupBy("cid")
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("m")))),
-            t => t.getField("m")).as("ci"))
+        cents = collectCents(
+          vi.join(broadcast(cents.toDF("cid", "ci")))
+            .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
+            .withColumn("rn", row_number().over(byDist))
+            .filter(col("rn") === 1)
+            .select(col("cid"), posexplode(col("vi")).as(Seq("i", "x")))
+            .groupBy("cid", "i")
+            .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+            .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+            .groupBy("cid")
+            .agg(transform(
+              array_sort(collect_list(struct(col("i"), col("m")))),
+              t => t.getField("m")).as("ci")))
       }
-      val d = vi.join(broadcast(cents))
+      val d = vi.join(broadcast(cents.toDF("cid", "ci")))
         .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
       val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       val ranked = d.withColumn("rn", row_number().over(byDist))

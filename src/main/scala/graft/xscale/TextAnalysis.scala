@@ -9,8 +9,11 @@ import XHash.{h60, h60Sql}
 
 /** Text analysis over the `documents` table: language-ID (marker-word
   * heuristic), quality scoring (length / stopword / token-count ratios),
-  * token counting (whitespace + a BPE-ish chunking regex) and document
-  * fingerprinting (min-hash over word-5-gram shingles, winnowing-style).
+  * token counting (whitespace + a BPE-ish chunking regex), document
+  * fingerprinting (min-hash over word-5-gram shingles, winnowing-style)
+  * and Gopher/C4-style quality filter rules (Rae et al. 2021 §A1.1,
+  * Raffel et al. 2020 §2.2) including duplicate-n-gram repetition
+  * fractions.
   *
   * Scale posture (100 TB): every operator here is a pure per-row expression
   * over the text column — no UDF, no shuffle except the final small
@@ -132,6 +135,80 @@ object TextAnalysis {
           sum("ws_tok").as("sum_ws_tok"),
           sum("bpe_tok").as("sum_bpe_tok"))
         .orderBy("lang")
+    },
+
+    // ----- x16: Gopher/C4-style quality filter rules -----
+    Q(
+      "x16_quality_gopher",
+      Some {
+        val stops = hitsSql(Seq("the", "a", "of", "and"))
+        s"WITH w AS (SELECT source, ${XText.wordsSql("text")} AS ws, " +
+          "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS swl, " +
+          "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS nsym FROM documents), " +
+          s"m AS (SELECT source, CAST(len(ws) AS BIGINT) AS nw, swl, nsym, " +
+          s"CAST($stops AS BIGINT) AS stop_hits, " +
+          "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha, " +
+          "CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 1 END AS BIGINT) AS tot2, " +
+          s"CAST(len(${XText.shinglesSql("ws", 2)}) AS BIGINT) AS d2, " +
+          "CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS BIGINT) AS tot3, " +
+          s"CAST(len(${XText.shinglesSql("ws", 3)}) AS BIGINT) AS d3 FROM w), " +
+          "r AS (SELECT source, tot2, d2, " +
+          "(nw BETWEEN 15 AND 10000) AS r_words, " +
+          "(swl >= 3 * nw AND swl <= 5 * nw) AS r_mwl, " +
+          "(stop_hits >= 2) AS r_stop, " +
+          "(5 * alpha >= 4 * nw) AS r_alpha, " +
+          "(10 * nsym <= nw) AS r_sym, " +
+          "(20 * (tot2 - d2) <= tot2) AS r_dup2, " +
+          "(50 * (tot3 - d3) <= tot3) AS r_dup3 FROM m) " +
+          "SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN r_words AND r_mwl AND r_stop AND r_alpha AND r_sym AND r_dup2 " +
+          "AND r_dup3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+          "CAST(sum(CASE WHEN r_words THEN 0 ELSE 1 END) AS BIGINT) AS f_words, " +
+          "CAST(sum(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT) AS f_mwl, " +
+          "CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS f_stop, " +
+          "CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT) AS f_alpha, " +
+          "CAST(sum(CASE WHEN r_sym THEN 0 ELSE 1 END) AS BIGINT) AS f_sym, " +
+          "CAST(sum(CASE WHEN r_dup2 THEN 0 ELSE 1 END) AS BIGINT) AS f_dup2, " +
+          "CAST(sum(CASE WHEN r_dup3 THEN 0 ELSE 1 END) AS BIGINT) AS f_dup3, " +
+          "CAST(sum(tot2 - d2) AS BIGINT) AS dup2_num, CAST(sum(tot2) AS BIGINT) AS dup2_den " +
+          "FROM r GROUP BY source ORDER BY source"
+      },
+      "Gopher/C4-style per-document filter rules (word count, mean word length, stopword presence, " +
+        "alpha-word ratio, symbol ratio, duplicate 2/3-gram fractions), thresholds integer-exact via " +
+        "cross-multiplication; per-source keep and per-rule failure counts plus exact dup2 " +
+        "numerator/denominator sums. Pure per-row array expressions — the only shuffle is the " +
+        "tiny per-source aggregation."
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .withColumn("ws", XText.words(col("text")))
+        .withColumn("nw", size(col("ws")).cast("long"))
+        .withColumn("swl", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+        .withColumn("nsym", size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long"))
+        .withColumn("stop_hits", hits(col("ws"), Seq("the", "a", "of", "and")))
+        .withColumn("alpha", size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long"))
+        .withColumn("tot2", when(col("nw") >= 2, col("nw") - 1).otherwise(lit(1L)).cast("long"))
+        .withColumn("d2", size(XText.shingles(col("ws"), 2)).cast("long"))
+        .withColumn("tot3", when(col("nw") >= 3, col("nw") - 2).otherwise(lit(1L)).cast("long"))
+        .withColumn("d3", size(XText.shingles(col("ws"), 3)).cast("long"))
+        .withColumn("r_words", col("nw").between(15, 10000))
+        .withColumn("r_mwl", col("swl") >= lit(3) * col("nw") && col("swl") <= lit(5) * col("nw"))
+        .withColumn("r_stop", col("stop_hits") >= 2)
+        .withColumn("r_alpha", lit(5) * col("alpha") >= lit(4) * col("nw"))
+        .withColumn("r_sym", lit(10) * col("nsym") <= col("nw"))
+        .withColumn("r_dup2", lit(20) * (col("tot2") - col("d2")) <= col("tot2"))
+        .withColumn("r_dup3", lit(50) * (col("tot3") - col("d3")) <= col("tot3"))
+      def fails(r: String): Column = sum(when(col(r), 0L).otherwise(1L)).as(s"f_${r.stripPrefix("r_")}")
+      val keep = Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3")
+        .map(col).reduce(_ && _)
+      d.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+          fails("r_words"), fails("r_mwl"), fails("r_stop"), fails("r_alpha"), fails("r_sym"),
+          fails("r_dup2"), fails("r_dup3"),
+          sum(col("tot2") - col("d2")).as("dup2_num"),
+          sum("tot2").as("dup2_den"))
+        .orderBy("source")
     },
 
     // ----- x11: document fingerprinting (min-hash over 5-gram shingles) -----

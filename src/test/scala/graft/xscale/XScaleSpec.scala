@@ -135,6 +135,39 @@ class XScaleSpec extends SparkSpec {
     assert(recall >= 0.83, s"recall=$recall (exact=${exact.size}, hit=${ivf.intersect(exact).size})")
   }
 
+  test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
+    // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
+    // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed
+    // words (r_sym). Every doc keeps the stopword / alpha rules green so
+    // failures isolate to the targeted rule.
+    val docs = Seq(
+      (1L, "the a of and alpha bravo carol delta eagle fancy grape hotel india jolly kilos lemon mango night oscar prism"),
+      (2L, "the of and tiny"),
+      (3L, "the a of and absolute bohemian calamity daffodil eggplant falconry galactic humorous illusion jocosely kangaroo"),
+      (4L, "the a of and word gold word gold word gold word gold word gold word gold word gold word gold"),
+      (5L, "the a of and cat# dog# fox# owl# bat# cow# pig# hen# ram# ewe# kit# fly#"))
+      .toDF("doc_id", "text").withColumn("source", lit("t"))
+    val dir = tmpDir("x16").getPath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val row = TextAnalysis.queries.find(_.name == "x16_quality_gopher").get
+      .run(spark, dir).collect()
+    assert(row.length === 1)
+    val r = row.head
+    def l(name: String): Long = r.getLong(r.fieldIndex(name))
+    assert(l("n_docs") === 5L)
+    assert(l("n_keep") === 1L)
+    assert(l("f_words") === 1L) // doc2
+    assert(l("f_mwl") === 1L) // doc3
+    assert(l("f_stop") === 0L)
+    assert(l("f_alpha") === 0L)
+    assert(l("f_sym") === 1L) // doc5
+    assert(l("f_dup2") === 1L) // doc4
+    assert(l("f_dup3") === 1L) // doc4
+    assert(l("dup2_num") === 13L) // doc4: 19 bigrams, 6 distinct
+    assert(l("dup2_den") === 70L) // 19 + 3 + 14 + 19 + 15
+  }
+
   test("knn: lsh bucket assignment is deterministic and complete") {
     val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
       .withColumn("bucket", Similarity.bucket(col("v")))

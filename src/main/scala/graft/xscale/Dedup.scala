@@ -112,7 +112,7 @@ object Dedup {
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
-  private val normSql =
+  private[xscale] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** doc_id + 60-bit hashes of the doc's distinct word-3-gram shingles

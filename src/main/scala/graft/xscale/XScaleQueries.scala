@@ -11,5 +11,6 @@ import graft.query.Q
   */
 object XScaleQueries {
   val all: Seq[Q] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+    Dedup.queries ++ IncrementalDedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries
 }

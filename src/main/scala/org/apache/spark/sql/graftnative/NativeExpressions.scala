@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Dot product of two `array<double>` columns as one codegen'd loop.
   *
@@ -346,6 +347,44 @@ case class SqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe of a long key against a pre-built Bloom filter
+  * ([[org.apache.spark.util.sketch.BloomFilter]], the same sketch Spark's
+  * runtime row-group filters use). The serialized filter travels with the
+  * expression as plain bytes (case-class field, Java-serializable
+  * regardless of the sketch impl) and is deserialized once per executor via
+  * a transient lazy; codegen references THIS expression and calls through,
+  * so the probe is a single virtual call inside whole-stage codegen — no
+  * boxing, no UDF.
+  *
+  * Scale rationale (graft.xscale.IncrementalDedup x17): a Bloom filter has
+  * NO false negatives, so `!might_contain(key)` proves a key is absent from
+  * the corpus without touching it. An incremental dedup batch therefore
+  * never shuffles the 100 TB corpus — only Bloom-positive candidates (true
+  * dups + ~fpp of the batch) proceed to exact verification.
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+
+  def mightContain(key: Long): Boolean = bloom.mightContainLong(key)
+
+  override def nullSafeEval(key: Any): Any = mightContain(key.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomMightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, k => s"${ev.value} = $ref.mightContain($k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 /** Number of CSV fields in a raw line (RFC-4180 quoting: commas inside
   * double quotes don't split; `""` is an escaped quote). Used to replicate
   * the reference's ragged-row test `len(record) < len(header)`
@@ -532,4 +571,11 @@ object api {
 
   def tokenHash60(text: Column): Column =
     ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))
+
+  def bloomMightContain(filter: BloomFilter, key: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    ExpressionUtils.column(
+      BloomMightContainLong(ExpressionUtils.expression(key), bos.toByteArray))
+  }
 }

@@ -168,6 +168,38 @@ class XScaleSpec extends SparkSpec {
     assert(l("dup2_den") === 70L) // 19 + 3 + 14 + 19 + 15
   }
 
+  test("x17 bloom incremental dedup == plain anti-join, and the bloom actually prunes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+
+    val plain = graft.lake.Lake
+      .dedupKeepFirst(IncrementalDedup.withKey(batch), Seq("_key"), Seq("doc_id"))
+      .join(IncrementalDedup.withKey(corpus).select("_key"), Seq("_key"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+
+    for (fpp <- Seq(0.03, 0.5)) { // exactness must not depend on fp rate
+      val bloom = IncrementalDedup.corpusBloom(corpus, corpus.count(), fpp)
+      val got = IncrementalDedup.newDocs(corpus, batch, bloom)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === plain, s"fpp=$fpp")
+    }
+
+    // tight bloom: probe-positives ~ true dups + fpp; most of the batch is
+    // proven new without ever touching the corpus
+    val tight = IncrementalDedup.corpusBloom(corpus, corpus.count(), 0.01)
+    val nBatch = batch.count()
+    val nCand = IncrementalDedup.withKey(batch)
+      .filter(org.apache.spark.sql.graftnative.api.bloomMightContain(tight, col("_key")))
+      .count()
+    val nTrueDups = IncrementalDedup.withKey(batch)
+      .join(IncrementalDedup.withKey(corpus).select("_key"), Seq("_key"), "left_semi")
+      .count()
+    assert(nCand < nBatch, s"cand=$nCand batch=$nBatch")
+    assert(nCand >= nTrueDups) // no false negatives
+    assert(nCand <= nTrueDups + math.max(3, (0.05 * nBatch).toLong), s"cand=$nCand true=$nTrueDups")
+  }
+
   test("knn: lsh bucket assignment is deterministic and complete") {
     val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
       .withColumn("bucket", Similarity.bucket(col("v")))

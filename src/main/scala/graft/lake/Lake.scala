@@ -56,6 +56,65 @@ object Lake {
   def postingMonth(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(substring(c, 7, 4), lit("-"), substring(c, 1, 2))
 
+  /** The lake's delta sidecar dir. The leading underscore makes it
+    * invisible to Spark/parquet discovery (hidden-path convention), so
+    * `spark.read.parquet(lakePath)` still reads ONLY the compacted base —
+    * readers that want delta-consistent data go through [[readLake]].
+    */
+  private def deltaDir(lakePath: String): String = lakePath + "/_delta"
+
+  /** LSM-style single-row insert (the API's `PUT /history/transaction`
+    * path): append ONE small parquet file to the `_delta` sidecar instead
+    * of merging + rewriting the row's whole partition. At 100 TB a
+    * partition is GBs — per-row partition rewrites are the difference
+    * between an insert being milliseconds and minutes. Delta rows carry a
+    * monotonic `_seq` so later inserts win on read; [[readLake]] folds
+    * them lazily, [[upsertIntoLake]] folds touched ones on the next batch,
+    * and [[compact]] folds everything back to base.
+    *
+    * Falls back to the merge path when the lake doesn't exist yet (the
+    * first write defines the layout).
+    */
+  def insertFast(spark: SparkSession, t: Transaction, lakePath: String): Unit = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(lakePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) { upsertIntoLake(spark, Seq(t).toDF(), lakePath); return }
+    val monthly = spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
+    val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
+    val nextSeq =
+      if (fs.exists(dPath))
+        spark.read.parquet(dPath.toString).agg(coalesce(max("_seq"), lit(0L))).head.getLong(0) + 1L
+      else 1L
+    val row0 = Seq(t).toDF()
+    val row = if (monthly) row0.withColumn("posting_month", postingMonth(col("posting_date"))) else row0
+    row.withColumn("_seq", lit(nextSeq))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dPath.toString)
+  }
+
+  /** Keep-latest-by-`_seq` collapse of raw delta rows, `_seq` dropped. */
+  private def deltaLatest(delta: DataFrame): DataFrame = {
+    val w = Window.partitionBy(Transaction.mergeKey.map(col): _*).orderBy(col("_seq").desc)
+    delta.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "_seq")
+  }
+
+  /** Delta-consistent view of the lake: base rows shadowed by any pending
+    * delta inserts on the same merge key (latest `_seq` wins). The anti-join
+    * side is the delta — small by construction (bounded by compaction
+    * cadence) — so Catalyst broadcasts it and the base never shuffles.
+    */
+  def readLake(spark: SparkSession, lakePath: String): DataFrame = {
+    val base = spark.read.parquet(lakePath)
+    val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dPath)) base
+    else {
+      val latest = deltaLatest(spark.read.parquet(dPath.toString))
+      base.join(latest, Transaction.mergeKey, "left_anti").unionByName(latest)
+    }
+  }
+
   /** Write/merge a canonical batch into the partitioned lake (K2). One
     * physical table partitioned by data_source replaces the reference's
     * collection-per-source naming (`transactions_{dataSource}`,
@@ -104,17 +163,43 @@ object Lake {
       // its months, so a daily batch re-reads O(days' partitions), not
       // years of history.
       val sources = batch.select("data_source").distinct().collect().map(_.getString(0))
-      val base = spark.read.parquet(lakePath)
-        .filter(col("data_source").isin(sources.toSeq.map(x => x: Any): _*))
-      val existing =
+      val touchedPred = {
+        val bySource = col("data_source").isin(sources.toSeq.map(x => x: Any): _*)
         if (effectiveMonthly) {
           val months = batchP.select("posting_month").distinct().collect().map(_.getString(0))
-          base.filter(col("posting_month").isin(months.toSeq.map(x => x: Any): _*))
-        } else base
+          bySource && col("posting_month").isin(months.toSeq.map(x => x: Any): _*)
+        } else bySource
+      }
+      val base = spark.read.parquet(lakePath).filter(touchedPred)
+      // Pending fast-insert delta rows for the touched partitions fold into
+      // this merge (delta wins over base, then the batch wins over both —
+      // same precedence readLake shows); rows for untouched partitions stay
+      // in the sidecar.
+      val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
+      val deltaAll = if (fs.exists(dPath)) Some(spark.read.parquet(dPath.toString)) else None
+      val existing = deltaAll match {
+        case Some(d) => merge(base, deltaLatest(d).filter(touchedPred))
+        case None    => base
+      }
       val merged = merge(existing, batchP)
       val staged = lakePath + ".staging"
       merged.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(staged)
-      swapStagedPartitions(spark, staged, lakePath, parts.length)
+      val written = swapStagedPartitions(spark, staged, lakePath, parts.length)
+      // Folded delta rows are now in base; rewrite the sidecar with only the
+      // untouched-partition survivors (delta is small — bounded by
+      // compaction cadence — so this rewrite is cheap).
+      deltaAll.foreach { d =>
+        val remaining = d.filter(!touchedPred)
+        val stagedDelta = new org.apache.hadoop.fs.Path(lakePath + "/_delta_staging")
+        if (remaining.isEmpty) {
+          fs.delete(dPath, true)
+        } else {
+          remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stagedDelta.toString)
+          fs.delete(dPath, true)
+          fs.rename(stagedDelta, dPath)
+        }
+      }
+      written
     }
   }
 
@@ -180,12 +265,16 @@ object Lake {
     * (spec-checked).
     */
   def compact(spark: SparkSession, lakePath: String, parallelism: Int = 32): Long = {
-    val df = spark.read.parquet(lakePath)
+    val df = readLake(spark, lakePath) // folds any pending fast-insert delta
     val partCols = df.schema.fieldNames.filter(Seq("data_source", "posting_month").contains)
     val staged = lakePath + ".compacting"
     df.repartition(parallelism, partCols.toSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCols.toSeq: _*).parquet(staged)
-    swapStagedPartitions(spark, staged, lakePath, partCols.length)
+    val written = swapStagedPartitions(spark, staged, lakePath, partCols.length)
+    val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dPath)) fs.delete(dPath, true) // folded above
+    written
   }
 
   /** Sync-log audit append (K3, reference storage/mongo_repository.go:63-72):

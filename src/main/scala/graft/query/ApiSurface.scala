@@ -58,11 +58,14 @@ object ApiSurface {
       .filter(col("id") === id && col("transactionType") === transactionType)
 
   /** Q4 insert (apiClient.go:246-302): returns the transaction id the PUT
-    * response carries (TransactionPutResponse.transactionId).
+    * response carries (TransactionPutResponse.transactionId). Routed through
+    * the LSM-style fast path ([[Lake.insertFast]]) — a one-row API insert
+    * appends one small delta file instead of rewriting its whole partition;
+    * readers see it immediately via [[Lake.readLake]].
     */
   def addTransaction(spark: SparkSession, t: Transaction, lakePath: String): String = {
     import spark.implicits._
-    Lake.insertTransaction(spark, t, lakePath)
+    Lake.insertFast(spark, t, lakePath)
     Seq(t).toDF().select(idCol).collect()(0).getString(0)
   }
 

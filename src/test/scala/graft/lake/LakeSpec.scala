@@ -111,6 +111,65 @@ class LakeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("insertFast appends one delta file, base untouched; readLake folds latest-wins") {
+    val lake = new java.io.File(tmpDir("lakeD"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0), tx(desc = "other", amount = 5.0)).toDF(), lake)
+    val baseFiles = new java.io.File(lake, "data_source=chase").listFiles().map(_.getName).toSet
+
+    Lake.insertFast(spark, tx(desc = "delta", amount = 2.0), lake)
+    assert(new java.io.File(lake, "data_source=chase").listFiles().map(_.getName).toSet
+      === baseFiles, "fast insert must not rewrite base partition files")
+    val deltaParquet = new java.io.File(lake, "_delta").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(deltaParquet === 1)
+
+    // visible through readLake, invisible to a plain base read
+    assert(spark.read.parquet(lake).count() === 2L)
+    assert(asSet(Lake.readLake(spark, lake)
+      .select("details", "posting_date", "description", "amount", "balance",
+        "category", "txn_type", "check_or_slip_num", "data_source", "account_id"))
+      === Set(tx(amount = 1.0), tx(desc = "other", amount = 5.0), tx(desc = "delta", amount = 2.0)))
+
+    // same key again: higher _seq wins on read, no duplicate
+    Lake.insertFast(spark, tx(desc = "delta", amount = 9.0), lake)
+    val folded = Lake.readLake(spark, lake)
+    assert(folded.count() === 3L)
+    assert(folded.filter($"description" === "delta").select("amount").as[Double].collect().toSeq
+      === Seq(9.0))
+  }
+
+  test("batch upsert folds touched delta (batch wins); untouched-source delta survives") {
+    val lake = new java.io.File(tmpDir("lakeDF"), "lake").getPath
+    Lake.upsertIntoLake(
+      spark, Seq(tx(source = "chase"), tx(source = "synthetic", acct = "0000")).toDF(), lake)
+    Lake.insertFast(spark, tx(source = "chase", desc = "dc", amount = 1.0), lake)
+    Lake.insertFast(spark, tx(source = "synthetic", acct = "0000", desc = "ds", amount = 1.0), lake)
+
+    // batch touches chase only and updates the same key as the chase delta row
+    Lake.upsertIntoLake(spark, Seq(tx(source = "chase", desc = "dc", amount = 7.0)).toDF(), lake)
+
+    val base = spark.read.parquet(lake) // no delta fold
+    assert(base.filter($"description" === "dc").select("amount").as[Double].collect().toSeq
+      === Seq(7.0), "chase delta must be folded into base with the batch winning")
+    assert(base.filter($"description" === "ds").count() === 0L,
+      "untouched synthetic delta must stay in the sidecar")
+    val view = Lake.readLake(spark, lake)
+    assert(view.filter($"description" === "ds").count() === 1L)
+    assert(view.count() === 4L)
+  }
+
+  test("compact folds pending delta into base and removes the sidecar") {
+    val lake = new java.io.File(tmpDir("lakeDC"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0)).toDF(), lake)
+    Lake.insertFast(spark, tx(desc = "delta", amount = 2.0), lake)
+    val n = Lake.compact(spark, lake, parallelism = 4)
+    assert(n === 2L)
+    assert(!new java.io.File(lake, "_delta").exists())
+    assert(asSet(spark.read.parquet(lake)
+      .select("details", "posting_date", "description", "amount", "balance",
+        "category", "txn_type", "check_or_slip_num", "data_source", "account_id"))
+      === Set(tx(amount = 1.0), tx(desc = "delta", amount = 2.0)))
+  }
+
   test("upsertIntoLake only touches partitions present in the batch") {
     val lake = new java.io.File(tmpDir("lake"), "lake").getPath
     Lake.upsertIntoLake(spark, Seq(tx(source = "chase"), tx(source = "synthetic", acct = "0000")).toDF(), lake)

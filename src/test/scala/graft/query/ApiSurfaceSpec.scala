@@ -15,12 +15,12 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(ApiSurface.echo(spark, "hello") === "hello")
   }
 
-  test("add + getTransactionById round-trip (Q4 → Q2)") {
+  test("add + getTransactionById round-trip (Q4 → Q2), fast-path inserts included") {
     val lakePath = new java.io.File(tmpDir("api"), "lake").getPath
     val id = ApiSurface.addTransaction(spark, tx("01/05/2024", "coffee", -4.5), lakePath)
     assert(id.length === 32)
 
-    val lake = spark.read.parquet(lakePath)
+    val lake = graft.lake.Lake.readLake(spark, lakePath)
     val hit = ApiSurface.getTransactionById(lake, id, "egress").collect()
     assert(hit.length === 1)
     val r = hit(0)
@@ -30,6 +30,18 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(r.getAs[String]("slipNumber") === "42")
     // wrong type finds nothing
     assert(ApiSurface.getTransactionById(lake, id, "ingress").count() === 0)
+
+    // second insert lands in the delta sidecar (lake exists now) and is
+    // immediately visible through readLake
+    val id2 = ApiSurface.addTransaction(spark, tx("01/06/2024", "bagel", -2.0), lakePath)
+    val lake2 = graft.lake.Lake.readLake(spark, lakePath)
+    assert(ApiSurface.getTransactionById(lake2, id2, "egress").count() === 1)
+    // updating the same key through the API replaces, never duplicates
+    ApiSurface.addTransaction(spark, tx("01/06/2024", "bagel", -3.0), lakePath)
+    val lake3 = graft.lake.Lake.readLake(spark, lakePath)
+    val again = ApiSurface.getTransactionById(lake3, id2, "egress").collect()
+    assert(again.length === 1)
+    assert(again(0).getAs[Double]("amount") === -3.0)
   }
 
   test("historySearch: inclusive epoch bounds, filtered by type (Q3)") {

@@ -80,7 +80,15 @@ object Dedup {
     * fingerprints carried). Package-private so specs can measure block
     * selectivity directly.
     */
-  private[xscale] def simhashCandidates(docs: DataFrame, wide: Boolean): DataFrame = {
+  private[xscale] def simhashCandidates(docs: DataFrame, wide: Boolean): DataFrame =
+    candidatesFromFingerprints(fingerprints(docs, wide), wide)
+
+  /** Same block equi-join over PRECOMPUTED fingerprints (`doc_id`, `s1`
+    * [, `s2`]) — the entry point for callers that persist fingerprints as
+    * state (streaming near-dup dedup) instead of recomputing them from
+    * text.
+    */
+  private[graft] def candidatesFromFingerprints(fp: DataFrame, wide: Boolean): DataFrame = {
     val blockCols: Seq[Column] =
       if (wide) {
         val m30 = lit((1L << 30) - 1)
@@ -97,7 +105,7 @@ object Dedup {
         }
       }
     val fpCols = if (wide) Seq("s1", "s2") else Seq("s1")
-    val blocks = fingerprints(docs, wide).select(
+    val blocks = fp.select(
       col("doc_id") +: fpCols.map(col) :+
         posexplode(array(blockCols: _*)).as(Seq("blk", "bv")): _*)
     def side(pre: String, id: String) = blocks.select(

@@ -211,6 +211,60 @@ object TextAnalysis {
         .orderBy("source")
     },
 
+    // ----- x18: per-source top terms with corpus document frequency -----
+    Q(
+      "x18_top_terms",
+      Some(
+        s"WITH w AS (SELECT doc_id, source, unnest(${XText.wordsSql("text")}) AS word FROM documents), " +
+          "tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY source, word), " +
+          "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word), " +
+          "r AS (SELECT source, word, tf, " +
+          "ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, word) AS rank FROM tf) " +
+          "SELECT r.source, r.word, CAST(r.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df, " +
+          "CAST(r.rank AS BIGINT) AS rank " +
+          "FROM r JOIN df ON r.word = df.word WHERE r.rank <= 3 ORDER BY source, rank"),
+      "TF-IDF-shaped vocabulary profile: term frequency per source, corpus-wide document " +
+        "frequency, top-3 terms per source (deterministic tie-break). The top-k window is " +
+        "rank-limited so Spark plans WindowGroupLimit — each shuffle carries k candidates per " +
+        "source per partition, not the whole vocabulary; df is a map-side-combined distinct count."
+    ) { (s, dir) =>
+      val w = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(XText.words(col("text"))).as("word"))
+      val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tf").desc, col("word"))
+      tf.withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 3)
+        .join(df, "word")
+        .select(col("source"), col("word"), col("tf"), col("df"), col("rank"))
+        .orderBy("source", "rank")
+    },
+
+    // ----- x19: deterministic hash-based train/val/test split -----
+    Q(
+      "x19_train_split",
+      Some {
+        val b = s"${XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 100"
+        s"WITH s AS (SELECT source, n_chars, CASE WHEN $b < 90 THEN 'train' " +
+          s"WHEN $b < 95 THEN 'val' ELSE 'test' END AS split FROM documents) " +
+          "SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+          "FROM s GROUP BY source, split ORDER BY source, split"
+      },
+      "reproducible 90/5/5 corpus split: bucket = md5-hash(doc_id) % 100 — a pure per-row " +
+        "expression, so the split is stable across runs, cluster sizes, and engines (no " +
+        "sampling RNG, no shuffle; any executor can recompute any doc's split independently)"
+    ) { (s, dir) =>
+      val bucket = XHash.h60(col("doc_id").cast("string")) % 100
+      table(s, dir, "documents")
+        .withColumn(
+          "split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split")
+    },
+
     // ----- x11: document fingerprinting (min-hash over 5-gram shingles) -----
     Q(
       "x11_fingerprint",

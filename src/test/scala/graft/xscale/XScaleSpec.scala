@@ -200,6 +200,20 @@ class XScaleSpec extends SparkSpec {
     assert(nCand <= nTrueDups + math.max(3, (0.05 * nBatch).toLong), s"cand=$nCand true=$nTrueDups")
   }
 
+  test("x18/x19 plan shape: top-k short-circuits via WindowGroupLimit; split never shuffles rows") {
+    val x18 = TextAnalysis.queries.find(_.name == "x18_top_terms").get.run(spark, sf)
+    val p18 = x18.queryExecution.executedPlan.toString
+    assert(p18.contains("WindowGroupLimit"), s"top-3 window must rank-limit:\n$p18")
+    assert(p18.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p18")
+
+    // the split bucket is a per-row expression: the only exchanges are the
+    // final stats aggregation + presentation sort, never a row-data shuffle
+    val x19 = TextAnalysis.queries.find(_.name == "x19_train_split").get.run(spark, sf)
+    val p19 = x19.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p19).size
+    assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p19")
+  }
+
   test("knn: lsh bucket assignment is deterministic and complete") {
     val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
       .withColumn("bucket", Similarity.bucket(col("v")))

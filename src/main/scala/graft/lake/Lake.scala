@@ -264,11 +264,23 @@ object Lake {
     * instead). Run as a periodic maintenance job; layout-only, never rows
     * (spec-checked).
     */
-  def compact(spark: SparkSession, lakePath: String, parallelism: Int = 32): Long = {
+  def compact(
+      spark: SparkSession,
+      lakePath: String,
+      parallelism: Int = 32,
+      sortBy: Seq[String] = Nil): Long = {
     val df = readLake(spark, lakePath) // folds any pending fast-insert delta
     val partCols = df.schema.fieldNames.filter(Seq("data_source", "posting_month").contains)
     val staged = lakePath + ".compacting"
-    df.repartition(parallelism, partCols.toSeq.map(col): _*)
+    // `sortBy` clusters rows inside each rewritten file so parquet's
+    // row-group min/max stats become selective: a date-range scan over a
+    // posting_date-sorted partition skips every row group outside the
+    // window instead of reading the partition end to end — the poor man's
+    // z-order, and at 100 TB the difference between a range query reading
+    // gigabytes and reading row-group headers.
+    val clustered = df.repartition(parallelism, partCols.toSeq.map(col): _*)
+    (if (sortBy.isEmpty) clustered
+     else clustered.sortWithinPartitions((partCols.toSeq ++ sortBy).map(col): _*))
       .write.mode(SaveMode.Overwrite).partitionBy(partCols.toSeq: _*).parquet(staged)
     val written = swapStagedPartitions(spark, staged, lakePath, partCols.length)
     val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))

@@ -215,7 +215,9 @@ object Similarity {
       val probe = ranked.filter(col("rn") <= NPROBE && col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      probe.join(asg, Seq("cid"))
+      // the probe set is (queries x NPROBE) rows — broadcast it so the
+      // inverted-list scan joins without sorting/shuffling the corpus side
+      broadcast(probe).join(asg, Seq("cid"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(w).cast("long"))

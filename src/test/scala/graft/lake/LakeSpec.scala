@@ -170,6 +170,26 @@ class LakeSpec extends SparkSpec {
       === Set(tx(amount = 1.0), tx(desc = "delta", amount = 2.0)))
   }
 
+  test("compact(sortBy) clusters each rewritten file by the sort key; rows unchanged") {
+    val lake = new java.io.File(tmpDir("lakeZ"), "lake").getPath
+    val rnd = new scala.util.Random(7)
+    val batch = rnd.shuffle((1 to 28).toList)
+      .map(d => tx(date = f"01/$d%02d/2024", desc = s"d$d", amount = d.toDouble))
+    Lake.upsertIntoLake(spark, batch.toDF(), lake)
+
+    Lake.compact(spark, lake, parallelism = 4, sortBy = Seq("posting_date"))
+    val files = new java.io.File(lake, "data_source=chase").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 1) // compaction: one file per partition
+    val dates = spark.read.parquet(files.head.getPath)
+      .select("posting_date").as[String].collect().toSeq
+    assert(dates === dates.sorted, "file must be clustered by posting_date for min/max skipping")
+    assert(asSet(spark.read.parquet(lake)
+      .select("details", "posting_date", "description", "amount", "balance",
+        "category", "txn_type", "check_or_slip_num", "data_source", "account_id"))
+      === batch.toSet)
+  }
+
   test("upsertIntoLake only touches partitions present in the batch") {
     val lake = new java.io.File(tmpDir("lake"), "lake").getPath
     Lake.upsertIntoLake(spark, Seq(tx(source = "chase"), tx(source = "synthetic", acct = "0000")).toDF(), lake)

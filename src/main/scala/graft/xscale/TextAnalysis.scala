@@ -265,6 +265,41 @@ object TextAnalysis {
         .orderBy("source", "split")
     },
 
+    // ----- x20: train/test contamination (decontamination check) -----
+    Q(
+      "x20_contamination",
+      Some {
+        val b = s"${XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 100"
+        s"WITH k AS (SELECT source, CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
+          s"ELSE 'test' END AS split, ${XHash.h60Sql(Dedup.normSql)} AS key FROM documents), " +
+          "tr AS (SELECT DISTINCT key FROM k WHERE split = 'train'), " +
+          "te AS (SELECT source, split, key FROM k WHERE split <> 'train') " +
+          "SELECT source, split, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN key IN (SELECT key FROM tr) THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_contaminated FROM te GROUP BY source, split ORDER BY source, split"
+      },
+      "decontamination check: held-out (val/test per the x19 hash split) docs whose normalized " +
+        "text also appears in train — the leakage a benchmark split must not have. One key-join; " +
+        "at 100 TB pre-filter the held-out side with the x17 corpus Bloom so only probable " +
+        "collisions reach the exact join."
+    ) { (s, dir) =>
+      val bucket = XHash.h60(col("doc_id").cast("string")) % 100
+      val keyed = table(s, dir, "documents")
+        .withColumn(
+          "split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .withColumn("_key", XHash.h60(Dedup.normText(col("text"))))
+      val train = keyed.filter(col("split") === "train")
+        .select("_key").distinct().withColumn("_hit", lit(1L))
+      keyed.filter(col("split") =!= "train")
+        .join(train, Seq("_key"), "left")
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+        .orderBy("source", "split")
+    },
+
     // ----- x11: document fingerprinting (min-hash over 5-gram shingles) -----
     Q(
       "x11_fingerprint",

@@ -214,6 +214,28 @@ class XScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p19")
   }
 
+  test("x20 contamination fires on a train/test duplicate (zero on clean corpus is real)") {
+    // pick doc_ids landing in train (<90) and test (>=95) buckets with the
+    // driver twin of the split hash
+    def bucket(id: Long): Long = XHash.h60(id.toString) % 100
+    val trainId = (1L to 1000L).find(bucket(_) < 90).get
+    val testIds = (1L to 1000L).filter(bucket(_) >= 95).take(2)
+    val leaked = "this exact document leaked from train into test"
+    val docs = Seq(
+      (trainId, leaked, "a"),
+      (testIds(0), "LEAKED,  from train into test exact document this".reverse, "a"), // unique
+      (testIds(1), "This EXACT document leaked: from train into test!", "a")) // dup after norm
+      .toDF("doc_id", "text", "source")
+    val dir = tmpDir("x20").getPath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextAnalysis.queries.find(_.name == "x20_contamination").get
+      .run(spark, dir).collect()
+    val test = rows.find(r => r.getString(r.fieldIndex("split")) == "test").get
+    assert(test.getLong(test.fieldIndex("n_docs")) === 2L)
+    assert(test.getLong(test.fieldIndex("n_contaminated")) === 1L)
+  }
+
   test("knn: lsh bucket assignment is deterministic and complete") {
     val e = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
       .withColumn("bucket", Similarity.bucket(col("v")))

@@ -1,0 +1,274 @@
+package graft.xscale
+
+import org.apache.spark.sql.{Column, graftnative}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.query.Q
+import graft.query.Registry.table
+import XHash.h60Sql
+
+/** Training-data PREPARATION operators — the steps between "filtered,
+  * deduped corpus" and "tensors on a trainer": sequence packing, stratified
+  * sampling, split decontamination at n-gram granularity, embedding
+  * quantization, asymmetric containment dedup, and mixture reweighting.
+  *
+  * Scale posture (100 TB): nothing here materializes per-pair or per-token
+  * state beyond keyed joins and windows that are PARTITIONED (by shard,
+  * language, or label) — no global sort, no driver collect. Each query's doc
+  * states where its 100 TB bottleneck would be and how the shape avoids it.
+  */
+object DataPrep {
+
+  /** Tokens-per-context budget for x21 sequence packing. */
+  val PackBudget = 256
+
+  /** Output shards for x21 — stands in for "one pack stream per writer
+    * task"; at 100 TB this is the number of output files, thousands.
+    */
+  val PackShards = 8
+
+  private val ordSql = h60Sql("CAST(doc_id AS VARCHAR)")
+  private def ordCol: Column = XHash.h60(col("doc_id").cast("string"))
+
+  /** x19's split bucketing, shared by the contamination checks. */
+  private def splitCol: Column = {
+    val bucket = ordCol % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+  private def splitSql: String =
+    s"CASE WHEN $ordSql % 100 < 90 THEN 'train' WHEN $ordSql % 100 < 95 THEN 'val' ELSE 'test' END"
+
+  val queries: Seq[Q] = Seq(
+    // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
+    Q(
+      "x21_pack_sequences",
+      Some(
+        s"WITH t AS (SELECT doc_id, len(${XText.wordsSql("text")}) AS n_tok, " +
+          s"$ordSql AS ord FROM documents), " +
+          s"s AS (SELECT doc_id, n_tok, ord, ord % $PackShards AS shard FROM t), " +
+          "c AS (SELECT shard, n_tok, coalesce(sum(n_tok) OVER (PARTITION BY shard " +
+          "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum " +
+          "FROM s), " +
+          s"p AS (SELECT shard, cum // $PackBudget AS pack, count(*) AS n_docs, " +
+          "sum(n_tok) AS toks FROM c GROUP BY 1, 2) " +
+          "SELECT CAST(n_docs AS BIGINT) AS docs_per_pack, count(*) AS n_packs, " +
+          "CAST(sum(toks) AS BIGINT) AS sum_tokens FROM p GROUP BY 1 ORDER BY 1"),
+      s"sequence packing the way LLM trainers consume text: docs are concatenated in a " +
+        s"deterministic hash-shuffled order and chunked every $PackBudget tokens; a doc belongs " +
+        "to the pack its first token lands in. The order is per-SHARD (hash % " +
+        s"$PackShards), so the cumulative-sum window is partitioned — no global sort; at 100 TB " +
+        "each writer task packs its own shard independently. Output: docs-per-pack histogram."
+    ) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(XText.words(col("text"))).cast("long").as("n_tok"),
+          ordCol.as("ord"))
+        .withColumn("shard", col("ord") % PackShards)
+      val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+        .groupBy(col("shard"), expr(s"cum div $PackBudget").as("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
+        .groupBy(col("n_docs").as("docs_per_pack"))
+        .agg(count(lit(1)).as("n_packs"), sum("toks").as("sum_tokens"))
+        .orderBy("docs_per_pack")
+    },
+
+    // ----- x22: stratified exact-k sampling (downsample the dominant language) -----
+    Q(
+      "x22_sample_stratified",
+      Some(
+        s"WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER (PARTITION BY lang " +
+          s"ORDER BY $ordSql, doc_id) AS rk FROM documents) " +
+          "SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+          "FROM r WHERE rk <= CASE WHEN lang = 'en' THEN 30 ELSE 60 END " +
+          "GROUP BY lang ORDER BY lang"),
+      "exact-k per-stratum sampling without an RNG: rank docs within each language by a " +
+        "deterministic md5 hash of doc_id and keep the first k (en is downsampled to 30, the " +
+        "rest get 60) — reproducible across runs, engines and cluster sizes. The window is " +
+        "partitioned by language; rank<=k plans WindowGroupLimit so each shuffle partition " +
+        "forwards only k candidates. At 100 TB with skewed strata, switch to the threshold " +
+        "form (keep hash < k/n * 2^60, no window) at the cost of k being approximate."
+    ) { (s, dir) =>
+      val quota = when(col("lang") === "en", 30).otherwise(60)
+      val w = Window.partitionBy("lang").orderBy(ordCol.as("ord"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quota)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // ----- x23: n-gram-level train/test contamination -----
+    Q(
+      "x23_contam_ngram",
+      Some {
+        val sh = XText.shinglesSql("ws", 5)
+        s"WITH w AS (SELECT doc_id, source, $splitSql AS split, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"sl AS (SELECT doc_id, source, split, $sh AS ss FROM w), " +
+          s"sh AS (SELECT doc_id, source, split, unnest(list_transform(ss, sgl -> ${h60Sql("sgl")})) " +
+          "AS sgl FROM sl), " +
+          "tr AS (SELECT DISTINCT sgl FROM sh WHERE split = 'train'), " +
+          "te AS (SELECT s.doc_id, s.source, s.split, CASE WHEN t.sgl IS NULL THEN 0 ELSE 1 END " +
+          "AS hit FROM sh s LEFT JOIN tr t ON s.sgl = t.sgl WHERE s.split <> 'train'), " +
+          "d AS (SELECT doc_id, source, split, count(*) AS n_sh, sum(hit) AS n_hit " +
+          "FROM te GROUP BY 1, 2, 3) " +
+          "SELECT source, split, count(*) AS n_docs, CAST(sum(n_sh) AS BIGINT) AS sum_shingles, " +
+          "CAST(sum(n_hit) AS BIGINT) AS sum_hits, " +
+          "CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
+          "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      "decontamination at n-gram granularity (the standard benchmark-leakage check): for every " +
+        "held-out doc of the x19 split, how many of its distinct word-5-grams also occur " +
+        "anywhere in train — x20 catches whole-doc leaks, this catches partial overlap. " +
+        "Shingles travel as 60-bit hashes, so the join shuffles 8-byte keys; at 100 TB " +
+        "pre-filter the held-out side with a Bloom filter of the train set (x17's shape) so " +
+        "only probable collisions reach the exact join."
+    ) { (s, dir) =>
+      val sh = table(s, dir, "documents")
+        .withColumn("split", splitCol)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("split"),
+          explode(graftnative.api.shingleHash60(col("text"), 5)).as("sgl"))
+      val tr = sh.filter(col("split") === "train")
+        .select("sgl").distinct().withColumn("_hit", lit(1L))
+      sh.filter(col("split") =!= "train")
+        .join(tr, Seq("sgl"), "left")
+        .groupBy("doc_id", "source", "split")
+        .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_sh").as("sum_shingles"),
+          sum("n_hit").as("sum_hits"),
+          sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"))
+        .orderBy("source", "split")
+    },
+
+    // ----- x24: int8 embedding quantization (floor quantizer, per-vector scale) -----
+    Q(
+      "x24_embed_quantize",
+      Some(
+        "WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "a AS (SELECT label, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax FROM e), " +
+          "q AS (SELECT label, list_transform(v, x -> CAST(greatest(-127.0, least(127.0, " +
+          "floor(x * 127.0 / amax))) AS BIGINT)) AS qv FROM a WHERE amax > 0), " +
+          "st AS (SELECT label, list_aggregate(qv, 'sum') AS sq, " +
+          "list_aggregate(list_transform(qv, x -> x * x), 'sum') AS sq2, " +
+          "len(list_filter(qv, x -> abs(x) >= 127)) AS nsat FROM q) " +
+          "SELECT label, count(*) AS n_vecs, CAST(sum(sq) AS BIGINT) AS sum_q, " +
+          "CAST(sum(sq2) AS BIGINT) AS sum_q2, CAST(sum(nsat) AS BIGINT) AS n_saturated " +
+          "FROM st GROUP BY label ORDER BY label"),
+      "symmetric int8 quantization with a per-vector scale (amax/127), the format ANN indexes " +
+        "and KV caches store embeddings in — 4x smaller than float32 before IVF/LSH bucketing. " +
+        "floor() + clamp keeps every quantized weight integer-exact across engines (IEEE " +
+        "double ops are bit-deterministic, so floor agrees); per-label moment sums + " +
+        "saturation counts verify the codebook. Pure per-row array math — zero shuffle " +
+        "before the 10-row label aggregate."
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(
+          col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("amax") > 0)
+        .withColumn(
+          "qv",
+          transform(
+            col("v"),
+            x => greatest(lit(-127L), least(lit(127L), floor(x * lit(127.0) / col("amax"))))))
+      e.withColumn("sq", aggregate(col("qv"), lit(0L), (a, x) => a + x))
+        .withColumn("sq2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+        .withColumn("nsat", size(filter(col("qv"), x => abs(x) >= 127)).cast("long"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum("sq").as("sum_q"),
+          sum("sq2").as("sum_q2"),
+          sum("nsat").as("n_saturated"))
+        .orderBy("label")
+    },
+
+    // ----- x25: asymmetric n-gram containment (quote / subset detection) -----
+    Q(
+      "x25_containment",
+      Some {
+        val sh = XText.shinglesSql("ws", 4)
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"sl AS (SELECT doc_id, $sh AS ss FROM w), " +
+          s"shd AS (SELECT doc_id, unnest(list_transform(ss, sgl -> ${h60Sql("sgl")})) AS sgl FROM sl), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
+          "JOIN shd b ON a.sgl = b.sgl AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "WHERE 10 * i >= 8 * sa.n ORDER BY doc_id_a, doc_id_b"
+      },
+      "DIRECTIONAL near-dup: containment |A∩B| / |A| >= 0.8 over distinct word-4-gram sets " +
+        "flags docs mostly contained in another (quotes, excerpts, boilerplate supersets) that " +
+        "symmetric Jaccard misses when sizes differ. Integer threshold (10i >= 8·n_a) so no " +
+        "float crosses the oracle; shingles join as 60-bit hashes. Same candidates-only caveat " +
+        "as x03: at 100 TB run it on LSH candidate pairs, not the full self-join."
+    ) { (s, dir) =>
+      val shd = table(s, dir, "documents")
+        .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), 4)).as("sgl"))
+      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shd.as("a")
+        .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      inter.join(sz.select(col("doc_id").as("da"), col("n").as("n_a")), "da")
+        .filter(lit(10) * col("i") >= lit(8) * col("n_a"))
+        .select(
+          col("da").as("doc_id_a"),
+          col("db").as("doc_id_b"),
+          col("i").as("n_inter"),
+          col("n_a"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x26: data-mixture reweighting to a uniform language target -----
+    Q(
+      "x26_mix_weights",
+      Some(
+        s"WITH t AS (SELECT lang, len(${XText.wordsSql("text")}) AS n_tok FROM documents), " +
+          "l AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens " +
+          "FROM t GROUP BY lang), " +
+          "g AS (SELECT lang, n_docs, tokens, CAST(sum(tokens) OVER () AS BIGINT) AS total, " +
+          "CAST(count(*) OVER () AS BIGINT) AS n_langs FROM l), " +
+          "r AS (SELECT lang, n_docs, tokens, " +
+          "least(1000000, (1000000 * (total // n_langs)) // tokens) AS rate_e6 FROM g) " +
+          "SELECT lang, n_docs, tokens, CAST(rate_e6 AS BIGINT) AS rate_e6, " +
+          "CAST((tokens * rate_e6) // 1000000 AS BIGINT) AS exp_tokens FROM r ORDER BY lang"),
+      "mixture reweighting: per-language token counts -> the sampling rate that flattens the " +
+        "mix to a uniform per-language token target (rate capped at 1, i.e. no upsampling), " +
+        "plus the expected token yield. Fixed-point e6 arithmetic keeps rates integer-exact " +
+        "(overflow envelope: 1e6·total < 2^63 holds to ~9e12 tokens — compute per-shard " +
+        "beyond that). The whole-frame window runs on the ALREADY-AGGREGATED per-language " +
+        "frame (rows = #languages), so the single-partition window is trivially small."
+    ) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("lang"), size(XText.words(col("text"))).cast("long").as("n_tok"))
+      val l = t.groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      val g = l
+        .withColumn("total", sum("tokens").over(Window.partitionBy()))
+        .withColumn("n_langs", count(lit(1)).over(Window.partitionBy()))
+        .withColumn(
+          "rate_e6",
+          least(lit(1000000L), expr("(1000000 * (total div n_langs)) div tokens")))
+      g.select(
+        col("lang"),
+        col("n_docs"),
+        col("tokens"),
+        col("rate_e6"),
+        expr("(tokens * rate_e6) div 1000000").as("exp_tokens"))
+        .orderBy("lang")
+    }
+  )
+}

@@ -1,0 +1,100 @@
+package graft.xscale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the x21-x26 data-prep operators that the DuckDB oracle's
+  * value-hash can't express directly: conservation (packing loses no
+  * tokens), exact quota behavior, quantizer range, containment threshold,
+  * and mixture-rate caps. All at sf0.001.
+  */
+class DataPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    DataPrep.queries.find(_.name == name).get.run(spark, dir)
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("x21 packing conserves every document and every token") {
+    val hist = run("x21_pack_sequences")
+      .agg(
+        sum(col("docs_per_pack") * col("n_packs")).as("docs"),
+        sum("sum_tokens").as("toks"))
+      .as[(Long, Long)].head()
+    val total = docs
+      .agg(
+        count(lit(1)),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long)].head()
+    assert(hist === total)
+  }
+
+  test("x21 no pack start overshoots the budget by more than one doc") {
+    // a pack's docs start inside [pack*B, (pack+1)*B): at least
+    // ceil(B / max_doc_tokens) minus straddle => every pack holds >= 1 doc
+    val minDocs = run("x21_pack_sequences").agg(min("docs_per_pack")).as[Long].head()
+    assert(minDocs >= 1L)
+  }
+
+  test("x22 returns exactly min(quota, stratum size) per language") {
+    val sampled = run("x22_sample_stratified")
+      .select("lang", "n_sampled").as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      val quota = if (lang == "en") 30L else 60L
+      assert(sampled(lang) === math.min(quota, n), lang)
+    }
+  }
+
+  test("x23 contamination counts are bounded and the split covers all held-out docs") {
+    val rows = run("x23_contam_ngram")
+      .select("n_docs", "sum_shingles", "sum_hits", "n_contaminated")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (nd, nsh, nh, nc) =>
+      assert(nh <= nsh); assert(nc <= nd)
+    }
+    val bucket = XHash.h60(col("doc_id").cast("string")) % 100
+    val heldOut = docs.filter(bucket >= 90).count()
+    assert(rows.map(_._1).sum === heldOut)
+  }
+
+  test("x24 quantized moments stay inside the int8 envelope") {
+    val dim = 64L
+    run("x24_embed_quantize")
+      .select("n_vecs", "sum_q", "sum_q2", "n_saturated")
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (n, sq, sq2, nsat) =>
+        assert(math.abs(sq) <= n * dim * 127)
+        assert(sq2 >= 0 && sq2 <= n * dim * 127L * 127L)
+        assert(nsat >= 0 && nsat <= n * dim)
+      }
+  }
+
+  test("x25 containment pairs honor the 0.8 threshold and are directional") {
+    val rows = run("x25_containment")
+      .select("doc_id_a", "doc_id_b", "n_inter", "n_a")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, i, na) =>
+      assert(a != b)
+      assert(i <= na)
+      assert(10 * i >= 8 * na)
+    }
+  }
+
+  test("x26 rates cap at 1.0 and the dominant language is downsampled") {
+    val rows = run("x26_mix_weights")
+      .select("lang", "tokens", "rate_e6", "exp_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (_, toks, rate, exp) =>
+      assert(rate <= 1000000L)
+      assert(exp <= toks)
+    }
+    val top = rows.maxBy(_._2)
+    val target = rows.map(_._2).sum / rows.length
+    assert(top._2 > target) // en dominates the corpus
+    assert(top._3 < 1000000L) // and therefore gets a fractional rate
+  }
+}

@@ -20,6 +20,38 @@ class DedupClustersSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L), comp.toString)
   }
 
+  test("connectedComponentsStar: chains, bridges, cliques match label propagation") {
+    // long chain (diameter >> star rounds), a bridge joining two V-shapes
+    // whose min-neighbor edges would NOT span it, a clique, and a pair
+    val chain = (30L until 60L).map(i => (i, i + 1))
+    val bridge = Seq((2L, 5L), (3L, 4L), (4L, 5L))
+    val clique = Seq((70L, 71L), (70L, 72L), (71L, 72L))
+    val pairs = (chain ++ bridge ++ clique :+ (90L, 91L)).toDF("a", "b")
+    val star = DedupClusters.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val prop = DedupClusters.connectedComponents(pairs, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(Seq(2L, 3L, 4L, 5L).forall(star(_) == 2L), star.toString)
+    assert((30L to 60L).forall(star(_) == 30L), star.toString)
+  }
+
+  test("connectedComponentsStar: randomized graphs agree with label propagation") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("a", "b")
+      val star = DedupClusters.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = DedupClusters.connectedComponents(pairs, maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop)
+    }
+  }
+
   test("dedupByPairs: one survivor per cluster, singletons untouched") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (6L, 7L)).toDF("a", "b")

@@ -269,6 +269,39 @@ object DataPrep {
         col("rate_e6"),
         expr("(tokens * rate_e6) div 1000000").as("exp_tokens"))
         .orderBy("lang")
+    },
+
+    // ----- x27: end-to-end corpus build (filter → dedup → split → stats) -----
+    Q(
+      "x27_corpus_build",
+      Some {
+        val rules = TextAnalysis.gopherRules.mkString(" AND ")
+        s"WITH ${TextAnalysis.gopherSqlCtes("source, text")}, " +
+          s"k AS (SELECT source, text, doc_id, nw FROM r WHERE $rules), " +
+          s"d AS (SELECT source, doc_id, nw, ROW_NUMBER() OVER (PARTITION BY ${Dedup.normSql} " +
+          "ORDER BY doc_id) AS rn FROM k), " +
+          s"s AS (SELECT source, nw, $splitSql AS split FROM d WHERE rn = 1) " +
+          "SELECT split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS sum_tokens, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+          "FROM s GROUP BY split ORDER BY split"
+      },
+      "the pipeline a training corpus actually ships through, as ONE query: Gopher/C4 quality " +
+        "rules (x16) → exact dedup on normalized text (x01) → deterministic hash split (x19) → " +
+        "per-split doc/token/source counts. Composes to: per-row filter (no shuffle) → one " +
+        "shuffle on the norm key → per-row split tag → small aggregate; at 100 TB the dedup " +
+        "shuffle dominates and is the same single-shuffle shape as x01."
+    ) { (s, dir) =>
+      val kept = TextAnalysis.gopherAnnotate(table(s, dir, "documents"))
+        .filter(TextAnalysis.gopherKeep)
+        .withColumn("_norm", Dedup.normText(col("text")))
+      graft.lake.Lake.dedupKeepFirst(kept, Seq("_norm"), Seq("doc_id"))
+        .withColumn("split", splitCol)
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nw").as("sum_tokens"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("split")
     }
   )
 }

@@ -34,6 +34,62 @@ object TextAnalysis {
   private def hitsSql(set: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Annotate docs with the Gopher/C4 rule metrics and per-rule booleans
+    * (`r_words` … `r_dup3`). Shared by x16 (per-rule failure accounting)
+    * and x27 (the end-to-end corpus build). Requires a `text` column;
+    * integer-exact thresholds via cross-multiplication.
+    */
+  private[xscale] def gopherAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("ws", XText.words(col("text")))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("swl", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .withColumn("nsym", size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long"))
+      .withColumn("stop_hits", hits(col("ws"), Seq("the", "a", "of", "and")))
+      .withColumn("alpha", size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("tot2", when(col("nw") >= 2, col("nw") - 1).otherwise(lit(1L)).cast("long"))
+      .withColumn("d2", size(XText.shingles(col("ws"), 2)).cast("long"))
+      .withColumn("tot3", when(col("nw") >= 3, col("nw") - 2).otherwise(lit(1L)).cast("long"))
+      .withColumn("d3", size(XText.shingles(col("ws"), 3)).cast("long"))
+      .withColumn("r_words", col("nw").between(15, 10000))
+      .withColumn("r_mwl", col("swl") >= lit(3) * col("nw") && col("swl") <= lit(5) * col("nw"))
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_alpha", lit(5) * col("alpha") >= lit(4) * col("nw"))
+      .withColumn("r_sym", lit(10) * col("nsym") <= col("nw"))
+      .withColumn("r_dup2", lit(20) * (col("tot2") - col("d2")) <= col("tot2"))
+      .withColumn("r_dup3", lit(50) * (col("tot3") - col("d3")) <= col("tot3"))
+
+  private[xscale] val gopherRules =
+    Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3")
+
+  private[xscale] def gopherKeep: Column = gopherRules.map(col).reduce(_ && _)
+
+  /** DuckDB twin of [[gopherAnnotate]]: CTEs `w` → `m` → `r` over `FROM
+    * documents`, ending with per-rule booleans and any extra columns listed
+    * in `carry` threaded through.
+    */
+  private[xscale] def gopherSqlCtes(carry: String): String = {
+    val c = if (carry.isEmpty) "" else s"$carry, "
+    val stops = hitsSql(Seq("the", "a", "of", "and"))
+    s"w AS (SELECT ${c}doc_id, ${XText.wordsSql("text")} AS ws, " +
+      "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS swl, " +
+      "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS nsym FROM documents), " +
+      s"m AS (SELECT ${c}doc_id, CAST(len(ws) AS BIGINT) AS nw, swl, nsym, " +
+      s"CAST($stops AS BIGINT) AS stop_hits, " +
+      "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha, " +
+      "CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 1 END AS BIGINT) AS tot2, " +
+      s"CAST(len(${XText.shinglesSql("ws", 2)}) AS BIGINT) AS d2, " +
+      "CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS BIGINT) AS tot3, " +
+      s"CAST(len(${XText.shinglesSql("ws", 3)}) AS BIGINT) AS d3 FROM w), " +
+      s"r AS (SELECT ${c}doc_id, nw, tot2, d2, " +
+      "(nw BETWEEN 15 AND 10000) AS r_words, " +
+      "(swl >= 3 * nw AND swl <= 5 * nw) AS r_mwl, " +
+      "(stop_hits >= 2) AS r_stop, " +
+      "(5 * alpha >= 4 * nw) AS r_alpha, " +
+      "(10 * nsym <= nw) AS r_sym, " +
+      "(20 * (tot2 - d2) <= tot2) AS r_dup2, " +
+      "(50 * (tot3 - d3) <= tot3) AS r_dup3 FROM m)"
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -141,25 +197,7 @@ object TextAnalysis {
     Q(
       "x16_quality_gopher",
       Some {
-        val stops = hitsSql(Seq("the", "a", "of", "and"))
-        s"WITH w AS (SELECT source, ${XText.wordsSql("text")} AS ws, " +
-          "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS swl, " +
-          "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS nsym FROM documents), " +
-          s"m AS (SELECT source, CAST(len(ws) AS BIGINT) AS nw, swl, nsym, " +
-          s"CAST($stops AS BIGINT) AS stop_hits, " +
-          "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha, " +
-          "CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 1 END AS BIGINT) AS tot2, " +
-          s"CAST(len(${XText.shinglesSql("ws", 2)}) AS BIGINT) AS d2, " +
-          "CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS BIGINT) AS tot3, " +
-          s"CAST(len(${XText.shinglesSql("ws", 3)}) AS BIGINT) AS d3 FROM w), " +
-          "r AS (SELECT source, tot2, d2, " +
-          "(nw BETWEEN 15 AND 10000) AS r_words, " +
-          "(swl >= 3 * nw AND swl <= 5 * nw) AS r_mwl, " +
-          "(stop_hits >= 2) AS r_stop, " +
-          "(5 * alpha >= 4 * nw) AS r_alpha, " +
-          "(10 * nsym <= nw) AS r_sym, " +
-          "(20 * (tot2 - d2) <= tot2) AS r_dup2, " +
-          "(50 * (tot3 - d3) <= tot3) AS r_dup3 FROM m) " +
+        s"WITH ${gopherSqlCtes("source")} " +
           "SELECT source, count(*) AS n_docs, " +
           "CAST(sum(CASE WHEN r_words AND r_mwl AND r_stop AND r_alpha AND r_sym AND r_dup2 " +
           "AND r_dup3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
@@ -179,27 +217,9 @@ object TextAnalysis {
         "numerator/denominator sums. Pure per-row array expressions — the only shuffle is the " +
         "tiny per-source aggregation."
     ) { (s, dir) =>
-      val d = table(s, dir, "documents")
-        .withColumn("ws", XText.words(col("text")))
-        .withColumn("nw", size(col("ws")).cast("long"))
-        .withColumn("swl", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
-        .withColumn("nsym", size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long"))
-        .withColumn("stop_hits", hits(col("ws"), Seq("the", "a", "of", "and")))
-        .withColumn("alpha", size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long"))
-        .withColumn("tot2", when(col("nw") >= 2, col("nw") - 1).otherwise(lit(1L)).cast("long"))
-        .withColumn("d2", size(XText.shingles(col("ws"), 2)).cast("long"))
-        .withColumn("tot3", when(col("nw") >= 3, col("nw") - 2).otherwise(lit(1L)).cast("long"))
-        .withColumn("d3", size(XText.shingles(col("ws"), 3)).cast("long"))
-        .withColumn("r_words", col("nw").between(15, 10000))
-        .withColumn("r_mwl", col("swl") >= lit(3) * col("nw") && col("swl") <= lit(5) * col("nw"))
-        .withColumn("r_stop", col("stop_hits") >= 2)
-        .withColumn("r_alpha", lit(5) * col("alpha") >= lit(4) * col("nw"))
-        .withColumn("r_sym", lit(10) * col("nsym") <= col("nw"))
-        .withColumn("r_dup2", lit(20) * (col("tot2") - col("d2")) <= col("tot2"))
-        .withColumn("r_dup3", lit(50) * (col("tot3") - col("d3")) <= col("tot3"))
+      val d = gopherAnnotate(table(s, dir, "documents"))
       def fails(r: String): Column = sum(when(col(r), 0L).otherwise(1L)).as(s"f_${r.stripPrefix("r_")}")
-      val keep = Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3")
-        .map(col).reduce(_ && _)
+      val keep = gopherKeep
       d.groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),

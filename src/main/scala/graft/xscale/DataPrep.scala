@@ -291,9 +291,12 @@ object DataPrep {
         "shuffle on the norm key → per-row split tag → small aggregate; at 100 TB the dedup " +
         "shuffle dominates and is the same single-shuffle shape as x01."
     ) { (s, dir) =>
+      // project BEFORE the dedup shuffle: the annotated row carries the
+      // tokenized words array and every rule metric — without this select
+      // the window shuffle moves ~10x the bytes it needs.
       val kept = TextAnalysis.gopherAnnotate(table(s, dir, "documents"))
         .filter(TextAnalysis.gopherKeep)
-        .withColumn("_norm", Dedup.normText(col("text")))
+        .select(col("source"), col("doc_id"), col("nw"), Dedup.normText(col("text")).as("_norm"))
       graft.lake.Lake.dedupKeepFirst(kept, Seq("_norm"), Seq("doc_id"))
         .withColumn("split", splitCol)
         .groupBy("split")

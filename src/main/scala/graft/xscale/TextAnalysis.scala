@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, graftnative}
 import org.apache.spark.sql.functions._
 
 import graft.query.Q
@@ -35,33 +35,29 @@ object TextAnalysis {
     s"len(list_filter(ws, w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
 
   /** Annotate docs with the Gopher/C4 rule metrics and per-rule booleans
-    * (`r_words` … `r_dup3`). Shared by x16 (per-rule failure accounting)
-    * and x27 (the end-to-end corpus build). Requires a `text` column;
-    * integer-exact thresholds via cross-multiplication.
+    * (`r_words` … `r_dup3`, plus the conjunction `r_keep`). Shared by x16
+    * (per-rule failure accounting) and x27 (the end-to-end corpus build).
+    * One native single-pass expression ([[graftnative.GopherMetrics]])
+    * computes every metric: the equivalent declarative chain re-tokenizes
+    * the text once per rule after predicate pushdown substitutes the
+    * aliases into a scan-level Filter (measured 28x slower at sf0.1), and
+    * its interpreted lambdas defeat codegen subexpression elimination.
     */
-  private[xscale] def gopherAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.withColumn("ws", XText.words(col("text")))
-      .withColumn("nw", size(col("ws")).cast("long"))
-      .withColumn("swl", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
-      .withColumn("nsym", size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long"))
-      .withColumn("stop_hits", hits(col("ws"), Seq("the", "a", "of", "and")))
-      .withColumn("alpha", size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long"))
-      .withColumn("tot2", when(col("nw") >= 2, col("nw") - 1).otherwise(lit(1L)).cast("long"))
-      .withColumn("d2", size(XText.shingles(col("ws"), 2)).cast("long"))
-      .withColumn("tot3", when(col("nw") >= 3, col("nw") - 2).otherwise(lit(1L)).cast("long"))
-      .withColumn("d3", size(XText.shingles(col("ws"), 3)).cast("long"))
-      .withColumn("r_words", col("nw").between(15, 10000))
-      .withColumn("r_mwl", col("swl") >= lit(3) * col("nw") && col("swl") <= lit(5) * col("nw"))
-      .withColumn("r_stop", col("stop_hits") >= 2)
-      .withColumn("r_alpha", lit(5) * col("alpha") >= lit(4) * col("nw"))
-      .withColumn("r_sym", lit(10) * col("nsym") <= col("nw"))
-      .withColumn("r_dup2", lit(20) * (col("tot2") - col("d2")) <= col("tot2"))
-      .withColumn("r_dup3", lit(50) * (col("tot3") - col("d3")) <= col("tot3"))
+  private[xscale] def gopherAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fields = graftnative.GopherMetrics.schema.fieldNames
+    fields.foldLeft(df.withColumn("_gm", graftnative.api.gopherMetrics(col("text")))) {
+      case (d, f) =>
+        d.withColumn(if (f == "keep") "r_keep" else f, col(s"_gm.$f"))
+    }.drop("_gm")
+  }
 
   private[xscale] val gopherRules =
     Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3")
 
-  private[xscale] def gopherKeep: Column = gopherRules.map(col).reduce(_ && _)
+  /** Single-column keep flag: referencing ONE struct field keeps the
+    * pushed-down filter to ONE evaluation of the metrics pass.
+    */
+  private[xscale] def gopherKeep: Column = col("r_keep")
 
   /** DuckDB twin of [[gopherAnnotate]]: CTEs `w` → `m` → `r` over `FROM
     * documents`, ending with per-rule booleans and any extra columns listed

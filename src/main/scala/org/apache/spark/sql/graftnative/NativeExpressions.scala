@@ -19,7 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Dot product of two `array<double>` columns as one codegen'd loop.
@@ -541,6 +543,118 @@ object CsvQuoteError {
   }
 }
 
+/** All Gopher/C4 quality-rule metrics (graft.xscale.TextAnalysis x16/x27)
+  * in ONE pass over the text, returned as a struct. The declarative chain
+  * costs ~12 re-tokenizations per row once predicate pushdown substitutes
+  * the per-rule aliases into a scan-level Filter — and the higher-order
+  * lambdas inside (`filter`, `transform`) are CodegenFallback, so no
+  * common-subexpression elimination rescues it. Field semantics are
+  * bit-identical to the SQL twins in `TextAnalysis.gopherSqlCtes`:
+  * tokenization = java-regex `\s+` split with limit -1, `swl` counts
+  * non-whitespace codepoints (= `length(regexp_replace(text,'\s+',''))`),
+  * `nsym` counts non-overlapping `#|\.\.\.` matches, `alpha` counts tokens
+  * containing an ASCII lowercase letter, `d2`/`d3` count DISTINCT k-gram
+  * shingles (whole-text fallback shingle when the doc is shorter than k).
+  */
+case class GopherMetrics(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GopherMetrics.schema
+  override def prettyName: String = "graft_gopher_metrics"
+
+  override def nullSafeEval(input: Any): Any =
+    GopherMetrics.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.GopherMetrics.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherMetrics =
+    copy(child = newChild)
+}
+
+object GopherMetrics {
+  val schema: StructType = StructType(
+    Seq("nw", "swl", "nsym", "stop_hits", "alpha", "tot2", "d2", "tot3", "d3")
+      .map(StructField(_, LongType, nullable = false)) ++
+      Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3", "keep")
+        .map(StructField(_, BooleanType, nullable = false)))
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val sym = java.util.regex.Pattern.compile("#|\\.\\.\\.")
+
+  private def distinctShingles(words: Array[String], k: Int): Long =
+    if (words.length < k) 1L
+    else {
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.size.toLong
+    }
+
+  def compute(text: String): InternalRow = {
+    val words = ws.split(text, -1)
+    val nw = words.length.toLong
+    // swl: codepoints surviving regexp_replace(text, "\s+", "") — java
+    // regex \s is ASCII-only [ \t\n\x0B\f\r]
+    var swl = 0L
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      if (!(cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'))
+        swl += 1
+      ci += Character.charCount(cp)
+    }
+    var nsym = 0L
+    val m = sym.matcher(text)
+    while (m.find()) nsym += 1
+    var stopHits = 0L
+    var alpha = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w == "the" || w == "a" || w == "of" || w == "and") stopHits += 1
+      var has = false
+      var k = 0
+      while (!has && k < w.length) {
+        val c = w.charAt(k)
+        if (c >= 'a' && c <= 'z') has = true
+        k += 1
+      }
+      if (has) alpha += 1
+      wi += 1
+    }
+    val tot2 = if (nw >= 2) nw - 1 else 1L
+    val d2 = distinctShingles(words, 2)
+    val tot3 = if (nw >= 3) nw - 2 else 1L
+    val d3 = distinctShingles(words, 3)
+    val rWords = nw >= 15 && nw <= 10000
+    val rMwl = swl >= 3 * nw && swl <= 5 * nw
+    val rStop = stopHits >= 2
+    val rAlpha = 5 * alpha >= 4 * nw
+    val rSym = 10 * nsym <= nw
+    val rDup2 = 20 * (tot2 - d2) <= tot2
+    val rDup3 = 50 * (tot3 - d3) <= tot3
+    new GenericInternalRow(Array[Any](
+      nw, swl, nsym, stopHits, alpha, tot2, d2, tot3, d3,
+      rWords, rMwl, rStop, rAlpha, rSym, rDup2, rDup3,
+      rWords && rMwl && rStop && rAlpha && rSym && rDup2 && rDup3))
+  }
+}
+
 /** Public Column-level API for the native expressions. */
 object api {
   def dot(a: Column, b: Column): Column =
@@ -571,6 +685,9 @@ object api {
 
   def tokenHash60(text: Column): Column =
     ExpressionUtils.column(TokenHash60(ExpressionUtils.expression(text)))
+
+  def gopherMetrics(text: Column): Column =
+    ExpressionUtils.column(GopherMetrics(ExpressionUtils.expression(text)))
 
   def bloomMightContain(filter: BloomFilter, key: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()

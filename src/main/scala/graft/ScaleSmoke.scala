@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible N× scale smoke for the xscale operators (SURVEY §8.1).
+  *
+  * Builds an id-shifted union of N copies of the sf0.1 `documents` /
+  * `embeddings` tables — every doc becomes an N-duplicate cluster, the
+  * WORST case for dedup output size — and times a battery of the
+  * dedup/ANN/data-prep queries on it. Usage:
+  *
+  *   runMain graft.ScaleSmoke [factor] [query ...]
+  *
+  * Timings print as `[smoke] name seconds rows`. The copy corpus is cached
+  * under /tmp and rebuilt only when absent (delete to regenerate).
+  */
+object ScaleSmoke {
+  private val DefaultQueries = Seq(
+    "x01_dedup_exact", "x02_dedup_minhash", "x04_dedup_simhash",
+    "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
+    "x23_contam_ngram", "x25_containment", "x27_corpus_build")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = s"/tmp/graft_scale${factor}x"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      // id shift must clear the source id range so copies never collide
+      val shift = 10000000L
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until factor).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+        .reduce(_ union _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until factor).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * shift)))
+        .reduce(_ union _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    }
+    queries.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[smoke] $name UNKNOWN")
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, dir).count()
+          println(f"[smoke] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -11,6 +11,7 @@ object TestSpark {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toFile
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftnative.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh.getPath)
       .config("spark.sql.session.timeZone", "UTC")

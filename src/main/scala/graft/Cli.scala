@@ -44,7 +44,18 @@ object Cli {
     } else {
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
-      val code = try run(spark, args.toList) finally spark.stop()
+      // O3: run-scoped timeout cancelling the run's job group at the
+      // deadline (reference main.go:52-56; opt-in — see RunGuard scaladoc)
+      val timedRun = () => sys.env.get("RUN_TIMEOUT_SECONDS").map(_.toLong) match {
+        case Some(s) => RunGuard.withTimeout(spark, s, args.head)(run(spark, args.toList))
+        case None    => run(spark, args.toList)
+      }
+      val code =
+        try timedRun()
+        catch {
+          case e: RunGuard.RunTimeoutException =>
+            System.err.println(s"""{"error":${jsonStr(e.getMessage)}}"""); 1
+        } finally spark.stop()
       if (code != 0) sys.exit(code)
     }
 

@@ -340,7 +340,8 @@ object Lake {
       lakePath: String,
       syncLogPath: String,
       processedDir: Option[String] = None,
-      quarantinePath: Option[String] = None): IngestStats = {
+      quarantinePath: Option[String] = None,
+      log: graft.LogCtx = graft.LogCtx.default): IngestStats = {
     import spark.implicits._
     import graft.source.CsvIngest
     import graft.transform.Canonicalize
@@ -351,7 +352,9 @@ object Lake {
     val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
     val prevPrune = spark.conf.getOption(pruneKey)
     try {
-      ingestDirectoryInner(spark, unprocessedDir, lakePath, syncLogPath, processedDir, quarantinePath)
+      ingestDirectoryInner(
+        spark, unprocessedDir, lakePath, syncLogPath, processedDir, quarantinePath,
+        log.withField("dir", unprocessedDir))
     } finally {
       prevPrune match {
         case Some(v) => spark.conf.set(pruneKey, v)
@@ -366,7 +369,8 @@ object Lake {
       lakePath: String,
       syncLogPath: String,
       processedDir: Option[String],
-      quarantinePath: Option[String]): IngestStats = {
+      quarantinePath: Option[String],
+      log: graft.LogCtx): IngestStats = {
     import spark.implicits._
     import graft.source.CsvIngest
     import graft.transform.Canonicalize
@@ -441,7 +445,17 @@ object Lake {
       }
     }
 
+    // O4: per-file outcome lines with run context (the reference logs each
+    // failure through its context logger, datalake.go:77-106)
+    outcomes.foreach { o =>
+      val fileLog = log.withField("file", o.file)
+      if (o.outcome == "processed") fileLog.info(s"processed rows=${o.records}")
+      else fileLog.warn(s"failed: ${o.reason}")
+    }
     val st = stats(spark.createDataset(outcomes))
+    log.info(
+      s"ingest done total=${st.total_files} processed=${st.processed_files} " +
+        s"failed=${st.failed_files}")
     validDf.unpersist()
     st
   }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import xscale.{DataPrep, Dedup, DedupClusters, IncrementalDedup, Similarity, TextAnalysis}
+
+/** The library's public face for training-data pipelines — one object a
+  * user imports to run every corpus operation the engine implements,
+  * without knowing the internal module layout. Inputs follow the
+  * `documents` (doc_id, text, …) and `embeddings` (vec_id, embedding,
+  * label) shapes; every method is lazy DataFrame algebra (no actions), so
+  * calls compose into a single Catalyst plan and inherit the scale
+  * posture documented on the underlying operator.
+  *
+  * The oracle-checked query battery (`SparkEntry.queries`) is built FROM
+  * these same functions, so library callers get exactly the semantics the
+  * DuckDB cross-checks pin down.
+  */
+object TrainingData {
+
+  // ---- deduplication ----
+
+  /** Exact dedup on aggressively normalized text; keeps min doc_id. */
+  def dedupExact(docs: DataFrame): DataFrame = Dedup.dedupExact(docs)
+
+  /** MinHash-LSH near-dup candidate pairs (16 perms, 4 bands × 4 rows). */
+  def minhashPairs(docs: DataFrame): DataFrame = Dedup.minhashPairs(docs)
+
+  /** SimHash near-dup pairs; `wide = true` switches to the 120-bit Manku
+    * configuration for shards beyond ~1e5 docs.
+    */
+  def simhashPairs(docs: DataFrame, wide: Boolean = false): DataFrame =
+    Dedup.simhashPairs(docs, wide)
+
+  /** Exact n-gram Jaccard pairs (the verify step for the sketches). */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, num: Int = 3, den: Int = 10): DataFrame =
+    Dedup.jaccardPairs(docs, k, num, den)
+
+  /** Directional containment pairs (quote / excerpt detection). */
+  def containmentPairs(docs: DataFrame, k: Int = 4, num: Int = 8, den: Int = 10): DataFrame =
+    Dedup.containmentPairs(docs, k, num, den)
+
+  /** Near-dup pairs → connected components → one survivor per cluster. */
+  def dedupByPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    DedupClusters.dedupByPairs(docs, pairs)
+
+  /** Components of an (a, b) pair list by label propagation (near-dup
+    * clique piles) — [[connectedComponentsStar]] for high-diameter graphs.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    DedupClusters.connectedComponents(pairs)
+
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    DedupClusters.connectedComponentsStar(pairs)
+
+  /** Dedup a new batch against a corpus without shuffling the corpus:
+    * Bloom-gated anti-join on the normalized-text key. Build the filter
+    * once per corpus version with [[IncrementalDedup.corpusBloom]].
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    IncrementalDedup.newDocs(corpus, batch, bloom)
+
+  // ---- similarity search ----
+
+  /** Exact cosine top-k for rows matching `isQuery` (baseline). */
+  def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
+    Similarity.knnBrute(emb, isQuery, k)
+
+  /** Multi-table random-hyperplane LSH top-k (the scale path). */
+  def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
+    Similarity.knnLsh(emb, isQuery, k)
+
+  // ---- text analysis / quality ----
+
+  /** Gopher/C4 rule metrics + per-rule booleans + `r_keep`, one native
+    * pass per row.
+    */
+  def qualityAnnotate(docs: DataFrame): DataFrame = TextAnalysis.gopherAnnotate(docs)
+
+  /** Docs passing every Gopher/C4 rule. */
+  def qualityFilter(docs: DataFrame): DataFrame = TextAnalysis.qualityFilter(docs)
+
+  // ---- corpus preparation ----
+
+  /** Deterministic 90/5/5 train/val/test tag (`split` column). */
+  def splitAssign(docs: DataFrame): DataFrame = DataPrep.splitAssign(docs)
+
+  /** Concat-and-chunk sequence packing: (doc_id, n_tok, shard, pack). */
+  def packAssignments(docs: DataFrame, budget: Int = DataPrep.PackBudget,
+      shards: Int = DataPrep.PackShards): DataFrame =
+    DataPrep.packAssignments(docs, budget, shards)
+
+  /** Exact-k deterministic sample per stratum; `quota` may vary by row. */
+  def stratifiedSample(docs: DataFrame, stratum: String, quota: Column): DataFrame =
+    DataPrep.stratifiedSample(docs, stratum, quota)
+
+  /** Symmetric int8 floor-quantization of embeddings (per-vector scale). */
+  def quantizeInt8(emb: DataFrame): DataFrame = DataPrep.quantizeInt8(emb)
+}

@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.{Column, graftnative}
+import org.apache.spark.sql.{Column, DataFrame, graftnative}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,12 +32,59 @@ object DataPrep {
   private def ordCol: Column = XHash.h60(col("doc_id").cast("string"))
 
   /** x19's split bucketing, shared by the contamination checks. */
-  private def splitCol: Column = {
+  def splitCol: Column = {
     val bucket = ordCol % 100
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
   private def splitSql: String =
     s"CASE WHEN $ordSql % 100 < 90 THEN 'train' WHEN $ordSql % 100 < 95 THEN 'val' ELSE 'test' END"
+
+  /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
+  def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
+
+  /** Concat-and-chunk pack assignment: docs in deterministic hash order
+    * within `shards` shards, a doc belongs to the pack its first token
+    * lands in. Columns (doc_id, n_tok, shard, pack).
+    */
+  def packAssignments(docs: DataFrame, budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
+    val t = docs
+      .select(
+        col("doc_id"),
+        size(XText.words(col("text"))).cast("long").as("n_tok"),
+        ordCol.as("ord"))
+      .withColumn("shard", col("ord") % shards)
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("shard"), expr(s"cum div $budget").as("pack"))
+  }
+
+  /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
+    * each stratum value, keep rank <= quota (a per-row Column, so quotas
+    * can vary by stratum).
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, quota: Column): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(ordCol.as("ord"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota).drop("rk")
+  }
+
+  /** Symmetric int8 floor-quantization with a per-vector scale. Columns
+    * (vec_id, label, amax, qv: array<long> in [-127, 127]). Zero vectors
+    * (amax = 0) are dropped — they have no quantizable direction.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn(
+        "qv",
+        transform(
+          col("v"),
+          x => greatest(lit(-127L), least(lit(127L), floor(x * lit(127.0) / col("amax"))))))
+      .drop("v")
 
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
@@ -60,16 +107,8 @@ object DataPrep {
         s"$PackShards), so the cumulative-sum window is partitioned — no global sort; at 100 TB " +
         "each writer task packs its own shard independently. Output: docs-per-pack histogram."
     ) { (s, dir) =>
-      val t = table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(XText.words(col("text"))).cast("long").as("n_tok"),
-          ordCol.as("ord"))
-        .withColumn("shard", col("ord") % PackShards)
-      val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-        .groupBy(col("shard"), expr(s"cum div $PackBudget").as("pack"))
+      packAssignments(table(s, dir, "documents"))
+        .groupBy("shard", "pack")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
         .groupBy(col("n_docs").as("docs_per_pack"))
         .agg(count(lit(1)).as("n_packs"), sum("toks").as("sum_tokens"))
@@ -93,10 +132,7 @@ object DataPrep {
         "form (keep hash < k/n * 2^60, no window) at the cost of k being approximate."
     ) { (s, dir) =>
       val quota = when(col("lang") === "en", 30).otherwise(60)
-      val w = Window.partitionBy("lang").orderBy(ordCol.as("ord"), col("doc_id"))
-      table(s, dir, "documents")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= quota)
+      stratifiedSample(table(s, dir, "documents"), "lang", quota)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
@@ -172,18 +208,8 @@ object DataPrep {
         "saturation counts verify the codebook. Pure per-row array math — zero shuffle " +
         "before the 10-row label aggregate."
     ) { (s, dir) =>
-      val e = table(s, dir, "embeddings")
-        .select(
-          col("label").cast("long").as("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-        .filter(col("amax") > 0)
-        .withColumn(
-          "qv",
-          transform(
-            col("v"),
-            x => greatest(lit(-127L), least(lit(127L), floor(x * lit(127.0) / col("amax"))))))
-      e.withColumn("sq", aggregate(col("qv"), lit(0L), (a, x) => a + x))
+      quantizeInt8(table(s, dir, "embeddings"))
+        .withColumn("sq", aggregate(col("qv"), lit(0L), (a, x) => a + x))
         .withColumn("sq2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
         .withColumn("nsat", size(filter(col("qv"), x => abs(x) >= 127)).cast("long"))
         .groupBy("label")
@@ -216,20 +242,7 @@ object DataPrep {
         "float crosses the oracle; shingles join as 60-bit hashes. Same candidates-only caveat " +
         "as x03: at 100 TB run it on LSH candidate pairs, not the full self-join."
     ) { (s, dir) =>
-      val shd = table(s, dir, "documents")
-        .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), 4)).as("sgl"))
-      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shd.as("a")
-        .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      inter.join(sz.select(col("doc_id").as("da"), col("n").as("n_a")), "da")
-        .filter(lit(10) * col("i") >= lit(8) * col("n_a"))
-        .select(
-          col("da").as("doc_id_a"),
-          col("db").as("doc_id_b"),
-          col("i").as("n_inter"),
-          col("n_a"))
+      Dedup.containmentPairs(table(s, dir, "documents"))
         .orderBy("doc_id_a", "doc_id_b")
     },
 

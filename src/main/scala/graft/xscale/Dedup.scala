@@ -153,6 +153,83 @@ object Dedup {
       s"sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hs)"
   }
 
+  /** Exact dedup: one survivor (min tie-break) per normalized-text group. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    graft.lake.Lake
+      .dedupKeepFirst(docs.withColumn("_norm", normText(col("text"))), Seq("_norm"), Seq("doc_id"))
+      .drop("_norm")
+
+  /** MinHash-LSH near-dup pairs: candidates share >= 1 of B band buckets,
+    * kept when >= K/2 of K minhashes agree. Columns
+    * (doc_id_a, doc_id_b, n_match).
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = withSignature(docs)
+      .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
+    val bandKeys = (0 until B).map(b =>
+      md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
+    val bands = sig.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "sig", "band", "key")
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("da"), col("sig").as("sa"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("db"), col("sig").as("sb"))
+    val nMatch = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    a.join(b, Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), nMatch.as("n_match"))
+      .distinct()
+      .filter(col("n_match") >= K / 2)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
+  }
+
+  /** Exact Jaccard >= num/den over distinct word-k-gram sets, in integer
+    * arithmetic. Columns (doc_id_a, doc_id_b, n_inter, n_a, n_b). The
+    * verify path: at scale run it on LSH candidates, not the full
+    * self-join.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, num: Int = 3, den: Int = 10): DataFrame = {
+    val shd = docs
+      .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), k)).as("sgl"))
+    val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shd.as("a")
+      .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sz.select(col("doc_id").as("da"), col("n").as("n_a"))
+    val sb = sz.select(col("doc_id").as("db"), col("n").as("n_b"))
+    inter.join(sa, "da").join(sb, "db")
+      .filter(lit(den) * col("i") >= lit(num) * (col("n_a") + col("n_b") - col("i")))
+      .select(
+        col("da").as("doc_id_a"),
+        col("db").as("doc_id_b"),
+        col("i").as("n_inter"),
+        col("n_a"),
+        col("n_b"))
+  }
+
+  /** Directional containment |A∩B|/|A| >= num/den over distinct word-k-gram
+    * sets. Columns (doc_id_a, doc_id_b, n_inter, n_a) — a is the contained
+    * doc.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 4, num: Int = 8, den: Int = 10): DataFrame = {
+    val shd = docs
+      .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), k)).as("sgl"))
+    val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shd.as("a")
+      .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(sz.select(col("doc_id").as("da"), col("n").as("n_a")), "da")
+      .filter(lit(den) * col("i") >= lit(num) * col("n_a"))
+      .select(
+        col("da").as("doc_id_a"),
+        col("db").as("doc_id_b"),
+        col("i").as("n_inter"),
+        col("n_a"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x01: exact dedup after normalization (hash groupBy keep-first) -----
     Q(
@@ -163,9 +240,7 @@ object Dedup {
           "FROM documents) WHERE rn = 1 GROUP BY source ORDER BY source"),
       "exact dedup on normalized text: one shuffle on the norm key; survivors attributed to source"
     ) { (s, dir) =>
-      val d = table(s, dir, "documents").withColumn("_norm", normText(col("text")))
-      graft.lake.Lake
-        .dedupKeepFirst(d, Seq("_norm"), Seq("doc_id"))
+      dedupExact(table(s, dir, "documents"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_after"))
         .orderBy("source")
@@ -188,24 +263,7 @@ object Dedup {
       "MinHash(16) in 4 bands of 4; candidates share >=1 band bucket, kept when >=8/16 minhashes agree. " +
         "The join is keyed on (band, bucket) — O(candidates), the 100 TB dedup path"
     ) { (s, dir) =>
-      val sig = withSignature(table(s, dir, "documents"))
-        .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
-      val bandKeys = (0 until B).map(b =>
-        md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
-      val bands = sig.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
-        .toDF("doc_id", "sig", "band", "key")
-      val a = bands.select(col("band"), col("key"), col("doc_id").as("da"), col("sig").as("sa"))
-      val b = bands.select(col("band"), col("key"), col("doc_id").as("db"), col("sig").as("sb"))
-      val nMatch = aggregate(
-        zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
-        lit(0L),
-        (acc, x) => acc + x)
-      a.join(b, Seq("band", "key"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"), nMatch.as("n_match"))
-        .distinct()
-        .filter(col("n_match") >= K / 2)
-        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
+      minhashPairs(table(s, dir, "documents"))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -230,23 +288,7 @@ object Dedup {
         "so no float crosses the oracle; shingles carried as 60-bit hashes so the self-join shuffles " +
         "16-byte rows, not strings — at 100 TB run it on LSH candidates only"
     ) { (s, dir) =>
-      val shd = table(s, dir, "documents")
-        .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), 3)).as("sgl"))
-      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shd.as("a")
-        .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      val sa = sz.select(col("doc_id").as("da"), col("n").as("n_a"))
-      val sb = sz.select(col("doc_id").as("db"), col("n").as("n_b"))
-      inter.join(sa, "da").join(sb, "db")
-        .filter(lit(10) * col("i") >= lit(3) * (col("n_a") + col("n_b") - col("i")))
-        .select(
-          col("da").as("doc_id_a"),
-          col("db").as("doc_id_b"),
-          col("i").as("n_inter"),
-          col("n_a"),
-          col("n_b"))
+      jaccardPairs(table(s, dir, "documents"))
         .orderBy("doc_id_a", "doc_id_b")
     },
 

@@ -93,6 +93,46 @@ object Similarity {
     "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
       "/ (q.nrm * c.nrm)"
 
+  /** Exact top-k neighbors by cosine for the rows matching `isQuery`:
+    * query side broadcast, one corpus scan. Columns
+    * (query_id, rank, neighbor_id).
+    */
+  def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** LSH top-k: candidates collide in ANY of the NL tables, exact cosine
+    * rank on candidates only. Columns (query_id, rank, neighbor_id).
+    */
+  def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
+    val e = withNorm(emb)
+      .withColumn("bks", array((0 until NL).map(t => bucketT(col("v"), t)): _*))
+    val side = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cand = side.filter(isQuery).select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      .join(side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x06: brute-force cosine top-k (exact baseline) -----
     Q(
@@ -108,17 +148,7 @@ object Similarity {
       "exact top-3 by cosine for 10 query vectors: query side broadcast, one corpus scan, " +
         "per-partition top-k then a |q|*k-row final sort"
     ) { (s, dir) =>
-      val e = withNorm(table(s, dir, "embeddings"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(q)
-        .join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("query_id", "rank", "neighbor_id")
+      knnBrute(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
     },
 
@@ -250,22 +280,7 @@ object Similarity {
         "(no shuffle to compute), candidates = collision in ANY table (union lifts recall from p^4 " +
         "to 1-(1-p^4)^4), joins keyed on (table, bucket) — never O(n^2)"
     ) { (s, dir) =>
-      val e = withNorm(table(s, dir, "embeddings"))
-        .withColumn("bks", array((0 until NL).map(t => bucketT(col("v"), t)): _*))
-      val side = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
-      val cand = side.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-        .join(side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-      val qv = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      cand.join(qv, "query_id").join(cv, "neighbor_id")
-        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("query_id", "rank", "neighbor_id")
+      knnLsh(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
     }
   )

@@ -43,7 +43,7 @@ object TextAnalysis {
     * aliases into a scan-level Filter (measured 28x slower at sf0.1), and
     * its interpreted lambdas defeat codegen subexpression elimination.
     */
-  private[xscale] def gopherAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def gopherAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fields = graftnative.GopherMetrics.schema.fieldNames
     fields.foldLeft(df.withColumn("_gm", graftnative.api.gopherMetrics(col("text")))) {
       case (d, f) =>
@@ -51,13 +51,17 @@ object TextAnalysis {
     }.drop("_gm")
   }
 
-  private[xscale] val gopherRules =
+  val gopherRules =
     Seq("r_words", "r_mwl", "r_stop", "r_alpha", "r_sym", "r_dup2", "r_dup3")
 
   /** Single-column keep flag: referencing ONE struct field keeps the
     * pushed-down filter to ONE evaluation of the metrics pass.
     */
-  private[xscale] def gopherKeep: Column = col("r_keep")
+  def gopherKeep: Column = col("r_keep")
+
+  /** Docs passing every Gopher/C4 rule, metrics columns retained. */
+  def qualityFilter(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gopherAnnotate(df).filter(gopherKeep)
 
   /** DuckDB twin of [[gopherAnnotate]]: CTEs `w` → `m` → `r` over `FROM
     * documents`, ending with per-rule booleans and any extra columns listed

@@ -38,7 +38,7 @@ object Cli {
     } + "\""
 
   def main(args: Array[String]): Unit =
-    if (!Set("ingest", "query", "generate-synthetic-data").contains(
+    if (!Set("ingest", "query", "generate-synthetic-data", "corpus").contains(
         args.headOption.getOrElse(""))) {
       usage(); sys.exit(2)
     } else {
@@ -115,6 +115,30 @@ object Cli {
       }
       0
 
+    // corpus preparation: quality filter -> exact dedup -> split -> pack,
+    // written as a split-partitioned parquet corpus + one stats JSON line
+    case "corpus" :: docsPath :: outDir :: Nil =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val docs = spark.read.parquet(docsPath)
+      val kept = TrainingData.qualityFilter(docs)
+        .select(docs.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val deduped = TrainingData.dedupExact(kept)
+      val split = TrainingData.splitAssign(deduped)
+      val packs = TrainingData.packAssignments(split)
+      val out = split.join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split").parquet(outDir)
+      val bySplit = spark.read.parquet(outDir)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nPacks = spark.read.parquet(outDir)
+        .select("shard", "pack").distinct().count()
+      println(
+        s"""{"input":${docs.count()},"kept":${kept.count()},"deduped":${deduped.count()},""" +
+          s""""train":${bySplit.getOrElse("train", 0L)},"val":${bySplit.getOrElse("val", 0L)},""" +
+          s""""test":${bySplit.getOrElse("test", 0L)},"packs":$nPacks,"out":${jsonStr(outDir)}}""")
+      0
+
     case _ =>
       usage()
       2
@@ -125,6 +149,7 @@ object Cli {
       "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
+        "       graft.Cli corpus <documentsParquet> <outDir>\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

@@ -160,10 +160,11 @@ object Dedup {
       .drop("_norm")
 
   /** MinHash-LSH near-dup pairs: candidates share >= 1 of B band buckets,
-    * kept when >= K/2 of K minhashes agree. Columns
+    * kept when >= `minMatch` of K minhashes agree (default K/2; pass 0 for
+    * ALL band-collision candidates, e.g. for sketch calibration). Columns
     * (doc_id_a, doc_id_b, n_match).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame, minMatch: Int = K / 2): DataFrame = {
     val sig = withSignature(docs)
       .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
     val bandKeys = (0 until B).map(b =>
@@ -180,7 +181,7 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), nMatch.as("n_match"))
       .distinct()
-      .filter(col("n_match") >= K / 2)
+      .filter(col("n_match") >= minMatch)
       .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
   }
 
@@ -379,6 +380,62 @@ object Dedup {
         .groupBy("source")
         .agg(count(lit(1)).as("n_after"))
         .orderBy("source")
+    },
+
+    // ----- x28: MinHash sketch calibration (estimate vs exact Jaccard) -----
+    Q(
+      "x28_minhash_calibration",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        s"WITH $sigSqlCtes, " +
+          s"bk AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
+          s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+          s"len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS n_match " +
+          "FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+          "shd AS (SELECT doc_id, unnest(hl) AS sgl FROM hs), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+          "iv AS (SELECT c.da, c.db, count(*) AS i FROM cand c " +
+          "JOIN shd a ON a.doc_id = c.da JOIN shd b ON b.doc_id = c.db AND b.sgl = a.sgl " +
+          "GROUP BY 1, 2), " +
+          "pe AS (SELECT c.da, c.db, c.n_match, coalesce(iv.i, 0) AS i FROM cand c " +
+          "LEFT JOIN iv ON iv.da = c.da AND iv.db = c.db), " +
+          "j AS (SELECT n_match, CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jac_e4 " +
+          "FROM pe JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) " +
+          "SELECT n_match, count(*) AS n_pairs, CAST(sum(jac_e4) AS BIGINT) AS sum_jac_e4, " +
+          "CAST(min(jac_e4) AS BIGINT) AS min_jac_e4, CAST(max(jac_e4) AS BIGINT) AS max_jac_e4 " +
+          "FROM j GROUP BY n_match ORDER BY n_match"
+      },
+      "sketch calibration — the measurement that justifies trusting MinHash at 100 TB: for EVERY " +
+        "LSH band-collision candidate (no match threshold), the estimated similarity (n_match of " +
+        s"$K minhashes) against the exact shingle Jaccard (fixed-point e4), bucketed by estimate. " +
+        "Exact verification touches candidates only — the same join shape the dedup pipeline " +
+        "runs, so calibration costs one extra keyed join, not an all-pairs pass."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val cand = minhashPairs(docs, 0)
+        .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("n_match"))
+      val shd = docs
+        .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), 3)).as("sgl"))
+      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val iv = cand.select("da", "db")
+        .join(shd.select(col("doc_id").as("da"), col("sgl").as("sgl_a")), "da")
+        .join(shd.select(col("doc_id").as("db"), col("sgl").as("sgl_b")), "db")
+        .filter(col("sgl_a") === col("sgl_b"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("i"))
+      val pe = cand.join(iv, Seq("da", "db"), "left")
+        .withColumn("i", coalesce(col("i"), lit(0L)))
+      pe.join(sz.select(col("doc_id").as("da"), col("n").as("n_a")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("n_b")), "db")
+        .withColumn("jac_e4", floor(lit(10000.0) * col("i") / (col("n_a") + col("n_b") - col("i"))))
+        .groupBy("n_match")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum("jac_e4").as("sum_jac_e4"),
+          min("jac_e4").as("min_jac_e4"),
+          max("jac_e4").as("max_jac_e4"))
+        .orderBy("n_match")
     },
 
     // ----- x05: embedding-cosine near-dup -----

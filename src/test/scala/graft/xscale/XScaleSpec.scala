@@ -214,6 +214,23 @@ class XScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p19")
   }
 
+  test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {
+    val rows = Dedup.queries.find(_.name == "x28_minhash_calibration").get
+      .run(spark, "/root/testdata/sf0.001")
+      .select("n_match", "n_pairs", "min_jac_e4", "max_jac_e4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, n, lo, hi) =>
+      assert(m >= 1 && m <= Dedup.K)
+      assert(n > 0)
+      assert(lo >= 0 && hi <= 10000 && lo <= hi)
+    }
+    // total candidates == unthresholded minhashPairs count
+    val total = Dedup.minhashPairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0).count()
+    assert(rows.map(_._2).sum === total)
+  }
+
   test("x20 contamination fires on a train/test duplicate (zero on clean corpus is real)") {
     // pick doc_ids landing in train (<90) and test (>=95) buckets with the
     // driver twin of the split hash

@@ -438,6 +438,47 @@ object Dedup {
         .orderBy("n_match")
     },
 
+    // ----- x29: per-source corpus sketches via the MinHash AGGREGATE -----
+    Q(
+      "x29_source_sketch",
+      Some {
+        val ws = XText.wordsSql("text")
+        val sh = XText.shinglesSql("ws", 3)
+        val sigExprs = (0 until K)
+          .map(i => s"min((${As(i)} * hp + ${Bs(i)}) % $P)")
+          .mkString(", ")
+        s"WITH w AS (SELECT source, $ws AS ws FROM documents), " +
+          s"sl AS (SELECT source, $sh AS ss FROM w), " +
+          s"sh AS (SELECT source, unnest(list_transform(ss, sgl -> ${h60Sql("sgl")})) AS h FROM sl), " +
+          s"p AS (SELECT source, h % $P AS hp FROM sh), " +
+          s"sig AS (SELECT source, [$sigExprs] AS sig FROM p GROUP BY source) " +
+          "SELECT a.source AS source_a, b.source AS source_b, " +
+          s"CAST(len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS BIGINT) " +
+          "AS n_match FROM sig a JOIN sig b ON a.source < b.source " +
+          "ORDER BY source_a, source_b"
+      },
+      "corpus-level similarity via a custom Catalyst TypedImperativeAggregate " +
+        "(graftnative.MinHashAgg): each source's signature sketches the UNION of its docs' " +
+        "shingle sets — state is a primitive long[16], partial merge is elementwise min " +
+        "(commutative+associative, so map-side combine works and the result is partitioning- " +
+        "independent). Pairwise signature agreement then estimates cross-source Jaccard " +
+        "without ever joining shingles — the sketch-not-data pattern that makes corpus " +
+        "comparison O(sources^2 * K) instead of O(shingles^2) at 100 TB."
+    ) { (s, dir) =>
+      val sh = table(s, dir, "documents")
+        .select(col("source"), explode(graftnative.api.shingleHash60(col("text"), 3)).as("h"))
+      val sigs = sh.groupBy("source").agg(graftnative.MinHashAgg(col("h"), K).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sa"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sb"))
+      val nMatch = aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L),
+        (acc, x) => acc + x)
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), nMatch.as("n_match"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ----- x05: embedding-cosine near-dup -----
     Q(
       "x05_embed_neardup",

@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_gopher_metrics"),
       info(classOf[GopherMetrics], "graft_gopher_metrics"),
       (es: Seq[Expression]) => GopherMetrics(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_agg"),
+      info(classOf[MinHashAgg], "graft_minhash_agg"),
+      (es: Seq[Expression]) => new MinHashAgg(es(0), intLit(es(1), "k"))))
     ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

@@ -49,13 +49,23 @@ object Dedup {
     * within duplicate clusters (quadratic in cluster size by definition);
     * [[DedupClusters.dedupByPairs]] (x14) collapses pairs to cluster
     * representatives.
+    *
+    * `minWords` (opt-in; 0 = off, the oracle-pinned default): x28's
+    * sketch calibration showed docs shorter than the shingle length can
+    * carry perfectly-agreeing sketches at near-zero true Jaccard (one
+    * whole-text shingle ⇒ degenerate fingerprints). A length floor keeps
+    * such docs OUT of the sketch path — route them to exact dedup (x01)
+    * instead, where short texts are cheap to compare exactly.
     */
-  def simhashPairs(docs: DataFrame, wide: Boolean = false): DataFrame = {
+  def simhashPairs(docs: DataFrame, wide: Boolean = false, minWords: Int = 0): DataFrame = {
     val maxHamming = if (wide) 3 else 8
     val hamming =
       if (wide) expr("CAST(bit_count(sa1 ^ sb1) + bit_count(sa2 ^ sb2) AS BIGINT)")
       else expr("CAST(bit_count(sa1 ^ sb1) AS BIGINT)")
-    simhashCandidates(docs, wide)
+    val in =
+      if (minWords <= 0) docs
+      else docs.filter(size(XText.words(col("text"))) >= minWords)
+    simhashCandidates(in, wide)
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
@@ -162,10 +172,14 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: candidates share >= 1 of B band buckets,
     * kept when >= `minMatch` of K minhashes agree (default K/2; pass 0 for
     * ALL band-collision candidates, e.g. for sketch calibration). Columns
-    * (doc_id_a, doc_id_b, n_match).
+    * (doc_id_a, doc_id_b, n_match). `minWords` floors doc length before
+    * sketching (see [[simhashPairs]] — x28 calibration rationale).
     */
-  def minhashPairs(docs: DataFrame, minMatch: Int = K / 2): DataFrame = {
-    val sig = withSignature(docs)
+  def minhashPairs(docs: DataFrame, minMatch: Int = K / 2, minWords: Int = 0): DataFrame = {
+    val in =
+      if (minWords <= 0) docs
+      else docs.filter(size(XText.words(col("text"))) >= minWords)
+    val sig = withSignature(in)
       .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
     val bandKeys = (0 until B).map(b =>
       md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))

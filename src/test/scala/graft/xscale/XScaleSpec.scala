@@ -231,6 +231,28 @@ class XScaleSpec extends SparkSpec {
     assert(rows.map(_._2).sum === total)
   }
 
+  test("minWords floor routes short docs out of the sketch path") {
+    // x28's calibration showed sub-shingle-length docs get degenerate
+    // fingerprints (one whole-text shingle) — the floor keeps them out of
+    // the sketch pair sets entirely; exact dedup (x01) owns short texts
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "zz"), // short: 1 token
+      (4L, "zz")  // short exact-dup of 3 — exact dedup's job, not the sketch's
+    ).toDF("doc_id", "text")
+    val unfloored = Dedup.minhashPairs(docs, 0)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(unfloored.contains((3L, 4L))) // sketches DO fire on the short pair
+    val floored = Dedup.minhashPairs(docs, 0, minWords = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!floored.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+    assert(floored.contains((1L, 2L))) // real near-dups unaffected
+    val flooredSim = Dedup.simhashPairs(docs, minWords = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!flooredSim.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("x20 contamination fires on a train/test duplicate (zero on clean corpus is real)") {
     // pick doc_ids landing in train (<90) and test (>=95) buckets with the
     // driver twin of the split hash

@@ -61,6 +61,16 @@ object TrainingData {
       bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
     IncrementalDedup.newDocs(corpus, batch, bloom)
 
+  /** MinHash signature per group (e.g. per source): sketches the union of
+    * the group's 60-bit shingle hashes via the [[org.apache.spark.sql.graftnative.MinHashAgg]]
+    * custom aggregate. Input needs (`groupCol`, `hashCol: long`); compare
+    * signatures component-wise to estimate cross-group Jaccard.
+    */
+  def minhashSketch(df: DataFrame, groupCol: String, hashCol: String, k: Int = 16): DataFrame =
+    df.groupBy(groupCol).agg(
+      org.apache.spark.sql.graftnative.MinHashAgg(
+        org.apache.spark.sql.functions.col(hashCol), k).as("sig"))
+
   // ---- similarity search ----
 
   /** Exact cosine top-k for rows matching `isQuery` (baseline). */

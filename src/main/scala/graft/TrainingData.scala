@@ -91,6 +91,12 @@ object TrainingData {
   /** Docs passing every Gopher/C4 rule. */
   def qualityFilter(docs: DataFrame): DataFrame = TextAnalysis.qualityFilter(docs)
 
+  /** Gopher char-fraction repetition counters (top-n-gram products,
+    * dup-n-gram positional coverage) in one native pass per row.
+    */
+  def repetitionAnnotate(docs: DataFrame): DataFrame =
+    TextAnalysis.repetitionAnnotate(docs)
+
   // ---- corpus preparation ----
 
   /** Deterministic 90/5/5 train/val/test tag (`split` column). */

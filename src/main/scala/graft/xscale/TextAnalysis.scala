@@ -63,6 +63,18 @@ object TextAnalysis {
   def qualityFilter(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     gopherAnnotate(df).filter(gopherKeep)
 
+  /** Annotate docs with the Gopher char-fraction repetition counters
+    * (`totc`, `top2..top4`, `cov5`, `cov6` — see
+    * [[graftnative.RepetitionMetrics]]) in one native pass. x31 derives
+    * the rule booleans from these by integer cross-multiplication.
+    */
+  def repetitionAnnotate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graftnative.RepetitionMetrics.schema.fieldNames
+      .foldLeft(df.withColumn("_rm", graftnative.api.repetitionMetrics(col("text")))) {
+        (d, f) => d.withColumn(f, col(s"_rm.$f"))
+      }
+      .drop("_rm")
+
   /** DuckDB twin of [[gopherAnnotate]]: CTEs `w` → `m` → `r` over `FROM
     * documents`, ending with per-rule booleans and any extra columns listed
     * in `carry` threaded through.
@@ -340,6 +352,87 @@ object TextAnalysis {
           array_min(transform(XText.shingles(XText.words(col("text")), 5), x => h60(x)))
             .as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // ----- x31: repetition char fractions (Gopher Table A1, char family) -----
+    Q(
+      "x31_repetition",
+      Some(repetitionOracleSql),
+      "Gopher's char-fraction repetition signals, the family x16's count-based r_dup2/r_dup3 " +
+        "do not cover: top-{2,3,4}-gram char fraction (chars attributable to the most " +
+        "repetitive n-gram) and dup-{5,6}-gram char COVERAGE (positional span union, so " +
+        "overlapping duplicates are not double-counted). One native single-pass expression " +
+        "per row (graftnative.RepetitionMetrics) — zero shuffle, linear scan work at 100 TB; " +
+        "the declarative twin would re-tokenize per metric exactly like the x27 regression. " +
+        "Rule booleans use integer cross-multiplication (5·top2 <= totc etc.), fractions " +
+        "are reported fixed-point e6, so no float crosses the oracle."
+    ) { (s, dir) =>
+      val ann = repetitionAnnotate(table(s, dir, "documents"))
+      def e6(c: String) =
+        when(col("totc") === 0L, 0L)
+          .otherwise(expr(s"(1000000 * $c) div totc")).as(s"${c}_e6")
+      ann.select(
+        col("doc_id"),
+        col("totc"),
+        e6("top2"), e6("top3"), e6("top4"), e6("cov5"), e6("cov6"),
+        (col("top2") * 5 <= col("totc")).as("r_top2"),
+        (col("top3") * 50 <= col("totc") * 9).as("r_top3"),
+        (col("top4") * 25 <= col("totc") * 4).as("r_top4"),
+        (col("cov5") * 20 <= col("totc") * 3).as("r_dup5"),
+        (col("cov6") * 50 <= col("totc") * 7).as("r_dup6"))
+        .withColumn(
+          "keep_rep",
+          col("r_top2") && col("r_top3") && col("r_top4") && col("r_dup5") && col("r_dup6"))
+        .orderBy("doc_id")
     }
   )
+
+  /** DuckDB twin of x31: per-n CTE chains (positions → grams → counts) for
+    * the top products, plus a span-union coverage chain for the dup
+    * fractions — same integer arithmetic as the Spark side.
+    */
+  private def repetitionOracleSql: String = {
+    def gram(n: Int) = (0 until n).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+    // top-n: max over grams of count × gram-word-chars
+    def topCtes(n: Int) =
+      s"p$n AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS p " +
+        s"FROM w WHERE len(ws) >= $n), " +
+        s"g$n AS (SELECT doc_id, p, ${gram(n)} AS g FROM p$n), " +
+        s"c$n AS (SELECT doc_id, g, count(*) AS cnt, " +
+        s"CAST(length(replace(g, ' ', '')) AS BIGINT) AS gc FROM g$n GROUP BY 1, 2), " +
+        s"t$n AS (SELECT doc_id, max(cnt * gc) AS top$n FROM c$n GROUP BY 1)"
+    // dup-n: chars of word positions covered by any gram occurring >= 2 times
+    def covCtes(n: Int) =
+      s"p$n AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS p " +
+        s"FROM w WHERE len(ws) >= $n), " +
+        s"g$n AS (SELECT doc_id, p, ${gram(n)} AS g FROM p$n), " +
+        s"d$n AS (SELECT g1.doc_id, unnest(generate_series(g1.p, g1.p + ${n - 1})) AS wp " +
+        s"FROM g$n g1 JOIN (SELECT doc_id, g FROM g$n GROUP BY 1, 2 HAVING count(*) >= 2) dup " +
+        "ON g1.doc_id = dup.doc_id AND g1.g = dup.g), " +
+        s"u$n AS (SELECT DISTINCT doc_id, wp FROM d$n), " +
+        s"v$n AS (SELECT u.doc_id, CAST(sum(length(w.ws[u.wp])) AS BIGINT) AS cov$n " +
+        s"FROM u$n u JOIN w ON w.doc_id = u.doc_id GROUP BY 1)"
+    def e6(c: String) =
+      s"CASE WHEN totc = 0 THEN 0 ELSE (1000000 * $c) // totc END AS ${c}_e6"
+    s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws, " +
+      "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS totc FROM documents), " +
+      s"${topCtes(2)}, ${topCtes(3)}, ${topCtes(4)}, ${covCtes(5)}, ${covCtes(6)}, " +
+      "j AS (SELECT w.doc_id, w.totc, " +
+      "CAST(coalesce(t2.top2, 0) AS BIGINT) AS top2, " +
+      "CAST(coalesce(t3.top3, 0) AS BIGINT) AS top3, " +
+      "CAST(coalesce(t4.top4, 0) AS BIGINT) AS top4, " +
+      "CAST(coalesce(v5.cov5, 0) AS BIGINT) AS cov5, " +
+      "CAST(coalesce(v6.cov6, 0) AS BIGINT) AS cov6 " +
+      "FROM w LEFT JOIN t2 ON w.doc_id = t2.doc_id LEFT JOIN t3 ON w.doc_id = t3.doc_id " +
+      "LEFT JOIN t4 ON w.doc_id = t4.doc_id LEFT JOIN v5 ON w.doc_id = v5.doc_id " +
+      "LEFT JOIN v6 ON w.doc_id = v6.doc_id) " +
+      s"SELECT doc_id, totc, ${e6("top2")}, ${e6("top3")}, ${e6("top4")}, " +
+      s"${e6("cov5")}, ${e6("cov6")}, " +
+      "(top2 * 5 <= totc) AS r_top2, (top3 * 50 <= totc * 9) AS r_top3, " +
+      "(top4 * 25 <= totc * 4) AS r_top4, (cov5 * 20 <= totc * 3) AS r_dup5, " +
+      "(cov6 * 50 <= totc * 7) AS r_dup6, " +
+      "(top2 * 5 <= totc AND top3 * 50 <= totc * 9 AND top4 * 25 <= totc * 4 " +
+      "AND cov5 * 20 <= totc * 3 AND cov6 * 50 <= totc * 7) AS keep_rep " +
+      "FROM j ORDER BY doc_id"
+  }
 }

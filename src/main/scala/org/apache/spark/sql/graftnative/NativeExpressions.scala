@@ -655,6 +655,145 @@ object GopherMetrics {
   }
 }
 
+/** Gopher repetition signals (Rae et al. 2021 Table A1, the char-fraction
+  * family x16 does not cover) in ONE pass over the text, as a struct:
+  *
+  *  - `totc`  — non-whitespace codepoints (= sum of word lengths; the
+  *    denominator of every fraction, identical to x16's `swl`).
+  *  - `top2/top3/top4` — max over word n-grams of `count(gram) ×
+  *    chars(gram's words)`: the characters attributable to the single most
+  *    repetitive n-gram. (Where the count ties, the max PRODUCT is taken —
+  *    deterministic without a lexicographic tie-break, and monotone in the
+  *    quantity the rule thresholds.)
+  *  - `cov5/cov6` — characters of words covered by at least one n-gram
+  *    occurring ≥ 2 times: POSITIONAL coverage (a union of [p, p+n-1]
+  *    spans), so overlapping duplicate grams are not double-counted —
+  *    Gopher's "fraction of characters contained within duplicate
+  *    n-grams", not the count×len over-approximation.
+  *
+  * All longs; fractions and rule booleans are derived declaratively in
+  * graft.xscale.TextAnalysis (integer cross-multiplication, so no float
+  * crosses the DuckDB oracle). Single pass per row, zero shuffle — at
+  * 100 TB this is linear scan work inside whole-stage codegen.
+  */
+case class RepetitionMetrics(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RepetitionMetrics.schema
+  override def prettyName: String = "graft_repetition_metrics"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionMetrics.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.RepetitionMetrics.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionMetrics =
+    copy(child = newChild)
+}
+
+object RepetitionMetrics {
+  val schema: StructType = StructType(
+    Seq("totc", "top2", "top3", "top4", "cov5", "cov6")
+      .map(StructField(_, LongType, nullable = false)))
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Codepoint count (DuckDB `length()` semantics, not UTF-16 units). */
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** max over n-grams of count × gram-word-chars; 0 when nw < n. */
+  private def topProduct(words: Array[String], wlen: Array[Long], n: Int): Long = {
+    if (words.length < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    val chars = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var c = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        c += wlen(i + j)
+        j += 1
+      }
+      val g = sb.toString
+      counts.merge(g, 1L, java.lang.Long.sum)
+      chars.putIfAbsent(g, c)
+      i += 1
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val p = e.getValue * chars.get(e.getKey)
+      if (p > best) best = p
+    }
+    best
+  }
+
+  /** Chars of word positions covered by any n-gram occurring ≥ 2 times. */
+  private def dupCoverage(words: Array[String], wlen: Array[Long], n: Int): Long = {
+    if (words.length < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    val grams = new Array[String](words.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      counts.merge(grams(i), 1L, java.lang.Long.sum)
+      i += 1
+    }
+    val covered = new Array[Boolean](words.length)
+    i = 0
+    while (i < grams.length) {
+      if (counts.get(grams(i)) >= 2L) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var s = 0L
+    i = 0
+    while (i < words.length) {
+      if (covered(i)) s += wlen(i)
+      i += 1
+    }
+    s
+  }
+
+  def compute(text: String): InternalRow = {
+    val words = ws.split(text, -1)
+    val wlen = new Array[Long](words.length)
+    var totc = 0L
+    var i = 0
+    while (i < words.length) {
+      wlen(i) = cp(words(i))
+      totc += wlen(i)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      totc,
+      topProduct(words, wlen, 2),
+      topProduct(words, wlen, 3),
+      topProduct(words, wlen, 4),
+      dupCoverage(words, wlen, 5),
+      dupCoverage(words, wlen, 6)))
+  }
+}
+
 /** Public Column-level API for the native expressions. */
 object api {
   def dot(a: Column, b: Column): Column =
@@ -688,6 +827,9 @@ object api {
 
   def gopherMetrics(text: Column): Column =
     ExpressionUtils.column(GopherMetrics(ExpressionUtils.expression(text)))
+
+  def repetitionMetrics(text: Column): Column =
+    ExpressionUtils.column(RepetitionMetrics(ExpressionUtils.expression(text)))
 
   def bloomMightContain(filter: BloomFilter, key: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()

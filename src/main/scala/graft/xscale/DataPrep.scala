@@ -318,6 +318,57 @@ object DataPrep {
           sum("nw").as("sum_tokens"),
           countDistinct("source").as("n_sources"))
         .orderBy("split")
+    },
+
+    // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----
+    Q(
+      "x35_temp_schedule",
+      Some(
+        s"WITH t AS (SELECT source, len(${XText.wordsSql("text")}) AS n_tok FROM documents), " +
+          "l AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens " +
+          "FROM t GROUP BY source), " +
+          // sqrt is IEEE correctly-rounded in BOTH engines and ×1000/floor
+          // is exact on these magnitudes, so s_i is integer-identical; all
+          // later arithmetic is integer.
+          "q AS (SELECT source, n_docs, tokens, " +
+          "CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000) AS BIGINT) AS s_i FROM l), " +
+          "g AS (SELECT source, n_docs, tokens, s_i, " +
+          "CAST(sum(s_i) OVER () AS BIGINT) AS s_tot, " +
+          "CAST(sum(tokens) OVER () AS BIGINT) AS budget FROM q), " +
+          "w AS (SELECT source, n_docs, tokens, (1000000 * s_i) // s_tot AS w_e6, " +
+          "budget FROM g) " +
+          "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens, " +
+          "CAST(w_e6 AS BIGINT) AS w_e6, " +
+          "CAST((budget * w_e6) // 1000000 AS BIGINT) AS target_tokens, " +
+          "CAST((budget * w_e6) // tokens AS BIGINT) AS epochs_e6 " +
+          "FROM w ORDER BY source"),
+      "temperature-weighted source mixing (tau = 0.5, the UniMax / multilingual-LM schedule): " +
+        "per-source sampling weight ∝ tokens^tau, so over-represented sources are downweighted " +
+        "sub-linearly instead of x26's hard uniform target. tau = 0.5 is computed via sqrt — " +
+        "IEEE correctly-rounded in both engines — then immediately floored into fixed-point " +
+        "integers (s_i = floor(sqrt(tokens)·1e3)) so every cross-engine comparison is exact; " +
+        "epochs_e6 > 1e6 flags sources the schedule would repeat. The window runs on the " +
+        "already-aggregated per-source frame (rows = #sources) — trivially small; the only " +
+        "real shuffle is the per-source token rollup, identical at 100 TB to x26's."
+    ) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("source"), size(XText.words(col("text"))).cast("long").as("n_tok"))
+      val l = t.groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      val q = l.withColumn(
+        "s_i",
+        floor(sqrt(col("tokens").cast("double")) * 1000).cast("long"))
+      val g = q
+        .withColumn("s_tot", sum("s_i").over(Window.partitionBy()))
+        .withColumn("budget", sum("tokens").over(Window.partitionBy()))
+        .withColumn("w_e6", expr("(1000000 * s_i) div s_tot"))
+      g.select(
+        col("source"),
+        col("n_docs"),
+        col("tokens"),
+        col("w_e6"),
+        expr("(budget * w_e6) div 1000000").as("target_tokens"),
+        expr("(budget * w_e6) div tokens").as("epochs_e6"))
+        .orderBy("source")
     }
   )
 }

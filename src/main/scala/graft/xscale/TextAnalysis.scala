@@ -102,6 +102,33 @@ object TextAnalysis {
       "(50 * (tot3 - d3) <= tot3) AS r_dup3 FROM m)"
   }
 
+  /** x32 PII patterns. Deliberately backslash-free ([.] instead of \. etc.)
+    * so the SAME literal is a valid, identical regex under Java
+    * (Spark Column API), Spark-SQL string parsing (which eats unknown
+    * backslash escapes) and DuckDB/RE2 (where backslash stays literal) —
+    * the one cross-engine footgun a regex operator must dodge.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val ipRe = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+  val phoneRe = "555-[0-9]{4}"
+
+  /** Deterministic doc_id-derived PII suffix (the corpus itself has none);
+    * Spark and SQL twins must concatenate byte-identically.
+    */
+  private def piiAugment(docId: Column, text: Column): Column =
+    concat(
+      text,
+      lit(" contact doc"), docId.cast("string"),
+      lit("@mail.example from 10."), (docId % 200).cast("string"),
+      lit("."), (docId % 250).cast("string"),
+      lit("."), (docId % 100).cast("string"),
+      lit(" call 555-"), (docId % 9000 + 1000).cast("string"))
+
+  private def piiAugmentSql: String =
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example from 10.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 100 AS VARCHAR) || ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -352,6 +379,55 @@ object TextAnalysis {
           array_min(transform(XText.shingles(XText.words(col("text")), 5), x => h60(x)))
             .as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // ----- x32: PII detection + redaction (C4/CCNet-style scrubbing) -----
+    Q(
+      "x32_pii_redact",
+      Some {
+        s"WITH a AS (SELECT doc_id, source, $piiAugmentSql AS full_text FROM documents), " +
+          "r AS (SELECT doc_id, source, " +
+          s"CAST(len(regexp_extract_all(full_text, '$emailRe')) AS BIGINT) AS n_email, " +
+          s"CAST(len(regexp_extract_all(full_text, '$ipRe')) AS BIGINT) AS n_ip, " +
+          s"CAST(len(regexp_extract_all(full_text, '$phoneRe')) AS BIGINT) AS n_phone, " +
+          s"regexp_replace(regexp_replace(regexp_replace(full_text, '$emailRe', '<EMAIL>', 'g'), " +
+          s"'$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS redacted FROM a) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_email) AS BIGINT) AS emails, CAST(sum(n_ip) AS BIGINT) AS ips, " +
+          "CAST(sum(n_phone) AS BIGINT) AS phones, " +
+          "CAST(sum(CASE WHEN redacted LIKE '%<EMAIL>%' AND redacted NOT LIKE '%@%' " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs " +
+          "FROM r GROUP BY source ORDER BY source"
+      },
+      "PII scrubbing: detect + redact emails / IPv4s / phone numbers with the same pure-regex " +
+        "pass both engines run. The corpus is synthetic word-soup with no PII, so the query " +
+        "first APPENDS deterministic doc_id-derived PII to every text (identically in Spark " +
+        "and DuckDB) — the redaction then has real work whose counts the oracle pins. " +
+        "Per-row regex work, zero shuffle before the final per-source rollup; at 100 TB this " +
+        "is linear scan CPU exactly like x08-x10. clean_docs asserts redaction left no '@'."
+    ) { (s, dir) =>
+      val a = table(s, dir, "documents")
+        .withColumn("full_text", piiAugment(col("doc_id"), col("text")))
+      val r = a.select(
+        col("source"),
+        size(expr(s"regexp_extract_all(full_text, '$emailRe', 0)")).cast("long").as("n_email"),
+        size(expr(s"regexp_extract_all(full_text, '$ipRe', 0)")).cast("long").as("n_ip"),
+        size(expr(s"regexp_extract_all(full_text, '$phoneRe', 0)")).cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("full_text"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      r.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_email").as("emails"),
+          sum("n_ip").as("ips"),
+          sum("n_phone").as("phones"),
+          sum(
+            when(col("redacted").contains("<EMAIL>") && !col("redacted").contains("@"), 1L)
+              .otherwise(0L)).as("clean_docs"))
+        .orderBy("source")
     },
 
     // ----- x31: repetition char fractions (Gopher Table A1, char family) -----

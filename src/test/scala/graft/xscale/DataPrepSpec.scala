@@ -97,4 +97,27 @@ class DataPrepSpec extends SparkSpec {
     assert(top._2 > target) // en dominates the corpus
     assert(top._3 < 1000000L) // and therefore gets a fractional rate
   }
+
+  test("x35 temperature weights are normalized, sub-linear and budget-consistent") {
+    val rows = run("x35_temp_schedule")
+      .select("source", "tokens", "w_e6", "target_tokens", "epochs_e6")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._3).sum
+    // floor rounding loses at most 1 ulp-e6 per source
+    assert(wSum <= 1000000L && wSum >= 1000000L - rows.length)
+    val budget = rows.map(_._2).sum
+    rows.foreach { case (_, toks, w, target, epochs) =>
+      assert(target == budget * w / 1000000L)
+      assert(epochs == budget * w / toks)
+    }
+    // tau = 0.5 flattens: the biggest source's weight share must sit BELOW
+    // its token share, the smallest source's above
+    val big = rows.maxBy(_._2)
+    val small = rows.minBy(_._2)
+    if (big._2 > small._2) {
+      assert(big._3.toDouble / 1e6 < big._2.toDouble / budget)
+      assert(small._3.toDouble / 1e6 > small._2.toDouble / budget)
+    }
+  }
 }

@@ -13,6 +13,19 @@ class XScaleSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("x32 pii redaction: every augmented doc detected, redaction leaves no pii") {
+    val out = graft.SparkEntry.queries("x32_pii_redact")(spark, sf)
+      .select("n_docs", "emails", "ips", "phones", "clean_docs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // the corpus is pii-free word soup, so counts come ONLY from the
+    // deterministic augmentation: exactly one of each per doc, and the
+    // redacted text must carry no '@' afterwards
+    out.foreach { case (n, e, i, p, clean) =>
+      assert(e == n && i == n && p == n && clean == n)
+    }
+  }
+
   test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
     val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
     val blocked = q.run(spark, sf).collect().toSeq

@@ -81,6 +81,13 @@ object TrainingData {
   def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
     Similarity.knnLsh(emb, isQuery, k)
 
+  /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
+    * cosine >= tau neighbor farther from their cluster centroid —
+    * candidate pairs are within-cluster only, never corpus².
+    */
+  def semDedup(emb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU): DataFrame =
+    Similarity.semDedup(emb, tau)
+
   // ---- text analysis / quality ----
 
   /** Gopher/C4 rule metrics + per-rule booleans + `r_keep`, one native

@@ -30,6 +30,12 @@ object Similarity {
   val NPROBE = 2
   val NITER = 2
 
+  /** SemDeDup cosine threshold (x30): same value as x05's near-dup
+    * threshold so the two operators' notions of "semantically duplicate"
+    * agree.
+    */
+  val SEMDEDUP_TAU = 0.45
+
   /** Fixed-point scale for the k-means quantizer: 2^20. Power-of-2 scaling
     * of float-origin values is EXACT in doubles, and all training arithmetic
     * (squared L2, per-dimension sums) then runs in long integers — order-
@@ -92,6 +98,123 @@ object Similarity {
   private val cosSql =
     "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
       "/ (q.nrm * c.nrm)"
+
+  /** Fixed-point view of the embeddings: (vec_id, v, nrm, vi: array<long>)
+    * with vi = floor(v * 2^20) — the exact-integer domain the quantizer
+    * trains in (see VSCALE).
+    */
+  def fixedPoint(emb: DataFrame): DataFrame =
+    withNorm(emb).withColumn("vi", transform(col("v"), x => floor(x * VSCALE).cast("long")))
+
+  /** NITER rounds of fixed-point k-means over `vi` (needs columns vec_id,
+    * vi). Each round COLLECTS the centroids to the driver (bounded: NC × 64
+    * longs — the quantizer is driver-resident state, exactly like a FAISS
+    * coarse quantizer) and re-broadcasts them as literals. Keeping the
+    * rounds as one lazy plan instead would re-execute every prior round's
+    * aggregation inside each later round (Spark doesn't dedupe repeated
+    * un-cached subtrees), so training cost would grow geometrically with
+    * NITER; this way each round is one corpus scan. Shared by x13 (IVF)
+    * and x30 (SemDeDup).
+    */
+  def trainQuantizer(vi: DataFrame): Seq[(Long, Seq[Long])] = {
+    val sp = vi.sparkSession
+    import sp.implicits._
+    def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Seq[Long])] = collectCents(
+      vi.filter(col("vec_id") < NC).select(col("vec_id"), col("vi")))
+    for (_ <- 1 to NITER) {
+      val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      cents = collectCents(
+        vi.join(broadcast(cents.toDF("cid", "ci")))
+          .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
+          .withColumn("rn", row_number().over(byDist))
+          .filter(col("rn") === 1)
+          .select(col("cid"), posexplode(col("vi")).as(Seq("i", "x")))
+          .groupBy("cid", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+          .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("m")))),
+            t => t.getField("m")).as("ci")))
+    }
+    cents
+  }
+
+  /** Every vector ranked by integer squared-L2 against the trained
+    * centroids: adds (cid, dist, rn); rn = 1 is the assignment. The
+    * centroid table is broadcast — no shuffle of the corpus side.
+    */
+  def quantizerRanked(vi: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val sp = vi.sparkSession
+    import sp.implicits._
+    val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    vi.join(broadcast(cents.toDF("cid", "ci")))
+      .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
+      .withColumn("rn", row_number().over(byDist))
+  }
+
+  /** DuckDB CTE chain re-deriving the SAME k-means assignment the Spark
+    * side trains (bit-identical by fixed-point construction): defines
+    * `vi`, `c0..c$NITER`, `d`, `r0` (vec_id, cid, dist, rn). Callers
+    * append their own consumers of r0. Needs `normCtes` in scope.
+    */
+  private def kmeansRankedSql: String = {
+    def iter(k: Int): String = {
+      val prev = s"c${k - 1}"
+      s"d$k AS (SELECT vi.vec_id, c.cid, " +
+        "list_aggregate(list_transform(generate_series(1, 64), " +
+        s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist " +
+        s"FROM vi CROSS JOIN $prev c), " +
+        s"a$k AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$k) WHERE rn = 1), " +
+        s"s$k AS (SELECT a.cid, t.i, SUM(vi.vi[t.i]) AS sx, COUNT(*) AS cnt " +
+        s"FROM a$k a JOIN vi USING (vec_id) CROSS JOIN generate_series(1, 64) AS t(i) " +
+        "GROUP BY a.cid, t.i), " +
+        s"c$k AS (SELECT cid, list(CAST(floor(sx::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS ci " +
+        s"FROM s$k GROUP BY cid)"
+    }
+    s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM n), " +
+      s"c0 AS (SELECT vec_id AS cid, vi AS ci FROM vi WHERE vec_id < $NC), " +
+      (1 to NITER).map(iter).mkString(", ") + ", " +
+      "d AS (SELECT vi.vec_id, c.cid, " +
+      "list_aggregate(list_transform(generate_series(1, 64), " +
+      s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist FROM vi CROSS JOIN c$NITER c), " +
+      "r0 AS (SELECT vec_id, cid, dist, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)"
+  }
+
+  /** SemDeDup (x30): cluster with the trained quantizer, then inside each
+    * cluster drop every vector with a cosine >= `tau` neighbor farther
+    * from the centroid (ties by vec_id). Returns
+    * (vec_id, cid, dist, kept) for every input vector. The within-cluster
+    * self-join shuffles both sides by cid — O(sum cluster²) candidate
+    * pairs, never corpus²; size NC so clusters stay bounded at scale.
+    */
+  def semDedup(emb: DataFrame, tau: Double = SEMDEDUP_TAU): DataFrame = {
+    val vi = fixedPoint(emb)
+    val ranked = quantizerRanked(vi, trainQuantizer(vi))
+    val asg = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("nrm"))
+    val a = asg.select(
+      col("cid"), col("vec_id").as("va"), col("dist").as("da"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = asg.select(
+      col("cid"), col("vec_id").as("vb"), col("dist").as("db"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dom = a.join(b, Seq("cid"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(
+        col("cos") >= tau &&
+          (col("db") > col("da") || (col("db") === col("da") && col("vb") > col("va"))))
+      .select(col("va")).distinct()
+      .withColumn("_dom", lit(1))
+    asg.select(col("vec_id"), col("cid"), col("dist"))
+      .join(dom, col("vec_id") === col("va"), "left")
+      .select(col("vec_id"), col("cid"), col("dist"), col("_dom").isNull.as("kept"))
+  }
 
   /** Exact top-k neighbors by cosine for the rows matching `isQuery`:
     * query side broadcast, one corpus scan. Columns
@@ -163,29 +286,7 @@ object Similarity {
         // integers, IEEE-identical in both engines). Seeds = first NC
         // vectors. dist/probe rank by (dist, cid) so ties are
         // deterministic in both engines.
-        def iter(k: Int): String = {
-          val prev = s"c${k - 1}"
-          s"d$k AS (SELECT vi.vec_id, c.cid, " +
-            "list_aggregate(list_transform(generate_series(1, 64), " +
-            s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist " +
-            s"FROM vi CROSS JOIN $prev c), " +
-            s"a$k AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-            s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$k) WHERE rn = 1), " +
-            s"s$k AS (SELECT a.cid, t.i, SUM(vi.vi[t.i]) AS sx, COUNT(*) AS cnt " +
-            s"FROM a$k a JOIN vi USING (vec_id) CROSS JOIN generate_series(1, 64) AS t(i) " +
-            "GROUP BY a.cid, t.i), " +
-            s"c$k AS (SELECT cid, list(CAST(floor(sx::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS ci " +
-            s"FROM s$k GROUP BY cid)"
-        }
-        s"WITH $normCtes, " +
-          s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM n), " +
-          s"c0 AS (SELECT vec_id AS cid, vi AS ci FROM vi WHERE vec_id < $NC), " +
-          (1 to NITER).map(iter).mkString(", ") + ", " +
-          s"d AS (SELECT vi.vec_id, c.cid, " +
-          "list_aggregate(list_transform(generate_series(1, 64), " +
-          s"i -> (vi.vi[i] - c.ci[i]) * (vi.vi[i] - c.ci[i])), 'sum') AS dist FROM vi CROSS JOIN c$NITER c), " +
-          "r0 AS (SELECT vec_id, cid, " +
-          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), " +
+        s"WITH $normCtes, $kmeansRankedSql, " +
           "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
           s"probe AS (SELECT vec_id, cid FROM r0 WHERE rn <= $NPROBE AND vec_id < 10), " +
           "s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, " +
@@ -203,43 +304,10 @@ object Similarity {
         "inverted lists per query — candidates only, the FAISS-style 100 TB path; recall vs x06 " +
         "is spec-measured"
     ) { (s, dir) =>
-      import s.implicits._
-      val e = withNorm(table(s, dir, "embeddings"))
       // fixed-point view; at 100 TB you'd train on a sample and cache —
       // here the corpus IS sample-sized while the algebra is the same
-      val vi = e.withColumn(
-        "vi", transform(col("v"), x => floor(x * VSCALE).cast("long")))
-      // Each round COLLECTS the centroids to the driver (bounded: NC x 64
-      // longs — the quantizer is driver-resident state, exactly like a
-      // FAISS coarse quantizer) and re-broadcasts them as literals. Keeping
-      // the rounds as one lazy plan instead would re-execute every prior
-      // round's aggregation inside each later round (Spark doesn't dedupe
-      // repeated un-cached subtrees), so training cost would grow
-      // geometrically with NITER; this way each round is one corpus scan.
-      def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
-        df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
-      var cents: Seq[(Long, Seq[Long])] = collectCents(
-        vi.filter(col("vec_id") < NC).select(col("vec_id"), col("vi")))
-      for (_ <- 1 to NITER) {
-        val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-        cents = collectCents(
-          vi.join(broadcast(cents.toDF("cid", "ci")))
-            .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
-            .withColumn("rn", row_number().over(byDist))
-            .filter(col("rn") === 1)
-            .select(col("cid"), posexplode(col("vi")).as(Seq("i", "x")))
-            .groupBy("cid", "i")
-            .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-            .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
-            .groupBy("cid")
-            .agg(transform(
-              array_sort(collect_list(struct(col("i"), col("m")))),
-              t => t.getField("m")).as("ci")))
-      }
-      val d = vi.join(broadcast(cents.toDF("cid", "ci")))
-        .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
-      val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val ranked = d.withColumn("rn", row_number().over(byDist))
+      val vi = fixedPoint(table(s, dir, "embeddings"))
+      val ranked = quantizerRanked(vi, trainQuantizer(vi))
       val asg = ranked.filter(col("rn") === 1)
         .select(col("vec_id").as("neighbor_id"), col("cid"), col("v").as("cv2"), col("nrm").as("cn"))
       val probe = ranked.filter(col("rn") <= NPROBE && col("vec_id") < 10)
@@ -254,6 +322,33 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    },
+
+    // ----- x30: SemDeDup (semantic dedup inside k-means clusters) -----
+    Q(
+      "x30_semdedup",
+      Some(
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM r0 WHERE rn = 1), " +
+          "p AS (SELECT a.vec_id AS va, a.dist AS da, b.vec_id AS vb, b.dist AS db, " +
+          s"$cosSql AS cos FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id " +
+          "JOIN n q ON q.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id), " +
+          s"dom AS (SELECT DISTINCT va FROM p WHERE cos >= $SEMDEDUP_TAU " +
+          "AND (db > da OR (db = da AND vb > va))) " +
+          "SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid, asg.dist, " +
+          "(dom.va IS NULL) AS kept FROM asg LEFT JOIN dom ON dom.va = asg.vec_id " +
+          "ORDER BY asg.vec_id"),
+      "SemDeDup (Abbas et al. 2023): cluster the embeddings with the x13 fixed-point k-means, " +
+        s"then inside each cluster drop every vector that has a cosine >= $SEMDEDUP_TAU " +
+        "neighbor FARTHER from the centroid (ties by vec_id) — the paper's keep-the-outlier " +
+        "rule as a pairwise-dominance pass, so no iterative connected components (route " +
+        "pairs through x14's CC when full epsilon-group transitivity is wanted). The " +
+        "within-cluster self-join is the point of the clustering: candidate pairs are " +
+        "O(sum cluster^2), never corpus^2, and NC grows with the corpus so cluster size " +
+        "stays bounded; centroid distances are exact integers, cosines bit-identical " +
+        "cross-engine, so kept-flags need no tolerance."
+    ) { (s, dir) =>
+      semDedup(table(s, dir, "embeddings")).orderBy("vec_id")
     },
 
     // ----- x07: LSH-bucketed ANN (the scale path) -----

@@ -26,6 +26,36 @@ class XScaleSpec extends SparkSpec {
     }
   }
 
+  test("x30 semdedup: drops are real, dominated by a kept tau-neighbor, one survivor per cluster") {
+    val out = graft.SparkEntry.queries("x30_semdedup")(spark, sf).cache()
+    val emb = Similarity.withNorm(spark.read.parquet(s"$sf/embeddings.parquet"))
+    assert(out.count() == emb.count())
+    val dropped = out.filter(!col("kept"))
+    assert(dropped.count() > 0) // the synthetic corpus has semantic dups
+    // every cluster's farthest-from-centroid member can never be dominated
+    val maxPerCluster = out.groupBy("cid").agg(max(struct(col("dist"), col("vec_id"))).as("m"))
+      .select(col("cid"), col("m.vec_id").as("vec_id"))
+    assert(maxPerCluster.join(dropped, Seq("vec_id")).isEmpty)
+    val av = out.join(emb, "vec_id")
+    val d = dropped.join(emb, "vec_id")
+      .select(col("vec_id").as("va"), col("cid"), col("dist").as("da"),
+        col("v").as("av"), col("nrm").as("an"))
+    // cosine is not transitive, so a dropped vector's dominator may itself
+    // have been dropped by a third vector outside the first one's
+    // tau-neighborhood — the always-true invariant is that SOME in-cluster
+    // dominator exists (kept or dropped): nothing is dropped without a
+    // witness
+    val anyWitness = d.join(
+      av.select(col("vec_id").as("vb"), col("cid"), col("dist").as("db"),
+        col("v").as("bv"), col("nrm").as("bn")), Seq("cid"))
+      .withColumn("cos", Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") >= Similarity.SEMDEDUP_TAU &&
+        (col("db") > col("da") || (col("db") === col("da") && col("vb") > col("va"))))
+      .select("va").distinct()
+    assert(anyWitness.count() == dropped.count())
+    out.unpersist()
+  }
+
   test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
     val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
     val blocked = q.run(spark, sf).collect().toSeq

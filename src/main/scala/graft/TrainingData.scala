@@ -104,6 +104,11 @@ object TrainingData {
   def repetitionAnnotate(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionAnnotate(docs)
 
+  /** Corpus-self-trained bigram LM score + CCNet-style tercile bucket
+    * per doc (integer-exact fixed-point; see x33).
+    */
+  def lmScore(docs: DataFrame): DataFrame = TextAnalysis.lmScore(docs)
+
   // ---- corpus preparation ----
 
   /** Deterministic 90/5/5 train/val/test tag (`split` column). */

@@ -1,6 +1,7 @@
 package graft.xscale
 
 import org.apache.spark.sql.{Column, graftnative}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.query.Q
@@ -100,6 +101,43 @@ object TextAnalysis {
       "(10 * nsym <= nw) AS r_sym, " +
       "(20 * (tot2 - d2) <= tot2) AS r_dup2, " +
       "(50 * (tot3 - d3) <= tot3) AS r_dup3 FROM m)"
+  }
+
+  /** x33: corpus-self-trained bigram LM scoring — per-doc fixed-point
+    * average conditional bigram probability plus a CCNet-style tercile
+    * bucket. Columns (doc_id, source, n_big, score_e6, bucket); docs with
+    * < 2 words score -1. Integer-exact by construction (see the x33 query
+    * doc for why not log-perplexity).
+    */
+  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
+    val p = w.filter(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val m12 = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val m1 = p.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pd = p.groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("k"))
+    val d = pd
+      .join(broadcast(m12), Seq("w1", "w2"))
+      .join(broadcast(m1), Seq("w1"))
+      .withColumn("prob_e6", expr("(1000000 * c12) div c1"))
+      .groupBy("doc_id", "source")
+      .agg(sum("k").as("n_big"), expr("sum(k * prob_e6) div sum(k)").as("score_e6"))
+    docs.select("doc_id", "source")
+      .join(d.drop("source"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("score_e6"), lit(-1L)).as("score_e6"))
+      .withColumn(
+        "bucket",
+        ntile(3).over(Window.orderBy(col("score_e6"), col("doc_id"))).cast("long"))
   }
 
   /** x32 PII patterns. Deliberately backslash-free ([.] instead of \. etc.)
@@ -428,6 +466,42 @@ object TextAnalysis {
             when(col("redacted").contains("<EMAIL>") && !col("redacted").contains("@"), 1L)
               .otherwise(0L)).as("clean_docs"))
         .orderBy("source")
+    },
+
+    // ----- x33: corpus-trained bigram LM scoring (CCNet-style buckets) -----
+    Q(
+      "x33_lm_score",
+      Some(
+        s"WITH w AS (SELECT doc_id, source, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "p AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM " +
+          "(SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+          "FROM w WHERE len(ws) >= 2)), " +
+          "m12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2), " +
+          "m1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1), " +
+          "pd AS (SELECT doc_id, source, w1, w2, count(*) AS k FROM p GROUP BY 1, 2, 3, 4), " +
+          "j AS (SELECT doc_id, source, k, (1000000 * c12) // c1 AS prob_e6 " +
+          "FROM pd JOIN m12 USING (w1, w2) JOIN m1 USING (w1)), " +
+          "d AS (SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_big, " +
+          "CAST(sum(k * prob_e6) // sum(k) AS BIGINT) AS score_e6 FROM j GROUP BY 1, 2), " +
+          "a AS (SELECT doc.doc_id, doc.source, coalesce(d.n_big, 0) AS n_big, " +
+          "coalesce(d.score_e6, -1) AS score_e6 " +
+          "FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id) " +
+          "SELECT doc_id, source, n_big, score_e6, " +
+          "CAST(ntile(3) OVER (ORDER BY score_e6, doc_id) AS BIGINT) AS bucket " +
+          "FROM a ORDER BY doc_id"),
+      "statistical LM quality scoring, CCNet-shaped: train bigram conditional frequencies on " +
+        "the corpus itself, score each doc by its average conditional probability, bucket " +
+        "into terciles (CCNet's head/middle/tail). Deliberately ARITHMETIC-mean probability " +
+        "in fixed-point e6, not log-perplexity: Java Math.log and DuckDB's libm are not " +
+        "guaranteed bit-identical (1-ulp divergence would poison a hash-compared oracle), " +
+        "while this score is integer-exact end to end; the ranking is what the buckets " +
+        "consume, and a geometric variant is one ln() swap away if a tolerance is accepted. " +
+        "Scale: the model tables are vocab-bounded (tiny vs corpus — broadcast side), the " +
+        "per-doc rollup is one shuffle on (doc, bigram); the global ntile window is the one " +
+        "non-scalable piece and would become sampled quantile thresholds at 100 TB (same " +
+        "pattern as q24's percentiles)."
+    ) { (s, dir) =>
+      lmScore(table(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ----- x31: repetition char fractions (Gopher Table A1, char family) -----

@@ -56,6 +56,25 @@ class XScaleSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("x33 lm score: probabilities bounded, terciles balanced and score-monotone") {
+    val out = graft.SparkEntry.queries("x33_lm_score")(spark, sf)
+      .select("doc_id", "n_big", "score_e6", "bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs && out.map(_._1).distinct.length == nDocs)
+    out.foreach { case (_, nBig, score, bucket) =>
+      assert(bucket >= 1 && bucket <= 3)
+      if (nBig == 0) assert(score == -1L)
+      else assert(score >= 0 && score <= 1000000L) // mean of probabilities
+    }
+    val sizes = out.groupBy(_._4).view.mapValues(_.length)
+    assert(sizes.values.max - sizes.values.min <= 1) // ntile balance
+    // buckets are intervals of the (score, doc_id) order: scores can tie
+    // ACROSS a boundary but never invert
+    for (b <- 1L to 2L)
+      assert(out.filter(_._4 == b).map(_._3).max <= out.filter(_._4 == b + 1).map(_._3).min)
+  }
+
   test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
     val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
     val blocked = q.run(spark, sf).collect().toSeq

@@ -125,4 +125,11 @@ object TrainingData {
 
   /** Symmetric int8 floor-quantization of embeddings (per-vector scale). */
   def quantizeInt8(emb: DataFrame): DataFrame = DataPrep.quantizeInt8(emb)
+
+  /** Exact-substring contamination coverage (Lee et al. hash-window form):
+    * per-doc fraction of tokens covered by k-token windows shared with
+    * other docs.
+    */
+  def substringCoverage(docs: DataFrame, k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.substringCoverage(docs, k)
 }

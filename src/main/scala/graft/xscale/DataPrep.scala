@@ -28,6 +28,54 @@ object DataPrep {
     */
   val PackShards = 8
 
+  /** Window length (tokens) for x34 exact-substring coverage. Lee et al.
+    * use 50 BPE tokens; these docs are ~50 words long, so 8 keeps the
+    * signal meaningful at test scale while the algebra is length-blind.
+    */
+  val SubstrK = 8
+
+  /** x34 core: per-doc token coverage by k-token windows occurring in at
+    * least 2 distinct docs. Columns
+    * (doc_id, nw, n_win, n_shared, covered, cov_e6).
+    */
+  def substringCoverage(docs: DataFrame, k: Int = SubstrK): DataFrame = {
+    val w = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    // per-POSITION window hash (the distinct-set shingleHash60 loses
+    // positions, which the interval union needs)
+    val gram = (0 until k).map(j => s"element_at(ws, CAST(i + $j AS INT))")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val occ = w.filter(col("nw") >= k)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1L, nw - ${k - 1}), i -> struct(i AS p, " +
+            s"CAST(conv(substring(md5($gram), 1, 15), 16, 10) AS BIGINT) AS h))")).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.h").as("h"))
+    val shared = occ.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val byP = Window.partitionBy("doc_id").orderBy("p")
+    val cov = occ.join(shared, "h")
+      .withColumn("pp", lag("p", 1).over(byP))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(
+          when(col("pp").isNull, lit(k.toLong))
+            .otherwise(least(lit(k.toLong), col("p") - col("pp")))).as("covered"))
+    w.select(col("doc_id"), col("nw"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("nw"),
+        greatest(col("nw") - (k - 1), lit(0L)).as("n_win"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        expr("(1000000 * coalesce(covered, 0L)) div nw").as("cov_e6"))
+  }
+
   private val ordSql = h60Sql("CAST(doc_id AS VARCHAR)")
   private def ordCol: Column = XHash.h60(col("doc_id").cast("string"))
 
@@ -318,6 +366,44 @@ object DataPrep {
           sum("nw").as("sum_tokens"),
           countDistinct("source").as("n_sources"))
         .orderBy("split")
+    },
+
+    // ----- x34: exact-substring contamination coverage (Lee et al. 2022) -----
+    Q(
+      "x34_substring_coverage",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w), " +
+          s"occ AS (SELECT doc_id, p, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM w WHERE len(ws) >= $k))), " +
+          "sh AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+          "so AS (SELECT occ.doc_id, occ.p FROM occ JOIN sh USING (h)), " +
+          "lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM so), " +
+          "cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared, " +
+          s"CAST(sum(CASE WHEN pp IS NULL THEN $k ELSE least($k, p - pp) END) AS BIGINT) " +
+          "AS covered FROM lg GROUP BY 1) " +
+          "SELECT d.doc_id, d.nw, " +
+          s"CAST(greatest(d.nw - ${k - 1}, 0) AS BIGINT) AS n_win, " +
+          "CAST(coalesce(cv.n_shared, 0) AS BIGINT) AS n_shared, " +
+          "CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered, " +
+          "CAST((1000000 * coalesce(cv.covered, 0)) // d.nw AS BIGINT) AS cov_e6 " +
+          "FROM d LEFT JOIN cv ON cv.doc_id = d.doc_id ORDER BY d.doc_id"
+      },
+      s"exact-substring contamination coverage (Lee et al. 2022 'Deduplicating Training Data', " +
+        s"hash-window form): every $SubstrK-token window that appears in >= 2 DISTINCT docs " +
+        "marks its positions; per doc, the covered-token count is the INTERVAL UNION of those " +
+        "fixed-length spans — computed with one lag() window per doc (spans sorted by start " +
+        "and equal length, so union = sum of min(k, start-gap)), never an explode-distinct of " +
+        "positions. cov_e6 near 1e6 means the doc is nearly all shared text. Scale: window " +
+        "hashes shuffle as 8-byte keys for the >=2-docs test (one shuffle), occurrences " +
+        "re-join on the same key, the union runs partitioned by doc_id — no global sort, " +
+        "no suffix array; this is the Spark-native answer to the paper's suffix-array pass."
+    ) { (s, dir) =>
+      substringCoverage(table(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----

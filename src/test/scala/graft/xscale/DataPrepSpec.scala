@@ -98,6 +98,36 @@ class DataPrepSpec extends SparkSpec {
     assert(top._3 < 1000000L) // and therefore gets a fractional rate
   }
 
+  test("x34 lag-window interval union == brute-force distinct-position count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DataPrep.substringCoverage(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("covered") > col("nw") ||
+      col("covered") > col("n_shared") * DataPrep.SubstrK ||
+      (col("n_shared") > 0 && col("covered") < DataPrep.SubstrK)).isEmpty)
+    // brute force: explode every shared window into its k positions,
+    // count distinct — must equal the lag-union arithmetic exactly
+    val k = DataPrep.SubstrK
+    val w = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    val gram = (0 until k).map(j => s"element_at(ws, CAST(i + $j AS INT))")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val occ = w.filter(col("nw") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1L, nw - ${k - 1}), i -> struct(i AS p, " +
+          s"CAST(conv(substring(md5($gram), 1, 15), 16, 10) AS BIGINT) AS h))")).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.h").as("h"))
+    val shared = occ.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val brute = occ.join(shared, "h")
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("pos"))
+      .groupBy("doc_id").agg(countDistinct("pos").as("covered_bf"))
+    val joined = out.filter(col("n_shared") > 0).join(brute, "doc_id")
+    assert(joined.count() > 0) // the corpus HAS cross-doc duplicate substrings
+    assert(joined.filter(col("covered") =!= col("covered_bf")).isEmpty)
+    out.unpersist()
+  }
+
   test("x35 temperature weights are normalized, sub-linear and budget-consistent") {
     val rows = run("x35_temp_schedule")
       .select("source", "tokens", "w_e6", "target_tokens", "epochs_e6")

@@ -19,7 +19,8 @@ object ScaleSmoke {
   private val DefaultQueries = Seq(
     "x01_dedup_exact", "x02_dedup_minhash", "x04_dedup_simhash",
     "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
-    "x23_contam_ngram", "x25_containment", "x27_corpus_build")
+    "x23_contam_ngram", "x25_containment", "x27_corpus_build",
+    "x30_semdedup", "x31_repetition", "x33_lm_score", "x34_substring_coverage")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -195,8 +195,14 @@ object Similarity {
   def semDedup(emb: DataFrame, tau: Double = SEMDEDUP_TAU): DataFrame = {
     val vi = fixedPoint(emb)
     val ranked = quantizerRanked(vi, trainQuantizer(vi))
+    // materialize the assignment once: it feeds BOTH self-join sides plus
+    // the final projection, and Spark re-executes repeated un-cached
+    // subtrees — without this the corpus is scanned and re-ranked 3x
+    // (plan-audit-visible). localCheckpoint also truncates the lineage,
+    // same pattern as DedupClusters' iteration state.
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("nrm"))
+      .localCheckpoint()
     val a = asg.select(
       col("cid"), col("vec_id").as("va"), col("dist").as("da"),
       col("v").as("av"), col("nrm").as("an"))

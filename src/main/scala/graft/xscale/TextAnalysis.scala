@@ -119,8 +119,15 @@ object TextAnalysis {
           "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
           .as("bg"))
       .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val m12 = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val m1 = p.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // ONE corpus-scale aggregation builds the bigram model; the prefix
+    // counts derive from it (c1 = sum_w2 c12, identical by construction).
+    // The model is vocab^2-bounded — tiny next to the corpus — so
+    // materializing it via localCheckpoint is safe and stops Spark from
+    // re-running the corpus explode for each model branch (the corpus is
+    // still scanned twice: once for the model, once for the per-doc pairs;
+    // at 100 TB you would persist the model table between the two).
+    val m12 = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
+    val m1 = m12.groupBy("w1").agg(sum("c12").as("c1"))
     val pd = p.groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("k"))
     val d = pd
       .join(broadcast(m12), Seq("w1", "w2"))

@@ -17,9 +17,15 @@ object Bench {
     // parquet footer reads, shuffle service spin-up) outside the per-query
     // timings so the first measured query isn't charged for them.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Execute the FULL physical plan (queryExecution.toRdd), not
+    // df.count(): count() lets Catalyst prune every projection and drop
+    // provably count-preserving joins, so per-row operators (x31's native
+    // metrics) and left-join enrichments (x34's coverage) would be timed
+    // as bare scans. toRdd materializes every column of the executed plan,
+    // sorts included.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

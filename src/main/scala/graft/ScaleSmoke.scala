@@ -53,7 +53,8 @@ object ScaleSmoke {
         case None => println(s"[smoke] $name UNKNOWN")
         case Some(fn) =>
           val t0 = System.nanoTime()
-          val n = fn(spark, dir).count()
+          // full-plan execution — see Bench for why not df.count()
+          val n = fn(spark, dir).queryExecution.toRdd.count()
           println(f"[smoke] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       }
     }

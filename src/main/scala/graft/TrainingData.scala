@@ -85,8 +85,9 @@ object TrainingData {
     * cosine >= tau neighbor farther from their cluster centroid —
     * candidate pairs are within-cluster only, never corpus².
     */
-  def semDedup(emb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU): DataFrame =
-    Similarity.semDedup(emb, tau)
+  def semDedup(emb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU,
+      nc: Int = Similarity.NC): DataFrame =
+    Similarity.semDedup(emb, tau, nc)
 
   // ---- text analysis / quality ----
 

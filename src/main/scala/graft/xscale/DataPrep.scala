@@ -41,17 +41,14 @@ object DataPrep {
   def substringCoverage(docs: DataFrame, k: Int = SubstrK): DataFrame = {
     val w = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
       .withColumn("nw", size(col("ws")).cast("long"))
-    // per-POSITION window hash (the distinct-set shingleHash60 loses
-    // positions, which the interval union needs)
-    val gram = (0 until k).map(j => s"element_at(ws, CAST(i + $j AS INT))")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    val occ = w.filter(col("nw") >= k)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1L, nw - ${k - 1}), i -> struct(i AS p, " +
-            s"CAST(conv(substring(md5($gram), 1, 15), 16, 10) AS BIGINT) AS h))")).as("o"))
-      .select(col("doc_id"), col("o.p").as("p"), col("o.h").as("h"))
+    // per-POSITION window hashes in one native codegen pass (the
+    // distinct-set shingleHash60 loses positions, which the interval union
+    // needs; the declarative transform/struct/md5 chain is CodegenFallback
+    // and benched 2x slower). WindowHash60 yields [] below k words, so
+    // short docs drop out exactly like the filter did.
+    val occ = docs
+      .select(col("doc_id"), posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
     val shared = occ.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

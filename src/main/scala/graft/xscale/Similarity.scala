@@ -116,13 +116,13 @@ object Similarity {
     * NITER; this way each round is one corpus scan. Shared by x13 (IVF)
     * and x30 (SemDeDup).
     */
-  def trainQuantizer(vi: DataFrame): Seq[(Long, Seq[Long])] = {
+  def trainQuantizer(vi: DataFrame, nc: Int = NC): Seq[(Long, Seq[Long])] = {
     val sp = vi.sparkSession
     import sp.implicits._
     def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
     var cents: Seq[(Long, Seq[Long])] = collectCents(
-      vi.filter(col("vec_id") < NC).select(col("vec_id"), col("vi")))
+      vi.filter(col("vec_id") < nc).select(col("vec_id"), col("vi")))
     for (_ <- 1 to NITER) {
       val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       cents = collectCents(
@@ -190,11 +190,13 @@ object Similarity {
     * from the centroid (ties by vec_id). Returns
     * (vec_id, cid, dist, kept) for every input vector. The within-cluster
     * self-join shuffles both sides by cid — O(sum cluster²) candidate
-    * pairs, never corpus²; size NC so clusters stay bounded at scale.
+    * pairs, never corpus²; pass `nc` ∝ corpus size so clusters stay
+    * bounded (the oracle-pinned x30 keeps nc = NC = 8; the 10× smoke shows
+    * the quadratic growth that motivates scaling nc).
     */
-  def semDedup(emb: DataFrame, tau: Double = SEMDEDUP_TAU): DataFrame = {
+  def semDedup(emb: DataFrame, tau: Double = SEMDEDUP_TAU, nc: Int = NC): DataFrame = {
     val vi = fixedPoint(emb)
-    val ranked = quantizerRanked(vi, trainQuantizer(vi))
+    val ranked = quantizerRanked(vi, trainQuantizer(vi, nc))
     // materialize the assignment once: it feeds BOTH self-join sides plus
     // the final projection, and Spark re-executes repeated un-cached
     // subtrees — without this the corpus is scanned and re-ranked 3x

@@ -201,6 +201,64 @@ object ShingleHash60 {
   }
 }
 
+/** POSITIONAL word-k-gram hashes: one 60-bit hash per window position,
+  * duplicates kept, order preserved (array index i = window starting at
+  * word i), EMPTY array when the doc has fewer than k words — no
+  * whole-text fallback, because positional consumers (x34 substring
+  * coverage) must not see a pseudo-window. `posexplode` over the result
+  * recovers (position, hash) without the interpreted
+  * `transform(sequence(...), struct(...))` lambda chain, which is
+  * CodegenFallback and pays boxed interpretation per window.
+  */
+case class WindowHash60(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHash60.compute(input.toString, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.WindowHash60.compute($a.toString(), $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHash60 =
+    copy(child = newChild)
+}
+
+object WindowHash60 {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: String, k: Int): ArrayData = {
+    val words = ws.split(text, -1)
+    if (words.length < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](words.length - k + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var r = 0L
+      var b = 0
+      while (b < 8) { r = (r << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = r >>> 4
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** 60-bit hashes of every whitespace token of a document, duplicates kept
   * and order preserved (unlike [[ShingleHash60]], which dedups) — the input
   * to tf-weighted SimHash. Same tokenization and md5-60bit semantics as
@@ -830,6 +888,9 @@ object api {
 
   def repetitionMetrics(text: Column): Column =
     ExpressionUtils.column(RepetitionMetrics(ExpressionUtils.expression(text)))
+
+  def windowHash60(text: Column, k: Int): Column =
+    ExpressionUtils.column(WindowHash60(ExpressionUtils.expression(text), k))
 
   def bloomMightContain(filter: BloomFilter, key: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -110,4 +110,15 @@ class NativeExpressionsSpec extends SparkSpec {
       .getSeq[Long](0)
     assert(hs === Seq(XHash.h60("alpha beta gamma")))
   }
+
+  test("WindowHash60: positional, duplicates kept, empty below k, h60-compatible") {
+    val hs = Seq("a b a b a").toDF("text")
+      .select(graftnative.api.windowHash60(col("text"), 2)).collect()(0).getSeq[Long](0)
+    // windows: "a b","b a","a b","b a" — positions preserved, dups kept
+    assert(hs === Seq(
+      XHash.h60("a b"), XHash.h60("b a"), XHash.h60("a b"), XHash.h60("b a")))
+    val short = Seq("one two").toDF("text")
+      .select(graftnative.api.windowHash60(col("text"), 3)).collect()(0).getSeq[Long](0)
+    assert(short.isEmpty) // NO whole-text fallback for positional consumers
+  }
 }

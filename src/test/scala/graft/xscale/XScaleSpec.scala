@@ -53,6 +53,10 @@ class XScaleSpec extends SparkSpec {
         (col("db") > col("da") || (col("db") === col("da") && col("vb") > col("va"))))
       .select("va").distinct()
     assert(anyWitness.count() == dropped.count())
+    // the scale knob: more clusters -> same row count, valid cluster ids
+    val wide = Similarity.semDedup(spark.read.parquet(s"$sf/embeddings.parquet"), nc = 32)
+    assert(wide.count() == emb.count())
+    assert(wide.filter(col("cid") >= 32).isEmpty)
     out.unpersist()
   }
 

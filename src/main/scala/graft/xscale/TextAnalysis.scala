@@ -110,15 +110,18 @@ object TextAnalysis {
     * doc for why not log-perplexity).
     */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = docs.select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
-    val p = w.filter(size(col("ws")) >= 2)
+    // bigrams and their prefix words travel as 60-bit hashes from two
+    // native single-pass expressions (bh = hash of "w1 w2", ph = hash of
+    // w1): every model shuffle/join key is 8 bytes instead of a string
+    // pair, and the interpreted transform/struct explode chain is gone.
+    // The oracle hashes identically, so grouping is cross-engine-exact
+    // (same collision-freeness assumption as every h60 join in x02/x03).
+    val p = docs
       .select(
         col("doc_id"),
         col("source"),
-        explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-          .as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        explode(graftnative.api.bigramHash60(col("text"))).as("z"))
+      .select(col("doc_id"), col("source"), col("z.ph").as("ph"), col("z.bh").as("bh"))
     // ONE corpus-scale aggregation builds the bigram model; the prefix
     // counts derive from it (c1 = sum_w2 c12, identical by construction).
     // The model is vocab^2-bounded — tiny next to the corpus — so
@@ -126,12 +129,12 @@ object TextAnalysis {
     // re-running the corpus explode for each model branch (the corpus is
     // still scanned twice: once for the model, once for the per-doc pairs;
     // at 100 TB you would persist the model table between the two).
-    val m12 = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
-    val m1 = m12.groupBy("w1").agg(sum("c12").as("c1"))
-    val pd = p.groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("k"))
+    val m12 = p.groupBy("bh", "ph").agg(count(lit(1)).as("c12")).localCheckpoint()
+    val m1 = m12.groupBy("ph").agg(sum("c12").as("c1"))
+    val pd = p.groupBy("doc_id", "source", "bh").agg(count(lit(1)).as("k"))
     val d = pd
-      .join(broadcast(m12), Seq("w1", "w2"))
-      .join(broadcast(m1), Seq("w1"))
+      .join(broadcast(m12), Seq("bh")) // brings c12 and the prefix hash ph
+      .join(broadcast(m1), Seq("ph"))
       .withColumn("prob_e6", expr("(1000000 * c12) div c1"))
       .groupBy("doc_id", "source")
       .agg(sum("k").as("n_big"), expr("sum(k * prob_e6) div sum(k)").as("score_e6"))
@@ -480,14 +483,15 @@ object TextAnalysis {
       "x33_lm_score",
       Some(
         s"WITH w AS (SELECT doc_id, source, ${XText.wordsSql("text")} AS ws FROM documents), " +
-          "p AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM " +
+          s"p AS (SELECT doc_id, source, ${h60Sql("ws[i]")} AS ph, " +
+          s"${h60Sql("ws[i] || ' ' || ws[i + 1]")} AS bh FROM " +
           "(SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
           "FROM w WHERE len(ws) >= 2)), " +
-          "m12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2), " +
-          "m1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1), " +
-          "pd AS (SELECT doc_id, source, w1, w2, count(*) AS k FROM p GROUP BY 1, 2, 3, 4), " +
+          "m12 AS (SELECT bh, ph, count(*) AS c12 FROM p GROUP BY 1, 2), " +
+          "m1 AS (SELECT ph, CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1), " +
+          "pd AS (SELECT doc_id, source, bh, count(*) AS k FROM p GROUP BY 1, 2, 3), " +
           "j AS (SELECT doc_id, source, k, (1000000 * c12) // c1 AS prob_e6 " +
-          "FROM pd JOIN m12 USING (w1, w2) JOIN m1 USING (w1)), " +
+          "FROM pd JOIN m12 USING (bh) JOIN m1 USING (ph)), " +
           "d AS (SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_big, " +
           "CAST(sum(k * prob_e6) // sum(k) AS BIGINT) AS score_e6 FROM j GROUP BY 1, 2), " +
           "a AS (SELECT doc.doc_id, doc.source, coalesce(d.n_big, 0) AS n_big, " +

@@ -259,6 +259,65 @@ object WindowHash60 {
   }
 }
 
+/** Per-position bigram model keys: array of (ph, bh) structs where
+  * ph = h60(word_i) and bh = h60(word_i + " " + word_{i+1}), duplicates and
+  * order kept, empty below 2 words. One tokenize+hash pass feeding the x33
+  * bigram LM — emitting the PAIR as a struct matters: deriving ph from a
+  * separate token-hash array means the generator carries that whole array
+  * per exploded row (measured 2.3x slower at sf0.1), and a string-pair
+  * explode shuffles text instead of 8-byte keys.
+  */
+case class BigramHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BigramHash60.schema
+  override def prettyName: String = "graft_bigram_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramHash60.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.BigramHash60.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHash60 =
+    copy(child = newChild)
+}
+
+object BigramHash60 {
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ph", LongType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: String): ArrayData = {
+    val words = ws.split(text, -1)
+    if (words.length < 2) return ArrayData.toArrayData(Array.empty[AnyRef])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var r = 0L
+      var b = 0
+      while (b < 8) { r = (r << 8) | (d(b) & 0xffL); b += 1 }
+      r >>> 4
+    }
+    val out = new Array[AnyRef](words.length - 1)
+    var i = 0
+    while (i < words.length - 1) {
+      out(i) = new GenericInternalRow(
+        Array[Any](h60(words(i)), h60(words(i) + " " + words(i + 1))))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** 60-bit hashes of every whitespace token of a document, duplicates kept
   * and order preserved (unlike [[ShingleHash60]], which dedups) — the input
   * to tf-weighted SimHash. Same tokenization and md5-60bit semantics as
@@ -891,6 +950,9 @@ object api {
 
   def windowHash60(text: Column, k: Int): Column =
     ExpressionUtils.column(WindowHash60(ExpressionUtils.expression(text), k))
+
+  def bigramHash60(text: Column): Column =
+    ExpressionUtils.column(BigramHash60(ExpressionUtils.expression(text)))
 
   def bloomMightContain(filter: BloomFilter, key: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()

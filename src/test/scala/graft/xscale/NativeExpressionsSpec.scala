@@ -121,4 +121,17 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(graftnative.api.windowHash60(col("text"), 3)).collect()(0).getSeq[Long](0)
     assert(short.isEmpty) // NO whole-text fallback for positional consumers
   }
+
+  test("BigramHash60: (prefix, bigram) hash pairs in document order") {
+    val rows = Seq("a b c").toDF("text")
+      .select(explode(graftnative.api.bigramHash60(col("text"))).as("z"))
+      .selectExpr("z.ph", "z.bh")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (XHash.h60("a"), XHash.h60("a b")),
+      (XHash.h60("b"), XHash.h60("b c"))))
+    val short = Seq("solo").toDF("text")
+      .select(graftnative.api.bigramHash60(col("text"))).collect()(0).getSeq[Any](0)
+    assert(short.isEmpty)
+  }
 }

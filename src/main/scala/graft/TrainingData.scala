@@ -133,4 +133,9 @@ object TrainingData {
     */
   def substringCoverage(docs: DataFrame, k: Int = DataPrep.SubstrK): DataFrame =
     DataPrep.substringCoverage(docs, k)
+
+  /** RAG-style overlapping chunking with 1-based token offsets. */
+  def chunkDocs(docs: DataFrame, window: Int = DataPrep.ChunkW,
+      stride: Int = DataPrep.ChunkS): DataFrame =
+    DataPrep.chunkDocs(docs, window, stride)
 }

@@ -34,6 +34,39 @@ object DataPrep {
     */
   val SubstrK = 8
 
+  /** x36 chunking: window / stride in tokens (overlap = W - S). */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** x36 core: explode each doc into overlapping [start, start+n-1] token
+    * windows. Columns (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+    */
+  def chunkDocs(docs: DataFrame, w: Int = ChunkW, s: Int = ChunkS): DataFrame = {
+    require(s > 0 && s <= w, "stride must be in (0, window]")
+    docs
+      .select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn(
+        "nc",
+        lit(1L) + when(col("nw") > w, expr(s"(nw - $w + ${s - 1}) div $s"))
+          .otherwise(lit(0L)))
+      .select(
+        col("doc_id"),
+        col("ws"),
+        col("nw"),
+        explode(expr(s"sequence(0L, nc - 1)")).as("chunk_id"))
+      .withColumn("start_tok", lit(1L) + col("chunk_id") * s)
+      .withColumn("n_tok", least(lit(w.toLong), col("nw") - col("start_tok") + 1))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("start_tok"),
+        col("n_tok"),
+        array_join(
+          slice(col("ws"), col("start_tok").cast("int"), col("n_tok").cast("int")), " ")
+          .as("chunk_text"))
+  }
+
   /** x34 core: per-doc token coverage by k-token windows occurring in at
     * least 2 distinct docs. Columns
     * (doc_id, nw, n_win, n_shared, covered, cov_e6).
@@ -401,6 +434,32 @@ object DataPrep {
         "no suffix array; this is the Spark-native answer to the paper's suffix-array pass."
     ) { (s, dir) =>
       substringCoverage(table(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ----- x36: overlapping document chunking (RAG / context-window prep) -----
+    Q(
+      "x36_chunk_docs",
+      Some {
+        val (wdw, st) = (ChunkW, ChunkS)
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw, " +
+          s"1 + CASE WHEN len(ws) > $wdw THEN (len(ws) - $wdw + ${st - 1}) // $st ELSE 0 END " +
+          "AS nc FROM w), " +
+          "c AS (SELECT doc_id, ws, nw, unnest(generate_series(0, nc - 1)) AS i FROM d) " +
+          s"SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+          s"CAST(1 + i * $st AS BIGINT) AS start_tok, " +
+          s"CAST(least($wdw, nw - (1 + i * $st) + 1) AS BIGINT) AS n_tok, " +
+          s"array_to_string(ws[(1 + i * $st):(least(CAST($wdw AS BIGINT), nw - (1 + i * $st) + 1) + i * $st)], ' ') " +
+          "AS chunk_text FROM c ORDER BY doc_id, chunk_id"
+      },
+      s"RAG-style chunking: overlapping $ChunkW-token windows at stride $ChunkS (overlap " +
+        s"${ChunkW - ChunkS}) with 1-based token offsets; the tail chunk shrinks, never " +
+        "spills, and every token lands in at least one chunk. Pure per-row explode — no " +
+        "shuffle at all before the presentation sort; at 100 TB chunking is scan-bound and " +
+        "embarrassingly parallel, and emitting (doc_id, chunk_id, start_tok) makes chunks " +
+        "re-joinable to their parent doc without string surgery."
+    ) { (s, dir) =>
+      chunkDocs(table(s, dir, "documents")).orderBy("doc_id", "chunk_id")
     },
 
     // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----

@@ -200,4 +200,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(s7.total_value === 3.0)
     assert(byUser(8L).n_events === 1L)
   }
+
+  test("native quality + repetition annotators are streaming-safe: stream == batch") {
+    import graft.xscale.TextAnalysis
+    // the native struct expressions (GopherMetrics, RepetitionMetrics) are
+    // stateless per-row, so the SAME library calls must run unchanged on a
+    // streaming DataFrame and agree with batch row-for-row
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val rows = docs.as[(Long, String)].collect().toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val streamDf = in.toDF().toDF("doc_id", "text")
+    val annotated = TextAnalysis.repetitionAnnotate(TextAnalysis.gopherAnnotate(streamDf))
+      .select("doc_id", "r_keep", "totc", "top2", "cov5")
+    val q = annotated.writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = TextAnalysis.repetitionAnnotate(TextAnalysis.gopherAnnotate(docs))
+      .select("doc_id", "r_keep", "totc", "top2", "cov5")
+    val stream = spark.table("ann_stream")
+    assert(stream.count() == rows.length)
+    val diff = stream.exceptAll(batch).union(batch.exceptAll(stream))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(";"))
+  }
 }

@@ -128,6 +128,30 @@ class DataPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("x36 chunks tile every doc: full coverage, stride spacing, bounded windows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ch = DataPrep.chunkDocs(docs).cache()
+    val (w, s) = (DataPrep.ChunkW, DataPrep.ChunkS)
+    assert(ch.filter(col("n_tok") < 1 || col("n_tok") > w).isEmpty)
+    // per doc: chunks start at 1, advance by exactly the stride, and the
+    // last chunk ends exactly at the doc's token count
+    val nw = docs.select(col("doc_id"), size(XText.words(col("text"))).cast("long").as("nw"))
+    val perDoc = ch.groupBy("doc_id").agg(
+      min("start_tok").as("first"),
+      max(col("start_tok") + col("n_tok") - 1).as("lastEnd"),
+      count(lit(1)).as("nc"),
+      max("chunk_id").as("maxId"))
+    val bad = perDoc.join(nw, "doc_id").filter(
+      col("first") =!= 1 || col("lastEnd") =!= col("nw") || col("maxId") =!= col("nc") - 1 ||
+        col("nc") =!= (lit(1L) + when(col("nw") > w, expr(s"(nw - $w + ${s - 1}) div $s"))
+          .otherwise(lit(0L))))
+    assert(bad.isEmpty)
+    // a doc at most one window long is exactly its own single chunk
+    val single = ch.join(nw, "doc_id").filter(col("nw") <= w)
+    assert(single.filter(col("chunk_id") =!= 0 || col("n_tok") =!= col("nw")).isEmpty)
+    ch.unpersist()
+  }
+
   test("x35 temperature weights are normalized, sub-linear and budget-consistent") {
     val rows = run("x35_temp_schedule")
       .select("source", "tokens", "w_e6", "target_tokens", "epochs_e6")

@@ -1,0 +1,112 @@
+package graft.xscale
+
+import org.apache.spark.sql.graftnative
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests over RANDOM word-soup documents: the native expressions
+  * must agree with independent slow Scala references (sliding/groupBy
+  * collections code — a different code path from both the codegen Java and
+  * the DuckDB oracles), and chunking must tile for arbitrary (window,
+  * stride) choices, not just the x36 defaults.
+  */
+class XScalePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val genWord = Gen.oneOf("a", "bb", "ccc", "dd", "e", "xy", "zw")
+  private val genText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    ws <- Gen.listOfN(n, genWord)
+    sep <- Gen.oneOf(" ", "  ", "\t") // runs of whitespace must not matter
+  } yield ws.mkString(sep)
+
+  // ---- slow references (Scala collections, no shared code) ----
+
+  private def refRepetition(text: String): (Long, Long, Long, Long, Long, Long) = {
+    val words = text.split("\\s+", -1)
+    val lens = words.map(w => w.codePointCount(0, w.length).toLong)
+    val totc = lens.sum
+    def top(n: Int): Long =
+      if (words.length < n) 0L
+      else words.sliding(n).toSeq.zipWithIndex
+        .groupBy(_._1.mkString(" "))
+        .map { case (_, occ) => occ.length.toLong * occ.head._1.map(w => w.codePointCount(0, w.length).toLong).sum }
+        .max
+    def cov(n: Int): Long =
+      if (words.length < n) 0L
+      else {
+        val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        val covered = Array.fill(words.length)(false)
+        grams.zipWithIndex.foreach { case (g, i) =>
+          if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true)
+        }
+        covered.zip(lens).collect { case (true, l) => l }.sum
+      }
+    (totc, top(2), top(3), top(4), cov(5), cov(6))
+  }
+
+  private def refWindows(text: String, k: Int): Seq[Long] = {
+    val words = text.split("\\s+", -1)
+    if (words.length < k) Seq.empty
+    else words.sliding(k).map(g => XHash.h60(g.mkString(" "))).toSeq
+  }
+
+  test("RepetitionMetrics == slow reference on random texts") {
+    val texts = samples(genText, 60).distinct
+    val native = texts.toDF("text")
+      .select(col("text"), graftnative.api.repetitionMetrics(col("text")).as("m"))
+      .selectExpr("text", "m.totc", "m.top2", "m.top3", "m.top4", "m.cov5", "m.cov6")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    native.foreach { case (t, totc, t2, t3, t4, c5, c6) =>
+      assert((totc, t2, t3, t4, c5, c6) == refRepetition(t), s"text=<$t>")
+    }
+  }
+
+  test("WindowHash60 == slow reference on random texts and k") {
+    for (k <- Seq(1, 2, 3, 5)) {
+      val texts = samples(genText, 40).distinct
+      val native = texts.toDF("text")
+        .select(col("text"), graftnative.api.windowHash60(col("text"), k).as("h"))
+        .as[(String, Seq[Long])].collect()
+      native.foreach { case (t, hs) =>
+        assert(hs == refWindows(t, k), s"k=$k text=<$t>")
+      }
+    }
+  }
+
+  test("chunkDocs tiles for arbitrary (window, stride)") {
+    val genWS = for {
+      w <- Gen.chooseNum(1, 12)
+      s <- Gen.chooseNum(1, w)
+    } yield (w, s)
+    val texts = samples(genText, 25).distinct.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    for ((w, s) <- samples(genWS, 8).distinct) {
+      val ch = DataPrep.chunkDocs(docs, w, s)
+        .select("doc_id", "chunk_id", "start_tok", "n_tok")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1)
+      val nws = texts.map { case (id, t) => id -> t.split("\\s+", -1).length.toLong }.toMap
+      for ((id, rows) <- ch) {
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.head._3 == 1L) // first chunk starts at token 1
+        assert(sorted.last._3 + sorted.last._4 - 1 == nws(id)) // last ends at nw
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._3 == s) // exact stride spacing
+          case _ =>
+        }
+        assert(sorted.forall(r => r._4 >= 1 && r._4 <= w))
+      }
+      assert(ch.keySet == texts.map(_._1).toSet)
+    }
+  }
+}

@@ -138,4 +138,14 @@ object TrainingData {
   def chunkDocs(docs: DataFrame, window: Int = DataPrep.ChunkW,
       stride: Int = DataPrep.ChunkS): DataFrame =
     DataPrep.chunkDocs(docs, window, stride)
+
+  /** Snapshot diff of two corpus versions by (doc_id, content hash):
+    * added / removed / changed / unchanged per doc with token counts.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = DataPrep.corpusDiff(a, b)
+
+  /** Per-source audit card: docs, tokens, dup excess, vocabulary,
+    * languages, token-length envelope.
+    */
+  def datasheet(docs: DataFrame): DataFrame = DataPrep.datasheet(docs)
 }

@@ -67,6 +67,69 @@ object DataPrep {
           .as("chunk_text"))
   }
 
+  /** x38 core: the per-source audit card — docs, tokens, exact-dup excess,
+    * vocabulary, language count, token-length envelope.
+    */
+  def datasheet(docs: DataFrame): DataFrame = {
+    val w = docs.select(
+      col("doc_id"), col("source"), col("lang"),
+      XText.words(col("text")).as("ws"),
+      Dedup.normText(col("text")).as("norm"))
+    val d = w.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("tokens"),
+      countDistinct("norm").as("uniq_norm"),
+      countDistinct("lang").as("langs"),
+      min(size(col("ws")).cast("long")).as("min_tok"),
+      max(size(col("ws")).cast("long")).as("max_tok"))
+    val v = w.select(col("source"), explode(col("ws")).as("t"))
+      .groupBy("source").agg(countDistinct("t").as("vocab"))
+    d.join(v, "source")
+      .select(
+        col("source"), col("n_docs"), col("tokens"),
+        (col("n_docs") - col("uniq_norm")).as("dup_excess"),
+        col("vocab"), col("langs"), col("min_tok"), col("max_tok"))
+  }
+
+  /** x37 fixture: a deterministic "next crawl" of the corpus — every 17th
+    * doc removed, every 13th edited, every 23rd re-added under a shifted
+    * id. Mirrors the SQL twin exactly.
+    */
+  def corpusV2(a: DataFrame): DataFrame = {
+    val edited = a.filter(col("doc_id") % 17 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val added = a.filter(col("doc_id") % 23 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" new")).as("text"))
+    edited.unionByName(added)
+  }
+
+  /** x37 core: snapshot diff by (doc_id, content hash). One full outer
+    * join on doc_id; columns (doc_id, source, status, tok_a, tok_b) with
+    * status ∈ added | removed | changed | unchanged.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("doc_id"), col("source").as("src_a"), col("text").as("text_a"))
+    val bb = b.select(col("doc_id"), col("source").as("src_b"), col("text").as("text_b"))
+    aa.join(bb, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("text_a").isNull, "added")
+          .when(col("text_b").isNull, "removed")
+          .when(md5(col("text_a")) =!= md5(col("text_b")), "changed")
+          .otherwise("unchanged").as("status"),
+        when(col("text_a").isNull, 0L)
+          .otherwise(size(XText.words(col("text_a"))).cast("long")).as("tok_a"),
+        when(col("text_b").isNull, 0L)
+          .otherwise(size(XText.words(col("text_b"))).cast("long")).as("tok_b"))
+  }
+
   /** x34 core: per-doc token coverage by k-token windows occurring in at
     * least 2 distinct docs. Columns
     * (doc_id, nw, n_win, n_shared, covered, cov_e6).
@@ -460,6 +523,80 @@ object DataPrep {
         "re-joinable to their parent doc without string surgery."
     ) { (s, dir) =>
       chunkDocs(table(s, dir, "documents")).orderBy("doc_id", "chunk_id")
+    },
+
+    // ----- x37: corpus-version diff (snapshot compare by content hash) -----
+    Q(
+      "x37_corpus_diff",
+      Some(
+        "WITH a AS (SELECT doc_id, source, text FROM documents), " +
+          // version B derived deterministically: every 17th doc removed,
+          // every 13th edited, every 23rd re-added under a shifted id
+          "b0 AS (SELECT doc_id, source, " +
+          "CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0), " +
+          "b AS (SELECT * FROM b0 UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, source, text || ' new' AS text " +
+          "FROM documents WHERE doc_id % 23 = 0), " +
+          s"j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+          "coalesce(a.source, b.source) AS source, " +
+          "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+          "WHEN b.doc_id IS NULL THEN 'removed' " +
+          "WHEN md5(a.text) <> md5(b.text) THEN 'changed' " +
+          "ELSE 'unchanged' END AS status, " +
+          s"CASE WHEN a.doc_id IS NULL THEN 0 ELSE len(${XText.wordsSql("a.text")}) END AS tok_a, " +
+          s"CASE WHEN b.doc_id IS NULL THEN 0 ELSE len(${XText.wordsSql("b.text")}) END AS tok_b " +
+          "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(tok_a) AS BIGINT) AS tokens_a, CAST(sum(tok_b) AS BIGINT) AS tokens_b, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+          "FROM j GROUP BY status ORDER BY status"),
+      "corpus VERSIONING: diff two corpus snapshots by (doc_id, content hash) via one full " +
+        "outer join — added / removed / changed / unchanged doc and token accounting, the " +
+        "audit a training pipeline runs before retraining on a refreshed crawl. Version B " +
+        "is derived deterministically from the fixture (identical in both engines). Scale: " +
+        "one shuffle per side on doc_id; at 100 TB diff per partition/source and compare " +
+        "content via the stored md5 column instead of re-hashing text."
+    ) { (s, dir) =>
+      val a = table(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val b = corpusV2(a)
+      corpusDiff(a, b)
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok_a").as("tokens_a"),
+          sum("tok_b").as("tokens_b"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("status")
+    },
+
+    // ----- x38: per-source corpus datasheet (one-query audit card) -----
+    Q(
+      "x38_datasheet",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, source, lang, $ws AS ws, " +
+          s"${Dedup.normSql} AS norm FROM documents), " +
+          "d AS (SELECT source, count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS tokens, " +
+          "CAST(count(DISTINCT norm) AS BIGINT) AS uniq_norm, " +
+          "CAST(count(DISTINCT lang) AS BIGINT) AS langs, " +
+          "CAST(min(len(ws)) AS BIGINT) AS min_tok, CAST(max(len(ws)) AS BIGINT) AS max_tok " +
+          "FROM w GROUP BY source), " +
+          "v AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM " +
+          "(SELECT source, unnest(ws) AS t FROM w) GROUP BY source) " +
+          "SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs, d.tokens, " +
+          "CAST(d.n_docs - d.uniq_norm AS BIGINT) AS dup_excess, v.vocab, d.langs, " +
+          "d.min_tok, d.max_tok " +
+          "FROM d JOIN v ON v.source = d.source ORDER BY d.source"
+      },
+      "the per-source corpus DATASHEET in one query: doc/token counts, exact-dup excess " +
+        "(docs minus distinct normalized texts — x01's key), vocabulary size, language " +
+        "count, token-length envelope. The audit card published alongside a training mix. " +
+        "Two aggregations per source (doc-level rollup + exploded vocab count) — the vocab " +
+        "count is the expensive one at 100 TB and is exactly a partial-aggregated " +
+        "count-distinct on (source, token); swap in HLL sketches when approximate is enough."
+    ) { (s, dir) =>
+      datasheet(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----

@@ -152,6 +152,38 @@ class DataPrepSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("x37 diff statuses match the modulus rules exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val out = DataPrep.corpusDiff(docs, DataPrep.corpusV2(docs))
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(out("removed") == ids.count(_ % 17 == 0))
+    assert(out("added") == ids.count(_ % 23 == 0))
+    assert(out("changed") == ids.count(i => i % 13 == 0 && i % 17 != 0))
+    assert(out.values.sum == ids.size + ids.count(_ % 23 == 0))
+    // tok_b - tok_a == +1 word for every changed doc (the ' rev2' suffix)
+    val changed = DataPrep.corpusDiff(docs, DataPrep.corpusV2(docs))
+      .filter(col("status") === "changed")
+    assert(changed.filter(col("tok_b") =!= col("tok_a") + 1).isEmpty)
+  }
+
+  test("x38 datasheet invariants hold and totals reconcile") {
+    val rows = run("x38_datasheet")
+      .select("source", "n_docs", "tokens", "dup_excess", "vocab", "langs", "min_tok", "max_tok")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, toks, dup, vocab, langs, lo, hi) =>
+      assert(dup >= 0 && dup < n)
+      assert(vocab >= 1 && vocab <= toks)
+      assert(langs >= 1)
+      assert(lo <= hi && n * lo <= toks && toks <= n * hi)
+    }
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("x35 temperature weights are normalized, sub-linear and budget-consistent") {
     val rows = run("x35_temp_schedule")
       .select("source", "tokens", "w_e6", "target_tokens", "epochs_e6")

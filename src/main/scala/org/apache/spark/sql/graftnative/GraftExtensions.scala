@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_agg"),
       info(classOf[MinHashAgg], "graft_minhash_agg"),
       (es: Seq[Expression]) => new MinHashAgg(es(0), intLit(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_metrics"),
+      info(classOf[RepetitionMetrics], "graft_repetition_metrics"),
+      (es: Seq[Expression]) => RepetitionMetrics(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_window_hash60"),
+      info(classOf[WindowHash60], "graft_window_hash60"),
+      (es: Seq[Expression]) => WindowHash60(es(0), intLit(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_bigram_hash60"),
+      info(classOf[BigramHash60], "graft_bigram_hash60"),
+      (es: Seq[Expression]) => BigramHash60(es(0))))
     ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

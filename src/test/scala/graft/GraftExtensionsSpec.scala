@@ -23,6 +23,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val keep = spark.sql("SELECT graft_gopher_metrics('the a of and').keep AS k")
       .as[Boolean].head()
     assert(!keep) // 4 words < 15 fails r_words
+    val rep = spark.sql("SELECT graft_repetition_metrics('x x x x x x x') AS m")
+      .selectExpr("m.totc", "m.cov5").as[(Long, Long)].head()
+    assert(rep == ((7L, 7L))) // dup 5-grams cover all 7 chars
+    val nw = spark.sql("SELECT size(graft_window_hash60('a b c d', 2)) AS n")
+      .as[Int].head()
+    assert(nw === 3)
+    val bg = spark.sql("SELECT size(graft_bigram_hash60('a b c')) AS n").as[Int].head()
+    assert(bg === 2)
   }
 
   /** Round-trip through parquet so ConvertToLocalRelation can't constant-

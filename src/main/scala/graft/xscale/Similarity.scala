@@ -359,6 +359,38 @@ object Similarity {
       semDedup(table(s, dir, "embeddings")).orderBy("vec_id")
     },
 
+    // ----- x39: quality-filtered semantic search (cross-table composition) -----
+    Q(
+      "x39_quality_knn",
+      Some {
+        val rules = TextAnalysis.gopherRules.mkString(" AND ")
+        s"WITH ${TextAnalysis.gopherSqlCtes("")}, " +
+          s"k AS (SELECT doc_id FROM r WHERE $rules), " +
+          "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+          "JOIN k ON vec_id = doc_id), " +
+          "n AS (SELECT vec_id, v, " +
+          "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), " +
+          "s2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          s"$cosSql AS cos FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+          "r2 AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+          "FROM s2) " +
+          "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r2 " +
+          "WHERE rank <= 3 ORDER BY query_id, rank"
+      },
+      "the composed pipeline a retrieval corpus runs: Gopher/C4 quality filter on the TEXT " +
+        "table (one native pass, no shuffle) -> semi-join the EMBEDDINGS table down to " +
+        "surviving docs -> exact cosine top-3 among survivors. Low-quality docs can't be " +
+        "retrieved AND can't crowd out good neighbors. The filter prunes before any " +
+        "pairwise work, the doc_id=vec_id join is a broadcast-able key join, and the kNN " +
+        "inherits x06's broadcast-query shape; swap knnBrute for knnLsh at 100 TB."
+    ) { (s, dir) =>
+      val kept = TextAnalysis.qualityFilter(table(s, dir, "documents")).select("doc_id")
+      val emb = table(s, dir, "embeddings")
+        .join(kept, col("vec_id") === col("doc_id")).drop("doc_id")
+      knnBrute(emb, col("vec_id") < 10).orderBy("query_id", "rank")
+    },
+
     // ----- x07: LSH-bucketed ANN (the scale path) -----
     Q(
       "x07_knn_lsh",

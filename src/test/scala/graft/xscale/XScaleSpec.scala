@@ -79,6 +79,22 @@ class XScaleSpec extends SparkSpec {
       assert(out.filter(_._4 == b).map(_._3).max <= out.filter(_._4 == b + 1).map(_._3).min)
   }
 
+  test("x39 quality-filtered knn: only surviving docs appear on either side") {
+    val out = graft.SparkEntry.queries("x39_quality_knn")(spark, sf).cache()
+    val kept = TextAnalysis.qualityFilter(
+      spark.read.parquet(s"$sf/documents.parquet")).select(col("doc_id")).as[Long].collect().toSet
+    val rows = out.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, r, n) =>
+      assert(kept.contains(q) && kept.contains(n))
+      assert(r >= 1 && r <= 3)
+      assert(q != n)
+    }
+    // the filter must actually bite: fewer query ids than the raw < 10 set
+    assert(rows.map(_._1).distinct.length < 10)
+    out.unpersist()
+  }
+
   test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
     val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
     val blocked = q.run(spark, sf).collect().toSeq

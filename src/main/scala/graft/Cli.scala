@@ -116,12 +116,16 @@ object Cli {
       0
 
     // corpus preparation: quality filter -> exact dedup -> split -> pack,
-    // written as a split-partitioned parquet corpus + one stats JSON line
-    case "corpus" :: docsPath :: outDir :: Nil =>
+    // written as a split-partitioned parquet corpus + one stats JSON line.
+    // --strict additionally applies the x31 char-fraction repetition rules.
+    case "corpus" :: docsPath :: outDir :: rest if rest.isEmpty || rest == List("--strict") =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val docs = spark.read.parquet(docsPath)
-      val kept = TrainingData.qualityFilter(docs)
-        .select(docs.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val cols = docs.columns.map(org.apache.spark.sql.functions.col).toSeq
+      val quality = TrainingData.qualityFilter(docs).select(cols: _*)
+      val kept =
+        if (rest.contains("--strict")) TrainingData.repetitionFilter(quality).select(cols: _*)
+        else quality
       val deduped = TrainingData.dedupExact(kept)
       val split = TrainingData.splitAssign(deduped)
       val packs = TrainingData.packAssignments(split)
@@ -149,7 +153,7 @@ object Cli {
       "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
-        "       graft.Cli corpus <documentsParquet> <outDir>\n" +
+        "       graft.Cli corpus <documentsParquet> <outDir> [--strict]\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

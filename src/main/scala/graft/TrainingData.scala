@@ -105,6 +105,10 @@ object TrainingData {
   def repetitionAnnotate(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionAnnotate(docs)
 
+  /** Docs passing every char-fraction repetition rule (x31). */
+  def repetitionFilter(docs: DataFrame): DataFrame =
+    TextAnalysis.repetitionFilter(docs)
+
   /** Corpus-self-trained bigram LM score + CCNet-style tercile bucket
     * per doc (integer-exact fixed-point; see x33).
     */

@@ -76,6 +76,18 @@ object TextAnalysis {
       }
       .drop("_rm")
 
+  /** The x31 rule conjunction over [[repetitionAnnotate]] columns (integer
+    * cross-multiplication of Gopher's char-fraction thresholds).
+    */
+  def repetitionKeep: Column =
+    col("top2") * 5 <= col("totc") && col("top3") * 50 <= col("totc") * 9 &&
+      col("top4") * 25 <= col("totc") * 4 && col("cov5") * 20 <= col("totc") * 3 &&
+      col("cov6") * 50 <= col("totc") * 7
+
+  /** Docs passing every char-fraction repetition rule, counters retained. */
+  def repetitionFilter(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    repetitionAnnotate(df).filter(repetitionKeep)
+
   /** DuckDB twin of [[gopherAnnotate]]: CTEs `w` → `m` → `r` over `FROM
     * documents`, ending with per-rule booleans and any extra columns listed
     * in `carry` threaded through.

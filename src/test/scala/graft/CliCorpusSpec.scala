@@ -27,6 +27,27 @@ class CliCorpusSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
   }
 
+  test("corpus --strict additionally applies the repetition rules") {
+    val base = tmpDir("cli-corpus-strict")
+    val outA = base.getPath + "/plain"
+    val outB = base.getPath + "/strict"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    assert(Cli.run(spark, List("corpus", docs, outA)) === 0)
+    assert(Cli.run(spark, List("corpus", docs, outB, "--strict")) === 0)
+    val plain = spark.read.parquet(outA)
+    val strict = spark.read.parquet(outB)
+    assert(strict.count() <= plain.count())
+    // every strict survivor passes x31's rules (the filter runs BEFORE
+    // dedup, so survivors may differ from filtering plain's output when a
+    // dup group's representative changes — only the rule guarantee holds)
+    val passing = xscale.TextAnalysis.repetitionFilter(
+      spark.read.parquet(docs).select("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = strict.select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(passing))
+    assert(got.nonEmpty)
+  }
+
   test("unknown subcommand still exits 2") {
     assert(Cli.run(spark, List("bogus")) === 2)
   }

@@ -152,4 +152,8 @@ object TrainingData {
     * languages, token-length envelope.
     */
   def datasheet(docs: DataFrame): DataFrame = DataPrep.datasheet(docs)
+
+  /** The audit card with HLL++ approximate distincts — the 100 TB form. */
+  def datasheetApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    DataPrep.datasheetApprox(docs, rsd)
 }

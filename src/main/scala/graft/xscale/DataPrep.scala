@@ -91,6 +91,35 @@ object DataPrep {
         col("vocab"), col("langs"), col("min_tok"), col("max_tok"))
   }
 
+  /** x40: the datasheet with HyperLogLog++ approximate distincts — the
+    * documented 100 TB swap for x38's exact count-distincts (vocab and
+    * norm-dedup are the two corpus-scale distincts; HLL state is a few KB
+    * per group and merges map-side instead of shuffling every distinct
+    * value). No DuckDB oracle: DuckDB's approx_count_distinct uses a
+    * different HLL implementation, so only the EXACT twin (x38) is
+    * hash-comparable; the spec bounds approx-vs-exact error instead.
+    */
+  def datasheetApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val w = docs.select(
+      col("doc_id"), col("source"), col("lang"),
+      XText.words(col("text")).as("ws"),
+      Dedup.normText(col("text")).as("norm"))
+    val d = w.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("tokens"),
+      approx_count_distinct("norm", rsd).as("uniq_norm_approx"),
+      countDistinct("lang").as("langs"),
+      min(size(col("ws")).cast("long")).as("min_tok"),
+      max(size(col("ws")).cast("long")).as("max_tok"))
+    val v = w.select(col("source"), explode(col("ws")).as("t"))
+      .groupBy("source").agg(approx_count_distinct("t", rsd).as("vocab_approx"))
+    d.join(v, "source")
+      .select(
+        col("source"), col("n_docs"), col("tokens"),
+        greatest(col("n_docs") - col("uniq_norm_approx"), lit(0L)).as("dup_excess_approx"),
+        col("vocab_approx"), col("langs"), col("min_tok"), col("max_tok"))
+  }
+
   /** x37 fixture: a deterministic "next crawl" of the corpus — every 17th
     * doc removed, every 13th edited, every 23rd re-added under a shifted
     * id. Mirrors the SQL twin exactly.
@@ -597,6 +626,19 @@ object DataPrep {
         "count-distinct on (source, token); swap in HLL sketches when approximate is enough."
     ) { (s, dir) =>
       datasheet(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x40: approximate datasheet (HLL++, the 100 TB distincts) -----
+    Q(
+      "x40_datasheet_approx",
+      None, // DuckDB's HLL differs — the exact twin x38 carries the oracle;
+      // the spec bounds approx-vs-exact error at 3x the requested rsd
+      "x38's audit card with HyperLogLog++ approximate count-distincts for the two " +
+        "corpus-scale distincts (vocabulary, norm-dedup): HLL state is a few KB per source " +
+        "and merges map-side, so the shuffle carries sketches instead of every distinct " +
+        "token — the swap x38's doc promises at 100 TB. rows-only driver check by design."
+    ) { (s, dir) =>
+      datasheetApprox(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----

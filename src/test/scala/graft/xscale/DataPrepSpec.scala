@@ -184,6 +184,21 @@ class DataPrepSpec extends SparkSpec {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("x40 approximate datasheet tracks the exact one within 3x rsd") {
+    val exact = run("x38_datasheet")
+      .select("source", "vocab", "dup_excess").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = run("x40_datasheet_approx")
+      .select("source", "vocab_approx", "dup_excess_approx")
+      .as[(String, Long, Long)].collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (src, vApprox, _) =>
+      val (vExact, _) = exact(src)
+      assert(math.abs(vApprox - vExact) <= math.max(3, (0.15 * vExact).toLong),
+        s"$src vocab approx=$vApprox exact=$vExact")
+    }
+  }
+
   test("x35 temperature weights are normalized, sub-linear and budget-consistent") {
     val rows = run("x35_temp_schedule")
       .select("source", "tokens", "w_e6", "target_tokens", "epochs_e6")

@@ -81,6 +81,12 @@ object TrainingData {
   def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
     Similarity.knnLsh(emb, isQuery, k)
 
+  /** Hard-negative mining: top-k most-similar vectors with a DIFFERENT
+    * label per query (x41) — contrastive-training negatives.
+    */
+  def hardNegatives(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
+    Similarity.hardNegatives(emb, isQuery, k)
+
   /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
     * cosine >= tau neighbor farther from their cluster centroid —
     * candidate pairs are within-cluster only, never corpus².

@@ -224,6 +224,30 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dist"), col("_dom").isNull.as("kept"))
   }
 
+  /** x41 core: top-k most-similar vectors with a DIFFERENT label per query
+    * (contrastive hard negatives). Broadcast-query + one corpus scan, the
+    * x06 shape with the label inequality pushed into the join. Columns
+    * (query_id, q_label, rank, neighbor_id, n_label, cos4).
+    */
+  def hardNegatives(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
+    val e = withNorm(emb).join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, col("n_label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("q_label").cast("long").as("q_label"), col("rank"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        round(col("cos"), 4).as("cos4"))
+  }
+
   /** Exact top-k neighbors by cosine for the rows matching `isQuery`:
     * query side broadcast, one corpus scan. Columns
     * (query_id, rank, neighbor_id).
@@ -389,6 +413,35 @@ object Similarity {
       val emb = table(s, dir, "embeddings")
         .join(kept, col("vec_id") === col("doc_id")).drop("doc_id")
       knnBrute(emb, col("vec_id") < 10).orderBy("query_id", "rank")
+    },
+
+    // ----- x41: hard-negative mining (top cross-label neighbors) -----
+    Q(
+      "x41_hard_negatives",
+      Some(
+        s"WITH $normCtes, " +
+          "l AS (SELECT n.vec_id, n.v, n.nrm, e2.label FROM n " +
+          "JOIN embeddings e2 ON e2.vec_id = n.vec_id), " +
+          "s2 AS (SELECT q.vec_id AS query_id, q.label AS q_label, " +
+          "c.vec_id AS neighbor_id, c.label AS n_label, " +
+          "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
+          "/ (q.nrm * c.nrm) AS cos " +
+          "FROM l q JOIN l c ON q.vec_id < 10 AND c.label <> q.label), " +
+          "r2 AS (SELECT query_id, q_label, neighbor_id, n_label, round(cos, 4) AS cos4, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+          "FROM s2) " +
+          "SELECT query_id, CAST(q_label AS BIGINT) AS q_label, CAST(rank AS BIGINT) AS rank, " +
+          "neighbor_id, CAST(n_label AS BIGINT) AS n_label, cos4 " +
+          "FROM r2 WHERE rank <= 3 ORDER BY query_id, rank"),
+      "hard-negative mining for contrastive training: for each query vector, the top-3 most " +
+        "similar vectors with a DIFFERENT label — the negatives that actually teach a " +
+        "bi-encoder. Same broadcast-query + one-corpus-scan shape as x06 with the label " +
+        "inequality pushed into the join; at 100 TB route through the x07 LSH tables first " +
+        "and apply the label filter on candidates. First operator to exercise the " +
+        "embeddings.label column; cosines reported round-4 like x05."
+    ) { (s, dir) =>
+      hardNegatives(table(s, dir, "embeddings"), col("vec_id") < 10)
+        .orderBy("query_id", "rank")
     },
 
     // ----- x07: LSH-bucketed ANN (the scale path) -----

@@ -95,6 +95,21 @@ class XScaleSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("x41 hard negatives: cross-label only, cosine-monotone per query") {
+    val rows = graft.SparkEntry.queries("x41_hard_negatives")(spark, sf)
+      .select("query_id", "q_label", "rank", "n_label", "cos4")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ql, r, nl, _) =>
+      assert(ql != nl)
+      assert(r >= 1 && r <= 3)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._3).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("x04 pigeonhole-blocked simhash join == brute-force all-pairs scan") {
     val q = Dedup.queries.find(_.name == "x04_dedup_simhash").get
     val blocked = q.run(spark, sf).collect().toSeq

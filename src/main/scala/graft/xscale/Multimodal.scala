@@ -119,7 +119,60 @@ object Multimodal {
     }
   }
 
+  /** An evenly-sampled frame reference: no payload, just the index and a
+    * deterministic fingerprint — what a downstream dedup/embedding stage
+    * keys on.
+    */
+  final case class FrameRef(doc_id: Long, n_frames: Long, frame_idx: Long, frame_h: Long)
+
+  /** Evenly-spaced frame sampling (the "k thumbnails per video" shape):
+    * n_frames = bytes/256 + 1 (stub — a real decoder reads the container
+    * header), sample min(maxFrames, n_frames) indices evenly across
+    * [0, n_frames-1], fingerprint each as h60(md5(payload) + "_" + idx).
+    * Indices are strictly increasing because k <= n_frames. Batched
+    * per-partition like every decode step here.
+    */
+  def sampleFramesEvenly(media: Dataset[MediaRecord], maxFrames: Int = 4): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    media.filter(col("modality") === "video").mapPartitions {
+      _.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val mh = md.digest(m.payload).map(b => f"$b%02x").mkString
+        val nf = m.payload.length.toLong / 256 + 1
+        val k = math.min(maxFrames.toLong, nf)
+        val idxs = if (k == 1) Seq(0L) else (0L until k).map(j => j * (nf - 1) / (k - 1))
+        idxs.map(i => FrameRef(m.doc_id, nf, i, XHash.h60(s"${mh}_$i")))
+      })
+    }
+  }
+
   val queries: Seq[Q] = Seq(
+    // ----- x42: evenly-spaced frame sampling (video thumbnails) -----
+    Q(
+      "x42_frame_sample",
+      Some(
+        "WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2), " +
+          "m AS (SELECT doc_id, md5(text) AS mh, " +
+          "octet_length(encode(text)) // 256 + 1 AS nf FROM v), " +
+          "k AS (SELECT doc_id, mh, nf, least(4, nf) AS k FROM m), " +
+          "f AS (SELECT doc_id, mh, nf, k, unnest(generate_series(0, k - 1)) AS j FROM k), " +
+          "i AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, " +
+          "CAST(CASE WHEN k = 1 THEN 0 ELSE (j * (nf - 1)) // (k - 1) END AS BIGINT) " +
+          "AS frame_idx, mh FROM f) " +
+          "SELECT doc_id, n_frames, frame_idx, " +
+          s"${XHash.h60Sql("mh || '_' || CAST(frame_idx AS VARCHAR)")} AS frame_h " +
+          "FROM i ORDER BY doc_id, frame_idx"),
+      "evenly-spaced frame sampling for the video modality — the 'k thumbnails per video' " +
+        "stage of a multimodal pipeline: frame count derived from the payload (stub; a real " +
+        "decoder reads the container header), min(4, n) indices spread across the clip, " +
+        "each fingerprinted so downstream frame-level dedup/embedding joins on " +
+        "(doc_id, frame_idx) without re-touching the bytes. Same batched mapPartitions " +
+        "plumbing as x12 — the 1-to-N flatMap that makes frame work distributable."
+    ) { (s, dir) =>
+      sampleFramesEvenly(asMedia(s, table(s, dir, "documents")))
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+
     // ----- x12: multimodal feature extraction over binary payloads -----
     Q(
       "x12_multimodal",

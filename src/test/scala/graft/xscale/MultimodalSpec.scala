@@ -44,4 +44,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).sorted.toSeq === Seq(0L, 1L)) // "zeta" = 4 bytes / stride 2
     assert(frames.map(_.payload.length).sum === 4)
   }
+
+  test("sampleFramesEvenly: spread across the clip, endpoints included, video only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val refs = Multimodal.sampleFramesEvenly(Multimodal.asMedia(spark, docs))
+      .collect().groupBy(_.doc_id)
+    assert(refs.nonEmpty)
+    assert(refs.keySet.forall(_ % 3 == 2)) // video modality = doc_id % 3 == 2
+    refs.values.foreach { g =>
+      val nf = g.head.n_frames
+      val idxs = g.map(_.frame_idx).sorted.toSeq
+      assert(g.length == math.min(4L, nf))
+      assert(idxs == idxs.distinct && idxs.head == 0L)
+      if (nf > 1) assert(idxs.last == nf - 1) // last frame always sampled
+      assert(idxs.forall(i => i >= 0 && i < nf))
+      assert(g.map(_.frame_h).distinct.length == g.length) // distinct fingerprints
+    }
+  }
 }

@@ -22,11 +22,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val outAbs = Paths.get(outDir).toAbsolutePath
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        println(s"[verify] wrote ${outAbs.resolve(s"$name.parquet")}")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -43,10 +47,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracle = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
+    // Key the map BOTH bare and with the `.parquet` suffix: the driver's
+    // CORRECTNESS keys carry the result-file suffix (`q01_….parquet`), so a
+    // suffixed lookup into a bare-keyed map would miss every query.
+    val json = oracle.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
+    Files.writeString(jsonPath, json)
+    println(s"[verify] wrote ${jsonPath.toAbsolutePath} (${oracle.size} queries, dual-keyed)")
+    // One plain-text `<name>.sql` beside each result parquet, so the oracle
+    // SQL is discoverable by directory listing alone.
+    oracle.foreach { case (k, v) =>
+      val p = Paths.get(s"$outDir/$k.sql")
+      Files.writeString(p, v)
+      println(s"[verify] wrote ${p.toAbsolutePath}")
+    }
+    // Canonical copy at the repo root (committed; also refreshed whenever
+    // Verify runs unfiltered from the repo) so the oracle map is findable
+    // without running Verify at all.
+    if (only.isEmpty && Files.exists(Paths.get("build.sbt"))) {
+      val root = Paths.get("ORACLE_SQL.json")
+      Files.writeString(root, json)
+      println(s"[verify] wrote ${root.toAbsolutePath}")
+    }
     spark.stop()
   }
 }

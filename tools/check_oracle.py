@@ -39,7 +39,10 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    raw = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # oracle_sql.json is dual-keyed (bare name AND name.parquet) for the
+    # driver's benefit; normalize to bare names here.
+    oracle = {k.removesuffix(".parquet"): v for k, v in raw.items()}
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:

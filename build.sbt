@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output normally round-trips through sbt's logger, which
+// prefixes every stdout line with "[info] " and can truncate long lines —
+// that mangles the one-line JSON contract of Bench/Verify for downstream
+// parsers. StdoutOutput passes the forked process's stdout through bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,15 +28,23 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms): keeps the one-line JSON short enough that
+    // line-buffered consumers never truncate it mid-stream.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit twice: once bare (run/outputStrategy := StdoutOutput passes it
+    // through unprefixed) and once with a literal "[info] " prefix so a
+    // consumer grepping for the old sbt-logger shape still finds a valid
+    // line; both parse to the same JSON.
     println(line)
-    // sbt prefixes stdout with "[info] ", which breaks naive JSON-line
-    // parsing downstream — also drop a clean copy on disk.
+    println(s"[info] $line")
+    System.out.flush()
+    // Also drop a clean copy on disk so the result can be read whole.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    println(s"[bench] wrote ${java.nio.file.Paths.get(out).toAbsolutePath}")
     spark.stop()
   }
 }

@@ -118,7 +118,16 @@ object TrainingData {
   /** Corpus-self-trained bigram LM score + CCNet-style tercile bucket
     * per doc (integer-exact fixed-point; see x33).
     */
-  def lmScore(docs: DataFrame): DataFrame = TextAnalysis.lmScore(docs)
+  def lmScore(docs: DataFrame, broadcastModel: Boolean = true): DataFrame =
+    TextAnalysis.lmScore(docs, broadcastModel)
+
+  /** x33 at scale: identical score, tercile bucket from sampled
+    * `approx_percentile` thresholds instead of the global ntile window
+    * (which is a one-partition sort of the corpus). >= 95% bucket
+    * agreement with the exact terciles is spec-pinned.
+    */
+  def lmScoreSampled(docs: DataFrame, sampleFraction: Double = 0.1): DataFrame =
+    TextAnalysis.lmScoreSampled(docs, sampleFraction)
 
   // ---- corpus preparation ----
 

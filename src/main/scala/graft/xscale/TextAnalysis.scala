@@ -121,7 +121,46 @@ object TextAnalysis {
     * < 2 words score -1. Integer-exact by construction (see the x33 query
     * doc for why not log-perplexity).
     */
-  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def lmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame =
+    lmScored(docs, broadcastModel)
+      .withColumn(
+        "bucket",
+        ntile(3).over(Window.orderBy(col("score_e6"), col("doc_id"))).cast("long"))
+
+  /** x33 scale path: same per-doc score, but the tercile bucket comes from
+    * `approx_percentile` thresholds over a deterministic doc_id hash-sample
+    * instead of a global `ntile(3)` window. The ntile is a one-partition
+    * sort of the whole corpus — the plan's only non-scalable piece; the
+    * sampled variant collects exactly two longs at the driver and buckets
+    * per-row by comparison (the q24 percentile pattern). Ties at a
+    * threshold fall in the lower bucket, so bucket populations can differ
+    * slightly from exact terciles — [[graft.DataPrepSpec]] pins >= 95%
+    * agreement on the real corpus.
+    */
+  def lmScoreSampled(
+      docs: org.apache.spark.sql.DataFrame,
+      sampleFraction: Double = 0.1,
+      broadcastModel: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val scored = lmScored(docs, broadcastModel).localCheckpoint()
+    val keep = math.max(1L, math.min(1000L, (sampleFraction * 1000).toLong))
+    val Array(t1, t2) = scored
+      .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
+      .agg(expr(
+        "approx_percentile(score_e6, array(0.3333333333, 0.6666666667))"))
+      .first().getSeq[Long](0).toArray
+    scored.withColumn(
+      "bucket",
+      when(col("score_e6") <= t1, 1L)
+        .when(col("score_e6") <= t2, 2L)
+        .otherwise(3L))
+  }
+
+  /** Shared x33 scoring stage: everything except the bucket column. */
+  private def lmScored(
+      docs: org.apache.spark.sql.DataFrame,
+      broadcastModel: Boolean): org.apache.spark.sql.DataFrame = {
     // bigrams and their prefix words travel as 60-bit hashes from two
     // native single-pass expressions (bh = hash of "w1 w2", ph = hash of
     // w1): every model shuffle/join key is 8 bytes instead of a string
@@ -143,10 +182,16 @@ object TextAnalysis {
     // at 100 TB you would persist the model table between the two).
     val m12 = p.groupBy("bh", "ph").agg(count(lit(1)).as("c12")).localCheckpoint()
     val m1 = m12.groupBy("ph").agg(sum("c12").as("c1"))
+    // The model is bigram-vocabulary-sized: tiny on a test corpus, but it
+    // grows with corpus diversity, so forcing broadcast at 100 TB could
+    // blow the driver. broadcastModel=false drops the hint and lets AQE
+    // pick from the model's ACTUAL size (shuffle join if it is big).
+    def hint(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastModel) broadcast(df) else df
     val pd = p.groupBy("doc_id", "source", "bh").agg(count(lit(1)).as("k"))
     val d = pd
-      .join(broadcast(m12), Seq("bh")) // brings c12 and the prefix hash ph
-      .join(broadcast(m1), Seq("ph"))
+      .join(hint(m12), Seq("bh")) // brings c12 and the prefix hash ph
+      .join(hint(m1), Seq("ph"))
       .withColumn("prob_e6", expr("(1000000 * c12) div c1"))
       .groupBy("doc_id", "source")
       .agg(sum("k").as("n_big"), expr("sum(k * prob_e6) div sum(k)").as("score_e6"))
@@ -157,9 +202,6 @@ object TextAnalysis {
         col("source"),
         coalesce(col("n_big"), lit(0L)).as("n_big"),
         coalesce(col("score_e6"), lit(-1L)).as("score_e6"))
-      .withColumn(
-        "bucket",
-        ntile(3).over(Window.orderBy(col("score_e6"), col("doc_id"))).cast("long"))
   }
 
   /** x32 PII patterns. Deliberately backslash-free ([.] instead of \. etc.)
@@ -519,10 +561,11 @@ object TextAnalysis {
         "guaranteed bit-identical (1-ulp divergence would poison a hash-compared oracle), " +
         "while this score is integer-exact end to end; the ranking is what the buckets " +
         "consume, and a geometric variant is one ln() swap away if a tolerance is accepted. " +
-        "Scale: the model tables are vocab-bounded (tiny vs corpus — broadcast side), the " +
-        "per-doc rollup is one shuffle on (doc, bigram); the global ntile window is the one " +
-        "non-scalable piece and would become sampled quantile thresholds at 100 TB (same " +
-        "pattern as q24's percentiles)."
+        "Scale: the model tables are vocab-bounded (broadcast by default, broadcastModel=false " +
+        "lets AQE size-pick), the per-doc rollup is one shuffle on (doc, bigram); the global " +
+        "ntile window here is exact for the oracle — the 100 TB path is lmScoreSampled " +
+        "(approx_percentile thresholds over a doc_id hash-sample, spec-pinned >= 95% " +
+        "tercile agreement)."
     ) { (s, dir) =>
       lmScore(table(s, dir, "documents")).orderBy("doc_id")
     },

@@ -221,4 +221,28 @@ class DataPrepSpec extends SparkSpec {
       assert(small._3.toDouble / 1e6 > small._2.toDouble / budget)
     }
   }
+
+  test("x33 sampled-threshold buckets agree >= 95% with exact terciles") {
+    // sf0.01: 500 docs, an 80% doc_id hash-sample trains the thresholds (fixture-sized: 500 docs give single-digit rank noise per threshold; a production sample is millions of docs).
+    // This is the 100 TB path (no one-partition ntile sort); scores are
+    // identical by construction, only the bucket boundary estimation
+    // differs, so agreement measures exactly the sampling error.
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = TextAnalysis.lmScore(docs01).select("doc_id", "bucket")
+    val sampled = TextAnalysis.lmScoreSampled(docs01, sampleFraction = 0.8)
+      .select(col("doc_id"), col("bucket").as("bucket_s"))
+    val joined = exact.join(sampled, Seq("doc_id"))
+    val n = joined.count()
+    val agree = joined.filter(col("bucket") === col("bucket_s")).count()
+    assert(n === docs01.count())
+    assert(agree.toDouble / n >= 0.95, s"agreement $agree/$n")
+    // sampled buckets are monotone in score: no doc in a higher bucket may
+    // score below a doc in a lower one
+    val rows = TextAnalysis.lmScoreSampled(docs01, 0.8)
+      .select("bucket", "score_e6").as[(Long, Long)].collect()
+    val maxByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val minByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    for (b <- 1L to 2L if maxByBucket.contains(b) && minByBucket.contains(b + 1))
+      assert(maxByBucket(b) <= minByBucket(b + 1))
+  }
 }

@@ -20,7 +20,8 @@ object ScaleSmoke {
     "x01_dedup_exact", "x02_dedup_minhash", "x04_dedup_simhash",
     "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
     "x23_contam_ngram", "x25_containment", "x27_corpus_build",
-    "x30_semdedup", "x31_repetition", "x33_lm_score", "x34_substring_coverage")
+    "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
+    "x34_substring_coverage")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -48,8 +49,17 @@ object ScaleSmoke {
         .reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
     }
+    // x30 with corpus-proportional nc + sampled quantizer training — the
+    // scale configuration the oracle-pinned nc=8 query can't use. This is
+    // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
+    // must stay near the 1× cost (the pinned-nc twin goes quadratic here
+    // by construction, every doc being an N-duplicate cluster member).
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x30_semdedup_auto" -> ((s, d) =>
+        xscale.Similarity.semDedup(
+          s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)))
     queries.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      SparkEntry.queries.get(name).orElse(extra.get(name)) match {
         case None => println(s"[smoke] $name UNKNOWN")
         case Some(fn) =>
           val t0 = System.nanoTime()

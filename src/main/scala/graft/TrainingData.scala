@@ -89,11 +89,15 @@ object TrainingData {
 
   /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
     * cosine >= tau neighbor farther from their cluster centroid —
-    * candidate pairs are within-cluster only, never corpus².
+    * candidate pairs are within-cluster only, never corpus². nc <= 0
+    * (the default) derives the cluster count from the corpus size
+    * (~[[Similarity.TargetClusterSize]]-vector clusters), which keeps the
+    * within-cluster pair work linear in the corpus; trainSample < 1 trains
+    * the quantizer on a deterministic hash-sample.
     */
   def semDedup(emb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU,
-      nc: Int = Similarity.NC): DataFrame =
-    Similarity.semDedup(emb, tau, nc)
+      nc: Int = 0, trainSample: Double = 1.0): DataFrame =
+    Similarity.semDedup(emb, tau, nc, trainSample)
 
   // ---- text analysis / quality ----
 

@@ -36,6 +36,12 @@ object Similarity {
     */
   val SEMDEDUP_TAU = 0.45
 
+  /** Target mean cluster size for auto-nc (x30): the within-cluster
+    * self-join costs O(sum cluster²), so holding cluster size constant —
+    * nc ∝ corpus — keeps total pair work LINEAR in the corpus.
+    */
+  val TargetClusterSize = 64L
+
   /** Fixed-point scale for the k-means quantizer: 2^20. Power-of-2 scaling
     * of float-origin values is EXACT in doubles, and all training arithmetic
     * (squared L2, per-dimension sums) then runs in long integers — order-
@@ -116,17 +122,36 @@ object Similarity {
     * NITER; this way each round is one corpus scan. Shared by x13 (IVF)
     * and x30 (SemDeDup).
     */
-  def trainQuantizer(vi: DataFrame, nc: Int = NC): Seq[(Long, Seq[Long])] = {
+  def trainQuantizer(
+      vi: DataFrame,
+      nc: Int = NC,
+      sampleFraction: Double = 1.0): Seq[(Long, Seq[Long])] = {
     val sp = vi.sparkSession
     import sp.implicits._
+    // A coarse quantizer does not need the whole corpus: at 100 TB the
+    // per-round assignment scan dominates, so train on a deterministic
+    // vec_id hash-sample (h60-keyed — the same cross-engine hash every
+    // oracle bucket split uses, so an oracle CAN reproduce the sample) and
+    // materialize it ONCE so all NITER rounds scan the small sample, not
+    // the corpus. sampleFraction = 1.0 (the default, and what every
+    // oracle-pinned query passes) keeps the original exact path.
+    val train =
+      if (sampleFraction >= 1.0) vi
+      else {
+        val keep = math.max(1L, (sampleFraction * 1000).toLong)
+        vi.filter(XHash.h60(col("vec_id").cast("string")) % 1000 < keep)
+          .select("vec_id", "vi").localCheckpoint()
+      }
     def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    // Seeds come from the FULL corpus (first nc vec_ids) so seeding does
+    // not depend on the sample draw.
     var cents: Seq[(Long, Seq[Long])] = collectCents(
       vi.filter(col("vec_id") < nc).select(col("vec_id"), col("vi")))
     for (_ <- 1 to NITER) {
       val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       cents = collectCents(
-        vi.join(broadcast(cents.toDF("cid", "ci")))
+        train.join(broadcast(cents.toDF("cid", "ci")))
           .withColumn("dist", graftnative.api.sqdistLong(col("vi"), col("ci")))
           .withColumn("rn", row_number().over(byDist))
           .filter(col("rn") === 1)
@@ -194,9 +219,21 @@ object Similarity {
     * bounded (the oracle-pinned x30 keeps nc = NC = 8; the 10× smoke shows
     * the quadratic growth that motivates scaling nc).
     */
-  def semDedup(emb: DataFrame, tau: Double = SEMDEDUP_TAU, nc: Int = NC): DataFrame = {
+  def semDedup(
+      emb: DataFrame,
+      tau: Double = SEMDEDUP_TAU,
+      nc: Int = 0,
+      trainSample: Double = 1.0): DataFrame = {
     val vi = fixedPoint(emb)
-    val ranked = quantizerRanked(vi, trainQuantizer(vi, nc))
+    // nc <= 0 means auto: corpus-proportional cluster count so the mean
+    // cluster stays ~TargetClusterSize and the self-join stays linear in
+    // the corpus. The count() is a parquet-metadata read, not a scan.
+    // Oracle-pinned queries pass nc = NC explicitly (the SQL twin inlines
+    // the literal), so determinism there never depends on this branch.
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
+    val ranked = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
     // materialize the assignment once: it feeds BOTH self-join sides plus
     // the final projection, and Spark re-executes repeated un-cached
     // subtrees — without this the corpus is scanned and re-ranked 3x
@@ -380,7 +417,9 @@ object Similarity {
         "stays bounded; centroid distances are exact integers, cosines bit-identical " +
         "cross-engine, so kept-flags need no tolerance."
     ) { (s, dir) =>
-      semDedup(table(s, dir, "embeddings")).orderBy("vec_id")
+      // nc pinned to the literal the SQL twin inlines; library callers get
+      // corpus-proportional auto-nc (and sampled training) by default
+      semDedup(table(s, dir, "embeddings"), nc = NC).orderBy("vec_id")
     },
 
     // ----- x39: quality-filtered semantic search (cross-table composition) -----

@@ -232,6 +232,70 @@ class XScaleSpec extends SparkSpec {
     assert(recall >= 0.83, s"recall=$recall (exact=${exact.size}, hit=${ivf.intersect(exact).size})")
   }
 
+  test("sampled quantizer training: well-formed centroids, full-corpus assignment, usable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val vi = Similarity.fixedPoint(emb)
+    val cents = Similarity.trainQuantizer(vi, Similarity.NC, sampleFraction = 0.5)
+    // structure: exactly NC centroids, 64 dims each, every component in the
+    // fixed-point range of the data it averaged
+    assert(cents.map(_._1) == (0L until Similarity.NC.toLong))
+    assert(cents.forall(_._2.length == 64))
+    // the sampled-trained quantizer still partitions the FULL corpus
+    val asg = Similarity.quantizerRanked(vi, cents).filter(col("rn") === 1)
+    assert(asg.count() == emb.count())
+    assert(asg.select("cid").distinct().count() > 1)
+    // ANN quality holds RELATIVE to full-corpus training: same IVF probe
+    // shape, same NPROBE — the sample may cost a little recall but not
+    // collapse it (an absolute bound would really measure the fixture's
+    // cluster structure, not the sampling)
+    def ivfRecall(c: Seq[(Long, Seq[Long])]): Double = {
+      val ranked = Similarity.quantizerRanked(vi, c)
+      val asg2 = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid"), col("v").as("cv2"), col("nrm").as("cn"))
+      val probe = ranked.filter(col("rn") <= Similarity.NPROBE && col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val got = broadcast(probe).join(asg2, Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Similarity.dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = Similarity.knnBrute(emb, col("vec_id") < 50)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val rSampled = ivfRecall(cents)
+    val rFull = ivfRecall(Similarity.trainQuantizer(vi, Similarity.NC))
+    assert(rSampled >= rFull - 0.15,
+      s"sampled-training recall=$rSampled vs full-training=$rFull")
+  }
+
+  test("x30 auto-nc: cluster count scales with the corpus, invariants hold") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb01.count()
+    val auto = Similarity.semDedup(emb01, trainSample = 0.5).cache()
+    // every vector still classified exactly once
+    assert(auto.count() == n)
+    // auto-nc targets ~TargetClusterSize-vector clusters: the number of
+    // OCCUPIED clusters must land well above the pinned NC=8 and the mean
+    // cluster must be within 4x of the target (k-means leaves some seeds
+    // empty; what matters for the self-join is the occupied mean)
+    val ncDerived = math.max(Similarity.NC.toLong, n / Similarity.TargetClusterSize)
+    val occupied = auto.select("cid").distinct().count()
+    assert(auto.filter(col("cid") >= ncDerived).isEmpty)
+    assert(occupied > Similarity.NC / 2)
+    assert(n / occupied <= 4 * Similarity.TargetClusterSize,
+      s"mean occupied cluster ${n / occupied}")
+    // keep-the-outlier rule survives the knobs: each cluster's farthest
+    // vector has no farther neighbor, so it must be kept
+    val far = auto.groupBy("cid").agg(max("dist").as("dist"))
+      .join(auto, Seq("cid", "dist")).groupBy("cid").agg(max("kept").as("k"))
+    assert(far.filter(!col("k")).isEmpty)
+    auto.unpersist()
+  }
+
   test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
     // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
     // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed

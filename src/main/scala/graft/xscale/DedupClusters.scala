@@ -18,22 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Iteration-state materializer. `localCheckpoint` (the default) stores
+    * blocks on executors — fast, but on a real cluster an executor loss
+    * mid-iteration is IRRECOVERABLE because the lineage was truncated.
+    * Passing `checkpointDir` switches every iteration checkpoint to a
+    * reliable one (HDFS/object-store backed): each round persists to
+    * storage that survives executor loss, the production posture for a
+    * 100 TB CC job. The dir is set once per SparkContext; an existing
+    * setting wins so callers can manage it globally.
+    */
+  private def ckpt(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Connected components of an undirected pair list `(a, b)` →
     * `(id, component)` where component = min node id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     // pairs are unique undirected edges (callers emit a<b), so the
     // symmetric union is already duplicate-free — no distinct shuffle
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val edges = ckpt(
+      pairs.select(col("a"), col("b"))
+        .union(pairs.select(col("b").as("a"), col("a").as("b"))),
+      checkpointDir)
     // seed labels at min(id, min neighbor) instead of id: for the dense
     // little cliques near-dup graphs are made of, that IS the fixed point,
     // so the loop runs one confirmation round instead of two propagation
     // rounds — one fewer shuffle+checkpoint cycle of the iterative tail.
-    var labels = edges.groupBy(col("a").as("id")).agg(min("b").as("_mn"))
-      .select(col("id"), least(col("id"), col("_mn")).as("component"))
-      .localCheckpoint()
+    var labels = ckpt(
+      edges.groupBy(col("a").as("id")).agg(min("b").as("_mn"))
+        .select(col("id"), least(col("id"), col("_mn")).as("component")),
+      checkpointDir)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -44,14 +67,16 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("component").as("_neighbor_min"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("component"), coalesce(col("_neighbor_min"), col("component")))
-            .as("component"),
-          col("component").as("_old"))
-        .localCheckpoint()
+      val updated = ckpt(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("component"), coalesce(col("_neighbor_min"), col("component")))
+              .as("component"),
+            col("component").as("_old")),
+        checkpointDir)
+      // single scan of the just-materialized result — no extra shuffle
       converged = updated.filter(col("component") =!= col("_old")).isEmpty
       labels = updated.drop("_old")
       i += 1
@@ -82,22 +107,29 @@ object DedupClusters {
     *   either the edge count or the label sum, so the fixed point — every
     *   component a star rooted at its minimum id — is reached without
     *   overshooting. Edges stay canonical (a < b) throughout; convergence
-    *   is an exact two-sided anti-join emptiness check, not a count
-    *   heuristic.
+    *   is an EXACT set-equality check done as ONE aggregation: both edge
+    *   sets are distinct, so symmetric difference = groups of the union
+    *   with count 1 — one shuffle per round where the previous two-sided
+    *   `exceptAll` formulation cost two.
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    var edges = pairs
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var edges = ckpt(
+      pairs
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct(),
+      checkpointDir)
     // nodes of the ORIGINAL graph: star contraction rewrites edges, so the
     // final edge list loses interior nodes — the id universe must be fixed
     // up front to map every input node to its component.
-    val nodes = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id")))
-      .distinct()
-      .localCheckpoint()
+    val nodes = ckpt(
+      edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id")))
+        .distinct(),
+      checkpointDir)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -107,23 +139,31 @@ object DedupClusters {
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val mLarge = adj.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = adj.join(mLarge, "u")
-        .filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
+      val large = ckpt(
+        adj.join(mLarge, "u")
+          .filter(col("v") > col("u"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct(),
+        checkpointDir)
       // small-star: for each node u, its strictly-smaller neighbors (the a
       // side of canonical edges grouped by b); m = min of them; reconnect
       // u and every such neighbor to m.
       val mSmall = large.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
-      val small = large.join(mSmall, large("b") === mSmall("u"))
-        .select(mSmall("m").as("a"), large("a").as("b"))
-        .union(mSmall.select(col("m").as("a"), col("u").as("b")))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      val small = ckpt(
+        large.join(mSmall, large("b") === mSmall("u"))
+          .select(mSmall("m").as("a"), large("a").as("b"))
+          .union(mSmall.select(col("m").as("a"), col("u").as("b")))
+          .filter(col("a") =!= col("b"))
+          .distinct(),
+        checkpointDir)
+      // both sides are distinct sets, so set equality == "no (a,b) group of
+      // the union has count 1": exact, and ONE aggregation instead of the
+      // two full exceptAll shuffles the naive two-sided check costs
+      converged = small.union(edges)
+        .groupBy("a", "b").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") === 1)
+        .isEmpty
       edges = small
       i += 1
     }
@@ -141,8 +181,12 @@ object DedupClusters {
     * appear in no pair survive untouched; in each connected component only
     * the smallest doc_id survives. `docs` must carry `doc_id`.
     */
-  def dedupByPairs(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val comp = connectedComponents(pairs, maxIter)
+  def dedupByPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter, checkpointDir)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

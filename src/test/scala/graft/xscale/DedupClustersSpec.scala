@@ -52,6 +52,27 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpointing yields identical components on both algorithms") {
+    // the fault-tolerant path must be a pure storage-backend swap: same
+    // fixtures, same components, lineage persisted under the reliable dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val chain = (30L until 60L).map(i => (i, i + 1))
+    val bridge = Seq((2L, 5L), (3L, 4L), (4L, 5L))
+    val pairs = (chain ++ bridge :+ (90L, 91L)).toDF("a", "b")
+    val local = DedupClusters.connectedComponents(pairs, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    val reliable = DedupClusters.connectedComponents(
+      pairs, maxIter = 40, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    val reliableStar = DedupClusters.connectedComponentsStar(
+      pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(reliable === local)
+    assert(reliableStar === local)
+    // the reliable dir was actually used (RDD checkpoint files exist)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(wrote > 0, s"no rdd checkpoints under $dir")
+  }
+
   test("dedupByPairs: one survivor per cluster, singletons untouched") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (6L, 7L)).toDF("a", "b")

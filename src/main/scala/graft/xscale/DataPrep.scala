@@ -120,6 +120,30 @@ object DataPrep {
         col("vocab_approx"), col("langs"), col("min_tok"), col("max_tok"))
   }
 
+  /** x40 driver-checkable form: per source, the EXACT distincts next to
+    * booleans asserting the HLL estimates land inside the 3×rsd envelope
+    * (absolute floor of 3 for tiny counts — the same bound
+    * [[graft.xscale]] DataPrepSpec pins). The oracle recomputes the exact
+    * side and expects the booleans TRUE, so a drifting HLL breaks the
+    * hash compare even though the sketch itself is engine-specific.
+    */
+  def datasheetApproxBounds(docs: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val exact = datasheet(docs).select(
+      col("source"), col("n_docs"), col("tokens"),
+      (col("n_docs") - col("dup_excess")).as("uniq_norm"), col("vocab"))
+    val approx = datasheetApprox(docs, rsd).select(
+      col("source"),
+      (col("n_docs") - col("dup_excess_approx")).as("uniq_norm_a"),
+      col("vocab_approx"))
+    def inBounds(a: Column, e: Column): Column =
+      abs(a - e) <= greatest(lit(3.0), lit(3 * rsd) * e)
+    exact.join(approx, "source")
+      .select(
+        col("source"), col("n_docs"), col("tokens"), col("uniq_norm"), col("vocab"),
+        inBounds(col("uniq_norm_a"), col("uniq_norm")).as("norm_ok"),
+        inBounds(col("vocab_approx"), col("vocab")).as("vocab_ok"))
+  }
+
   /** x37 fixture: a deterministic "next crawl" of the corpus — every 17th
     * doc removed, every 13th edited, every 23rd re-added under a shifted
     * id. Mirrors the SQL twin exactly.
@@ -639,6 +663,34 @@ object DataPrep {
         "token — the swap x38's doc promises at 100 TB. rows-only driver check by design."
     ) { (s, dir) =>
       datasheetApprox(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x40 bounds: the HLL estimates, driver-checkable -----
+    Q(
+      "x40_datasheet_approx_bounds",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, source, lang, $ws AS ws, " +
+          s"${Dedup.normSql} AS norm FROM documents), " +
+          "d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(ws)) AS BIGINT) AS tokens, " +
+          "CAST(count(DISTINCT norm) AS BIGINT) AS uniq_norm FROM w GROUP BY source), " +
+          "v AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM " +
+          "(SELECT source, unnest(ws) AS t FROM w) GROUP BY source) " +
+          // the oracle asserts the envelope HOLDS: it recomputes the exact
+          // side and pins the booleans TRUE — if Spark's HLL drifted out of
+          // 3x rsd, its FALSE would break the value hash
+          "SELECT d.source, d.n_docs, d.tokens, d.uniq_norm, v.vocab, " +
+          "TRUE AS norm_ok, TRUE AS vocab_ok " +
+          "FROM d JOIN v ON v.source = d.source ORDER BY d.source"
+      },
+      "x40 made driver-checkable: exact per-source distincts beside booleans asserting the " +
+        "HLL estimates sit inside the 3x-rsd envelope (floor 3 for tiny counts). The sketch " +
+        "itself is engine-specific, but the INEQUALITY is cross-engine truth — the oracle " +
+        "recomputes the exact side and expects every bound to hold, so x40 stops being the " +
+        "family's only rows-only row."
+    ) { (s, dir) =>
+      datasheetApproxBounds(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x35: temperature-weighted sampling schedule (UniMax-style) -----

@@ -13,11 +13,16 @@ import graft.query.Registry.table
   */
 final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
-/** Decoded features — the narrow output schema that downstream joins see. */
+/** Decoded features — the narrow output schema that downstream joins see.
+  * `format` is the detected container (png/gif/bmp/wav) or "unknown" when
+  * the payload matched no header; for wav, (width, height) carry
+  * (duration_ms, sample_rate) — the audio analog of image dimensions.
+  */
 final case class MediaFeatures(
     doc_id: Long,
     modality: String,
     n_bytes: Long,
+    format: String,
     width: Long,
     height: Long)
 
@@ -50,6 +55,66 @@ object Multimodal {
     (h % 1024, (h >> 10) % 1024)
   }
 
+  /** REAL container-header parse for the formats that need no codec —
+    * pure byte-layout reads from the public file-format specs:
+    *  - PNG:  8-byte signature, then the IHDR chunk — width/height are
+    *          big-endian u32 at offsets 16/20.
+    *  - GIF:  "GIF87a"/"GIF89a", width/height little-endian u16 at 6/8.
+    *  - BMP:  "BM" + BITMAPINFOHEADER (DIB size 40 at offset 14) —
+    *          width/height signed little-endian i32 at 18/22 (height may
+    *          be negative for top-down rows → abs). The DIB-size check
+    *          also keeps text that merely starts with "BM" from parsing.
+    *  - WAV:  "RIFF"…"WAVE", then a chunk walk — the fmt chunk's
+    *          sample rate (data offset 4) and byte rate (offset 8), the
+    *          data chunk's size; duration_ms = data*1000/byteRate.
+    * Returns (format, a, b): image dims, or (duration_ms, sample_rate)
+    * for wav; None for anything unrecognized (the md5 stub then covers
+    * the opaque-codec formats: JPEG/MP4/… need real decode libraries).
+    */
+  def parseHeader(p: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int): Long = p(i) & 0xffL
+    def be32(i: Int): Long = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Long = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(j => p(i + j) == s(j).toByte)
+    if (p.length >= 24 && u8(0) == 0x89L && ascii(1, "PNG") &&
+      u8(4) == 0x0dL && u8(5) == 0x0aL && u8(6) == 0x1aL && u8(7) == 0x0aL &&
+      ascii(12, "IHDR"))
+      Some(("png", be32(16), be32(20)))
+    else if (p.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      Some(("gif", le16(6), le16(8)))
+    else if (p.length >= 26 && ascii(0, "BM") && le32(14) == 40L)
+      Some(("bmp", math.abs(le32(18).toInt).toLong, math.abs(le32(22).toInt).toLong))
+    else if (p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      var i = 12
+      var sampleRate = 0L
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= p.length && (byteRate == 0L || dataSize < 0L)) {
+        val sz = le32(i + 4)
+        if (ascii(i, "fmt ") && sz >= 16 && i + 20 <= p.length) {
+          sampleRate = le32(i + 12)
+          byteRate = le32(i + 16)
+        }
+        if (ascii(i, "data")) dataSize = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+      }
+      if (byteRate > 0 && dataSize >= 0)
+        Some(("wav", dataSize * 1000L / byteRate, sampleRate))
+      else None
+    } else None
+  }
+
+  /** Full decode: real header parse where byte layout suffices, md5 stub
+    * for opaque payloads. Returns (format, width-or-duration, height-or-rate).
+    */
+  def decode(payload: Array[Byte]): (String, Long, Long) =
+    parseHeader(payload).getOrElse {
+      val (w, h) = decodeStub(payload)
+      ("unknown", w, h)
+    }
+
   /** Distributed batched decode: the real plumbing. Batches amortize
     * per-batch decoder setup exactly like `mapInPandas` batches do in
     * PySpark; output is the narrow features schema.
@@ -59,8 +124,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h) = decodeStub(m.payload)
-          MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong, w, h)
+          val (fmt, w, h) = decode(m.payload)
+          MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong, fmt, w, h)
         }
       }
     }
@@ -179,11 +244,16 @@ object Multimodal {
       Some(
         "SELECT doc_id, (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          // word-soup payloads match no container magic, so the real
+          // header parse always falls through to the md5 stub here
+          "'unknown' AS format, " +
           s"${XHash.h60Sql("text")} % 1024 AS width, " +
           s"(${XHash.h60Sql("text")} >> 10) % 1024 AS height " +
           "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
-      "binary payload column + typed metadata; batched per-partition decode (STUB — deterministic " +
-        "md5-derived dimensions; schema/partitioning/batching are the real plumbing)"
+      "binary payload column + typed metadata; batched per-partition decode. PNG/GIF/BMP " +
+        "dimensions and WAV duration are parsed from the REAL container byte layout " +
+        "(spec-pinned on hand-built files); opaque codec formats fall back to the " +
+        "deterministic md5 stub the oracle mirrors"
     ) { (s, dir) =>
       val media = asMedia(s, table(s, dir, "documents").filter(col("doc_id") < 200))
       extractFeatures(media).toDF().orderBy("doc_id")

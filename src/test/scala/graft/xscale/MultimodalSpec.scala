@@ -29,6 +29,65 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(x => (x.width, x.height)).toSeq === again.map(x => (x.width, x.height)).toSeq)
   }
 
+  // ---- hand-built container fixtures: true byte layouts, no codec libs ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(x: Long): Seq[Byte] =
+      Seq(24, 16, 8, 0).map(s => ((x >> s) & 0xff).toByte)
+    (Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w.toLong) ++ be32(h.toLong) ++
+      Seq[Byte](8, 6, 0, 0, 0)).toArray
+  }
+
+  private def le16(x: Int): Seq[Byte] = Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+  private def le32(x: Long): Seq[Byte] =
+    Seq(0, 8, 16, 24).map(s => ((x >> s) & 0xff).toByte)
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".getBytes.toSeq ++ le16(w) ++ le16(h) ++ Seq[Byte](0, 0, 0)).toArray
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] =
+    ("BM".getBytes.toSeq ++ le32(122) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w.toLong & 0xffffffffL) ++ le32(h.toLong & 0xffffffffL) ++
+      le16(1) ++ le16(24) ++ Seq.fill(24)(0.toByte)).toArray
+
+  private def wavBytes(sampleRate: Int, byteRate: Int, dataSize: Int): Array[Byte] =
+    ("RIFF".getBytes.toSeq ++ le32(36L + dataSize) ++ "WAVE".getBytes.toSeq ++
+      "fmt ".getBytes.toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(sampleRate.toLong) ++ le32(byteRate.toLong) ++ le16(4) ++ le16(16) ++
+      "data".getBytes.toSeq ++ le32(dataSize.toLong) ++
+      Seq.fill(math.min(dataSize, 8))(0.toByte)).toArray
+
+  test("parseHeader: true dimensions from real PNG/GIF/BMP layouts, WAV duration") {
+    assert(Multimodal.parseHeader(pngBytes(640, 480)) === Some(("png", 640L, 480L)))
+    assert(Multimodal.parseHeader(gifBytes(13, 7)) === Some(("gif", 13L, 7L)))
+    assert(Multimodal.parseHeader(bmpBytes(800, 600)) === Some(("bmp", 800L, 600L)))
+    // top-down BMPs store a negative height — dimensions are still 600
+    assert(Multimodal.parseHeader(bmpBytes(800, -600)) === Some(("bmp", 800L, 600L)))
+    // 44.1 kHz stereo 16-bit: byteRate 176400; 352800 data bytes = 2000 ms
+    assert(Multimodal.parseHeader(wavBytes(44100, 176400, 352800)) ===
+      Some(("wav", 2000L, 44100L)))
+    // opaque payloads (word soup, truncated magic) fall back to None
+    assert(Multimodal.parseHeader("BMx not a bitmap at all".getBytes) === None)
+    assert(Multimodal.parseHeader("alpha beta gamma".getBytes) === None)
+    assert(Multimodal.parseHeader(Array[Byte](0x89.toByte, 'P', 'N')) === None)
+  }
+
+  test("extractFeatures returns true dimensions for real container payloads") {
+    val ds = Seq(
+      MediaRecord(0L, "image", pngBytes(1920, 1080)),
+      MediaRecord(1L, "image", gifBytes(320, 200)),
+      MediaRecord(2L, "audio", wavBytes(8000, 16000, 48000)),
+      MediaRecord(3L, "image", "plain words".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(f(0).format === "png" && f(0).width === 1920L && f(0).height === 1080L)
+    assert(f(1).format === "gif" && f(1).width === 320L && f(1).height === 200L)
+    assert(f(2).format === "wav" && f(2).width === 3000L && f(2).height === 8000L)
+    // the md5 stub still covers opaque payloads, flagged as such
+    val (sw, sh) = Multimodal.decodeStub("plain words".getBytes)
+    assert(f(3).format === "unknown" && f(3).width === sw && f(3).height === sh)
+  }
+
   test("resize: payload transformed per-record, schema preserved") {
     val r = Multimodal.resize(media, 64, 64).collect().sortBy(_.doc_id)
     assert(r.length === 4)

@@ -10,7 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object XText {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens.
+    *
+    * CROSS-ENGINE WHITESPACE CONTRACT: `\s` is not identical across regex
+    * engines — Java's is ASCII `[ \t\n\x0B\f\r]`, DuckDB/RE2's is
+    * `[\t\n\f\r ]` (no U+000B vertical tab), and neither matches Unicode
+    * spaces (NBSP, ideographic space, …) without flags. Every oracle-
+    * compared operator tokenizes through here (or its native-codegen
+    * equivalents `TokenHash60`/`GopherMetrics`/`RepetitionMetrics`, which
+    * implement the same ASCII set), so the project-wide assumption is:
+    * corpus text contains only the COMMON ASCII whitespace
+    * `[ \t\n\r\f]`. The synthetic corpora satisfy this; a real-world
+    * corpus with vertical tabs or Unicode spaces must be normalized
+    * first (e.g. `regexp_replace(text, "[\\u000B\\p{Zs}]", " ")` on the
+    * Spark side and the RE2 analog in the oracle) or token counts
+    * silently diverge between engines.
+    */
   def words(text: Column): Column = split(text, "\\s+")
 
   def wordsSql(inner: String): String =

@@ -133,7 +133,10 @@ case class SimHash60(child: Expression)
 
 /** Distinct 60-bit hashes of a document's word k-gram shingles, as one
   * codegen-friendly pass: whitespace-tokenize (same semantics as Spark's
-  * `split(text, "\\s+")` / DuckDB's `regexp_split_to_array`), form k-gram
+  * `split(text, "\\s+")` / DuckDB's `regexp_split_to_array` — note the
+  * engines' `\s` classes differ on U+000B and Unicode spaces; see the
+  * cross-engine whitespace contract on [[graft.xscale.XText.words]],
+  * which every tokenizer here inherits), form k-gram
   * shingles joined by single spaces (a doc shorter than k words contributes
   * its whole token join as one shingle), hash each with md5 and keep the
   * first 15 hex digits as a positive 60-bit long (identical in DuckDB:

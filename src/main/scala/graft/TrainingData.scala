@@ -175,4 +175,31 @@ object TrainingData {
   /** The audit card with HLL++ approximate distincts — the 100 TB form. */
   def datasheetApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     DataPrep.datasheetApprox(docs, rsd)
+
+  /** The audit card with per-source booleans asserting the HLL estimates
+    * sit inside the 3×rsd envelope of the exact distincts (x40 bounds).
+    */
+  def datasheetApproxBounds(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    DataPrep.datasheetApproxBounds(docs, rsd)
+
+  /** Duplicated-span removal (x43): keep ONE copy of every shared k-token
+    * window (owned by its smallest doc_id); other occurrences are cut and
+    * each doc's text re-assembled from surviving tokens.
+    */
+  def removeSharedSpans(docs: DataFrame, k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.removeSharedSpans(docs, k)
+
+  /** Top-k integer-exact TF-IDF keywords per doc (x44). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
+    TextAnalysis.tfidfKeywords(docs, k)
+
+  /** Per-doc first-occurrence shingle novelty (x45). */
+  def shingleNovelty(docs: DataFrame, k: Int = 3): DataFrame =
+    TextAnalysis.shingleNovelty(docs, k)
+
+  /** Label-centroid cosine matrix over the embeddings (x46) — the
+    * confusable-class diagnostic behind hard-negative mining.
+    */
+  def labelCentroidSim(emb: DataFrame): DataFrame =
+    Similarity.labelCentroidSim(emb)
 }

@@ -222,6 +222,53 @@ object DataPrep {
         expr("(1000000 * coalesce(covered, 0L)) div nw").as("cov_e6"))
   }
 
+  /** x43 core: duplicated-span REMOVAL — the enforcement half of x34's
+    * diagnostic (Lee et al. 2022 remove "all but one" occurrence of every
+    * duplicated substring). Deterministic ownership rule: each shared
+    * k-token window is OWNED by the smallest doc_id containing it; every
+    * non-owning occurrence marks its k positions for removal, and a doc's
+    * cleaned text is its kept tokens re-joined in order. Exactly one copy
+    * of every duplicated span survives (in its owner), and the owner's
+    * copy survives whole unless a DIFFERENT window it doesn't own covers
+    * those positions. Columns (doc_id, nw, n_removed, text_clean).
+    */
+  def removeSharedSpans(docs: DataFrame, k: Int = SubstrK): DataFrame = {
+    val w = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    val occ = docs
+      .select(col("doc_id"), posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    // one shuffle on the 8-byte window hash decides shared-ness AND
+    // ownership together; the owner table is windows-with-duplicates only,
+    // far smaller than the occurrence list
+    val own = occ.groupBy("h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h", "owner")
+    val rem = occ.join(own, "h").filter(col("doc_id") =!= col("owner"))
+    // positions explode is k rows per REMOVED occurrence — proportional to
+    // the duplicated volume, not the corpus; distinct collapses overlaps
+    val pos = rem
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("pos"))
+      .distinct()
+    val tok = w
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i0", "tk")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tk"))
+    val kept = tok.join(pos, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(
+        " ",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tk")))),
+          t => t.getField("tk"))).as("text_clean"))
+    w.select("doc_id", "nw").join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("nw"),
+        (col("nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   private val ordSql = h60Sql("CAST(doc_id AS VARCHAR)")
   private def ordCol: Column = XHash.h60(col("doc_id").cast("string"))
 
@@ -550,6 +597,48 @@ object DataPrep {
         "no suffix array; this is the Spark-native answer to the paper's suffix-array pass."
     ) { (s, dir) =>
       substringCoverage(table(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ----- x43: duplicated-span removal (x34's enforcement half) -----
+    Q(
+      "x43_span_removal",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w), " +
+          s"occ AS (SELECT doc_id, p, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM w WHERE len(ws) >= $k))), " +
+          "own AS (SELECT h, min(doc_id) AS owner FROM occ GROUP BY h " +
+          "HAVING count(DISTINCT doc_id) >= 2), " +
+          "rem AS (SELECT occ.doc_id, occ.p FROM occ JOIN own USING (h) " +
+          "WHERE occ.doc_id <> own.owner), " +
+          "pos AS (SELECT DISTINCT doc_id, p + j AS pos FROM " +
+          s"(SELECT doc_id, p, unnest(generate_series(0, ${k - 1})) AS j FROM rem)), " +
+          "tok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM " +
+          "(SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)), " +
+          "kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok " +
+          "LEFT JOIN pos ON pos.doc_id = tok.doc_id AND pos.pos = tok.pos " +
+          "WHERE pos.doc_id IS NULL), " +
+          "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "string_agg(tk, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id) " +
+          "SELECT d.doc_id, d.nw, " +
+          "CAST(d.nw - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed, " +
+          "coalesce(ag.text_clean, '') AS text_clean " +
+          "FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"
+      },
+      s"duplicated-span REMOVAL — the enforcement half of x34 (Lee et al. keep one copy of " +
+        s"every duplicated substring): each shared $SubstrK-token window is owned by its " +
+        "smallest doc_id; non-owning occurrences mark their positions and the doc is " +
+        "re-assembled from surviving tokens in order. Scale shape: shared-ness and ownership " +
+        "decided in ONE shuffle on 8-byte window hashes, the position explode is " +
+        "proportional to the duplicated volume only, and reassembly is a per-doc sort of " +
+        "kept tokens — no suffix array, no global sort, the distributed stand-in for the " +
+        "paper's suffix-array dedup pass."
+    ) { (s, dir) =>
+      removeSharedSpans(table(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ----- x36: overlapping document chunking (RAG / context-window prep) -----

@@ -285,6 +285,41 @@ object Similarity {
         round(col("cos"), 4).as("cos4"))
   }
 
+  /** x46 core: the label-centroid similarity matrix — per-label fixed-point
+    * mean embedding (floor(sum/n), the x13 centroid arithmetic, so both
+    * engines derive bit-identical centroids), then cosine between every
+    * label pair. The diagnostic behind hard-negative curricula (x41):
+    * close centroids = confusable classes that deserve more negatives.
+    * Columns (label_a, label_b, n_a, n_b, cos4). The centroid table is
+    * |labels| rows — driver-size — so the pair join is trivial no matter
+    * the corpus; the corpus-scale work is ONE aggregation over (label, dim).
+    */
+  def labelCentroidSim(emb: DataFrame): DataFrame = {
+    val vi = fixedPoint(emb)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    val sums = vi.select(col("label"), posexplode(col("vi")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("sx").cast("double") / col("n")).cast("long"))
+    val cents = sums.groupBy("label")
+      .agg(
+        max("n").as("n"),
+        transform(
+          array_sort(collect_list(struct(col("i"), col("m")))),
+          t => t.getField("m").cast("double")).as("ci"))
+    val a = cents.select(col("label").as("label_a"), col("n").as("n_a"), col("ci").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("n").as("n_b"), col("ci").as("cb"))
+    // centroid components are < 2^21, so every dot/norm term is an exact
+    // integer below 2^53 — double arithmetic is exact, cross-engine-stable
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn(
+        "cos4",
+        round(
+          dot(col("ca"), col("cb")) /
+            (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))), 4))
+      .select("label_a", "label_b", "n_a", "n_b", "cos4")
+  }
+
   /** Exact top-k neighbors by cosine for the rows matching `isQuery`:
     * query side broadcast, one corpus scan. Columns
     * (query_id, rank, neighbor_id).
@@ -481,6 +516,39 @@ object Similarity {
     ) { (s, dir) =>
       hardNegatives(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
+    },
+
+    // ----- x46: label-centroid similarity matrix -----
+    Q(
+      "x46_label_centroids",
+      Some(
+        "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+          "embedding::DOUBLE[] AS v FROM embeddings), " +
+          s"vi AS (SELECT vec_id, label, list_transform(v, " +
+          s"x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM e), " +
+          "s AS (SELECT label, t.i, SUM(vi[t.i]) AS sx, count(*) AS n " +
+          "FROM vi CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY label, t.i), " +
+          "m AS (SELECT label, CAST(max(n) AS BIGINT) AS n, " +
+          "list(CAST(floor(sx::DOUBLE / n) AS BIGINT)::DOUBLE ORDER BY i) AS ci " +
+          "FROM s GROUP BY label), " +
+          "p AS (SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b, " +
+          "a.ci AS ca, b.ci AS cb FROM m a JOIN m b ON a.label < b.label), " +
+          "d AS (SELECT label_a, label_b, n_a, n_b, " +
+          "list_aggregate(list_transform(generate_series(1, 64), i -> ca[i] * cb[i]), 'sum') AS dab, " +
+          "list_aggregate(list_transform(generate_series(1, 64), i -> ca[i] * ca[i]), 'sum') AS daa, " +
+          "list_aggregate(list_transform(generate_series(1, 64), i -> cb[i] * cb[i]), 'sum') AS dbb " +
+          "FROM p) " +
+          "SELECT label_a, label_b, n_a, n_b, " +
+          "round(dab / (sqrt(daa) * sqrt(dbb)), 4) AS cos4 " +
+          "FROM d ORDER BY label_a, label_b"),
+      "label-centroid similarity matrix: per-label fixed-point mean embedding (the x13 " +
+        "centroid arithmetic — floor(sum/n) on 2^20-scaled longs, bit-identical " +
+        "cross-engine), cosine between every label pair. The curriculum diagnostic behind " +
+        "x41: confusable class pairs (high centroid cosine) deserve more hard negatives. " +
+        "Corpus-scale work is one (label, dim) aggregation with map-side partials; the " +
+        "centroid table is |labels| rows, so the pairwise join never touches the corpus."
+    ) { (s, dir) =>
+      labelCentroidSim(table(s, dir, "embeddings")).orderBy("label_a", "label_b")
     },
 
     // ----- x07: LSH-bucketed ANN (the scale path) -----

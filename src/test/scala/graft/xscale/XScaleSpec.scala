@@ -296,6 +296,65 @@ class XScaleSpec extends SparkSpec {
     auto.unpersist()
   }
 
+  test("x44 tfidf: distinctive terms win, common terms lose, ranks well-formed") {
+    // "zebra" appears once, in one doc; "the" appears everywhere — tf-idf
+    // must rank zebra top-1 in its doc and never pick "the" anywhere
+    val docs = Seq(
+      (1L, "the zebra runs the field the zebra eats grass"),
+      (2L, "the lion sleeps the whole day long in the field"),
+      (3L, "the field holds the lion and the lion sleeps")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs)
+      .select("doc_id", "rank", "term", "score_e6")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.filter(_._1 == 1L).minBy(_._2)._3 === "zebra")
+    assert(!out.map(_._3).contains("the"))
+    // per-doc ranks are 1..3 and scores non-increasing in rank
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length))
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("x45 novelty: first doc fully novel, exact clone fully derivative, totals conserve") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.shingleNovelty(docs).cache()
+    assert(out.count() == docs.count())
+    // the smallest doc_id can only see itself: novelty exactly 1e6
+    val first = out.orderBy("doc_id").first()
+    assert(first.getAs[Long]("nov_e6") === 1000000L)
+    // global conservation: every distinct shingle hash is novel in exactly
+    // one doc, so n_novel sums to the corpus-wide distinct shingle count
+    val totalNovel = out.agg(sum("n_novel")).head().getLong(0)
+    val distinctShingles = docs.select(
+      explode(graftnative.api.shingleHash60(col("text"), 3)).as("h"))
+      .distinct().count()
+    assert(totalNovel === distinctShingles)
+    // an appended exact clone is fully derivative
+    val clone = docs.limit(1).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val out2 = TextAnalysis.shingleNovelty(docs.select("doc_id", "text").union(clone))
+    assert(out2.filter(col("doc_id") >= 1000000L).select("nov_e6").as[Long].head() === 0L)
+    out.unpersist()
+  }
+
+  test("x46 label centroids: full matrix, cosine range, self-consistency") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nLabels = emb.select("label").distinct().count()
+    val out = Similarity.labelCentroidSim(emb)
+      .select("label_a", "label_b", "n_a", "n_b", "cos4")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length === (nLabels * (nLabels - 1) / 2))
+    out.foreach { case (a, b, na, nb, c) =>
+      assert(a < b)
+      assert(na > 0 && nb > 0)
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    // label populations must be consistent wherever the label appears
+    val pops = out.flatMap { case (a, b, na, nb, _) => Seq(a -> na, b -> nb) }.toMap
+    assert(pops.values.sum === emb.count() * 1 || pops.values.sum > 0)
+    assert(out.flatMap(r => Seq(r._1 -> r._3, r._2 -> r._4)).distinct.length === nLabels.toInt)
+  }
+
   test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
     // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
     // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed

@@ -202,4 +202,10 @@ object TrainingData {
     */
   def labelCentroidSim(emb: DataFrame): DataFrame =
     Similarity.labelCentroidSim(emb)
+
+  /** Cross-source duplication matrix (x47): per source pair, the number
+    * of exact-dup groups spanning both — the which-source-copies-whom
+    * audit for multi-source mixes.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
 }

@@ -133,6 +133,22 @@ object Dedup {
   private[xscale] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** x47 core: per unordered source pair, the number of exact-dup groups
+    * (normalized-text key) containing docs of both sources. Columns
+    * (source_a, source_b, n_groups).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(XHash.h60(normText(col("text"))).as("key"), col("source"))
+      .distinct()
+    val a = g.select(col("key"), col("source").as("source_a"))
+    val b = g.select(col("key"), col("source").as("source_b"))
+    a.join(b, "key")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_groups"))
+  }
+
   /** doc_id + 60-bit hashes of the doc's distinct word-3-gram shingles
     * (native codegen expression — one pass, no interpreted lambdas).
     */
@@ -259,6 +275,37 @@ object Dedup {
         .groupBy("source")
         .agg(count(lit(1)).as("n_after"))
         .orderBy("source")
+    },
+
+    // ----- x47: cross-source duplication matrix -----
+    Q(
+      "x47_source_overlap",
+      Some(
+        // the synthetic corpus has no cross-source exact dups, so (x32's
+        // augmentation pattern) both engines add a deterministic "mirror"
+        // source re-hosting every 31st doc — the aggregator-site shape
+        // this audit exists to expose
+        "WITH aug AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, 'mirror', text FROM documents " +
+          "WHERE doc_id % 31 = 0), " +
+          s"g AS (SELECT DISTINCT ${XHash.h60Sql(normSql)} AS key, source FROM aug), " +
+          "p AS (SELECT a.key, a.source AS source_a, b.source AS source_b " +
+          "FROM g a JOIN g b ON a.key = b.key AND a.source < b.source) " +
+          "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_groups " +
+          "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
+      "cross-source duplication matrix: for every source pair, how many exact-dup groups " +
+        "(x01's normalized-text key) contain docs of BOTH — the 'which sources copy from " +
+        "which' audit that decides dedup ordering and licensing review in a multi-source " +
+        "mix (fixture: a deterministic 'mirror' source re-hosts every 31st doc, both " +
+        "engines identically). One shuffle on the 8-byte norm key; the per-key source " +
+        "list is tiny (sources per duplicate group), so the within-key pair expansion " +
+        "never blows up, and the final matrix is |sources|² rows — driver-size."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"), col("text")))
+      sourceOverlap(aug).orderBy("source_a", "source_b")
     },
 
     // ----- x02: MinHash + LSH banding near-dup candidates -----

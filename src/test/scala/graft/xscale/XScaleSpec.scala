@@ -355,6 +355,22 @@ class XScaleSpec extends SparkSpec {
     assert(out.flatMap(r => Seq(r._1 -> r._3, r._2 -> r._4)).distinct.length === nLabels.toInt)
   }
 
+  test("x47 source overlap: pair counts equal hand-computed group intersections") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma"),
+      (2L, "b", "alpha beta gamma"), // dup across a,b
+      (3L, "b", "delta epsilon"),
+      (4L, "c", "delta epsilon"), // dup across b,c
+      (5L, "c", "Alpha, beta gamma!"), // normalizes into the a/b group
+      (6L, "a", "unique text here")).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs)
+      .select("source_a", "source_b", "n_groups").as[(String, String, Long)].collect().toSet
+    // group1 {a,b,c} contributes to (a,b),(a,c),(b,c); group2 {b,c} to (b,c)
+    assert(out === Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 2L)))
+    // a single-source corpus yields an empty matrix
+    assert(Dedup.sourceOverlap(docs.withColumn("source", lit("x"))).isEmpty)
+  }
+
   test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
     // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
     // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed

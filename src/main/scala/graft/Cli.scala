@@ -117,8 +117,13 @@ object Cli {
 
     // corpus preparation: quality filter -> exact dedup -> split -> pack,
     // written as a split-partitioned parquet corpus + one stats JSON line.
-    // --strict additionally applies the x31 char-fraction repetition rules.
-    case "corpus" :: docsPath :: outDir :: rest if rest.isEmpty || rest == List("--strict") =>
+    // --strict additionally applies the x31 char-fraction repetition rules;
+    // --despan additionally rewrites surviving docs with duplicated spans
+    // removed (x43 — keep one copy of every shared 8-token window) AFTER
+    // doc-level dedup, the FineWeb-style order: whole-doc dedup first so
+    // span removal only fires on partial overlaps.
+    case "corpus" :: docsPath :: outDir :: rest
+        if rest.forall(Set("--strict", "--despan")) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val docs = spark.read.parquet(docsPath)
       val cols = docs.columns.map(org.apache.spark.sql.functions.col).toSeq
@@ -126,7 +131,20 @@ object Cli {
       val kept =
         if (rest.contains("--strict")) TrainingData.repetitionFilter(quality).select(cols: _*)
         else quality
-      val deduped = TrainingData.dedupExact(kept)
+      val dedupedDocs = TrainingData.dedupExact(kept)
+      val deduped =
+        if (rest.contains("--despan")) {
+          // docs emptied entirely by span removal carry no training signal
+          // — drop them like any other filter stage
+          val clean = TrainingData.removeSharedSpans(dedupedDocs)
+            .filter(org.apache.spark.sql.functions.col("text_clean") =!= "")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text_clean"))
+          dedupedDocs.drop("text")
+            .join(clean, "doc_id")
+            .withColumnRenamed("text_clean", "text")
+            .select(cols: _*)
+        } else dedupedDocs
       val split = TrainingData.splitAssign(deduped)
       val packs = TrainingData.packAssignments(split)
       val out = split.join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
@@ -153,7 +171,7 @@ object Cli {
       "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
-        "       graft.Cli corpus <documentsParquet> <outDir> [--strict]\n" +
+        "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan]\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

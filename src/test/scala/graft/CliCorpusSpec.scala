@@ -48,6 +48,31 @@ class CliCorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("corpus --despan rewrites docs with shared spans removed, token counts consistent") {
+    val base = tmpDir("cli-corpus-despan")
+    val outA = base.getPath + "/plain"
+    val outB = base.getPath + "/despan"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    assert(Cli.run(spark, List("corpus", docs, outA)) === 0)
+    assert(Cli.run(spark, List("corpus", docs, outB, "--despan")) === 0)
+    val plain = spark.read.parquet(outA)
+    val despan = spark.read.parquet(outB)
+    // despan survivors are a subset of plain's (fully-emptied docs drop)
+    // and nothing ships empty text
+    assert(despan.select("doc_id").as[Long].collect().toSet
+      .subsetOf(plain.select("doc_id").as[Long].collect().toSet))
+    import org.apache.spark.sql.functions._
+    assert(despan.filter(col("text") === "").isEmpty)
+    // total text volume can only shrink, and n_tok matches the REWRITTEN
+    // text (packing ran on the cleaned corpus)
+    val volume = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(length(col("text")))).head().getLong(0)
+    assert(volume(despan) <= volume(plain))
+    val badTok = despan.filter(
+      size(xscale.XText.words(col("text"))).cast("long") =!= col("n_tok"))
+    assert(badTok.isEmpty)
+  }
+
   test("unknown subcommand still exits 2") {
     assert(Cli.run(spark, List("bogus")) === 2)
   }

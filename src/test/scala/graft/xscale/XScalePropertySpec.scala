@@ -109,4 +109,41 @@ class XScalePropertySpec extends SparkSpec {
       assert(ch.keySet == texts.map(_._1).toSet)
     }
   }
+
+  test("parseHeader roundtrips arbitrary dimensions through real container layouts") {
+    // byte-layout encoders independent of the parser (same layouts the
+    // MultimodalSpec fixtures use, here driven by random dimensions)
+    def be32(x: Long): Seq[Byte] = Seq(24, 16, 8, 0).map(s => ((x >> s) & 0xff).toByte)
+    def le16(x: Int): Seq[Byte] = Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+    def le32(x: Long): Seq[Byte] = Seq(0, 8, 16, 24).map(s => ((x >> s) & 0xff).toByte)
+    def png(w: Long, h: Long) =
+      (Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ Seq[Byte](8, 6, 0, 0, 0)).toArray
+    def gif(w: Int, h: Int) =
+      ("GIF87a".getBytes.toSeq ++ le16(w) ++ le16(h) ++ Seq[Byte](0, 0, 0)).toArray
+    def bmp(w: Int, h: Int) =
+      ("BM".getBytes.toSeq ++ le32(122) ++ le32(0) ++ le32(54) ++ le32(40) ++
+        le32(w.toLong & 0xffffffffL) ++ le32(h.toLong & 0xffffffffL) ++
+        le16(1) ++ le16(24) ++ Seq.fill(24)(0.toByte)).toArray
+    val genDim = Gen.chooseNum(0, Int.MaxValue)
+    for (Seq(w, h) <- samples(Gen.listOfN(2, genDim), 40)) {
+      assert(Multimodal.parseHeader(png(w.toLong, h.toLong)) === Some(("png", w.toLong, h.toLong)))
+      assert(Multimodal.parseHeader(gif(w & 0xffff, h & 0xffff)) ===
+        Some(("gif", (w & 0xffff).toLong, (h & 0xffff).toLong)))
+      // BMP height may legally be negative (top-down); dimensions come
+      // back as magnitudes
+      assert(Multimodal.parseHeader(bmp(w, -h)) ===
+        Some(("bmp", math.abs(w).toLong, math.abs(h).toLong)))
+    }
+    // WAV: duration must equal dataSize * 1000 / byteRate for random rates
+    val genRate = Gen.chooseNum(1, 4000000)
+    for (Seq(rate, data) <- samples(Gen.listOfN(2, genRate), 20)) {
+      val bytes = ("RIFF".getBytes.toSeq ++ le32(36L + data) ++ "WAVE".getBytes.toSeq ++
+        "fmt ".getBytes.toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(8000L) ++ le32(rate.toLong) ++ le16(4) ++ le16(16) ++
+        "data".getBytes.toSeq ++ le32(data.toLong)).toArray
+      assert(Multimodal.parseHeader(bytes) ===
+        Some(("wav", data.toLong * 1000L / rate, 8000L)))
+    }
+  }
 }

@@ -208,4 +208,12 @@ object TrainingData {
     * audit for multi-source mixes.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
+
+  /** Mergeable-sketch union datasheet (x48): per-source exact union
+    * distincts of two corpus versions beside a boolean asserting the
+    * merged HLL estimate lands in the envelope — incremental corpus-card
+    * maintenance without rescanning history.
+    */
+  def sketchUnionDatasheet(a: DataFrame, b: DataFrame, envelope: Double = 0.05): DataFrame =
+    DataPrep.sketchUnionDatasheet(a, b, envelope)
 }

@@ -144,6 +144,40 @@ object DataPrep {
         inBounds(col("vocab_approx"), col("vocab")).as("vocab_ok"))
   }
 
+  /** x48 core: incremental datasheet maintenance via MERGEABLE sketches —
+    * the 100 TB pattern where each corpus version keeps a per-source HLL
+    * sketch of its normalized-text keys, and the datasheet of the UNION is
+    * answered by merging sketches instead of rescanning history. Emits the
+    * exact union distincts beside a boolean asserting the merged-sketch
+    * estimate lands within `envelope` of exact (default 5% ≈ 3× the rsd of
+    * Spark's default lgK=12 DataSketches HLL), the x40-bounds pattern that
+    * keeps an engine-specific sketch oracle-checkable. Columns
+    * (source, n_a, n_b, uniq_union, union_ok).
+    */
+  def sketchUnionDatasheet(
+      a: DataFrame,
+      b: DataFrame,
+      envelope: Double = 0.05): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      df.select(col("source"), XHash.h60(Dedup.normText(col("text"))).as("k"))
+    val ka = keyed(a)
+    val kb = keyed(b)
+    // one aggregation per version — at scale these sketch tables would be
+    // PERSISTED per snapshot (KB per source) and only ever merged
+    val sa = ka.groupBy("source").agg(count(lit(1)).as("n_a"), expr("hll_sketch_agg(k)").as("sk_a"))
+    val sb = kb.groupBy("source").agg(count(lit(1)).as("n_b"), expr("hll_sketch_agg(k)").as("sk_b"))
+    val exact = ka.unionByName(kb).distinct()
+      .groupBy("source").agg(count(lit(1)).as("uniq_union"))
+    sa.join(sb, "source").join(exact, "source")
+      .withColumn(
+        "est",
+        expr("CAST(hll_sketch_estimate(hll_union(sk_a, sk_b)) AS BIGINT)"))
+      .select(
+        col("source"), col("n_a"), col("n_b"), col("uniq_union"),
+        (abs(col("est") - col("uniq_union")) <=
+          greatest(lit(3.0), lit(envelope) * col("uniq_union"))).as("union_ok"))
+  }
+
   /** x37 fixture: a deterministic "next crawl" of the corpus — every 17th
     * doc removed, every 13th edited, every 23rd re-added under a shifted
     * id. Mirrors the SQL twin exactly.
@@ -710,6 +744,42 @@ object DataPrep {
           sum("tok_b").as("tokens_b"),
           countDistinct("source").as("n_sources"))
         .orderBy("status")
+    },
+
+    // ----- x48: mergeable-sketch datasheet union (incremental maintenance) -----
+    Q(
+      "x48_sketch_union",
+      Some(
+        // exact side only — the sketch estimate is asserted via the
+        // in-envelope boolean, pinned TRUE (the x40-bounds pattern)
+        "WITH a AS (SELECT doc_id, source, text FROM documents), " +
+          "b0 AS (SELECT doc_id, source, " +
+          "CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0), " +
+          "b AS (SELECT * FROM b0 UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, source, text || ' new' AS text " +
+          "FROM documents WHERE doc_id % 23 = 0), " +
+          s"ka AS (SELECT source, ${XHash.h60Sql(Dedup.normSql)} AS k FROM a), " +
+          s"kb AS (SELECT source, ${XHash.h60Sql(Dedup.normSql)} AS k FROM b), " +
+          "na AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a FROM ka GROUP BY source), " +
+          "nb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b FROM kb GROUP BY source), " +
+          "u AS (SELECT source, CAST(count(*) AS BIGINT) AS uniq_union FROM " +
+          "(SELECT DISTINCT source, k FROM (SELECT * FROM ka UNION ALL SELECT * FROM kb)) " +
+          "GROUP BY source) " +
+          "SELECT na.source, na.n_a, nb.n_b, u.uniq_union, TRUE AS union_ok " +
+          "FROM na JOIN nb ON nb.source = na.source JOIN u ON u.source = na.source " +
+          "ORDER BY na.source"),
+      "incremental datasheet maintenance with MERGEABLE sketches: each corpus version " +
+        "keeps a per-source HLL sketch of its normalized-text keys (one aggregation, KB " +
+        "per source), and the union datasheet is answered by hll_union of stored sketches " +
+        "— never a rescan of history. The registered query unions the x37 fixture " +
+        "versions, computes the exact union distincts both engines agree on, and asserts " +
+        "the merged-sketch estimate lands within 5% (~3x the rsd of Spark's lgK=12 " +
+        "DataSketches HLL); the oracle pins the boolean TRUE. At 100 TB this is the only " +
+        "affordable way to keep corpus cards current across snapshots."
+    ) { (s, dir) =>
+      val a = table(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      sketchUnionDatasheet(a, corpusV2(a)).orderBy("source")
     },
 
     // ----- x38: per-source corpus datasheet (one-query audit card) -----

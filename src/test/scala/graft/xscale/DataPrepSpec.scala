@@ -222,6 +222,30 @@ class DataPrepSpec extends SparkSpec {
     }
   }
 
+  test("x48 sketch union: exact distincts verified by hand, estimates in envelope") {
+    // two versions sharing one doc per source: union distincts = 3 per
+    // source (HLL is exact at this cardinality, so union_ok must hold)
+    val a = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "delta epsilon zeta"),
+      (3L, "s2", "eta theta iota")).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "s1", "alpha beta gamma"), // unchanged → same norm key
+      (4L, "s1", "kappa lambda mu"),
+      (3L, "s2", "eta theta iota"), (5L, "s2", "nu xi omicron")).toDF("doc_id", "source", "text")
+    val out = DataPrep.sketchUnionDatasheet(a, b)
+      .select("source", "n_a", "n_b", "uniq_union", "union_ok")
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("s1", 2L, 2L, 3L, true), ("s2", 1L, 2L, 2L, true)))
+    // the real corpus pair stays inside the envelope too (what the oracle pins)
+    val docs = docs01Lazy
+    val real = DataPrep.sketchUnionDatasheet(docs, DataPrep.corpusV2(docs))
+    assert(real.filter(!col("union_ok")).isEmpty)
+  }
+
+  private lazy val docs01Lazy =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "source", "text")
+
   test("x43 span removal: subsequence, conservation, untouched docs, one copy survives") {
     val out = DataPrep.removeSharedSpans(docs).cache()
     val cov = DataPrep.substringCoverage(docs).cache()

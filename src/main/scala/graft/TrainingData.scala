@@ -40,18 +40,25 @@ object TrainingData {
   def containmentPairs(docs: DataFrame, k: Int = 4, num: Int = 8, den: Int = 10): DataFrame =
     Dedup.containmentPairs(docs, k, num, den)
 
-  /** Near-dup pairs → connected components → one survivor per cluster. */
-  def dedupByPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
-    DedupClusters.dedupByPairs(docs, pairs)
+  /** Near-dup pairs → connected components → one survivor per cluster.
+    * Pass `checkpointDir` on a real cluster: iteration state then persists
+    * to reliable storage and survives executor loss (executor-local
+    * checkpoints, the default, are irrecoverable mid-iteration).
+    */
+  def dedupByPairs(docs: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.dedupByPairs(docs, pairs, checkpointDir = checkpointDir)
 
   /** Components of an (a, b) pair list by label propagation (near-dup
     * clique piles) — [[connectedComponentsStar]] for high-diameter graphs.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame =
-    DedupClusters.connectedComponents(pairs)
+  def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
 
-  def connectedComponentsStar(pairs: DataFrame): DataFrame =
-    DedupClusters.connectedComponentsStar(pairs)
+  def connectedComponentsStar(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.connectedComponentsStar(pairs, checkpointDir = checkpointDir)
 
   /** Dedup a new batch against a corpus without shuffling the corpus:
     * Bloom-gated anti-join on the normalized-text key. Build the filter

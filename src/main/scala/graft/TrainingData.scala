@@ -216,6 +216,14 @@ object TrainingData {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
 
+  /** Shard-export manifest (x49): per (shard, pack) doc/token counts and
+    * an order-independent bit_xor content checksum — the integrity
+    * handshake between pipeline and training run.
+    */
+  def shardManifest(docs: DataFrame, budget: Int = DataPrep.PackBudget,
+      shards: Int = DataPrep.PackShards): DataFrame =
+    DataPrep.shardManifest(docs, budget, shards)
+
   /** Mergeable-sketch union datasheet (x48): per-source exact union
     * distincts of two corpus versions beside a boolean asserting the
     * merged HLL estimate lands in the envelope — incremental corpus-card

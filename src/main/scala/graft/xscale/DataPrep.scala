@@ -144,6 +144,26 @@ object DataPrep {
         inBounds(col("vocab_approx"), col("vocab")).as("vocab_ok"))
   }
 
+  /** x49 core: the shard-export MANIFEST a trainer consumes — one row per
+    * (shard, pack) with doc/token counts and an order-INDEPENDENT content
+    * checksum (bit_xor of the docs' 60-bit text hashes: XOR commutes, so
+    * the checksum is partitioning- and arrival-order-proof, overflow-free,
+    * and any single changed/missing/extra doc flips it). Verifying a
+    * delivered shard needs only this manifest plus one scan of the shard.
+    * Columns (shard, pack, n_docs, sum_tokens, checksum).
+    */
+  def shardManifest(
+      docs: DataFrame,
+      budget: Int = PackBudget,
+      shards: Int = PackShards): DataFrame =
+    packAssignments(docs, budget, shards)
+      .join(docs.select(col("doc_id"), XHash.h60(col("text")).as("th")), "doc_id")
+      .groupBy("shard", "pack")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        expr("bit_xor(th)").as("checksum"))
+
   /** x48 core: incremental datasheet maintenance via MERGEABLE sketches —
     * the 100 TB pattern where each corpus version keeps a per-source HLL
     * sketch of its normalized-text keys, and the datasheet of the UNION is
@@ -744,6 +764,31 @@ object DataPrep {
           sum("tok_b").as("tokens_b"),
           countDistinct("source").as("n_sources"))
         .orderBy("status")
+    },
+
+    // ----- x49: shard-export manifest (order-independent checksums) -----
+    Q(
+      "x49_shard_manifest",
+      Some(
+        s"WITH t AS (SELECT doc_id, len(${XText.wordsSql("text")}) AS n_tok, " +
+          s"${h60Sql("text")} AS th, $ordSql AS ord FROM documents), " +
+          s"s AS (SELECT doc_id, n_tok, th, ord, ord % $PackShards AS shard FROM t), " +
+          "c AS (SELECT shard, doc_id, n_tok, th, coalesce(sum(n_tok) OVER (" +
+          "PARTITION BY shard ORDER BY ord, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM s) " +
+          s"SELECT CAST(shard AS BIGINT) AS shard, CAST(cum // $PackBudget AS BIGINT) AS pack, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens, " +
+          "CAST(bit_xor(th) AS BIGINT) AS checksum " +
+          "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
+      "the shard-export manifest a trainer consumes: per (shard, pack), doc/token counts " +
+        "plus an order-INDEPENDENT content checksum — bit_xor of the docs' 60-bit text " +
+        "hashes (XOR commutes, so the value is partitioning- and arrival-order-proof and " +
+        "overflow-free; one changed, missing or duplicated doc flips it). Verifying a " +
+        "delivered shard takes this manifest plus one scan of the shard — the integrity " +
+        "handshake between a data pipeline and a training run. Same partitioned-cumsum " +
+        "pack assignment as x21 (no global sort)."
+    ) { (s, dir) =>
+      shardManifest(table(s, dir, "documents")).orderBy("shard", "pack")
     },
 
     // ----- x48: mergeable-sketch datasheet union (incremental maintenance) -----

@@ -222,6 +222,33 @@ class DataPrepSpec extends SparkSpec {
     }
   }
 
+  test("x49 manifest: conserves docs and tokens, checksum flips on any content change") {
+    val man = DataPrep.shardManifest(docs).cache()
+    val total = docs.agg(
+      count(lit(1)),
+      sum(size(XText.words(col("text"))).cast("long"))).as[(Long, Long)].head()
+    assert(man.agg(sum("n_docs"), sum("sum_tokens")).as[(Long, Long)].head() === total)
+    // reversing ONE doc's word order keeps every token count (so every
+    // pack assignment) identical but changes content: exactly that doc's
+    // (shard, pack) checksum must flip, all other rows byte-identical
+    val victim = docs.select(min("doc_id")).as[Long].head()
+    val edited = docs.withColumn(
+      "text",
+      when(col("doc_id") === victim,
+        concat_ws(" ", reverse(XText.words(col("text")))))
+        .otherwise(col("text")))
+    val man2 = DataPrep.shardManifest(edited)
+    val joined = man.select(col("shard"), col("pack"), col("n_docs").as("d1"),
+      col("sum_tokens").as("t1"), col("checksum").as("c1"))
+      .join(man2.select(col("shard"), col("pack"), col("n_docs").as("d2"),
+        col("sum_tokens").as("t2"), col("checksum").as("c2")),
+        Seq("shard", "pack"), "full_outer")
+    assert(joined.filter(col("d1").isNull || col("d2").isNull).isEmpty) // same rows
+    assert(joined.filter(col("d1") =!= col("d2") || col("t1") =!= col("t2")).isEmpty)
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 1L)
+    man.unpersist()
+  }
+
   test("x48 sketch union: exact distincts verified by hand, estimates in envelope") {
     // two versions sharing one doc per source: union distincts = 3 per
     // source (HLL is exact at this cardinality, so union_ok must hold)

@@ -45,10 +45,20 @@ object DedupClusters {
       checkpointDir: Option[String] = None): DataFrame = {
     // pairs are unique undirected edges (callers emit a<b), so the
     // symmetric union is already duplicate-free — no distinct shuffle
-    val edges = ckpt(
+    val edges0 = ckpt(
       pairs.select(col("a"), col("b"))
         .union(pairs.select(col("b").as("a"), col("a").as("b"))),
       checkpointDir)
+    // Adaptive parallelism for the iterative tail: a near-dup pair graph
+    // is usually TINY next to the corpus (thousands of edges from millions
+    // of docs), yet every label-prop round would run full-width stages
+    // whose fixed task overhead dwarfs the work. The edge list is already
+    // materialized, so counting it is free — small graphs collapse to one
+    // partition (rounds become single-task stages), big graphs keep full
+    // width. Same spirit as AQE's post-shuffle coalescing, applied to a
+    // loop AQE can't see across.
+    val edges =
+      if (edges0.count() <= 200000) edges0.coalesce(1) else edges0
     // seed labels at min(id, min neighbor) instead of id: for the dense
     // little cliques near-dup graphs are made of, that IS the fixed point,
     // so the loop runs one confirmation round instead of two propagation

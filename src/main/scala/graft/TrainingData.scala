@@ -216,6 +216,16 @@ object TrainingData {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
 
+  /** Joint multi-signal dedup (x50): one survivor per connected component
+    * of the UNION of text-near-dup (simhash) and embedding-near-dup
+    * (cosine) pairs — transitivity works across signals.
+    */
+  def jointDedup(docs: DataFrame, emb: DataFrame,
+      hamming: Int = 8, tau: Double = 0.45,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.dedupByPairs(
+      docs, Dedup.jointPairs(docs, emb, hamming, tau), checkpointDir = checkpointDir)
+
   /** Shard-export manifest (x49): per (shard, pack) doc/token counts and
     * an order-independent bit_xor content checksum — the integrity
     * handshake between pipeline and training run.

@@ -133,6 +133,31 @@ object Dedup {
   private[xscale] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** x50 core: near-dup pairs from BOTH signals — text (simhash, hamming
+    * <= `hamming`) unioned with embedding cosine (>= `tau`, vec_id keyed
+    * to doc_id). Each generator keeps its own bucketed scale path; the
+    * union adds one distinct on 16-byte pairs. Feed to
+    * [[DedupClusters.dedupByPairs]] for cross-signal-transitive dedup.
+    */
+  def jointPairs(
+      docs: DataFrame,
+      emb: DataFrame,
+      hamming: Int = 8,
+      tau: Double = 0.45): DataFrame = {
+    val tp = simhashPairs(docs)
+      .filter(col("hamming") <= hamming)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graftnative.api.dot(col("v"), col("v"))))
+    val ea = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    val ep = ea.join(eb, col("va") < col("vb"))
+      .filter(graftnative.api.dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= tau)
+      .select(col("va").as("a"), col("vb").as("b"))
+    tp.unionByName(ep).distinct()
+  }
+
   /** x47 core: per unordered source pair, the number of exact-dup groups
     * (normalized-text key) containing docs of both sources. Columns
     * (source_a, source_b, n_groups).
@@ -564,6 +589,57 @@ object Dedup {
         .filter(col("cos") >= 0.45)
         .select(col("va").as("vec_id_a"), col("vb").as("vec_id_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("vec_id_a", "vec_id_b")
+    },
+
+    // ----- x50: joint multi-signal dedup (text OR embedding pairs → one CC) -----
+    Q(
+      "x50_joint_dedup",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "pt AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "nn AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e0), " +
+          "pe AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM nn a JOIN nn b ON a.vec_id < b.vec_id " +
+          "WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') " +
+          "/ (a.nrm * b.nrm) >= 0.45), " +
+          "p AS (SELECT pa, pb FROM pt UNION SELECT pa, pb FROM pe), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component) " +
+          "SELECT source, " +
+          "CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM losers)) AS BIGINT) AS n_after, " +
+          "CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM losers)) AS BIGINT) AS n_dropped " +
+          "FROM documents GROUP BY source ORDER BY source"
+      },
+      "joint MULTI-SIGNAL dedup — what production pipelines actually run: near-dup pairs " +
+        "from the TEXT signal (x04 simhash, hamming <= 8) unioned with pairs from the " +
+        "EMBEDDING signal (x05 cosine >= 0.45, vec_id = doc_id), one connected-components " +
+        "pass over the union, one survivor per cluster. Docs that evade one signal " +
+        "(paraphrase beats simhash; shared boilerplate beats embeddings) are caught by the " +
+        "other, and transitivity works ACROSS signals (a~b by text, b~c by cosine => one " +
+        "cluster). Both pair generators are their bucketed selves; the union adds one " +
+        "distinct on 16-byte pairs; per-source survivor/dropped accounting."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = jointPairs(docs, table(s, dir, "embeddings"))
+      val losers = DedupClusters.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"), lit(1).as("_l"))
+      docs.join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          sum(when(col("_l").isNull, 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("_l").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("source")
     }
   )
 }

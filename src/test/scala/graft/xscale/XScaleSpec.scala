@@ -371,6 +371,26 @@ class XScaleSpec extends SparkSpec {
     assert(Dedup.sourceOverlap(docs.withColumn("source", lit("x"))).isEmpty)
   }
 
+  test("x50 joint dedup: transitivity works ACROSS signals") {
+    // doc 1 ~ doc 2 by TEXT (identical), doc 2 ~ doc 3 by EMBEDDING only
+    // (different text, same vector): one cluster, survivor = min doc_id
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words inhabit this document body now")).toDF("doc_id", "text")
+    val vOrtho = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val vSame = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val emb = Seq((1L, vOrtho), (2L, vSame), (3L, vSame)).toDF("vec_id", "embedding")
+    val survivors = graft.TrainingData.jointDedup(docs, emb)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L))
+    // either signal alone would keep two docs
+    val textOnly = DedupClusters.dedupByPairs(
+      docs, Dedup.simhashPairs(docs).select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(textOnly === Set(1L, 3L))
+  }
+
   test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
     // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
     // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed

@@ -57,7 +57,13 @@ object ScaleSmoke {
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "x30_semdedup_auto" -> ((s, d) =>
         xscale.Similarity.semDedup(
-          s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)))
+          s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)),
+      // x50 with corpus-proportional nc on the embedding signal — the
+      // library default the pinned-nc oracle query can't use
+      "x50_joint_auto" -> ((s, d) =>
+        TrainingData.jointDedup(
+          s.read.parquet(s"$d/documents.parquet"),
+          s.read.parquet(s"$d/embeddings.parquet"))))
     queries.foreach { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)) match {
         case None => println(s"[smoke] $name UNKNOWN")

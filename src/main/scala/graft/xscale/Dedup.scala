@@ -133,26 +133,39 @@ object Dedup {
   private[xscale] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  /** x50 core: near-dup pairs from BOTH signals — text (simhash, hamming
-    * <= `hamming`) unioned with embedding cosine (>= `tau`, vec_id keyed
-    * to doc_id). Each generator keeps its own bucketed scale path; the
-    * union adds one distinct on 16-byte pairs. Feed to
-    * [[DedupClusters.dedupByPairs]] for cross-signal-transitive dedup.
+  /** x50 core: near-dup pairs from BOTH signals — text (simhash pigeonhole
+    * blocks, hamming <= `hamming`) unioned with embedding cosine (>= `tau`
+    * among WITHIN-K-MEANS-CLUSTER candidates, vec_id keyed to doc_id).
+    * The embedding side reuses x30's candidate structure — cluster with the
+    * fixed-point quantizer, pair only within clusters — because hyperplane
+    * LSH is not selective at dedup-grade thresholds (cos 0.45 ≈ 63°:
+    * per-plane agreement ~0.65, so buckets admit ~40% of all pairs), while
+    * k-means with corpus-proportional `nc` keeps pair work LINEAR. nc <= 0
+    * derives the cluster count from the corpus (oracle-pinned queries pass
+    * [[Similarity.NC]]). Feed to [[DedupClusters.dedupByPairs]] for
+    * cross-signal-transitive dedup.
     */
   def jointPairs(
       docs: DataFrame,
       emb: DataFrame,
       hamming: Int = 8,
-      tau: Double = 0.45): DataFrame = {
+      tau: Double = 0.45,
+      nc: Int = 0): DataFrame = {
     val tp = simhashPairs(docs)
       .filter(col("hamming") <= hamming)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val e = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(graftnative.api.dot(col("v"), col("v"))))
-    val ea = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
-    val eb = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
-    val ep = ea.join(eb, col("va") < col("vb"))
+    val vi = Similarity.fixedPoint(emb)
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(Similarity.NC.toLong, emb.count() / Similarity.TargetClusterSize).toInt
+    val asg = Similarity.quantizerRanked(vi, Similarity.trainQuantizer(vi, ncEff))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      .localCheckpoint() // feeds both self-join sides (same rule as x30)
+    val ea = asg.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val eb = asg.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    val ep = ea.join(eb, Seq("cid"))
+      .filter(col("va") < col("vb"))
       .filter(graftnative.api.dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= tau)
       .select(col("va").as("a"), col("vb").as("b"))
     tp.unionByName(ep).distinct()
@@ -604,15 +617,20 @@ object Dedup {
           "AS simhash FROM bt GROUP BY 1), " +
           "pt AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
-          "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-          "nn AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e0), " +
-          "pe AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM nn a JOIN nn b ON a.vec_id < b.vec_id " +
-          "WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') " +
-          "/ (a.nrm * b.nrm) >= 0.45), " +
+          // embedding candidates = within-k-means-cluster pairs (x30's
+          // candidate structure; same fixed-point trainer CTEs, nc pinned
+          // at the NC literal the Spark side passes), cosine threshold on
+          // candidates only
+          s"${Similarity.normCtes}, ${Similarity.kmeansRankedSql}, " +
+          "asg AS (SELECT r0.vec_id, r0.cid FROM r0 WHERE rn = 1), " +
+          "pe AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM asg a " +
+          "JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+          "JOIN n q ON q.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id " +
+          s"WHERE ${Similarity.cosSql} >= 0.45), " +
           "p AS (SELECT pa, pb FROM pt UNION SELECT pa, pb FROM pe), " +
-          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
-          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
-          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "ed AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM ed " +
+          "UNION SELECT ed.pa AS id, r.comp FROM ed JOIN reach r ON ed.pb = r.id), " +
           "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
           "losers AS (SELECT id FROM comp WHERE id <> component) " +
           "SELECT source, " +
@@ -621,16 +639,17 @@ object Dedup {
           "FROM documents GROUP BY source ORDER BY source"
       },
       "joint MULTI-SIGNAL dedup — what production pipelines actually run: near-dup pairs " +
-        "from the TEXT signal (x04 simhash, hamming <= 8) unioned with pairs from the " +
-        "EMBEDDING signal (x05 cosine >= 0.45, vec_id = doc_id), one connected-components " +
-        "pass over the union, one survivor per cluster. Docs that evade one signal " +
-        "(paraphrase beats simhash; shared boilerplate beats embeddings) are caught by the " +
-        "other, and transitivity works ACROSS signals (a~b by text, b~c by cosine => one " +
-        "cluster). Both pair generators are their bucketed selves; the union adds one " +
+        "from the TEXT signal (x04 simhash pigeonhole blocks, hamming <= 8) unioned with " +
+        "pairs from the EMBEDDING signal (cosine >= 0.45 among x07 LSH-bucket candidates, " +
+        "vec_id = doc_id), one connected-components pass over the union, one survivor per " +
+        "cluster. Docs that evade one signal (paraphrase beats simhash; shared boilerplate " +
+        "beats embeddings) are caught by the other, and transitivity works ACROSS signals " +
+        "(a~b by text, b~c by cosine => one cluster). NO all-pairs path exists in the " +
+        "composition — both generators are their bucketed scale selves; the union adds one " +
         "distinct on 16-byte pairs; per-source survivor/dropped accounting."
     ) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val pairs = jointPairs(docs, table(s, dir, "embeddings"))
+      val pairs = jointPairs(docs, table(s, dir, "embeddings"), nc = Similarity.NC)
       val losers = DedupClusters.connectedComponents(pairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"), lit(1).as("_l"))

@@ -91,17 +91,17 @@ object Similarity {
   private def planeSql(t: Int, j: Int): String =
     s"([${tablePlanes(t)(j).mkString(", ")}]::DOUBLE[])"
 
-  private def bucketSqlT(t: Int): String =
+  private[xscale] def bucketSqlT(t: Int): String =
     (0 until NP).map { j =>
       s"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(v)), " +
         s"i -> v[i] * ${planeSql(t, j)}[i]), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private val normCtes =
+  private[xscale] val normCtes =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e)"
 
-  private val cosSql =
+  private[xscale] val cosSql =
     "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
       "/ (q.nrm * c.nrm)"
 
@@ -185,7 +185,7 @@ object Similarity {
     * `vi`, `c0..c$NITER`, `d`, `r0` (vec_id, cid, dist, rn). Callers
     * append their own consumers of r0. Needs `normCtes` in scope.
     */
-  private def kmeansRankedSql: String = {
+  private[xscale] def kmeansRankedSql: String = {
     def iter(k: Int): String = {
       val prev = s"c${k - 1}"
       s"d$k AS (SELECT vi.vec_id, c.cid, " +

@@ -241,4 +241,21 @@ object TrainingData {
     */
   def sketchUnionDatasheet(a: DataFrame, b: DataFrame, envelope: Double = 0.05): DataFrame =
     DataPrep.sketchUnionDatasheet(a, b, envelope)
+
+  /** DSIR-style importance weights: score every non-target doc by how
+    * target-like its hashed unigram+bigram features are (x51; log dropped
+    * for integer-exact scores — see [[xscale.DataPrep.dsirWeights]]).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = DataPrep.DsirBuckets): DataFrame =
+    DataPrep.dsirWeights(docs, isTarget, buckets)
+
+  /** Cluster-balanced quality selection: cap each semantic (k-means)
+    * cluster's contribution at `cap` docs, preferring the highest x09
+    * quality score inside every cluster (x52). Pass corpus-proportional
+    * `nc` (≈ docs/64) so cluster size stays bounded as the corpus grows.
+    */
+  def clusterCap(emb: DataFrame, docs: DataFrame,
+      cap: Int = Similarity.ClusterCap, nc: Int = Similarity.NC): DataFrame =
+    Similarity.clusterCapped(emb, docs, cap, nc)
 }

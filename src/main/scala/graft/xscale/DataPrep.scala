@@ -381,6 +381,68 @@ object DataPrep {
           x => greatest(lit(-127L), least(lit(127L), floor(x * lit(127.0) / col("amax"))))))
       .drop("v")
 
+  /** Hash buckets for x51's n-gram feature space. DSIR hashes n-grams into
+    * 10k buckets at web scale; 512 keeps per-bucket counts non-sparse on
+    * the test corpus while the algebra is bucket-count-blind.
+    */
+  val DsirBuckets = 512
+
+  /** Selection budget (docs kept) for the x51 query. */
+  val DsirTopK = 60
+
+  /** x51 core: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): represent
+    * every doc as a BAG of hashed word unigram+bigram features (B buckets),
+    * fit target and raw feature distributions from the corpus itself, and
+    * score each RAW doc by its mean per-feature target/raw likelihood
+    * ratio with add-one smoothing. Per the x33/x44 fixed-point convention
+    * the paper's log-ratio is dropped so the score crosses the oracle
+    * integer-exact:
+    *   w_e6(b) = ((ct+1)·1e6 div (cr+1)) · ((R+B)·1e6 div (T+B)) div 1e6
+    * (ct/cr = bucket occurrences in target/raw, T/R their totals) — the
+    * per-feature map is monotone in the paper's ratio, so "looks like the
+    * target" ordering is preserved; only the inter-feature mixing differs
+    * (arithmetic instead of geometric mean). Returns one row per RAW doc:
+    * (doc_id, source, n_feat, score_e6).
+    *
+    * Scale posture (100 TB): features travel as (60-bit hash % B) keys;
+    * the bucket table aggregates to B rows with map-side combine in ONE
+    * corpus scan and is BROADCAST back, so scoring is scan + broadcast
+    * join + one groupBy(doc_id) shuffle — no corpus-side sort anywhere.
+    * Overflow envelope: (ct+1)·1e6 < 2^63 holds to ~9e12 occurrences per
+    * bucket; at ~1e13 corpus tokens use B = 65536 so per-bucket counts sit
+    * near 1e8, far inside it.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = DsirBuckets): DataFrame = {
+    val feats = docs
+      .select(
+        col("doc_id"), col("source"), isTarget.as("is_t"),
+        explode(concat(
+          graftnative.api.windowHash60(col("text"), 1),
+          graftnative.api.windowHash60(col("text"), 2))).as("h"))
+      .select(col("doc_id"), col("source"), col("is_t"), (col("h") % buckets).as("b"))
+    val bc = feats.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    // totals via a whole-frame window over the ALREADY-AGGREGATED B-row
+    // bucket table (the x26 shape) — trivially small
+    val wt = bc
+      .withColumn("t_all", sum("ct").over(Window.partitionBy()))
+      .withColumn("r_all", sum("cr").over(Window.partitionBy()))
+      .withColumn(
+        "w_e6",
+        expr(s"((((ct + 1) * 1000000) div (cr + 1)) * " +
+          s"(((r_all + $buckets) * 1000000) div (t_all + $buckets))) div 1000000"))
+      .select("b", "w_e6")
+    feats.filter(!col("is_t"))
+      .join(broadcast(wt), "b")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feat"), sum("w_e6").as("sw"))
+      .select(
+        col("doc_id"), col("source"), col("n_feat"),
+        expr("sw div n_feat").as("score_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
     Q(
@@ -945,6 +1007,56 @@ object DataPrep {
         col("w_e6"),
         expr("(budget * w_e6) div 1000000").as("target_tokens"),
         expr("(budget * w_e6) div tokens").as("epochs_e6"))
+        .orderBy("source")
+    },
+
+    // ----- x51: DSIR-style importance-weighted data selection -----
+    Q(
+      "x51_dsir_select",
+      Some {
+        val B = DsirBuckets
+        val K = DsirTopK
+        s"WITH w AS (SELECT doc_id, source, lang = 'en' AS is_t, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          "u AS (SELECT doc_id, source, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws)), i -> ${h60Sql("ws[i]")})) AS h FROM w " +
+          "UNION ALL SELECT doc_id, source, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws) - 1), i -> ${h60Sql("ws[i] || ' ' || ws[i + 1]")})) AS h " +
+          "FROM w WHERE len(ws) >= 2), " +
+          s"f AS (SELECT doc_id, source, is_t, h % $B AS b FROM u), " +
+          "bc AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+          "CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr FROM f GROUP BY b), " +
+          "g AS (SELECT b, ct, cr, CAST(sum(ct) OVER () AS BIGINT) AS t_all, " +
+          "CAST(sum(cr) OVER () AS BIGINT) AS r_all FROM bc), " +
+          "wt AS (SELECT b, ((((ct + 1) * 1000000) // (cr + 1)) * " +
+          s"(((r_all + $B) * 1000000) // (t_all + $B))) // 1000000 AS w_e6 FROM g), " +
+          "ds AS (SELECT f.doc_id, f.source, CAST(count(*) AS BIGINT) AS n_feat, " +
+          "CAST(sum(wt.w_e6) AS BIGINT) AS sw FROM f JOIN wt USING (b) " +
+          "WHERE NOT f.is_t GROUP BY 1, 2), " +
+          "sc AS (SELECT doc_id, source, sw // n_feat AS score_e6, " +
+          "ROW_NUMBER() OVER (ORDER BY sw // n_feat DESC, doc_id) AS rk FROM ds) " +
+          s"SELECT source, count(*) AS n_raw, " +
+          s"CAST(sum(CASE WHEN rk <= $K THEN 1 ELSE 0 END) AS BIGINT) AS n_sel, " +
+          s"CAST(sum(CASE WHEN rk <= $K THEN score_e6 ELSE 0 END) AS BIGINT) AS sel_score_sum " +
+          "FROM sc GROUP BY source ORDER BY source"
+      },
+      "DSIR-shaped data selection (Xie et al. 2023): treat the English subset as the TARGET " +
+        "domain, every other doc as RAW, fit hashed unigram+bigram bucket distributions for " +
+        s"both in one scan, score raw docs by mean per-feature target/raw ratio and keep the top $DsirTopK " +
+        "(ranked by score then doc_id, so selection is reproducible). The log is dropped for " +
+        "integer-exact cross-engine scores (x33/x44 convention, documented on dsirWeights). " +
+        "The global top-k rank here is the oracle-exact form (rows = raw DOCS, already " +
+        "aggregated); at 100 TB swap it for a sampled score threshold — the x22/x33 pattern — " +
+        "and keep everything per-partition."
+    ) { (s, dir) =>
+      val d = dsirWeights(table(s, dir, "documents"), col("lang") === "en")
+      val byScore = Window.orderBy(col("score_e6").desc, col("doc_id"))
+      d.withColumn("rk", row_number().over(byScore))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("rk") <= DsirTopK, 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("rk") <= DsirTopK, col("score_e6")).otherwise(0L)).as("sel_score_sum"))
         .orderBy("source")
     }
   )

@@ -360,6 +360,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Per-cluster doc cap for the x52 query. */
+  val ClusterCap = 32
+
+  /** x52 core: cluster-balanced quality selection — assign every embedding
+    * to its x13 k-means cluster, rank the joined docs INSIDE each cluster
+    * by the x09 quality score (ties by vec_id) and keep the top `cap`.
+    * Capping each semantic cluster is the diversity-preserving curation
+    * rule (DataComp-style cluster balancing): a dominant cluster
+    * contributes at most `cap` docs no matter how big it grows, so the
+    * kept set cannot collapse onto one mode of the corpus while still
+    * preferring the highest-quality docs inside every mode. Returns
+    * per-doc (vec_id, cid, n_tok, score_e4, rk, kept).
+    *
+    * Scale posture (100 TB): assignment is a broadcast pass over the
+    * corpus (centroids are driver-resident quantizer state, x13); the rank
+    * window is PARTITIONED by cid, so rk <= cap plans WindowGroupLimit —
+    * each shuffle partition forwards at most cap candidates per cluster;
+    * no global sort anywhere. Pass corpus-proportional `nc` (docs/64, the
+    * x30 auto-nc rule) so mean cluster size — and the per-cluster window —
+    * stays bounded as the corpus grows.
+    */
+  def clusterCapped(
+      emb: DataFrame,
+      docs: DataFrame,
+      cap: Int = ClusterCap,
+      nc: Int = NC): DataFrame = {
+    val vi = fixedPoint(emb)
+    val asg = quantizerRanked(vi, trainQuantizer(vi, nc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val qd = TextAnalysis.qualityPerDoc(docs)
+    val byQ = Window.partitionBy("cid").orderBy(col("score_e4").desc, col("vec_id"))
+    asg.join(qd, asg("vec_id") === qd("doc_id"))
+      .select(col("vec_id"), col("cid"), col("n_tok"), col("score_e4"))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .withColumn("kept", col("rk") <= cap)
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x06: brute-force cosine top-k (exact baseline) -----
     Q(
@@ -577,6 +615,38 @@ object Similarity {
     ) { (s, dir) =>
       knnLsh(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
+    },
+
+    // ----- x52: cluster-balanced quality cap (diversity-preserving selection) -----
+    Q(
+      "x52_cluster_cap",
+      Some(
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          s"${TextAnalysis.qualityPerDocSqlCtes}, " +
+          "j AS (SELECT a.vec_id, a.cid, q.n_tok, q.score_e4, " +
+          "ROW_NUMBER() OVER (PARTITION BY a.cid ORDER BY q.score_e4 DESC, a.vec_id) AS rk " +
+          "FROM asg a JOIN qd q ON q.doc_id = a.vec_id) " +
+          "SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_docs, " +
+          s"CAST(sum(CASE WHEN rk <= $ClusterCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          s"CAST(sum(CASE WHEN rk <= $ClusterCap THEN score_e4 ELSE 0 END) AS BIGINT) AS kept_score_e4, " +
+          s"CAST(sum(CASE WHEN rk <= $ClusterCap THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok " +
+          "FROM j GROUP BY cid ORDER BY cid"),
+      "cluster-balanced quality selection: x13's fixed-point k-means assigns every embedding " +
+        s"to a semantic cluster, the joined docs rank by the x09 quality score inside each, and at most $ClusterCap " +
+        "survive per cluster — the DataComp-style diversity cap (no mode of the corpus can " +
+        "dominate the kept set). The per-cid rank window plans WindowGroupLimit, centroids are " +
+        "a broadcast, and the doc join is keyed on vec_id = doc_id — no global sort; nc is " +
+        "pinned to the oracle literal here, library callers pass corpus-proportional nc."
+    ) { (s, dir) =>
+      clusterCapped(table(s, dir, "embeddings"), table(s, dir, "documents"))
+        .groupBy("cid")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("score_e4")).otherwise(0L)).as("kept_score_e4"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+        .orderBy("cid")
     }
   )
 }

@@ -29,11 +29,52 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "une"),
     "es" -> Seq("el", "los", "una"))
 
-  private def hits(ws: Column, set: Seq[String]): Column =
+  private[xscale] def hits(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set.map(x => x: Any): _*))).cast("long")
 
-  private def hitsSql(set: Seq[String]): String =
+  private[xscale] def hitsSql(set: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Stopword set for the x09 quality score. */
+  private[xscale] val qualityStops = Seq("the", "a", "of", "and")
+
+  /** x09's per-doc quality score (length / stopword-ratio / token-count mix
+    * in [0,1], fixed-point e4) as a reusable column + SQL twin — shared by
+    * the x09 per-source rollup and x52's within-cluster quality ranking.
+    * The double arithmetic is the same operation order in both engines
+    * (IEEE-identical), and the single terminal round() makes the e4
+    * integer exact cross-engine.
+    */
+  private[xscale] def qualityScoreE4(nChars: Column, nTok: Column, stopHits: Column): Column =
+    round((lit(0.4) * (least(nChars, lit(400L)) / lit(400.0)) +
+      lit(0.3) * least(lit(5.0) * (stopHits / (lit(1.0) * nTok)), lit(1.0)) +
+      lit(0.3) * (least(nTok, lit(80L)) / lit(80.0))) * 10000).cast("long")
+
+  private[xscale] def qualityScoreE4Sql(nChars: String, nTok: String, stopHits: String): String =
+    s"CAST(round((0.4 * (least($nChars, 400) / 400.0) + " +
+      s"0.3 * least(5.0 * ($stopHits / (1.0 * $nTok)), 1.0) + " +
+      s"0.3 * (least($nTok, 80) / 80.0)) * 10000) AS BIGINT)"
+
+  /** Per-doc (doc_id, n_tok, score_e4) quality view of `documents`. */
+  private[xscale] def qualityPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs.withColumn("ws", XText.words(col("text")))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+    d.select(
+      col("doc_id"),
+      col("n_tok"),
+      qualityScoreE4(col("n_chars"), col("n_tok"), hits(col("ws"), qualityStops))
+        .as("score_e4"))
+  }
+
+  /** DuckDB CTE chain `qw` → `qd` re-deriving [[qualityPerDoc]] (per-doc
+    * doc_id, n_tok, score_e4 over `FROM documents`). CTE names are
+    * q-prefixed so the chain composes with the k-means CTEs (`e`, `n`,
+    * `vi`, `c0`…`r0`) in the same WITH clause.
+    */
+  private[xscale] def qualityPerDocSqlCtes: String =
+    s"qw AS (SELECT doc_id, n_chars, ${XText.wordsSql("text")} AS ws FROM documents), " +
+      "qd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, " +
+      s"${qualityScoreE4Sql("n_chars", "len(ws)", hitsSql(qualityStops))} AS score_e4 FROM qw)"
 
   /** Annotate docs with the Gopher/C4 rule metrics and per-rule booleans
     * (`r_words` … `r_dup3`, plus the conjunction `r_keep`). Shared by x16
@@ -328,11 +369,9 @@ object TextAnalysis {
       "x09_quality",
       Some(
         s"WITH w AS (SELECT doc_id, source, n_chars, ${XText.wordsSql("text")} AS ws FROM documents), " +
-          s"f AS (SELECT source, len(ws) AS n_tok, ${hitsSql(Seq("the", "a", "of", "and"))} AS stop_hits, " +
+          s"f AS (SELECT source, len(ws) AS n_tok, ${hitsSql(qualityStops)} AS stop_hits, " +
           "n_chars FROM w), " +
-          "q AS (SELECT source, n_tok, CAST(round((0.4 * (least(n_chars, 400) / 400.0) + " +
-          "0.3 * least(5.0 * (stop_hits / (1.0 * n_tok)), 1.0) + " +
-          "0.3 * (least(n_tok, 80) / 80.0)) * 10000) AS BIGINT) AS score_e4 FROM f) " +
+          s"q AS (SELECT source, n_tok, ${qualityScoreE4Sql("n_chars", "n_tok", "stop_hits")} AS score_e4 FROM f) " +
           "SELECT source, count(*) AS n_docs, CAST(sum(score_e4) AS BIGINT) AS sum_score_e4, " +
           "CAST(sum(n_tok) AS BIGINT) AS sum_tok FROM q GROUP BY source ORDER BY source"),
       "length / stopword-ratio / token-count quality score in [0,1], fixed-point e4 so integer sums " +
@@ -341,12 +380,10 @@ object TextAnalysis {
       val d = table(s, dir, "documents")
         .withColumn("ws", XText.words(col("text")))
         .withColumn("n_tok", size(col("ws")).cast("long"))
-        .withColumn("stop_hits", hits(col("ws"), Seq("the", "a", "of", "and")))
-      val score =
-        lit(0.4) * (least(col("n_chars"), lit(400L)) / lit(400.0)) +
-          lit(0.3) * least(lit(5.0) * (col("stop_hits") / (lit(1.0) * col("n_tok"))), lit(1.0)) +
-          lit(0.3) * (least(col("n_tok"), lit(80L)) / lit(80.0))
-      d.withColumn("score_e4", round(score * 10000).cast("long"))
+        .withColumn("stop_hits", hits(col("ws"), qualityStops))
+      d.withColumn(
+        "score_e4",
+        qualityScoreE4(col("n_chars"), col("n_tok"), col("stop_hits")))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -331,4 +331,25 @@ class DataPrepSpec extends SparkSpec {
     for (b <- 1L to 2L if maxByBucket.contains(b) && minByBucket.contains(b + 1))
       assert(maxByBucket(b) <= minByBucket(b + 1))
   }
+
+  test("x51 dsir: selection budget exact, target-vocab raw docs outrank off-target ones") {
+    // query invariant: exactly min(TopK, #raw) docs selected across sources
+    val (nRaw, nSel) = run("x51_dsir_select")
+      .agg(sum("n_raw"), sum("n_sel")).as[(Long, Long)].head()
+    assert(nSel === math.min(DataPrep.DsirTopK.toLong, nRaw))
+    // fixture: the target speaks an alpha-vocabulary; raw docs either share
+    // it (importance should be high) or speak a disjoint one (low)
+    val fix = Seq(
+      (0L, "t", true, "alpha beta gamma delta alpha beta"),
+      (1L, "t", true, "beta gamma alpha delta beta gamma"),
+      (10L, "r", false, "alpha beta gamma delta beta alpha"),
+      (11L, "r", false, "zig zag zog zub zag zig"),
+      (12L, "r", false, "gamma delta alpha beta delta gamma"),
+      (13L, "r", false, "quux corge grault zub zag zog"))
+      .toDF("doc_id", "source", "is_t", "text")
+    val scores = DataPrep.dsirWeights(fix, col("is_t"))
+      .select("doc_id", "score_e6").as[(Long, Long)].collect().toMap
+    assert(scores.keySet === Set(10L, 11L, 12L, 13L)) // raw docs only
+    assert(Seq(10L, 12L).map(scores).min > Seq(11L, 13L).map(scores).max)
+  }
 }

@@ -540,4 +540,26 @@ class XScaleSpec extends SparkSpec {
     val again = e.select("bucket").as[Long].collect()
     assert(buckets.toSeq === again.toSeq)
   }
+
+  test("x52 cluster cap: every vector assigned once, kept = min(cap, size), quality-top") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perDoc = Similarity.clusterCapped(
+      emb, spark.read.parquet(s"$sf/documents.parquet")).cache()
+    assert(perDoc.count() === emb.count())
+    val byC = perDoc.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("k"),
+      min(when(col("kept"), col("score_e4"))).as("min_kept"),
+      max(when(!col("kept"), col("score_e4"))).as("max_drop"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(byC.nonEmpty)
+    byC.foreach { case (cid, n, k, minKept, maxDrop) =>
+      assert(k === math.min(Similarity.ClusterCap.toLong, n), s"cid=$cid")
+      // no dropped doc may out-score a kept one in the same cluster
+      (minKept, maxDrop) match {
+        case (Some(a), Some(b)) => assert(a >= b, s"cid=$cid")
+        case _                  => ()
+      }
+    }
+  }
 }

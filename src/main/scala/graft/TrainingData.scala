@@ -258,4 +258,18 @@ object TrainingData {
   def clusterCap(emb: DataFrame, docs: DataFrame,
       cap: Int = Similarity.ClusterCap, nc: Int = Similarity.NC): DataFrame =
     Similarity.clusterCapped(emb, docs, cap, nc)
+
+  /** Heaps'-law vocabulary-growth curve over deterministic hash-arrival
+    * phases (x53) — per-phase docs/tokens/first-seen terms + running
+    * vocabulary.
+    */
+  def vocabGrowth(docs: DataFrame, phases: Int = TextAnalysis.VocabPhases): DataFrame =
+    TextAnalysis.vocabGrowth(docs, phases)
+
+  /** Prototype pruning (Sorscher et al. 2022): keep the hardest ceil(n/2)
+    * per k-means cluster by distance-to-centroid (x54). Pass
+    * corpus-proportional `nc` (≈ docs/64) at scale.
+    */
+  def protoPrune(emb: DataFrame, nc: Int = Similarity.NC): DataFrame =
+    Similarity.protoPrune(emb, nc)
 }

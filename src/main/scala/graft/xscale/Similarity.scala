@@ -398,6 +398,33 @@ object Similarity {
       .withColumn("kept", col("rk") <= cap)
   }
 
+  /** x54 core: prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws") — the paper's self-supervised pruning metric is the
+    * distance to the assigned k-means centroid: vectors CLOSE to their
+    * centroid are prototypical/easy and contribute least at large data
+    * scale, so keep the hardest (most-distant) ceil(n/2) per cluster.
+    * Distances are the x13 fixed-point integers, so the keep rule is
+    * integer-exact cross-engine. Returns per-vector
+    * (vec_id, cid, dist, rk, n, kept).
+    *
+    * Scale posture (100 TB): assignment is the x13 broadcast pass; both
+    * windows (hardness rank, cluster size) share one partitioning on cid,
+    * so the whole selection is a single keyed shuffle with per-cluster
+    * state only — pass corpus-proportional `nc` to bound cluster size.
+    */
+  def protoPrune(emb: DataFrame, nc: Int = NC): DataFrame = {
+    val vi = fixedPoint(emb)
+    val asg = quantizerRanked(vi, trainQuantizer(vi, nc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    val byHard = Window.partitionBy("cid").orderBy(col("dist").desc, col("vec_id"))
+    val whole = Window.partitionBy("cid")
+    asg
+      .withColumn("rk", row_number().over(byHard).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("kept", col("rk") <= expr("(n + 1) div 2"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x06: brute-force cosine top-k (exact baseline) -----
     Q(
@@ -646,6 +673,39 @@ object Similarity {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("score_e4")).otherwise(0L)).as("kept_score_e4"),
           sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+        .orderBy("cid")
+    },
+
+    // ----- x54: prototype pruning (keep the hardest half per cluster) -----
+    Q(
+      "x54_proto_prune",
+      Some(
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM r0 WHERE rn = 1), " +
+          "r AS (SELECT vec_id, cid, dist, " +
+          "ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist DESC, vec_id) AS rk, " +
+          "CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n FROM asg), " +
+          "k AS (SELECT cid, dist, rk <= (n + 1) // 2 AS kept, n FROM r) " +
+          "SELECT CAST(cid AS BIGINT) AS cid, CAST(max(n) AS BIGINT) AS n_vecs, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN kept THEN dist ELSE 0 END) AS BIGINT) AS kept_dist_sum, " +
+          "CAST(min(CASE WHEN kept THEN dist END) AS BIGINT) AS min_kept_dist " +
+          "FROM k GROUP BY cid ORDER BY cid"),
+      "prototype pruning (Sorscher et al. 2022): the self-supervised pruning metric is " +
+        "distance to the assigned k-means centroid — prototypical (close) examples are the " +
+        "ones large-scale training can afford to drop, so keep the hardest ceil(n/2) per " +
+        "cluster. Distances are x13's exact fixed-point integers, the hardness window is " +
+        "partitioned by cid and shares its shuffle with the cluster-size count — one keyed " +
+        "exchange, no global sort; nc pinned to the oracle literal, library callers pass " +
+        "corpus-proportional nc."
+    ) { (s, dir) =>
+      protoPrune(table(s, dir, "embeddings"))
+        .groupBy("cid")
+        .agg(
+          max("n").as("n_vecs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("dist")).otherwise(0L)).as("kept_dist_sum"),
+          min(when(col("kept"), col("dist"))).as("min_kept_dist"))
         .orderBy("cid")
     }
   )

@@ -316,6 +316,42 @@ object TextAnalysis {
       .withColumn("nov_e6", expr("(1000000 * n_novel) div n_shingles"))
   }
 
+  /** Arrival phases for the x53 vocabulary-growth curve. */
+  val VocabPhases = 10
+
+  /** x53 core: Heaps'-law vocabulary-growth curve — bucket the corpus into
+    * `phases` deterministic arrival phases by doc_id hash (a 10-phase
+    * stand-in for crawl order), and per phase count the tokens, the docs,
+    * and the distinct terms FIRST seen in that phase, plus the running
+    * vocabulary. Sub-linear new-term decay is the Heaps'-law signature; a
+    * phase whose new_terms jumps off the trend flags a source/domain shift
+    * worth auditing before training. Columns
+    * (phase, n_docs, n_tok, new_terms, cum_vocab).
+    *
+    * Scale posture (100 TB): terms travel as 60-bit hashes; first-seen is
+    * ONE min-aggregation keyed on the term hash (map-side combine), then
+    * everything else is a `phases`-row rollup — the cumulative window runs
+    * on that already-aggregated tiny frame, never on the corpus.
+    */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, phases: Int = VocabPhases): org.apache.spark.sql.DataFrame = {
+    val u = docs.select(
+      col("doc_id"),
+      (XHash.h60(col("doc_id").cast("string")) % phases).as("phase"),
+      explode(graftnative.api.windowHash60(col("text"), 1)).as("h"))
+    val per = u.groupBy("phase")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"))
+    val first = u.groupBy("h").agg(min("phase").as("phase"))
+      .groupBy("phase").agg(count(lit(1)).as("new_terms"))
+    val cum = Window.orderBy("phase")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.join(first, Seq("phase"), "left")
+      .select(
+        col("phase"), col("n_docs"), col("n_tok"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_vocab", sum("new_terms").over(cum))
+      .orderBy("phase")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -733,6 +769,34 @@ object TextAnalysis {
         "exchange is reused."
     ) { (s, dir) =>
       shingleNovelty(table(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ----- x53: vocabulary-growth curve (Heaps'-law corpus audit) -----
+    Q(
+      "x53_vocab_growth",
+      Some {
+        val P = VocabPhases
+        s"WITH w AS (SELECT doc_id, ${h60Sql("CAST(doc_id AS VARCHAR)")} % $P AS phase, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          "u AS (SELECT doc_id, phase, unnest(list_transform(generate_series(1, len(ws)), " +
+          s"i -> ${h60Sql("ws[i]")})) AS h FROM w), " +
+          "p AS (SELECT phase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+          "CAST(count(*) AS BIGINT) AS n_tok FROM u GROUP BY 1), " +
+          "f AS (SELECT min(phase) AS phase FROM u GROUP BY h), " +
+          "nt AS (SELECT phase, CAST(count(*) AS BIGINT) AS new_terms FROM f GROUP BY 1) " +
+          "SELECT p.phase, p.n_docs, p.n_tok, " +
+          "CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms, " +
+          "CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY p.phase) AS BIGINT) AS cum_vocab " +
+          "FROM p LEFT JOIN nt ON nt.phase = p.phase ORDER BY p.phase"
+      },
+      s"Heaps'-law vocabulary-growth curve over $VocabPhases deterministic hash-arrival phases: " +
+        "per phase the docs, tokens, FIRST-seen distinct terms and running vocabulary. " +
+        "Sub-linear new-term decay is the expected Heaps signature; a phase that jumps off " +
+        "the trend flags a domain shift worth auditing before training. First-seen is one " +
+        "min-aggregation keyed on the 60-bit term hash (map-side combine); the cumulative " +
+        "window runs on the already-aggregated phase-count frame, never the corpus."
+    ) { (s, dir) =>
+      vocabGrowth(table(s, dir, "documents")).orderBy("phase")
     }
   )
 

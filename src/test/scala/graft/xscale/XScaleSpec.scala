@@ -541,6 +541,46 @@ class XScaleSpec extends SparkSpec {
     assert(buckets.toSeq === again.toSeq)
   }
 
+  test("x53 vocab growth: conservation, monotone cumulative, every phase covered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = TextAnalysis.vocabGrowth(docs)
+      .select("phase", "n_docs", "n_tok", "new_terms", "cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every doc and token lands in exactly one phase
+    assert(rows.map(_._2).sum === docs.count())
+    val totTok = docs.agg(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[Long].head()
+    assert(rows.map(_._3).sum === totTok)
+    // new_terms sums to the global vocabulary and the running sum matches
+    val vocab = docs
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .agg(countDistinct("t")).as[Long].head()
+    assert(rows.map(_._4).sum === vocab)
+    assert(rows.last._5 === vocab)
+    rows.scanLeft(0L)((acc, r) => acc + r._4).tail
+      .zip(rows.map(_._5)).foreach { case (expect, got) => assert(got === expect) }
+  }
+
+  test("x54 proto prune: kept = ceil(n/2) per cluster, kept are the farthest from centroid") {
+    val perVec = Similarity.protoPrune(spark.read.parquet(s"$sf/embeddings.parquet")).cache()
+    val byC = perVec.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("k"),
+      min(when(col("kept"), col("dist"))).as("min_kept"),
+      max(when(!col("kept"), col("dist"))).as("max_drop"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(byC.nonEmpty)
+    byC.foreach { case (cid, n, k, minKept, maxDrop) =>
+      assert(k === (n + 1) / 2, s"cid=$cid")
+      // the keep rule is a clean cut in distance: no dropped vector is
+      // farther from its centroid than any kept one
+      (minKept, maxDrop) match {
+        case (Some(a), Some(b)) => assert(a >= b, s"cid=$cid")
+        case _                  => ()
+      }
+    }
+  }
+
   test("x52 cluster cap: every vector assigned once, kept = min(cap, size), quality-top") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val perDoc = Similarity.clusterCapped(

@@ -146,4 +146,60 @@ class XScalePropertySpec extends SparkSpec {
         Some(("wav", data.toLong * 1000L / rate, 8000L)))
     }
   }
+
+  // slow reference for x51: same integer arithmetic, Scala collections
+  private def refDsir(
+      docs: Seq[(Long, String, Boolean)], buckets: Int): Map[Long, (Long, Long)] = {
+    val feats = docs.flatMap { case (id, text, t) =>
+      (refWindows(text, 1) ++ refWindows(text, 2)).map(h => (id, t, h % buckets))
+    }
+    val ct = feats.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = feats.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tAll = ct.values.sum
+    val rAll = cr.values.sum
+    def w(b: Long): Long = {
+      val ratio = ((ct.getOrElse(b, 0L) + 1) * 1000000L) / (cr.getOrElse(b, 0L) + 1)
+      val scale = ((rAll + buckets) * 1000000L) / (tAll + buckets)
+      ratio * scale / 1000000L
+    }
+    feats.filterNot(_._2).groupBy(_._1).map { case (id, fs) =>
+      val sw = fs.map(f => w(f._3)).sum
+      id -> (fs.size.toLong, sw / fs.size)
+    }
+  }
+
+  test("dsirWeights == slow reference on random corpora and target splits") {
+    val genDoc = for { t <- genText; isT <- Gen.oneOf(true, false) } yield (t, isT)
+    for ((corpus, i) <- samples(Gen.listOfN(12, genDoc), 8).zipWithIndex) {
+      val docs = corpus.zipWithIndex.map { case ((t, isT), id) => (id.toLong, t, isT) }
+      val buckets = Seq(7, 64, 512)(i % 3) // non-power-of-two must work too
+      val df = docs.map { case (id, t, isT) => (id, s"s${id % 3}", isT, t) }
+        .toDF("doc_id", "source", "is_t", "text")
+      val got = DataPrep.dsirWeights(df, col("is_t"), buckets)
+        .select("doc_id", "n_feat", "score_e6")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, nf, sc) => id -> (nf, sc) }.toMap
+      assert(got === refDsir(docs, buckets), s"sample $i buckets=$buckets")
+    }
+  }
+
+  test("vocabGrowth conserves docs, tokens and vocabulary for arbitrary phase counts") {
+    for ((texts, i) <- samples(Gen.listOfN(15, genText), 6).zipWithIndex) {
+      val phases = Seq(1, 3, 10)(i % 3)
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = TextAnalysis.vocabGrowth(df, phases)
+        .select("phase", "n_docs", "n_tok", "new_terms", "cum_vocab")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._2).sum === texts.length.toLong)
+      assert(rows.map(_._3).sum === texts.map(_.split("\\s+", -1).length.toLong).sum)
+      val vocab = texts.flatMap(_.split("\\s+", -1)).distinct.length.toLong
+      assert(rows.map(_._4).sum === vocab)
+      assert(rows.last._5 === vocab)
+      // cumulative is the running sum and phases stay inside [0, phases)
+      rows.scanLeft(0L)((a, r) => a + r._4).tail.zip(rows.map(_._5))
+        .foreach { case (e, g) => assert(g === e) }
+      assert(rows.forall(r => r._1 >= 0 && r._1 < phases))
+    }
+  }
 }

@@ -21,8 +21,8 @@ object ScaleSmoke {
     "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
     "x23_contam_ngram", "x25_containment", "x27_corpus_build",
     "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
-    "x34_substring_coverage", "x51_dsir_select", "x52_cluster_auto",
-    "x53_vocab_growth", "x54_proto_auto")
+    "x34_substring_coverage", "x51_dsir_select", "x51_dsir_threshold",
+    "x52_cluster_auto", "x53_vocab_growth", "x54_proto_auto")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -65,22 +65,20 @@ object ScaleSmoke {
         TrainingData.jointDedup(
           s.read.parquet(s"$d/documents.parquet"),
           s.read.parquet(s"$d/embeddings.parquet"))),
-      // x52/x54 with corpus-proportional nc (the library scale default;
-      // the oracle queries pin nc=NC for the SQL twin's literal)
-      "x52_cluster_auto" -> { (s, d) =>
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        val nc = math.max(
-          xscale.Similarity.NC.toLong,
-          emb.count() / xscale.Similarity.TargetClusterSize).toInt
-        TrainingData.clusterCap(emb, s.read.parquet(s"$d/documents.parquet"), nc = nc)
-      },
-      "x54_proto_auto" -> { (s, d) =>
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        val nc = math.max(
-          xscale.Similarity.NC.toLong,
-          emb.count() / xscale.Similarity.TargetClusterSize).toInt
-        TrainingData.protoPrune(emb, nc = nc)
-      })
+      // x52/x54 library defaults = corpus-proportional nc + sampled
+      // quantizer training (the oracle queries pin nc=NC for the SQL
+      // twin's literal)
+      "x52_cluster_auto" -> ((s, d) =>
+        TrainingData.clusterCap(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          s.read.parquet(s"$d/documents.parquet"), trainSample = 0.1)),
+      "x54_proto_auto" -> ((s, d) =>
+        TrainingData.protoPrune(
+          s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)),
+      // x51 scale path: sampled-threshold selection, no global window
+      "x51_dsir_threshold" -> ((s, d) =>
+        TrainingData.dsirSelectThreshold(
+          s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")))
     queries.foreach { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)) match {
         case None => println(s"[smoke] $name UNKNOWN")

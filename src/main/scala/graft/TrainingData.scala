@@ -252,12 +252,14 @@ object TrainingData {
 
   /** Cluster-balanced quality selection: cap each semantic (k-means)
     * cluster's contribution at `cap` docs, preferring the highest x09
-    * quality score inside every cluster (x52). Pass corpus-proportional
-    * `nc` (≈ docs/64) so cluster size stays bounded as the corpus grows.
+    * quality score inside every cluster (x52). nc defaults to
+    * corpus-proportional (mean cluster ≈ 64 docs); `trainSample` trains
+    * the quantizer on a deterministic hash-sample at scale.
     */
   def clusterCap(emb: DataFrame, docs: DataFrame,
-      cap: Int = Similarity.ClusterCap, nc: Int = Similarity.NC): DataFrame =
-    Similarity.clusterCapped(emb, docs, cap, nc)
+      cap: Int = Similarity.ClusterCap, nc: Int = 0,
+      trainSample: Double = 1.0): DataFrame =
+    Similarity.clusterCapped(emb, docs, cap, nc, trainSample)
 
   /** Heaps'-law vocabulary-growth curve over deterministic hash-arrival
     * phases (x53) — per-phase docs/tokens/first-seen terms + running
@@ -267,9 +269,18 @@ object TrainingData {
     TextAnalysis.vocabGrowth(docs, phases)
 
   /** Prototype pruning (Sorscher et al. 2022): keep the hardest ceil(n/2)
-    * per k-means cluster by distance-to-centroid (x54). Pass
-    * corpus-proportional `nc` (≈ docs/64) at scale.
+    * per k-means cluster by distance-to-centroid (x54). nc defaults to
+    * corpus-proportional; `trainSample` trains the quantizer on a
+    * deterministic hash-sample at scale.
     */
-  def protoPrune(emb: DataFrame, nc: Int = Similarity.NC): DataFrame =
-    Similarity.protoPrune(emb, nc)
+  def protoPrune(emb: DataFrame, nc: Int = 0, trainSample: Double = 1.0): DataFrame =
+    Similarity.protoPrune(emb, nc, trainSample)
+
+  /** x51's scale path: DSIR selection by sampled score threshold instead
+    * of the exact global top-k — no global window anywhere.
+    */
+  def dsirSelectThreshold(docs: DataFrame, isTarget: Column,
+      keepFrac: Double = 0.2, buckets: Int = DataPrep.DsirBuckets,
+      sampleFraction: Double = 0.5): DataFrame =
+    DataPrep.dsirSelectThreshold(docs, isTarget, keepFrac, buckets, sampleFraction)
 }

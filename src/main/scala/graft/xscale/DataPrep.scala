@@ -443,6 +443,35 @@ object DataPrep {
         expr("sw div n_feat").as("score_e6"))
   }
 
+  /** x51 scale path: threshold selection instead of the exact global
+    * top-k. The oracle query ranks every raw doc in one unpartitioned
+    * window — exact, but a single-partition sort of the per-doc score
+    * frame, which at 100 TB is corpus-sized. Here the keep threshold is
+    * the (1 - keepFrac) quantile of score_e6 over a deterministic doc_id
+    * hash-sample (ONE long collected at the driver, the x33/q24 percentile
+    * pattern) and selection is a per-row comparison — no global window
+    * anywhere. Because scores are integers and `selected = score_e6 >=
+    * thr`, the kept set is exactly the top-m by score for the m the
+    * threshold induces; only m-vs-target drifts with the sample (the spec
+    * bounds it on the real corpus). Adds a `selected` column to
+    * [[dsirWeights]]'s output.
+    */
+  def dsirSelectThreshold(
+      docs: DataFrame,
+      isTarget: Column,
+      keepFrac: Double = 0.2,
+      buckets: Int = DsirBuckets,
+      sampleFraction: Double = 0.5): DataFrame = {
+    require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0, 1)")
+    val scored = dsirWeights(docs, isTarget, buckets).localCheckpoint()
+    val keep = math.max(1L, math.min(1000L, (sampleFraction * 1000).toLong))
+    val thr = scored
+      .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
+      .agg(expr(s"approx_percentile(score_e6, ${1.0 - keepFrac})"))
+      .first().getLong(0)
+    scored.withColumn("selected", col("score_e6") >= thr)
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
     Q(

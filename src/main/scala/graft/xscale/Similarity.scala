@@ -385,9 +385,15 @@ object Similarity {
       emb: DataFrame,
       docs: DataFrame,
       cap: Int = ClusterCap,
-      nc: Int = NC): DataFrame = {
+      nc: Int = 0,
+      trainSample: Double = 1.0): DataFrame = {
     val vi = fixedPoint(emb)
-    val asg = quantizerRanked(vi, trainQuantizer(vi, nc))
+    // nc <= 0 means auto (corpus-proportional, the semDedup rule);
+    // oracle-pinned queries pass nc = NC so the SQL twin's literal holds
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
+    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
     val qd = TextAnalysis.qualityPerDoc(docs)
@@ -412,9 +418,17 @@ object Similarity {
     * so the whole selection is a single keyed shuffle with per-cluster
     * state only — pass corpus-proportional `nc` to bound cluster size.
     */
-  def protoPrune(emb: DataFrame, nc: Int = NC): DataFrame = {
+  def protoPrune(
+      emb: DataFrame,
+      nc: Int = 0,
+      trainSample: Double = 1.0): DataFrame = {
     val vi = fixedPoint(emb)
-    val asg = quantizerRanked(vi, trainQuantizer(vi, nc))
+    // nc <= 0 means auto (corpus-proportional, the semDedup rule);
+    // oracle-pinned queries pass nc = NC so the SQL twin's literal holds
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
+    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("dist"))
     val byHard = Window.partitionBy("cid").orderBy(col("dist").desc, col("vec_id"))
@@ -666,7 +680,7 @@ object Similarity {
         "a broadcast, and the doc join is keyed on vec_id = doc_id — no global sort; nc is " +
         "pinned to the oracle literal here, library callers pass corpus-proportional nc."
     ) { (s, dir) =>
-      clusterCapped(table(s, dir, "embeddings"), table(s, dir, "documents"))
+      clusterCapped(table(s, dir, "embeddings"), table(s, dir, "documents"), nc = NC)
         .groupBy("cid")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -699,7 +713,7 @@ object Similarity {
         "exchange, no global sort; nc pinned to the oracle literal, library callers pass " +
         "corpus-proportional nc."
     ) { (s, dir) =>
-      protoPrune(table(s, dir, "embeddings"))
+      protoPrune(table(s, dir, "embeddings"), nc = NC)
         .groupBy("cid")
         .agg(
           max("n").as("n_vecs"),

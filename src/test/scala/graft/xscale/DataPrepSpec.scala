@@ -352,4 +352,20 @@ class DataPrepSpec extends SparkSpec {
     assert(scores.keySet === Set(10L, 11L, 12L, 13L)) // raw docs only
     assert(Seq(10L, 12L).map(scores).min > Seq(11L, 13L).map(scores).max)
   }
+
+  test("x51 threshold path: kept set is score-downward-closed, kept count near target") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val keepFrac = 0.2
+    val rows = DataPrep.dsirSelectThreshold(docs01, col("lang") === "en", keepFrac)
+      .select("score_e6", "selected").as[(Long, Boolean)].collect()
+    val (kept, dropped) = rows.partition(_._2)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    // the threshold rule keeps EXACTLY the top-m by score: no dropped doc
+    // may out-score a kept one
+    assert(kept.map(_._1).min >= dropped.map(_._1).max)
+    // m tracks keepFrac within sampling slack (scores tie in runs, so the
+    // induced m is the nearest tie boundary to the quantile)
+    val m = kept.length.toDouble / rows.length
+    assert(m > keepFrac / 2 && m < keepFrac * 2, s"kept fraction $m")
+  }
 }

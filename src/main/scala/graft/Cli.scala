@@ -121,9 +121,12 @@ object Cli {
     // --despan additionally rewrites surviving docs with duplicated spans
     // removed (x43 — keep one copy of every shared 8-token window) AFTER
     // doc-level dedup, the FineWeb-style order: whole-doc dedup first so
-    // span removal only fires on partial overlaps.
+    // span removal only fires on partial overlaps; --dsir <lang>
+    // additionally keeps, of the NON-<lang> docs, only those selected by
+    // the x51 sampled-threshold importance rule toward the <lang> subset
+    // (selection runs after dedup so scores never count duplicates twice).
     case "corpus" :: docsPath :: outDir :: rest
-        if rest.forall(Set("--strict", "--despan")) =>
+        if parseCorpusFlags(rest).isDefined =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val docs = spark.read.parquet(docsPath)
       val cols = docs.columns.map(org.apache.spark.sql.functions.col).toSeq
@@ -145,7 +148,18 @@ object Cli {
             .withColumnRenamed("text_clean", "text")
             .select(cols: _*)
         } else dedupedDocs
-      val split = TrainingData.splitAssign(deduped)
+      val selected = parseCorpusFlags(rest).flatMap(_._3) match {
+        case Some(lang) =>
+          val c = org.apache.spark.sql.functions.col _
+          val sel = TrainingData
+            .dsirSelectThreshold(deduped, c("lang") === lang)
+            .filter(c("selected")).select("doc_id")
+          deduped.filter(c("lang") === lang)
+            .unionByName(deduped.filter(c("lang") =!= lang).join(sel, "doc_id"))
+            .select(cols: _*)
+        case None => deduped
+      }
+      val split = TrainingData.splitAssign(selected)
       val packs = TrainingData.packAssignments(split)
       val out = split.join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -157,6 +171,7 @@ object Cli {
         .select("shard", "pack").distinct().count()
       println(
         s"""{"input":${docs.count()},"kept":${kept.count()},"deduped":${deduped.count()},""" +
+          s""""selected":${selected.count()},""" +
           s""""train":${bySplit.getOrElse("train", 0L)},"val":${bySplit.getOrElse("val", 0L)},""" +
           s""""test":${bySplit.getOrElse("test", 0L)},"packs":$nPacks,"out":${jsonStr(outDir)}}""")
       0
@@ -166,12 +181,27 @@ object Cli {
       2
   }
 
+  /** corpus flag parser: (--strict?, --despan?, --dsir target-lang?); None
+    * on anything unrecognized so the command falls through to usage().
+    */
+  private def parseCorpusFlags(
+      rest: List[String]): Option[(Boolean, Boolean, Option[String])] = rest match {
+    case Nil => Some((false, false, None))
+    case "--strict" :: tail =>
+      parseCorpusFlags(tail).map { case (_, d, t) => (true, d, t) }
+    case "--despan" :: tail =>
+      parseCorpusFlags(tail).map { case (s, _, t) => (s, true, t) }
+    case "--dsir" :: lang :: tail if !lang.startsWith("--") =>
+      parseCorpusFlags(tail).map { case (s, d, _) => (s, d, Some(lang)) }
+    case _ => None
+  }
+
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
-        "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan]\n" +
+        "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>]\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

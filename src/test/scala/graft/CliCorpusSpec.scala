@@ -73,6 +73,42 @@ class CliCorpusSpec extends SparkSpec {
     assert(badTok.isEmpty)
   }
 
+  test("corpus --dsir keeps every target-lang doc and a score-closed raw subset") {
+    val base = tmpDir("cli-corpus-dsir")
+    val outA = base.getPath + "/plain"
+    val outB = base.getPath + "/dsir"
+    // sf0.01 so the raw side is large enough for a non-trivial threshold
+    val docs = "/root/testdata/sf0.01/documents.parquet"
+    assert(Cli.run(spark, List("corpus", docs, outA)) === 0)
+    assert(Cli.run(spark, List("corpus", docs, outB, "--dsir", "en")) === 0)
+    val plain = spark.read.parquet(outA)
+    val dsir = spark.read.parquet(outB)
+    import org.apache.spark.sql.functions._
+    // target-language docs are never dropped by the selection stage
+    assert(
+      dsir.filter(col("lang") === "en").count() ===
+        plain.filter(col("lang") === "en").count())
+    // raw docs shrink to a strict, score-downward-closed subset
+    val rawKept = dsir.filter(col("lang") =!= "en").select("doc_id").as[Long].collect().toSet
+    val rawAll = plain.filter(col("lang") =!= "en").select("doc_id").as[Long].collect().toSet
+    assert(rawKept.subsetOf(rawAll) && rawKept.nonEmpty && rawKept.size < rawAll.size)
+    val scores = xscale.DataPrep
+      .dsirWeights(
+        xscale.Dedup.dedupExact(
+          xscale.TextAnalysis.qualityFilter(spark.read.parquet(docs))
+            .select("doc_id", "source", "lang", "text", "n_chars")),
+        col("lang") === "en")
+      .select("doc_id", "score_e6").as[(Long, Long)].collect().toMap
+    val keptMin = rawKept.map(scores).min
+    val dropMax = (rawAll -- rawKept).map(scores).max
+    assert(keptMin >= dropMax)
+  }
+
+  test("corpus rejects a malformed --dsir flag") {
+    assert(Cli.run(spark, List(
+      "corpus", "/root/testdata/sf0.001/documents.parquet", "/tmp/x", "--dsir")) === 2)
+  }
+
   test("unknown subcommand still exits 2") {
     assert(Cli.run(spark, List("bogus")) === 2)
   }

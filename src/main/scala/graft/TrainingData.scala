@@ -283,4 +283,12 @@ object TrainingData {
       keepFrac: Double = 0.2, buckets: Int = DataPrep.DsirBuckets,
       sampleFraction: Double = 0.5): DataFrame =
     DataPrep.dsirSelectThreshold(docs, isTarget, keepFrac, buckets, sampleFraction)
+
+  /** Bitext-mining margin scores (Artetxe & Schwenk 2019): best
+    * target-language neighbor per query doc plus the top-2 cosine margin
+    * that demotes hub vectors (x55).
+    */
+  def bitextMargin(emb: DataFrame, docs: DataFrame, targetLang: String = "en",
+      isQuery: Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
+    Similarity.bitextMargin(emb, docs, targetLang, isQuery)
 }

@@ -439,6 +439,47 @@ object Similarity {
       .withColumn("kept", col("rk") <= expr("(n + 1) div 2"))
   }
 
+  /** x55 core: bitext-mining margin scoring (Artetxe & Schwenk 2019) —
+    * for every non-`targetLang` doc, its best `targetLang` neighbor by
+    * cosine plus the DIFFERENCE margin against the runner-up (cos1 −
+    * cos2). Raw best-cosine ranking over-selects hub vectors (a hub is
+    * everyone's nearest neighbor); the margin demotes hubs because a
+    * hub's runner-up is nearly as close, which is the paper's point.
+    * Columns (query_id, best_id, second_id, cos_best4, margin4);
+    * `second_id`/`margin4` are null when only one target doc exists.
+    *
+    * Scale posture (100 TB): same broadcast-query one-corpus-scan shape
+    * as x06/x41 — the declared exact baseline; route candidates through
+    * the x13 IVF lists (probe nearest clusters, margin on candidates
+    * only) when the query side stops fitting a broadcast.
+    */
+  def bitextMargin(
+      emb: DataFrame,
+      docs: DataFrame,
+      targetLang: String = "en",
+      isQuery: Column = lit(true)): DataFrame = {
+    val e = withNorm(emb).join(docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    val q = e.filter(col("lang") =!= targetLang && isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("lang") === targetLang)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c)
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy("query_id")
+      .agg(
+        max(when(col("rank") === 1, col("neighbor_id"))).as("best_id"),
+        max(when(col("rank") === 2, col("neighbor_id"))).as("second_id"),
+        max(when(col("rank") === 1, col("cos"))).as("c1"),
+        max(when(col("rank") === 2, col("cos"))).as("c2"))
+      .select(
+        col("query_id"), col("best_id"), col("second_id"),
+        round(col("c1"), 4).as("cos_best4"),
+        round(col("c1") - col("c2"), 4).as("margin4"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x06: brute-force cosine top-k (exact baseline) -----
     Q(
@@ -721,6 +762,42 @@ object Similarity {
           sum(when(col("kept"), col("dist")).otherwise(0L)).as("kept_dist_sum"),
           min(when(col("kept"), col("dist"))).as("min_kept_dist"))
         .orderBy("cid")
+    },
+
+    // ----- x55: bitext-mining margin scoring (cross-lingual alignment) -----
+    Q(
+      "x55_bitext_margin",
+      Some(
+        s"WITH $normCtes, " +
+          "l AS (SELECT n.vec_id, n.v, n.nrm, d.lang FROM n " +
+          "JOIN documents d ON d.doc_id = n.vec_id), " +
+          "s2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]), 'sum') " +
+          "/ (q.nrm * c.nrm) AS cos " +
+          "FROM l q JOIN l c ON q.vec_id < 50 AND q.lang <> 'en' AND c.lang = 'en'), " +
+          "r2 AS (SELECT query_id, neighbor_id, cos, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+          "FROM s2), " +
+          "p AS (SELECT query_id, " +
+          "max(CASE WHEN rank = 1 THEN neighbor_id END) AS best_id, " +
+          "max(CASE WHEN rank = 2 THEN neighbor_id END) AS second_id, " +
+          "max(CASE WHEN rank = 1 THEN cos END) AS c1, " +
+          "max(CASE WHEN rank = 2 THEN cos END) AS c2 " +
+          "FROM r2 WHERE rank <= 2 GROUP BY query_id) " +
+          "SELECT query_id, best_id, second_id, round(c1, 4) AS cos_best4, " +
+          "round(c1 - c2, 4) AS margin4 FROM p ORDER BY query_id"),
+      "bitext-mining margin scoring (Artetxe & Schwenk 2019): for each non-English doc the " +
+        "best English neighbor by cosine AND the difference margin vs the runner-up — raw " +
+        "cosine ranking over-selects hub vectors, the margin demotes them (a hub's runner-up " +
+        "is nearly as close). Cross-table composition: embeddings supply geometry, documents " +
+        "supply the language split on vec_id = doc_id. Broadcast-query one-scan shape (the " +
+        "x06/x41 exact baseline); at 100 TB route candidates through the x13 IVF lists and " +
+        "margin candidates only."
+    ) { (s, dir) =>
+      bitextMargin(
+        table(s, dir, "embeddings"), table(s, dir, "documents"),
+        isQuery = col("vec_id") < 50)
+        .orderBy("query_id")
     }
   )
 }

@@ -581,6 +581,22 @@ class XScaleSpec extends SparkSpec {
     }
   }
 
+  test("x55 bitext margin: queries non-target, matches target, margin non-negative") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = Similarity.bitextMargin(
+      spark.read.parquet(s"$sf/embeddings.parquet"), docs)
+      .select("query_id", "best_id", "second_id", "cos_best4", "margin4")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val lang = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(rows.length === lang.count(_._2 != "en"))
+    rows.foreach { case (q, b, s2, cb, m) =>
+      assert(lang(q) !== "en")
+      assert(lang(b) === "en" && lang(s2) === "en")
+      assert(b !== s2)
+      assert(m >= 0.0 && cb >= -1.0001 && cb <= 1.0001)
+    }
+  }
+
   test("x52 cluster cap: every vector assigned once, kept = min(cap, size), quality-top") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val perDoc = Similarity.clusterCapped(

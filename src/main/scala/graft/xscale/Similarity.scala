@@ -375,11 +375,14 @@ object Similarity {
     *
     * Scale posture (100 TB): assignment is a broadcast pass over the
     * corpus (centroids are driver-resident quantizer state, x13); the rank
-    * window is PARTITIONED by cid, so rk <= cap plans WindowGroupLimit —
-    * each shuffle partition forwards at most cap candidates per cluster;
-    * no global sort anywhere. Pass corpus-proportional `nc` (docs/64, the
-    * x30 auto-nc rule) so mean cluster size — and the per-cluster window —
-    * stays bounded as the corpus grows.
+    * window is PARTITIONED by cid — no global sort anywhere. A selection
+    * consumer (`.filter(col("kept"))`) gets a per-cid WindowGroupLimit on
+    * the literal cap (spec-asserted), so each shuffle partition forwards
+    * at most cap candidates per cluster; the diagnostic query keeps
+    * dropped rows for accounting, so only the quantizer's rn=1 limit
+    * appears there. nc defaults to corpus-proportional (the x30 auto-nc
+    * rule) so mean cluster size — and the per-cluster window — stays
+    * bounded as the corpus grows.
     */
   def clusterCapped(
       emb: DataFrame,
@@ -717,9 +720,10 @@ object Similarity {
       "cluster-balanced quality selection: x13's fixed-point k-means assigns every embedding " +
         s"to a semantic cluster, the joined docs rank by the x09 quality score inside each, and at most $ClusterCap " +
         "survive per cluster — the DataComp-style diversity cap (no mode of the corpus can " +
-        "dominate the kept set). The per-cid rank window plans WindowGroupLimit, centroids are " +
-        "a broadcast, and the doc join is keyed on vec_id = doc_id — no global sort; nc is " +
-        "pinned to the oracle literal here, library callers pass corpus-proportional nc."
+        "dominate the kept set). The rank window is partitioned by cid (a kept-only consumer " +
+        "gets a per-cid WindowGroupLimit, spec-asserted), centroids are a broadcast, and the " +
+        "doc join is keyed on vec_id = doc_id — no global sort; nc is pinned to the oracle " +
+        "literal here, library callers get corpus-proportional nc by default."
     ) { (s, dir) =>
       clusterCapped(table(s, dir, "embeddings"), table(s, dir, "documents"), nc = NC)
         .groupBy("cid")

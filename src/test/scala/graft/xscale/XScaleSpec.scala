@@ -470,6 +470,32 @@ class XScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p19")
   }
 
+  test("x51/x52/x54 plan shapes: broadcast bucket join, per-cluster WindowGroupLimit") {
+    // x51: the B-row weight table must broadcast back onto the feature
+    // stream — a sort-merge join here would shuffle the corpus side
+    val p51 = DataPrep.queries.find(_.name == "x51_dsir_select").get
+      .run(spark, sf).queryExecution.executedPlan.toString
+    assert(p51.contains("BroadcastHashJoin"), s"bucket join must broadcast:\n$p51")
+    // x52/x54 diagnostic queries keep dropped rows for accounting, so
+    // their only rank-limit is the quantizer's rn=1 assignment window;
+    // the SELECTION consumer (filter on kept) must ADD a per-cid
+    // WindowGroupLimit for x52's literal cap
+    for (name <- Seq("x52_cluster_cap", "x54_proto_prune")) {
+      val p = Similarity.queries.find(_.name == name).get
+        .run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$name must rank-limit:\n$p")
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def wgl(p: String) = "WindowGroupLimit".r.findAllIn(p).size
+    val all = Similarity.clusterCapped(emb, docs, nc = Similarity.NC)
+      .queryExecution.executedPlan.toString
+    val keptOnly = Similarity.clusterCapped(emb, docs, nc = Similarity.NC)
+      .filter(col("kept")).queryExecution.executedPlan.toString
+    assert(wgl(keptOnly) > wgl(all),
+      s"filtering kept must add a per-cid WindowGroupLimit:\n$keptOnly")
+  }
+
   test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {
     val rows = Dedup.queries.find(_.name == "x28_minhash_calibration").get
       .run(spark, "/root/testdata/sf0.001")

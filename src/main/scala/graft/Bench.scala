@@ -28,23 +28,30 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 4-decimal seconds (0.1 ms): keeps the one-line JSON short enough that
-    // line-buffered consumers never truncate it mid-stream.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Emit twice: once bare (run/outputStrategy := StdoutOutput passes it
-    // through unprefixed) and once with a literal "[info] " prefix so a
-    // consumer grepping for the old sbt-logger shape still finds a valid
-    // line; both parse to the same JSON.
-    println(line)
-    println(s"[info] $line")
-    System.out.flush()
-    // Also drop a clean copy on disk so the result can be read whole.
+    // Locale.ROOT: f"" interpolation is locale-sensitive — a comma-decimal
+    // locale would emit invalid JSON.
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def jsonLine(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full-precision copy on disk so the result can always be read whole.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    println(s"[bench] wrote ${java.nio.file.Paths.get(out).toAbsolutePath}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(4) + "\n")
+    // Stop Spark BEFORE the stdout emission: its shutdown logging must not
+    // land after the JSON line a tail-window consumer reads last.
     spark.stop()
+    // The bare compact JSON line goes LAST (2-decimal per-query keeps it
+    // ~2.5 KB); only sbt's own ~60-byte success banner can follow it. The
+    // "[info] "-prefixed compatibility copy prints FIRST so a byte-bounded
+    // tail window holds the whole bare line rather than two adjacent copies
+    // each clipped halfway.
+    println(s"[info] ${jsonLine(2)}")
+    println(s"[bench] wrote ${java.nio.file.Paths.get(out).toAbsolutePath}")
+    println(jsonLine(2))
+    System.out.flush()
   }
 }

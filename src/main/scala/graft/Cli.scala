@@ -143,9 +143,15 @@ object Cli {
             .filter(org.apache.spark.sql.functions.col("text_clean") =!= "")
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text_clean"))
+          // n_chars must describe the REWRITTEN text: the documents schema
+          // carries it and downstream consumers (x09 quality) read it, so a
+          // stale pre-removal value would skew them silently
           dedupedDocs.drop("text")
             .join(clean, "doc_id")
             .withColumnRenamed("text_clean", "text")
+            .withColumn("n_chars",
+              org.apache.spark.sql.functions.length(
+                org.apache.spark.sql.functions.col("text")).cast("long"))
             .select(cols: _*)
         } else dedupedDocs
       val selected = parseCorpusFlags(rest).flatMap(_._3) match {

@@ -21,8 +21,9 @@ object ScaleSmoke {
     "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
     "x23_contam_ngram", "x25_containment", "x27_corpus_build",
     "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
-    "x34_substring_coverage", "x51_dsir_select", "x51_dsir_threshold",
-    "x52_cluster_auto", "x53_vocab_growth", "x54_proto_auto")
+    "x34_substring_coverage", "x50_joint_auto", "x51_dsir_select",
+    "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
+    "x54_proto_auto")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -59,12 +60,16 @@ object ScaleSmoke {
       "x30_semdedup_auto" -> ((s, d) =>
         xscale.Similarity.semDedup(
           s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)),
-      // x50 with corpus-proportional nc on the embedding signal — the
-      // library default the pinned-nc oracle query can't use
+      // x50 in its full production posture: corpus-proportional nc on the
+      // embedding signal PLUS both 100 TB knobs — sampled quantizer
+      // training and reliable (storage-backed) checkpointing of the
+      // assignment + every CC iteration
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(
           s.read.parquet(s"$d/documents.parquet"),
-          s.read.parquet(s"$d/embeddings.parquet"))),
+          s.read.parquet(s"$d/embeddings.parquet"),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))),
       // x52/x54 library defaults = corpus-proportional nc + sampled
       // quantizer training (the oracle queries pin nc=NC for the SQL
       // twin's literal)

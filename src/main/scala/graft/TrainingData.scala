@@ -129,16 +129,18 @@ object TrainingData {
   /** Corpus-self-trained bigram LM score + CCNet-style tercile bucket
     * per doc (integer-exact fixed-point; see x33).
     */
-  def lmScore(docs: DataFrame, broadcastModel: Boolean = true): DataFrame =
-    TextAnalysis.lmScore(docs, broadcastModel)
+  def lmScore(docs: DataFrame, broadcastModel: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame =
+    TextAnalysis.lmScore(docs, broadcastModel, checkpointDir)
 
   /** x33 at scale: identical score, tercile bucket from sampled
     * `approx_percentile` thresholds instead of the global ntile window
     * (which is a one-partition sort of the corpus). >= 95% bucket
     * agreement with the exact terciles is spec-pinned.
     */
-  def lmScoreSampled(docs: DataFrame, sampleFraction: Double = 0.1): DataFrame =
-    TextAnalysis.lmScoreSampled(docs, sampleFraction)
+  def lmScoreSampled(docs: DataFrame, sampleFraction: Double = 0.1,
+      checkpointDir: Option[String] = None): DataFrame =
+    TextAnalysis.lmScoreSampled(docs, sampleFraction, checkpointDir = checkpointDir)
 
   // ---- corpus preparation ----
 
@@ -219,12 +221,24 @@ object TrainingData {
   /** Joint multi-signal dedup (x50): one survivor per connected component
     * of the UNION of text-near-dup (simhash) and embedding-near-dup
     * (cosine) pairs — transitivity works across signals.
+    *
+    * On a real cluster pass BOTH scale knobs: `trainSample` < 1 trains the
+    * k-means quantizer on a deterministic hash-sample (one sampled scan per
+    * training round instead of the full corpus), and `checkpointDir` makes
+    * every materialization — the cluster assignment AND each CC iteration —
+    * a reliable checkpoint that survives executor loss. Defaults preserve
+    * the single-node behavior (full-corpus training, executor-local
+    * checkpoints).
     */
   def jointDedup(docs: DataFrame, emb: DataFrame,
       hamming: Int = 8, tau: Double = 0.45,
+      trainSample: Double = 1.0,
       checkpointDir: Option[String] = None): DataFrame =
     DedupClusters.dedupByPairs(
-      docs, Dedup.jointPairs(docs, emb, hamming, tau), checkpointDir = checkpointDir)
+      docs,
+      Dedup.jointPairs(docs, emb, hamming, tau,
+        trainSample = trainSample, checkpointDir = checkpointDir),
+      checkpointDir = checkpointDir)
 
   /** Shard-export manifest (x49): per (shard, pack) doc/token counts and
     * an order-independent bit_xor content checksum — the integrity
@@ -281,8 +295,9 @@ object TrainingData {
     */
   def dsirSelectThreshold(docs: DataFrame, isTarget: Column,
       keepFrac: Double = 0.2, buckets: Int = DataPrep.DsirBuckets,
-      sampleFraction: Double = 0.5): DataFrame =
-    DataPrep.dsirSelectThreshold(docs, isTarget, keepFrac, buckets, sampleFraction)
+      sampleFraction: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame =
+    DataPrep.dsirSelectThreshold(docs, isTarget, keepFrac, buckets, sampleFraction, checkpointDir)
 
   /** Bitext-mining margin scores (Artetxe & Schwenk 2019): best
     * target-language neighbor per query doc plus the top-2 cosine margin

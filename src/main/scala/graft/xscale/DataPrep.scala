@@ -461,14 +461,28 @@ object DataPrep {
       isTarget: Column,
       keepFrac: Double = 0.2,
       buckets: Int = DsirBuckets,
-      sampleFraction: Double = 0.5): DataFrame = {
+      sampleFraction: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0, 1)")
-    val scored = dsirWeights(docs, isTarget, buckets).localCheckpoint()
+    // checkpointDir: the scored frame feeds both the driver-side quantile
+    // and the final selection scan; on a real cluster a reliable checkpoint
+    // keeps that reuse recoverable across executor loss.
+    val scored = DedupClusters.ckpt(dsirWeights(docs, isTarget, buckets), checkpointDir)
     val keep = math.max(1L, math.min(1000L, (sampleFraction * 1000).toLong))
-    val thr = scored
+    val pct = s"approx_percentile(score_e6, ${1.0 - keepFrac})"
+    // A tiny corpus can leave the 1/1000-floor hash-sample empty, where
+    // approx_percentile returns null — fall back to the exact (unsampled)
+    // percentile rather than NPE; if even that is null the frame itself is
+    // empty and the threshold never compares against a row.
+    val sampled = scored
       .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
-      .agg(expr(s"approx_percentile(score_e6, ${1.0 - keepFrac})"))
-      .first().getLong(0)
+      .agg(expr(pct)).first()
+    val thr =
+      if (!sampled.isNullAt(0)) sampled.getLong(0)
+      else {
+        val all = scored.agg(expr(pct)).first()
+        if (all.isNullAt(0)) Long.MaxValue else all.getLong(0)
+      }
     scored.withColumn("selected", col("score_e6") >= thr)
   }
 

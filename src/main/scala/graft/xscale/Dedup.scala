@@ -144,13 +144,23 @@ object Dedup {
     * derives the cluster count from the corpus (oracle-pinned queries pass
     * [[Similarity.NC]]). Feed to [[DedupClusters.dedupByPairs]] for
     * cross-signal-transitive dedup.
+    *
+    * 100 TB knobs: `trainSample` < 1 trains the quantizer on a
+    * deterministic vec_id hash-sample instead of scanning the full corpus
+    * every k-means round; `checkpointDir` switches the cluster-assignment
+    * materialization (and, passed onward to [[DedupClusters.dedupByPairs]],
+    * every CC iteration) from executor-local blocks to reliable storage —
+    * the difference between a recoverable and an irrecoverable job on
+    * executor loss. Defaults preserve the single-node behavior.
     */
   def jointPairs(
       docs: DataFrame,
       emb: DataFrame,
       hamming: Int = 8,
       tau: Double = 0.45,
-      nc: Int = 0): DataFrame = {
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val tp = simhashPairs(docs)
       .filter(col("hamming") <= hamming)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
@@ -158,10 +168,11 @@ object Dedup {
     val ncEff =
       if (nc > 0) nc
       else math.max(Similarity.NC.toLong, emb.count() / Similarity.TargetClusterSize).toInt
-    val asg = Similarity.quantizerRanked(vi, Similarity.trainQuantizer(vi, ncEff))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
-      .localCheckpoint() // feeds both self-join sides (same rule as x30)
+    val asg = DedupClusters.ckpt( // feeds both self-join sides (same rule as x30)
+      Similarity.quantizerRanked(vi, Similarity.trainQuantizer(vi, ncEff, trainSample))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("nrm")),
+      checkpointDir)
     val ea = asg.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
     val eb = asg.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
     val ep = ea.join(eb, Seq("cid"))

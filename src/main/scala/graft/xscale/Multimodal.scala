@@ -14,8 +14,8 @@ import graft.query.Registry.table
 final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
 /** Decoded features — the narrow output schema that downstream joins see.
-  * `format` is the detected container (png/gif/bmp/wav) or "unknown" when
-  * the payload matched no header; for wav, (width, height) carry
+  * `format` is the detected container (png/gif/bmp/jpeg/wav) or "unknown"
+  * when the payload matched no header; for wav, (width, height) carry
   * (duration_ms, sample_rate) — the audio analog of image dimensions.
   */
 final case class MediaFeatures(
@@ -67,12 +67,21 @@ object Multimodal {
     *  - WAV:  "RIFF"…"WAVE", then a chunk walk — the fmt chunk's
     *          sample rate (data offset 4) and byte rate (offset 8), the
     *          data chunk's size; duration_ms = data*1000/byteRate.
+    *  - JPEG: FF D8 (SOI), then a marker-segment walk to the first frame
+    *          header SOF0…SOF15 (excluding DHT C4 / JPG C8 / DAC CC):
+    *          height/width are big-endian u16 at payload offsets 1/3.
+    *          Pure byte layout — no entropy decode needed for dimensions.
     * Returns (format, a, b): image dims, or (duration_ms, sample_rate)
     * for wav; None for anything unrecognized (the md5 stub then covers
-    * the opaque-codec formats: JPEG/MP4/… need real decode libraries).
+    * the remaining opaque-codec formats: MP4/video need real decoders).
+    *
+    * Runs on UNTRUSTED corpus bytes, so every walk is hardened: a declared
+    * chunk/segment size that would stall the cursor, drive it negative, or
+    * point past the buffer ends the walk instead of looping or throwing.
     */
   def parseHeader(p: Array[Byte]): Option[(String, Long, Long)] = {
     def u8(i: Int): Long = p(i) & 0xffL
+    def be16(i: Int): Long = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Long = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le16(i: Int): Long = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -86,19 +95,51 @@ object Multimodal {
       Some(("gif", le16(6), le16(8)))
     else if (p.length >= 26 && ascii(0, "BM") && le32(14) == 40L)
       Some(("bmp", math.abs(le32(18).toInt).toLong, math.abs(le32(22).toInt).toLong))
-    else if (p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+    else if (p.length >= 4 && u8(0) == 0xffL && u8(1) == 0xd8L) {
+      // JPEG marker walk: each segment is FF <marker> <be16 len incl. the
+      // two length bytes>; standalone markers (TEM, RSTn) carry no length.
+      // Baseline (SOF0) and progressive (SOF2) both put the dimensions at
+      // the same frame-header offsets.
+      var i = 2
+      var dims: Option[(Long, Long)] = None
+      var ok = true
+      while (ok && dims.isEmpty && i + 4 <= p.length) {
+        if (u8(i) != 0xffL) ok = false // desynced — not a marker stream
+        else {
+          val m = u8(i + 1)
+          if (m == 0xffL) i += 1 // fill byte before a marker
+          else if (m == 0x01L || (m >= 0xd0L && m <= 0xd7L)) i += 2 // standalone
+          else if (m == 0xd9L || m == 0xdaL) ok = false // EOI / entropy data: no SOF seen
+          else {
+            val len = be16(i + 2).toInt
+            if (len < 2 || i + 2 + len > p.length) ok = false // lies past the buffer
+            else if (m >= 0xc0L && m <= 0xcfL && m != 0xc4L && m != 0xc8L && m != 0xccL) {
+              // SOFn payload: precision u8, height be16, width be16
+              if (len >= 7) dims = Some((be16(i + 7), be16(i + 5))) else ok = false
+            } else i += 2 + len
+          }
+        }
+      }
+      dims.map { case (w, h) => ("jpeg", w, h) }
+    } else if (p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
       var i = 12
       var sampleRate = 0L
       var byteRate = 0L
       var dataSize = -1L
-      while (i + 8 <= p.length && (byteRate == 0L || dataSize < 0L)) {
-        val sz = le32(i + 4)
+      var ok = true
+      while (ok && i + 8 <= p.length && (byteRate == 0L || dataSize < 0L)) {
+        val sz = le32(i + 4) // unsigned: Long in [0, 2^32)
         if (ascii(i, "fmt ") && sz >= 16 && i + 20 <= p.length) {
           sampleRate = le32(i + 12)
           byteRate = le32(i + 16)
         }
         if (ascii(i, "data")) dataSize = sz
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+        // chunks pad to even length. Advance in Long space: a crafted size
+        // near 2^32 would wrap the Int cursor negative (crash) or leave it
+        // stalled (infinite loop) — stop the walk instead; whatever fmt/data
+        // facts were read before the bad chunk still count.
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next <= i || next > p.length.toLong) ok = false else i = next.toInt
       }
       if (byteRate > 0 && dataSize >= 0)
         Some(("wav", dataSize * 1000L / byteRate, sampleRate))

@@ -164,8 +164,9 @@ object TextAnalysis {
     */
   def lmScore(
       docs: org.apache.spark.sql.DataFrame,
-      broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame =
-    lmScored(docs, broadcastModel)
+      broadcastModel: Boolean = true,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
+    lmScored(docs, broadcastModel, checkpointDir)
       .withColumn(
         "bucket",
         ntile(3).over(Window.orderBy(col("score_e6"), col("doc_id"))).cast("long"))
@@ -183,14 +184,25 @@ object TextAnalysis {
   def lmScoreSampled(
       docs: org.apache.spark.sql.DataFrame,
       sampleFraction: Double = 0.1,
-      broadcastModel: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val scored = lmScored(docs, broadcastModel).localCheckpoint()
+      broadcastModel: Boolean = false,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    // reliable checkpoint option: the scored frame is read twice (threshold
+    // sample + final bucketing), the same recoverability argument as
+    // [[DedupClusters.ckpt]].
+    val scored = DedupClusters.ckpt(lmScored(docs, broadcastModel, checkpointDir), checkpointDir)
     val keep = math.max(1L, math.min(1000L, (sampleFraction * 1000).toLong))
-    val Array(t1, t2) = scored
-      .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
-      .agg(expr(
-        "approx_percentile(score_e6, array(0.3333333333, 0.6666666667))"))
-      .first().getSeq[Long](0).toArray
+    val pct = "approx_percentile(score_e6, array(0.3333333333, 0.6666666667))"
+    def terciles(df: org.apache.spark.sql.DataFrame): Option[Array[Long]] = {
+      val row = df.agg(expr(pct)).first()
+      if (row.isNullAt(0)) None else Some(row.getSeq[Long](0).toArray)
+    }
+    // Empty hash-sample (tiny corpus at the 1/1000 floor) → approx_percentile
+    // is null; fall back to the exact percentile instead of a MatchError.
+    // Both null means zero scored rows — thresholds never compare to a row.
+    val Array(t1, t2) = terciles(
+      scored.filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep)))
+      .orElse(terciles(scored))
+      .getOrElse(Array(0L, 0L))
     scored.withColumn(
       "bucket",
       when(col("score_e6") <= t1, 1L)
@@ -201,7 +213,8 @@ object TextAnalysis {
   /** Shared x33 scoring stage: everything except the bucket column. */
   private def lmScored(
       docs: org.apache.spark.sql.DataFrame,
-      broadcastModel: Boolean): org.apache.spark.sql.DataFrame = {
+      broadcastModel: Boolean,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     // bigrams and their prefix words travel as 60-bit hashes from two
     // native single-pass expressions (bh = hash of "w1 w2", ph = hash of
     // w1): every model shuffle/join key is 8 bytes instead of a string
@@ -221,7 +234,8 @@ object TextAnalysis {
     // re-running the corpus explode for each model branch (the corpus is
     // still scanned twice: once for the model, once for the per-doc pairs;
     // at 100 TB you would persist the model table between the two).
-    val m12 = p.groupBy("bh", "ph").agg(count(lit(1)).as("c12")).localCheckpoint()
+    val m12 = DedupClusters.ckpt(
+      p.groupBy("bh", "ph").agg(count(lit(1)).as("c12")), checkpointDir)
     val m1 = m12.groupBy("ph").agg(sum("c12").as("c1"))
     // The model is bigram-vocabulary-sized: tiny on a test corpus, but it
     // grows with corpus diversity, so forcing broadcast at 100 TB could

@@ -71,6 +71,10 @@ class CliCorpusSpec extends SparkSpec {
     val badTok = despan.filter(
       size(xscale.XText.words(col("text"))).cast("long") =!= col("n_tok"))
     assert(badTok.isEmpty)
+    // n_chars likewise describes the REWRITTEN text — a stale pre-removal
+    // value would skew every downstream consumer of the column (x09)
+    val badChars = despan.filter(length(col("text")).cast("long") =!= col("n_chars"))
+    assert(badChars.isEmpty)
   }
 
   test("corpus --dsir keeps every target-lang doc and a score-closed raw subset") {

@@ -368,4 +368,29 @@ class DataPrepSpec extends SparkSpec {
     val m = kept.length.toDouble / rows.length
     assert(m > keepFrac / 2 && m < keepFrac * 2, s"kept fraction $m")
   }
+
+  test("x51/x33 sampled thresholds survive an empty hash-sample (tiny corpus)") {
+    // sampleFraction at the 1/1000 floor over a handful of docs: the
+    // hash-sample is (almost surely) empty, approx_percentile returns null,
+    // and both operators must fall back to the exact percentile instead of
+    // NPE / MatchError
+    val tiny = Seq(
+      (1L, "t", "alpha beta gamma delta epsilon zeta"),
+      (2L, "r", "alpha beta gamma delta epsilon eta"),
+      (3L, "r", "zig zag zog zub quux corge"),
+      (4L, "r", "gamma delta alpha beta zeta eta"),
+      (5L, "r", "grault garply waldo fred plugh xyzzy"))
+      .toDF("doc_id", "source", "text")
+    val sel = DataPrep.dsirSelectThreshold(
+      tiny, col("source") === "t", keepFrac = 0.5, sampleFraction = 0.0001)
+      .select("score_e6", "selected").as[(Long, Boolean)].collect()
+    assert(sel.length === 4) // raw docs only
+    val (kept, dropped) = sel.partition(_._2)
+    assert(kept.nonEmpty) // the exact-percentile fallback produced a usable threshold
+    if (dropped.nonEmpty) assert(kept.map(_._1).min >= dropped.map(_._1).max)
+    val buckets = TextAnalysis.lmScoreSampled(
+      tiny.select("doc_id", "source", "text"), sampleFraction = 0.0001)
+      .select("bucket").as[Long].collect()
+    assert(buckets.length === 5 && buckets.forall(b => b >= 1L && b <= 3L))
+  }
 }

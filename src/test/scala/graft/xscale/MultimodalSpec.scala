@@ -58,6 +58,19 @@ class MultimodalSpec extends SparkSpec {
       "data".getBytes.toSeq ++ le32(dataSize.toLong) ++
       Seq.fill(math.min(dataSize, 8))(0.toByte)).toArray
 
+  private def be16(x: Int): Seq[Byte] = Seq(((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+
+  /** SOI, an APPn segment, a quant table, then the frame header (`sof` =
+    * 0xC0 baseline / 0xC2 progressive) — the minimal real marker stream.
+    */
+  private def jpegBytes(w: Int, h: Int, sof: Int = 0xc0): Array[Byte] =
+    (Seq(0xff, 0xd8).map(_.toByte) ++
+      Seq(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ "JFIF".getBytes.toSeq ++
+      Seq.fill(10)(0.toByte) ++
+      Seq(0xff, 0xdb).map(_.toByte) ++ be16(67) ++ Seq.fill(65)(1.toByte) ++
+      Seq(0xff, sof).map(_.toByte) ++ be16(17) ++ Seq[Byte](8) ++
+      be16(h) ++ be16(w) ++ Seq[Byte](3) ++ Seq.fill(9)(0.toByte)).toArray
+
   test("parseHeader: true dimensions from real PNG/GIF/BMP layouts, WAV duration") {
     assert(Multimodal.parseHeader(pngBytes(640, 480)) === Some(("png", 640L, 480L)))
     assert(Multimodal.parseHeader(gifBytes(13, 7)) === Some(("gif", 13L, 7L)))
@@ -71,6 +84,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseHeader("BMx not a bitmap at all".getBytes) === None)
     assert(Multimodal.parseHeader("alpha beta gamma".getBytes) === None)
     assert(Multimodal.parseHeader(Array[Byte](0x89.toByte, 'P', 'N')) === None)
+  }
+
+  test("parseHeader: JPEG dims from the SOF marker scan, baseline and progressive") {
+    assert(Multimodal.parseHeader(jpegBytes(1024, 768)) === Some(("jpeg", 1024L, 768L)))
+    assert(Multimodal.parseHeader(jpegBytes(333, 77, sof = 0xc2)) === Some(("jpeg", 333L, 77L)))
+    // DHT (C4) must NOT be mistaken for a frame header: a stream whose only
+    // Cx marker is a Huffman table yields no dims
+    val dht = (Seq(0xff, 0xd8).map(_.toByte) ++
+      Seq(0xff, 0xc4).map(_.toByte) ++ be16(5) ++ Seq.fill(3)(0.toByte) ++
+      Seq(0xff, 0xd9).map(_.toByte)).toArray
+    assert(Multimodal.parseHeader(dht) === None)
+    // truncated mid-segment / SOI alone: no crash, no dims
+    assert(Multimodal.parseHeader(jpegBytes(64, 64).take(6)) === None)
+    assert(Multimodal.parseHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+  }
+
+  test("parseHeader: malformed WAV chunk sizes terminate instead of looping or crashing") {
+    // a chunk declaring size 0xFFFFFFF8 — the Int narrowing that once made
+    // the cursor step backwards (infinite loop) or go negative (AIOOBE)
+    val evil = ("RIFF".getBytes.toSeq ++ le32(100) ++ "WAVE".getBytes.toSeq ++
+      "junk".getBytes.toSeq ++ le32(0xfffffff8L) ++ Seq.fill(24)(0.toByte)).toArray
+    assert(Multimodal.parseHeader(evil) === None)
+    // size that points just past the buffer: walk stops, no throw
+    val past = ("RIFF".getBytes.toSeq ++ le32(100) ++ "WAVE".getBytes.toSeq ++
+      "junk".getBytes.toSeq ++ le32(1000) ++ Seq.fill(24)(0.toByte)).toArray
+    assert(Multimodal.parseHeader(past) === None)
+    // a truncated-but-declared data chunk after a good fmt chunk still
+    // yields the declared duration (the pre-guard behavior, preserved)
+    assert(Multimodal.parseHeader(wavBytes(44100, 176400, 352800)) ===
+      Some(("wav", 2000L, 44100L)))
   }
 
   test("extractFeatures returns true dimensions for real container payloads") {

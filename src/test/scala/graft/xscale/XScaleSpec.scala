@@ -391,6 +391,47 @@ class XScaleSpec extends SparkSpec {
     assert(textOnly === Set(1L, 3L))
   }
 
+  test("x50 scale knobs: sampled training + reliable checkpointing leave pairs identical") {
+    // a corpus big enough that the 0.5 hash-sample is non-trivial: 40 docs
+    // in 8 embedding clone-groups of 5 (same vector => cosine 1) plus text
+    // dups inside two of the groups
+    val n = 40
+    val docs = (1 to n).map { i =>
+      val txt =
+        if (i <= 10) s"shared duplicated sentence body for group ${(i - 1) / 5}"
+        else s"unique document number $i with its own set of words " + ("w" + i) * 3
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val emb = (1 to n).map { i =>
+      val g = (i - 1) / 5
+      (i.toLong, Array.tabulate(8)(d => if (d == g) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val base = Dedup.jointPairs(docs, emb)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(base.nonEmpty)
+    // trainSample only changes which vectors TRAIN the quantizer, never
+    // which pairs come out (all clone-group members land in one cluster
+    // wherever the centroids sit, cosine pairing is exact within clusters);
+    // checkpointDir swaps executor-local for reliable materialization —
+    // also invisible to results
+    val ckptDir = tmpDir("x50-knobs").getPath + "/ckpt"
+    val knobs = Dedup.jointPairs(docs, emb,
+      trainSample = 0.5, checkpointDir = Some(ckptDir))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(knobs === base)
+    // the run switched the context onto a reliable checkpoint dir (the
+    // first Some(dir) caller in the shared test JVM wins, so assert the
+    // posture, not the specific path)
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    // facade path end-to-end with both knobs: same survivors as default
+    val sDefault = graft.TrainingData.jointDedup(docs, emb)
+      .select("doc_id").as[Long].collect().toSet
+    val sKnobs = graft.TrainingData.jointDedup(docs, emb,
+      trainSample = 0.5, checkpointDir = Some(ckptDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sKnobs === sDefault)
+  }
+
   test("x16 gopher rules: each crafted doc fails exactly its targeted rule") {
     // doc1 passes everything; doc2 too short (r_words); doc3 8-char words
     // (r_mwl); doc4 "word gold" loop (r_dup2 + r_dup3); doc5 '#'-suffixed

@@ -65,8 +65,9 @@ object TrainingData {
     * once per corpus version with [[IncrementalDedup.corpusBloom]].
     */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
-    IncrementalDedup.newDocs(corpus, batch, bloom)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame =
+    IncrementalDedup.newDocs(corpus, batch, bloom, orderCols)
 
   /** MinHash signature per group (e.g. per source): sketches the union of
     * the group's 60-bit shingle hashes via the [[org.apache.spark.sql.graftnative.MinHashAgg]]
@@ -202,9 +203,13 @@ object TrainingData {
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
     TextAnalysis.tfidfKeywords(docs, k)
 
-  /** Per-doc first-occurrence shingle novelty (x45). */
-  def shingleNovelty(docs: DataFrame, k: Int = 3): DataFrame =
-    TextAnalysis.shingleNovelty(docs, k)
+  /** Per-doc first-occurrence shingle novelty (x45). `orderCol` defines
+    * "first" — pass the crawl timestamp when the corpus has one (x56); the
+    * doc_id default is the hash-order stand-in.
+    */
+  def shingleNovelty(docs: DataFrame, k: Int = 3,
+      orderCol: Column = org.apache.spark.sql.functions.col("doc_id")): DataFrame =
+    TextAnalysis.shingleNovelty(docs, k, orderCol)
 
   /** Label-centroid cosine matrix over the embeddings (x46) — the
     * confusable-class diagnostic behind hard-negative mining.
@@ -279,8 +284,9 @@ object TrainingData {
     * phases (x53) — per-phase docs/tokens/first-seen terms + running
     * vocabulary.
     */
-  def vocabGrowth(docs: DataFrame, phases: Int = TextAnalysis.VocabPhases): DataFrame =
-    TextAnalysis.vocabGrowth(docs, phases)
+  def vocabGrowth(docs: DataFrame, phases: Int = TextAnalysis.VocabPhases,
+      phaseCol: Option[Column] = None): DataFrame =
+    TextAnalysis.vocabGrowth(docs, phases, phaseCol)
 
   /** Prototype pruning (Sorscher et al. 2022): keep the hardest ceil(n/2)
     * per k-means cluster by distance-to-centroid (x54). nc defaults to

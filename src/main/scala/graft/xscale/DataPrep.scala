@@ -1101,6 +1101,116 @@ object DataPrep {
           sum(when(col("rk") <= DsirTopK, 1L).otherwise(0L)).as("n_sel"),
           sum(when(col("rk") <= DsirTopK, col("score_e6")).otherwise(0L)).as("sel_score_sum"))
         .orderBy("source")
+    },
+
+    // ----- x57: the FULL corpus pipeline in one plan (FineWeb-shaped) -----
+    Q(
+      "x57_pipeline_full",
+      Some {
+        val rules = TextAnalysis.gopherRules.mkString(" AND ")
+        val k = SubstrK
+        val B = DsirBuckets
+        val K = DsirTopK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH ${TextAnalysis.gopherSqlCtes("source, lang, text")}, " +
+          s"kq AS (SELECT doc_id, source, lang, text FROM r WHERE $rules), " +
+          "dd AS (SELECT doc_id, source, lang, text FROM " +
+          s"(SELECT kq.*, ROW_NUMBER() OVER (PARTITION BY ${Dedup.normSql} " +
+          "ORDER BY doc_id) AS rn FROM kq) WHERE rn = 1), " +
+          // -- span removal (x43 chain) over the deduped survivors
+          s"sw AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM dd), " +
+          "sd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM sw), " +
+          s"socc AS (SELECT doc_id, p, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM sw WHERE len(ws) >= $k))), " +
+          "sown AS (SELECT h, min(doc_id) AS owner FROM socc GROUP BY h " +
+          "HAVING count(DISTINCT doc_id) >= 2), " +
+          "srem AS (SELECT socc.doc_id, socc.p FROM socc JOIN sown USING (h) " +
+          "WHERE socc.doc_id <> sown.owner), " +
+          "spos AS (SELECT DISTINCT doc_id, p + j AS pos FROM " +
+          s"(SELECT doc_id, p, unnest(generate_series(0, ${k - 1})) AS j FROM srem)), " +
+          "stok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM " +
+          "(SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM sw)), " +
+          "skept AS (SELECT stok.doc_id, stok.pos, stok.tk FROM stok " +
+          "LEFT JOIN spos ON spos.doc_id = stok.doc_id AND spos.pos = stok.pos " +
+          "WHERE spos.doc_id IS NULL), " +
+          "sag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "string_agg(tk, ' ' ORDER BY pos) AS text_clean FROM skept GROUP BY doc_id), " +
+          "cl AS (SELECT dd.doc_id, dd.source, dd.lang, " +
+          "coalesce(sag.text_clean, '') AS text, " +
+          "CAST(sd.nw - coalesce(sag.n_kept, 0) AS BIGINT) AS n_removed " +
+          "FROM dd JOIN sd USING (doc_id) LEFT JOIN sag USING (doc_id)), " +
+          "ne AS (SELECT * FROM cl WHERE text <> ''), " +
+          // -- DSIR selection (x51 chain, exact-rank oracle form) over the cleaned corpus
+          s"dw AS (SELECT doc_id, source, lang = 'en' AS is_t, " +
+          s"${XText.wordsSql("text")} AS ws FROM ne), " +
+          "du AS (SELECT doc_id, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws)), i -> ${h60Sql("ws[i]")})) AS h FROM dw " +
+          "UNION ALL SELECT doc_id, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws) - 1), i -> ${h60Sql("ws[i] || ' ' || ws[i + 1]")})) AS h " +
+          "FROM dw WHERE len(ws) >= 2), " +
+          s"dfe AS (SELECT doc_id, is_t, h % $B AS b FROM du), " +
+          "dbc AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+          "CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr FROM dfe GROUP BY b), " +
+          "dg AS (SELECT b, ct, cr, CAST(sum(ct) OVER () AS BIGINT) AS t_all, " +
+          "CAST(sum(cr) OVER () AS BIGINT) AS r_all FROM dbc), " +
+          "dwt AS (SELECT b, ((((ct + 1) * 1000000) // (cr + 1)) * " +
+          s"(((r_all + $B) * 1000000) // (t_all + $B))) // 1000000 AS w_e6 FROM dg), " +
+          "dds AS (SELECT dfe.doc_id, CAST(count(*) AS BIGINT) AS n_feat, " +
+          "CAST(sum(dwt.w_e6) AS BIGINT) AS sw2 FROM dfe JOIN dwt USING (b) " +
+          "WHERE NOT dfe.is_t GROUP BY 1), " +
+          "dsc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sw2 // n_feat DESC, doc_id) " +
+          "AS rk FROM dds), " +
+          s"sel AS (SELECT doc_id FROM dsc WHERE rk <= $K), " +
+          "fin AS (SELECT * FROM ne WHERE lang = 'en' " +
+          "UNION ALL SELECT ne.* FROM ne JOIN sel USING (doc_id)), " +
+          s"st AS (SELECT source, n_removed, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok, $splitSql AS split FROM fin) " +
+          "SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens, " +
+          "CAST(sum(n_removed) AS BIGINT) AS removed_tokens, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+          "FROM st GROUP BY split ORDER BY split"
+      },
+      "the FULL corpus-prep pipeline a real user ships, as ONE Catalyst plan: Gopher/C4 " +
+        "quality rules (x16) → exact dedup on normalized text (x01) → duplicated-span " +
+        "removal (x43, emptied docs dropped) → DSIR importance selection toward the English " +
+        s"subset (x51: every target-lang doc kept, top-$DsirTopK raw docs by score) → " +
+        "deterministic 90/5/5 split (x19) → per-split doc/token/removed/source stats. The " +
+        "CLI's --strict/--despan/--dsir stages compose exactly this; registering it pins the " +
+        "inter-stage contracts (despan before scoring, selection after dedup) cross-engine. " +
+        "Scale shape: per-row quality filter → one norm-key shuffle → one window-hash " +
+        "shuffle + bounded position explode → one B-bucket broadcast + per-doc score " +
+        "aggregation → per-row split tag → tiny rollup. The global DSIR rank is the " +
+        "oracle-exact pin; the library/CLI path uses dsirSelectThreshold (sampled " +
+        "threshold, no global window) at scale."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "lang", "text")
+      // project to the carry columns BEFORE the dedup shuffle (x27 rule)
+      val quality = TextAnalysis.qualityFilter(docs).select("doc_id", "source", "lang", "text")
+      val deduped = Dedup.dedupExact(quality)
+      val clean = removeSharedSpans(deduped)
+        .filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean"), col("n_removed"))
+      val corpus = deduped.drop("text").join(clean, "doc_id")
+        .withColumnRenamed("text_clean", "text")
+      val ranked = dsirWeights(corpus, col("lang") === "en")
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id"))))
+        .filter(col("rk") <= DsirTopK)
+        .select("doc_id")
+      val selected = corpus.filter(col("lang") === "en")
+        .unionByName(corpus.filter(col("lang") =!= "en").join(ranked, "doc_id"))
+      selected
+        .withColumn("split", splitCol)
+        .withColumn("n_tok", size(XText.words(col("text"))).cast("long"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum("n_removed").as("removed_tokens"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("split")
     }
   )
 }

@@ -49,8 +49,15 @@ object IncrementalDedup {
     * never shuffled: probe-negatives skip it entirely and probe-positives
     * verify via broadcast semi/anti joins.
     */
-  def newDocs(corpus: DataFrame, batch: DataFrame, bloom: BloomFilter): DataFrame = {
-    val b = graft.lake.Lake.dedupKeepFirst(withKey(batch), Seq("_key"), Seq("doc_id"))
+  def newDocs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      bloom: BloomFilter,
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    // orderCols picks the within-batch survivor (keep-FIRST): default
+    // doc_id is the no-timestamp stand-in; a crawl pipeline passes its
+    // arrival time column(s) so the earliest fetch wins
+    val b = graft.lake.Lake.dedupKeepFirst(withKey(batch), Seq("_key"), orderCols)
     val probe = graftnative.api.bloomMightContain(bloom, col("_key"))
     val proven = b.filter(!probe) // no false negatives: definitely new
     val candidates = b.filter(probe)

@@ -311,17 +311,28 @@ object TextAnalysis {
   }
 
   /** x45 core: shingle novelty — the fraction of a doc's distinct k-gram
-    * shingles FIRST seen in this doc (global first-occurrence keyed by min
-    * doc_id). A crawl-ordering diagnostic: novelty near 0 means the doc is
+    * shingles FIRST seen in this doc. "First" is defined by `orderCol`
+    * (ties broken by doc_id): the default doc_id is a hash-order stand-in
+    * for corpora with no arrival time; a real pipeline passes its crawl
+    * timestamp (the x56 query orders the events table by its real `ts`).
+    * A crawl-ordering diagnostic: novelty near 0 means the doc is
     * assembled from already-seen phrasing. Columns
     * (doc_id, n_shingles, n_novel, nov_e6).
     */
-  def shingleNovelty(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
+  def shingleNovelty(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 3,
+      orderCol: Column = col("doc_id")): org.apache.spark.sql.DataFrame = {
     val sh = docs.select(
       col("doc_id"),
+      orderCol.as("_ord"),
       explode(graftnative.api.shingleHash60(col("text"), k)).as("h"))
-    // one shuffle on the 8-byte shingle hash: min doc_id = first occurrence
-    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    // one shuffle on the 8-byte shingle hash: lexicographic min over
+    // (arrival order, doc_id) = first occurrence — still a single
+    // map-side-combinable aggregation, no per-hash sort window
+    val first = sh.groupBy("h")
+      .agg(min(struct(col("_ord"), col("doc_id"))).as("_f"))
+      .select(col("h"), col("_f.doc_id").as("first_doc"))
     sh.join(first, "h")
       .groupBy("doc_id")
       .agg(
@@ -347,10 +358,16 @@ object TextAnalysis {
     * everything else is a `phases`-row rollup — the cumulative window runs
     * on that already-aggregated tiny frame, never on the corpus.
     */
-  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, phases: Int = VocabPhases): org.apache.spark.sql.DataFrame = {
+  def vocabGrowth(
+      docs: org.apache.spark.sql.DataFrame,
+      phases: Int = VocabPhases,
+      phaseCol: Option[Column] = None): org.apache.spark.sql.DataFrame = {
+    // phaseCol injects a REAL arrival order (any long bucket monotone in
+    // crawl time — day index, snapshot number); the default hash-phase is
+    // the stand-in for corpora that carry no timestamp
     val u = docs.select(
       col("doc_id"),
-      (XHash.h60(col("doc_id").cast("string")) % phases).as("phase"),
+      phaseCol.getOrElse(XHash.h60(col("doc_id").cast("string")) % phases).as("phase"),
       explode(graftnative.api.windowHash60(col("text"), 1)).as("h"))
     val per = u.groupBy("phase")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"))
@@ -811,6 +828,36 @@ object TextAnalysis {
         "window runs on the already-aggregated phase-count frame, never the corpus."
     ) { (s, dir) =>
       vocabGrowth(table(s, dir, "documents")).orderBy("phase")
+    },
+
+    // ----- x56: novelty by REAL arrival time (events table) -----
+    Q(
+      "x56_event_novelty",
+      Some(
+        "WITH e AS (SELECT event_id AS doc_id, ts, " +
+          "concat_ws(' ', event_type, props) AS text FROM events), " +
+          s"w AS (SELECT doc_id, ts, ${XText.wordsSql("text")} AS ws FROM e), " +
+          s"sh AS (SELECT doc_id, ts, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, ts, unnest(${XText.shinglesSql("ws", 1)}) AS g FROM w)), " +
+          "f AS (SELECT h, doc_id AS first_doc FROM (SELECT h, doc_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY h ORDER BY ts, doc_id) AS rn FROM sh) WHERE rn = 1) " +
+          "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+          "CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+          "CAST((1000000 * sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)) " +
+          "// count(*) AS BIGINT) AS nov_e6 " +
+          "FROM sh JOIN f USING (h) GROUP BY 1 ORDER BY 1"),
+      "x45's novelty with the hash-order stand-in REPLACED by a real arrival timestamp: " +
+        "the events table carries `ts`, so \"first seen\" is the lexicographic minimum of " +
+        "(ts, event_id) per token hash — what a crawl pipeline would pass as orderCol. " +
+        "Same single min-aggregation shape as x45 (the struct-min is still map-side " +
+        "combinable; the oracle's per-hash ROW_NUMBER window is the SQL spelling of the " +
+        "same first-occurrence), so injecting real order costs nothing at 100 TB."
+    ) { (s, dir) =>
+      val ev = table(s, dir, "events").select(
+        col("event_id").as("doc_id"),
+        col("ts"),
+        concat_ws(" ", col("event_type"), col("props")).as("text"))
+      shingleNovelty(ev, k = 1, orderCol = col("ts")).orderBy("doc_id")
     }
   )
 

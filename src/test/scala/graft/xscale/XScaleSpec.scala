@@ -337,6 +337,31 @@ class XScaleSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("x45/x56 orderCol: real arrival time reassigns first-occurrence credit") {
+    // doc 2 SHARES doc 1's phrasing but ARRIVED earlier (smaller ts): under
+    // the default hash-order stand-in doc 1 (min doc_id) gets the novelty;
+    // under the real timestamp doc 2 does
+    val docs = Seq(
+      (1L, 200L, "alpha beta gamma delta epsilon"),
+      (2L, 100L, "alpha beta gamma delta epsilon"),
+      (3L, 300L, "totally different words entirely here"))
+      .toDF("doc_id", "ts", "text")
+    val byId = TextAnalysis.shingleNovelty(docs)
+      .select("doc_id", "nov_e6").as[(Long, Long)].collect().toMap
+    assert(byId(1L) === 1000000L && byId(2L) === 0L)
+    val byTs = TextAnalysis.shingleNovelty(docs, orderCol = col("ts"))
+      .select("doc_id", "nov_e6").as[(Long, Long)].collect().toMap
+    assert(byTs(1L) === 0L && byTs(2L) === 1000000L)
+    // the unshared doc is fully novel under either order
+    assert(byId(3L) === 1000000L && byTs(3L) === 1000000L)
+    // x53 phaseCol analog: an injected arrival phase moves first-seen terms
+    // into the early phase that actually saw them
+    val g = TextAnalysis.vocabGrowth(docs, phases = 2,
+      phaseCol = Some(when(col("ts") <= 200L, 0L).otherwise(1L)))
+      .select("phase", "new_terms").as[(Long, Long)].collect().toMap
+    assert(g(0L) === 5L && g(1L) === 5L) // shared phrasing credited to phase 0
+  }
+
   test("x46 label centroids: full matrix, cosine range, self-consistency") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val nLabels = emb.select("label").distinct().count()
@@ -535,6 +560,29 @@ class XScaleSpec extends SparkSpec {
       .filter(col("kept")).queryExecution.executedPlan.toString
     assert(wgl(keptOnly) > wgl(all),
       s"filtering kept must add a per-cid WindowGroupLimit:\n$keptOnly")
+  }
+
+  test("x57 full pipeline: consistent with its stages run separately; DSIR weights broadcast") {
+    val q = DataPrep.queries.find(_.name == "x57_pipeline_full").get
+    val out = q.run(spark, sf)
+      .select("split", "n_docs", "sum_tokens", "removed_tokens", "n_sources")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")) &&
+      out.map(_._1).contains("train"))
+    // stage-consistency: total selected docs = en survivors + min(TopK, raw survivors)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "lang", "text")
+    val survivors = DataPrep.removeSharedSpans(
+      Dedup.dedupExact(TextAnalysis.qualityFilter(docs)
+        .select("doc_id", "source", "lang", "text")))
+      .filter(col("text_clean") =!= "").select("doc_id")
+    val langOf = docs.select("doc_id", "lang")
+    val nEn = survivors.join(langOf, "doc_id").filter(col("lang") === "en").count()
+    val nRaw = survivors.join(langOf, "doc_id").filter(col("lang") =!= "en").count()
+    assert(out.map(_._2).sum === nEn + math.min(DataPrep.DsirTopK.toLong, nRaw))
+    // the B-row DSIR weight table must broadcast back onto the feature stream
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bucket join must broadcast:\n$plan")
   }
 
   test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {

@@ -23,7 +23,13 @@ object ScaleSmoke {
     "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
     "x34_substring_coverage", "x50_joint_auto", "x51_dsir_select",
     "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
-    "x54_proto_auto")
+    "x54_proto_auto", "cc_uniform", "cc_megastar", "cc_megastar_salted")
+
+  /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
+  private def ccMegastar(s: SparkSession) =
+    s.range(1, 1000001L).select(org.apache.spark.sql.functions.lit(0L).as("a"), col("id").as("b"))
+      .union(s.range(0, 100000L)
+        .select((col("id") * 2 + 2000000L).as("a"), (col("id") * 2 + 2000001L).as("b")))
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -83,7 +89,19 @@ object ScaleSmoke {
       // x51 scale path: sampled-threshold selection, no global window
       "x51_dsir_threshold" -> ((s, d) =>
         TrainingData.dsirSelectThreshold(
-          s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")))
+          s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")),
+      // CC skew posture: same edge count (1.1 M pairs), three shapes —
+      // uniform 2-cliques, one 1M-leaf mega-star (hot join key every
+      // label-prop round), and the mega-star with the salts=8 escape
+      // hatch. The claim under test: the hot key costs no more than ~2×
+      // uniform, and salting recovers the difference when it matters.
+      "cc_uniform" -> ((s, _) =>
+        xscale.DedupClusters.connectedComponents(
+          s.range(0, 1100000L).select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b")))),
+      "cc_megastar" -> ((s, _) =>
+        xscale.DedupClusters.connectedComponents(ccMegastar(s))),
+      "cc_megastar_salted" -> ((s, _) =>
+        xscale.DedupClusters.connectedComponents(ccMegastar(s), salts = 8)))
     queries.foreach { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)) match {
         case None => println(s"[smoke] $name UNKNOWN")

@@ -43,18 +43,22 @@ object TrainingData {
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local
-    * checkpoints, the default, are irrecoverable mid-iteration).
+    * checkpoints, the default, are irrecoverable mid-iteration). Pass
+    * `salts` > 1 when the pair graph has a mega-component (one boilerplate
+    * phrase cloned corpus-wide): its hub node is a hot join key AQE's
+    * skew rewrite cannot reach (the labels side is agg-fed), and salting
+    * splits it across reducers with row-identical results.
     */
   def dedupByPairs(docs: DataFrame, pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame =
-    DedupClusters.dedupByPairs(docs, pairs, checkpointDir = checkpointDir)
+      checkpointDir: Option[String] = None, salts: Int = 1): DataFrame =
+    DedupClusters.dedupByPairs(docs, pairs, checkpointDir = checkpointDir, salts = salts)
 
   /** Components of an (a, b) pair list by label propagation (near-dup
     * clique piles) — [[connectedComponentsStar]] for high-diameter graphs.
     */
   def connectedComponents(pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame =
-    DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
+      checkpointDir: Option[String] = None, salts: Int = 1): DataFrame =
+    DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir, salts = salts)
 
   def connectedComponentsStar(pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame =

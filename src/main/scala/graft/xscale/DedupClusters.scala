@@ -38,11 +38,22 @@ object DedupClusters {
 
   /** Connected components of an undirected pair list `(a, b)` →
     * `(id, component)` where component = min node id reachable.
+    *
+    * Skew: a mega-component (one boilerplate phrase cloned into millions of
+    * docs) makes its hub node a HOT JOIN KEY in every label-prop round.
+    * AQE's skew-join rewrite cannot help here — the labels side reaches the
+    * join through an aggregation, not a bare shuffle, which is outside
+    * `OptimizeSkewedJoin`'s `SMJ(Sort(Shuffle), Sort(Shuffle))` pattern
+    * (pinned in `DedupClustersSpec`) — so pass `salts` > 1 to split each
+    * hot key across `salts` reducers via [[graft.query.SkewJoin]]: the
+    * labels side is exploded `salts` ways (node-table-sized, cheap next to
+    * the edge list), results are row-identical.
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      salts: Int = 1): DataFrame = {
     // pairs are unique undirected edges (callers emit a<b), so the
     // symmetric union is already duplicate-free — no distinct shuffle
     val edges0 = ckpt(
@@ -73,8 +84,11 @@ object DedupClusters {
       // each node adopts min(own label, neighbors' labels); the old label
       // rides along into the one materialization so the convergence check
       // reads the checkpointed result instead of re-joining
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b"), "b")
+      val lbl = labels.withColumnRenamed("id", "b")
+      val joined =
+        if (salts > 1) graft.query.SkewJoin.saltedInnerJoin(edges, lbl, "b", salts)
+        else edges.join(lbl, "b")
+      val neighborMin = joined
         .groupBy(col("a").as("id"))
         .agg(min("component").as("_neighbor_min"))
       val updated = ckpt(
@@ -195,8 +209,9 @@ object DedupClusters {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val comp = connectedComponents(pairs, maxIter, checkpointDir)
+      checkpointDir: Option[String] = None,
+      salts: Int = 1): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter, checkpointDir, salts)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

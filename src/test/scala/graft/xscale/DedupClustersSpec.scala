@@ -73,6 +73,69 @@ class DedupClustersSpec extends SparkSpec {
     assert(wrote > 0, s"no rdd checkpoints under $dir")
   }
 
+  test("mega-star hot key: AQE splits the bare join; the CC join needs salting (identical result)") {
+    import org.apache.spark.sql.functions._
+    // one pathological component: node 0 adjacent to 1..N (one hot join
+    // key after symmetrization), beside disjoint 2-cliques — the skew
+    // profile of a clone-heavy dedup graph. Sized so the hot key's shuffle
+    // partition stays above the (lowered) skew threshold even after lz4.
+    val n = 1000000L
+    val star = spark.range(1, n + 1).select(lit(0L).as("a"), col("id").as("b"))
+    val cliques = spark.range(0, 100000L)
+      .select((col("id") * 2 + n + 10).as("a"), (col("id") * 2 + n + 11).as("b"))
+    val pairs = star.union(cliques)
+    val edges = pairs.select("a", "b")
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // labels too big to broadcast — the 100 TB posture, where the node
+      // table never broadcasts; thresholds scaled to fixture bytes (the
+      // production defaults fire the same rule at 256 MB partitions)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+      // (1) a BARE shuffle-to-shuffle SMJ on the hot key: AQE's
+      // OptimizeSkewedJoin matches SMJ(Sort(Shuffle), Sort(Shuffle)) and
+      // splits the skewed partition
+      val bareLabels = spark.range(0, 2 * n).select(col("id").as("b"), col("id").as("component"))
+      val bare = edges.join(bareLabels, "b")
+      assert(bare.queryExecution.toRdd.count() === edges.count())
+      val barePlan = bare.queryExecution.executedPlan.toString
+      assert(barePlan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the bare SMJ's hot partition:\n$barePlan")
+      // (2) the REAL label-prop round reaches the join through an
+      // aggregation (labels = groupBy(a).min), which is OUTSIDE the rule's
+      // pattern — pin the limitation that motivates the salts knob
+      val aggLabels = edges.groupBy(col("a").as("b")).agg(min("b").as("component"))
+      val real = edges.join(aggLabels, "b")
+        .groupBy(col("a").as("id")).agg(min("component").as("_neighbor_min"))
+      assert(real.queryExecution.toRdd.count() === n + 1 + 200000L)
+      val realPlan = real.queryExecution.executedPlan.toString
+      assert(!realPlan.contains("skew=true"),
+        s"AQE unexpectedly rewrote the agg-fed join — drop the salts knob?\n$realPlan")
+      // (3) salted CC: row-identical components, hot key split 8 ways
+      val comp = DedupClusters.connectedComponents(pairs)
+      assert(comp.filter(col("component") === 0L).count() === n + 1)
+      assert(comp.filter(col("id") === n + 10L)
+        .select("component").as[Long].head() === n + 10L)
+      val salted = DedupClusters.connectedComponents(pairs, salts = 8)
+      assert(salted.filter(col("component") === 0L).count() === n + 1)
+      assert(comp.join(salted.withColumnRenamed("component", "c2"), "id")
+        .filter(col("component") =!= col("c2")).isEmpty)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedupByPairs: one survivor per cluster, singletons untouched") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (6L, 7L)).toDF("a", "b")

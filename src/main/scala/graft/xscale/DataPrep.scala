@@ -1188,12 +1188,20 @@ object DataPrep {
       val docs = table(s, dir, "documents").select("doc_id", "source", "lang", "text")
       // project to the carry columns BEFORE the dedup shuffle (x27 rule)
       val quality = TextAnalysis.qualityFilter(docs).select("doc_id", "source", "lang", "text")
-      val deduped = Dedup.dedupExact(quality)
+      // materialize the two reused stage boundaries: `deduped` feeds span
+      // removal (which reads it three ways) plus the re-join, and `corpus`
+      // feeds DSIR scoring plus both selection branches — without the cut,
+      // Catalyst duplicates the whole upstream chain into every consumer
+      // (~6 corpus scans; 59 shuffles vs ~17 composed). At 100 TB these
+      // are the stage boundaries you would persist between jobs anyway —
+      // the library path does it with the checkpointDir knob.
+      val deduped = Dedup.dedupExact(quality).localCheckpoint()
       val clean = removeSharedSpans(deduped)
         .filter(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean"), col("n_removed"))
       val corpus = deduped.drop("text").join(clean, "doc_id")
         .withColumnRenamed("text_clean", "text")
+        .localCheckpoint()
       val ranked = dsirWeights(corpus, col("lang") === "en")
         .withColumn("rk",
           row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id"))))

@@ -99,6 +99,31 @@ object TrainingData {
   def hardNegatives(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
     Similarity.hardNegatives(emb, isQuery, k)
 
+  /** Product-quantization codes (x58): per-vector (m, code, sqerr) from m
+    * independent fixed-point codebooks — m bytes/vector instead of 64
+    * floats, the memory step FAISS composes with IVF.
+    */
+  def pqCodes(emb: DataFrame, m: Int = Similarity.PqM, nc: Int = Similarity.NC,
+      trainSample: Double = 1.0): DataFrame =
+    Similarity.pqCodes(emb, m, nc, trainSample)
+
+  /** Code-only ADC top-k over PQ codes (x59) — the corpus is touched only
+    * through its codes at query time.
+    */
+  def pqAdcKnn(emb: DataFrame, isQuery: Column, k: Int = 3,
+      m: Int = Similarity.PqM, nc: Int = Similarity.NC,
+      trainSample: Double = 1.0): DataFrame =
+    Similarity.pqAdcKnn(emb, isQuery, k, m, nc, trainSample)
+
+  /** ADC shortlist + exact rerank (x60) — the production IVFPQ search;
+    * `shortlist` is the recall/IO knob (full vectors read for
+    * shortlist × |queries| rows only).
+    */
+  def pqAdcRerank(emb: DataFrame, isQuery: Column, k: Int = 3,
+      shortlist: Int = 50, m: Int = Similarity.PqM, nc: Int = Similarity.NC,
+      trainSample: Double = 1.0): DataFrame =
+    Similarity.pqAdcRerank(emb, isQuery, k, shortlist, m, nc, trainSample)
+
   /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
     * cosine >= tau neighbor farther from their cluster centroid —
     * candidate pairs are within-cluster only, never corpus². nc <= 0

@@ -585,6 +585,63 @@ class XScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket join must broadcast:\n$plan")
   }
 
+  test("x58/x59 PQ: full code coverage, true argmin assignment, ADC recall vs exact L2") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val codes = Similarity.pqCodes(emb).cache()
+    // every vector gets exactly one code per subspace, codes in [0, NC)
+    assert(codes.count() === n * Similarity.PqM)
+    assert(codes.filter(col("code") < 0 || col("code") >= Similarity.NC).isEmpty)
+    assert(codes.select("vec_id").distinct().count() === n)
+    // assignment IS the argmin over the trained codebook (ties -> min cid):
+    // recompute brute-force on the driver for every vector
+    val viDf = Similarity.fixedPoint(emb).select("vec_id", "vi")
+    val viMap = viDf.as[(Long, Seq[Long])].collect().toMap
+    val trained = Similarity.pqTrain(viDf).toMap
+    val sub = Similarity.PqSub
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = codes.select("vec_id", "m", "code").as[(Long, Long, Long)].collect()
+    got.foreach { case (vid, m, code) =>
+      val slice = viMap(vid).slice(m.toInt * sub, m.toInt * sub + sub)
+      val best = trained(m.toInt).map { case (cid, ci) => (sqd(slice, ci), cid) }.min._2
+      assert(code === best, s"vec $vid subspace $m")
+    }
+    // ADC reconstruction never ranks better than it should: recall@3 of the
+    // 32-bit code representation vs the EXACT fixed-point L2 top-3 (the
+    // metric ADC approximates; x06's cosine is a different ordering)
+    val adc = Similarity.pqAdcKnn(emb, col("vec_id") < 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = (0L until 10L).map { q =>
+      val qv = viMap(q)
+      val top = viMap.toSeq.filter(_._1 != q)
+        .map { case (vid, v) => (sqd(qv, v), vid) }.sorted.take(3).map(_._2).toSet
+      q -> top
+    }.toMap
+    val hits = exact.map { case (q, t) => (adc.getOrElse(q, Set.empty) & t).size }.sum
+    val recall = hits.toDouble / 30
+    // 32-bit codes on near-uniform synthetic embeddings are PQ's worst
+    // case — raw ADC recall is honestly low (measured 0.23); the pinned
+    // floor guards against regressions, the production answer is x60
+    assert(recall >= 0.15, s"ADC recall@3 vs exact L2 = $recall")
+    // x60: ADC shortlist + exact rerank — recall is now the probability the
+    // true neighbors make the shortlist, and the shortlist size is the knob
+    def rerankRecall(shortlist: Int): Double = {
+      val rr = Similarity.pqAdcRerank(emb, col("vec_id") < 10, shortlist = shortlist)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, t) => (rr.getOrElse(q, Set.empty) & t).size }.sum.toDouble / 30
+    }
+    val rr50 = rerankRecall(50)
+    assert(rr50 >= 0.6, s"rerank(50) recall@3 vs exact L2 = $rr50 (ADC alone: $recall)")
+    assert(rr50 >= recall, "rerank must never rank worse than raw ADC")
+    val rr250 = rerankRecall(250)
+    assert(rr250 >= 0.9 && rr250 >= rr50,
+      s"rerank(250) recall@3 = $rr250 — the shortlist knob must recover the exact ranking")
+    codes.unpersist()
+  }
+
   test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {
     val rows = Dedup.queries.find(_.name == "x28_minhash_calibration").get
       .run(spark, "/root/testdata/sf0.001")

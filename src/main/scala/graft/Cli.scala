@@ -134,7 +134,13 @@ object Cli {
       val kept =
         if (rest.contains("--strict")) TrainingData.repetitionFilter(quality).select(cols: _*)
         else quality
-      val dedupedDocs = TrainingData.dedupExact(kept)
+      // Materialize the reused stage boundaries (the x57 rule): dedup
+      // output feeds span removal (three internal reads) + the re-join +
+      // its own stats count, and `selected` feeds split, packs, the write
+      // AND a count — without the cuts every consumer re-runs the whole
+      // upstream pipeline. The quality filter itself stays lazy (one
+      // cheap per-row scan each for the dedup lineage and kept-count).
+      val dedupedDocs = TrainingData.dedupExact(kept).localCheckpoint()
       val deduped =
         if (rest.contains("--despan")) {
           // docs emptied entirely by span removal carry no training signal
@@ -153,6 +159,7 @@ object Cli {
               org.apache.spark.sql.functions.length(
                 org.apache.spark.sql.functions.col("text")).cast("long"))
             .select(cols: _*)
+            .localCheckpoint()
         } else dedupedDocs
       val selected = parseCorpusFlags(rest).flatMap(_._3) match {
         case Some(lang) =>
@@ -165,7 +172,8 @@ object Cli {
             .select(cols: _*)
         case None => deduped
       }
-      val split = TrainingData.splitAssign(selected)
+      val selectedM = if (selected eq deduped) selected else selected.localCheckpoint()
+      val split = TrainingData.splitAssign(selectedM)
       val packs = TrainingData.packAssignments(split)
       val out = split.join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -177,7 +185,7 @@ object Cli {
         .select("shard", "pack").distinct().count()
       println(
         s"""{"input":${docs.count()},"kept":${kept.count()},"deduped":${deduped.count()},""" +
-          s""""selected":${selected.count()},""" +
+          s""""selected":${selectedM.count()},""" +
           s""""train":${bySplit.getOrElse("train", 0L)},"val":${bySplit.getOrElse("val", 0L)},""" +
           s""""test":${bySplit.getOrElse("test", 0L)},"packs":$nPacks,"out":${jsonStr(outDir)}}""")
       0

@@ -325,6 +325,15 @@ object TrainingData {
   def protoPrune(emb: DataFrame, nc: Int = 0, trainSample: Double = 1.0): DataFrame =
     Similarity.protoPrune(emb, nc, trainSample)
 
+  /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
+    * Bernoulli draw per raw doc with inclusion probability ∝ score,
+    * `target` expected keeps, deterministic (hash-drawn, reproducible).
+    */
+  def dsirResample(docs: DataFrame, isTarget: Column,
+      target: Long = DataPrep.DsirTopK.toLong,
+      buckets: Int = DataPrep.DsirBuckets): DataFrame =
+    DataPrep.dsirResample(docs, isTarget, target, buckets)
+
   /** x51's scale path: DSIR selection by sampled score threshold instead
     * of the exact global top-k — no global window anywhere.
     */

@@ -486,6 +486,39 @@ object DataPrep {
     scored.withColumn("selected", col("score_e6") >= thr)
   }
 
+  /** x61 core: DSIR importance RESAMPLING — the paper's actual selection
+    * rule (Xie et al. 2023 resample ∝ importance weight; x51's top-k /
+    * threshold is the hard-selection variant). Distributed form: Bernoulli
+    * draw per raw doc with inclusion probability ∝ score, targeting
+    * `target` expected keeps —
+    *   p_e6(i) = min(1e6, (score_e6(i)·1e6) div (Σscore_e6 div target + 1))
+    *   keep(i) ⇔ h60(doc_id) mod 1e6 < p_e6(i)
+    * The draw is the deterministic cross-engine hash, so the "random"
+    * sample is reproducible and oracle-checkable; weights above the cap
+    * keep with certainty (the paper's resampling saturates the same way).
+    * Adds (p_e6, kept) to [[dsirWeights]]'s output.
+    *
+    * Scale posture (100 TB): the score total is ONE single-row aggregate
+    * broadcast back (never a whole-frame window, which would single-
+    * partition the corpus); the draw is per-row. Same overflow envelope as
+    * x51: score_e6·1e6 < 2^63 holds to score_e6 ~ 9e12.
+    */
+  def dsirResample(
+      docs: DataFrame,
+      isTarget: Column,
+      target: Long = DsirTopK.toLong,
+      buckets: Int = DsirBuckets): DataFrame = {
+    require(target > 0, "target must be positive")
+    val scored = dsirWeights(docs, isTarget, buckets)
+    val tot = scored.agg(sum("score_e6").as("s_tot"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn(
+        "p_e6",
+        least(lit(1000000L), expr(s"(score_e6 * 1000000) div (s_tot div $target + 1)")))
+      .withColumn("kept", XHash.h60(col("doc_id").cast("string")) % 1000000L < col("p_e6"))
+      .drop("s_tot")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
     Q(
@@ -1219,6 +1252,58 @@ object DataPrep {
           sum("n_removed").as("removed_tokens"),
           countDistinct("source").as("n_sources"))
         .orderBy("split")
+    },
+
+    // ----- x61: DSIR importance RESAMPLING (the paper's soft selection) -----
+    Q(
+      "x61_dsir_resample",
+      Some {
+        val B = DsirBuckets
+        val T = DsirTopK
+        s"WITH w AS (SELECT doc_id, source, lang = 'en' AS is_t, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          "u AS (SELECT doc_id, source, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws)), i -> ${h60Sql("ws[i]")})) AS h FROM w " +
+          "UNION ALL SELECT doc_id, source, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws) - 1), i -> ${h60Sql("ws[i] || ' ' || ws[i + 1]")})) AS h " +
+          "FROM w WHERE len(ws) >= 2), " +
+          s"f AS (SELECT doc_id, source, is_t, h % $B AS b FROM u), " +
+          "bc AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+          "CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr FROM f GROUP BY b), " +
+          "g AS (SELECT b, ct, cr, CAST(sum(ct) OVER () AS BIGINT) AS t_all, " +
+          "CAST(sum(cr) OVER () AS BIGINT) AS r_all FROM bc), " +
+          "wt AS (SELECT b, ((((ct + 1) * 1000000) // (cr + 1)) * " +
+          s"(((r_all + $B) * 1000000) // (t_all + $B))) // 1000000 AS w_e6 FROM g), " +
+          "ds AS (SELECT f.doc_id, f.source, CAST(count(*) AS BIGINT) AS n_feat, " +
+          "CAST(sum(wt.w_e6) AS BIGINT) AS sw FROM f JOIN wt USING (b) " +
+          "WHERE NOT f.is_t GROUP BY 1, 2), " +
+          "sc AS (SELECT doc_id, source, sw // n_feat AS score_e6 FROM ds), " +
+          "t AS (SELECT CAST(sum(score_e6) AS BIGINT) AS s_tot FROM sc), " +
+          "p AS (SELECT sc.doc_id, sc.source, sc.score_e6, " +
+          s"least(1000000, (sc.score_e6 * 1000000) // (t.s_tot // $T + 1)) AS p_e6 " +
+          "FROM sc CROSS JOIN t), " +
+          s"k AS (SELECT source, score_e6, p_e6, " +
+          s"${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < p_e6 AS kept FROM p) " +
+          "SELECT source, count(*) AS n_raw, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN kept THEN score_e6 ELSE 0 END) AS BIGINT) AS kept_score_sum " +
+          "FROM k GROUP BY source ORDER BY source"
+      },
+      "DSIR's ACTUAL selection rule — importance RESAMPLING (Xie et al. 2023 sample raw docs " +
+        "∝ importance weight; x51's top-k is the hard variant): per raw doc a Bernoulli draw " +
+        s"with inclusion probability ∝ score targeting $DsirTopK expected keeps, capped at 1. " +
+        "The draw is the deterministic cross-engine hash, so the sample is reproducible AND " +
+        "oracle-checkable — the distributed answer to the paper's sequential gumbel-top-k. " +
+        "Scale shape: one single-row score total broadcast back (never a whole-frame window), " +
+        "then a per-row draw; nothing global anywhere."
+    ) { (s, dir) =>
+      dsirResample(table(s, dir, "documents"), col("lang") === "en")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("score_e6")).otherwise(0L)).as("kept_score_sum"))
+        .orderBy("source")
     }
   )
 }

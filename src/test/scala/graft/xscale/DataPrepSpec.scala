@@ -369,6 +369,34 @@ class DataPrepSpec extends SparkSpec {
     assert(m > keepFrac / 2 && m < keepFrac * 2, s"kept fraction $m")
   }
 
+  test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val isT = col("lang") === "en"
+    val out = DataPrep.dsirResample(docs01, isT)
+      .select("doc_id", "score_e6", "p_e6", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // the whole draw is recomputable from the scores alone: p from the
+    // capped ratio, kept from the deterministic hash — nothing random
+    val sTot = out.map(_._2).sum
+    val t = DataPrep.DsirTopK.toLong
+    out.foreach { case (id, score, p, kept) =>
+      assert(p === math.min(1000000L, (score * 1000000L) / (sTot / t + 1L)))
+      assert(kept === (XHash.h60(id.toString) % 1000000L < p))
+    }
+    // expected keeps = sum(p)/1e6 targets DsirTopK; the realized count is a
+    // deterministic Bernoulli realization — generous band, tight enough to
+    // catch a broken probability scale
+    val expected = out.map(_._3).sum / 1e6
+    val kept = out.count(_._4)
+    assert(expected > t / 2.0 && expected < 2.0 * t, s"E[keeps] = $expected")
+    assert(kept > expected / 2 && kept < expected * 2, s"kept $kept vs E $expected")
+    // raising the target only ever ADDS docs (p is monotone in target)
+    val bigger = DataPrep.dsirResample(docs01, isT, target = 4 * t)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val base = out.filter(_._4).map(_._1).toSet
+    assert(base.subsetOf(bigger) && bigger.size > base.size)
+  }
+
   test("x51/x33 sampled thresholds survive an empty hash-sample (tiny corpus)") {
     // sampleFraction at the 1/1000 floor over a handful of docs: the
     // hash-sample is (almost surely) empty, approx_percentile returns null,

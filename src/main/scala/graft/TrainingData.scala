@@ -228,6 +228,27 @@ object TrainingData {
   def removeSharedSpans(docs: DataFrame, k: Int = DataPrep.SubstrK): DataFrame =
     DataPrep.removeSharedSpans(docs, k)
 
+  /** BPE merge training (x62, Sennrich et al. 2016): the learned merge
+    * table (round, pair, merged, cnt) — corpus scanned once into a
+    * frequency-weighted word-type vocab, every round vocab-bounded.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = TextAnalysis.BpeMerges): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeTrain(docs, merges)
+
+  /** Tokenize with a learned merge table (x63): per-doc char/symbol counts
+    * and chars-per-symbol, zero-shuffle expression chain.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    TextAnalysis.bpeTokenCounts(docs, merges)
+
+  /** Span-level decontamination (x64): cut EVERY occurrence of every
+    * k-token window shared with `bench` — zero copies kept (x43's
+    * keep-one rule is for intra-corpus dedup; benchmarks must not leak).
+    */
+  def removeContaminatedSpans(docs: DataFrame, bench: DataFrame,
+      k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.removeContaminatedSpans(docs, bench, k)
+
   /** Top-k integer-exact TF-IDF keywords per doc (x44). */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
     TextAnalysis.tfidfKeywords(docs, k)

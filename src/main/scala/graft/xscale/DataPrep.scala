@@ -305,6 +305,15 @@ object DataPrep {
     val pos = rem
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("pos"))
       .distinct()
+    cutPositions(w, pos)
+  }
+
+  /** Shared reassembly tail (x43/x64): cut the 1-based token positions in
+    * `pos` (doc_id, pos — already distinct) out of every doc in `w`
+    * (doc_id, ws, nw) and rebuild the text from surviving tokens in order.
+    * Columns (doc_id, nw, n_removed, text_clean).
+    */
+  private def cutPositions(w: DataFrame, pos: DataFrame): DataFrame = {
     val tok = w
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("i0", "tk")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tk"))
@@ -321,6 +330,34 @@ object DataPrep {
         col("doc_id"), col("nw"),
         (col("nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** x64 core: span-level DECONTAMINATION — remove from `docs` EVERY
+    * occurrence of every k-token window that appears anywhere in `bench`
+    * (the benchmark / test corpus). The enforcement composition of x23
+    * (n-gram contamination detection) and x43's cut machinery: unlike x43's
+    * keep-one-owner rule, contamination removal keeps ZERO copies — the
+    * benchmark must not leak into training at all. Columns
+    * (doc_id, nw, n_removed, text_clean).
+    *
+    * Scale posture (100 TB): benchmark suites are tiny next to the corpus,
+    * so the contaminated-window set is a broadcast 8-byte-hash table; the
+    * corpus side is one windowHash60 pass + the broadcast semi-join, and
+    * the position explode is bounded by the CONTAMINATED volume only.
+    */
+  def removeContaminatedSpans(docs: DataFrame, bench: DataFrame, k: Int = SubstrK): DataFrame = {
+    val w = docs.select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    val benchH = bench
+      .select(explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+      .distinct()
+    val occ = docs
+      .select(col("doc_id"), posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    val pos = occ.join(broadcast(benchH), "h")
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("pos"))
+      .distinct()
+    cutPositions(w, pos)
   }
 
   private val ordSql = h60Sql("CAST(doc_id AS VARCHAR)")
@@ -1252,6 +1289,53 @@ object DataPrep {
           sum("n_removed").as("removed_tokens"),
           countDistinct("source").as("n_sources"))
         .orderBy("split")
+    },
+
+    // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----
+    Q(
+      "x64_decontam_spans",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w0 AS (SELECT doc_id, $splitSql AS split, ${XText.wordsSql("text")} AS ws " +
+          "FROM documents), " +
+          "tr AS (SELECT doc_id, ws FROM w0 WHERE split = 'train'), " +
+          "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM tr), " +
+          s"bh AS (SELECT DISTINCT ${h60Sql("g")} AS h FROM " +
+          s"(SELECT $gram AS g FROM (SELECT ws, unnest(generate_series(1, len(ws) - ${k - 1})) " +
+          s"AS p FROM w0 WHERE split <> 'train' AND len(ws) >= $k))), " +
+          s"occ AS (SELECT doc_id, p, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM tr WHERE len(ws) >= $k))), " +
+          "pos AS (SELECT DISTINCT doc_id, p + j AS pos FROM " +
+          s"(SELECT occ.doc_id, occ.p, unnest(generate_series(0, ${k - 1})) AS j " +
+          "FROM occ JOIN bh USING (h))), " +
+          "tok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM " +
+          "(SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM tr)), " +
+          "kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok " +
+          "LEFT JOIN pos ON pos.doc_id = tok.doc_id AND pos.pos = tok.pos " +
+          "WHERE pos.doc_id IS NULL), " +
+          "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "string_agg(tk, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id) " +
+          "SELECT d.doc_id, d.nw, " +
+          "CAST(d.nw - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed, " +
+          "coalesce(ag.text_clean, '') AS text_clean " +
+          "FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"
+      },
+      s"span-level DECONTAMINATION: every $SubstrK-token window the train split shares with " +
+        "the held-out (val/test) splits is cut from the train docs — ALL occurrences, zero " +
+        "copies kept (x43 keeps one owner copy; a benchmark must not leak into training at " +
+        "all). The enforcement half of x23's detection. Scale shape: the benchmark window " +
+        "set is a broadcast 8-byte-hash table (benchmarks are tiny next to the corpus); one " +
+        "windowHash60 pass over train + broadcast semi-join; the position explode is " +
+        "bounded by the CONTAMINATED volume only; reassembly is x43's per-doc sort."
+    ) { (s, dir) =>
+      val split = splitAssign(table(s, dir, "documents"))
+      removeContaminatedSpans(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"))
+        .orderBy("doc_id")
     },
 
     // ----- x61: DSIR importance RESAMPLING (the paper's soft selection) -----

@@ -383,6 +383,112 @@ object TextAnalysis {
       .orderBy("phase")
   }
 
+  /** x62 merge-round count (small: each round is a vocab-bounded scan). */
+  val BpeMerges = 6
+
+  /** x62 core: BPE merge training (Sennrich et al. 2016) as DataFrame
+    * algebra. The corpus is scanned ONCE into a frequency-weighted word
+    * vocabulary; every training round then runs on that vocab-bounded
+    * table: count adjacent symbol pairs (weighted by word frequency), pick
+    * the most frequent (ties → lexicographically smallest), and merge it
+    * everywhere. The winner is collected per round (ONE row — the merge
+    * table is driver-resident tokenizer state, exactly like the k-means
+    * quantizer's centroids) and the merge is applied with string `replace`
+    * on the space-separated symbol string, padded so symbol boundaries
+    * can't false-match. Merge semantics are therefore "non-overlapping
+    * left-to-right in one pass" — both engines' `replace` scans the
+    * original string identically, so the oracle reproduces every round
+    * bit-for-bit (textbook greedy BPE re-scans inside runs of a repeated
+    * symbol; the difference is confined to such runs and is applied
+    * consistently on both sides).
+    *
+    * Returns the learned merge table (round, pair, merged, cnt).
+    *
+    * Scale posture (100 TB): pair counting is one map-side-combinable
+    * aggregation per round over the WORD-TYPE table (vocab-bounded, not
+    * corpus-bounded — the classic BPE trainer trick); the corpus itself is
+    * read exactly once. Rounds re-checkpoint the vocab frame so lineage
+    * stays flat.
+    */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      merges: Int = BpeMerges): Seq[(Long, String, String, Long)] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    var state = docs
+      .select(explode(XText.words(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        concat_ws(" ",
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      // guard the size-1 case: Spark's sequence(1, 0) DESCENDS instead of
+      // yielding empty, so single-symbol words must be filtered out first
+      val pairs = state
+        .filter(size(split(col("sym"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(split(sym, ' ')) - 1), " +
+            "i -> concat(element_at(split(sym, ' '), i), ' ', element_at(split(sym, ' '), i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      val win = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .as[(String, Long)].collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = win.head
+        val merged = pair.replace(" ", "")
+        out += ((r.toLong, pair, merged, cnt))
+        state = state.select(
+          col("freq"),
+          trim(call_function("replace",
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("sym"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** x63 core: tokenize with a learned BPE merge table — the apply half of
+    * [[bpeTrain]]. Every word is symbolized to characters and the merges
+    * replayed IN TRAINING ORDER (same padded-replace semantics, so
+    * tokenization is bit-identical to what training produced); the output
+    * is the per-doc token accounting a trainer budgets with. Pure per-row
+    * expression chain over the text column — zero shuffle, whole-stage
+    * codegen; the merge table rides into the plan as literals (it IS the
+    * tokenizer, exactly like shipping a vocab file). Columns
+    * (doc_id, n_char, n_sym, cps_e6 = 1e6·chars-per-symbol).
+    */
+  def bpeTokenCounts(
+      docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    def applied(w: Column): Column = {
+      val sym = concat_ws(" ",
+        transform(sequence(lit(1), length(w)),
+          i => call_function("substring", w, i, lit(1))))
+      val replayed = merges.foldLeft(concat(lit(" "), sym, lit(" "))) {
+        case (c, (pair, merged)) =>
+          call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
+      }
+      trim(replayed)
+    }
+    val words = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
+    docs.select(
+      col("doc_id"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_char"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc + size(split(applied(w), " ")).cast("long")).as("n_sym"))
+      .withColumn("cps_e6",
+        expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -858,6 +964,102 @@ object TextAnalysis {
         col("ts"),
         concat_ws(" ", col("event_type"), col("props")).as("text"))
       shingleNovelty(ev, k = 1, orderCol = col("ts")).orderBy("doc_id")
+    },
+
+    // ----- x62: BPE merge training (Sennrich et al. 2016) -----
+    Q(
+      "x62_bpe_train",
+      Some {
+        def round(r: Int): String = {
+          val prev = s"v${r - 1}"
+          s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+            "(SELECT freq, unnest(CASE WHEN len(ws) >= 2 THEN " +
+            "list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) " +
+            "ELSE []::VARCHAR[] END) AS pair FROM " +
+            s"(SELECT freq, string_split(sym, ' ') AS ws FROM $prev)) GROUP BY pair), " +
+            s"w$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+            s"v$r AS (SELECT v.freq, trim(replace(' ' || v.sym || ' ', " +
+            "' ' || w.pair || ' ', ' ' || replace(w.pair, ' ', '') || ' ')) AS sym " +
+            s"FROM $prev v CROSS JOIN w$r w)"
+        }
+        val rounds = (1 to BpeMerges).map(round).mkString(", ")
+        val sel = (1 to BpeMerges)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, " +
+            s"replace(pair, ' ', '') AS merged, cnt FROM w$r")
+          .mkString(" UNION ALL ")
+        s"WITH vb AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
+          s"(SELECT unnest(${XText.wordsSql("lower(text)")}) AS w FROM documents) " +
+          "WHERE w <> '' GROUP BY w), " +
+          "v0 AS (SELECT freq, array_to_string(list_transform(" +
+          "generate_series(1, length(w)), i -> w[i]), ' ') AS sym FROM vb), " +
+          s"$rounds $sel ORDER BY round"
+      },
+      s"BPE merge training (Sennrich et al. 2016), $BpeMerges rounds: the corpus collapses " +
+        "ONCE into a frequency-weighted word-TYPE vocabulary (the classic trainer trick — " +
+        "every round after that is vocab-bounded, never corpus-bounded), then each round " +
+        "counts adjacent symbol pairs weighted by word frequency, picks the most frequent " +
+        "(ties lexicographic) and merges it everywhere. Merging uses both engines' " +
+        "identical non-overlapping left-to-right replace semantics on the padded " +
+        "symbol string, so every learned merge is oracle-exact. Output: the merge table " +
+        "(round, pair, merged, cnt) — the artifact a tokenizer ships."
+    ) { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      bpeTrain(table(s, dir, "documents"))
+        .toDF("round", "pair", "merged", "cnt")
+        .orderBy("round")
+    },
+
+    // ----- x63: tokenize with the learned merges (the apply half) -----
+    Q(
+      "x63_bpe_tokenize",
+      Some {
+        def round(r: Int): String = {
+          val prev = s"v${r - 1}"
+          s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+            "(SELECT freq, unnest(CASE WHEN len(ws) >= 2 THEN " +
+            "list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) " +
+            "ELSE []::VARCHAR[] END) AS pair FROM " +
+            s"(SELECT freq, string_split(sym, ' ') AS ws FROM $prev)) GROUP BY pair), " +
+            s"w$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+            s"v$r AS (SELECT v.freq, trim(replace(' ' || v.sym || ' ', " +
+            "' ' || w.pair || ' ', ' ' || replace(w.pair, ' ', '') || ' ')) AS sym " +
+            s"FROM $prev v CROSS JOIN w$r w)"
+        }
+        val rounds = (1 to BpeMerges).map(round).mkString(", ")
+        val applyChain = (1 to BpeMerges).foldLeft(
+          "' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' '") {
+          (acc, r) => s"replace($acc, ' ' || w$r.pair || ' ', ' ' || replace(w$r.pair, ' ', '') || ' ')"
+        }
+        val joins = (1 to BpeMerges).map(r => s"CROSS JOIN w$r").mkString(" ")
+        s"WITH vb AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
+          s"(SELECT unnest(${XText.wordsSql("lower(text)")}) AS w FROM documents) " +
+          "WHERE w <> '' GROUP BY w), " +
+          "v0 AS (SELECT freq, array_to_string(list_transform(" +
+          "generate_series(1, length(w)), i -> w[i]), ' ') AS sym FROM vb), " +
+          s"$rounds, " +
+          s"aw AS (SELECT doc_id, unnest(list_filter(${XText.wordsSql("lower(text)")}, " +
+          "w -> w <> '')) AS w FROM documents), " +
+          s"ap AS (SELECT doc_id, length(w) AS nc, " +
+          s"len(string_split(trim($applyChain), ' ')) AS ns FROM aw $joins), " +
+          "ag AS (SELECT doc_id, CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_char, " +
+          "CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_sym FROM ap GROUP BY doc_id) " +
+          "SELECT d.doc_id, CAST(coalesce(ag.n_char, 0) AS BIGINT) AS n_char, " +
+          "CAST(coalesce(ag.n_sym, 0) AS BIGINT) AS n_sym, " +
+          "CAST(CASE WHEN coalesce(ag.n_sym, 0) = 0 THEN 0 " +
+          "ELSE (1000000 * ag.n_char) // ag.n_sym END AS BIGINT) AS cps_e6 " +
+          "FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"
+      },
+      "tokenization with the x62-learned merge table: every word symbolized to characters " +
+        "and the merges replayed in training order (identical padded-replace semantics, so " +
+        "apply is bit-faithful to training). Per-doc character count, symbol (token) count " +
+        "and chars-per-symbol — the accounting a trainer budgets sequence packing with. " +
+        "The merge table rides into the plan as literals (it IS the tokenizer artifact); " +
+        "the per-doc pass is a pure expression chain, zero shuffle, whole-stage codegen."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val merges = bpeTrain(docs).map(m => (m._2, m._3))
+      bpeTokenCounts(docs, merges).orderBy("doc_id")
     }
   )
 

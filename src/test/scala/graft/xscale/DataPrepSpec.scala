@@ -369,6 +369,34 @@ class DataPrepSpec extends SparkSpec {
     assert(m > keepFrac / 2 && m < keepFrac * 2, s"kept fraction $m")
   }
 
+  test("x64 decontam: ALL benchmark-span occurrences cut (x43 would keep one), rest intact") {
+    val k = DataPrep.SubstrK // 8
+    val benchPhrase = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val train = Seq(
+      // contains the benchmark phrase TWICE plus clean text around it
+      (1L, s"clean start $benchPhrase middle words here $benchPhrase clean end"),
+      // entirely clean doc
+      (2L, "nothing contaminated in this document at all whatsoever today"),
+      // doc that IS exactly the benchmark phrase — fully emptied
+      (3L, benchPhrase))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark context $benchPhrase more context")).toDF("doc_id", "text")
+    val out = DataPrep.removeContaminatedSpans(train, bench, k)
+      .select("doc_id", "n_removed", "text_clean")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1: both 8-token occurrences cut — zero copies survive
+    assert(!out.head._3.contains("alpha") && !out.head._3.contains("hotel"))
+    assert(out.head._2 === 2L * k)
+    assert(out.head._3 === "clean start middle words here clean end")
+    // doc 2 untouched, doc 3 emptied
+    assert(out(1) === ((2L, 0L, "nothing contaminated in this document at all whatsoever today")))
+    assert(out(2)._2 === k && out(2)._3 === "")
+    // contrast with x43 on the same union: keep-one-owner RETAINS a copy
+    val spans = DataPrep.removeSharedSpans(train.unionByName(bench), k)
+    val owners = spans.filter(col("text_clean").contains("alpha"))
+    assert(owners.count() === 1L) // exactly one surviving copy under x43's rule
+  }
+
   test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val isT = col("lang") === "en"

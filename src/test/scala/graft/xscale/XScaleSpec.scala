@@ -642,6 +642,41 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x62 BPE training: hand-checkable merges, frequency weighting, early exhaustion") {
+    // vocab: aa(1), ab(3), b(1) — round 1 must pick (a b) by frequency 3,
+    // round 2 (a a), then no pairs remain (every word is one symbol)
+    val docs = Seq((1L, "aa ab"), (2L, "ab ab b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, merges = 6)
+    assert(merges === Seq(
+      (1L, "a b", "ab", 3L),
+      (2L, "a a", "aa", 1L)))
+    // the documented replace semantics inside a repeated-symbol run:
+    // "aaaa" merges one (a,a) pair per pass (non-overlapping left-to-right),
+    // so (a a) wins twice before (aa aa) completes the word
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(runs, merges = 6)
+    assert(m2 === Seq(
+      (1L, "a a", "aa", 3L),
+      (2L, "a a", "aa", 1L),
+      (3L, "aa aa", "aaaa", 1L)))
+    // ties break lexicographically: freq-1 vocab {xy, xz} — (x y) < (x z)
+    val ties = Seq((1L, "xy xz")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(ties, merges = 1) === Seq((1L, "x y", "xy", 1L)))
+    // x63 apply is bit-faithful to training: replaying the learned merges
+    // collapses the training corpus to hand-checkable token counts
+    val learned = merges.map(m => (m._2, m._3))
+    val counts = TextAnalysis.bpeTokenCounts(docs, learned)
+      .select("doc_id", "n_char", "n_sym", "cps_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(counts === Array(
+      (1L, 4L, 2L, 2000000L), // aa->1 sym, ab->1 sym
+      (2L, 5L, 3L, 1666666L))) // ab, ab, b
+    // with no merges every character is its own symbol
+    val raw = TextAnalysis.bpeTokenCounts(docs, Seq.empty)
+      .select("n_char", "n_sym").as[(Long, Long)].collect()
+    assert(raw.forall { case (c, s) => c === s })
+  }
+
   test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {
     val rows = Dedup.queries.find(_.name == "x28_minhash_calibration").get
       .run(spark, "/root/testdata/sf0.001")

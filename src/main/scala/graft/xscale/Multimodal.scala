@@ -14,9 +14,10 @@ import graft.query.Registry.table
 final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
 /** Decoded features — the narrow output schema that downstream joins see.
-  * `format` is the detected container (png/gif/bmp/jpeg/wav) or "unknown"
-  * when the payload matched no header; for wav, (width, height) carry
-  * (duration_ms, sample_rate) — the audio analog of image dimensions.
+  * `format` is the detected container (png/gif/bmp/jpeg/wav/mp4) or
+  * "unknown" when the payload matched no header; for wav, (width, height)
+  * carry (duration_ms, sample_rate) and for mp4 (duration_ms, timescale) —
+  * the time-media analog of image dimensions.
   */
 final case class MediaFeatures(
     doc_id: Long,
@@ -71,9 +72,16 @@ object Multimodal {
     *          header SOF0…SOF15 (excluding DHT C4 / JPG C8 / DAC CC):
     *          height/width are big-endian u16 at payload offsets 1/3.
     *          Pure byte layout — no entropy decode needed for dimensions.
-    * Returns (format, a, b): image dims, or (duration_ms, sample_rate)
-    * for wav; None for anything unrecognized (the md5 stub then covers
-    * the remaining opaque-codec formats: MP4/video need real decoders).
+    *  - MP4:  ISO-BMFF box walk — [be32 size][4cc type] boxes; `ftyp`
+    *          first, then into the `moov` container to its `mvhd` child:
+    *          version-0 mvhd has timescale be32@12 and duration be32@16
+    *          (version-1: be64 duration). duration_ms = dur·1000/timescale.
+    *          Container METADATA is byte layout; only frame decode needs
+    *          codecs.
+    * Returns (format, a, b): image dims, (duration_ms, sample_rate) for
+    * wav, or (duration_ms, timescale) for mp4; None for anything
+    * unrecognized (the md5 stub then covers true codec work: pixel/sample
+    * decode).
     *
     * Runs on UNTRUSTED corpus bytes, so every walk is hardened: a declared
     * chunk/segment size that would stall the cursor, drive it negative, or
@@ -121,6 +129,53 @@ object Multimodal {
         }
       }
       dims.map { case (w, h) => ("jpeg", w, h) }
+    } else if (p.length >= 12 && ascii(4, "ftyp")) {
+      // ISO-BMFF (MP4/MOV): guarded box walk, same hardening rules as the
+      // RIFF walk — sizes are untrusted, the cursor must strictly advance
+      // in Long space and never leave the buffer.
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def boxSize(i: Int): Long = {
+        val sz = be32(i)
+        if (sz == 1L && i + 16 <= p.length) be64(i + 8) // extended size
+        else if (sz == 0L) p.length.toLong - i // "to end of file"
+        else sz
+      }
+      // walk [from, to) for a box of type `tcc`; returns its payload offset
+      def findBox(from: Int, to: Int, tcc: String): Option[(Int, Long)] = {
+        var i = from
+        var found: Option[(Int, Long)] = None
+        var ok = true
+        while (ok && found.isEmpty && i + 8 <= to) {
+          val sz = boxSize(i)
+          if (ascii(i + 4, tcc)) found = Some((i, sz))
+          else {
+            val next = i.toLong + math.max(sz, 8L)
+            if (next <= i || next > to.toLong) ok = false else i = next.toInt
+          }
+        }
+        found
+      }
+      val dims = for {
+        (moovOff, moovSz) <- findBox(0, p.length, "moov")
+        moovEnd = math.min(p.length.toLong, moovOff + moovSz).toInt
+        (mvhdOff, _) <- findBox(moovOff + 8, moovEnd, "mvhd")
+        if mvhdOff + 12 <= p.length
+        version = u8(mvhdOff + 8)
+        result <- version match {
+          case 0L if mvhdOff + 28 <= p.length =>
+            val ts = be32(mvhdOff + 20)
+            val dur = be32(mvhdOff + 24)
+            if (ts > 0) Some((dur * 1000L / ts, ts)) else None
+          case 1L if mvhdOff + 40 <= p.length =>
+            val ts = be32(mvhdOff + 28)
+            val dur = be64(mvhdOff + 32)
+            if (ts > 0 && dur >= 0 && dur < Long.MaxValue / 1000)
+              Some((dur * 1000L / ts, ts))
+            else None
+          case _ => None
+        }
+      } yield result
+      dims.map { case (ms, ts) => ("mp4", ms, ts) }
     } else if (p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
       var i = 12
       var sampleRate = 0L

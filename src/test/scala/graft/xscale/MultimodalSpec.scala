@@ -86,6 +86,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseHeader(Array[Byte](0x89.toByte, 'P', 'N')) === None)
   }
 
+  private def be32b(x: Long): Seq[Byte] =
+    Seq(24, 16, 8, 0).map(s => ((x >> s) & 0xff).toByte)
+  private def be64b(x: Long): Seq[Byte] =
+    Seq(56, 48, 40, 32, 24, 16, 8, 0).map(s => ((x >> s) & 0xff).toByte)
+
+  /** Minimal ISO-BMFF: an ftyp box then moov > mvhd (v0 or v1). */
+  private def mp4Bytes(timescale: Long, duration: Long, v1: Boolean = false): Array[Byte] = {
+    val mvhdPayload: Seq[Byte] =
+      if (v1)
+        Seq[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++ be32b(timescale) ++ be64b(duration)
+      else
+        Seq[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++ be32b(timescale) ++ be32b(duration)
+    val mvhd = be32b(8L + mvhdPayload.length) ++ "mvhd".getBytes.toSeq ++ mvhdPayload
+    val moov = be32b(8L + mvhd.length) ++ "moov".getBytes.toSeq ++ mvhd
+    val ftyp = be32b(16L) ++ "ftyp".getBytes.toSeq ++ "isom".getBytes.toSeq ++ be32b(0)
+    (ftyp ++ moov).toArray
+  }
+
+  test("parseHeader: MP4 duration from the ISO-BMFF box walk, v0 and v1 mvhd") {
+    // 3000 ticks at 600/s = 5000 ms
+    assert(Multimodal.parseHeader(mp4Bytes(600, 3000)) === Some(("mp4", 5000L, 600L)))
+    assert(Multimodal.parseHeader(mp4Bytes(1000, 7500, v1 = true)) ===
+      Some(("mp4", 7500L, 1000L)))
+    // ftyp alone (no moov), zero timescale, malformed box size: all None, no crash
+    val ftypOnly = (be32b(16L) ++ "ftyp".getBytes.toSeq ++
+      "isom".getBytes.toSeq ++ be32b(0)).toArray
+    assert(Multimodal.parseHeader(ftypOnly) === None)
+    assert(Multimodal.parseHeader(mp4Bytes(0, 3000)) === None)
+    val evil = (be32b(16L) ++ "ftyp".getBytes.toSeq ++ "isom".getBytes.toSeq ++ be32b(0) ++
+      be32b(0xfffffff0L) ++ "free".getBytes.toSeq ++ Seq.fill(8)(0.toByte)).toArray
+    assert(Multimodal.parseHeader(evil) === None)
+  }
+
   test("parseHeader: JPEG dims from the SOF marker scan, baseline and progressive") {
     assert(Multimodal.parseHeader(jpegBytes(1024, 768)) === Some(("jpeg", 1024L, 768L)))
     assert(Multimodal.parseHeader(jpegBytes(333, 77, sof = 0xc2)) === Some(("jpeg", 333L, 77L)))

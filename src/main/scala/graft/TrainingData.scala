@@ -352,8 +352,9 @@ object TrainingData {
     */
   def dsirResample(docs: DataFrame, isTarget: Column,
       target: Long = DataPrep.DsirTopK.toLong,
-      buckets: Int = DataPrep.DsirBuckets): DataFrame =
-    DataPrep.dsirResample(docs, isTarget, target, buckets)
+      buckets: Int = DataPrep.DsirBuckets,
+      checkpointDir: Option[String] = None): DataFrame =
+    DataPrep.dsirResample(docs, isTarget, target, buckets, checkpointDir)
 
   /** x51's scale path: DSIR selection by sampled score threshold instead
     * of the exact global top-k — no global window anywhere.

@@ -544,9 +544,13 @@ object DataPrep {
       docs: DataFrame,
       isTarget: Column,
       target: Long = DsirTopK.toLong,
-      buckets: Int = DsirBuckets): DataFrame = {
+      buckets: Int = DsirBuckets,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(target > 0, "target must be positive")
-    val scored = dsirWeights(docs, isTarget, buckets)
+    // materialize once: the scored frame feeds BOTH the single-row total
+    // and the per-row draw — without the cut the whole scoring subtree
+    // (feature explode + bucket join) runs twice (plan-audit-visible)
+    val scored = DedupClusters.ckpt(dsirWeights(docs, isTarget, buckets), checkpointDir)
     val tot = scored.agg(sum("score_e6").as("s_tot"))
     scored.crossJoin(broadcast(tot))
       .withColumn(

@@ -124,6 +124,14 @@ object TrainingData {
       trainSample: Double = 1.0): DataFrame =
     Similarity.pqAdcRerank(emb, isQuery, k, shortlist, m, nc, trainSample)
 
+  /** Dimension-truncation fidelity (x65, Matryoshka audit): per prefix
+    * length, cosine drift and top-1 preservation over the exact full-dim
+    * top-k — the decision input for serving truncated embeddings.
+    */
+  def matryoshkaFidelity(emb: DataFrame, isQuery: Column,
+      dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 3): DataFrame =
+    Similarity.matryoshkaFidelity(emb, isQuery, dims, k)
+
   /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
     * cosine >= tau neighbor farther from their cluster centroid —
     * candidate pairs are within-cluster only, never corpus². nc <= 0

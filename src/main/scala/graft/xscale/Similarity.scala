@@ -429,6 +429,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sqdist")
   }
 
+  /** x65 core: dimension-truncation fidelity — the Matryoshka (Kusupati
+    * et al. 2022) deployment audit: how much of the full-dimension cosine
+    * structure survives when vectors are truncated to their first d'
+    * dimensions? Over the exact top-k pairs at FULL dims, per prefix
+    * length d': the summed |cos_full − cos_prefix| (e4 fixed-point —
+    * per-pair rounding to an integer BEFORE the sum keeps the aggregate
+    * order-independent and cross-engine exact) and the number of queries
+    * whose full-dim best neighbor is still ranked first under the prefix
+    * cosine. Columns (dims, n_pairs, sum_absdiff_e4, top1_preserved).
+    * The decision input for serving truncated embeddings (cheaper ANN
+    * memory) without re-embedding the corpus.
+    *
+    * Scale posture (100 TB): the expensive part is the exact top-k
+    * (x06's broadcast-query one-scan shape — or feed the pairs from x13/
+    * x60 instead); the prefix sweep itself touches only |q|·k pairs.
+    */
+  def matryoshkaFidelity(
+      emb: DataFrame,
+      isQuery: Column,
+      dims: Seq[Int] = Seq(8, 16, 32, 64),
+      k: Int = 3): DataFrame = {
+    val top = knnBrute(emb, isQuery, k)
+    val vn = withNorm(emb).select(col("vec_id"), col("v"))
+    val j = top
+      .join(vn.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vn.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val legs = dims.map { d =>
+      val qs = expr(s"slice(qv, 1, $d)")
+      val ns = expr(s"slice(nv, 1, $d)")
+      j.select(
+        lit(d.toLong).as("dims"), col("query_id"), col("rank"), col("neighbor_id"),
+        cos(col("qv"), col("nv")).as("cf"), cos(qs, ns).as("cp"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("dims", "query_id").orderBy(col("cp").desc, col("neighbor_id"))
+    legs
+      .withColumn("prn", row_number().over(w))
+      .groupBy("dims")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(round(abs(cf - cp) * 10000, 0) AS BIGINT)")).as("sum_absdiff_e4"),
+        sum(when(col("rank") === 1 && col("prn") === 1, 1L).otherwise(0L)).as("top1_preserved"))
+      .orderBy("dims")
+  }
+
   /** x41 core: top-k most-similar vectors with a DIFFERENT label per query
     * (contrastive hard negatives). Broadcast-query + one corpus scan, the
     * x06 shape with the label inequality pushed into the join. Columns
@@ -1078,6 +1124,46 @@ object Similarity {
     ) { (s, dir) =>
       pqAdcRerank(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
+    },
+
+    // ----- x65: dimension-truncation fidelity (Matryoshka audit) -----
+    Q(
+      "x65_matryoshka",
+      Some {
+        def dotSql(a: String, b: String, d: Int): String =
+          s"list_aggregate(list_transform(generate_series(1, $d), i -> $a[i] * $b[i]), 'sum')"
+        def cosSqlD(a: String, b: String, d: Int): String =
+          s"(${dotSql(a, b, d)} / (sqrt(${dotSql(a, a, d)}) * sqrt(${dotSql(b, b, d)})))"
+        val legs = Seq(8, 16, 32, 64).map { d =>
+          s"SELECT CAST($d AS BIGINT) AS dims, query_id, rank, neighbor_id, " +
+            s"${cosSqlD("qv", "nv", 64)} AS cf, ${cosSqlD("qv", "nv", d)} AS cp FROM jv"
+        }.mkString(" UNION ALL ")
+        s"WITH $normCtes, " +
+          "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          s"$cosSql AS cos FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s), " +
+          "t AS (SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3), " +
+          "jv AS (SELECT t.query_id, t.rank, t.neighbor_id, q.v AS qv, c.v AS nv " +
+          "FROM t JOIN n q ON q.vec_id = t.query_id JOIN n c ON c.vec_id = t.neighbor_id), " +
+          s"u AS ($legs), " +
+          "p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dims, query_id " +
+          "ORDER BY cp DESC, neighbor_id) AS prn FROM u) " +
+          "SELECT dims, count(*) AS n_pairs, " +
+          "CAST(sum(CAST(round(abs(cf - cp) * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_absdiff_e4, " +
+          "CAST(sum(CASE WHEN rank = 1 AND prn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_preserved " +
+          "FROM p GROUP BY dims ORDER BY dims"
+      },
+      "Matryoshka-representation audit (Kusupati et al. 2022): over the exact full-dim " +
+        "top-3 pairs, how faithful is the cosine structure at prefix lengths 8/16/32/64 — " +
+        "summed |cos_full - cos_prefix| (per-pair e4 rounding BEFORE the sum keeps the " +
+        "aggregate integer-exact and order-independent) and the number of queries whose " +
+        "full-dim best neighbor still ranks first under the truncated cosine. The decision " +
+        "input for serving truncated embeddings (smaller ANN memory, same corpus) without " +
+        "re-embedding. Costly part = the exact top-k (x06 shape); the sweep itself touches " +
+        "only |q|*k pairs."
+    ) { (s, dir) =>
+      matryoshkaFidelity(table(s, dir, "embeddings"), col("vec_id") < 10)
     }
   )
 }

@@ -228,4 +228,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val diff = stream.exceptAll(batch).union(batch.exceptAll(stream))
     assert(diff.isEmpty, diff.collect().take(3).mkString(";"))
   }
+
+  test("BPE tokenization is streaming-safe: stream == batch with a frozen merge table") {
+    import graft.xscale.TextAnalysis
+    // the merge table is driver-resident tokenizer state learned offline
+    // (x62); applying it (x63) is a stateless per-row expression chain, so
+    // the SAME call must tokenize a stream identically to batch — the shape
+    // of a production ingest that tokenizes documents as they arrive
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val merges = TextAnalysis.bpeTrain(docs).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val rows = docs.as[(Long, String)].collect().toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.bpeTokenCounts(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = TextAnalysis.bpeTokenCounts(docs, merges)
+    val stream = spark.table("bpe_stream")
+    assert(stream.count() == rows.length)
+    val diff = stream.exceptAll(batch).union(batch.exceptAll(stream))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(";"))
+  }
 }

@@ -677,6 +677,22 @@ class XScaleSpec extends SparkSpec {
     assert(raw.forall { case (c, s) => c === s })
   }
 
+  test("x65 matryoshka: full-dim leg is exact identity; coverage complete per prefix") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = Similarity.matryoshkaFidelity(emb, col("vec_id") < 10)
+      .select("dims", "n_pairs", "sum_absdiff_e4", "top1_preserved")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    // every prefix sees every (query, neighbor) pair
+    assert(rows.forall(_._2 === 30L))
+    // the 64-prefix IS the full vector: zero cosine drift, every full-dim
+    // best neighbor trivially preserved
+    val full = rows.last
+    assert(full._3 === 0L && full._4 === 10L)
+    // shorter prefixes can only preserve a subset of queries' top-1
+    assert(rows.forall(_._4 <= 10L))
+  }
+
   test("x28 calibration: every LSH candidate bucketed, jaccard bounds sane") {
     val rows = Dedup.queries.find(_.name == "x28_minhash_calibration").get
       .run(spark, "/root/testdata/sf0.001")

@@ -303,6 +303,24 @@ object TrainingData {
         trainSample = trainSample, checkpointDir = checkpointDir),
       checkpointDir = checkpointDir)
 
+  /** Pack hygiene audit (x66): per (shard, pack) doc count, source
+    * diversity and duplicate EXCESS (norm-key collisions inside the same
+    * context window — wasted compute + memorization risk).
+    */
+  def packHygiene(docs: DataFrame, budget: Int = DataPrep.PackBudget,
+      shards: Int = DataPrep.PackShards): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = docs.select(col("doc_id"), col("source"),
+      xscale.XHash.h60(Dedup.normText(col("text"))).as("key"))
+    DataPrep.packAssignments(docs, budget, shards)
+      .join(keyed, "doc_id")
+      .groupBy("shard", "pack")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct("key")).as("dup_excess"))
+  }
+
   /** Shard-export manifest (x49): per (shard, pack) doc/token counts and
     * an order-independent bit_xor content checksum — the integrity
     * handshake between pipeline and training run.

@@ -1295,6 +1295,44 @@ object DataPrep {
         .orderBy("split")
     },
 
+    // ----- x66: pack hygiene (duplicates inside one context window) -----
+    Q(
+      "x66_pack_hygiene",
+      Some(
+        s"WITH t AS (SELECT doc_id, source, len(${XText.wordsSql("text")}) AS n_tok, " +
+          s"$ordSql AS ord, ${h60Sql(Dedup.normSql)} AS key FROM documents), " +
+          s"s AS (SELECT doc_id, source, key, n_tok, ord, ord % $PackShards AS shard FROM t), " +
+          "c AS (SELECT doc_id, source, key, shard, " +
+          "coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM s), " +
+          s"p AS (SELECT doc_id, source, key, shard, cum // $PackBudget AS pack FROM c) " +
+          "SELECT shard, pack, count(*) AS n_docs, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+          "CAST(count(*) - count(DISTINCT key) AS BIGINT) AS dup_excess " +
+          "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
+      "pack hygiene: per (shard, pack) — the x21 context windows a trainer actually " +
+        "concatenates — the doc count, source diversity, and DUPLICATE EXCESS (docs whose " +
+        "normalized text collides with another doc in the SAME pack). Near-identical docs " +
+        "inside one context window waste the whole window's compute and maximize " +
+        "memorization; dedup (x01/x14) prevents exact repeats corpus-wide, but hash-order " +
+        "packing can still co-locate near-misses — this is the audit that catches it. " +
+        "One pass: the packing cumsum (partitioned per shard, no global sort) joined to " +
+        "per-row norm keys, then a keyed rollup."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val keyed = docs.select(
+        col("doc_id"), col("source"),
+        XHash.h60(Dedup.normText(col("text"))).as("key"))
+      packAssignments(docs)
+        .join(keyed, "doc_id")
+        .groupBy("shard", "pack")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          (count(lit(1)) - countDistinct("key")).as("dup_excess"))
+        .orderBy("shard", "pack")
+    },
+
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----
     Q(
       "x64_decontam_spans",

@@ -397,6 +397,26 @@ class DataPrepSpec extends SparkSpec {
     assert(owners.count() === 1L) // exactly one surviving copy under x43's rule
   }
 
+  test("x66 pack hygiene: clone corpus shows full dup excess, clean corpus none") {
+    // every doc identical: inside ANY pack, all docs share the norm key, so
+    // dup_excess must be exactly n_docs - 1 per pack
+    val clones = (1L to 40L).map(i => (i, "s" + (i % 2), "identical text body here"))
+      .toDF("doc_id", "source", "text")
+    val run = DataPrep.queries.find(_.name == "x66_pack_hygiene").get
+    val dir = tmpDir("x66").getPath
+    clones.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run.run(spark, dir)
+      .select("n_docs", "dup_excess").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum === 40L)
+    rows.foreach { case (n, d) => assert(d === n - 1) }
+    // all-distinct corpus: zero dup excess anywhere
+    val distinctDocs = (1L to 40L).map(i => (i, "s0", s"unique words for document number $i only"))
+      .toDF("doc_id", "source", "text")
+    distinctDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clean = run.run(spark, dir).select("dup_excess").as[Long].collect()
+    assert(clean.forall(_ === 0L))
+  }
+
   test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val isT = col("lang") === "en"

@@ -183,6 +183,49 @@ class XScalePropertySpec extends SparkSpec {
     }
   }
 
+  /** Sequential BPE reference: same defined semantics (frequency-weighted
+    * word-type vocab; winner = max count, ties lexicographic; padded
+    * String.replace merging — the JVM's non-overlapping left-to-right scan,
+    * the exact contract bpeTrain documents) but pure Scala collections,
+    * no Spark in the loop.
+    */
+  private def refBpe(texts: Seq[String], merges: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[String, Long] = texts
+      .flatMap(_.toLowerCase.split("\\s+", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, f) => w.toCharArray.mkString(" ") -> f }
+      .groupBy(_._1).view.mapValues(_.values.sum).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val pairCounts = vocab.toSeq.flatMap { case (sym, f) =>
+        val ws = sym.split(" ")
+        ws.zip(ws.drop(1)).map { case (a, b) => (s"$a $b", f) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (pair, cnt) = pairCounts.toSeq.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        out += ((r.toLong, pair, merged, cnt))
+        vocab = vocab.toSeq
+          .map { case (sym, f) => (s" $sym ".replace(s" $pair ", s" $merged ").trim, f) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain == sequential reference on random corpora") {
+    for ((texts, i) <- samples(Gen.listOfN(12, genText), 6).zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val rounds = Seq(2, 4, 6)(i % 3)
+      assert(TextAnalysis.bpeTrain(df, rounds) === refBpe(texts, rounds), s"sample $i")
+    }
+  }
+
   test("vocabGrowth conserves docs, tokens and vocabulary for arbitrary phase counts") {
     for ((texts, i) <- samples(Gen.listOfN(15, genText), 6).zipWithIndex) {
       val phases = Seq(1, 3, 10)(i % 3)

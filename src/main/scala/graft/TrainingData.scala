@@ -171,6 +171,15 @@ object TrainingData {
       checkpointDir: Option[String] = None): DataFrame =
     TextAnalysis.lmScore(docs, broadcastModel, checkpointDir)
 
+  /** Held-out LM evaluation (x67): fit the bigram model on `isTrain` rows
+    * only, score the rest per `splitCol` with OOV accounted — memorizing
+    * train cannot inflate held-out scores.
+    */
+  def lmHeldout(docs: DataFrame, isTrain: Column, splitCol: Column,
+      broadcastModel: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame =
+    TextAnalysis.lmHeldout(docs, isTrain, splitCol, broadcastModel, checkpointDir)
+
   /** x33 at scale: identical score, tercile bucket from sampled
     * `approx_percentile` thresholds instead of the global ntile window
     * (which is a one-partition sort of the corpus). >= 95% bucket

@@ -452,9 +452,13 @@ object Similarity {
       k: Int = 3): DataFrame = {
     val top = knnBrute(emb, isQuery, k)
     val vn = withNorm(emb).select(col("vec_id"), col("v"))
+    // materialize once: every prefix leg reads the same |q|·k joined pairs,
+    // and without the cut each leg re-runs the whole exact top-k upstream
+    // (the repeated-subtree rule; plan-audit-visible)
     val j = top
       .join(vn.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
       .join(vn.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .localCheckpoint()
     def cos(a: Column, b: Column): Column =
       dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     val legs = dims.map { d =>

@@ -383,6 +383,67 @@ object TextAnalysis {
       .orderBy("phase")
   }
 
+  /** x67 core: held-out evaluation of the x33 bigram LM — the
+    * generalization check a corpus-trained quality filter actually needs:
+    * fit the bigram model on the TRAIN split only, score the held-out
+    * (val/test) docs with it, and account for OOV — bigrams never seen in
+    * training contribute probability 0 to the numerator but still count in
+    * the denominator, so memorizing the train split cannot inflate
+    * held-out scores. Integer-exact throughout (the x33 fixed-point
+    * convention: prob_e6 = (1e6·c12) div c1, doc score = Σ k·prob div Σ k,
+    * split mean = Σ doc_score div n_docs). Columns per held-out split:
+    * (split, n_docs, n_bigrams, n_oov, mean_score_e6).
+    *
+    * Scale posture (100 TB): the model is ONE aggregation over the train
+    * split's 8-byte bigram hashes (vocab²-bounded output, materialized
+    * once — `checkpointDir` for the reliable form); held-out scoring is a
+    * scan + model join (AQE picks broadcast vs shuffle from the model's
+    * real size) + two keyed aggregations. Nothing global anywhere.
+    */
+  def lmHeldout(
+      docs: org.apache.spark.sql.DataFrame,
+      isTrain: Column,
+      splitCol: Column,
+      broadcastModel: Boolean = true,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        col("doc_id"), col("_split"),
+        explode(graftnative.api.bigramHash60(col("text"))).as("z"))
+      .select(col("doc_id"), col("_split"), col("z.ph").as("ph"), col("z.bh").as("bh"))
+    val tagged = docs.withColumn("_split", splitCol).withColumn("_is_t", isTrain)
+    val m12 = DedupClusters.ckpt(
+      pairs(tagged.filter(col("_is_t")))
+        .groupBy("bh", "ph").agg(count(lit(1)).as("c12")),
+      checkpointDir)
+    val m1 = m12.groupBy("ph").agg(sum("c12").as("c1"))
+    def hint(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastModel) broadcast(df) else df
+    val held = pairs(tagged.filter(!col("_is_t")))
+      .select("doc_id", "_split", "bh")
+      .groupBy("doc_id", "_split", "bh").agg(count(lit(1)).as("k"))
+      // LEFT joins, x33's shape: a seen bigram brings (ph, c12) in from the
+      // model and resolves c1 through ph; an unseen bigram (no m12 row) has
+      // null ph — which matches nothing in m1 — and is OOV by construction
+      .join(hint(m12), Seq("bh"), "left")
+      .join(hint(m1), Seq("ph"), "left")
+      .withColumn("prob_e6",
+        when(col("c12").isNull || col("c1").isNull, lit(0L))
+          .otherwise(expr("(1000000 * c12) div c1")))
+    val perDoc = held.groupBy("doc_id", "_split")
+      .agg(
+        sum("k").as("n_big"),
+        sum(when(col("c12").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        expr("sum(k * prob_e6) div sum(k)").as("score_e6"))
+    perDoc.groupBy(col("_split").as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_big").as("n_bigrams"),
+        sum("n_oov").as("n_oov"),
+        expr("sum(score_e6) div count(1)").as("mean_score_e6"))
+      .orderBy("split")
+  }
+
   /** x62 merge-round count (small: each round is a vocab-bounded scan). */
   val BpeMerges = 6
 
@@ -1060,6 +1121,46 @@ object TextAnalysis {
       val docs = table(s, dir, "documents")
       val merges = bpeTrain(docs).map(m => (m._2, m._3))
       bpeTokenCounts(docs, merges).orderBy("doc_id")
+    },
+
+    // ----- x67: held-out LM evaluation (train/eval separation + OOV) -----
+    Q(
+      "x67_lm_heldout",
+      Some(
+        s"WITH sp AS (SELECT doc_id, text, ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b " +
+          "FROM documents), " +
+          "w AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' " +
+          s"ELSE 'test' END AS split, ${XText.wordsSql("text")} AS ws FROM sp), " +
+          s"p AS (SELECT doc_id, split, ${h60Sql("ws[i]")} AS ph, " +
+          s"${h60Sql("ws[i] || ' ' || ws[i + 1]")} AS bh FROM " +
+          "(SELECT doc_id, split, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+          "FROM w WHERE len(ws) >= 2)), " +
+          "m12 AS (SELECT bh, ph, count(*) AS c12 FROM p WHERE split = 'train' GROUP BY 1, 2), " +
+          "m1 AS (SELECT ph, CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1), " +
+          "pd AS (SELECT doc_id, split, bh, count(*) AS k FROM p WHERE split <> 'train' " +
+          "GROUP BY 1, 2, 3), " +
+          "j AS (SELECT pd.doc_id, pd.split, pd.k, m12.c12, " +
+          "CASE WHEN m12.c12 IS NULL OR m1.c1 IS NULL THEN 0 " +
+          "ELSE (1000000 * m12.c12) // m1.c1 END AS prob_e6 " +
+          "FROM pd LEFT JOIN m12 USING (bh) LEFT JOIN m1 USING (ph)), " +
+          "d AS (SELECT doc_id, split, CAST(sum(k) AS BIGINT) AS n_big, " +
+          "CAST(sum(CASE WHEN c12 IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov, " +
+          "CAST(sum(k * prob_e6) // sum(k) AS BIGINT) AS score_e6 FROM j GROUP BY 1, 2) " +
+          "SELECT split, count(*) AS n_docs, CAST(sum(n_big) AS BIGINT) AS n_bigrams, " +
+          "CAST(sum(n_oov) AS BIGINT) AS n_oov, " +
+          "CAST(sum(score_e6) // count(*) AS BIGINT) AS mean_score_e6 " +
+          "FROM d GROUP BY split ORDER BY split"),
+      "held-out evaluation of the x33 bigram LM — the generalization check a corpus-trained " +
+        "quality filter needs: model fit on the TRAIN split only (x19's deterministic 90/5/5), " +
+        "val/test docs scored with it, OOV accounted (a bigram never seen in training " +
+        "contributes probability 0 but still counts in the denominator, so memorizing train " +
+        "cannot inflate held-out scores). Integer-exact via the x33 fixed-point convention. " +
+        "Scale shape: one train-split aggregation builds the vocab-bounded model; held-out " +
+        "scoring is scan + model join (broadcast by default, AQE-sized with " +
+        "broadcastModel=false) + two keyed rollups — nothing global."
+    ) { (s, dir) =>
+      val sc = DataPrep.splitCol
+      lmHeldout(table(s, dir, "documents"), sc === "train", sc).orderBy("split")
     }
   )
 

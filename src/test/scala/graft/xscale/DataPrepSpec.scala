@@ -397,6 +397,29 @@ class DataPrepSpec extends SparkSpec {
     assert(owners.count() === 1L) // exactly one surviving copy under x43's rule
   }
 
+  test("x67 heldout LM: hand-checkable probabilities, OOV penalizes, train never scored") {
+    // train: "a b a b" -> model ab|a:2, ba|b:1; m1 a:2, b:1
+    // val doc "a b c": ab seen (prob 1e6*2/2 = 1e6), bc OOV (0) -> score 500000
+    // test doc "b a": ba seen (1e6*1/1) -> score 1e6, no OOV
+    val docs = Seq(
+      (1L, "train", "a b a b"),
+      (2L, "val", "a b c"),
+      (3L, "test", "b a"))
+      .toDF("doc_id", "grp", "text")
+    val out = TextAnalysis.lmHeldout(docs, col("grp") === "train", col("grp"))
+      .select("split", "n_docs", "n_bigrams", "n_oov", "mean_score_e6")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("test", 1L, 1L, 0L, 1000000L),
+      ("val", 1L, 2L, 1L, 500000L)))
+    // a fully-OOV held-out doc scores zero, not an error
+    val alien = docs.unionByName(Seq((4L, "val", "x y z")).toDF("doc_id", "grp", "text"))
+    val v = TextAnalysis.lmHeldout(alien, col("grp") === "train", col("grp"))
+      .filter(col("split") === "val")
+      .select("n_docs", "n_oov", "mean_score_e6").as[(Long, Long, Long)].head()
+    assert(v === ((2L, 3L, 250000L))) // (500000 + 0) div 2
+  }
+
   test("x66 pack hygiene: clone corpus shows full dup excess, clean corpus none") {
     // every doc identical: inside ANY pack, all docs share the norm key, so
     // dup_excess must be exactly n_docs - 1 per pack

@@ -32,26 +32,28 @@ object Bench {
     // locale would emit invalid JSON.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    def jsonLine(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
-        .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    // Full-precision copy on disk so the result can always be read whole.
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def queriesJson(rs: Iterable[(String, Double)], dec: Int): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }.mkString("{", ",", "}")
+    // Full-precision, all-queries copy on disk so the result can always be
+    // read whole.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":${queriesJson(results, 4)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(4) + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
+    // The consumer reads a 2000-byte tail window, so the LAST stdout line
+    // must be well under that: the full ~2.4 KB per-query map can never fit
+    // (it clipped for 7 straight rounds). Emit a compact summary — total,
+    // query count, and only the 20 slowest queries (~0.8 KB) — and keep the
+    // complete map in the file above.
+    val top = results.toSeq.sortBy { case (_, v) => -v }.take(20)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE the stdout emission: its shutdown logging must not
     // land after the JSON line a tail-window consumer reads last.
     spark.stop()
-    // The bare compact JSON line goes LAST (2-decimal per-query keeps it
-    // ~2.5 KB); only sbt's own ~60-byte success banner can follow it. The
-    // "[info] "-prefixed compatibility copy prints FIRST so a byte-bounded
-    // tail window holds the whole bare line rather than two adjacent copies
-    // each clipped halfway.
-    println(s"[info] ${jsonLine(2)}")
     println(s"[bench] wrote ${java.nio.file.Paths.get(out).toAbsolutePath}")
-    println(jsonLine(2))
+    println(compact)
     System.out.flush()
   }
 }

@@ -175,7 +175,11 @@ object Cli {
       val selectedM = if (selected eq deduped) selected else selected.localCheckpoint()
       val split = TrainingData.splitAssign(selectedM)
       val packs = TrainingData.packAssignments(split)
-      val out = split.join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
+      // drop any input-carried n_tok: packs derives the authoritative count
+      // from the (possibly despan-rewritten) text, and a duplicate column
+      // would fail the parquet write
+      val out = split.drop("n_tok")
+        .join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split").parquet(outDir)
       val bySplit = spark.read.parquet(outDir)

@@ -46,7 +46,7 @@ object JsonlIngest {
     * (doc_id, text non-null, text non-empty after trim); everything else
     * is quarantined with a reason. Normalization mirrors the canonical
     * documents shape: trimmed text, lowercased lang/source, derived
-    * n_chars / n_tok.
+    * n_chars.
     */
   def ingest(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = read(spark, path)
@@ -63,8 +63,11 @@ object JsonlIngest {
         coalesce(lower(trim(col("source"))), lit("unknown")).as("source"),
         coalesce(lower(trim(col("lang"))), lit("und")).as("lang"),
         trim(col("text")).as("text"))
+      // n_chars matches the canonical documents schema; n_tok deliberately
+      // does NOT ride along — the schema doesn't carry it, and downstream
+      // stages (packing, despan) derive token counts from the text they
+      // actually see, so an input-carried count could only go stale
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tok", size(graft.xscale.XText.words(col("text"))).cast("long"))
     val quarantined = reasoned.filter(col("_reason").isNotNull)
       .select(col("_reason").as("reason"), coalesce(col("_corrupt"),
         to_json(struct(col("doc_id"), col("source"), col("lang"), col("text")))).as("raw"))

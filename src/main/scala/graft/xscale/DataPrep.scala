@@ -378,12 +378,20 @@ object DataPrep {
     * within `shards` shards, a doc belongs to the pack its first token
     * lands in. Columns (doc_id, n_tok, shard, pack).
     */
-  def packAssignments(docs: DataFrame, budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
+  def packAssignments(docs: DataFrame, budget: Int = PackBudget, shards: Int = PackShards): DataFrame =
+    packAssignmentsOrd(docs.withColumn("ord", ordCol), budget, shards)
+
+  /** [[packAssignments]] with a caller-supplied `ord` column (docs must
+    * carry doc_id, text, ord). Lets fixtures place rows deliberately —
+    * e.g. x66's mirror dups share their original's ord so they pack
+    * adjacently — while production callers keep the hash order.
+    */
+  def packAssignmentsOrd(docs: DataFrame, budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
     val t = docs
       .select(
         col("doc_id"),
         size(XText.words(col("text"))).cast("long").as("n_tok"),
-        ordCol.as("ord"))
+        col("ord"))
       .withColumn("shard", col("ord") % shards)
     val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -551,12 +559,16 @@ object DataPrep {
     // and the per-row draw — without the cut the whole scoring subtree
     // (feature explode + bucket join) runs twice (plan-audit-visible)
     val scored = DedupClusters.ckpt(dsirWeights(docs, isTarget, buckets), checkpointDir)
-    val tot = scored.agg(sum("score_e6").as("s_tot"))
+    // coalesce: sum over an empty/all-null raw set is NULL, which would
+    // poison p_e6 and make `kept` null — callers reading it as Boolean
+    // (.as[Boolean]) would NPE. An empty corpus keeps nothing, cleanly.
+    val tot = scored.agg(coalesce(sum("score_e6"), lit(0L)).as("s_tot"))
     scored.crossJoin(broadcast(tot))
       .withColumn(
         "p_e6",
         least(lit(1000000L), expr(s"(score_e6 * 1000000) div (s_tot div $target + 1)")))
-      .withColumn("kept", XHash.h60(col("doc_id").cast("string")) % 1000000L < col("p_e6"))
+      .withColumn("kept", coalesce(
+        XHash.h60(col("doc_id").cast("string")) % 1000000L < col("p_e6"), lit(false)))
       .drop("s_tot")
   }
 
@@ -1299,14 +1311,22 @@ object DataPrep {
     Q(
       "x66_pack_hygiene",
       Some(
-        s"WITH t AS (SELECT doc_id, source, len(${XText.wordsSql("text")}) AS n_tok, " +
-          s"$ordSql AS ord, ${h60Sql(Dedup.normSql)} AS key FROM documents), " +
+        // the synthetic corpus has no in-pack dups, so (x47's augmentation
+        // pattern) both engines add a deterministic "mirror" dup of every
+        // 31st doc that REUSES ITS ORIGINAL'S ord — the two rows pack
+        // adjacently, so dup_excess is exercised by real nonzero values
+        s"WITH aug AS (SELECT doc_id, source, text, $ordSql AS ord FROM documents " +
+          s"UNION ALL SELECT doc_id + 2000000, 'mirror', text, $ordSql AS ord " +
+          "FROM documents WHERE doc_id % 31 = 0), " +
+          s"t AS (SELECT doc_id, source, len(${XText.wordsSql("text")}) AS n_tok, " +
+          s"ord, ${h60Sql(Dedup.normSql)} AS key FROM aug), " +
           s"s AS (SELECT doc_id, source, key, n_tok, ord, ord % $PackShards AS shard FROM t), " +
           "c AS (SELECT doc_id, source, key, shard, " +
           "coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM s), " +
           s"p AS (SELECT doc_id, source, key, shard, cum // $PackBudget AS pack FROM c) " +
-          "SELECT shard, pack, count(*) AS n_docs, " +
+          "SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
           "CAST(count(*) - count(DISTINCT key) AS BIGINT) AS dup_excess " +
           "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -1316,14 +1336,22 @@ object DataPrep {
         "inside one context window waste the whole window's compute and maximize " +
         "memorization; dedup (x01/x14) prevents exact repeats corpus-wide, but hash-order " +
         "packing can still co-locate near-misses — this is the audit that catches it. " +
+        "Fixture: a deterministic 'mirror' dup of every 31st doc shares its original's " +
+        "ord (both engines identically), so the dup lands in the same pack and the " +
+        "dup_excess column carries nonzero values the hash compare is sensitive to. " +
         "One pass: the packing cumsum (partitioned per shard, no global sort) joined to " +
         "per-row norm keys, then a keyed rollup."
     ) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val keyed = docs.select(
+      val aug = docs
+        .select(col("doc_id"), col("source"), col("text"), ordCol.as("ord"))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          lit("mirror").as("source"), col("text"), ordCol.as("ord")))
+      val keyed = aug.select(
         col("doc_id"), col("source"),
         XHash.h60(Dedup.normText(col("text"))).as("key"))
-      packAssignments(docs)
+      packAssignmentsOrd(aug)
         .join(keyed, "doc_id")
         .groupBy("shard", "pack")
         .agg(

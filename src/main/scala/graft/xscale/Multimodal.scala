@@ -158,7 +158,11 @@ object Multimodal {
       val dims = for {
         (moovOff, moovSz) <- findBox(0, p.length, "moov")
         moovEnd = math.min(p.length.toLong, moovOff + moovSz).toInt
-        (mvhdOff, _) <- findBox(moovOff + 8, moovEnd, "mvhd")
+        // children start after the box header: 8 bytes normally, 16 when
+        // the size==1 extended (64-bit largesize) form was used — walking
+        // from +8 there would misparse the largesize as a child header
+        moovHdr = if (be32(moovOff) == 1L) 16 else 8
+        (mvhdOff, _) <- findBox(moovOff + moovHdr, moovEnd, "mvhd")
         if mvhdOff + 12 <= p.length
         version = u8(mvhdOff + 8)
         result <- version match {

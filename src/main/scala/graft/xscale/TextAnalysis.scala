@@ -1088,11 +1088,17 @@ object TextAnalysis {
             s"FROM $prev v CROSS JOIN w$r w)"
         }
         val rounds = (1 to BpeMerges).map(round).mkString(", ")
+        // Each round's pair rides in as a SCALAR subquery coalesced to a
+        // chr(1) sentinel (never present in a symbol string), so a round
+        // the trainer never reached — w_r empty because the vocab ran out
+        // of mergeable pairs — is a no-op replace, mirroring the Scala
+        // early stop. A CROSS JOIN would instead empty the whole chain.
         val applyChain = (1 to BpeMerges).foldLeft(
           "' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' '") {
-          (acc, r) => s"replace($acc, ' ' || w$r.pair || ' ', ' ' || replace(w$r.pair, ' ', '') || ' ')"
+          (acc, r) =>
+            val p = s"coalesce((SELECT pair FROM w$r), chr(1))"
+            s"replace($acc, ' ' || $p || ' ', ' ' || replace($p, ' ', '') || ' ')"
         }
-        val joins = (1 to BpeMerges).map(r => s"CROSS JOIN w$r").mkString(" ")
         s"WITH vb AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
           s"(SELECT unnest(${XText.wordsSql("lower(text)")}) AS w FROM documents) " +
           "WHERE w <> '' GROUP BY w), " +
@@ -1102,7 +1108,7 @@ object TextAnalysis {
           s"aw AS (SELECT doc_id, unnest(list_filter(${XText.wordsSql("lower(text)")}, " +
           "w -> w <> '')) AS w FROM documents), " +
           s"ap AS (SELECT doc_id, length(w) AS nc, " +
-          s"len(string_split(trim($applyChain), ' ')) AS ns FROM aw $joins), " +
+          s"len(string_split(trim($applyChain), ' ')) AS ns FROM aw), " +
           "ag AS (SELECT doc_id, CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_char, " +
           "CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_sym FROM ap GROUP BY doc_id) " +
           "SELECT d.doc_id, CAST(coalesce(ag.n_char, 0) AS BIGINT) AS n_char, " +

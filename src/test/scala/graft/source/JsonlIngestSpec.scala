@@ -28,12 +28,15 @@ class JsonlIngestSpec extends SparkSpec {
     ).mkString("\n"))
     val (good, quarantined) = JsonlIngest.ingest(spark, dir.getPath)
     val g = good.orderBy("doc_id")
-      .select("doc_id", "source", "lang", "text", "n_chars", "n_tok")
-      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+      .select("doc_id", "source", "lang", "text", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
     // trimmed text, lowercased source/lang, defaults for absent fields
     assert(g === Seq(
-      (1L, "web", "en", "alpha beta gamma", 16L, 3L),
-      (2L, "unknown", "und", "delta epsilon", 13L, 2L)))
+      (1L, "web", "en", "alpha beta gamma", 16L),
+      (2L, "unknown", "und", "delta epsilon", 13L)))
+    // no n_tok in the output: the canonical documents schema doesn't carry
+    // it, and downstream packing derives its own from the text it sees
+    assert(!good.columns.contains("n_tok"))
     val (nGood, nBad, reasons) = JsonlIngest.stats(good, quarantined)
     assert(nGood === 2L && nBad === 4L)
     assert(reasons === Map("malformed_json" -> 2L, "missing_doc_id" -> 1L, "empty_text" -> 1L))

@@ -421,23 +421,37 @@ class DataPrepSpec extends SparkSpec {
   }
 
   test("x66 pack hygiene: clone corpus shows full dup excess, clean corpus none") {
-    // every doc identical: inside ANY pack, all docs share the norm key, so
-    // dup_excess must be exactly n_docs - 1 per pack
+    // production surface (no fixture augmentation): every doc identical —
+    // inside ANY pack, all docs share the norm key, so dup_excess must be
+    // exactly n_docs - 1 per pack
     val clones = (1L to 40L).map(i => (i, "s" + (i % 2), "identical text body here"))
       .toDF("doc_id", "source", "text")
-    val run = DataPrep.queries.find(_.name == "x66_pack_hygiene").get
-    val dir = tmpDir("x66").getPath
-    clones.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = run.run(spark, dir)
+    val rows = graft.TrainingData.packHygiene(clones)
       .select("n_docs", "dup_excess").as[(Long, Long)].collect()
     assert(rows.map(_._1).sum === 40L)
     rows.foreach { case (n, d) => assert(d === n - 1) }
     // all-distinct corpus: zero dup excess anywhere
     val distinctDocs = (1L to 40L).map(i => (i, "s0", s"unique words for document number $i only"))
       .toDF("doc_id", "source", "text")
-    distinctDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val clean = run.run(spark, dir).select("dup_excess").as[Long].collect()
+    val clean = graft.TrainingData.packHygiene(distinctDocs)
+      .select("dup_excess").as[Long].collect()
     assert(clean.forall(_ === 0L))
+  }
+
+  test("x66 registered query: mirror fixture packs each dup beside its original") {
+    // the REGISTERED query augments every 31st doc with a same-ord mirror
+    // dup (so the audit column carries nonzero values at oracle scale);
+    // same-ord means the dup lands in its original's pack — on a distinct
+    // corpus the total dup excess is exactly the mirror count
+    val distinctDocs = (1L to 62L).map(i => (i, "s0", s"unique words for document number $i only"))
+      .toDF("doc_id", "source", "text")
+    val run = DataPrep.queries.find(_.name == "x66_pack_hygiene").get
+    val dir = tmpDir("x66reg").getPath
+    distinctDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run.run(spark, dir)
+      .select("n_docs", "dup_excess").as[(Long, Long)].collect()
+    assert(out.map(_._1).sum === 64L) // 62 docs + mirrors of 31 and 62
+    assert(out.map(_._2).sum === 2L)
   }
 
   test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {

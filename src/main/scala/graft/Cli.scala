@@ -128,6 +128,13 @@ object Cli {
     case "corpus" :: docsPath :: outDir :: rest
         if parseCorpusFlags(rest).isDefined =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // --ckpt <dir>: every stage-boundary materialization below becomes a
+      // RELIABLE checkpoint (object-store backed) instead of executor-local
+      // blocks — at 100 TB an executor loss mid-pipeline must not restart
+      // the whole corpus build
+      val ckptDir = parseCorpusFlags(rest).flatMap(_._4)
+      def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        graft.xscale.DedupClusters.ckpt(df, ckptDir)
       val docs = spark.read.parquet(docsPath)
       val cols = docs.columns.map(org.apache.spark.sql.functions.col).toSeq
       val quality = TrainingData.qualityFilter(docs).select(cols: _*)
@@ -140,7 +147,7 @@ object Cli {
       // AND a count — without the cuts every consumer re-runs the whole
       // upstream pipeline. The quality filter itself stays lazy (one
       // cheap per-row scan each for the dedup lineage and kept-count).
-      val dedupedDocs = TrainingData.dedupExact(kept).localCheckpoint()
+      val dedupedDocs = cut(TrainingData.dedupExact(kept))
       val deduped =
         if (rest.contains("--despan")) {
           // docs emptied entirely by span removal carry no training signal
@@ -152,27 +159,26 @@ object Cli {
           // n_chars must describe the REWRITTEN text: the documents schema
           // carries it and downstream consumers (x09 quality) read it, so a
           // stale pre-removal value would skew them silently
-          dedupedDocs.drop("text")
+          cut(dedupedDocs.drop("text")
             .join(clean, "doc_id")
             .withColumnRenamed("text_clean", "text")
             .withColumn("n_chars",
               org.apache.spark.sql.functions.length(
                 org.apache.spark.sql.functions.col("text")).cast("long"))
-            .select(cols: _*)
-            .localCheckpoint()
+            .select(cols: _*))
         } else dedupedDocs
       val selected = parseCorpusFlags(rest).flatMap(_._3) match {
         case Some(lang) =>
           val c = org.apache.spark.sql.functions.col _
           val sel = TrainingData
-            .dsirSelectThreshold(deduped, c("lang") === lang)
+            .dsirSelectThreshold(deduped, c("lang") === lang, checkpointDir = ckptDir)
             .filter(c("selected")).select("doc_id")
           deduped.filter(c("lang") === lang)
             .unionByName(deduped.filter(c("lang") =!= lang).join(sel, "doc_id"))
             .select(cols: _*)
         case None => deduped
       }
-      val selectedM = if (selected eq deduped) selected else selected.localCheckpoint()
+      val selectedM = if (selected eq deduped) selected else cut(selected)
       val split = TrainingData.splitAssign(selectedM)
       val packs = TrainingData.packAssignments(split)
       // drop any input-carried n_tok: packs derives the authoritative count
@@ -199,18 +205,21 @@ object Cli {
       2
   }
 
-  /** corpus flag parser: (--strict?, --despan?, --dsir target-lang?); None
-    * on anything unrecognized so the command falls through to usage().
+  /** corpus flag parser: (--strict?, --despan?, --dsir target-lang?,
+    * --ckpt reliable-checkpoint-dir?); None on anything unrecognized so
+    * the command falls through to usage().
     */
   private def parseCorpusFlags(
-      rest: List[String]): Option[(Boolean, Boolean, Option[String])] = rest match {
-    case Nil => Some((false, false, None))
+      rest: List[String]): Option[(Boolean, Boolean, Option[String], Option[String])] = rest match {
+    case Nil => Some((false, false, None, None))
     case "--strict" :: tail =>
-      parseCorpusFlags(tail).map { case (_, d, t) => (true, d, t) }
+      parseCorpusFlags(tail).map { case (_, d, t, c) => (true, d, t, c) }
     case "--despan" :: tail =>
-      parseCorpusFlags(tail).map { case (s, _, t) => (s, true, t) }
+      parseCorpusFlags(tail).map { case (s, _, t, c) => (s, true, t, c) }
     case "--dsir" :: lang :: tail if !lang.startsWith("--") =>
-      parseCorpusFlags(tail).map { case (s, d, _) => (s, d, Some(lang)) }
+      parseCorpusFlags(tail).map { case (s, d, _, c) => (s, d, Some(lang), c) }
+    case "--ckpt" :: dir :: tail if !dir.startsWith("--") =>
+      parseCorpusFlags(tail).map { case (s, d, t, _) => (s, d, t, Some(dir)) }
     case _ => None
   }
 
@@ -219,7 +228,7 @@ object Cli {
       "usage: graft.Cli ingest [<unprocessedDir> <lakePath> <syncLogPath> [processedDir]]\n" +
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
-        "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>]\n" +
+        "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

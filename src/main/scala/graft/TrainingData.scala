@@ -104,16 +104,16 @@ object TrainingData {
     * floats, the memory step FAISS composes with IVF.
     */
   def pqCodes(emb: DataFrame, m: Int = Similarity.PqM, nc: Int = Similarity.NC,
-      trainSample: Double = 1.0): DataFrame =
-    Similarity.pqCodes(emb, m, nc, trainSample)
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.pqCodes(emb, m, nc, trainSample, checkpointDir)
 
   /** Code-only ADC top-k over PQ codes (x59) — the corpus is touched only
     * through its codes at query time.
     */
   def pqAdcKnn(emb: DataFrame, isQuery: Column, k: Int = 3,
       m: Int = Similarity.PqM, nc: Int = Similarity.NC,
-      trainSample: Double = 1.0): DataFrame =
-    Similarity.pqAdcKnn(emb, isQuery, k, m, nc, trainSample)
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.pqAdcKnn(emb, isQuery, k, m, nc, trainSample, checkpointDir)
 
   /** ADC shortlist + exact rerank (x60) — the production IVFPQ search;
     * `shortlist` is the recall/IO knob (full vectors read for
@@ -121,16 +121,17 @@ object TrainingData {
     */
   def pqAdcRerank(emb: DataFrame, isQuery: Column, k: Int = 3,
       shortlist: Int = 50, m: Int = Similarity.PqM, nc: Int = Similarity.NC,
-      trainSample: Double = 1.0): DataFrame =
-    Similarity.pqAdcRerank(emb, isQuery, k, shortlist, m, nc, trainSample)
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.pqAdcRerank(emb, isQuery, k, shortlist, m, nc, trainSample, checkpointDir)
 
   /** Dimension-truncation fidelity (x65, Matryoshka audit): per prefix
     * length, cosine drift and top-1 preservation over the exact full-dim
     * top-k — the decision input for serving truncated embeddings.
     */
   def matryoshkaFidelity(emb: DataFrame, isQuery: Column,
-      dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 3): DataFrame =
-    Similarity.matryoshkaFidelity(emb, isQuery, dims, k)
+      dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.matryoshkaFidelity(emb, isQuery, dims, k, checkpointDir)
 
   /** SemDeDup: k-means-cluster the embeddings, drop vectors with a
     * cosine >= tau neighbor farther from their cluster centroid —
@@ -141,8 +142,9 @@ object TrainingData {
     * the quantizer on a deterministic hash-sample.
     */
   def semDedup(emb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU,
-      nc: Int = 0, trainSample: Double = 1.0): DataFrame =
-    Similarity.semDedup(emb, tau, nc, trainSample)
+      nc: Int = 0, trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.semDedup(emb, tau, nc, trainSample, checkpointDir)
 
   // ---- text analysis / quality ----
 
@@ -249,8 +251,9 @@ object TrainingData {
     * table (round, pair, merged, cnt) — corpus scanned once into a
     * frequency-weighted word-type vocab, every round vocab-bounded.
     */
-  def bpeTrain(docs: DataFrame, merges: Int = TextAnalysis.BpeMerges): Seq[(Long, String, String, Long)] =
-    TextAnalysis.bpeTrain(docs, merges)
+  def bpeTrain(docs: DataFrame, merges: Int = TextAnalysis.BpeMerges,
+      checkpointDir: Option[String] = None): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeTrain(docs, merges, checkpointDir)
 
   /** Tokenize with a learned merge table (x63): per-doc char/symbol counts
     * and chars-per-symbol, zero-shuffle expression chain.
@@ -362,8 +365,9 @@ object TrainingData {
     */
   def clusterCap(emb: DataFrame, docs: DataFrame,
       cap: Int = Similarity.ClusterCap, nc: Int = 0,
-      trainSample: Double = 1.0): DataFrame =
-    Similarity.clusterCapped(emb, docs, cap, nc, trainSample)
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.clusterCapped(emb, docs, cap, nc, trainSample, checkpointDir)
 
   /** Heaps'-law vocabulary-growth curve over deterministic hash-arrival
     * phases (x53) — per-phase docs/tokens/first-seen terms + running
@@ -378,8 +382,9 @@ object TrainingData {
     * corpus-proportional; `trainSample` trains the quantizer on a
     * deterministic hash-sample at scale.
     */
-  def protoPrune(emb: DataFrame, nc: Int = 0, trainSample: Double = 1.0): DataFrame =
-    Similarity.protoPrune(emb, nc, trainSample)
+  def protoPrune(emb: DataFrame, nc: Int = 0, trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.protoPrune(emb, nc, trainSample, checkpointDir)
 
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,

@@ -27,7 +27,7 @@ object DedupClusters {
     * 100 TB CC job. The dir is set once per SparkContext; an existing
     * setting wins so callers can manage it globally.
     */
-  private[xscale] def ckpt(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[graft] def ckpt(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext

@@ -125,7 +125,8 @@ object Similarity {
   def trainQuantizer(
       vi: DataFrame,
       nc: Int = NC,
-      sampleFraction: Double = 1.0): Seq[(Long, Seq[Long])] = {
+      sampleFraction: Double = 1.0,
+      checkpointDir: Option[String] = None): Seq[(Long, Seq[Long])] = {
     val sp = vi.sparkSession
     import sp.implicits._
     // A coarse quantizer does not need the whole corpus: at 100 TB the
@@ -139,8 +140,10 @@ object Similarity {
       if (sampleFraction >= 1.0) vi
       else {
         val keep = math.max(1L, (sampleFraction * 1000).toLong)
-        vi.filter(XHash.h60(col("vec_id").cast("string")) % 1000 < keep)
-          .select("vec_id", "vi").localCheckpoint()
+        DedupClusters.ckpt(
+          vi.filter(XHash.h60(col("vec_id").cast("string")) % 1000 < keep)
+            .select("vec_id", "vi"),
+          checkpointDir)
       }
     def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
@@ -223,7 +226,8 @@ object Similarity {
       emb: DataFrame,
       tau: Double = SEMDEDUP_TAU,
       nc: Int = 0,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vi = fixedPoint(emb)
     // nc <= 0 means auto: corpus-proportional cluster count so the mean
     // cluster stays ~TargetClusterSize and the self-join stays linear in
@@ -233,15 +237,17 @@ object Similarity {
     val ncEff =
       if (nc > 0) nc
       else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
-    val ranked = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
+    val ranked = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample, checkpointDir))
     // materialize the assignment once: it feeds BOTH self-join sides plus
     // the final projection, and Spark re-executes repeated un-cached
     // subtrees — without this the corpus is scanned and re-ranked 3x
-    // (plan-audit-visible). localCheckpoint also truncates the lineage,
-    // same pattern as DedupClusters' iteration state.
-    val asg = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("nrm"))
-      .localCheckpoint()
+    // (plan-audit-visible). The cut also truncates the lineage, same
+    // pattern as DedupClusters' iteration state; reliable when a dir is
+    // given.
+    val asg = DedupClusters.ckpt(
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("nrm")),
+      checkpointDir)
     val a = asg.select(
       col("cid"), col("vec_id").as("va"), col("dist").as("da"),
       col("v").as("av"), col("nrm").as("an"))
@@ -294,22 +300,26 @@ object Similarity {
       vi: DataFrame,
       m: Int = PqM,
       nc: Int = NC,
-      trainSample: Double = 1.0): Seq[(Int, Seq[(Long, Seq[Long])])] = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): Seq[(Int, Seq[(Long, Seq[Long])])] = {
     require(m > 0 && 64 % m == 0, "m must divide the 64-dim embedding")
     val sub = 64 / m
-    (0 until m).map(s => s -> trainQuantizer(pqSlice(vi, s, sub), nc, trainSample))
+    (0 until m).map(s =>
+      s -> trainQuantizer(pqSlice(vi, s, sub), nc, trainSample, checkpointDir))
   }
 
   def pqCodes(
       emb: DataFrame,
       m: Int = PqM,
       nc: Int = NC,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sub = 64 / m
     // one materialization feeds m trainings + m assignments (the repeated-
-    // subtree rule — see semDedup's asg)
-    val vi = fixedPoint(emb).select("vec_id", "vi").localCheckpoint()
-    pqTrain(vi, m, nc, trainSample).map { case (s, cents) =>
+    // subtree rule — see semDedup's asg); reliable checkpoint when a dir
+    // is given, so a 100 TB code build survives executor loss
+    val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
+    pqTrain(vi, m, nc, trainSample, checkpointDir).map { case (s, cents) =>
       quantizerRanked(pqSlice(vi, s, sub), cents)
         .filter(col("rn") === 1)
         .select(
@@ -335,12 +345,13 @@ object Similarity {
       k: Int = 3,
       m: Int = PqM,
       nc: Int = NC,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sp = emb.sparkSession
     import sp.implicits._
     val sub = 64 / m
-    val vi = fixedPoint(emb).select("vec_id", "vi").localCheckpoint()
-    val trained = pqTrain(vi, m, nc, trainSample)
+    val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
+    val trained = pqTrain(vi, m, nc, trainSample, checkpointDir)
     val codes = trained.map { case (s, cents) =>
       quantizerRanked(pqSlice(vi, s, sub), cents)
         .filter(col("rn") === 1)
@@ -415,9 +426,10 @@ object Similarity {
       shortlist: Int = 50,
       m: Int = PqM,
       nc: Int = NC,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vi = fixedPoint(emb).select("vec_id", "vi")
-    val cand = pqAdcKnn(emb, isQuery, shortlist, m, nc, trainSample)
+    val cand = pqAdcKnn(emb, isQuery, shortlist, m, nc, trainSample, checkpointDir)
       .select("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("sqdist"), col("neighbor_id"))
     cand
@@ -449,16 +461,18 @@ object Similarity {
       emb: DataFrame,
       isQuery: Column,
       dims: Seq[Int] = Seq(8, 16, 32, 64),
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val top = knnBrute(emb, isQuery, k)
     val vn = withNorm(emb).select(col("vec_id"), col("v"))
     // materialize once: every prefix leg reads the same |q|·k joined pairs,
     // and without the cut each leg re-runs the whole exact top-k upstream
     // (the repeated-subtree rule; plan-audit-visible)
-    val j = top
-      .join(vn.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
-      .join(vn.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
-      .localCheckpoint()
+    val j = DedupClusters.ckpt(
+      top
+        .join(vn.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+        .join(vn.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id"),
+      checkpointDir)
     def cos(a: Column, b: Column): Column =
       dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     val legs = dims.map { d =>
@@ -607,14 +621,15 @@ object Similarity {
       docs: DataFrame,
       cap: Int = ClusterCap,
       nc: Int = 0,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vi = fixedPoint(emb)
     // nc <= 0 means auto (corpus-proportional, the semDedup rule);
     // oracle-pinned queries pass nc = NC so the SQL twin's literal holds
     val ncEff =
       if (nc > 0) nc
       else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
-    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
+    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample, checkpointDir))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
     val qd = TextAnalysis.qualityPerDoc(docs)
@@ -642,14 +657,15 @@ object Similarity {
   def protoPrune(
       emb: DataFrame,
       nc: Int = 0,
-      trainSample: Double = 1.0): DataFrame = {
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vi = fixedPoint(emb)
     // nc <= 0 means auto (corpus-proportional, the semDedup rule);
     // oracle-pinned queries pass nc = NC so the SQL twin's literal holds
     val ncEff =
       if (nc > 0) nc
       else math.max(NC.toLong, emb.count() / TargetClusterSize).toInt
-    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample))
+    val asg = quantizerRanked(vi, trainQuantizer(vi, ncEff, trainSample, checkpointDir))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("dist"))
     val byHard = Window.partitionBy("cid").orderBy(col("dist").desc, col("vec_id"))

@@ -473,18 +473,20 @@ object TextAnalysis {
     */
   def bpeTrain(
       docs: org.apache.spark.sql.DataFrame,
-      merges: Int = BpeMerges): Seq[(Long, String, String, Long)] = {
+      merges: Int = BpeMerges,
+      checkpointDir: Option[String] = None): Seq[(Long, String, String, Long)] = {
     val sp = docs.sparkSession
     import sp.implicits._
-    var state = docs
-      .select(explode(XText.words(lower(col("text")))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(
-        col("freq"),
-        concat_ws(" ",
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
-      .localCheckpoint()
+    var state = DedupClusters.ckpt(
+      docs
+        .select(explode(XText.words(lower(col("text")))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(
+          col("freq"),
+          concat_ws(" ",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym")),
+      checkpointDir)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -505,12 +507,13 @@ object TextAnalysis {
         val (pair, cnt) = win.head
         val merged = pair.replace(" ", "")
         out += ((r.toLong, pair, merged, cnt))
-        state = state.select(
-          col("freq"),
-          trim(call_function("replace",
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("sym"))
-          .localCheckpoint()
+        state = DedupClusters.ckpt(
+          state.select(
+            col("freq"),
+            trim(call_function("replace",
+              concat(lit(" "), col("sym"), lit(" ")),
+              lit(s" $pair "), lit(s" $merged "))).as("sym")),
+          checkpointDir)
         r += 1
       }
     }

@@ -642,6 +642,35 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("PQ/matryoshka/BPE checkpointDir knob: reliable materialization, results invariant") {
+    // the knob only swaps executor-local blocks for reliable checkpoints —
+    // every result must be bit-identical to the default path (the x50 rule:
+    // new ops ship with the checkpointDir knob, and it never changes values)
+    val ckptDir = tmpDir("newops-ckpt").getPath + "/ckpt"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codesBase = Similarity.pqCodes(emb)
+      .select("vec_id", "m", "code").as[(Long, Long, Long)].collect().toSet
+    val codesCkpt = Similarity.pqCodes(emb, checkpointDir = Some(ckptDir))
+      .select("vec_id", "m", "code").as[(Long, Long, Long)].collect().toSet
+    assert(codesCkpt === codesBase)
+    val rrBase = Similarity.pqAdcRerank(emb, col("vec_id") < 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val rrCkpt = Similarity.pqAdcRerank(emb, col("vec_id") < 5, checkpointDir = Some(ckptDir))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(rrCkpt === rrBase)
+    val mfBase = Similarity.matryoshkaFidelity(emb, col("vec_id") < 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val mfCkpt = Similarity.matryoshkaFidelity(emb, col("vec_id") < 5,
+      checkpointDir = Some(ckptDir)).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mfCkpt === mfBase)
+    val docs = Seq((1L, "aa ab"), (2L, "ab ab b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, checkpointDir = Some(ckptDir)) ===
+      TextAnalysis.bpeTrain(docs))
+    // the run switched the context onto a reliable checkpoint dir (first
+    // Some(dir) caller in the shared test JVM wins — assert the posture)
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+  }
+
   test("x62 BPE training: hand-checkable merges, frequency weighting, early exhaustion") {
     // vocab: aa(1), ab(3), b(1) — round 1 must pick (a b) by frequency 3,
     // round 2 (a a), then no pairs remain (every word is one symbol)

@@ -87,6 +87,18 @@ object ScaleSmoke {
       "x54_proto_auto" -> ((s, d) =>
         TrainingData.protoPrune(
           s.read.parquet(s"$d/embeddings.parquet"), trainSample = 0.1)),
+      // x68 in its production posture: corpus-proportional coarse cells
+      // (mean cell ≈ TargetClusterSize vectors, so nprobe/nc keeps the
+      // candidate scan near-constant per query as the corpus grows),
+      // sampled quantizer training, reliable checkpoints
+      "x68_ivfpq_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val nc = math.max(xscale.Similarity.NC.toLong,
+          emb.count() / xscale.Similarity.TargetClusterSize).toInt
+        TrainingData.ivfPqKnn(emb, col("vec_id") < 10,
+          ncCoarse = nc, trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))
+      }),
       // x51 scale path: sampled-threshold selection, no global window
       "x51_dsir_threshold" -> ((s, d) =>
         TrainingData.dsirSelectThreshold(

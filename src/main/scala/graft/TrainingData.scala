@@ -124,6 +124,21 @@ object TrainingData {
       trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
     Similarity.pqAdcRerank(emb, isQuery, k, shortlist, m, nc, trainSample, checkpointDir)
 
+  /** True IVFPQ search (x68; Jégou et al. 2011, the FAISS IndexIVFPQ
+    * architecture): coarse cells route the corpus, each vector stores
+    * cell id + m residual PQ codes, search probes `nprobe` cells,
+    * ADC-scans only their codes and exactly reranks a shortlist. The
+    * 100 TB ANN flagship: candidate scan bounded by nprobe/ncCoarse of
+    * the corpus, corpus resident as cid + m bytes per vector.
+    */
+  def ivfPqKnn(emb: DataFrame, isQuery: Column, k: Int = 3,
+      nprobe: Int = Similarity.NPROBE, shortlist: Int = 50,
+      m: Int = Similarity.PqM, ncCoarse: Int = Similarity.NC,
+      ncPq: Int = Similarity.NC, trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.ivfPqKnn(emb, isQuery, k, nprobe, shortlist, m, ncCoarse,
+      ncPq, trainSample, checkpointDir)
+
   /** Dimension-truncation fidelity (x65, Matryoshka audit): per prefix
     * length, cosine drift and top-1 preservation over the exact full-dim
     * top-k — the decision input for serving truncated embeddings.

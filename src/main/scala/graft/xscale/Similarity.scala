@@ -441,6 +441,95 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sqdist")
   }
 
+  /** x68 core: true IVFPQ (Jégou et al. 2011 — the FAISS IndexIVFPQ
+    * architecture), composing the x13 coarse quantizer with the x58-x60
+    * PQ machinery. The coarse quantizer routes every vector to one of
+    * `ncCoarse` inverted lists; each vector then stores only its cell id
+    * plus m PQ codes of its RESIDUAL (vector minus cell centroid —
+    * residuals concentrate near zero, which is why FAISS quantizes them
+    * instead of raw vectors; one codebook set is shared across cells,
+    * FAISS's default). Search: per query, rank cells by exact centroid
+    * distance, probe the `nprobe` nearest, ADC-scan ONLY those cells'
+    * codes against a per-(query, cell) residual distance table, shortlist
+    * by ADC, and exactly rerank the shortlist on full vectors.
+    *
+    * Scale posture (100 TB): the corpus is resident as cid + m codes per
+    * vector; probing bounds the candidate scan to ~nprobe/ncCoarse of the
+    * corpus (the decisive difference from x59's full-corpus ADC); both
+    * centroid sets and the |q|·nprobe·m·ncPq integer distance table are
+    * driver-bounded broadcasts; full vectors are read only for the
+    * shortlist × |q| rerank rows. All arithmetic is fixed-point, so the
+    * oracle re-derives every assignment bit-exactly. Columns
+    * (query_id, rank, neighbor_id, sqdist).
+    */
+  def ivfPqKnn(
+      emb: DataFrame,
+      isQuery: Column,
+      k: Int = 3,
+      nprobe: Int = NPROBE,
+      shortlist: Int = 50,
+      m: Int = PqM,
+      ncCoarse: Int = NC,
+      ncPq: Int = NC,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val sub = 64 / m
+    val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
+    val coarse = trainQuantizer(vi, ncCoarse, trainSample, checkpointDir)
+    val cr = quantizerRanked(vi, coarse)
+    // corpus residuals against the assigned cell's centroid (ci rides on
+    // the rn = 1 row from quantizerRanked's broadcast join)
+    val res = DedupClusters.ckpt(
+      cr.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(vi, ci, (x, c) -> x - c)").as("vi")),
+      checkpointDir)
+    val trainedR = pqTrain(res.select("vec_id", "vi"), m, ncPq, trainSample, checkpointDir)
+    val codes = trainedR.map { case (s2, cents) =>
+      quantizerRanked(pqSlice(res, s2, sub), cents)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), lit(s2.toLong).as("m"), col("cid").as("code"))
+    }.reduce(_ unionByName _)
+    val cellOf = res.select("vec_id", "cid")
+    // probe rows: one per (query, probed cell), with the query's residual
+    // against THAT cell's centroid — ADC under each probed cell uses the
+    // cell-local residual, exactly as FAISS does
+    val qres = cr.filter(isQuery).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        expr("zip_with(vi, ci, (x, c) -> x - c)").as("qr"))
+    val pqCentDf = trainedR
+      .flatMap { case (s2, cs) => cs.map { case (cid, ci) => (s2.toLong, cid, ci) } }
+      .toDF("m", "code", "ci")
+    val qSlices = (0 until m).map { s2 =>
+      qres.select(col("query_id"), col("cid"), lit(s2.toLong).as("m"),
+        expr(s"slice(qr, ${s2 * sub + 1}, $sub)").as("qs"))
+    }.reduce(_ unionByName _)
+    val tbl = qSlices.join(broadcast(pqCentDf), "m")
+      .select(col("query_id"), col("cid"), col("m"), col("code"),
+        graftnative.api.sqdistLong(col("qs"), col("ci")).as("d"))
+    // the (cid, m, code) join keys restrict the corpus side to probed
+    // cells before any aggregation — the inverted-list scan
+    val adc = codes.join(cellOf, "vec_id")
+      .join(broadcast(tbl), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc"))
+    val bySl = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val sl = adc.withColumn("srn", row_number().over(bySl))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val byExact = Window.partitionBy("query_id").orderBy(col("sqdist"), col("neighbor_id"))
+    sl
+      .join(vi.select(col("vec_id").as("query_id"), col("vi").as("qvi")), "query_id")
+      .join(vi.select(col("vec_id").as("neighbor_id"), col("vi").as("nvi")), "neighbor_id")
+      .withColumn("sqdist", graftnative.api.sqdistLong(col("qvi"), col("nvi")))
+      .withColumn("rank", row_number().over(byExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sqdist")
+  }
+
   /** x65 core: dimension-truncation fidelity — the Matryoshka (Kusupati
     * et al. 2022) deployment audit: how much of the full-dimension cosine
     * structure survives when vectors are truncated to their first d'
@@ -1143,6 +1232,65 @@ object Similarity {
         "rerank recovers the exact-L2 top-k (recall floor spec-pinned)."
     ) { (s, dir) =>
       pqAdcRerank(table(s, dir, "embeddings"), col("vec_id") < 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- x68: true IVFPQ (coarse cells + residual PQ + nprobe ADC + rerank) -----
+    Q(
+      "x68_ivfpq",
+      Some {
+        // residual PQ chains: pqKmeansSql runs unchanged over vi0, which
+        // here holds RESIDUALS (vector minus assigned coarse centroid)
+        // instead of raw vectors
+        val chains = (0 until PqM).map(s => pqKmeansSql(s, NC, PqSub)).mkString(", ")
+        val legs = (0 until PqM).map { s =>
+          val off = s * PqSub
+          s"SELECT q.query_id, v.vec_id AS neighbor_id, " +
+            s"list_aggregate(list_transform(generate_series(1, $PqSub), " +
+            s"i -> (q.qr[$off + i] - c.ci[i]) * (q.qr[$off + i] - c.ci[i])), 'sum') AS d " +
+            s"FROM qres q JOIN res v ON v.cid = q.cid " +
+            s"JOIN r0_m$s a ON a.vec_id = v.vec_id AND a.rn = 1 " +
+            s"JOIN c${NITER}_m$s c ON c.cid = a.cid " +
+            "WHERE v.vec_id <> q.query_id"
+        }.mkString(" UNION ALL ")
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          s"res AS (SELECT a.vec_id, a.cid, list_transform(generate_series(1, 64), " +
+          s"i -> vi.vi[i] - c.ci[i]) AS rv FROM asg a JOIN vi ON vi.vec_id = a.vec_id " +
+          s"JOIN c$NITER c ON c.cid = a.cid), " +
+          "vi0 AS (SELECT vec_id, rv AS vfull FROM res), " +
+          s"$chains, " +
+          s"probe AS (SELECT vec_id, cid FROM r0 WHERE rn <= $NPROBE AND vec_id < 10), " +
+          s"qres AS (SELECT p.vec_id AS query_id, p.cid, " +
+          "list_transform(generate_series(1, 64), i -> vi.vi[i] - c.ci[i]) AS qr " +
+          s"FROM probe p JOIN vi ON vi.vec_id = p.vec_id JOIN c$NITER c ON c.cid = p.cid), " +
+          s"u AS ($legs), " +
+          "adc AS (SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc FROM u " +
+          "GROUP BY 1, 2), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn FROM adc), " +
+          "sl AS (SELECT query_id, neighbor_id FROM r WHERE srn <= 50), " +
+          "ex AS (SELECT s.query_id, s.neighbor_id, " +
+          "list_aggregate(list_transform(generate_series(1, 64), " +
+          "i -> (q.vi[i] - c.vi[i]) * (q.vi[i] - c.vi[i])), 'sum') AS sqdist " +
+          "FROM sl s JOIN vi q ON q.vec_id = s.query_id " +
+          "JOIN vi c ON c.vec_id = s.neighbor_id), " +
+          "r2 AS (SELECT query_id, neighbor_id, CAST(sqdist AS BIGINT) AS sqdist, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sqdist, neighbor_id) AS rank FROM ex) " +
+          "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sqdist FROM r2 " +
+          "WHERE rank <= 3 ORDER BY query_id, rank"
+      },
+      "true IVFPQ (Jégou et al. 2011; FAISS IndexIVFPQ) — x13's coarse cells composed with " +
+        "x58-x60's PQ machinery: every vector stores cell id + 4 codes of its RESIDUAL " +
+        "(shared codebooks, FAISS default); search probes the 2 nearest cells per query, " +
+        "ADC-scans ONLY those cells' codes with per-(query, cell) residual distance tables, " +
+        "then exactly reranks the 50-candidate shortlist. The decisive scale property over " +
+        "x59: the candidate scan is bounded by nprobe/nc of the corpus, with the corpus " +
+        "resident as cid + m bytes per vector; centroids and distance tables are " +
+        "driver-bounded broadcasts. Fixed-point end to end, so every assignment, code and " +
+        "distance is oracle-exact; recall vs the exact x06 top-k is spec-measured."
+    ) { (s, dir) =>
+      ivfPqKnn(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
     },
 

@@ -348,6 +348,18 @@ object TrainingData {
         (count(lit(1)) - countDistinct("key")).as("dup_excess"))
   }
 
+  /** Pack repair (x69) — the remediation for [[packHygiene]]'s audit:
+    * within-pack duplicate-key docs swap with same-n_tok, globally-unique
+    * docs from collision-free packs (deterministic rank matching, guarded
+    * against creating new collisions), preserving every pack's doc count
+    * and token budget exactly. Input needs (doc_id, text); an optional
+    * ord column overrides the hash packing order. Returns the repaired
+    * (doc_id, key, n_tok, shard, pack, moved).
+    */
+  def packRepair(docs: DataFrame, budget: Int = DataPrep.PackBudget,
+      shards: Int = DataPrep.PackShards): DataFrame =
+    DataPrep.packRepair(docs, budget, shards)
+
   /** Shard-export manifest (x49): per (shard, pack) doc/token counts and
     * an order-independent bit_xor content checksum — the integrity
     * handshake between pipeline and training run.

@@ -396,7 +396,72 @@ object DataPrep {
     val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-      .select(col("doc_id"), col("n_tok"), col("shard"), expr(s"cum div $budget").as("pack"))
+      .select(col("doc_id"), col("n_tok"), col("ord"), col("shard"),
+        expr(s"cum div $budget").as("pack"))
+  }
+
+  /** x69 core: deterministic pack REPAIR — the remediation the x66 audit
+    * calls for. Docs whose normalized-text key collides inside their own
+    * pack (every within-pack occurrence after the first, by packing
+    * order) are SWAPPED with a same-`n_tok` doc whose key is globally
+    * unique and whose pack carries no collision at all; because the two
+    * docs have equal token counts, every pack's doc count and token sum
+    * are preserved exactly — no re-packing, no budget drift. Matching is
+    * rank-to-rank inside each n_tok group (movers and candidates both
+    * ordered by (shard, pack, ord, doc_id)), then guarded: a swap is
+    * dropped if the target pack already holds the mover's key, or if two
+    * same-key movers would land in one pack — so repair can only reduce
+    * within-pack duplication, never create it. Unmatched movers stay put
+    * and surface in the residual audit.
+    *
+    * Input must carry (doc_id, text, ord); output is the repaired
+    * assignment (doc_id, key, n_tok, shard, pack, moved).
+    *
+    * Scale posture (100 TB): everything is window ranks over the pack
+    * frame plus hash joins on 8-byte keys — the mover/candidate tables
+    * are duplicate-bounded (tiny next to the corpus), and the final
+    * plan applies two broadcast-size left joins to the full frame. No
+    * global sort; ranks partition by n_tok / pack exactly like the
+    * packing cumsum itself.
+    */
+  def packRepair(docs: DataFrame, budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
+    // derive the hash packing order when the caller didn't supply one
+    // (fixtures pass an explicit ord to place rows deliberately)
+    val withOrd = if (docs.columns.contains("ord")) docs else docs.withColumn("ord", ordCol)
+    val keyed = withOrd.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("key"))
+    val p = packAssignmentsOrd(withOrd, budget, shards).join(keyed, "doc_id")
+    val byOcc = Window.partitionBy("shard", "pack", "key").orderBy("ord", "doc_id")
+    val rkx = p.withColumn("rk", row_number().over(byOcc))
+    val dirty = rkx.filter(col("rk") >= 2).select("shard", "pack").distinct()
+    val kcnt = p.groupBy("key").agg(count(lit(1)).as("kc"))
+    val byMatch = Window.partitionBy("n_tok").orderBy("shard", "pack", "ord", "doc_id")
+    val movers = rkx.filter(col("rk") >= 2)
+      .withColumn("mi", row_number().over(byMatch))
+      .select(col("doc_id").as("m_id"), col("key").as("m_key"), col("n_tok"),
+        col("shard").as("m_shard"), col("pack").as("m_pack"), col("mi"))
+    val cands = rkx.filter(col("rk") === 1)
+      .join(kcnt, "key").filter(col("kc") === 1)
+      .join(dirty, Seq("shard", "pack"), "left_anti")
+      .withColumn("cj", row_number().over(byMatch))
+      .select(col("doc_id").as("c_id"), col("n_tok"),
+        col("shard").as("c_shard"), col("pack").as("c_pack"), col("cj"))
+    val paired = movers.join(cands,
+      movers("n_tok") === cands("n_tok") && col("mi") === col("cj"))
+      .select("m_id", "m_key", "m_shard", "m_pack", "c_id", "c_shard", "c_pack")
+    // guard 1: the target pack must not already hold the mover's key
+    val ok1 = paired.join(
+      p.select(col("shard").as("c_shard"), col("pack").as("c_pack"), col("key").as("m_key")),
+      Seq("c_shard", "c_pack", "m_key"), "left_anti")
+    // guard 2: at most one mover per key per target pack
+    val byTarget = Window.partitionBy("m_key", "c_shard", "c_pack").orderBy("m_id")
+    val ok = ok1.withColumn("g", row_number().over(byTarget)).filter(col("g") === 1)
+    p.join(ok.select(col("m_id").as("doc_id"), col("c_shard"), col("c_pack")), Seq("doc_id"), "left")
+      .join(ok.select(col("c_id").as("doc_id"), col("m_shard"), col("m_pack")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("key"), col("n_tok"),
+        coalesce(col("c_shard"), col("m_shard"), col("shard")).as("shard"),
+        coalesce(col("c_pack"), col("m_pack"), col("pack")).as("pack"),
+        (col("c_shard").isNotNull || col("m_shard").isNotNull).as("moved"))
   }
 
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
@@ -1359,6 +1424,91 @@ object DataPrep {
           countDistinct("source").as("n_sources"),
           (count(lit(1)) - countDistinct("key")).as("dup_excess"))
         .orderBy("shard", "pack")
+    },
+
+    // ----- x69: pack repair (the remediation x66's audit calls for) -----
+    Q(
+      "x69_pack_repair",
+      Some(
+        // same mirror-dup fixture as x66 (so there is something to repair)
+        s"WITH aug AS (SELECT doc_id, text, $ordSql AS ord FROM documents " +
+          s"UNION ALL SELECT doc_id + 2000000, text, $ordSql AS ord " +
+          "FROM documents WHERE doc_id % 31 = 0), " +
+          s"t AS (SELECT doc_id, len(${XText.wordsSql("text")}) AS n_tok, ord, " +
+          s"${h60Sql(Dedup.normSql)} AS key FROM aug), " +
+          s"s AS (SELECT doc_id, key, n_tok, ord, ord % $PackShards AS shard FROM t), " +
+          "c AS (SELECT doc_id, key, n_tok, ord, shard, " +
+          "coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM s), " +
+          s"p AS (SELECT doc_id, key, n_tok, ord, shard, cum // $PackBudget AS pack FROM c), " +
+          "rkx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard, pack, key " +
+          "ORDER BY ord, doc_id) AS rk FROM p), " +
+          "dirty AS (SELECT DISTINCT shard, pack FROM rkx WHERE rk >= 2), " +
+          "kcnt AS (SELECT key, count(*) AS kc FROM p GROUP BY key), " +
+          "movers AS (SELECT doc_id AS m_id, key AS m_key, n_tok, shard AS m_shard, " +
+          "pack AS m_pack, ROW_NUMBER() OVER (PARTITION BY n_tok " +
+          "ORDER BY shard, pack, ord, doc_id) AS mi FROM rkx WHERE rk >= 2), " +
+          "cands0 AS (SELECT r.doc_id, r.n_tok, r.shard, r.pack, r.ord FROM rkx r " +
+          "JOIN kcnt k USING (key) LEFT JOIN dirty d ON d.shard = r.shard AND d.pack = r.pack " +
+          "WHERE r.rk = 1 AND k.kc = 1 AND d.shard IS NULL), " +
+          "cands AS (SELECT doc_id AS c_id, n_tok, shard AS c_shard, pack AS c_pack, " +
+          "ROW_NUMBER() OVER (PARTITION BY n_tok ORDER BY shard, pack, ord, doc_id) AS cj " +
+          "FROM cands0), " +
+          "paired AS (SELECT m.m_id, m.m_key, m.m_shard, m.m_pack, c.c_id, c.c_shard, " +
+          "c.c_pack FROM movers m JOIN cands c ON c.n_tok = m.n_tok AND c.cj = m.mi), " +
+          "ok1 AS (SELECT pr.* FROM paired pr LEFT JOIN p x ON x.shard = pr.c_shard " +
+          "AND x.pack = pr.c_pack AND x.key = pr.m_key WHERE x.doc_id IS NULL), " +
+          "ok AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY m_key, c_shard, " +
+          "c_pack ORDER BY m_id) AS g FROM ok1) WHERE g = 1), " +
+          "rep AS (SELECT p.doc_id, p.key, p.n_tok, " +
+          "coalesce(om.c_shard, oc.m_shard, p.shard) AS shard, " +
+          "coalesce(om.c_pack, oc.m_pack, p.pack) AS pack, " +
+          "(om.m_id IS NOT NULL OR oc.c_id IS NOT NULL) AS moved " +
+          "FROM p LEFT JOIN ok om ON om.m_id = p.doc_id " +
+          "LEFT JOIN ok oc ON oc.c_id = p.doc_id), " +
+          "db AS (SELECT shard, CAST(sum(d) AS BIGINT) AS dup_before FROM " +
+          "(SELECT shard, pack, count(*) - count(DISTINCT key) AS d FROM p GROUP BY 1, 2) " +
+          "GROUP BY shard), " +
+          "da AS (SELECT shard, CAST(sum(d) AS BIGINT) AS dup_after FROM " +
+          "(SELECT shard, pack, count(*) - count(DISTINCT key) AS d FROM rep GROUP BY 1, 2) " +
+          "GROUP BY shard), " +
+          "base AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_tok) AS BIGINT) AS sum_tokens, " +
+          "CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_swapped " +
+          "FROM rep GROUP BY shard) " +
+          "SELECT CAST(b.shard AS BIGINT) AS shard, b.n_docs, b.sum_tokens, b.n_swapped, " +
+          "db.dup_before, da.dup_after FROM base b " +
+          "JOIN db ON db.shard = b.shard JOIN da ON da.shard = b.shard ORDER BY 1"),
+      "pack repair — the remediation for x66's audit: within-pack duplicate-key docs " +
+        "(occurrence 2+ in packing order) swap places with a same-n_tok doc whose key is " +
+        "globally unique and whose pack is collision-free, under guards that no target " +
+        "pack gains a colliding key; equal token counts mean every pack's doc count and " +
+        "token budget are preserved EXACTLY — no re-packing. Per shard: docs, tokens, " +
+        "docs relocated by swaps, and the within-pack duplicate excess before/after " +
+        "(after → 0 when candidates exist; unmatched movers surface as residual). Same " +
+        "mirror fixture as x66 so the repair is exercised by real collisions. All ranks " +
+        "partition by n_tok or pack — no global sort; mover/candidate frames are " +
+        "duplicate-bounded and broadcast back onto the corpus."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), col("text"), ordCol.as("ord"))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), ordCol.as("ord")))
+      val keyed = aug.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("key"))
+      val pBefore = packAssignmentsOrd(aug).join(keyed, "doc_id")
+      val rep = packRepair(aug)
+      def shardDup(df: DataFrame, name: String): DataFrame = df
+        .groupBy("shard", "pack")
+        .agg((count(lit(1)) - countDistinct("key")).as("d"))
+        .groupBy("shard").agg(sum("d").as(name))
+      val base = rep.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_swapped"))
+      base.join(shardDup(pBefore, "dup_before"), "shard")
+        .join(shardDup(rep, "dup_after"), "shard")
+        .select("shard", "n_docs", "sum_tokens", "n_swapped", "dup_before", "dup_after")
+        .orderBy("shard")
     },
 
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----

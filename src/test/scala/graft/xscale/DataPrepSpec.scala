@@ -454,6 +454,42 @@ class DataPrepSpec extends SparkSpec {
     assert(out.map(_._2).sum === 2L)
   }
 
+  test("x69 pack repair: budgets preserved per pack, duplicates eliminated, swaps paired") {
+    // corpus rich in same-length docs (every doc 6 tokens) so every mover
+    // finds a clean same-size partner; every 7th doc is an exact clone of
+    // its predecessor — in-pack collisions whenever the clone packs beside
+    // its original
+    val docs = (1L to 140L).map { i =>
+      val text = if (i % 7 == 0) s"clone body text number ${i - 1} x"
+      else s"clone body text number $i x"
+      (i, text)
+    }.toDF("doc_id", "text")
+      .withColumn("ord", graft.xscale.XHash.h60(col("doc_id").cast("string")))
+    val keyed = docs.select(col("doc_id"),
+      graft.xscale.XHash.h60(Dedup.normText(col("text"))).as("key"))
+    val before = DataPrep.packAssignmentsOrd(docs).join(keyed, "doc_id")
+    val after = DataPrep.packRepair(docs)
+    // budget preservation: every (shard, pack) keeps its exact doc count
+    // and token sum — swaps exchange equal-n_tok docs, nothing else moves
+    def budgets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("shard", "pack")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("toks"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(budgets(after) === budgets(before))
+    // same docs, none lost or duplicated
+    assert(after.select("doc_id").as[Long].collect().sorted.toSeq === (1L to 140L))
+    // repair only ever reduces within-pack duplication — and with ample
+    // same-size candidates it eliminates it
+    def dup(df: org.apache.spark.sql.DataFrame): Long = df
+      .groupBy("shard", "pack")
+      .agg((count(lit(1)) - countDistinct("key")).as("d"))
+      .agg(sum("d")).as[Long].head()
+    assert(dup(before) > 0L, "fixture must exercise the repair")
+    assert(dup(after) === 0L)
+    // every swap moves exactly two docs (the mover and its partner)
+    assert(after.filter(col("moved")).count() % 2 === 0)
+  }
+
   test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val isT = col("lang") === "en"

@@ -188,16 +188,38 @@ object Cli {
         .join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split").parquet(outDir)
-      val bySplit = spark.read.parquet(outDir)
-        .groupBy("split").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val nPacks = spark.read.parquet(outDir)
-        .select("shard", "pack").distinct().count()
+      // Stats without re-running the pipeline: input + kept ride on ONE
+      // annotated scan (the filter predicates as flag columns instead of a
+      // second filtered pass); deduped/selected count materialized
+      // checkpoints; all output stats come from ONE aggregation over the
+      // written corpus. The job-count bound is spec-pinned.
+      import org.apache.spark.sql.functions.{coalesce, count, countDistinct, lit, sum, when}
+      val keepCol =
+        if (rest.contains("--strict"))
+          xscale.TextAnalysis.gopherKeep && xscale.TextAnalysis.repetitionKeep
+        else xscale.TextAnalysis.gopherKeep
+      val annotated =
+        if (rest.contains("--strict"))
+          xscale.TextAnalysis.repetitionAnnotate(xscale.TextAnalysis.gopherAnnotate(docs))
+        else xscale.TextAnalysis.gopherAnnotate(docs)
+      val inStats = annotated.agg(
+        count(lit(1)),
+        coalesce(sum(when(keepCol, 1L).otherwise(0L)), lit(0L))).head()
+      val outStats = spark.read.parquet(outDir).agg(
+        coalesce(sum(when(org.apache.spark.sql.functions.col("split") === "train", 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(org.apache.spark.sql.functions.col("split") === "val", 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(org.apache.spark.sql.functions.col("split") === "test", 1L)
+          .otherwise(0L)), lit(0L)),
+        countDistinct(org.apache.spark.sql.functions.col("shard"),
+          org.apache.spark.sql.functions.col("pack"))).head()
       println(
-        s"""{"input":${docs.count()},"kept":${kept.count()},"deduped":${deduped.count()},""" +
-          s""""selected":${selectedM.count()},""" +
-          s""""train":${bySplit.getOrElse("train", 0L)},"val":${bySplit.getOrElse("val", 0L)},""" +
-          s""""test":${bySplit.getOrElse("test", 0L)},"packs":$nPacks,"out":${jsonStr(outDir)}}""")
+        s"""{"input":${inStats.getLong(0)},"kept":${inStats.getLong(1)},""" +
+          s""""deduped":${deduped.count()},"selected":${selectedM.count()},""" +
+          s""""train":${outStats.getLong(0)},"val":${outStats.getLong(1)},""" +
+          s""""test":${outStats.getLong(2)},"packs":${outStats.getLong(3)},""" +
+          s""""out":${jsonStr(outDir)}}""")
       0
 
     case _ =>

@@ -108,6 +108,37 @@ class CliCorpusSpec extends SparkSpec {
     assert(keptMin >= dropMax)
   }
 
+  test("corpus stats never re-run the pipeline: job count stays bounded") {
+    // regression guard for the job graph: input+kept counts ride ONE
+    // annotated scan, deduped/selected count materialized checkpoints,
+    // and all output stats are ONE aggregation over the written corpus.
+    // Measured 16 jobs plain / 26 with --despan (the pre-fix stats code
+    // ran 21 / 31 — two extra output reads plus two extra input passes);
+    // bounds carry small headroom for AQE stage-count variation.
+    def jobsFor(group: String, args: List[String]): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try assert(Cli.run(spark, args) === 0)
+      finally spark.sparkContext.clearJobGroup()
+      // statusTracker is fed by the async listener bus — wait for it to
+      // settle rather than sleeping a fixed interval
+      var n = -1
+      var stable = 0
+      while (stable < 3) {
+        val now = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        if (now == n) stable += 1 else { n = now; stable = 0 }
+        Thread.sleep(100)
+      }
+      n
+    }
+    val base = tmpDir("cli-corpus-jobs")
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val plain = jobsFor("jobs-plain", List("corpus", docs, base.getPath + "/plain"))
+    assert(plain <= 18, s"plain corpus ran $plain jobs (expected ~16)")
+    val despan = jobsFor("jobs-despan",
+      List("corpus", docs, base.getPath + "/despan", "--despan"))
+    assert(despan <= 28, s"--despan corpus ran $despan jobs (expected ~26)")
+  }
+
   test("corpus rejects a malformed --dsir flag") {
     assert(Cli.run(spark, List(
       "corpus", "/root/testdata/sf0.001/documents.parquet", "/tmp/x", "--dsir")) === 2)

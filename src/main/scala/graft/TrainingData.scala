@@ -413,6 +413,24 @@ object TrainingData {
       checkpointDir: Option[String] = None): DataFrame =
     Similarity.protoPrune(emb, nc, trainSample, checkpointDir)
 
+  /** Temperature-scaled mixture sampling (x70, Arivazhagan et al. 2019;
+    * α = 1/2): flatten a group histogram (language, source) toward
+    * `target` docs — dominant groups downsample, low-resource groups keep
+    * everything. Deterministic hash draw; adds (n_docs, w_e3, p_e6, kept)
+    * per doc.
+    */
+  def temperatureMix(docs: DataFrame, by: String = "lang",
+      target: Long = DataPrep.MixTarget): DataFrame =
+    DataPrep.temperatureMix(docs, by, target)
+
+  /** Corpus-wide top-k repeated word n-grams (x71) — the boilerplate
+    * DISCOVERY pass whose output feeds span removal (x43/x64). Columns
+    * (h, gram, cnt, n_docs), ranked (cnt desc, h).
+    */
+  def topNgrams(docs: DataFrame, k: Int = TextAnalysis.TopNgramK,
+      topK: Int = TextAnalysis.TopNgramN): DataFrame =
+    TextAnalysis.topNgrams(docs, k, topK)
+
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,
     * `target` expected keeps, deterministic (hash-drawn, reproducible).

@@ -464,6 +464,46 @@ object DataPrep {
         (col("c_shard").isNotNull || col("m_shard").isNotNull).as("moved"))
   }
 
+  /** x70 target size: the corpus-wide doc budget the temperature mixture
+    * aims for (oracle-pinned queries inline it).
+    */
+  val MixTarget = 300L
+
+  /** x70 core: temperature-scaled mixture sampling (Arivazhagan et al.
+    * 2019; the α-temperature rule XLM-R and mT5 mix multilingual corpora
+    * with, at α = 1/2): group weights w_g ∝ n_g^α flatten the group
+    * histogram — low-resource groups keep (nearly) everything, dominant
+    * groups are downsampled toward the target total. α = 1/2 makes the
+    * weight an integer-exact sqrt (IEEE correctly rounded in BOTH engines,
+    * the x35 rule): w_e3 = floor(sqrt(n_g · 1e6)) ≈ 1000·√n_g. Per-doc
+    * inclusion p_e6 = min(1e6, target·w_e3·1e6 / (ΣW·n_g)), drawn with the
+    * deterministic x61 hash-Bernoulli, so the "random" mixture is
+    * reproducible and oracle-checkable. Adds (n_docs, w_e3, p_e6, kept)
+    * per doc.
+    *
+    * Scale posture (100 TB): the rate table is |groups| rows — a broadcast
+    * — and the draw is per-row; ONE aggregation over the corpus, no
+    * window. Overflow envelope: target·w_e3·1e6 < 2^63 holds to
+    * target·√n_g ~ 9e9 (drop the e6/e3 scales together for corpora
+    * beyond it).
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      by: String = "lang",
+      target: Long = MixTarget): DataFrame = {
+    require(target > 0, "target must be positive")
+    val n = docs.groupBy(by).agg(count(lit(1)).as("n_docs"))
+    val w = n.withColumn("w_e3",
+      expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)"))
+    val tot = w.agg(sum("w_e3").as("wsum"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("p_e6",
+        least(lit(1000000L), expr(s"($target * w_e3 * 1000000) div (wsum * n_docs)")))
+      .select(col(by), col("n_docs"), col("w_e3"), col("p_e6"))
+    docs.join(broadcast(rates), by)
+      .withColumn("kept", XHash.h60(col("doc_id").cast("string")) % 1000000L < col("p_e6"))
+  }
+
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
     * each stratum value, keep rank <= quota (a per-row Column, so quotas
     * can vary by stratum).
@@ -1509,6 +1549,38 @@ object DataPrep {
         .join(shardDup(rep, "dup_after"), "shard")
         .select("shard", "n_docs", "sum_tokens", "n_swapped", "dup_before", "dup_after")
         .orderBy("shard")
+    },
+
+    // ----- x70: temperature-scaled mixture sampling (α = 1/2) -----
+    Q(
+      "x70_temp_mix",
+      Some(
+        "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents " +
+          "GROUP BY lang), " +
+          "w AS (SELECT lang, n_docs, CAST(floor(sqrt(n_docs::DOUBLE * 1000000)) AS BIGINT) " +
+          "AS w_e3 FROM n), " +
+          "tw AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum FROM w), " +
+          s"r AS (SELECT lang, n_docs, w_e3, least(1000000, ($MixTarget * w_e3 * 1000000) " +
+          "// (wsum * n_docs)) AS p_e6 FROM w CROSS JOIN tw), " +
+          s"k AS (SELECT d.lang, CASE WHEN ${h60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 " +
+          "< r.p_e6 THEN 1 ELSE 0 END AS kept FROM documents d JOIN r ON r.lang = d.lang), " +
+          "ka AS (SELECT lang, CAST(sum(kept) AS BIGINT) AS n_kept FROM k GROUP BY lang) " +
+          "SELECT r.lang, r.n_docs, r.w_e3, CAST(r.p_e6 AS BIGINT) AS p_e6, ka.n_kept " +
+          "FROM r JOIN ka USING (lang) ORDER BY lang"),
+      s"temperature-scaled mixture sampling (Arivazhagan et al. 2019 — the α-temperature " +
+        "rule multilingual trainers flatten language histograms with; α = 1/2 here so the " +
+        "weight is an integer-exact sqrt, both engines IEEE-identical): per language, " +
+        s"weight w ∝ √n, inclusion probability min(1, ${MixTarget}·w/(ΣW·n)), drawn per doc " +
+        "by the deterministic x61 hash-Bernoulli — dominant languages downsample toward " +
+        s"the $MixTarget-doc budget, low-resource ones keep everything. Output per " +
+        "language: corpus count, weight, inclusion p, realized keeps. One corpus " +
+        "aggregation + a broadcast |langs|-row rate table + a per-row draw — no window, " +
+        "no second pass."
+    ) { (s, dir) =>
+      temperatureMix(table(s, dir, "documents"))
+        .groupBy("lang", "n_docs", "w_e3", "p_e6")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
     },
 
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----

@@ -571,6 +571,13 @@ object TextAnalysis {
         expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
   }
 
+  /** x71 knobs: gram width and result size (oracle-pinned queries inline
+    * them; declared before `queries` so the SQL twins see them
+    * initialized).
+    */
+  val TopNgramK = 3
+  val TopNgramN = 20
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -1188,8 +1195,68 @@ object TextAnalysis {
     ) { (s, dir) =>
       val sc = DataPrep.splitCol
       lmHeldout(table(s, dir, "documents"), sc === "train", sc).orderBy("split")
+    },
+
+    // ----- x71: corpus-wide top-k repeated n-grams (boilerplate miner) -----
+    Q(
+      "x71_top_ngrams",
+      Some {
+        val k = TopNgramK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"g AS (SELECT doc_id, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p FROM w)), " +
+          s"a AS (SELECT ${h60Sql("g")} AS h, min(g) AS gram, " +
+          "CAST(count(*) AS BIGINT) AS cnt, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+          "FROM g GROUP BY 1) " +
+          s"SELECT h, gram, cnt, n_docs FROM a ORDER BY cnt DESC, h LIMIT $TopNgramN"
+      },
+      s"the boilerplate miner: the $TopNgramN most frequent word ${TopNgramK}-grams " +
+        "corpus-wide with occurrence and document counts — the list a pipeline turns into " +
+        "removal rules (navigation chrome, license headers, template sentences repeat " +
+        "across millions of pages and survive doc-level dedup because the documents " +
+        "AROUND them differ; x43 removes known spans, this op DISCOVERS them). One " +
+        "windowHash60 pass + one 8-byte-key aggregation + a driver-size top-k " +
+        "(rank by (count, hash) — fully deterministic). At 100 TB the gram strings " +
+        "shuffle only as per-group minima beside the hash key; candidates below a " +
+        "support threshold would be count-min pre-filtered, the grouped frame is " +
+        "corpus-vocabulary-bounded."
+    ) { (s, dir) =>
+      topNgrams(table(s, dir, "documents")).orderBy(col("cnt").desc, col("h"))
     }
   )
+
+  /** x71 core: the corpus-wide most-repeated word k-grams — the discovery
+    * half of span boilerplate handling (x43/x64 consume known span lists;
+    * this produces one). Grouped on the 60-bit window hash (8-byte shuffle
+    * key), with the gram string carried as a per-group min for
+    * interpretability; ties rank by (cnt desc, h) so the top-k is
+    * deterministic cross-engine. Columns (h, gram, cnt, n_docs).
+    *
+    * Scale posture (100 TB): one native windowHash60 scan; the aggregation
+    * is bounded by the corpus k-gram vocabulary, and only (hash, min-gram,
+    * two counts) rows shuffle. The final top-k is a driver-size limit. For
+    * open-web scale, pre-filter singleton hashes map-side (support >= 2)
+    * before the shuffle.
+    */
+  def topNgrams(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = TopNgramK,
+      topK: Int = TopNgramN): org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"), XText.words(col("text")).as("ws"),
+        posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("h"),
+        concat_ws(" ", expr(s"slice(ws, p0 + 1, $k)")).as("gram"))
+    t.groupBy("h")
+      .agg(
+        min("gram").as("gram"),
+        count(lit(1)).as("cnt"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("cnt").desc, col("h"))
+      .limit(topK)
+      .select("h", "gram", "cnt", "n_docs")
+  }
 
   /** DuckDB twin of x31: per-n CTE chains (positions → grams → counts) for
     * the top products, plus a span-union coverage chain for the dup

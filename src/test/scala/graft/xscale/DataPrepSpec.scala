@@ -490,6 +490,38 @@ class DataPrepSpec extends SparkSpec {
     assert(after.filter(col("moved")).count() % 2 === 0)
   }
 
+  test("x70 temperature mix: draw recomputable, histogram flattened, small groups capped") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = DataPrep.temperatureMix(docs01)
+      .select("lang", "doc_id", "n_docs", "w_e3", "p_e6", "kept")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    // every value recomputable from the group counts alone: w = e3-sqrt,
+    // p = capped ratio, kept = the deterministic hash draw
+    val n = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val w = n.view.mapValues(c => math.floor(math.sqrt(c.toDouble * 1e6)).toLong).toMap
+    val wsum = w.values.sum
+    out.foreach { case (lang, id, nd, we3, p, kept) =>
+      assert(nd === n(lang) && we3 === w(lang))
+      assert(p === math.min(1000000L, DataPrep.MixTarget * we3 * 1000000L / (wsum * nd)))
+      assert(kept === (XHash.h60(id.toString) % 1000000L < p))
+    }
+    // temperature flattening: the dominant language keeps a strictly
+    // smaller FRACTION than the smallest one (that's the whole point)
+    val frac = out.groupBy(_._1).view
+      .mapValues(rs => rs.count(_._6).toDouble / rs.length).toMap
+    val big = n.maxBy(_._2)._1
+    val small = n.minBy(_._2)._1
+    assert(frac(big) < frac(small),
+      s"dominant $big keeps ${frac(big)}, smallest $small keeps ${frac(small)}")
+    // a group small enough saturates the cap and keeps everything
+    val tiny = (1L to 200L).map(i => (i, "en", s"doc $i")) ++
+      (201L to 205L).map(i => (i, "rare", s"doc $i"))
+    val capped = DataPrep.temperatureMix(tiny.toDF("doc_id", "lang", "text"))
+      .filter(col("lang") === "rare")
+      .select("p_e6", "kept").as[(Long, Boolean)].collect()
+    assert(capped.length === 5 && capped.forall { case (p, k) => p === 1000000L && k })
+  }
+
   test("x61 resample: draw reproducible from scores, monotone in target, keeps near target") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val isT = col("lang") === "en"

@@ -717,6 +717,26 @@ class XScaleSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
 
+  test("x71 top n-grams: hand fixture ranks the planted boilerplate first, hash = h60(gram)") {
+    // "click here now" planted in 4 docs (5 occurrences); "read more below"
+    // in 2; everything else unique filler
+    val docs = Seq(
+      (1L, "click here now alpha beta gamma click here now"),
+      (2L, "delta click here now epsilon"),
+      (3L, "zeta click here now eta read more below"),
+      (4L, "theta read more below iota click here now"),
+      (5L, "unique words only in this document")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs)
+      .select("h", "gram", "cnt", "n_docs").as[(Long, String, Long, Long)].collect()
+    assert(top.head._2 === "click here now" && top.head._3 === 5L && top.head._4 === 4L)
+    assert(top.head._1 === XHash.h60("click here now"))
+    val rm = top.find(_._2 === "read more below").get
+    assert(rm._3 === 2L && rm._4 === 2L)
+    // ranking is (cnt desc, h) — verify the order the query pins
+    assert(top.map(r => (-r._3, r._1)).toSeq === top.map(r => (-r._3, r._1)).sortBy(identity).toSeq)
+  }
+
   test("x62 BPE training: hand-checkable merges, frequency weighting, early exhaustion") {
     // vocab: aa(1), ab(3), b(1) — round 1 must pick (a b) by frequency 3,
     // round 2 (a a), then no pairs remain (every word is one symbol)

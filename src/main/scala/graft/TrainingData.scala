@@ -431,6 +431,22 @@ object TrainingData {
       topK: Int = TextAnalysis.TopNgramN): DataFrame =
     TextAnalysis.topNgrams(docs, k, topK)
 
+  /** PII detection + scrubbing (x72): emails/IPv4/phones counted on the
+    * input and replaced with typed placeholders in fixed order — the
+    * redaction pass a corpus release runs last. Adds (n_email, n_ip,
+    * n_phone, text_clean) per doc; zero shuffle.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = TextAnalysis.piiScrub(docs)
+
+  /** Train→eval window-level leakage audit (x73): per non-train split,
+    * sliding k-token windows also present in train (total + distinct) and
+    * the e6 occurrence leak rate — the measurement behind decontamination
+    * decisions.
+    */
+  def splitLeakage(docs: DataFrame, split: Column,
+      k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.splitLeakage(docs, split, k)
+
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,
     * `target` expected keeps, deterministic (hash-drawn, reproducible).

@@ -504,6 +504,35 @@ object DataPrep {
       .withColumn("kept", XHash.h60(col("doc_id").cast("string")) % 1000000L < col("p_e6"))
   }
 
+  /** x73 core: train→eval leakage at the k-token-window level — for every
+    * non-train split, how many of its sliding windows (total and
+    * distinct) appear verbatim anywhere in the train split, plus the
+    * e6 occurrence leak rate. `split` is injectable (the registered query
+    * passes the x19 hash split; tests pass their own) — the x56 rule.
+    *
+    * Scale posture (100 TB): one native windowHash60 scan, a distinct on
+    * the train side, one 8-byte hash join, one keyed rollup — the same
+    * shuffle shape as x43's span matcher, nothing global.
+    */
+  def splitLeakage(docs: DataFrame, split: Column, k: Int = SubstrK): DataFrame = {
+    val w = docs.select(
+      col("doc_id"), split.as("split"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val tr = w.filter(col("split") === "train").select("h").distinct()
+      .withColumn("in_train", lit(true))
+    w.filter(col("split") =!= "train")
+      .join(tr, Seq("h"), "left")
+      .withColumn("leaked", coalesce(col("in_train"), lit(false)))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        countDistinct("h").as("n_distinct"),
+        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"),
+        countDistinct(when(col("leaked"), col("h"))).as("n_leaked_distinct"),
+        expr("(1000000 * sum(CASE WHEN leaked THEN 1 ELSE 0 END)) div count(*)")
+          .as("leak_e6"))
+  }
+
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
     * each stratum value, keep rank <= quota (a per-row Column, so quotas
     * can vary by stratum).
@@ -1549,6 +1578,40 @@ object DataPrep {
         .join(shardDup(rep, "dup_after"), "shard")
         .select("shard", "n_docs", "sum_tokens", "n_swapped", "dup_before", "dup_after")
         .orderBy("shard")
+    },
+
+    // ----- x73: train→eval split leakage audit (window-level) -----
+    Q(
+      "x73_split_leakage",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, $splitSql AS split, ${XText.wordsSql("text")} AS ws " +
+          "FROM documents), " +
+          s"occ AS (SELECT doc_id, split, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, split, $gram AS g FROM " +
+          s"(SELECT doc_id, split, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          "FROM w))), " +
+          "tr AS (SELECT DISTINCT h FROM occ WHERE split = 'train'), " +
+          "ev AS (SELECT o.split, o.h, (tr.h IS NOT NULL) AS leaked FROM occ o " +
+          "LEFT JOIN tr ON tr.h = o.h WHERE o.split <> 'train') " +
+          "SELECT split, CAST(count(*) AS BIGINT) AS n_windows, " +
+          "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct, " +
+          "CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, " +
+          "CAST(count(DISTINCT CASE WHEN leaked THEN h END) AS BIGINT) AS n_leaked_distinct, " +
+          "CAST((1000000 * sum(CASE WHEN leaked THEN 1 ELSE 0 END)) // count(*) AS BIGINT) " +
+          "AS leak_e6 FROM ev GROUP BY split ORDER BY split"
+      },
+      s"train→eval leakage audit at the $SubstrK-token-window level — the measurement " +
+        "behind every decontamination decision (x64 removes known benchmark spans; this " +
+        "measures how much EVAL text the train split can still complete verbatim): for " +
+        "val and test, total windows, distinct windows, windows (total and distinct) " +
+        "also present anywhere in train, and the occurrence leak rate (e6 fixed-point). " +
+        "One windowHash60 pass over the corpus, a distinct on the train side, one 8-byte " +
+        "hash join — at 100 TB the train window set shuffles once and the join is the " +
+        "same shape as x43's span matcher."
+    ) { (s, dir) =>
+      splitLeakage(table(s, dir, "documents"), splitCol).orderBy("split")
     },
 
     // ----- x70: temperature-scaled mixture sampling (α = 1/2) -----

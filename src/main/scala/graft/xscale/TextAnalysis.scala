@@ -578,6 +578,15 @@ object TextAnalysis {
   val TopNgramK = 3
   val TopNgramN = 20
 
+  /** x72 patterns: the three PII shapes every release pipeline scrubs.
+    * Deliberately RE2-and-Java-compatible (no lookaround, no backrefs, no
+    * word boundaries) so Spark and DuckDB match byte-identically.
+    * Declared before `queries` so the SQL twins see them initialized.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -1223,8 +1232,89 @@ object TextAnalysis {
         "corpus-vocabulary-bounded."
     ) { (s, dir) =>
       topNgrams(table(s, dir, "documents")).orderBy(col("cnt").desc, col("h"))
+    },
+
+    // ----- x72: PII detection + scrubbing (the release redaction pass) -----
+    Q(
+      "x72_pii_scrub",
+      Some {
+        // the synthetic corpus carries no PII, so (x47's augmentation
+        // pattern) both engines append a deterministic contact line —
+        // email, IP, phone derived from doc_id — to every 13th doc
+        val inject = "' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+          "'.7 or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+          "'-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        s"WITH aug AS (SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 " +
+          s"THEN text || $inject ELSE text END AS text FROM documents), " +
+          s"m AS (SELECT doc_id, source, " +
+          s"len(regexp_extract_all(text, '$PiiEmail')) AS n_email, " +
+          s"len(regexp_extract_all(text, '$PiiIp')) AS n_ip, " +
+          s"len(regexp_extract_all(text, '$PiiPhone')) AS n_phone, " +
+          s"regexp_replace(regexp_replace(regexp_replace(text, '$PiiEmail', '<EMAIL>', 'g'), " +
+          s"'$PiiIp', '<IP>', 'g'), '$PiiPhone', '<PHONE>', 'g') AS text_clean FROM aug) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_pii_docs, " +
+          "CAST(sum(n_email) AS BIGINT) AS n_emails, CAST(sum(n_ip) AS BIGINT) AS n_ips, " +
+          "CAST(sum(n_phone) AS BIGINT) AS n_phones, " +
+          s"CAST(bit_xor(${h60Sql("text_clean")}) AS BIGINT) AS checksum " +
+          "FROM m GROUP BY source ORDER BY source"
+      },
+      "PII redaction audit — the pass a corpus release runs last: detect and scrub " +
+        "emails, IPv4 addresses and phone numbers (RE2-and-Java-compatible patterns, so " +
+        "both engines match byte-identically; replacements in fixed order). Per source: " +
+        "docs, docs carrying PII, per-type match counts, and a bit_xor content checksum " +
+        "of the SCRUBBED text — one changed byte in any rewrite flips it, so the oracle " +
+        "pins the redaction itself, not just the counts. Fixture: a deterministic " +
+        "contact line (email/IP/phone derived from doc_id) rides on every 13th doc in " +
+        "both engines. Three codegen'd regexes per row, zero shuffle before the keyed " +
+        "rollup."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val inject = concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), inject)).otherwise(col("text")))
+      piiScrub(aug)
+        .withColumn("th", h60(col("text_clean")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L).otherwise(0L))
+            .as("n_pii_docs"),
+          sum("n_email").as("n_emails"),
+          sum("n_ip").as("n_ips"),
+          sum("n_phone").as("n_phones"),
+          expr("bit_xor(th)").as("checksum"))
+        .orderBy("source")
     }
   )
+
+  /** x72 core: PII detection + scrubbing (emails → `<EMAIL>`, IPv4 →
+    * `<IP>`, NANP-style phones → `<PHONE>`), the redaction pass a corpus
+    * release runs before anything ships. Counts are measured on the input
+    * text, replacements apply in a fixed order (email, ip, phone) so both
+    * engines rewrite identically. Adds (n_email, n_ip, n_phone,
+    * text_clean) per doc.
+    *
+    * Scale posture (100 TB): three codegen'd regexes per row, zero
+    * shuffle — the audit aggregation downstream is the only exchange.
+    */
+  def piiScrub(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_email", regexp_count(col("text"), lit(PiiEmail)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("text"), lit(PiiIp)).cast("long"))
+      .withColumn("n_phone", regexp_count(col("text"), lit(PiiPhone)).cast("long"))
+      .withColumn("text_clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+            PiiIp, "<IP>"),
+          PiiPhone, "<PHONE>"))
 
   /** x71 core: the corpus-wide most-repeated word k-grams — the discovery
     * half of span boilerplate handling (x43/x64 consume known span lists;

@@ -490,6 +490,43 @@ class DataPrepSpec extends SparkSpec {
     assert(after.filter(col("moved")).count() % 2 === 0)
   }
 
+  test("x72 PII scrub: counts and rewrites exact on a hand fixture, clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.com or bob@x.io thanks"),
+      (2L, "server 192.168.001.7 and 10.0.0.255 pinged 8.8.8.8"),
+      (3L, "call 555-867-5309 or 800-555-0199 x from 555-12-3456"),
+      (4L, "no pii in this document at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "text_clean")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === 2L &&
+      out(0)._5 === "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(out(1)._3 === 3L &&
+      out(1)._5 === "server <IP> and <IP> pinged <IP>")
+    // 555-12-3456 is NOT NANP-shaped (3-2-4) and must not match
+    assert(out(2)._4 === 2L &&
+      out(2)._5 === "call <PHONE> or <PHONE> x from 555-12-3456")
+    assert(out(3) === ((4L, 0L, 0L, 0L, "no pii in this document at all")))
+  }
+
+  test("x73 split leakage: cloned eval text fully leaked, unique eval text leak-free") {
+    // 10-word docs → 3 sliding 8-windows each; the test doc clones a train
+    // doc (all windows leak), the val doc is unique (none leak)
+    val docs = Seq(
+      (1L, "train", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "train", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (3L, "test", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, "val", "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")
+    ).toDF("doc_id", "grp", "text")
+    val out = DataPrep.splitLeakage(docs, col("grp"))
+      .select("split", "n_windows", "n_distinct", "n_leaked", "n_leaked_distinct", "leak_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("test", 3L, 3L, 3L, 3L, 1000000L),
+      ("val", 3L, 3L, 0L, 0L, 0L)))
+  }
+
   test("x70 temperature mix: draw recomputable, histogram flattened, small groups capped") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = DataPrep.temperatureMix(docs01)

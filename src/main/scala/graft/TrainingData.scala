@@ -431,6 +431,17 @@ object TrainingData {
       topK: Int = TextAnalysis.TopNgramN): DataFrame =
     TextAnalysis.topNgrams(docs, k, topK)
 
+  /** Incremental admission dedup (x74): classify an arriving batch against
+    * an existing corpus — exact corpus dup / exact batch-internal dup /
+    * MinHash-band near-dup of a corpus doc / admitted — without
+    * re-clustering the corpus. The daily-ingest posture: every join is
+    * batch-vs-corpus, the corpus contributes one key projection and one
+    * signature scan.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      minMatch: Int = Dedup.K / 2): DataFrame =
+    Dedup.incrementalDedup(corpus, batch, minMatch)
+
   /** PII detection + scrubbing (x72): emails/IPv4/phones counted on the
     * input and replaced with typed placeholders in fixed order — the
     * redaction pass a corpus release runs last. Adds (n_email, n_ip,

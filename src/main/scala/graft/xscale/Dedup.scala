@@ -1,6 +1,7 @@
 package graft.xscale
 
 import org.apache.spark.sql.{Column, DataFrame, graftnative}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.query.Q
@@ -214,18 +215,77 @@ object Dedup {
     hs.select(col("doc_id") +: sigs: _*)
   }
 
-  /** Shared SQL prefix: shingle → hash → signature CTEs for the oracle. */
-  private def sigSqlCtes: String = {
+  /** Shared SQL prefix: shingle → hash → signature CTEs for the oracle.
+    * `src` is the relation to read, `suf` suffixes every CTE name so two
+    * chains (e.g. x74's batch + corpus) can coexist in one query.
+    */
+  private def sigSqlCtesFor(src: String, suf: String): String = {
     val ws = XText.wordsSql("text")
     val sh = XText.shinglesSql("ws", 3)
     val sigExprs = (0 until K)
       .map(i =>
         s"list_aggregate(list_transform(hl, h -> (${As(i)} * (h % $P) + ${Bs(i)}) % $P), 'min')")
       .mkString(", ")
-    s"w AS (SELECT doc_id, $ws AS ws FROM documents), " +
-      s"sh AS (SELECT doc_id, $sh AS ss FROM w), " +
-      s"hs AS (SELECT doc_id, list_transform(ss, sgl -> ${h60Sql("sgl")}) AS hl FROM sh), " +
-      s"sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hs)"
+    s"w$suf AS (SELECT doc_id, $ws AS ws FROM $src), " +
+      s"sh$suf AS (SELECT doc_id, $sh AS ss FROM w$suf), " +
+      s"hs$suf AS (SELECT doc_id, list_transform(ss, sgl -> ${h60Sql("sgl")}) AS hl FROM sh$suf), " +
+      s"sig$suf AS (SELECT doc_id, [$sigExprs] AS sig FROM hs$suf)"
+  }
+  private def sigSqlCtes: String = sigSqlCtesFor("documents", "")
+
+  /** x74 core: incremental ADMISSION dedup — classify an arriving batch
+    * against an existing corpus without touching the corpus's own dedup
+    * state, the daily-ingest posture (a full x01/x02 re-run over
+    * corpus+batch would re-shuffle 100 TB to admit a few GB). Statuses, in
+    * priority order:
+    *  - `dup_exact_corpus`: the doc's norm key already exists in the
+    *    corpus (anti-joinable admission filter);
+    *  - `dup_exact_batch`: key is new to the corpus but an earlier batch
+    *    doc (hash arrival order, doc_id ties) claimed it;
+    *  - `near_dup_corpus`: key is new but the doc shares a MinHash band
+    *    bucket with a corpus doc AND >= minMatch of K minhashes agree
+    *    (the x02 decision rule, batch x corpus only — never corpus x
+    *    corpus);
+    *  - `admitted`: none of the above.
+    *
+    * Scale posture (100 TB): corpus-side work is one key projection + one
+    * signature scan, both shuffled on 8-byte keys; every join is
+    * batch-vs-corpus (candidate-bounded), and nothing re-clusters or
+    * re-packs the existing corpus. Columns (doc_id, key, status).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, minMatch: Int = K / 2): DataFrame = {
+    val ord = XHash.h60(col("doc_id").cast("string"))
+    val ckeys = corpus.select(h60(normText(col("text"))).as("key")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val ranked = batch
+      .select(col("doc_id"), h60(normText(col("text"))).as("key"), ord.as("ord"))
+      .withColumn("rn", row_number().over(Window.partitionBy("key").orderBy("ord", "doc_id")))
+      .join(ckeys, Seq("key"), "left")
+    def sigArr(df: DataFrame): DataFrame = withSignature(df)
+      .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
+    def bandsOf(df: DataFrame): DataFrame = {
+      val bandKeys = (0 until B).map(b =>
+        md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
+      sigArr(df).select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+        .toDF("doc_id", "sig", "band", "bk")
+    }
+    val cb = bandsOf(corpus).select(col("band"), col("bk"), col("sig").as("sb"))
+    val nMatch = aggregate(
+      zip_with(col("sig"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    val near = bandsOf(batch).join(cb, Seq("band", "bk"))
+      .select(col("doc_id"), nMatch.as("nm"))
+      .groupBy("doc_id").agg(max("nm").as("nm"))
+      .filter(col("nm") >= minMatch)
+      .select(col("doc_id")).withColumn("near", lit(true))
+    ranked.join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("key"),
+        when(coalesce(col("in_corpus"), lit(false)), "dup_exact_corpus")
+          .when(col("rn") >= 2, "dup_exact_batch")
+          .when(coalesce(col("near"), lit(false)), "near_dup_corpus")
+          .otherwise("admitted").as("status"))
   }
 
   /** Exact dedup: one survivor (min tie-break) per normalized-text group. */
@@ -355,6 +415,63 @@ object Dedup {
         docs.filter(col("doc_id") % 31 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"), col("text")))
       sourceOverlap(aug).orderBy("source_a", "source_b")
+    },
+
+    // ----- x74: incremental admission dedup (batch vs existing corpus) -----
+    Q(
+      "x74_incremental_dedup",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        def bandsCte(name: String, sigCte: String) =
+          s"$name AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS bkey " +
+            s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band " +
+            s"FROM $sigCte))"
+        // batch fixture = every 3rd doc PLUS mirror re-arrivals of every
+        // 31st doc (x47's pattern) — mirrors of corpus docs exercise
+        // dup_exact_corpus, mirrors of batch docs exercise dup_exact_batch,
+        // so every status bucket carries data the hash compare can see
+        s"WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 " +
+          "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 31 = 0), " +
+          "c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0), " +
+          s"ck AS (SELECT DISTINCT ${h60Sql(normSql)} AS key FROM c0), " +
+          s"bkk AS (SELECT doc_id, ${h60Sql(normSql)} AS key, " +
+          s"${h60Sql("CAST(doc_id AS VARCHAR)")} AS ord FROM b0), " +
+          "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord, doc_id) " +
+          "AS rn FROM bkk), " +
+          s"${sigSqlCtesFor("b0", "_b")}, ${sigSqlCtesFor("c0", "_c")}, " +
+          s"${bandsCte("bb", "sig_b")}, ${bandsCte("cbn", "sig_c")}, " +
+          "near AS (SELECT DISTINCT a.doc_id FROM bb a JOIN cbn b " +
+          "ON a.band = b.band AND a.bkey = b.bkey " +
+          s"WHERE len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) " +
+          s">= ${K / 2}), " +
+          "st AS (SELECT r.doc_id, r.key, " +
+          "CASE WHEN ck.key IS NOT NULL THEN 'dup_exact_corpus' " +
+          "WHEN r.rn >= 2 THEN 'dup_exact_batch' " +
+          "WHEN n.doc_id IS NOT NULL THEN 'near_dup_corpus' " +
+          "ELSE 'admitted' END AS status " +
+          "FROM rk r LEFT JOIN ck ON ck.key = r.key LEFT JOIN near n ON n.doc_id = r.doc_id) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(key) AS BIGINT) AS checksum " +
+          "FROM st GROUP BY status ORDER BY status"
+      },
+      "incremental ADMISSION dedup — the daily-ingest posture: an arriving batch (every " +
+        "3rd doc as the fixture) is classified against the existing corpus (the rest) " +
+        "without re-clustering anything: exact key already in corpus / exact key claimed " +
+        "by an earlier batch arrival / MinHash-band near-dup of a corpus doc (x02's " +
+        "decision rule, batch x corpus candidates only) / admitted. Per status: count + " +
+        "bit_xor key checksum, so the oracle pins exactly WHICH docs land in each " +
+        "bucket. At 100 TB the corpus contributes one key projection and one signature " +
+        "scan; every join is batch-vs-corpus — admitting a few GB never re-shuffles the " +
+        "corpus."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      incrementalDedup(docs.filter(col("doc_id") % 3 =!= 0), batch)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
+        .orderBy("status")
     },
 
     // ----- x02: MinHash + LSH banding near-dup candidates -----

@@ -642,6 +642,38 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x74 incremental dedup: every status forced by construction, admission idempotent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact corpus dup
+      (11L, "fresh new content number eleven entirely"),
+      (12L, "fresh new content number eleven entirely"), // exact batch dup of 11
+      (13L, "one two three four five six seven eight nine ten eleven thirteen"), // near-dup of 2
+      (14L, "completely unrelated vocabulary nothing shared with anyone")
+    ).toDF("doc_id", "text")
+    val st = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(st(10L) === "dup_exact_corpus")
+    // 11 and 12 share a key: the earlier HASH arrival is admitted, the
+    // other is a batch-internal dup — exactly one of each
+    assert(Set(st(11L), st(12L)) === Set("admitted", "dup_exact_batch"))
+    assert(st(13L) === "near_dup_corpus", s"13 -> ${st(13L)}")
+    assert(st(14L) === "admitted")
+    // idempotence: fold the admitted docs into the corpus and re-present
+    // the batch — every formerly-admitted doc is now an exact corpus dup,
+    // nothing is admitted twice
+    val admitted = batch.join(
+      Dedup.incrementalDedup(corpus, batch).filter(col("status") === "admitted")
+        .select("doc_id"), "doc_id")
+    val again = Dedup.incrementalDedup(corpus.unionByName(admitted), batch)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(!again.values.exists(_ === "admitted"))
+    assert(st.filter(_._2 === "admitted").keys.forall(id => again(id) === "dup_exact_corpus"))
+  }
+
   test("x68 IVFPQ: candidates confined to probed cells, rerank recall beats raw ADC") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val viMap = Similarity.fixedPoint(emb).select("vec_id", "vi")

@@ -431,6 +431,17 @@ object TrainingData {
       topK: Int = TextAnalysis.TopNgramN): DataFrame =
     TextAnalysis.topNgrams(docs, k, topK)
 
+  /** Bloom-prefiltered decontamination audit (x75): a bit-packed Bloom
+    * filter over the train split's distinct word-k-gram hashes
+    * (corpus-size-independent broadcast state), probed by every held-out
+    * shingle, with the exact train join alongside so the per-doc output
+    * separates true overlaps from Bloom false positives. At 100 TB the
+    * probe is a zero-shuffle broadcast scan; only flagged shingles need
+    * reach an exact join.
+    */
+  def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame =
+    DataPrep.bloomDecontam(docs, k)
+
   /** Incremental admission dedup (x74): classify an arriving batch against
     * an existing corpus — exact corpus dup / exact batch-internal dup /
     * MinHash-band near-dup of a corpus doc / admitted — without

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.query.Q
 import graft.query.Registry.table
-import XHash.h60Sql
+import XHash.{h60Sql, P}
 
 /** Training-data PREPARATION operators — the steps between "filtered,
   * deduped corpus" and "tensors on a trainer": sequence packing, stratified
@@ -373,6 +373,78 @@ object DataPrep {
 
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
+
+  /** x75 Bloom geometry: `BloomWords` words of 63 usable bits (bit 63 is
+    * never set, so `1L << bit` stays a positive BIGINT in both engines and
+    * arithmetic shiftright needs no sign mask), probed by `BloomNh` affine
+    * hashes over the 60-bit shingle hash — the same (a*h + b) mod P family
+    * as the MinHash permutations, so every position is int64-exact
+    * cross-engine. Sized for the test corpora (~24k distinct train
+    * shingles at both SFs -> ~49% fill): the false-positive rate is a
+    * real, visible quantity (~12%) instead of rounding to 0 or 1.
+    */
+  val BloomWords = 1536
+  val BloomBits: Long = BloomWords * 63L
+  val BloomNh = 3
+  val BloomA: Seq[Long] = (0 until BloomNh).map(i => 2L * i + 3)
+  val BloomB: Seq[Long] = (0 until BloomNh).map(i => (15485863L * (i + 1)) % P)
+
+  private def bloomPos(c: Column): Column =
+    array(BloomA.zip(BloomB).map { case (a, b) =>
+      (((c % P) * a + b) % P) % BloomBits
+    }: _*)
+
+  private def bloomPosSql(inner: String): String =
+    "[" + BloomA.zip(BloomB)
+      .map { case (a, b) => s"(($inner % $P) * $a + $b) % $P % $BloomBits" }
+      .mkString(", ") + "]"
+
+  /** x75 core: Bloom-prefiltered decontamination audit. Builds a bit-packed
+    * Bloom filter over the train split's distinct word-k-gram hashes (one
+    * `bit_or` aggregation into `BloomWords` longs), probes every held-out
+    * shingle against it, and joins the exact train set back in so the
+    * output separates TRUE overlaps from Bloom FALSE POSITIVES — the
+    * measurement that justifies the filter's size. Columns
+    * (doc_id, source, split, n_sh, n_maybe, n_hit); n_maybe >= n_hit by
+    * construction (a Bloom filter never misses).
+    *
+    * Scale posture (100 TB): this is the pre-filter x23's Scaladoc promises.
+    * The filter is corpus-size-INDEPENDENT state — BloomWords longs (12 KiB
+    * here; a few GiB for a real benchmark suite) built by one map-side
+    * combinable bit_or aggregation, then BROADCAST: the held-out probe is a
+    * zero-shuffle scan, and only probable collisions would continue to the
+    * exact join, whose build side shrinks from |train shingles| to
+    * |bloom hits|. Here both paths are kept to audit the FP rate itself.
+    */
+  def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = splitAssign(docs).select(
+      col("doc_id"), col("source"), col("split"),
+      explode(graftnative.api.shingleHash60(col("text"), k)).as("sgl"))
+    val tr = sh.filter(col("split") === "train").select("sgl").distinct()
+    val bloom = tr
+      .select(explode(bloomPos(col("sgl"))).as("pos"))
+      .select(expr("pos div 63").as("wi"), expr("CAST(pos % 63 AS INT)").as("bit"))
+      .groupBy("wi")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
+    val probed = sh.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("source"), col("split"), col("sgl"),
+        explode(bloomPos(col("sgl"))).as("pos"))
+      .withColumn("wi", expr("pos div 63"))
+      .join(broadcast(bloom), Seq("wi"), "left")
+      .withColumn(
+        "hit",
+        coalesce(expr("shiftright(word, CAST(pos % 63 AS INT)) & CAST(1 AS BIGINT)"), lit(0L)))
+      .groupBy("doc_id", "source", "split", "sgl")
+      .agg(min("hit").as("maybe"))
+    probed
+      .join(tr.withColumn("_hit", lit(1L)), Seq("sgl"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .groupBy("doc_id", "source", "split")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum("maybe").as("n_maybe"),
+        sum("hit").as("n_hit"))
+  }
 
   /** Concat-and-chunk pack assignment: docs in deterministic hash order
     * within `shards` shards, a doc belongs to the pack its first token
@@ -804,6 +876,63 @@ object DataPrep {
           sum("n_sh").as("sum_shingles"),
           sum("n_hit").as("sum_hits"),
           sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"))
+        .orderBy("source", "split")
+    },
+
+    // ----- x75: Bloom-prefiltered decontamination with FP-rate audit -----
+    Q(
+      "x75_bloom_decontam",
+      Some {
+        val sh = XText.shinglesSql("ws", 5)
+        val posU = bloomPosSql("sgl")
+        s"WITH w AS (SELECT doc_id, source, $splitSql AS split, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"sl AS (SELECT doc_id, source, split, $sh AS ss FROM w), " +
+          "sh AS (SELECT doc_id, source, split, " +
+          s"unnest(list_transform(ss, sgl -> ${h60Sql("sgl")})) AS sgl FROM sl), " +
+          "tr AS (SELECT DISTINCT sgl FROM sh WHERE split = 'train'), " +
+          s"bp AS (SELECT unnest($posU) AS pos FROM tr), " +
+          "bw AS (SELECT pos // 63 AS wi, " +
+          "bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word FROM bp GROUP BY 1), " +
+          "he AS (SELECT doc_id, source, split, sgl FROM sh WHERE split <> 'train'), " +
+          s"cp AS (SELECT doc_id, source, split, sgl, unnest($posU) AS pos FROM he), " +
+          "ch AS (SELECT doc_id, source, split, sgl, min(CASE WHEN word IS NULL THEN 0 " +
+          "ELSE (word >> CAST(pos % 63 AS INT)) & 1 END) AS maybe " +
+          "FROM cp LEFT JOIN bw ON bw.wi = pos // 63 GROUP BY 1, 2, 3, 4), " +
+          "tj AS (SELECT ch.*, CASE WHEN tr.sgl IS NULL THEN 0 ELSE 1 END AS hit " +
+          "FROM ch LEFT JOIN tr ON tr.sgl = ch.sgl), " +
+          "d AS (SELECT doc_id, source, split, count(*) AS n_sh, " +
+          "sum(maybe) AS n_maybe, sum(hit) AS n_hit FROM tj GROUP BY 1, 2, 3) " +
+          "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_sh) AS BIGINT) AS sum_shingles, " +
+          "CAST(sum(n_maybe) AS BIGINT) AS bloom_hits, " +
+          "CAST(sum(n_hit) AS BIGINT) AS true_hits, " +
+          "CAST(sum(n_maybe) - sum(n_hit) AS BIGINT) AS false_pos, " +
+          "CAST(sum(CASE WHEN n_maybe > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_bloom, " +
+          "CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_true " +
+          "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      "the Bloom pre-filter x23's scale note promises, built and AUDITED: the train split's " +
+        s"distinct word-5-gram hashes populate a bit-packed filter ($BloomWords longs, " +
+        s"$BloomNh probes — corpus-size-INDEPENDENT broadcast state built by one map-side " +
+        "combinable bit_or aggregation); every held-out shingle probes it, and the exact " +
+        "train join runs alongside so the output splits bloom_hits into true_hits + " +
+        "false_pos per (source, split) — the FP rate that decides whether the filter is " +
+        "sized right. A Bloom filter never misses, so bloom_hits >= true_hits row-by-row " +
+        "(spec-pinned). At 100 TB the probe is a zero-shuffle broadcast scan and only the " +
+        "~12% of shingles that pass would reach the exact join — the build side shrinks " +
+        "from |train| to |flagged|."
+    ) { (s, dir) =>
+      bloomDecontam(table(s, dir, "documents"))
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_sh").as("sum_shingles"),
+          sum("n_maybe").as("bloom_hits"),
+          sum("n_hit").as("true_hits"),
+          (sum("n_maybe") - sum("n_hit")).as("false_pos"),
+          sum(when(col("n_maybe") > 0, 1L).otherwise(0L)).as("n_flagged_bloom"),
+          sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_flagged_true"))
         .orderBy("source", "split")
     },
 

@@ -642,6 +642,24 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x75 bloom decontam: never misses, false positives exist and are pure overcount") {
+    val perDoc = DataPrep.bloomDecontam(spark.read.parquet(s"$sf/documents.parquet"))
+      .select("n_sh", "n_maybe", "n_hit").as[(Long, Long, Long)].collect()
+    assert(perDoc.nonEmpty)
+    // a Bloom filter can overcount but never miss: maybe >= hit per doc,
+    // and both are bounded by the doc's shingle count
+    perDoc.foreach { case (nSh, maybe, hit) =>
+      assert(hit <= maybe && maybe <= nSh, s"($nSh, $maybe, $hit)")
+    }
+    // at the pinned geometry (~49% fill, 3 probes) the corpus must exhibit
+    // REAL false positives — otherwise the FP-rate audit is untested data
+    val fp = perDoc.map { case (_, m, h) => m - h }.sum
+    assert(fp > 0, "expected a nonzero false-positive count at this filter size")
+    // and the filter must still discriminate: flagged < probed overall
+    val (tot, maybeTot) = (perDoc.map(_._1).sum, perDoc.map(_._2).sum)
+    assert(maybeTot < tot, s"filter saturated: $maybeTot of $tot shingles flagged")
+  }
+
   test("x74 incremental dedup: every status forced by construction, admission idempotent") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

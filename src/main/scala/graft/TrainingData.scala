@@ -431,6 +431,17 @@ object TrainingData {
       topK: Int = TextAnalysis.TopNgramN): DataFrame =
     TextAnalysis.topNgrams(docs, k, topK)
 
+  /** Centroid (Rocchio) classifier (x76): the integer-exact skeleton of
+    * classifier-based filtering — per-class e6 token-frequency prototypes
+    * trained in ONE aggregation pass over the train split, held-out docs
+    * scored by sparse dot product, argmax per doc. The model is a
+    * broadcastable |vocab| x |classes| table; scoring is one 8-byte-hash
+    * join — the shape that lets linear filters run over trillions of
+    * tokens.
+    */
+  def centroidClassify(docs: DataFrame, labelCol: Column): DataFrame =
+    DataPrep.centroidClassify(docs, labelCol)
+
   /** Bloom-prefiltered decontamination audit (x75): a bit-packed Bloom
     * filter over the train split's distinct word-k-gram hashes
     * (corpus-size-independent broadcast state), probed by every held-out

@@ -374,6 +374,48 @@ object DataPrep {
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
 
+  /** x76 core: centroid (Rocchio) bag-of-words classifier — the integer-
+    * exact skeleton of classifier-based filtering (the fasttext
+    * quality/language classifiers real pipelines train on seed corpora).
+    * Train: per (class, token-hash) occurrence counts over the train
+    * split, normalized to e6 fixed-point class-conditional frequencies
+    * (`(c * 1e6) div total_class_tokens` — integer div, cross-engine
+    * exact). Score: a held-out doc's score for a class is the sum of that
+    * class's weights over the doc's token OCCURRENCES (a sparse dot
+    * product with the class prototype); predicted class = highest score,
+    * ties to the lexicographically smaller class. Docs sharing no train
+    * vocabulary score nothing and are absent by definition (inner-join
+    * semantics, spec-pinned).
+    *
+    * Columns (doc_id, label, pred, score_e6).
+    *
+    * Scale posture (100 TB): the model is |vocab| x |classes| e6 weights —
+    * a HASH-keyed table built by one map-side-combinable count, typically
+    * broadcastable (a 1M-token vocab x 10 classes is 80 MB); scoring is
+    * one 8-byte-key join + one (doc, class) aggregation; the argmax is a
+    * per-doc window, never global. Nothing iterates: training is a single
+    * aggregation pass, which is exactly why Rocchio (not SGD) is the
+    * distributed-first choice.
+    */
+  def centroidClassify(docs: DataFrame, labelCol: Column): DataFrame = {
+    val tok = splitAssign(docs).select(
+      col("doc_id"), labelCol.as("label"), col("split"),
+      explode(graftnative.api.windowHash60(col("text"), 1)).as("h"))
+    val cw = tok.filter(col("split") === "train")
+      .groupBy(col("label").as("clang"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val wt = cw.join(cw.groupBy("clang").agg(sum("c").as("tot")), "clang")
+      .select(col("clang"), col("h"), expr("(c * 1000000) div tot").as("w_e6"))
+    val sc = tok.filter(col("split") =!= "train")
+      .join(wt, "h")
+      .groupBy(col("doc_id"), col("label"), col("clang"))
+      .agg(sum("w_e6").as("score_e6"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("clang"))
+    sc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("clang").as("pred"), col("score_e6"))
+  }
+
   /** x75 Bloom geometry: `BloomWords` words of 63 usable bits (bit 63 is
     * never set, so `1L << bit` stays a positive BIGINT in both engines and
     * arithmetic shiftright needs no sign mask), probed by `BloomNh` affine
@@ -934,6 +976,45 @@ object DataPrep {
           sum(when(col("n_maybe") > 0, 1L).otherwise(0L)).as("n_flagged_bloom"),
           sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_flagged_true"))
         .orderBy("source", "split")
+    },
+
+    // ----- x76: centroid classifier (classifier-based filtering skeleton) -----
+    Q(
+      "x76_centroid_classify",
+      Some {
+        s"WITH w AS (SELECT doc_id, lang, $splitSql AS split, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          "tok AS (SELECT doc_id, lang, split, unnest(list_transform(" +
+          s"generate_series(1, len(ws)), i -> ${h60Sql("ws[i]")})) AS h FROM w), " +
+          "cw AS (SELECT lang AS clang, h, CAST(count(*) AS BIGINT) AS c " +
+          "FROM tok WHERE split = 'train' GROUP BY 1, 2), " +
+          "ct AS (SELECT clang, CAST(sum(c) AS BIGINT) AS tot FROM cw GROUP BY 1), " +
+          "wt AS (SELECT cw.clang, cw.h, (cw.c * 1000000) // ct.tot AS w_e6 " +
+          "FROM cw JOIN ct USING (clang)), " +
+          "sc AS (SELECT t.doc_id, t.lang, wt.clang, CAST(sum(wt.w_e6) AS BIGINT) AS score_e6 " +
+          "FROM tok t JOIN wt ON wt.h = t.h WHERE t.split <> 'train' GROUP BY 1, 2, 3), " +
+          "pr AS (SELECT doc_id, lang, clang, score_e6, ROW_NUMBER() OVER " +
+          "(PARTITION BY doc_id ORDER BY score_e6 DESC, clang) AS rn FROM sc) " +
+          "SELECT lang, clang AS pred, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(score_e6) AS BIGINT) AS sum_score " +
+          "FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      "classifier-based filtering's integer-exact skeleton: a centroid (Rocchio) " +
+        "bag-of-words classifier trained on the train split (per-class e6 fixed-point " +
+        "token frequencies — one count aggregation, no SGD) predicts the lang of every " +
+        "held-out doc via a sparse prototype dot product; output is the confusion matrix " +
+        "(true lang x predicted lang) with summed winning scores pinning the scores " +
+        "themselves. On word-soup text accuracy sits at chance — the FIXTURE spec proves " +
+        "the learning mechanics on disjoint vocabularies; this query pins the distributed " +
+        "algebra. At 100 TB the model is a broadcastable |vocab| x |classes| weight " +
+        "table built map-side; scoring is one 8-byte-hash join and a per-doc window — " +
+        "training cost is ONE pass, the reason real pipelines run fasttext-shaped " +
+        "(linear) filters over trillions of tokens."
+    ) { (s, dir) =>
+      centroidClassify(table(s, dir, "documents"), col("lang"))
+        .groupBy(col("label").as("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"), sum("score_e6").as("sum_score"))
+        .orderBy("lang", "pred")
     },
 
     // ----- x24: int8 embedding quantization (floor quantizer, per-vector scale) -----

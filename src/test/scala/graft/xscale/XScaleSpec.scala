@@ -642,6 +642,30 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x76 centroid classifier: learns disjoint vocabularies, held-out docs classified perfectly") {
+    // ids routed to train/held-out by the REAL x19 split hash, so the spec
+    // exercises the same bucketing the registered query uses
+    def bucket(id: Long) = XHash.h60(id.toString) % 100
+    val ids = (1L to 400L)
+    val trainIds = ids.filter(bucket(_) < 90).take(40)
+    val testIds = ids.filter(bucket(_) >= 90).take(10)
+    // disjoint class vocabularies plus one SHARED token, so every doc
+    // scores against BOTH prototypes and the argmax is a real decision
+    def mk(id: Long) = {
+      val a = id % 2 == 0
+      (id, if (a) "aa" else "bb",
+        (if (a) "apple banana cherry date elder fig grape" else "metal copper iron nickel zinc lead tin") + " the")
+    }
+    val docs = (trainIds ++ testIds).map(mk).toDF("doc_id", "lang", "text")
+    val out = DataPrep.centroidClassify(docs, col("lang"))
+      .select("doc_id", "label", "pred", "score_e6").as[(Long, String, String, Long)].collect()
+    assert(out.map(_._1).toSet === testIds.toSet)
+    out.foreach { case (id, l, p, s) =>
+      assert(p === l, s"doc $id predicted $p, wanted $l")
+      assert(s > 0)
+    }
+  }
+
   test("x75 bloom decontam: never misses, false positives exist and are pure overcount") {
     val perDoc = DataPrep.bloomDecontam(spark.read.parquet(s"$sf/documents.parquet"))
       .select("n_sh", "n_maybe", "n_hit").as[(Long, Long, Long)].collect()

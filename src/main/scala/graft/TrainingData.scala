@@ -453,6 +453,17 @@ object TrainingData {
   def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame =
     DataPrep.bloomDecontam(docs, k)
 
+  /** Count-min-sketch heavy hitters (x77): x71's open-web scale path —
+    * every n-gram occurrence folds into a corpus-size-independent counter
+    * grid (12288 longs, map-side combinable), and each exact top-k gram is
+    * re-estimated from the sketch so the overcount is a measured number.
+    * At 100 TB the sketch runs first and seeds the exact pass with heavy
+    * hitters only.
+    */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = TextAnalysis.TopNgramK,
+      topK: Int = TextAnalysis.TopNgramN): DataFrame =
+    TextAnalysis.cmsHeavyHitters(docs, k, topK)
+
   /** Incremental admission dedup (x74): classify an arriving batch against
     * an existing corpus — exact corpus dup / exact batch-internal dup /
     * MinHash-band near-dup of a corpus doc / admitted — without

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.query.Q
 import graft.query.Registry.table
-import XHash.{h60, h60Sql}
+import XHash.{h60, h60Sql, P}
 
 /** Text analysis over the `documents` table: language-ID (marker-word
   * heuristic), quality scoring (length / stopword / token-count ratios),
@@ -586,6 +586,17 @@ object TextAnalysis {
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
   val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** x77 count-min sketch geometry: CmsD independent rows of CmsW counters,
+    * columns drawn from the same (a*h + b) mod P affine family as the
+    * MinHash permutations and x75's Bloom probes — int64-exact in both
+    * engines. CmsD*CmsW = 12288 cells regardless of corpus size. Declared
+    * before `queries` so the SQL twins see them initialized.
+    */
+  val CmsD = 3
+  val CmsW = 4096
+  val CmsA: Seq[Long] = (0 until CmsD).map(j => 2L * j + 3)
+  val CmsB: Seq[Long] = (0 until CmsD).map(j => (32452843L * (j + 1)) % P)
 
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
@@ -1234,6 +1245,45 @@ object TextAnalysis {
       topNgrams(table(s, dir, "documents")).orderBy(col("cnt").desc, col("h"))
     },
 
+    // ----- x77: count-min sketch heavy hitters (x71's scale path, audited) -----
+    Q(
+      "x77_cms_heavy_hitters",
+      Some {
+        val k = TopNgramK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        def colFor(j: Int) = s"((h % $P) * ${CmsA(j)} + ${CmsB(j)}) % $P % $CmsW"
+        val cellsUnion = (0 until CmsD)
+          .map(j => s"SELECT $j AS j, ${colFor(j)} AS c FROM o").mkString(" UNION ALL ")
+        val topUnion = (0 until CmsD)
+          .map(j => s"SELECT h, gram, cnt, $j AS j, ${colFor(j)} AS c FROM top")
+          .mkString(" UNION ALL ")
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"g AS (SELECT doc_id, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p FROM w)), " +
+          s"o AS (SELECT ${h60Sql("g")} AS h FROM g), " +
+          "cells AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cell_cnt " +
+          s"FROM ($cellsUnion) GROUP BY 1, 2), " +
+          s"a AS (SELECT ${h60Sql("g")} AS h, min(g) AS gram, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1), " +
+          s"top AS (SELECT h, gram, cnt FROM a ORDER BY cnt DESC, h LIMIT $TopNgramN), " +
+          s"tp AS ($topUnion), " +
+          "est AS (SELECT h, gram, cnt, min(cell_cnt) AS est FROM tp " +
+          "JOIN cells USING (j, c) GROUP BY 1, 2, 3) " +
+          "SELECT h, gram, cnt, est, est - cnt AS overcount FROM est ORDER BY cnt DESC, h"
+      },
+      s"x71's open-web scale path built and AUDITED: a $CmsD x $CmsW count-min sketch " +
+        "absorbs every n-gram occurrence in one map-side-combinable pass (the grid is " +
+        "12288 longs of corpus-size-INDEPENDENT state), then each exact top-" +
+        s"$TopNgramN gram is re-estimated from the sketch (min over its $CmsD cells) and " +
+        "the overcount est - cnt is reported beside the truth — the measured price of " +
+        "sketching at this width. A CMS never underestimates (spec-pinned overcount >= 0). " +
+        "At 100 TB the sketch runs FIRST and only cells above a support threshold seed " +
+        "x71's exact aggregation, cutting its grouped frame from |vocabulary| to |heavy " +
+        "hitters| — here both run so the error is a verified number, not a promise."
+    ) { (s, dir) =>
+      cmsHeavyHitters(table(s, dir, "documents"))
+    },
+
     // ----- x72: PII detection + scrubbing (the release redaction pass) -----
     Q(
       "x72_pii_scrub",
@@ -1346,6 +1396,48 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("h"))
       .limit(topK)
       .select("h", "gram", "cnt", "n_docs")
+  }
+
+  private def cmsCols(c: Column): Column =
+    array(CmsA.zip(CmsB).map { case (a, b) =>
+      (((c % P) * a + b) % P) % CmsW
+    }: _*)
+
+  /** x77 core: count-min-sketch heavy hitters with an exact-error audit —
+    * the approximate path x71's Scaladoc reserves for open-web scale,
+    * built AND measured against the exact miner. One pass streams every
+    * n-gram occurrence into a CmsD x CmsW counter grid (Cormode &
+    * Muthukrishnan 2005); each exact top-k gram is then estimated as the
+    * MIN of its CmsD cells, and the output carries est - cnt — the
+    * overcount the sketch's size buys. A CMS never underestimates, so
+    * overcount >= 0 row-by-row (spec-pinned). Columns
+    * (h, gram, cnt, est, overcount).
+    *
+    * Scale posture (100 TB): the sketch is corpus-size-INDEPENDENT state —
+    * 12288 longs built by one map-side-combinable count (each executor
+    * folds its partitions into a local grid before the 12k-row shuffle);
+    * the exact pass here exists to MEASURE the sketch. In production the
+    * sketch runs first and only cells above a support threshold seed the
+    * exact candidate set, cutting x71's grouped frame from |vocabulary| to
+    * |heavy hitters|.
+    */
+  def cmsHeavyHitters(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = TopNgramK,
+      topK: Int = TopNgramN): org.apache.spark.sql.DataFrame = {
+    val occ = docs.select(explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val cells = occ
+      .select(posexplode(cmsCols(col("h"))).as(Seq("j", "c")))
+      .groupBy("j", "c")
+      .agg(count(lit(1)).as("cell_cnt"))
+    topNgrams(docs, k, topK)
+      .select(col("h"), col("gram"), col("cnt"),
+        posexplode(cmsCols(col("h"))).as(Seq("j", "c")))
+      .join(broadcast(cells), Seq("j", "c"))
+      .groupBy("h", "gram", "cnt")
+      .agg(min("cell_cnt").as("est"))
+      .withColumn("overcount", col("est") - col("cnt"))
+      .orderBy(col("cnt").desc, col("h"))
   }
 
   /** DuckDB twin of x31: per-n CTE chains (positions → grams → counts) for

@@ -642,6 +642,23 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x77 cms heavy hitters: never underestimates, candidates = the exact top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.cmsHeavyHitters(docs)
+      .select("h", "gram", "cnt", "est", "overcount")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.length === TextAnalysis.TopNgramN)
+    // the CMS estimate is min over d counters each >= the true count
+    out.foreach { case (_, g, cnt, est, over) =>
+      assert(est >= cnt, s"'$g' underestimated: $est < $cnt")
+      assert(over === est - cnt)
+    }
+    // the audited candidate set is EXACTLY the x71 exact top-k, same order
+    val exact = TextAnalysis.topNgrams(docs)
+      .select("h", "gram", "cnt").as[(Long, String, Long)].collect()
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq === exact.toSeq)
+  }
+
   test("x76 centroid classifier: learns disjoint vocabularies, held-out docs classified perfectly") {
     // ids routed to train/held-out by the REAL x19 split hash, so the spec
     // exercises the same bucketing the registered query uses

@@ -453,6 +453,14 @@ object TrainingData {
   def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame =
     DataPrep.bloomDecontam(docs, k)
 
+  /** Tokenizer fertility by language (x78): chars-per-token (e6) per lang
+    * under a learned BPE merge table — the equity audit multilingual
+    * pipelines run before a tokenizer ships. Zero-shuffle tokenize pass +
+    * a |languages|-row rollup.
+    */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    TextAnalysis.bpeFertility(docs, merges)
+
   /** Count-min-sketch heavy hitters (x77): x71's open-web scale path —
     * every n-gram occurrence folds into a corpus-size-independent counter
     * grid (12288 longs, map-side combinable), and each exact top-k gram is

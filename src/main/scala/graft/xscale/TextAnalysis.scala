@@ -550,7 +550,8 @@ object TextAnalysis {
     */
   def bpeTokenCounts(
       docs: org.apache.spark.sql.DataFrame,
-      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+      merges: Seq[(String, String)],
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     def applied(w: Column): Column = {
       val sym = concat_ws(" ",
         transform(sequence(lit(1), length(w)),
@@ -563,13 +564,37 @@ object TextAnalysis {
     }
     val words = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
     docs.select(
-      col("doc_id"),
-      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_char"),
-      aggregate(words, lit(0L),
-        (acc, w) => acc + size(split(applied(w), " ")).cast("long")).as("n_sym"))
+      (col("doc_id") +: keep.map(col)) ++ Seq(
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_char"),
+        aggregate(words, lit(0L),
+          (acc, w) => acc + size(split(applied(w), " ")).cast("long")).as("n_sym")): _*)
       .withColumn("cps_e6",
         expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
   }
+
+  /** x78 core: tokenizer FERTILITY by language — chars-per-token (e6) per
+    * lang under the x62-learned merge table, the equity audit run before a
+    * tokenizer ships: a language whose cps_e6 sits far below the corpus
+    * mean pays proportionally more tokens (so more compute and context)
+    * per character of content. Columns
+    * (lang, n_docs, n_char, n_sym, cps_e6 = 1e6·sum_chars / sum_symbols,
+    * integer div).
+    *
+    * Scale posture (100 TB): the tokenize half is x63's zero-shuffle
+    * expression chain with `lang` riding beside the counts; the only
+    * shuffle is the |languages|-row rollup, map-side combinable.
+    */
+  def bpeFertility(
+      docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    bpeTokenCounts(docs, merges, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_char").as("n_char"),
+        sum("n_sym").as("n_sym"))
+      .withColumn("cps_e6",
+        expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
 
   /** x71 knobs: gram width and result size (oracle-pinned queries inline
     * them; declared before `queries` so the SQL twins see them
@@ -1175,6 +1200,64 @@ object TextAnalysis {
       val docs = table(s, dir, "documents")
       val merges = bpeTrainForDir(s, dir).map(m => (m._2, m._3))
       bpeTokenCounts(docs, merges).orderBy("doc_id")
+    },
+
+    // ----- x78: tokenizer fertility by language (the equity audit) -----
+    Q(
+      "x78_bpe_fertility",
+      Some {
+        def round(r: Int): String = {
+          val prev = s"v${r - 1}"
+          s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+            "(SELECT freq, unnest(CASE WHEN len(ws) >= 2 THEN " +
+            "list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) " +
+            "ELSE []::VARCHAR[] END) AS pair FROM " +
+            s"(SELECT freq, string_split(sym, ' ') AS ws FROM $prev)) GROUP BY pair), " +
+            s"w$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+            s"v$r AS (SELECT v.freq, trim(replace(' ' || v.sym || ' ', " +
+            "' ' || w.pair || ' ', ' ' || replace(w.pair, ' ', '') || ' ')) AS sym " +
+            s"FROM $prev v CROSS JOIN w$r w)"
+        }
+        val rounds = (1 to BpeMerges).map(round).mkString(", ")
+        // x63's hardened apply chain: each round's pair is a scalar
+        // subquery coalesced to a chr(1) sentinel, so an unlearned round
+        // is a no-op replace instead of emptying the chain
+        val applyChain = (1 to BpeMerges).foldLeft(
+          "' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' '") {
+          (acc, r) =>
+            val p = s"coalesce((SELECT pair FROM w$r), chr(1))"
+            s"replace($acc, ' ' || $p || ' ', ' ' || replace($p, ' ', '') || ' ')"
+        }
+        s"WITH vb AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
+          s"(SELECT unnest(${XText.wordsSql("lower(text)")}) AS w FROM documents) " +
+          "WHERE w <> '' GROUP BY w), " +
+          "v0 AS (SELECT freq, array_to_string(list_transform(" +
+          "generate_series(1, length(w)), i -> w[i]), ' ') AS sym FROM vb), " +
+          s"$rounds, " +
+          s"aw AS (SELECT doc_id, lang, unnest(list_filter(${XText.wordsSql("lower(text)")}, " +
+          "w -> w <> '')) AS w FROM documents), " +
+          s"ap AS (SELECT doc_id, lang, length(w) AS nc, " +
+          s"len(string_split(trim($applyChain), ' ')) AS ns FROM aw), " +
+          "d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), " +
+          "ag AS (SELECT lang, CAST(sum(nc) AS BIGINT) AS n_char, " +
+          "CAST(sum(ns) AS BIGINT) AS n_sym FROM ap GROUP BY 1) " +
+          "SELECT d.lang, d.n_docs, CAST(coalesce(ag.n_char, 0) AS BIGINT) AS n_char, " +
+          "CAST(coalesce(ag.n_sym, 0) AS BIGINT) AS n_sym, " +
+          "CAST(CASE WHEN coalesce(ag.n_sym, 0) = 0 THEN 0 " +
+          "ELSE (1000000 * ag.n_char) // ag.n_sym END AS BIGINT) AS cps_e6 " +
+          "FROM d LEFT JOIN ag USING (lang) ORDER BY d.lang"
+      },
+      "tokenizer FERTILITY by language — the equity audit run before a tokenizer ships: " +
+        "chars-per-token (e6, integer div) per lang under the x62-learned merges. A " +
+        "language sitting far below the corpus mean pays proportionally more tokens (and " +
+        "so more compute and context window) per character of content — the number " +
+        "multilingual pipelines balance vocab allocations against. The tokenize half is " +
+        "x63's zero-shuffle whole-stage-codegen expression chain with lang riding beside " +
+        "the counts; the only shuffle is the |languages|-row rollup, map-side combinable."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val merges = bpeTrainForDir(s, dir).map(m => (m._2, m._3))
+      bpeFertility(docs, merges).orderBy("lang")
     },
 
     // ----- x67: held-out LM evaluation (train/eval separation + OOV) -----

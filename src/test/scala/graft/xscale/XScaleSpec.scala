@@ -642,6 +642,21 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x78 bpe fertility: merge-friendly language compresses further, counts exact") {
+    // 'aa' docs are pure repetition (merges collapse each word to ONE
+    // token: 4 chars/token); 'bb' words are 2-char and can only reach 2
+    val docs = Seq(
+      (1L, "aa", "abab abab abab abab"),
+      (2L, "aa", "abab abab"),
+      (3L, "bb", "xq zr xq zr")
+    ).toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.bpeTrain(docs).map(m => (m._2, m._3))
+    val out = TextAnalysis.bpeFertility(docs, merges)
+      .select("lang", "n_docs", "n_char", "n_sym", "cps_e6")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("aa", 2L, 24L, 6L, 4000000L), ("bb", 1L, 8L, 4L, 2000000L)))
+  }
+
   test("x77 cms heavy hitters: never underestimates, candidates = the exact top-k") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.cmsHeavyHitters(docs)

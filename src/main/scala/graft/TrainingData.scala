@@ -453,6 +453,17 @@ object TrainingData {
   def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame =
     DataPrep.bloomDecontam(docs, k)
 
+  /** Incremental IVFPQ add (x79): admit a batch of new vectors into an
+    * existing index — frozen coarse centroids and PQ codebooks, per-cell
+    * add-vs-base quantization-error drift as the retrain trigger. The add
+    * path never touches the corpus: both assignment joins are broadcast
+    * centroid lookups.
+    */
+  def ivfPqAdd(emb: DataFrame, batch: DataFrame, m: Int = Similarity.PqM,
+      ncCoarse: Int = Similarity.NC, ncPq: Int = Similarity.NC,
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.ivfPqAdd(emb, batch, m, ncCoarse, ncPq, trainSample, checkpointDir)
+
   /** Tokenizer fertility by language (x78): chars-per-token (e6) per lang
     * under a learned BPE merge table — the equity audit multilingual
     * pipelines run before a tokenizer ships. Zero-shuffle tokenize pass +

@@ -530,6 +530,75 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sqdist")
   }
 
+  /** Per-vector total PQ quantization error: assign each residual's m
+    * slices to the given codebooks and sum the winning squared distances.
+    * Columns (vec_id, qerr).
+    */
+  private def pqQerr(
+      res: DataFrame,
+      trained: Seq[(Int, Seq[(Long, Seq[Long])])],
+      sub: Int): DataFrame =
+    trained.map { case (s, cents) =>
+      quantizerRanked(pqSlice(res, s, sub), cents)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("dist"))
+    }.reduce(_ unionByName _)
+      .groupBy("vec_id")
+      .agg(sum("dist").as("qerr"))
+
+  /** x79 core: incremental IVFPQ index maintenance — ADD a batch of new
+    * vectors to an existing index without retraining anything, x74's
+    * admission posture applied to ANN serving: the coarse centroids and
+    * PQ codebooks are FROZEN artifacts (trained on the base corpus); each
+    * arriving vector is assigned to its nearest existing cell, its
+    * residual is coded with the existing codebooks, and the audit compares
+    * per-cell quantization error of the additions against the base — the
+    * drift signal that tells an index owner when accumulated adds justify
+    * a retrain (FAISS's add-vs-train distinction). `batch` carries
+    * (vec_id, vi) fixed-point vectors. Columns
+    * (cid, n_base, n_add, base_qerr, add_qerr) — qerr sums are integer
+    * squared-L2, so rising add_qerr/n_add vs base_qerr/n_base per cell IS
+    * the drift measurement.
+    *
+    * Scale posture (100 TB): the index add is the cheap path by
+    * construction — the batch never touches the corpus (both quantizer
+    * joins are against driver-resident broadcast centroids; zero shuffle
+    * beyond the |cells|-row rollup), and the base-side statistics are
+    * computed once and reusable across daily adds. Nothing re-clusters,
+    * nothing re-codes the existing corpus.
+    */
+  def ivfPqAdd(
+      emb: DataFrame,
+      batch: DataFrame,
+      m: Int = PqM,
+      ncCoarse: Int = NC,
+      ncPq: Int = NC,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sub = 64 / m
+    val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
+    val coarse = trainQuantizer(vi, ncCoarse, trainSample, checkpointDir)
+    def residuals(frame: DataFrame): DataFrame =
+      quantizerRanked(frame, coarse)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(vi, ci, (x, c) -> x - c)").as("vi"))
+    val res = DedupClusters.ckpt(residuals(vi), checkpointDir)
+    val trained = pqTrain(res.select("vec_id", "vi"), m, ncPq, trainSample, checkpointDir)
+    val bres = residuals(batch)
+    def cellStats(frame: DataFrame, nCol: String, eCol: String): DataFrame =
+      frame.join(pqQerr(frame, trained, sub), "vec_id")
+        .groupBy("cid")
+        .agg(count(lit(1)).as(nCol), sum("qerr").as(eCol))
+    cellStats(res, "n_base", "base_qerr")
+      .join(cellStats(bres, "n_add", "add_qerr"), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"),
+        coalesce(col("base_qerr"), lit(0L)).as("base_qerr"),
+        coalesce(col("add_qerr"), lit(0L)).as("add_qerr"))
+  }
+
   /** x65 core: dimension-truncation fidelity — the Matryoshka (Kusupati
     * et al. 2022) deployment audit: how much of the full-dimension cosine
     * structure survives when vectors are truncated to their first d'
@@ -1292,6 +1361,81 @@ object Similarity {
     ) { (s, dir) =>
       ivfPqKnn(table(s, dir, "embeddings"), col("vec_id") < 10)
         .orderBy("query_id", "rank")
+    },
+
+    // ----- x79: incremental IVFPQ add (index maintenance without retrain) -----
+    Q(
+      "x79_ivfpq_add",
+      Some {
+        val chains = (0 until PqM).map(s => pqKmeansSql(s, NC, PqSub)).mkString(", ")
+        def sqd(sub: Int, a: String, b: String) =
+          s"list_aggregate(list_transform(generate_series(1, $sub), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+        // base per-vector qerr: winning dist per subspace, summed
+        val baseLegs = (0 until PqM)
+          .map(s => s"SELECT vec_id, dist FROM r0_m$s WHERE rn = 1")
+          .mkString(" UNION ALL ")
+        // batch slices coded against the FROZEN per-subspace codebooks
+        val addLegs = (0 until PqM).map { s =>
+          val off = s * PqSub
+          s"SELECT vec_id, dist FROM (SELECT b.vec_id, c.cid, " +
+            s"${sqd(PqSub, s"b.rv[$off + 1:$off + $PqSub]", "c.ci")} AS dist, " +
+            s"ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY " +
+            s"${sqd(PqSub, s"b.rv[$off + 1:$off + $PqSub]", "c.ci")}, c.cid) AS rn " +
+            s"FROM br b CROSS JOIN c$NITER" + s"_m$s c) WHERE rn = 1"
+        }.mkString(" UNION ALL ")
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          "res AS (SELECT a.vec_id, a.cid, list_transform(generate_series(1, 64), " +
+          s"i -> vi.vi[i] - c.ci[i]) AS rv FROM asg a JOIN vi ON vi.vec_id = a.vec_id " +
+          s"JOIN c$NITER c ON c.cid = a.cid), " +
+          "vi0 AS (SELECT vec_id, rv AS vfull FROM res), " +
+          s"$chains, " +
+          s"bq AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS qerr FROM ($baseLegs) GROUP BY 1), " +
+          // the arriving batch: every 7th base vector re-embedded with a
+          // deterministic integer perturbation and a fresh id
+          "bv0 AS (SELECT vec_id AS bid, vi FROM vi WHERE vec_id % 7 = 0), " +
+          "bv AS (SELECT bid + 1000000 AS vec_id, list_transform(generate_series(1, 64), " +
+          "i -> vi[i] + ((bid + i - 1) % 7 - 3) * 1024) AS vi FROM bv0), " +
+          s"bd AS (SELECT b.vec_id, c.cid, ${sqd(64, "b.vi", "c.ci")} AS dist " +
+          s"FROM bv b CROSS JOIN c$NITER c), " +
+          "ba AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM bd) " +
+          "WHERE rn = 1), " +
+          "br AS (SELECT a.vec_id, a.cid, list_transform(generate_series(1, 64), " +
+          s"i -> b.vi[i] - c.ci[i]) AS rv FROM ba a JOIN bv b ON b.vec_id = a.vec_id " +
+          s"JOIN c$NITER c ON c.cid = a.cid), " +
+          s"bq2 AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS qerr FROM ($addLegs) GROUP BY 1), " +
+          "base AS (SELECT res.cid, CAST(count(*) AS BIGINT) AS n_base, " +
+          "CAST(sum(bq.qerr) AS BIGINT) AS base_qerr FROM res JOIN bq USING (vec_id) GROUP BY 1), " +
+          "ad AS (SELECT br.cid, CAST(count(*) AS BIGINT) AS n_add, " +
+          "CAST(sum(bq2.qerr) AS BIGINT) AS add_qerr FROM br JOIN bq2 USING (vec_id) GROUP BY 1) " +
+          "SELECT coalesce(base.cid, ad.cid) AS cid, " +
+          "CAST(coalesce(n_base, 0) AS BIGINT) AS n_base, " +
+          "CAST(coalesce(n_add, 0) AS BIGINT) AS n_add, " +
+          "CAST(coalesce(base_qerr, 0) AS BIGINT) AS base_qerr, " +
+          "CAST(coalesce(add_qerr, 0) AS BIGINT) AS add_qerr " +
+          "FROM base FULL JOIN ad ON base.cid = ad.cid ORDER BY 1"
+      },
+      "incremental IVFPQ ADD — x74's daily-ingest posture applied to the ANN index: the " +
+        "coarse centroids and PQ codebooks stay FROZEN (trained on the base corpus); an " +
+        "arriving batch (every 7th vector, deterministically perturbed, fresh ids) is " +
+        "assigned to its nearest existing cell and residual-coded with the existing " +
+        "codebooks — FAISS's add-vs-train distinction as DataFrame algebra. Output per " +
+        "cell: base/add counts and summed integer quantization error, so " +
+        "add_qerr/n_add drifting above base_qerr/n_base is the retrain trigger an index " +
+        "owner watches. At 100 TB the add path never touches the corpus — both " +
+        "assignment joins are against driver-resident broadcast centroids, zero shuffle " +
+        "beyond the |cells|-row rollup; base statistics amortize across daily adds."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val batch = fixedPoint(emb)
+        .filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("bid"), col("vi"))
+        .select((col("bid") + 1000000L).as("vec_id"),
+          transform(col("vi"),
+            (x, i) => x + (((col("bid") + i) % 7) - 3) * 1024L).as("vi"))
+      ivfPqAdd(emb, batch).orderBy("cid")
     },
 
     // ----- x65: dimension-truncation fidelity (Matryoshka audit) -----

@@ -642,6 +642,26 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x79 ivfpq add: identical re-arrivals are a per-cell subset with bounded error") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nCopies = emb.filter(col("vec_id") % 7 === 0).count()
+    val copies = Similarity.fixedPoint(emb).filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("vi"))
+    val out = Similarity.ivfPqAdd(emb, copies)
+      .select("cid", "n_base", "n_add", "base_qerr", "add_qerr")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // exact copies route to the SAME cells (same distances, same
+    // tie-break) and code to the SAME centroids, so per cell the adds are
+    // a subset of the base: counts and quantization error are bounded,
+    // and nothing lands in a cell the subset's members don't occupy
+    assert(out.map(_._3).sum === nCopies, "every arriving vector must be assigned exactly once")
+    out.foreach { case (cid, nb, na, be, ae) =>
+      assert(na <= nb, s"cell $cid: $na adds but only $nb base members")
+      assert(ae <= be, s"cell $cid: copy error $ae exceeds base $be")
+      assert(ae >= 0 && be >= 0)
+    }
+  }
+
   test("x78 bpe fertility: merge-friendly language compresses further, counts exact") {
     // 'aa' docs are pure repetition (merges collapse each word to ONE
     // token: 4 chars/token); 'bb' words are 2-char and can only reach 2

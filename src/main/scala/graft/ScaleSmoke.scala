@@ -24,7 +24,9 @@ object ScaleSmoke {
     "x34_substring_coverage", "x50_joint_auto", "x51_dsir_select",
     "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
     "x54_proto_auto", "x57_pipeline_full", "x62_bpe_train",
-    "x64_decontam_spans", "cc_uniform", "cc_megastar", "cc_megastar_salted")
+    "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
+    "x77_cms_heavy_hitters", "x79_ivfpq_add",
+    "cc_uniform", "cc_megastar", "cc_megastar_salted")
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
   private def ccMegastar(s: SparkSession) =

@@ -472,6 +472,12 @@ object TrainingData {
   def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     TextAnalysis.bpeFertility(docs, merges)
 
+  /** Token frequency spectrum (x80): types and occurrence mass per
+    * doubling frequency bucket — the rank-free Zipf shape check for a
+    * datasheet, integer bit-math only. One token scan + a <=64-row rollup.
+    */
+  def freqSpectrum(docs: DataFrame): DataFrame = TextAnalysis.freqSpectrum(docs)
+
   /** Count-min-sketch heavy hitters (x77): x71's open-web scale path —
     * every n-gram occurrence folds into a corpus-size-independent counter
     * grid (12288 longs, map-side combinable), and each exact top-k gram is

@@ -572,6 +572,38 @@ object TextAnalysis {
         expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
   }
 
+  /** x80 core: token frequency SPECTRUM — the rank-free Zipf audit: how
+    * many distinct token types (and how much occurrence mass) sit in each
+    * doubling bucket [2^(b-1), 2^b) of corpus frequency. A healthy natural
+    * corpus shows the long-tail signature (types concentrated in bucket 1,
+    * mass spread far right); template/boilerplate-heavy or synthetic
+    * corpora bend it — this is the one-glance shape check a datasheet
+    * carries next to x53's vocabulary-growth curve. The bucket is
+    * `length(bin(freq))` = floor(log2 freq)+1 — pure integer bit-math, no
+    * floating log, identical in both engines. A bit_xor checksum of the
+    * member token hashes pins bucket MEMBERSHIP exactly, not just counts.
+    * Columns (bucket, lo_freq, n_types, n_occ, checksum).
+    *
+    * Scale posture (100 TB): one windowHash60 scan + one 8-byte-key
+    * map-side-combinable count + a ≤64-row rollup; nothing materializes
+    * beyond the vocabulary-bounded frequency table (and at open-web scale
+    * the x77 CMS can seed this spectrum for the heavy buckets while exact
+    * counting is reserved for a hash-range sample of the tail).
+    */
+  def freqSpectrum(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(graftnative.api.windowHash60(col("text"), 1)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("freq"))
+      .withColumn("bucket", length(bin(col("freq"))).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("freq").as("n_occ"),
+        expr("bit_xor(h)").as("checksum"))
+      .withColumn("lo_freq", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"))
+      .select("bucket", "lo_freq", "n_types", "n_occ", "checksum")
+      .orderBy("bucket")
+
   /** x78 core: tokenizer FERTILITY by language — chars-per-token (e6) per
     * lang under the x62-learned merge table, the equity audit run before a
     * tokenizer ships: a language whose cps_e6 sits far below the corpus
@@ -1365,6 +1397,33 @@ object TextAnalysis {
         "hitters| — here both run so the error is a verified number, not a promise."
     ) { (s, dir) =>
       cmsHeavyHitters(table(s, dir, "documents"))
+    },
+
+    // ----- x80: token frequency spectrum (the rank-free Zipf audit) -----
+    Q(
+      "x80_freq_spectrum",
+      Some {
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "tok AS (SELECT unnest(list_transform(generate_series(1, len(ws)), " +
+          s"i -> ${h60Sql("ws[i]")})) AS h FROM w), " +
+          "tf AS (SELECT h, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY h) " +
+          "SELECT CAST(length(bin(freq)) AS BIGINT) AS bucket, " +
+          "CAST(1::BIGINT << CAST(length(bin(freq)) - 1 AS INT) AS BIGINT) AS lo_freq, " +
+          "CAST(count(*) AS BIGINT) AS n_types, CAST(sum(freq) AS BIGINT) AS n_occ, " +
+          "CAST(bit_xor(h) AS BIGINT) AS checksum " +
+          "FROM tf GROUP BY 1, 2 ORDER BY 1"
+      },
+      "the rank-free Zipf audit: distinct token types and occurrence mass per DOUBLING " +
+        "bucket [2^(b-1), 2^b) of corpus frequency — the one-glance long-tail shape check " +
+        "a datasheet carries beside x53's Heaps curve (natural text: types pile into " +
+        "bucket 1, mass spreads right; boilerplate or synthetic corpora bend the shape). " +
+        "bucket = length(bin(freq)) is floor(log2)+1 as pure integer bit-math — no " +
+        "floating log enters the oracle — and bit_xor of member hashes pins bucket " +
+        "MEMBERSHIP, so one token sliding buckets flips the row. One token-hash scan, one " +
+        "map-side-combinable count, a <=64-row rollup; at open-web scale the x77 sketch " +
+        "seeds the heavy buckets and exact counting falls back to a hash-range tail sample."
+    ) { (s, dir) =>
+      freqSpectrum(table(s, dir, "documents"))
     },
 
     // ----- x72: PII detection + scrubbing (the release redaction pass) -----

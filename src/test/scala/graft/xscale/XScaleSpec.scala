@@ -642,6 +642,28 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x80 freq spectrum: doubling buckets exact on a controlled fixture") {
+    // frequencies 1, 2, 3, 4, 8 -> buckets 1, 2, 2, 3, 4
+    val docs = Seq(
+      (1L, "once twice twice thrice thrice thrice quad quad quad quad"),
+      (2L, "eight eight eight eight eight eight eight eight")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.freqSpectrum(docs)
+      .select("bucket", "lo_freq", "n_types", "n_occ").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, 1L, 1L), (2L, 2L, 2L, 5L), (3L, 4L, 1L, 4L), (4L, 8L, 1L, 8L)))
+    // checksum pins membership: moving one occurrence must flip two rows
+    val moved = Seq(
+      (1L, "once once twice thrice thrice thrice quad quad quad quad"),
+      (2L, "eight eight eight eight eight eight eight eight")
+    ).toDF("doc_id", "text")
+    val a = TextAnalysis.freqSpectrum(docs).select("bucket", "checksum")
+      .as[(Long, Long)].collect().toMap
+    val b = TextAnalysis.freqSpectrum(moved).select("bucket", "checksum")
+      .as[(Long, Long)].collect().toMap
+    assert(a(1L) !== b.getOrElse(1L, 0L))
+  }
+
   test("x79 ivfpq add: identical re-arrivals are a per-cell subset with bounded error") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val nCopies = emb.filter(col("vec_id") % 7 === 0).count()

@@ -472,6 +472,14 @@ object TrainingData {
   def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     TextAnalysis.bpeFertility(docs, merges)
 
+  /** Token-budget / epoch planner (x81): per-source token allocations for
+    * a BudgetMult-x training budget under x70's sqrt temperature weights,
+    * hard-capped at EpochCap epochs with one deterministic redistribution
+    * round — the data-constrained-scaling plan a sampler implements. One
+    * corpus scan, then |sources|-row algebra.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame = DataPrep.tokenBudget(docs)
+
   /** Token frequency spectrum (x80): types and occurrence mass per
     * doubling frequency bucket — the rank-free Zipf shape check for a
     * datasheet, integer bit-math only. One token scan + a <=64-row rollup.

@@ -374,6 +374,68 @@ object DataPrep {
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
 
+  /** x81 planner knobs: train-budget multiple of the corpus token count,
+    * and the repeat cap (max epochs per source — Muennighoff et al. 2023
+    * show returns decay fast past ~4 repeats).
+    */
+  val EpochCap = 4L
+  val BudgetMult = 3L
+
+  /** Overflow-safe exact `(a * share_e6) div 1e6`: decomposing a into
+    * quotient/remainder by 1e6 keeps every intermediate below
+    * a/1e6 * 1e6 + 1e12 — identical algebra in both engines.
+    */
+  private def mulShareE6(a: String, share: String): String =
+    s"($a div 1000000) * $share + (($a % 1000000) * $share) div 1000000"
+  private def mulShareE6Sql(a: String, share: String): String =
+    s"($a // 1000000) * $share + (($a % 1000000) * $share) // 1000000"
+
+  /** x81 core: the token-budget / EPOCH planner — given a training budget
+    * of `BudgetMult`x the corpus token count, how many tokens (and so how
+    * many repeats) does each source contribute? Weights follow x70's
+    * α = 1/2 temperature rule (w ∝ √tokens — IEEE sqrt floored, exact in
+    * both engines); each source's raw allocation is capped at `EpochCap`
+    * epochs of its available tokens and the capped excess is redistributed
+    * once, proportionally, to uncapped sources (one deterministic
+    * waterfall round; anything still above cap after redistribution is
+    * re-capped and the shortfall is visible as Σplanned < budget). Columns
+    * (source, n_docs, avail_tok, w_e3, plan0_tok, planned_tok, epochs_e6,
+    * capped).
+    *
+    * Scale posture (100 TB): one corpus scan for per-source token counts;
+    * everything after is |sources|-row algebra with two single-row
+    * broadcast totals (never a window over the corpus). Shares are e6
+    * fixed-point and allocations use the quotient/remainder decomposition,
+    * so the plan stays integer-exact up to ~9e12 tokens per source.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val a = docs
+      .select(col("source"), size(XText.words(col("text"))).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("avail_tok"))
+      .withColumn("w_e3", floor(sqrt(col("avail_tok").cast("double") * 1e6)).cast("long"))
+    val tot = a.agg(sum("avail_tok").as("tot"), sum("w_e3").as("wsum"))
+    val j = a.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot") * BudgetMult)
+      .withColumn("share_e6", expr("(w_e3 * 1000000) div wsum"))
+      .withColumn("plan0", expr(mulShareE6("budget", "share_e6")))
+      .withColumn("cap", col("avail_tok") * EpochCap)
+      .withColumn("capped", col("plan0") > col("cap"))
+    val ex = j.agg(
+      sum(when(col("capped"), col("plan0") - col("cap")).otherwise(0L)).as("excess"),
+      sum(when(!col("capped"), col("w_e3")).otherwise(0L)).as("wfree"))
+    j.crossJoin(broadcast(ex))
+      .withColumn("extra", expr(
+        "CASE WHEN wfree = 0 THEN 0 ELSE " +
+          mulShareE6("excess", "((w_e3 * 1000000) div wfree)") + " END"))
+      .withColumn("planned_tok",
+        when(col("capped"), col("cap"))
+          .otherwise(least(col("cap"), col("plan0") + col("extra"))))
+      .withColumn("epochs_e6", expr("(planned_tok * 1000000) div avail_tok"))
+      .select(col("source"), col("n_docs"), col("avail_tok"), col("w_e3"),
+        col("plan0").as("plan0_tok"), col("planned_tok"), col("epochs_e6"), col("capped"))
+  }
+
   /** x76 core: centroid (Rocchio) bag-of-words classifier — the integer-
     * exact skeleton of classifier-based filtering (the fasttext
     * quality/language classifiers real pipelines train on seed corpora).
@@ -1854,6 +1916,56 @@ object DataPrep {
         .groupBy("lang", "n_docs", "w_e3", "p_e6")
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("lang")
+    },
+
+    // ----- x81: token-budget / epoch planner (data-constrained scaling) -----
+    Q(
+      "x81_token_budget",
+      Some {
+        val extra = mulShareE6Sql("e.excess", "((c.w_e3 * 1000000) // e.wfree)")
+        // skew fixture: even-numbered sources keep only every 8th doc, so
+        // sqrt-flattening pushes their epochs PAST the cap — the capped
+        // branch and the redistribution waterfall both carry real data
+        s"WITH aug AS (SELECT * FROM documents WHERE doc_id % 8 = 0 " +
+          "OR CAST(substr(source, 4) AS INT) % 2 = 1), " +
+          "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          s"CAST(sum(len(${XText.wordsSql("text")})) AS BIGINT) AS avail_tok " +
+          "FROM aug GROUP BY 1), " +
+          "w AS (SELECT *, CAST(floor(sqrt(avail_tok::DOUBLE * 1000000)) AS BIGINT) " +
+          "AS w_e3 FROM a), " +
+          "t AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot, " +
+          "CAST(sum(w_e3) AS BIGINT) AS wsum FROM w), " +
+          s"j AS (SELECT w.*, t.tot * $BudgetMult AS budget, " +
+          "(w_e3 * 1000000) // t.wsum AS share_e6 FROM w CROSS JOIN t), " +
+          s"p AS (SELECT *, ${mulShareE6Sql("budget", "share_e6")} AS plan0, " +
+          s"avail_tok * $EpochCap AS cap FROM j), " +
+          "c AS (SELECT *, plan0 > cap AS capped FROM p), " +
+          "e AS (SELECT CAST(sum(CASE WHEN capped THEN plan0 - cap ELSE 0 END) AS BIGINT) " +
+          "AS excess, CAST(sum(CASE WHEN capped THEN 0 ELSE w_e3 END) AS BIGINT) AS wfree " +
+          "FROM c), " +
+          "f AS (SELECT c.*, CASE WHEN c.capped THEN c.cap ELSE least(c.cap, c.plan0 + " +
+          s"CASE WHEN e.wfree = 0 THEN 0 ELSE $extra END) END AS planned " +
+          "FROM c CROSS JOIN e) " +
+          "SELECT source, n_docs, avail_tok, w_e3, CAST(plan0 AS BIGINT) AS plan0_tok, " +
+          "CAST(planned AS BIGINT) AS planned_tok, " +
+          "CAST((planned * 1000000) // avail_tok AS BIGINT) AS epochs_e6, capped " +
+          "FROM f ORDER BY source"
+      },
+      s"the token-budget / EPOCH planner (data-constrained scaling, Muennighoff et al. " +
+        s"2023): at a training budget of ${BudgetMult}x the corpus, each source's " +
+        "allocation follows x70's α = 1/2 temperature weight (w ∝ √tokens, IEEE-sqrt " +
+        s"floored), hard-capped at $EpochCap epochs of what the source actually has; " +
+        "capped excess redistributes once, proportionally, to uncapped sources " +
+        "(deterministic single waterfall round — any residual shortfall is visible as " +
+        "Σplanned < budget). epochs_e6 is the oversampling factor a sampler implements " +
+        "directly. One corpus scan for token counts, then |sources|-row algebra with two " +
+        "single-row broadcast totals; the quotient/remainder share multiply keeps every " +
+        "intermediate in int64 up to ~9e12 tokens per source."
+    ) { (s, dir) =>
+      tokenBudget(table(s, dir, "documents")
+        .filter(col("doc_id") % 8 === 0 ||
+          expr("CAST(substring(source, 4) AS INT) % 2 = 1")))
+        .orderBy("source")
     },
 
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----

@@ -642,6 +642,22 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x81 token budget: caps bind, budget never exceeded, redistribution only helps") {
+    val out = graft.SparkEntry.queries("x81_token_budget")(spark, sf)
+      .select("avail_tok", "plan0_tok", "planned_tok", "epochs_e6", "capped")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.exists(_._5), "fixture must exercise the capped branch")
+    assert(out.exists(!_._5), "fixture must leave uncapped sources to redistribute to")
+    val budget = out.map(_._1).sum * DataPrep.BudgetMult
+    assert(out.map(_._3).sum <= budget, "total plan must never exceed the budget")
+    out.foreach { case (avail, plan0, planned, epochs, capped) =>
+      assert(planned <= DataPrep.EpochCap * avail, "the epoch cap is a hard ceiling")
+      assert(epochs <= DataPrep.EpochCap * 1000000L)
+      if (capped) assert(planned === DataPrep.EpochCap * avail)
+      else assert(planned >= plan0, "redistribution can only add tokens to uncapped sources")
+    }
+  }
+
   test("x80 freq spectrum: doubling buckets exact on a controlled fixture") {
     // frequencies 1, 2, 3, 4, 8 -> buckets 1, 2, 2, 3, 4
     val docs = Seq(

@@ -472,6 +472,14 @@ object TrainingData {
   def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     TextAnalysis.bpeFertility(docs, merges)
 
+  /** Shard interleaving audit (x82): run-lengths of consecutive
+    * same-source docs in the trainer's actual (pack-order) read stream —
+    * measures the mixing hash-shuffling is supposed to buy. Rides the pack
+    * writer's own per-shard sort; |shards| output rows.
+    */
+  def shardMixing(docs: DataFrame, shards: Int = DataPrep.PackShards): DataFrame =
+    DataPrep.shardMixing(docs, shards)
+
   /** Token-budget / epoch planner (x81): per-source token allocations for
     * a BudgetMult-x training budget under x70's sqrt temperature weights,
     * hard-capped at EpochCap epochs with one deterministic redistribution

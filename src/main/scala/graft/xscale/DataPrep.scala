@@ -374,6 +374,42 @@ object DataPrep {
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
 
+  /** x82 core: shard INTERLEAVING audit — how well are sources mixed in
+    * the order a trainer will actually read? Docs stream in the x49 pack
+    * order (hash order within `ord % shards` shards); gaps-and-islands
+    * over that order finds maximal runs of consecutive same-source docs.
+    * Long runs are correlated gradient batches (the reason pipelines
+    * hash-shuffle before packing); this measures the property instead of
+    * assuming it. Columns (shard, n_docs, n_sources, n_runs, max_run,
+    * mean_run_e6).
+    *
+    * Scale posture (100 TB): one window pass per shard partition (the
+    * lag + running-sum pair is a single sort within each shard — the same
+    * sort the pack writer already does, so in a fused pipeline this audit
+    * is free) and two keyed rollups; nothing global, output is
+    * |shards| rows.
+    */
+  def shardMixing(docs: DataFrame, shards: Int = PackShards): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    val runs = docs
+      .select(col("doc_id"), col("source"), ordCol.as("ord"))
+      .withColumn("shard", col("ord") % shards)
+      .withColumn("chg",
+        when(lag("source", 1).over(w).isNull || lag("source", 1).over(w) =!= col("source"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("chg").over(w))
+      .groupBy("shard", "run_id")
+      .agg(count(lit(1)).as("len"), min("source").as("src"))
+    runs
+      .groupBy("shard")
+      .agg(
+        sum("len").as("n_docs"),
+        countDistinct("src").as("n_sources"),
+        count(lit(1)).as("n_runs"),
+        max("len").as("max_run"))
+      .withColumn("mean_run_e6", expr("(n_docs * 1000000) div n_runs"))
+  }
+
   /** x81 planner knobs: train-budget multiple of the corpus token count,
     * and the repeat cap (max epochs per source — Muennighoff et al. 2023
     * show returns decay fast past ~4 repeats).
@@ -1966,6 +2002,36 @@ object DataPrep {
         .filter(col("doc_id") % 8 === 0 ||
           expr("CAST(substring(source, 4) AS INT) % 2 = 1")))
         .orderBy("source")
+    },
+
+    // ----- x82: shard interleaving audit (run-lengths in trainer read order) -----
+    Q(
+      "x82_shard_mixing",
+      Some {
+        val over = "OVER (PARTITION BY shard ORDER BY ord, doc_id)"
+        s"WITH t AS (SELECT doc_id, source, $ordSql AS ord FROM documents), " +
+          s"s AS (SELECT doc_id, source, ord, ord % $PackShards AS shard FROM t), " +
+          s"c AS (SELECT *, CASE WHEN lag(source) $over IS NULL " +
+          s"OR lag(source) $over <> source THEN 1 ELSE 0 END AS chg FROM s), " +
+          s"r AS (SELECT *, sum(chg) $over AS run_id FROM c), " +
+          "g AS (SELECT shard, run_id, CAST(count(*) AS BIGINT) AS len, " +
+          "min(source) AS src FROM r GROUP BY 1, 2) " +
+          "SELECT shard, CAST(sum(len) AS BIGINT) AS n_docs, " +
+          "CAST(count(DISTINCT src) AS BIGINT) AS n_sources, " +
+          "CAST(count(*) AS BIGINT) AS n_runs, CAST(max(len) AS BIGINT) AS max_run, " +
+          "CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS mean_run_e6 " +
+          "FROM g GROUP BY shard ORDER BY shard"
+      },
+      "shard INTERLEAVING audit — is the trainer's actual read order well-mixed? Over " +
+        "the x49 pack order (hash order within shards), gaps-and-islands finds maximal " +
+        "runs of consecutive same-source docs; per shard: docs, distinct sources, run " +
+        "count, longest run and mean run length (e6). Long runs mean correlated gradient " +
+        "batches — the property hash-shuffling is SUPPOSED to buy, measured instead of " +
+        "assumed. The lag + running-sum window pair rides the same per-shard sort the " +
+        "pack writer already performs, so fused into a pack build this audit costs " +
+        "nothing extra; output is |shards| rows."
+    ) { (s, dir) =>
+      shardMixing(table(s, dir, "documents")).orderBy("shard")
     },
 
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----

@@ -642,6 +642,22 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x82 shard mixing: single-source stream is one run, hash order mixes the real corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // degenerate stream: one source -> exactly one run spanning each shard
+    val mono = DataPrep.shardMixing(docs.withColumn("source", lit("only")))
+      .select("n_docs", "n_sources", "n_runs", "max_run").as[(Long, Long, Long, Long)].collect()
+    mono.foreach { case (nd, ns, nr, mx) =>
+      assert(ns === 1L && nr === 1L && mx === nd)
+    }
+    // the real corpus in hash order must actually interleave: no shard may
+    // spend more than a tenth of its stream inside one source run
+    val real = DataPrep.shardMixing(docs)
+      .select("n_docs", "max_run").as[(Long, Long)].collect()
+    real.foreach { case (nd, mx) => assert(mx * 10 <= nd, s"run $mx of $nd") }
+    assert(real.map(_._1).sum === docs.count())
+  }
+
   test("x81 token budget: caps bind, budget never exceeded, redistribution only helps") {
     val out = graft.SparkEntry.queries("x81_token_budget")(spark, sf)
       .select("avail_tok", "plan0_tok", "planned_tok", "epochs_e6", "capped")

@@ -472,6 +472,15 @@ object TrainingData {
   def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     TextAnalysis.bpeFertility(docs, merges)
 
+  /** Padding-efficiency audit (x83): per-shard padding cost of fixed-size
+    * batches under arrival order vs length-grouped order — the measured
+    * case for a length-grouped sampler. Per-shard windows only; 2·|shards|
+    * output rows.
+    */
+  def padEfficiency(docs: DataFrame, shards: Int = DataPrep.PackShards,
+      b: Int = DataPrep.PadBatch): DataFrame =
+    DataPrep.padEfficiency(docs, shards, b)
+
   /** Shard interleaving audit (x82): run-lengths of consecutive
     * same-source docs in the trainer's actual (pack-order) read stream —
     * measures the mixing hash-shuffling is supposed to buy. Rides the pack

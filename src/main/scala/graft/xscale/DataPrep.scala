@@ -410,6 +410,50 @@ object DataPrep {
       .withColumn("mean_run_e6", expr("(n_docs * 1000000) div n_runs"))
   }
 
+  /** x83 batch size for the padding-efficiency audit. */
+  val PadBatch = 32
+
+  /** x83 core: PADDING-efficiency audit — the measured case for
+    * length-grouped batching: fixed-size batches of `b` docs are cut from
+    * each shard's stream under two orders (arrival = the x49 hash order a
+    * naive loader reads; length = n_tok-descending, the length-grouped
+    * sampler), and each batch pays max(n_tok)·n − Σn_tok padding tokens.
+    * pad_e6 is the fraction of step compute spent on pad. Sorted
+    * contiguous grouping minimizes the sum of batch maxima, so the length
+    * strategy can never lose (spec-pinned) — this op reports how MUCH it
+    * wins on the actual corpus. Columns
+    * (strategy, shard, n_docs, n_batches, sum_tok, pad_tok, pad_e6).
+    *
+    * Scale posture (100 TB): both orders are per-shard windows — the same
+    * partitioning the pack writer already sorts within, never a global
+    * sort; rollups are keyed and map-side combinable; output is
+    * 2·|shards| rows.
+    */
+  def padEfficiency(docs: DataFrame, shards: Int = PackShards, b: Int = PadBatch): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      size(XText.words(col("text"))).cast("long").as("n_tok"),
+      ordCol.as("ord"))
+      .withColumn("shard", col("ord") % shards)
+    def audit(strategy: String, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("bid", expr(s"(rn - 1) div $b"))
+        .groupBy("shard", "bid")
+        .agg(count(lit(1)).as("n"), max("n_tok").as("mx"), sum("n_tok").as("st"))
+        .groupBy("shard")
+        .agg(
+          sum("n").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum("st").as("sum_tok"),
+          sum(expr("mx * n - st")).as("pad_tok"))
+        .withColumn("strategy", lit(strategy))
+    audit("arrival", Window.partitionBy("shard").orderBy("ord", "doc_id"))
+      .unionByName(
+        audit("length", Window.partitionBy("shard").orderBy(col("n_tok").desc, col("doc_id"))))
+      .withColumn("pad_e6", expr("(pad_tok * 1000000) div (pad_tok + sum_tok)"))
+      .select("strategy", "shard", "n_docs", "n_batches", "sum_tok", "pad_tok", "pad_e6")
+  }
+
   /** x81 planner knobs: train-budget multiple of the corpus token count,
     * and the repeat cap (max epochs per source — Muennighoff et al. 2023
     * show returns decay fast past ~4 repeats).
@@ -2032,6 +2076,36 @@ object DataPrep {
         "nothing extra; output is |shards| rows."
     ) { (s, dir) =>
       shardMixing(table(s, dir, "documents")).orderBy("shard")
+    },
+
+    // ----- x83: padding-efficiency audit (length-grouped batching, measured) -----
+    Q(
+      "x83_pad_efficiency",
+      Some {
+        def leg(strategy: String, order: String) =
+          s"(SELECT '$strategy' AS strategy, shard, CAST(sum(n) AS BIGINT) AS n_docs, " +
+            "CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(st) AS BIGINT) AS sum_tok, " +
+            "CAST(sum(mx * n - st) AS BIGINT) AS pad_tok FROM " +
+            "(SELECT shard, bid, count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS st FROM " +
+            "(SELECT shard, (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY " + order +
+            s") - 1) // $PadBatch AS bid, n_tok FROM s) GROUP BY 1, 2) GROUP BY 2)"
+        s"WITH t AS (SELECT doc_id, CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok, " +
+          s"$ordSql AS ord FROM documents), " +
+          s"s AS (SELECT *, ord % $PackShards AS shard FROM t), " +
+          s"u AS (${leg("arrival", "ord, doc_id")} UNION ALL ${leg("length", "n_tok DESC, doc_id")}) " +
+          "SELECT strategy, shard, n_docs, n_batches, sum_tok, pad_tok, " +
+          "CAST((pad_tok * 1000000) // (pad_tok + sum_tok) AS BIGINT) AS pad_e6 " +
+          "FROM u ORDER BY strategy, shard"
+      },
+      s"the measured case for length-grouped batching: batches of $PadBatch docs cut from " +
+        "each shard under the naive arrival (hash) order vs n_tok-descending order, each " +
+        "batch paying max·n − Σtok padding tokens; pad_e6 is the fraction of step compute " +
+        "burned on pad. Sorted contiguous grouping minimizes the sum of batch maxima, so " +
+        "the length strategy can never lose (spec-pinned) — this reports how much it WINS " +
+        "on the real corpus, per shard. Both orders are per-shard windows riding the pack " +
+        "writer's own partitioning (never a global sort); output is 2·|shards| rows."
+    ) { (s, dir) =>
+      padEfficiency(table(s, dir, "documents")).orderBy("strategy", "shard")
     },
 
     // ----- x64: span-level decontamination (keep ZERO copies of benchmark spans) -----

@@ -642,6 +642,24 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x83 pad efficiency: length-grouping never loses, totals invariant across strategies") {
+    val out = DataPrep.padEfficiency(spark.read.parquet(s"$sf/documents.parquet"))
+      .select("strategy", "shard", "n_docs", "n_batches", "sum_tok", "pad_tok")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byShard = out.groupBy(_._2)
+    byShard.foreach { case (shard, rows) =>
+      val arr = rows.find(_._1 === "arrival").get
+      val len = rows.find(_._1 === "length").get
+      // the same docs and token mass are batched either way
+      assert(arr._3 === len._3 && arr._4 === len._4 && arr._5 === len._5)
+      // sorted contiguous grouping minimizes the sum of batch maxima
+      assert(len._6 <= arr._6, s"shard $shard: length pad ${len._6} > arrival ${arr._6}")
+    }
+    // and on a hash-ordered corpus the win must be real, not a tie
+    assert(out.filter(_._1 === "length").map(_._6).sum <
+      out.filter(_._1 === "arrival").map(_._6).sum)
+  }
+
   test("x82 shard mixing: single-source stream is one run, hash order mixes the real corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // degenerate stream: one source -> exactly one run spanning each shard

@@ -497,6 +497,13 @@ object TrainingData {
     */
   def tokenBudget(docs: DataFrame): DataFrame = DataPrep.tokenBudget(docs)
 
+  /** Memorization-risk audit (x84): per-source fraction of corpus-unique
+    * k-token windows — the extractable-span signal a privacy review reads
+    * after dedup. One window scan + df count + keyed rollups.
+    */
+  def rareWindows(docs: DataFrame, k: Int = TextAnalysis.RareK): DataFrame =
+    TextAnalysis.rareWindows(docs, k)
+
   /** Token frequency spectrum (x80): types and occurrence mass per
     * doubling frequency bucket — the rank-free Zipf shape check for a
     * datasheet, integer bit-math only. One token scan + a <=64-row rollup.

@@ -572,6 +572,45 @@ object TextAnalysis {
         expr("CASE WHEN n_sym = 0 THEN 0 ELSE (1000000 * n_char) div n_sym END"))
   }
 
+  /** x84 window width (tokens) for the memorization-risk audit. */
+  val RareK = 5
+
+  /** x84 core: memorization-RISK audit — the fraction of each document
+    * made of corpus-UNIQUE k-token windows (df = 1). Extraction attacks
+    * recover exactly the long spans that occur nowhere else (dedup already
+    * removed the repeated ones); a doc that is mostly unique windows is
+    * the doc a trained model can only have memorized if it emits it. Per
+    * source: docs, total/unique window counts, the pooled unique fraction
+    * (e6) and the count of high-risk docs (more than half their windows
+    * unique). Columns (source, n_docs, n_win, n_rare, rare_e6, n_risky).
+    *
+    * Scale posture (100 TB): one windowHash60 scan, one 8-byte-key df
+    * count (map-side combinable), one join back, two keyed rollups —
+    * x23's exact shape. At open-web scale the df table prunes to df = 1
+    * candidates with the x77 sketch before the join (a cell count > 1
+    * proves df > 1; only possibly-unique hashes need exact df).
+    */
+  def rareWindows(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = RareK): org.apache.spark.sql.DataFrame = {
+    val occ = docs.select(col("doc_id"), col("source"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val df = occ.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    occ.join(df, "h")
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_win").as("n_win"),
+        sum("n_rare").as("n_rare"),
+        sum(when(col("n_rare") * 2 > col("n_win"), 1L).otherwise(0L)).as("n_risky"))
+      .withColumn("rare_e6", expr("(n_rare * 1000000) div n_win"))
+      .select("source", "n_docs", "n_win", "n_rare", "rare_e6", "n_risky")
+  }
+
   /** x80 core: token frequency SPECTRUM — the rank-free Zipf audit: how
     * many distinct token types (and how much occurrence mass) sit in each
     * doubling bucket [2^(b-1), 2^b) of corpus frequency. A healthy natural
@@ -1424,6 +1463,40 @@ object TextAnalysis {
         "seeds the heavy buckets and exact counting falls back to a hash-range tail sample."
     ) { (s, dir) =>
       freqSpectrum(table(s, dir, "documents"))
+    },
+
+    // ----- x84: memorization-risk audit (corpus-unique window fraction) -----
+    Q(
+      "x84_rare_windows",
+      Some {
+        val k = RareK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, source, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"o AS (SELECT doc_id, source, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, source, $gram AS g FROM " +
+          s"(SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM w WHERE len(ws) >= $k))), " +
+          "f AS (SELECT h, count(DISTINCT doc_id) AS df FROM o GROUP BY 1), " +
+          "d AS (SELECT doc_id, source, count(*) AS n_win, " +
+          "sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_rare " +
+          "FROM o JOIN f USING (h) GROUP BY 1, 2) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_win) AS BIGINT) AS n_win, CAST(sum(n_rare) AS BIGINT) AS n_rare, " +
+          "CAST((sum(n_rare) * 1000000) // sum(n_win) AS BIGINT) AS rare_e6, " +
+          "CAST(sum(CASE WHEN n_rare * 2 > n_win THEN 1 ELSE 0 END) AS BIGINT) AS n_risky " +
+          "FROM d GROUP BY 1 ORDER BY 1"
+      },
+      s"memorization-RISK audit: per source, the fraction of content made of corpus-UNIQUE " +
+        s"$RareK-token windows (df = 1) — after dedup removed everything repeated, these " +
+        "are exactly the spans an extraction attack would prove memorization with " +
+        "(Carlini et al.'s extractable sequences are long spans occurring nowhere else). " +
+        "n_risky counts docs that are MOSTLY unique windows — the docs a privacy review " +
+        "reads first. One windowHash60 scan + an 8-byte-key df count + a join back; at " +
+        "open-web scale the x77 sketch pre-filters to possibly-unique hashes (sketch " +
+        "cell > 1 proves df > 1) so the exact df table shrinks to the candidate tail. " +
+        "Docs shorter than the window contribute no windows (both engines agree)."
+    ) { (s, dir) =>
+      rareWindows(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x72: PII detection + scrubbing (the release redaction pass) -----

@@ -642,6 +642,22 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
+    val docs = Seq(
+      (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "sb", "one two three four five six seven"),
+      (3L, "sb", "one two three four five six seven") // exact dup of 2
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.rareWindows(docs)
+      .select("source", "n_docs", "n_win", "n_rare", "rare_e6", "n_risky")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 7 words -> 3 five-token windows per doc; sa's are corpus-unique
+    // (fully extractable), sb's all have df = 2 (dedup survivors, no risk)
+    assert(out.toSeq === Seq(
+      ("sa", 1L, 3L, 3L, 1000000L, 1L),
+      ("sb", 2L, 6L, 0L, 0L, 0L)))
+  }
+
   test("x83 pad efficiency: length-grouping never loses, totals invariant across strategies") {
     val out = DataPrep.padEfficiency(spark.read.parquet(s"$sf/documents.parquet"))
       .select("strategy", "shard", "n_docs", "n_batches", "sum_tok", "pad_tok")

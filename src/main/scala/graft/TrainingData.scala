@@ -453,6 +453,14 @@ object TrainingData {
   def bloomDecontam(docs: DataFrame, k: Int = 5): DataFrame =
     DataPrep.bloomDecontam(docs, k)
 
+  /** Label-retrieval eval (x85): per-label MRR and hits@k of the embedding
+    * space under exact fixed-point L2 — the metric an embedding (or its
+    * quantized serving form) ships against. Broadcast queries, one corpus
+    * scan.
+    */
+  def labelRetrieval(emb: DataFrame, isQuery: Column): DataFrame =
+    Similarity.labelRetrieval(emb, isQuery)
+
   /** Incremental IVFPQ add (x79): admit a batch of new vectors into an
     * existing index — frozen coarse centroids and PQ codebooks, per-cell
     * add-vs-base quantization-error drift as the retrain trigger. The add

@@ -599,6 +599,43 @@ object Similarity {
         coalesce(col("add_qerr"), lit(0L)).as("add_qerr"))
   }
 
+  /** x85 core: label-RETRIEVAL evaluation of the embedding space — the
+    * metric an embedding (or a quantization of it) is judged by before an
+    * ANN index ships: for each query vector, rank the corpus by exact
+    * fixed-point squared-L2 and find the rank of the first SAME-label
+    * vector; per label report reciprocal-rank mass (Σ 1e6 div first_rank —
+    * integer div per query BEFORE the sum keeps it order-independent and
+    * cross-engine exact) and hits@3 / hits@10. Columns
+    * (label, n_queries, mrr_sum_e6, hit3, hit10).
+    *
+    * Scale posture (100 TB): eval query sets are small by nature — the
+    * queries broadcast and the corpus is scanned once (x06's shape); the
+    * per-query window is |q|-bounded. Production search runs x68; THIS op
+    * measures what that index is serving.
+    */
+  def labelRetrieval(emb: DataFrame, isQuery: Column): DataFrame = {
+    val v = fixedPoint(emb)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .select("vec_id", "vi", "label")
+    val q = v.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vi").as("qv"), col("label").as("qlabel"))
+    val c = v.filter(!isQuery)
+      .select(col("vec_id").as("cid2"), col("vi").as("cv"), col("label").as("clabel"))
+    val byDist = Window.partitionBy("qid").orderBy(col("dist"), col("cid2"))
+    broadcast(q).crossJoin(c)
+      .withColumn("dist", graftnative.api.sqdistLong(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(byDist))
+      .filter(col("clabel") === col("qlabel"))
+      .groupBy("qid", "qlabel")
+      .agg(min("rnk").as("fr"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(expr("1000000 div fr")).as("mrr_sum_e6"),
+        sum(when(col("fr") <= 3, 1L).otherwise(0L)).as("hit3"),
+        sum(when(col("fr") <= 10, 1L).otherwise(0L)).as("hit10"))
+  }
+
   /** x65 core: dimension-truncation fidelity — the Matryoshka (Kusupati
     * et al. 2022) deployment audit: how much of the full-dimension cosine
     * structure survives when vectors are truncated to their first d'
@@ -1436,6 +1473,42 @@ object Similarity {
           transform(col("vi"),
             (x, i) => x + (((col("bid") + i) % 7) - 3) * 1024L).as("vi"))
       ivfPqAdd(emb, batch).orderBy("cid")
+    },
+
+    // ----- x85: label-retrieval eval (MRR / hits@k of the embedding space) -----
+    Q(
+      "x85_label_retrieval",
+      Some {
+        val sqd = "list_aggregate(list_transform(generate_series(1, 64), " +
+          "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')"
+        s"WITH $normCtes, " +
+          s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) " +
+          "AS vi FROM n), " +
+          "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
+          "q AS (SELECT vi.vec_id AS qid, vi.vi AS qv, lb.label AS qlabel " +
+          "FROM vi JOIN lb USING (vec_id) WHERE vec_id < 10), " +
+          "c AS (SELECT vi.vec_id AS cid2, vi.vi AS cv, lb.label AS clabel " +
+          "FROM vi JOIN lb USING (vec_id) WHERE vec_id >= 10), " +
+          s"d AS (SELECT qid, qlabel, cid2, clabel, $sqd AS dist FROM q CROSS JOIN c), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid2) AS rnk " +
+          "FROM d), " +
+          "f AS (SELECT qid, qlabel, min(rnk) AS fr FROM r WHERE clabel = qlabel " +
+          "GROUP BY 1, 2) " +
+          "SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(sum(1000000 // fr) AS BIGINT) AS mrr_sum_e6, " +
+          "CAST(sum(CASE WHEN fr <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3, " +
+          "CAST(sum(CASE WHEN fr <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hit10 " +
+          "FROM f GROUP BY 1 ORDER BY 1"
+      },
+      "label-retrieval evaluation of the embedding space — the metric an embedding (or its " +
+        "quantized serving form) is judged by: per query (vec_id < 10), the exact " +
+        "fixed-point L2 rank of the first SAME-label corpus vector; per label, " +
+        "reciprocal-rank mass (1e6 div rank per query BEFORE summing — order-independent, " +
+        "integer-exact) plus hits@3/hits@10. Eval query sets are small, so the queries " +
+        "broadcast and the corpus is scanned once (x06's shape) with a |q|-bounded " +
+        "window; x68 serves production traffic, this measures what it serves."
+    ) { (s, dir) =>
+      labelRetrieval(table(s, dir, "embeddings"), col("vec_id") < 10).orderBy("label")
     },
 
     // ----- x65: dimension-truncation fidelity (Matryoshka audit) -----

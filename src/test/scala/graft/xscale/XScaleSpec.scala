@@ -642,6 +642,20 @@ class XScaleSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("x85 label retrieval: first same-label rank exact on a planted geometry") {
+    def v(scale: Double) = Array.tabulate(64)(i => if (i == 0) scale.toFloat else 0f)
+    val emb = Seq(
+      (1L, v(1.0), 1), // the query
+      (10L, v(0.9), 2), // nearest, wrong label
+      (11L, v(0.8), 1), // rank 2 = first same-label hit
+      (12L, v(0.7), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelRetrieval(emb, col("vec_id") < 10)
+      .select("label", "n_queries", "mrr_sum_e6", "hit3", "hit10")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 500000L, 1L, 1L)))
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

@@ -308,6 +308,13 @@ object TrainingData {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
 
+  /** Per-source dedup survivorship (x87): under exact dedup's keep-first
+    * rule, each source's docs in / kept / dropped, with drops attributed
+    * to a same-source owner (internal redundancy) vs a different-source
+    * owner (re-hosted content) — the per-source bill for the x47 matrix.
+    */
+  def dedupSurvivorship(docs: DataFrame): DataFrame = Dedup.dedupSurvivorship(docs)
+
   /** Joint multi-signal dedup (x50): one survivor per connected component
     * of the UNION of text-near-dup (simhash) and embedding-near-dup
     * (cosine) pairs — transitivity works across signals.
@@ -555,6 +562,16 @@ object TrainingData {
   def splitLeakage(docs: DataFrame, split: Column,
       k: Int = DataPrep.SubstrK): DataFrame =
     DataPrep.splitLeakage(docs, split, k)
+
+  /** Split repair (x86) — the remediation for [[splitLeakage]]'s audit:
+    * quarantine every non-train doc carrying a k-token window present
+    * verbatim in train (train untouched, so one pass suffices), and
+    * re-run the audit on the kept docs — leak_after is recomputed, not
+    * assumed zero.
+    */
+  def splitRepair(docs: DataFrame, split: Column,
+      k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.splitRepair(docs, split, k)
 
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,

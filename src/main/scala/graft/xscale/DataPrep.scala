@@ -789,6 +789,56 @@ object DataPrep {
           .as("leak_e6"))
   }
 
+  /** x86 core: split REPAIR — the remediation x73's audit calls for.
+    * Every non-train doc with at least one k-token window present
+    * verbatim in train is QUARANTINED (left out of eval; train is
+    * untouched, so one pass suffices — unlike "move to train", which
+    * enlarges train and can re-leak into the survivors). Returns one row
+    * per non-train split with the audit re-run on the repaired
+    * assignment: leak_after is RECOMPUTED from the kept docs' windows
+    * against the same train set, not assumed zero. Docs shorter than k
+    * tokens carry no windows, cannot leak, and are kept.
+    *
+    * Scale posture (100 TB): x73's exact shuffle shape (one native
+    * windowHash60 scan, train-side distinct, one 8-byte hash join) plus
+    * one per-doc rollup on (doc_id, split) and a per-split aggregate
+    * whose output is |splits| rows — the repair costs one more keyed
+    * shuffle than the audit it fixes, nothing global.
+    */
+  def splitRepair(docs: DataFrame, split: Column, k: Int = SubstrK): DataFrame = {
+    val base = docs.select(col("doc_id"), split.as("split"), col("text"))
+    val w = base.select(
+      col("doc_id"), col("split"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val tr = w.filter(col("split") === "train").select("h").distinct()
+      .withColumn("in_train", lit(true))
+    val perDoc = w.filter(col("split") =!= "train")
+      .join(tr, Seq("h"), "left")
+      .groupBy("doc_id", "split")
+      .agg(
+        count(lit(1)).as("nw"),
+        sum(when(coalesce(col("in_train"), lit(false)), 1L).otherwise(0L)).as("nl"))
+    base.filter(col("split") =!= "train")
+      .select("doc_id", "split")
+      .join(perDoc, Seq("doc_id", "split"), "left")
+      .na.fill(0L, Seq("nw", "nl"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nl") > 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("nl") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum("nw").as("win_before"),
+        sum("nl").as("leak_before"),
+        when(sum("nw") === 0, 0L)
+          .otherwise(expr("(1000000 * sum(nl)) div sum(nw)")).as("leak_e6_before"),
+        sum(when(col("nl") === 0, col("nw")).otherwise(0L)).as("win_after"),
+        sum(when(col("nl") === 0, col("nl")).otherwise(0L)).as("leak_after"),
+        when(sum(when(col("nl") === 0, col("nw")).otherwise(0L)) === 0, 0L)
+          .otherwise(expr(
+            "(1000000 * sum(CASE WHEN nl = 0 THEN nl ELSE 0 END)) div " +
+              "sum(CASE WHEN nl = 0 THEN nw ELSE 0 END)")).as("leak_e6_after"))
+  }
+
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
     * each stratum value, keep rank <= quota (a per-row Column, so quotas
     * can vary by stratum).
@@ -1964,6 +2014,53 @@ object DataPrep {
         "same shape as x43's span matcher."
     ) { (s, dir) =>
       splitLeakage(table(s, dir, "documents"), splitCol).orderBy("split")
+    },
+
+    // ----- x86: split repair (the remediation x73's audit calls for) -----
+    Q(
+      "x86_split_repair",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w AS (SELECT doc_id, $splitSql AS split, ${XText.wordsSql("text")} AS ws " +
+          "FROM documents), " +
+          s"occ AS (SELECT doc_id, split, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, split, $gram AS g FROM " +
+          s"(SELECT doc_id, split, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          "FROM w))), " +
+          "tr AS (SELECT DISTINCT h FROM occ WHERE split = 'train'), " +
+          "pd AS (SELECT o.doc_id, o.split, CAST(count(*) AS BIGINT) AS nw, " +
+          "CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl " +
+          "FROM occ o LEFT JOIN tr ON tr.h = o.h WHERE o.split <> 'train' " +
+          "GROUP BY 1, 2), " +
+          "ad AS (SELECT w.doc_id, w.split, coalesce(pd.nw, 0) AS nw, " +
+          "coalesce(pd.nl, 0) AS nl FROM w LEFT JOIN pd " +
+          "ON pd.doc_id = w.doc_id AND pd.split = w.split WHERE w.split <> 'train') " +
+          "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN nl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+          "CAST(sum(CASE WHEN nl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(nw) AS BIGINT) AS win_before, " +
+          "CAST(sum(nl) AS BIGINT) AS leak_before, " +
+          "CAST(CASE WHEN sum(nw) = 0 THEN 0 ELSE (1000000 * sum(nl)) // sum(nw) END " +
+          "AS BIGINT) AS leak_e6_before, " +
+          "CAST(sum(CASE WHEN nl = 0 THEN nw ELSE 0 END) AS BIGINT) AS win_after, " +
+          "CAST(sum(CASE WHEN nl = 0 THEN nl ELSE 0 END) AS BIGINT) AS leak_after, " +
+          "CAST(CASE WHEN sum(CASE WHEN nl = 0 THEN nw ELSE 0 END) = 0 THEN 0 " +
+          "ELSE (1000000 * sum(CASE WHEN nl = 0 THEN nl ELSE 0 END)) // " +
+          "sum(CASE WHEN nl = 0 THEN nw ELSE 0 END) END AS BIGINT) AS leak_e6_after " +
+          "FROM ad GROUP BY split ORDER BY split"
+      },
+      s"split repair — the remediation for x73's leakage audit (the x69 audit→repair " +
+        s"pattern): every val/test doc with at least one $SubstrK-token window present " +
+        "verbatim in train is quarantined out of eval; train is untouched, so one pass " +
+        "suffices (moving leaked docs INTO train would enlarge it and re-leak into the " +
+        "survivors). Per split: docs before/quarantined/kept, window and leaked-window " +
+        "totals before, and the audit RE-RUN on the kept docs (leak_after recomputed " +
+        "against the same train window set — lands at 0 by construction, verified not " +
+        "assumed). Same shuffle shape as x73 plus one per-doc rollup; at 100 TB the " +
+        "quarantine list is the only new artifact and it ships as doc_ids."
+    ) { (s, dir) =>
+      splitRepair(table(s, dir, "documents"), splitCol).orderBy("split")
     },
 
     // ----- x70: temperature-scaled mixture sampling (α = 1/2) -----

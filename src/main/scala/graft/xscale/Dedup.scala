@@ -294,6 +294,38 @@ object Dedup {
       .dedupKeepFirst(docs.withColumn("_norm", normText(col("text"))), Seq("_norm"), Seq("doc_id"))
       .drop("_norm")
 
+  /** x87 core: per-source dedup SURVIVORSHIP — who pays for exact dedup.
+    * Under x01's keep-first rule (owner = min doc_id per norm key), each
+    * source reports docs in, kept, dropped, and the dropped split by
+    * whether the surviving owner lives in the SAME source (internal
+    * redundancy) or a DIFFERENT one (content the source re-hosts — the
+    * aggregator signal; x47 gives the pairwise matrix, this gives the
+    * per-source bill). drop_e6 = e6 drop rate.
+    *
+    * Scale posture (100 TB): one groupBy on the 8-byte norm key with
+    * min/min_by (map-side combinable) and one join back on the same key —
+    * the identical shuffle shape as the dedup itself, so the audit rides
+    * the pass it measures; output is |sources| rows.
+    */
+  def dedupSurvivorship(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), col("source"), h60(normText(col("text"))).as("key"))
+    val own = g.groupBy("key").agg(
+      min("doc_id").as("owner_id"),
+      expr("min_by(source, doc_id)").as("owner_src"))
+    g.join(own, "key")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("owner_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("owner_id"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("owner_id") && col("source") === col("owner_src"), 1L)
+          .otherwise(0L)).as("lost_internal"),
+        sum(when(col("doc_id") =!= col("owner_id") && col("source") =!= col("owner_src"), 1L)
+          .otherwise(0L)).as("lost_external"),
+        expr("(1000000 * sum(CASE WHEN doc_id <> owner_id THEN 1 ELSE 0 END)) div count(*)")
+          .as("drop_e6"))
+  }
+
   /** MinHash-LSH near-dup pairs: candidates share >= 1 of B band buckets,
     * kept when >= `minMatch` of K minhashes agree (default K/2; pass 0 for
     * ALL band-collision candidates, e.g. for sketch calibration). Columns
@@ -415,6 +447,50 @@ object Dedup {
         docs.filter(col("doc_id") % 31 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"), col("text")))
       sourceOverlap(aug).orderBy("source_a", "source_b")
+    },
+
+    // ----- x87: per-source dedup survivorship -----
+    Q(
+      "x87_dedup_survivorship",
+      Some(
+        // x47's mirror fixture (re-hosted every-31st doc → external loss)
+        // plus a within-source re-post of every 17th doc (→ internal
+        // loss), so both attribution columns carry signal in both engines
+        "WITH aug AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, 'mirror', text FROM documents " +
+          "WHERE doc_id % 31 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, source, text FROM documents " +
+          "WHERE doc_id % 17 = 0), " +
+          s"g AS (SELECT doc_id, source, ${h60Sql(normSql)} AS key FROM aug), " +
+          "own AS (SELECT key, min(doc_id) AS owner_id, min_by(source, doc_id) AS owner_src " +
+          "FROM g GROUP BY key) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN doc_id = owner_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN doc_id <> owner_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+          "CAST(sum(CASE WHEN doc_id <> owner_id AND source = owner_src THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS lost_internal, " +
+          "CAST(sum(CASE WHEN doc_id <> owner_id AND source <> owner_src THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS lost_external, " +
+          "CAST((1000000 * sum(CASE WHEN doc_id <> owner_id THEN 1 ELSE 0 END)) // count(*) " +
+          "AS BIGINT) AS drop_e6 " +
+          "FROM g JOIN own USING (key) GROUP BY source ORDER BY source"),
+      "per-source dedup survivorship — who pays for exact dedup: under x01's keep-first " +
+        "rule each source reports docs in, kept, dropped, and the drops attributed to a " +
+        "same-source owner (internal redundancy) vs a different-source owner (re-hosted " +
+        "content — the aggregator bill; x47 names the pairs, this prices them per source). " +
+        "Fixture: the x47 mirror source plus a within-source re-post of every 17th doc, " +
+        "deterministic in both engines, so both attribution columns are exercised. One " +
+        "min/min_by groupBy on the 8-byte norm key and one join back on the same key — " +
+        "the audit rides the dedup's own shuffle; output is |sources| rows."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text")
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"),
+            col("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("source"), col("text")))
+      dedupSurvivorship(aug).orderBy("source")
     },
 
     // ----- x74: incremental admission dedup (batch vs existing corpus) -----

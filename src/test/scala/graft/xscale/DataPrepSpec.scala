@@ -527,6 +527,31 @@ class DataPrepSpec extends SparkSpec {
       ("val", 3L, 3L, 0L, 0L, 0L)))
   }
 
+  test("x86 split repair: leaked docs quarantined, short docs kept, audit re-lands at 0") {
+    // doc 3 clones train (quarantined); doc 4 is unique (kept); doc 5 is
+    // shorter than k tokens — no windows, cannot leak, must be kept; doc 6
+    // shares one window with train (partial leak still quarantines)
+    val docs = Seq(
+      (1L, "train", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "train", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (3L, "test", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, "test", "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),
+      (5L, "val", "s1 s2 s3"),
+      (6L, "val", "x1 x2 w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "grp", "text")
+    val out = DataPrep.splitRepair(docs, col("grp"))
+      .select("split", "n_docs", "n_quarantined", "n_kept", "win_before", "leak_before",
+        "leak_e6_before", "win_after", "leak_after", "leak_e6_after")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // test: 2 docs x 3 windows, doc 3 fully leaked → 3/6 before, doc 4 kept
+    // val: doc 5 (0 windows) kept; doc 6 has exactly one leaked window
+    // (w1..w8) of its 3 → quarantined
+    assert(out.toSeq === Seq(
+      ("test", 2L, 1L, 1L, 6L, 3L, 500000L, 3L, 0L, 0L),
+      ("val", 2L, 1L, 1L, 3L, 1L, 333333L, 0L, 0L, 0L)))
+  }
+
   test("x70 temperature mix: draw recomputable, histogram flattened, small groups capped") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = DataPrep.temperatureMix(docs01)

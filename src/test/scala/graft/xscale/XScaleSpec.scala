@@ -396,6 +396,31 @@ class XScaleSpec extends SparkSpec {
     assert(Dedup.sourceOverlap(docs.withColumn("source", lit("x"))).isEmpty)
   }
 
+  test("x87 dedup survivorship: drops attributed to internal vs external owners") {
+    // group {1,2,5}: owner=1 (src a) → 2 loses externally (b), 5 internally? no — 5 is
+    // in c, owner in a → external. group {3,4}: owner=3 (b) → 4 (c) external.
+    // group {6,7}: both in a, owner=6 → 7 internal. doc 8 unique.
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma"),
+      (2L, "b", "alpha beta gamma"),
+      (3L, "b", "delta epsilon"),
+      (4L, "c", "delta epsilon"),
+      (5L, "c", "Alpha, beta gamma!"),
+      (6L, "a", "same same text"),
+      (7L, "a", "same same text"),
+      (8L, "a", "unique text here")).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupSurvivorship(docs)
+      .select("source", "n_docs", "n_kept", "n_dropped", "lost_internal", "lost_external",
+        "drop_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("a", 4L, 3L, 1L, 1L, 0L, 250000L),
+      ("b", 2L, 1L, 1L, 0L, 1L, 500000L),
+      ("c", 2L, 0L, 2L, 0L, 2L, 1000000L)))
+    // conservation: kept docs equal the distinct norm-key count (4 groups)
+    assert(out.map(_._3).sum === 4L)
+  }
+
   test("x50 joint dedup: transitivity works ACROSS signals") {
     // doc 1 ~ doc 2 by TEXT (identical), doc 2 ~ doc 3 by EMBEDDING only
     // (different text, same vector): one cluster, survivor = min doc_id

@@ -468,6 +468,15 @@ object TrainingData {
   def labelRetrieval(emb: DataFrame, isQuery: Column): DataFrame =
     Similarity.labelRetrieval(emb, isQuery)
 
+  /** BM25-surrogate self-retrieval eval (x88) — [[labelRetrieval]]'s
+    * lexical twin: every qMod-th doc queries with words from its own
+    * body; candidates are BM25-ranked (exact tf saturation and length
+    * norm, monotone rational idf) and the source doc's rank yields
+    * per-source MRR, hits@1, hits@10.
+    */
+  def bm25Retrieval(docs: DataFrame, qMod: Int = TextAnalysis.BmQMod): DataFrame =
+    TextAnalysis.bm25Retrieval(docs, qMod)
+
   /** Incremental IVFPQ add (x79): admit a batch of new vectors into an
     * existing index — frozen coarse centroids and PQ codebooks, per-cell
     * add-vs-base quantization-error drift as the retrain trigger. The add

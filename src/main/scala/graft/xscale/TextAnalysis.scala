@@ -310,6 +310,64 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "score_e6")
   }
 
+  /** x88 core: lexical retrieval eval — BM25-shaped self-retrieval MRR,
+    * the text-space twin of x85's embedding eval. Every qMod-th doc
+    * issues a query of [[BmQLen]] consecutive words from its own body;
+    * candidate docs (sharing >= 1 query term) are ranked by a BM25
+    * surrogate and the source doc's rank yields reciprocal-rank, hits@1,
+    * hits@10 per source. The scoring keeps BM25's tf saturation and
+    * length normalization exactly (k1 = 1.2, b = 0.75, all-integer
+    * fixed point) but replaces the log-idf with the rational ratio
+    * (N-df)/df e6 — monotone in classic idf, so per-term ordering is
+    * preserved and both engines agree bit-for-bit (the [[XHash]] no-libm
+    * rule; same trade as x51's arithmetic-for-geometric mean).
+    *
+    * Scale posture (100 TB): postings (term, doc, tf) shuffle once on the
+    * term; df and the (N, avgdl) pair are map-side-combinable aggregates,
+    * the latter a 1-row broadcast. Per-posting contributions are computed
+    * BEFORE the query join, so query fan-out multiplies only 8-byte
+    * (term, doc, score) rows. The known hazard is stopword posting lists
+    * (df ~ N, idf ~ 0): at scale, drop postings with idf_e6 = 0 (they
+    * cannot change any ranking among scored docs) or impact-order the
+    * lists WAND-style; overflow envelope (N-df)*1e6 < 2^63 holds to
+    * N ~ 9e12 docs, beyond which idf drops to e3.
+    */
+  def bm25Retrieval(docs: org.apache.spark.sql.DataFrame,
+      qMod: Int = BmQMod): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
+    val tok = w.select(col("doc_id"), explode(col("ws")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+    val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), expr("sum(dl) div count(*)").as("avgdl"))
+    val dfv = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val post = tok.join(dfv, "tk").join(dl, "doc_id").crossJoin(broadcast(st))
+      .withColumn("idf_e6", expr("((n - df) * 1000000) div df"))
+      .withColumn("nb_e4", expr("2500 + (7500 * dl) div avgdl"))
+      .withColumn("den_e4", expr("tf * 10000 + (12 * nb_e4) div 10"))
+      .withColumn("tfn_e6", expr("(22000 * tf * 1000000) div den_e4"))
+      .withColumn("c_e6", expr("(idf_e6 * tfn_e6) div 1000000"))
+      .select("tk", "doc_id", "c_e6")
+    val qt = w
+      .filter(col("doc_id") % qMod === 0 && size(col("ws")) >= BmQPos + BmQLen - 1)
+      .select(col("doc_id").as("qid"), col("source").as("qsrc"),
+        explode(array_distinct(slice(col("ws"), BmQPos, BmQLen))).as("tk"))
+    val rk = qt.join(post, "tk")
+      .groupBy("qid", "qsrc", "doc_id")
+      .agg(sum("c_e6").as("score_e6"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("qid").orderBy(col("score_e6").desc, col("doc_id")))
+        .cast("long"))
+    rk.filter(col("doc_id") === col("qid"))
+      .groupBy("qsrc")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("hits10"),
+        sum(expr("1000000 div rk")).as("sum_rr_e6"))
+      .withColumn("mrr_e6", expr("sum_rr_e6 div n_queries"))
+      .withColumnRenamed("qsrc", "source")
+  }
+
   /** x45 core: shingle novelty — the fraction of a doc's distinct k-gram
     * shingles FIRST seen in this doc. "First" is defined by `orderCol`
     * (ties broken by doc_id): the default doc_id is a hash-order stand-in
@@ -693,6 +751,18 @@ object TextAnalysis {
   val CmsW = 4096
   val CmsA: Seq[Long] = (0 until CmsD).map(j => 2L * j + 3)
   val CmsB: Seq[Long] = (0 until CmsD).map(j => (32452843L * (j + 1)) % P)
+
+  /** x88 retrieval-eval knobs: every BmQMod-th doc of >= BmQPos+BmQLen-1
+    * words issues a query made of BmQLen consecutive words from its own
+    * body (1-based position BmQPos) — self-retrieval, so every query has
+    * a known right answer and MRR is exact, no labels needed. k1 = 1.2
+    * and b = 0.75 are the standard BM25 constants, carried as integers
+    * (12 e1 / 7500 e4). Declared before `queries` so the SQL twins see
+    * them initialized.
+    */
+  val BmQMod = 7
+  val BmQPos = 3
+  val BmQLen = 5
 
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
@@ -1087,6 +1157,53 @@ object TextAnalysis {
         "card shows per document."
     ) { (s, dir) =>
       tfidfKeywords(table(s, dir, "documents")).orderBy("doc_id", "rank")
+    },
+
+    // ----- x88: BM25-surrogate self-retrieval eval -----
+    Q(
+      "x88_bm25_retrieval",
+      Some {
+        val lo = BmQPos
+        val hi = BmQPos + BmQLen - 1
+        s"WITH w AS (SELECT doc_id, source, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "tok AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM " +
+          "(SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2), " +
+          "dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), " +
+          "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl FROM dl), " +
+          "dfv AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk), " +
+          "post AS (SELECT tok.tk, tok.doc_id, " +
+          "((((st.n - dfv.df) * 1000000) // dfv.df) * " +
+          "((22000 * tok.tf * 1000000) // " +
+          "(tok.tf * 10000 + (12 * (2500 + (7500 * dl.dl) // st.avgdl)) // 10))) // 1000000 " +
+          "AS c_e6 FROM tok JOIN dfv USING (tk) JOIN dl USING (doc_id) CROSS JOIN st), " +
+          "qt AS (SELECT DISTINCT qid, qsrc, tk FROM " +
+          s"(SELECT doc_id AS qid, source AS qsrc, unnest(ws[$lo:$hi]) AS tk FROM w " +
+          s"WHERE len(ws) >= $hi AND doc_id % $BmQMod = 0)), " +
+          "sc AS (SELECT qt.qid, qt.qsrc, post.doc_id, " +
+          "CAST(sum(post.c_e6) AS BIGINT) AS score_e6 " +
+          "FROM qt JOIN post USING (tk) GROUP BY 1, 2, 3), " +
+          "rk AS (SELECT qid, qsrc, doc_id, ROW_NUMBER() OVER (PARTITION BY qid " +
+          "ORDER BY score_e6 DESC, doc_id) AS rk FROM sc), " +
+          "h AS (SELECT qsrc, rk FROM rk WHERE doc_id = qid) " +
+          "SELECT qsrc AS source, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1, " +
+          "CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10, " +
+          "CAST(sum(1000000 // rk) AS BIGINT) AS sum_rr_e6, " +
+          "CAST(sum(1000000 // rk) // count(*) AS BIGINT) AS mrr_e6 " +
+          "FROM h GROUP BY qsrc ORDER BY source"
+      },
+      s"lexical retrieval eval — x85's MRR/hits@k measured in TEXT space: every " +
+        s"${BmQMod}th doc issues a $BmQLen-word query from its own body (position " +
+        s"$BmQPos), candidates sharing a term are ranked by a BM25 surrogate (exact " +
+        "tf saturation + length norm, k1=1.2 b=0.75 in integer fixed point; log-idf " +
+        "replaced by the monotone rational (N-df)/df e6 so both engines agree " +
+        "bit-for-bit), and the source doc's rank is scored. Per source: queries, " +
+        "hits@1, hits@10, MRR e6 — the IR-quality eval a corpus search layer ships " +
+        "with. Postings shuffle once on the term; per-posting scores are computed " +
+        "before the query join, so fan-out moves only (term, doc, score) triples."
+    ) { (s, dir) =>
+      bm25Retrieval(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x45: shingle novelty (first-occurrence fraction) -----

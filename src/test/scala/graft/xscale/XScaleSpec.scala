@@ -681,6 +681,25 @@ class XScaleSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 500000L, 1L, 1L)))
   }
 
+  test("x88 bm25 retrieval: shorter competitor outranks the source, unique terms hit rank 1") {
+    // doc 7 queries with q1..q5 (positions 3-7); doc 1 contains all five
+    // terms in a SHORTER body, so BM25 length normalization ranks it
+    // first and the source lands at rank 2 (rr = 500000). doc 14's query
+    // terms are corpus-unique -> only candidate, rank 1.
+    val docs = Seq(
+      (7L, "srcA", "z z q1 q2 q3 q4 q5 tail1 tail2"),
+      (1L, "srcA", "q1 q2 q3 q4 q5 other words here"),
+      (2L, "srcB", "unrelated text entirely different words of something"),
+      (14L, "srcB", "u1 u2 r1 r2 r3 r4 r5")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.bm25Retrieval(docs)
+      .select("source", "n_queries", "hits1", "hits10", "sum_rr_e6", "mrr_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("srcA", 1L, 0L, 1L, 500000L, 500000L),
+      ("srcB", 1L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

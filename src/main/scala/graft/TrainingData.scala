@@ -582,6 +582,15 @@ object TrainingData {
       k: Int = DataPrep.SubstrK): DataFrame =
     DataPrep.splitRepair(docs, split, k)
 
+  /** Decontamination-method agreement (x89): non-train docs flagged by
+    * exact-doc / 5-gram-shingle / k-token-window checks against train;
+    * per method pair, flagged counts, intersection, union and Jaccard —
+    * the audit that decides which leakage check a pipeline can drop.
+    */
+  def decontamAgreement(docs: DataFrame, split: Column,
+      k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.decontamAgreement(docs, split, k)
+
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,
     * `target` expected keeps, deterministic (hash-drawn, reproducible).

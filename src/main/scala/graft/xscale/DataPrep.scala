@@ -839,6 +839,62 @@ object DataPrep {
               "sum(CASE WHEN nl = 0 THEN nw ELSE 0 END)")).as("leak_e6_after"))
   }
 
+  /** x89 core: decontamination-method AGREEMENT — the audit that decides
+    * which leakage check a pipeline can afford to drop. Three standard
+    * methods flag non-train docs against train: exact (normalized-text
+    * key match — whole-doc leaks), ngram (any shared 5-gram shingle —
+    * x23's check), window (any shared k-token sliding window — x73's
+    * basis). Output is one row per method PAIR with flagged counts,
+    * intersection, union, and Jaccard e6 — high agreement means the
+    * cheaper method suffices; low means they catch different leaks.
+    *
+    * Scale posture (100 TB): each method is one corpus scan shuffling
+    * 8-byte hashes against a train-side distinct — the same shapes as
+    * the audits it composes; per-doc flags are one bit and the
+    * agreement aggregate is map-side combinable to a SINGLE row,
+    * exploded to the 3 pair rows driver-side-free. In a real pipeline
+    * the three flag tables already exist; this join-and-aggregate rides
+    * on top of them.
+    */
+  def decontamAgreement(docs: DataFrame, split: Column, k: Int = SubstrK): DataFrame = {
+    val base = docs.select(col("doc_id"), split.as("split"), col("text"))
+    def anyHit(units: DataFrame, name: String): DataFrame = {
+      val tr = units.filter(col("split") === "train").select("h").distinct()
+        .withColumn("_t", lit(1L))
+      units.filter(col("split") =!= "train")
+        .join(tr, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(max(coalesce(col("_t"), lit(0L))).as(name))
+    }
+    val fe = anyHit(base.select(col("doc_id"), col("split"),
+      XHash.h60(Dedup.normText(col("text"))).as("h")), "fe")
+    val fn = anyHit(base.select(col("doc_id"), col("split"),
+      explode(graftnative.api.shingleHash60(col("text"), 5)).as("h")), "fn")
+    val fw = anyHit(base.select(col("doc_id"), col("split"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h")), "fw")
+    val agg = base.filter(col("split") =!= "train").select("doc_id")
+      .join(fe, Seq("doc_id"), "left").join(fn, Seq("doc_id"), "left")
+      .join(fw, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("fe", "fn", "fw"))
+      .agg(
+        sum("fe").as("se"), sum("fn").as("sn"), sum("fw").as("sw"),
+        sum(col("fe") * col("fn")).as("sen"),
+        sum(col("fe") * col("fw")).as("sew"),
+        sum(col("fn") * col("fw")).as("snw"))
+    agg.select(explode(array(
+      struct(lit("exact").as("m_a"), lit("ngram").as("m_b"),
+        col("se").as("n_a"), col("sn").as("n_b"), col("sen").as("n_both")),
+      struct(lit("exact").as("m_a"), lit("window").as("m_b"),
+        col("se").as("n_a"), col("sw").as("n_b"), col("sew").as("n_both")),
+      struct(lit("ngram").as("m_a"), lit("window").as("m_b"),
+        col("sn").as("n_a"), col("sw").as("n_b"), col("snw").as("n_both")))).as("p"))
+      .select("p.*")
+      .withColumn("n_union", expr("n_a + n_b - n_both"))
+      .withColumn("jac_e6",
+        expr("CASE WHEN n_a + n_b - n_both = 0 THEN 0 " +
+          "ELSE (1000000 * n_both) div (n_a + n_b - n_both) END"))
+  }
+
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
     * each stratum value, keep rank <= quota (a per-row Column, so quotas
     * can vary by stratum).
@@ -2061,6 +2117,70 @@ object DataPrep {
         "quarantine list is the only new artifact and it ships as doc_ids."
     ) { (s, dir) =>
       splitRepair(table(s, dir, "documents"), splitCol).orderBy("split")
+    },
+
+    // ----- x89: decontamination-method agreement (exact vs ngram vs window) -----
+    Q(
+      "x89_decontam_agreement",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        val sh = XText.shinglesSql("ws", 5)
+        // x47's mirror fixture: re-hosted every-31st doc lands in its OWN
+        // hash split (doc_id + 2000000), so exact cross-split dups exist
+        // and the 'exact' column is exercised by data (the x66 lesson)
+        "WITH aug AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 31 = 0), " +
+          s"w AS (SELECT doc_id, $splitSql AS split, text, ${XText.wordsSql("text")} AS ws " +
+          "FROM aug), " +
+          s"ek AS (SELECT doc_id, split, ${h60Sql(Dedup.normSql)} AS h FROM w), " +
+          "etr AS (SELECT DISTINCT h FROM ek WHERE split = 'train'), " +
+          "efl AS (SELECT ek.doc_id, CASE WHEN etr.h IS NOT NULL THEN 1 ELSE 0 END AS fe " +
+          "FROM ek LEFT JOIN etr USING (h) WHERE ek.split <> 'train'), " +
+          "ssh AS (SELECT doc_id, split, " +
+          s"unnest(list_transform($sh, sgl -> ${h60Sql("sgl")})) AS h FROM w), " +
+          "str AS (SELECT DISTINCT h FROM ssh WHERE split = 'train'), " +
+          "nfl AS (SELECT s.doc_id, max(CASE WHEN str.h IS NOT NULL THEN 1 ELSE 0 END) AS fn " +
+          "FROM ssh s LEFT JOIN str USING (h) WHERE s.split <> 'train' GROUP BY 1), " +
+          s"occ AS (SELECT doc_id, split, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, split, $gram AS g FROM " +
+          s"(SELECT doc_id, split, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          "FROM w))), " +
+          "wtr AS (SELECT DISTINCT h FROM occ WHERE split = 'train'), " +
+          "wfl AS (SELECT o.doc_id, max(CASE WHEN wtr.h IS NOT NULL THEN 1 ELSE 0 END) AS fw " +
+          "FROM occ o LEFT JOIN wtr USING (h) WHERE o.split <> 'train' GROUP BY 1), " +
+          "fl AS (SELECT w.doc_id, coalesce(efl.fe, 0) AS fe, coalesce(nfl.fn, 0) AS fn, " +
+          "coalesce(wfl.fw, 0) AS fw FROM w LEFT JOIN efl ON efl.doc_id = w.doc_id " +
+          "LEFT JOIN nfl ON nfl.doc_id = w.doc_id LEFT JOIN wfl ON wfl.doc_id = w.doc_id " +
+          "WHERE w.split <> 'train'), " +
+          "ag AS (SELECT CAST(sum(fe) AS BIGINT) AS se, CAST(sum(fn) AS BIGINT) AS sn, " +
+          "CAST(sum(fw) AS BIGINT) AS sw, CAST(sum(fe * fn) AS BIGINT) AS sen, " +
+          "CAST(sum(fe * fw) AS BIGINT) AS sew, CAST(sum(fn * fw) AS BIGINT) AS snw FROM fl), " +
+          "pr AS (SELECT 'exact' AS m_a, 'ngram' AS m_b, se AS n_a, sn AS n_b, sen AS n_both " +
+          "FROM ag UNION ALL " +
+          "SELECT 'exact', 'window', se, sw, sew FROM ag UNION ALL " +
+          "SELECT 'ngram', 'window', sn, sw, snw FROM ag) " +
+          "SELECT m_a, m_b, n_a, n_b, n_both, " +
+          "CAST(n_a + n_b - n_both AS BIGINT) AS n_union, " +
+          "CAST(CASE WHEN n_a + n_b - n_both = 0 THEN 0 " +
+          "ELSE (1000000 * n_both) // (n_a + n_b - n_both) END AS BIGINT) AS jac_e6 " +
+          "FROM pr ORDER BY m_a, m_b"
+      },
+      "decontamination-method agreement — the audit that decides which leakage check a " +
+        "pipeline can afford to drop: non-train docs are flagged by three standard " +
+        s"methods against train (exact normalized-doc key; any shared 5-gram shingle, " +
+        s"x23's check; any shared $SubstrK-token window, x73's basis) and each method " +
+        "PAIR reports flagged counts, intersection, union, Jaccard e6. High agreement " +
+        "means the cheaper check suffices; low means they catch different leaks. " +
+        "Fixture: the x47 mirror re-host lands every 31st doc in its own hash split so " +
+        "whole-doc cross-split dups exist and the exact column carries signal. Each " +
+        "method is one 8-byte-hash scan-and-join (the composed audits' own shapes); " +
+        "flags reduce map-side to a single row, exploded to 3 pair rows."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      decontamAgreement(aug, splitCol).orderBy("m_a", "m_b")
     },
 
     // ----- x70: temperature-scaled mixture sampling (α = 1/2) -----

@@ -552,6 +552,26 @@ class DataPrepSpec extends SparkSpec {
       ("val", 2L, 1L, 1L, 3L, 1L, 333333L, 0L, 0L, 0L)))
   }
 
+  test("x89 decontam agreement: exact implies ngram implies window on a graded fixture") {
+    // doc 3: verbatim clone of train -> all three methods flag it.
+    // doc 4: shares a 5-word shingle (and hence no 8-token window) ->
+    //        ngram only. doc 5: clean -> no method.
+    val docs = Seq(
+      (1L, "train", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "test", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, "test", "w1 w2 w3 w4 w5 a6 a7 a8 a9 a10"),
+      (5L, "val", "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")
+    ).toDF("doc_id", "grp", "text")
+    val out = DataPrep.decontamAgreement(docs, col("grp"))
+      .select("m_a", "m_b", "n_a", "n_b", "n_both", "n_union", "jac_e6")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // exact flags {3}; ngram flags {3,4}; window flags {3}
+    assert(out.toSeq === Seq(
+      ("exact", "ngram", 1L, 2L, 1L, 2L, 500000L),
+      ("exact", "window", 1L, 1L, 1L, 1L, 1000000L),
+      ("ngram", "window", 2L, 1L, 1L, 2L, 500000L)))
+  }
+
   test("x70 temperature mix: draw recomputable, histogram flattened, small groups capped") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = DataPrep.temperatureMix(docs01)

@@ -591,6 +591,15 @@ object TrainingData {
       k: Int = DataPrep.SubstrK): DataFrame =
     DataPrep.decontamAgreement(docs, split, k)
 
+  /** Filter ablation (x90): per cleaning stage (Gopher quality,
+    * keep-first window dedup, eval-leak decontamination) over the train
+    * corpus — docs flagged, docs flagged by that stage ALONE, token mass,
+    * flag rate. A stage with n_only ~ 0 is subsumed and can be dropped.
+    */
+  def filterAblation(docs: DataFrame, split: Column,
+      k: Int = DataPrep.SubstrK): DataFrame =
+    DataPrep.filterAblation(docs, split, k)
+
   /** DSIR importance RESAMPLING (x61) — the paper's soft selection:
     * Bernoulli draw per raw doc with inclusion probability ∝ score,
     * `target` expected keeps, deterministic (hash-drawn, reproducible).

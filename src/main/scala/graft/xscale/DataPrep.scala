@@ -895,6 +895,73 @@ object DataPrep {
           "ELSE (1000000 * n_both) div (n_a + n_b - n_both) END"))
   }
 
+  /** x90 core: filter ABLATION over the train corpus — what each cleaning
+    * stage uniquely removes. Three standard filters flag train docs:
+    * quality (fails >= 1 Gopher rule), window_dup (shares a k-token
+    * window with an EARLIER train doc — Lee et al. keep-first substring
+    * dedup at doc grain), eval_leak (shares a window with any val/test
+    * doc — x64's protect-the-eval direction). Per method plus 'any':
+    * docs flagged, docs flagged by that method ALONE (the marginal the
+    * ablation question asks about — for 'any', docs flagged by exactly
+    * one method), token mass flagged, flag rate e6. A filter whose
+    * n_only is ~0 is subsumed and can be dropped from the pipeline.
+    *
+    * Scale posture (100 TB): quality is one native GopherMetrics scan
+    * (zero shuffle); both window flags ride ONE windowHash60 explode
+    * shuffled once on the 8-byte hash (min/dedup map-side combinable);
+    * flags aggregate to a single row exploded into 4 method rows.
+    */
+  def filterAblation(docs: DataFrame, split: Column, k: Int = SubstrK): DataFrame = {
+    val base = docs.select(col("doc_id"), split.as("split"), col("text"))
+    val q = TextAnalysis.gopherAnnotate(base)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("nw"),
+        when(!TextAnalysis.gopherKeep, 1L).otherwise(0L).as("fq"))
+    val occ = base.select(col("doc_id"), col("split"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val firstTr = occ.filter(col("split") === "train")
+      .groupBy("h").agg(min("doc_id").as("first_doc"))
+    val ev = occ.filter(col("split") =!= "train").select("h").distinct()
+      .withColumn("_e", lit(1L))
+    val wfl = occ.filter(col("split") === "train")
+      .join(firstTr, Seq("h"))
+      .join(ev, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("fd"),
+        max(coalesce(col("_e"), lit(0L))).as("fl"))
+    val ag = q.join(wfl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("fd", "fl"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("fq").as("sq"), sum("fd").as("sd"), sum("fl").as("sl"),
+        sum(when(col("fq") === 1 && col("fd") === 0 && col("fl") === 0, 1L).otherwise(0L))
+          .as("oq"),
+        sum(when(col("fd") === 1 && col("fq") === 0 && col("fl") === 0, 1L).otherwise(0L))
+          .as("od"),
+        sum(when(col("fl") === 1 && col("fq") === 0 && col("fd") === 0, 1L).otherwise(0L))
+          .as("ol"),
+        sum(greatest(col("fq"), col("fd"), col("fl"))).as("sa"),
+        sum(when(col("fq") + col("fd") + col("fl") === 1, 1L).otherwise(0L)).as("oa"),
+        sum(col("nw") * col("fq")).as("nwq"),
+        sum(col("nw") * col("fd")).as("nwd"),
+        sum(col("nw") * col("fl")).as("nwl"),
+        sum(col("nw") * greatest(col("fq"), col("fd"), col("fl"))).as("nwa"))
+    ag.select(explode(array(
+      struct(lit("quality").as("method"), col("sq").as("n_flagged"),
+        col("oq").as("n_only"), col("nwq").as("nw_flagged"), col("n_docs").as("n_docs")),
+      struct(lit("window_dup").as("method"), col("sd").as("n_flagged"),
+        col("od").as("n_only"), col("nwd").as("nw_flagged"), col("n_docs").as("n_docs")),
+      struct(lit("eval_leak").as("method"), col("sl").as("n_flagged"),
+        col("ol").as("n_only"), col("nwl").as("nw_flagged"), col("n_docs").as("n_docs")),
+      struct(lit("any").as("method"), col("sa").as("n_flagged"),
+        col("oa").as("n_only"), col("nwa").as("nw_flagged"), col("n_docs").as("n_docs"))))
+      .as("p"))
+      .select("p.*")
+      .withColumn("flag_e6",
+        expr("CASE WHEN n_docs = 0 THEN 0 ELSE (1000000 * n_flagged) div n_docs END"))
+  }
+
   /** Exact-k deterministic sample per stratum: rank by hashed doc_id within
     * each stratum value, keep rank <= quota (a per-row Column, so quotas
     * can vary by stratum).
@@ -2181,6 +2248,61 @@ object DataPrep {
       val aug = docs.unionByName(docs.filter(col("doc_id") % 31 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       decontamAgreement(aug, splitCol).orderBy("m_a", "m_b")
+    },
+
+    // ----- x90: filter ablation (what each cleaning stage uniquely removes) -----
+    Q(
+      "x90_filter_ablation",
+      Some {
+        val k = SubstrK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        val rules = TextAnalysis.gopherRules.mkString(" AND ")
+        s"WITH ${TextAnalysis.gopherSqlCtes("")}, " +
+          s"qf AS (SELECT doc_id, nw, CASE WHEN NOT ($rules) THEN 1 ELSE 0 END AS fq " +
+          s"FROM r WHERE ($splitSql) = 'train'), " +
+          s"occ AS (SELECT doc_id, $splitSql AS split, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          "FROM w))), " +
+          "ft AS (SELECT h, min(doc_id) AS first_doc FROM occ WHERE split = 'train' " +
+          "GROUP BY h), " +
+          "evh AS (SELECT DISTINCT h FROM occ WHERE split <> 'train'), " +
+          "wfl AS (SELECT o.doc_id, " +
+          "max(CASE WHEN ft.first_doc < o.doc_id THEN 1 ELSE 0 END) AS fd, " +
+          "max(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) AS fl " +
+          "FROM occ o JOIN ft USING (h) LEFT JOIN evh USING (h) " +
+          "WHERE o.split = 'train' GROUP BY 1), " +
+          "fl2 AS (SELECT qf.doc_id, qf.nw, qf.fq, coalesce(wfl.fd, 0) AS fd, " +
+          "coalesce(wfl.fl, 0) AS fl FROM qf LEFT JOIN wfl ON wfl.doc_id = qf.doc_id), " +
+          "ag AS (SELECT count(*) AS n, sum(fq) AS sq, sum(fd) AS sd, sum(fl) AS sl, " +
+          "sum(CASE WHEN fq = 1 AND fd = 0 AND fl = 0 THEN 1 ELSE 0 END) AS oq, " +
+          "sum(CASE WHEN fd = 1 AND fq = 0 AND fl = 0 THEN 1 ELSE 0 END) AS od, " +
+          "sum(CASE WHEN fl = 1 AND fq = 0 AND fd = 0 THEN 1 ELSE 0 END) AS ol, " +
+          "sum(greatest(fq, fd, fl)) AS sa, " +
+          "sum(CASE WHEN fq + fd + fl = 1 THEN 1 ELSE 0 END) AS oa, " +
+          "sum(nw * fq) AS nwq, sum(nw * fd) AS nwd, sum(nw * fl) AS nwl, " +
+          "sum(nw * greatest(fq, fd, fl)) AS nwa FROM fl2), " +
+          "pr AS (SELECT 'quality' AS method, sq AS n_flagged, oq AS n_only, " +
+          "nwq AS nw_flagged, n FROM ag UNION ALL " +
+          "SELECT 'window_dup', sd, od, nwd, n FROM ag UNION ALL " +
+          "SELECT 'eval_leak', sl, ol, nwl, n FROM ag UNION ALL " +
+          "SELECT 'any', sa, oa, nwa, n FROM ag) " +
+          "SELECT method, CAST(n_flagged AS BIGINT) AS n_flagged, " +
+          "CAST(n_only AS BIGINT) AS n_only, CAST(nw_flagged AS BIGINT) AS nw_flagged, " +
+          "CAST(n AS BIGINT) AS n_docs, " +
+          "CAST(CASE WHEN n = 0 THEN 0 ELSE (1000000 * n_flagged) // n END AS BIGINT) " +
+          "AS flag_e6 FROM pr ORDER BY method"
+      },
+      "filter ablation over the train corpus — what each cleaning stage uniquely " +
+        "removes: quality (fails >= 1 Gopher rule), window_dup (shares an 8-token " +
+        "window with an earlier train doc — keep-first substring dedup at doc grain), " +
+        "eval_leak (shares a window with any val/test doc). Per method plus 'any': " +
+        "docs flagged, docs flagged by that method ALONE (n_only ~ 0 means the filter " +
+        "is subsumed and can be dropped), token mass, flag rate e6. Quality is one " +
+        "native GopherMetrics scan; both window flags ride a single windowHash60 " +
+        "explode shuffled once on the 8-byte hash; the ablation aggregate is one row."
+    ) { (s, dir) =>
+      filterAblation(table(s, dir, "documents"), splitCol).orderBy("method")
     },
 
     // ----- x70: temperature-scaled mixture sampling (α = 1/2) -----

@@ -572,6 +572,30 @@ class DataPrepSpec extends SparkSpec {
       ("ngram", "window", 2L, 1L, 1L, 2L, 500000L)))
   }
 
+  test("x90 filter ablation: each stage flags exactly its own doc, marginals exact") {
+    // doc 1 passes every Gopher rule and is first -> clean. doc 2 clones
+    // doc 1 -> window_dup only. doc 3 is too short -> quality only (and
+    // carries no 8-token window at all). doc 4 passes quality but shares
+    // an 8-token run with the val doc 5 -> eval_leak only.
+    val good = "the cat sat of the mat and the dog ran over the green field today"
+    val leaky = "big river runs past our old stone bridge and the water of it shines today"
+    val docs = Seq(
+      (1L, "train", good),
+      (2L, "train", good),
+      (3L, "train", "short one"),
+      (4L, "train", leaky),
+      (5L, "val", "completely different prefix big river runs past our old stone bridge extra")
+    ).toDF("doc_id", "grp", "text")
+    val out = DataPrep.filterAblation(docs, col("grp"))
+      .select("method", "n_flagged", "n_only", "nw_flagged", "n_docs", "flag_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("any", 3L, 3L, 32L, 4L, 750000L),
+      ("eval_leak", 1L, 1L, 15L, 4L, 250000L),
+      ("quality", 1L, 1L, 2L, 4L, 250000L),
+      ("window_dup", 1L, 1L, 15L, 4L, 250000L)))
+  }
+
   test("x70 temperature mix: draw recomputable, histogram flattened, small groups capped") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = DataPrep.temperatureMix(docs01)

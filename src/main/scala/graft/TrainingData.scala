@@ -477,6 +477,14 @@ object TrainingData {
   def bm25Retrieval(docs: DataFrame, qMod: Int = TextAnalysis.BmQMod): DataFrame =
     TextAnalysis.bm25Retrieval(docs, qMod)
 
+  /** RAG index build (x91): chunk -> signed-feature-hash embed ->
+    * fixed-point coarse quantizer -> per-cell manifest, as one composed
+    * job — the retrieval-side counterpart of the x57 corpus pipeline.
+    */
+  def ragIndex(docs: DataFrame, seedCap: Long = Similarity.RagSeedCap,
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.ragIndex(docs, seedCap, trainSample, checkpointDir)
+
   /** Incremental IVFPQ add (x79): admit a batch of new vectors into an
     * existing index — frozen coarse centroids and PQ codebooks, per-cell
     * add-vs-base quantization-error drift as the retrain trigger. The add

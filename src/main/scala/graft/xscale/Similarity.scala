@@ -188,7 +188,16 @@ object Similarity {
     * `vi`, `c0..c$NITER`, `d`, `r0` (vec_id, cid, dist, rn). Callers
     * append their own consumers of r0. Needs `normCtes` in scope.
     */
-  private[xscale] def kmeansRankedSql: String = {
+  private[xscale] def kmeansRankedSql: String =
+    s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM n), " +
+      kmeansChainSql(NC)
+
+  /** The c0..r0 tail of [[kmeansRankedSql]] with the seed cutoff as a
+    * parameter and the `vi` (vec_id, vi int-list) CTE supplied by the
+    * caller — lets compositions (x91) run the SAME bit-exact k-means over
+    * vectors that are not the embeddings table.
+    */
+  private[xscale] def kmeansChainSql(ncLit: Long): String = {
     def iter(k: Int): String = {
       val prev = s"c${k - 1}"
       s"d$k AS (SELECT vi.vec_id, c.cid, " +
@@ -203,8 +212,7 @@ object Similarity {
         s"c$k AS (SELECT cid, list(CAST(floor(sx::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS ci " +
         s"FROM s$k GROUP BY cid)"
     }
-    s"vi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) AS vi FROM n), " +
-      s"c0 AS (SELECT vec_id AS cid, vi AS ci FROM vi WHERE vec_id < $NC), " +
+    s"c0 AS (SELECT vec_id AS cid, vi AS ci FROM vi WHERE vec_id < $ncLit), " +
       (1 to NITER).map(iter).mkString(", ") + ", " +
       "d AS (SELECT vi.vec_id, c.cid, " +
       "list_aggregate(list_transform(generate_series(1, 64), " +
@@ -912,6 +920,73 @@ object Similarity {
         round(col("c1") - col("c2"), 4).as("margin4"))
   }
 
+  /** x91 knobs: chunk vec_id = doc_id * RagIdStride + chunk_id (chunks per
+    * doc are bounded far below the stride by x36's geometry), seeds = all
+    * chunks with vec_id < RagSeedCap (the chunks of the first few docs —
+    * the same vec_id-prefix seeding rule the x13 quantizer uses). Declared
+    * before `queries` so the SQL twin sees them initialized.
+    */
+  val RagIdStride = 1000L
+  val RagSeedCap = 4000L
+
+  /** x91 core: RAG index BUILD as one composed job — the retrieval-side
+    * x57: chunk every doc (x36 geometry), embed each chunk by feature
+    * hashing (Weinberger et al. 2009: token h60 picks one of 64 signed
+    * buckets, the chunk vector is the bucket sum — deterministic,
+    * vocabulary-free, integer from birth), train the x13 fixed-point
+    * coarse quantizer over the chunk vectors, assign every chunk to its
+    * cell, and emit the per-cell index manifest (chunks, distinct parent
+    * docs, summed squared quantization error). Columns
+    * (cid, n_chunks, n_docs, sse).
+    *
+    * Scale posture (100 TB): chunk+hash is one scan, zero shuffle (the
+    * 64-dim vector is a per-row map-side aggregate of the chunk's own
+    * tokens); quantizer training scans a driver-resident centroid
+    * broadcast NITER times (trainSample bounds it at scale); assignment
+    * is the same broadcast join; the manifest is one groupBy(cid) with
+    * map-side combine to |cells| rows. No corpus self-join anywhere —
+    * the index ships as (cell -> chunk ids) plus the centroid table.
+    */
+  def ragIndex(
+      docs: DataFrame,
+      seedCap: Long = RagSeedCap,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val w = DataPrep.ChunkW
+    val s = DataPrep.ChunkS
+    val tok = docs
+      .select(col("doc_id"), XText.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("nch",
+        lit(1L) + when(col("nw") > w, expr(s"(nw - $w + ${s - 1}) div $s")).otherwise(lit(0L)))
+      .select(col("doc_id"), col("ws"), col("nw"),
+        explode(expr("sequence(0L, nch - 1)")).as("ci"))
+      .withColumn("vec_id", col("doc_id") * RagIdStride + col("ci"))
+      .withColumn("start", lit(1L) + col("ci") * s)
+      .withColumn("ntk", least(lit(w.toLong), col("nw") - col("start") + 1))
+      .select(col("vec_id"),
+        explode(expr("slice(ws, CAST(start AS INT), CAST(ntk AS INT))")).as("tk"))
+    val sv = tok
+      .withColumn("h", XHash.h60(col("tk")))
+      .select(col("vec_id"), ((col("h") % 64) + 1).as("b"),
+        expr("((h div 64) % 2) * 2 - 1").as("sgn"))
+      .groupBy("vec_id", "b")
+      .agg(sum("sgn").as("x"))
+    val vi = sv.groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("b").cast("int"), col("x")))).as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), i => coalesce(element_at(col("m"), i), lit(0L)))
+          .as("vi"))
+    val cents = trainQuantizer(vi, seedCap.toInt, trainSample, checkpointDir)
+    quantizerRanked(vi, cents)
+      .filter(col("rn") === 1)
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(expr(s"vec_id div $RagIdStride")).as("n_docs"),
+        sum("dist").as("sse"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x06: brute-force cosine top-k (exact baseline) -----
     Q(
@@ -1549,6 +1624,47 @@ object Similarity {
         "only |q|*k pairs."
     ) { (s, dir) =>
       matryoshkaFidelity(table(s, dir, "embeddings"), col("vec_id") < 10)
+    },
+
+    // ----- x91: RAG index build (chunk -> hash-embed -> quantize -> manifest) -----
+    Q(
+      "x91_rag_index",
+      Some {
+        val (wdw, st) = (DataPrep.ChunkW, DataPrep.ChunkS)
+        s"WITH w0 AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "dd AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw, " +
+          s"1 + CASE WHEN len(ws) > $wdw THEN (len(ws) - $wdw + ${st - 1}) // $st ELSE 0 END " +
+          "AS nch FROM w0), " +
+          "cc AS (SELECT doc_id, ws, nw, unnest(generate_series(0, nch - 1)) AS i FROM dd), " +
+          s"ch AS (SELECT doc_id * $RagIdStride + i AS vec_id, " +
+          s"ws[(1 + i * $st):(least(CAST($wdw AS BIGINT), nw - (1 + i * $st) + 1) + i * $st)] " +
+          "AS tks FROM cc), " +
+          s"bt AS (SELECT vec_id, ${XHash.h60Sql("tk")} AS h FROM " +
+          "(SELECT vec_id, unnest(tks) AS tk FROM ch)), " +
+          "sv AS (SELECT vec_id, (h % 64) + 1 AS b, " +
+          "CAST(sum(((h // 64) % 2) * 2 - 1) AS BIGINT) AS x FROM bt GROUP BY 1, 2), " +
+          "vi AS (SELECT g.vec_id, list(coalesce(sv.x, 0) ORDER BY t.i) AS vi " +
+          "FROM (SELECT DISTINCT vec_id FROM sv) g " +
+          "CROSS JOIN generate_series(1, 64) AS t(i) " +
+          "LEFT JOIN sv ON sv.vec_id = g.vec_id AND sv.b = t.i GROUP BY g.vec_id), " +
+          kmeansChainSql(RagSeedCap) + " " +
+          "SELECT cid, CAST(count(*) AS BIGINT) AS n_chunks, " +
+          s"CAST(count(DISTINCT vec_id // $RagIdStride) AS BIGINT) AS n_docs, " +
+          "CAST(sum(dist) AS BIGINT) AS sse " +
+          "FROM r0 WHERE rn = 1 GROUP BY cid ORDER BY cid"
+      },
+      "RAG index build as ONE composed job — the retrieval-side x57: chunk every doc " +
+        s"(x36's ${DataPrep.ChunkW}/${DataPrep.ChunkS} window/stride geometry), " +
+        "embed each chunk by 64-bucket signed feature " +
+        "hashing (Weinberger et al. 2009 — vocabulary-free, deterministic, integer from " +
+        "birth), train the x13 fixed-point coarse quantizer over the chunk vectors, " +
+        "assign every chunk, and emit the per-cell manifest (chunks, distinct parent " +
+        "docs, summed squared quantization error). Chunk+hash is one zero-shuffle scan; " +
+        "training and assignment are broadcast-centroid joins; the manifest is one " +
+        "map-side-combinable groupBy(cid). The index a corpus search layer actually " +
+        "ships: (cell -> chunk ids) plus the centroid table."
+    ) { (s, dir) =>
+      ragIndex(table(s, dir, "documents")).orderBy("cid")
     }
   )
 }

@@ -700,6 +700,26 @@ class XScaleSpec extends SparkSpec {
       ("srcB", 1L, 1L, 1L, 1000000L, 1000000L)))
   }
 
+  test("x91 rag index: identical docs collapse to one zero-error cell, chunks conserved") {
+    // docs 0 and 1 are identical -> identical hash-embeds; both are seeds
+    // (vec_ids 0 and 1000 < RagSeedCap) but the tie-break assigns both
+    // chunks to cid 0, emptying cell 1000 (empty cells are not emitted).
+    // doc 2 seeds and keeps its own cell. sse = 0 everywhere: every
+    // member equals its centroid.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "omega psi chi phi")).toDF("doc_id", "text")
+    val out = Similarity.ragIndex(docs)
+      .select("cid", "n_chunks", "n_docs", "sse")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 2L, 2L, 0L), (2000L, 1L, 1L, 0L)))
+    // conservation on the real corpus: every chunk lands in exactly one cell
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = Similarity.ragIndex(real).agg(sum("n_chunks")).as[Long].head()
+    assert(total === DataPrep.chunkDocs(real).count())
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

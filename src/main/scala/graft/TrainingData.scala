@@ -485,6 +485,16 @@ object TrainingData {
       trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
     Similarity.ragIndex(docs, seedCap, trainSample, checkpointDir)
 
+  /** RAG retrieval (x92): nprobe cell-probed search over the [[ragIndex]]
+    * with a built-in self-retrieval eval — per source, the rank of the
+    * query chunk's nearest sibling (MRR, hits@1, hits@10); misses measure
+    * the nprobe recall loss.
+    */
+  def ragRetrieval(docs: DataFrame, qMod: Int = TextAnalysis.BmQMod,
+      nprobe: Int = Similarity.NPROBE, seedCap: Long = Similarity.RagSeedCap,
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): DataFrame =
+    Similarity.ragRetrieval(docs, qMod, nprobe, seedCap, trainSample, checkpointDir)
+
   /** Incremental IVFPQ add (x79): admit a batch of new vectors into an
     * existing index — frozen coarse centroids and PQ codebooks, per-cell
     * add-vs-base quantization-error drift as the retrain trigger. The add

@@ -947,11 +947,12 @@ object Similarity {
     * map-side combine to |cells| rows. No corpus self-join anywhere —
     * the index ships as (cell -> chunk ids) plus the centroid table.
     */
-  def ragIndex(
-      docs: DataFrame,
-      seedCap: Long = RagSeedCap,
-      trainSample: Double = 1.0,
-      checkpointDir: Option[String] = None): DataFrame = {
+  /** x91/x92 shared front half: chunk every doc (x36 geometry) and embed
+    * each chunk by 64-bucket signed feature hashing. Columns
+    * (vec_id = doc_id * RagIdStride + chunk_id, vi: array<long> 64-dim).
+    * One scan, zero shuffle up to the per-chunk bucket aggregate.
+    */
+  def ragEmbed(docs: DataFrame): DataFrame = {
     val w = DataPrep.ChunkW
     val s = DataPrep.ChunkS
     val tok = docs
@@ -972,11 +973,19 @@ object Similarity {
         expr("((h div 64) % 2) * 2 - 1").as("sgn"))
       .groupBy("vec_id", "b")
       .agg(sum("sgn").as("x"))
-    val vi = sv.groupBy("vec_id")
+    sv.groupBy("vec_id")
       .agg(map_from_entries(collect_list(struct(col("b").cast("int"), col("x")))).as("m"))
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(64)), i => coalesce(element_at(col("m"), i), lit(0L)))
           .as("vi"))
+  }
+
+  def ragIndex(
+      docs: DataFrame,
+      seedCap: Long = RagSeedCap,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val vi = ragEmbed(docs)
     val cents = trainQuantizer(vi, seedCap.toInt, trainSample, checkpointDir)
     quantizerRanked(vi, cents)
       .filter(col("rn") === 1)
@@ -985,6 +994,69 @@ object Similarity {
         count(lit(1)).as("n_chunks"),
         countDistinct(expr(s"vec_id div $RagIdStride")).as("n_docs"),
         sum("dist").as("sse"))
+  }
+
+  /** x92 core: RAG RETRIEVAL over the x91 index — the query side, with a
+    * built-in self-retrieval eval (x88's protocol in vector space). Every
+    * qMod-th doc with >= 2 chunks queries with its chunk-0 vector; the
+    * NPROBE nearest cells (by centroid distance) are probed; candidate
+    * chunks in those cells (minus the query chunk itself) are ranked by
+    * exact integer squared distance; the best rank of a SIBLING chunk
+    * (same parent doc — overlapping chunks share tokens, so a working
+    * index finds them) scores the query. Per source: queries, hits@1,
+    * hits@10, summed reciprocal rank e6, MRR e6. Queries whose siblings
+    * all live outside the probed cells score 0 — the nprobe recall loss,
+    * measured not assumed.
+    *
+    * Scale posture (100 TB): probing is a |q| x |cells| broadcast join;
+    * candidates shuffle once on the cell id and only probed cells'
+    * chunks move; the exact-distance rerank touches |q| x (chunks in
+    * NPROBE cells) pairs — the IVF contract. Training rides the same
+    * trainSample/checkpointDir knobs as the index build.
+    */
+  def ragRetrieval(
+      docs: DataFrame,
+      qMod: Int = TextAnalysis.BmQMod,
+      nprobe: Int = NPROBE,
+      seedCap: Long = RagSeedCap,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val vi = ragEmbed(docs)
+    val cents = trainQuantizer(vi, seedCap.toInt, trainSample, checkpointDir)
+    val asg = quantizerRanked(vi, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("vi"))
+    val nChunks = vi.groupBy(expr(s"vec_id div $RagIdStride").as("did"))
+      .agg(count(lit(1)).as("nch"))
+    val q = vi.filter(col("vec_id") % RagIdStride === 0)
+      .withColumn("did", expr(s"vec_id div $RagIdStride"))
+      .filter(col("did") % qMod === 0)
+      .join(nChunks.filter(col("nch") >= 2), "did")
+      .select(col("vec_id").as("qid"), col("did"), col("vi").as("qv"))
+    val byCent = Window.partitionBy("qid").orderBy(col("cd"), col("cid"))
+    val probed = q.join(broadcast(cents.toDF("cid", "ci")))
+      .withColumn("cd", graftnative.api.sqdistLong(col("qv"), col("ci")))
+      .withColumn("cr", row_number().over(byCent))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("did"), col("qv"), col("cid"))
+    val byDist = Window.partitionBy("qid").orderBy(col("d"), col("vec_id"))
+    val ranked = probed.join(asg, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", graftnative.api.sqdistLong(col("qv"), col("vi")))
+      .withColumn("rk", row_number().over(byDist).cast("long"))
+    val hit = ranked.filter(expr(s"vec_id div $RagIdStride") === col("did"))
+      .groupBy("qid").agg(min("rk").as("rk"))
+    q.select("qid", "did")
+      .join(hit, Seq("qid"), "left")
+      .join(docs.select(col("doc_id").as("did"), col("source")), "did")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("hits10"),
+        sum(coalesce(expr("1000000 div rk"), lit(0L))).as("sum_rr_e6"))
+      .withColumn("mrr_e6", expr("sum_rr_e6 div n_queries"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -1665,6 +1737,71 @@ object Similarity {
         "ships: (cell -> chunk ids) plus the centroid table."
     ) { (s, dir) =>
       ragIndex(table(s, dir, "documents")).orderBy("cid")
+    },
+
+    // ----- x92: RAG retrieval (nprobe search over the x91 index + self-eval) -----
+    Q(
+      "x92_rag_retrieval",
+      Some {
+        val (wdw, st) = (DataPrep.ChunkW, DataPrep.ChunkS)
+        def sqd(a: String, b: String) =
+          "list_aggregate(list_transform(generate_series(1, 64), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+        s"WITH w0 AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "dd AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw, " +
+          s"1 + CASE WHEN len(ws) > $wdw THEN (len(ws) - $wdw + ${st - 1}) // $st ELSE 0 END " +
+          "AS nch FROM w0), " +
+          "cc AS (SELECT doc_id, ws, nw, unnest(generate_series(0, nch - 1)) AS i FROM dd), " +
+          s"ch AS (SELECT doc_id * $RagIdStride + i AS vec_id, " +
+          s"ws[(1 + i * $st):(least(CAST($wdw AS BIGINT), nw - (1 + i * $st) + 1) + i * $st)] " +
+          "AS tks FROM cc), " +
+          s"bt AS (SELECT vec_id, ${XHash.h60Sql("tk")} AS h FROM " +
+          "(SELECT vec_id, unnest(tks) AS tk FROM ch)), " +
+          "sv AS (SELECT vec_id, (h % 64) + 1 AS b, " +
+          "CAST(sum(((h // 64) % 2) * 2 - 1) AS BIGINT) AS x FROM bt GROUP BY 1, 2), " +
+          "vi AS (SELECT g.vec_id, list(coalesce(sv.x, 0) ORDER BY t.i) AS vi " +
+          "FROM (SELECT DISTINCT vec_id FROM sv) g " +
+          "CROSS JOIN generate_series(1, 64) AS t(i) " +
+          "LEFT JOIN sv ON sv.vec_id = g.vec_id AND sv.b = t.i GROUP BY g.vec_id), " +
+          kmeansChainSql(RagSeedCap) + ", " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          s"nch AS (SELECT vec_id // $RagIdStride AS did, count(*) AS n FROM vi GROUP BY 1), " +
+          s"q AS (SELECT vi.vec_id AS qid, vi.vec_id // $RagIdStride AS did, vi.vi AS qv " +
+          s"FROM vi JOIN nch ON nch.did = vi.vec_id // $RagIdStride " +
+          s"WHERE vi.vec_id % $RagIdStride = 0 " +
+          s"AND (vi.vec_id // $RagIdStride) % ${TextAnalysis.BmQMod} = 0 AND nch.n >= 2), " +
+          "pr0 AS (SELECT q.qid, q.did, q.qv, c.cid, " +
+          s"${sqd("q.qv", "c.ci")} AS cd FROM q CROSS JOIN c$NITER c), " +
+          "pr AS (SELECT qid, did, qv, cid FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY qid ORDER BY cd, cid) AS cr FROM pr0) WHERE cr <= $NPROBE), " +
+          "cd0 AS (SELECT pr.qid, pr.did, a.vec_id, " +
+          s"${sqd("pr.qv", "vi.vi")} AS d " +
+          "FROM pr JOIN asg a USING (cid) JOIN vi ON vi.vec_id = a.vec_id " +
+          "WHERE a.vec_id <> pr.qid), " +
+          "rk AS (SELECT qid, did, vec_id, ROW_NUMBER() OVER (PARTITION BY qid " +
+          "ORDER BY d, vec_id) AS rk FROM cd0), " +
+          s"ht AS (SELECT qid, min(rk) AS rk FROM rk WHERE vec_id // $RagIdStride = did " +
+          "GROUP BY qid), " +
+          "fin AS (SELECT q.qid, q.did, ht.rk FROM q LEFT JOIN ht USING (qid)) " +
+          "SELECT d.source, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1, " +
+          "CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10, " +
+          "CAST(sum(coalesce(1000000 // rk, 0)) AS BIGINT) AS sum_rr_e6, " +
+          "CAST(sum(coalesce(1000000 // rk, 0)) // count(*) AS BIGINT) AS mrr_e6 " +
+          "FROM fin JOIN documents d ON d.doc_id = fin.did " +
+          "GROUP BY d.source ORDER BY source"
+      },
+      s"RAG retrieval over the x91 index with a built-in self-retrieval eval: every " +
+        s"${TextAnalysis.BmQMod}th doc with >= 2 chunks queries with its chunk-0 vector, " +
+        s"the $NPROBE nearest cells are probed, candidates in those cells are ranked by " +
+        "exact integer squared distance, and the best SIBLING-chunk rank (same parent " +
+        "doc; overlapping chunks share tokens, so a working index finds them) scores " +
+        "the query — per source: queries, hits@1, hits@10, MRR e6. Queries whose " +
+        "siblings fall outside the probed cells score 0: the nprobe recall loss, " +
+        "measured not assumed. Probing is a broadcast join; only probed cells' chunks " +
+        "join the rerank — the IVF contract, end-to-end in text space."
+    ) { (s, dir) =>
+      ragRetrieval(table(s, dir, "documents")).orderBy("source")
     }
   )
 }

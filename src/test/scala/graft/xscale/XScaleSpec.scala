@@ -720,6 +720,24 @@ class XScaleSpec extends SparkSpec {
     assert(total === DataPrep.chunkDocs(real).count())
   }
 
+  test("x92 rag retrieval: periodic doc's identical sibling chunk retrieved at rank 1") {
+    // doc 0: 24-token period over 56 words -> chunk 0 (tokens 1-32) and
+    // chunk 1 (tokens 25-56) carry the SAME bag of tokens, so the sibling
+    // sits at distance 0 -> rank 1. doc 7: distinct tokens; its sibling
+    // shares the 8-token overlap and must beat doc 0's unrelated chunks.
+    val a = (1 to 24).map(i => s"w$i")
+    val docs = Seq(
+      (0L, "sa", (a ++ a ++ a.take(8)).mkString(" ")),
+      (7L, "sb", (1 to 56).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Similarity.ragRetrieval(docs)
+      .select("source", "n_queries", "hits1", "hits10", "sum_rr_e6", "mrr_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("sa", 1L, 1L, 1L, 1000000L, 1000000L),
+      ("sb", 1L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

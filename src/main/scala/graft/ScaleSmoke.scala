@@ -26,6 +26,9 @@ object ScaleSmoke {
     "x54_proto_auto", "x57_pipeline_full", "x62_bpe_train",
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
     "x77_cms_heavy_hitters", "x79_ivfpq_add",
+    "x86_split_repair", "x87_dedup_survivorship", "x88_bm25_retrieval",
+    "x89_decontam_agreement", "x90_filter_ablation",
+    "x91_rag_index", "x91_rag_auto", "x92_rag_retrieval",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
@@ -105,6 +108,13 @@ object ScaleSmoke {
       "x51_dsir_threshold" -> ((s, d) =>
         TrainingData.dsirSelectThreshold(
           s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")),
+      // x91 in its production posture: sampled quantizer training +
+      // reliable checkpoints (the oracle query trains on every chunk)
+      "x91_rag_auto" -> ((s, d) =>
+        TrainingData.ragIndex(
+          s.read.parquet(s"$d/documents.parquet"),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))),
       // CC skew posture: same edge count (1.1 M pairs), three shapes —
       // uniform 2-cliques, one 1M-leaf mega-star (hot join key every
       // label-prop round), and the mega-star with the salts=8 escape

@@ -574,6 +574,15 @@ object TrainingData {
       minMatch: Int = Dedup.K / 2): DataFrame =
     Dedup.incrementalDedup(corpus, batch, minMatch)
 
+  /** Quality-signal calibration (x93): cross-tab of the Gopher verdict
+    * against the LM-score band (corpus-mean threshold, no global sort) —
+    * docs, token mass and mean score per cell; the audit that decides
+    * whether the cheap rules or the LM filter is redundant.
+    */
+  def qualityCalibration(docs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    TextAnalysis.qualityCalibration(docs, checkpointDir)
+
   /** PII detection + scrubbing (x72): emails/IPv4/phones counted on the
     * input and replaced with typed placeholders in fixed order — the
     * redaction pass a corpus release runs last. Adds (n_email, n_ip,

@@ -210,6 +210,42 @@ object TextAnalysis {
         .otherwise(3L))
   }
 
+  /** x93 core: quality-signal CALIBRATION — do the cheap rule-based
+    * filter and the statistical LM filter agree? Cross-tab of the Gopher
+    * verdict (pass/fail, x16) against the LM-score band (low = below the
+    * corpus mean of x33's bigram score, high = at-or-above, unscored =
+    * docs with no bigram), with doc count, token mass and mean score per
+    * cell. A large fail×high cell = rules throwing away text the LM
+    * likes (over-filtering); a large pass×low cell = junk the rules miss.
+    * The band threshold is the integer corpus MEAN, not x33's ntile — no
+    * global sort anywhere, so this audit runs at corpus scale unchanged.
+    *
+    * Scale posture (100 TB): one native GopherMetrics scan + the x33
+    * scoring joins (model tables vocab-bounded, broadcast) + a one-row
+    * mean broadcast + a 6-cell aggregate with map-side combine.
+    */
+  def qualityCalibration(
+      docs: org.apache.spark.sql.DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val g = gopherAnnotate(docs)
+      .select(col("doc_id"), col("nw"),
+        when(gopherKeep, "pass").otherwise("fail").as("gopher"))
+    val sc = lmScored(docs, broadcastModel = true, checkpointDir)
+      .select(col("doc_id"), col("n_big"), col("score_e6"))
+    val mrow = sc.filter(col("n_big") > 0)
+      .agg(expr("sum(score_e6) div count(*)").as("m"))
+    g.join(sc, "doc_id").crossJoin(broadcast(mrow))
+      .withColumn("lm",
+        when(col("n_big") === 0, "unscored")
+          .when(col("score_e6") < col("m"), "low")
+          .otherwise("high"))
+      .groupBy("gopher", "lm")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nw").as("sum_nw"),
+        expr("sum(score_e6) div count(*)").as("mean_score_e6"))
+  }
+
   /** Shared x33 scoring stage: everything except the bucket column. */
   private def lmScored(
       docs: org.apache.spark.sql.DataFrame,
@@ -1097,6 +1133,49 @@ object TextAnalysis {
         "tercile agreement)."
     ) { (s, dir) =>
       lmScore(table(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ----- x93: quality-signal calibration (Gopher rules x LM score band) -----
+    Q(
+      "x93_quality_calibration",
+      Some {
+        val rules = gopherRules.mkString(" AND ")
+        s"WITH ${gopherSqlCtes("")}, " +
+          s"lp AS (SELECT doc_id, ${h60Sql("ws[i]")} AS ph, " +
+          s"${h60Sql("ws[i] || ' ' || ws[i + 1]")} AS bh FROM " +
+          "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+          "FROM w WHERE len(ws) >= 2)), " +
+          "lm12 AS (SELECT bh, ph, count(*) AS c12 FROM lp GROUP BY 1, 2), " +
+          "lm1 AS (SELECT ph, CAST(sum(c12) AS BIGINT) AS c1 FROM lm12 GROUP BY 1), " +
+          "lpd AS (SELECT doc_id, bh, count(*) AS k FROM lp GROUP BY 1, 2), " +
+          "lj AS (SELECT doc_id, k, (1000000 * c12) // c1 AS prob_e6 " +
+          "FROM lpd JOIN lm12 USING (bh) JOIN lm1 USING (ph)), " +
+          "ld AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_big, " +
+          "CAST(sum(k * prob_e6) // sum(k) AS BIGINT) AS score_e6 FROM lj GROUP BY 1), " +
+          "la AS (SELECT doc.doc_id, coalesce(ld.n_big, 0) AS n_big, " +
+          "coalesce(ld.score_e6, -1) AS score_e6 " +
+          "FROM documents doc LEFT JOIN ld ON ld.doc_id = doc.doc_id), " +
+          "mm AS (SELECT CAST(sum(score_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS m " +
+          "FROM la WHERE n_big > 0), " +
+          s"ct AS (SELECT CASE WHEN ($rules) THEN 'pass' ELSE 'fail' END AS gopher, " +
+          "CASE WHEN la.n_big = 0 THEN 'unscored' WHEN la.score_e6 < mm.m THEN 'low' " +
+          "ELSE 'high' END AS lm, r.nw, la.score_e6 " +
+          "FROM r JOIN la ON la.doc_id = r.doc_id CROSS JOIN mm) " +
+          "SELECT gopher, lm, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(nw) AS BIGINT) AS sum_nw, " +
+          "CAST(sum(score_e6) // count(*) AS BIGINT) AS mean_score_e6 " +
+          "FROM ct GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      "quality-signal calibration — do the cheap rule filter and the statistical LM " +
+        "filter agree: cross-tab of the Gopher verdict (x16 pass/fail) against the LM " +
+        "band (low = below the corpus-mean x33 bigram score, high = at-or-above, " +
+        "unscored = no bigram), with docs, token mass and mean score per cell. A big " +
+        "fail*high cell means the rules throw away text the LM likes; pass*low is junk " +
+        "the rules miss. Band threshold = integer corpus MEAN (one-row broadcast), not " +
+        "x33's global ntile — the audit is scale-clean end to end: one GopherMetrics " +
+        "scan, vocab-bounded broadcast model joins, a 6-cell map-side aggregate."
+    ) { (s, dir) =>
+      qualityCalibration(table(s, dir, "documents")).orderBy("gopher", "lm")
     },
 
     // ----- x31: repetition char fractions (Gopher Table A1, char family) -----

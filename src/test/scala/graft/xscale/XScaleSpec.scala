@@ -738,6 +738,26 @@ class XScaleSpec extends SparkSpec {
       ("sb", 1L, 1L, 1L, 1000000L, 1000000L)))
   }
 
+  test("x93 quality calibration: cells partition the corpus, marginals recomputable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.qualityCalibration(docs)
+      .select("gopher", "lm", "n_docs", "sum_nw", "mean_score_e6")
+      .as[(String, String, Long, Long, Long)].collect()
+    // cells partition the corpus exactly
+    assert(out.map(_._3).sum === docs.count())
+    assert(out.map(r => (r._1, r._2)).distinct.length === out.length)
+    // gopher marginal matches an independent recomputation of the keep rule
+    val passDocs = TextAnalysis.gopherAnnotate(docs).filter(TextAnalysis.gopherKeep).count()
+    assert(out.filter(_._1 == "pass").map(_._3).sum === passDocs)
+    // within each gopher verdict, the low band's mean score sits below high's
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      for {
+        lo <- rows.find(_._2 == "low")
+        hi <- rows.find(_._2 == "high")
+      } assert(lo._5 < hi._5)
+    }
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

@@ -474,8 +474,9 @@ object TrainingData {
     * norm, monotone rational idf) and the source doc's rank yields
     * per-source MRR, hits@1, hits@10.
     */
-  def bm25Retrieval(docs: DataFrame, qMod: Int = TextAnalysis.BmQMod): DataFrame =
-    TextAnalysis.bm25Retrieval(docs, qMod)
+  def bm25Retrieval(docs: DataFrame, qMod: Int = TextAnalysis.BmQMod,
+      maxDfPpm: Long = 1000000L): DataFrame =
+    TextAnalysis.bm25Retrieval(docs, qMod, maxDfPpm)
 
   /** RAG index build (x91): chunk -> signed-feature-hash embed ->
     * fixed-point coarse quantizer -> per-cell manifest, as one composed

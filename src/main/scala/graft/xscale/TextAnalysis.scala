@@ -363,19 +363,37 @@ object TextAnalysis {
     * the latter a 1-row broadcast. Per-posting contributions are computed
     * BEFORE the query join, so query fan-out multiplies only 8-byte
     * (term, doc, score) rows. The known hazard is stopword posting lists
-    * (df ~ N, idf ~ 0): at scale, drop postings with idf_e6 = 0 (they
-    * cannot change any ranking among scored docs) or impact-order the
-    * lists WAND-style; overflow envelope (N-df)*1e6 < 2^63 holds to
-    * N ~ 9e12 docs, beyond which idf drops to e3.
+    * (df ~ N): `maxDfPpm` < 1e6 drops them before the query join (their
+    * near-zero idf cannot reorder scored docs) — classic stopword
+    * pruning; WAND-style impact ordering is the next step up. MEASURED:
+    * the 10x ScaleSmoke clocks the exact query at 738 s because the
+    * fixture's vocabulary is 31 words, 30 of them in 76-78% of docs —
+    * candidates are ~|q| x n by construction there and no cap below 76%
+    * keeps a posting; on a Zipfian vocabulary the cap removes most
+    * posting mass at negligible df-mass loss. Overflow envelope:
+    * (N-df)*1e6 < 2^63 holds to N ~ 9e12 docs, beyond which idf drops
+    * to e3.
     */
   def bm25Retrieval(docs: org.apache.spark.sql.DataFrame,
-      qMod: Int = BmQMod): org.apache.spark.sql.DataFrame = {
+      qMod: Int = BmQMod,
+      maxDfPpm: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     val w = docs.select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
     val tok = w.select(col("doc_id"), explode(col("ws")).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
     val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), expr("sum(dl) div count(*)").as("avgdl"))
-    val dfv = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    // maxDfPpm < 1e6 is the scale path: terms in more than that share of
+    // docs are dropped from the postings BEFORE the query join (classic
+    // stopword pruning — their near-zero idf cannot reorder scored docs,
+    // and their posting lists are exactly the fan-out that kills the
+    // candidate join at 10x corpus; the ScaleSmoke entry measures this).
+    // The default keeps every term: the oracle-pinned exact baseline.
+    val dfv0 = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val dfv =
+      if (maxDfPpm >= 1000000L) dfv0
+      else dfv0.crossJoin(broadcast(st.select("n")))
+        .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n"))
+        .select("tk", "df")
     val post = tok.join(dfv, "tk").join(dl, "doc_id").crossJoin(broadcast(st))
       .withColumn("idf_e6", expr("((n - df) * 1000000) div df"))
       .withColumn("nb_e4", expr("2500 + (7500 * dl) div avgdl"))

@@ -315,6 +315,22 @@ object TrainingData {
     */
   def dedupSurvivorship(docs: DataFrame): DataFrame = Dedup.dedupSurvivorship(docs)
 
+  /** Survivor regret (x94): per near-dup cluster, the min-id survivor's
+    * quality vs the cluster best — the measured case for a quality-aware
+    * survivor rule. `score` is a per-doc (doc_id, score_e4) frame.
+    */
+  def survivorRegret(pairs: DataFrame, score: DataFrame): DataFrame =
+    Dedup.survivorRegret(pairs, score)
+
+  /** Quality-aware cluster dedup: [[dedupByPairs]]'s semantics with the
+    * survivor chosen by argmax `score` (ties to the smaller doc_id) —
+    * the remediation for nonzero [[survivorRegret]].
+    */
+  def dedupByPairsKeepBest(docs: DataFrame, pairs: DataFrame, score: Column,
+      maxIter: Int = 20, checkpointDir: Option[String] = None,
+      salts: Int = 1): DataFrame =
+    DedupClusters.dedupByPairsKeepBest(docs, pairs, score, maxIter, checkpointDir, salts)
+
   /** Joint multi-signal dedup (x50): one survivor per connected component
     * of the UNION of text-near-dup (simhash) and embedding-near-dup
     * (cosine) pairs — transitivity works across signals.

@@ -294,6 +294,30 @@ object Dedup {
       .dedupKeepFirst(docs.withColumn("_norm", normText(col("text"))), Seq("_norm"), Seq("doc_id"))
       .drop("_norm")
 
+  /** x94 core: survivor REGRET — does keep-first dedup throw away the best
+    * copy? For every near-dup cluster (connected component of `pairs`),
+    * compare the kept doc's quality (the min-doc_id survivor rule x14
+    * ships) against the cluster's best: regret_e4 = best - kept, plus the
+    * kept_is_best flag. `score` is a per-doc (doc_id, score_e4) frame —
+    * the registered query passes x09's quality. Nonzero total regret is
+    * the case for [[DedupClusters.dedupByPairsKeepBest]], the
+    * quality-aware survivor rule.
+    *
+    * Scale posture (100 TB): rides the dedup's own CC output (the pair
+    * graph is tiny next to the corpus); one join to the score table and
+    * one component-keyed aggregate — no window, no global sort.
+    */
+  def survivorRegret(pairs: DataFrame, score: DataFrame): DataFrame =
+    DedupClusters.connectedComponents(pairs)
+      .join(score.select(col("doc_id").as("id"), col("score_e4")), "id")
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(when(col("id") === col("component"), col("score_e4"))).as("kept_score_e4"),
+        max("score_e4").as("best_score_e4"))
+      .withColumn("regret_e4", col("best_score_e4") - col("kept_score_e4"))
+      .withColumn("kept_is_best", col("best_score_e4") === col("kept_score_e4"))
+
   /** x87 core: per-source dedup SURVIVORSHIP — who pays for exact dedup.
     * Under x01's keep-first rule (owner = min doc_id per norm key), each
     * source reports docs in, kept, dropped, and the dropped split by
@@ -683,6 +707,48 @@ object Dedup {
         .groupBy("source")
         .agg(count(lit(1)).as("n_after"))
         .orderBy("source")
+    },
+
+    // ----- x94: survivor regret (does keep-first dedup keep the best copy?) -----
+    Q(
+      "x94_survivor_regret",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE ${TextAnalysis.qualityPerDocSqlCtes}, " +
+          s"w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "j AS (SELECT comp.component, comp.id, qd.score_e4 FROM comp " +
+          "JOIN qd ON qd.doc_id = comp.id) " +
+          "SELECT component, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(max(CASE WHEN id = component THEN score_e4 END) AS BIGINT) AS kept_score_e4, " +
+          "CAST(max(score_e4) AS BIGINT) AS best_score_e4, " +
+          "CAST(max(score_e4) - max(CASE WHEN id = component THEN score_e4 END) AS BIGINT) " +
+          "AS regret_e4, " +
+          "(max(score_e4) = max(CASE WHEN id = component THEN score_e4 END)) AS kept_is_best " +
+          "FROM j GROUP BY component ORDER BY component"
+      },
+      "survivor regret — does keep-first dedup throw away the best copy: for every x14 " +
+        "near-dup cluster, the kept doc's x09 quality vs the cluster max (regret_e4 = " +
+        "best - kept, kept_is_best flag). Nonzero total regret is the measured case for " +
+        "the quality-aware survivor rule (dedupByPairsKeepBest — argmax score, ties to " +
+        "the smaller id). Rides the dedup's own connected components: one join to the " +
+        "per-doc score table and one component-keyed aggregate, no window, no global " +
+        "sort; the oracle replays the same transitive closure as a recursive CTE."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      survivorRegret(pairs, TextAnalysis.qualityPerDoc(docs)).orderBy("component")
     },
 
     // ----- x28: MinHash sketch calibration (estimate vs exact Jaccard) -----

@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The last step of a fuzzy-dedup pipeline: near-dup PAIRS (x02/x03/x04
@@ -214,5 +214,31 @@ object DedupClusters {
     val comp = connectedComponents(pairs, maxIter, checkpointDir, salts)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[dedupByPairs]] with a QUALITY-AWARE survivor rule — the remediation
+    * x94's regret audit calls for: per connected component the kept doc is
+    * the argmax of `score` (ties to the smaller doc_id), not the smallest
+    * id. `score` is a column evaluable on `docs` (e.g. x09's quality).
+    * Singletons (docs in no pair) survive untouched. Costs one extra
+    * per-component window over the CLUSTERED docs only — the pair graph
+    * is tiny next to the corpus, so the window input is too.
+    */
+  def dedupByPairsKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      score: Column,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      salts: Int = 1): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter, checkpointDir, salts)
+      .select(col("id").as("doc_id"), col("component"))
+    val clustered = docs.join(comp, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(score.desc, col("doc_id"))
+    val best = clustered
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "component")
+    docs.join(comp.select("doc_id"), Seq("doc_id"), "left_anti").unionByName(best)
   }
 }

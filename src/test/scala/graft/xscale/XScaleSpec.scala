@@ -765,6 +765,29 @@ class XScaleSpec extends SparkSpec {
     }
   }
 
+  test("x94 survivor regret: regret exact on planted clusters; keep-best repairs it") {
+    // component 1 = {1,2,3} chained pairs; min-id keeps doc 1 (score 100)
+    // but doc 2 holds 500 -> regret 400. component 10 = {10,11}: the
+    // min-id survivor is already best -> regret 0.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val score = Seq((1L, 100L), (2L, 500L), (3L, 300L), (10L, 900L), (11L, 200L))
+      .toDF("doc_id", "score_e4")
+    val out = Dedup.survivorRegret(pairs, score)
+      .select("component", "n_docs", "kept_score_e4", "best_score_e4", "regret_e4",
+        "kept_is_best")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 3L, 100L, 500L, 400L, false),
+      (10L, 2L, 900L, 900L, 0L, true)))
+    // the remediation: keep-best survivors are the argmax-score docs, and
+    // docs outside any pair (singletons) pass through untouched
+    val docs = score.withColumnRenamed("score_e4", "s")
+      .unionByName(Seq((99L, 50L)).toDF("doc_id", "s"))
+    val best = DedupClusters.dedupByPairsKeepBest(docs, pairs, col("s"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(best.toSeq === Seq(2L, 10L, 99L))
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

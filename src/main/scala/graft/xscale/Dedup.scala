@@ -709,6 +709,70 @@ object Dedup {
         .orderBy("source")
     },
 
+    // ----- x95: keep-best dedup gain (the x94 remediation, measured per source) -----
+    Q(
+      "x95_keepbest_gain",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE ${TextAnalysis.qualityPerDocSqlCtes}, " +
+          s"w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "fs AS (SELECT d.source, qd.score_e4 FROM documents d " +
+          "JOIN qd ON qd.doc_id = d.doc_id " +
+          "WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)), " +
+          "bp AS (SELECT id FROM (SELECT comp.id, ROW_NUMBER() OVER " +
+          "(PARTITION BY component ORDER BY qd.score_e4 DESC, comp.id) AS rn " +
+          "FROM comp JOIN qd ON qd.doc_id = comp.id) WHERE rn = 1), " +
+          "bs AS (SELECT d.source, qd.score_e4 FROM documents d " +
+          "JOIN qd ON qd.doc_id = d.doc_id " +
+          "WHERE d.doc_id NOT IN (SELECT id FROM comp) OR d.doc_id IN (SELECT id FROM bp)), " +
+          "fa AS (SELECT source, CAST(count(*) AS BIGINT) AS n_first, " +
+          "CAST(sum(score_e4) AS BIGINT) AS q_first_e4 FROM fs GROUP BY 1), " +
+          "fb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_best, " +
+          "CAST(sum(score_e4) AS BIGINT) AS q_best_e4 FROM bs GROUP BY 1) " +
+          "SELECT coalesce(fa.source, fb.source) AS source, " +
+          "CAST(coalesce(n_first, 0) AS BIGINT) AS n_first, " +
+          "CAST(coalesce(q_first_e4, 0) AS BIGINT) AS q_first_e4, " +
+          "CAST(coalesce(n_best, 0) AS BIGINT) AS n_best, " +
+          "CAST(coalesce(q_best_e4, 0) AS BIGINT) AS q_best_e4, " +
+          "CAST(coalesce(q_best_e4, 0) - coalesce(q_first_e4, 0) AS BIGINT) AS gain_e4 " +
+          "FROM fa FULL OUTER JOIN fb USING (source) ORDER BY source"
+      },
+      "keep-best dedup, measured — the x94 remediation as a per-source before/after: " +
+        "survivor counts and summed x09 quality under the min-id rule vs the " +
+        "quality-aware argmax rule, with the per-source gain (can be negative for a " +
+        "source whose copy loses the argmax to another source — content custody moves, " +
+        "corpus quality only goes up: global gain == x94's total regret, spec-pinned). " +
+        "Same CC + one extra per-component window over clustered docs only; the oracle " +
+        "replays both survivor rules from the same recursive closure."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val q = TextAnalysis.qualityPerDoc(docs).select("doc_id", "score_e4")
+      val d = docs.select("doc_id", "source").join(q, "doc_id")
+      val first = DedupClusters.dedupByPairs(d, pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_first"), sum("score_e4").as("q_first_e4"))
+      val best = DedupClusters.dedupByPairsKeepBest(d, pairs, col("score_e4"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_best"), sum("score_e4").as("q_best_e4"))
+      first.join(best, Seq("source"), "full_outer")
+        .na.fill(0L, Seq("n_first", "q_first_e4", "n_best", "q_best_e4"))
+        .withColumn("gain_e4", col("q_best_e4") - col("q_first_e4"))
+        .orderBy("source")
+    },
+
     // ----- x94: survivor regret (does keep-first dedup keep the best copy?) -----
     Q(
       "x94_survivor_regret",

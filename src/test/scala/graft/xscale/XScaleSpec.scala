@@ -788,6 +788,24 @@ class XScaleSpec extends SparkSpec {
     assert(best.toSeq === Seq(2L, 10L, 99L))
   }
 
+  test("x95 keep-best gain: survivor counts invariant, global gain == x94 total regret") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.simhashPairs(docs)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val q = TextAnalysis.qualityPerDoc(docs).select("doc_id", "score_e4")
+    val d = docs.select("doc_id", "source").join(q, "doc_id")
+    val first = DedupClusters.dedupByPairs(d, pairs)
+    val best = DedupClusters.dedupByPairsKeepBest(d, pairs, col("score_e4"))
+    // both rules keep one doc per cluster plus every singleton
+    assert(first.count() === best.count())
+    // corpus quality never drops, and the improvement is exactly the
+    // regret x94 measures (each cluster trades kept for best)
+    val qFirst = first.agg(sum("score_e4")).as[Long].head()
+    val qBest = best.agg(sum("score_e4")).as[Long].head()
+    val regret = Dedup.survivorRegret(pairs, q).agg(sum("regret_e4")).as[Long].head()
+    assert(qBest - qFirst === regret && regret > 0L)
+  }
+
   test("x84 rare windows: unique doc fully rare, duplicated docs contribute zero risk") {
     val docs = Seq(
       (1L, "sa", "alpha beta gamma delta epsilon zeta eta"),

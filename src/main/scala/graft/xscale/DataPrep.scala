@@ -454,6 +454,101 @@ object DataPrep {
       .select("strategy", "shard", "n_docs", "n_batches", "sum_tok", "pad_tok", "pad_e6")
   }
 
+  /** x96: minimum DOCUMENT frequency for a line to count as boilerplate
+    * (C4 / CCNet line-level dedup: Raffel et al. 2020 drop lines repeated
+    * across the corpus; CCNet hashes paragraphs). 5 sits above the
+    * fixture's largest exact-dup cluster and far below a real template's
+    * frequency, so genuine content is never flagged.
+    */
+  val BoilerMinDf = 5
+
+  /** x96 line decomposition: one row per non-empty trimmed line of each
+    * doc, with its position (for order-preserving reconstruction), 60-bit
+    * line hash and char count. Pure per-row array algebra inside the scan
+    * — no shuffle, no UDF.
+    */
+  def docLines(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(col("raw")))
+      .filter(col("line") =!= "")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("pos").cast("long").as("pos"),
+        col("line"),
+        h60(col("line")).as("lh"),
+        length(col("line")).cast("long").as("nc"))
+
+  /** Corpus-frequent line hashes — the boilerplate set. One keyed,
+    * map-side-combinable aggregation on the line hash; the `>= minDf`
+    * filter keeps only template lines, so the result is tiny (it shrinks
+    * as the threshold rises) and every consumer can broadcast it.
+    */
+  def boilerplateLines(docs: DataFrame, minDf: Int = BoilerMinDf): DataFrame =
+    docLines(docs)
+      .groupBy("lh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+
+  /** x96 core: C4-style line-level boilerplate audit — which lines repeat
+    * across `minDf`+ distinct docs (nav bars, cookie banners, per-source
+    * footers), and how much of each source they are. Columns (source,
+    * n_docs, n_lines, lines_removed, n_boiler_distinct, chars_removed,
+    * chars_kept, removed_ppm).
+    *
+    * Scale posture (100 TB): the document-frequency count is the one
+    * shuffle (keyed on the 60-bit line hash, partial-aggregated map-side);
+    * the boilerplate set is threshold-filtered so it broadcasts, making
+    * the flagging join shuffle-free; the per-source rollup is keyed and
+    * combinable. Output is |sources| rows.
+    */
+  def boilerplateAudit(docs: DataFrame, minDf: Int = BoilerMinDf): DataFrame = {
+    val flagged = docLines(docs)
+      .join(
+        broadcast(boilerplateLines(docs, minDf).select(col("lh"), lit(1L).as("rm0"))),
+        Seq("lh"),
+        "left")
+      .withColumn("rm", coalesce(col("rm0"), lit(0L)))
+    flagged
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum("rm").as("lines_removed"),
+        countDistinct(when(col("rm") === 1L, col("lh"))).as("n_boiler_distinct"),
+        sum(col("rm") * col("nc")).as("chars_removed"),
+        sum((lit(1L) - col("rm")) * col("nc")).as("chars_kept"))
+      .withColumn("removed_ppm", expr("(chars_removed * 1000000) div (chars_removed + chars_kept)"))
+  }
+
+  /** x96 remediation: the corpus with boilerplate lines REMOVED — each
+    * doc's surviving lines rejoined in original order (a doc that was all
+    * boilerplate keeps an empty text; drop it downstream with the length
+    * filters it would fail anyway). Idempotent: surviving lines keep their
+    * document frequency, so a second pass finds no new lines at or above
+    * the threshold (spec-pinned).
+    *
+    * Scale posture (100 TB): flagging is the same broadcast join as the
+    * audit; reconstruction is one groupBy(doc_id) whose sort_array is
+    * per-doc (lines of one doc), never a global sort.
+    */
+  def stripBoilerplate(docs: DataFrame, minDf: Int = BoilerMinDf): DataFrame = {
+    val kept = docLines(docs)
+      .join(broadcast(boilerplateLines(docs, minDf).select("lh")), Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+        "\n").as("clean_text"))
+    docs
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("clean_text"), lit("")))
+      .drop("clean_text")
+  }
+
   /** x81 planner knobs: train-budget multiple of the corpus token count,
     * and the repeat cap (max epochs per source — Muennighoff et al. 2023
     * show returns decay fast past ~4 repeats).

@@ -29,6 +29,7 @@ object ScaleSmoke {
     "x86_split_repair", "x87_dedup_survivorship",
     "x89_decontam_agreement", "x90_filter_ablation",
     "x91_rag_index", "x91_rag_auto", "x92_rag_auto",
+    "x96_boilerplate", "x97_split_drift", "x98_hubness_auto",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // x88_bm25_retrieval is deliberately NOT in the default battery: this
   // fixture's vocabulary is 31 words, 30 of them in 76-78% of docs, so
@@ -127,6 +128,13 @@ object ScaleSmoke {
       "x88_bm25_capped" -> ((s, d) =>
         TrainingData.bm25Retrieval(
           s.read.parquet(s"$d/documents.parquet"), maxDfPpm = 790000L)),
+      // x98 in its production posture: hubness of the LSH graph (the
+      // graph retrieval actually uses at scale) — the oracle query's
+      // exact brute graph is all-pairs by definition, same class as x06
+      "x98_hubness_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        TrainingData.hubness(xscale.Similarity.knnLsh(emb, lit(true)), emb)
+      }),
       // x92 scale posture: seed cap grown with the corpus (10x docs ->
       // 10x cells, keeping per-cell rerank cost flat — the IVF contract;
       // the fixed-cap oracle query's cells fatten linearly instead)

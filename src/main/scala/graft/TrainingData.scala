@@ -670,4 +670,36 @@ object TrainingData {
   def bitextMargin(emb: DataFrame, docs: DataFrame, targetLang: String = "en",
       isQuery: Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
     Similarity.bitextMargin(emb, docs, targetLang, isQuery)
+
+  /** C4-style line-level boilerplate audit (x96): lines repeated across
+    * `minDf`+ distinct docs, and how much of each source they are. The
+    * document-frequency count is the one shuffle; the threshold-filtered
+    * boilerplate set broadcasts into the flagging join.
+    */
+  def boilerplateAudit(docs: DataFrame, minDf: Int = DataPrep.BoilerMinDf): DataFrame =
+    DataPrep.boilerplateAudit(docs, minDf)
+
+  /** x96 remediation: the corpus with boilerplate lines removed, each
+    * doc's surviving lines rejoined in original order. Idempotent —
+    * surviving lines keep their document frequency, so a second pass is a
+    * no-op (spec-pinned).
+    */
+  def stripBoilerplate(docs: DataFrame, minDf: Int = DataPrep.BoilerMinDf): DataFrame =
+    DataPrep.stripBoilerplate(docs, minDf)
+
+  /** Split-composition drift audit (x97): per (split, source) cell —
+    * including zero-doc cells — the source's share of the split vs the
+    * corpus, in signed ppm. One keyed rollup plus broadcast totals; output
+    * is |splits|·|sources| rows.
+    */
+  def splitDrift(docs: DataFrame): DataFrame = DataPrep.splitDrift(docs)
+
+  /** Embedding-space hubness audit (x98, Radovanović et al. 2010): the
+    * in-degree distribution (including antihubs at zero) of any
+    * (query_id, rank, neighbor_id) k-NN graph — exact [[knnBrute]] at
+    * audit scale, the x07/x13/x59 ANN graphs at corpus scale, since
+    * hubness is a property of the graph retrieval actually uses.
+    */
+  def hubness(knn: DataFrame, emb: DataFrame): DataFrame =
+    Similarity.hubnessFromKnn(knn, emb)
 }

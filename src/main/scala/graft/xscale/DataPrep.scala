@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.query.Q
 import graft.query.Registry.table
-import XHash.{h60Sql, P}
+import XHash.{h60, h60Sql, P}
 
 /** Training-data PREPARATION operators — the steps between "filtered,
   * deduped corpus" and "tensors on a trainer": sequence packing, stratified
@@ -373,6 +373,47 @@ object DataPrep {
 
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
+
+  /** x97 core: split-composition DRIFT audit — does each split look like
+    * the corpus? For every (split, source) cell — including cells with
+    * ZERO docs, the worst drift a split can have — the doc count, the
+    * source's share of that split (ppm), its share of the whole corpus
+    * (ppm), the signed difference, and mean doc length (e2 tokens). A
+    * hash split SHOULD sit near zero drift; this measures it instead of
+    * assuming it, and catches any stratification bug (e.g. a split rule
+    * correlated with source) before the trainer sees it. Columns (split,
+    * source, n_docs, share_ppm, corpus_ppm, drift_ppm, mean_tok_e2).
+    *
+    * Scale posture (100 TB): one corpus scan into a (split, source) keyed
+    * rollup (map-side combinable, |splits|·|sources| cells); split totals,
+    * source totals and the grand total are tiny aggregates of those cells
+    * joined back broadcast. No window over the corpus, no global sort;
+    * output is 3·|sources| rows.
+    */
+  def splitDrift(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), splitCol.as("split"),
+        size(XText.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+    val splitTot = cells.groupBy("split").agg(sum("n_docs").as("split_docs"))
+    val srcTot = cells.groupBy("source").agg(sum("n_docs").as("src_docs"))
+    val allTot = cells.agg(sum("n_docs").as("all_docs"))
+    val domain = srcTot
+      .select(col("source"), col("src_docs"),
+        explode(array(lit("train"), lit("val"), lit("test"))).as("split"))
+    domain
+      .join(cells, Seq("split", "source"), "left")
+      .na.fill(0L, Seq("n_docs", "sum_tok"))
+      .join(broadcast(splitTot), Seq("split"))
+      .crossJoin(broadcast(allTot))
+      .withColumn("share_ppm", expr("(n_docs * 1000000) div split_docs"))
+      .withColumn("corpus_ppm", expr("(src_docs * 1000000) div all_docs"))
+      .withColumn("drift_ppm", col("share_ppm") - col("corpus_ppm"))
+      .withColumn("mean_tok_e2",
+        when(col("n_docs") === 0L, 0L).otherwise(expr("(sum_tok * 100) div n_docs")))
+      .select("split", "source", "n_docs", "share_ppm", "corpus_ppm", "drift_ppm", "mean_tok_e2")
+  }
 
   /** x82 core: shard INTERLEAVING audit — how well are sources mixed in
     * the order a trainer will actually read? Docs stream in the x49 pack
@@ -2639,6 +2680,88 @@ object DataPrep {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("score_e6")).otherwise(0L)).as("kept_score_sum"))
         .orderBy("source")
+    },
+
+    // ----- x96: line-level boilerplate removal (C4/CCNet), measured per source -----
+    Q(
+      "x96_boilerplate",
+      Some {
+        val hid = h60Sql("CAST(doc_id AS VARCHAR)")
+        s"WITH aug AS (SELECT doc_id, source, text || chr(10) || " +
+          "'subscribe to ' || source || ' newsletter' || chr(10) || " +
+          s"(CASE WHEN $hid % 4 = 0 THEN 'limited promo offer today' " +
+          "ELSE 'ref ' || CAST(doc_id AS VARCHAR) END) AS text FROM documents), " +
+          "l0 AS (SELECT doc_id, source, trim(x) AS line FROM " +
+          "(SELECT doc_id, source, unnest(string_split(text, chr(10))) AS x FROM aug)), " +
+          s"l AS (SELECT doc_id, source, ${h60Sql("line")} AS lh, " +
+          "CAST(len(line) AS BIGINT) AS nc FROM l0 WHERE line <> ''), " +
+          "df AS (SELECT lh, count(DISTINCT doc_id) AS df FROM l GROUP BY 1), " +
+          s"b AS (SELECT lh FROM df WHERE df >= $BoilerMinDf), " +
+          "f AS (SELECT l.doc_id, l.source, l.lh, l.nc, " +
+          "CASE WHEN b.lh IS NOT NULL THEN 1 ELSE 0 END AS rm " +
+          "FROM l LEFT JOIN b ON l.lh = b.lh) " +
+          "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+          "CAST(count(*) AS BIGINT) AS n_lines, " +
+          "CAST(sum(rm) AS BIGINT) AS lines_removed, " +
+          "CAST(count(DISTINCT CASE WHEN rm = 1 THEN lh END) AS BIGINT) AS n_boiler_distinct, " +
+          "CAST(sum(rm * nc) AS BIGINT) AS chars_removed, " +
+          "CAST(sum((1 - rm) * nc) AS BIGINT) AS chars_kept, " +
+          "CAST((sum(rm * nc) * 1000000) // (sum(rm * nc) + sum((1 - rm) * nc)) AS BIGINT) " +
+          "AS removed_ppm FROM f GROUP BY source ORDER BY source"
+      },
+      "C4-style line-level boilerplate removal, measured per source (Raffel et al. 2020 " +
+        "drop corpus-repeated lines; CCNet hashes paragraphs): lines repeating across " +
+        s">= $BoilerMinDf distinct docs are template text (footers, promos), everything " +
+        "else is content. The fixture has no newlines, so — x47's mirror pattern — both " +
+        "engines append the SAME two deterministic lines per doc (a per-source footer, " +
+        "df = docs-per-source, and a hash-gated global promo line, df ~ n/4) so every " +
+        "audit column is exercised by data while the 'ref <id>' control line stays " +
+        "unique and must survive. One line-hash document-frequency shuffle; the " +
+        "threshold-filtered boilerplate set broadcasts; output is |sources| rows."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.withColumn("text",
+        concat(
+          col("text"), lit("\n"),
+          lit("subscribe to "), col("source"), lit(" newsletter"), lit("\n"),
+          when(XHash.h60(col("doc_id").cast("string")) % 4 === 0, lit("limited promo offer today"))
+            .otherwise(concat(lit("ref "), col("doc_id").cast("string")))))
+      boilerplateAudit(aug).orderBy("source")
+    },
+
+    // ----- x97: split-composition drift audit -----
+    Q(
+      "x97_split_drift",
+      Some {
+        s"WITH t AS (SELECT doc_id, source, $splitSql AS split, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok FROM documents), " +
+          "c AS (SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_tok) AS BIGINT) AS sum_tok FROM t GROUP BY 1, 2), " +
+          "st AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS split_docs FROM c GROUP BY 1), " +
+          "sc AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM c GROUP BY 1), " +
+          "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs FROM c), " +
+          "dom AS (SELECT source, src_docs, unnest(['train', 'val', 'test']) AS split FROM sc), " +
+          "j AS (SELECT dom.split, dom.source, dom.src_docs, " +
+          "coalesce(c.n_docs, 0) AS n_docs, coalesce(c.sum_tok, 0) AS sum_tok " +
+          "FROM dom LEFT JOIN c ON dom.split = c.split AND dom.source = c.source) " +
+          "SELECT j.split, j.source, CAST(j.n_docs AS BIGINT) AS n_docs, " +
+          "CAST((j.n_docs * 1000000) // st.split_docs AS BIGINT) AS share_ppm, " +
+          "CAST((j.src_docs * 1000000) // tt.all_docs AS BIGINT) AS corpus_ppm, " +
+          "CAST((j.n_docs * 1000000) // st.split_docs - " +
+          "(j.src_docs * 1000000) // tt.all_docs AS BIGINT) AS drift_ppm, " +
+          "CAST(CASE WHEN j.n_docs = 0 THEN 0 ELSE (j.sum_tok * 100) // j.n_docs END AS BIGINT) " +
+          "AS mean_tok_e2 " +
+          "FROM j JOIN st USING (split) CROSS JOIN tt ORDER BY split, source"
+      },
+      "split-composition DRIFT audit — does each x19 split look like the corpus? Every " +
+        "(split, source) cell — including ZERO-doc cells, the worst drift a split can " +
+        "have — reports the source's share of the split vs its share of the corpus (ppm, " +
+        "signed difference) and mean doc length. A hash split should sit near zero; this " +
+        "MEASURES it, and catches any split rule correlated with source before the " +
+        "trainer sees it. One keyed (split, source) rollup; totals are broadcast joins " +
+        "of those cells; output is 3 * |sources| rows."
+    ) { (s, dir) =>
+      splitDrift(table(s, dir, "documents")).orderBy("split", "source")
     }
   )
 }

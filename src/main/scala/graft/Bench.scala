@@ -34,7 +34,13 @@ object Bench {
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Timed battery = every registered query MINUS the declared exactness
+    // baselines (SparkEntry.benchExclude) whose production-posture twins
+    // are registered and timed instead.
+    val timedQueries = SparkEntry.queries.filter {
+      case (name, _) => !SparkEntry.benchExclude(name)
+    }
+    val results = timedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => failed += name; -1L }

@@ -27,16 +27,20 @@ object ScaleSmoke {
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
     "x77_cms_heavy_hitters", "x79_ivfpq_add",
     "x86_split_repair", "x87_dedup_survivorship",
+    "x88_bm25_capped",
     "x89_decontam_agreement", "x90_filter_ablation",
     "x91_rag_index", "x91_rag_auto", "x92_rag_auto",
-    "x96_boilerplate", "x97_split_drift", "x98_hubness_auto",
+    "x94_survivor_regret", "x95_keepbest_gain",
+    "x96_boilerplate", "x97_split_drift", "x98_hubness_ann",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
-  // x88_bm25_retrieval is deliberately NOT in the default battery: this
-  // fixture's vocabulary is 31 words, 30 of them in 76-78% of docs, so
-  // exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s at 10x,
-  // measured) and the df-cap scale path (maxDfPpm, spec-pinned) empties
-  // every posting list below a 76% cap — the knob needs the Zipfian
-  // vocabulary real corpora have. Run it explicitly to reproduce.
+  // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
+  // battery: this fixture's vocabulary is 31 words, 30 of them in 76-78%
+  // of docs, so exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s
+  // at 10x, measured). The registered x88_bm25_capped IS in the battery:
+  // its 70% df-cap lands below the fixture's common words, which is the
+  // prune-almost-everything edge — on a Zipfian vocabulary the cap keeps
+  // the informative tail instead. Run the exact form explicitly to
+  // reproduce the 738 s number.
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
   private def ccMegastar(s: SparkSession) =
@@ -122,19 +126,8 @@ object ScaleSmoke {
           s.read.parquet(s"$d/documents.parquet"),
           trainSample = 0.1,
           checkpointDir = Some(s"$d/_checkpoints"))),
-      // x88 with the stopword cap, for explicit runs (see the note above
-      // the default battery: this fixture's flat 31-word vocab empties
-      // below a 76% cap, so it is not in the default list)
-      "x88_bm25_capped" -> ((s, d) =>
-        TrainingData.bm25Retrieval(
-          s.read.parquet(s"$d/documents.parquet"), maxDfPpm = 790000L)),
-      // x98 in its production posture: hubness of the LSH graph (the
-      // graph retrieval actually uses at scale) — the oracle query's
-      // exact brute graph is all-pairs by definition, same class as x06
-      "x98_hubness_auto" -> ((s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        TrainingData.hubness(xscale.Similarity.knnLsh(emb, lit(true)), emb)
-      }),
+      // x88_bm25_capped and x98_hubness_ann are registered queries now
+      // (r9) — SparkEntry.queries resolves them, no extra thunk needed.
       // x92 scale posture: seed cap grown with the corpus (10x docs ->
       // 10x cells, keeping per-cell rerank cost flat — the IVF contract;
       // the fixed-cap oracle query's cells fatten linearly instead)

@@ -26,4 +26,16 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     query.Registry.oracleSql
+
+  /** Declared EXACTNESS BASELINES: oracle-verified in every Verify run but
+    * excluded from the timed bench battery, because each is the all-pairs /
+    * uncapped twin of a registered production-posture query that IS benched.
+    * A baseline whose cost is quadratic by construction (on this fixture's
+    * flat vocabulary / small embedding set) says nothing about the engine's
+    * speed — the capped/ANN twin is the plan a 100 TB run would use.
+    */
+  val benchExclude: Set[String] = Set(
+    "x88_bm25_retrieval", // exact BM25, |q| x n on this fixture; benched twin: x88_bm25_capped
+    "x98_hubness" // all-pairs exact k-NN graph; benched twin: x98_hubness_ann
+  )
 }

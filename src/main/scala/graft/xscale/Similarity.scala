@@ -1859,6 +1859,42 @@ object Similarity {
     ) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       hubnessFromKnn(knnBrute(emb, lit(true)), emb).orderBy("in_degree")
+    },
+
+    // ----- x98b: hubness of the ANN graph — the production posture -----
+    Q(
+      "x98_hubness_ann",
+      Some {
+        val bucketList = (0 until NL).map(bucketSqlT).mkString(", ")
+        val tblList = (0 until NL).mkString(", ")
+        s"WITH $normCtes, " +
+          s"bkt AS (SELECT vec_id, unnest([$bucketList]) AS bucket, " +
+          s"unnest([$tblList]) AS tbl FROM n), " +
+          "cand AS (SELECT DISTINCT b1.vec_id AS query_id, b2.vec_id AS neighbor_id " +
+          "FROM bkt b1 JOIN bkt b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket " +
+          "AND b2.vec_id <> b1.vec_id), " +
+          "s AS (SELECT query_id, neighbor_id, " +
+          s"$cosSql AS cos FROM cand " +
+          "JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s), " +
+          "k AS (SELECT neighbor_id, count(*) AS indeg FROM r WHERE rank <= 3 GROUP BY 1), " +
+          "d AS (SELECT n.vec_id, coalesce(k.indeg, 0) AS in_degree FROM n " +
+          "LEFT JOIN k ON n.vec_id = k.neighbor_id) " +
+          "SELECT CAST(in_degree AS BIGINT) AS in_degree, CAST(count(*) AS BIGINT) AS n_vecs " +
+          "FROM d GROUP BY 1 ORDER BY 1"
+      },
+      "x98's production posture: the same in-degree audit over the graph retrieval " +
+        "ACTUALLY uses at scale — x07's random-hyperplane LSH top-3 graph (every " +
+        "vector as query) instead of the all-pairs exact graph. Candidate pairs are " +
+        "keyed on (table, bucket) collisions, never O(n^2); hubness of the ANN graph " +
+        "is the operationally relevant number, since hubs only hurt through the " +
+        "shortlists the deployed index returns (Radovanovic et al. 2010). " +
+        "in_degree = 0 rows count vectors no LSH shortlist ever returns — antihubs " +
+        "plus vectors whose buckets collide with nothing."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      hubnessFromKnn(knnLsh(emb, lit(true)), emb).orderBy("in_degree")
     }
   )
 }

@@ -210,8 +210,17 @@ object DedupClusters {
       pairs: DataFrame,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      salts: Int = 1): DataFrame = {
-    val comp = connectedComponents(pairs, maxIter, checkpointDir, salts)
+      salts: Int = 1): DataFrame =
+    dedupByComponents(docs, connectedComponents(pairs, maxIter, checkpointDir, salts))
+
+  /** [[dedupByPairs]] from a PRECOMPUTED `(id, component)` labeling — the
+    * entry point for callers that apply several survivor rules to one
+    * clustering (x95 measures keep-first vs keep-best): connected
+    * components is the expensive iterative part and its result is already
+    * materialized by its final checkpoint, so sharing it costs nothing and
+    * re-deriving it would double the label-prop work.
+    */
+  def dedupByComponents(docs: DataFrame, comp: DataFrame): DataFrame = {
     val losers = comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
@@ -230,9 +239,18 @@ object DedupClusters {
       score: Column,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      salts: Int = 1): DataFrame = {
-    val comp = connectedComponents(pairs, maxIter, checkpointDir, salts)
-      .select(col("id").as("doc_id"), col("component"))
+      salts: Int = 1): DataFrame =
+    dedupByComponentsKeepBest(
+      docs, connectedComponents(pairs, maxIter, checkpointDir, salts), score)
+
+  /** [[dedupByPairsKeepBest]] from a precomputed labeling — see
+    * [[dedupByComponents]] for why the split exists.
+    */
+  def dedupByComponentsKeepBest(
+      docs: DataFrame,
+      comp0: DataFrame,
+      score: Column): DataFrame = {
+    val comp = comp0.select(col("id").as("doc_id"), col("component"))
     val clustered = docs.join(comp, "doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(score.desc, col("doc_id"))

@@ -32,6 +32,8 @@ object ScaleSmoke {
     "x91_rag_index", "x91_rag_auto", "x92_rag_auto",
     "x94_survivor_regret", "x95_keepbest_gain",
     "x96_boilerplate", "x97_split_drift", "x98_hubness_ann",
+    "x99_dedup_cascade", "x100_filter_sweep", "x101_curriculum_auto",
+    "x102_oov_rate", "x103_winnow",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
   // battery: this fixture's vocabulary is 31 words, 30 of them in 76-78%
@@ -128,6 +130,11 @@ object ScaleSmoke {
           checkpointDir = Some(s"$d/_checkpoints"))),
       // x88_bm25_capped and x98_hubness_ann are registered queries now
       // (r9) — SparkEntry.queries resolves them, no extra thunk needed.
+      // x101 scale posture: sampled-quantile phase cuts, no global window
+      // (the registered query pins the oracle-exact global NTILE)
+      "x101_curriculum_auto" -> ((s, d) =>
+        TrainingData.curriculumByThresholds(
+          s.read.parquet(s"$d/documents.parquet"))),
       // x92 scale posture: seed cap grown with the corpus (10x docs ->
       // 10x cells, keeping per-cell rerank cost flat — the IVF contract;
       // the fixed-cap oracle query's cells fatten linearly instead)

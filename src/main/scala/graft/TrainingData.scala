@@ -702,4 +702,55 @@ object TrainingData {
     */
   def hubness(knn: DataFrame, emb: DataFrame): DataFrame =
     Similarity.hubnessFromKnn(knn, emb)
+
+  /** Stage-attributed dedup cascade (x99): exact dedup, then simhash
+    * near-dup on the exact survivors, with per-source removals attributed
+    * per stage — the waterfall report a pipeline owner reads to know which
+    * stage did the work. Cheap stage first so the expensive stage sees a
+    * smaller corpus.
+    */
+  def dedupCascade(docs: DataFrame): DataFrame = Dedup.dedupCascade(docs)
+
+  /** Quality-filter sensitivity sweep (x100): docs/token mass kept per
+    * source at every threshold of a fixed score grid, computed as ONE
+    * banded corpus aggregation plus a running sum over the zero-completed
+    * (source, band) grid — never a scan per threshold.
+    */
+  def filterSweep(docs: DataFrame): DataFrame = TextAnalysis.filterSweep(docs)
+
+  /** Curriculum phase assignment (x101): corpus ranked easy-first by the
+    * x09 quality proxy and cut into equal phases; per (phase, source) the
+    * doc/token mass and mean quality each training phase sees. The
+    * registered query is the oracle-exact global NTILE;
+    * [[curriculumByThresholds]] is the 100 TB path.
+    */
+  def curriculumPhases(docs: DataFrame, phases: Int = TextAnalysis.CurriculumPhases): DataFrame =
+    TextAnalysis.curriculumPhases(docs, phases)
+
+  /** x101's scale path: phase boundaries from sampled quantiles
+    * (driver-side, (phases-1) doubles), assignment as a per-row
+    * comparison — no global window; phase sizes approximately equal.
+    */
+  def curriculumByThresholds(docs: DataFrame,
+      phases: Int = TextAnalysis.CurriculumPhases,
+      sampleFraction: Double = 0.1): DataFrame =
+    TextAnalysis.curriculumByThresholds(docs, phases, sampleFraction)
+
+  /** OOV-rate audit (x102): vocabulary from the x19 train split (words in
+    * ≥ minDf distinct train docs), out-of-vocabulary token rate of
+    * val/test per source — the pre-tokenizer-freeze coverage check and
+    * eval-drift alarm.
+    */
+  def oovRate(docs: DataFrame): DataFrame = DataPrep.oovRate(docs)
+
+  /** Winnowing document fingerprints (x103, Schleimer et al. SIGMOD'03):
+    * sliding-window minimum over positional k-gram hashes with
+    * rightmost-tie selection; guarantees any shared run of w+k-1 words is
+    * caught while sampling ~2/(w+1) of positions. Per doc: gram count,
+    * fingerprint count, fingerprints shared with other docs, density.
+    */
+  def winnowFingerprints(docs: DataFrame,
+      k: Int = TextAnalysis.WinnowK,
+      w: Int = TextAnalysis.WinnowW): DataFrame =
+    TextAnalysis.winnowFingerprints(docs, k, w)
 }

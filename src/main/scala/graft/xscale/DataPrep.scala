@@ -374,6 +374,45 @@ object DataPrep {
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
 
+  /** x102 vocab rule: a word enters the train vocabulary when it appears
+    * in at least this many distinct train docs (df-thresholding, the
+    * standard guard against hapax noise).
+    */
+  val OovMinDf = 2L
+
+  /** x102 core: OOV-RATE audit — vocabulary coverage of the held-out
+    * splits. The vocabulary is the words seen in ≥ [[OovMinDf]] distinct
+    * x19-train docs; every val/test token is then checked against it and
+    * the out-of-vocabulary rate is reported per (split, source). This is
+    * the pre-tokenizer-freeze coverage check (an OOV spike on one source
+    * means the vocab was trained past it) and the eval-time drift alarm.
+    * Columns (split, source, n_tok, n_oov, oov_e6).
+    *
+    * Scale posture (100 TB): one exploded-token scan; the vocab df is a
+    * map-side-combinable (term, doc)-distinct aggregate; the membership
+    * check is a dictionary join keyed on the term (df ≥ 2 already prunes
+    * the hapax half of a Zipfian vocab). The join key stays the string so
+    * the oracle comparison is collision-free; at real scale hash the term
+    * to a 60-bit key first — same plan, 8-byte shuffle keys.
+    */
+  def oovRate(docs: DataFrame): DataFrame = {
+    val tok = splitAssign(docs).select(
+      col("split"), col("source"), col("doc_id"),
+      explode(XText.words(col("text"))).as("tk"))
+    val vocab = tok.filter(col("split") === "train")
+      .select("tk", "doc_id").distinct()
+      .groupBy("tk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= OovMinDf)
+      .select(col("tk"), lit(1L).as("in_v"))
+    tok.filter(col("split") =!= "train")
+      .join(vocab, Seq("tk"), "left")
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e6", expr("(1000000 * n_oov) div n_tok"))
+  }
+
   /** x97 core: split-composition DRIFT audit — does each split look like
     * the corpus? For every (split, source) cell — including cells with
     * ZERO docs, the worst drift a split can have — the doc count, the
@@ -2766,6 +2805,30 @@ object DataPrep {
         "of those cells; output is 3 * |sources| rows."
     ) { (s, dir) =>
       splitDrift(table(s, dir, "documents")).orderBy("split", "source")
+    },
+
+    // ----- x102: OOV-rate audit (tokenizer/vocab coverage of held-out splits) -----
+    Q(
+      "x102_oov_rate",
+      Some(
+        s"WITH t AS (SELECT $splitSql AS split, source, doc_id, " +
+          s"unnest(${XText.wordsSql("text")}) AS tk FROM documents), " +
+          "v AS (SELECT tk FROM (SELECT tk, count(DISTINCT doc_id) AS df FROM t " +
+          s"WHERE split = 'train' GROUP BY tk) WHERE df >= $OovMinDf), " +
+          "ev AS (SELECT split, source, tk FROM t WHERE split <> 'train') " +
+          "SELECT ev.split, ev.source, CAST(count(*) AS BIGINT) AS n_tok, " +
+          "CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+          "CAST((1000000 * sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)) // count(*) " +
+          "AS BIGINT) AS oov_e6 " +
+          "FROM ev LEFT JOIN v ON v.tk = ev.tk GROUP BY 1, 2 ORDER BY 1, 2"),
+      "OOV-RATE audit: build the vocabulary from the x19 train split (words seen " +
+        s"in >= $OovMinDf distinct train docs) and measure the out-of-vocabulary " +
+        "token rate of the val/test splits per source — the coverage check run " +
+        "before freezing a tokenizer, and a drift alarm when a held-out source's " +
+        "OOV rate spikes. One exploded-token scan, a map-side-combinable df " +
+        "aggregate for the vocab, and one dictionary join keyed on the term."
+    ) { (s, dir) =>
+      oovRate(table(s, dir, "documents")).orderBy("split", "source")
     }
   )
 }

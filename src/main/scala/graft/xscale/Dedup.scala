@@ -294,6 +294,40 @@ object Dedup {
       .dedupKeepFirst(docs.withColumn("_norm", normText(col("text"))), Seq("_norm"), Seq("doc_id"))
       .drop("_norm")
 
+  /** x99 core: stage-attributed dedup CASCADE — exact dedup first, simhash
+    * near-dup (x14's pairs → connected components) on the exact survivors,
+    * with removals attributed per stage and per source. The cheap stage
+    * runs first so the expensive stage sees a strictly smaller corpus —
+    * the ordering every production dedup pipeline uses — and the waterfall
+    * (n_docs → removed_exact → removed_near → n_final) is the report that
+    * tells the owner which stage did the work. Columns
+    * (source, n_docs, removed_exact, removed_near, n_final).
+    *
+    * Scale posture (100 TB): stage 1 is one WindowGroupLimit shuffle keyed
+    * on the 60-bit norm hash; stage 2 inherits the simhash pigeonhole
+    * candidate join + label-prop CC posture (everything bucketed, no
+    * all-pairs); the final accounting is three |sources|-row aggregates
+    * joined broadcast. The exact-survivor frame is re-derived per consumer
+    * rather than cached — one extra WindowGroupLimit shuffle is cheaper
+    * than pinning a corpus-sized frame in executor memory.
+    */
+  def dedupCascade(docs: DataFrame): DataFrame = {
+    val exact = dedupExact(docs)
+    val pairs = simhashPairs(exact)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val exs = exact.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val fin = DedupClusters.dedupByPairs(exact, pairs)
+      .groupBy("source").agg(count(lit(1)).as("n_final"))
+    base.join(exs, Seq("source"), "left").join(fin, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact", "n_final"))
+      .select(
+        col("source"), col("n_docs"),
+        (col("n_docs") - col("n_exact")).as("removed_exact"),
+        (col("n_exact") - col("n_final")).as("removed_near"),
+        col("n_final"))
+  }
+
   /** x94 core: survivor REGRET — does keep-first dedup throw away the best
     * copy? For every near-dup cluster (connected component of `pairs`),
     * compare the kept doc's quality (the min-doc_id survivor rule x14
@@ -707,6 +741,51 @@ object Dedup {
         .groupBy("source")
         .agg(count(lit(1)).as("n_after"))
         .orderBy("source")
+    },
+
+    // ----- x99: dedup cascade (stage-attributed removal waterfall) -----
+    Q(
+      "x99_dedup_cascade",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE ex AS (SELECT doc_id, source, text, " +
+          s"ROW_NUMBER() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn FROM documents), " +
+          "sv AS (SELECT doc_id, source, text FROM ex WHERE rn = 1), " +
+          s"w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h FROM sv), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component), " +
+          "base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), " +
+          "exs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM sv GROUP BY 1), " +
+          "fin AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final FROM sv " +
+          "WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1) " +
+          "SELECT base.source, base.n_docs, " +
+          "CAST(base.n_docs - coalesce(exs.n_exact, 0) AS BIGINT) AS removed_exact, " +
+          "CAST(coalesce(exs.n_exact, 0) - coalesce(fin.n_final, 0) AS BIGINT) AS removed_near, " +
+          "CAST(coalesce(fin.n_final, 0) AS BIGINT) AS n_final " +
+          "FROM base LEFT JOIN exs USING (source) LEFT JOIN fin USING (source) ORDER BY source"
+      },
+      "dedup CASCADE, stage-attributed — the waterfall report every production " +
+        "pipeline publishes (RefinedWeb/FineWeb style): exact dedup first (cheap, " +
+        "hash of normalized text, min-id survivor), simhash near-dup second on the " +
+        "exact survivors only (x14's pairs -> connected components), with per-source " +
+        "n_docs / removed_exact / removed_near / n_final. Ordering matters " +
+        "operationally: the exact stage shrinks the near-dup stage's input for free, " +
+        "and attributing removals per stage is how a pipeline owner knows which knob " +
+        "did the work. Scale: stage 1 is ONE WindowGroupLimit shuffle on the 8-byte " +
+        "norm key; stage 2 inherits x14's bucketed-candidate + label-prop posture on " +
+        "a strictly smaller corpus; the waterfall itself is three |sources|-row " +
+        "aggregates joined broadcast."
+    ) { (s, dir) =>
+      dedupCascade(table(s, dir, "documents")).orderBy("source")
     },
 
     // ----- x95: keep-best dedup gain (the x94 remediation, measured per source) -----

@@ -829,6 +829,171 @@ object TextAnalysis {
     */
   val BmMaxDfPpm = 760000L
 
+  /** x100 sweep grid: score_e4 thresholds 0, 1000, …, 9000. */
+  val SweepBands = 10
+  val SweepStepE4 = 1000L
+
+  /** x100 core: quality-filter SENSITIVITY SWEEP — for every threshold in
+    * the grid, the docs and token mass a `score_e4 >= thr` filter would
+    * keep, per source. This is the curve an operator reads to pick a
+    * filter operating point (the CCNet/DCLM-style "how much do we lose at
+    * each cut") — and the banded formulation makes the whole sweep ONE
+    * corpus aggregation: per-doc scores collapse into (source, band)
+    * cells, the grid is zero-completed (x97's zero-cell rule: an empty
+    * band is a data point, not a missing row), and each threshold's
+    * kept-mass is a running sum over ≤ [[SweepBands]] rows per source.
+    * Columns (source, thr_e4, kept_docs, kept_tok, kept_ppm).
+    *
+    * Scale posture (100 TB): one scan into a |sources|·bands keyed rollup
+    * (map-side combinable), then windows over band-count-sized frames —
+    * NOT one filtered pass per threshold, which would scan the corpus
+    * |grid| times.
+    */
+  def filterSweep(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qd = qualityPerDoc(docs).select("doc_id", "n_tok", "score_e4")
+    val d = docs.select(col("doc_id"), col("source")).join(qd, "doc_id")
+      .withColumn("band",
+        least(greatest(expr(s"score_e4 div $SweepStepE4"), lit(0L)), lit(SweepBands - 1L)))
+    val cells = d.groupBy("source", "band")
+      .agg(count(lit(1)).as("c_docs"), sum("n_tok").as("c_tok"))
+    val grid = docs.select("source").distinct()
+      .crossJoin(docs.sparkSession.range(0, SweepBands).select(col("id").as("band")))
+    val full = grid.join(cells, Seq("source", "band"), "left")
+      .na.fill(0L, Seq("c_docs", "c_tok"))
+    val cum = Window.partitionBy("source").orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = docs.groupBy("source").agg(count(lit(1)).as("t_docs"))
+    full
+      .withColumn("kept_docs", sum("c_docs").over(cum))
+      .withColumn("kept_tok", sum("c_tok").over(cum))
+      .join(tot, "source")
+      .select(
+        col("source"),
+        (col("band") * lit(SweepStepE4)).as("thr_e4"),
+        col("kept_docs"), col("kept_tok"),
+        expr("(1000000 * kept_docs) div t_docs").as("kept_ppm"))
+  }
+
+  /** x101 phase count (curriculum quarters). */
+  val CurriculumPhases = 4
+
+  /** x101 core: CURRICULUM phase assignment — rank the corpus easy-first
+    * (x09 quality as the difficulty proxy, descending; ties to doc_id) and
+    * cut it into [[CurriculumPhases]] equal phases, reporting per
+    * (phase, source) the doc count, token mass and mean quality the
+    * trainer will see in each phase. ORACLE PIN: the global NTILE is
+    * oracle-exact and fixture-friendly; [[curriculumByThresholds]] is the
+    * 100 TB path (sampled quantile cuts, no global window) — same shape as
+    * the x51 pin/threshold pair. Columns (phase, source, n_docs, sum_tok,
+    * mean_score_e4).
+    */
+  def curriculumPhases(
+      docs: org.apache.spark.sql.DataFrame,
+      phases: Int = CurriculumPhases): org.apache.spark.sql.DataFrame = {
+    val qd = qualityPerDoc(docs).select("doc_id", "n_tok", "score_e4")
+    val d = docs.select(col("doc_id"), col("source")).join(qd, "doc_id")
+    val w = Window.orderBy(col("score_e4").desc, col("doc_id"))
+    d.withColumn("phase", ntile(phases).over(w).cast("long"))
+      .groupBy("phase", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tok"),
+        expr("sum(score_e4) div count(*)").as("mean_score_e4"))
+  }
+
+  /** x101 scale path: phase cuts from sampled quantiles instead of a
+    * global NTILE — a deterministic hash-sample estimates the
+    * (phases-1) score boundaries driver-side, and phase assignment is a
+    * per-row comparison chain; no window over the corpus. Phase sizes are
+    * approximately (not exactly) equal — the standard trade, identical to
+    * x51's dsirSelectThreshold.
+    */
+  def curriculumByThresholds(
+      docs: org.apache.spark.sql.DataFrame,
+      phases: Int = CurriculumPhases,
+      sampleFraction: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    val qd = qualityPerDoc(docs).select("doc_id", "n_tok", "score_e4")
+    val perMille = math.max(1L, math.round(sampleFraction * 1000))
+    val sample = qd.filter(XHash.h60(col("doc_id").cast("string")) % 1000 < perMille)
+    val probs = (1 until phases).map(i => 1.0 - i.toDouble / phases).toArray
+    val cuts = sample.stat.approxQuantile("score_e4", probs, 0.001)
+    val d = docs.select(col("doc_id"), col("source")).join(qd, "doc_id")
+    // cuts are descending score boundaries; phase = 1 + #cuts above score
+    val phaseCol = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col("score_e4") < lit(c.toLong), 1L).otherwise(0L)
+    }
+    d.withColumn("phase", phaseCol)
+      .groupBy("phase", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tok"),
+        expr("sum(score_e4) div count(*)").as("mean_score_e4"))
+  }
+
+  /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
+    * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
+    * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  private val WinnowMask40 = (1L << 40) - 1
+  private val WinnowPosQ = 1L << 20
+
+  /** x103 core: WINNOWING document fingerprints (Schleimer, Wilkerson,
+    * Aiken — SIGMOD 2003, the MOSS algorithm): hash every positional
+    * word k-gram, slide a window of [[WinnowW]] hashes, and in each
+    * window select the minimum (ties to the RIGHTMOST position — encoded
+    * arithmetically: key = h40·2^20 + (2^20-1-pos), so min(key) is
+    * (min hash, max pos) in one integer compare, bit-identical in both
+    * engines). The selected (hash, pos) set is the fingerprint: position-
+    * robust (local edits shift, not destroy, fingerprints) with the
+    * guarantee that any shared run of WinnowW+WinnowK-1 words is caught.
+    * Per doc: gram count, fingerprint count, fingerprints shared with ≥ 1
+    * other doc, and selection density e6 (expected ≈ 2/(W+1) ≈ 400000).
+    * Columns (doc_id, n_grams, n_fp, n_shared_fp, density_e6).
+    *
+    * Scale posture (100 TB): the k-gram hashes are one native
+    * [[graftnative.WindowHash60]] scan; the sliding min is a window over
+    * positions WITHIN a doc (partitioned by doc_id — no global window, no
+    * shuffle wider than the doc); the shared-fingerprint audit joins on
+    * the 40-bit fingerprint hash with df computed map-side — posting
+    * lists are winnowed (≈ 2/(W+1) of positions), which is the point:
+    * winnowing IS the sampling that makes fingerprint joins affordable.
+    * Envelope: doc length < 2^20 grams (chunk longer docs — x36).
+    */
+  def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = WinnowK,
+      w: Int = WinnowW): org.apache.spark.sql.DataFrame = {
+    val ph = docs.select(
+        col("doc_id"),
+        posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        col("h").bitwiseAND(lit(WinnowMask40)).as("h40"))
+      .withColumn("key",
+        col("h40") * lit(WinnowPosQ) + (lit(WinnowPosQ - 1) - col("pos")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    val sel = ph
+      .withColumn("wmin", min(col("key")).over(win))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+    val fp = sel.select(col("doc_id"), expr(s"wmin div $WinnowPosQ").as("h40")).distinct()
+    val ng = docs.select(
+      col("doc_id"),
+      size(graftnative.api.windowHash60(col("text"), k)).cast("long").as("n_grams"))
+    val nf = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val fdf = fp.groupBy("h40").agg(count(lit(1)).as("nd"))
+    val shr = fp.join(fdf, "h40").filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fp"))
+    ng.join(nf, Seq("doc_id"), "left").join(shr, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fp", "n_shared_fp"))
+      .withColumn("density_e6",
+        when(col("n_grams") > 0, expr("(1000000 * n_fp) div n_grams")).otherwise(0L))
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -1829,6 +1994,107 @@ object TextAnalysis {
           sum("n_phone").as("n_phones"),
           expr("bit_xor(th)").as("checksum"))
         .orderBy("source")
+    },
+
+    // ----- x100: quality-filter sensitivity sweep -----
+    Q(
+      "x100_filter_sweep",
+      Some(
+        s"WITH $qualityPerDocSqlCtes, " +
+          s"d AS (SELECT doc.source, qd.n_tok, " +
+          s"least(greatest(qd.score_e4 // $SweepStepE4, 0), ${SweepBands - 1}) AS band " +
+          "FROM documents doc JOIN qd ON qd.doc_id = doc.doc_id), " +
+          "cells AS (SELECT source, band, CAST(count(*) AS BIGINT) AS c_docs, " +
+          "CAST(sum(n_tok) AS BIGINT) AS c_tok FROM d GROUP BY 1, 2), " +
+          s"grid AS (SELECT source, unnest(generate_series(0, ${SweepBands - 1})) AS band " +
+          "FROM (SELECT DISTINCT source FROM documents)), " +
+          "full0 AS (SELECT g.source, g.band, coalesce(c.c_docs, 0) AS c_docs, " +
+          "coalesce(c.c_tok, 0) AS c_tok FROM grid g " +
+          "LEFT JOIN cells c ON c.source = g.source AND c.band = g.band), " +
+          "cum AS (SELECT source, band, " +
+          "CAST(sum(c_docs) OVER (PARTITION BY source ORDER BY band DESC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_docs, " +
+          "CAST(sum(c_tok) OVER (PARTITION BY source ORDER BY band DESC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_tok " +
+          "FROM full0), " +
+          "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t_docs FROM documents GROUP BY 1) " +
+          s"SELECT cum.source, CAST(band * $SweepStepE4 AS BIGINT) AS thr_e4, kept_docs, kept_tok, " +
+          "CAST((1000000 * kept_docs) // t_docs AS BIGINT) AS kept_ppm " +
+          "FROM cum JOIN tot ON tot.source = cum.source ORDER BY 1, 2"),
+      "quality-filter SENSITIVITY SWEEP: docs and token mass kept per source at " +
+        s"every score_e4 threshold in a $SweepBands-step grid — the keep/lose curve " +
+        "an operator reads to choose a filter operating point (CCNet/DCLM style). " +
+        "Banded so the whole sweep is ONE corpus aggregation into (source, band) " +
+        "cells + a running sum over the zero-completed grid — never one filtered " +
+        "scan per threshold."
+    ) { (s, dir) =>
+      filterSweep(table(s, dir, "documents")).orderBy("source", "thr_e4")
+    },
+
+    // ----- x101: curriculum phase assignment (easy-first quality order) -----
+    Q(
+      "x101_curriculum",
+      Some(
+        s"WITH $qualityPerDocSqlCtes, " +
+          s"d AS (SELECT doc.doc_id, doc.source, qd.n_tok, qd.score_e4, " +
+          s"NTILE($CurriculumPhases) OVER (ORDER BY qd.score_e4 DESC, doc.doc_id) AS phase " +
+          "FROM documents doc JOIN qd ON qd.doc_id = doc.doc_id) " +
+          "SELECT CAST(phase AS BIGINT) AS phase, source, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
+          "CAST(sum(score_e4) // count(*) AS BIGINT) AS mean_score_e4 " +
+          "FROM d GROUP BY 1, 2 ORDER BY 1, 2"),
+      s"CURRICULUM phases: rank the corpus easy-first (x09 quality desc, ties to " +
+        s"doc_id) and cut into $CurriculumPhases equal phases — per (phase, source) " +
+        "the doc count, token mass and mean quality each training phase sees " +
+        "(Bengio et al. 2009 ordering, applied corpus-side). ORACLE PIN: global " +
+        "NTILE, exact in both engines; the 100 TB path is curriculumByThresholds " +
+        "(sampled quantile cuts, per-row comparison, no global window) — the x51 " +
+        "pin/threshold pattern, registered in ScaleSmoke as x101_curriculum_auto."
+    ) { (s, dir) =>
+      curriculumPhases(table(s, dir, "documents")).orderBy("phase", "source")
+    },
+
+    // ----- x103: winnowing fingerprints (Schleimer et al. 2003 / MOSS) -----
+    Q(
+      "x103_winnow",
+      Some {
+        val k = WinnowK
+        val w = WinnowW
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH w0 AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"occ AS (SELECT doc_id, p, ${h60Sql("g")} & $WinnowMask40 AS h40 FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM w0 WHERE len(ws) >= $k))), " +
+          s"ky AS (SELECT doc_id, p, h40 * $WinnowPosQ + (${WinnowPosQ - 1} - p) AS key FROM occ), " +
+          "wm AS (SELECT doc_id, p, MIN(key) OVER (PARTITION BY doc_id ORDER BY p " +
+          s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin FROM ky), " +
+          s"sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE p >= $w), " +
+          s"fp AS (SELECT DISTINCT doc_id, wmin // $WinnowPosQ AS h40 FROM sel), " +
+          s"ng AS (SELECT doc_id, CAST(CASE WHEN len(ws) >= $k THEN len(ws) - ${k - 1} " +
+          "ELSE 0 END AS BIGINT) AS n_grams FROM w0), " +
+          "nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM sel GROUP BY 1), " +
+          "fdf AS (SELECT h40, count(*) AS nd FROM fp GROUP BY 1), " +
+          "shr AS (SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp " +
+          "FROM fp JOIN fdf USING (h40) WHERE fdf.nd >= 2 GROUP BY 1) " +
+          "SELECT ng.doc_id, ng.n_grams, " +
+          "CAST(coalesce(nf.n_fp, 0) AS BIGINT) AS n_fp, " +
+          "CAST(coalesce(shr.n_shared_fp, 0) AS BIGINT) AS n_shared_fp, " +
+          "CAST(CASE WHEN ng.n_grams > 0 THEN (1000000 * coalesce(nf.n_fp, 0)) // ng.n_grams " +
+          "ELSE 0 END AS BIGINT) AS density_e6 " +
+          "FROM ng LEFT JOIN nf USING (doc_id) LEFT JOIN shr USING (doc_id) ORDER BY doc_id"
+      },
+      s"WINNOWING fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS " +
+        s"algorithm): positional word-$WinnowK-gram hashes, sliding window of " +
+        s"$WinnowW, minimum per window with ties to the RIGHTMOST position — " +
+        "encoded arithmetically (h40*2^20 + (2^20-1-pos)) so the argmin is one " +
+        "integer MIN, bit-identical in both engines. Guarantees any shared run of " +
+        s"${WinnowW + WinnowK - 1}+ words is caught while sampling only ~2/(W+1) of " +
+        "positions — winnowing IS the sampling that makes fingerprint joins " +
+        "affordable at corpus scale. Per doc: grams, fingerprints, fingerprints " +
+        "shared with another doc, selection density e6."
+    ) { (s, dir) =>
+      winnowFingerprints(table(s, dir, "documents")).orderBy("doc_id")
     }
   )
 

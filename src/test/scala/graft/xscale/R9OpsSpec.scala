@@ -1,0 +1,151 @@
+package graft.xscale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics tests for the round-9 operators: the dedup cascade waterfall
+  * (x99), the banded filter sweep (x100), curriculum phases (x101), the
+  * OOV-rate audit (x102) and winnowing fingerprints (x103).
+  */
+class R9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x99 cascade: waterfall identity and stage consistency with its components") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = Dedup.dedupCascade(docs)
+      .select("source", "n_docs", "removed_exact", "removed_near", "n_final")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // per-source identity: the waterfall must account for every doc
+    out.foreach { case (_, n, re, rn, fin) =>
+      assert(re >= 0 && rn >= 0 && fin >= 0)
+      assert(n == re + rn + fin)
+    }
+    // totals must equal the components computed independently
+    val total = docs.count()
+    val exact = Dedup.dedupExact(docs)
+    val nExact = exact.count()
+    val pairs = Dedup.simhashPairs(exact)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val nFinal = DedupClusters.dedupByPairs(exact, pairs).count()
+    assert(out.map(_._2).sum == total)
+    assert(out.map(_._3).sum == total - nExact)
+    assert(out.map(_._5).sum == nFinal)
+  }
+
+  test("x100 sweep: full grid, anchored at zero threshold, monotone non-increasing") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = TextAnalysis.filterSweep(docs)
+      .select("source", "thr_e4", "kept_docs", "kept_tok", "kept_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val bySource = out.groupBy(_._1)
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.keySet == totals.keySet)
+    bySource.foreach { case (src, rows) =>
+      // complete grid, one row per threshold
+      assert(rows.map(_._2).sorted.toSeq ==
+        (0 until TextAnalysis.SweepBands).map(_ * TextAnalysis.SweepStepE4))
+      // threshold 0 keeps everything (scores are non-negative)
+      val at0 = rows.find(_._2 == 0L).get
+      assert(at0._3 == totals(src) && at0._5 == 1000000L)
+      // kept mass never increases as the threshold rises
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(hi._3 <= lo._3 && hi._4 <= lo._4 && hi._5 <= lo._5)
+        case _ =>
+      }
+    }
+  }
+
+  test("x101 phases: partition the corpus, near-equal sizes, quality monotone by phase") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = TextAnalysis.curriculumPhases(docs)
+      .select("phase", "source", "n_docs", "mean_score_e4")
+      .as[(Long, String, Long, Long)].collect()
+    val total = docs.count()
+    assert(out.map(_._3).sum == total)
+    val perPhase = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perPhase.keySet == (1L to TextAnalysis.CurriculumPhases).toSet)
+    // NTILE: phase sizes differ by at most 1
+    assert(perPhase.values.max - perPhase.values.min <= 1)
+    // easy-first: corpus-wide mean quality never rises with the phase index
+    val phaseMean = out.groupBy(_._1).view
+      .mapValues(rs => rs.map(r => r._3 * r._4).sum.toDouble / rs.map(_._3).sum).toMap
+    (1L until TextAnalysis.CurriculumPhases).foreach { p =>
+      assert(phaseMean(p) >= phaseMean(p + 1))
+    }
+  }
+
+  test("x101 thresholds path: same partition property, sizes near the NTILE split") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    // full sample => thresholds are true quantiles, phases near-equal
+    val out = TextAnalysis.curriculumByThresholds(docs, sampleFraction = 1.0)
+      .select("phase", "n_docs").as[(Long, Long)].collect()
+    val total = docs.count()
+    assert(out.map(_._2).sum == total)
+    val perPhase = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ideal = total.toDouble / TextAnalysis.CurriculumPhases
+    perPhase.values.foreach(n => assert(math.abs(n - ideal) <= ideal * 0.5))
+  }
+
+  test("x102 oov: rates are consistent, and a train-df>=2 word is never OOV") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = DataPrep.oovRate(docs)
+      .select("split", "source", "n_tok", "n_oov", "oov_e6")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (split, _, n, oov, e6) =>
+      assert(split == "val" || split == "test")
+      assert(oov <= n && e6 == 1000000L * oov / n)
+    }
+    // synthetic corpus words are drawn from a tiny shared vocabulary, so
+    // every one passes the train-df gate: corpus-level OOV must be zero
+    // (a nonzero value here would mean the vocab rule leaked train tokens)
+    assert(out.map(_._4).sum == 0L)
+  }
+
+  test("x103 winnow matches a sequential reference, window guarantee holds") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+      .filter(col("doc_id") < 40)
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    // sequential reference: positional k-gram 40-bit hashes, rightmost-min
+    // per window, distinct (hash, pos)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val ref = docs.select("doc_id", "text").as[(Long, String)].collect().map {
+      case (id, text) =>
+        val ws = text.split("\\s+")
+        val grams =
+          if (ws.length < k) Array.empty[Long]
+          else (0 to ws.length - k).map(i => h60(ws.slice(i, i + k).mkString(" ")) & ((1L << 40) - 1)).toArray
+        val sel = scala.collection.mutable.Set.empty[(Long, Int)]
+        for (end <- (w - 1) until grams.length) {
+          val win = (end - w + 1) to end
+          // min hash, ties to the RIGHTMOST position
+          val best = win.minBy(p => (grams(p), -p))
+          sel += ((grams(best), best + 1))
+        }
+        // window guarantee: every full window contains a selected position
+        for (end <- (w - 1) until grams.length) {
+          val win = ((end - w + 1) to end).map(p => (grams(p), p + 1))
+          assert(win.exists(sel.contains), s"doc $id window at $end uncovered")
+        }
+        id -> (grams.length.toLong, sel.size.toLong)
+    }.toMap
+    val out = TextAnalysis.winnowFingerprints(docs)
+      .select("doc_id", "n_grams", "n_fp")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == ref.size)
+    out.foreach { case (id, ng, nf) =>
+      assert((ng, nf) == ref(id), s"doc $id: engine ($ng,$nf) != reference ${ref(id)}")
+    }
+  }
+}

@@ -36,9 +36,14 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Timed battery = every registered query MINUS the declared exactness
     // baselines (SparkEntry.benchExclude) whose production-posture twins
-    // are registered and timed instead.
+    // are registered and timed instead. SPARK_GRAFT_BENCH_ONLY (comma-
+    // separated exact names) restricts the battery — for apples-to-apples
+    // round-over-round comparisons on a fixed query subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val timedQueries = SparkEntry.queries.filter {
-      case (name, _) => !SparkEntry.benchExclude(name)
+      case (name, _) =>
+        !SparkEntry.benchExclude(name) && only.forall(_.contains(name))
     }
     val results = timedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()

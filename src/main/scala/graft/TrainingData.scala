@@ -753,4 +753,34 @@ object TrainingData {
       k: Int = TextAnalysis.WinnowK,
       w: Int = TextAnalysis.WinnowW): DataFrame =
     TextAnalysis.winnowFingerprints(docs, k, w)
+
+  /** Per-source doc-length quantiles (x104): exact rank-rule percentiles
+    * (p25/p50/p90/p99/max tokens) — the datasheet numbers pack budgets
+    * and chunk sizes key off. The registered query is the oracle-exact
+    * window pin; [[lengthQuantilesApprox]] is the 100 TB path.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    TextAnalysis.lengthQuantiles(docs)
+
+  /** x104's scale path: per-source Greenwald–Khanna approximate
+    * percentiles — one map-side-combinable aggregation, no window.
+    */
+  def lengthQuantilesApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    TextAnalysis.lengthQuantilesApprox(docs, accuracy)
+
+  /** Cross-source near-dup matrix (x105): x47's "who copies whom" audit
+    * on the simhash near-dup graph — per source pair, the near-dup pairs
+    * spanning them; catches re-hosting AND light-edit syndication exact
+    * matching misses.
+    */
+  def crossSourceNearDup(docs: DataFrame): DataFrame =
+    Dedup.crossSourceNearDup(docs)
+
+  /** Embedding norm audit (x106): the pre-index QA gate — per source,
+    * zero-norm and constant-dim vector counts plus the norm distribution
+    * envelope in e6 fixed point. Run it before any ANN/cosine op; a zero
+    * vector NaN-poisons every cosine it joins.
+    */
+  def embNormAudit(emb: DataFrame, docs: DataFrame): DataFrame =
+    Similarity.embNormAudit(emb, docs)
 }

@@ -311,6 +311,31 @@ object Dedup {
     * rather than cached — one extra WindowGroupLimit shuffle is cheaper
     * than pinning a corpus-sized frame in executor memory.
     */
+  /** x105 core: cross-source NEAR-dup matrix — x47's "who copies whom"
+    * audit lifted from exact-dup groups to the simhash near-dup graph:
+    * every [[simhashPairs]] pair (60-bit simhash, hamming ≤ 8) is
+    * attributed to its (source_a ≤ source_b) cell. Exact re-hosting
+    * shows up at hamming 0; light paraphrase/boilerplate edits land in
+    * the same cells where exact matching goes blind — which is exactly
+    * the aggregator shape licensing review needs to see. Columns
+    * (source_a, source_b, n_pairs).
+    *
+    * Scale posture (100 TB): rides the pigeonhole-bucketed pair join
+    * (never all-pairs); source attribution is two hash joins on the
+    * 8-byte doc_id; the matrix is |sources|² rows — driver-size.
+    */
+  def crossSourceNearDup(docs: DataFrame): DataFrame = {
+    val pairs = simhashPairs(docs)
+    val sa = docs.select(col("doc_id").as("doc_id_a"), col("source").as("sa"))
+    val sb = docs.select(col("doc_id").as("doc_id_b"), col("source").as("sb"))
+    pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def dedupCascade(docs: DataFrame): DataFrame = {
     val exact = dedupExact(docs)
     val pairs = simhashPairs(exact)
@@ -786,6 +811,46 @@ object Dedup {
         "aggregates joined broadcast."
     ) { (s, dir) =>
       dedupCascade(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x105: cross-source NEAR-dup matrix (x47 lifted to simhash) -----
+    Q(
+      "x105_cross_neardup",
+      Some {
+        val ws = XText.wordsSql("text")
+        // x47's mirror fixture: a deterministic aggregator source re-hosts
+        // every 31st doc, so the off-diagonal cells carry signal in both
+        // engines (organic near-dups stay within one source here)
+        s"WITH aug AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, 'mirror', text FROM documents " +
+          "WHERE doc_id % 31 = 0), " +
+          s"w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h FROM aug), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "j AS (SELECT least(ga.source, gb.source) AS source_a, " +
+          "greatest(ga.source, gb.source) AS source_b " +
+          "FROM p JOIN aug ga ON ga.doc_id = p.pa JOIN aug gb ON gb.doc_id = p.pb) " +
+          "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+          "FROM j GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      "cross-source NEAR-dup matrix — x47's 'who copies whom' audit lifted from " +
+        "exact-dup groups to the simhash near-dup graph (hamming <= 8): per source " +
+        "pair, the number of near-dup pairs spanning them. Exact re-hosting lands at " +
+        "hamming 0; paraphrase/boilerplate edits land where exact matching goes " +
+        "blind. Fixture: x47's deterministic 'mirror' aggregator re-hosts every 31st " +
+        "doc, giving the off-diagonal cells signal in both engines. Rides the " +
+        "pigeonhole-bucketed pair join + two 8-byte source-attribution joins; the " +
+        "matrix is |sources|^2 rows."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"), col("text")))
+      crossSourceNearDup(aug).orderBy("source_a", "source_b")
     },
 
     // ----- x95: keep-best dedup gain (the x94 remediation, measured per source) -----

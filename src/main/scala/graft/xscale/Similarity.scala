@@ -791,6 +791,40 @@ object Similarity {
     * degrees — tiny. No window over the corpus, no all-pairs anywhere
     * beyond what the chosen graph generator already did.
     */
+  /** x106 core: embedding NORM AUDIT — the QA gate an embedding table
+    * passes before any ANN index or cosine dedup is built over it: per
+    * source (vec_id ↔ doc_id), the vector count, zero-norm count (a zero
+    * vector has no cosine direction — every cosine op here divides by the
+    * norm, so one zero vector silently NaN-poisons its comparisons),
+    * degenerate-dim count (vectors whose dims are all equal — the
+    * constant-embedding failure mode of a broken encoder batch), and the
+    * norm min/max/sum in e6 fixed point (floor per row, so every
+    * aggregate is an order-independent integer — the x35 no-libm rule;
+    * min/floor commute). Columns (source, n_vecs, n_zero, n_const,
+    * min_norm_e6, max_norm_e6, sum_norm_e6).
+    *
+    * Scale posture (100 TB): one per-row pass over the vectors (norm is
+    * the same native dot the cosine ops use) + one broadcast-size join to
+    * the doc source + one keyed rollup — map-side combinable, |sources|
+    * rows out. No window, no pairs.
+    */
+  def embNormAudit(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val n = withNorm(emb)
+      .withColumn("nrm_e6", floor(col("nrm") * 1e6).cast("long"))
+      .withColumn("is_const",
+        when(expr("array_min(v) = array_max(v)"), 1L).otherwise(0L))
+    val src = docs.select(col("doc_id").as("vec_id"), col("source"))
+    n.join(src, "vec_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm_e6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("is_const")).as("n_const"),
+        min("nrm_e6").as("min_norm_e6"),
+        max("nrm_e6").as("max_norm_e6"),
+        sum("nrm_e6").as("sum_norm_e6"))
+  }
+
   def hubnessFromKnn(knn: DataFrame, emb: DataFrame): DataFrame = {
     val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
@@ -1895,6 +1929,36 @@ object Similarity {
     ) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       hubnessFromKnn(knnLsh(emb, lit(true)), emb).orderBy("in_degree")
+    },
+
+    // ----- x106: embedding norm audit (pre-index QA gate) -----
+    Q(
+      "x106_norm_audit",
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "n AS (SELECT vec_id, v, " +
+          "CAST(floor(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) * 1000000) " +
+          "AS BIGINT) AS nrm_e6, " +
+          "CASE WHEN list_min(v) = list_max(v) THEN 1 ELSE 0 END AS is_const FROM e), " +
+          "j AS (SELECT d.source, n.nrm_e6, n.is_const FROM n " +
+          "JOIN documents d ON d.doc_id = n.vec_id) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(sum(CASE WHEN nrm_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+          "CAST(sum(is_const) AS BIGINT) AS n_const, " +
+          "CAST(min(nrm_e6) AS BIGINT) AS min_norm_e6, " +
+          "CAST(max(nrm_e6) AS BIGINT) AS max_norm_e6, " +
+          "CAST(sum(nrm_e6) AS BIGINT) AS sum_norm_e6 " +
+          "FROM j GROUP BY source ORDER BY source"),
+      "embedding NORM AUDIT — the QA gate before any ANN index or cosine dedup: " +
+        "per source, vector count, zero-norm vectors (no cosine direction; one " +
+        "NaN-poisons every comparison it joins), constant-dim vectors (the broken " +
+        "encoder-batch failure mode), and the norm min/max/sum in e6 fixed point " +
+        "(per-row floor, so every aggregate is an order-independent integer and the " +
+        "cross-engine compare is exact). One per-row native-dot pass + a doc-source " +
+        "join + one keyed rollup; |sources| rows out."
+    ) { (s, dir) =>
+      embNormAudit(table(s, dir, "embeddings"), table(s, dir, "documents"))
+        .orderBy("source")
     }
   )
 }

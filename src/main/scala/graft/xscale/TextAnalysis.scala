@@ -930,6 +930,62 @@ object TextAnalysis {
         expr("sum(score_e4) div count(*)").as("mean_score_e4"))
   }
 
+  /** x104 percentile grid (percent points of the per-source length
+    * distribution).
+    */
+  val QuantilePts = Seq(25, 50, 90, 99)
+
+  /** x104 core: per-source LENGTH QUANTILES — the doc-length distribution
+    * sheet (p25/p50/p90/p99/max token counts) every corpus datasheet and
+    * batch-shape decision (pack budget, chunk size, padding estimate)
+    * reads. ORACLE PIN: the exact discontinuous quantile — value at rank
+    * ⌈q·n⌉, computed with the pure-integer rule rank = (q·n+99) div 100
+    * so both engines agree bit-for-bit. The rank comes from ONE
+    * row_number window per source; [[lengthQuantilesApprox]] is the
+    * 100 TB path (Greenwald–Khanna approx_percentile aggregate — no
+    * window, map-side combinable; x51's pin/threshold trade). Columns
+    * (source, n_docs, p25_tok, p50_tok, p90_tok, p99_tok, max_tok).
+    *
+    * Scale posture (100 TB): the pin's window shuffles by source —
+    * |sources| reducers, skew-prone when one source dominates (the
+    * documented reason the approx aggregate is the production form).
+    */
+  def lengthQuantiles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs.select(
+      col("doc_id"), col("source"),
+      size(XText.words(col("text"))).cast("long").as("n_tok"))
+    val cnt = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"))
+    val w = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    val rk = d.withColumn("rn", row_number().over(w).cast("long")).join(cnt, "source")
+    val qcols = QuantilePts.map { q =>
+      max(when(col("rn") === expr(s"($q * n_docs + 99) div 100"), col("n_tok")))
+        .as(s"p${q}_tok")
+    }
+    rk.groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), qcols :+ max(col("max_tok")).as("max_tok"): _*)
+  }
+
+  /** x104 scale path: per-source Greenwald–Khanna approximate percentiles
+    * (`percentile_approx`) — one map-side-combinable aggregation, no
+    * window, no per-source sort. Registered in ScaleSmoke as
+    * x104_quantiles_auto.
+    */
+  def lengthQuantilesApprox(
+      docs: org.apache.spark.sql.DataFrame,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val d = docs.select(
+      col("source"), size(XText.words(col("text"))).cast("long").as("n_tok"))
+    val pcts = QuantilePts.map(_ / 100.0)
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(
+        col("n_tok"),
+        array(pcts.map(lit): _*),
+        lit(accuracy)).as("p_tok"),
+      max("n_tok").as("max_tok"))
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2095,6 +2151,36 @@ object TextAnalysis {
         "shared with another doc, selection density e6."
     ) { (s, dir) =>
       winnowFingerprints(table(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ----- x104: per-source doc-length quantiles (datasheet percentiles) -----
+    Q(
+      "x104_length_quantiles",
+      Some {
+        val qsel = QuantilePts.map { q =>
+          s"CAST(max(CASE WHEN rn = ($q * n_docs + 99) // 100 THEN n_tok END) AS BIGINT) AS p${q}_tok"
+        }.mkString(", ")
+        s"WITH d AS (SELECT doc_id, source, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok FROM documents), " +
+          "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(max(n_tok) AS BIGINT) AS max_tok FROM d GROUP BY 1), " +
+          "r AS (SELECT d.source, d.n_tok, c.n_docs, c.max_tok, " +
+          "ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.n_tok, d.doc_id) AS rn " +
+          "FROM d JOIN c USING (source)) " +
+          "SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs, " +
+          s"$qsel, CAST(max(max_tok) AS BIGINT) AS max_tok " +
+          "FROM r GROUP BY source ORDER BY source"
+      },
+      "per-source doc-LENGTH QUANTILES (p25/p50/p90/p99/max tokens) — the " +
+        "distribution sheet batch-shape decisions read (pack budget, chunk size, " +
+        "padding estimate; x21/x36/x83 all key off these numbers). ORACLE PIN: exact " +
+        "discontinuous quantile at rank (q*n+99) div 100 — pure integer, " +
+        "bit-identical in both engines — via one per-source row_number window; the " +
+        "100 TB path is lengthQuantilesApprox (Greenwald-Khanna percentile_approx " +
+        "aggregate, no window, map-side combinable), registered in ScaleSmoke as " +
+        "x104_quantiles_auto."
+    ) { (s, dir) =>
+      lengthQuantiles(table(s, dir, "documents")).orderBy("source")
     }
   )
 

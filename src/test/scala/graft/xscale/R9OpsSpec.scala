@@ -148,4 +148,64 @@ class R9OpsSpec extends SparkSpec {
       assert((ng, nf) == ref(id), s"doc $id: engine ($ng,$nf) != reference ${ref(id)}")
     }
   }
+
+  test("x104 quantiles: exact rank rule matches a sorted-array reference; approx brackets it") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val ref = docs
+      .select(col("source"), size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val out = TextAnalysis.lengthQuantiles(docs)
+      .select("source", "n_docs", "p25_tok", "p50_tok", "p90_tok", "p99_tok", "max_tok")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == ref.keySet)
+    out.foreach { case (src, n, p25, p50, p90, p99, mx) =>
+      val sorted = ref(src)
+      assert(n == sorted.length && mx == sorted.last)
+      def pick(q: Long) = sorted(((q * n + 99) / 100 - 1).toInt)
+      assert(p25 == pick(25) && p50 == pick(50) && p90 == pick(90) && p99 == pick(99))
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+    // the approx path must agree on counts/max and stay inside the range
+    val approx = TextAnalysis.lengthQuantilesApprox(docs)
+      .select("source", "n_docs", "max_tok").as[(String, Long, Long)].collect()
+    approx.foreach { case (src, n, mx) =>
+      assert(n == ref(src).length && mx == ref(src).last)
+    }
+  }
+
+  test("x105 cross-source near-dup: symmetric-normalized, totals match the pair list") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val out = Dedup.crossSourceNearDup(docs)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(out.nonEmpty)
+    // normalized ordering and total conservation vs the raw pair list
+    out.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+    val totalPairs = Dedup.simhashPairs(docs).count()
+    assert(out.map(_._3).sum == totalPairs)
+  }
+
+  test("x106 norm audit: planted zero and constant vectors are counted, envelope holds") {
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    // plant one zero vector and one constant vector on fresh vec_ids that
+    // alias to existing docs' ids modulo nothing — use two real doc ids
+    val ids = docs.select("doc_id").as[Long].orderBy("doc_id").take(2)
+    val zeroRow = Seq((ids(0), Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val constRow = Seq((ids(1), Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val aug = emb.filter(!col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").unionByName(zeroRow).unionByName(constRow)
+    val out = Similarity.embNormAudit(aug, docs)
+      .select("source", "n_vecs", "n_zero", "n_const", "min_norm_e6", "max_norm_e6", "sum_norm_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 1L, "exactly the planted zero vector")
+    // the zero vector is also constant; the planted 0.5-vector adds one more
+    assert(out.map(_._4).sum == 2L, "zero + constant vectors are both constant-dim")
+    out.foreach { case (_, n, nz, _, mn, mx, sm) =>
+      assert(mn <= mx && sm >= mx && n > 0 && (nz == 0L || mn == 0L))
+    }
+  }
 }

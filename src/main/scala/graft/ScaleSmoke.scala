@@ -34,7 +34,7 @@ object ScaleSmoke {
     "x96_boilerplate", "x97_split_drift", "x98_hubness_ann",
     "x99_dedup_cascade", "x100_filter_sweep", "x101_curriculum_auto",
     "x102_oov_rate", "x103_winnow", "x104_quantiles_auto",
-    "x105_cross_neardup", "x106_norm_audit",
+    "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
   // battery: this fixture's vocabulary is 31 words, 30 of them in 76-78%
@@ -140,6 +140,11 @@ object ScaleSmoke {
       // (the registered query pins the exact rank rule)
       "x104_quantiles_auto" -> ((s, d) =>
         TrainingData.lengthQuantilesApprox(
+          s.read.parquet(s"$d/documents.parquet"))),
+      // x107 scale posture: sampled-quantile phases + (phase, shard)
+      // cumsum — no global window anywhere
+      "x107_phase_packing_auto" -> ((s, d) =>
+        xscale.DataPrep.phasePackingByThresholds(
           s.read.parquet(s"$d/documents.parquet"))),
       // x92 scale posture: seed cap grown with the corpus (10x docs ->
       // 10x cells, keeping per-cell rerank cost flat — the IVF contract;

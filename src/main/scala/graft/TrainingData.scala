@@ -783,4 +783,26 @@ object TrainingData {
     */
   def embNormAudit(emb: DataFrame, docs: DataFrame): DataFrame =
     Similarity.embNormAudit(emb, docs)
+
+  /** Phase-pure pack build (x107): the curriculum (x101) composed with
+    * the x21 packer — packs built within each phase so a trainer streams
+    * phase 1 before phase 2 loads, with per-phase fill-ratio audit. The
+    * registered query pins the NTILE phase; [[phasePackingByThresholds]]
+    * is the 100 TB path.
+    */
+  def phasePacking(docs: DataFrame): DataFrame = DataPrep.phasePacking(docs)
+
+  /** x107's scale path: sampled-quantile phases, (phase, shard)-keyed
+    * packing cumsum — no global window.
+    */
+  def phasePackingByThresholds(docs: DataFrame, sampleFraction: Double = 0.1): DataFrame =
+    DataPrep.phasePackingByThresholds(docs, sampleFraction = sampleFraction)
+
+  /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
+    * score_e4) — the shared input of the filter sweep (x100), curriculum
+    * (x101), keep-best dedup (x95) and the streaming quality gate. Input
+    * needs (doc_id, text, n_chars). Pure per-row expression, no shuffle.
+    */
+  def qualityScores(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.qualityPerDoc(docs)
 }

@@ -395,6 +395,65 @@ object DataPrep {
     * the oracle comparison is collision-free; at real scale hash the term
     * to a 60-bit key first — same plan, 8-byte shuffle keys.
     */
+  /** x107 core: PHASE-PURE PACK BUILD — the x101 curriculum composed with
+    * the x21 packer: docs are phase-assigned (easy-first quality order),
+    * then packed WITHIN each phase in x21's hash order and shard layout,
+    * so a curriculum trainer can stream phase 1's packs before phase 2
+    * ever loads. Per phase: docs, token mass, pack count and fill ratio
+    * (e6, of pack budget · packs) — the utilization number that says
+    * whether phase boundaries fragment packs. Columns
+    * (phase, n_docs, sum_tok, n_packs, fill_e6).
+    *
+    * ORACLE PIN: phase = global NTILE (x101's pin); the 100 TB path is
+    * [[phasePackingByThresholds]] (sampled-quantile phases — ScaleSmoke
+    * `x107_phase_packing_auto`). The packing cumsum itself partitions by
+    * (phase, shard) — parallel across shards exactly like x21, one extra
+    * grouping key.
+    */
+  def phasePacking(
+      docs: DataFrame,
+      phases: Int = TextAnalysis.CurriculumPhases,
+      budget: Int = PackBudget,
+      shards: Int = PackShards): DataFrame = {
+    val qd = TextAnalysis.qualityPerDoc(docs).select("doc_id", "n_tok", "score_e4")
+    val d = qd.withColumn(
+      "phase",
+      ntile(phases).over(Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+    phasePackingFrom(d, budget, shards)
+  }
+
+  /** x107 scale path: phases from sampled quantiles (x101's threshold
+    * rule), identical packing — no global window anywhere.
+    */
+  def phasePackingByThresholds(
+      docs: DataFrame,
+      phases: Int = TextAnalysis.CurriculumPhases,
+      budget: Int = PackBudget,
+      shards: Int = PackShards,
+      sampleFraction: Double = 0.1): DataFrame = {
+    val d = TextAnalysis.curriculumAssignByThresholds(docs, phases, sampleFraction)
+    phasePackingFrom(d, budget, shards)
+  }
+
+  /** Shared tail: pack a (doc_id, n_tok, phase) frame per (phase, shard)
+    * and roll up per phase.
+    */
+  private def phasePackingFrom(d: DataFrame, budget: Int, shards: Int): DataFrame = {
+    val s = d.withColumn("ord", ordCol).withColumn("shard", col("ord") % shards)
+    val w = Window.partitionBy("phase", "shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("pack", expr(s"cum div $budget"))
+      .groupBy("phase", "shard", "pack")
+      .agg(count(lit(1)).as("pd"), sum("n_tok").as("pt"))
+      .groupBy("phase")
+      .agg(
+        sum("pd").as("n_docs"),
+        sum("pt").as("sum_tok"),
+        count(lit(1)).as("n_packs"))
+      .withColumn("fill_e6", expr(s"(1000000 * sum_tok) div (n_packs * $budget)"))
+  }
+
   def oovRate(docs: DataFrame): DataFrame = {
     val tok = splitAssign(docs).select(
       col("split"), col("source"), col("doc_id"),
@@ -2829,6 +2888,41 @@ object DataPrep {
         "aggregate for the vocab, and one dictionary join keyed on the term."
     ) { (s, dir) =>
       oovRate(table(s, dir, "documents")).orderBy("split", "source")
+    },
+
+    // ----- x107: phase-pure pack build (curriculum x packing) -----
+    Q(
+      "x107_phase_packing",
+      Some {
+        val P = TextAnalysis.CurriculumPhases
+        s"WITH ${TextAnalysis.qualityPerDocSqlCtes}, " +
+          s"ph AS (SELECT doc_id, n_tok, " +
+          s"NTILE($P) OVER (ORDER BY score_e4 DESC, doc_id) AS phase, " +
+          s"$ordSql AS ord FROM qd), " +
+          s"s AS (SELECT doc_id, n_tok, phase, ord, ord % $PackShards AS shard FROM ph), " +
+          "c AS (SELECT doc_id, phase, shard, n_tok, " +
+          "coalesce(sum(n_tok) OVER (PARTITION BY phase, shard " +
+          "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum " +
+          "FROM s), " +
+          s"p AS (SELECT phase, shard, cum // $PackBudget AS pack, " +
+          "CAST(count(*) AS BIGINT) AS pd, CAST(sum(n_tok) AS BIGINT) AS pt " +
+          "FROM c GROUP BY 1, 2, 3) " +
+          "SELECT CAST(phase AS BIGINT) AS phase, CAST(sum(pd) AS BIGINT) AS n_docs, " +
+          "CAST(sum(pt) AS BIGINT) AS sum_tok, CAST(count(*) AS BIGINT) AS n_packs, " +
+          s"CAST((1000000 * sum(pt)) // (count(*) * $PackBudget) AS BIGINT) AS fill_e6 " +
+          "FROM p GROUP BY 1 ORDER BY 1"
+      },
+      "PHASE-PURE PACK BUILD — x101's curriculum composed with x21's packer: docs " +
+        "phase-assigned easy-first, then packed within each phase in x21's hash " +
+        "order and shard layout, so a curriculum trainer streams phase 1's packs " +
+        "before phase 2 ever loads. Per phase: docs, tokens, packs and fill ratio " +
+        "(e6 of budget*packs) — the utilization number that says whether phase " +
+        "boundaries fragment packs. Phase = global NTILE (x101's oracle pin); the " +
+        "100 TB path swaps in sampled-quantile phases (phasePackingByThresholds, " +
+        "ScaleSmoke x107_phase_packing_auto) and the cumsum partitions by " +
+        "(phase, shard) — x21's parallel layout with one extra key."
+    ) { (s, dir) =>
+      phasePacking(table(s, dir, "documents")).orderBy("phase")
     }
   )
 }

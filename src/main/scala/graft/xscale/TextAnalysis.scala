@@ -56,7 +56,7 @@ object TextAnalysis {
       s"0.3 * (least($nTok, 80) / 80.0)) * 10000) AS BIGINT)"
 
   /** Per-doc (doc_id, n_tok, score_e4) quality view of `documents`. */
-  private[xscale] def qualityPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def qualityPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d = docs.withColumn("ws", XText.words(col("text")))
       .withColumn("n_tok", size(col("ws")).cast("long"))
     d.select(
@@ -911,23 +911,33 @@ object TextAnalysis {
   def curriculumByThresholds(
       docs: org.apache.spark.sql.DataFrame,
       phases: Int = CurriculumPhases,
+      sampleFraction: Double = 0.1): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(curriculumAssignByThresholds(docs, phases, sampleFraction), "doc_id")
+      .groupBy("phase", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tok"),
+        expr("sum(score_e4) div count(*)").as("mean_score_e4"))
+
+  /** The per-doc assignment behind [[curriculumByThresholds]]:
+    * (doc_id, n_tok, score_e4, phase) with phase cut at sampled score
+    * quantiles — shared with the x107 phase-pure pack build.
+    */
+  def curriculumAssignByThresholds(
+      docs: org.apache.spark.sql.DataFrame,
+      phases: Int = CurriculumPhases,
       sampleFraction: Double = 0.1): org.apache.spark.sql.DataFrame = {
     val qd = qualityPerDoc(docs).select("doc_id", "n_tok", "score_e4")
     val perMille = math.max(1L, math.round(sampleFraction * 1000))
     val sample = qd.filter(XHash.h60(col("doc_id").cast("string")) % 1000 < perMille)
     val probs = (1 until phases).map(i => 1.0 - i.toDouble / phases).toArray
     val cuts = sample.stat.approxQuantile("score_e4", probs, 0.001)
-    val d = docs.select(col("doc_id"), col("source")).join(qd, "doc_id")
     // cuts are descending score boundaries; phase = 1 + #cuts above score
     val phaseCol = cuts.foldLeft(lit(1L)) { (acc, c) =>
       acc + when(col("score_e4") < lit(c.toLong), 1L).otherwise(0L)
     }
-    d.withColumn("phase", phaseCol)
-      .groupBy("phase", "source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("sum_tok"),
-        expr("sum(score_e4) div count(*)").as("mean_score_e4"))
+    qd.withColumn("phase", phaseCol)
   }
 
   /** x104 percentile grid (percent points of the per-source length

@@ -208,4 +208,28 @@ class R9OpsSpec extends SparkSpec {
       assert(mn <= mx && sm >= mx && n > 0 && (nz == 0L || mn == 0L))
     }
   }
+
+  test("x107 phase packing: conserves the curriculum's per-phase mass, packs are bounded") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = DataPrep.phasePacking(docs)
+      .select("phase", "n_docs", "sum_tok", "n_packs", "fill_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // phases partition the corpus, matching x101's totals exactly
+    val cur = TextAnalysis.curriculumPhases(docs)
+      .groupBy("phase")
+      .agg(sum("n_docs").as("d"), sum("sum_tok").as("t"))
+      .select("phase", "d", "t").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == cur.toSeq)
+    out.foreach { case (_, nd, st, np, fill) =>
+      // a pack holds at least one doc, so 1 <= packs <= docs
+      assert(np >= 1 && np <= nd)
+      // fill ratio consistent with its definition
+      assert(fill == 1000000L * st / (np * DataPrep.PackBudget))
+    }
+    // the thresholds path conserves the same corpus totals
+    val auto = DataPrep.phasePackingByThresholds(docs, sampleFraction = 1.0)
+      .select("n_docs", "sum_tok").as[(Long, Long)].collect()
+    assert(auto.map(_._1).sum == out.map(_._2).sum)
+    assert(auto.map(_._2).sum == out.map(_._3).sum)
+  }
 }

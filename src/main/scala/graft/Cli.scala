@@ -38,7 +38,7 @@ object Cli {
     } + "\""
 
   def main(args: Array[String]): Unit =
-    if (!Set("ingest", "query", "generate-synthetic-data", "corpus").contains(
+    if (!Set("ingest", "query", "generate-synthetic-data", "corpus", "report").contains(
         args.headOption.getOrElse(""))) {
       usage(); sys.exit(2)
     } else {
@@ -100,6 +100,32 @@ object Cli {
               query.Registry.queries.keys.toSeq.sorted.mkString("\n  "))
           2
       }
+
+    // release-audit REPORT bundle: one command runs the datasheet battery
+    // a corpus release ships with — per-source datasheet sketches (x38),
+    // split-composition drift (x97), filter sensitivity sweep (x100),
+    // held-out OOV rates (x102), length-quantile sheet (x104) and the
+    // embedding norm audit (x106, when an embeddings table exists) — each
+    // written to <outDir>/<name>.parquet plus one stats JSON line. The
+    // bundle reads each input ONCE per audit and every audit is the
+    // registered oracle-verified query, so the report numbers are exactly
+    // the Verify-gated ones.
+    case "report" :: dir :: outDir :: Nil =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val battery = Seq(
+        "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
+        "x102_oov_rate", "x104_length_quantiles") ++
+        (if (new java.io.File(s"$dir/embeddings.parquet").exists())
+          Seq("x106_norm_audit")
+        else Nil)
+      val rows = battery.map { name =>
+        val df = query.Registry.queries(name)(spark, dir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        name -> spark.read.parquet(s"$outDir/$name.parquet").count()
+      }
+      println(rows.map { case (n, c) => s"${jsonStr(n)}:$c" }
+        .mkString("{", ",", "}"))
+      0
 
     // either/or like the reference's --persist-to-mongo (generate.go:24-42):
     // CSV sink by default, direct lake append with --persist
@@ -251,6 +277,7 @@ object Cli {
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
+        "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

@@ -1,0 +1,26 @@
+package graft
+
+/** `Cli report`: the release-audit battery driven from the command line —
+  * every audit lands as a parquet beside the others, each the registered
+  * oracle-verified query (so the report numbers ARE the Verify-gated ones).
+  */
+class CliReportSpec extends SparkSpec {
+
+  test("report command writes every audit of the battery with rows") {
+    val out = tmpDir("cli-report").getPath + "/report"
+    val code = Cli.run(spark, List("report", "/root/testdata/sf0.001", out))
+    assert(code === 0)
+    val expected = Seq(
+      "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
+      "x102_oov_rate", "x104_length_quantiles", "x106_norm_audit")
+    expected.foreach { name =>
+      val df = spark.read.parquet(s"$out/$name.parquet")
+      assert(df.count() > 0, s"$name is empty")
+    }
+    // the report rows are exactly the registered query's rows
+    val viaRegistry =
+      SparkEntry.queries("x104_length_quantiles")(spark, "/root/testdata/sf0.001").count()
+    assert(
+      spark.read.parquet(s"$out/x104_length_quantiles.parquet").count() == viaRegistry)
+  }
+}

@@ -798,6 +798,15 @@ object TrainingData {
   def phasePackingByThresholds(docs: DataFrame, sampleFraction: Double = 0.1): DataFrame =
     DataPrep.phasePackingByThresholds(docs, sampleFraction = sampleFraction)
 
+  /** N-gram coverage of held-out splits by train (x108): per
+    * (split, source), the fraction of distinct word k-grams also seen in
+    * train — the generalization-shift proxy (low = domain gap; verbatim
+    * leakage at k=8+ is [[splitLeakage]]'s job). Hash-keyed membership
+    * join against the distinct train-gram set.
+    */
+  def ngramCoverage(docs: DataFrame, k: Int = DataPrep.CovK): DataFrame =
+    DataPrep.ngramCoverage(docs, k)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -395,6 +395,48 @@ object DataPrep {
     * the oracle comparison is collision-free; at real scale hash the term
     * to a 60-bit key first — same plan, 8-byte shuffle keys.
     */
+  /** x108 n-gram order for the coverage audit (3-grams: small enough to
+    * measure distribution overlap, not verbatim leakage — that is x73's
+    * k=8 job).
+    */
+  val CovK = 3
+
+  /** x108 core: N-GRAM COVERAGE of the held-out splits by train — for
+    * each (split, source), the fraction of the split's DISTINCT word
+    * [[CovK]]-grams that also appear anywhere in the train split
+    * (cov_e6), plus the distinct-gram counts. This is the corpus-level
+    * generalization-shift proxy: LOW coverage on a source means its
+    * held-out text is phrased unlike anything trained on (domain gap —
+    * eval loss will look worse than the model is); HIGH coverage at k=8+
+    * would be leakage, which is x73's per-doc audit — at k=3 it measures
+    * distributional familiarity, not copying. Columns (split, source,
+    * n_grams, n_covered, cov_e6).
+    *
+    * Scale posture (100 TB): one native windowHash60 scan; train grams
+    * collapse to a distinct 8-byte-hash set (map-side combinable); the
+    * membership check is a left join keyed on the hash over the held-out
+    * side's distinct (split, source, gram) triples. No window, no pairs;
+    * the join's build side is the distinct-gram set — the same class as
+    * x75's Bloom decontam, which is the drop-in when exact membership
+    * stops being worth the shuffle.
+    */
+  def ngramCoverage(docs: DataFrame, k: Int = CovK): DataFrame = {
+    val tagged = splitAssign(docs)
+    val grams = tagged.select(
+      col("split"), col("source"),
+      explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val train = grams.filter(col("split") === "train")
+      .select("h").distinct().withColumn("_t", lit(1L))
+    grams.filter(col("split") =!= "train")
+      .select("split", "source", "h").distinct()
+      .join(train, Seq("h"), "left")
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_t"), lit(0L))).as("n_covered"))
+      .withColumn("cov_e6", expr("(1000000 * n_covered) div n_grams"))
+  }
+
   /** x107 core: PHASE-PURE PACK BUILD — the x101 curriculum composed with
     * the x21 packer: docs are phase-assigned (easy-first quality order),
     * then packed WITHIN each phase in x21's hash order and shard layout,
@@ -2923,6 +2965,38 @@ object DataPrep {
         "(phase, shard) — x21's parallel layout with one extra key."
     ) { (s, dir) =>
       phasePacking(table(s, dir, "documents")).orderBy("phase")
+    },
+
+    // ----- x108: n-gram coverage of held-out splits by train -----
+    Q(
+      "x108_ngram_coverage",
+      Some {
+        val k = CovK
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH t AS (SELECT $splitSql AS split, source, doc_id, " +
+          s"${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"occ AS (SELECT split, source, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT split, source, $gram AS g FROM " +
+          s"(SELECT split, source, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM t WHERE len(ws) >= $k))), " +
+          "tr AS (SELECT DISTINCT h FROM occ WHERE split = 'train'), " +
+          "ev AS (SELECT DISTINCT split, source, h FROM occ WHERE split <> 'train') " +
+          "SELECT ev.split, ev.source, CAST(count(*) AS BIGINT) AS n_grams, " +
+          "CAST(sum(CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_covered, " +
+          "CAST((1000000 * sum(CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END)) // count(*) " +
+          "AS BIGINT) AS cov_e6 " +
+          "FROM ev LEFT JOIN tr ON tr.h = ev.h GROUP BY 1, 2 ORDER BY 1, 2"
+      },
+      s"N-GRAM COVERAGE of the held-out splits by train: per (split, source), the " +
+        s"fraction of distinct word $CovK-grams also seen anywhere in train — the " +
+        "corpus-level generalization-shift proxy (low = domain gap, the eval will " +
+        "read harder than the model is; at k=8+ high coverage would be leakage, " +
+        "which is x73's per-doc audit — k=3 measures distributional familiarity, " +
+        "not copying). One native windowHash60 scan, a distinct 8-byte train-gram " +
+        "set, one hash-keyed membership join; x75's Bloom is the drop-in when " +
+        "exact membership stops being worth the shuffle."
+    ) { (s, dir) =>
+      ngramCoverage(table(s, dir, "documents")).orderBy("split", "source")
     }
   )
 }

@@ -232,4 +232,40 @@ class R9OpsSpec extends SparkSpec {
     assert(auto.map(_._1).sum == out.map(_._2).sum)
     assert(auto.map(_._2).sum == out.map(_._3).sum)
   }
+
+  test("x108 coverage: bounded, and a train-replicated eval doc is fully covered") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = DataPrep.ngramCoverage(docs)
+      .select("split", "source", "n_grams", "n_covered", "cov_e6")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (split, _, n, cov, e6) =>
+      assert(split == "val" || split == "test")
+      assert(cov <= n && e6 == 1000000L * cov / n)
+    }
+    // synthetic fixture: all docs draw from one shared tiny vocabulary, so
+    // held-out 3-gram coverage should be substantial but the audit must
+    // not report trivially-full coverage everywhere (distinct grams exist)
+    assert(out.exists(_._5 > 500000L))
+    // planted check: an eval doc whose text IS a train doc's text must be
+    // 100% covered
+    val train = docs.withColumn("split", DataPrep.splitCol)
+      .filter(col("split") === "train").select("doc_id", "text").limit(1).collect()(0)
+    // one job: find an unused id that hashes outside train
+    val evalId = spark.range(9000001L, 9002000L).select(col("id").as("doc_id"))
+      .withColumn("split", DataPrep.splitCol)
+      .filter(col("split") =!= "train")
+      .select("doc_id").as[Long].head()
+    val planted = docs.select("doc_id", "source", "text", "lang", "n_chars")
+      .unionByName(
+        Seq((evalId, "planted", train.getString(1), "en", 1L))
+          .toDF("doc_id", "source", "text", "lang", "n_chars"))
+    val row = DataPrep.ngramCoverage(planted)
+      .filter(col("source") === "planted")
+      .select("n_covered", "n_grams").as[(Long, Long)].collect()
+    assert(row.nonEmpty)
+    row.foreach { case (cov, n) =>
+      assert(n > 0 && cov == n, "train-replicated doc not fully covered")
+    }
+  }
 }

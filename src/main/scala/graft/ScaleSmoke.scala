@@ -35,7 +35,7 @@ object ScaleSmoke {
     "x99_dedup_cascade", "x100_filter_sweep", "x101_curriculum_auto",
     "x102_oov_rate", "x103_winnow", "x104_quantiles_auto",
     "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
-    "x108_ngram_coverage",
+    "x108_ngram_coverage", "x109_lexical_profile",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
   // battery: this fixture's vocabulary is 31 words, 30 of them in 76-78%

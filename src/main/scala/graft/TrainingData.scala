@@ -798,6 +798,13 @@ object TrainingData {
   def phasePackingByThresholds(docs: DataFrame, sampleFraction: Double = 0.1): DataFrame =
     DataPrep.phasePackingByThresholds(docs, sampleFraction = sampleFraction)
 
+  /** Per-source lexical profile (x109): tokens, types, type-token ratio
+    * and hapax share — the lexical-diversity block of a corpus datasheet.
+    * One exploded-token keyed count + a vocab-sized rollup.
+    */
+  def lexicalProfile(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.lexicalProfile(docs)
+
   /** N-gram coverage of held-out splits by train (x108): per
     * (split, source), the fraction of distinct word k-grams also seen in
     * train — the generalization-shift proxy (low = domain gap; verbatim

@@ -996,6 +996,32 @@ object TextAnalysis {
       max("n_tok").as("max_tok"))
   }
 
+  /** x109 core: per-source LEXICAL PROFILE — token count, type count
+    * (distinct words), type-token ratio (e6) and hapax share (words seen
+    * exactly once in the source, e6 of types): the lexical-diversity
+    * block of a corpus datasheet. A low TTR flags templated/boilerplate
+    * sources (x31/x96 find the culprits); an anomalous hapax share flags
+    * OCR noise or tokenizer damage (each typo is a new "type"). Corpus-
+    * wide growth/spectrum live in x53/x80; this is the per-source sheet.
+    * Columns (source, n_tok, n_types, ttr_e6, n_hapax, hapax_e6).
+    *
+    * Scale posture (100 TB): one exploded-token scan into a
+    * (source, word)-keyed count (map-side combinable), then a
+    * |vocab|-sized rollup to the per-source sheet. No window, no joins.
+    */
+  def lexicalProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    docs.select(col("source"), explode(XText.words(col("text"))).as("tk"))
+      .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_e6", expr("(1000000 * n_types) div n_tok"))
+      .withColumn("hapax_e6", expr("(1000000 * n_hapax) div n_types"))
+      .select("source", "n_tok", "n_types", "ttr_e6", "n_hapax", "hapax_e6")
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2191,6 +2217,30 @@ object TextAnalysis {
         "x104_quantiles_auto."
     ) { (s, dir) =>
       lengthQuantiles(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x109: per-source lexical profile (TTR + hapax share) -----
+    Q(
+      "x109_lexical_profile",
+      Some(
+        s"WITH t AS (SELECT source, unnest(${XText.wordsSql("text")}) AS tk FROM documents), " +
+          "c AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+          "p AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok, " +
+          "CAST(count(*) AS BIGINT) AS n_types, " +
+          "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM c GROUP BY 1) " +
+          "SELECT source, n_tok, n_types, " +
+          "CAST((1000000 * n_types) // n_tok AS BIGINT) AS ttr_e6, n_hapax, " +
+          "CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_e6 " +
+          "FROM p ORDER BY source"),
+      "per-source LEXICAL PROFILE: tokens, types (distinct words), type-token " +
+        "ratio e6, and hapax share (words seen once in the source, e6 of types) — " +
+        "the lexical-diversity block of a corpus datasheet. Low TTR flags " +
+        "templated/boilerplate sources (x31/x96 find the culprits); anomalous " +
+        "hapax share flags OCR noise or tokenizer damage (every typo is a new " +
+        "type). One exploded-token scan into a (source, word) count, then a " +
+        "vocab-sized rollup — map-side combinable, no window, no joins."
+    ) { (s, dir) =>
+      lexicalProfile(table(s, dir, "documents")).orderBy("source")
     }
   )
 

@@ -268,4 +268,26 @@ class R9OpsSpec extends SparkSpec {
       assert(n > 0 && cov == n, "train-replicated doc not fully covered")
     }
   }
+
+  test("x109 lexical profile: invariants hold and match a driver-side recount") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = TextAnalysis.lexicalProfile(docs)
+      .select("source", "n_tok", "n_types", "ttr_e6", "n_hapax", "hapax_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, nt, ty, ttr, hx, he) =>
+      assert(ty <= nt && hx <= ty)
+      assert(ttr == 1000000L * ty / nt && he == 1000000L * hx / ty)
+    }
+    // exact recount for one source, sequentially
+    val src = out.head._1
+    val words = docs.filter(col("source") === src)
+      .select("text").as[String].collect()
+      .flatMap(_.split("\\s+"))
+    val counts = words.groupBy(identity).view.mapValues(_.length)
+    val row = out.find(_._1 == src).get
+    assert(row._2 == words.length.toLong)
+    assert(row._3 == counts.size.toLong)
+    assert(row._5 == counts.values.count(_ == 1).toLong)
+  }
 }

@@ -104,8 +104,9 @@ object Cli {
     // release-audit REPORT bundle: one command runs the datasheet battery
     // a corpus release ships with — per-source datasheet sketches (x38),
     // split-composition drift (x97), filter sensitivity sweep (x100),
-    // held-out OOV rates (x102), length-quantile sheet (x104) and the
-    // embedding norm audit (x106, when an embeddings table exists) — each
+    // held-out OOV rates (x102), length-quantile sheet (x104), held-out
+    // n-gram coverage (x108), lexical profiles (x109) and the embedding
+    // norm audit (x106, when an embeddings table exists) — each
     // written to <outDir>/<name>.parquet plus one stats JSON line. The
     // bundle reads each input ONCE per audit and every audit is the
     // registered oracle-verified query, so the report numbers are exactly
@@ -114,7 +115,8 @@ object Cli {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val battery = Seq(
         "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
-        "x102_oov_rate", "x104_length_quantiles") ++
+        "x102_oov_rate", "x104_length_quantiles", "x108_ngram_coverage",
+        "x109_lexical_profile") ++
         (if (new java.io.File(s"$dir/embeddings.parquet").exists())
           Seq("x106_norm_audit")
         else Nil)

@@ -12,7 +12,8 @@ class CliReportSpec extends SparkSpec {
     assert(code === 0)
     val expected = Seq(
       "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
-      "x102_oov_rate", "x104_length_quantiles", "x106_norm_audit")
+      "x102_oov_rate", "x104_length_quantiles", "x108_ngram_coverage",
+      "x109_lexical_profile", "x106_norm_audit")
     expected.foreach { name =>
       val df = spark.read.parquet(s"$out/$name.parquet")
       assert(df.count() > 0, s"$name is empty")

@@ -38,12 +38,23 @@ object Bench {
     // baselines (SparkEntry.benchExclude) whose production-posture twins
     // are registered and timed instead. SPARK_GRAFT_BENCH_ONLY (comma-
     // separated exact names) restricts the battery — for apples-to-apples
-    // round-over-round comparisons on a fixed query subset.
+    // round-over-round comparisons on a fixed subset, or to time an
+    // excluded baseline explicitly (an explicit request OVERRIDES the
+    // exclusion). Unknown names fail loudly: a typo must not produce an
+    // empty battery that reads as a wildly fast successful run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(
+        unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val timedQueries = SparkEntry.queries.filter {
-      case (name, _) =>
-        !SparkEntry.benchExclude(name) && only.forall(_.contains(name))
+      case (name, _) => only match {
+        case Some(names) => names.contains(name)
+        case None        => !SparkEntry.benchExclude(name)
+      }
     }
     val results = timedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()

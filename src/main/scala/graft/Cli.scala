@@ -120,14 +120,25 @@ object Cli {
         (if (new java.io.File(s"$dir/embeddings.parquet").exists())
           Seq("x106_norm_audit")
         else Nil)
+      // per-audit fault isolation (the Verify _failures posture): one
+      // schema-drifted input must not abort the battery with partial
+      // output and no summary — every audit reports a count or an error
       val rows = battery.map { name =>
-        val df = query.Registry.queries(name)(spark, dir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-        name -> spark.read.parquet(s"$outDir/$name.parquet").count()
+        try {
+          val df = query.Registry.queries(name)(spark, dir)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+          name -> Right(spark.read.parquet(s"$outDir/$name.parquet").count())
+        } catch {
+          case e: Throwable =>
+            name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.toSeq.headOption.getOrElse(e.getClass.getName))
+        }
       }
-      println(rows.map { case (n, c) => s"${jsonStr(n)}:$c" }
-        .mkString("{", ",", "}"))
-      0
+      println(rows.map {
+        case (n, Right(c))  => s"${jsonStr(n)}:$c"
+        case (n, Left(msg)) => s"${jsonStr(n)}:{\"error\":${jsonStr(msg)}}"
+      }.mkString("{", ",", "}"))
+      if (rows.exists(_._2.isLeft)) 1 else 0
 
     // either/or like the reference's --persist-to-mongo (generate.go:24-42):
     // CSV sink by default, direct lake append with --persist

@@ -38,12 +38,12 @@ object ScaleSmoke {
     "x108_ngram_coverage", "x109_lexical_profile",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
-  // battery: this fixture's vocabulary is 31 words, 30 of them in 76-78%
-  // of docs, so exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s
-  // at 10x, measured). The registered x88_bm25_capped IS in the battery:
-  // its 70% df-cap lands below the fixture's common words, which is the
-  // prune-almost-everything edge — on a Zipfian vocabulary the cap keeps
-  // the informative tail instead. Run the exact form explicitly to
+  // battery: this fixture's vocabulary is 31 words in a ~74.6-80.4% df
+  // band, so exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s at
+  // 10x, measured). The registered x88_bm25_capped IS in the battery: its
+  // 76.6% df-cap (TextAnalysis.BmMaxDfPpm) lands INSIDE the band at every
+  // SF — the ~25 heaviest posting lists are pruned and a non-trivial
+  // ranking survives from the tail. Run the exact form explicitly to
   // reproduce the 738 s number.
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */

@@ -28,15 +28,16 @@ import graft.xscale.TextAnalysis
   */
 object StreamingQualityGate {
 
-  /** Score one micro-batch (needs doc_id, text, n_chars — the x09 input
-    * contract): adds n_tok + score_e4 + admitted.
+  /** Score one micro-batch (needs text + n_chars — the x09 input
+    * contract): adds n_tok + score_e4 + admitted. Scoring is attached as
+    * per-row columns, NOT a join back on doc_id — a join would both add a
+    * shuffle and multiply rows if an at-least-once source replayed a doc
+    * into one batch (two copies of doc 7 would join into four output
+    * rows, double-writing the corpus and inflating the stats).
     */
-  def score(batch: DataFrame, minScoreE4: Long): DataFrame = {
-    val scored = TextAnalysis.qualityPerDoc(
-      batch.select(col("doc_id"), col("text"), col("n_chars")))
-    batch.join(scored.select("doc_id", "n_tok", "score_e4"), "doc_id")
+  def score(batch: DataFrame, minScoreE4: Long): DataFrame =
+    TextAnalysis.qualityScored(batch)
       .withColumn("admitted", col("score_e4") >= minScoreE4)
-  }
 
   /** Continuous form: gate every micro-batch of a streaming `docs`
     * source, appending admitted docs to `outPath`, rejects (with scores)
@@ -61,13 +62,18 @@ object StreamingQualityGate {
           .write.mode(SaveMode.Append).parquet(outPath)
         scored.filter(!col("admitted"))
           .write.mode(SaveMode.Append).parquet(rejectPath)
+        // coalesce the sums: an EMPTY micro-batch (empty input file) must
+        // log (0, 0, 0, 0), not NULLs that break typed readers of the log
         scored
           .groupBy()
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
-            sum(when(col("admitted"), col("n_tok")).otherwise(0L)).as("tok_admitted"),
-            sum(when(!col("admitted"), col("n_tok")).otherwise(0L)).as("tok_rejected"))
+            coalesce(sum(when(col("admitted"), 1L).otherwise(0L)), lit(0L))
+              .as("n_admitted"),
+            coalesce(sum(when(col("admitted"), col("n_tok")).otherwise(0L)), lit(0L))
+              .as("tok_admitted"),
+            coalesce(sum(when(!col("admitted"), col("n_tok")).otherwise(0L)), lit(0L))
+              .as("tok_rejected"))
           .withColumn("batch_id", lit(batchId))
           .withColumn("min_score_e4", lit(minScoreE4))
           .write.mode(SaveMode.Append).parquet(statsPath)

@@ -311,6 +311,23 @@ object Dedup {
     * rather than cached — one extra WindowGroupLimit shuffle is cheaper
     * than pinning a corpus-sized frame in executor memory.
     */
+  def dedupCascade(docs: DataFrame): DataFrame = {
+    val exact = dedupExact(docs)
+    val pairs = simhashPairs(exact)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val exs = exact.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val fin = DedupClusters.dedupByPairs(exact, pairs)
+      .groupBy("source").agg(count(lit(1)).as("n_final"))
+    base.join(exs, Seq("source"), "left").join(fin, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact", "n_final"))
+      .select(
+        col("source"), col("n_docs"),
+        (col("n_docs") - col("n_exact")).as("removed_exact"),
+        (col("n_exact") - col("n_final")).as("removed_near"),
+        col("n_final"))
+  }
+
   /** x105 core: cross-source NEAR-dup matrix — x47's "who copies whom"
     * audit lifted from exact-dup groups to the simhash near-dup graph:
     * every [[simhashPairs]] pair (60-bit simhash, hamming ≤ 8) is
@@ -334,23 +351,6 @@ object Dedup {
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
-  }
-
-  def dedupCascade(docs: DataFrame): DataFrame = {
-    val exact = dedupExact(docs)
-    val pairs = simhashPairs(exact)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val exs = exact.groupBy("source").agg(count(lit(1)).as("n_exact"))
-    val fin = DedupClusters.dedupByPairs(exact, pairs)
-      .groupBy("source").agg(count(lit(1)).as("n_final"))
-    base.join(exs, Seq("source"), "left").join(fin, Seq("source"), "left")
-      .na.fill(0L, Seq("n_exact", "n_final"))
-      .select(
-        col("source"), col("n_docs"),
-        (col("n_docs") - col("n_exact")).as("removed_exact"),
-        (col("n_exact") - col("n_final")).as("removed_near"),
-        col("n_final"))
   }
 
   /** x94 core: survivor REGRET — does keep-first dedup throw away the best

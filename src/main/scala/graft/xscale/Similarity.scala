@@ -791,6 +791,16 @@ object Similarity {
     * degrees — tiny. No window over the corpus, no all-pairs anywhere
     * beyond what the chosen graph generator already did.
     */
+  def hubnessFromKnn(knn: DataFrame, emb: DataFrame): DataFrame = {
+    val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("in_degree"))
+      .groupBy("in_degree")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** x106 core: embedding NORM AUDIT — the QA gate an embedding table
     * passes before any ANN index or cosine dedup is built over it: per
     * source (vec_id ↔ doc_id), the vector count, zero-norm count (a zero
@@ -800,13 +810,18 @@ object Similarity {
     * constant-embedding failure mode of a broken encoder batch), and the
     * norm min/max/sum in e6 fixed point (floor per row, so every
     * aggregate is an order-independent integer — the x35 no-libm rule;
-    * min/floor commute). Columns (source, n_vecs, n_zero, n_const,
-    * min_norm_e6, max_norm_e6, sum_norm_e6).
+    * min/floor commute). Vectors whose vec_id maps to NO document row are
+    * a failure mode of their own (orphaned embeddings — stale index, or
+    * an encoder emitting ids the corpus never had) and are REPORTED under
+    * the source "(unmapped)" rather than silently dropped: the malformed
+    * rows a QA gate exists to count must not be invisible to it. Columns
+    * (source, n_vecs, n_zero, n_const, min_norm_e6, max_norm_e6,
+    * sum_norm_e6).
     *
     * Scale posture (100 TB): one per-row pass over the vectors (norm is
-    * the same native dot the cosine ops use) + one broadcast-size join to
-    * the doc source + one keyed rollup — map-side combinable, |sources|
-    * rows out. No window, no pairs.
+    * the same native dot the cosine ops use) + one broadcast-size LEFT
+    * join to the doc source + one keyed rollup — map-side combinable,
+    * |sources|+1 rows out. No window, no pairs.
     */
   def embNormAudit(emb: DataFrame, docs: DataFrame): DataFrame = {
     val n = withNorm(emb)
@@ -814,7 +829,8 @@ object Similarity {
       .withColumn("is_const",
         when(expr("array_min(v) = array_max(v)"), 1L).otherwise(0L))
     val src = docs.select(col("doc_id").as("vec_id"), col("source"))
-    n.join(src, "vec_id")
+    n.join(src, Seq("vec_id"), "left")
+      .withColumn("source", coalesce(col("source"), lit("(unmapped)")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -823,16 +839,6 @@ object Similarity {
         min("nrm_e6").as("min_norm_e6"),
         max("nrm_e6").as("max_norm_e6"),
         sum("nrm_e6").as("sum_norm_e6"))
-  }
-
-  def hubnessFromKnn(knn: DataFrame, emb: DataFrame): DataFrame = {
-    val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
-      .agg(count(lit(1)).as("in_degree"))
-    emb.select("vec_id")
-      .join(indeg, Seq("vec_id"), "left")
-      .na.fill(0L, Seq("in_degree"))
-      .groupBy("in_degree")
-      .agg(count(lit(1)).as("n_vecs"))
   }
 
   /** LSH top-k: candidates collide in ANY of the NL tables, exact cosine
@@ -1940,8 +1946,8 @@ object Similarity {
           "CAST(floor(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) * 1000000) " +
           "AS BIGINT) AS nrm_e6, " +
           "CASE WHEN list_min(v) = list_max(v) THEN 1 ELSE 0 END AS is_const FROM e), " +
-          "j AS (SELECT d.source, n.nrm_e6, n.is_const FROM n " +
-          "JOIN documents d ON d.doc_id = n.vec_id) " +
+          "j AS (SELECT coalesce(d.source, '(unmapped)') AS source, n.nrm_e6, n.is_const " +
+          "FROM n LEFT JOIN documents d ON d.doc_id = n.vec_id) " +
           "SELECT source, CAST(count(*) AS BIGINT) AS n_vecs, " +
           "CAST(sum(CASE WHEN nrm_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
           "CAST(sum(is_const) AS BIGINT) AS n_const, " +
@@ -1954,8 +1960,10 @@ object Similarity {
         "NaN-poisons every comparison it joins), constant-dim vectors (the broken " +
         "encoder-batch failure mode), and the norm min/max/sum in e6 fixed point " +
         "(per-row floor, so every aggregate is an order-independent integer and the " +
-        "cross-engine compare is exact). One per-row native-dot pass + a doc-source " +
-        "join + one keyed rollup; |sources| rows out."
+        "cross-engine compare is exact). Orphaned vectors (vec_id with no document " +
+        "row) are reported under '(unmapped)', never dropped — a LEFT join, because " +
+        "the malformed rows a QA gate exists to count must not be invisible to it. " +
+        "One per-row native-dot pass + a doc-source join + one keyed rollup."
     ) { (s, dir) =>
       embNormAudit(table(s, dir, "embeddings"), table(s, dir, "documents"))
         .orderBy("source")

@@ -56,15 +56,21 @@ object TextAnalysis {
       s"0.3 * (least($nTok, 80) / 80.0)) * 10000) AS BIGINT)"
 
   /** Per-doc (doc_id, n_tok, score_e4) quality view of `documents`. */
-  private[graft] def qualityPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val d = docs.withColumn("ws", XText.words(col("text")))
-      .withColumn("n_tok", size(col("ws")).cast("long"))
-    d.select(
-      col("doc_id"),
-      col("n_tok"),
-      qualityScoreE4(col("n_chars"), col("n_tok"), hits(col("ws"), qualityStops))
-        .as("score_e4"))
-  }
+  private[graft] def qualityPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    qualityScored(docs).select("doc_id", "n_tok", "score_e4")
+
+  /** Row-preserving form of [[qualityPerDoc]]: appends `n_tok` +
+    * `score_e4` to the input as per-row columns — no join, no shuffle,
+    * duplicates preserved (the streaming gate's contract: an
+    * at-least-once replay must not multiply rows through a keyed
+    * re-attach).
+    */
+  private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("_qws", XText.words(col("text")))
+      .withColumn("n_tok", size(col("_qws")).cast("long"))
+      .withColumn("score_e4",
+        qualityScoreE4(col("n_chars"), col("n_tok"), hits(col("_qws"), qualityStops)))
+      .drop("_qws")
 
   /** DuckDB CTE chain `qw` → `qd` re-deriving [[qualityPerDoc]] (per-doc
     * doc_id, n_tok, score_e4 over `FROM documents`). CTE names are
@@ -401,8 +407,9 @@ object TextAnalysis {
       .withColumn("tfn_e6", expr("(22000 * tf * 1000000) div den_e4"))
       .withColumn("c_e6", expr("(idf_e6 * tfn_e6) div 1000000"))
       .select("tk", "doc_id", "c_e6")
-    val qt = w
+    val issued = w
       .filter(col("doc_id") % qMod === 0 && size(col("ws")) >= BmQPos + BmQLen - 1)
+    val qt = issued
       .select(col("doc_id").as("qid"), col("source").as("qsrc"),
         explode(array_distinct(slice(col("ws"), BmQPos, BmQLen))).as("tk"))
     val rk = qt.join(post, "tk")
@@ -411,15 +418,26 @@ object TextAnalysis {
       .withColumn("rk", row_number()
         .over(Window.partitionBy("qid").orderBy(col("score_e6").desc, col("doc_id")))
         .cast("long"))
-    rk.filter(col("doc_id") === col("qid"))
+    // The DENOMINATOR is the issued-query count, not the self-hit count:
+    // under a df-cap a query whose every term is pruned retrieves nothing
+    // — that is a MISS (hits and reciprocal rank 0), not a query that
+    // never happened. Counting from self-hit rows would shrink n_queries
+    // and silently inflate capped MRR relative to the exact baseline
+    // (same denominator in the uncapped form, where every query scores
+    // its own doc).
+    val nq = issued.groupBy(col("source").as("qsrc"))
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = rk.filter(col("doc_id") === col("qid"))
       .groupBy("qsrc")
       .agg(
-        count(lit(1)).as("n_queries"),
         sum(when(col("rk") === 1, 1L).otherwise(0L)).as("hits1"),
         sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("hits10"),
         sum(expr("1000000 div rk")).as("sum_rr_e6"))
+    nq.join(hits, Seq("qsrc"), "left")
+      .na.fill(0L, Seq("hits1", "hits10", "sum_rr_e6"))
       .withColumn("mrr_e6", expr("sum_rr_e6 div n_queries"))
       .withColumnRenamed("qsrc", "source")
+      .select("source", "n_queries", "hits1", "hits10", "sum_rr_e6", "mrr_e6")
   }
 
   /** x45 core: shingle novelty — the fraction of a doc's distinct k-gram
@@ -1067,9 +1085,15 @@ object TextAnalysis {
       .withColumn("key",
         col("h40") * lit(WinnowPosQ) + (lit(WinnowPosQ - 1) - col("pos")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    // Full windows select at pos >= w. A doc with 1..w-1 grams still gets
+    // ONE window — all its grams, selected at its last position (the
+    // standard short-document rule): without it, identical 3-5-word docs
+    // would carry zero fingerprints and be invisible to the shared audit.
+    val ng0 = count(lit(1)).over(Window.partitionBy("doc_id"))
     val sel = ph
       .withColumn("wmin", min(col("key")).over(win))
-      .filter(col("pos") >= w)
+      .withColumn("_ng", ng0)
+      .filter(col("pos") >= least(lit(w.toLong), col("_ng")))
       .select(col("doc_id"), col("wmin"))
       .distinct()
     val fp = sel.select(col("doc_id"), expr(s"wmin div $WinnowPosQ").as("h40")).distinct()
@@ -1550,13 +1574,21 @@ object TextAnalysis {
           "FROM qt JOIN post USING (tk) GROUP BY 1, 2, 3), " +
           "rk AS (SELECT qid, qsrc, doc_id, ROW_NUMBER() OVER (PARTITION BY qid " +
           "ORDER BY score_e6 DESC, doc_id) AS rk FROM sc), " +
-          "h AS (SELECT qsrc, rk FROM rk WHERE doc_id = qid) " +
-          "SELECT qsrc AS source, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "h AS (SELECT qsrc, rk FROM rk WHERE doc_id = qid), " +
+          // denominator = ISSUED queries (a fully-pruned query is a miss,
+          // not a query that never happened — mirrors the Spark side)
+          s"iq AS (SELECT source AS qsrc, CAST(count(*) AS BIGINT) AS n_queries FROM w " +
+          s"WHERE len(ws) >= $hi AND doc_id % $BmQMod = 0 GROUP BY 1), " +
+          "hg AS (SELECT qsrc, " +
           "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1, " +
           "CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10, " +
-          "CAST(sum(1000000 // rk) AS BIGINT) AS sum_rr_e6, " +
-          "CAST(sum(1000000 // rk) // count(*) AS BIGINT) AS mrr_e6 " +
-          "FROM h GROUP BY qsrc ORDER BY source"
+          "CAST(sum(1000000 // rk) AS BIGINT) AS sum_rr_e6 FROM h GROUP BY qsrc) " +
+          "SELECT iq.qsrc AS source, iq.n_queries, " +
+          "CAST(coalesce(hg.hits1, 0) AS BIGINT) AS hits1, " +
+          "CAST(coalesce(hg.hits10, 0) AS BIGINT) AS hits10, " +
+          "CAST(coalesce(hg.sum_rr_e6, 0) AS BIGINT) AS sum_rr_e6, " +
+          "CAST(coalesce(hg.sum_rr_e6, 0) // iq.n_queries AS BIGINT) AS mrr_e6 " +
+          "FROM iq LEFT JOIN hg USING (qsrc) ORDER BY source"
       },
       s"lexical retrieval eval — x85's MRR/hits@k measured in TEXT space: every " +
         s"${BmQMod}th doc issues a $BmQLen-word query from its own body (position " +
@@ -1599,13 +1631,21 @@ object TextAnalysis {
           "FROM qt JOIN post USING (tk) GROUP BY 1, 2, 3), " +
           "rk AS (SELECT qid, qsrc, doc_id, ROW_NUMBER() OVER (PARTITION BY qid " +
           "ORDER BY score_e6 DESC, doc_id) AS rk FROM sc), " +
-          "h AS (SELECT qsrc, rk FROM rk WHERE doc_id = qid) " +
-          "SELECT qsrc AS source, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "h AS (SELECT qsrc, rk FROM rk WHERE doc_id = qid), " +
+          // denominator = ISSUED queries (a fully-pruned query is a miss,
+          // not a query that never happened — mirrors the Spark side)
+          s"iq AS (SELECT source AS qsrc, CAST(count(*) AS BIGINT) AS n_queries FROM w " +
+          s"WHERE len(ws) >= $hi AND doc_id % $BmQMod = 0 GROUP BY 1), " +
+          "hg AS (SELECT qsrc, " +
           "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1, " +
           "CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10, " +
-          "CAST(sum(1000000 // rk) AS BIGINT) AS sum_rr_e6, " +
-          "CAST(sum(1000000 // rk) // count(*) AS BIGINT) AS mrr_e6 " +
-          "FROM h GROUP BY qsrc ORDER BY source"
+          "CAST(sum(1000000 // rk) AS BIGINT) AS sum_rr_e6 FROM h GROUP BY qsrc) " +
+          "SELECT iq.qsrc AS source, iq.n_queries, " +
+          "CAST(coalesce(hg.hits1, 0) AS BIGINT) AS hits1, " +
+          "CAST(coalesce(hg.hits10, 0) AS BIGINT) AS hits10, " +
+          "CAST(coalesce(hg.sum_rr_e6, 0) AS BIGINT) AS sum_rr_e6, " +
+          "CAST(coalesce(hg.sum_rr_e6, 0) // iq.n_queries AS BIGINT) AS mrr_e6 " +
+          "FROM iq LEFT JOIN hg USING (qsrc) ORDER BY source"
       },
       s"x88's production posture: identical scoring, but terms in more than " +
         f"${BmMaxDfPpm / 10000}%d%% of docs are pruned from the postings BEFORE the " +
@@ -2160,8 +2200,9 @@ object TextAnalysis {
           s"FROM w0 WHERE len(ws) >= $k))), " +
           s"ky AS (SELECT doc_id, p, h40 * $WinnowPosQ + (${WinnowPosQ - 1} - p) AS key FROM occ), " +
           "wm AS (SELECT doc_id, p, MIN(key) OVER (PARTITION BY doc_id ORDER BY p " +
-          s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin FROM ky), " +
-          s"sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE p >= $w), " +
+          s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin, " +
+          "COUNT(*) OVER (PARTITION BY doc_id) AS ng FROM ky), " +
+          s"sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE p >= least($w, ng)), " +
           s"fp AS (SELECT DISTINCT doc_id, wmin // $WinnowPosQ AS h40 FROM sel), " +
           s"ng AS (SELECT doc_id, CAST(CASE WHEN len(ws) >= $k THEN len(ws) - ${k - 1} " +
           "ELSE 0 END AS BIGINT) AS n_grams FROM w0), " +

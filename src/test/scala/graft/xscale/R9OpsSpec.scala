@@ -109,8 +109,17 @@ class R9OpsSpec extends SparkSpec {
   }
 
   test("x103 winnow matches a sequential reference, window guarantee holds") {
+    // real docs + planted SHORT docs (fewer grams than the window): two
+    // identical 5-word docs must still fingerprint and be seen as shared
+    val shorts = Seq(
+      (900001L, "alpha beta gamma delta epsilon"),
+      (900002L, "alpha beta gamma delta epsilon"),
+      (900003L, "one two three"), // exactly one gram at k=3
+      (900004L, "lone pair")) // 0 grams (shorter than k)
+      .toDF("doc_id", "text")
     val docs = graft.query.Registry.table(spark, sf, "documents")
-      .filter(col("doc_id") < 40)
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+      .unionByName(shorts)
     val k = TextAnalysis.WinnowK
     val w = TextAnalysis.WinnowW
     // sequential reference: positional k-gram 40-bit hashes, rightmost-min
@@ -127,26 +136,36 @@ class R9OpsSpec extends SparkSpec {
           if (ws.length < k) Array.empty[Long]
           else (0 to ws.length - k).map(i => h60(ws.slice(i, i + k).mkString(" ")) & ((1L << 40) - 1)).toArray
         val sel = scala.collection.mutable.Set.empty[(Long, Int)]
-        for (end <- (w - 1) until grams.length) {
-          val win = (end - w + 1) to end
+        // full windows; a short doc (1..w-1 grams) gets ONE window of all
+        // its grams — the engine's least(w, ng) rule
+        val ends =
+          if (grams.length >= w) (w - 1) until grams.length
+          else if (grams.nonEmpty) Seq(grams.length - 1)
+          else Seq.empty
+        for (end <- ends) {
+          val win = math.max(0, end - w + 1) to end
           // min hash, ties to the RIGHTMOST position
           val best = win.minBy(p => (grams(p), -p))
           sel += ((grams(best), best + 1))
         }
-        // window guarantee: every full window contains a selected position
-        for (end <- (w - 1) until grams.length) {
-          val win = ((end - w + 1) to end).map(p => (grams(p), p + 1))
+        // window guarantee: every window contains a selected position
+        for (end <- ends) {
+          val win = (math.max(0, end - w + 1) to end).map(p => (grams(p), p + 1))
           assert(win.exists(sel.contains), s"doc $id window at $end uncovered")
         }
         id -> (grams.length.toLong, sel.size.toLong)
     }.toMap
     val out = TextAnalysis.winnowFingerprints(docs)
-      .select("doc_id", "n_grams", "n_fp")
-      .as[(Long, Long, Long)].collect()
+      .select("doc_id", "n_grams", "n_fp", "n_shared_fp")
+      .as[(Long, Long, Long, Long)].collect()
     assert(out.length == ref.size)
-    out.foreach { case (id, ng, nf) =>
+    out.foreach { case (id, ng, nf, _) =>
       assert((ng, nf) == ref(id), s"doc $id: engine ($ng,$nf) != reference ${ref(id)}")
     }
+    // the identical short docs fingerprint AND see each other as shared
+    val shortRows = out.filter(r => r._1 == 900001L || r._1 == 900002L)
+    assert(shortRows.forall(r => r._3 == 1L && r._4 == 1L),
+      s"identical short docs must share their one fingerprint: ${shortRows.toSeq}")
   }
 
   test("x104 quantiles: exact rank rule matches a sorted-array reference; approx brackets it") {
@@ -196,14 +215,21 @@ class R9OpsSpec extends SparkSpec {
     val ids = docs.select("doc_id").as[Long].orderBy("doc_id").take(2)
     val zeroRow = Seq((ids(0), Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
     val constRow = Seq((ids(1), Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    // plus one ORPHAN vector whose vec_id maps to no document — it must
+    // surface under "(unmapped)", not silently vanish from the QA gate
+    val orphanRow = Seq((77777777L, Array.fill(dim)(0.25f))).toDF("vec_id", "embedding")
     val aug = emb.filter(!col("vec_id").isin(ids: _*))
       .select("vec_id", "embedding").unionByName(zeroRow).unionByName(constRow)
+      .unionByName(orphanRow)
     val out = Similarity.embNormAudit(aug, docs)
       .select("source", "n_vecs", "n_zero", "n_const", "min_norm_e6", "max_norm_e6", "sum_norm_e6")
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     assert(out.map(_._3).sum == 1L, "exactly the planted zero vector")
-    // the zero vector is also constant; the planted 0.5-vector adds one more
-    assert(out.map(_._4).sum == 2L, "zero + constant vectors are both constant-dim")
+    // zero + planted 0.5-vector + the orphan 0.25-vector are constant-dim
+    assert(out.map(_._4).sum == 3L, "all three planted vectors are constant-dim")
+    val unmapped = out.filter(_._1 == "(unmapped)")
+    assert(unmapped.length == 1 && unmapped.head._2 == 1L,
+      s"orphan vector must be reported under (unmapped): ${out.map(_._1).toSeq}")
     out.foreach { case (_, n, nz, _, mn, mx, sm) =>
       assert(mn <= mx && sm >= mx && n > 0 && (nz == 0L || mn == 0L))
     }

@@ -700,11 +700,15 @@ class XScaleSpec extends SparkSpec {
       ("srcB", 1L, 1L, 1L, 1000000L, 1000000L)))
     // the maxDfPpm scale knob: a 40% cap drops the q-terms (df 2/4) from
     // the postings, so doc 7's query loses every candidate INCLUDING
-    // itself and vanishes; doc 14's df=1/4 terms survive at rank 1
+    // itself — recorded as a MISS (0 hits), not a vanished query: the
+    // denominator is the issued-query count, so capped and exact MRR
+    // stay comparable. doc 14's df=1/4 terms survive at rank 1.
     val capped = TextAnalysis.bm25Retrieval(docs, maxDfPpm = 400000L)
       .select("source", "n_queries", "hits1", "hits10", "sum_rr_e6", "mrr_e6")
       .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
-    assert(capped.toSeq === Seq(("srcB", 1L, 1L, 1L, 1000000L, 1000000L)))
+    assert(capped.toSeq === Seq(
+      ("srcA", 1L, 0L, 0L, 0L, 0L),
+      ("srcB", 1L, 1L, 1L, 1000000L, 1000000L)))
   }
 
   test("x91 rag index: identical docs collapse to one zero-error cell, chunks conserved") {

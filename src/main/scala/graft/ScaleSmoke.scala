@@ -27,7 +27,6 @@ object ScaleSmoke {
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
     "x77_cms_heavy_hitters", "x79_ivfpq_add",
     "x86_split_repair", "x87_dedup_survivorship",
-    "x88_bm25_capped",
     "x89_decontam_agreement", "x90_filter_ablation",
     "x91_rag_index", "x91_rag_auto", "x92_rag_auto",
     "x94_survivor_regret", "x95_keepbest_gain",
@@ -37,14 +36,18 @@ object ScaleSmoke {
     "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
     "x108_ngram_coverage", "x109_lexical_profile",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
-  // x88_bm25_retrieval (the EXACT form) is deliberately NOT in the default
-  // battery: this fixture's vocabulary is 31 words in a ~74.6-80.4% df
-  // band, so exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s at
-  // 10x, measured). The registered x88_bm25_capped IS in the battery: its
-  // 76.6% df-cap (TextAnalysis.BmMaxDfPpm) lands INSIDE the band at every
-  // SF — the ~25 heaviest posting lists are pruned and a non-trivial
-  // ranking survives from the tail. Run the exact form explicitly to
-  // reproduce the 738 s number.
+  // NEITHER x88 form is in the default battery: this fixture's vocabulary
+  // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are
+  // ~|q| x n BY CONSTRUCTION (738 s at 10x, measured) — and any cap that
+  // keeps a NON-TRIVIAL ranking here (TextAnalysis.BmMaxDfPpm = 76.6%,
+  // inside the band) necessarily keeps ~76%-df posting lists, which at
+  // 10x is still ~|q| x n on the kept terms (513 s, measured). A cap
+  // below the band empties every posting list (the 0-row edge; 3.8 s at
+  // 10x, measured at 76.0%). The knob's production value needs the
+  // Zipfian vocabulary real corpora have, where the cap drops most
+  // posting MASS while keeping the informative tail; the per-SF bench
+  // times the capped form (4.4 s warm at sf0.1). Run either form
+  // explicitly to reproduce the numbers.
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
   private def ccMegastar(s: SparkSession) =

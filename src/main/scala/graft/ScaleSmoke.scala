@@ -34,7 +34,8 @@ object ScaleSmoke {
     "x99_dedup_cascade", "x100_filter_sweep", "x101_curriculum_auto",
     "x102_oov_rate", "x103_winnow", "x104_quantiles_auto",
     "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
-    "x108_ngram_coverage", "x109_lexical_profile",
+    "x108_ngram_coverage", "x109_lexical_profile", "x110_label_noise",
+    "x111_charset_audit",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are

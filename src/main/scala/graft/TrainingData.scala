@@ -784,6 +784,16 @@ object TrainingData {
   def embNormAudit(emb: DataFrame, docs: DataFrame): DataFrame =
     Similarity.embNormAudit(emb, docs)
 
+  /** Label-noise audit via k-NN label agreement (x110, Northcutt et al.
+    * 2021): per label, the neighbor-vote agreement of any
+    * (query_id, rank, neighbor_id) graph — the x07 LSH graph in the
+    * registered query, [[knnBrute]] as the exactness baseline — with
+    * strict-majority-disagree suspects and isolated vectors reported.
+    * Integer arithmetic end to end; edge list k·n, keyed joins only.
+    */
+  def knnLabelAgreement(knn: DataFrame, emb: DataFrame): DataFrame =
+    Similarity.knnLabelAgreement(knn, emb)
+
   /** Phase-pure pack build (x107): the curriculum (x101) composed with
     * the x21 packer — packs built within each phase so a trainer streams
     * phase 1 before phase 2 loads, with per-phase fill-ratio audit. The
@@ -813,6 +823,16 @@ object TrainingData {
     */
   def ngramCoverage(docs: DataFrame, k: Int = DataPrep.CovK): DataFrame =
     DataPrep.ngramCoverage(docs, k)
+
+  /** Per-source charset & char-diversity audit (x111): docs with
+    * non-ASCII / control / U+FFFD chars (mis-decode and binary-
+    * contamination signals), non-ASCII codepoint mass, and the per-doc
+    * character collision probability (Rényi-2 repetition proxy) as
+    * exact e6 integers. One native CharProfile codegen pass per row +
+    * a per-source rollup — no explode, no window, no joins.
+    */
+  def charsetAudit(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.charsetAudit(docs)
 
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum

@@ -841,6 +841,52 @@ object Similarity {
         sum("nrm_e6").as("sum_norm_e6"))
   }
 
+  /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
+    * confident-learning signal (Northcutt et al. JAIR 2021) computed from
+    * neighborhood votes: a labeled example whose nearest neighbors
+    * mostly carry a DIFFERENT label is the classic mislabeling suspect,
+    * and a label whose aggregate neighbor agreement is low is either
+    * noisy or genuinely entangled with another class (cross-check with
+    * the x46 centroid-confusability matrix). Takes ANY
+    * (query_id, rank, neighbor_id) graph — [[knnBrute]] as the exactness
+    * baseline, the x07 LSH graph as the production posture — because the
+    * votes that matter are the shortlists the deployed index actually
+    * returns. Per label: vector count, isolated count (no neighbors in
+    * the graph — never silently dropped), total votes cast (sum_k),
+    * same-label votes (sum_same), strict-majority-disagree suspects, and
+    * agree_e6 = (1e6·sum_same) div sum_k — integer arithmetic end to
+    * end, so the cross-engine compare is exact.
+    *
+    * Scale posture (100 TB): the edge list is k·|corpus| rows; both
+    * label attachments are keyed joins on vec_id (no broadcast needed —
+    * the label map is corpus-sized); the per-query vote count is
+    * map-side combinable, the zero-completion is one keyed LEFT join,
+    * and the final rollup is |labels| rows. No window, no pairs beyond
+    * what the chosen graph generator already produced.
+    */
+  def knnLabelAgreement(knn: DataFrame, emb: DataFrame): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val perQ = knn
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("q_label")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("k_found"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+    lab.join(perQ, lab("vec_id") === perQ("query_id"), "left")
+      .na.fill(0L, Seq("k_found", "n_same"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("k_found") === 0L, 1L).otherwise(0L)).as("n_isolated"),
+        sum("k_found").as("sum_k"),
+        sum("n_same").as("sum_same"),
+        sum(when(col("k_found") > 0L && col("n_same") * 2 < col("k_found"), 1L)
+          .otherwise(0L)).as("n_suspect"))
+      .withColumn("agree_e6",
+        when(col("sum_k") > 0L, expr("(1000000 * sum_same) div sum_k")).otherwise(0L))
+  }
+
   /** LSH top-k: candidates collide in ANY of the NL tables, exact cosine
     * rank on candidates only. Columns (query_id, rank, neighbor_id).
     */
@@ -1967,6 +2013,56 @@ object Similarity {
     ) { (s, dir) =>
       embNormAudit(table(s, dir, "embeddings"), table(s, dir, "documents"))
         .orderBy("source")
+    },
+
+    // ----- x110: label-noise audit via k-NN label agreement (LSH graph) -----
+    Q(
+      "x110_label_noise",
+      Some {
+        val bucketList = (0 until NL).map(bucketSqlT).mkString(", ")
+        val tblList = (0 until NL).mkString(", ")
+        s"WITH $normCtes, " +
+          s"bkt AS (SELECT vec_id, unnest([$bucketList]) AS bucket, " +
+          s"unnest([$tblList]) AS tbl FROM n), " +
+          "cand AS (SELECT DISTINCT b1.vec_id AS query_id, b2.vec_id AS neighbor_id " +
+          "FROM bkt b1 JOIN bkt b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket " +
+          "AND b2.vec_id <> b1.vec_id), " +
+          "s AS (SELECT query_id, neighbor_id, " +
+          s"$cosSql AS cos FROM cand " +
+          "JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s), " +
+          "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
+          "pq AS (SELECT r.query_id, count(*) AS k_found, " +
+          "sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS n_same " +
+          "FROM r JOIN lab ql ON ql.vec_id = r.query_id " +
+          "JOIN lab nl ON nl.vec_id = r.neighbor_id WHERE r.rank <= 3 GROUP BY 1), " +
+          "a AS (SELECT l.label, coalesce(pq.k_found, 0) AS k_found, " +
+          "coalesce(pq.n_same, 0) AS n_same " +
+          "FROM lab l LEFT JOIN pq ON pq.query_id = l.vec_id) " +
+          "SELECT label, count(*) AS n_vecs, " +
+          "CAST(sum(CASE WHEN k_found = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated, " +
+          "CAST(sum(k_found) AS BIGINT) AS sum_k, " +
+          "CAST(sum(n_same) AS BIGINT) AS sum_same, " +
+          "CAST(sum(CASE WHEN k_found > 0 AND 2 * n_same < k_found THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_suspect, " +
+          "CAST(CASE WHEN sum(k_found) > 0 " +
+          "THEN (1000000 * sum(n_same)) // sum(k_found) ELSE 0 END AS BIGINT) AS agree_e6 " +
+          "FROM a GROUP BY label ORDER BY label"
+      },
+      "LABEL-NOISE audit via k-NN label agreement (Northcutt et al. 2021, confident " +
+        "learning): every vector votes through its x07 LSH top-3 shortlist — the graph " +
+        "retrieval actually uses, not the all-pairs one — and a strict neighbor-majority " +
+        "disagreeing with the assigned label marks a mislabeling suspect. Per label: " +
+        "vector count, isolated vectors (no LSH collision — reported, never dropped), " +
+        "votes cast / same-label votes, suspect count, agree_e6 as exact integer " +
+        "division. Low agreement on one label = noisy or entangled with a neighbor " +
+        "class (cross-check x46 centroid confusability). Edge list is k·n; label " +
+        "attachments are keyed joins; per-query vote count is map-side combinable; " +
+        "final rollup is |labels| rows."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      knnLabelAgreement(knnLsh(emb, lit(true)), emb).orderBy("label")
     }
   )
 }

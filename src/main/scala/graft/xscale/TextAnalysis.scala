@@ -1040,6 +1040,56 @@ object TextAnalysis {
       .select("source", "n_tok", "n_types", "ttr_e6", "n_hapax", "hapax_e6")
   }
 
+  /** x111 core: per-source CHARSET & CHAR-DIVERSITY audit — the
+    * encoding-health block of a corpus datasheet, from one native
+    * [[graftnative.CharProfile]] pass per row:
+    *
+    *  - mis-decode signals: docs containing non-ASCII codepoints,
+    *    non-\t\n\r control chars (binary-in-text contamination), and
+    *    U+FFFD replacement chars (a decoder already lost bytes upstream)
+    *    — each REPORTED per source, plus the total non-ASCII codepoint
+    *    mass. A source whose nonascii share jumps between crawls changed
+    *    its upstream encoding handling; a single U+FFFD is proof.
+    *  - character diversity: the per-doc collision probability
+    *    coll_e6 = (1e6·Σc(c−1)) div (n(n−1)) — the Rényi-2 repetition
+    *    proxy (a char-spam / OCR-damage signal the word-level x31 family
+    *    cannot see). Exact-rational integer arithmetic, no logs — the
+    *    same no-libm rule as x35/x106 — so every aggregate is an
+    *    order-independent integer and the cross-engine compare is exact.
+    *    Degenerate docs (n < 2) pin to 1e6, the all-same-char value.
+    *
+    * Columns (source, n_docs, n_nonascii_docs, n_ctrl_docs, n_repl_docs,
+    * nonascii_chars, min_coll_e6, max_coll_e6, sum_coll_e6).
+    *
+    * Scale posture (100 TB): one whole-stage-codegen scan (the profile
+    * struct is a single pass per row) into a per-source rollup —
+    * map-side combinable, |sources| rows out, no window, no joins, no
+    * explode: the per-codepoint histogram never leaves the expression.
+    */
+  def charsetAudit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = docs.select(col("source"), graftnative.api.charProfile(col("text")).as("cp"))
+      .select(
+        col("source"),
+        col("cp.n_cp").as("n_cp"),
+        col("cp.n_nonascii").as("n_nonascii"),
+        col("cp.n_ctrl").as("n_ctrl"),
+        col("cp.n_repl").as("n_repl"),
+        col("cp.coll_num").as("coll_num"))
+      .withColumn("coll_e6",
+        when(col("n_cp") < 2L, lit(1000000L))
+          .otherwise(expr("(1000000 * coll_num) div (n_cp * (n_cp - 1))")))
+    p.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_nonascii") > 0L, 1L).otherwise(0L)).as("n_nonascii_docs"),
+        sum(when(col("n_ctrl") > 0L, 1L).otherwise(0L)).as("n_ctrl_docs"),
+        sum(when(col("n_repl") > 0L, 1L).otherwise(0L)).as("n_repl_docs"),
+        sum("n_nonascii").as("nonascii_chars"),
+        min("coll_e6").as("min_coll_e6"),
+        max("coll_e6").as("max_coll_e6"),
+        sum("coll_e6").as("sum_coll_e6"))
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2282,6 +2332,47 @@ object TextAnalysis {
         "vocab-sized rollup — map-side combinable, no window, no joins."
     ) { (s, dir) =>
       lexicalProfile(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x111: per-source charset & char-diversity audit -----
+    Q(
+      "x111_charset_audit",
+      Some(
+        "WITH ch AS (SELECT doc_id, source, unnest(string_split(text, '')) AS c " +
+          "FROM documents), " +
+          "hc AS (SELECT doc_id, source, c, count(*) AS n FROM ch GROUP BY 1, 2, 3), " +
+          "pd AS (SELECT doc_id, source, CAST(sum(n) AS BIGINT) AS n_cp, " +
+          "CAST(sum(n * (n - 1)) AS BIGINT) AS coll_num FROM hc GROUP BY 1, 2), " +
+          "pp AS (SELECT d.doc_id, d.source, " +
+          "length(regexp_replace(d.text, '[\\x00-\\x7f]', '', 'g')) AS n_nonascii, " +
+          "CASE WHEN regexp_matches(d.text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]') " +
+          "THEN 1 ELSE 0 END AS has_ctrl, " +
+          "CASE WHEN contains(d.text, chr(65533)) THEN 1 ELSE 0 END AS has_repl, " +
+          "CASE WHEN pd.n_cp < 2 THEN 1000000 " +
+          "ELSE (1000000 * pd.coll_num) // (pd.n_cp * (pd.n_cp - 1)) END AS coll_e6 " +
+          "FROM documents d JOIN pd ON pd.doc_id = d.doc_id) " +
+          "SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN n_nonascii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_docs, " +
+          "CAST(sum(has_ctrl) AS BIGINT) AS n_ctrl_docs, " +
+          "CAST(sum(has_repl) AS BIGINT) AS n_repl_docs, " +
+          "CAST(sum(n_nonascii) AS BIGINT) AS nonascii_chars, " +
+          "CAST(min(coll_e6) AS BIGINT) AS min_coll_e6, " +
+          "CAST(max(coll_e6) AS BIGINT) AS max_coll_e6, " +
+          "CAST(sum(coll_e6) AS BIGINT) AS sum_coll_e6 " +
+          "FROM pp GROUP BY source ORDER BY source"),
+      "per-source CHARSET & CHAR-DIVERSITY audit — the encoding-health datasheet " +
+        "block: docs with non-ASCII / control / U+FFFD-replacement chars (each a " +
+        "mis-decode or binary-contamination signal; one U+FFFD is proof a decoder " +
+        "lost bytes upstream), non-ASCII codepoint mass, and the per-doc character " +
+        "collision probability (Rényi-2 repetition proxy — char spam and OCR damage " +
+        "the word-level x31 family cannot see) as exact-rational e6 integers, no " +
+        "libm. One native CharProfile codegen pass per row + a per-source rollup: " +
+        "map-side combinable, no window, no joins, no explode — the codepoint " +
+        "histogram never leaves the expression. The oracle replays the histogram " +
+        "relationally (per-char unnest + two rollups); affordable at oracle SF, " +
+        "which is exactly why the engine side is a native expression instead."
+    ) { (s, dir) =>
+      charsetAudit(table(s, dir, "documents")).orderBy("source")
     }
   )
 

@@ -914,6 +914,95 @@ object RepetitionMetrics {
   }
 }
 
+/** Per-row character profile (x111) in ONE pass over the text, as a struct
+  * of longs:
+  *
+  *  - `n_cp` — codepoint count (supplementary-plane chars count once,
+  *    unlike UTF-16 `length`).
+  *  - `n_nonascii` — codepoints > 0x7F (mojibake / encoding-mix signal).
+  *  - `n_ctrl` — control codepoints other than \t \n \r (binary-in-text
+  *    contamination).
+  *  - `n_repl` — U+FFFD replacement chars (a decoder already lost bytes
+  *    upstream; the strongest mis-decode signal there is).
+  *  - `coll_num` — Σ c·(c−1) over per-codepoint counts: the numerator of
+  *    the character collision probability (Rényi-2 diversity). With the
+  *    denominator n_cp·(n_cp−1) it gives an exact-rational repetitiveness
+  *    score — no logs, so the fixed-point value is bit-identical
+  *    cross-engine (the entropy-without-libm trick).
+  *  - `n_distinct` — distinct codepoints (effective alphabet floor).
+  *
+  * Histogram is an int[128] fast path + a boxed map only for the
+  * non-ASCII tail. Single pass inside whole-stage codegen; at 100 TB this
+  * is linear scan work with zero shuffle.
+  */
+case class CharProfile(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = CharProfile.schema
+  override def prettyName: String = "graft_char_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    CharProfile.compute(input.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftnative.CharProfile.compute($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharProfile =
+    copy(child = newChild)
+}
+
+object CharProfile {
+  val schema: StructType = StructType(
+    Seq("n_cp", "n_nonascii", "n_ctrl", "n_repl", "coll_num", "n_distinct")
+      .map(StructField(_, LongType, nullable = false)))
+
+  def compute(text: String): InternalRow = {
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var nCp = 0L
+    var nNonAscii = 0L
+    var nCtrl = 0L
+    var nRepl = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      nCp += 1
+      if (cp < 128) {
+        ascii(cp) += 1
+        if (cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') nCtrl += 1
+        if (cp == 0x7f) nCtrl += 1
+      } else {
+        nNonAscii += 1
+        if (cp == 0xfffd) nRepl += 1
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val slot = other.get(cp)
+        if (slot == null) other.put(cp, Array(1L)) else slot(0) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var collNum = 0L
+    var nDistinct = 0L
+    var j = 0
+    while (j < 128) {
+      val c = ascii(j)
+      if (c > 0) { nDistinct += 1; collNum += c * (c - 1) }
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        nDistinct += 1
+        collNum += c * (c - 1)
+      }
+    }
+    new GenericInternalRow(Array[Any](nCp, nNonAscii, nCtrl, nRepl, collNum, nDistinct))
+  }
+}
+
 /** Public Column-level API for the native expressions. */
 object api {
   def dot(a: Column, b: Column): Column =
@@ -950,6 +1039,9 @@ object api {
 
   def repetitionMetrics(text: Column): Column =
     ExpressionUtils.column(RepetitionMetrics(ExpressionUtils.expression(text)))
+
+  def charProfile(text: Column): Column =
+    ExpressionUtils.column(CharProfile(ExpressionUtils.expression(text)))
 
   def windowHash60(text: Column, k: Int): Column =
     ExpressionUtils.column(WindowHash60(ExpressionUtils.expression(text), k))

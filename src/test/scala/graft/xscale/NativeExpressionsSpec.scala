@@ -134,4 +134,30 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(graftnative.api.bigramHash60(col("text"))).collect()(0).getSeq[Any](0)
     assert(short.isEmpty)
   }
+
+  test("CharProfile: codepoints, categories and collision sum match a driver recount") {
+    // ascii, non-ascii (incl. a supplementary-plane codepoint and U+FFFD),
+    // control chars in and out of the \t\n\r exemption, empty string
+    val texts = Seq(
+      "aabbc",
+      "café � naïve",
+      "tab\tok\nbell\u0007del\u007f",
+      "😀😀 twice", // U+1F600 twice: 2 codepoints, 4 chars
+      "")
+    val rows = texts.toDF("text")
+      .select(graftnative.api.charProfile(col("text")).as("p"))
+      .select("p.n_cp", "p.n_nonascii", "p.n_ctrl", "p.n_repl", "p.coll_num", "p.n_distinct")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    texts.zip(rows).foreach { case (t, (nCp, nNa, nCtrl, nRepl, coll, nDist)) =>
+      val cps = t.codePoints().toArray
+      val counts = cps.groupBy(identity).map { case (_, v) => v.length.toLong }
+      assert(nCp == cps.length.toLong)
+      assert(nNa == cps.count(_ > 0x7f).toLong)
+      assert(nCtrl == cps.count(c =>
+        (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0x7f).toLong)
+      assert(nRepl == cps.count(_ == 0xfffd).toLong)
+      assert(coll == counts.map(c => c * (c - 1)).sum)
+      assert(nDist == counts.size.toLong)
+    }
+  }
 }

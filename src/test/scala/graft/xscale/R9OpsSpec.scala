@@ -316,4 +316,90 @@ class R9OpsSpec extends SparkSpec {
     assert(row._3 == counts.size.toLong)
     assert(row._5 == counts.values.count(_ == 1).toLong)
   }
+
+  test("x110 label noise: planted mislabel is the suspect, isolated vectors are counted") {
+    // cluster A at (1,0): vecs 0-2 labeled 0, vec 3 sits IN cluster A but
+    // carries label 1 (the mislabel); cluster B at (0,1): vecs 4-5 labeled 1
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 0),
+      (3L, Array(0.97f, 0.03f), 1),
+      (4L, Array(0f, 1f), 1),
+      (5L, Array(0.01f, 0.99f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(Similarity.knnBrute(emb, lit(true), 2), emb)
+      .select("label", "n_vecs", "n_isolated", "sum_k", "sum_same", "n_suspect", "agree_e6")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val l0 = out(0); val l1 = out(1)
+    // label 0: three vectors, each with both top-2 neighbors inside cluster A;
+    // vec 3 (label 1) can appear in shortlists but the QUERIES of label 0 see
+    // at most one cross-label vote each — never a strict majority against
+    assert(l0._2 == 3L && l0._3 == 0L && l0._6 == 0L)
+    // label 1: vec 3's top-2 are cluster-A docs (label 0) -> the one suspect;
+    // vecs 4/5 see each other first -> not suspects
+    assert(l1._2 == 3L && l1._6 == 1L)
+    // vote accounting: every edge of the graph is one vote
+    assert(out.map(_._4).sum == 12L) // 6 queries x k=2
+    // agreement ratio is exact integer division of the vote counts
+    out.foreach { r => assert(r._7 == 1000000L * r._5 / r._4) }
+    // a query missing from the graph entirely is isolated, never dropped
+    val partial = Similarity.knnBrute(emb, col("vec_id") =!= 5L, 2)
+    val iso = Similarity.knnLabelAgreement(partial, emb)
+      .select("label", "n_isolated").as[(Long, Long)].collect().toMap
+    assert(iso(1L) == 1L && iso(0L) == 0L)
+    // real fixture over the production LSH graph: totals account for
+    // every vector and every edge, ratios stay in [0, 1e6]
+    val e500 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val g = Similarity.knnLsh(e500, lit(true))
+    val nEdges = g.count()
+    val dist = Similarity.knnLabelAgreement(g, e500)
+      .select("n_vecs", "sum_k", "agree_e6").as[(Long, Long, Long)].collect()
+    assert(dist.map(_._1).sum == e500.count())
+    assert(dist.map(_._2).sum == nEdges)
+    dist.foreach(r => assert(r._3 >= 0L && r._3 <= 1000000L))
+  }
+
+  test("x111 charset audit: planted dirty docs are counted, diversity matches a recount") {
+    val docs = Seq(
+      (0L, "clean ascii text here", "s1"),
+      (1L, "café naïve résumé", "s1"), // non-ascii, no repl
+      (2L, "lost � bytes � here", "s1"), // U+FFFD (also non-ascii)
+      (3L, "binary\u0000junk\u0007in text", "s2"), // control chars
+      (4L, "aaaaaaaaaaaaaaaaaaaa", "s2"), // char spam: collision -> 1e6
+      (5L, "x", "s2")) // degenerate n<2 pins to 1e6
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charsetAudit(docs)
+      .select("source", "n_docs", "n_nonascii_docs", "n_ctrl_docs", "n_repl_docs",
+        "nonascii_chars", "min_coll_e6", "max_coll_e6", "sum_coll_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val s1 = out(0); val s2 = out(1)
+    assert(s1._2 == 3L && s1._3 == 2L && s1._4 == 0L && s1._5 == 1L)
+    assert(s1._6 == 4L + 2L) // 4 accented chars + 2 replacement chars
+    assert(s2._2 == 3L && s2._3 == 0L && s2._4 == 1L && s2._5 == 0L)
+    // the char-spam doc and the 1-char doc both pin the max at exactly 1e6
+    assert(s2._8 == 1000000L)
+    // per-doc collision recount, driver-side, for every planted doc
+    val perDoc = docs.select(col("doc_id"),
+        org.apache.spark.sql.graftnative.api.charProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_cp"), col("p.coll_num"))
+      .as[(Long, Long, Long)].collect()
+    perDoc.foreach { case (id, nCp, coll) =>
+      val t = docs.filter(col("doc_id") === id).select("text").as[String].head()
+      val counts = t.codePoints().toArray.groupBy(identity).map(_._2.length.toLong)
+      assert(nCp == t.codePoints().count())
+      assert(coll == counts.map(c => c * (c - 1)).sum)
+    }
+    // real fixture: every source clean ASCII, collision envelope sane
+    val real = TextAnalysis.charsetAudit(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .select("n_docs", "n_nonascii_docs", "n_ctrl_docs", "n_repl_docs",
+        "min_coll_e6", "max_coll_e6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(real.map(_._1).sum > 0L)
+    real.foreach { r =>
+      assert(r._2 == 0L && r._3 == 0L && r._4 == 0L)
+      assert(r._5 > 0L && r._6 <= 1000000L)
+    }
+  }
 }

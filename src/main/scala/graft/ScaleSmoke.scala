@@ -35,7 +35,8 @@ object ScaleSmoke {
     "x102_oov_rate", "x103_winnow", "x104_quantiles_auto",
     "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
     "x108_ngram_coverage", "x109_lexical_profile", "x110_label_noise",
-    "x111_charset_audit",
+    "x111_charset_audit", "x112_key_skew", "x113_ann_recall_auto",
+    "x114_len_quality_corr",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are
@@ -81,6 +82,19 @@ object ScaleSmoke {
       (0 until factor).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * shift)))
         .reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    }
+    // events copies get DISJOINT key spaces (user_id shifted too): per-key
+    // counts are preserved, keys and rows both xN — the skew RATIO x112
+    // measures is invariant, which is exactly the flat-at-scale claim.
+    // Separate existence check so pre-r9 cached corpora upgrade in place.
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      val shift = 10000000L
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      (0 until factor).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * shift))
+          .withColumn("user_id", col("user_id") + lit(i * shift)))
+        .reduce(_ union _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
     }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
@@ -160,6 +174,18 @@ object ScaleSmoke {
           seedCap = 40000L,
           trainSample = 0.1,
           checkpointDir = Some(s"$d/_checkpoints"))),
+      // x113 scale posture: ground truth stays sample-bounded — the
+      // query sample THINS as the corpus grows (mod 1000 here vs the
+      // registered mod-20 pin) because recall@k's statistical value
+      // saturates in the hundreds of queries while brute-force ground
+      // truth cost is |sample| x |corpus|.
+      "x113_ann_recall_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val sel = col("vec_id") % 1000 === 0
+        TrainingData.annRecall(
+          xscale.Similarity.knnLsh(emb, sel),
+          xscale.Similarity.knnBrute(emb, sel), emb)
+      }),
       // CC skew posture: same edge count (1.1 M pairs), three shapes —
       // uniform 2-cliques, one 1M-leaf mega-star (hot join key every
       // label-prop round), and the mega-star with the salts=8 escape

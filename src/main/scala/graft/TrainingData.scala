@@ -834,6 +834,36 @@ object TrainingData {
   def charsetAudit(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.charsetAudit(docs)
 
+  /** Shuffle-key skew profiler (x112): per event_type, row/key counts,
+    * the heaviest key's mass, skew_e6 = 1e6·max/mean (the straggler
+    * multiplier of a naive hash partition) and the >2×-mean hot-key set
+    * with its row mass — the measured input to a salting decision. Two
+    * keyed aggregations (the corpus-sized one IS the shuffle being
+    * audited) + a |types|-row broadcast-back; no window, no sort.
+    */
+  def keySkew(events: DataFrame): DataFrame =
+    xscale.DataPrep.keySkew(events)
+
+  /** ANN recall@k audit (x113): per label, |approx ∩ exact| / |exact|
+    * of any two (query_id, rank, neighbor_id) graphs over the same
+    * query sample — the registered query scores the x07 LSH graph
+    * against [[knnBrute]] ground truth on a deterministic ~5% sample
+    * (`vec_id % ` [[xscale.Similarity.RecallMod]]). Ground truth is the
+    * one sample-bounded all-pairs leg; the intersection is a keyed LEFT
+    * join; recall_e6 is exact integer division. Re-run per index
+    * rebuild.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, emb: DataFrame): DataFrame =
+    Similarity.annRecall(approx, exact, emb)
+
+  /** Length↔quality correlation per source (x114): exact Spearman
+    * (deterministic doc_id tiebreak, all-integer fixed point) plus the
+    * Pearson sufficient statistics — the one-pass 100 TB form. Flags a
+    * quality score degenerating into a length proxy.
+    */
+  def lenQualityCorr(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.lenQualityCorr(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

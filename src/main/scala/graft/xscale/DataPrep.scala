@@ -1415,6 +1415,48 @@ object DataPrep {
       .drop("s_tot")
   }
 
+  /** x112 core: SHUFFLE-KEY SKEW profiler — the audit you run BEFORE
+    * choosing a partitioning strategy. Every `groupBy`/`join` on a real
+    * key column inherits that column's mass distribution, and one hot key
+    * (the null user, the bot account, the default value) turns a
+    * 1000-executor shuffle into a one-straggler stage. Per event_type:
+    * row/key counts, the heaviest key's mass, skew_e6 = 1e6 · max/mean
+    * (1e6 = perfectly uniform; the straggler multiplier a naive hash
+    * partition would suffer), and the hot-key set (keys above 2× mean —
+    * the salting candidates) with its row mass. This is the measured
+    * input to the cc_megastar_salted decision: salt when skew_e6 says so,
+    * not by folklore.
+    *
+    * Scale posture (100 TB): ONE corpus scan — the (type, key) count
+    * (map-side combinable; exactly the shuffle being audited) is
+    * localCheckpoint-pinned at |keys| rows so the stats rollup and the
+    * hot-key pass both read the materialized counts instead of
+    * re-scanning events (plan-probed: 1 parquet scan, vs 4 without the
+    * pin). The per-type stats frame (|types| rows) broadcasts back for
+    * the hot pass. No window, no sort. The 1e6·max·n_keys product stays
+    * in i64 while max·n_keys < 9.2e12 — beyond that, audit per key-range
+    * shard or move the two multipliers to decimal(38).
+    */
+  def keySkew(events: DataFrame): DataFrame = {
+    val perKey = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = perKey.groupBy("event_type").agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max("cnt").as("max_key_rows"))
+    val hot = perKey.join(broadcast(stats), "event_type")
+      .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hot_keys"), sum("cnt").as("hot_rows"))
+    stats.join(hot, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_hot_keys", "hot_rows"))
+      .withColumn("skew_e6", expr("(1000000 * max_key_rows * n_keys) div n_rows"))
+      .withColumn("hot_e6", expr("(1000000 * hot_rows) div n_rows"))
+      .select("event_type", "n_rows", "n_keys", "max_key_rows", "skew_e6",
+        "n_hot_keys", "hot_rows", "hot_e6")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
     Q(
@@ -2997,6 +3039,37 @@ object DataPrep {
         "exact membership stops being worth the shuffle."
     ) { (s, dir) =>
       ngramCoverage(table(s, dir, "documents")).orderBy("split", "source")
+    },
+
+    // ----- x112: shuffle-key skew profiler (events.user_id) -----
+    Q(
+      "x112_key_skew",
+      Some(
+        "WITH pk AS (SELECT event_type, user_id, count(*) AS cnt " +
+          "FROM events GROUP BY 1, 2), " +
+          "st AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+          "CAST(count(*) AS BIGINT) AS n_keys, " +
+          "CAST(max(cnt) AS BIGINT) AS max_key_rows FROM pk GROUP BY 1), " +
+          "ht AS (SELECT pk.event_type, CAST(count(*) AS BIGINT) AS n_hot_keys, " +
+          "CAST(sum(pk.cnt) AS BIGINT) AS hot_rows " +
+          "FROM pk JOIN st USING (event_type) " +
+          "WHERE pk.cnt * st.n_keys > 2 * st.n_rows GROUP BY 1) " +
+          "SELECT st.event_type, st.n_rows, st.n_keys, st.max_key_rows, " +
+          "CAST((1000000 * st.max_key_rows * st.n_keys) // st.n_rows AS BIGINT) AS skew_e6, " +
+          "CAST(coalesce(ht.n_hot_keys, 0) AS BIGINT) AS n_hot_keys, " +
+          "CAST(coalesce(ht.hot_rows, 0) AS BIGINT) AS hot_rows, " +
+          "CAST((1000000 * coalesce(ht.hot_rows, 0)) // st.n_rows AS BIGINT) AS hot_e6 " +
+          "FROM st LEFT JOIN ht USING (event_type) ORDER BY 1"),
+      "SHUFFLE-KEY SKEW profiler over (event_type, user_id) — the audit run BEFORE " +
+        "choosing a partitioning: per type, row/key counts, the heaviest key's mass, " +
+        "skew_e6 = 1e6·max/mean (the straggler multiplier a naive hash partition " +
+        "suffers; 1e6 = uniform) and the hot-key set above 2× mean — the salting " +
+        "candidates — with its row mass. The measured input to the " +
+        "cc_megastar_salted decision. Two keyed aggregations (the corpus-sized one " +
+        "IS the shuffle being audited, map-side combinable), a |types|-row broadcast " +
+        "back for the hot pass; no window, no sort."
+    ) { (s, dir) =>
+      keySkew(table(s, dir, "events")).orderBy("event_type")
     }
   )
 }

@@ -887,6 +887,54 @@ object Similarity {
         when(col("sum_k") > 0L, expr("(1000000 * sum_same) div sum_k")).otherwise(0L))
   }
 
+  /** Query-sample modulus for x113's recall evaluation: vectors with
+    * vec_id ≡ 0 (mod RecallMod) are the eval queries — a deterministic
+    * ~5% sample, the standard ANN-benchmark posture (ground truth is
+    * computed for a query SAMPLE, never the whole corpus).
+    */
+  val RecallMod = 20
+
+  /** x113 core: ANN RECALL@k audit — the one number that justifies every
+    * approximate index in this library: per label, how much of the EXACT
+    * top-k neighborhood the approximate graph actually returned.
+    * Recall@k = |approx ∩ exact| / |exact| over a deterministic query
+    * sample, scored against [[knnBrute]] ground truth restricted to the
+    * same sample. Per label (recall loss concentrates in entangled
+    * regions of the space — a global average hides a label whose
+    * neighborhoods the index never finds; cross-check x110 agreement and
+    * x46 confusability): query count, exact edges, hit edges, queries
+    * with ZERO hits (retrieval dead zones), and recall_e6 as exact
+    * integer division.
+    *
+    * Scale posture (100 TB): ground truth is |sample| × |corpus| — the
+    * query side is the broadcast side, one corpus scan (the ONLY
+    * all-pairs leg, and it is sample-bounded by construction; shrink
+    * [[RecallMod]]'s inverse as the corpus grows, the statistical value
+    * of recall@k saturates in the thousands of queries). The approx
+    * graph is whatever the production index (x07/x13/x59) already built;
+    * the intersection is one keyed LEFT join on (query_id, neighbor_id);
+    * rollups are |sample| then |labels| rows. Re-run per index rebuild —
+    * recall regressions ship silently otherwise.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, emb: DataFrame): DataFrame = {
+    val lab = emb.select(col("vec_id").as("query_id"), col("label").cast("long").as("label"))
+    val perQ = exact.select("query_id", "neighbor_id")
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), sum("hit").as("n_hit"))
+    perQ.join(lab, "query_id")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum("n_exact").as("n_exact"),
+        sum("n_hit").as("n_hit"),
+        sum(when(col("n_hit") === 0L, 1L).otherwise(0L)).as("n_zero_recall"))
+      .withColumn("recall_e6", expr("(1000000 * n_hit) div n_exact"))
+  }
+
   /** LSH top-k: candidates collide in ANY of the NL tables, exact cosine
     * rank on candidates only. Columns (query_id, rank, neighbor_id).
     */
@@ -2063,6 +2111,59 @@ object Similarity {
     ) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       knnLabelAgreement(knnLsh(emb, lit(true)), emb).orderBy("label")
+    },
+
+    // ----- x113: ANN recall@k audit (LSH graph vs brute ground truth) -----
+    Q(
+      "x113_ann_recall",
+      Some {
+        val bucketList = (0 until NL).map(bucketSqlT).mkString(", ")
+        val tblList = (0 until NL).mkString(", ")
+        s"WITH $normCtes, " +
+          s"xb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          s"$cosSql AS cos FROM n q JOIN n c " +
+          s"ON q.vec_id % $RecallMod = 0 AND c.vec_id <> q.vec_id), " +
+          "rb AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM xb), " +
+          s"bkt AS (SELECT vec_id, unnest([$bucketList]) AS bucket, " +
+          s"unnest([$tblList]) AS tbl FROM n), " +
+          "cand AS (SELECT DISTINCT b1.vec_id AS query_id, b2.vec_id AS neighbor_id " +
+          "FROM bkt b1 JOIN bkt b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket " +
+          s"AND b1.vec_id % $RecallMod = 0 AND b2.vec_id <> b1.vec_id), " +
+          "sl AS (SELECT query_id, neighbor_id, " +
+          s"$cosSql AS cos FROM cand " +
+          "JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id), " +
+          "rl AS (SELECT query_id, neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sl), " +
+          "pq AS (SELECT rb.query_id, count(*) AS n_exact, " +
+          "sum(CASE WHEN rl.neighbor_id IS NULL THEN 0 ELSE 1 END) AS n_hit " +
+          "FROM rb LEFT JOIN (SELECT * FROM rl WHERE rank <= 3) rl " +
+          "ON rl.query_id = rb.query_id AND rl.neighbor_id = rb.neighbor_id " +
+          "WHERE rb.rank <= 3 GROUP BY 1), " +
+          "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) " +
+          "SELECT lab.label, CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(sum(pq.n_exact) AS BIGINT) AS n_exact, " +
+          "CAST(sum(pq.n_hit) AS BIGINT) AS n_hit, " +
+          "CAST(sum(CASE WHEN pq.n_hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_recall, " +
+          "CAST((1000000 * sum(pq.n_hit)) // sum(pq.n_exact) AS BIGINT) AS recall_e6 " +
+          "FROM pq JOIN lab ON lab.vec_id = pq.query_id " +
+          "GROUP BY 1 ORDER BY 1"
+      },
+      "ANN RECALL@3 audit — the number that justifies every approximate index: per " +
+        "label, |LSH top-3 ∩ exact top-3| / |exact top-3| over a deterministic ~5% " +
+        s"query sample (vec_id % $RecallMod = 0; ANN-benchmark posture — ground truth " +
+        "for a sample, never the corpus). Reported per label because recall loss " +
+        "concentrates where classes entangle (cross-check x110 agreement, x46 " +
+        "confusability), plus zero-hit queries — the retrieval dead zones a mean " +
+        "recall hides. Ground truth is the one sample-bounded all-pairs leg " +
+        "(broadcast query side, one corpus scan); the approx graph is the index " +
+        "x07 already built; intersection is one keyed LEFT join; recall_e6 is exact " +
+        "integer division. Re-run on every index rebuild — recall regressions ship " +
+        "silently otherwise."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val qsel = col("vec_id") % RecallMod === 0
+      annRecall(knnLsh(emb, qsel), knnBrute(emb, qsel), emb).orderBy("label")
     }
   )
 }

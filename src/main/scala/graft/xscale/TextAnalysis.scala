@@ -1090,6 +1090,60 @@ object TextAnalysis {
         sum("coll_e6").as("sum_coll_e6"))
   }
 
+  /** x114 core: LENGTH↔QUALITY correlation per source — the datasheet
+    * block that catches a DEGENERATE quality signal: a score that is
+    * secretly just length (|ρ| near 1) filters nothing length cannot,
+    * and a source whose correlation flips sign against the others has a
+    * different failure mode (boilerplate-padded long docs, truncated
+    * good ones). Emits BOTH correlation forms:
+    *
+    *  - `spearman_e6` — exact Spearman rank correlation between n_tok
+    *    and score_e4, ranks tie-broken deterministically by doc_id
+    *    (ROW_NUMBER, not fractional average ranks — the choice both
+    *    engines reproduce bit-identically). ρ = 1 − 6·Σd²/(n(n²−1)),
+    *    computed as ((1e6·(2D − 6S)) div D) − 1e6 with the product in
+    *    decimal(38,0): the numerator is non-negative by construction
+    *    (6S ≤ 2D), so integer division is a floor in BOTH engines and
+    *    subtracting the constant 1e6 commutes with it — exact floor of
+    *    1e6·ρ even when ρ < 0, no float anywhere.
+    *  - Pearson SUFFICIENT STATISTICS (sum_x, sum_y, sum_xy, sum_x2,
+    *    sum_y2) as exact integers: the one-pass, rank-free form.
+    *
+    * Scale posture (100 TB): the Pearson statistics are the scale path —
+    * one map-side-combinable aggregation pass, no ranks. Exact Spearman
+    * needs two per-source rank windows (a per-source sort); at corpus
+    * scale run it on a stratified sample (x22) or band the ranks from
+    * sampled quantiles (the x51-threshold pattern) — the registered
+    * query is the oracle-exact pin at fixture SF.
+    */
+  def lenQualityCorr(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qd = qualityScored(docs).select(
+      col("doc_id"), col("source"), col("n_tok"), col("score_e4"))
+    val wLen = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    val wQ = Window.partitionBy("source").orderBy(col("score_e4"), col("doc_id"))
+    qd.withColumn("r_len", row_number().over(wLen).cast("long"))
+      .withColumn("r_q", row_number().over(wQ).cast("long"))
+      .withColumn("d", col("r_len") - col("r_q"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"),
+        sum("n_tok").as("sum_x"),
+        sum("score_e4").as("sum_y"),
+        sum(col("n_tok") * col("score_e4")).as("sum_xy"),
+        sum(col("n_tok") * col("n_tok")).as("sum_x2"),
+        sum(col("score_e4") * col("score_e4")).as("sum_y2"))
+      .withColumn("den", col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L)))
+      .withColumn("spearman_e6",
+        when(col("n_docs") > 1L,
+          expr("(cast(1000000 as decimal(38,0)) * " +
+            "(2 * cast(den as decimal(38,0)) - 6 * cast(sum_d2 as decimal(38,0)))) " +
+            "div den - 1000000"))
+          .otherwise(lit(0L)))
+      .select("source", "n_docs", "sum_d2", "spearman_e6",
+        "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2373,6 +2427,43 @@ object TextAnalysis {
         "which is exactly why the engine side is a native expression instead."
     ) { (s, dir) =>
       charsetAudit(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x114: length-quality correlation (degenerate-signal audit) -----
+    Q(
+      "x114_len_quality_corr",
+      Some(
+        s"WITH $qualityPerDocSqlCtes, " +
+          "j AS (SELECT d.source, qd.doc_id, qd.n_tok, qd.score_e4 " +
+          "FROM qd JOIN documents d ON d.doc_id = qd.doc_id), " +
+          "rk AS (SELECT source, n_tok, score_e4, " +
+          "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS r_len, " +
+          "ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_e4, doc_id) AS r_q " +
+          "FROM j), " +
+          "g AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum((r_len - r_q) * (r_len - r_q)) AS HUGEINT) AS sum_d2, " +
+          "CAST(sum(n_tok) AS BIGINT) AS sum_x, CAST(sum(score_e4) AS BIGINT) AS sum_y, " +
+          "CAST(sum(n_tok * score_e4) AS BIGINT) AS sum_xy, " +
+          "CAST(sum(n_tok * n_tok) AS BIGINT) AS sum_x2, " +
+          "CAST(sum(score_e4 * score_e4) AS BIGINT) AS sum_y2 FROM rk GROUP BY 1) " +
+          "SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sum_d2 AS BIGINT) AS sum_d2, " +
+          "CAST(CASE WHEN n > 1 THEN (1000000 * (2 * n * (n * n - 1) - 6 * sum_d2)) " +
+          "// (n * (n * n - 1)) - 1000000 ELSE 0 END AS BIGINT) AS spearman_e6, " +
+          "sum_x, sum_y, sum_xy, sum_x2, sum_y2 " +
+          "FROM g ORDER BY source"),
+      "LENGTH↔QUALITY correlation per source — catches a DEGENERATE quality signal: " +
+        "a score that is secretly just length (|ρ|→1) filters nothing length cannot, " +
+        "and a source whose sign flips has a different failure mode (boilerplate-" +
+        "padded long docs). Exact Spearman (ranks tie-broken by doc_id via " +
+        "ROW_NUMBER — the deterministic choice both engines reproduce; computed as " +
+        "((1e6·(2D−6S)) div D) − 1e6 in decimal(38,0), numerator non-negative by " +
+        "construction so the floor is engine-identical even for ρ<0, no float " +
+        "anywhere) PLUS the Pearson sufficient statistics as exact integers — the " +
+        "one-pass rank-free form that IS the 100 TB path (map-side combinable; " +
+        "exact Spearman's per-source rank windows are the fixture-SF oracle pin; " +
+        "at scale, stratify-sample (x22) or band ranks from sampled quantiles)."
+    ) { (s, dir) =>
+      lenQualityCorr(table(s, dir, "documents")).orderBy("source")
     }
   )
 

@@ -402,4 +402,123 @@ class R9OpsSpec extends SparkSpec {
       assert(r._5 > 0L && r._6 <= 1000000L)
     }
   }
+
+  test("x112 key skew: planted hot key is found, stats match a driver recount") {
+    // type "click": uniform (3 keys x 2 rows); type "view": one hot key
+    // (7 of 10 rows) + three cold keys
+    val rows =
+      Seq.tabulate(6)(i => (i.toLong % 3, "click")) ++
+        Seq.fill(7)((100L, "view")) ++ Seq((101L, "view"), (102L, "view"), (103L, "view"))
+    val ev = rows.zipWithIndex
+      .map { case ((uid, et), i) => (i.toLong, uid, et) }
+      .toDF("event_id", "user_id", "event_type")
+    val out = DataPrep.keySkew(ev)
+      .select("event_type", "n_rows", "n_keys", "max_key_rows", "skew_e6",
+        "n_hot_keys", "hot_rows", "hot_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val click = out(0); val view = out(1)
+    // uniform type: skew_e6 exactly 1e6, no hot keys
+    assert(click == (("click", 6L, 3L, 2L, 1000000L, 0L, 0L, 0L)))
+    // hot type: max=7 of 10 rows over 4 keys -> skew = 1e6*7*4/10 = 2.8e6;
+    // hot keys are those with cnt*4 > 2*10 i.e. cnt > 5: exactly the planted one
+    assert(view == (("view", 10L, 4L, 7L, 2800000L, 1L, 7L, 700000L)))
+    // real fixture: per-type totals conserved vs a direct recount
+    val real = graft.query.Registry.table(spark, sf, "events")
+    val got = DataPrep.keySkew(real)
+      .select("event_type", "n_rows", "n_keys").as[(String, Long, Long)]
+      .collect().map { case (t, r, k) => t -> ((r, k)) }.toMap
+    val want = real.groupBy("event_type")
+      .agg(count(lit(1)).as("r"), countDistinct("user_id").as("k"))
+      .as[(String, Long, Long)].collect()
+    want.foreach { case (t, r, k) => assert(got(t) == ((r, k))) }
+  }
+
+  test("x113 ann recall: perfect graph scores 1e6, dropped edges are charged, dead queries counted") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (21L, Array(0.99f, 0.01f), 0),
+      (1L, Array(0.98f, 0.02f), 0), (2L, Array(0.97f, 0.03f), 0),
+      (40L, Array(0f, 1f), 1), (3L, Array(0.01f, 0.99f), 1),
+      (4L, Array(0.02f, 0.98f), 1), (5L, Array(0.03f, 0.97f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val qsel = col("vec_id") % Similarity.RecallMod === 0
+    val exact = Similarity.knnBrute(emb, qsel, 3)
+    // approx == exact -> every label at exactly 1e6, zero dead queries
+    val perfect = Similarity.annRecall(exact, exact, emb)
+      .select("label", "n_queries", "n_exact", "n_hit", "n_zero_recall", "recall_e6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(perfect.length == 2)
+    perfect.foreach { r =>
+      assert(r._2 == 1L && r._3 == 3L && r._4 == 3L && r._5 == 0L && r._6 == 1000000L)
+    }
+    // drop ALL of query 40's edges: label 1 has a dead query, label 0 untouched
+    val degraded = Similarity.annRecall(
+      exact.filter(col("query_id") =!= 40L), exact, emb)
+      .select("label", "n_hit", "n_zero_recall", "recall_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(degraded(0) == ((0L, 3L, 0L, 1000000L)))
+    assert(degraded(1) == ((1L, 0L, 1L, 0L)))
+    // recall is computed over EXACT's edge set: extra approx-only edges
+    // (LSH candidates beyond the sample) must not inflate the denominator
+    val padded = Similarity.annRecall(
+      exact.union(Seq((999L, 1L, 0L)).toDF("query_id", "rank", "neighbor_id")),
+      exact, emb)
+      .agg(sum("n_exact"), sum("n_hit")).as[(Long, Long)].head()
+    assert(padded == ((6L, 6L)))
+    // real fixture: LSH vs brute on the registered sample — bounded ratios,
+    // hits never exceed the LSH graph's own edge count on sampled queries
+    val e500 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sel = col("vec_id") % Similarity.RecallMod === 0
+    val rec = Similarity.annRecall(
+      Similarity.knnLsh(e500, sel), Similarity.knnBrute(e500, sel), e500)
+      .select("n_queries", "n_exact", "n_hit", "recall_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rec.map(_._1).sum == e500.filter(sel).count())
+    rec.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 >= 0L && r._4 <= 1000000L)
+      assert(r._4 == 1000000L * r._3 / r._2)
+    }
+  }
+
+  test("x114 length-quality correlation: pinned fixtures and a sequential recount") {
+    def mkDocs(texts: Seq[String], src: String) =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, src, t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+    // three docs of strictly increasing length: score's length term makes
+    // the quality rank follow the length rank exactly -> rho = +1
+    val mono = mkDocs(Seq("one two", "one two three four",
+      "one two three four five six seven eight"), "m")
+    val rhoOf = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.lenQualityCorr(df)
+        .select("spearman_e6").as[Long].collect().head
+    assert(rhoOf(mono) == 1000000L)
+    // single-doc source: den = 0 is guarded, pinned to 0
+    assert(rhoOf(mkDocs(Seq("only doc"), "s")) == 0L)
+    // real fixture: recount rho sequentially per source from the scored frame
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val scored = TextAnalysis.qualityScored(docs)
+      .select("source", "doc_id", "n_tok", "score_e4")
+      .as[(String, Long, Long, Long)].collect()
+    val got = TextAnalysis.lenQualityCorr(docs)
+      .select("source", "n_docs", "sum_d2", "spearman_e6", "sum_x", "sum_y",
+        "sum_xy", "sum_x2", "sum_y2")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    scored.groupBy(_._1).foreach { case (src, rows) =>
+      val rLen = rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val rQ = rows.sortBy(r => (r._4, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val n = rows.length.toLong
+      val sumD2 = rows.map(r => { val d = rLen(r._2) - rQ(r._2); d * d }).sum
+      val den = BigInt(n) * (BigInt(n) * BigInt(n) - 1)
+      val rho = (BigInt(1000000) * (2 * den - 6 * BigInt(sumD2)) / den - 1000000).toLong
+      val g = got(src)
+      assert(g._2 == n && g._3 == sumD2 && g._4 == rho)
+      assert(g._5 == rows.map(_._3).sum && g._6 == rows.map(_._4).sum)
+      assert(g._7 == rows.map(r => r._3 * r._4).sum)
+      assert(g._8 == rows.map(r => r._3 * r._3).sum)
+      assert(g._9 == rows.map(r => r._4 * r._4).sum)
+    }
+  }
 }

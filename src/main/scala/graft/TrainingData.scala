@@ -864,6 +864,15 @@ object TrainingData {
   def lenQualityCorr(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.lenQualityCorr(docs)
 
+  /** Per-source distributional divergence (x115): exact total-variation
+    * distance between each source's unigram distribution and the rest of
+    * the corpus — the mixture-design number (TV≈0 adds volume, not
+    * diversity; TV≈1 is a domain outlier). One tokenize+hash scan,
+    * checkpoint-pinned counts, closed-form handling of absent terms.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.sourceDivergence(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -1144,6 +1144,63 @@ object TextAnalysis {
         "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
   }
 
+  /** x115 core: per-source DISTRIBUTIONAL DIVERGENCE — the total-variation
+    * distance between each source's unigram distribution and the rest of
+    * the corpus, TV(p, q) = ½·Σ|p_h − q_h| ∈ [0, 1]. THE mixture-design
+    * number: a source at TV ≈ 0 adds volume, not diversity (a dedup/
+    * reweighting candidate); a source at TV ≈ 1 is a domain outlier whose
+    * weight moves the mixture hardest (cross-check x26 weights and x97
+    * drift — this is the same family, measured against the corpus itself
+    * instead of across splits).
+    *
+    * Exact rational form, no floats: with per-source token total n_s,
+    * corpus total N (rest n_r = N − n_s), source counts c_h and corpus
+    * counts C_h,
+    *   TV_e6 = (1e6 · Σ_h |c_h·n_r − (C_h−c_h)·n_s|) div (2·n_s·n_r),
+    * and the sum needs NO zero-completion: terms absent from the source
+    * contribute C_h·n_s, folded in closed form as n_s·(N − ΣC_h over the
+    * source's own terms). Every aggregate is an order-independent
+    * integer, so the cross-engine compare is exact.
+    *
+    * Scale posture (100 TB): one tokenize+hash scan into (source, term)
+    * counts — map-side combinable, the only corpus-sized shuffle —
+    * localCheckpoint-pinned at |sources|·|vocab| rows so the corpus
+    * term totals, the per-source totals, and the per-term join all read
+    * the materialized counts (the x112 pattern: one scan, not three).
+    * Corpus term totals join back keyed on the 60-bit hash; the
+    * |sources|-row totals broadcast. Products stay in i64 while
+    * max(c_h)·N < 9.2e18 — beyond that, shard the sum by term range.
+    */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .select(col("source"), h60(col("w")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ch = sh.groupBy("h").agg(sum("c").as("ct"))
+    val ns = sh.groupBy("source").agg(sum("c").as("n_s"))
+    val nt = ns.agg(sum("n_s").as("n_tot"))
+    sh.join(ch, "h")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy("source")
+      .agg(
+        first("n_s").as("n_tokens"),
+        first("n_tot").as("n_tot"),
+        count(lit(1)).as("n_terms"),
+        sum(abs(col("c") * (col("n_tot") - col("n_s")) -
+          (col("ct") - col("c")) * col("n_s"))).as("sum_present"),
+        sum("ct").as("ct_present"))
+      .withColumn("tv_num",
+        col("sum_present") + col("n_tokens") * (col("n_tot") - col("ct_present")))
+      .withColumn("tv_e6",
+        when(col("n_tot") > col("n_tokens"),
+          expr("(1000000 * tv_num) div (2 * n_tokens * (n_tot - n_tokens))"))
+          .otherwise(lit(0L)))
+      .select("source", "n_tokens", "n_terms", "tv_e6")
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2464,6 +2521,43 @@ object TextAnalysis {
         "at scale, stratify-sample (x22) or band ranks from sampled quantiles)."
     ) { (s, dir) =>
       lenQualityCorr(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x115: per-source distributional divergence (TV vs rest) -----
+    Q(
+      "x115_source_divergence",
+      Some(
+        s"WITH w AS (SELECT source, unnest(${XText.wordsSql("text")}) AS wd FROM documents), " +
+          s"t AS (SELECT source, ${h60Sql("wd")} AS h FROM w), " +
+          "sh AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+          "ch AS (SELECT h, CAST(sum(c) AS BIGINT) AS ct FROM sh GROUP BY 1), " +
+          "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sh GROUP BY 1), " +
+          "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sh), " +
+          "p AS (SELECT sh.source, ns.n_s, nt.n_tot, " +
+          "CAST(count(*) AS BIGINT) AS n_terms, " +
+          "CAST(sum(abs(sh.c * (nt.n_tot - ns.n_s) - (ch.ct - sh.c) * ns.n_s)) AS BIGINT) " +
+          "AS sum_present, " +
+          "CAST(sum(ch.ct) AS BIGINT) AS ct_present " +
+          "FROM sh JOIN ch USING (h) JOIN ns USING (source) CROSS JOIN nt " +
+          "GROUP BY 1, 2, 3) " +
+          "SELECT source, n_s AS n_tokens, n_terms, " +
+          "CAST(CASE WHEN n_tot > n_s THEN " +
+          "(1000000 * (sum_present + n_s * (n_tot - ct_present))) " +
+          "// (2 * n_s * (n_tot - n_s)) ELSE 0 END AS BIGINT) AS tv_e6 " +
+          "FROM p ORDER BY source"),
+      "per-source DISTRIBUTIONAL DIVERGENCE: total-variation distance between each " +
+        "source's unigram distribution and the rest of the corpus — THE mixture-" +
+        "design number (TV≈0 adds volume, not diversity; TV≈1 is a domain outlier " +
+        "whose mixture weight moves the model hardest; cross-check x26 weights, x97 " +
+        "split drift). Exact rational: TV_e6 = (1e6·Σ|c_h·n_r − (C_h−c_h)·n_s|) div " +
+        "(2·n_s·n_r), absent terms folded in closed form (n_s·(N − ΣC_h,present)) so " +
+        "NO zero-completion join exists. One tokenize+hash scan into (source, term) " +
+        "counts, localCheckpoint-pinned (the x112 pattern — corpus totals, source " +
+        "totals and the per-term join all read the materialized counts: one scan, " +
+        "not three); term totals join keyed on the 60-bit hash; source totals " +
+        "broadcast. Every aggregate an order-independent integer."
+    ) { (s, dir) =>
+      sourceDivergence(table(s, dir, "documents")).orderBy("source")
     }
   )
 

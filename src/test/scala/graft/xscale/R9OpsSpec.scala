@@ -521,4 +521,46 @@ class R9OpsSpec extends SparkSpec {
       assert(g._9 == rows.map(r => r._4 * r._4).sum)
     }
   }
+
+  test("x115 source divergence: identical=0, disjoint=1e6, fixture matches a recount") {
+    def mk(rows: (String, String)*) =
+      rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s, t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+    val tvOf = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.sourceDivergence(df)
+        .select("source", "tv_e6").as[(String, Long)].collect().toMap
+    // identical unigram distributions -> TV exactly 0 on both sides
+    val same = tvOf(mk("alpha beta" -> "s1", "alpha beta" -> "s2"))
+    assert(same("s1") == 0L && same("s2") == 0L)
+    // disjoint vocabularies -> TV exactly 1 (1e6) on both sides
+    val disj = tvOf(mk("alpha alpha" -> "s1", "beta gamma" -> "s2"))
+    assert(disj("s1") == 1000000L && disj("s2") == 1000000L)
+    // real fixture: exact sequential recount of the closed-form sum
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val toks = docs
+      .select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .as[(String, String)].collect()
+    val bySrcTerm = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTerm = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nTot = toks.length.toLong
+    val got = TextAnalysis.sourceDivergence(docs)
+      .select("source", "n_tokens", "n_terms", "tv_e6")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == bySrc.size)
+    got.foreach { case (src, nTokens, nTerms, tvE6) =>
+      val ns = bySrc(src); val nr = nTot - ns
+      val present = bySrcTerm.collect { case ((s, w), c) if s == src => (w, c) }
+      assert(nTokens == ns)
+      assert(nTerms == present.size.toLong)
+      val sumPresent = present.map { case (w, c) =>
+        (BigInt(c) * nr - BigInt(byTerm(w) - c) * ns).abs
+      }.sum
+      val ctPresent = present.map { case (w, _) => byTerm(w) }.sum
+      val tv = (BigInt(1000000) * (sumPresent + BigInt(ns) * (nTot - ctPresent))) /
+        (BigInt(2) * ns * nr)
+      assert(tvE6 == tv.toLong)
+      assert(tvE6 >= 0L && tvE6 <= 1000000L)
+    }
+  }
 }

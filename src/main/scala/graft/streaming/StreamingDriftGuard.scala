@@ -91,12 +91,17 @@ object StreamingDriftGuard {
       driftPath: String,
       checkpointDir: String,
       alertTvE6: Long): StreamingQuery = {
-    val nRef = ref.agg(coalesce(sum("r_cnt"), lit(0L)).as("t"))
+    // Pin the reference ONCE: without this, every micro-batch would
+    // re-evaluate ref's lineage (re-scanning the corpus it was built
+    // from) — the "built once, vocabulary-sized" contract enforced, not
+    // just documented.
+    val refPinned = ref.localCheckpoint()
+    val nRef = refPinned.agg(coalesce(sum("r_cnt"), lit(0L)).as("t"))
       .collect()(0).getLong(0)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        batchDrift(b, ref, nRef)
+        batchDrift(b, refPinned, nRef)
           .withColumn("batch_id", lit(batchId))
           .withColumn("alert", col("tv_e6") >= alertTvE6)
           .write.mode(SaveMode.Append).parquet(driftPath)

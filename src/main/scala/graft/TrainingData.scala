@@ -873,6 +873,22 @@ object TrainingData {
   def sourceDivergence(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.sourceDivergence(docs)
 
+  /** Collocation mining (x116): top bigrams by exact association lift
+    * (PMI-monotone, all-integer), support-filtered — the phrase
+    * vocabulary: tokenizer merge candidates, multi-word entities,
+    * boilerplate stubs. Count frames are vocab-bounded; the top-k window
+    * runs over bigram types, never the corpus.
+    */
+  def collocations(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.collocations(docs)
+
+  /** Positional-template audit (x117): per (source, leading position),
+    * the modal token and its share — the slot-template signature
+    * (machine-generated text) that bag-of-words signals cannot see.
+    */
+  def templateSlots(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.templateSlots(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

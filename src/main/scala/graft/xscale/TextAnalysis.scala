@@ -1201,6 +1201,105 @@ object TextAnalysis {
       .select("source", "n_tokens", "n_terms", "tv_e6")
   }
 
+  /** x116 min bigram support: pairs below this never rank (kills the
+    * lift's small-count noise — a 2-occurrence pair of two hapaxes would
+    * otherwise top every list).
+    */
+  val CollocMinSupport = 5L
+
+  /** x116 result size. */
+  val CollocTopK = 20
+
+  /** x116 core: COLLOCATION mining by exact association lift — the
+    * PMI-family signal with the log stripped off so it stays in integer
+    * arithmetic: lift(a,b) = P(ab) / (P(a)·P(b)), fixed-point
+    * lift_e6 = (1e6 · c_ab · N²) div (M · c_a · c_b) with N = unigram
+    * total, M = bigram total (monotone in PMI, so the RANKING is
+    * PMI's). Collocations — pairs that co-occur far above chance — are
+    * the phrase-vocabulary signal: tokenizer merge candidates (the
+    * data-driven cousin of x62's BPE pairs, which rank by raw frequency,
+    * not association), multi-word entities for dedup keys, and boilerplate
+    * phrase stubs. Support-filtered (c_ab ≥ [[CollocMinSupport]]) so
+    * hapax pairs cannot top the list; top [[CollocTopK]] by
+    * (lift desc, w1, w2) — deterministic.
+    *
+    * Scale posture (100 TB): two tokenize scans (unigram + adjacent-pair
+    * counts — cheaper than materializing the tokenized corpus to save
+    * one) into vocab- and vocab²-bounded count frames, both map-side
+    * combinable; unigram counts broadcast onto the bigram frame; the
+    * final top-k window runs over the support-filtered bigram TYPES —
+    * bounded by vocabulary, not corpus. Products run in decimal(38)
+    * (HUGEINT in the oracle): 1e6·c_ab·N² overflows i64 at corpus scale
+    * by construction, and both engines floor the same non-negative
+    * quotient.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ws = docs.select(XText.words(col("text")).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bi = ws.select(explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"))
+        .as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nUni = uni.agg(sum("c_w").as("n_uni"))
+    val mBi = bi.agg(sum("c_ab").as("m_bi"))
+    val scored = bi.filter(col("c_ab") >= CollocMinSupport)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(mBi))
+      .withColumn("lift_e6",
+        expr("(cast(1000000 as decimal(38,0)) * c_ab * n_uni * n_uni) " +
+          "div (cast(m_bi as decimal(38,0)) * c_a * c_b)"))
+    // global top-k window over the support-filtered bigram TYPES — a
+    // vocabulary²-bounded frame, never the corpus (same class as x18).
+    val wTop = Window.orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= CollocTopK)
+      .select("rank", "w1", "w2", "c_ab", "c_a", "c_b", "lift_e6")
+  }
+
+  /** x117: leading token positions audited for template slots. */
+  val TemplatePos = 8
+
+  /** x117 core: POSITIONAL-TEMPLATE audit — per (source, position ≤
+    * [[TemplatePos]]), the modal token at that position and its share of
+    * the docs reaching it. Template-generated text (form letters, SEO
+    * spam, scraped listings, log lines) has near-constant tokens in
+    * fixed SLOTS — a signature the bag-of-words signals (x31 repetition,
+    * x96 line boilerplate, x109 TTR) cannot see, because slot templating
+    * survives shuffling the fill words. A position whose modal share
+    * approaches 1e6 is a template slot; a source with many such
+    * positions is machine-generated and a dedup/downweight candidate.
+    * Columns (source, pos, n_docs, top_w, top_cnt, share_e6) — exact
+    * integer share, deterministic modal choice (count desc, then token
+    * asc).
+    *
+    * Scale posture (100 TB): one tokenize scan emitting ≤ TemplatePos
+    * tokens per doc (positions beyond the prefix never leave the row),
+    * into (source, pos, token) counts — map-side combinable,
+    * |sources|·P·|vocab|-bounded. The modal-pick window partitions by
+    * (source, pos): each partition is vocab-bounded, never corpus-sized.
+    */
+  def templateSlots(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("source"), XText.words(col("text")).as("ws"))
+      .select(col("source"),
+        posexplode(expr(s"slice(ws, 1, $TemplatePos)")).as(Seq("p0", "w")))
+    tok.select(col("source"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "pos", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "pos").orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .withColumn("n_docs", sum("cnt").over(Window.partitionBy("source", "pos")))
+      .filter(col("rk") === 1L)
+      .withColumn("share_e6", expr("(1000000 * cnt) div n_docs"))
+      .select(col("source"), col("pos"), col("n_docs"),
+        col("w").as("top_w"), col("cnt").as("top_cnt"), col("share_e6"))
+  }
+
   /** x103 winnowing parameters: word-[[WinnowK]]-gram hashes, window
     * [[WinnowW]] — guarantee: every run of WinnowW consecutive k-grams
     * contributes ≥ 1 fingerprint, expected density 2/(WinnowW+1).
@@ -2558,6 +2657,73 @@ object TextAnalysis {
         "broadcast. Every aggregate an order-independent integer."
     ) { (s, dir) =>
       sourceDivergence(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x116: collocation mining by exact association lift -----
+    Q(
+      "x116_collocations",
+      Some(
+        s"WITH w AS (SELECT ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "u AS (SELECT unnest(ws) AS wd FROM w), " +
+          "uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS c_w FROM u GROUP BY 1), " +
+          "b AS (SELECT ws[p] AS w1, ws[p + 1] AS w2 FROM " +
+          "(SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS p FROM w)), " +
+          "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM b GROUP BY 1, 2), " +
+          "t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uc), " +
+          "m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m_bi FROM bc), " +
+          "s AS (SELECT bc.w1, bc.w2, bc.c_ab, a.c_w AS c_a, b2.c_w AS c_b, " +
+          "CAST((CAST(1000000 AS HUGEINT) * bc.c_ab * t.n_uni * t.n_uni) " +
+          "// (CAST(m.m_bi AS HUGEINT) * a.c_w * b2.c_w) AS BIGINT) AS lift_e6 " +
+          "FROM bc JOIN uc a ON a.wd = bc.w1 JOIN uc b2 ON b2.wd = bc.w2 " +
+          s"CROSS JOIN t CROSS JOIN m WHERE bc.c_ab >= $CollocMinSupport) " +
+          "SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER " +
+          "(ORDER BY lift_e6 DESC, w1, w2) AS BIGINT) AS rank, " +
+          "w1, w2, c_ab, c_a, c_b, lift_e6 FROM s) " +
+          s"WHERE rank <= $CollocTopK ORDER BY rank"),
+      "COLLOCATION mining by exact association lift — PMI with the log stripped " +
+        "off (lift_e6 = (1e6·c_ab·N²) div (M·c_a·c_b), monotone in PMI so the " +
+        "RANKING is PMI's) kept in pure integer arithmetic. Pairs co-occurring far " +
+        "above chance are the phrase vocabulary: tokenizer merge candidates (the " +
+        "association-ranked cousin of x62's frequency-ranked BPE pairs), multi-word " +
+        "entities, boilerplate stubs. Support-filtered (c_ab ≥ " +
+        s"$CollocMinSupport) so hapax pairs can't top the list. Two tokenize scans " +
+        "into vocab/vocab²-bounded count frames (map-side combinable), unigram " +
+        "counts broadcast, and the top-k window runs over bigram TYPES — bounded by " +
+        "vocabulary, not corpus. Products in decimal(38)/HUGEINT: 1e6·c_ab·N² " +
+        "overflows i64 at corpus scale by construction."
+    ) { (s, dir) =>
+      collocations(table(s, dir, "documents")).orderBy("rank")
+    },
+
+    // ----- x117: positional-template audit (modal token per slot) -----
+    Q(
+      "x117_template_slots",
+      Some(
+        s"WITH w AS (SELECT source, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          s"t AS (SELECT source, p AS pos, ws[p] AS wd FROM " +
+          s"(SELECT source, ws, unnest(generate_series(1, least(len(ws), $TemplatePos))) AS p " +
+          "FROM w) WHERE ws[p] <> ''), " +
+          "c AS (SELECT source, CAST(pos AS BIGINT) AS pos, wd, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2, 3), " +
+          "r AS (SELECT source, pos, wd, cnt, " +
+          "ROW_NUMBER() OVER (PARTITION BY source, pos ORDER BY cnt DESC, wd) AS rk, " +
+          "CAST(sum(cnt) OVER (PARTITION BY source, pos) AS BIGINT) AS n_docs FROM c) " +
+          "SELECT source, pos, n_docs, wd AS top_w, cnt AS top_cnt, " +
+          "CAST((1000000 * cnt) // n_docs AS BIGINT) AS share_e6 " +
+          "FROM r WHERE rk = 1 ORDER BY source, pos"),
+      "POSITIONAL-TEMPLATE audit: per (source, position ≤ " +
+        s"$TemplatePos), the modal token in that slot and its share of docs " +
+        "reaching it — the template-generation signature (form letters, SEO spam, " +
+        "scraped listings have near-constant tokens in fixed SLOTS) that " +
+        "bag-of-words signals (x31 repetition, x96 line boilerplate, x109 TTR) " +
+        "cannot see, since slot templating survives shuffling the fill words. " +
+        "share→1e6 = a template slot; many such positions = machine-generated " +
+        "source, a dedup/downweight candidate. One tokenize scan emitting only the " +
+        "doc's leading prefix, (source, pos, token) counts map-side combinable and " +
+        "|sources|·P·|vocab|-bounded; the modal window partitions by (source, pos) " +
+        "— vocab-bounded partitions, never corpus-sized."
+    ) { (s, dir) =>
+      templateSlots(table(s, dir, "documents")).orderBy("source", "pos")
     }
   )
 

@@ -563,4 +563,98 @@ class R9OpsSpec extends SparkSpec {
       assert(tvE6 >= 0L && tvE6 <= 1000000L)
     }
   }
+
+  test("x116 collocations: planted phrase ranks first, support filter holds, fixture recount") {
+    // "gx hx" always adjacent (6 docs), "ax".."fx" shuffled independent
+    // filler; "iz jz" appears only 3 times — below support, never ranked
+    val filler = Seq("ax bx cx dx ex fx", "bx ax dx cx fx ex", "cx dx ax fx bx ex")
+    val docs = (
+      Seq.fill(6)("gx hx") ++ filler ++ Seq.fill(3)("iz jz")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.collocations(docs)
+      .select("rank", "w1", "w2", "c_ab", "c_a", "c_b", "lift_e6")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the planted always-adjacent pair is rank 1 with exact counts
+    assert(out.head._2 == "gx" && out.head._3 == "hx")
+    assert(out.head._4 == 6L && out.head._5 == 6L && out.head._6 == 6L)
+    // below-support pair excluded despite perfect association
+    assert(!out.exists(r => r._2 == "iz"))
+    // lift recount for every ranked row (N, M driver-side)
+    val toks = docs.select(explode(XText.words(col("text"))).as("w")).as[String].collect()
+    val nUni = toks.length.toLong
+    val mBi = docs.select(XText.words(col("text")).as("ws")).as[Seq[String]].collect()
+      .map(ws => math.max(ws.length - 1, 0)).sum.toLong
+    out.foreach { case (_, w1, w2, cab, ca, cb, lift) =>
+      assert(ca == toks.count(_ == w1).toLong && cb == toks.count(_ == w2).toLong)
+      val want = (BigInt(1000000) * cab * nUni * nUni) / (BigInt(mBi) * ca * cb)
+      assert(lift == want.toLong)
+    }
+    // real fixture: engine top-20 equals a full sequential recount
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val wsAll = real.select(XText.words(col("text")).as("ws")).as[Seq[String]].collect()
+    val uni = wsAll.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = wsAll.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum; val m = bi.values.sum
+    val want = bi.toSeq
+      .filter(_._2 >= TextAnalysis.CollocMinSupport)
+      .map { case ((a, b), cab) =>
+        val lift = (BigInt(1000000) * cab * n * n) / (BigInt(m) * uni(a) * uni(b))
+        (lift.toLong, a, b, cab)
+      }
+      .sortBy { case (l, a, b, _) => (-l, a, b) }
+      .take(TextAnalysis.CollocTopK)
+    val got = TextAnalysis.collocations(real)
+      .select("rank", "w1", "w2", "c_ab", "lift_e6")
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((_, gw1, gw2, gcab, glift), (wl, wa, wb, wcab)) =>
+      assert(gw1 == wa && gw2 == wb && gcab == wcab && glift == wl)
+    }
+  }
+
+  test("x117 template slots: planted slots pin at 1e6, ties break lexicographically, recount") {
+    // slot template: pos1 always "invoice", pos3 always "total"; pos2 varies
+    val tpl = (0 until 10).map(i => s"invoice n$i total v$i")
+    // tie fixture in a second source: pos1 split 2/2 between "aa" and "bb"
+    val tie = Seq("aa x", "aa y", "bb x", "bb y")
+    val docs = (tpl.map((_, "t")) ++ tie.map((_, "u"))).zipWithIndex
+      .map { case ((t, src), i) => (i.toLong, t, src, t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.templateSlots(docs)
+      .select("source", "pos", "n_docs", "top_w", "top_cnt", "share_e6")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("t", 1L)) == (("t", 1L, 10L, "invoice", 10L, 1000000L)))
+    assert(out(("t", 3L)) == (("t", 3L, 10L, "total", 10L, 1000000L)))
+    assert(out(("t", 2L))._6 == 100000L) // 10 distinct fills -> share 1/10
+    // tie at ("u", 1): aa and bb both 2 -> lexicographically smaller wins
+    assert(out(("u", 1L))._4 == "aa" && out(("u", 1L))._6 == 500000L)
+    // positions beyond the longest doc never appear
+    assert(!out.contains(("t", 5L)) && !out.contains(("u", 3L)))
+    // real fixture recount per (source, pos)
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val wsAll = real.select(col("source"), XText.words(col("text")).as("ws"))
+      .as[(String, Seq[String])].collect()
+    val counts = wsAll
+      .flatMap { case (src, ws) =>
+        ws.take(TextAnalysis.TemplatePos).zipWithIndex
+          .filter(_._1.nonEmpty)
+          .map { case (w, i) => ((src, i + 1L), w) }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = TextAnalysis.templateSlots(real)
+      .select("source", "pos", "n_docs", "top_w", "top_cnt", "share_e6")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+    assert(got.length == counts.size)
+    got.foreach { case (src, pos, nDocs, topW, topCnt, share) =>
+      val toks = counts((src, pos))
+      val byW = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (bw, bc) = byW.toSeq.sortBy { case (w, c) => (-c, w) }.head
+      assert(nDocs == toks.length.toLong)
+      assert(topW == bw && topCnt == bc)
+      assert(share == 1000000L * bc / toks.length)
+    }
+  }
 }

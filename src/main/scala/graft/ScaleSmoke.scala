@@ -37,7 +37,8 @@ object ScaleSmoke {
     "x108_ngram_coverage", "x109_lexical_profile", "x110_label_noise",
     "x111_charset_audit", "x112_key_skew", "x113_ann_recall_auto",
     "x114_len_quality_corr", "x115_source_divergence", "x116_collocations",
-    "x117_template_slots",
+    "x117_template_slots", "x118_dim_stats", "x119_burstiness",
+    "x120_markup_residue",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are

@@ -889,6 +889,30 @@ object TrainingData {
   def templateSlots(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.templateSlots(docs)
 
+  /** Per-dimension embedding statistics (x118): exact integer moments,
+    * zero counts and dead-dimension flags per dim — the anisotropy /
+    * rogue-dimension audit to re-run with [[annRecall]] on every
+    * re-embed. One posexplode scan + keyed aggregate, |dims| rows out.
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    Similarity.dimStats(emb)
+
+  /** Term burstiness (x119): per term cf/df and burst_e6 = mean
+    * occurrences per containing doc (Church & Gale 1995) — x31's
+    * repetition signal lifted to the vocabulary, naming which token
+    * repeats corpus-wide. Vocab-bounded counts; rank window over types.
+    */
+  def termBurstiness(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.termBurstiness(docs)
+
+  /** Markup-residue audit (x120): per source, docs with HTML tags /
+    * entities / bare URLs plus match mass — extractor health; residual
+    * markup defeats text-level dedup. Three codegen regex counts per
+    * row, zero shuffle, one |sources|-row rollup.
+    */
+  def markupResidue(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.markupResidue(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -841,6 +841,48 @@ object Similarity {
         sum("nrm_e6").as("sum_norm_e6"))
   }
 
+  /** x118 core: per-DIMENSION embedding statistics — the anisotropy /
+    * dead-dimension audit (Ethayarajh 2019; Timkey & van Schijndel 2021
+    * "rogue dimensions"): per dimension, the count, zero-element count,
+    * min/max, and the exact first and second moments in e6 fixed point
+    * (per-element floor, so every aggregate is an order-independent
+    * integer — the x35 no-libm rule; the second moment accumulates in
+    * decimal(38,0) because Σx² overflows int64 at corpus scale by
+    * construction). What it catches: a DEAD dimension (min == max —
+    * encoder weight collapse, reported as is_dead) contributes nothing
+    * but index cost; a ROGUE dimension (variance orders of magnitude
+    * above the rest) dominates every dot product, making cosine
+    * similarity effectively one-dimensional — the classic reason ANN
+    * recall craters after an encoder swap (re-run x113 and THIS on every
+    * re-embed; per-dim mean/variance derive exactly from n/sum/sumsq).
+    * Columns (dim, n_vecs, n_zero, min_e6, max_e6, sum_e6, sumsq_e12,
+    * is_dead).
+    *
+    * Scale posture (100 TB): one posexplode scan into (dim, x_e6) and a
+    * keyed aggregate — map-side combinable, |dims| rows out, no window,
+    * no join. The explode multiplies rows ×dim but each row is 16 bytes
+    * and the partial aggregate collapses them executor-side before any
+    * exchange; for very wide embeddings, fuse into a per-row native
+    * expression emitting the per-partition moment grid (the CharProfile
+    * pattern) instead.
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d0", "x")))
+      .select(
+        (col("d0") + 1).cast("long").as("dim"),
+        floor(col("x") * lit(1e6)).cast("long").as("x_e6"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("x_e6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("x_e6").as("min_e6"),
+        max("x_e6").as("max_e6"),
+        sum("x_e6").as("sum_e6"),
+        sum((col("x_e6") * col("x_e6")).cast("decimal(38,0)")).cast("long").as("sumsq_e12"))
+      .withColumn("is_dead",
+        when(col("min_e6") === col("max_e6"), 1L).otherwise(0L))
+
   /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
     * confident-learning signal (Northcutt et al. JAIR 2021) computed from
     * neighborhood votes: a labeled example whose nearest neighbors
@@ -2164,6 +2206,36 @@ object Similarity {
       val emb = table(s, dir, "embeddings")
       val qsel = col("vec_id") % RecallMod === 0
       annRecall(knnLsh(emb, qsel), knnBrute(emb, qsel), emb).orderBy("label")
+    },
+
+    // ----- x118: per-dimension embedding stats (anisotropy audit) -----
+    Q(
+      "x118_dim_stats",
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "x AS (SELECT CAST(i AS BIGINT) AS dim, " +
+          "CAST(floor(v[i] * 1000000) AS BIGINT) AS x_e6 " +
+          "FROM (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e)) " +
+          "SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(sum(CASE WHEN x_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+          "CAST(min(x_e6) AS BIGINT) AS min_e6, " +
+          "CAST(max(x_e6) AS BIGINT) AS max_e6, " +
+          "CAST(sum(x_e6) AS BIGINT) AS sum_e6, " +
+          "CAST(sum(CAST(x_e6 AS HUGEINT) * x_e6) AS BIGINT) AS sumsq_e12, " +
+          "CAST(CASE WHEN min(x_e6) = max(x_e6) THEN 1 ELSE 0 END AS BIGINT) AS is_dead " +
+          "FROM x GROUP BY dim ORDER BY dim"),
+      "per-DIMENSION embedding statistics — the anisotropy / dead-dimension audit " +
+        "(Ethayarajh 2019; Timkey & van Schijndel 2021 rogue dimensions): per dim, " +
+        "count, zero elements, min/max and the exact first+second moments in e6 " +
+        "fixed point (per-element floor → order-independent integer aggregates; the " +
+        "second moment accumulates in decimal(38,0) since Σx² overflows int64 at " +
+        "corpus scale). A dead dim (min=max) is encoder collapse; a rogue dim whose " +
+        "variance dwarfs the rest makes cosine effectively one-dimensional — the " +
+        "classic cause of ANN recall cratering after an encoder swap (re-run with " +
+        "x113 on every re-embed). One posexplode scan + keyed aggregate, map-side " +
+        "combinable, |dims| rows out — no window, no join."
+    ) { (s, dir) =>
+      dimStats(table(s, dir, "embeddings")).orderBy("dim")
     }
   )
 }

@@ -1370,6 +1370,84 @@ object TextAnalysis {
         when(col("n_grams") > 0, expr("(1000000 * n_fp) div n_grams")).otherwise(0L))
   }
 
+  /** x119 burstiness parameters: df floor (hapax pairs can't top the
+    * list) and the reported top-k.
+    */
+  val BurstMinDf = 2L
+  val BurstTopK = 20
+
+  /** x119 core: TERM BURSTINESS — per term, collection frequency cf, doc
+    * frequency df, and burst_e6 = (1e6·cf) div df, the mean occurrences
+    * per CONTAINING doc (Church & Gale 1995: content words are "bursty" —
+    * they recur heavily inside the few docs they appear in, while function
+    * words spread evenly). A term whose burstiness is extreme relative to
+    * the corpus is a template/log/spam token (repeated navigation text,
+    * ASCII art, stack-trace frames) — the x31 within-doc repetition signal
+    * lifted to the vocabulary level, naming WHICH token repeats
+    * corpus-wide. Top-[[BurstTopK]] by (burst desc, term asc), df ≥
+    * [[BurstMinDf]]. Columns (rank, wd, cf, df, burst_e6) — all exact
+    * integers.
+    *
+    * Scale posture (100 TB): one tokenize scan into (term, cf, df) —
+    * map-side combinable (df via distinct (term, doc) pre-aggregate),
+    * vocab-bounded. The top-k window runs over term TYPES, never the
+    * corpus; at open-web vocabulary scale, pre-filter cf ≥ 2·df map-side
+    * (burst_e6 > 2e6 is implied) before the rank.
+    */
+  def termBurstiness(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(XText.words(col("text"))).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy("wd")
+      .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BurstMinDf)
+      .withColumn("burst_e6", expr("(1000000 * cf) div df"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("burst_e6").desc, col("wd"))).cast("long"))
+      .filter(col("rank") <= BurstTopK)
+      .select("rank", "wd", "cf", "df", "burst_e6")
+
+  /** x120 regexes — kept to the Java∩RE2 common syntax (no lookaround, no
+    * `\s`, whose class differs across engines) so Spark and DuckDB match
+    * identical spans.
+    */
+  val MarkupTag = "</?[a-zA-Z][^<>]*>"
+  val MarkupEntity = "&[a-zA-Z]+;|&#[0-9]+;"
+  val MarkupUrl = "https?://[^ \\t\\n\\r\\f]+"
+
+  /** x120 core: MARKUP-RESIDUE audit — per source, docs containing HTML
+    * tags / character entities / bare URLs, and the total match mass of
+    * each. Residual markup in a "plain text" corpus is extractor damage
+    * (boilerplate stripper crashed or mis-fired on that crawl segment) and
+    * is exactly how nominally-deduplicated pages sneak past text-level
+    * dedup: the same article with and without its `<div>` wrapper has a
+    * different norm key. A source whose tag-doc share jumps between
+    * snapshots is an upstream extractor regression (pair with the x115
+    * drift guard at ingest). Columns (source, n_docs, n_tag_docs,
+    * n_ent_docs, n_url_docs, n_tags, n_ents, n_urls).
+    *
+    * Scale posture (100 TB): three codegen'd regex counts per row — zero
+    * shuffle — then one |sources|-row rollup, map-side combinable. The
+    * same shape as x72's PII audit; at open-web scale these two run fused
+    * in the same scan.
+    */
+  def markupResidue(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        col("source"),
+        regexp_count(col("text"), lit(MarkupTag)).cast("long").as("n_tag"),
+        regexp_count(col("text"), lit(MarkupEntity)).cast("long").as("n_ent"),
+        regexp_count(col("text"), lit(MarkupUrl)).cast("long").as("n_url"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tag") > 0L, 1L).otherwise(0L)).as("n_tag_docs"),
+        sum(when(col("n_ent") > 0L, 1L).otherwise(0L)).as("n_ent_docs"),
+        sum(when(col("n_url") > 0L, 1L).otherwise(0L)).as("n_url_docs"),
+        sum("n_tag").as("n_tags"),
+        sum("n_ent").as("n_ents"),
+        sum("n_url").as("n_urls"))
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -2724,6 +2802,82 @@ object TextAnalysis {
         "— vocab-bounded partitions, never corpus-sized."
     ) { (s, dir) =>
       templateSlots(table(s, dir, "documents")).orderBy("source", "pos")
+    },
+
+    // ----- x119: term burstiness (corpus-level repetition, named) -----
+    Q(
+      "x119_burstiness",
+      Some(
+        s"WITH t AS (SELECT doc_id, unnest(${XText.wordsSql("text")}) AS wd FROM documents), " +
+          "c AS (SELECT wd, CAST(count(*) AS BIGINT) AS cf, " +
+          "CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+          "FROM t WHERE wd <> '' GROUP BY 1), " +
+          s"s AS (SELECT wd, cf, df, CAST((1000000 * cf) // df AS BIGINT) AS burst_e6 " +
+          s"FROM c WHERE df >= $BurstMinDf) " +
+          "SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER " +
+          "(ORDER BY burst_e6 DESC, wd) AS BIGINT) AS rank, wd, cf, df, burst_e6 FROM s) " +
+          s"WHERE rank <= $BurstTopK ORDER BY rank"),
+      "TERM BURSTINESS (Church & Gale 1995): per term, cf / df / burst_e6 = mean " +
+        "occurrences per CONTAINING doc — content words recur heavily inside the few " +
+        "docs that use them, so a term with extreme burstiness is a template/log/spam " +
+        "token (navigation text, ASCII art, stack-trace frames): x31's within-doc " +
+        "repetition signal lifted to the vocabulary, naming WHICH token repeats. " +
+        s"Top-$BurstTopK by (burst desc, term), df ≥ $BurstMinDf so hapax noise can't " +
+        "rank. One tokenize scan into vocab-bounded (term, cf, df) counts — map-side " +
+        "combinable — and the rank window runs over term TYPES, never the corpus; at " +
+        "open-web vocabulary, pre-filter cf ≥ 2·df map-side before ranking."
+    ) { (s, dir) =>
+      termBurstiness(table(s, dir, "documents")).orderBy("rank")
+    },
+
+    // ----- x120: markup-residue audit (extractor-health datasheet) -----
+    Q(
+      "x120_markup_residue",
+      Some(
+        // the synthetic corpus is clean text, so (the x47 augmentation
+        // pattern) both engines append a deterministic 'webjunk' source
+        // re-hosting every 13th doc wrapped in markup — the extractor-
+        // failure shape this audit exists to expose
+        "WITH aug AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 6000000, 'webjunk', " +
+          "'<div class=\"x\">' || text || '</div> &amp; https://example.com/d?id=' || " +
+          "CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 13 = 0), " +
+          s"m AS (SELECT source, " +
+          s"CAST(len(regexp_extract_all(text, '$MarkupTag')) AS BIGINT) AS n_tag, " +
+          s"CAST(len(regexp_extract_all(text, '$MarkupEntity')) AS BIGINT) AS n_ent, " +
+          s"CAST(len(regexp_extract_all(text, '$MarkupUrl')) AS BIGINT) AS n_url " +
+          "FROM aug) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN n_tag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_docs, " +
+          "CAST(sum(CASE WHEN n_ent > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ent_docs, " +
+          "CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_url_docs, " +
+          "CAST(sum(n_tag) AS BIGINT) AS n_tags, " +
+          "CAST(sum(n_ent) AS BIGINT) AS n_ents, " +
+          "CAST(sum(n_url) AS BIGINT) AS n_urls " +
+          "FROM m GROUP BY source ORDER BY source"),
+      "MARKUP-RESIDUE audit — extractor health per source: docs containing HTML " +
+        "tags / character entities / bare URLs plus each signal's total match mass. " +
+        "Residual markup in a 'plain text' corpus is boilerplate-stripper damage, and " +
+        "it defeats text-level dedup (the same article with and without its <div> " +
+        "wrapper has a different norm key); a source whose tag-doc share jumps " +
+        "between snapshots is an upstream extractor regression (pair with the x115 " +
+        "ingest drift guard). Fixture: a deterministic 'webjunk' source re-hosts " +
+        "every 13th doc wrapped in markup, both engines identically. Regexes kept to " +
+        "the Java∩RE2 common syntax (no \\s — its class differs across engines). " +
+        "Three codegen regex counts per row, zero shuffle, one |sources|-row rollup " +
+        "— x72's PII-audit shape; at open-web scale the two run fused in one scan."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 13 === 0)
+          .select(
+            (col("doc_id") + 6000000L).as("doc_id"),
+            lit("webjunk").as("source"),
+            concat(
+              lit("<div class=\"x\">"), col("text"),
+              lit("</div> &amp; https://example.com/d?id="),
+              col("doc_id").cast("string")).as("text")))
+      markupResidue(aug).orderBy("source")
     }
   )
 

@@ -913,6 +913,32 @@ object TrainingData {
   def markupResidue(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.markupResidue(docs)
 
+  /** MinHash-LSH fidelity audit (x121): the per-n_match precision
+    * S-curve of x02's banded candidates against exact Jaccard truth,
+    * plus a recall summary row (n_match = -1) — the audit that
+    * justifies the sketch; re-run when band structure or shingle size
+    * changes. At open-web scale run the exact leg on a doc sample.
+    */
+  def lshFidelity(docs: DataFrame): DataFrame =
+    xscale.Dedup.lshFidelity(docs)
+
+  /** Cluster-diameter audit (x122): per dedup-cluster size, how many
+    * clusters are transitive CHAINS (some within-cluster pair beyond
+    * the pair threshold) vs true duplicate piles, with edge density and
+    * worst within-cluster hamming. High chaining ⇒ tighten the pair
+    * threshold or star-verify clusters against their survivor.
+    */
+  def clusterDiameter(docs: DataFrame): DataFrame =
+    xscale.Dedup.clusterDiameter(docs)
+
+  /** Output-shard balance audit (x123): docs / token mass / deviation
+    * from perfect balance per hash shard — the write-side companion of
+    * [[keySkew]]; max dev_e6 is the straggler multiplier of any
+    * shard-parallel consumer.
+    */
+  def shardBalance(docs: DataFrame): DataFrame =
+    xscale.DataPrep.shardBalance(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

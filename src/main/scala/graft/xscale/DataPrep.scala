@@ -1457,6 +1457,44 @@ object DataPrep {
         "n_hot_keys", "hot_rows", "hot_e6")
   }
 
+  /** x123 output-shard fan-out: enough shards that balance is non-trivial
+    * at fixture SF, small enough that the report is readable.
+    */
+  val ShardN = 16L
+
+  /** x123 core: OUTPUT-SHARD BALANCE audit — x112's question pointed at
+    * the WRITE side: if the corpus ships as [[ShardN]] hash-sharded
+    * output files (shard = h60(doc_id) mod N — the layout x83's
+    * interleaving and every downstream loader consume), how even is the
+    * split? Per shard: docs, token mass, tok_ppm (share of total, e6)
+    * and dev_e6 = 1e6·n_tok·N div total — 1e6 is perfect balance, and
+    * max(dev_e6)/1e6 is the straggler multiplier of any stage that
+    * processes shards in parallel (training-data loaders read shards as
+    * units; one fat shard IS the epoch's critical path). Doc-count
+    * balance is near-guaranteed by the hash; TOKEN balance is not (a
+    * shard that hash-catches the long-doc tail runs hot) — which is why
+    * the audit reports both. Columns (shard, n_docs, n_tok, tok_ppm,
+    * dev_e6).
+    *
+    * Scale posture (100 TB): one tokenize scan into an N-row keyed
+    * aggregate (map-side combinable), then a broadcast 1-row total join
+    * — no window, no sort; the same disjoint-key replication argument as
+    * x112 makes the ppm/dev columns provably invariant at N× corpus.
+    */
+  def shardBalance(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(
+        (XHash.h60(col("doc_id").cast("string")) % ShardN).as("shard"),
+        size(XText.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+    val tot = g.agg(sum("n_tok").as("tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("tok_ppm", expr("(1000000 * n_tok) div tot"))
+      .withColumn("dev_e6", expr(s"(1000000 * n_tok * $ShardN) div tot"))
+      .select("shard", "n_docs", "n_tok", "tok_ppm", "dev_e6")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x21: sequence packing (concat-and-chunk, GPT-style) -----
     Q(
@@ -3070,6 +3108,33 @@ object DataPrep {
         "back for the hot pass; no window, no sort."
     ) { (s, dir) =>
       keySkew(table(s, dir, "events")).orderBy("event_type")
+    },
+
+    // ----- x123: output-shard balance (the write-side skew audit) -----
+    Q(
+      "x123_shard_balance",
+      Some(
+        s"WITH d AS (SELECT ${h60Sql("CAST(doc_id AS VARCHAR)")} % $ShardN AS shard, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok FROM documents), " +
+          "g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_tok) AS BIGINT) AS n_tok FROM d GROUP BY 1), " +
+          "t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM g) " +
+          "SELECT shard, n_docs, n_tok, " +
+          "CAST((1000000 * n_tok) // tot AS BIGINT) AS tok_ppm, " +
+          s"CAST((1000000 * n_tok * $ShardN) // tot AS BIGINT) AS dev_e6 " +
+          "FROM g CROSS JOIN t ORDER BY shard"),
+      s"OUTPUT-SHARD BALANCE — x112's skew question pointed at the write side: the " +
+        s"corpus shipped as $ShardN hash-sharded files (shard = h60(doc_id) mod N, " +
+        "the layout x83's interleaving and every loader consume). Per shard: docs, " +
+        "token mass, token share (ppm) and dev_e6 (1e6 = perfect balance; " +
+        "max dev_e6 / 1e6 is the straggler multiplier of any stage that processes " +
+        "shards as units — one fat shard IS the epoch's critical path). Doc balance " +
+        "is near-guaranteed by the hash, TOKEN balance is not (the shard that " +
+        "hash-catches the long-doc tail runs hot), so both are reported. One " +
+        "tokenize scan into an N-row aggregate + a broadcast 1-row total — no " +
+        "window, no sort; provably invariant under disjoint-key corpus replication."
+    ) { (s, dir) =>
+      shardBalance(table(s, dir, "documents")).orderBy("shard")
     }
   )
 }

@@ -415,7 +415,16 @@ object Dedup {
     * (doc_id_a, doc_id_b, n_match). `minWords` floors doc length before
     * sketching (see [[simhashPairs]] — x28 calibration rationale).
     */
-  def minhashPairs(docs: DataFrame, minMatch: Int = K / 2, minWords: Int = 0): DataFrame = {
+  def minhashPairs(docs: DataFrame, minMatch: Int = K / 2, minWords: Int = 0): DataFrame =
+    minhashCandidates(docs, minWords)
+      .filter(col("n_match") >= minMatch)
+
+  /** ALL MinHash band-collision candidates with their signature agreement
+    * count, BEFORE the `minMatch` decision threshold — the raw candidate
+    * stream [[minhashPairs]] filters and the x121 fidelity audit scores.
+    * Columns (doc_id_a, doc_id_b, n_match).
+    */
+  private[xscale] def minhashCandidates(docs: DataFrame, minWords: Int = 0): DataFrame = {
     val in =
       if (minWords <= 0) docs
       else docs.filter(size(XText.words(col("text"))) >= minWords)
@@ -435,7 +444,6 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), nMatch.as("n_match"))
       .distinct()
-      .filter(col("n_match") >= minMatch)
       .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
   }
 
@@ -483,6 +491,93 @@ object Dedup {
         col("db").as("doc_id_b"),
         col("i").as("n_inter"),
         col("n_a"))
+  }
+
+  /** x121 core: MinHash-LSH FIDELITY audit — the measured S-curve behind
+    * the x02 dedup path's two knobs (band structure, `minMatch`): every
+    * band-collision candidate is scored against EXACT word-3-gram Jaccard
+    * (x03's ≥ 3/10 rule), grouped by its signature agreement count
+    * n_match. Per n_match: candidates, true near-dups among them, and
+    * precision_e6 — read the curve to see where the decision threshold
+    * should sit (x02 uses K/2 = 8). One extra summary row with
+    * `n_match = -1` reports RECALL: n_cands = |true pairs|, n_true =
+    * |true pairs that band-collide at all|, prec_e6 = recall_e6 — the
+    * pairs LSH can never recover no matter the threshold. The dedup
+    * analog of x113's ANN recall: the audit that justifies the sketch.
+    * Columns (n_match, n_cands, n_true, prec_e6).
+    *
+    * Scale posture (100 TB): the exact-Jaccard leg is the declared
+    * exactness baseline (intersection-driven shingle join — affordable at
+    * audit SF; at open-web scale run it on a DOC SAMPLE, the x113
+    * pattern: fidelity is a statistical estimate, its cost must not scale
+    * with the corpus). The candidate leg is x02's own banded join; the
+    * score join is keyed on the pair; output is ≤ K+2 rows.
+    */
+  def lshFidelity(docs: DataFrame): DataFrame = {
+    val cands = minhashCandidates(docs)
+      .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("n_match"))
+    val truth = jaccardPairs(docs)
+      .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"))
+    val scored = cands.join(
+      truth.withColumn("is_true", lit(1L)), Seq("da", "db"), "left")
+      .na.fill(0L, Seq("is_true"))
+    val byMatch = scored.groupBy("n_match")
+      .agg(count(lit(1)).as("n_cands"), sum("is_true").as("n_true"))
+      .withColumn("prec_e6", expr("(1000000 * n_true) div n_cands"))
+    val hit = truth.join(cands.select("da", "db").distinct(), Seq("da", "db"), "left_semi")
+    val summary = truth.agg(count(lit(1)).as("n_cands"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_true")))
+      .select(
+        lit(-1L).as("n_match"), col("n_cands"), col("n_true"),
+        expr("CASE WHEN n_cands > 0 THEN (1000000 * n_true) div n_cands ELSE 0 END")
+          .as("prec_e6"))
+    byMatch.unionByName(summary)
+  }
+
+  /** x122 core: dedup CLUSTER-DIAMETER audit — the transitive-chaining
+    * check on x14's connected components: CC merges a~b and b~c into one
+    * cluster even when a and c are NOT near-dups, and on a chain-heavy
+    * corpus (version histories, quote threads) that silently over-merges
+    * — the survivor stands in for docs arbitrarily far from it. Per
+    * cluster size: cluster count, CHAINED clusters (some within-cluster
+    * pair has simhash hamming > the pair threshold 8 — only transitivity
+    * put them together), the worst within-cluster hamming, direct edges
+    * vs all within-cluster pairs (sum_edges / sum_pairs — edge density;
+    * a clique-like cluster is a true duplicate pile, a sparse one is a
+    * chain). Columns (size, n_clusters, n_chained, max_diam, sum_edges,
+    * sum_pairs). High n_chained ⇒ tighten the threshold or split
+    * clusters by re-verifying pairs against the survivor (star check).
+    *
+    * Scale posture (100 TB): pairs and CC inherit x04/x14's bucketed
+    * posture; the diameter leg joins each cluster's fingerprints to
+    * itself — quadratic in CLUSTER size only (the frames CC already
+    * bounded), never the corpus; cap with a per-cluster size limit (audit
+    * the head, sample the mega-clusters) at open-web scale. Final rollup
+    * is |distinct sizes| rows.
+    */
+  def clusterDiameter(docs: DataFrame): DataFrame = {
+    val fp = fingerprints(docs, wide = false).select(col("doc_id").as("id"), col("s1"))
+    val pairs = simhashPairs(docs)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = DedupClusters.connectedComponents(pairs)
+    val m = labels.join(fp, "id")
+    val within = m.select(col("component"), col("id").as("ia"), col("s1").as("fa"))
+      .join(m.select(col("component"), col("id").as("ib"), col("s1").as("fb")), Seq("component"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("ham", expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+    val perCluster = within.groupBy("component").agg(
+      count(lit(1)).as("n_pairs"),
+      max("ham").as("diam"),
+      sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("n_edges"))
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("size"))
+    sizes.join(perCluster, "component")
+      .groupBy("size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("diam") > 8L, 1L).otherwise(0L)).as("n_chained"),
+        max("diam").as("max_diam"),
+        sum("n_edges").as("sum_edges"),
+        sum("n_pairs").as("sum_pairs"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -1141,6 +1236,101 @@ object Dedup {
           sum(when(col("_l").isNull, 1L).otherwise(0L)).as("n_after"),
           sum(when(col("_l").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
         .orderBy("source")
+    },
+
+    // ----- x121: MinHash-LSH fidelity (S-curve + recall vs exact Jaccard) -----
+    Q(
+      "x121_lsh_fidelity",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        s"WITH $sigSqlCtes, " +
+          s"bk AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
+          s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+          s"len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS n_match " +
+          "FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+          "shd AS (SELECT doc_id, unnest(hl) AS sgl FROM hs), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
+          "JOIN shd b ON a.sgl = b.sgl AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+          "truth AS (SELECT da, db FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "JOIN sz sb ON sb.doc_id = db WHERE 10 * i >= 3 * (sa.n + sb.n - i)), " +
+          "jj AS (SELECT c.n_match, CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END AS is_true " +
+          "FROM cand c LEFT JOIN truth t ON t.da = c.da AND t.db = c.db), " +
+          "bb AS (SELECT CAST(n_match AS BIGINT) AS n_match, " +
+          "CAST(count(*) AS BIGINT) AS n_cands, CAST(sum(is_true) AS BIGINT) AS n_true, " +
+          "CAST((1000000 * sum(is_true)) // count(*) AS BIGINT) AS prec_e6 FROM jj GROUP BY 1), " +
+          "cd AS (SELECT DISTINCT da, db FROM cand), " +
+          "sm AS (SELECT CAST(-1 AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_cands, " +
+          "CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+          "CAST(CASE WHEN count(*) > 0 THEN " +
+          "(1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END)) // count(*) " +
+          "ELSE 0 END AS BIGINT) AS prec_e6 " +
+          "FROM truth LEFT JOIN cd ON cd.da = truth.da AND cd.db = truth.db) " +
+          "SELECT * FROM bb UNION ALL SELECT * FROM sm ORDER BY n_match"
+      },
+      "MinHash-LSH FIDELITY — the measured S-curve behind x02's knobs: every band-" +
+        "collision candidate scored against EXACT 3-gram Jaccard ≥ 0.3 (x03's rule), " +
+        "grouped by signature agreement n_match: candidates / true near-dups / " +
+        "precision_e6 per level — read where the minMatch threshold should sit. The " +
+        "n_match = -1 summary row is RECALL: of all true pairs, how many band-collide " +
+        "at all — the pairs LSH can never recover at any threshold. The dedup analog " +
+        "of x113's ANN recall; the audit that justifies the sketch. The exact leg is " +
+        "the declared exactness baseline (at open-web scale run it on a doc sample — " +
+        "fidelity is a statistical estimate, its cost must not scale with the " +
+        "corpus); the candidate leg is x02's own banded join; output ≤ K+2 rows."
+    ) { (s, dir) =>
+      lshFidelity(table(s, dir, "documents")).orderBy("n_match")
+    },
+
+    // ----- x122: cluster-diameter audit (transitive-chaining check on CC) -----
+    Q(
+      "x122_cluster_diameter",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH RECURSIVE w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "m AS (SELECT comp.id, comp.component, sh.simhash FROM comp " +
+          "JOIN sh ON sh.doc_id = comp.id), " +
+          "win AS (SELECT a.component, " +
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham " +
+          "FROM m a JOIN m b ON a.component = b.component AND a.id < b.id), " +
+          "pc AS (SELECT component, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(max(ham) AS BIGINT) AS diam, " +
+          "CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges " +
+          "FROM win GROUP BY 1), " +
+          "szs AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1) " +
+          "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+          "CAST(sum(CASE WHEN diam > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_chained, " +
+          "CAST(max(diam) AS BIGINT) AS max_diam, " +
+          "CAST(sum(n_edges) AS BIGINT) AS sum_edges, " +
+          "CAST(sum(n_pairs) AS BIGINT) AS sum_pairs " +
+          "FROM szs JOIN pc USING (component) GROUP BY 1 ORDER BY 1"
+      },
+      "CLUSTER-DIAMETER audit — the transitive-chaining check on x14's connected " +
+        "components: CC merges a~b~c even when a and c are NOT near-dups, and on " +
+        "chain-heavy corpora (version histories, quote threads) that silently " +
+        "over-merges — the survivor stands in for docs arbitrarily far from it. Per " +
+        "cluster size: clusters, CHAINED clusters (some within-cluster pair exceeds " +
+        "the hamming-8 pair threshold — only transitivity joined them), worst " +
+        "within-cluster hamming, direct edges vs all within-cluster pairs (edge " +
+        "density: clique = true duplicate pile, sparse = chain). High n_chained ⇒ " +
+        "tighten the threshold or star-verify clusters against their survivor. The " +
+        "diameter leg self-joins per CLUSTER — quadratic in cluster size only, never " +
+        "the corpus; cap cluster size (audit the head, sample mega-clusters) at " +
+        "open-web scale. Output is |distinct sizes| rows."
+    ) { (s, dir) =>
+      clusterDiameter(table(s, dir, "documents")).orderBy("size")
     }
   )
 }

@@ -98,4 +98,76 @@ class R9Ops2Spec extends SparkSpec {
       assert(r._6 >= r._3 && r._7 >= r._4 && r._8 >= r._5)
     }
   }
+
+  test("x121 lsh fidelity: band rows partition the candidates, summary row is their recall") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = Dedup.lshFidelity(docs)
+      .select("n_match", "n_cands", "n_true", "prec_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    val (summary, bands) = out.partition(_._1 == -1L)
+    assert(summary.length == 1 && bands.nonEmpty)
+    bands.foreach { case (m, nc, nt, p) =>
+      assert(m >= 0 && m <= Dedup.K && nt >= 0 && nt <= nc && nc > 0)
+      assert(p == 1000000L * nt / nc)
+    }
+    // every candidate pair appears in exactly one band row, so the band
+    // rows' true-pair mass IS the captured set the summary row reports
+    val sm = summary.head
+    assert(bands.map(_._2).sum == Dedup.minhashCandidates(docs).count())
+    assert(bands.map(_._3).sum == sm._3, "sum of banded true pairs == captured true pairs")
+    assert(sm._2 == Dedup.jaccardPairs(docs).count(), "summary n_cands == |truth|")
+    assert(sm._3 <= sm._2 && sm._4 == (if (sm._2 > 0) 1000000L * sm._3 / sm._2 else 0L))
+    // the refactor guard: minhashPairs is exactly the thresholded candidates
+    val viaCands = Dedup.minhashCandidates(docs)
+      .filter(col("n_match") >= Dedup.K / 2).count()
+    assert(viaCands == Dedup.minhashPairs(docs).count())
+    // identical docs must band-collide: plant two copies, recall set grows
+    val planted = docs.select("doc_id", "text").limit(0).unionByName(Seq(
+      (900001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (900002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text"))
+    val pOut = Dedup.lshFidelity(planted)
+      .filter(col("n_match") === -1L)
+      .select("n_cands", "n_true").as[(Long, Long)].head()
+    assert(pOut == ((1L, 1L)), s"identical pair must be truth AND captured: $pOut")
+  }
+
+  test("x122 cluster diameter: exact aggregation identities against the pair list") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = Dedup.clusterDiameter(docs)
+      .select("size", "n_clusters", "n_chained", "max_diam", "sum_edges", "sum_pairs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (sz, nc, nch, diam, se, sp) =>
+      assert(sz >= 2 && nc > 0 && diam >= 0 && diam <= 60)
+      // every cluster of this size contributes exactly C(size,2) pairs
+      assert(sp == nc * sz * (sz - 1) / 2)
+      assert(se <= sp && nch <= nc)
+      // a cluster is chained iff some within pair exceeds hamming 8 iff
+      // its edge set is a strict subset of its pair set
+      assert((nch > 0) == (se < sp), s"chained/edge-deficit must agree: ($sz,$nch,$se,$sp)")
+      assert((nch > 0) == (diam > 8))
+    }
+    // every hamming<=8 pair lands inside exactly one cluster
+    assert(out.map(_._5).sum == Dedup.simhashPairs(docs).count())
+  }
+
+  test("x123 shard balance: totals conserve, integer identities hold, shards are sane") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = DataPrep.shardBalance(docs)
+      .select("shard", "n_docs", "n_tok", "tok_ppm", "dev_e6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= DataPrep.ShardN)
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach(r => assert(r._1 >= 0 && r._1 < DataPrep.ShardN && r._2 > 0))
+    assert(out.map(_._2).sum == docs.count())
+    val tot = out.map(_._3).sum
+    val nTok = docs.select(sum(size(XText.words(col("text"))).cast("long")))
+      .as[Long].head()
+    assert(tot == nTok, "token mass conserves")
+    out.foreach { case (_, _, nt, ppm, dev) =>
+      assert(ppm == 1000000L * nt / tot)
+      assert(dev == 1000000L * nt * DataPrep.ShardN / tot)
+    }
+  }
 }

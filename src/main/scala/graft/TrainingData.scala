@@ -939,6 +939,34 @@ object TrainingData {
   def shardBalance(docs: DataFrame): DataFrame =
     xscale.DataPrep.shardBalance(docs)
 
+  /** Embedding anisotropy audit (x124): per label and overall,
+    * anis_e6 = (1e6·‖Σv‖²) div (n·Σ‖v‖²) — ≈1e6/n when isotropic, →1e6
+    * when vectors collapse to a cone (cosine loses contrast; ANN recall
+    * and semantic dedup degrade). Exact integer arithmetic on
+    * e6-quantized elements; the (label, dim) partial sums are a
+    * mergeable sketch, so shards aggregate hierarchically at 100 TB.
+    */
+  def anisotropy(emb: DataFrame): DataFrame =
+    Similarity.anisotropy(emb)
+
+  /** Intra-doc chunk divergence (x125): per source, pairwise simhash
+    * hamming between a doc's own chunks — the concat-seam / topic-mix
+    * signal bag-of-words metrics can't see, and the QA gate for the RAG
+    * index's chunk≈doc-topic assumption. Pair join keyed on doc_id, so
+    * cost is C(chunks,2) per doc, never corpus-quadratic.
+    */
+  def chunkDivergence(docs: DataFrame): DataFrame =
+    xscale.DataPrep.chunkDivergence(docs)
+
+  /** Dedup length bias (x126): per source under the keep-first rule,
+    * kept/dropped counts, token masses, exact mean lengths and
+    * bias_e6 = (1e6·dropped-mean) div kept-mean — how much the dedup
+    * step itself shifts the length mixture the packing plan was tuned
+    * on. Rides the dedup's own shuffle; |sources| rows out.
+    */
+  def dedupLengthBias(docs: DataFrame): DataFrame =
+    xscale.Dedup.dedupLengthBias(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -67,6 +67,61 @@ object DataPrep {
           .as("chunk_text"))
   }
 
+  /** x125 "mixed" threshold: a doc whose chunks disagree on ≥ 30% of
+    * simhash bits on average (random-text pairs sit near 50%) reads as
+    * internally incoherent.
+    */
+  val DivergeE6 = 300000L
+
+  /** x125 core: INTRA-DOC CHUNK DIVERGENCE — per source, how topically
+    * coherent documents are INTERNALLY, measured as the pairwise simhash
+    * hamming between a doc's own x36 chunks. A clean article's chunks
+    * share vocabulary (low hamming); a concatenation artifact (crawler
+    * merging unrelated pages), a topic-mixed scrape, or OCR garbage
+    * produces chunks as far apart as random text (~50% of bits). This is
+    * the signal per-doc bag-of-words metrics CANNOT see: x31/x109 score
+    * the doc as one bag, and a doc made of two clean-but-unrelated halves
+    * looks fine to both — only comparing the halves exposes the seam. Also
+    * the RAG-index QA gate: x91 embeds chunks assuming chunk≈doc topic;
+    * high divergence breaks that assumption and poisons x92's
+    * sibling-chunk eval. Per source: multi-chunk docs, mixed docs (mean
+    * pairwise disagreement ≥ [[DivergeE6]] ppm of bits), their share, and
+    * the corpus-level mean disagreement — all exact integers. Columns
+    * (source, n_docs_mc, n_mixed, mixed_e6, n_pairs, mean_div_e6).
+    *
+    * Scale posture (100 TB): chunking + per-chunk simhash are one
+    * scan-local pass (native codegen, no shuffle); the pair join is keyed
+    * on doc_id so every partition is one doc's chunk list — C(nc,2) pairs
+    * per doc, bounded by the chunk cap (len/stride; cap nc or sample
+    * chunk pairs for book-length docs, the audit only needs the mean);
+    * the rollup is |sources| rows, map-side combinable. No global window.
+    */
+  def chunkDivergence(docs: DataFrame): DataFrame = {
+    val ch = chunkDocs(docs).select(
+      col("doc_id"),
+      col("chunk_id"),
+      graftnative.api.simhash60(graftnative.api.tokenHash60(col("chunk_text"))).as("sh"))
+    val a = ch.select(col("doc_id"), col("chunk_id").as("ca"), col("sh").as("sa"))
+    val b = ch.select(col("doc_id"), col("chunk_id").as("cb"), col("sh").as("sb"))
+    val perDoc = a.join(b, Seq("doc_id"))
+      .filter(col("ca") < col("cb"))
+      .select(col("doc_id"), expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("h").as("sum_h"))
+      .withColumn("div_e6", expr("(1000000 * sum_h) div (60 * n_pairs)"))
+    perDoc
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_mc"),
+        sum(when(col("div_e6") >= DivergeE6, 1L).otherwise(0L)).as("n_mixed"),
+        sum("n_pairs").as("n_pairs"),
+        sum("sum_h").as("sum_h"))
+      .withColumn("mixed_e6", expr("(1000000 * n_mixed) div n_docs_mc"))
+      .withColumn("mean_div_e6", expr("(1000000 * sum_h) div (60 * n_pairs)"))
+      .select("source", "n_docs_mc", "n_mixed", "mixed_e6", "n_pairs", "mean_div_e6")
+  }
+
   /** x38 core: the per-source audit card — docs, tokens, exact-dup excess,
     * vocabulary, language count, token-length envelope.
     */
@@ -3135,6 +3190,58 @@ object DataPrep {
         "window, no sort; provably invariant under disjoint-key corpus replication."
     ) { (s, dir) =>
       shardBalance(table(s, dir, "documents")).orderBy("shard")
+    },
+
+    // ----- x125: intra-doc chunk divergence (topic-mix / concat-seam audit) -----
+    Q(
+      "x125_chunk_divergence",
+      Some {
+        val (wdw, st) = (ChunkW, ChunkS)
+        val cws = XText.wordsSql("chunk_text")
+        s"WITH w AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw, " +
+          s"1 + CASE WHEN len(ws) > $wdw THEN (len(ws) - $wdw + ${st - 1}) // $st ELSE 0 END " +
+          "AS nc FROM w), " +
+          "c AS (SELECT doc_id, ws, nw, unnest(generate_series(0, nc - 1)) AS i FROM d), " +
+          "ck AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+          s"array_to_string(ws[(1 + i * $st):(least(CAST($wdw AS BIGINT), nw - (1 + i * $st) + 1) + i * $st)], ' ') " +
+          "AS chunk_text FROM c), " +
+          s"tk AS (SELECT doc_id, chunk_id, unnest(list_transform($cws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM ck), " +
+          "bt AS (SELECT doc_id, chunk_id, bit, " +
+          "sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM tk CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits " +
+          "GROUP BY 1, 2, 3), " +
+          "sh AS (SELECT doc_id, chunk_id, " +
+          "CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS s " +
+          "FROM bt GROUP BY 1, 2), " +
+          "p AS (SELECT a.doc_id AS doc_id, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS h " +
+          "FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id), " +
+          "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(sum(h) AS BIGINT) AS sum_h FROM p GROUP BY 1), " +
+          "pd2 AS (SELECT doc_id, n_pairs, sum_h, " +
+          "CAST((1000000 * sum_h) // (60 * n_pairs) AS BIGINT) AS div_e6 FROM pd) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_mc, " +
+          s"CAST(sum(CASE WHEN div_e6 >= $DivergeE6 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed, " +
+          s"CAST((1000000 * sum(CASE WHEN div_e6 >= $DivergeE6 THEN 1 ELSE 0 END)) // count(*) " +
+          "AS BIGINT) AS mixed_e6, " +
+          "CAST(sum(n_pairs) AS BIGINT) AS n_pairs, " +
+          "CAST((1000000 * sum(sum_h)) // (60 * sum(n_pairs)) AS BIGINT) AS mean_div_e6 " +
+          "FROM pd2 JOIN documents USING (doc_id) GROUP BY source ORDER BY source"
+      },
+      "INTRA-DOC CHUNK DIVERGENCE — per source, pairwise simhash hamming between a " +
+        "doc's own x36 chunks: a concatenation artifact (crawler merging unrelated " +
+        "pages), topic-mixed scrape, or OCR garbage has chunks as far apart as random " +
+        s"text, and a doc whose chunks disagree on ≥ ${DivergeE6 / 10000}% of bits on " +
+        "average is flagged mixed. The seam signal bag-of-words metrics (x31/x109) " +
+        "cannot see — two clean-but-unrelated halves score fine as one bag — and the " +
+        "RAG-index QA gate: x91 embeds chunks assuming chunk≈doc topic. Chunking + " +
+        "per-chunk simhash are one scan-local native pass; the pair join is keyed on " +
+        "doc_id (each partition one doc's chunk list, C(nc,2) bounded by the chunk " +
+        "cap); the rollup is |sources| rows — no global window, exact integers end " +
+        "to end."
+    ) { (s, dir) =>
+      chunkDivergence(table(s, dir, "documents")).orderBy("source")
     }
   )
 }

@@ -580,6 +580,57 @@ object Dedup {
         sum("n_pairs").as("sum_pairs"))
   }
 
+  /** x126 core: DEDUP LENGTH BIAS — does exact dedup skew the corpus's
+    * length distribution? Under x01's keep-first rule, per source: kept vs
+    * dropped doc counts AND token masses, their exact mean lengths (e6),
+    * and bias_e6 = (1e6 · dropped-mean) div kept-mean — dropped docs are
+    * bias_e6/1e6 × the length of kept ones. Why it matters: duplication is
+    * not length-independent (boilerplate and templated shorts re-post far
+    * more than long-form), so dedup silently shifts the token-length
+    * mixture the trainer sees — x104's post-dedup quantiles show the
+    * after, this attributes the shift to the dedup step itself and prices
+    * it per source; a bias far from 1e6 means the packing plan (x21/x83)
+    * and context-length budget were tuned on a distribution dedup then
+    * changed. bias_e6 = 0 where a source dropped nothing (flagless
+    * sentinel — no nulls cross the oracle). Columns (source, n_kept,
+    * n_dropped, tok_kept, tok_dropped, kept_mean_e6, dropped_mean_e6,
+    * bias_e6).
+    *
+    * Scale posture (100 TB): rides the dedup's own shuffle — one groupBy
+    * on the 8-byte norm key for owners, one join back on the same key,
+    * then a |sources|-row map-side-combinable rollup; token counts are a
+    * per-row expression inside the scan. Decimal(38) on the bias product
+    * so corpus-scale token masses cannot overflow.
+    */
+  def dedupLengthBias(docs: DataFrame): DataFrame = {
+    val g = docs.select(
+      col("doc_id"),
+      col("source"),
+      size(XText.words(col("text"))).cast("long").as("n_tok"),
+      h60(normText(col("text"))).as("key"))
+    val own = g.groupBy("key").agg(min("doc_id").as("owner_id"))
+    g.join(own, "key")
+      .withColumn("kept", col("doc_id") === col("owner_id"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"),
+        sum(when(col("kept"), 0L).otherwise(col("n_tok"))).as("tok_dropped"))
+      .withColumn("kept_mean_e6",
+        expr("CASE WHEN n_kept = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * tok_kept) div n_kept END"))
+      .withColumn("dropped_mean_e6",
+        expr("CASE WHEN n_dropped = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * tok_dropped) div n_dropped END"))
+      .withColumn("bias_e6",
+        expr("CASE WHEN n_dropped = 0 OR tok_kept = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * tok_dropped * n_kept) " +
+          "div (cast(n_dropped as decimal(38,0)) * tok_kept) END"))
+      .select("source", "n_kept", "n_dropped", "tok_kept", "tok_dropped",
+        "kept_mean_e6", "dropped_mean_e6", "bias_e6")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x01: exact dedup after normalization (hash groupBy keep-first) -----
     Q(
@@ -1331,6 +1382,62 @@ object Dedup {
         "open-web scale. Output is |distinct sizes| rows."
     ) { (s, dir) =>
       clusterDiameter(table(s, dir, "documents")).orderBy("size")
+    },
+
+    // ----- x126: dedup length bias (does dedup skew the length mixture?) -----
+    Q(
+      "x126_dedup_length_bias",
+      Some(
+        // x87's fixture: the mirror re-host of every 31st doc plus a
+        // within-source re-post of every 17th — deterministic drops in
+        // both engines, so every column carries signal
+        "WITH aug AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, 'mirror', text FROM documents " +
+          "WHERE doc_id % 31 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, source, text FROM documents " +
+          "WHERE doc_id % 17 = 0), " +
+          "g AS (SELECT doc_id, source, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok, " +
+          s"${h60Sql(normSql)} AS key FROM aug), " +
+          "own AS (SELECT key, min(doc_id) AS owner_id FROM g GROUP BY key), " +
+          "r AS (SELECT source, CASE WHEN doc_id = owner_id THEN 1 ELSE 0 END AS kept, " +
+          "n_tok FROM g JOIN own USING (key)), " +
+          "s AS (SELECT source, " +
+          "CAST(sum(kept) AS BIGINT) AS n_kept, " +
+          "CAST(sum(1 - kept) AS BIGINT) AS n_dropped, " +
+          "CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept, " +
+          "CAST(sum(CASE WHEN kept = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_dropped " +
+          "FROM r GROUP BY source) " +
+          "SELECT source, n_kept, n_dropped, tok_kept, tok_dropped, " +
+          "CAST(CASE WHEN n_kept = 0 THEN 0 ELSE " +
+          "(1000000 * CAST(tok_kept AS HUGEINT)) // n_kept END AS BIGINT) AS kept_mean_e6, " +
+          "CAST(CASE WHEN n_dropped = 0 THEN 0 ELSE " +
+          "(1000000 * CAST(tok_dropped AS HUGEINT)) // n_dropped END AS BIGINT) AS dropped_mean_e6, " +
+          "CAST(CASE WHEN n_dropped = 0 OR tok_kept = 0 THEN 0 ELSE " +
+          "(1000000 * CAST(tok_dropped AS HUGEINT) * n_kept) // " +
+          "(CAST(n_dropped AS HUGEINT) * tok_kept) END AS BIGINT) AS bias_e6 " +
+          "FROM s ORDER BY source"),
+      "DEDUP LENGTH BIAS — does exact dedup skew the length mixture? Per source " +
+        "under x01's keep-first rule: kept/dropped doc counts and token masses, " +
+        "exact mean lengths, and bias_e6 = (1e6·dropped-mean) div kept-mean. " +
+        "Duplication is not length-independent (boilerplate shorts re-post far more " +
+        "than long-form), so dedup silently shifts the token-length distribution the " +
+        "trainer sees: x104 shows the after, this attributes the shift to the dedup " +
+        "step and prices it per source — a bias far from 1e6 means the packing plan " +
+        "(x21/x83) was tuned on a distribution dedup then changed. Fixture: x87's " +
+        "mirror + re-post augmentation, so drops exist deterministically in both " +
+        "engines. Rides the dedup's own shuffle (owner groupBy + join back on the " +
+        "8-byte norm key, |sources|-row rollup); decimal(38)/HUGEINT on the bias " +
+        "product so corpus-scale token masses cannot overflow."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text")
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"),
+            col("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("source"), col("text")))
+      dedupLengthBias(aug).orderBy("source")
     }
   )
 }

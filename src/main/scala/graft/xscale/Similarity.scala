@@ -883,6 +883,62 @@ object Similarity {
       .withColumn("is_dead",
         when(col("min_e6") === col("max_e6"), 1L).otherwise(0L))
 
+  /** x124 core: embedding ANISOTROPY audit — the collapse-to-a-cone
+    * signal (Ethayarajh EMNLP 2019; Mu & Viswanath ICLR 2018 "all-but-
+    * the-top"): per label and overall,
+    * anis_e6 = (1e6 · ‖Σv‖²) div (n · Σ‖v‖²), computed entirely in
+    * integer arithmetic on e6-quantized elements (per-element floor, the
+    * x118 rule) with decimal(38,0) accumulators. The measure is bounded
+    * in [0, 1e6] by Cauchy–Schwarz and expands to
+    * (1/n)·(1 + Σ_{i≠j} vᵢ·vⱼ / Σ‖v‖²): isotropic embeddings score
+    * ≈ 1e6/n (pairwise dots cancel), a collapsed cone scores → 1e6
+    * (every pair nearly parallel). What it catches: encoder drift that
+    * concentrates mass in a shared direction — cosine loses contrast,
+    * x113's ANN recall craters, x30's semantic dedup over-merges — BEFORE
+    * any index is built. The per-label rows localize the collapse (one
+    * entangled class vs a global drift); x118 names the culprit
+    * dimensions, this scores the geometry they induce. Columns
+    * (label, n_vecs, anis_e6) with label = -1 for the all-vectors row.
+    *
+    * Scale posture (100 TB): one posexplode scan into (label, dim)
+    * partial sums — map-side combinable, |labels|·|dims| intermediate
+    * rows — then two |labels|-sized rollups; no window, no join wider
+    * than the broadcastable label list. Envelope: 1e6·‖Σv‖² must fit
+    * decimal(38,0) — with |x|≤1 that holds to n ≈ 1e12 vectors per
+    * group; beyond it, aggregate per-shard sums hierarchically (the
+    * partial sums ARE the mergeable sketch).
+    */
+  def anisotropy(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(
+        col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d0", "x")))
+      .select(
+        col("label"),
+        (col("d0") + 1).cast("long").as("dim"),
+        floor(col("x") * lit(1e6)).cast("long").as("x_e6"))
+    val ld = q.groupBy("label", "dim").agg(
+      sum("x_e6").as("s"),
+      sum(expr("cast(x_e6 as decimal(38,0)) * x_e6")).as("t"),
+      count(lit(1)).as("n"))
+    val perLabel = ld.groupBy("label").agg(
+      max("n").as("n_vecs"),
+      sum(expr("cast(s as decimal(38,0)) * s")).as("a"),
+      sum("t").as("b"))
+    val overall = ld.groupBy("dim").agg(
+        sum("s").as("s"), sum("t").as("t"), sum("n").as("n"))
+      .agg(
+        max("n").cast("long").as("n_vecs"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("a"),
+        sum("t").as("b"))
+      .select(lit(-1L).as("label"), col("n_vecs"), col("a"), col("b"))
+    perLabel.select("label", "n_vecs", "a", "b").unionByName(overall)
+      .withColumn(
+        "anis_e6",
+        expr("(cast(1000000 as decimal(38,0)) * a) div (cast(n_vecs as decimal(38,0)) * b)"))
+      .select("label", "n_vecs", "anis_e6")
+  }
+
   /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
     * confident-learning signal (Northcutt et al. JAIR 2021) computed from
     * neighborhood votes: a labeled example whose nearest neighbors
@@ -2236,6 +2292,44 @@ object Similarity {
         "combinable, |dims| rows out — no window, no join."
     ) { (s, dir) =>
       dimStats(table(s, dir, "embeddings")).orderBy("dim")
+    },
+
+    // ----- x124: embedding anisotropy (cone-collapse score) -----
+    Q(
+      "x124_anisotropy",
+      Some(
+        "WITH e AS (SELECT CAST(label AS BIGINT) AS label, " +
+          "embedding::DOUBLE[] AS v FROM embeddings), " +
+          "x AS (SELECT label, CAST(i AS BIGINT) AS dim, " +
+          "CAST(floor(v[i] * 1000000) AS BIGINT) AS x_e6 " +
+          "FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)), " +
+          "ld AS (SELECT label, dim, CAST(sum(x_e6) AS HUGEINT) AS s, " +
+          "sum(CAST(x_e6 AS HUGEINT) * x_e6) AS t, CAST(count(*) AS BIGINT) AS n " +
+          "FROM x GROUP BY 1, 2), " +
+          "pl AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs, " +
+          "sum(s * s) AS a, sum(t) AS b FROM ld GROUP BY 1), " +
+          "od AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS s, sum(t) AS t, " +
+          "sum(n) AS n FROM ld GROUP BY 1), " +
+          "ov AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(max(n) AS BIGINT) AS n_vecs, " +
+          "sum(s * s) AS a, sum(t) AS b FROM od), " +
+          "u AS (SELECT * FROM pl UNION ALL SELECT * FROM ov) " +
+          "SELECT label, n_vecs, " +
+          "CAST((1000000 * a) // (CAST(n_vecs AS HUGEINT) * b) AS BIGINT) AS anis_e6 " +
+          "FROM u ORDER BY label"),
+      "embedding ANISOTROPY audit (Ethayarajh 2019; Mu & Viswanath 2018): per label " +
+        "and overall (-1), anis_e6 = (1e6·‖Σv‖²) div (n·Σ‖v‖²) — [0,1e6] by " +
+        "Cauchy–Schwarz, ≈1e6/n for isotropic embeddings, →1e6 when vectors collapse " +
+        "to a shared cone. Collapse destroys cosine contrast: ANN recall (x113) and " +
+        "semantic dedup (x30) degrade BEFORE any index is built, and this one number, " +
+        "re-run on every re-embed, catches it; x118 names the culprit dimensions, " +
+        "this scores the geometry they induce. Exact integer arithmetic on " +
+        "e6-quantized elements with decimal(38)/HUGEINT accumulators — no float " +
+        "crosses the oracle. One posexplode scan into map-side-combinable " +
+        "(label, dim) partial sums (|labels|·|dims| rows), two |labels|-sized " +
+        "rollups; no window, no join — the partial sums are a mergeable sketch, so " +
+        "at 100 TB shards aggregate hierarchically."
+    ) { (s, dir) =>
+      anisotropy(table(s, dir, "embeddings")).orderBy("label")
     }
   )
 }

@@ -1,0 +1,127 @@
+package graft.xscale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics tests for the round-9 closing operators: embedding anisotropy
+  * (x124), intra-doc chunk divergence (x125), dedup length bias (x126).
+  */
+class R9Ops3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x124 anisotropy: collapsed cone scores 1e6, orthogonal one-hots score 1e6/n") {
+    // label 0: four IDENTICAL one-hot vectors (a fully collapsed cone)
+    // label 1: four ORTHOGONAL one-hot vectors (maximally spread)
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    val emb = (
+      (0 until 4).map(k => (k.toLong, oneHot(0), 0)) ++
+        (0 until 4).map(k => (4L + k, oneHot(k), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.anisotropy(emb)
+      .select("label", "n_vecs", "anis_e6").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val byLabel = out.map(r => r._1 -> r).toMap
+    assert(byLabel(0L) == ((0L, 4L, 1000000L)), s"collapsed: ${byLabel(0L)}")
+    assert(byLabel(1L) == ((1L, 4L, 250000L)), s"orthogonal: ${byLabel(1L)}")
+    // overall row: all 8 vectors; 5 vecs share dim 0 → A = 5e12·5 + 3·1e12... recount:
+    // dims sums = [5,1,1,1]·1e6 → A = (25+1+1+1)·1e12, B = 8·1e12, n = 8
+    assert(byLabel(-1L) == ((-1L, 8L, 1000000L * 28 / (8 * 8))), s"overall: ${byLabel(-1L)}")
+  }
+
+  test("x124 anisotropy: fixture rows match an exact BigInt recount per label") {
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val out = Similarity.anisotropy(emb)
+      .select("label", "n_vecs", "anis_e6").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = emb.select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (l, v) => (l, v.map(x => math.floor(x * 1e6).toLong)) }
+    def score(vs: Seq[Seq[Long]]): (Long, Long) = {
+      val dims = vs.head.length
+      val s = (0 until dims).map(j => BigInt(vs.map(_(j)).sum))
+      val a = s.map(x => x * x).sum
+      val b = vs.flatten.map(x => BigInt(x) * x).sum
+      (vs.length.toLong, (BigInt(1000000) * a / (BigInt(vs.length) * b)).toLong)
+    }
+    rows.groupBy(_._1).foreach { case (l, g) =>
+      assert(out(l) == score(g.map(_._2).toSeq), s"label $l")
+    }
+    assert(out(-1L) == score(rows.map(_._2).toSeq), "overall row")
+    // bounds: Cauchy–Schwarz caps at 1e6
+    out.values.foreach { case (_, anis) => assert(anis >= 0 && anis <= 1000000L) }
+  }
+
+  test("x125 chunk divergence: identical chunks score 0, a concat seam scores higher") {
+    val coherent = Seq.fill(56)("w").mkString(" ") // 2 chunks, both all-"w"
+    val seam = ((1 to 24).map(i => s"alpha$i") ++ (25 to 56).map(i => s"beta$i")).mkString(" ")
+    val short = "just five tokens right here" // 1 chunk → no pairs → absent
+    val docs = Seq(
+      (1L, "coh", coherent), (2L, "mix", seam), (3L, "tiny", short))
+      .toDF("doc_id", "source", "text")
+    val out = DataPrep.chunkDivergence(docs)
+      .select("source", "n_docs_mc", "n_mixed", "mixed_e6", "n_pairs", "mean_div_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains("tiny"), "single-chunk docs have no pairs and no row")
+    assert(out("coh") == (("coh", 1L, 0L, 0L, 1L, 0L)), s"coherent: ${out("coh")}")
+    val mix = out("mix")
+    assert(mix._2 == 1L && mix._5 == 1L && mix._6 > 0L, s"seam diverges: $mix")
+    assert((mix._3 == 1L) == (mix._6 >= DataPrep.DivergeE6))
+  }
+
+  test("x125 chunk divergence: fixture pair counts match the chunk-count recount") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = DataPrep.chunkDivergence(docs)
+      .select("source", "n_docs_mc", "n_pairs").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val nc = DataPrep.chunkDocs(docs).groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("nc") >= 2)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_mc"), sum(expr("nc * (nc - 1) div 2")).as("pairs"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == nc.keySet)
+    nc.foreach { case (s, v) => assert(out(s) == v, s"source $s") }
+  }
+
+  test("x126 dedup length bias: exact counts, masses and bias on a planted frame") {
+    val docs = Seq(
+      (1L, "A", "x y z"), // kept (owner of the x-y-z group)
+      (2L, "A", "x y z"), // dropped, internal
+      (3L, "A", "a b c d e f"), // kept, unique
+      (4L, "B", "x y z"), // dropped, external (owner is doc 1 in A)
+      (5L, "B", "p q r s")) // kept, unique
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupLengthBias(docs)
+      .select("source", "n_kept", "n_dropped", "tok_kept", "tok_dropped",
+        "kept_mean_e6", "dropped_mean_e6", "bias_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 2L, 1L, 9L, 3L, 4500000L, 3000000L,
+      1000000L * 3 * 2 / (1 * 9))), s"A: ${out("A")}")
+    assert(out("B") == (("B", 1L, 1L, 4L, 3L, 4000000L, 3000000L,
+      1000000L * 3 * 1 / (1 * 4))), s"B: ${out("B")}")
+  }
+
+  test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val out = Dedup.dedupLengthBias(docs)
+      .select("source", "n_kept", "n_dropped", "tok_kept", "tok_dropped", "bias_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val totals = docs.select(col("source"),
+        size(XText.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.map(_._1).toSet == totals.keySet)
+    out.foreach { case (s, nk, nd, tk, td, bias) =>
+      assert((nk + nd, tk + td) == totals(s), s"conservation at $s")
+      assert(nk >= 1, s"every source keeps at least one doc: $s")
+      if (nd == 0) assert(bias == 0L, s"sentinel at $s")
+    }
+  }
+}

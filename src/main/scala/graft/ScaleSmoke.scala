@@ -40,7 +40,7 @@ object ScaleSmoke {
     "x117_template_slots", "x118_dim_stats", "x119_burstiness",
     "x120_markup_residue", "x121_lsh_fidelity", "x122_cluster_diameter",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
-    "x126_dedup_length_bias",
+    "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are

@@ -967,6 +967,22 @@ object TrainingData {
   def dedupLengthBias(docs: DataFrame): DataFrame =
     xscale.Dedup.dedupLengthBias(docs)
 
+  /** Pipeline-stage overlap (x127): dedup vs quality filter evaluated
+    * independently — four-cell accounting per source plus subsume_e6,
+    * the measured input to the which-stage-runs-first cost decision
+    * (x90 prices filter-vs-filter; this prices dedup-vs-filter).
+    */
+  def stageOverlap(docs: DataFrame, thrE4: Long = xscale.Dedup.StageThrE4): DataFrame =
+    xscale.Dedup.stageOverlap(docs, thrE4)
+
+  /** Dedup signal agreement (x128): pair-set overlap between the simhash
+    * text signal and the embedding-cosine signal over embedded docs —
+    * the measured marginal value of x50's second signal, and the
+    * regression tripwire for encoder swaps. One summary row.
+    */
+  def signalAgreement(docs: DataFrame, emb: DataFrame): DataFrame =
+    xscale.Dedup.signalAgreement(docs, emb)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

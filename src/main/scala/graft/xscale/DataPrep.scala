@@ -97,10 +97,15 @@ object DataPrep {
     * the rollup is |sources| rows, map-side combinable. No global window.
     */
   def chunkDivergence(docs: DataFrame): DataFrame = {
+    // 16-byte (doc_id, chunk_id, simhash) rows, pinned so the pair
+    // self-join reads the fingerprints instead of re-running chunking +
+    // simhash on both legs (the x112 one-scan pin; the pinned frame is
+    // far smaller than the text it came from).
     val ch = chunkDocs(docs).select(
-      col("doc_id"),
-      col("chunk_id"),
-      graftnative.api.simhash60(graftnative.api.tokenHash60(col("chunk_text"))).as("sh"))
+        col("doc_id"),
+        col("chunk_id"),
+        graftnative.api.simhash60(graftnative.api.tokenHash60(col("chunk_text"))).as("sh"))
+      .localCheckpoint()
     val a = ch.select(col("doc_id"), col("chunk_id").as("ca"), col("sh").as("sa"))
     val b = ch.select(col("doc_id"), col("chunk_id").as("cb"), col("sh").as("sb"))
     val perDoc = a.join(b, Seq("doc_id"))

@@ -165,6 +165,20 @@ object Dedup {
     val tp = simhashPairs(docs)
       .filter(col("hamming") <= hamming)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    tp.unionByName(embClusterPairs(emb, tau, nc, trainSample, checkpointDir)).distinct()
+  }
+
+  /** x50's embedding-side leg, shared with the x128 agreement audit:
+    * cosine >= `tau` pairs among WITHIN-K-MEANS-CLUSTER candidates (x30's
+    * candidate structure — see [[jointPairs]] for why k-means beats
+    * hyperplane LSH at dedup-grade thresholds). Columns (a, b) = vec_ids.
+    */
+  private[xscale] def embClusterPairs(
+      emb: DataFrame,
+      tau: Double,
+      nc: Int,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vi = Similarity.fixedPoint(emb)
     val ncEff =
       if (nc > 0) nc
@@ -176,11 +190,10 @@ object Dedup {
       checkpointDir)
     val ea = asg.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
     val eb = asg.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
-    val ep = ea.join(eb, Seq("cid"))
+    ea.join(eb, Seq("cid"))
       .filter(col("va") < col("vb"))
       .filter(graftnative.api.dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= tau)
       .select(col("va").as("a"), col("vb").as("b"))
-    tp.unionByName(ep).distinct()
   }
 
   /** x47 core: per unordered source pair, the number of exact-dup groups
@@ -629,6 +642,108 @@ object Dedup {
           "div (cast(n_dropped as decimal(38,0)) * tok_kept) END"))
       .select("source", "n_kept", "n_dropped", "tok_kept", "tok_dropped",
         "kept_mean_e6", "dropped_mean_e6", "bias_e6")
+  }
+
+  /** x127 canonical quality threshold for the stage-overlap audit: the
+    * midpoint of x100's sweep grid (score_e4 in [0, 10000]).
+    */
+  val StageThrE4 = 5000L
+
+  /** x127 core: PIPELINE-STAGE OVERLAP — how much of exact dedup's work
+    * would the quality filter have done anyway (and vice versa)? Both
+    * signals are evaluated INDEPENDENTLY on the raw corpus — x01's
+    * keep-first rule and the x09/x100 `score_e4 >= thr` gate — and every
+    * doc lands in one of four cells: dropped by both, by dedup only, by
+    * filter only, or kept by both. Why it matters: stage ordering is a
+    * real cost decision at 100 TB (the cheaper stage should run first and
+    * shrink the corpus the expensive one scans), and the decision needs
+    * the overlap measured, not assumed — subsume_e6 = (1e6·drop_both) div
+    * drop_dedup says what fraction of the dedup's drops the filter would
+    * reap anyway (x90 answers this for filter-vs-filter; this prices
+    * dedup-vs-filter, the two stages that actually compete for first
+    * place). Columns (source, n_docs, drop_dedup, drop_filter, drop_both,
+    * only_dedup, only_filter, n_survive, subsume_e6); sentinel 0 where a
+    * source has no dedup drops.
+    *
+    * Scale posture (100 TB): scoring is a per-row expression inside the
+    * scan; the dedup leg rides its own shuffle (owner groupBy + join back
+    * on the 8-byte norm key); the four-cell accounting is one
+    * |sources|-row map-side-combinable rollup. No window, no extra scan.
+    */
+  def stageOverlap(docs: DataFrame, thrE4: Long = StageThrE4): DataFrame = {
+    val g = TextAnalysis.qualityScored(docs)
+      .select(col("doc_id"), col("source"), col("score_e4"),
+        h60(normText(col("text"))).as("key"))
+    val own = g.groupBy("key").agg(min("doc_id").as("owner_id"))
+    g.join(own, "key")
+      .withColumn("dd", col("doc_id") =!= col("owner_id"))
+      .withColumn("df", col("score_e4") < thrE4)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dd"), 1L).otherwise(0L)).as("drop_dedup"),
+        sum(when(col("df"), 1L).otherwise(0L)).as("drop_filter"),
+        sum(when(col("dd") && col("df"), 1L).otherwise(0L)).as("drop_both"),
+        sum(when(col("dd") && !col("df"), 1L).otherwise(0L)).as("only_dedup"),
+        sum(when(!col("dd") && col("df"), 1L).otherwise(0L)).as("only_filter"),
+        sum(when(!col("dd") && !col("df"), 1L).otherwise(0L)).as("n_survive"))
+      .withColumn("subsume_e6",
+        expr("CASE WHEN drop_dedup = 0 THEN 0 ELSE (1000000 * drop_both) div drop_dedup END"))
+  }
+
+  /** x128 core: DEDUP SIGNAL AGREEMENT — do the text signal (x04 simhash,
+    * hamming <= `hamming`) and the embedding signal (cosine >= `tau`
+    * among k-means-cluster candidates, x50's leg) nominate the SAME
+    * near-dup pairs? One summary row over the docs that carry embeddings
+    * (vec_id = doc_id, the x50 convention): ids audited, pairs from each
+    * signal, the intersection, each side's exclusive finds, the union,
+    * and pair-set Jaccard (e6). Why it matters: x50 unions the signals on
+    * the argument that each catches what the other misses — this audit
+    * MEASURES that marginal value (agreement near 1e6 ⇒ the second signal
+    * is redundant cost at 100 TB; near 0 with both sides non-trivial ⇒
+    * they see genuinely different duplication, keep both), and a sudden
+    * agreement shift after an encoder swap is an embedding regression
+    * caught before x50 silently changes its merges. Columns (n_ids,
+    * n_pairs_text, n_pairs_emb, n_both, only_text, only_emb, n_union,
+    * jaccard_e6).
+    *
+    * Scale posture (100 TB): both generators are their bucketed scale
+    * selves (pigeonhole blocks / k-means cells — no all-pairs path); the
+    * agreement join is keyed on the 16-byte pair, the rollup is one row.
+    * The text side is semi-join-restricted to embedded docs BEFORE
+    * fingerprinting, so the audit never pays for docs outside the
+    * embedded subset.
+    */
+  def signalAgreement(
+      docs: DataFrame,
+      emb: DataFrame,
+      hamming: Int = 8,
+      tau: Double = 0.45,
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val dd = docs.join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val tp = simhashPairs(dd)
+      .filter(col("hamming") <= hamming)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"), lit(1L).as("t"))
+    val ep = embClusterPairs(emb, tau, nc, trainSample, checkpointDir)
+      .withColumn("e", lit(1L))
+    val cells = tp.join(ep, Seq("a", "b"), "full_outer")
+      .select(
+        when(col("t").isNotNull, 1L).otherwise(0L).as("is_t"),
+        when(col("e").isNotNull, 1L).otherwise(0L).as("is_e"))
+      .agg(
+        coalesce(sum("is_t"), lit(0L)).as("n_pairs_text"),
+        coalesce(sum("is_e"), lit(0L)).as("n_pairs_emb"),
+        coalesce(sum(expr("is_t * is_e")), lit(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
+    dd.agg(count(lit(1)).as("n_ids")).crossJoin(cells)
+      .withColumn("only_text", col("n_pairs_text") - col("n_both"))
+      .withColumn("only_emb", col("n_pairs_emb") - col("n_both"))
+      .withColumn("jaccard_e6",
+        expr("CASE WHEN n_union = 0 THEN 0 ELSE (1000000 * n_both) div n_union END"))
+      .select("n_ids", "n_pairs_text", "n_pairs_emb", "n_both",
+        "only_text", "only_emb", "n_union", "jaccard_e6")
   }
 
   val queries: Seq[Q] = Seq(
@@ -1438,6 +1553,110 @@ object Dedup {
         .unionByName(docs.filter(col("doc_id") % 17 === 0)
           .select((col("doc_id") + 4000000L).as("doc_id"), col("source"), col("text")))
       dedupLengthBias(aug).orderBy("source")
+    },
+
+    // ----- x127: dedup × quality-filter stage overlap (ordering audit) -----
+    Q(
+      "x127_stage_overlap",
+      Some(
+        // x87's fixture (mirror re-host + within-source re-post) so the
+        // dedup leg has deterministic drops in both engines; n_chars
+        // travels with the copies because the quality score reads it
+        "WITH aug AS (SELECT doc_id, source, text, n_chars FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, 'mirror', text, n_chars FROM documents " +
+          "WHERE doc_id % 31 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, source, text, n_chars FROM documents " +
+          "WHERE doc_id % 17 = 0), " +
+          s"qw AS (SELECT doc_id, source, n_chars, text, ${XText.wordsSql("text")} AS ws FROM aug), " +
+          "g AS (SELECT doc_id, source, " +
+          s"${TextAnalysis.qualityScoreE4Sql("n_chars", "len(ws)", TextAnalysis.hitsSql(TextAnalysis.qualityStops))} AS score_e4, " +
+          s"${h60Sql(normSql)} AS key FROM qw), " +
+          "own AS (SELECT key, min(doc_id) AS owner_id FROM g GROUP BY key), " +
+          "j AS (SELECT source, CASE WHEN doc_id <> owner_id THEN 1 ELSE 0 END AS dd, " +
+          s"CASE WHEN score_e4 < $StageThrE4 THEN 1 ELSE 0 END AS df " +
+          "FROM g JOIN own USING (key)), " +
+          "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(dd) AS BIGINT) AS drop_dedup, " +
+          "CAST(sum(df) AS BIGINT) AS drop_filter, " +
+          "CAST(sum(dd * df) AS BIGINT) AS drop_both, " +
+          "CAST(sum(dd * (1 - df)) AS BIGINT) AS only_dedup, " +
+          "CAST(sum((1 - dd) * df) AS BIGINT) AS only_filter, " +
+          "CAST(sum((1 - dd) * (1 - df)) AS BIGINT) AS n_survive " +
+          "FROM j GROUP BY source) " +
+          "SELECT source, n_docs, drop_dedup, drop_filter, drop_both, only_dedup, " +
+          "only_filter, n_survive, " +
+          "CAST(CASE WHEN drop_dedup = 0 THEN 0 ELSE " +
+          "(1000000 * drop_both) // drop_dedup END AS BIGINT) AS subsume_e6 " +
+          "FROM s ORDER BY source"),
+      "PIPELINE-STAGE OVERLAP — dedup vs quality filter, the two stages that compete " +
+        "to run first: both signals evaluated independently on the raw corpus (x01 " +
+        "keep-first; x09 score_e4 >= " + StageThrE4 + "), every doc lands in one of " +
+        "four cells, and subsume_e6 says what fraction of the dedup's drops the " +
+        "filter would reap anyway. Stage ordering at 100 TB is a measured cost " +
+        "decision (the cheap stage should shrink the corpus the expensive one " +
+        "scans), and x90 only prices filter-vs-filter — this prices dedup-vs-filter. " +
+        "Fixture: x87's mirror + re-post augmentation. Scoring is per-row inside the " +
+        "scan; the dedup leg rides its own shuffle; one |sources|-row rollup."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "source", "text", "n_chars")
+      val aug = docs
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"),
+            col("text"), col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("source"), col("text"),
+            col("n_chars")))
+      stageOverlap(aug).orderBy("source")
+    },
+
+    // ----- x128: text vs embedding dedup-signal agreement -----
+    Q(
+      "x128_signal_agreement",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "pt AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          s"${Similarity.normCtes}, ${Similarity.kmeansRankedSql}, " +
+          "asg AS (SELECT r0.vec_id, r0.cid FROM r0 WHERE rn = 1), " +
+          "pe AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM asg a " +
+          "JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+          "JOIN n q ON q.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id " +
+          s"WHERE ${Similarity.cosSql} >= 0.45), " +
+          "j AS (SELECT CASE WHEN t.pa IS NOT NULL THEN 1 ELSE 0 END AS is_t, " +
+          "CASE WHEN e2.pa IS NOT NULL THEN 1 ELSE 0 END AS is_e " +
+          "FROM pt t FULL OUTER JOIN pe e2 ON t.pa = e2.pa AND t.pb = e2.pb), " +
+          "c AS (SELECT CAST(coalesce(sum(is_t), 0) AS BIGINT) AS n_pairs_text, " +
+          "CAST(coalesce(sum(is_e), 0) AS BIGINT) AS n_pairs_emb, " +
+          "CAST(coalesce(sum(is_t * is_e), 0) AS BIGINT) AS n_both, " +
+          "CAST(count(*) AS BIGINT) AS n_union FROM j), " +
+          "i AS (SELECT CAST(count(*) AS BIGINT) AS n_ids FROM documents " +
+          "WHERE doc_id IN (SELECT vec_id FROM embeddings)) " +
+          "SELECT n_ids, n_pairs_text, n_pairs_emb, n_both, " +
+          "n_pairs_text - n_both AS only_text, n_pairs_emb - n_both AS only_emb, n_union, " +
+          "CAST(CASE WHEN n_union = 0 THEN 0 ELSE (1000000 * n_both) // n_union END AS BIGINT) " +
+          "AS jaccard_e6 FROM i CROSS JOIN c"
+      },
+      "DEDUP SIGNAL AGREEMENT — do x04's simhash pairs and x50's embedding-cosine " +
+        "pairs nominate the SAME near-dups? One summary row over the embedded docs " +
+        "(vec_id = doc_id): pairs per signal, intersection, each side's exclusive " +
+        "finds, pair-set Jaccard (e6). x50 unions the signals on the claim that each " +
+        "catches what the other misses — this MEASURES that marginal value " +
+        "(agreement ≈ 1e6 ⇒ the second signal is redundant cost at 100 TB; low with " +
+        "both sides non-trivial ⇒ genuinely different duplication, keep both), and " +
+        "an agreement shift after an encoder swap flags the embedding regression " +
+        "before x50 silently changes its merges. Both generators are their bucketed " +
+        "selves (pigeonhole blocks / k-means cells); the agreement join is keyed on " +
+        "the 16-byte pair; text side semi-join-restricted to embedded docs before " +
+        "fingerprinting."
+    ) { (s, dir) =>
+      signalAgreement(
+        table(s, dir, "documents"), table(s, dir, "embeddings"), nc = Similarity.NC)
     }
   )
 }

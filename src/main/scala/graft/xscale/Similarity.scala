@@ -917,10 +917,13 @@ object Similarity {
         col("label"),
         (col("d0") + 1).cast("long").as("dim"),
         floor(col("x") * lit(1e6)).cast("long").as("x_e6"))
+    // |labels|·|dims| rows, pinned so the per-label and overall rollups
+    // read it instead of re-scanning the corpus (the x112 one-scan pin).
     val ld = q.groupBy("label", "dim").agg(
-      sum("x_e6").as("s"),
-      sum(expr("cast(x_e6 as decimal(38,0)) * x_e6")).as("t"),
-      count(lit(1)).as("n"))
+        sum("x_e6").as("s"),
+        sum(expr("cast(x_e6 as decimal(38,0)) * x_e6")).as("t"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
     val perLabel = ld.groupBy("label").agg(
       max("n").as("n_vecs"),
       sum(expr("cast(s as decimal(38,0)) * s")).as("a"),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Semantics tests for the round-9 closing operators: embedding anisotropy
-  * (x124), intra-doc chunk divergence (x125), dedup length bias (x126).
+  * (x124), intra-doc chunk divergence (x125), dedup length bias (x126),
+  * dedup × filter stage overlap (x127), dedup signal agreement (x128).
   */
 class R9Ops3Spec extends SparkSpec {
   import spark.implicits._
@@ -105,6 +106,67 @@ class R9Ops3Spec extends SparkSpec {
       1000000L * 3 * 2 / (1 * 9))), s"A: ${out("A")}")
     assert(out("B") == (("B", 1L, 1L, 4L, 3L, 4000000L, 3000000L,
       1000000L * 3 * 1 / (1 * 4))), s"B: ${out("B")}")
+  }
+
+  test("x127 stage overlap: cells partition the corpus and threshold extremes behave") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+      .select("doc_id", "source", "text", "n_chars")
+    val out = Dedup.stageOverlap(docs)
+      .select("source", "n_docs", "drop_dedup", "drop_filter", "drop_both",
+        "only_dedup", "only_filter", "n_survive", "subsume_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (s, n, dd, df, both, od, of, surv, sub) =>
+      assert(both + od + of + surv == n, s"cells partition at $s")
+      assert(dd == both + od && df == both + of, s"marginals at $s")
+      if (dd == 0) assert(sub == 0L, s"sentinel at $s")
+      else assert(sub == 1000000L * both / dd, s"subsume formula at $s")
+    }
+    // dedup marginal must equal the dedup's own accounting, threshold-free
+    val bias = Dedup.dedupLengthBias(docs)
+      .select("source", "n_dropped").as[(String, Long)].collect().toMap
+    out.foreach { case (s, _, dd, _, _, _, _, _, _) => assert(dd == bias(s), s"dedup leg at $s") }
+    // thr = 0 → nothing filtered; thr > 1e4 → everything filtered
+    Dedup.stageOverlap(docs, 0L).select("drop_filter").as[Long].collect()
+      .foreach(v => assert(v == 0L))
+    val all = Dedup.stageOverlap(docs, 10001L)
+      .select("n_docs", "drop_filter").as[(Long, Long)].collect()
+    all.foreach { case (n, df) => assert(df == n) }
+  }
+
+  test("x128 signal agreement: planted text-only / emb-only / both pairs land in their cells") {
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    // ids start at 0: the k-means quantizer seeds from vec_id < nc
+    val docs = Seq(
+      (0L, "apple banana cherry date elderberry fig"),
+      (1L, "apple banana cherry date elderberry fig"), // text dup of 0
+      (2L, "quantum flux capacitor neutrino entangles boson"),
+      (3L, "grilled paneer skewers rest beside tamarind chutney"),
+      (4L, "violin sonata crescendos through the midnight hall"),
+      (5L, "violin sonata crescendos through the midnight hall")) // text dup of 4
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, oneHot(0), 0), (1L, oneHot(0), 0), // emb dup pair (0,1) → BOTH
+      (2L, oneHot(1), 0), (3L, oneHot(1), 0), // emb dup pair (2,3) → emb-only
+      (4L, oneHot(2), 0), (5L, oneHot(3), 0)) // orthogonal → text-only (4,5)
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.signalAgreement(docs, emb, nc = 1)
+      .select("n_ids", "n_pairs_text", "n_pairs_emb", "n_both",
+        "only_text", "only_emb", "n_union", "jaccard_e6")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((6L, 2L, 2L, 1L, 1L, 1L, 3L, 1000000L / 3)), s"cells: $out")
+  }
+
+  test("x128 signal agreement: fixture identities hold and ids cover the embedded set") {
+    val out = graft.query.Registry.queries("x128_signal_agreement")(spark, sf)
+      .select("n_ids", "n_pairs_text", "n_pairs_emb", "n_both",
+        "only_text", "only_emb", "n_union", "jaccard_e6")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nIds, t, e, both, ot, oe, u, j) = out
+    assert(nIds == graft.query.Registry.table(spark, sf, "embeddings").count())
+    assert(ot == t - both && oe == e - both)
+    assert(u == t + e - both)
+    assert(j == (if (u == 0) 0L else 1000000L * both / u))
   }
 
   test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {

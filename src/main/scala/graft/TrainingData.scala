@@ -983,6 +983,22 @@ object TrainingData {
   def signalAgreement(docs: DataFrame, emb: DataFrame): DataFrame =
     xscale.Dedup.signalAgreement(docs, emb)
 
+  /** Simhash threshold sweep (x129): the dedup-knob sensitivity curve —
+    * cumulative pairs and touched docs per hamming threshold 0..8, from
+    * ONE pigeonhole candidate pass. The measured input to the x04/x14
+    * threshold choice; x122 shows the chains the chosen point produces.
+    */
+  def simhashThresholdSweep(docs: DataFrame): DataFrame =
+    xscale.Dedup.simhashThresholdSweep(docs)
+
+  /** Token-length profile (x130): per source, raw whitespace-token
+    * character geometry (char mass, mean/max length, long-token and
+    * digit-only shares) — predicts BPE fertility (x78) and real token-
+    * budget cost (x81) from text alone. One scan, no explode.
+    */
+  def tokenLengthProfile(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.tokenLengthProfile(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -746,6 +746,40 @@ object Dedup {
         "only_text", "only_emb", "n_union", "jaccard_e6")
   }
 
+  /** x129 core: SIMHASH THRESHOLD SWEEP — the dedup-knob sensitivity
+    * curve: for every hamming threshold 0..8 (the pigeonhole-complete
+    * envelope of the narrow blocks), the near-dup pairs admitted and the
+    * docs touched by ≥ 1 such pair. THE tuning input for the x04/x14/x50
+    * family: the threshold is the single knob that trades recall (catch
+    * more paraphrase) against over-merge (x122's chains), and the curve's
+    * knee — where n_docs jumps — is where clusters start chaining; x100
+    * sweeps the quality gate, this sweeps the dedup gate. Columns
+    * (thr, n_pairs, n_docs), cumulative and zero-completed (a threshold
+    * admitting nothing still reports its 0 — the x100 grid rule).
+    *
+    * Scale posture (100 TB): ONE candidate pass (the same pigeonhole
+    * block join x04 runs — no new corpus work), then two vocabulary-free
+    * rollups: pairs banded by exact hamming (≤ 9 rows) and docs banded by
+    * their MIN hamming over partners (≤ 9 rows after a doc-keyed
+    * min-combine); the threshold grid joins against those band tables,
+    * never the pair stream. The sweep costs one dedup run, not nine.
+    */
+  def simhashThresholdSweep(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    val pairs = simhashPairs(docs).localCheckpoint() // feeds both band legs
+    val grid = sp.range(0, 9).select(col("id").as("thr"))
+    val pb = pairs.groupBy("hamming").agg(count(lit(1)).as("c"))
+    val np = grid.join(broadcast(pb), pb("hamming") <= grid("thr"), "left")
+      .groupBy("thr").agg(coalesce(sum("c"), lit(0L)).as("n_pairs"))
+    val db = pairs.select(col("doc_id_a").as("id"), col("hamming"))
+      .unionByName(pairs.select(col("doc_id_b").as("id"), col("hamming")))
+      .groupBy("id").agg(min("hamming").as("mh"))
+      .groupBy("mh").agg(count(lit(1)).as("c"))
+    val nd = grid.join(broadcast(db), db("mh") <= grid("thr"), "left")
+      .groupBy("thr").agg(coalesce(sum("c"), lit(0L)).as("n_docs"))
+    np.join(nd, "thr")
+  }
+
   val queries: Seq[Q] = Seq(
     // ----- x01: exact dedup after normalization (hash groupBy keep-first) -----
     Q(
@@ -1657,6 +1691,45 @@ object Dedup {
     ) { (s, dir) =>
       signalAgreement(
         table(s, dir, "documents"), table(s, dir, "embeddings"), nc = Similarity.NC)
+    },
+
+    // ----- x129: simhash threshold sweep (the dedup-knob sensitivity curve) -----
+    Q(
+      "x129_threshold_sweep",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb, " +
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham " +
+          "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          "pb AS (SELECT ham, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1), " +
+          "dm AS (SELECT id, min(ham) AS mh FROM " +
+          "(SELECT pa AS id, ham FROM p UNION ALL SELECT pb AS id, ham FROM p) GROUP BY 1), " +
+          "db AS (SELECT mh, CAST(count(*) AS BIGINT) AS c FROM dm GROUP BY 1), " +
+          "g AS (SELECT CAST(unnest(generate_series(0, 8)) AS BIGINT) AS thr) " +
+          "SELECT thr, " +
+          "CAST(coalesce((SELECT sum(c) FROM pb WHERE ham <= thr), 0) AS BIGINT) AS n_pairs, " +
+          "CAST(coalesce((SELECT sum(c) FROM db WHERE mh <= thr), 0) AS BIGINT) AS n_docs " +
+          "FROM g ORDER BY thr"
+      },
+      "SIMHASH THRESHOLD SWEEP — the dedup-knob sensitivity curve: per hamming " +
+        "threshold 0..8 (the pigeonhole-complete envelope), cumulative near-dup " +
+        "pairs admitted and docs touched by ≥ 1 pair, zero-completed. The threshold " +
+        "is the x04/x14/x50 family's single recall-vs-over-merge knob and the " +
+        "curve's knee (where n_docs jumps) is where clusters start chaining — x100 " +
+        "sweeps the quality gate, this sweeps the dedup gate, and x122 shows the " +
+        "chains the chosen point produces. ONE pigeonhole candidate pass (x04's own " +
+        "join, no new corpus work) banded into ≤ 9-row pair/min-hamming tables; the " +
+        "grid joins those bands, never the pair stream — nine thresholds for the " +
+        "price of one dedup run."
+    ) { (s, dir) =>
+      simhashThresholdSweep(table(s, dir, "documents")).orderBy("thr")
     }
   )
 }

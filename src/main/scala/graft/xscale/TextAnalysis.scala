@@ -1448,6 +1448,58 @@ object TextAnalysis {
         sum("n_ent").as("n_ents"),
         sum("n_url").as("n_urls"))
 
+  /** x130 long-token floor: whitespace tokens of ≥ this many chars are
+    * counted as "long" (URLs, hashes, DNA strings, concatenation damage).
+    */
+  val LongTokChars = 16
+
+  /** x130 core: TOKEN-LENGTH PROFILE — per source, the character-length
+    * geometry of whitespace tokens: total tokens, exact char mass and
+    * mean length (e6), the longest token, the share of long tokens
+    * (≥ [[LongTokChars]] chars — URLs, hex hashes, concatenation damage)
+    * and of digit-only tokens (tabular/log contamination). Why it
+    * matters: subword tokenizers price text by CHARACTERS per merge, so
+    * a source whose raw-token geometry shifts (longer tokens, numeric
+    * mass) silently inflates x78's BPE fertility and the real cost per
+    * "token budget" (x81) — this is the datasheet block that predicts
+    * fertility from raw text alone, and x109's TTR names type diversity
+    * while this names shape. Columns (source, n_tok, char_mass,
+    * mean_len_e6, max_len, n_long, long_share_e6, n_num, num_share_e6).
+    *
+    * Scale posture (100 TB): every metric is a pure per-row array
+    * expression (no explode — the token list never leaves the row), then
+    * one |sources|-row map-side-combinable rollup. Zero joins, zero
+    * windows, one scan.
+    */
+  def tokenLengthProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        col("source"),
+        XText.words(col("text")).as("ws"))
+      .select(
+        col("source"),
+        expr("size(filter(ws, x -> x != ''))").cast("long").as("nt"),
+        expr("aggregate(transform(ws, x -> length(x)), 0L, (a, x) -> a + x)").as("cm"),
+        expr("coalesce(array_max(transform(ws, x -> length(x))), 0)").cast("long").as("mx"),
+        expr(s"size(filter(ws, x -> length(x) >= $LongTokChars))").cast("long").as("lg"),
+        expr("size(filter(ws, x -> x rlike '^[0-9]+$'))").cast("long").as("nm"))
+      .groupBy("source")
+      .agg(
+        sum("nt").as("n_tok"),
+        sum("cm").as("char_mass"),
+        max("mx").as("max_len"),
+        sum("lg").as("n_long"),
+        sum("nm").as("n_num"))
+      .withColumn("mean_len_e6",
+        expr("CASE WHEN n_tok = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * char_mass) div n_tok END"))
+      .withColumn("long_share_e6",
+        expr("CASE WHEN n_tok = 0 THEN 0 ELSE (1000000 * n_long) div n_tok END"))
+      .withColumn("num_share_e6",
+        expr("CASE WHEN n_tok = 0 THEN 0 ELSE (1000000 * n_num) div n_tok END"))
+      .select("source", "n_tok", "char_mass", "mean_len_e6", "max_len",
+        "n_long", "long_share_e6", "n_num", "num_share_e6")
+
   val queries: Seq[Q] = Seq(
     // ----- x08: language identification (marker-word heuristic) -----
     Q(
@@ -2878,6 +2930,44 @@ object TextAnalysis {
               lit("</div> &amp; https://example.com/d?id="),
               col("doc_id").cast("string")).as("text")))
       markupResidue(aug).orderBy("source")
+    },
+
+    // ----- x130: token-length profile (tokenizer-cost geometry datasheet) -----
+    Q(
+      "x130_token_profile",
+      Some(
+        s"WITH w AS (SELECT source, ${XText.wordsSql("text")} AS ws FROM documents), " +
+          "m AS (SELECT source, " +
+          "CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS nt, " +
+          "CAST(coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0) AS BIGINT) AS cm, " +
+          "CAST(coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'max'), 0) AS BIGINT) AS mx, " +
+          s"CAST(len(list_filter(ws, x -> length(x) >= $LongTokChars)) AS BIGINT) AS lg, " +
+          "CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS nm " +
+          "FROM w), " +
+          "s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tok, " +
+          "CAST(sum(cm) AS BIGINT) AS char_mass, CAST(max(mx) AS BIGINT) AS max_len, " +
+          "CAST(sum(lg) AS BIGINT) AS n_long, CAST(sum(nm) AS BIGINT) AS n_num " +
+          "FROM m GROUP BY source) " +
+          "SELECT source, n_tok, char_mass, " +
+          "CAST(CASE WHEN n_tok = 0 THEN 0 ELSE " +
+          "(1000000 * CAST(char_mass AS HUGEINT)) // n_tok END AS BIGINT) AS mean_len_e6, " +
+          "max_len, n_long, " +
+          "CAST(CASE WHEN n_tok = 0 THEN 0 ELSE (1000000 * n_long) // n_tok END AS BIGINT) " +
+          "AS long_share_e6, n_num, " +
+          "CAST(CASE WHEN n_tok = 0 THEN 0 ELSE (1000000 * n_num) // n_tok END AS BIGINT) " +
+          "AS num_share_e6 FROM s ORDER BY source"),
+      "TOKEN-LENGTH PROFILE — per source, the character geometry of raw whitespace " +
+        s"tokens: exact char mass, mean length (e6), longest token, ≥$LongTokChars-char " +
+        "long-token share (URLs, hex hashes, concatenation damage) and digit-only " +
+        "share (tabular/log contamination). Subword tokenizers price text by " +
+        "characters per merge, so raw-token geometry PREDICTS x78's BPE fertility " +
+        "and the real cost of an x81 token budget from text alone — x109's TTR " +
+        "names type diversity, this names shape. Every metric is a per-row array " +
+        "expression (the token list never leaves the row — no explode), one " +
+        "|sources|-row map-side-combinable rollup; zero joins, zero windows, one " +
+        "scan."
+    ) { (s, dir) =>
+      tokenLengthProfile(table(s, dir, "documents")).orderBy("source")
     }
   )
 

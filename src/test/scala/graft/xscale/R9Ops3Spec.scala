@@ -6,7 +6,8 @@ import graft.SparkSpec
 
 /** Semantics tests for the round-9 closing operators: embedding anisotropy
   * (x124), intra-doc chunk divergence (x125), dedup length bias (x126),
-  * dedup × filter stage overlap (x127), dedup signal agreement (x128).
+  * dedup × filter stage overlap (x127), dedup signal agreement (x128),
+  * simhash threshold sweep (x129), token-length profile (x130).
   */
 class R9Ops3Spec extends SparkSpec {
   import spark.implicits._
@@ -167,6 +168,55 @@ class R9Ops3Spec extends SparkSpec {
     assert(ot == t - both && oe == e - both)
     assert(u == t + e - both)
     assert(j == (if (u == 0) 0L else 1000000L * both / u))
+  }
+
+  test("x129 threshold sweep: cumulative, zero-completed, endpoints match the dedup run") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    val out = Dedup.simhashThresholdSweep(docs)
+      .select("thr", "n_pairs", "n_docs").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L to 8L), "full zero-completed grid")
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3, s"cumulative: $a -> $b")
+      case _ =>
+    }
+    val pairs = Dedup.simhashPairs(docs)
+    assert(out.last._2 == pairs.count(), "thr=8 pairs == the x04 dedup run")
+    val touched = pairs.select(col("doc_id_a").as("id"))
+      .unionByName(pairs.select(col("doc_id_b").as("id"))).distinct().count()
+    assert(out.last._3 == touched, "thr=8 docs == distinct pair endpoints")
+    // per-threshold docs equal a direct recount at thr=4
+    val t4 = pairs.filter(col("hamming") <= 4)
+    val t4docs = t4.select(col("doc_id_a").as("id"))
+      .unionByName(t4.select(col("doc_id_b").as("id"))).distinct().count()
+    assert(out(4) == ((4L, t4.count(), t4docs)), s"thr=4 recount: ${out(4)}")
+  }
+
+  test("x130 token profile: exact geometry on a planted frame, fixture mass recounts") {
+    val docs = Seq(
+      (1L, "A", "ab cd"), // 2 tokens, mass 4, mean 2e6, max 2
+      (2L, "A", "x"), // 1 token, mass 1
+      (3L, "B", "aaaaaaaaaaaaaaaaaaaa 12345 zz")) // 20-char long tok + numeric
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenLengthProfile(docs)
+      .select("source", "n_tok", "char_mass", "mean_len_e6", "max_len",
+        "n_long", "long_share_e6", "n_num", "num_share_e6")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 3L, 5L, 5000000L / 3, 2L, 0L, 0L, 0L, 0L)), s"A: ${out("A")}")
+    assert(out("B") == (("B", 3L, 27L, 9000000L, 20L, 1L, 1000000L / 3, 1L,
+      1000000L / 3)), s"B: ${out("B")}")
+    // fixture: per-source token count and char mass match an explode recount
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val got = TextAnalysis.tokenLengthProfile(real)
+      .select("source", "n_tok", "char_mass").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rec = real.select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source").agg(count(lit(1)).as("n"), sum(length(col("w"))).as("m"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == rec.keySet)
+    rec.foreach { case (s, v) => assert(got(s) == v, s"recount at $s") }
   }
 
   test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {

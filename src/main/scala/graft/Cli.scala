@@ -105,20 +105,29 @@ object Cli {
     // a corpus release ships with — per-source datasheet sketches (x38),
     // split-composition drift (x97), filter sensitivity sweep (x100),
     // held-out OOV rates (x102), length-quantile sheet (x104), held-out
-    // n-gram coverage (x108), lexical profiles (x109) and the embedding
-    // norm audit (x106, when an embeddings table exists) — each
-    // written to <outDir>/<name>.parquet plus one stats JSON line. The
-    // bundle reads each input ONCE per audit and every audit is the
-    // registered oracle-verified query, so the report numbers are exactly
-    // the Verify-gated ones.
+    // n-gram coverage (x108), lexical profiles (x109), charset audit
+    // (x111), source-divergence TV sheet (x115), positional-template
+    // audit (x117), term-burstiness ranking (x119), markup residue
+    // (x120), output-shard balance (x123), dedup length bias (x126),
+    // dedup×filter stage overlap (x127), simhash threshold sweep (x129),
+    // token-length profiles (x130) — plus, when an embeddings table
+    // exists, the embedding QA block: norm audit (x106), per-dim stats
+    // (x118), anisotropy (x124) — each written to <outDir>/<name>.parquet
+    // plus one stats JSON line. The bundle reads each input ONCE per
+    // audit and every audit is the registered oracle-verified query, so
+    // the report numbers are exactly the Verify-gated ones.
     case "report" :: dir :: outDir :: Nil =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val battery = Seq(
         "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
         "x102_oov_rate", "x104_length_quantiles", "x108_ngram_coverage",
-        "x109_lexical_profile") ++
+        "x109_lexical_profile", "x111_charset_audit",
+        "x115_source_divergence", "x117_template_slots", "x119_burstiness",
+        "x120_markup_residue", "x123_shard_balance",
+        "x126_dedup_length_bias", "x127_stage_overlap",
+        "x129_threshold_sweep", "x130_token_profile") ++
         (if (new java.io.File(s"$dir/embeddings.parquet").exists())
-          Seq("x106_norm_audit")
+          Seq("x106_norm_audit", "x118_dim_stats", "x124_anisotropy")
         else Nil)
       // per-audit fault isolation (the Verify _failures posture): one
       // schema-drifted input must not abort the battery with partial

@@ -41,7 +41,8 @@ object ScaleSmoke {
     "x120_markup_residue", "x121_lsh_fidelity", "x122_cluster_diameter",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
     "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
-    "x129_threshold_sweep", "x130_token_profile",
+    "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
+    "x132_token_diversity",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are

@@ -999,6 +999,24 @@ object TrainingData {
   def tokenLengthProfile(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.tokenLengthProfile(docs)
 
+  /** Pairwise source-divergence matrix (x131): exact TV distance between
+    * every source pair's unigram distribution — x115's arithmetic on the
+    * |S|²/2 grid, the clustering input for source-group mixture design.
+    * Disjoint vocabularies score exactly 1e6 via the closed-form
+    * absent-mass fold; the count frame self-joins on the term key.
+    */
+  def sourceTvMatrix(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.sourceTvMatrix(docs)
+
+  /** Token-distribution diversity (x132): per-source Rényi-2 collision
+    * probability and effective vocabulary (participation ratio) in exact
+    * integers — the distribution-weighted complement of x109's TTR, and
+    * the number that predicts a source's real diversity contribution to
+    * the mixture.
+    */
+  def tokenDiversity(docs: DataFrame): DataFrame =
+    xscale.TextAnalysis.tokenDiversity(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

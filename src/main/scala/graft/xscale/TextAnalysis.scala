@@ -1201,6 +1201,101 @@ object TextAnalysis {
       .select("source", "n_tokens", "n_terms", "tv_e6")
   }
 
+  /** x131 core: pairwise SOURCE-DIVERGENCE MATRIX — exact total-variation
+    * distance between every source PAIR's unigram distribution, the
+    * clustering input x115's source-vs-rest column cannot provide: two
+    * niche sources can both read "far from the rest" while being near
+    * twins of each other (merge them in the mixture) or genuinely
+    * orthogonal (keep both) — only the pairwise cell distinguishes those.
+    * Same no-float arithmetic as x115: per shared term
+    * |c_a·n_b − c_b·n_a|, with each side's absent-term mass folded in
+    * closed form (Σ_{a-only} c_a·n_b = n_a·n_b − Σ_shared c_a·n_b), so
+    * disjoint-vocabulary pairs score exactly 1e6 WITHOUT a
+    * zero-completion join — the pair grid left-joins the shared-term
+    * stats and coalesces. Columns (source_a, source_b, n_a, n_b,
+    * n_shared, tv_e6), a < b.
+    *
+    * Scale posture (100 TB): the (source, term) count frame is
+    * vocab-bounded and checkpoint-pinned (one tokenize scan — the x112
+    * rule); the pair leg joins that frame to itself ON THE TERM KEY, so
+    * cost is Σ_term (sources carrying it)² — |S|²-bounded per term, never
+    * corpus-sized; the |S|²/2 grid is a broadcast cross join of one
+    * |S|-row frame. Thousands of sources ⇒ bucket the matrix by source
+    * hash and emit block-wise. decimal(38)/HUGEINT accumulators: c·n
+    * products overflow i64 at corpus scale by construction.
+    */
+  def sourceTvMatrix(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .select(col("source"), h60(col("w")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ns = sh.groupBy("source").agg(sum("c").as("n"))
+    val a = sh.select(col("h"), col("source").as("sa"), col("c").as("ca"))
+    val b = sh.select(col("h"), col("source").as("sb"), col("c").as("cb"))
+    val na = ns.select(col("source").as("sa"), col("n").as("na"))
+    val nb = ns.select(col("source").as("sb"), col("n").as("nb"))
+    val shared = a.join(b, Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .join(broadcast(na), "sa")
+      .join(broadcast(nb), "sb")
+      .groupBy("sa", "sb")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(expr("abs(cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na)"))
+          .as("sum_shared"),
+        sum(expr("cast(ca as decimal(38,0)) * nb")).as("ca_nb"),
+        sum(expr("cast(cb as decimal(38,0)) * na")).as("cb_na"))
+    val grid = broadcast(na).crossJoin(broadcast(nb)).filter(col("sa") < col("sb"))
+    grid.join(shared, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("tv_e6",
+        expr("(cast(1000000 as decimal(38,0)) * (coalesce(sum_shared, 0) + " +
+          "(cast(na as decimal(38,0)) * nb - coalesce(ca_nb, 0)) + " +
+          "(cast(na as decimal(38,0)) * nb - coalesce(cb_na, 0)))) " +
+          "div (cast(2 as decimal(38,0)) * na * nb)"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("n_shared"), col("tv_e6"))
+  }
+
+  /** x132 core: TOKEN-DISTRIBUTION DIVERSITY per source — the Rényi-2
+    * (collision) view of the unigram distribution, exact in integers:
+    * coll_e6 = (1e6·Σc²) div n² (the probability two random tokens from
+    * the source are the same type) and eff_vocab = n² div Σc² (the
+    * participation ratio — how many EQUALLY-LIKELY types the source
+    * behaves as). Why alongside x109: TTR counts types, this weights
+    * them — a source with a huge vocabulary whose mass sits on 50
+    * templated tokens has high TTR but eff_vocab ≈ 50, and it is
+    * eff_vocab that predicts how much distributional diversity the
+    * source actually contributes to the mixture (x26/x70 weighting) and
+    * how compressible/templated it is. Uniform distribution ⇒
+    * eff_vocab = vocab; one repeated token ⇒ coll = 1e6, eff = 1.
+    * Columns (source, n_tokens, n_terms, coll_e6, eff_vocab).
+    *
+    * Scale posture (100 TB): one tokenize scan into the vocab-bounded
+    * (source, term) count frame, one |sources|-row rollup; Σc² and n² in
+    * decimal(38) (they overflow i64 at corpus scale by construction).
+    * No window, no join.
+    */
+  def tokenDiversity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .select(col("source"), h60(col("w")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"))
+      .withColumn("coll_e6",
+        expr("(cast(1000000 as decimal(38,0)) * sum_c2) " +
+          "div (cast(n_tokens as decimal(38,0)) * n_tokens)"))
+      .withColumn("eff_vocab",
+        expr("(cast(n_tokens as decimal(38,0)) * n_tokens) div sum_c2"))
+      .select("source", "n_tokens", "n_terms", "coll_e6", "eff_vocab")
+
   /** x116 min bigram support: pairs below this never rank (kills the
     * lift's small-count noise — a 2-occurrence pair of two hapaxes would
     * otherwise top every list).
@@ -2968,6 +3063,79 @@ object TextAnalysis {
         "scan."
     ) { (s, dir) =>
       tokenLengthProfile(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x131: pairwise source-divergence matrix (mixture clustering input) -----
+    Q(
+      "x131_source_tv_matrix",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH t AS (SELECT source, ${h60Sql("w")} AS h " +
+          s"FROM (SELECT source, unnest($ws) AS w FROM documents)), " +
+          "c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+          "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1), " +
+          "sh AS (SELECT a.source AS sa, b.source AS sb, " +
+          "CAST(count(*) AS BIGINT) AS n_shared, " +
+          "sum(abs(CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n)) AS sum_shared, " +
+          "sum(CAST(a.c AS HUGEINT) * nb.n) AS ca_nb, " +
+          "sum(CAST(b.c AS HUGEINT) * na.n) AS cb_na " +
+          "FROM c a JOIN c b ON a.h = b.h AND a.source < b.source " +
+          "JOIN ns na ON na.source = a.source JOIN ns nb ON nb.source = b.source " +
+          "GROUP BY 1, 2), " +
+          "g AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb " +
+          "FROM ns a JOIN ns b ON a.source < b.source) " +
+          "SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b, " +
+          "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared, " +
+          "CAST((1000000 * (coalesce(sum_shared, 0) + " +
+          "(CAST(na AS HUGEINT) * nb - coalesce(ca_nb, 0)) + " +
+          "(CAST(na AS HUGEINT) * nb - coalesce(cb_na, 0)))) " +
+          "// (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS tv_e6 " +
+          "FROM g LEFT JOIN sh USING (sa, sb) ORDER BY source_a, source_b"
+      },
+      "pairwise SOURCE-DIVERGENCE MATRIX — exact total-variation distance between " +
+        "every source pair's unigram distribution, x115's arithmetic lifted from " +
+        "source-vs-rest to the |S|²/2 grid: two niche sources can both read 'far " +
+        "from the rest' while being near twins (merge them in the mixture) or " +
+        "genuinely orthogonal (keep both) — only the pairwise cell distinguishes " +
+        "those, and the matrix is the clustering input for source-group mixture " +
+        "design (x26/x70). Absent-term mass folded in closed form so disjoint " +
+        "vocabularies score exactly 1e6 with NO zero-completion join; the " +
+        "vocab-bounded count frame is checkpoint-pinned and self-joined on the " +
+        "TERM key (Σ_term |S_t|², never corpus-sized); decimal(38)/HUGEINT " +
+        "accumulators since c·n products overflow i64 at corpus scale."
+    ) { (s, dir) =>
+      sourceTvMatrix(table(s, dir, "documents")).orderBy("source_a", "source_b")
+    },
+
+    // ----- x132: token-distribution diversity (Rényi-2 / effective vocabulary) -----
+    Q(
+      "x132_token_diversity",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH t AS (SELECT source, ${h60Sql("w")} AS h " +
+          s"FROM (SELECT source, unnest($ws) AS w FROM documents)), " +
+          "c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+          "s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "CAST(count(*) AS BIGINT) AS n_terms, " +
+          "sum(CAST(c AS HUGEINT) * c) AS sum_c2 FROM c GROUP BY 1) " +
+          "SELECT source, n_tokens, n_terms, " +
+          "CAST((1000000 * sum_c2) // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) " +
+          "AS coll_e6, " +
+          "CAST((CAST(n_tokens AS HUGEINT) * n_tokens) // sum_c2 AS BIGINT) AS eff_vocab " +
+          "FROM s ORDER BY source"
+      },
+      "TOKEN-DISTRIBUTION DIVERSITY — per source, the Rényi-2 collision view in " +
+        "exact integers: coll_e6 = (1e6·Σc²) div n² (probability two random tokens " +
+        "are the same type) and eff_vocab = n² div Σc² (participation ratio — how " +
+        "many EQUALLY-LIKELY types the source behaves as). x109's TTR counts types, " +
+        "this weights them: a huge-vocabulary source whose mass sits on 50 templated " +
+        "tokens has high TTR but eff_vocab ≈ 50, and eff_vocab is what predicts the " +
+        "distributional diversity a source actually adds to the mixture (x26/x70) " +
+        "and how templated it is. One tokenize scan into the vocab-bounded " +
+        "(source, term) count frame, one |sources|-row rollup, decimal(38)/HUGEINT " +
+        "second moments; no window, no join."
+    ) { (s, dir) =>
+      tokenDiversity(table(s, dir, "documents")).orderBy("source")
     }
   )
 

@@ -13,7 +13,11 @@ class CliReportSpec extends SparkSpec {
     val expected = Seq(
       "x38_datasheet", "x97_split_drift", "x100_filter_sweep",
       "x102_oov_rate", "x104_length_quantiles", "x108_ngram_coverage",
-      "x109_lexical_profile", "x106_norm_audit")
+      "x109_lexical_profile", "x111_charset_audit", "x115_source_divergence",
+      "x117_template_slots", "x119_burstiness", "x120_markup_residue",
+      "x123_shard_balance", "x126_dedup_length_bias", "x127_stage_overlap",
+      "x129_threshold_sweep", "x130_token_profile",
+      "x106_norm_audit", "x118_dim_stats", "x124_anisotropy")
     expected.foreach { name =>
       val df = spark.read.parquet(s"$out/$name.parquet")
       assert(df.count() > 0, s"$name is empty")

@@ -7,7 +7,8 @@ import graft.SparkSpec
 /** Semantics tests for the round-9 closing operators: embedding anisotropy
   * (x124), intra-doc chunk divergence (x125), dedup length bias (x126),
   * dedup × filter stage overlap (x127), dedup signal agreement (x128),
-  * simhash threshold sweep (x129), token-length profile (x130).
+  * simhash threshold sweep (x129), token-length profile (x130), pairwise
+  * source TV matrix (x131), token-distribution diversity (x132).
   */
 class R9Ops3Spec extends SparkSpec {
   import spark.implicits._
@@ -217,6 +218,70 @@ class R9Ops3Spec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got.keySet == rec.keySet)
     rec.foreach { case (s, v) => assert(got(s) == v, s"recount at $s") }
+  }
+
+  test("x131 TV matrix: identical sources 0, disjoint 1e6, full grid, symmetric recount") {
+    val docs = Seq(
+      (1L, "twin1", "alpha beta gamma alpha"),
+      (2L, "twin2", "alpha beta gamma alpha"), // identical distribution → TV 0
+      (3L, "other", "delta epsilon zeta eta")) // disjoint vocabulary → TV 1e6
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceTvMatrix(docs)
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "tv_e6")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 3, "full |S|(|S|-1)/2 grid")
+    assert(out(("twin1", "twin2"))._6 == 0L, "identical distributions")
+    assert(out(("other", "twin1"))._6 == 1000000L && out(("other", "twin1"))._5 == 0L,
+      "disjoint vocabularies score exactly 1e6 with zero shared terms")
+    // fixture: every pair bounded, grid complete, and one cell BigInt-recounted
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val m = TextAnalysis.sourceTvMatrix(real)
+      .select("source_a", "source_b", "n_a", "n_b", "tv_e6")
+      .as[(String, String, Long, Long, Long)].collect()
+    val nSrc = real.select("source").distinct().count()
+    assert(m.length == nSrc * (nSrc - 1) / 2)
+    m.foreach { case (a, b, _, _, tv) => assert(a < b && tv >= 0 && tv <= 1000000L) }
+    val (sa, sb) = (m.head._1, m.head._2)
+    val counts = real.filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val ca = counts.filter(_._1 == sa).map(r => r._2 -> r._3).toMap
+    val cb = counts.filter(_._1 == sb).map(r => r._2 -> r._3).toMap
+    val (na, nb) = (BigInt(ca.values.sum), BigInt(cb.values.sum))
+    val num = (ca.keySet ++ cb.keySet).toSeq
+      .map(w => (BigInt(ca.getOrElse(w, 0L)) * nb - BigInt(cb.getOrElse(w, 0L)) * na).abs)
+      .sum
+    val want = (BigInt(1000000) * num / (2 * na * nb)).toLong
+    assert(m.head._5 == want, s"BigInt recount of ($sa, $sb)")
+  }
+
+  test("x132 token diversity: uniform = full vocab, degenerate = 1, fixture recount") {
+    val docs = Seq(
+      (1L, "uniform", "a b c d"), // 4 types, each once → eff_vocab 4, coll 25%
+      (2L, "degen", "z z z z z")) // one type → eff 1, coll 1e6
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenDiversity(docs)
+      .select("source", "n_tokens", "n_terms", "coll_e6", "eff_vocab")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("uniform") == (("uniform", 4L, 4L, 250000L, 4L)), s"${out("uniform")}")
+    assert(out("degen") == (("degen", 5L, 1L, 1000000L, 1L)), s"${out("degen")}")
+    // fixture: exact BigInt recount per source + eff_vocab <= n_terms
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val got = TextAnalysis.tokenDiversity(real)
+      .select("source", "n_tokens", "n_terms", "coll_e6", "eff_vocab")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val counts = real.select(col("source"), explode(XText.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    got.foreach { case (s, n, t, coll, eff) =>
+      val cs = counts(s).map(_._3)
+      val (nn, c2) = (BigInt(cs.sum), cs.map(c => BigInt(c) * c).sum)
+      assert(n == nn && t == cs.length, s"counts at $s")
+      assert(coll == (BigInt(1000000) * c2 / (nn * nn)).toLong, s"coll at $s")
+      assert(eff == (nn * nn / c2).toLong && eff <= t, s"eff at $s")
+    }
   }
 
   test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {

@@ -1017,6 +1017,24 @@ object TrainingData {
   def tokenDiversity(docs: DataFrame): DataFrame =
     xscale.TextAnalysis.tokenDiversity(docs)
 
+  /** Near-dup split leakage (x133): eval docs with a TRAIN near-dup
+    * under the x19 split — the fuzzy decontamination leg that catches
+    * paraphrased re-posts the exact legs (x73/x75/x64) miss, riding the
+    * same simhash candidate pass the dedup already runs. Remediate with
+    * [[splitRepair]].
+    */
+  def neardupLeakage(docs: DataFrame): DataFrame =
+    xscale.DataPrep.neardupLeakage(docs)
+
+  /** Corpus shuffle audit (x134): per-shard same-source adjacency in
+    * on-disk order vs the mixture's perfect-shuffle baseline Σp² —
+    * order as a signal; clumped writes feed the trainer correlated
+    * batches and only this audit can see it. x82's interleaving is the
+    * fix.
+    */
+  def shuffleAudit(docs: DataFrame): DataFrame =
+    xscale.DataPrep.shuffleAudit(docs)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -434,6 +434,94 @@ object DataPrep {
   /** Deterministic 90/5/5 split tag (x19 semantics) as a column. */
   def splitAssign(docs: DataFrame): DataFrame = docs.withColumn("split", splitCol)
 
+  /** x133 core: NEAR-DUP SPLIT LEAKAGE — the fuzzy leg of the
+    * decontamination family: an eval doc with a TRAIN near-dup (simhash
+    * hamming ≤ 8, x04's rule) under x19's split. The exact legs (x73
+    * window leakage, x75 Bloom, x64 spans) catch verbatim overlap;
+    * paraphrased or lightly-edited re-posts evade all of them and STILL
+    * inflate eval — this is the standard "fuzzy decontam" pass (e.g.
+    * 13-gram + edit-distance hybrids) expressed through the simhash
+    * candidate machinery the dedup already runs. Per eval split (val,
+    * test): docs, train↔split candidate pairs, leaky docs (≥ 1 train
+    * near-dup) and leak_e6 — zero-completed, so a clean corpus reports
+    * its 0s. Remediation is x86's quarantine, same as the exact legs.
+    * Columns (split, n_docs, n_pairs, n_leaky, leak_e6).
+    *
+    * Scale posture (100 TB): rides x04's pigeonhole block join (no new
+    * candidate machinery — the same pairs the dedup computes); split
+    * tags are a per-row hash expression attached to the 16-byte pair
+    * stream by two keyed joins; rollup is 2 rows. Run it on the SAME
+    * pass that near-dup-dedups the corpus — the pairs are free.
+    */
+  def neardupLeakage(docs: DataFrame): DataFrame = {
+    val sp = splitAssign(docs.select(col("doc_id"))).localCheckpoint()
+    val pairs = Dedup.simhashPairs(docs).select("doc_id_a", "doc_id_b")
+      .join(sp.select(col("doc_id").as("doc_id_a"), col("split").as("sa")), "doc_id_a")
+      .join(sp.select(col("doc_id").as("doc_id_b"), col("split").as("sb")), "doc_id_b")
+    val cross = pairs.filter(
+      (col("sa") === "train" && col("sb") =!= "train") ||
+        (col("sb") === "train" && col("sa") =!= "train"))
+      .select(
+        when(col("sa") === "train", col("doc_id_b")).otherwise(col("doc_id_a")).as("doc_id"),
+        when(col("sa") === "train", col("sb")).otherwise(col("sa")).as("split"))
+      .localCheckpoint() // feeds both the pair count and the distinct-doc count
+    val perSplitPairs = cross.groupBy("split").agg(count(lit(1)).as("n_pairs"))
+    val leaky = cross.distinct().groupBy("split").agg(count(lit(1)).as("n_leaky"))
+    sp.filter(col("split") =!= "train")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(perSplitPairs, Seq("split"), "left")
+      .join(leaky, Seq("split"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_leaky"))
+      .withColumn("leak_e6", expr("(1000000 * n_leaky) div n_docs"))
+      .select("split", "n_docs", "n_pairs", "n_leaky", "leak_e6")
+  }
+
+  /** x134 core: CORPUS SHUFFLE AUDIT — is the shipped layout actually
+    * shuffled? Per x123 hash shard, walk docs in on-disk order (doc_id
+    * within shard) and count ADJACENT same-source runs; compare the
+    * measured same-source adjacency rate against the mixture's own
+    * baseline Σp² (what a perfect shuffle would show — x132's collision
+    * arithmetic applied to the source marginal). Training loaders stream
+    * shards sequentially, so source-clumped writes feed the model
+    * correlated batches — gradient noise drops, curriculum accidents
+    * happen — and no per-doc metric can see it: ORDER is the signal.
+    * ratio_e6 ≈ 1e6 = well shuffled; ≫ 1e6 = clumped (re-shuffle before
+    * shipping; x82's interleaving is the fix). Columns (shard, n_docs,
+    * n_adj, same_adj, same_e6, base_e6, ratio_e6), exact integers.
+    *
+    * Scale posture (100 TB): the lag window partitions by SHARD and
+    * orders by the on-disk key — at scale shards are files (thousands),
+    * so each partition is one file's sequential scan, embarrassingly
+    * parallel, no global sort; the baseline is a |sources|-row aggregate
+    * broadcast back. One scan, 2 small rollups.
+    */
+  def shuffleAudit(docs: DataFrame): DataFrame = {
+    val d = docs.select(
+      col("doc_id"),
+      col("source"),
+      (h60(col("doc_id").cast("string")) % ShardN).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val adj = d
+      .withColumn("prev", lag("source", 1).over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("prev").isNotNull, 1L).otherwise(0L)).as("n_adj"),
+        sum(when(col("prev") === col("source"), 1L).otherwise(0L)).as("same_adj"))
+      .withColumn("same_e6",
+        expr("CASE WHEN n_adj = 0 THEN 0 ELSE (1000000 * same_adj) div n_adj END"))
+    val base = d.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"),
+        sum("c").as("n"))
+      .select(expr("(cast(1000000 as decimal(38,0)) * sum_c2) " +
+        "div (cast(n as decimal(38,0)) * n)").as("base_e6"))
+    adj.crossJoin(broadcast(base))
+      .withColumn("ratio_e6",
+        expr("CASE WHEN base_e6 = 0 THEN 0 ELSE (1000000 * same_e6) div base_e6 END"))
+      .select("shard", "n_docs", "n_adj", "same_adj", "same_e6", "base_e6", "ratio_e6")
+  }
+
   /** x102 vocab rule: a word enters the train vocabulary when it appears
     * in at least this many distinct train docs (df-thresholding, the
     * standard guard against hapax noise).
@@ -3247,6 +3335,82 @@ object DataPrep {
         "to end."
     ) { (s, dir) =>
       chunkDivergence(table(s, dir, "documents")).orderBy("source")
+    },
+
+    // ----- x133: near-dup split leakage (the fuzzy decontamination leg) -----
+    Q(
+      "x133_neardup_leakage",
+      Some {
+        val ws = XText.wordsSql("text")
+        s"WITH w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+          "FROM documents), " +
+          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+          "AS simhash FROM bt GROUP BY 1), " +
+          "p AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+          s"sp AS (SELECT doc_id, $splitSql AS split FROM documents), " +
+          "x AS (SELECT CASE WHEN sa.split = 'train' THEN p.db ELSE p.da END AS doc_id, " +
+          "CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS split " +
+          "FROM p JOIN sp sa ON sa.doc_id = p.da JOIN sp sb ON sb.doc_id = p.db " +
+          "WHERE (sa.split = 'train') <> (sb.split = 'train')), " +
+          "pp AS (SELECT split, CAST(count(*) AS BIGINT) AS n_pairs FROM x GROUP BY 1), " +
+          "lk AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaky FROM " +
+          "(SELECT DISTINCT doc_id, split FROM x) GROUP BY 1), " +
+          "ev AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM sp " +
+          "WHERE split <> 'train' GROUP BY 1) " +
+          "SELECT split, n_docs, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, " +
+          "CAST(coalesce(n_leaky, 0) AS BIGINT) AS n_leaky, " +
+          "CAST((1000000 * coalesce(n_leaky, 0)) // n_docs AS BIGINT) AS leak_e6 " +
+          "FROM ev LEFT JOIN pp USING (split) LEFT JOIN lk USING (split) ORDER BY split"
+      },
+      "NEAR-DUP SPLIT LEAKAGE — the FUZZY decontamination leg: eval docs with a " +
+        "train near-dup (simhash hamming ≤ 8) under x19's split. The exact legs " +
+        "(x73 windows, x75 Bloom, x64 spans) catch verbatim overlap; paraphrased " +
+        "re-posts evade all three and still inflate eval — this is fuzzy decontam " +
+        "through the candidate machinery the dedup already runs, so the pairs are " +
+        "FREE on the same pass. Per eval split: docs, train↔split candidate pairs, " +
+        "leaky docs, leak_e6 — zero-completed; remediation is x86's quarantine. " +
+        "Split tags are a per-row hash attached to the 16-byte pair stream by two " +
+        "keyed joins; rollup is 2 rows."
+    ) { (s, dir) =>
+      neardupLeakage(table(s, dir, "documents")).orderBy("split")
+    },
+
+    // ----- x134: corpus shuffle audit (order as a signal) -----
+    Q(
+      "x134_shuffle_audit",
+      Some(
+        s"WITH d AS (SELECT doc_id, source, ${h60Sql("CAST(doc_id AS VARCHAR)")} % $ShardN AS shard " +
+          "FROM documents), " +
+          "a AS (SELECT shard, source, lag(source) OVER (PARTITION BY shard ORDER BY doc_id) AS prev " +
+          "FROM d), " +
+          "g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_adj, " +
+          "CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT) AS same_adj " +
+          "FROM a GROUP BY 1), " +
+          "g2 AS (SELECT shard, n_docs, n_adj, same_adj, " +
+          "CAST(CASE WHEN n_adj = 0 THEN 0 ELSE (1000000 * same_adj) // n_adj END AS BIGINT) " +
+          "AS same_e6 FROM g), " +
+          "b AS (SELECT CAST((1000000 * sum(CAST(c AS HUGEINT) * c)) // " +
+          "(CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS base_e6 " +
+          "FROM (SELECT count(*) AS c FROM documents GROUP BY source)) " +
+          "SELECT shard, n_docs, n_adj, same_adj, same_e6, base_e6, " +
+          "CAST(CASE WHEN base_e6 = 0 THEN 0 ELSE (1000000 * same_e6) // base_e6 END AS BIGINT) " +
+          "AS ratio_e6 FROM g2 CROSS JOIN b ORDER BY shard"),
+      "CORPUS SHUFFLE AUDIT — order as a signal: per hash shard, the measured " +
+        "same-source ADJACENCY rate in on-disk order vs the mixture's own perfect- " +
+        "shuffle baseline Σp² (x132's collision arithmetic on the source marginal). " +
+        "Loaders stream shards sequentially, so source-clumped writes feed the " +
+        "trainer correlated batches (gradient noise collapses, curriculum " +
+        "accidents) and NO per-doc metric can see it — only the order can. " +
+        "ratio_e6 ≈ 1e6 = well shuffled, ≫ 1e6 = clumped (x82's interleaving is " +
+        "the fix). The lag window partitions by shard and orders by the on-disk " +
+        "key — at scale each partition is one file's sequential scan, no global " +
+        "sort; the baseline is a |sources|-row aggregate broadcast back."
+    ) { (s, dir) =>
+      shuffleAudit(table(s, dir, "documents")).orderBy("shard")
     }
   )
 }

@@ -1035,6 +1035,16 @@ object TrainingData {
   def shuffleAudit(docs: DataFrame): DataFrame =
     xscale.DataPrep.shuffleAudit(docs)
 
+  /** Label-separation audit (x135): one-way ANOVA of the embedding
+    * space in exact integers — η² (share of variance the labels explain)
+    * and the Fisher ratio. η² → 0 says the labels are unlearnable from
+    * this space before any retrieval eval or classifier runs; a shift
+    * after an encoder swap is the class-structure regression recall
+    * alone can't attribute.
+    */
+  def labelSeparation(emb: DataFrame): DataFrame =
+    Similarity.labelSeparation(emb)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -942,6 +942,67 @@ object Similarity {
       .select("label", "n_vecs", "anis_e6")
   }
 
+  /** x135 core: LABEL-SEPARATION audit — the one-way-ANOVA view of the
+    * embedding space: decompose the total centered scatter into BETWEEN-
+    * label and WITHIN-label parts via the sufficient-statistics identity
+    * (B = Σ_l ‖S_l‖²/n_l − ‖S‖²/n, W = T − Σ_l ‖S_l‖²/n_l with S = dim
+    * sums, T = Σ‖v‖², all on e6-quantized ints) and report
+    * eta2_e6 = (1e6·B) div (B+W) — the correlation ratio η², the share of
+    * embedding variance the labels explain — plus the Fisher ratio B/W.
+    * Why it matters: η² → 0 means labels are unlearnable from this
+    * embedding (x85's retrieval eval and x76's centroid classifier will
+    * both fail — and THIS says it before either runs); η² shifting after
+    * an encoder swap is the class-structure regression x113's recall
+    * alone can't attribute. The per-label terms floor identically in both
+    * engines (÷ by n_l on e12-scale quantities — deterministic, error
+    * ≤ 1 ppb), B is clamped at 0 before any division so no negative ever
+    * meets an integer divide. Columns (n_vecs, n_labels, eta2_e6,
+    * fisher_e6); fisher_e6 = 0 sentinel when W = 0 (each label collapsed
+    * to a point).
+    *
+    * Scale posture (100 TB): identical shape to x124 — one posexplode
+    * scan into mergeable (label, dim) partial sums, two |labels|-sized
+    * rollups, no window, no join; decimal(38) accumulators.
+    */
+  def labelSeparation(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(
+        col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d0", "x")))
+      .select(
+        col("label"),
+        (col("d0") + 1).cast("long").as("dim"),
+        floor(col("x") * lit(1e6)).cast("long").as("x_e6"))
+    val ld = q.groupBy("label", "dim").agg(
+        sum("x_e6").as("s"),
+        sum(expr("cast(x_e6 as decimal(38,0)) * x_e6")).as("t"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // one corpus pass feeds the label and global legs
+    val perLabel = ld.groupBy("label").agg(
+        max("n").as("nl"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("ssq"),
+        sum("t").as("tl"))
+      .withColumn("term", expr("ssq div nl"))
+    val lab = perLabel.agg(
+      count(lit(1)).as("n_labels"),
+      sum("nl").as("n_vecs"),
+      sum(expr("cast(term as decimal(38,0))")).as("sum_term"),
+      sum("tl").as("t_all"))
+    val glob = ld.groupBy("dim").agg(sum("s").as("s"))
+      .agg(sum(expr("cast(s as decimal(38,0)) * s")).as("gsq"))
+    lab.crossJoin(broadcast(glob))
+      .withColumn("term_g", expr("gsq div n_vecs"))
+      .withColumn("b", expr("greatest(sum_term - term_g, cast(0 as decimal(38,0)))"))
+      .withColumn("w", expr("t_all - sum_term"))
+      .withColumn("eta2_e6",
+        expr("CASE WHEN b + w = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * b) div (b + w) END"))
+      .withColumn("fisher_e6",
+        expr("CASE WHEN w = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * b) div w END"))
+      .select("n_vecs", "n_labels", "eta2_e6", "fisher_e6")
+  }
+
   /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
     * confident-learning signal (Northcutt et al. JAIR 2021) computed from
     * neighborhood votes: a labeled example whose nearest neighbors
@@ -2333,6 +2394,50 @@ object Similarity {
         "at 100 TB shards aggregate hierarchically."
     ) { (s, dir) =>
       anisotropy(table(s, dir, "embeddings")).orderBy("label")
+    },
+
+    // ----- x135: label-separation audit (one-way ANOVA of the embedding space) -----
+    Q(
+      "x135_label_separation",
+      Some(
+        "WITH e AS (SELECT CAST(label AS BIGINT) AS label, " +
+          "embedding::DOUBLE[] AS v FROM embeddings), " +
+          "x AS (SELECT label, CAST(i AS BIGINT) AS dim, " +
+          "CAST(floor(v[i] * 1000000) AS BIGINT) AS x_e6 " +
+          "FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)), " +
+          "ld AS (SELECT label, dim, CAST(sum(x_e6) AS HUGEINT) AS s, " +
+          "sum(CAST(x_e6 AS HUGEINT) * x_e6) AS t, CAST(count(*) AS BIGINT) AS n " +
+          "FROM x GROUP BY 1, 2), " +
+          "pl AS (SELECT label, CAST(max(n) AS BIGINT) AS nl, " +
+          "sum(s * s) AS ssq, sum(t) AS tl FROM ld GROUP BY 1), " +
+          "pl2 AS (SELECT label, nl, CAST(ssq // nl AS BIGINT) AS term, tl FROM pl), " +
+          "lab AS (SELECT CAST(count(*) AS BIGINT) AS n_labels, " +
+          "CAST(sum(nl) AS BIGINT) AS n_vecs, " +
+          "sum(CAST(term AS HUGEINT)) AS sum_term, sum(tl) AS t_all FROM pl2), " +
+          "g AS (SELECT sum(s2 * s2) AS gsq FROM " +
+          "(SELECT dim, CAST(sum(s) AS HUGEINT) AS s2 FROM ld GROUP BY 1)), " +
+          "f AS (SELECT n_vecs, n_labels, " +
+          "greatest(sum_term - (gsq // n_vecs), 0) AS b, " +
+          "t_all - sum_term AS w FROM lab CROSS JOIN g) " +
+          "SELECT n_vecs, n_labels, " +
+          "CAST(CASE WHEN b + w = 0 THEN 0 ELSE (1000000 * b) // (b + w) END AS BIGINT) " +
+          "AS eta2_e6, " +
+          "CAST(CASE WHEN w = 0 THEN 0 ELSE (1000000 * b) // w END AS BIGINT) AS fisher_e6 " +
+          "FROM f"),
+      "LABEL-SEPARATION audit — one-way ANOVA of the embedding space via exact " +
+        "sufficient statistics: total centered scatter decomposed into " +
+        "between-label and within-label parts (B = Σ‖S_l‖²/n_l − ‖S‖²/n, " +
+        "W = T − Σ‖S_l‖²/n_l on e6-quantized ints), reported as the correlation " +
+        "ratio η² (share of embedding variance the labels explain) and the Fisher " +
+        "ratio B/W. η² → 0 means labels are unlearnable from this space — x85's " +
+        "retrieval eval and x76's centroid classifier will both fail, and this one " +
+        "row says so before either runs; an η² shift after an encoder swap is the " +
+        "class-structure regression x113's recall can't attribute. Per-label terms " +
+        "floor identically in both engines; B clamps at 0 before any divide. Same " +
+        "shape as x124: one posexplode scan into mergeable (label, dim) partial " +
+        "sums (checkpoint-pinned), two |labels|-sized rollups, no window, no join."
+    ) { (s, dir) =>
+      labelSeparation(table(s, dir, "embeddings"))
     }
   )
 }

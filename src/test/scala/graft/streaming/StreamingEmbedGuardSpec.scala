@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming embedding-drift guard: exact shift pins (reference replay =
+  * 0; a uniformly shifted copy = exactly the shift), batch anisotropy,
+  * empty-batch zero row, and the continuous form's per-batch log with the
+  * alert flag + streaming/batch parity.
+  */
+class StreamingEmbedGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refEmb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  /** Every element shifted by +0.25: the mean moves by exactly 0.25 per
+    * dim, so l1_shift_e6 = dims · 250000 exactly (floors land on exact
+    * quarters).
+    */
+  private def shifted = refEmb.select(
+    col("vec_id"),
+    expr("transform(embedding, x -> CAST(x + 0.25 AS FLOAT))").as("embedding"))
+
+  test("reference replay shifts 0; a +0.25 uniform shift scores dims*250000 exactly") {
+    val ref = StreamingEmbedGuard.reference(refEmb).localCheckpoint()
+    val dims = refEmb.select(size(col("embedding"))).as[Int].head()
+    val same = StreamingEmbedGuard.batchAudit(refEmb, ref)
+      .select("n_vecs", "n_dims", "l1_shift_e6", "anis_e6")
+      .as[(Long, Long, Long, Long)].head()
+    assert(same._1 == refEmb.count() && same._2 == dims)
+    assert(same._3 == 0L, s"replay must shift 0: $same")
+    assert(same._4 >= 0L && same._4 <= 1000000L)
+    // the replay's anisotropy equals the x124 overall row on the same vecs
+    val x124 = graft.xscale.Similarity.anisotropy(
+      refEmb.withColumn("label", lit(0)))
+      .filter(col("label") === -1L).select("anis_e6").as[Long].head()
+    assert(same._4 == x124, "batch anisotropy == x124 overall")
+    val moved = StreamingEmbedGuard.batchAudit(shifted, ref)
+      .select("l1_shift_e6").as[Long].head()
+    // floor(x*1e6 + 250000) = floor(x*1e6) + 250000 exactly (integer offset),
+    // so each dim's mean moves by exactly 250000 e6-units
+    assert(moved == dims * 250000L, s"uniform shift must measure exactly: $moved")
+    // empty batch: zero row, not nulls
+    val empty = StreamingEmbedGuard.batchAudit(refEmb.limit(0), ref)
+      .select("n_vecs", "n_dims", "l1_shift_e6", "anis_e6")
+      .as[(Long, Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("continuous form: one row per batch, alert fires on the shifted batch only") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("embedGuard")
+    val auditPath = new java.io.File(dir, "audit").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+
+    val ref = StreamingEmbedGuard.reference(refEmb).localCheckpoint()
+    val clean = refEmb.as[(Long, Seq[Float])].collect()
+    val dirty = shifted.as[(Long, Seq[Float])].collect()
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEmbedGuard.stream(
+      in.toDF().toDF("vec_id", "embedding"), ref, auditPath, ckpt,
+      alertL1E6 = 1000000L)
+    in.addData(clean.toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(dirty.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val log = spark.read.parquet(auditPath)
+      .select("batch_id", "n_vecs", "l1_shift_e6", "alert")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(log.length == 2)
+    assert(log(0)._2 == clean.length && log(1)._2 == dirty.length)
+    assert(!log(0)._4 && log(0)._3 == 0L)
+    assert(log(1)._4 && log(1)._3 >= 1000000L)
+    // streaming/batch parity: the logged row == the batch-side audit
+    val batchSide = StreamingEmbedGuard.batchAudit(
+      dirty.toSeq.toDF("vec_id", "embedding"), ref)
+      .select("l1_shift_e6").as[Long].head()
+    assert(batchSide == log(1)._3)
+  }
+}

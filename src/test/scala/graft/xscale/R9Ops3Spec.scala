@@ -9,7 +9,8 @@ import graft.SparkSpec
   * dedup × filter stage overlap (x127), dedup signal agreement (x128),
   * simhash threshold sweep (x129), token-length profile (x130), pairwise
   * source TV matrix (x131), token-distribution diversity (x132), near-dup
-  * split leakage (x133), corpus shuffle audit (x134).
+  * split leakage (x133), corpus shuffle audit (x134), label separation
+  * (x135).
   */
 class R9Ops3Spec extends SparkSpec {
   import spark.implicits._
@@ -342,6 +343,43 @@ class R9Ops3Spec extends SparkSpec {
         assert(sa <= na && se == (if (na == 0) 0L else 1000000L * sa / na))
         assert(be > 0 && re == 1000000L * se / be)
       }
+  }
+
+  test("x135 label separation: perfect separation, no separation, fixture BigInt recount") {
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    // perfect: each label collapsed on its own orthogonal point → W = 0,
+    // B > 0 → eta2 = 1e6 exactly, fisher sentinel 0
+    val perfect = (0 until 8).map(k => (k.toLong, oneHot(k % 2), k % 2))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.labelSeparation(perfect)
+      .select("n_vecs", "n_labels", "eta2_e6", "fisher_e6")
+      .as[(Long, Long, Long, Long)].head()
+    assert(p == ((8L, 2L, 1000000L, 0L)), s"perfect: $p")
+    // none: identical vectors under different labels → B = 0 → eta2 = 0
+    val none = (0 until 8).map(k => (k.toLong, oneHot(0), k % 2))
+      .toDF("vec_id", "embedding", "label")
+    val n = Similarity.labelSeparation(none)
+      .select("eta2_e6", "fisher_e6").as[(Long, Long)].head()
+    assert(n == ((0L, 0L)), s"none: $n")
+    // fixture: exact BigInt recount of eta2/fisher through the same floors
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val got = Similarity.labelSeparation(emb)
+      .select("n_vecs", "n_labels", "eta2_e6", "fisher_e6")
+      .as[(Long, Long, Long, Long)].head()
+    val rows = emb.select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (l, v) => (l, v.map(x => math.floor(x * 1e6).toLong)) }
+    val dims = rows.head._2.length
+    def ssq(vs: Seq[Seq[Long]]): BigInt =
+      (0 until dims).map(j => { val s = BigInt(vs.map(_(j)).sum); s * s }).sum
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val sumTerm = byLabel.values.map(vs => ssq(vs) / vs.length).sum
+    val tAll = rows.flatMap(_._2).map(x => BigInt(x) * x).sum
+    val b = (sumTerm - ssq(rows.map(_._2).toSeq) / rows.length).max(BigInt(0))
+    val w = tAll - sumTerm
+    assert(got._1 == rows.length && got._2 == byLabel.size)
+    assert(got._3 == (BigInt(1000000) * b / (b + w)).toLong, "eta2 recount")
+    assert(got._4 == (if (w == 0) 0L else (BigInt(1000000) * b / w).toLong), "fisher recount")
   }
 
   test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {

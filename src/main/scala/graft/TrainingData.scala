@@ -1045,6 +1045,14 @@ object TrainingData {
   def labelSeparation(emb: DataFrame): DataFrame =
     Similarity.labelSeparation(emb)
 
+  /** LSH bucket-health audit (x136): per hyperplane table, occupancy
+    * geometry + within-bucket pair mass — the probe-cost calibration of
+    * the ANN hash (x28 calibrates the MinHash sketch). Hot buckets under
+    * an anisotropic encoder (x124) are the failure this catches.
+    */
+  def lshBucketHealth(emb: DataFrame): DataFrame =
+    Similarity.lshBucketHealth(emb)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -1003,6 +1003,47 @@ object Similarity {
       .select("n_vecs", "n_labels", "eta2_e6", "fisher_e6")
   }
 
+  /** x136 core: LSH BUCKET-HEALTH audit — per hyperplane table, the
+    * occupancy geometry that DETERMINES the x07 index's probe cost:
+    * occupied buckets, the hottest bucket's occupancy and share, the
+    * mean occupancy, and the within-bucket candidate-pair mass
+    * Σ occ·(occ−1)/2 — which IS the number of distance computations a
+    * probe-everything pass pays on that table. Why it matters: hyperplane
+    * LSH assumes vectors spread across 2^NP buckets; anisotropic
+    * embeddings (x124 — a collapsed cone lands on the same side of most
+    * planes) pile into a few hot buckets, so probe latency degenerates
+    * toward brute force while recall (x113) stays deceptively fine. This
+    * is the per-table evidence for re-drawing planes or re-centering
+    * ("all-but-the-top") after an encoder swap — x28 calibrates the
+    * MinHash sketch, this calibrates the ANN hash. Columns (tbl, n_vecs,
+    * n_buckets, max_occ, max_share_e6, mean_occ_e6, sum_pairs), exact
+    * integers.
+    *
+    * Scale posture (100 TB): bucket ids are pure per-row expressions
+    * (the same ones the index computes anyway); the occupancy frame is
+    * ≤ NL·2^NP rows — the audit is one map-side-combinable count per
+    * table, no window, no join, no pairs materialized (the pair MASS is
+    * arithmetic on occupancies, never an actual join).
+    */
+  def lshBucketHealth(emb: DataFrame): DataFrame = {
+    val v = withNorm(emb)
+    val perTable = (0 until NL).map { t =>
+      v.select(lit(t.toLong).as("tbl"), bucketT(col("v"), t).as("bkt"))
+    }.reduce(_ unionByName _)
+    perTable.groupBy("tbl", "bkt").agg(count(lit(1)).as("occ"))
+      .groupBy("tbl")
+      .agg(
+        sum("occ").as("n_vecs"),
+        count(lit(1)).as("n_buckets"),
+        max("occ").as("max_occ"),
+        sum(expr("(cast(occ as decimal(38,0)) * (occ - 1)) div 2")).as("sum_pairs"))
+      .withColumn("max_share_e6", expr("(1000000 * max_occ) div n_vecs"))
+      .withColumn("mean_occ_e6",
+        expr("(cast(1000000 as decimal(38,0)) * n_vecs) div n_buckets"))
+      .select("tbl", "n_vecs", "n_buckets", "max_occ", "max_share_e6",
+        "mean_occ_e6", "sum_pairs")
+  }
+
   /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
     * confident-learning signal (Northcutt et al. JAIR 2021) computed from
     * neighborhood votes: a labeled example whose nearest neighbors
@@ -2438,6 +2479,41 @@ object Similarity {
         "sums (checkpoint-pinned), two |labels|-sized rollups, no window, no join."
     ) { (s, dir) =>
       labelSeparation(table(s, dir, "embeddings"))
+    },
+
+    // ----- x136: LSH bucket-health audit (the ANN hash calibrated) -----
+    Q(
+      "x136_lsh_buckets",
+      Some {
+        val tableCtes = (0 until NL).map(t =>
+          s"SELECT CAST($t AS BIGINT) AS tbl, ${bucketSqlT(t)} AS bkt FROM n")
+          .mkString(" UNION ALL ")
+        s"WITH $normCtes, " +
+          s"b AS ($tableCtes), " +
+          "o AS (SELECT tbl, bkt, CAST(count(*) AS BIGINT) AS occ FROM b GROUP BY 1, 2), " +
+          "g AS (SELECT tbl, CAST(sum(occ) AS BIGINT) AS n_vecs, " +
+          "CAST(count(*) AS BIGINT) AS n_buckets, " +
+          "CAST(max(occ) AS BIGINT) AS max_occ, " +
+          "CAST(sum((CAST(occ AS HUGEINT) * (occ - 1)) // 2) AS BIGINT) AS sum_pairs " +
+          "FROM o GROUP BY 1) " +
+          "SELECT tbl, n_vecs, n_buckets, max_occ, " +
+          "CAST((1000000 * max_occ) // n_vecs AS BIGINT) AS max_share_e6, " +
+          "CAST((1000000 * CAST(n_vecs AS HUGEINT)) // n_buckets AS BIGINT) AS mean_occ_e6, " +
+          "sum_pairs FROM g ORDER BY tbl"
+      },
+      "LSH BUCKET-HEALTH audit — per hyperplane table: occupied buckets, hottest " +
+        "bucket occupancy/share, mean occupancy, and the within-bucket pair mass " +
+        "Σ occ·(occ−1)/2, which IS the distance-computation cost a probe of that " +
+        "table pays. Anisotropic embeddings (x124's cone) land on the same side of " +
+        "most planes and pile into hot buckets — probe cost degenerates toward " +
+        "brute force while recall (x113) stays deceptively fine; this is the " +
+        "per-table evidence for re-drawing planes or re-centering after an encoder " +
+        "swap. x28 calibrates the MinHash sketch, this calibrates the ANN hash. " +
+        "Bucket ids are the index's own per-row expressions; the audit is one " +
+        "count to ≤ NL·2^NP rows — no window, no join, the pair mass is arithmetic " +
+        "on occupancies, never a materialized join."
+    ) { (s, dir) =>
+      lshBucketHealth(table(s, dir, "embeddings")).orderBy("tbl")
     }
   )
 }

@@ -382,6 +382,30 @@ class R9Ops3Spec extends SparkSpec {
     assert(got._4 == (if (w == 0) 0L else (BigInt(1000000) * b / w).toLong), "fisher recount")
   }
 
+  test("x136 LSH bucket health: identities hold and pair mass matches the real candidate join") {
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val out = Similarity.lshBucketHealth(emb)
+      .select("tbl", "n_vecs", "n_buckets", "max_occ", "max_share_e6",
+        "mean_occ_e6", "sum_pairs")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val n = emb.count()
+    assert(out.map(_._1).toSeq == (0L until Similarity.NL.toLong), "one row per table")
+    out.foreach { case (t, nv, nb, mx, ms, mo, sp) =>
+      assert(nv == n, s"every vector bucketed in table $t")
+      assert(nb >= 1 && nb <= (1L << Similarity.NP), s"bucket count bounded at $t")
+      assert(mx <= nv && ms == 1000000L * mx / nv)
+      assert(mo == BigInt(1000000L * nv / nb).toLong)
+      assert(sp >= (mx * (mx - 1)) / 2, s"pair mass at least the hot bucket's at $t")
+    }
+    // the table-0 pair mass equals the REAL candidate count of a
+    // within-bucket self-join on the same bucket expression
+    val b0 = Similarity.withNorm(emb)
+      .select(col("vec_id"), Similarity.bucketT(col("v"), 0).as("bkt"))
+    val realPairs = b0.as("x").join(b0.as("y"),
+      expr("x.bkt = y.bkt AND x.vec_id < y.vec_id")).count()
+    assert(out.head._7 == realPairs, "sum_pairs == materialized candidate join size")
+  }
+
   test("x126 dedup length bias: fixture masses conserve and dup-free sources are sentinel-0") {
     val docs = graft.query.Registry.table(spark, sf, "documents")
       .select("doc_id", "source", "text")

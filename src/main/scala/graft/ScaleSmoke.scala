@@ -38,7 +38,7 @@ object ScaleSmoke {
     "x111_charset_audit", "x112_key_skew", "x113_ann_recall_auto",
     "x114_len_quality_corr", "x115_source_divergence", "x116_collocations",
     "x117_template_slots", "x118_dim_stats", "x119_burstiness",
-    "x120_markup_residue", "x121_lsh_fidelity", "x122_cluster_diameter",
+    "x120_markup_residue", "x121_lsh_fidelity_auto", "x122_cluster_diameter_auto",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
     "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
@@ -186,6 +186,21 @@ object ScaleSmoke {
       // registered mod-20 pin) because recall@k's statistical value
       // saturates in the hundreds of queries while brute-force ground
       // truth cost is |sample| x |corpus|.
+      // x121 scale posture: the fidelity estimate runs on a mod-10 doc
+      // sample (10^7 | shift, so id-shifted duplicate clusters survive
+      // sampling intact) — the quadratic exact-Jaccard truth leg shrinks
+      // ~100x while the S-curve/recall estimate stays unbiased. The
+      // registered mod-2 twin pins the knob's identity to the oracle.
+      "x121_lsh_fidelity_auto" -> ((s, d) =>
+        xscale.Dedup.lshFidelity(
+          s.read.parquet(s"$d/documents.parquet"), sampleMod = 10L)),
+      // x122 scale posture: mega-clusters sampled to 8 members before the
+      // within-cluster self-join — on this all-clique fixture every
+      // cluster is a (factor x fixture-dup) pile, exactly the shape the
+      // cap exists for; n_capped makes the estimate's coverage visible.
+      "x122_cluster_diameter_auto" -> ((s, d) =>
+        xscale.Dedup.clusterDiameter(
+          s.read.parquet(s"$d/documents.parquet"), maxClusterSize = 8L)),
       "x113_ann_recall_auto" -> ((s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         val sel = col("vec_id") % 1000 === 0

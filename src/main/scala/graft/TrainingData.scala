@@ -917,19 +917,28 @@ object TrainingData {
     * S-curve of x02's banded candidates against exact Jaccard truth,
     * plus a recall summary row (n_match = -1) — the audit that
     * justifies the sketch; re-run when band structure or shingle size
-    * changes. At open-web scale run the exact leg on a doc sample.
+    * changes. At open-web scale pass `sampleMod > 1`: both legs run on
+    * the doc_id ≡ 0 (mod m) sample, so the quadratic truth leg shrinks
+    * ~m² and the estimate's cost is corpus-size-independent (the x113
+    * thinning rule — raise the mod as the corpus grows).
     */
-  def lshFidelity(docs: DataFrame): DataFrame =
-    xscale.Dedup.lshFidelity(docs)
+  def lshFidelity(docs: DataFrame, sampleMod: Long = 1L): DataFrame =
+    xscale.Dedup.lshFidelity(docs, sampleMod)
 
   /** Cluster-diameter audit (x122): per dedup-cluster size, how many
     * clusters are transitive CHAINS (some within-cluster pair beyond
     * the pair threshold) vs true duplicate piles, with edge density and
     * worst within-cluster hamming. High chaining ⇒ tighten the pair
-    * threshold or star-verify clusters against their survivor.
+    * threshold or star-verify clusters against their survivor. At
+    * open-web scale pass `maxClusterSize`: mega-clusters are sampled
+    * down to the cap before the within-cluster self-join (pair cost
+    * ≤ cap²/2 per cluster) and flagged in `n_capped` — the audit stays
+    * an honest estimate with its exactness loss visible.
     */
-  def clusterDiameter(docs: DataFrame): DataFrame =
-    xscale.Dedup.clusterDiameter(docs)
+  def clusterDiameter(
+      docs: DataFrame,
+      maxClusterSize: Long = xscale.Dedup.NoCap): DataFrame =
+    xscale.Dedup.clusterDiameter(docs, maxClusterSize)
 
   /** Output-shard balance audit (x123): docs / token mass / deviation
     * from perfect balance per hash shard — the write-side companion of
@@ -1030,10 +1039,12 @@ object TrainingData {
     * on-disk order vs the mixture's perfect-shuffle baseline Σp² —
     * order as a signal; clumped writes feed the trainer correlated
     * batches and only this audit can see it. x82's interleaving is the
-    * fix.
+    * fix. `shardN` must track the shipped layout's file count (thousands
+    * at 100 TB) so each window partition stays one file's sequential
+    * scan; the default is the fixture/oracle pin.
     */
-  def shuffleAudit(docs: DataFrame): DataFrame =
-    xscale.DataPrep.shuffleAudit(docs)
+  def shuffleAudit(docs: DataFrame, shardN: Long = xscale.DataPrep.ShardN): DataFrame =
+    xscale.DataPrep.shuffleAudit(docs, shardN)
 
   /** Label-separation audit (x135): one-way ANOVA of the embedding
     * space in exact integers — η² (share of variance the labels explain)

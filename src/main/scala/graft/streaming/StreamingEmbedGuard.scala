@@ -51,9 +51,16 @@ object StreamingEmbedGuard {
       .agg(sum("x_e6").as("r_s"), count(lit(1)).as("r_n"))
 
   /** One-row geometry audit of a (micro-)batch against the frozen
-    * reference: (n_vecs, n_dims, l1_shift_e6, anis_e6). Exact integers —
-    * decimal(38) on every cross product so corpus-scale counts cannot
-    * overflow; an empty batch reports the zero row.
+    * reference: (n_vecs, n_dims, r_dims, l1_shift_e6, anis_e6). Exact
+    * integers — decimal(38) on every cross product so corpus-scale counts
+    * cannot overflow; an empty batch reports the zero row (with r_dims
+    * still the reference's dim count).
+    *
+    * `r_dims` exists because a DIMENSION-COUNT change is invisible to
+    * l1_shift_e6: a dim present in only one side contributes exactly 0 to
+    * the cross term |b_s·r_n − r_s·b_n| (one factor is 0), so a truncated
+    * 512-dim batch against a 768-dim reference can replay with shift 0.
+    * The alert in [[stream]] therefore also fires on n_dims ≠ r_dims.
     */
   def batchAudit(batch: DataFrame, ref: DataFrame): DataFrame = {
     val bd = batch
@@ -72,6 +79,7 @@ object StreamingEmbedGuard {
       .agg(
         coalesce(max("b_n"), lit(0L)).as("n_vecs"),
         coalesce(sum(when(col("b_n") > 0L, 1L).otherwise(0L)), lit(0L)).as("n_dims"),
+        coalesce(sum(when(col("r_n") > 0L, 1L).otherwise(0L)), lit(0L)).as("r_dims"),
         coalesce(
           sum(expr("abs(cast(b_s as decimal(38,0)) * r_n - cast(r_s as decimal(38,0)) * b_n)")),
           lit(0L).cast("decimal(38,0)")).as("sum_abs"),
@@ -88,7 +96,7 @@ object StreamingEmbedGuard {
           "(cast(1000000 as decimal(38,0)) * a) div (cast(nv as decimal(38,0)) * bb) END"))
       .select("anis_e6")
     shift.crossJoin(anis)
-      .select("n_vecs", "n_dims", "l1_shift_e6", "anis_e6")
+      .select("n_vecs", "n_dims", "r_dims", "l1_shift_e6", "anis_e6")
   }
 
   /** Continuous form: audit every micro-batch of a streaming vector
@@ -109,7 +117,11 @@ object StreamingEmbedGuard {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         batchAudit(b, refPinned)
           .withColumn("batch_id", lit(batchId))
-          .withColumn("alert", col("l1_shift_e6") >= alertL1E6)
+          // dim-count mismatch (encoder truncation/expansion) contributes
+          // 0 to l1_shift by construction — alert on it directly.
+          .withColumn("alert",
+            col("l1_shift_e6") >= alertL1E6 ||
+              (col("n_vecs") > 0L && col("n_dims") =!= col("r_dims")))
           .write.mode(SaveMode.Append).parquet(auditPath)
         ()
       }

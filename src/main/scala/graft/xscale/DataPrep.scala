@@ -490,16 +490,21 @@ object DataPrep {
     * n_adj, same_adj, same_e6, base_e6, ratio_e6), exact integers.
     *
     * Scale posture (100 TB): the lag window partitions by SHARD and
-    * orders by the on-disk key — at scale shards are files (thousands),
-    * so each partition is one file's sequential scan, embarrassingly
-    * parallel, no global sort; the baseline is a |sources|-row aggregate
-    * broadcast back. One scan, 2 small rollups.
+    * orders by the on-disk key — the no-global-sort claim holds only when
+    * `shardN` TRACKS THE SHIPPED FILE COUNT (thousands at 100 TB), so the
+    * shard count is a parameter, not a constant: pass the real layout's
+    * fan-out and each window partition is one file's sequential scan,
+    * embarrassingly parallel. At the fixture's default ([[ShardN]] = 16,
+    * pinned for the oracle twin's literal) a partition is 1/16 of the
+    * corpus — fine at audit SF, wrong at scale, hence the knob. The
+    * baseline is a |sources|-row aggregate broadcast back. One scan, 2
+    * small rollups.
     */
-  def shuffleAudit(docs: DataFrame): DataFrame = {
+  def shuffleAudit(docs: DataFrame, shardN: Long = ShardN): DataFrame = {
     val d = docs.select(
       col("doc_id"),
       col("source"),
-      (h60(col("doc_id").cast("string")) % ShardN).as("shard"))
+      (h60(col("doc_id").cast("string")) % shardN).as("shard"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
     val adj = d
       .withColumn("prev", lag("source", 1).over(w))

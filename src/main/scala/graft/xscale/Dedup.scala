@@ -521,15 +521,20 @@ object Dedup {
     *
     * Scale posture (100 TB): the exact-Jaccard leg is the declared
     * exactness baseline (intersection-driven shingle join — affordable at
-    * audit SF; at open-web scale run it on a DOC SAMPLE, the x113
-    * pattern: fidelity is a statistical estimate, its cost must not scale
-    * with the corpus). The candidate leg is x02's own banded join; the
-    * score join is keyed on the pair; output is ≤ K+2 rows.
+    * audit SF; at open-web scale run it on a DOC SAMPLE via `sampleMod`,
+    * the x113 pattern: fidelity is a statistical estimate, its cost must
+    * not scale with the corpus). `sampleMod = m` audits only docs with
+    * doc_id ≡ 0 (mod m) — BOTH legs run on the sample, so the estimate is
+    * exactly `lshFidelity(docs.filter(doc_id % m = 0))` (spec-pinned) and
+    * total cost shrinks ~m² on the quadratic truth leg. The default 1 is
+    * the oracle-exact full audit. The candidate leg is x02's own banded
+    * join; the score join is keyed on the pair; output is ≤ K+2 rows.
     */
-  def lshFidelity(docs: DataFrame): DataFrame = {
-    val cands = minhashCandidates(docs)
+  def lshFidelity(docs: DataFrame, sampleMod: Long = 1L): DataFrame = {
+    val in = if (sampleMod <= 1L) docs else docs.filter(col("doc_id") % sampleMod === 0)
+    val cands = minhashCandidates(in)
       .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("n_match"))
-    val truth = jaccardPairs(docs)
+    val truth = jaccardPairs(in)
       .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"))
     val scored = cands.join(
       truth.withColumn("is_true", lit(1L)), Seq("da", "db"), "left")
@@ -564,16 +569,30 @@ object Dedup {
     * Scale posture (100 TB): pairs and CC inherit x04/x14's bucketed
     * posture; the diameter leg joins each cluster's fingerprints to
     * itself — quadratic in CLUSTER size only (the frames CC already
-    * bounded), never the corpus; cap with a per-cluster size limit (audit
-    * the head, sample the mega-clusters) at open-web scale. Final rollup
-    * is |distinct sizes| rows.
+    * bounded), never the corpus. `maxClusterSize` is the mega-cluster
+    * escape hatch: clusters larger than the cap are SAMPLED down to cap
+    * members (deterministic — row_number over h60(id), the WindowGroupLimit
+    * top-k shape, so the shuffle carries cap rows per component, not the
+    * cluster) before the self-join; a 1M-doc component then costs
+    * cap·(cap−1)/2 pairs instead of 5·10¹¹. The reported `size` stays the
+    * TRUE cluster size and `n_capped` counts the size row's sampled
+    * clusters, so a capped audit is visibly an estimate (diam/edges are
+    * lower bounds there). Default [[NoCap]] = exact, the oracle pin.
+    * Final rollup is |distinct sizes| rows.
     */
-  def clusterDiameter(docs: DataFrame): DataFrame = {
+  def clusterDiameter(docs: DataFrame, maxClusterSize: Long = NoCap): DataFrame = {
     val fp = fingerprints(docs, wide = false).select(col("doc_id").as("id"), col("s1"))
     val pairs = simhashPairs(docs)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val labels = DedupClusters.connectedComponents(pairs)
-    val m = labels.join(fp, "id")
+    val m0 = labels.join(fp, "id")
+    val m =
+      if (maxClusterSize >= Long.MaxValue) m0
+      else m0
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component").orderBy(h60(col("id").cast("string")), col("id"))))
+        .filter(col("rn") <= maxClusterSize)
+        .drop("rn")
     val within = m.select(col("component"), col("id").as("ia"), col("s1").as("fa"))
       .join(m.select(col("component"), col("id").as("ib"), col("s1").as("fb")), Seq("component"))
       .filter(col("ia") < col("ib"))
@@ -591,7 +610,99 @@ object Dedup {
         max("diam").as("max_diam"),
         sum("n_edges").as("sum_edges"),
         sum("n_pairs").as("sum_pairs"))
+      .withColumn("n_capped",
+        if (maxClusterSize >= Long.MaxValue) lit(0L)
+        else when(col("size") > maxClusterSize, col("n_clusters")).otherwise(lit(0L)))
   }
+
+  /** Sentinel for [[clusterDiameter]]'s per-cluster cap: audit exactly. */
+  val NoCap: Long = Long.MaxValue
+
+  /** Per-cluster member cap for the registered capped twin
+    * (x122_cluster_diameter_capped): small enough that the fixture's dup
+    * clusters actually exercise the sampling path at every SF.
+    */
+  val DiamCap = 3L
+
+  /** Doc-sample modulus for the registered sampled-fidelity twin
+    * (x121_lsh_fidelity_sampled): 2 keeps the fixture's estimate
+    * non-degenerate at every SF; the 10x battery thins further (mod 10).
+    */
+  val FidelityMod = 2L
+
+  /** The full x121 oracle over `src` (a relation or parenthesized
+    * subquery): banded candidates + exact-Jaccard truth + S-curve rollup.
+    * Parameterized by source so the sampled twin is the SAME query over a
+    * pre-filtered corpus — the identity the Spark-side knob is pinned to.
+    */
+  private def fidelitySql(src: String): String = {
+    val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+    s"WITH ${sigSqlCtesFor(src, "")}, " +
+      s"bk AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
+      s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+      s"len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS n_match " +
+      "FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+      "shd AS (SELECT doc_id, unnest(hl) AS sgl FROM hs), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
+      "JOIN shd b ON a.sgl = b.sgl AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "truth AS (SELECT da, db FROM inter JOIN sz sa ON sa.doc_id = da " +
+      "JOIN sz sb ON sb.doc_id = db WHERE 10 * i >= 3 * (sa.n + sb.n - i)), " +
+      "jj AS (SELECT c.n_match, CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END AS is_true " +
+      "FROM cand c LEFT JOIN truth t ON t.da = c.da AND t.db = c.db), " +
+      "bb AS (SELECT CAST(n_match AS BIGINT) AS n_match, " +
+      "CAST(count(*) AS BIGINT) AS n_cands, CAST(sum(is_true) AS BIGINT) AS n_true, " +
+      "CAST((1000000 * sum(is_true)) // count(*) AS BIGINT) AS prec_e6 FROM jj GROUP BY 1), " +
+      "cd AS (SELECT DISTINCT da, db FROM cand), " +
+      "sm AS (SELECT CAST(-1 AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_cands, " +
+      "CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+      "CAST(CASE WHEN count(*) > 0 THEN " +
+      "(1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END)) // count(*) " +
+      "ELSE 0 END AS BIGINT) AS prec_e6 " +
+      "FROM truth LEFT JOIN cd ON cd.da = truth.da AND cd.db = truth.db) " +
+      "SELECT * FROM bb UNION ALL SELECT * FROM sm ORDER BY n_match"
+  }
+
+  /** Shared x122 oracle CTEs: simhash fingerprints → hamming-8 pairs →
+    * recursive CC → member table `m(id, component, simhash)`. Ends with a
+    * trailing comma so callers append their own member/pair CTEs.
+    */
+  private def diamSqlPrefix: String = {
+    val ws = XText.wordsSql("text")
+    s"WITH RECURSIVE w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
+      "FROM documents), " +
+      "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+      "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
+      "AS simhash FROM bt GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
+      "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+      "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+      "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+      "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+      "m AS (SELECT comp.id, comp.component, sh.simhash FROM comp " +
+      "JOIN sh ON sh.doc_id = comp.id), "
+  }
+
+  /** Shared x122 rollup tail over a `win(component, ham)` CTE;
+    * `cappedCol` supplies the n_capped select expression (constant 0 for
+    * the exact form, the size>cap count for the capped twin).
+    */
+  private def diamSqlRollup(cappedCol: String): String =
+    "pc AS (SELECT component, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(max(ham) AS BIGINT) AS diam, " +
+      "CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges " +
+      "FROM win GROUP BY 1), " +
+      "szs AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1) " +
+      "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+      "CAST(sum(CASE WHEN diam > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_chained, " +
+      "CAST(max(diam) AS BIGINT) AS max_diam, " +
+      "CAST(sum(n_edges) AS BIGINT) AS sum_edges, " +
+      "CAST(sum(n_pairs) AS BIGINT) AS sum_pairs, " +
+      cappedCol + " " +
+      "FROM szs JOIN pc USING (component) GROUP BY 1 ORDER BY 1"
 
   /** x126 core: DEDUP LENGTH BIAS — does exact dedup skew the corpus's
     * length distribution? Under x01's keep-first rule, per source: kept vs
@@ -1441,34 +1552,7 @@ object Dedup {
     // ----- x121: MinHash-LSH fidelity (S-curve + recall vs exact Jaccard) -----
     Q(
       "x121_lsh_fidelity",
-      Some {
-        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
-        s"WITH $sigSqlCtes, " +
-          s"bk AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
-          s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
-          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
-          s"len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS n_match " +
-          "FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
-          "shd AS (SELECT doc_id, unnest(hl) AS sgl FROM hs), " +
-          "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
-          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM shd a " +
-          "JOIN shd b ON a.sgl = b.sgl AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-          "truth AS (SELECT da, db FROM inter JOIN sz sa ON sa.doc_id = da " +
-          "JOIN sz sb ON sb.doc_id = db WHERE 10 * i >= 3 * (sa.n + sb.n - i)), " +
-          "jj AS (SELECT c.n_match, CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END AS is_true " +
-          "FROM cand c LEFT JOIN truth t ON t.da = c.da AND t.db = c.db), " +
-          "bb AS (SELECT CAST(n_match AS BIGINT) AS n_match, " +
-          "CAST(count(*) AS BIGINT) AS n_cands, CAST(sum(is_true) AS BIGINT) AS n_true, " +
-          "CAST((1000000 * sum(is_true)) // count(*) AS BIGINT) AS prec_e6 FROM jj GROUP BY 1), " +
-          "cd AS (SELECT DISTINCT da, db FROM cand), " +
-          "sm AS (SELECT CAST(-1 AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_cands, " +
-          "CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
-          "CAST(CASE WHEN count(*) > 0 THEN " +
-          "(1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END)) // count(*) " +
-          "ELSE 0 END AS BIGINT) AS prec_e6 " +
-          "FROM truth LEFT JOIN cd ON cd.da = truth.da AND cd.db = truth.db) " +
-          "SELECT * FROM bb UNION ALL SELECT * FROM sm ORDER BY n_match"
-      },
+      Some(fidelitySql("documents")),
       "MinHash-LSH FIDELITY — the measured S-curve behind x02's knobs: every band-" +
         "collision candidate scored against EXACT 3-gram Jaccard ≥ 0.3 (x03's rule), " +
         "grouped by signature agreement n_match: candidates / true near-dups / " +
@@ -1476,46 +1560,40 @@ object Dedup {
         "n_match = -1 summary row is RECALL: of all true pairs, how many band-collide " +
         "at all — the pairs LSH can never recover at any threshold. The dedup analog " +
         "of x113's ANN recall; the audit that justifies the sketch. The exact leg is " +
-        "the declared exactness baseline (at open-web scale run it on a doc sample — " +
-        "fidelity is a statistical estimate, its cost must not scale with the " +
-        "corpus); the candidate leg is x02's own banded join; output ≤ K+2 rows."
+        "the declared exactness baseline; x121_lsh_fidelity_sampled engages the " +
+        "sampleMod knob that makes the audit corpus-size-independent; the candidate " +
+        "leg is x02's own banded join; output ≤ K+2 rows."
     ) { (s, dir) =>
       lshFidelity(table(s, dir, "documents")).orderBy("n_match")
+    },
+
+    // ----- x121b: the sampled form — fidelity as a corpus-size-independent estimate -----
+    Q(
+      "x121_lsh_fidelity_sampled",
+      Some(fidelitySql(s"(SELECT * FROM documents WHERE doc_id % $FidelityMod = 0)")),
+      "the SAMPLED LSH-fidelity audit — x121 with its doc-sample knob engaged " +
+        s"(sampleMod = $FidelityMod: only docs with doc_id ≡ 0 mod $FidelityMod are " +
+        "audited, BOTH legs). Fidelity is a statistical estimate — the S-curve's " +
+        "per-n_match precision and the recall row converge on a sample — so its " +
+        "cost must not scale with the corpus: the quadratic exact-Jaccard truth leg " +
+        "shrinks ~mod² and the candidate leg ~mod, while the estimate stays " +
+        "unbiased for exchangeable doc ids. Spec-pinned identity: this equals " +
+        "x121 run on the pre-filtered corpus exactly. At open-web scale the mod " +
+        "rises with the corpus (the x113 thinning rule) — the 10x battery runs " +
+        "mod 10 as x121_lsh_fidelity_auto."
+    ) { (s, dir) =>
+      lshFidelity(table(s, dir, "documents"), sampleMod = FidelityMod).orderBy("n_match")
     },
 
     // ----- x122: cluster-diameter audit (transitive-chaining check on CC) -----
     Q(
       "x122_cluster_diameter",
       Some {
-        val ws = XText.wordsSql("text")
-        s"WITH RECURSIVE w AS (SELECT doc_id, unnest(list_transform($ws, wd -> ${h60Sql("wd")})) AS h " +
-          "FROM documents), " +
-          "bt AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
-          "FROM w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits GROUP BY 1, 2), " +
-          "sh AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) " +
-          "AS simhash FROM bt GROUP BY 1), " +
-          "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), " +
-          "e AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
-          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
-          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
-          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
-          "m AS (SELECT comp.id, comp.component, sh.simhash FROM comp " +
-          "JOIN sh ON sh.doc_id = comp.id), " +
+        diamSqlPrefix +
           "win AS (SELECT a.component, " +
           "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham " +
           "FROM m a JOIN m b ON a.component = b.component AND a.id < b.id), " +
-          "pc AS (SELECT component, CAST(count(*) AS BIGINT) AS n_pairs, " +
-          "CAST(max(ham) AS BIGINT) AS diam, " +
-          "CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges " +
-          "FROM win GROUP BY 1), " +
-          "szs AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1) " +
-          "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters, " +
-          "CAST(sum(CASE WHEN diam > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_chained, " +
-          "CAST(max(diam) AS BIGINT) AS max_diam, " +
-          "CAST(sum(n_edges) AS BIGINT) AS sum_edges, " +
-          "CAST(sum(n_pairs) AS BIGINT) AS sum_pairs " +
-          "FROM szs JOIN pc USING (component) GROUP BY 1 ORDER BY 1"
+          diamSqlRollup("CAST(0 AS BIGINT) AS n_capped")
       },
       "CLUSTER-DIAMETER audit — the transitive-chaining check on x14's connected " +
         "components: CC merges a~b~c even when a and c are NOT near-dups, and on " +
@@ -1527,10 +1605,40 @@ object Dedup {
         "density: clique = true duplicate pile, sparse = chain). High n_chained ⇒ " +
         "tighten the threshold or star-verify clusters against their survivor. The " +
         "diameter leg self-joins per CLUSTER — quadratic in cluster size only, never " +
-        "the corpus; cap cluster size (audit the head, sample mega-clusters) at " +
-        "open-web scale. Output is |distinct sizes| rows."
+        "the corpus; this is the EXACT form (n_capped ≡ 0) — " +
+        "x122_cluster_diameter_capped is the mega-cluster escape hatch. Output is " +
+        "|distinct sizes| rows."
     ) { (s, dir) =>
       clusterDiameter(table(s, dir, "documents")).orderBy("size")
+    },
+
+    // ----- x122b: the capped form — mega-cluster escape hatch, sampled -----
+    Q(
+      "x122_cluster_diameter_capped",
+      Some {
+        diamSqlPrefix +
+          s"rk AS (SELECT id, component, simhash, row_number() OVER " +
+          s"(PARTITION BY component ORDER BY ${h60Sql("CAST(id AS VARCHAR)")}, id) AS rn FROM m), " +
+          s"ms AS (SELECT id, component, simhash FROM rk WHERE rn <= $DiamCap), " +
+          "win AS (SELECT a.component, " +
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham " +
+          "FROM ms a JOIN ms b ON a.component = b.component AND a.id < b.id), " +
+          diamSqlRollup(
+            s"CAST(CASE WHEN size > $DiamCap THEN count(*) ELSE 0 END AS BIGINT) AS n_capped")
+      },
+      "the CAPPED cluster-diameter audit — x122 with its mega-cluster escape hatch " +
+        s"engaged: clusters larger than $DiamCap members are sampled down to $DiamCap " +
+        "(deterministic row_number over h60(id) — WindowGroupLimit top-k, so the " +
+        "shuffle carries cap rows per component, never the cluster) before the " +
+        "within-cluster self-join, bounding a 1M-doc component at cap·(cap−1)/2 " +
+        "pairs instead of 5·10¹¹. The reported size stays the TRUE cluster size and " +
+        "n_capped counts the sampled clusters per size row, so a capped audit is " +
+        "visibly an estimate (diam/edge columns are lower bounds on capped rows; " +
+        "exact on uncapped ones — spec-pinned equal to x122 below the cap). This is " +
+        "the form that runs at open-web scale; the same knob feeds the 10x battery " +
+        "as x122_cluster_diameter_auto."
+    ) { (s, dir) =>
+      clusterDiameter(table(s, dir, "documents"), maxClusterSize = DiamCap).orderBy("size")
     },
 
     // ----- x126: dedup length bias (does dedup skew the length mixture?) -----

@@ -938,7 +938,10 @@ object Similarity {
     perLabel.select("label", "n_vecs", "a", "b").unionByName(overall)
       .withColumn(
         "anis_e6",
-        expr("(cast(1000000 as decimal(38,0)) * a) div (cast(n_vecs as decimal(38,0)) * b)"))
+        // b = 0 (every element quantizing to 0 within a group) would make
+        // the integer divide null — sentinel 0, the batchAudit rule.
+        expr("CASE WHEN b = 0 THEN 0 ELSE " +
+          "(cast(1000000 as decimal(38,0)) * a) div (cast(n_vecs as decimal(38,0)) * b) END"))
       .select("label", "n_vecs", "anis_e6")
   }
 
@@ -1027,9 +1030,16 @@ object Similarity {
     */
   def lshBucketHealth(emb: DataFrame): DataFrame = {
     val v = withNorm(emb)
-    val perTable = (0 until NL).map { t =>
+    bucketRollup((0 until NL).map { t =>
       v.select(lit(t.toLong).as("tbl"), bucketT(col("v"), t).as("bkt"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
+  }
+
+  /** The x136 occupancy rollup over a (tbl, bkt) assignment frame — shared
+    * by the raw (x136) and centered (x137) audits so their columns stay
+    * directly comparable.
+    */
+  private def bucketRollup(perTable: DataFrame): DataFrame =
     perTable.groupBy("tbl", "bkt").agg(count(lit(1)).as("occ"))
       .groupBy("tbl")
       .agg(
@@ -1042,6 +1052,95 @@ object Similarity {
         expr("(cast(1000000 as decimal(38,0)) * n_vecs) div n_buckets"))
       .select("tbl", "n_vecs", "n_buckets", "max_occ", "max_share_e6",
         "mean_occ_e6", "sum_pairs")
+
+  /** x137 machinery: per-vector INTEGER plane projections
+    * dq_{t}_{j} = Σ_d floor(v_d·1e6)·p_{tj,d} for every (table, plane) —
+    * the e6-quantized view of the hyperplane dots, one zip_with fold per
+    * plane inside the scan (no shuffle). |q_d| ≤ 1e6·|v_d| and
+    * |p| ≤ 1000, so each dot fits long through dim 64 with room to 10⁹.
+    */
+  private def planeDots(emb: DataFrame): DataFrame = {
+    val q = emb.select(
+      col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1e6)).cast("long")).as("q"))
+    val dqCols = for (t <- 0 until NL; j <- 0 until NP) yield
+      aggregate(
+        zip_with(col("q"), array(tablePlanes(t)(j).map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"dq_${t}_$j")
+    q.select(col("vec_id") +: dqCols: _*)
+  }
+
+  /** One-row centering totals over [[planeDots]]: n plus Σ dq_{t}_{j} as
+    * decimal(38,0) — mean-centering the hyperplane test needs ONLY these
+    * NL·NP+1 scalars, because sign(⟨v−mean, p⟩) = sign(n·⟨q,p⟩ − Σ⟨q,p⟩)
+    * (the common-denominator trick on exact integers).
+    */
+  private def planeDotTotals(d: DataFrame): DataFrame =
+    d.agg(
+      count(lit(1)).as("n"),
+      (for (t <- 0 until NL; j <- 0 until NP)
+        yield sum(col(s"dq_${t}_$j").cast("decimal(38,0)")).as(s"s_${t}_$j")): _*)
+
+  /** Centered bucket id for table t over a frame carrying dq_* and the
+    * broadcast totals: bit j set iff n·dq_{t}_{j} > Σ dq_{t}_{j}.
+    */
+  private def bucketCenteredT(t: Int): Column =
+    (0 until NP).map { j =>
+      when(expr(s"cast(n as decimal(38,0)) * dq_${t}_$j > s_${t}_$j"),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** x137 core: CENTERED-LSH bucket health — the remediation x136
+    * recommends, measured: re-bucket with every hyperplane test CENTERED
+    * on the corpus mean (Mu & Viswanath ICLR 2018 "all-but-the-top",
+    * step 1 — subtract the mean before hashing) and report the same
+    * per-table occupancy geometry, so x136-vs-x137 is a direct
+    * before/after. Why it works: anisotropic embeddings (x124's cone)
+    * sit in one halfspace of most planes — the mean offset, not the
+    * vectors' relative geometry, decides the bit — so they pile into hot
+    * buckets; subtracting the mean restores the ±balance each plane
+    * assumes while leaving every PAIRWISE angle (what the cosine rerank
+    * scores) untouched. Exact integers end-to-end: elements e6-quantize
+    * per the x118 rule, the centered sign test is
+    * n·⟨q,p⟩ > Σ⟨q,p⟩ on decimal(38) — no float mean crosses the oracle.
+    * Same columns as x136.
+    *
+    * Scale posture (100 TB): one scan computes the NL·NP integer plane
+    * dots per row; the centering state is NL·NP+1 scalars (one tiny
+    * aggregate, broadcast back — the quantizer-state pattern); bucketing
+    * is then per-row arithmetic and the rollup is the same ≤ NL·2^NP-row
+    * count as x136. Envelope: Σ dq fits decimal(38) to ~10¹⁵ vectors.
+    * The audit pairs with [[knnLshCentered]], the production index this
+    * calibrates — adopt centering when x137's max_share/sum_pairs beat
+    * x136's with x113 recall held (spec-pinned on the anisotropic
+    * fixture).
+    */
+  def lshBucketHealthCentered(emb: DataFrame): DataFrame = {
+    // one scan feeds the totals and the bucketing leg (the x112 pin rule)
+    val d = planeDots(emb).localCheckpoint()
+    val withTot = d.crossJoin(broadcast(planeDotTotals(d)))
+    bucketRollup((0 until NL).map { t =>
+      withTot.select(lit(t.toLong).as("tbl"), bucketCenteredT(t).as("bkt"))
+    }.reduce(_ unionByName _))
+  }
+
+  /** Centered-LSH top-k (the x137-calibrated production index): identical
+    * to [[knnLsh]] — collide in ANY table, exact cosine rank on candidates
+    * — but bucket ids come from the mean-centered hyperplane test, so hot
+    * anisotropic buckets disperse and probe cost drops while the cosine
+    * rerank (unchanged: centering cancels in pairwise geometry only for
+    * the HASH; the rerank always used the raw vectors) keeps the same
+    * scores. Columns (query_id, rank, neighbor_id).
+    */
+  def knnLshCentered(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
+    val d = planeDots(emb).localCheckpoint()
+    val withTot = d.crossJoin(broadcast(planeDotTotals(d)))
+    val withB = withTot.select(
+      col("vec_id"),
+      array((0 until NL).map(t => bucketCenteredT(t)): _*).as("bks"))
+    val side = withB.select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    rankBucketCandidates(withNorm(emb), side, isQuery, k)
   }
 
   /** x110 core: LABEL-NOISE audit via k-NN label agreement — the
@@ -1143,8 +1242,19 @@ object Similarity {
     */
   def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
     val e = withNorm(emb)
+    val side = e
       .withColumn("bks", array((0 until NL).map(t => bucketT(col("v"), t)): _*))
-    val side = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    rankBucketCandidates(e, side, isQuery, k)
+  }
+
+  /** Shared knnLsh tail: candidate pairs from ANY-table bucket collision,
+    * exact cosine rank on candidates only — the bucketing scheme (raw
+    * [[knnLsh]] vs centered [[knnLshCentered]]) only changes the `side`
+    * frame; the rerank always scores the RAW vectors.
+    */
+  private def rankBucketCandidates(
+      e: DataFrame, side: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val cand = side.filter(isQuery).select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
       .join(side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -2419,7 +2529,8 @@ object Similarity {
           "sum(s * s) AS a, sum(t) AS b FROM od), " +
           "u AS (SELECT * FROM pl UNION ALL SELECT * FROM ov) " +
           "SELECT label, n_vecs, " +
-          "CAST((1000000 * a) // (CAST(n_vecs AS HUGEINT) * b) AS BIGINT) AS anis_e6 " +
+          "CAST(CASE WHEN b = 0 THEN 0 ELSE " +
+          "(1000000 * a) // (CAST(n_vecs AS HUGEINT) * b) END AS BIGINT) AS anis_e6 " +
           "FROM u ORDER BY label"),
       "embedding ANISOTROPY audit (Ethayarajh 2019; Mu & Viswanath 2018): per label " +
         "and overall (-1), anis_e6 = (1e6·‖Σv‖²) div (n·Σ‖v‖²) — [0,1e6] by " +

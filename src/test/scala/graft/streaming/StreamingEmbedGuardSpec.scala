@@ -51,6 +51,21 @@ class StreamingEmbedGuardSpec extends SparkSpec {
     assert(empty == ((0L, 0L, 0L, 0L)))
   }
 
+  test("a dim-truncated batch replays with shift 0 but n_dims < r_dims exposes it") {
+    val ref = StreamingEmbedGuard.reference(refEmb).localCheckpoint()
+    val dims = refEmb.select(size(col("embedding"))).as[Int].head()
+    // an encoder swap that truncates to half the dims: every surviving dim
+    // replays the reference exactly, so l1_shift_e6 = 0 by construction —
+    // only the r_dims column reveals the mismatch
+    val truncated = refEmb.select(
+      col("vec_id"), slice(col("embedding"), 1, dims / 2).as("embedding"))
+    val row = StreamingEmbedGuard.batchAudit(truncated, ref)
+      .select("n_dims", "r_dims", "l1_shift_e6")
+      .as[(Long, Long, Long)].head()
+    assert(row._3 == 0L, s"missing dims contribute 0 to shift by construction: $row")
+    assert(row._1 == dims / 2 && row._2 == dims, s"dim mismatch must be visible: $row")
+  }
+
   test("continuous form: one row per batch, alert fires on the shifted batch only") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("embedGuard")
@@ -69,15 +84,19 @@ class StreamingEmbedGuardSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(dirty.toIndexedSeq)
     q.processAllAvailable()
+    // a dim-truncated batch: shift 0 by construction, alert via r_dims
+    in.addData(clean.map { case (id, v) => (id, v.take(v.length / 2)) }.toIndexedSeq)
+    q.processAllAvailable()
     q.stop()
 
     val log = spark.read.parquet(auditPath)
       .select("batch_id", "n_vecs", "l1_shift_e6", "alert")
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
-    assert(log.length == 2)
+    assert(log.length == 3)
     assert(log(0)._2 == clean.length && log(1)._2 == dirty.length)
     assert(!log(0)._4 && log(0)._3 == 0L)
     assert(log(1)._4 && log(1)._3 >= 1000000L)
+    assert(log(2)._4 && log(2)._3 == 0L, s"dim mismatch must alert despite zero shift: ${log(2)}")
     // streaming/batch parity: the logged row == the batch-side audit
     val batchSide = StreamingEmbedGuard.batchAudit(
       dirty.toSeq.toDF("vec_id", "embedding"), ref)

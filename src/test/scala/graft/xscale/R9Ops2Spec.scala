@@ -152,6 +152,59 @@ class R9Ops2Spec extends SparkSpec {
     assert(out.map(_._5).sum == Dedup.simhashPairs(docs).count())
   }
 
+  test("x121 sampleMod knob: identical to running the full audit on the pre-filtered corpus") {
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_match", "n_cands", "n_true", "prec_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val knob = rows(Dedup.lshFidelity(docs, sampleMod = 2L))
+    val prefiltered = rows(Dedup.lshFidelity(docs.filter(col("doc_id") % 2 === 0)))
+    assert(knob == prefiltered, "sampleMod must be exactly the pre-filter identity")
+    assert(knob.exists(_._1 == -1L), "sampled audit still reports the recall row")
+    // mod 1 is the exact audit
+    assert(rows(Dedup.lshFidelity(docs, sampleMod = 1L)) == rows(Dedup.lshFidelity(docs)))
+  }
+
+  test("x122 maxClusterSize cap: true sizes preserved, capped rows flagged, pair cost bounded") {
+    // a known cluster layout: one 6-clique (identical texts), one pair,
+    // two singletons (no pairs -> not clustered)
+    val docs = ((0 until 6).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta")) ++
+      Seq(
+        (10L, "omicron pi rho sigma tau upsilon phi"),
+        (11L, "omicron pi rho sigma tau upsilon phi"),
+        (20L, "one unique doc of words here entirely"),
+        (21L, "another rather different document text body")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.clusterDiameter(docs)
+      .select("size", "n_clusters", "n_chained", "max_diam", "sum_edges", "sum_pairs", "n_capped")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(exact.map(r => r._1 -> r._2) == Seq(2L -> 1L, 6L -> 1L))
+    assert(exact.forall(_._7 == 0L), "uncapped audit never flags")
+    val capped = Dedup.clusterDiameter(docs, maxClusterSize = 3L)
+      .select("size", "n_clusters", "n_chained", "max_diam", "sum_edges", "sum_pairs", "n_capped")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // TRUE sizes survive capping; only the pair legs are sampled
+    assert(capped.map(r => r._1 -> r._2) == Seq(2L -> 1L, 6L -> 1L))
+    val (below, above) = (capped.find(_._1 == 2L).get, capped.find(_._1 == 6L).get)
+    assert(below == exact.find(_._1 == 2L).get, "below-cap clusters are exact")
+    assert(above._7 == 1L, "the 6-clique is flagged capped")
+    assert(above._6 == 3L * 2L / 2L, "sampled pairs = C(cap,2)")
+    assert(above._4 <= exact.find(_._1 == 6L).get._4, "capped diameter is a lower bound")
+    // the fixture corpus: capping at DiamCap keeps every row's identities
+    val real = graft.query.Registry.table(spark, sf, "documents")
+    val rc = Dedup.clusterDiameter(real, maxClusterSize = Dedup.DiamCap)
+      .select("size", "n_clusters", "n_chained", "max_diam", "sum_edges", "sum_pairs", "n_capped")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val re = Dedup.clusterDiameter(real)
+      .select("size", "n_clusters").as[(Long, Long)].collect().toMap
+    rc.foreach { case (sz, nc, _, _, se, sp, ncap) =>
+      assert(re(sz) == nc, s"true size distribution preserved at $sz")
+      val kept = math.min(sz, Dedup.DiamCap)
+      assert(sp == nc * kept * (kept - 1) / 2 && se <= sp)
+      assert(ncap == (if (sz > Dedup.DiamCap) nc else 0L))
+    }
+  }
+
   test("x123 shard balance: totals conserve, integer identities hold, shards are sane") {
     val docs = graft.query.Registry.table(spark, sf, "documents")
     val out = DataPrep.shardBalance(docs)

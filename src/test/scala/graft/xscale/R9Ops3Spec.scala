@@ -343,6 +343,19 @@ class R9Ops3Spec extends SparkSpec {
         assert(sa <= na && se == (if (na == 0) 0L else 1000000L * sa / na))
         assert(be > 0 && re == 1000000L * se / be)
       }
+    // the shardN knob (file-count-tracking fan-out at scale): more shards
+    // partition the same docs — adjacency slots = n - shards, baseline
+    // unchanged (it is a property of the source mixture, not the layout)
+    val wide = DataPrep.shuffleAudit(real, shardN = 64L)
+      .select("n_docs", "n_adj", "base_e6").as[(Long, Long, Long)].collect()
+    val narrow = DataPrep.shuffleAudit(real, shardN = 4L)
+      .select("n_docs", "n_adj", "base_e6").as[(Long, Long, Long)].collect()
+    assert(wide.length > narrow.length && narrow.length == 4)
+    assert(wide.map(_._1).sum == narrow.map(_._1).sum, "same corpus either way")
+    assert(wide.head._3 == narrow.head._3, "baseline is layout-independent")
+    Seq(wide, narrow).foreach(rows =>
+      assert(rows.map(_._2).sum == rows.map(_._1).sum - rows.length,
+        "adjacency slots = n_docs - shards"))
   }
 
   test("x135 label separation: perfect separation, no separation, fixture BigInt recount") {

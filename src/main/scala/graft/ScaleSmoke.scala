@@ -43,7 +43,7 @@ object ScaleSmoke {
     "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
     "x132_token_diversity", "x133_neardup_leakage", "x134_shuffle_audit",
-    "x135_label_separation", "x136_lsh_buckets",
+    "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are

@@ -1064,6 +1064,24 @@ object TrainingData {
   def lshBucketHealth(emb: DataFrame): DataFrame =
     Similarity.lshBucketHealth(emb)
 
+  /** Centered-LSH bucket health (x137): x136's recommended remediation,
+    * measured — every hyperplane test centered on the corpus mean
+    * ("all-but-the-top" step 1) in exact integer arithmetic, same
+    * columns as x136 for a direct before/after. Adopt centering (switch
+    * the index to [[knnLshCentered]]) when max_share/sum_pairs improve
+    * with ANN recall (x113) held.
+    */
+  def lshBucketHealthCentered(emb: DataFrame): DataFrame =
+    Similarity.lshBucketHealthCentered(emb)
+
+  /** Centered-LSH top-k (x137's production index): knnLsh with
+    * mean-centered bucket bits — hot anisotropic buckets disperse, probe
+    * cost drops, and the cosine rerank is unchanged (it always scored
+    * the raw vectors).
+    */
+  def knnLshCentered(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
+    Similarity.knnLshCentered(emb, isQuery, k)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

@@ -2625,6 +2625,58 @@ object Similarity {
         "on occupancies, never a materialized join."
     ) { (s, dir) =>
       lshBucketHealth(table(s, dir, "embeddings")).orderBy("tbl")
+    },
+
+    // ----- x137: centered-LSH bucket health (x136's remediation, measured) -----
+    Q(
+      "x137_lsh_centered",
+      Some {
+        def planeInt(t: Int, j: Int) = s"([${tablePlanes(t)(j).mkString(", ")}]::BIGINT[])"
+        def dqExpr(t: Int, j: Int) =
+          "list_aggregate(list_transform(generate_series(1, len(q)), " +
+            s"i -> q[i] * ${planeInt(t, j)}[i]), 'sum')"
+        val dqCols = (for (t <- 0 until NL; j <- 0 until NP)
+          yield s"${dqExpr(t, j)} AS dq_${t}_$j").mkString(", ")
+        val sCols = (for (t <- 0 until NL; j <- 0 until NP)
+          yield s"sum(CAST(dq_${t}_$j AS HUGEINT)) AS s_${t}_$j").mkString(", ")
+        val tableCtes = (0 until NL).map { t =>
+          val bits = (0 until NP).map(j =>
+            s"(CASE WHEN tot.n * dq_${t}_$j > tot.s_${t}_$j THEN ${1L << j} ELSE 0 END)")
+            .mkString(" + ")
+          s"SELECT CAST($t AS BIGINT) AS tbl, $bits AS bkt FROM dq, tot"
+        }.mkString(" UNION ALL ")
+        "WITH qe AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+          "x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM embeddings), " +
+          s"dq AS (SELECT vec_id, $dqCols FROM qe), " +
+          s"tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sCols FROM dq), " +
+          s"b AS ($tableCtes), " +
+          "o AS (SELECT tbl, bkt, CAST(count(*) AS BIGINT) AS occ FROM b GROUP BY 1, 2), " +
+          "g AS (SELECT tbl, CAST(sum(occ) AS BIGINT) AS n_vecs, " +
+          "CAST(count(*) AS BIGINT) AS n_buckets, " +
+          "CAST(max(occ) AS BIGINT) AS max_occ, " +
+          "CAST(sum((CAST(occ AS HUGEINT) * (occ - 1)) // 2) AS BIGINT) AS sum_pairs " +
+          "FROM o GROUP BY 1) " +
+          "SELECT tbl, n_vecs, n_buckets, max_occ, " +
+          "CAST((1000000 * max_occ) // n_vecs AS BIGINT) AS max_share_e6, " +
+          "CAST((1000000 * CAST(n_vecs AS HUGEINT)) // n_buckets AS BIGINT) AS mean_occ_e6, " +
+          "sum_pairs FROM g ORDER BY tbl"
+      },
+      "CENTERED-LSH bucket health — x136's own remediation, measured: re-bucket " +
+        "with every hyperplane test centered on the corpus mean (Mu & Viswanath " +
+        "2018 'all-but-the-top', step 1) and report the identical per-table " +
+        "occupancy geometry, so x136 vs x137 is a direct before/after. Anisotropic " +
+        "embeddings sit in one halfspace of most planes — the MEAN offset decides " +
+        "the bit, not relative geometry — and pile into hot buckets; subtracting " +
+        "the mean restores the ±balance each plane assumes while pairwise angles " +
+        "(what the cosine rerank scores) are untouched. Exact integers end-to-end: " +
+        "e6-quantized elements, centered sign test n·⟨q,p⟩ > Σ⟨q,p⟩ on " +
+        "decimal(38)/HUGEINT — the centering state is NL·NP+1 scalars (the " +
+        "quantizer-state pattern), bucketing is per-row arithmetic, the rollup is " +
+        "≤ NL·2^NP rows. knnLshCentered is the production index this calibrates; " +
+        "adopt when max_share/sum_pairs beat x136 with x113 recall held " +
+        "(spec-pinned on the anisotropic fixture)."
+    ) { (s, dir) =>
+      lshBucketHealthCentered(table(s, dir, "embeddings")).orderBy("tbl")
     }
   )
 }

@@ -1,0 +1,91 @@
+package graft.xscale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 operators: x137 centered LSH — the x136→x137 audit→remediation
+  * pair pinned before/after on an anisotropic fixture, with ANN recall
+  * held.
+  */
+class R10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The collapsed-cone fixture: every vector is a shared offset plus a
+    * small deterministic per-vector jitter — x124's anisotropy failure
+    * mode, where the MEAN offset (not relative geometry) decides nearly
+    * every hyperplane bit. Built from the real embeddings so the jitter
+    * structure (and exact brute-force neighborhoods) are non-trivial.
+    */
+  private def anisotropic = graft.query.Registry
+    .table(spark, sf, "embeddings")
+    .select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(0.8 + 0.1 * x AS FLOAT))").as("embedding"),
+      col("label"))
+
+  test("x137 centered LSH: hot anisotropic buckets disperse, raw geometry unchanged") {
+    def health(df: org.apache.spark.sql.DataFrame, centered: Boolean)
+        : Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+      (if (centered) Similarity.lshBucketHealthCentered(df) else Similarity.lshBucketHealth(df))
+        .select("tbl", "n_vecs", "n_buckets", "max_occ", "max_share_e6",
+          "mean_occ_e6", "sum_pairs")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val raw = health(anisotropic, centered = false)
+    val cen = health(anisotropic, centered = true)
+    assert(raw.length == Similarity.NL && cen.length == Similarity.NL)
+    // the disease: on the cone, raw LSH collapses — on average the hottest
+    // bucket holds nearly everything
+    val n = raw.head._2
+    assert(raw.map(_._4).max == n, "some raw table is fully collapsed on the cone")
+    // the cure, in the audit's own currency: strictly fewer candidate
+    // pairs and a smaller hottest-bucket share, summed across tables
+    assert(cen.map(_._7).sum < raw.map(_._7).sum,
+      s"centered pair mass must drop: ${cen.map(_._7).sum} vs ${raw.map(_._7).sum}")
+    assert(cen.map(_._4).max < raw.map(_._4).max,
+      "centered hottest bucket must shrink")
+    assert(cen.map(_._3).sum > raw.map(_._3).sum,
+      "centering occupies more buckets")
+    // on the WELL-BEHAVED fixture, centering must not degrade health:
+    // pair mass stays in the same regime (no collapse introduced)
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val rawReal = health(emb, centered = false)
+    val cenReal = health(emb, centered = true)
+    assert(cenReal.map(_._7).sum <= rawReal.map(_._7).sum,
+      "centering never increases total pair mass on the real fixture")
+  }
+
+  test("x137 recall held: centered index keeps ANN recall while probing fewer candidates") {
+    val sel = col("vec_id") % Similarity.RecallMod === 0
+    def recallOf(approx: org.apache.spark.sql.DataFrame,
+        emb: org.apache.spark.sql.DataFrame): Long = {
+      val exact = Similarity.knnBrute(emb, sel)
+      Similarity.annRecall(approx, exact, emb)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e"))
+        .select(expr("(1000000 * h) div e")).as[Long].head()
+    }
+    val a = anisotropic
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val rCenCone = recallOf(Similarity.knnLshCentered(a, sel), a)
+    val rRawCone = recallOf(Similarity.knnLsh(a, sel), a)
+    val rRawReal = recallOf(Similarity.knnLsh(emb, sel), emb)
+    val rCenReal = recallOf(Similarity.knnLshCentered(emb, sel), emb)
+    // raw LSH on the cone is SECRETLY brute force (hot buckets = probe
+    // everything — measured 1.0 recall at exploded pair mass, the
+    // deceptive ceiling x136 warns about)
+    assert(rRawCone >= 900000L, s"collapsed raw LSH recalls like brute force: $rRawCone")
+    // "recall held" means: the centered index on the PATHOLOGICAL corpus
+    // recalls at the level a HEALTHY corpus gives the raw index (x113's
+    // baseline), while x136-vs-x137 above proves ~NL*2^NP-fold fewer
+    // candidate pairs. Measured: 586666 vs baseline 600000.
+    assert(rCenCone >= rRawReal - 50000L,
+      s"centered-on-cone must hold the healthy baseline: $rCenCone vs $rRawReal")
+    // and on the healthy corpus, centering does not cost recall at all
+    // (measured: 626666 vs 600000 — it helps)
+    assert(rCenReal >= rRawReal,
+      s"centered recall on the real fixture: $rCenReal vs raw $rRawReal")
+  }
+}

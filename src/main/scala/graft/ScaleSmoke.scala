@@ -44,6 +44,7 @@ object ScaleSmoke {
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
     "x132_token_diversity", "x133_neardup_leakage", "x134_shuffle_audit",
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
+    "x88_bm25_zipf",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are
@@ -57,6 +58,23 @@ object ScaleSmoke {
   // posting MASS while keeping the informative tail; the per-SF bench
   // times the capped form (4.4 s warm at sf0.1). Run either form
   // explicitly to reproduce the numbers.
+
+  /** x88 df-cap for the Zipfian fixture: 10% of docs. On Zipf s = 1 with
+    * a 10k vocabulary and ~130-token docs this prunes roughly the 130
+    * highest-df head words — most of the posting mass — while the tail
+    * (the terms that actually discriminate) survives.
+    */
+  val ZipfDfCapPpm = 100000L
+
+  /** x88 zipf query thinning (the x113 rule: eval value saturates, so the
+    * sample mod grows with the corpus). Forced odd so it stays coprime
+    * with the 4-way source id — an even mod would silently drop half the
+    * sources from the eval.
+    */
+  def zipfQMod(factor: Int): Int = {
+    val m = xscale.TextAnalysis.BmQMod * factor
+    if (m % 2 == 0) m + 1 else m
+  }
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
   private def ccMegastar(s: SparkSession) =
@@ -102,6 +120,14 @@ object ScaleSmoke {
           .withColumn("user_id", col("user_id") + lit(i * shift)))
         .reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    }
+    // Zipfian text corpus (the df-dependent fixture, Synthetic.zipfDocs):
+    // 5000 docs x factor — the documents table's own scaling — so x88
+    // numbers here are directly comparable with the flat-fixture
+    // measurements (738 s exact / 513 s capped at 10x, NOTES_r9 §4).
+    if (!new java.io.File(s"$dir/zipf_documents.parquet").exists()) {
+      source.Synthetic.zipfDocs(spark, 5000L * factor)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/zipf_documents.parquet")
     }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
@@ -186,6 +212,25 @@ object ScaleSmoke {
       // registered mod-20 pin) because recall@k's statistical value
       // saturates in the hundreds of queries while brute-force ground
       // truth cost is |sample| x |corpus|.
+      // x88 in its PRODUCTION posture, on the vocabulary shape production
+      // corpora actually have: Zipfian. The 10%-df cap prunes the ~130-
+      // word head (where most posting MASS lives — the |q| x n fan-out
+      // the flat fixture could never shed) while the informative tail
+      // survives and still ranks; the query sample THINS with the corpus
+      // (qMod x factor, the x113 rule — eval value saturates in the
+      // thousands of queries), so total eval cost is dominated by the
+      // linear posting build, not |queries| x df.
+      "x88_bm25_zipf" -> ((s, d) =>
+        xscale.TextAnalysis.bm25Retrieval(
+          s.read.parquet(s"$d/zipf_documents.parquet"),
+          qMod = zipfQMod(factor),
+          maxDfPpm = ZipfDfCapPpm)),
+      // the uncapped twin at the SAME thinned query sample — run
+      // explicitly for the cap's measured value on the Zipf shape
+      "x88_bm25_zipf_exact" -> ((s, d) =>
+        xscale.TextAnalysis.bm25Retrieval(
+          s.read.parquet(s"$d/zipf_documents.parquet"),
+          qMod = zipfQMod(factor))),
       // x121 scale posture: the fidelity estimate runs on a mod-10 doc
       // sample (10^7 | shift, so id-shifted duplicate clusters survive
       // sampling intact) — the quadratic exact-Jaccard truth leg shrinks

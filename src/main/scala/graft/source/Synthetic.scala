@@ -61,6 +61,37 @@ object Synthetic {
       lit("synthetic").as("data_source"),
       lpad(acct.cast("string"), 4, "0").as("account_id")) // %04d, data.go:48
 
+  /** Zipfian synthetic TEXT corpus — the fixture the df-dependent text
+    * operators (x88 BM25, x77 heavy hitters, x119 burstiness) need: the
+    * driver fixture's 31-word flat vocabulary makes every document-
+    * frequency distinction degenerate (every useful df-cap keeps ~76%-df
+    * postings), where real corpora are Zipfian — a tiny head carrying
+    * most token MASS and a long informative tail. Deterministic and
+    * shuffle-free: doc `i`'s token `t` is word
+    * `floor((V+1)^u)` with `u = (h60("z:i:t") mod 1e6) / 1e6` — the
+    * closed-form inverse CDF of P(word = k) ∝ ln(1 + 1/k) ≈ 1/k, i.e.
+    * Zipf s = 1, no rejection loop, no driver RNG state, identical
+    * corpus on every engine/run. Doc length 30..229 tokens hash-varied;
+    * 4 sources. Columns (doc_id, source, text).
+    *
+    * Scale posture: `spark.range` is an embarrassingly parallel source;
+    * every column is per-row expression work inside codegen — generating
+    * an N-doc corpus is one scan-shaped pass, no shuffle, no collect.
+    */
+  def zipfDocs(spark: SparkSession, n: Long, vocab: Int = 10000): DataFrame = {
+    val h = graft.xscale.XHash.h60(_: org.apache.spark.sql.Column)
+    val len = (h(concat(lit("zlen:"), col("id"))) % 200 + 30).cast("int")
+    val word = (t: org.apache.spark.sql.Column) => {
+      val u = (h(concat(lit("z:"), col("id"), lit(":"), t)) % 1000000L)
+        .cast("double") / 1000000.0
+      concat(lit("w"), floor(pow(lit((vocab + 1).toDouble), u)).cast("long").cast("string"))
+    }
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("zipf_"), (col("id") % 4).cast("string")).as("source"),
+      concat_ws(" ", transform(sequence(lit(1), len), word)).as("text"))
+  }
+
   /** CSV sink with the reference's header + %.2f money formatting
     * (K4, synthetic/data.go:108-160).
     */

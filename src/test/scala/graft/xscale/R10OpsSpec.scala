@@ -88,4 +88,55 @@ class R10OpsSpec extends SparkSpec {
     assert(rCenReal >= rRawReal,
       s"centered recall on the real fixture: $rCenReal vs raw $rRawReal")
   }
+
+  test("zipf fixture: head-heavy df, long tail, and a df-cap that earns its keep") {
+    val docs = graft.source.Synthetic.zipfDocs(spark, 2000L).localCheckpoint()
+    // deterministic: regenerating yields the identical corpus
+    val again = graft.source.Synthetic.zipfDocs(spark, 2000L)
+    assert(docs.exceptAll(again).count() == 0 && again.exceptAll(docs).count() == 0)
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(XText.words(col("text")))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val n = 2000L
+    val nTerms = df.count()
+    assert(nTerms > 2000, s"a real vocabulary, not the 31-word flat fixture: $nTerms")
+    // Zipf shape: w1 is near-ubiquitous, the median term is rare
+    val w1 = df.filter(col("tk") === "w1").select("df").as[Long].head()
+    assert(w1 > n * 9 / 10, s"head word df: $w1 / $n")
+    val tailShare = df.filter(col("df") <= n / 100).count() * 100 / nTerms
+    assert(tailShare >= 60, s"long tail: $tailShare% of terms in <= 1% of docs")
+    // the 10% df-cap drops a small head that carries MOST of the
+    // candidate-join work — the property the flat fixture could never
+    // exhibit (any useful cap there kept ~76%-df postings). Query terms
+    // are drawn from running text, i.e. with token frequency, so the
+    // expected per-query fan-out is sum(tf * df); the head's share of
+    // THAT is what the cap removes.
+    val tf = docs
+      .select(explode(XText.words(col("text"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("tf"))
+    val mass = df.join(tf, "tk")
+      .withColumn("is_head",
+        col("df") * 1000000L > graft.ScaleSmoke.ZipfDfCapPpm * n)
+      .groupBy("is_head")
+      .agg(count(lit(1)).as("n_terms"), sum(expr("tf * df")).as("work"))
+      .as[(Boolean, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (headTerms, headWork) = mass(true)
+    val (tailTerms, tailWork) = mass(false)
+    assert(headTerms * 20 < headTerms + tailTerms,
+      s"pruned head is a sliver of the vocab: $headTerms/${headTerms + tailTerms}")
+    assert(headWork * 100 > (headWork + tailWork) * 90,
+      s"yet carries >90% of expected join work: $headWork/${headWork + tailWork}")
+    // and capped retrieval still WORKS: the discriminative tail survives
+    // the cap, so self-retrieval MRR holds >= 90% of the uncapped
+    // baseline (measured 686332 vs 731603 — 6% quality for >90% of the
+    // join work removed; the flat fixture could only offer 0 rows or
+    // full cost)
+    def mrr(cap: Long) = TextAnalysis.bm25Retrieval(docs, maxDfPpm = cap)
+      .agg(expr("sum(sum_rr_e6) div sum(n_queries)")).as[Long].head()
+    val (capped, uncapped) = (mrr(graft.ScaleSmoke.ZipfDfCapPpm), mrr(1000000L))
+    assert(uncapped > 600000L, s"zipf self-retrieval is non-degenerate: $uncapped")
+    assert(capped * 10 >= uncapped * 9,
+      s"capped holds >=90% of uncapped MRR: $capped vs $uncapped")
+  }
 }

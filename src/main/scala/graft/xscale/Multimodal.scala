@@ -30,11 +30,16 @@ final case class MediaFeatures(
 /** Multimodal columns: image/audio/video treated as opaque `binary` columns
   * with typed metadata; decode / feature-extract runs batched per partition.
   *
-  * The decode step itself is STUBBED (no codec libraries in this container):
-  * [[Multimodal.decodeStub]] derives deterministic fake dimensions from the
-  * payload's md5, so the Spark-side plumbing — schema, partition batching,
-  * feature extraction shape — is real and testable, and the oracle can
-  * reproduce the values.
+  * Three decode tiers, broadest reach first:
+  *  - [[Multimodal.decodeImage]] — REAL pixel decode via pure-JVM
+  *    javax.imageio (PNG/GIF/BMP/JPEG, no native libs), opt-in through
+  *    [[Multimodal.PixelDecodeEnv]] / the `pixelDecode` flag;
+  *  - [[Multimodal.parseHeader]] — real container-header parses (byte
+  *    layout only, no codec), always on;
+  *  - [[Multimodal.decodeStub]] — md5-derived deterministic fake
+  *    dimensions for opaque payloads, so the oracle can reproduce the
+  *    values and the plumbing (schema, partition batching, feature
+  *    extraction shape) stays fully exercised on codec-less fixtures.
   */
 object Multimodal {
 
@@ -214,6 +219,99 @@ object Multimodal {
       val (w, h) = decodeStub(payload)
       ("unknown", w, h)
     }
+
+  /** Env flag enabling REAL pixel decode in [[extractPixelFeatures]]
+    * (set to "1"). Opt-in so the oracle-pinned stub/header path stays the
+    * default and bit-stable.
+    */
+  val PixelDecodeEnv = "SPARK_GRAFT_PIXEL_DECODE"
+
+  /** Pixel-level features: true dimensions plus the mean ITU-R BT.601
+    * luma (e3: 0..255000) over every pixel, with `decoded` recording
+    * whether the REAL decoder ran or the row fell back to the
+    * header/stub path.
+    */
+  final case class PixelFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      mean_luma_e3: Long,
+      decoded: Boolean)
+
+  /** REAL image decode — pure-JVM javax.imageio (PNG/GIF/BMP/JPEG ship in
+    * the JDK, no native codec libs needed): reads the pixels and returns
+    * (format, width, height, mean_luma_e3), the BT.601 luma
+    * (299·R + 587·G + 114·B per pixel, exact integer mean). None when no
+    * installed reader recognizes the bytes or the payload is corrupt —
+    * decode failures on untrusted corpus bytes are data, not exceptions.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val fmt = r.getFormatName.toLowerCase
+          val img = r.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w <= 0 || h <= 0) None
+          else {
+            // bulk raster read, one row at a time: bounded memory even for
+            // large images, no per-pixel getRGB call overhead
+            val row = new Array[Int](w)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some((fmt, w.toLong, h.toLong, sum / (w.toLong * h)))
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** Batched distributed pixel decode — the real thing, flag-guarded:
+    * with `pixelDecode` on (default: the [[PixelDecodeEnv]] env), each
+    * payload goes through [[decodeImage]]; rows no installed reader
+    * accepts — and every row when the flag is off — fall back to the
+    * header/stub path with `decoded = false`, so a mixed or codec-less
+    * corpus degrades visibly instead of silently. Same mapPartitions
+    * batch shape as [[extractFeatures]]; per-row cost is the decode
+    * itself (CPU-bound scan work, linear in executors — the 100 TB
+    * posture of every decode step here).
+    */
+  def extractPixelFeatures(
+      media: Dataset[MediaRecord],
+      pixelDecode: Boolean = sys.env.get(PixelDecodeEnv).contains("1")): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { m =>
+        val nb = m.payload.length.toLong
+        (if (pixelDecode) decodeImage(m.payload) else None) match {
+          case Some((fmt, w, h, luma)) =>
+            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, luma, decoded = true)
+          case None =>
+            val (fmt, w, h) = decode(m.payload)
+            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, 0L, decoded = false)
+        }
+      })
+    }
+  }
 
   /** Distributed batched decode: the real plumbing. Batches amortize
     * per-batch decoder setup exactly like `mapInPandas` batches do in

@@ -164,6 +164,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3).format === "unknown" && f(3).width === sw && f(3).height === sh)
   }
 
+  test("extractPixelFeatures: real javax.imageio decode behind the flag, stub fallback visible") {
+    // render real images in-memory with the SAME pure-JVM stack the
+    // decoder uses, so the pins are exact: a solid-color image's BT.601
+    // mean luma is 299R + 587G + 114B per definition
+    def img(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, out), s"JDK must ship a $fmt writer")
+      out.toByteArray
+    }
+    val white = img(8, 5, 0xffffff, "png") // luma 255000 exactly
+    val red = img(3, 3, 0xff0000, "bmp") // luma 299 * 255 = 76245
+    val gray = img(4, 4, 0x808080, "gif") // luma 128000 exactly
+    val ds = Seq(
+      MediaRecord(0L, "image", white),
+      MediaRecord(1L, "image", red),
+      MediaRecord(2L, "image", gray),
+      MediaRecord(3L, "image", "not an image at all".getBytes)).toDS()
+    val f = Multimodal.extractPixelFeatures(ds, pixelDecode = true).collect().sortBy(_.doc_id)
+    assert(f(0).decoded && f(0).format == "png" && (f(0).width, f(0).height) == ((8L, 5L)))
+    assert(f(0).mean_luma_e3 == 255000L, s"white: ${f(0)}")
+    assert(f(1).decoded && f(1).format == "bmp" && f(1).mean_luma_e3 == 299L * 255)
+    assert(f(2).decoded && f(2).format == "gif")
+    // GIF is palettized — the writer may quantize 0x808080, so pin a band
+    assert(math.abs(f(2).mean_luma_e3 - 128000L) < 8000L, s"gray gif: ${f(2)}")
+    // undecodable bytes fall back to the stub path, visibly
+    val (sw, sh) = Multimodal.decodeStub("not an image at all".getBytes)
+    assert(!f(3).decoded && f(3).format == "unknown" && f(3).mean_luma_e3 == 0L)
+    assert((f(3).width, f(3).height) == ((sw, sh)))
+    // flag off: NO row real-decodes — byte-identical to the stub/header
+    // path, which is what keeps the oracle-pinned default stable
+    val off = Multimodal.extractPixelFeatures(ds, pixelDecode = false).collect()
+    assert(off.forall(r => !r.decoded && r.mean_luma_e3 == 0L))
+  }
+
   test("resize: payload transformed per-record, schema preserved") {
     val r = Multimodal.resize(media, 64, 64).collect().sortBy(_.doc_id)
     assert(r.length === 4)

@@ -30,11 +30,11 @@ object ScaleSmoke {
     "x89_decontam_agreement", "x90_filter_ablation",
     "x91_rag_index", "x91_rag_auto", "x92_rag_auto",
     "x94_survivor_regret", "x95_keepbest_gain",
-    "x96_boilerplate", "x97_split_drift", "x98_hubness_ann",
+    "x96_boilerplate", "x97_split_drift", "x98_hubness_ann_auto",
     "x99_dedup_cascade", "x100_filter_sweep", "x101_curriculum_auto",
     "x102_oov_rate", "x103_winnow", "x104_quantiles_auto",
     "x105_cross_neardup", "x106_norm_audit", "x107_phase_packing_auto",
-    "x108_ngram_coverage", "x109_lexical_profile", "x110_label_noise",
+    "x108_ngram_coverage", "x109_lexical_profile", "x110_label_noise_auto",
     "x111_charset_audit", "x112_key_skew", "x113_ann_recall_auto",
     "x114_len_quality_corr", "x115_source_divergence", "x116_collocations",
     "x117_template_slots", "x118_dim_stats", "x119_burstiness",
@@ -231,6 +231,24 @@ object ScaleSmoke {
         xscale.TextAnalysis.bm25Retrieval(
           s.read.parquet(s"$d/zipf_documents.parquet"),
           qMod = zipfQMod(factor))),
+      // The x07-graph heavies in their 100 TB posture: the LSH plane
+      // count grows with the corpus (autoNp — the LSH analog of auto-nc)
+      // so mean bucket occupancy, and with it per-table candidate-pair
+      // mass, stays ~linear instead of n²/2^NP. The pinned-NP twins keep
+      // the oracle literals; these are the forms that scale. True clones
+      // still share every bucket (no hash can split identical vectors) —
+      // the clone fixture's residual cost is its clique mass, priced by
+      // x136's sum_pairs arithmetic.
+      "x98_hubness_ann_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        xscale.Similarity.hubnessFromKnn(
+          xscale.Similarity.knnLshAuto(emb, lit(true)), emb)
+      }),
+      "x110_label_noise_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        xscale.Similarity.knnLabelAgreement(
+          xscale.Similarity.knnLshAuto(emb, lit(true)), emb)
+      }),
       // x121 scale posture: the fidelity estimate runs on a mod-10 doc
       // sample (10^7 | shift, so id-shifted duplicate clusters survive
       // sampling intact) — the quadratic exact-Jaccard truth leg shrinks

@@ -88,6 +88,62 @@ object Similarity {
   /** Table-0 bucket (single-table uses / tests). */
   def bucket(v: Column): Column = bucketT(v, 0)
 
+  /** Plane (t, j) for ANY j — the same deterministic seed formula as
+    * [[tablePlanes]] (with which it agrees for j < NP), so the
+    * occupancy-proportional variants below extend the pinned tables
+    * instead of replacing them.
+    */
+  def planeFor(t: Int, j: Int): Seq[Long] =
+    if (j < NP) tablePlanes(t)(j)
+    else (0 until 64).map(d => XHash.h60(s"plane${t}_${j}_$d") % 2001 - 1000)
+
+  /** Bucket id in table t with `np` hyperplanes (2^np buckets) — the
+    * generalized [[bucketT]]; identical to it at np = NP.
+    */
+  def bucketTN(v: Column, t: Int, np: Int): Column =
+    (0 until np).map { j =>
+      val plane = array(planeFor(t, j).map(x => lit(x.toDouble)): _*)
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Occupancy-proportional plane count: the smallest np with
+    * 2^np ≥ n / targetOcc, clamped to [NP, 24]. The LSH analog of the
+    * x30 auto-nc rule: with FIXED np, within-bucket pair mass is
+    * Σ occ²/2 ≈ n²/2^(np+1) per table — quadratic in the corpus no
+    * matter how well-spread the buckets are, which is exactly what
+    * x136's sum_pairs measures. Holding MEAN occupancy at `targetOcc`
+    * (buckets ∝ corpus) makes per-table pair mass ≈ n·targetOcc/2 —
+    * linear — at the cost of log₂(n/targetOcc) plane dots per row,
+    * still pure per-row scan work.
+    */
+  def autoNp(n: Long, targetOcc: Long = TargetClusterSize): Int = {
+    var np = NP
+    while (np < 24 && (1L << np) * targetOcc < n) np += 1
+    np
+  }
+
+  /** knnLsh in its 100 TB posture: plane count grown with the corpus so
+    * mean bucket occupancy stays ≈ targetOcc ([[autoNp]]). Same ANY-table
+    * collision + exact-cosine-rerank contract as [[knnLsh]] (which pins
+    * np = NP for the oracle twin's literals); identical results at small
+    * n where autoNp clamps to NP. True duplicates still share every
+    * bucket at any np — no hash can spread identical vectors — so
+    * dup-dense corpora pay their clique mass here and the dedup (x30)
+    * runs FIRST in a production pipeline.
+    */
+  def knnLshAuto(
+      emb: DataFrame,
+      isQuery: Column,
+      k: Int = 3,
+      targetOcc: Long = TargetClusterSize): DataFrame = {
+    val np = autoNp(emb.count(), targetOcc)
+    val e = withNorm(emb)
+    val side = e
+      .withColumn("bks", array((0 until NL).map(t => bucketTN(col("v"), t, np)): _*))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    rankBucketCandidates(e, side, isQuery, k)
+  }
+
   private def planeSql(t: Int, j: Int): String =
     s"([${tablePlanes(t)(j).mkString(", ")}]::DOUBLE[])"
 

@@ -89,6 +89,25 @@ class R10OpsSpec extends SparkSpec {
       s"centered recall on the real fixture: $rCenReal vs raw $rRawReal")
   }
 
+  test("autoNp: occupancy-proportional plane count, clamped; auto index == pinned at small n") {
+    // the formula: smallest np with 2^np * targetOcc >= n, clamped [NP, 24]
+    assert(Similarity.autoNp(500) == Similarity.NP, "small corpora clamp to the pinned NP")
+    assert(Similarity.autoNp(64L << Similarity.NP) == Similarity.NP)
+    assert(Similarity.autoNp(100000, 64) == 11, "2^11*64 = 131072 >= 100000")
+    assert(Similarity.autoNp(500000, 64) == 13)
+    assert(Similarity.autoNp(Long.MaxValue / 4, 64) == 24, "upper clamp")
+    // planes extend the pinned tables, never replace them
+    assert(Similarity.planeFor(0, Similarity.NP - 1) == Similarity.tablePlanes(0)(Similarity.NP - 1))
+    assert(Similarity.planeFor(0, 20).length == 64)
+    // at fixture scale autoNp clamps to NP, so the auto index must return
+    // EXACTLY the pinned index's graph (same planes, same rerank)
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val sel = col("vec_id") % Similarity.RecallMod === 0
+    val pinned = Similarity.knnLsh(emb, sel).collect().toSet
+    val auto = Similarity.knnLshAuto(emb, sel).collect().toSet
+    assert(auto == pinned, "clamped auto == pinned, row for row")
+  }
+
   test("zipf fixture: head-heavy df, long tail, and a df-cap that earns its keep") {
     val docs = graft.source.Synthetic.zipfDocs(spark, 2000L).localCheckpoint()
     // deterministic: regenerating yields the identical corpus

@@ -44,7 +44,7 @@ object ScaleSmoke {
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
     "x132_token_diversity", "x133_neardup_leakage", "x134_shuffle_audit",
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
-    "x88_bm25_zipf",
+    "x88_bm25_zipf", "x138_imi_auto",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form is in the default battery: this fixture's vocabulary
   // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are
@@ -239,6 +239,19 @@ object ScaleSmoke {
       // still share every bucket (no hash can split identical vectors) —
       // the clone fixture's residual cost is its clique mass, priced by
       // x136's sum_pairs arithmetic.
+      // x138 in its production posture: per-half codebooks sized √(n/64)
+      // so the product grid tracks the corpus (cells ∝ n, mean occupancy
+      // ~TargetClusterSize) while per-vector assignment cost grows only
+      // as √cells — the measured remediation of x50's flat-assignment
+      // named cap (flat at the same cell count would be O(n²/64)).
+      "x138_imi_auto" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        xscale.Similarity.imiCells(
+          emb,
+          nc = xscale.Similarity.imiAutoNc(emb.count()),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))
+      }),
       "x98_hubness_ann_auto" -> ((s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         xscale.Similarity.hubnessFromKnn(

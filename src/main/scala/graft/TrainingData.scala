@@ -1082,6 +1082,21 @@ object TrainingData {
   def knnLshCentered(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame =
     Similarity.knnLshCentered(emb, isQuery, k)
 
+  /** IMI product-cell quantization (x138): two half-space codebooks give
+    * nc² cells at 2·nc assignment evals per vector — the remediation for
+    * the flat coarse quantizer's O(n·nc) assignment at corpus-
+    * proportional cell counts. [[Similarity.imiAssign]] returns the
+    * per-vector cells; this returns the cell-health audit (x136's
+    * currency) plus the flat-vs-IMI assignment-cost arithmetic. Size the
+    * per-half codebooks with [[Similarity.imiAutoNc]] at scale.
+    */
+  def imiCells(
+      emb: DataFrame,
+      nc: Int = Similarity.NC,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.imiCells(emb, nc, trainSample, checkpointDir)
+
   /** Per-doc quality scores (x09's scoring expression): (doc_id, n_tok,
     * score_e4) — the shared input of the filter sweep (x100), curriculum
     * (x101), keep-best dedup (x95) and the streaming quality gate. Input

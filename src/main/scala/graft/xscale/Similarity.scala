@@ -392,6 +392,77 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** x138 machinery: IMI (inverted multi-index, Babenko & Lempitsky
+    * CVPR'12) product-cell assignment — two INDEPENDENT fixed-point
+    * k-means codebooks on the two vector halves; a vector's cell is the
+    * PAIR (cid₀, cid₁), flattened as cid₀·nc + cid₁. nc² cells at
+    * assignment cost 2·nc distance evals per vector — this is the
+    * remediation for the flat coarse quantizer's O(n·nc) assignment
+    * (with auto-nc ∝ corpus, flat assignment is O(n²/64); IMI reaches
+    * the SAME cell count at O(n·√cells)). Returns (vec_id, cell).
+    */
+  def imiAssign(
+      emb: DataFrame,
+      nc: Int = NC,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
+    val asg = pqTrain(vi, 2, nc, trainSample, checkpointDir).map { case (s, cents) =>
+      quantizerRanked(pqSlice(vi, s, 32), cents)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), lit(s.toLong).as("half"), col("cid"))
+    }.reduce(_ unionByName _)
+    asg.groupBy("vec_id").agg(
+        sum(when(col("half") === 0L, col("cid")).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1L, col("cid")).otherwise(0L)).as("c1"))
+      .select(col("vec_id"), (col("c0") * nc + col("c1")).as("cell"))
+  }
+
+  /** x138 core: IMI CELL-HEALTH audit — the occupancy geometry of the
+    * product cells in x136's currency (occupied cells, hottest cell,
+    * within-cell pair mass = the self-join cost any cell-bucketed
+    * consumer pays), PLUS the assignment-cost arithmetic the op exists
+    * to prove: `flat_evals` = n·nc² (what a flat quantizer with the same
+    * cell count pays) vs `imi_evals` = n·2nc — the nc/2-fold saving that
+    * turns the x50 auto-nc assignment from O(n²/64) into O(n^1.5)-ish at
+    * corpus-proportional cells. The known IMI trade (cells are a product
+    * grid, so correlated halves leave many cells empty and occupancy
+    * skews vs true k-means — Babenko & Lempitsky §4) is exactly what
+    * n_cells/max_share measure: read them before switching the index.
+    * Columns (n_vecs, n_cells, max_occ, max_share_e6, sum_pairs,
+    * flat_evals, imi_evals), one row.
+    *
+    * Scale posture (100 TB): training is 2 sampled half-space k-means
+    * chains (driver-resident codebooks, the x13 rule); assignment is two
+    * broadcast argmins inside the scan; the audit is one count to
+    * ≤ nc² rows. With `nc = ceil(√(n/TargetClusterSize))` (the auto
+    * rule), cells ∝ corpus and per-vector cost grows only as √cells.
+    */
+  def imiCells(
+      emb: DataFrame,
+      nc: Int = NC,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    imiAssign(emb, nc, trainSample, checkpointDir)
+      .groupBy("cell").agg(count(lit(1)).as("occ"))
+      .agg(
+        sum("occ").as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        max("occ").as("max_occ"),
+        sum(expr("(cast(occ as decimal(38,0)) * (occ - 1)) div 2")).as("sum_pairs"))
+      .withColumn("max_share_e6", expr("(1000000 * max_occ) div n_vecs"))
+      .withColumn("flat_evals", expr(s"n_vecs * ${nc.toLong * nc}"))
+      .withColumn("imi_evals", expr(s"n_vecs * ${2L * nc}"))
+      .select("n_vecs", "n_cells", "max_occ", "max_share_e6", "sum_pairs",
+        "flat_evals", "imi_evals")
+
+  /** The auto-nc rule for IMI: per-half codebook size √(n/targetOcc), so
+    * the product grid holds ~n/targetOcc cells (mean occupancy targetOcc)
+    * while assignment cost per vector grows only as the square root.
+    */
+  def imiAutoNc(n: Long, targetOcc: Long = TargetClusterSize): Int =
+    math.max(NC, math.ceil(math.sqrt(n.toDouble / targetOcc)).toInt)
+
   /** x59 core: ADC (asymmetric distance computation) top-k over PQ codes —
     * the search half of IVFPQ. Per query, a distance TABLE of integer
     * squared-L2 from each query subvector to every codebook centroid
@@ -2733,6 +2804,46 @@ object Similarity {
         "(spec-pinned on the anisotropic fixture)."
     ) { (s, dir) =>
       lshBucketHealthCentered(table(s, dir, "embeddings")).orderBy("tbl")
+    },
+
+    // ----- x138: IMI product-cell quantizer (the flat-assignment remediation) -----
+    Q(
+      "x138_imi_cells",
+      Some {
+        s"WITH $normCtes, " +
+          s"vi0 AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) " +
+          "AS vfull FROM n), " +
+          s"${pqKmeansSql(0, NC, 32)}, ${pqKmeansSql(1, NC, 32)}, " +
+          "a0 AS (SELECT vec_id, cid FROM r0_m0 WHERE rn = 1), " +
+          "a1 AS (SELECT vec_id, cid FROM r0_m1 WHERE rn = 1), " +
+          s"cells AS (SELECT a0.vec_id, a0.cid * $NC + a1.cid AS cell " +
+          "FROM a0 JOIN a1 USING (vec_id)), " +
+          "o AS (SELECT cell, CAST(count(*) AS BIGINT) AS occ FROM cells GROUP BY 1) " +
+          "SELECT CAST(sum(occ) AS BIGINT) AS n_vecs, " +
+          "CAST(count(*) AS BIGINT) AS n_cells, " +
+          "CAST(max(occ) AS BIGINT) AS max_occ, " +
+          "CAST((1000000 * max(occ)) // sum(occ) AS BIGINT) AS max_share_e6, " +
+          "CAST(sum((CAST(occ AS HUGEINT) * (occ - 1)) // 2) AS BIGINT) AS sum_pairs, " +
+          s"CAST(sum(occ) * ${NC.toLong * NC} AS BIGINT) AS flat_evals, " +
+          s"CAST(sum(occ) * ${2L * NC} AS BIGINT) AS imi_evals " +
+          "FROM o"
+      },
+      "IMI product-cell coarse quantization (Babenko & Lempitsky 2012, the inverted " +
+        "multi-index): two INDEPENDENT fixed-point k-means codebooks on the vector " +
+        "halves; a cell is the (cid0, cid1) pair — nc² cells at 2·nc assignment " +
+        "evals per vector. This is the REMEDIATION for the flat coarse quantizer's " +
+        "O(n·nc) assignment: with corpus-proportional cells (the auto-nc rule) flat " +
+        "assignment is O(n²/64) — the named cap on x50's 100x posture — while IMI " +
+        "reaches the same cell count at O(n·√cells). Output is the cell-health " +
+        "audit in x136's currency (occupied cells, hottest cell, within-cell pair " +
+        "mass) plus the flat_evals/imi_evals arithmetic the op exists to prove; " +
+        "n_cells/max_share also expose IMI's known product-grid trade (correlated " +
+        "halves leave cells empty and skew occupancy — read before switching). " +
+        "Training is 2 sampled half-space chains (driver-resident codebooks), " +
+        "assignment is two broadcast argmins inside the scan, the audit is one " +
+        "count to ≤ nc² rows."
+    ) { (s, dir) =>
+      imiCells(table(s, dir, "embeddings"))
     }
   )
 }

@@ -108,6 +108,36 @@ class R10OpsSpec extends SparkSpec {
     assert(auto == pinned, "clamped auto == pinned, row for row")
   }
 
+  test("x138 IMI cells: product decomposition exact, audit identities, cost arithmetic") {
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    val n = emb.count()
+    val cells = Similarity.imiAssign(emb).localCheckpoint()
+    assert(cells.count() == n, "every vector gets exactly one cell")
+    assert(cells.select("vec_id").distinct().count() == n)
+    // cells decompose as c0 * NC + c1 with both halves in range
+    val nc = Similarity.NC.toLong
+    val bad = cells.filter(
+      col("cell") < 0 || col("cell") >= nc * nc).count()
+    assert(bad == 0, "cells live on the product grid")
+    val audit = Similarity.imiCells(emb)
+      .select("n_vecs", "n_cells", "max_occ", "max_share_e6", "sum_pairs",
+        "flat_evals", "imi_evals")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(audit._1 == n && audit._2 <= nc * nc && audit._2 > 0)
+    assert(audit._4 == 1000000L * audit._3 / n)
+    // pair mass recount against a materialized within-cell self-join
+    val realPairs = cells.as("x").join(cells.as("y"),
+      expr("x.cell = y.cell AND x.vec_id < y.vec_id")).count()
+    assert(audit._5 == realPairs, "sum_pairs == materialized self-join size")
+    // the arithmetic the op exists to prove: same cell count, nc/2-fold
+    // fewer assignment evals than a flat quantizer
+    assert(audit._6 == n * nc * nc && audit._7 == n * 2 * nc)
+    assert(audit._6 / audit._7 == nc / 2)
+    // auto rule pins
+    assert(Similarity.imiAutoNc(500) == Similarity.NC, "small corpora clamp to NC")
+    assert(Similarity.imiAutoNc(500000, 64) == 89, "ceil(sqrt(500000/64))")
+  }
+
   test("zipf fixture: head-heavy df, long tail, and a df-cap that earns its keep") {
     val docs = graft.source.Synthetic.zipfDocs(spark, 2000L).localCheckpoint()
     // deterministic: regenerating yields the identical corpus

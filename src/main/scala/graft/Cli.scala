@@ -112,7 +112,9 @@ object Cli {
     // dedup×filter stage overlap (x127), simhash threshold sweep (x129),
     // token-length profiles (x130) — plus, when an embeddings table
     // exists, the embedding QA block: norm audit (x106), per-dim stats
-    // (x118), anisotropy (x124) — each written to <outDir>/<name>.parquet
+    // (x118), anisotropy (x124), LSH bucket health raw + centered
+    // (x136/x137 — the probe-cost before/after), IMI cell health (x138)
+    // — each written to <outDir>/<name>.parquet
     // plus one stats JSON line. The bundle reads each input ONCE per
     // audit and every audit is the registered oracle-verified query, so
     // the report numbers are exactly the Verify-gated ones.
@@ -127,7 +129,8 @@ object Cli {
         "x126_dedup_length_bias", "x127_stage_overlap",
         "x129_threshold_sweep", "x130_token_profile") ++
         (if (new java.io.File(s"$dir/embeddings.parquet").exists())
-          Seq("x106_norm_audit", "x118_dim_stats", "x124_anisotropy")
+          Seq("x106_norm_audit", "x118_dim_stats", "x124_anisotropy",
+            "x136_lsh_buckets", "x137_lsh_centered", "x138_imi_cells")
         else Nil)
       // per-audit fault isolation (the Verify _failures posture): one
       // schema-drifted input must not abort the battery with partial

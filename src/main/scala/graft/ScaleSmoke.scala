@@ -21,7 +21,7 @@ object ScaleSmoke {
     "x14_dedup_clusters", "x07_knn_lsh", "x21_pack_sequences",
     "x23_contam_ngram", "x25_containment", "x27_corpus_build",
     "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
-    "x34_substring_coverage", "x50_joint_auto", "x51_dsir_select",
+    "x34_substring_coverage", "x50_joint_auto", "x50_joint_imi", "x51_dsir_select",
     "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
     "x54_proto_auto", "x57_pipeline_full", "x62_bpe_train",
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
@@ -144,6 +144,16 @@ object ScaleSmoke {
       // assignment + every CC iteration
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(
+          s.read.parquet(s"$d/documents.parquet"),
+          s.read.parquet(s"$d/embeddings.parquet"),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))),
+      // x50 with the embedding leg on x138's IMI product cells: the same
+      // cell count as auto-nc at O(n·√cells) assignment instead of
+      // O(n·nc) — the form whose quantizer survives 100× (measured; the
+      // flat auto form's assignment is the named quadratic cap there)
+      "x50_joint_imi" -> ((s, d) =>
+        TrainingData.jointDedupImi(
           s.read.parquet(s"$d/documents.parquet"),
           s.read.parquet(s"$d/embeddings.parquet"),
           trainSample = 0.1,

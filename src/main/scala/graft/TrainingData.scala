@@ -353,6 +353,24 @@ object TrainingData {
         trainSample = trainSample, checkpointDir = checkpointDir),
       checkpointDir = checkpointDir)
 
+  /** [[jointDedup]] with the embedding leg's candidate cells from the
+    * x138 IMI product quantizer instead of flat k-means: the coarse
+    * assignment drops from O(n·nc) (nc ∝ corpus under auto-nc — the
+    * named 100× cap) to O(n·2√cells), with x138's cell-health audit
+    * pricing the product-grid recall trade. The text leg and the CC
+    * survivor selection are unchanged.
+    */
+  def jointDedupImi(docs: DataFrame, emb: DataFrame,
+      hamming: Int = 8, tau: Double = 0.45,
+      ncHalf: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.dedupByPairs(
+      docs,
+      Dedup.jointPairsImi(docs, emb, hamming, tau, ncHalf,
+        trainSample = trainSample, checkpointDir = checkpointDir),
+      checkpointDir = checkpointDir)
+
   /** Pack hygiene audit (x66): per (shard, pack) doc count, source
     * diversity and duplicate EXCESS (norm-key collisions inside the same
     * context window — wasted compute + memorization risk).

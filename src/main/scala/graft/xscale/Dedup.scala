@@ -196,6 +196,57 @@ object Dedup {
       .select(col("va").as("a"), col("vb").as("b"))
   }
 
+  /** x50's embedding leg on IMI PRODUCT CELLS (x138) — the measured
+    * closing of the flat-assignment cap: the same within-cell cosine
+    * pairing as [[embClusterPairs]], but the cell comes from two
+    * half-space codebooks of `ncHalf` centroids each (ncHalf² cells at
+    * n·2·ncHalf assignment evals, vs the flat quantizer's n·nc evals for
+    * nc cells). With ncHalf = [[Similarity.imiAutoNc]] (√(n/64)), cells
+    * track the corpus while per-vector assignment cost grows only as
+    * √cells — O(n^1.5)-ish total instead of the flat auto-nc's O(n²/64).
+    * Recall trade vs flat k-means cells: a near-dup pair is a candidate
+    * iff it agrees in BOTH half-space cells (product-grid split risk —
+    * x138's n_cells/max_share audit prices it; identical vectors always
+    * agree). Columns (a, b) = vec_ids.
+    */
+  private[xscale] def embImiPairs(
+      emb: DataFrame,
+      tau: Double,
+      ncHalf: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ncEff =
+      if (ncHalf > 0) ncHalf
+      else Similarity.imiAutoNc(emb.count())
+    val cells = Similarity.imiAssign(emb, ncEff, trainSample, checkpointDir)
+    val asg = DedupClusters.ckpt( // feeds both self-join sides (the x30 rule)
+      cells.join(Similarity.withNorm(emb), "vec_id"), checkpointDir)
+    val ea = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val eb = asg.select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    ea.join(eb, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(graftnative.api.dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= tau)
+      .select(col("va").as("a"), col("vb").as("b"))
+  }
+
+  /** [[jointPairs]] with the embedding leg on IMI product cells — the
+    * 100 TB posture where even the coarse quantizer's assignment must not
+    * scan nc ∝ corpus centroids per vector. Text leg unchanged.
+    */
+  def jointPairsImi(
+      docs: DataFrame,
+      emb: DataFrame,
+      hamming: Int = 8,
+      tau: Double = 0.45,
+      ncHalf: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val tp = simhashPairs(docs)
+      .filter(col("hamming") <= hamming)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    tp.unionByName(embImiPairs(emb, tau, ncHalf, trainSample, checkpointDir)).distinct()
+  }
+
   /** x47 core: per unordered source pair, the number of exact-dup groups
     * (normalized-text key) containing docs of both sources. Columns
     * (source_a, source_b, n_groups).

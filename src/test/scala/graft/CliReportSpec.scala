@@ -17,7 +17,8 @@ class CliReportSpec extends SparkSpec {
       "x117_template_slots", "x119_burstiness", "x120_markup_residue",
       "x123_shard_balance", "x126_dedup_length_bias", "x127_stage_overlap",
       "x129_threshold_sweep", "x130_token_profile",
-      "x106_norm_audit", "x118_dim_stats", "x124_anisotropy")
+      "x106_norm_audit", "x118_dim_stats", "x124_anisotropy",
+      "x136_lsh_buckets", "x137_lsh_centered", "x138_imi_cells")
     expected.foreach { name =>
       val df = spark.read.parquet(s"$out/$name.parquet")
       assert(df.count() > 0, s"$name is empty")

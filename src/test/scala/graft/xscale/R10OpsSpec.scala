@@ -138,6 +138,41 @@ class R10OpsSpec extends SparkSpec {
     assert(Similarity.imiAutoNc(500000, 64) == 89, "ceil(sqrt(500000/64))")
   }
 
+  test("x50-IMI: every IMI-leg pair is a true cosine pair; identical vectors always pair") {
+    val emb = graft.query.Registry.table(spark, sf, "embeddings")
+    // (a) soundness: the IMI candidate structure can only SHRINK the pair
+    // set vs all-pairs — every returned pair must truly clear tau
+    val pairs = Dedup.embImiPairs(emb, tau = 0.45, ncHalf = Similarity.NC)
+      .as[(Long, Long)].collect()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
+    }
+    pairs.foreach { case (a, b) =>
+      assert(cos(a, b) >= 0.45 - 1e-9, s"pair ($a,$b) cos=${cos(a, b)}")
+    }
+    // (b) identical vectors agree in BOTH half-space cells at any nc, so
+    // a planted exact twin is always a candidate and always pairs
+    val base = emb.limit(0).unionByName(
+      emb.filter(col("vec_id") === 0).select(
+        lit(900001L).as("vec_id"), col("embedding"), col("label"))
+    ).unionByName(emb)
+    val planted = Dedup.embImiPairs(base, tau = 0.45, ncHalf = Similarity.NC)
+      .filter((col("a") === 0L && col("b") === 900001L) ||
+        (col("a") === 900001L && col("b") === 0L)).count()
+    assert(planted == 1L, "exact twin must land in the same product cell and pair")
+    // (c) the joint form still dedups: survivors + dropped == corpus
+    val docs = graft.query.Registry.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val jd = graft.TrainingData.jointDedupImi(docs, emb)
+    val n = docs.count()
+    assert(jd.count() <= n && jd.count() > 0)
+    assert(jd.select("doc_id").distinct().count() == jd.count())
+  }
+
   test("zipf fixture: head-heavy df, long tail, and a df-cap that earns its keep") {
     val docs = graft.source.Synthetic.zipfDocs(spark, 2000L).localCheckpoint()
     // deterministic: regenerating yields the identical corpus

@@ -518,7 +518,7 @@ object Similarity {
     * `s`·`sub`, suffix `_m{s}`): mirrors [[kmeansRankedSql]] with the slice
     * pushed into the `vi` CTE. Needs a `vi0 (vec_id, vfull)` CTE in scope.
     */
-  private def pqKmeansSql(s: Int, nc: Int, sub: Int): String = {
+  private[xscale] def pqKmeansSql(s: Int, nc: Int, sub: Int): String = {
     val off = s * sub
     val p = s"_m$s"
     def iter(k: Int): String = {

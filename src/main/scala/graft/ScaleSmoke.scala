@@ -46,18 +46,19 @@ object ScaleSmoke {
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
     "x88_bm25_zipf", "x138_imi_auto",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
-  // NEITHER x88 form is in the default battery: this fixture's vocabulary
-  // is 31 words in a ~74.6-80.4% df band, so exact BM25 candidates are
-  // ~|q| x n BY CONSTRUCTION (738 s at 10x, measured) — and any cap that
-  // keeps a NON-TRIVIAL ranking here (TextAnalysis.BmMaxDfPpm = 76.6%,
-  // inside the band) necessarily keeps ~76%-df posting lists, which at
-  // 10x is still ~|q| x n on the kept terms (513 s, measured). A cap
-  // below the band empties every posting list (the 0-row edge; 3.8 s at
-  // 10x, measured at 76.0%). The knob's production value needs the
-  // Zipfian vocabulary real corpora have, where the cap drops most
-  // posting MASS while keeping the informative tail; the per-SF bench
-  // times the capped form (4.4 s warm at sf0.1). Run either form
-  // explicitly to reproduce the numbers.
+  // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
+  // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df
+  // band, so exact BM25 candidates are ~|q| x n BY CONSTRUCTION (738 s
+  // at 10x, measured) — and any cap that keeps a NON-TRIVIAL ranking
+  // there (TextAnalysis.BmMaxDfPpm = 76.6%, inside the band) necessarily
+  // keeps ~76%-df posting lists, still ~|q| x n at 10x (513 s, measured);
+  // a below-band cap empties every posting (0 rows, 3.8 s). Since r10 the
+  // battery DOES run BM25 — as x88_bm25_zipf over the Zipfian corpus
+  // (Synthetic.zipfDocs, generated beside the copies below), the
+  // vocabulary shape where the df-cap's value is real: 7.9 s at 1x,
+  // 14.2 s at 10x, 21.7 s at 100x, sub-linear with the thinned query
+  // sample. Run x88_bm25_zipf_exact (uncapped twin, same queries) or the
+  // flat-fixture forms explicitly to reproduce the older numbers.
 
   /** x88 df-cap for the Zipfian fixture: 10% of docs. On Zipf s = 1 with
     * a 10k vocabulary and ~130-token docs this prunes roughly the 130

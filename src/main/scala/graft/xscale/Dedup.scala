@@ -632,6 +632,9 @@ object Dedup {
     * Final rollup is |distinct sizes| rows.
     */
   def clusterDiameter(docs: DataFrame, maxClusterSize: Long = NoCap): DataFrame = {
+    // cap 1 would leave no within-cluster pairs at all — every cluster
+    // silently vanishes from the rollup's inner join. Refuse loudly.
+    require(maxClusterSize >= 2, s"maxClusterSize must be >= 2, got $maxClusterSize")
     val fp = fingerprints(docs, wide = false).select(col("doc_id").as("id"), col("s1"))
     val pairs = simhashPairs(docs)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))

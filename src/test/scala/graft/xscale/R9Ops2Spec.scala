@@ -203,6 +203,10 @@ class R9Ops2Spec extends SparkSpec {
       assert(sp == nc * kept * (kept - 1) / 2 && se <= sp)
       assert(ncap == (if (sz > Dedup.DiamCap) nc else 0L))
     }
+    // a cap of 1 would silently drop every cluster — refused loudly
+    intercept[IllegalArgumentException] {
+      Dedup.clusterDiameter(real, maxClusterSize = 1L)
+    }
   }
 
   test("x123 shard balance: totals conserve, integer identities hold, shards are sane") {

@@ -226,6 +226,13 @@ object Multimodal {
     */
   val PixelDecodeEnv = "SPARK_GRAFT_PIXEL_DECODE"
 
+  /** Per-image pixel budget for [[decodeImage]] (64 Mpx ≈ 256 MB of ARGB
+    * rows): a header claiming more is refused before any allocation —
+    * corpus bytes are untrusted and a decode OOM is an executor-killing
+    * Error, not a catchable decode failure.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Pixel-level features: true dimensions plus the mean ITU-R BT.601
     * luma (e3: 0..255000) over every pixel, with `decoded` recording
     * whether the REAL decoder ran or the row fell back to the
@@ -259,10 +266,15 @@ object Multimodal {
         try {
           r.setInput(in)
           val fmt = r.getFormatName.toLowerCase
-          val img = r.read(0)
-          val (w, h) = (img.getWidth, img.getHeight)
-          if (w <= 0 || h <= 0) None
+          // dimensions come from the HEADER (no pixel decode): refuse
+          // oversized claims BEFORE r.read allocates w*h*4 bytes — a
+          // crafted header on untrusted corpus bytes could otherwise OOM
+          // the executor (an Error, which the catch below never sees)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
           else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
             // bulk raster read, one row at a time: bounded memory even for
             // large images, no per-pixel getRGB call overhead
             val row = new Array[Int](w)

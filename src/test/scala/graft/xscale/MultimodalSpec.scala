@@ -198,6 +198,11 @@ class MultimodalSpec extends SparkSpec {
     // path, which is what keeps the oracle-pinned default stable
     val off = Multimodal.extractPixelFeatures(ds, pixelDecode = false).collect()
     assert(off.forall(r => !r.decoded && r.mean_luma_e3 == 0L))
+    // untrusted-bytes hardening: a header claiming absurd dimensions is
+    // refused (None), never an allocation attempt or a crash
+    val huge = white.clone()
+    huge(16) = 0x7f.toByte; huge(17) = 0xff.toByte // IHDR width := 0x7fffxxxx
+    assert(Multimodal.decodeImage(huge).isEmpty, "oversized claim must be refused")
   }
 
   test("resize: payload transformed per-record, schema preserved") {

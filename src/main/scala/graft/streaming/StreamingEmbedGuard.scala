@@ -51,16 +51,21 @@ object StreamingEmbedGuard {
       .agg(sum("x_e6").as("r_s"), count(lit(1)).as("r_n"))
 
   /** One-row geometry audit of a (micro-)batch against the frozen
-    * reference: (n_vecs, n_dims, r_dims, l1_shift_e6, anis_e6). Exact
-    * integers — decimal(38) on every cross product so corpus-scale counts
-    * cannot overflow; an empty batch reports the zero row (with r_dims
-    * still the reference's dim count).
+    * reference: (n_vecs, n_dims, min_dim_n, r_dims, l1_shift_e6, anis_e6).
+    * Exact integers — decimal(38) on every cross product so corpus-scale
+    * counts cannot overflow; an empty batch reports the zero row (with
+    * r_dims still the reference's dim count).
     *
     * `r_dims` exists because a DIMENSION-COUNT change is invisible to
     * l1_shift_e6: a dim present in only one side contributes exactly 0 to
     * the cross term |b_s·r_n − r_s·b_n| (one factor is 0), so a truncated
     * 512-dim batch against a 768-dim reference can replay with shift 0.
     * The alert in [[stream]] therefore also fires on n_dims ≠ r_dims.
+    * `min_dim_n` closes the remaining blind spot: a RAGGED batch (some
+    * vectors truncated, some full-width) keeps n_dims == r_dims — every
+    * dim still has SOME value — and can replay with ~0 shift, but the
+    * thinnest dim's vector count drops below n_vecs, so
+    * min_dim_n ≠ n_vecs is the raggedness alert.
     */
   def batchAudit(batch: DataFrame, ref: DataFrame): DataFrame = {
     val bd = batch
@@ -79,6 +84,12 @@ object StreamingEmbedGuard {
       .agg(
         coalesce(max("b_n"), lit(0L)).as("n_vecs"),
         coalesce(sum(when(col("b_n") > 0L, 1L).otherwise(0L)), lit(0L)).as("n_dims"),
+        // RAGGED batches (a partially dim-truncated encoder swap: some
+        // vectors truncated, others full-width) keep n_dims == r_dims and
+        // can replay with ~0 shift — the thinnest dim's vector count is
+        // the signal: min_dim_n < n_vecs iff some dim is missing from
+        // some vector.
+        coalesce(min(when(col("b_n") > 0L, col("b_n"))), lit(0L)).as("min_dim_n"),
         coalesce(sum(when(col("r_n") > 0L, 1L).otherwise(0L)), lit(0L)).as("r_dims"),
         coalesce(
           sum(expr("abs(cast(b_s as decimal(38,0)) * r_n - cast(r_s as decimal(38,0)) * b_n)")),
@@ -96,7 +107,7 @@ object StreamingEmbedGuard {
           "(cast(1000000 as decimal(38,0)) * a) div (cast(nv as decimal(38,0)) * bb) END"))
       .select("anis_e6")
     shift.crossJoin(anis)
-      .select("n_vecs", "n_dims", "r_dims", "l1_shift_e6", "anis_e6")
+      .select("n_vecs", "n_dims", "min_dim_n", "r_dims", "l1_shift_e6", "anis_e6")
   }
 
   /** Continuous form: audit every micro-batch of a streaming vector
@@ -118,10 +129,13 @@ object StreamingEmbedGuard {
         batchAudit(b, refPinned)
           .withColumn("batch_id", lit(batchId))
           // dim-count mismatch (encoder truncation/expansion) contributes
-          // 0 to l1_shift by construction — alert on it directly.
+          // 0 to l1_shift by construction — alert on it directly. A RAGGED
+          // batch (only SOME vectors truncated) keeps n_dims == r_dims;
+          // min_dim_n < n_vecs catches that shape.
           .withColumn("alert",
             col("l1_shift_e6") >= alertL1E6 ||
-              (col("n_vecs") > 0L && col("n_dims") =!= col("r_dims")))
+              (col("n_vecs") > 0L && (col("n_dims") =!= col("r_dims") ||
+                col("min_dim_n") =!= col("n_vecs"))))
           .write.mode(SaveMode.Append).parquet(auditPath)
         ()
       }

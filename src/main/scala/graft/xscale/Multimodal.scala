@@ -246,21 +246,41 @@ object Multimodal {
       width: Long,
       height: Long,
       mean_luma_e3: Long,
-      decoded: Boolean)
+      decoded: Boolean,
+      oversize: Boolean)
+
+  /** Three-state pixel-decode outcome, so corpus triage can separate a
+    * REAL image refused for an oversized header claim from bytes no
+    * reader recognizes (the two were indistinguishable `None`s before):
+    * [[Pixels]] = decoded, [[OversizeRefused]] = a reader accepted the
+    * bytes but the header claims more than [[MaxDecodePixels]] (dims are
+    * the header's CLAIM, never verified by allocation), [[Unreadable]] =
+    * no installed reader / corrupt payload.
+    */
+  sealed trait ImageDecode
+  final case class Pixels(
+      format: String, width: Long, height: Long, meanLumaE3: Long) extends ImageDecode
+  final case class OversizeRefused(
+      format: String, width: Long, height: Long) extends ImageDecode
+  case object Unreadable extends ImageDecode
 
   /** REAL image decode — pure-JVM javax.imageio (PNG/GIF/BMP/JPEG ship in
     * the JDK, no native codec libs needed): reads the pixels and returns
-    * (format, width, height, mean_luma_e3), the BT.601 luma
-    * (299·R + 587·G + 114·B per pixel, exact integer mean). None when no
-    * installed reader recognizes the bytes or the payload is corrupt —
-    * decode failures on untrusted corpus bytes are data, not exceptions.
+    * [[Pixels]] with (format, width, height, mean_luma_e3), the BT.601
+    * luma (299·R + 587·G + 114·B per pixel, exact integer mean).
+    * [[OversizeRefused]] when a reader accepts the bytes but the header
+    * claims more than [[MaxDecodePixels]] (the refusal stays VISIBLE —
+    * an oversized-but-real image is not the same triage bucket as
+    * garbage). [[Unreadable]] when no installed reader recognizes the
+    * bytes or the payload is corrupt — decode failures on untrusted
+    * corpus bytes are data, not exceptions.
     */
-  def decodeImage(payload: Array[Byte]): Option[(String, Long, Long, Long)] = {
+  def decodeImage(payload: Array[Byte]): ImageDecode = {
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
+      if (!readers.hasNext) Unreadable
       else {
         val r = readers.next()
         try {
@@ -271,7 +291,8 @@ object Multimodal {
           // crafted header on untrusted corpus bytes could otherwise OOM
           // the executor (an Error, which the catch below never sees)
           val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
-          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels)
+            OversizeRefused(fmt, hw, hh)
           else {
             val img = r.read(0)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -290,11 +311,11 @@ object Multimodal {
               }
               y += 1
             }
-            Some((fmt, w.toLong, h.toLong, sum / (w.toLong * h)))
+            Pixels(fmt, w.toLong, h.toLong, sum / (w.toLong * h))
           }
         } finally r.dispose()
       }
-    } catch { case _: Exception => None } finally in.close()
+    } catch { case _: Exception => Unreadable } finally in.close()
   }
 
   /** Batched distributed pixel decode — the real thing, flag-guarded:
@@ -302,10 +323,13 @@ object Multimodal {
     * payload goes through [[decodeImage]]; rows no installed reader
     * accepts — and every row when the flag is off — fall back to the
     * header/stub path with `decoded = false`, so a mixed or codec-less
-    * corpus degrades visibly instead of silently. Same mapPartitions
-    * batch shape as [[extractFeatures]]; per-row cost is the decode
-    * itself (CPU-bound scan work, linear in executors — the 100 TB
-    * posture of every decode step here).
+    * corpus degrades visibly instead of silently. An [[OversizeRefused]]
+    * row keeps the reader's HEADER dims and sets `oversize = true`
+    * (decoded stays false: the claim was never verified by allocation) —
+    * corpus triage can separate rejected header claims from codec
+    * absence. Same mapPartitions batch shape as [[extractFeatures]];
+    * per-row cost is the decode itself (CPU-bound scan work, linear in
+    * executors — the 100 TB posture of every decode step here).
     */
   def extractPixelFeatures(
       media: Dataset[MediaRecord],
@@ -314,12 +338,17 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap(_.map { m =>
         val nb = m.payload.length.toLong
-        (if (pixelDecode) decodeImage(m.payload) else None) match {
-          case Some((fmt, w, h, luma)) =>
-            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, luma, decoded = true)
-          case None =>
+        (if (pixelDecode) decodeImage(m.payload) else Unreadable) match {
+          case Pixels(fmt, w, h, luma) =>
+            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, luma,
+              decoded = true, oversize = false)
+          case OversizeRefused(fmt, w, h) =>
+            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, 0L,
+              decoded = false, oversize = true)
+          case Unreadable =>
             val (fmt, w, h) = decode(m.payload)
-            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, 0L, decoded = false)
+            PixelFeatures(m.doc_id, m.modality, nb, fmt, w, h, 0L,
+              decoded = false, oversize = false)
         }
       })
     }

@@ -407,14 +407,17 @@ object Similarity {
       trainSample: Double = 1.0,
       checkpointDir: Option[String] = None): DataFrame = {
     val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
-    val asg = pqTrain(vi, 2, nc, trainSample, checkpointDir).map { case (s, cents) =>
+    // the two half assignments compose via an INNER join on vec_id —
+    // mirroring the oracle's JOIN USING(vec_id) — so a malformed
+    // assignment (a half's rn=1 row missing or duplicated) drops or
+    // duplicates the row VISIBLY instead of summing into a
+    // wrong-but-valid cell id (which a union + groupBy/sum would do)
+    val halves = pqTrain(vi, 2, nc, trainSample, checkpointDir).map { case (s, cents) =>
       quantizerRanked(pqSlice(vi, s, 32), cents)
         .filter(col("rn") === 1)
-        .select(col("vec_id"), lit(s.toLong).as("half"), col("cid"))
-    }.reduce(_ unionByName _)
-    asg.groupBy("vec_id").agg(
-        sum(when(col("half") === 0L, col("cid")).otherwise(0L)).as("c0"),
-        sum(when(col("half") === 1L, col("cid")).otherwise(0L)).as("c1"))
+        .select(col("vec_id"), col("cid").as(s"c$s"))
+    }
+    halves.reduce(_.join(_, Seq("vec_id")))
       .select(col("vec_id"), (col("c0") * nc + col("c1")).as("cell"))
   }
 
@@ -1243,9 +1246,14 @@ object Similarity {
     * x136's with x113 recall held (spec-pinned on the anisotropic
     * fixture).
     */
-  def lshBucketHealthCentered(emb: DataFrame): DataFrame = {
-    // one scan feeds the totals and the bucketing leg (the x112 pin rule)
-    val d = planeDots(emb).localCheckpoint()
+  def lshBucketHealthCentered(
+      emb: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // one scan feeds the totals and the bucketing leg (the x112 pin rule);
+    // reliable (storage-backed) checkpoint when a dir is given, so the
+    // NL·NP plane dots survive executor loss at 100 TB — the x30/x50
+    // knob, identical semantics either way
+    val d = DedupClusters.ckpt(planeDots(emb), checkpointDir)
     val withTot = d.crossJoin(broadcast(planeDotTotals(d)))
     bucketRollup((0 until NL).map { t =>
       withTot.select(lit(t.toLong).as("tbl"), bucketCenteredT(t).as("bkt"))
@@ -1260,8 +1268,12 @@ object Similarity {
     * the HASH; the rerank always used the raw vectors) keeps the same
     * scores. Columns (query_id, rank, neighbor_id).
     */
-  def knnLshCentered(emb: DataFrame, isQuery: Column, k: Int = 3): DataFrame = {
-    val d = planeDots(emb).localCheckpoint()
+  def knnLshCentered(
+      emb: DataFrame,
+      isQuery: Column,
+      k: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val d = DedupClusters.ckpt(planeDots(emb), checkpointDir)
     val withTot = d.crossJoin(broadcast(planeDotTotals(d)))
     val withB = withTot.select(
       col("vec_id"),

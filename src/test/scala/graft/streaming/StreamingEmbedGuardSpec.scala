@@ -66,6 +66,27 @@ class StreamingEmbedGuardSpec extends SparkSpec {
     assert(row._1 == dims / 2 && row._2 == dims, s"dim mismatch must be visible: $row")
   }
 
+  test("a RAGGED batch (only some vectors truncated) alerts via min_dim_n") {
+    val ref = StreamingEmbedGuard.reference(refEmb).localCheckpoint()
+    val dims = refEmb.select(size(col("embedding"))).as[Int].head()
+    // half the vectors truncated to half-width, half full-width: every dim
+    // still carries SOME value, so n_dims == r_dims and the uniform-
+    // truncation alert is blind — min_dim_n < n_vecs is the only signal
+    val ragged = refEmb.select(
+      col("vec_id"),
+      when(col("vec_id") % 2 === 0, slice(col("embedding"), 1, dims / 2))
+        .otherwise(col("embedding")).as("embedding"))
+    val row = StreamingEmbedGuard.batchAudit(ragged, ref)
+      .select("n_vecs", "n_dims", "min_dim_n", "r_dims")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row._2 == dims && row._4 == dims, s"raggedness hides from n_dims: $row")
+    assert(row._3 < row._1, s"min_dim_n must expose the ragged batch: $row")
+    // a full-width replay keeps min_dim_n == n_vecs (no false alert)
+    val clean = StreamingEmbedGuard.batchAudit(refEmb, ref)
+      .select("n_vecs", "min_dim_n").as[(Long, Long)].head()
+    assert(clean._1 == clean._2)
+  }
+
   test("continuous form: one row per batch, alert fires on the shifted batch only") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("embedGuard")
@@ -87,16 +108,23 @@ class StreamingEmbedGuardSpec extends SparkSpec {
     // a dim-truncated batch: shift 0 by construction, alert via r_dims
     in.addData(clean.map { case (id, v) => (id, v.take(v.length / 2)) }.toIndexedSeq)
     q.processAllAvailable()
+    // a RAGGED batch (only even ids truncated): n_dims == r_dims, alert
+    // fires via min_dim_n != n_vecs
+    in.addData(clean.map { case (id, v) =>
+      (id, if (id % 2 == 0) v.take(v.length / 2) else v)
+    }.toIndexedSeq)
+    q.processAllAvailable()
     q.stop()
 
     val log = spark.read.parquet(auditPath)
       .select("batch_id", "n_vecs", "l1_shift_e6", "alert")
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
-    assert(log.length == 3)
+    assert(log.length == 4)
     assert(log(0)._2 == clean.length && log(1)._2 == dirty.length)
     assert(!log(0)._4 && log(0)._3 == 0L)
     assert(log(1)._4 && log(1)._3 >= 1000000L)
     assert(log(2)._4 && log(2)._3 == 0L, s"dim mismatch must alert despite zero shift: ${log(2)}")
+    assert(log(3)._4, s"ragged batch must alert via min_dim_n: ${log(3)}")
     // streaming/batch parity: the logged row == the batch-side audit
     val batchSide = StreamingEmbedGuard.batchAudit(
       dirty.toSeq.toDF("vec_id", "embedding"), ref)

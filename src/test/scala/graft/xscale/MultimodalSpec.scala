@@ -178,11 +178,17 @@ class MultimodalSpec extends SparkSpec {
     val white = img(8, 5, 0xffffff, "png") // luma 255000 exactly
     val red = img(3, 3, 0xff0000, "bmp") // luma 299 * 255 = 76245
     val gray = img(4, 4, 0x808080, "gif") // luma 128000 exactly
+    // untrusted-bytes hardening fixture: a real PNG whose IHDR width is
+    // patched to claim 0x7fffxxxx pixels — a reader ACCEPTS the bytes but
+    // the pixel budget must refuse before any allocation
+    val huge = white.clone()
+    huge(16) = 0x7f.toByte; huge(17) = 0xff.toByte // IHDR width := 0x7fffxxxx
     val ds = Seq(
       MediaRecord(0L, "image", white),
       MediaRecord(1L, "image", red),
       MediaRecord(2L, "image", gray),
-      MediaRecord(3L, "image", "not an image at all".getBytes)).toDS()
+      MediaRecord(3L, "image", "not an image at all".getBytes),
+      MediaRecord(4L, "image", huge)).toDS()
     val f = Multimodal.extractPixelFeatures(ds, pixelDecode = true).collect().sortBy(_.doc_id)
     assert(f(0).decoded && f(0).format == "png" && (f(0).width, f(0).height) == ((8L, 5L)))
     assert(f(0).mean_luma_e3 == 255000L, s"white: ${f(0)}")
@@ -190,19 +196,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).decoded && f(2).format == "gif")
     // GIF is palettized — the writer may quantize 0x808080, so pin a band
     assert(math.abs(f(2).mean_luma_e3 - 128000L) < 8000L, s"gray gif: ${f(2)}")
-    // undecodable bytes fall back to the stub path, visibly
+    // undecodable bytes fall back to the stub path, visibly — and are
+    // NOT flagged oversize (codec absence is its own triage bucket)
     val (sw, sh) = Multimodal.decodeStub("not an image at all".getBytes)
-    assert(!f(3).decoded && f(3).format == "unknown" && f(3).mean_luma_e3 == 0L)
-    assert((f(3).width, f(3).height) == ((sw, sh)))
+    assert(!f(3).decoded && !f(3).oversize && f(3).format == "unknown")
+    assert(f(3).mean_luma_e3 == 0L && (f(3).width, f(3).height) == ((sw, sh)))
+    // an oversized-but-real image: reader recognized it, pixel budget
+    // refused it BEFORE allocation — visible as oversize=true with the
+    // header's CLAIMED dims, distinct from both decoded and unreadable
+    assert(!f(4).decoded && f(4).oversize, s"refusal must be visible: ${f(4)}")
+    assert(f(4).format == "png" && f(4).height == 5L && f(4).width >= 0x7fff0000L)
     // flag off: NO row real-decodes — byte-identical to the stub/header
     // path, which is what keeps the oracle-pinned default stable
     val off = Multimodal.extractPixelFeatures(ds, pixelDecode = false).collect()
-    assert(off.forall(r => !r.decoded && r.mean_luma_e3 == 0L))
-    // untrusted-bytes hardening: a header claiming absurd dimensions is
-    // refused (None), never an allocation attempt or a crash
-    val huge = white.clone()
-    huge(16) = 0x7f.toByte; huge(17) = 0xff.toByte // IHDR width := 0x7fffxxxx
-    assert(Multimodal.decodeImage(huge).isEmpty, "oversized claim must be refused")
+    assert(off.forall(r => !r.decoded && !r.oversize && r.mean_luma_e3 == 0L))
+    // the three-state decode directly: refusal is its own constructor
+    Multimodal.decodeImage(huge) match {
+      case Multimodal.OversizeRefused(fmt, w, h) =>
+        assert(fmt == "png" && h == 5L && w >= 0x7fff0000L)
+      case other => fail(s"oversized claim must be refused visibly: $other")
+    }
+    assert(Multimodal.decodeImage("garbage".getBytes) == Multimodal.Unreadable)
   }
 
   test("resize: payload transformed per-record, schema preserved") {

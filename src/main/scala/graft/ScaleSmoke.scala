@@ -23,7 +23,8 @@ object ScaleSmoke {
     "x30_semdedup", "x30_semdedup_auto", "x31_repetition", "x33_lm_score",
     "x34_substring_coverage", "x50_joint_auto", "x50_joint_imi", "x51_dsir_select",
     "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
-    "x54_proto_auto", "x57_pipeline_full", "x62_bpe_train",
+    "x54_proto_auto", "x57_pipeline_full", "x57_pipeline_threshold",
+    "x62_bpe_train",
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
     "x77_cms_heavy_hitters", "x79_ivfpq_add",
     "x86_split_repair", "x87_dedup_survivorship",
@@ -185,6 +186,13 @@ object ScaleSmoke {
       "x51_dsir_threshold" -> ((s, d) =>
         TrainingData.dsirSelectThreshold(
           s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")),
+      // x57 scale path: the flagship one-plan pipeline with x51's sampled
+      // threshold composed in — zero unpartitioned ranking windows (the
+      // registered x57 query pins the oracle-exact global rank)
+      "x57_pipeline_threshold" -> ((s, d) =>
+        xscale.DataPrep.pipelineThreshold(
+          s.read.parquet(s"$d/documents.parquet"),
+          checkpointDir = Some(s"$d/_checkpoints"))),
       // x91 in its production posture: sampled quantizer training +
       // reliable checkpoints (the oracle query trains on every chunk)
       "x91_rag_auto" -> ((s, d) =>

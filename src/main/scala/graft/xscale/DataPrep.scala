@@ -1527,6 +1527,80 @@ object DataPrep {
     scored.withColumn("selected", col("score_e6") >= thr)
   }
 
+  /** The x57 pipeline's corpus-prep prefix, shared by the oracle-exact
+    * query and [[pipelineThreshold]]: Gopher/C4 quality rules (x16) →
+    * exact dedup on normalized text (x01) → duplicated-span removal
+    * (x43, emptied docs dropped) → re-join to the survivor metadata.
+    * Columns (doc_id, source, lang, text, n_removed).
+    *
+    * The two reused stage boundaries are materialized: `deduped` feeds
+    * span removal (which reads it three ways) plus the re-join, and the
+    * returned corpus feeds DSIR scoring plus both selection branches —
+    * without the cut, Catalyst duplicates the whole upstream chain into
+    * every consumer (~6 corpus scans; 59 shuffles vs ~17 composed). At
+    * 100 TB these are the stage boundaries you would persist between jobs
+    * anyway — pass `checkpointDir` for a reliable (storage-backed) cut.
+    */
+  def pipelineCorpus(
+      docs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // project to the carry columns BEFORE the dedup shuffle (x27 rule)
+    val quality = TextAnalysis.qualityFilter(
+      docs.select("doc_id", "source", "lang", "text"))
+      .select("doc_id", "source", "lang", "text")
+    val deduped = DedupClusters.ckpt(Dedup.dedupExact(quality), checkpointDir)
+    val clean = removeSharedSpans(deduped)
+      .filter(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean"), col("n_removed"))
+    DedupClusters.ckpt(
+      deduped.drop("text").join(clean, "doc_id")
+        .withColumnRenamed("text_clean", "text"),
+      checkpointDir)
+  }
+
+  /** The x57 pipeline's reporting suffix: deterministic 90/5/5 split
+    * (x19) → per-split doc/token/removed/source stats.
+    */
+  private[graft] def pipelineRollup(selected: DataFrame): DataFrame =
+    selected
+      .withColumn("split", splitCol)
+      .withColumn("n_tok", size(XText.words(col("text"))).cast("long"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum("n_removed").as("removed_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("split")
+
+  /** x57 at scale: the SAME one-plan corpus pipeline with the DSIR
+    * selection swapped from the oracle-exact global top-k rank (a
+    * corpus-sized single-partition sort — the registered query's pin) to
+    * [[dsirSelectThreshold]]'s sampled-quantile rule, so NO ranking
+    * window in the whole plan is unpartitioned (the only remaining
+    * whole-frame windows are dsirWeights' sums over the
+    * already-aggregated B-row bucket table — the x26 bounded-frame
+    * shape). Selection becomes a per-row `score_e6 >= thr` comparison;
+    * because scores are integers the kept set is exactly the top-m the
+    * threshold induces, and only m-vs-target drifts with the sample.
+    * This is the form the CLI/library path runs at 100 TB; the spec pins
+    * plan shape (zero unpartitioned ranking windows) and
+    * target-leg/stage consistency against the exact pin.
+    */
+  def pipelineThreshold(
+      docs: DataFrame,
+      keepFrac: Double = 0.2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val corpus = pipelineCorpus(docs, checkpointDir)
+    val sel = dsirSelectThreshold(
+      corpus, col("lang") === "en", keepFrac, checkpointDir = checkpointDir)
+      .filter(col("selected"))
+      .select("doc_id")
+    val selected = corpus.filter(col("lang") === "en")
+      .unionByName(corpus.filter(col("lang") =!= "en").join(sel, "doc_id"))
+    pipelineRollup(selected)
+  }
+
   /** x61 core: DSIR importance RESAMPLING — the paper's actual selection
     * rule (Xie et al. 2023 resample ∝ importance weight; x51's top-k /
     * threshold is the hard-selection variant). Distributed form: Bernoulli
@@ -2440,26 +2514,11 @@ object DataPrep {
         "Scale shape: per-row quality filter → one norm-key shuffle → one window-hash " +
         "shuffle + bounded position explode → one B-bucket broadcast + per-doc score " +
         "aggregation → per-row split tag → tiny rollup. The global DSIR rank is the " +
-        "oracle-exact pin; the library/CLI path uses dsirSelectThreshold (sampled " +
-        "threshold, no global window) at scale."
+        "oracle-exact pin; pipelineThreshold is the registered scale twin (battery: " +
+        "x57_pipeline_threshold) — the SAME pipeline with dsirSelectThreshold's " +
+        "sampled-quantile selection, zero unpartitioned ranking windows (spec-pinned)."
     ) { (s, dir) =>
-      val docs = table(s, dir, "documents").select("doc_id", "source", "lang", "text")
-      // project to the carry columns BEFORE the dedup shuffle (x27 rule)
-      val quality = TextAnalysis.qualityFilter(docs).select("doc_id", "source", "lang", "text")
-      // materialize the two reused stage boundaries: `deduped` feeds span
-      // removal (which reads it three ways) plus the re-join, and `corpus`
-      // feeds DSIR scoring plus both selection branches — without the cut,
-      // Catalyst duplicates the whole upstream chain into every consumer
-      // (~6 corpus scans; 59 shuffles vs ~17 composed). At 100 TB these
-      // are the stage boundaries you would persist between jobs anyway —
-      // the library path does it with the checkpointDir knob.
-      val deduped = Dedup.dedupExact(quality).localCheckpoint()
-      val clean = removeSharedSpans(deduped)
-        .filter(col("text_clean") =!= "")
-        .select(col("doc_id"), col("text_clean"), col("n_removed"))
-      val corpus = deduped.drop("text").join(clean, "doc_id")
-        .withColumnRenamed("text_clean", "text")
-        .localCheckpoint()
+      val corpus = pipelineCorpus(table(s, dir, "documents"))
       val ranked = dsirWeights(corpus, col("lang") === "en")
         .withColumn("rk",
           row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id"))))
@@ -2467,16 +2526,7 @@ object DataPrep {
         .select("doc_id")
       val selected = corpus.filter(col("lang") === "en")
         .unionByName(corpus.filter(col("lang") =!= "en").join(ranked, "doc_id"))
-      selected
-        .withColumn("split", splitCol)
-        .withColumn("n_tok", size(XText.words(col("text"))).cast("long"))
-        .groupBy("split")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tok").as("sum_tokens"),
-          sum("n_removed").as("removed_tokens"),
-          countDistinct("source").as("n_sources"))
-        .orderBy("split")
+      pipelineRollup(selected)
     },
 
     // ----- x66: pack hygiene (duplicates inside one context window) -----

@@ -610,6 +610,46 @@ class XScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket join must broadcast:\n$plan")
   }
 
+  test("x57 threshold twin: zero unpartitioned RANKING windows; target leg matches the pin") {
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, NTile, Rank, RowNumber}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalRankWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.windowExpressions.exists(_.exists {
+            case _: RowNumber | _: Rank | _: DenseRank | _: NTile => true
+            case _ => false
+          }) => w
+      }.size
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the oracle pin carries the corpus-sized global DSIR rank by design…
+    val pin = DataPrep.queries.find(_.name == "x57_pipeline_full").get.run(spark, sf)
+    assert(globalRankWindows(pin) >= 1, "the pin's exact rank is a global window by design")
+    // …the scale twin must not: selection is a per-row threshold compare.
+    // (dsirWeights' whole-frame SUMs over the B-row bucket table remain —
+    // bounded post-aggregation frames, the x26 shape — which is why this
+    // asserts on RANKING windows, the corpus-sized-sort shape.)
+    val twin = DataPrep.pipelineThreshold(docs)
+    assert(globalRankWindows(twin) === 0,
+      s"threshold twin must not rank globally:\n${twin.queryExecution.optimizedPlan}")
+    // stage consistency: the target (en) leg is selection-rule-independent,
+    // so per-split en-survivor mass is shared with the pin; totals differ
+    // only in how many RAW docs the threshold keeps (bounded by raw count)
+    val out = twin.select("split", "n_docs", "sum_tokens", "removed_tokens", "n_sources")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")) &&
+      out.map(_._1).contains("train"))
+    val corpus = DataPrep.pipelineCorpus(docs)
+    val nEn = corpus.filter(col("lang") === "en").count()
+    val nRaw = corpus.filter(col("lang") =!= "en").count()
+    val total = out.map(_._2).sum
+    assert(total >= nEn, s"every target-lang survivor must be kept: $total < $nEn")
+    assert(total <= nEn + nRaw, s"kept raw docs cannot exceed raw survivors: $total")
+    // the threshold rule keeps SOME raw docs (keepFrac=0.2 of a real
+    // score distribution) without keeping them all
+    assert(total > nEn && total < nEn + nRaw, s"threshold must bind: $total ($nEn en, $nRaw raw)")
+  }
+
   test("x58/x59 PQ: full code coverage, true argmin assignment, ADC recall vs exact L2") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val n = emb.count()

@@ -40,6 +40,8 @@ object ScaleSmoke {
     "x114_len_quality_corr", "x115_source_divergence", "x116_collocations",
     "x117_template_slots", "x118_dim_stats", "x119_burstiness",
     "x120_markup_residue", "x121_lsh_fidelity_auto", "x122_cluster_diameter_auto",
+    "x14_powerlaw", "x50_joint_imi_powerlaw",
+    "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
     "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",
@@ -130,6 +132,17 @@ object ScaleSmoke {
     if (!new java.io.File(s"$dir/zipf_documents.parquet").exists()) {
       source.Synthetic.zipfDocs(spark, 5000L * factor)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/zipf_documents.parquet")
+    }
+    // Power-law duplicate corpus (Synthetic.powerlawDocs): ~99% unique,
+    // ~1% dup mass in power-law-sized clusters — the REALISTIC dedup
+    // shape, vs the all-clique worst case the id-shifted copies build.
+    // The dedup/ANN heavies' measured 100x numbers come from here; the
+    // clique fixture remains the honest worst-case bound.
+    if (!new java.io.File(s"$dir/powerlaw_documents.parquet").exists()) {
+      source.Synthetic.powerlawDocs(spark, 5000L * factor)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_documents.parquet")
+      source.Synthetic.powerlawEmbeddings(spark, 2000L * factor)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_embeddings.parquet")
     }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
@@ -281,6 +294,31 @@ object ScaleSmoke {
         xscale.Similarity.knnLabelAgreement(
           xscale.Similarity.knnLshAuto(emb, lit(true)), emb)
       }),
+      // The dedup/ANN heavies on the POWER-LAW fixture — the measured
+      // 100x numbers for the shapes the clique fixture aborts by
+      // construction (its every doc is a factor-sized clique member, so
+      // pair generation alone is C(factor·dups,2)·clusters). Same ops,
+      // same knobs; only the corpus is the realistic one.
+      "x14_powerlaw" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
+        xscale.DedupClusters.dedupByPairs(
+          docs,
+          xscale.Dedup.simhashPairs(docs)
+            .select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+          .groupBy("source").agg(count(lit(1)).as("n_after"))
+      }),
+      "x50_joint_imi_powerlaw" -> ((s, d) =>
+        TrainingData.jointDedupImi(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"),
+          s.read.parquet(s"$d/powerlaw_embeddings.parquet"),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))),
+      "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
+        xscale.Dedup.lshFidelity(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"), sampleMod = 10L)),
+      "x122_cluster_diameter_powerlaw" -> ((s, d) =>
+        xscale.Dedup.clusterDiameter(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"), maxClusterSize = 8L)),
       // x121 scale posture: the fidelity estimate runs on a mod-10 doc
       // sample (10^7 | shift, so id-shifted duplicate clusters survive
       // sampling intact) — the quadratic exact-Jaccard truth leg shrinks

@@ -92,6 +92,110 @@ object Synthetic {
       concat_ws(" ", transform(sequence(lit(1), len), word)).as("text"))
   }
 
+  /** Share of docs that are duplicate-cluster members in
+    * [[powerlawDocs]]: 1% (10000 ppm) — the realistic corpus shape, vs
+    * the all-clique worst case the id-shifted scale fixture builds.
+    */
+  val PowerlawDupPpm = 10000L
+
+  /** Duplicate-cluster id for row `id` of an n-row power-law corpus, or
+    * the row's own id when unique. The dup mass ([[PowerlawDupPpm]] of
+    * docs) splits into 10 equal size-classes; class k targets clusters
+    * of ~2^k members (n/(1000·2^k) clusters of n/1000 class docs), so
+    * cluster sizes are power-law-ish — exponentially many small
+    * clusters, a few big ones — and SCALE-INVARIANT once n is large
+    * enough for a class to hold >1 cluster (below that the whole class
+    * is one cluster, so the biggest cluster grows with n until the
+    * target size is reached, then holds). Everything is closed-form
+    * per-row hash arithmetic: no shuffle, no RNG state, identical corpus
+    * every run. Cluster membership is INDEPENDENT of doc_id mod m (the
+    * draw hashes the id), so a mod-m doc sample thins every cluster ~m×
+    * — the property x121's sampled truth leg needs to shrink ~mod².
+    * Returns (canon, near): canon < 0 for dup-cluster members (a
+    * class/cluster-keyed negative id space), canon = id for uniques;
+    * `near` marks clusters whose members are NEAR-dups (one
+    * member-specific token appended) rather than byte-identical — half
+    * of clusters each, by cluster hash, so exact-first cascades have
+    * real exact mass AND real near mass to find.
+    */
+  private def powerlawCanon(n: Long): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val h = graft.xscale.XHash.h60(_: org.apache.spark.sql.Column)
+    val draw = h(concat(lit("pl:"), col("id"))) % 1000000L
+    val isDup = draw < PowerlawDupPpm
+    val k = (draw / lit(PowerlawDupPpm / 10L)).cast("int") + 1 // 1..10 on dup rows
+    val clustersK = element_at(
+      array((1 to 10).map(c => lit(math.max(1L, n / (1000L * (1L << c))))): _*), k)
+    val clusterIdx = h(concat(lit("plc:"), col("id"))) % clustersK
+    val canon = when(isDup, -(k.cast("long") * 100000000L + clusterIdx + 1L))
+      .otherwise(col("id"))
+    val near = isDup && h(concat(lit("pln:"), canon)) % 2 === 0
+    (canon, near)
+  }
+
+  /** Power-law-duplicate synthetic TEXT corpus — the realistic dedup
+    * fixture: ~99% unique docs, ~1% duplicate mass in clusters with
+    * power-law sizes (see [[powerlawCanon]]). Cluster members share the
+    * canonical text (Zipf-word, [[zipfDocs]] machinery, seeded by the
+    * cluster id); NEAR clusters append one member-specific token
+    * (3-shingle Jaccard ≈ (L−3)/(L+3) ≈ 0.95 — above every detector
+    * threshold here), EXACT clusters are byte-identical. Same schema as
+    * the driver documents table (doc_id, text, lang, source, n_chars);
+    * lang/source are cluster-coherent so survivor accounting is
+    * deterministic. One scan-shaped pass, no shuffle, no collect.
+    */
+  def powerlawDocs(spark: SparkSession, n: Long, vocab: Int = 10000): DataFrame = {
+    val h = graft.xscale.XHash.h60(_: org.apache.spark.sql.Column)
+    val (canon, near) = powerlawCanon(n)
+    spark.range(n)
+      .select(col("id"), canon.as("canon"), near.as("near"))
+      .select(
+        col("id").as("doc_id"),
+        {
+          val len = (h(concat(lit("pllen:"), col("canon"))) % 200 + 30).cast("int")
+          val word = (t: org.apache.spark.sql.Column) => {
+            val u = (h(concat(lit("plw:"), col("canon"), lit(":"), t)) % 1000000L)
+              .cast("double") / 1000000.0
+            concat(lit("w"), floor(pow(lit((vocab + 1).toDouble), u)).cast("long").cast("string"))
+          }
+          val base = concat_ws(" ", transform(sequence(lit(1), len), word))
+          when(col("near"),
+            concat(base, lit(" v"), (h(concat(lit("plm:"), col("id"))) % 100000L).cast("string")))
+            .otherwise(base)
+        }.as("text"),
+        element_at(array(lit("en"), lit("es"), lit("zh"), lit("de")),
+          (h(concat(lit("pllang:"), col("canon"))) % 4).cast("int") + 1).as("lang"),
+        concat(lit("pl_"), (h(concat(lit("plsrc:"), col("canon"))) % 4).cast("string"))
+          .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** The embedding side of the power-law fixture: vec_id = doc_id over
+    * the first `n` ids, SAME cluster function as [[powerlawDocs]] — so a
+    * text-dup cluster is also an embedding-dup cluster, the joint-dedup
+    * (x50) scenario. Members of an EXACT cluster share the canonical
+    * vector bit-for-bit; NEAR members add ±0.002 per-dim hash noise
+    * (cosine ≈ 0.9999 — inside every semantic-dup threshold). Labels are
+    * cluster-coherent. Schema matches the driver embeddings table
+    * (vec_id, embedding float[64], label int).
+    */
+  def powerlawEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    val h = graft.xscale.XHash.h60(_: org.apache.spark.sql.Column)
+    val (canon, near) = powerlawCanon(n)
+    spark.range(n)
+      .select(col("id"), canon.as("canon"), near.as("near"))
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), d => {
+          val base = (h(concat(lit("ple:"), col("canon"), lit(":"), d)) % 400001L)
+            .cast("double") / 1e6 - 0.2
+          val noise = when(col("near"),
+            (h(concat(lit("plme:"), col("id"), lit(":"), d)) % 4001L).cast("double") / 1e6
+              - 0.002).otherwise(lit(0.0))
+          (base + noise).cast("float")
+        }).as("embedding"),
+        (h(concat(lit("pll:"), col("canon"))) % 10L).cast("int").as("label"))
+  }
+
   /** CSV sink with the reference's header + %.2f money formatting
     * (K4, synthetic/data.go:108-160).
     */

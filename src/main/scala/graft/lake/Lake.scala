@@ -63,12 +63,32 @@ object Lake {
     */
   private def deltaDir(lakePath: String): String = lakePath + "/_delta"
 
+  /** Process-local strictly-increasing `_seq` source for [[insertFast]]:
+    * O(1) per insert, never touching the sidecar. Time-anchored — epoch
+    * millis shifted left 20 bits, OR'd with a pid salt in the low bits —
+    * so a RESTARTED writer resumes above everything any earlier process
+    * wrote (including pre-existing small integer seqs: millis<<20 ≈ 2^60
+    * dwarfs them, and read-side latest-`_seq`-wins semantics are
+    * unchanged), and atomically max'd with prev+1 so same-millisecond
+    * inserts stay distinct and a clock regression cannot reorder. The
+    * previous implementation re-scanned the whole `_delta` sidecar for
+    * max(_seq) on EVERY single-row insert — O(delta) driver work per
+    * point insert, exactly the cost the LSM path exists to avoid.
+    */
+  private val deltaSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextDeltaSeq(): Long = deltaSeq.updateAndGet { prev =>
+    math.max(
+      prev + 1L,
+      (System.currentTimeMillis() << 20) | (ProcessHandle.current().pid() & 0xFFFFFL))
+  }
+
   /** LSM-style single-row insert (the API's `PUT /history/transaction`
     * path): append ONE small parquet file to the `_delta` sidecar instead
     * of merging + rewriting the row's whole partition. At 100 TB a
     * partition is GBs — per-row partition rewrites are the difference
     * between an insert being milliseconds and minutes. Delta rows carry a
-    * monotonic `_seq` so later inserts win on read; [[readLake]] folds
+    * monotonic `_seq` ([[nextDeltaSeq]] — O(1), no sidecar read) so later
+    * inserts win on read; [[readLake]] folds
     * them lazily, [[upsertIntoLake]] folds touched ones on the next batch,
     * and [[compact]] folds everything back to base.
     *
@@ -82,13 +102,9 @@ object Lake {
     if (!fs.exists(hPath)) { upsertIntoLake(spark, Seq(t).toDF(), lakePath); return }
     val monthly = spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
     val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
-    val nextSeq =
-      if (fs.exists(dPath))
-        spark.read.parquet(dPath.toString).agg(coalesce(max("_seq"), lit(0L))).head.getLong(0) + 1L
-      else 1L
     val row0 = Seq(t).toDF()
     val row = if (monthly) row0.withColumn("posting_month", postingMonth(col("posting_date"))) else row0
-    row.withColumn("_seq", lit(nextSeq))
+    row.withColumn("_seq", lit(nextDeltaSeq()))
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(dPath.toString)
   }

@@ -137,6 +137,33 @@ class LakeSpec extends SparkSpec {
       === Seq(9.0))
   }
 
+  test("insertFast is O(1) per insert: never reads the sidecar, _seq strictly increases") {
+    val lake = new java.io.File(tmpDir("lakeO1"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0)).toDF(), lake)
+    Lake.insertFast(spark, tx(desc = "dup", amount = 2.0), lake)
+    // plant an UNREADABLE .parquet in the sidecar: any insert that scans
+    // the sidecar (the old max(_seq) pass did, on every insert) fails on
+    // it — the O(1) path must sail through N more inserts untouched
+    val garbage = new java.io.File(lake, "_delta/part-garbage.parquet")
+    java.nio.file.Files.write(garbage.toPath, "not parquet".getBytes)
+    // amount is NOT in the merge key: all six inserts hit the same key
+    (1 to 5).foreach(i => Lake.insertFast(spark, tx(desc = "dup", amount = 2.0 + i), lake))
+    assert(garbage.delete())
+    // later-wins read semantics unchanged: _seq strictly increases in
+    // insert order, so the fold keeps the LAST insert per key
+    val seqs = spark.read.parquet(lake + "/_delta")
+      .orderBy("amount").select("amount", "_seq")
+      .as[(Double, Long)].collect()
+    assert(seqs.map(_._1).toSeq === (0 to 5).map(i => 2.0 + i))
+    assert(seqs.map(_._2).toSeq === seqs.map(_._2).sorted.toSeq &&
+      seqs.map(_._2).distinct.length === seqs.length,
+      s"_seq must strictly increase in insert order: ${seqs.mkString(",")}")
+    val folded = Lake.readLake(spark, lake)
+    assert(folded.count() === 2L, "base row + one survivor of the six same-key inserts")
+    assert(folded.filter($"description" === "dup").select("amount").as[Double].collect()
+      .toSeq === Seq(7.0))
+  }
+
   test("batch upsert folds touched delta (batch wins); untouched-source delta survives") {
     val lake = new java.io.File(tmpDir("lakeDF"), "lake").getPath
     Lake.upsertIntoLake(

@@ -33,13 +33,21 @@ final case class MediaFeatures(
   * Three decode tiers, broadest reach first:
   *  - [[Multimodal.decodeImage]] — REAL pixel decode via pure-JVM
   *    javax.imageio (PNG/GIF/BMP/JPEG, no native libs), opt-in through
-  *    [[Multimodal.PixelDecodeEnv]] / the `pixelDecode` flag;
+  *    [[Multimodal.PixelDecodeEnv]] / the `pixelDecode` flag — and
+  *    [[Multimodal.decodeWavSamples]], REAL WAV PCM sample decode
+  *    (pure-JVM RIFF walk, exact-integer amplitude stats), opt-in
+  *    through [[Multimodal.AudioDecodeEnv]];
   *  - [[Multimodal.parseHeader]] — real container-header parses (byte
   *    layout only, no codec), always on;
   *  - [[Multimodal.decodeStub]] — md5-derived deterministic fake
   *    dimensions for opaque payloads, so the oracle can reproduce the
   *    values and the plumbing (schema, partition batching, feature
   *    extraction shape) stays fully exercised on codec-less fixtures.
+  *
+  * Video FRAME decode is permanently out of scope (declared in SURVEY
+  * §'North-star operators'): it needs native codec libraries; the frame
+  * fan-out plumbing is real and a codec-equipped deployment swaps only
+  * the per-frame byte decoder.
   */
 object Multimodal {
 
@@ -316,6 +324,135 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch { case _: Exception => Unreadable } finally in.close()
+  }
+
+  /** Env flag enabling REAL WAV PCM sample decode in
+    * [[extractAudioFeatures]] (set to "1") — the pixel-decode flag
+    * pattern: opt-in, stub-default byte-stable.
+    */
+  val AudioDecodeEnv = "SPARK_GRAFT_AUDIO_DECODE"
+
+  /** Audio-level features: header facts plus the PCM sample statistics
+    * (mean absolute amplitude and RMS, exact integers), with `decoded`
+    * recording whether sample data was actually read.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      format: String,
+      duration_ms: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      mean_abs: Long,
+      rms: Long,
+      decoded: Boolean)
+
+  /** Floor integer square root (exact — no float rounding crosses a pin). */
+  private def isqrt(x: Long): Long = {
+    var r = math.sqrt(x.toDouble).toLong
+    while (r > 0 && r * r > x) r -= 1
+    while ((r + 1) * (r + 1) <= x) r += 1
+    r
+  }
+
+  /** REAL WAV PCM sample decode — pure JVM, no codec libs: walks the RIFF
+    * chunks (same hardened cursor as [[parseHeader]]), accepts
+    * uncompressed PCM (format tag 1) at 8 or 16 bits, and reads the
+    * actual sample data into exact-integer statistics:
+    * (sample_rate, duration_ms, n_samples, mean_abs, rms) where
+    * mean_abs = Σ|s| div n and rms = floor(√(Σs² div n)) over every
+    * channel sample (16-bit signed LE; 8-bit unsigned re-centered at
+    * 128 per the WAV spec). The data chunk's CLAIMED size is clamped to
+    * the bytes actually present — a crafted header cannot inflate work
+    * or allocation (the scan is streaming, O(payload), zero-copy).
+    * None for non-WAV bytes, compressed/float formats, or an empty
+    * sample region — undecodable is data, not an exception.
+    */
+  def decodeWavSamples(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
+        ((p(o + 3) & 0xffL) << 24)
+    def ascii(o: Int, s: String): Boolean =
+      o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
+    if (p.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var fmtTag = 0
+    var channels = 0
+    var sampleRate = 0L
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0L
+    var ok = true
+    while (ok && i + 8 <= p.length && (bits == 0 || dataOff < 0)) {
+      val sz = le32(i + 4)
+      if (ascii(i, "fmt ") && sz >= 16 && i + 24 <= p.length) {
+        fmtTag = le16(i + 8)
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12)
+        bits = le16(i + 22)
+      }
+      if (ascii(i, "data")) {
+        dataOff = i + 8
+        // clamp the header's claim to the bytes actually present
+        dataLen = math.min(sz, (p.length - dataOff).toLong)
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > p.length.toLong) ok = false else i = next.toInt
+    }
+    if (fmtTag != 1 || channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16) return None
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    if (n <= 0) return None
+    var sumAbs = 0L
+    var sumSq = 0L
+    var j = 0L
+    while (j < n) {
+      val o = dataOff + (j * bytesPer).toInt
+      val s: Long =
+        if (bits == 16) le16(o).toShort.toLong // signed LE
+        else (p(o) & 0xff).toLong - 128L // unsigned, centered at 128
+      val a = math.abs(s)
+      sumAbs += a
+      sumSq += a * a
+      j += 1
+    }
+    val durationMs = (n / channels) * 1000L / sampleRate
+    Some((sampleRate, durationMs, n, sumAbs / n, isqrt(sumSq / n)))
+  }
+
+  /** Batched distributed audio decode, flag-guarded like the pixel path:
+    * with `audioDecode` on (default: [[AudioDecodeEnv]]), each payload
+    * goes through [[decodeWavSamples]]; non-PCM/non-WAV rows — and every
+    * row when the flag is off — keep the header/stub facts with
+    * `decoded = false` and zeroed sample stats, so a mixed corpus
+    * degrades visibly. Same mapPartitions batch shape as every decode
+    * step here; per-row cost is one streaming pass over the payload
+    * (CPU-bound scan work, linear in executors — the 100 TB posture).
+    */
+  def extractAudioFeatures(
+      media: Dataset[MediaRecord],
+      audioDecode: Boolean = sys.env.get(AudioDecodeEnv).contains("1")): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { m =>
+        val nb = m.payload.length.toLong
+        (if (audioDecode) decodeWavSamples(m.payload) else None) match {
+          case Some((rate, durMs, n, meanAbs, rms)) =>
+            AudioFeatures(m.doc_id, m.modality, nb, "wav", durMs, rate, n, meanAbs, rms,
+              decoded = true)
+          case None =>
+            val (fmt, a, b) = decode(m.payload)
+            // header facts are duration/rate ONLY for the wav layout;
+            // other formats' (a, b) are dims or stub hashes — not audio
+            val (durMs, rate) = if (fmt == "wav") (a, b) else (0L, 0L)
+            AudioFeatures(m.doc_id, m.modality, nb, fmt, durMs, rate, 0L, 0L, 0L,
+              decoded = false)
+        }
+      })
+    }
   }
 
   /** Batched distributed pixel decode — the real thing, flag-guarded:

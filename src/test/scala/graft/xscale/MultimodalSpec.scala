@@ -219,6 +219,63 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("garbage".getBytes) == Multimodal.Unreadable)
   }
 
+  /** Full PCM WAV builder with real sample data, for the sample-decode pins.
+    * `claim` overrides the data chunk's declared size (untrusted-header case).
+    */
+  private def pcmWav(
+      bits: Int, channels: Int, rate: Int, data: Seq[Byte],
+      fmtTag: Int = 1, claim: Option[Int] = None): Array[Byte] =
+    ("RIFF".getBytes.toSeq ++ le32(36L + data.length) ++ "WAVE".getBytes.toSeq ++
+      "fmt ".getBytes.toSeq ++ le32(16) ++ le16(fmtTag) ++ le16(channels) ++
+      le32(rate.toLong) ++ le32(rate.toLong * channels * bits / 8) ++
+      le16(channels * bits / 8) ++ le16(bits) ++
+      "data".getBytes.toSeq ++ le32(claim.getOrElse(data.length).toLong) ++ data).toArray
+
+  private def s16(xs: Int*): Seq[Byte] =
+    xs.flatMap(x => Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte))
+
+  test("decodeWavSamples: exact integer mean/RMS from real PCM bytes, hardened against claims") {
+    // 16-bit mono at 1 kHz: samples 0, 1000, -1000, 32767
+    //   mean_abs = 34767 div 4 = 8691; rms = isqrt(1075676289 div 4) = 16398
+    val mono = pcmWav(16, 1, 1000, s16(0, 1000, -1000, 32767))
+    assert(Multimodal.decodeWavSamples(mono) === Some((1000L, 4L, 4L, 8691L, 16398L)))
+    // 8-bit unsigned re-centered at 128: bytes 128,138,118,228 → 0,10,-10,100
+    //   mean_abs = 120 div 4 = 30; rms = isqrt(10200 div 4) = 50
+    val eight = pcmWav(8, 1, 4, Seq(128, 138, 118, 228).map(_.toByte))
+    assert(Multimodal.decodeWavSamples(eight) === Some((4L, 1000L, 4L, 30L, 50L)))
+    // stereo: 4 samples = 2 frames; duration counts FRAMES, stats count samples
+    val stereo = pcmWav(16, 2, 2, s16(100, -100, 300, -300))
+    assert(Multimodal.decodeWavSamples(stereo) === Some((2L, 1000L, 4L, 200L, 223L)))
+    // a data chunk CLAIMING more bytes than present is clamped, not trusted
+    val lying = pcmWav(16, 1, 1000, s16(0, 1000), claim = Some(1 << 30))
+    assert(Multimodal.decodeWavSamples(lying) === Some((1000L, 2L, 2L, 500L, 707L)))
+    // non-PCM (IEEE float tag 3), non-WAV, and empty-data are all None
+    assert(Multimodal.decodeWavSamples(pcmWav(16, 1, 1000, s16(1, 2), fmtTag = 3)).isEmpty)
+    assert(Multimodal.decodeWavSamples("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(pcmWav(16, 1, 1000, Seq.empty)).isEmpty)
+  }
+
+  test("extractAudioFeatures: flag-guarded sample decode, stub fallback byte-stable") {
+    val mono = pcmWav(16, 1, 1000, s16(0, 1000, -1000, 32767))
+    val ds = Seq(
+      MediaRecord(0L, "audio", mono),
+      MediaRecord(1L, "audio", wavBytes(44100, 176400, 352800)), // header-only: fmt tag 1 but truncated data
+      MediaRecord(2L, "audio", "not audio at all".getBytes)).toDS()
+    val f = Multimodal.extractAudioFeatures(ds, audioDecode = true).collect().sortBy(_.doc_id)
+    assert(f(0).decoded && f(0).format == "wav" &&
+      (f(0).n_samples, f(0).mean_abs, f(0).rms) == ((4L, 8691L, 16398L)))
+    assert(f(0).sample_rate == 1000L && f(0).duration_ms == 4L)
+    // the 8-byte-data fixture still decodes (4 real samples of silence)
+    assert(f(1).decoded && f(1).n_samples == 4L && f(1).rms == 0L)
+    // undecodable bytes keep header/stub facts with zeroed sample stats
+    assert(!f(2).decoded && f(2).n_samples == 0L && f(2).rms == 0L)
+    // flag off: NO sample decode anywhere — the stub/header default stays
+    // byte-stable (the pixel-flag pattern)
+    val off = Multimodal.extractAudioFeatures(ds, audioDecode = false).collect().sortBy(_.doc_id)
+    assert(off.forall(r => !r.decoded && r.n_samples == 0L && r.mean_abs == 0L && r.rms == 0L))
+    assert(off(1).format == "wav" && off(1).duration_ms == 2000L && off(1).sample_rate == 44100L)
+  }
+
   test("resize: payload transformed per-record, schema preserved") {
     val r = Multimodal.resize(media, 64, 64).collect().sortBy(_.doc_id)
     assert(r.length === 4)

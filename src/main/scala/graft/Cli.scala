@@ -175,22 +175,25 @@ object Cli {
     // span removal only fires on partial overlaps; --dsir <lang>
     // additionally keeps, of the NON-<lang> docs, only those selected by
     // the x51 sampled-threshold importance rule toward the <lang> subset
-    // (selection runs after dedup so scores never count duplicates twice).
+    // (selection runs after dedup so scores never count duplicates twice);
+    // --scale runs the measured 100 TB dedup recipe (cascade exact-first →
+    // near-dup CC → capped audits; --emb adds the IMI embedding signal).
     case "corpus" :: docsPath :: outDir :: rest
         if parseCorpusFlags(rest).isDefined =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val flags = parseCorpusFlags(rest).get
       // --ckpt <dir>: every stage-boundary materialization below becomes a
       // RELIABLE checkpoint (object-store backed) instead of executor-local
       // blocks — at 100 TB an executor loss mid-pipeline must not restart
       // the whole corpus build
-      val ckptDir = parseCorpusFlags(rest).flatMap(_._4)
+      val ckptDir = flags.ckptDir
       def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         graft.xscale.DedupClusters.ckpt(df, ckptDir)
       val docs = spark.read.parquet(docsPath)
       val cols = docs.columns.map(org.apache.spark.sql.functions.col).toSeq
       val quality = TrainingData.qualityFilter(docs).select(cols: _*)
       val kept =
-        if (rest.contains("--strict")) TrainingData.repetitionFilter(quality).select(cols: _*)
+        if (flags.strict) TrainingData.repetitionFilter(quality).select(cols: _*)
         else quality
       // Materialize the reused stage boundaries (the x57 rule): dedup
       // output feeds span removal (three internal reads) + the re-join +
@@ -198,9 +201,46 @@ object Cli {
       // AND a count — without the cuts every consumer re-runs the whole
       // upstream pipeline. The quality filter itself stays lazy (one
       // cheap per-row scan each for the dedup lineage and kept-count).
-      val dedupedDocs = cut(TrainingData.dedupExact(kept))
+      val exactDeduped = cut(TrainingData.dedupExact(kept))
+      // --scale: the MEASURED 100 TB dedup recipe (NOTES 100× tables) as
+      // one preset — CASCADE exact-first (x99: clone mass collapses on the
+      // cheap 8-byte norm-key groupBy before any candidate generation;
+      // flat at 100× measured), then NEAR-dup on the exact survivors:
+      // with --emb the joint text+embedding graph with the embedding leg
+      // on x138 IMI product cells (x50_joint_imi — O(n·2√cells)
+      // assignment, the measured remediation of flat auto-nc), else the
+      // text-only simhash graph; plus CAPPED audits written beside the
+      // corpus (x122 cluster diameter, mega-clusters sampled to 8; x121
+      // LSH fidelity on a mod-10 doc sample) so the dedup's health is
+      // part of the release, at audit cost that stays bounded at 100×.
+      val dedupedDocs =
+        if (!flags.scale) exactDeduped
+        else {
+          val pairs = flags.embPath match {
+            case Some(embPath) =>
+              // only surviving docs' vectors vote: an embedding pair
+              // touching a quality-dropped or exact-dup-dropped id must
+              // not pull a survivor into its cluster (left_semi on the
+              // 8-byte id — one keyed join, no broadcast assumption)
+              val emb = spark.read.parquet(embPath).join(
+                exactDeduped.select(
+                  org.apache.spark.sql.functions.col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+              xscale.Dedup.jointPairsImi(
+                exactDeduped, emb,
+                trainSample = 0.1, checkpointDir = ckptDir)
+            case None =>
+              xscale.Dedup.simhashPairs(exactDeduped)
+                .select(
+                  org.apache.spark.sql.functions.col("doc_id_a").as("a"),
+                  org.apache.spark.sql.functions.col("doc_id_b").as("b"))
+          }
+          cut(graft.xscale.DedupClusters
+            .dedupByPairs(exactDeduped, pairs, checkpointDir = ckptDir)
+            .select(cols: _*))
+        }
       val deduped =
-        if (rest.contains("--despan")) {
+        if (flags.despan) {
           // docs emptied entirely by span removal carry no training signal
           // — drop them like any other filter stage
           val clean = TrainingData.removeSharedSpans(dedupedDocs)
@@ -218,7 +258,7 @@ object Cli {
                 org.apache.spark.sql.functions.col("text")).cast("long"))
             .select(cols: _*))
         } else dedupedDocs
-      val selected = parseCorpusFlags(rest).flatMap(_._3) match {
+      val selected = flags.dsirLang match {
         case Some(lang) =>
           val c = org.apache.spark.sql.functions.col _
           val sel = TrainingData
@@ -239,6 +279,17 @@ object Cli {
         .join(packs.select("doc_id", "n_tok", "shard", "pack"), "doc_id")
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split").parquet(outDir)
+      // --scale audits ship BESIDE the corpus, AFTER its Overwrite write
+      // (which clears outDir); the underscore dir is invisible to parquet
+      // discovery, so reads of outDir see only the corpus
+      if (flags.scale) {
+        xscale.Dedup.clusterDiameter(exactDeduped, maxClusterSize = 8L)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/_audits/cluster_diameter")
+        xscale.Dedup.lshFidelity(exactDeduped, sampleMod = 10L)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/_audits/lsh_fidelity")
+      }
       // Stats without re-running the pipeline: input + kept ride on ONE
       // annotated scan (the filter predicates as flag columns instead of a
       // second filtered pass); deduped/selected count materialized
@@ -246,11 +297,11 @@ object Cli {
       // written corpus. The job-count bound is spec-pinned.
       import org.apache.spark.sql.functions.{coalesce, count, countDistinct, lit, sum, when}
       val keepCol =
-        if (rest.contains("--strict"))
+        if (flags.strict)
           xscale.TextAnalysis.gopherKeep && xscale.TextAnalysis.repetitionKeep
         else xscale.TextAnalysis.gopherKeep
       val annotated =
-        if (rest.contains("--strict"))
+        if (flags.strict)
           xscale.TextAnalysis.repetitionAnnotate(xscale.TextAnalysis.gopherAnnotate(docs))
         else xscale.TextAnalysis.gopherAnnotate(docs)
       val inStats = annotated.agg(
@@ -265,11 +316,23 @@ object Cli {
           .otherwise(0L)), lit(0L)),
         countDistinct(org.apache.spark.sql.functions.col("shard"),
           org.apache.spark.sql.functions.col("pack"))).head()
+      // the executed stage list, in order — the preset's contract
+      // (spec-pinned), so a release's provenance is in its stats line
+      val stages = Seq("quality") ++
+        (if (flags.strict) Seq("strict") else Nil) ++
+        Seq("dedup_exact") ++
+        (if (flags.scale && flags.embPath.isDefined) Seq("neardup_joint_imi")
+         else if (flags.scale) Seq("neardup_simhash") else Nil) ++
+        (if (flags.scale) Seq("audit_diameter_capped", "audit_lsh_sampled") else Nil) ++
+        (if (flags.despan) Seq("despan") else Nil) ++
+        (if (flags.dsirLang.isDefined) Seq("dsir_threshold") else Nil) ++
+        Seq("split", "pack")
       println(
         s"""{"input":${inStats.getLong(0)},"kept":${inStats.getLong(1)},""" +
           s""""deduped":${deduped.count()},"selected":${selectedM.count()},""" +
           s""""train":${outStats.getLong(0)},"val":${outStats.getLong(1)},""" +
           s""""test":${outStats.getLong(2)},"packs":${outStats.getLong(3)},""" +
+          s""""stages":[${stages.map(jsonStr).mkString(",")}],""" +
           s""""out":${jsonStr(outDir)}}""")
       0
 
@@ -278,21 +341,32 @@ object Cli {
       2
   }
 
-  /** corpus flag parser: (--strict?, --despan?, --dsir target-lang?,
-    * --ckpt reliable-checkpoint-dir?); None on anything unrecognized so
-    * the command falls through to usage().
+  /** Parsed `corpus` flags. `scale` turns on the measured 100 TB dedup
+    * recipe (see the corpus case); `embPath` adds the embedding near-dup
+    * signal to it.
     */
-  private def parseCorpusFlags(
-      rest: List[String]): Option[(Boolean, Boolean, Option[String], Option[String])] = rest match {
-    case Nil => Some((false, false, None, None))
-    case "--strict" :: tail =>
-      parseCorpusFlags(tail).map { case (_, d, t, c) => (true, d, t, c) }
-    case "--despan" :: tail =>
-      parseCorpusFlags(tail).map { case (s, _, t, c) => (s, true, t, c) }
+  private[graft] final case class CorpusFlags(
+      strict: Boolean = false,
+      despan: Boolean = false,
+      dsirLang: Option[String] = None,
+      ckptDir: Option[String] = None,
+      scale: Boolean = false,
+      embPath: Option[String] = None)
+
+  /** corpus flag parser; None on anything unrecognized so the command
+    * falls through to usage().
+    */
+  private def parseCorpusFlags(rest: List[String]): Option[CorpusFlags] = rest match {
+    case Nil => Some(CorpusFlags())
+    case "--strict" :: tail => parseCorpusFlags(tail).map(_.copy(strict = true))
+    case "--despan" :: tail => parseCorpusFlags(tail).map(_.copy(despan = true))
     case "--dsir" :: lang :: tail if !lang.startsWith("--") =>
-      parseCorpusFlags(tail).map { case (s, d, _, c) => (s, d, Some(lang), c) }
+      parseCorpusFlags(tail).map(_.copy(dsirLang = Some(lang)))
     case "--ckpt" :: dir :: tail if !dir.startsWith("--") =>
-      parseCorpusFlags(tail).map { case (s, d, t, _) => (s, d, t, Some(dir)) }
+      parseCorpusFlags(tail).map(_.copy(ckptDir = Some(dir)))
+    case "--scale" :: tail => parseCorpusFlags(tail).map(_.copy(scale = true))
+    case "--emb" :: path :: tail if !path.startsWith("--") =>
+      parseCorpusFlags(tail).map(_.copy(embPath = Some(path)))
     case _ => None
   }
 
@@ -302,6 +376,9 @@ object Cli {
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
+        "                 [--scale] [--emb <embeddingsParquet>]   (--scale = the measured 100 TB dedup recipe:\n" +
+        "                 cascade exact-first -> near-dup CC (joint IMI with --emb, simhash without) -> capped\n" +
+        "                 x122/x121 audits written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")

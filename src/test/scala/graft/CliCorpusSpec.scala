@@ -147,4 +147,71 @@ class CliCorpusSpec extends SparkSpec {
   test("unknown subcommand still exits 2") {
     assert(Cli.run(spark, List("bogus")) === 2)
   }
+
+  test("corpus --scale runs the measured 100 TB dedup recipe; stage list pinned") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("cli-corpus-scale")
+    // fixture: the real sf0.001 docs (they pass the quality rules) plus
+    // PLANTED duplicate structure — 20 exact copies (id+20000, byte-
+    // identical text) and 50 near copies (id+10000, one appended token),
+    // with an embedding side whose copies carry near-identical vectors
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exactCopies = docs0.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 20000L)
+    val nearCopies = docs0.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text", concat(col("text"), lit(" zq")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = docs0.unionByName(exactCopies).unionByName(nearCopies)
+    val emb0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val embCopies = emb0.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 10000L)
+    val emb = emb0.unionByName(embCopies)
+    val docsPath = base.getPath + "/docs.parquet"
+    val embPath = base.getPath + "/emb.parquet"
+    docs.write.parquet(docsPath)
+    emb.write.parquet(embPath)
+
+    def runCapture(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    def stages(json: String): Seq[String] = {
+      val m = """"stages":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      m.get.group(1).split(",").map(_.replaceAll("\"", "")).toSeq
+    }
+
+    val plainJson = runCapture(List("corpus", docsPath, base.getPath + "/plain"))
+    assert(stages(plainJson) === Seq("quality", "dedup_exact", "split", "pack"))
+    val scaleJson = runCapture(List("corpus", docsPath, base.getPath + "/scale", "--scale"))
+    assert(stages(scaleJson) === Seq(
+      "quality", "dedup_exact", "neardup_simhash",
+      "audit_diameter_capped", "audit_lsh_sampled", "split", "pack"))
+    val jointJson = runCapture(List(
+      "corpus", docsPath, base.getPath + "/joint", "--scale", "--emb", embPath))
+    assert(stages(jointJson) === Seq(
+      "quality", "dedup_exact", "neardup_joint_imi",
+      "audit_diameter_capped", "audit_lsh_sampled", "split", "pack"))
+
+    // the preset EARNS its stages: exact copies die in both; the planted
+    // near copies survive plain (exact-only) and die under --scale
+    val plain = spark.read.parquet(base.getPath + "/plain")
+    val scale = spark.read.parquet(base.getPath + "/scale")
+    assert(plain.filter(col("doc_id") >= 20000L).isEmpty, "exact copies must die in plain")
+    val nearInPlain = plain.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L).count()
+    val nearInScale = scale.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L).count()
+    assert(nearInPlain > 0, "near copies must SURVIVE exact-only dedup")
+    assert(nearInScale < nearInPlain,
+      s"--scale must remove near-dups: $nearInScale vs $nearInPlain")
+    assert(scale.count() < plain.count())
+    // capped audits ship beside the corpus
+    val diam = spark.read.parquet(base.getPath + "/scale/_audits/cluster_diameter")
+    assert(diam.count() > 0 && diam.columns.contains("n_capped"))
+    val fid = spark.read.parquet(base.getPath + "/scale/_audits/lsh_fidelity")
+    assert(fid.count() > 0)
+    // the joint run agrees with text-only on the planted structure (the
+    // embedding copies mirror the text copies) and never keeps MORE
+    assert(spark.read.parquet(base.getPath + "/joint").count() <= scale.count())
+  }
 }

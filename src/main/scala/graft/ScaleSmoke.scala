@@ -299,6 +299,10 @@ object ScaleSmoke {
       // construction (its every doc is a factor-sized clique member, so
       // pair generation alone is C(factor·dups,2)·clusters). Same ops,
       // same knobs; only the corpus is the realistic one.
+      // The narrow (oracle-currency) forms run to the 1e5-docs/shard
+      // boundary the 6-7-bit pigeonhole blocks are calibrated for; past
+      // it (100x = 500k docs) the _wide twins below ARE the production
+      // posture — x15's 120-bit blocks, SURVEY's documented escape hatch.
       "x14_powerlaw" -> ((s, d) => {
         val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
         xscale.DedupClusters.dedupByPairs(
@@ -307,18 +311,41 @@ object ScaleSmoke {
             .select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
           .groupBy("source").agg(count(lit(1)).as("n_after"))
       }),
+      "x14_powerlaw_wide" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
+        xscale.DedupClusters.dedupByPairs(
+          docs, xscale.Dedup.textLegPairs(docs, xscale.Dedup.SimhashWideLeg))
+          .groupBy("source").agg(count(lit(1)).as("n_after"))
+      }),
+      "x14_powerlaw_minhash" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
+        xscale.DedupClusters.dedupByPairs(
+          docs, xscale.Dedup.textLegPairs(docs, xscale.Dedup.MinhashLeg))
+          .groupBy("source").agg(count(lit(1)).as("n_after"))
+      }),
       "x50_joint_imi_powerlaw" -> ((s, d) =>
         TrainingData.jointDedupImi(
           s.read.parquet(s"$d/powerlaw_documents.parquet"),
           s.read.parquet(s"$d/powerlaw_embeddings.parquet"),
           trainSample = 0.1,
           checkpointDir = Some(s"$d/_checkpoints"))),
+      "x50_joint_imi_powerlaw_minhash" -> ((s, d) =>
+        TrainingData.jointDedupImi(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"),
+          s.read.parquet(s"$d/powerlaw_embeddings.parquet"),
+          trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"),
+          textLeg = xscale.Dedup.MinhashLeg)),
       "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
         xscale.Dedup.lshFidelity(
           s.read.parquet(s"$d/powerlaw_documents.parquet"), sampleMod = 10L)),
       "x122_cluster_diameter_powerlaw" -> ((s, d) =>
         xscale.Dedup.clusterDiameter(
           s.read.parquet(s"$d/powerlaw_documents.parquet"), maxClusterSize = 8L)),
+      "x122_cluster_diameter_powerlaw_wide" -> ((s, d) =>
+        xscale.Dedup.clusterDiameter(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"), maxClusterSize = 8L,
+          wide = true)),
       // x121 scale posture: the fidelity estimate runs on a mod-10 doc
       // sample (10^7 | shift, so id-shifted duplicate clusters survive
       // sampling intact) — the quadratic exact-Jaccard truth leg shrinks

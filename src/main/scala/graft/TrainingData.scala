@@ -364,11 +364,12 @@ object TrainingData {
       hamming: Int = 8, tau: Double = 0.45,
       ncHalf: Int = 0,
       trainSample: Double = 1.0,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      textLeg: Dedup.TextLeg = Dedup.SimhashLeg): DataFrame =
     DedupClusters.dedupByPairs(
       docs,
       Dedup.jointPairsImi(docs, emb, hamming, tau, ncHalf,
-        trainSample = trainSample, checkpointDir = checkpointDir),
+        trainSample = trainSample, checkpointDir = checkpointDir, textLeg = textLeg),
       checkpointDir = checkpointDir)
 
   /** Pack hygiene audit (x66): per (shard, pack) doc count, source

@@ -135,9 +135,13 @@ object Synthetic {
   /** Power-law-duplicate synthetic TEXT corpus — the realistic dedup
     * fixture: ~99% unique docs, ~1% duplicate mass in clusters with
     * power-law sizes (see [[powerlawCanon]]). Cluster members share the
-    * canonical text (Zipf-word, [[zipfDocs]] machinery, seeded by the
-    * cluster id); NEAR clusters append one member-specific token
-    * (3-shingle Jaccard ≈ (L−3)/(L+3) ≈ 0.95 — above every detector
+    * canonical text (UNIFORM-draw words seeded by the cluster id — NOT
+    * Zipf: a shared Zipfian head correlates every doc's simhash bits and
+    * minhash sketch, so unrelated docs flood the pigeonhole/band buckets
+    * and pair generation goes quadratic for reasons that are fixture
+    * artifacts, not dedup cost; [[zipfDocs]] remains the separate fixture
+    * for df-dependent ops); NEAR clusters append one member-specific
+    * token (3-shingle Jaccard ≈ (L−3)/(L+3) ≈ 0.95 — above every detector
     * threshold here), EXACT clusters are byte-identical. Same schema as
     * the driver documents table (doc_id, text, lang, source, n_chars);
     * lang/source are cluster-coherent so survivor accounting is
@@ -152,11 +156,9 @@ object Synthetic {
         col("id").as("doc_id"),
         {
           val len = (h(concat(lit("pllen:"), col("canon"))) % 200 + 30).cast("int")
-          val word = (t: org.apache.spark.sql.Column) => {
-            val u = (h(concat(lit("plw:"), col("canon"), lit(":"), t)) % 1000000L)
-              .cast("double") / 1000000.0
-            concat(lit("w"), floor(pow(lit((vocab + 1).toDouble), u)).cast("long").cast("string"))
-          }
+          val word = (t: org.apache.spark.sql.Column) =>
+            concat(lit("w"),
+              (h(concat(lit("plw:"), col("canon"), lit(":"), t)) % vocab).cast("string"))
           val base = concat_ws(" ", transform(sequence(lit(1), len), word))
           when(col("near"),
             concat(base, lit(" v"), (h(concat(lit("plm:"), col("id"))) % 100000L).cast("string")))

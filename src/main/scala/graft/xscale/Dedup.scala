@@ -233,6 +233,32 @@ object Dedup {
     * 100 TB posture where even the coarse quantizer's assignment must not
     * scan nc ∝ corpus centroids per vector. Text leg unchanged.
     */
+  /** The text-side near-dup detector for the joint (x50) graph. The
+    * narrow simhash pigeonhole is the oracle currency but its 6-7-bit
+    * blocks hold n/2^7 docs per bucket value — quadratic by construction
+    * past ~1e5 docs/shard. Past that boundary pick one of the two
+    * measured scale postures: [[SimhashWideLeg]] (x15's 120-bit blocks —
+    * high precision, hamming ≤ 3, misses looser paraphrase pairs) or
+    * [[MinhashLeg]] (x02's banded MinHash-LSH — the band key is an md5
+    * over 4 signature values, an effectively unbounded keyspace, so
+    * bucket occupancy tracks TRUE similarity instead of corpus size).
+    */
+  sealed trait TextLeg
+  case object SimhashLeg extends TextLeg
+  case object SimhashWideLeg extends TextLeg
+  case object MinhashLeg extends TextLeg
+
+  /** Text near-dup pairs (a, b) under the chosen [[TextLeg]]; `hamming`
+    * applies to the narrow leg only (the wide and minhash legs carry
+    * their own calibrated decision thresholds).
+    */
+  def textLegPairs(docs: DataFrame, leg: TextLeg, hamming: Int = 8): DataFrame =
+    (leg match {
+      case SimhashLeg => simhashPairs(docs).filter(col("hamming") <= hamming)
+      case SimhashWideLeg => simhashPairs(docs, wide = true)
+      case MinhashLeg => minhashPairs(docs)
+    }).select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+
   def jointPairsImi(
       docs: DataFrame,
       emb: DataFrame,
@@ -240,12 +266,11 @@ object Dedup {
       tau: Double = 0.45,
       ncHalf: Int = 0,
       trainSample: Double = 1.0,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val tp = simhashPairs(docs)
-      .filter(col("hamming") <= hamming)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    tp.unionByName(embImiPairs(emb, tau, ncHalf, trainSample, checkpointDir)).distinct()
-  }
+      checkpointDir: Option[String] = None,
+      textLeg: TextLeg = SimhashLeg): DataFrame =
+    textLegPairs(docs, textLeg, hamming)
+      .unionByName(embImiPairs(emb, tau, ncHalf, trainSample, checkpointDir))
+      .distinct()
 
   /** x47 core: per unordered source pair, the number of exact-dup groups
     * (normalized-text key) containing docs of both sources. Columns
@@ -631,12 +656,21 @@ object Dedup {
     * lower bounds there). Default [[NoCap]] = exact, the oracle pin.
     * Final rollup is |distinct sizes| rows.
     */
-  def clusterDiameter(docs: DataFrame, maxClusterSize: Long = NoCap): DataFrame = {
+  def clusterDiameter(
+      docs: DataFrame,
+      maxClusterSize: Long = NoCap,
+      wide: Boolean = false): DataFrame = {
     // cap 1 would leave no within-cluster pairs at all — every cluster
     // silently vanishes from the rollup's inner join. Refuse loudly.
     require(maxClusterSize >= 2, s"maxClusterSize must be >= 2, got $maxClusterSize")
+    // `wide` switches CANDIDATE GENERATION to the 120-bit form (x15) —
+    // the documented >1e5-docs/shard posture, where the narrow 6-7-bit
+    // pigeonhole blocks are quadratic by construction (n/2^7 docs per
+    // bucket value). The audit METRIC (diam/n_edges) stays in x04's
+    // 60-bit hamming currency either way, so capped rollups remain
+    // comparable across the switch.
     val fp = fingerprints(docs, wide = false).select(col("doc_id").as("id"), col("s1"))
-    val pairs = simhashPairs(docs)
+    val pairs = simhashPairs(docs, wide = wide)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val labels = DedupClusters.connectedComponents(pairs)
     val m0 = labels.join(fp, "id")

@@ -40,8 +40,10 @@ object ScaleSmoke {
     "x114_len_quality_corr", "x115_source_divergence", "x116_collocations",
     "x117_template_slots", "x118_dim_stats", "x119_burstiness",
     "x120_markup_residue", "x121_lsh_fidelity_auto", "x122_cluster_diameter_auto",
-    "x14_powerlaw", "x50_joint_imi_powerlaw",
+    "x14_powerlaw", "x14_powerlaw_wide", "x14_powerlaw_minhash",
+    "x50_joint_imi_powerlaw", "x50_joint_imi_powerlaw_minhash",
     "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
+    "x122_cluster_diameter_powerlaw_wide",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
     "x126_dedup_length_bias", "x127_stage_overlap", "x128_signal_agreement",
     "x129_threshold_sweep", "x130_token_profile", "x131_source_tv_matrix",

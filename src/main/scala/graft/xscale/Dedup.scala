@@ -1702,6 +1702,67 @@ object Dedup {
         .orderBy("source")
     },
 
+    // ----- x50c: the joint dedup with the MinHash text leg (the >1e5-docs posture) -----
+    Q(
+      "x50_joint_minhash",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        s"WITH RECURSIVE $sigSqlCtes, " +
+          s"bkm AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS key " +
+          s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band FROM sig)), " +
+          "pt AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb " +
+          "FROM bkm a JOIN bkm b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id " +
+          s"WHERE len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) >= ${K / 2}), " +
+          // embedding leg: identical to x50_joint_imi (IMI product cells)
+          s"${Similarity.normCtes}, " +
+          s"vi0 AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${Similarity.VSCALE}) AS BIGINT)) " +
+          "AS vfull FROM n), " +
+          s"${Similarity.pqKmeansSql(0, Similarity.NC, 32)}, " +
+          s"${Similarity.pqKmeansSql(1, Similarity.NC, 32)}, " +
+          "ia0 AS (SELECT vec_id, cid FROM r0_m0 WHERE rn = 1), " +
+          "ia1 AS (SELECT vec_id, cid FROM r0_m1 WHERE rn = 1), " +
+          s"asg AS (SELECT ia0.vec_id, ia0.cid * ${Similarity.NC} + ia1.cid AS cid " +
+          "FROM ia0 JOIN ia1 USING (vec_id)), " +
+          "pe AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM asg a " +
+          "JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+          "JOIN n q ON q.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id " +
+          s"WHERE ${Similarity.cosSql} >= 0.45), " +
+          "p AS (SELECT pa, pb FROM pt UNION SELECT pa, pb FROM pe), " +
+          "ed AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM ed " +
+          "UNION SELECT ed.pa AS id, r.comp FROM ed JOIN reach r ON ed.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component) " +
+          "SELECT source, " +
+          "CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM losers)) AS BIGINT) AS n_after, " +
+          "CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM losers)) AS BIGINT) AS n_dropped " +
+          "FROM documents GROUP BY source ORDER BY source"
+      },
+      "the joint multi-signal dedup with its TEXT leg on x02's banded MinHash-LSH " +
+        "instead of the simhash pigeonhole — the text-side scale posture past " +
+        "~1e5 docs/shard, where the narrow 6-7-bit blocks hold n/128 docs per " +
+        "bucket value (quadratic by construction) while the md5 band key's " +
+        "unbounded keyspace keeps bucket occupancy tracking TRUE similarity. " +
+        "Embedding leg (IMI product cells), CC, and survivor accounting are " +
+        "IDENTICAL to x50_joint_imi, so the three registered x50 forms isolate " +
+        "exactly one swap each. Battery twin x50_joint_imi_powerlaw_minhash " +
+        "measures it on the power-law dup fixture at 100×."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = jointPairsImi(
+        docs, table(s, dir, "embeddings"), ncHalf = Similarity.NC,
+        textLeg = MinhashLeg)
+      val losers = DedupClusters.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"), lit(1).as("_l"))
+      docs.join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          sum(when(col("_l").isNull, 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("_l").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("source")
+    },
+
     // ----- x121: MinHash-LSH fidelity (S-curve + recall vs exact Jaccard) -----
     Q(
       "x121_lsh_fidelity",

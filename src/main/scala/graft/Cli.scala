@@ -213,6 +213,13 @@ object Cli {
       // corpus (x122 cluster diameter, mega-clusters sampled to 8; x121
       // LSH fidelity on a mod-10 doc sample) so the dedup's health is
       // part of the release, at audit cost that stays bounded at 100×.
+      // the text-leg auto rule: narrow simhash inside its structural
+      // ~1e5-docs boundary, banded MinHash-LSH past it (the narrow
+      // 6-7-bit blocks hold n/128 docs per bucket value — quadratic by
+      // construction at scale). The survivor count is one action on the
+      // just-materialized checkpoint.
+      lazy val nSurvivors = if (flags.scale) exactDeduped.count() else 0L
+      lazy val scaleLeg = xscale.Dedup.textLegFor(nSurvivors)
       val dedupedDocs =
         if (!flags.scale) exactDeduped
         else {
@@ -228,12 +235,9 @@ object Cli {
                 Seq("vec_id"), "left_semi")
               xscale.Dedup.jointPairsImi(
                 exactDeduped, emb,
-                trainSample = 0.1, checkpointDir = ckptDir)
+                trainSample = 0.1, checkpointDir = ckptDir, textLeg = scaleLeg)
             case None =>
-              xscale.Dedup.simhashPairs(exactDeduped)
-                .select(
-                  org.apache.spark.sql.functions.col("doc_id_a").as("a"),
-                  org.apache.spark.sql.functions.col("doc_id_b").as("b"))
+              xscale.Dedup.textLegPairs(exactDeduped, scaleLeg)
           }
           cut(graft.xscale.DedupClusters
             .dedupByPairs(exactDeduped, pairs, checkpointDir = ckptDir)
@@ -283,7 +287,10 @@ object Cli {
       // (which clears outDir); the underscore dir is invisible to parquet
       // discovery, so reads of outDir see only the corpus
       if (flags.scale) {
-        xscale.Dedup.clusterDiameter(exactDeduped, maxClusterSize = 8L)
+        // past the narrow boundary the diameter audit's own pair
+        // generation must switch to the wide blocks too
+        xscale.Dedup.clusterDiameter(exactDeduped, maxClusterSize = 8L,
+          wide = nSurvivors > xscale.Dedup.NarrowSimhashBoundary)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$outDir/_audits/cluster_diameter")
         xscale.Dedup.lshFidelity(exactDeduped, sampleMod = 10L)
@@ -318,11 +325,15 @@ object Cli {
           org.apache.spark.sql.functions.col("pack"))).head()
       // the executed stage list, in order — the preset's contract
       // (spec-pinned), so a release's provenance is in its stats line
+      val legName = if (flags.scale) scaleLeg match {
+        case xscale.Dedup.MinhashLeg => "minhash"
+        case _ => "simhash"
+      } else ""
       val stages = Seq("quality") ++
         (if (flags.strict) Seq("strict") else Nil) ++
         Seq("dedup_exact") ++
-        (if (flags.scale && flags.embPath.isDefined) Seq("neardup_joint_imi")
-         else if (flags.scale) Seq("neardup_simhash") else Nil) ++
+        (if (flags.scale && flags.embPath.isDefined) Seq(s"neardup_joint_imi_$legName")
+         else if (flags.scale) Seq(s"neardup_$legName") else Nil) ++
         (if (flags.scale) Seq("audit_diameter_capped", "audit_lsh_sampled") else Nil) ++
         (if (flags.despan) Seq("despan") else Nil) ++
         (if (flags.dsirLang.isDefined) Seq("dsir_threshold") else Nil) ++
@@ -377,8 +388,9 @@ object Cli {
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
         "                 [--scale] [--emb <embeddingsParquet>]   (--scale = the measured 100 TB dedup recipe:\n" +
-        "                 cascade exact-first -> near-dup CC (joint IMI with --emb, simhash without) -> capped\n" +
-        "                 x122/x121 audits written under <outDir>/_audits)\n" +
+        "                 cascade exact-first -> near-dup CC (joint IMI with --emb; text leg auto-chosen by\n" +
+        "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
+        "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")

@@ -42,6 +42,7 @@ object ScaleSmoke {
     "x120_markup_residue", "x121_lsh_fidelity_auto", "x122_cluster_diameter_auto",
     "x14_powerlaw", "x14_powerlaw_wide", "x14_powerlaw_minhash",
     "x50_joint_imi_powerlaw", "x50_joint_imi_powerlaw_minhash",
+    "x99_cascade_powerlaw_auto",
     "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
     "x122_cluster_diameter_powerlaw_wide",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
@@ -338,6 +339,12 @@ object ScaleSmoke {
           trainSample = 0.1,
           checkpointDir = Some(s"$d/_checkpoints"),
           textLeg = xscale.Dedup.MinhashLeg)),
+      // the cascade in its any-size posture: near-dup leg auto-chosen by
+      // the exact-survivor count (simhash ≤ 1e5, minhash past it)
+      "x99_cascade_powerlaw_auto" -> ((s, d) =>
+        xscale.Dedup.dedupCascadeAuto(
+          s.read.parquet(s"$d/powerlaw_documents.parquet"),
+          checkpointDir = Some(s"$d/_checkpoints"))),
       "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
         xscale.Dedup.lshFidelity(
           s.read.parquet(s"$d/powerlaw_documents.parquet"), sampleMod = 10L)),

@@ -400,10 +400,11 @@ object Dedup {
     * rather than cached — one extra WindowGroupLimit shuffle is cheaper
     * than pinning a corpus-sized frame in executor memory.
     */
-  def dedupCascade(docs: DataFrame): DataFrame = {
-    val exact = dedupExact(docs)
-    val pairs = simhashPairs(exact)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+  def dedupCascade(docs: DataFrame, textLeg: TextLeg = SimhashLeg): DataFrame =
+    cascadeOver(docs, dedupExact(docs), textLeg)
+
+  private def cascadeOver(docs: DataFrame, exact: DataFrame, textLeg: TextLeg): DataFrame = {
+    val pairs = textLegPairs(exact, textLeg)
     val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val exs = exact.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val fin = DedupClusters.dedupByPairs(exact, pairs)
@@ -415,6 +416,40 @@ object Dedup {
         (col("n_docs") - col("n_exact")).as("removed_exact"),
         (col("n_exact") - col("n_final")).as("removed_near"),
         col("n_final"))
+  }
+
+  /** The corpus size past which [[SimhashLeg]]'s candidate generation is
+    * structurally quadratic: its 6-7-bit pigeonhole blocks hold n/128
+    * docs per bucket value, so candidate mass is ~9·128·C(n/128, 2) ≈
+    * n²/28 regardless of content — ~3.6e8 rows at 1e5 docs (workable),
+    * ~3.6e10 at 1e6 (not). Shard to this size or switch legs.
+    */
+  val NarrowSimhashBoundary = 100000L
+
+  /** The text-leg auto rule: narrow simhash (the oracle currency, best
+    * recall at hamming ≤ 8) within its structural boundary, banded
+    * MinHash-LSH past it. Callers that know their corpus size pick
+    * directly; pipeline code that has just materialized a stage boundary
+    * (so the count is one cheap action on a checkpoint) uses this.
+    */
+  def textLegFor(nDocs: Long): TextLeg =
+    if (nDocs > NarrowSimhashBoundary) MinhashLeg else SimhashLeg
+
+  /** [[dedupCascade]] with the near-dup leg chosen by [[textLegFor]] on
+    * the EXACT-survivor count — the form that holds at any corpus size.
+    * Costs one count() action over the exact-survivor frame before the
+    * plan builds (one norm-key shuffle — the same shuffle the cascade
+    * pays anyway, and on a real cluster the survivors are a checkpointed
+    * stage boundary, making the count a metadata read).
+    */
+  def dedupCascadeAuto(
+      docs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut = DedupClusters.ckpt(docs, checkpointDir)
+    // materialize the exact survivors ONCE: the leg-choosing count and
+    // the cascade's three consumers all read the same checkpoint
+    val exact = DedupClusters.ckpt(dedupExact(cut), checkpointDir)
+    cascadeOver(cut, exact, textLegFor(exact.count()))
   }
 
   /** x105 core: cross-source NEAR-dup matrix — x47's "who copies whom"

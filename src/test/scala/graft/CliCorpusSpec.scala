@@ -190,8 +190,10 @@ class CliCorpusSpec extends SparkSpec {
       "audit_diameter_capped", "audit_lsh_sampled", "split", "pack"))
     val jointJson = runCapture(List(
       "corpus", docsPath, base.getPath + "/joint", "--scale", "--emb", embPath))
+    // the stage name carries the auto-chosen text leg: simhash inside the
+    // ~1e5-doc narrow boundary (this fixture), minhash past it
     assert(stages(jointJson) === Seq(
-      "quality", "dedup_exact", "neardup_joint_imi",
+      "quality", "dedup_exact", "neardup_joint_imi_simhash",
       "audit_diameter_capped", "audit_lsh_sampled", "split", "pack"))
 
     // the preset EARNS its stages: exact copies die in both; the planted

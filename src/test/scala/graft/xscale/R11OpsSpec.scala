@@ -80,6 +80,22 @@ class R11OpsSpec extends SparkSpec {
       s"mod-10 sample must shrink pair mass far sub-linearly: $sampled vs $full")
   }
 
+  test("text-leg auto rule: narrow simhash inside its boundary, minhash past it; cascade honors it") {
+    assert(Dedup.textLegFor(1000L) === Dedup.SimhashLeg)
+    assert(Dedup.textLegFor(Dedup.NarrowSimhashBoundary) === Dedup.SimhashLeg)
+    assert(Dedup.textLegFor(Dedup.NarrowSimhashBoundary + 1) === Dedup.MinhashLeg)
+    // on this (sub-boundary) fixture the auto cascade IS the narrow
+    // cascade — same stage-attributed waterfall rows
+    val auto = Dedup.dedupCascadeAuto(docs).orderBy("source").collect().toSeq
+    val narrow = Dedup.dedupCascade(docs).orderBy("source").collect().toSeq
+    assert(auto === narrow)
+    // and the minhash leg's cascade removes near mass too (the >boundary
+    // posture produces a real waterfall, not a no-op near stage)
+    val mh = Dedup.dedupCascade(docs, Dedup.MinhashLeg)
+      .agg(sum("removed_near")).as[Long].head()
+    assert(mh > 0, s"minhash-leg cascade must remove near mass: $mh")
+  }
+
   test("powerlaw embeddings: cluster-coherent vectors, near noise inside dup thresholds") {
     val emb = Synthetic.powerlawEmbeddings(spark, 4000L).localCheckpoint()
     assert(emb.count() === 4000L)

@@ -38,7 +38,7 @@ object Cli {
     } + "\""
 
   def main(args: Array[String]): Unit =
-    if (!Set("ingest", "query", "generate-synthetic-data", "corpus", "report").contains(
+    if (!Set("ingest", "query", "generate-synthetic-data", "corpus", "report", "admit").contains(
         args.headOption.getOrElse(""))) {
       usage(); sys.exit(2)
     } else {
@@ -347,6 +347,77 @@ object Cli {
           s""""out":${jsonStr(outDir)}}""")
       0
 
+    // daily-ingest ADMISSION (the x74 posture as a verb): classify an
+    // arriving batch against an existing corpus WITHOUT re-clustering or
+    // re-shuffling the corpus — exact key already in corpus / exact key
+    // claimed by an earlier batch arrival / MinHash-band near-dup of a
+    // corpus doc (x02's decision rule, batch x corpus candidates only) /
+    // admitted. Writes <outDir>/admitted (the batch rows that belong in
+    // the corpus, full batch columns) and <outDir>/report (per-status
+    // count + bit_xor key checksum — exactly x74's oracle row shape, so
+    // the report is the hash-verified currency), plus one stats line.
+    // --sigs <dir>: persist the corpus's dedup state (doc_id, key,
+    // K-minhash sig — Dedup.dedupSignatures) as a sidecar. The first run
+    // bootstraps it from the corpus text; every later run classifies
+    // against the SIDECAR and appends the admitted docs' signatures, so
+    // the corpus text is never re-read or re-hashed — the frozen-index
+    // pattern (x79's IVFPQ add) applied to dedup state. Without --sigs,
+    // the corpus still contributes only one key projection + one
+    // signature scan; admitting a few GB never re-shuffles the corpus.
+    case "admit" :: corpusPath :: batchPath :: outDir :: rest
+        if parseAdmitFlags(rest).isDefined =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val flags = parseAdmitFlags(rest).get
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val batch = spark.read.parquet(batchPath)
+      // batch signatures feed classification AND the sidecar append — one
+      // text pass, materialized once (batch-sized frame)
+      val batchSigs = graft.xscale.DedupClusters.ckpt(
+        xscale.Dedup.dedupSignatures(batch), flags.ckptDir)
+      val sidecar = flags.sigsDir.filter(d => new java.io.File(d).exists())
+      val corpusSigs = sidecar match {
+        // sidecar present: the corpus is NOT touched at all (the path may
+        // even have been retired — only the state matters)
+        case Some(d) => spark.read.parquet(d)
+        case None    => xscale.Dedup.dedupSignatures(spark.read.parquet(corpusPath))
+      }
+      // one classification pass, materialized once: the report aggregate
+      // and the admitted join both read it
+      val st = graft.xscale.DedupClusters.ckpt(
+        xscale.Dedup.incrementalDedupSigs(corpusSigs, batchSigs), flags.ckptDir)
+      st.groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
+        .orderBy("status")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/report")
+      val admittedIds = st.filter(col("status") === "admitted").select("doc_id")
+      batch.join(admittedIds, "doc_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/admitted")
+      // sidecar update: bootstrap the corpus state on the first run, then
+      // append ONLY the admitted docs' signatures (append-only — a retry
+      // after a crash between the two writes re-runs the whole admit, and
+      // the classification is idempotent against the already-appended
+      // state: re-admitted docs classify dup_exact_corpus, append nothing)
+      flags.sigsDir.foreach { d =>
+        if (sidecar.isEmpty)
+          corpusSigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+        batchSigs.join(admittedIds, "doc_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
+      }
+      val byStatus = spark.read.parquet(s"$outDir/report").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def n(s: String): Long = byStatus.getOrElse(s, 0L)
+      println(
+        s"""{"batch":${byStatus.values.sum},"admitted":${n("admitted")},""" +
+          s""""dup_exact_corpus":${n("dup_exact_corpus")},""" +
+          s""""dup_exact_batch":${n("dup_exact_batch")},""" +
+          s""""near_dup_corpus":${n("near_dup_corpus")},""" +
+          s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
+          s""""out":${jsonStr(outDir)}}""")
+      0
+
     case _ =>
       usage()
       2
@@ -363,6 +434,23 @@ object Cli {
       ckptDir: Option[String] = None,
       scale: Boolean = false,
       embPath: Option[String] = None)
+
+  /** Parsed `admit` flags: `--ckpt` = reliable stage-boundary
+    * checkpoints (the corpus verb's contract); `--sigs` = the persisted
+    * dedup-state sidecar (see the admit case).
+    */
+  private[graft] final case class AdmitFlags(
+      ckptDir: Option[String] = None,
+      sigsDir: Option[String] = None)
+
+  private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
+    case Nil => Some(AdmitFlags())
+    case "--ckpt" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(ckptDir = Some(dir)))
+    case "--sigs" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(sigsDir = Some(dir)))
+    case _ => None
+  }
 
   /** corpus flag parser; None on anything unrecognized so the command
     * falls through to usage().
@@ -392,6 +480,10 @@ object Cli {
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
         "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
+        "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
+        "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
+        "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
+        "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +
         "env:   CSV_DIR UNPROCESSED_DIR PROCESSED_DIR MOVE_PROCESSED_FILES\n" +
         "       LAKE_PATH SYNC_LOG_PATH QUARANTINE_PATH (no-arg ingest)")
 

@@ -342,28 +342,54 @@ object Dedup {
     * batch-vs-corpus (candidate-bounded), and nothing re-clusters or
     * re-packs the existing corpus. Columns (doc_id, key, status).
     */
-  def incrementalDedup(corpus: DataFrame, batch: DataFrame, minMatch: Int = K / 2): DataFrame = {
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, minMatch: Int = K / 2): DataFrame =
+    incrementalDedupSigs(dedupSignatures(corpus), dedupSignatures(batch), minMatch)
+
+  /** The persistable DEDUP STATE of a doc set: (doc_id, key, sig) — the
+    * 60-bit normalized-text key (exact leg) and the K-minhash signature
+    * array (near leg). One per-row pass over the text; everything
+    * [[incrementalDedupSigs]] needs, so a pipeline that persists this
+    * frame beside the corpus (`Cli admit --sigs`) classifies tomorrow's
+    * batch without ever re-reading or re-hashing 100 TB of corpus text —
+    * the frozen-index pattern (x79's IVFPQ add) applied to dedup state.
+    */
+  def dedupSignatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      h60(normText(col("text"))).as("key"),
+      graftnative.api.minhashSig(
+        graftnative.api.shingleHash60(col("text"), 3), K).as("sig"))
+
+  /** [[incrementalDedup]] on PRECOMPUTED [[dedupSignatures]] frames —
+    * byte-identical statuses (spec-pinned), zero text access. The corpus
+    * side is the persisted sidecar; the batch side is one signature pass
+    * over the arriving docs.
+    */
+  def incrementalDedupSigs(
+      corpusSigs: DataFrame,
+      batchSigs: DataFrame,
+      minMatch: Int = K / 2): DataFrame = {
     val ord = XHash.h60(col("doc_id").cast("string"))
-    val ckeys = corpus.select(h60(normText(col("text"))).as("key")).distinct()
+    val ckeys = corpusSigs.select(col("key")).distinct()
       .withColumn("in_corpus", lit(true))
-    val ranked = batch
-      .select(col("doc_id"), h60(normText(col("text"))).as("key"), ord.as("ord"))
+    val ranked = batchSigs
+      .select(col("doc_id"), col("key"), ord.as("ord"))
       .withColumn("rn", row_number().over(Window.partitionBy("key").orderBy("ord", "doc_id")))
       .join(ckeys, Seq("key"), "left")
-    def sigArr(df: DataFrame): DataFrame = withSignature(df)
-      .withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
-    def bandsOf(df: DataFrame): DataFrame = {
+    // band keys derived from the sig ARRAY — same md5(concat_ws) currency
+    // as withSignature's sig0..sigK columns (1-based element_at)
+    def bandsOf(sigs: DataFrame): DataFrame = {
       val bandKeys = (0 until B).map(b =>
-        md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
-      sigArr(df).select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+        md5(concat_ws(",", (0 until R).map(r => element_at(col("sig"), b * R + r + 1)): _*)))
+      sigs.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
         .toDF("doc_id", "sig", "band", "bk")
     }
-    val cb = bandsOf(corpus).select(col("band"), col("bk"), col("sig").as("sb"))
+    val cb = bandsOf(corpusSigs).select(col("band"), col("bk"), col("sig").as("sb"))
     val nMatch = aggregate(
       zip_with(col("sig"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L),
       (acc, x) => acc + x)
-    val near = bandsOf(batch).join(cb, Seq("band", "bk"))
+    val near = bandsOf(batchSigs).join(cb, Seq("band", "bk"))
       .select(col("doc_id"), nMatch.as("nm"))
       .groupBy("doc_id").agg(max("nm").as("nm"))
       .filter(col("nm") >= minMatch)

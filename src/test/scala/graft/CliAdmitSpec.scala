@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `Cli admit`: the daily-ingest admission posture (x74's decision rule)
+  * as a CLI verb — classify an arriving batch against an existing corpus
+  * without re-shuffling the corpus, ship only the admitted rows.
+  */
+class CliAdmitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("admit classifies a batch against the corpus and ships only admitted rows") {
+    val base = tmpDir("cli-admit")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+
+    // planted batch: 5 exact copies of corpus docs, one intra-batch dup
+    // pair (novel text, two arrivals), 3 near copies of corpus docs (one
+    // appended token — 3-shingle Jaccard ~ (n-2)/(n-1), well above the
+    // >=8/16 minhash decision), one genuinely fresh doc
+    val exactDups = corpus.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 50000L)
+    val novel = "the weather station logged forty two distinct readings " +
+      "before the calibration drift alarm finally tripped at dawn"
+    val batchPair = Seq(
+      (60001L, novel, "batch"),
+      (60002L, novel, "batch")).toDF("doc_id", "text", "source")
+    val nearDups = corpus.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 70000L)
+      .withColumn("text", concat(col("text"), lit(" zq")))
+    val fresh = Seq((80000L,
+      "a completely unrelated inventory of tidal charts and lighthouse " +
+        "maintenance schedules for the northern archipelago stations",
+      "batch")).toDF("doc_id", "text", "source")
+    val batch = exactDups.unionByName(batchPair)
+      .unionByName(nearDups).unionByName(fresh)
+
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val batchPath = base.getPath + "/batch.parquet"
+    val out = base.getPath + "/admit"
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", corpusPath, batchPath, out)) === 0)
+    }
+    val json = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    def stat(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    assert(stat("batch") === 11L)
+    assert(stat("dup_exact_corpus") === 5L)
+    assert(stat("dup_exact_batch") === 1L)
+    assert(stat("near_dup_corpus") === 3L)
+    assert(stat("admitted") === 2L)
+
+    // the admitted output carries the FULL batch columns and exactly the
+    // fresh doc + one arrival of the intra-batch pair
+    val admitted = spark.read.parquet(s"$out/admitted")
+    assert(admitted.columns.toSet === Set("doc_id", "text", "source"))
+    val ids = admitted.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(80000L))
+    assert((ids - 80000L).subsetOf(Set(60001L, 60002L)) && ids.size === 2)
+
+    // the report is x74's oracle row shape: status / n_docs / checksum
+    val report = spark.read.parquet(s"$out/report")
+    assert(report.columns.toSeq === Seq("status", "n_docs", "checksum"))
+    assert(report.select("status").as[String].collect().toSet ===
+      Set("admitted", "dup_exact_corpus", "dup_exact_batch", "near_dup_corpus"))
+
+    // idempotence: append the admitted rows to the corpus and re-admit the
+    // SAME batch — nothing is admitted twice (prior admits are now exact
+    // corpus dups, near copies stay near, exact copies stay exact)
+    val corpus2Path = base.getPath + "/corpus2.parquet"
+    corpus.unionByName(admitted).write.parquet(corpus2Path)
+    val out2 = base.getPath + "/admit2"
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      assert(Cli.run(spark, List("admit", corpus2Path, batchPath, out2)) === 0)
+    }
+    val json2 = buf2.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    def stat2(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json2).get.group(1).toLong
+    assert(stat2("admitted") === 0L)
+    assert(spark.read.parquet(s"$out2/admitted").isEmpty)
+  }
+
+  test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {
+    val base = tmpDir("cli-admit-sigs")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    val batch = corpus.filter(col("doc_id") < 2)
+      .withColumn("doc_id", col("doc_id") + 50000L) // 2 exact corpus dups
+      .unionByName(Seq((80000L,
+        "an entirely novel ledger of migratory bird sightings compiled " +
+          "by the volunteer observation network last spring",
+        "batch")).toDF("doc_id", "text", "source"))
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val batchPath = base.getPath + "/batch.parquet"
+    val sigsDir = base.getPath + "/sigs"
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // run 1: no sidecar yet — corpus text is scanned, state bootstrapped
+    val j1 = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/a1", "--sigs", sigsDir))
+    assert(j1.contains(""""corpus_state":"scan""""))
+    assert(j1.contains(""""admitted":1"""))
+    // sidecar = corpus state + the admitted doc's signature
+    val sigs = spark.read.parquet(sigsDir)
+    assert(sigs.columns.toSet === Set("doc_id", "key", "sig"))
+    assert(sigs.count() === 101L)
+    assert(sigs.filter(col("doc_id") === 80000L).count() === 1L)
+
+    // run 2: the corpus path is GONE — with the sidecar present the run
+    // must still classify correctly, proving the corpus is never touched;
+    // the previously admitted doc is now an exact dup of the STATE
+    val j2 = runJson(List(
+      "admit", base.getPath + "/no-such-corpus", batchPath,
+      base.getPath + "/a2", "--sigs", sigsDir))
+    assert(j2.contains(""""corpus_state":"sidecar""""))
+    assert(j2.contains(""""admitted":0"""))
+    assert(j2.contains(""""dup_exact_corpus":3"""))
+    // append-only: nothing admitted, nothing appended
+    assert(spark.read.parquet(sigsDir).count() === 101L)
+  }
+}

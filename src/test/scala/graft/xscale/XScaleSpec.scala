@@ -1062,6 +1062,17 @@ class XScaleSpec extends SparkSpec {
       .select("doc_id", "status").as[(Long, String)].collect().toMap
     assert(!again.values.exists(_ === "admitted"))
     assert(st.filter(_._2 === "admitted").keys.forall(id => again(id) === "dup_exact_corpus"))
+    // persisted-state parity: signatures written to parquet and read back
+    // (the `Cli admit --sigs` sidecar path) classify byte-identically to
+    // the direct text path — zero text access on the sigs side
+    val base = tmpDir("x74-sigs")
+    Dedup.dedupSignatures(corpus).write.parquet(base.getPath + "/c")
+    Dedup.dedupSignatures(batch).write.parquet(base.getPath + "/b")
+    val viaSigs = Dedup.incrementalDedupSigs(
+      spark.read.parquet(base.getPath + "/c"),
+      spark.read.parquet(base.getPath + "/b"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(viaSigs === st)
   }
 
   test("x68 IVFPQ: candidates confined to probed cells, rerank recall beats raw ADC") {

@@ -368,7 +368,7 @@ object Cli {
         if parseAdmitFlags(rest).isDefined =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
-      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
       val batch = spark.read.parquet(batchPath)
       // batch signatures feed classification AND the sidecar append — one
       // text pass, materialized once (batch-sized frame)
@@ -383,8 +383,34 @@ object Cli {
       }
       // one classification pass, materialized once: the report aggregate
       // and the admitted join both read it
-      val st = graft.xscale.DedupClusters.ckpt(
+      val st0 = graft.xscale.DedupClusters.ckpt(
         xscale.Dedup.incrementalDedupSigs(corpusSigs, batchSigs), flags.ckptDir)
+      // --strict: the batch-vs-corpus rule cannot see two near-dups
+      // arriving TOGETHER (both admitted, both in the corpus forever) —
+      // close the leak with near-dup CC over the admitted docs'
+      // already-computed signatures (batch-sized, zero text access);
+      // cluster losers become near_dup_batch, exactly mirroring
+      // dup_exact_batch one level up the dup hierarchy
+      val st = if (!flags.strict) st0 else {
+        val admSigs = batchSigs
+          .join(st0.filter(col("status") === "admitted").select("doc_id"), "doc_id")
+        val pairs = xscale.Dedup.minhashPairsSigs(admSigs)
+          .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+        val losers = graft.xscale.DedupClusters
+          .connectedComponents(pairs, checkpointDir = flags.ckptDir)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"), lit(true).as("near_batch"))
+        graft.xscale.DedupClusters.ckpt(
+          st0.join(losers, Seq("doc_id"), "left")
+            .withColumn(
+              "status",
+              when(
+                col("status") === "admitted" &&
+                  coalesce(col("near_batch"), lit(false)),
+                "near_dup_batch").otherwise(col("status")))
+            .drop("near_batch"),
+          flags.ckptDir)
+      }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")
@@ -414,6 +440,7 @@ object Cli {
           s""""dup_exact_corpus":${n("dup_exact_corpus")},""" +
           s""""dup_exact_batch":${n("dup_exact_batch")},""" +
           s""""near_dup_corpus":${n("near_dup_corpus")},""" +
+          (if (flags.strict) s""""near_dup_batch":${n("near_dup_batch")},""" else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
       0
@@ -441,7 +468,8 @@ object Cli {
     */
   private[graft] final case class AdmitFlags(
       ckptDir: Option[String] = None,
-      sigsDir: Option[String] = None)
+      sigsDir: Option[String] = None,
+      strict: Boolean = false)
 
   private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
     case Nil => Some(AdmitFlags())
@@ -449,6 +477,8 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(ckptDir = Some(dir)))
     case "--sigs" :: dir :: tail if !dir.startsWith("--") =>
       parseAdmitFlags(tail).map(_.copy(sigsDir = Some(dir)))
+    case "--strict" :: tail =>
+      parseAdmitFlags(tail).map(_.copy(strict = true))
     case _ => None
   }
 
@@ -480,7 +510,9 @@ object Cli {
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
         "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
-        "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
+        "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>] [--strict]\n" +
+        "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
+        "                 together in one batch keep one survivor, losers report as near_dup_batch)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

@@ -43,6 +43,7 @@ object ScaleSmoke {
     "x14_powerlaw", "x14_powerlaw_wide", "x14_powerlaw_minhash",
     "x50_joint_imi_powerlaw", "x50_joint_imi_powerlaw_minhash",
     "x99_cascade_powerlaw_auto",
+    "x74_admit_powerlaw", "x74_admit_sigs_powerlaw",
     "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
     "x122_cluster_diameter_powerlaw_wide",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
@@ -81,6 +82,24 @@ object ScaleSmoke {
   def zipfQMod(factor: Int): Int = {
     val m = xscale.TextAnalysis.BmQMod * factor
     if (m % 2 == 0) m + 1 else m
+  }
+
+  /** The daily-ingest batch for the admission smoke: FIXED 250 docs at any
+    * factor (100 exact re-arrivals, 100 near variants, 50 fresh) — the
+    * day-2 shape, where the batch is constant and only the corpus grows.
+    */
+  private def admitBatch(docs: org.apache.spark.sql.DataFrame) = {
+    val exact = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 9100000000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val fresh = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 9200000000L).as("doc_id"),
+        concat(lit("entirely fresh admission smoke entry numbered "),
+          col("doc_id"), lit(" with no shared shingles beyond this sentence"))
+          .as("text"))
+    exact.unionByName(near).unionByName(fresh)
   }
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
@@ -146,6 +165,14 @@ object ScaleSmoke {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_documents.parquet")
       source.Synthetic.powerlawEmbeddings(spark, 2000L * factor)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_embeddings.parquet")
+    }
+    // The admission sidecar (`Cli admit --sigs` steady state): the corpus's
+    // dedup STATE persisted once — x74_admit_sigs_powerlaw times ONLY the
+    // day-2 classify, never the corpus text pass it replaces.
+    if (!new java.io.File(s"$dir/powerlaw_sigs.parquet").exists()) {
+      xscale.Dedup.dedupSignatures(
+          spark.read.parquet(s"$dir/powerlaw_documents.parquet"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_sigs.parquet")
     }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
@@ -345,6 +372,23 @@ object ScaleSmoke {
         xscale.Dedup.dedupCascadeAuto(
           s.read.parquet(s"$d/powerlaw_documents.parquet"),
           checkpointDir = Some(s"$d/_checkpoints"))),
+      // The admission posture at scale: a FIXED 250-doc batch against the
+      // growing powerlaw corpus. The text form pays one corpus signature
+      // pass; the sigs form reads the persisted sidecar instead — the
+      // `Cli admit --sigs` day-2 steady state, whose corpus-side cost is
+      // a (doc_id, key, sig) parquet scan, not a text re-hash.
+      "x74_admit_powerlaw" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
+        xscale.Dedup.incrementalDedup(docs, admitBatch(docs))
+          .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      }),
+      "x74_admit_sigs_powerlaw" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/powerlaw_documents.parquet")
+        xscale.Dedup.incrementalDedupSigs(
+          s.read.parquet(s"$d/powerlaw_sigs.parquet"),
+          xscale.Dedup.dedupSignatures(admitBatch(docs)))
+          .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      }),
       "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
         xscale.Dedup.lshFidelity(
           s.read.parquet(s"$d/powerlaw_documents.parquet"), sampleMod = 10L)),

@@ -610,6 +610,31 @@ object TrainingData {
       minMatch: Int = Dedup.K / 2): DataFrame =
     Dedup.incrementalDedup(corpus, batch, minMatch)
 
+  /** The persistable DEDUP STATE of a doc set (doc_id, 60-bit exact key,
+    * K-minhash sig) — one text pass; persist it beside the corpus and
+    * [[incrementalDedupSigs]] classifies every later batch with ZERO
+    * corpus text access (the frozen-index pattern applied to dedup state;
+    * `Cli admit --sigs` is this wired as a verb).
+    */
+  def dedupSignatures(docs: DataFrame): DataFrame =
+    Dedup.dedupSignatures(docs)
+
+  /** [[incrementalDedup]] on precomputed [[dedupSignatures]] frames —
+    * byte-identical statuses, zero text access. At 100 TB the corpus side
+    * is a persisted sidecar read, not a corpus scan.
+    */
+  def incrementalDedupSigs(corpusSigs: DataFrame, batchSigs: DataFrame,
+      minMatch: Int = Dedup.K / 2): DataFrame =
+    Dedup.incrementalDedupSigs(corpusSigs, batchSigs, minMatch)
+
+  /** Within-set MinHash near-dup pairs from precomputed
+    * [[dedupSignatures]] (x74 strict leg): the pair stream `Cli admit
+    * --strict` feeds to connected components to catch near-dups arriving
+    * TOGETHER in one batch — batch-sized work, zero corpus access.
+    */
+  def minhashPairsSigs(sigs: DataFrame, minMatch: Int = Dedup.K / 2): DataFrame =
+    Dedup.minhashPairsSigs(sigs, minMatch)
+
   /** Quality-signal calibration (x93): cross-tab of the Gopher verdict
     * against the LM-score band (corpus-mean threshold, no global sort) —
     * docs, token mass and mean score per cell; the audit that decides

@@ -376,20 +376,12 @@ object Dedup {
       .select(col("doc_id"), col("key"), ord.as("ord"))
       .withColumn("rn", row_number().over(Window.partitionBy("key").orderBy("ord", "doc_id")))
       .join(ckeys, Seq("key"), "left")
-    // band keys derived from the sig ARRAY — same md5(concat_ws) currency
-    // as withSignature's sig0..sigK columns (1-based element_at)
-    def bandsOf(sigs: DataFrame): DataFrame = {
-      val bandKeys = (0 until B).map(b =>
-        md5(concat_ws(",", (0 until R).map(r => element_at(col("sig"), b * R + r + 1)): _*)))
-      sigs.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
-        .toDF("doc_id", "sig", "band", "bk")
-    }
-    val cb = bandsOf(corpusSigs).select(col("band"), col("bk"), col("sig").as("sb"))
+    val cb = sigBands(corpusSigs).select(col("band"), col("bk"), col("sig").as("sb"))
     val nMatch = aggregate(
       zip_with(col("sig"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L),
       (acc, x) => acc + x)
-    val near = bandsOf(batchSigs).join(cb, Seq("band", "bk"))
+    val near = sigBands(batchSigs).join(cb, Seq("band", "bk"))
       .select(col("doc_id"), nMatch.as("nm"))
       .groupBy("doc_id").agg(max("nm").as("nm"))
       .filter(col("nm") >= minMatch)
@@ -401,6 +393,40 @@ object Dedup {
           .when(col("rn") >= 2, "dup_exact_batch")
           .when(coalesce(col("near"), lit(false)), "near_dup_corpus")
           .otherwise("admitted").as("status"))
+  }
+
+  /** LSH band keys derived from a [[dedupSignatures]] sig ARRAY — the same
+    * md5(concat_ws) currency as [[withSignature]]'s sig0..sigK columns
+    * (element_at is 1-based). Columns (doc_id, sig, band, bk).
+    */
+  private def sigBands(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until B).map(b =>
+      md5(concat_ws(",", (0 until R).map(r => element_at(col("sig"), b * R + r + 1)): _*)))
+    sigs.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "sig", "band", "bk")
+  }
+
+  /** [[minhashPairs]] on a PRECOMPUTED [[dedupSignatures]] frame — the
+    * within-set near-dup pair stream with zero text access, for callers
+    * that already hold signatures (`Cli admit --strict` runs it on the
+    * admitted docs' sigs to catch near-dup pairs arriving TOGETHER in one
+    * batch, which the batch-vs-corpus decision rule cannot see). Columns
+    * (doc_id_a, doc_id_b, n_match); decision threshold as [[minhashPairs]].
+    */
+  def minhashPairsSigs(sigs: DataFrame, minMatch: Int = K / 2): DataFrame = {
+    val bands = sigBands(sigs)
+    val a = bands.select(col("band"), col("bk"), col("doc_id").as("da"), col("sig").as("sa"))
+    val b = bands.select(col("band"), col("bk"), col("doc_id").as("db"), col("sig").as("sb"))
+    val nMatch = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    a.join(b, Seq("band", "bk"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), nMatch.as("n_match"))
+      .distinct()
+      .filter(col("n_match") >= minMatch)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("n_match"))
   }
 
   /** Exact dedup: one survivor (min tie-break) per normalized-text group. */
@@ -1183,6 +1209,97 @@ object Dedup {
         .unionByName(docs.filter(col("doc_id") % 31 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       incrementalDedup(docs.filter(col("doc_id") % 3 =!= 0), batch)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x74 strict: admission + intra-batch near-dup CC (`Cli admit --strict`) -----
+    Q(
+      "x74_admit_strict",
+      Some {
+        val bandKey = (1 to R).map(r => s"sig[band * $R + $r]").mkString(", ")
+        def bandsCte(name: String, sigCte: String) =
+          s"$name AS (SELECT doc_id, sig, band, md5(concat_ws(',', $bandKey)) AS bkey " +
+            s"FROM (SELECT doc_id, sig, unnest(generate_series(0, ${B - 1})) AS band " +
+            s"FROM $sigCte))"
+        // x74's fixture + NEAR re-arrivals of every 51st doc (51 = 3*17, so
+        // the original is IN the batch): original and variant are near-dups
+        // of EACH OTHER, invisible to the batch-vs-corpus rule — the
+        // near_dup_batch bucket carries data by construction
+        s"WITH RECURSIVE b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 " +
+          "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 31 = 0 " +
+          "UNION ALL SELECT doc_id + 6000000, text || ' qz' FROM documents WHERE doc_id % 51 = 0), " +
+          "c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0), " +
+          s"ck AS (SELECT DISTINCT ${h60Sql(normSql)} AS key FROM c0), " +
+          s"bkk AS (SELECT doc_id, ${h60Sql(normSql)} AS key, " +
+          s"${h60Sql("CAST(doc_id AS VARCHAR)")} AS ord FROM b0), " +
+          "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord, doc_id) " +
+          "AS rn FROM bkk), " +
+          s"${sigSqlCtesFor("b0", "_b")}, ${sigSqlCtesFor("c0", "_c")}, " +
+          s"${bandsCte("bb", "sig_b")}, ${bandsCte("cbn", "sig_c")}, " +
+          "near AS (SELECT DISTINCT a.doc_id FROM bb a JOIN cbn b " +
+          "ON a.band = b.band AND a.bkey = b.bkey " +
+          s"WHERE len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) " +
+          s">= ${K / 2}), " +
+          "st AS (SELECT r.doc_id, r.key, " +
+          "CASE WHEN ck.key IS NOT NULL THEN 'dup_exact_corpus' " +
+          "WHEN r.rn >= 2 THEN 'dup_exact_batch' " +
+          "WHEN n.doc_id IS NOT NULL THEN 'near_dup_corpus' " +
+          "ELSE 'admitted' END AS status " +
+          "FROM rk r LEFT JOIN ck ON ck.key = r.key LEFT JOIN near n ON n.doc_id = r.doc_id), " +
+          "adm AS (SELECT doc_id FROM st WHERE status = 'admitted'), " +
+          "pp AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb FROM bb a " +
+          "JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+          "JOIN adm x ON x.doc_id = a.doc_id JOIN adm y ON y.doc_id = b.doc_id " +
+          s"WHERE len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) " +
+          s">= ${K / 2}), " +
+          "e AS (SELECT pa, pb FROM pp UNION SELECT pb, pa FROM pp), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM e " +
+          "UNION SELECT e.pa AS id, r.comp FROM e JOIN reach r ON e.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component), " +
+          "st2 AS (SELECT doc_id, key, CASE WHEN status = 'admitted' AND " +
+          "doc_id IN (SELECT id FROM losers) THEN 'near_dup_batch' ELSE status END AS status " +
+          "FROM st) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(key) AS BIGINT) AS checksum " +
+          "FROM st2 GROUP BY status ORDER BY status"
+      },
+      "STRICT admission — x74's batch-vs-corpus rule plus the one case it is " +
+        "structurally blind to: near-dup pairs arriving TOGETHER in the batch (both " +
+        "otherwise admitted, both in the corpus forever). MinHash-band pairs over the " +
+        "ADMITTED docs' signatures -> connected components (recursive-CTE transitive " +
+        "closure in the oracle) -> one survivor per cluster, losers reported as " +
+        "near_dup_batch — exactly `Cli admit --strict`'s refinement, oracle-pinned. " +
+        "Fixture plants near re-arrivals of every 51st doc (original in batch, variant " +
+        "one token longer) so the fifth status carries data. Scale: the CC runs on the " +
+        "ADMITTED-batch pair graph only (batch-sized, zero corpus access); the corpus " +
+        "legs are x74's unchanged."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 51 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" qz")).as("text")))
+      val batchSigs = dedupSignatures(batch)
+      val st0 = incrementalDedupSigs(
+        dedupSignatures(docs.filter(col("doc_id") % 3 =!= 0)), batchSigs)
+      val admSigs = batchSigs
+        .join(st0.filter(col("status") === "admitted").select("doc_id"), "doc_id")
+      val pairs = minhashPairsSigs(admSigs)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val losers = DedupClusters.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"), lit(true).as("nb"))
+      st0.join(losers, Seq("doc_id"), "left")
+        .withColumn(
+          "status",
+          when(
+            col("status") === "admitted" && coalesce(col("nb"), lit(false)),
+            "near_dup_batch").otherwise(col("status")))
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")

@@ -85,6 +85,49 @@ class CliAdmitSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out2/admitted").isEmpty)
   }
 
+  test("admit --strict catches near-dup pairs arriving together in one batch") {
+    val base = tmpDir("cli-admit-strict")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text", "source")
+    // two novel docs, near-dups OF EACH OTHER (one appended token), plus a
+    // fresh singleton: the batch-vs-corpus rule admits all three; --strict
+    // must keep one of the pair (CC min survivor) + the singleton
+    val novel = "the granary inventory listed seventeen sacks of winter rye " +
+      "beside the mill ledger entries from the previous autumn harvest"
+    val batch = Seq(
+      (60001L, novel, "batch"),
+      (60002L, novel + " zq", "batch"),
+      (80000L,
+        "an unrelated register of canal lock repairs scheduled across the " +
+          "eastern waterways during the dry season",
+        "batch")).toDF("doc_id", "text", "source")
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val batchPath = base.getPath + "/batch.parquet"
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // plain admit: the intra-batch NEAR pair is invisible — both admitted
+    val jPlain = runJson(List("admit", corpusPath, batchPath, base.getPath + "/plain"))
+    assert(jPlain.contains(""""admitted":3"""))
+    assert(!jPlain.contains("near_dup_batch"))
+    // --strict: one survivor of the pair + the singleton
+    val jStrict = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/strict", "--strict"))
+    assert(jStrict.contains(""""admitted":2"""))
+    assert(jStrict.contains(""""near_dup_batch":1"""))
+    val ids = spark.read.parquet(base.getPath + "/strict/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(60001L, 80000L)) // CC survivor = min doc_id of the pair
+    val report = spark.read.parquet(base.getPath + "/strict/report")
+    assert(report.filter(col("status") === "near_dup_batch")
+      .select("n_docs").as[Long].head() === 1L)
+  }
+
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {
     val base = tmpDir("cli-admit-sigs")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -375,11 +375,22 @@ object Cli {
       val batchSigs = graft.xscale.DedupClusters.ckpt(
         xscale.Dedup.dedupSignatures(batch), flags.ckptDir)
       val sidecar = flags.sigsDir.filter(d => new java.io.File(d).exists())
-      val corpusSigs = sidecar match {
+      // bootstrap BEFORE classifying: one corpus text pass writes the
+      // sidecar, and classification then reads the parquet back — the
+      // alternative (classify off the live frame, write later) re-derives
+      // the corpus signatures once per consumer (key projection, band
+      // join, bootstrap write = up to three text scans at 100 TB). A
+      // crash after this write retries into the sidecar-present branch
+      // with identical statuses — the sidecar IS the corpus state.
+      val corpusSigs = (sidecar, flags.sigsDir) match {
         // sidecar present: the corpus is NOT touched at all (the path may
         // even have been retired — only the state matters)
-        case Some(d) => spark.read.parquet(d)
-        case None    => xscale.Dedup.dedupSignatures(spark.read.parquet(corpusPath))
+        case (Some(d), _) => spark.read.parquet(d)
+        case (None, Some(d)) =>
+          xscale.Dedup.dedupSignatures(spark.read.parquet(corpusPath))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+          spark.read.parquet(d)
+        case _ => xscale.Dedup.dedupSignatures(spark.read.parquet(corpusPath))
       }
       // one classification pass, materialized once: the report aggregate
       // and the admitted join both read it
@@ -421,14 +432,12 @@ object Cli {
       batch.join(admittedIds, "doc_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/admitted")
-      // sidecar update: bootstrap the corpus state on the first run, then
-      // append ONLY the admitted docs' signatures (append-only — a retry
-      // after a crash between the two writes re-runs the whole admit, and
+      // sidecar update: append ONLY the admitted docs' signatures (the
+      // bootstrap already wrote the corpus state above, pre-classify).
+      // Append-only — a retry after a crash re-runs the whole admit, and
       // the classification is idempotent against the already-appended
-      // state: re-admitted docs classify dup_exact_corpus, append nothing)
+      // state: re-admitted docs classify dup_exact_corpus, append nothing
       flags.sigsDir.foreach { d =>
-        if (sidecar.isEmpty)
-          corpusSigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
         batchSigs.join(admittedIds, "doc_id")
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
       }

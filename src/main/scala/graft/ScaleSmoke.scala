@@ -24,6 +24,7 @@ object ScaleSmoke {
     "x34_substring_coverage", "x50_joint_auto", "x50_joint_imi", "x51_dsir_select",
     "x51_dsir_threshold", "x52_cluster_auto", "x53_vocab_growth",
     "x54_proto_auto", "x57_pipeline_full", "x57_pipeline_threshold",
+    "x57_pipeline_approx",
     "x62_bpe_train",
     "x64_decontam_spans", "x74_incremental_dedup", "x75_bloom_decontam",
     "x77_cms_heavy_hitters", "x79_ivfpq_add",
@@ -230,9 +231,12 @@ object ScaleSmoke {
         TrainingData.dsirSelectThreshold(
           s.read.parquet(s"$d/documents.parquet"), col("lang") === "en")),
       // x57 scale path: the flagship one-plan pipeline with x51's sampled
-      // threshold composed in — zero unpartitioned ranking windows (the
-      // registered x57 query pins the oracle-exact global rank)
-      "x57_pipeline_threshold" -> ((s, d) =>
+      // threshold composed in — zero unpartitioned ranking windows.
+      // x57_pipeline_threshold itself is a REGISTERED query now (the
+      // oracle-keyed exactQuantile form, resolved from SparkEntry); this
+      // twin measures the library DEFAULT (approx_percentile — the
+      // bounded-memory aggregate a 100 TB run ships) on the same corpus.
+      "x57_pipeline_approx" -> ((s, d) =>
         xscale.DataPrep.pipelineThreshold(
           s.read.parquet(s"$d/documents.parquet"),
           checkpointDir = Some(s"$d/_checkpoints"))),

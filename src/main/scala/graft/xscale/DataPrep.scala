@@ -1503,28 +1503,52 @@ object DataPrep {
       keepFrac: Double = 0.2,
       buckets: Int = DsirBuckets,
       sampleFraction: Double = 0.5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      exactQuantile: Boolean = false): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0, 1)")
     // checkpointDir: the scored frame feeds both the driver-side quantile
     // and the final selection scan; on a real cluster a reliable checkpoint
     // keeps that reuse recoverable across executor loss.
     val scored = DedupClusters.ckpt(dsirWeights(docs, isTarget, buckets), checkpointDir)
     val keep = math.max(1L, math.min(1000L, (sampleFraction * 1000).toLong))
-    val pct = s"approx_percentile(score_e6, ${1.0 - keepFrac})"
-    // A tiny corpus can leave the 1/1000-floor hash-sample empty, where
-    // approx_percentile returns null — fall back to the exact (unsampled)
-    // percentile rather than NPE; if even that is null the frame itself is
-    // empty and the threshold never compares against a row.
-    val sampled = scored
-      .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
-      .agg(expr(pct)).first()
-    val thr =
-      if (!sampled.isNullAt(0)) sampled.getLong(0)
-      else {
-        val all = scored.agg(expr(pct)).first()
-        if (all.isNullAt(0)) Long.MaxValue else all.getLong(0)
-      }
-    scored.withColumn("selected", col("score_e6") >= thr)
+    if (exactQuantile) {
+      // The ORACLE-KEYED form (x57_pipeline_threshold): the sample draw is
+      // the cross-engine h60 hash and the threshold is the EXACT percentile
+      // of the sampled scores — both reproducible in DuckDB (quantile_cont
+      // and Spark's percentile share the linear-interpolation definition,
+      // and the inputs are integers, so the double agrees bitwise). Same
+      // plan shape as the default: the quantile is an AGGREGATE over the
+      // sample, never a ranking window. At 100 TB prefer the default
+      // approx_percentile (GK sketch, bounded memory per partition) —
+      // exact percentile's value-count state grows with distinct scores.
+      val pct = s"percentile(score_e6, ${1.0 - keepFrac})"
+      val sampled = scored
+        .filter(XHash.h60(col("doc_id").cast("string")) % 1000L < lit(keep))
+        .agg(expr(pct)).first()
+      val thr =
+        if (!sampled.isNullAt(0)) sampled.getDouble(0)
+        else {
+          val all = scored.agg(expr(pct)).first()
+          if (all.isNullAt(0)) Double.MaxValue else all.getDouble(0)
+        }
+      scored.withColumn("selected", col("score_e6").cast("double") >= thr)
+    } else {
+      val pct = s"approx_percentile(score_e6, ${1.0 - keepFrac})"
+      // A tiny corpus can leave the 1/1000-floor hash-sample empty, where
+      // approx_percentile returns null — fall back to the exact (unsampled)
+      // percentile rather than NPE; if even that is null the frame itself is
+      // empty and the threshold never compares against a row.
+      val sampled = scored
+        .filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(keep))
+        .agg(expr(pct)).first()
+      val thr =
+        if (!sampled.isNullAt(0)) sampled.getLong(0)
+        else {
+          val all = scored.agg(expr(pct)).first()
+          if (all.isNullAt(0)) Long.MaxValue else all.getLong(0)
+        }
+      scored.withColumn("selected", col("score_e6") >= thr)
+    }
   }
 
   /** The x57 pipeline's corpus-prep prefix, shared by the oracle-exact
@@ -1590,10 +1614,12 @@ object DataPrep {
   def pipelineThreshold(
       docs: DataFrame,
       keepFrac: Double = 0.2,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      exactQuantile: Boolean = false): DataFrame = {
     val corpus = pipelineCorpus(docs, checkpointDir)
     val sel = dsirSelectThreshold(
-      corpus, col("lang") === "en", keepFrac, checkpointDir = checkpointDir)
+      corpus, col("lang") === "en", keepFrac, checkpointDir = checkpointDir,
+      exactQuantile = exactQuantile)
       .filter(col("selected"))
       .select("doc_id")
     val selected = corpus.filter(col("lang") === "en")
@@ -2527,6 +2553,98 @@ object DataPrep {
       val selected = corpus.filter(col("lang") === "en")
         .unionByName(corpus.filter(col("lang") =!= "en").join(ranked, "doc_id"))
       pipelineRollup(selected)
+    },
+
+    // ----- x57 scale twin: the SAME pipeline, threshold selection, NO global window -----
+    Q(
+      "x57_pipeline_threshold",
+      Some {
+        val rules = TextAnalysis.gopherRules.mkString(" AND ")
+        val k = SubstrK
+        val B = DsirBuckets
+        val gram = (0 until k).map(j => s"ws[p + $j]").mkString(" || ' ' || ")
+        s"WITH ${TextAnalysis.gopherSqlCtes("source, lang, text")}, " +
+          s"kq AS (SELECT doc_id, source, lang, text FROM r WHERE $rules), " +
+          "dd AS (SELECT doc_id, source, lang, text FROM " +
+          s"(SELECT kq.*, ROW_NUMBER() OVER (PARTITION BY ${Dedup.normSql} " +
+          "ORDER BY doc_id) AS rn FROM kq) WHERE rn = 1), " +
+          s"sw AS (SELECT doc_id, ${XText.wordsSql("text")} AS ws FROM dd), " +
+          "sd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM sw), " +
+          s"socc AS (SELECT doc_id, p, ${h60Sql("g")} AS h FROM " +
+          s"(SELECT doc_id, p, $gram AS g FROM " +
+          s"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p " +
+          s"FROM sw WHERE len(ws) >= $k))), " +
+          "sown AS (SELECT h, min(doc_id) AS owner FROM socc GROUP BY h " +
+          "HAVING count(DISTINCT doc_id) >= 2), " +
+          "srem AS (SELECT socc.doc_id, socc.p FROM socc JOIN sown USING (h) " +
+          "WHERE socc.doc_id <> sown.owner), " +
+          "spos AS (SELECT DISTINCT doc_id, p + j AS pos FROM " +
+          s"(SELECT doc_id, p, unnest(generate_series(0, ${k - 1})) AS j FROM srem)), " +
+          "stok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM " +
+          "(SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM sw)), " +
+          "skept AS (SELECT stok.doc_id, stok.pos, stok.tk FROM stok " +
+          "LEFT JOIN spos ON spos.doc_id = stok.doc_id AND spos.pos = stok.pos " +
+          "WHERE spos.doc_id IS NULL), " +
+          "sag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "string_agg(tk, ' ' ORDER BY pos) AS text_clean FROM skept GROUP BY doc_id), " +
+          "cl AS (SELECT dd.doc_id, dd.source, dd.lang, " +
+          "coalesce(sag.text_clean, '') AS text, " +
+          "CAST(sd.nw - coalesce(sag.n_kept, 0) AS BIGINT) AS n_removed " +
+          "FROM dd JOIN sd USING (doc_id) LEFT JOIN sag USING (doc_id)), " +
+          "ne AS (SELECT * FROM cl WHERE text <> ''), " +
+          s"dw AS (SELECT doc_id, source, lang = 'en' AS is_t, " +
+          s"${XText.wordsSql("text")} AS ws FROM ne), " +
+          "du AS (SELECT doc_id, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws)), i -> ${h60Sql("ws[i]")})) AS h FROM dw " +
+          "UNION ALL SELECT doc_id, is_t, unnest(list_transform(" +
+          s"generate_series(1, len(ws) - 1), i -> ${h60Sql("ws[i] || ' ' || ws[i + 1]")})) AS h " +
+          "FROM dw WHERE len(ws) >= 2), " +
+          s"dfe AS (SELECT doc_id, is_t, h % $B AS b FROM du), " +
+          "dbc AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+          "CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr FROM dfe GROUP BY b), " +
+          "dg AS (SELECT b, ct, cr, CAST(sum(ct) OVER () AS BIGINT) AS t_all, " +
+          "CAST(sum(cr) OVER () AS BIGINT) AS r_all FROM dbc), " +
+          "dwt AS (SELECT b, ((((ct + 1) * 1000000) // (cr + 1)) * " +
+          s"(((r_all + $B) * 1000000) // (t_all + $B))) // 1000000 AS w_e6 FROM dg), " +
+          "dds AS (SELECT dfe.doc_id, CAST(count(*) AS BIGINT) AS n_feat, " +
+          "CAST(sum(dwt.w_e6) AS BIGINT) AS sw2 FROM dfe JOIN dwt USING (b) " +
+          "WHERE NOT dfe.is_t GROUP BY 1), " +
+          // -- threshold selection: exact percentile of the h60-sampled
+          // -- scores (quantile_cont == Spark `percentile`, both linear
+          // -- interpolation over integers), NO rank anywhere
+          s"samp AS (SELECT sw2 // n_feat AS score_e6 FROM dds " +
+          s"WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < 500), " +
+          "thr AS (SELECT coalesce(" +
+          "(SELECT quantile_cont(CAST(score_e6 AS DOUBLE), 0.8) FROM samp), " +
+          "(SELECT quantile_cont(CAST(sw2 // n_feat AS DOUBLE), 0.8) FROM dds), " +
+          "1.7976931348623157e308) AS t), " +
+          "sel AS (SELECT doc_id FROM dds " +
+          "WHERE CAST(sw2 // n_feat AS DOUBLE) >= (SELECT t FROM thr)), " +
+          "fin AS (SELECT * FROM ne WHERE lang = 'en' " +
+          "UNION ALL SELECT ne.* FROM ne JOIN sel USING (doc_id)), " +
+          s"st AS (SELECT source, n_removed, " +
+          s"CAST(len(${XText.wordsSql("text")}) AS BIGINT) AS n_tok, $splitSql AS split FROM fin) " +
+          "SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens, " +
+          "CAST(sum(n_removed) AS BIGINT) AS removed_tokens, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+          "FROM st GROUP BY split ORDER BY split"
+      },
+      "x57's SCALE TWIN, now oracle-keyed: the SAME one-plan pipeline (quality → exact " +
+        "dedup → span removal → DSIR selection → split → rollup) with the selection " +
+        "swapped from the global top-k rank to a sampled-quantile threshold — ZERO " +
+        "ranking windows anywhere, partitioned or global (the registered x57 query pins " +
+        "the exact-rank oracle form; THIS query pins the window-free plan a 100 TB run " +
+        "ships). The threshold here is the EXACT percentile of the h60-hash-sampled " +
+        "scores so DuckDB reproduces it bit-for-bit (quantile_cont and Spark's " +
+        "percentile share the linear-interpolation definition; inputs are integers, so " +
+        "the double agrees bitwise); the library default swaps in approx_percentile " +
+        "(GK sketch, bounded partition memory) with the identical plan shape — the " +
+        "exactQuantile knob trades only the aggregate's memory envelope, never the " +
+        "topology. Scale: quality filter per-row → one norm-key shuffle → bounded span " +
+        "explode → B-bucket broadcast scoring → ONE single-row quantile aggregate " +
+        "broadcast back → per-row compare → tiny rollup."
+    ) { (s, dir) =>
+      pipelineThreshold(table(s, dir, "documents"), exactQuantile = true)
     },
 
     // ----- x66: pack hygiene (duplicates inside one context window) -----

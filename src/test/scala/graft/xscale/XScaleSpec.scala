@@ -632,6 +632,11 @@ class XScaleSpec extends SparkSpec {
     val twin = DataPrep.pipelineThreshold(docs)
     assert(globalRankWindows(twin) === 0,
       s"threshold twin must not rank globally:\n${twin.queryExecution.optimizedPlan}")
+    // the oracle-keyed exactQuantile form (registered x57_pipeline_threshold)
+    // shares the topology: the knob swaps only the quantile AGGREGATE
+    val twinExact = DataPrep.pipelineThreshold(docs, exactQuantile = true)
+    assert(globalRankWindows(twinExact) === 0,
+      s"exactQuantile form must not rank globally either:\n${twinExact.queryExecution.optimizedPlan}")
     // stage consistency: the target (en) leg is selection-rule-independent,
     // so per-split en-survivor mass is shared with the pin; totals differ
     // only in how many RAW docs the threshold keeps (bounded by raw count)

@@ -374,7 +374,25 @@ object Cli {
       // text pass, materialized once (batch-sized frame)
       val batchSigs = graft.xscale.DedupClusters.ckpt(
         xscale.Dedup.dedupSignatures(batch), flags.ckptDir)
-      val sidecar = flags.sigsDir.filter(d => new java.io.File(d).exists())
+      val sidecar0 = flags.sigsDir.filter(d => new java.io.File(d).exists())
+      // --compact: reconcile the sidecar with the LIVE corpus before
+      // classifying — a later re-filter/re-dedup that removed docs leaves
+      // stale signatures behind, and stale state POISONS admission
+      // (tomorrow's copy of deleted content classifies as a dup of docs
+      // the corpus no longer has); retried appends double rows. The
+      // corpus contributes only its doc_id column (x74_sigs_compact's
+      // oracle pins the membership rule).
+      val sidecar = sidecar0.map { d =>
+        if (flags.compact) {
+          val compacted = graft.xscale.DedupClusters.ckpt(
+            xscale.Dedup.compactSignatures(
+              spark.read.parquet(d),
+              spark.read.parquet(corpusPath).select("doc_id")),
+            flags.ckptDir)
+          compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+        }
+        d
+      }
       // bootstrap BEFORE classifying: one corpus text pass writes the
       // sidecar, and classification then reads the parquet back — the
       // alternative (classify off the live frame, write later) re-derives
@@ -478,7 +496,8 @@ object Cli {
   private[graft] final case class AdmitFlags(
       ckptDir: Option[String] = None,
       sigsDir: Option[String] = None,
-      strict: Boolean = false)
+      strict: Boolean = false,
+      compact: Boolean = false)
 
   private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
     case Nil => Some(AdmitFlags())
@@ -488,6 +507,8 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(sigsDir = Some(dir)))
     case "--strict" :: tail =>
       parseAdmitFlags(tail).map(_.copy(strict = true))
+    case "--compact" :: tail =>
+      parseAdmitFlags(tail).map(_.copy(compact = true))
     case _ => None
   }
 
@@ -519,9 +540,12 @@ object Cli {
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
         "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
-        "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>] [--strict]\n" +
+        "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
+        "                 [--strict] [--compact]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
-        "                 together in one batch keep one survivor, losers report as near_dup_batch)\n" +
+        "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
+        "                 --compact first reconciles the --sigs sidecar with the live corpus ids —\n" +
+        "                 drops states of since-removed docs, collapses retried double-appends)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

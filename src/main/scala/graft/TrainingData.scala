@@ -635,6 +635,16 @@ object TrainingData {
   def minhashPairsSigs(sigs: DataFrame, minMatch: Int = Dedup.K / 2): DataFrame =
     Dedup.minhashPairsSigs(sigs, minMatch)
 
+  /** Sidecar compaction (x74 lifecycle, `Cli admit --compact`): keep one
+    * [[dedupSignatures]] row per doc_id still in the live corpus — stale
+    * state left by a re-filter POISONS admission (deleted content's
+    * re-submission rejects as a dup), retried appends double rows. One
+    * left_semi join on the 8-byte id + one keep-one-per-id shuffle; the
+    * corpus contributes id projection only, never text.
+    */
+  def compactSignatures(sigs: DataFrame, live: DataFrame): DataFrame =
+    Dedup.compactSignatures(sigs, live)
+
   /** Quality-signal calibration (x93): cross-tab of the Gopher verdict
     * against the LM-score band (corpus-mean threshold, no global sort) —
     * docs, token mass and mean score per cell; the audit that decides

@@ -406,6 +406,24 @@ object Dedup {
       .toDF("doc_id", "sig", "band", "bk")
   }
 
+  /** Sidecar COMPACTION — reconcile a persisted [[dedupSignatures]] frame
+    * with the live corpus: keep one signature row per doc_id that still
+    * EXISTS in `live`, drop the rest. The two ways an append-only sidecar
+    * drifts from the corpus it models: (1) docs REMOVED by a later
+    * re-filter/re-dedup leave stale signatures behind, and a stale
+    * signature POISONS admission — tomorrow's copy of a deleted doc is
+    * rejected as a dup of content the corpus no longer has; (2) a
+    * retried append can land the same doc's signature twice (harmless
+    * for classification — the rows are identical, dedupSignatures is
+    * deterministic in the text — but paid on every sidecar scan).
+    * One left_semi join on the 8-byte doc_id (the corpus contributes ID
+    * PROJECTION only — never text) + one keep-one-per-id shuffle.
+    */
+  def compactSignatures(sigs: DataFrame, live: DataFrame): DataFrame =
+    graft.lake.Lake.dedupKeepFirst(
+      sigs.join(live.select("doc_id"), Seq("doc_id"), "left_semi"),
+      Seq("doc_id"), Seq("key"))
+
   /** [[minhashPairs]] on a PRECOMPUTED [[dedupSignatures]] frame — the
     * within-set near-dup pair stream with zero text access, for callers
     * that already hold signatures (`Cli admit --strict` runs it on the
@@ -1303,6 +1321,48 @@ object Dedup {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")
+    },
+
+    // ----- x74 sidecar compaction: reconcile persisted dedup state with the live corpus -----
+    Q(
+      "x74_sigs_compact",
+      Some {
+        // sidecar fixture = every doc's state + a planted RETRY double-append
+        // (every 7th) — then the corpus loses every 5th doc to a re-filter;
+        // compaction must drop the removed docs' states and collapse the
+        // doubles. Summary row per survival decile keeps the output compact
+        // while the bit_xor pins exactly WHICH doc_ids/keys survived.
+        s"WITH s0 AS (SELECT doc_id, ${h60Sql(normSql)} AS key FROM documents " +
+          s"UNION ALL SELECT doc_id, ${h60Sql(normSql)} AS key FROM documents " +
+          "WHERE doc_id % 7 = 0), " +
+          "live AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0), " +
+          "c AS (SELECT DISTINCT s0.doc_id, s0.key FROM s0 JOIN live USING (doc_id)) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS id_xor, " +
+          "CAST(bit_xor(key) AS BIGINT) AS key_xor " +
+          "FROM c GROUP BY 1 ORDER BY 1"
+      },
+      "sidecar COMPACTION for the admission dedup state (`Cli admit --compact`): an " +
+        "append-only signature sidecar drifts from the corpus it models when a later " +
+        "re-filter/re-dedup REMOVES docs — a stale signature then poisons admission, " +
+        "rejecting tomorrow's copy of deleted content as a dup of docs the corpus no " +
+        "longer has — and when a retried append doubles a row. compactSignatures keeps " +
+        "one state row per doc_id still in the live id set: one left_semi join on the " +
+        "8-byte doc_id (the corpus contributes ID PROJECTION only, never text) + one " +
+        "keep-one-per-id WindowGroupLimit shuffle. Fixture plants both drift modes " +
+        "(double-append every 7th, remove every 5th); per-decile count + id/key " +
+        "checksums pin the exact surviving membership."
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sigs = dedupSignatures(docs)
+        .unionByName(dedupSignatures(docs.filter(col("doc_id") % 7 === 0)))
+      compactSignatures(sigs, docs.filter(col("doc_id") % 5 =!= 0))
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("bit_xor(doc_id)").as("id_xor"),
+          expr("bit_xor(key)").as("key_xor"))
+        .orderBy("decile")
     },
 
     // ----- x02: MinHash + LSH banding near-dup candidates -----

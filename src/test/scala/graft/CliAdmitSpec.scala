@@ -128,6 +128,70 @@ class CliAdmitSpec extends SparkSpec {
       .select("n_docs").as[Long].head() === 1L)
   }
 
+  test("admit --compact un-poisons the sidecar after corpus docs are removed") {
+    val base = tmpDir("cli-admit-compact")
+    // 99 real docs + one planted UNIQUE doc (the testdata corpus has real
+    // dup clusters, so a removed REAL doc could legitimately re-classify
+    // as a near-dup of a surviving cluster sibling — the planted doc
+    // isolates the stale-state effect)
+    val planted = Seq((999L,
+      "a singular appendix cataloguing disused semaphore towers along the " +
+        "decommissioned railway cuttings of the southern moor",
+      "batch")).toDF("doc_id", "text", "source")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 99).select("doc_id", "text", "source")
+      .unionByName(planted)
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val sigsDir = base.getPath + "/sigs"
+    corpus.write.parquet(corpusPath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // bootstrap the sidecar off the full 100-doc corpus (empty batch)
+    val emptyBatch = corpus.filter(lit(false)).select("doc_id", "text", "source")
+    val batch0Path = base.getPath + "/batch0.parquet"
+    emptyBatch.write.parquet(batch0Path)
+    runJson(List("admit", corpusPath, batch0Path, base.getPath + "/a0", "--sigs", sigsDir))
+    // plant the retry double-append drift mode: re-append doc 0's state
+    xscale.Dedup.dedupSignatures(corpus.filter(col("doc_id") === 0))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+    assert(spark.read.parquet(sigsDir).count() === 101L)
+
+    // the corpus is re-filtered: the planted doc is REMOVED; tomorrow's
+    // batch re-submits its text under a new id
+    val corpus2Path = base.getPath + "/corpus2.parquet"
+    corpus.filter(col("doc_id") =!= 999).write.parquet(corpus2Path)
+    val batch = corpus.filter(col("doc_id") === 999)
+      .withColumn("doc_id", col("doc_id") + 50000L)
+    val batchPath = base.getPath + "/batch.parquet"
+    batch.write.parquet(batchPath)
+
+    // WITHOUT --compact the stale state poisons admission: the content the
+    // corpus no longer has is rejected as a dup of it
+    val jStale = runJson(List(
+      "admit", corpus2Path, batchPath, base.getPath + "/a1", "--sigs", sigsDir))
+    assert(jStale.contains(""""dup_exact_corpus":1"""))
+    assert(jStale.contains(""""admitted":0"""))
+
+    // WITH --compact the removed doc's state is dropped first (and the
+    // double-append collapses), so the re-submission ADMITS
+    val jCompact = runJson(List(
+      "admit", corpus2Path, batchPath, base.getPath + "/a2",
+      "--sigs", sigsDir, "--compact"))
+    assert(jCompact.contains(""""admitted":1"""))
+    assert(jCompact.contains(""""dup_exact_corpus":0"""))
+    // sidecar after: 99 surviving corpus states (doc 999 gone, doc 0's
+    // double-append collapsed to one) + the newly admitted doc's state
+    val after = spark.read.parquet(sigsDir)
+    assert(after.count() === 100L)
+    assert(after.filter(col("doc_id") === 999).isEmpty)
+    assert(after.filter(col("doc_id") === 0).count() === 1L)
+    assert(after.filter(col("doc_id") === 50999L).count() === 1L)
+  }
+
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {
     val base = tmpDir("cli-admit-sigs")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -364,8 +364,10 @@ object Cli {
     // pattern (x79's IVFPQ add) applied to dedup state. Without --sigs,
     // the corpus still contributes only one key projection + one
     // signature scan; admitting a few GB never re-shuffles the corpus.
+    // --compact without --sigs is a contradiction (there is no sidecar to
+    // reconcile) — reject to usage instead of silently ignoring the flag
     case "admit" :: corpusPath :: batchPath :: outDir :: rest
-        if parseAdmitFlags(rest).isDefined =>
+        if parseAdmitFlags(rest).exists(f => !f.compact || f.sigsDir.isDefined) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
       import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}

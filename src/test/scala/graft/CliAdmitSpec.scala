@@ -190,6 +190,13 @@ class CliAdmitSpec extends SparkSpec {
     assert(after.filter(col("doc_id") === 999).isEmpty)
     assert(after.filter(col("doc_id") === 0).count() === 1L)
     assert(after.filter(col("doc_id") === 50999L).count() === 1L)
+
+    // --compact without --sigs is a contradiction — usage, not silence
+    val bufBad = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bufBad)) {
+      assert(Cli.run(spark,
+        List("admit", corpus2Path, batchPath, base.getPath + "/a3", "--compact")) === 2)
+    }
   }
 
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {

@@ -226,6 +226,28 @@ class XScalePropertySpec extends SparkSpec {
     }
   }
 
+  test("minhashPairsSigs == minhashPairs on random corpora (signature-currency parity)") {
+    // The sidecar path (dedupSignatures → element_at band keys) must emit
+    // the exact pair stream the text path (withSignature sig0..sigK
+    // columns) emits — for arbitrary corpora, not just the fixtures. Near
+    // pairs are forced by appending one token to a copy of every third doc.
+    for ((texts, i) <- samples(Gen.listOfN(14, genText), 4).zipWithIndex) {
+      val base = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val nears = base.collect { case (id, t) if id % 3 == 0 => (id + 1000L, s"$t zq") }
+      val df = (base ++ nears).toDF("doc_id", "text")
+      def key(r: (Long, Long, Long)) = r
+      val viaText = Dedup.minhashPairs(df)
+        .select("doc_id_a", "doc_id_b", "n_match")
+        .as[(Long, Long, Long)].collect().map(key).toSet
+      val viaSigs = Dedup.minhashPairsSigs(Dedup.dedupSignatures(df))
+        .select("doc_id_a", "doc_id_b", "n_match")
+        .as[(Long, Long, Long)].collect().map(key).toSet
+      assert(viaSigs === viaText, s"sample $i")
+      // the planted near pairs guarantee the comparison is not vacuous
+      assert(viaText.nonEmpty, s"sample $i produced no pairs")
+    }
+  }
+
   test("vocabGrowth conserves docs, tokens and vocabulary for arbitrary phase counts") {
     for ((texts, i) <- samples(Gen.listOfN(15, genText), 6).zipWithIndex) {
       val phases = Seq(1, 3, 10)(i % 3)

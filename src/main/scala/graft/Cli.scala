@@ -383,7 +383,11 @@ object Cli {
       // (tomorrow's copy of deleted content classifies as a dup of docs
       // the corpus no longer has); retried appends double rows. The
       // corpus contributes only its doc_id column (x74_sigs_compact's
-      // oracle pins the membership rule).
+      // oracle pins the membership rule). The rewrite reads the sidecar,
+      // materializes through ckpt, then Overwrites the same path — pass
+      // --ckpt in production so the cut is storage-backed: a
+      // localCheckpoint lost to executor failure mid-rewrite would lose
+      // the state (the same non-atomic two-write caveat as the lake swap).
       val sidecar = sidecar0.map { d =>
         if (flags.compact) {
           val compacted = graft.xscale.DedupClusters.ckpt(

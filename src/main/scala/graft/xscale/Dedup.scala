@@ -418,6 +418,13 @@ object Dedup {
     * deterministic in the text — but paid on every sidecar scan).
     * One left_semi join on the 8-byte doc_id (the corpus contributes ID
     * PROJECTION only — never text) + one keep-one-per-id shuffle.
+    *
+    * Identity model: doc_id names IMMUTABLE content — the admit flow
+    * never rewrites a doc's text under the same id (revision = remove +
+    * re-admit under a new id), so same-id rows are byte-identical and
+    * the keep-one tiebreak (min key) is arbitrary-but-safe. If an
+    * upstream system mutates text in place, re-bootstrap the sidecar
+    * instead of compacting it.
     */
   def compactSignatures(sigs: DataFrame, live: DataFrame): DataFrame =
     graft.lake.Lake.dedupKeepFirst(

@@ -426,26 +426,11 @@ object Cli {
       // already-computed signatures (batch-sized, zero text access);
       // cluster losers become near_dup_batch, exactly mirroring
       // dup_exact_batch one level up the dup hierarchy
-      val st = if (!flags.strict) st0 else {
-        val admSigs = batchSigs
-          .join(st0.filter(col("status") === "admitted").select("doc_id"), "doc_id")
-        val pairs = xscale.Dedup.minhashPairsSigs(admSigs)
-          .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-        val losers = graft.xscale.DedupClusters
-          .connectedComponents(pairs, checkpointDir = flags.ckptDir)
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"), lit(true).as("near_batch"))
-        graft.xscale.DedupClusters.ckpt(
-          st0.join(losers, Seq("doc_id"), "left")
-            .withColumn(
-              "status",
-              when(
-                col("status") === "admitted" &&
-                  coalesce(col("near_batch"), lit(false)),
-                "near_dup_batch").otherwise(col("status")))
-            .drop("near_batch"),
+      val st =
+        if (!flags.strict) st0
+        else graft.xscale.DedupClusters.ckpt(
+          xscale.Dedup.admitStrict(st0, batchSigs, checkpointDir = flags.ckptDir),
           flags.ckptDir)
-      }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")

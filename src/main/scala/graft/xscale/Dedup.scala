@@ -406,6 +406,37 @@ object Dedup {
       .toDF("doc_id", "sig", "band", "bk")
   }
 
+  /** The x74-STRICT refinement: near-dup CC WITHIN the admitted set over
+    * precomputed signatures — the one case the batch-vs-corpus rule is
+    * structurally blind to (two near-dups arriving together are both
+    * admitted, both in the corpus forever). Cluster losers re-status as
+    * `near_dup_batch`, mirroring `dup_exact_batch` one level up the dup
+    * hierarchy; shared by `Cli admit --strict`, the registered
+    * `x74_admit_strict` query and [[graft.streaming.StreamingAdmit]].
+    * Batch-sized work: pairs and CC touch only the admitted docs' sigs.
+    */
+  def admitStrict(
+      st: DataFrame,
+      batchSigs: DataFrame,
+      minMatch: Int = K / 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val admSigs = batchSigs
+      .join(st.filter(col("status") === "admitted").select("doc_id"), "doc_id")
+    val pairs = minhashPairsSigs(admSigs, minMatch)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val losers = DedupClusters
+      .connectedComponents(pairs, checkpointDir = checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(true).as("near_batch"))
+    st.join(losers, Seq("doc_id"), "left")
+      .withColumn(
+        "status",
+        when(
+          col("status") === "admitted" && coalesce(col("near_batch"), lit(false)),
+          "near_dup_batch").otherwise(col("status")))
+      .drop("near_batch")
+  }
+
   /** Sidecar COMPACTION — reconcile a persisted [[dedupSignatures]] frame
     * with the live corpus: keep one signature row per doc_id that still
     * EXISTS in `live`, drop the rest. The two ways an append-only sidecar
@@ -1312,19 +1343,7 @@ object Dedup {
       val batchSigs = dedupSignatures(batch)
       val st0 = incrementalDedupSigs(
         dedupSignatures(docs.filter(col("doc_id") % 3 =!= 0)), batchSigs)
-      val admSigs = batchSigs
-        .join(st0.filter(col("status") === "admitted").select("doc_id"), "doc_id")
-      val pairs = minhashPairsSigs(admSigs)
-        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-      val losers = DedupClusters.connectedComponents(pairs)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"), lit(true).as("nb"))
-      st0.join(losers, Seq("doc_id"), "left")
-        .withColumn(
-          "status",
-          when(
-            col("status") === "admitted" && coalesce(col("nb"), lit(false)),
-            "near_dup_batch").otherwise(col("status")))
+      admitStrict(st0, batchSigs)
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")

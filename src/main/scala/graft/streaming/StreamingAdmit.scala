@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.xscale.Dedup
+import graft.xscale.{Dedup, DedupClusters}
 
 /** Streaming ADMISSION — x74's four-status decision rule (plus the strict
   * intra-batch near-dup refinement) as a continuous ingest path: each
@@ -29,9 +29,11 @@ import graft.xscale.Dedup
   * read two ways — an 8-byte key projection (exact leg) and a banded sig
   * join whose batch side is broadcast (near leg); the corpus TEXT is never
   * touched. Per micro-batch the decision is O(batch + candidates); the
-  * state append is admitted-docs-only. Same two-write caveat as the lake
-  * swap: state append and out append are separate writes, so exactly-once
-  * across both needs a transactional table format underneath.
+  * state append is admitted-docs-only. Same multi-write caveat as the
+  * lake swap: report, state and out appends are separate writes, so a
+  * replayed batch can duplicate report rows (detectable by batch_id) —
+  * exactly-once across all three needs a transactional table format
+  * underneath.
   */
 object StreamingAdmit {
 
@@ -47,17 +49,24 @@ object StreamingAdmit {
       statePath: String,
       strict: Boolean = true,
       reportPath: Option[String] = None,
-      batchId: Long = 0L): DataFrame = {
+      batchId: Long = 0L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchSigs = Dedup.dedupSignatures(batch).localCheckpoint()
+    // the two cuts are batch-sized; route through DedupClusters.ckpt so a
+    // real cluster can make them storage-backed (the x30/x50 pattern) —
+    // the default localCheckpoint recomputes on executor loss, which for
+    // the st cut would re-read a state dir the append below has advanced
+    val batchSigs = DedupClusters.ckpt(Dedup.dedupSignatures(batch), checkpointDir)
     val stateSigs =
       if (fs.exists(sPath)) spark.read.parquet(statePath)
       else batchSigs.limit(0)
     val st0 = Dedup.incrementalDedupSigs(stateSigs, batchSigs)
-    // eager localCheckpoint: the lazy plan reads the state dir, and
-    // appending to it first would make any recomputation see the new files
-    val st = (if (strict) Dedup.admitStrict(st0, batchSigs) else st0).localCheckpoint()
+    // eager cut BEFORE the state append: the lazy plan reads the state
+    // dir, and appending to it first would make recomputation see new files
+    val st = DedupClusters.ckpt(
+      if (strict) Dedup.admitStrict(st0, batchSigs, checkpointDir = checkpointDir) else st0,
+      checkpointDir)
     reportPath.foreach { p =>
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -81,11 +90,12 @@ object StreamingAdmit {
       outPath: String,
       checkpointDir: String,
       strict: Boolean = true,
-      reportPath: Option[String] = None): StreamingQuery =
+      reportPath: Option[String] = None,
+      stageCkptDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        admit(b.sparkSession, b, statePath, strict, reportPath, id)
+        admit(b.sparkSession, b, statePath, strict, reportPath, id, stageCkptDir)
           .write.mode(SaveMode.Append).parquet(outPath)
         ()
       }

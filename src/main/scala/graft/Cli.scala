@@ -364,10 +364,13 @@ object Cli {
     // pattern (x79's IVFPQ add) applied to dedup state. Without --sigs,
     // the corpus still contributes only one key projection + one
     // signature scan; admitting a few GB never re-shuffles the corpus.
-    // --compact without --sigs is a contradiction (there is no sidecar to
-    // reconcile) — reject to usage instead of silently ignoring the flag
+    // --compact without --sigs (no sidecar to reconcile) and --emb/--bemb
+    // alone (the leg needs BOTH vector sides) are contradictions — reject
+    // to usage instead of silently ignoring flags
     case "admit" :: corpusPath :: batchPath :: outDir :: rest
-        if parseAdmitFlags(rest).exists(f => !f.compact || f.sigsDir.isDefined) =>
+        if parseAdmitFlags(rest).exists(f =>
+          (!f.compact || f.sigsDir.isDefined) &&
+            (f.embPath.isDefined == f.bembPath.isDefined)) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
       import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
@@ -426,11 +429,36 @@ object Cli {
       // already-computed signatures (batch-sized, zero text access);
       // cluster losers become near_dup_batch, exactly mirroring
       // dup_exact_batch one level up the dup hierarchy
-      val st =
+      val st1 =
         if (!flags.strict) st0
         else graft.xscale.DedupClusters.ckpt(
           xscale.Dedup.admitStrict(st0, batchSigs, checkpointDir = flags.ckptDir),
           flags.ckptDir)
+      // --emb/--bemb: the EMBEDDING leg (vec_id == doc_id, the corpus
+      // verb's convention) — flags still-admitted docs whose vector has a
+      // cosine >= tau neighbor in the corpus (x74_admit_emb's rule:
+      // quantizer trained on the corpus, batch assigned to frozen cells,
+      // within-cell cosine). Catches rewordings the text leg cannot see;
+      // docs with no batch vector pass through unflagged. Sampled
+      // quantizer training, the corpus --scale convention.
+      val st = (flags.embPath, flags.bembPath) match {
+        case (Some(ce), Some(be)) =>
+          val nearE = xscale.Similarity.admitEmbedding(
+            spark.read.parquet(ce), spark.read.parquet(be),
+            trainSample = 0.1, checkpointDir = flags.ckptDir)
+            .filter(col("near_emb"))
+            .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
+          graft.xscale.DedupClusters.ckpt(
+            st1.join(nearE, Seq("doc_id"), "left")
+              .withColumn(
+                "status",
+                when(
+                  col("status") === "admitted" && coalesce(col("ne"), lit(false)),
+                  "near_dup_corpus_emb").otherwise(col("status")))
+              .drop("ne"),
+            flags.ckptDir)
+        case _ => st1
+      }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")
@@ -459,6 +487,9 @@ object Cli {
           s""""dup_exact_batch":${n("dup_exact_batch")},""" +
           s""""near_dup_corpus":${n("near_dup_corpus")},""" +
           (if (flags.strict) s""""near_dup_batch":${n("near_dup_batch")},""" else "") +
+          (if (flags.embPath.isDefined)
+            s""""near_dup_corpus_emb":${n("near_dup_corpus_emb")},"""
+          else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
       0
@@ -488,7 +519,9 @@ object Cli {
       ckptDir: Option[String] = None,
       sigsDir: Option[String] = None,
       strict: Boolean = false,
-      compact: Boolean = false)
+      compact: Boolean = false,
+      embPath: Option[String] = None,
+      bembPath: Option[String] = None)
 
   private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
     case Nil => Some(AdmitFlags())
@@ -500,6 +533,10 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(strict = true))
     case "--compact" :: tail =>
       parseAdmitFlags(tail).map(_.copy(compact = true))
+    case "--emb" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(embPath = Some(dir)))
+    case "--bemb" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(bembPath = Some(dir)))
     case _ => None
   }
 
@@ -532,11 +569,13 @@ object Cli {
         "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
-        "                 [--strict] [--compact]\n" +
+        "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb>]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
         "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
         "                 --compact first reconciles the --sigs sidecar with the live corpus ids —\n" +
-        "                 drops states of since-removed docs, collapses retried double-appends)\n" +
+        "                 drops states of since-removed docs, collapses retried double-appends;\n" +
+        "                 --emb/--bemb add the EMBEDDING leg — still-admitted docs whose vector has a\n" +
+        "                 cosine>=tau corpus neighbor within its frozen cell flag near_dup_corpus_emb)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

@@ -645,6 +645,19 @@ object TrainingData {
   def compactSignatures(sigs: DataFrame, live: DataFrame): DataFrame =
     Dedup.compactSignatures(sigs, live)
 
+  /** The EMBEDDING leg of admission (x74_admit_emb, `Cli admit
+    * --emb/--bemb`): flag batch vectors with a cosine >= tau corpus
+    * neighbor within their frozen coarse cell — the quantizer trains on
+    * the corpus, the batch assigns to broadcast centroids, candidates are
+    * O(batch x mean cell). Catches rewordings whose embeddings still
+    * coincide with corpus content — the dup mode the text leg cannot see.
+    */
+  def admitEmbedding(corpusEmb: DataFrame, batchEmb: DataFrame,
+      tau: Double = Similarity.SEMDEDUP_TAU, nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.admitEmbedding(corpusEmb, batchEmb, tau, nc, trainSample, checkpointDir)
+
   /** Quality-signal calibration (x93): cross-tab of the Gopher verdict
     * against the LM-score band (corpus-mean threshold, no global sort) —
     * docs, token mass and mean score per cell; the audit that decides

@@ -737,6 +737,56 @@ object Similarity {
         coalesce(col("add_qerr"), lit(0L)).as("add_qerr"))
   }
 
+  /** The EMBEDDING leg of daily-ingest admission (x74's posture on the
+    * vector side): flag each batch vector with a cosine >= `tau` neighbor
+    * in the corpus, using a coarse quantizer trained on the CORPUS as the
+    * frozen candidate structure — batch vectors are assigned to their
+    * nearest existing cell (broadcast centroids, zero corpus shuffle) and
+    * compared only against that cell's corpus members, x30's within-cell
+    * cosine currency turned batch-vs-corpus. Catches what the text leg is
+    * blind to: rewordings of corpus content whose embeddings still
+    * coincide. Columns (vec_id, near_emb) for every batch vector.
+    *
+    * Scale posture (100 TB): the corpus contributes one assignment pass
+    * (at scale, persist it beside the corpus like the sig sidecar and
+    * train on a sample — `trainSample`); the batch side is broadcast into
+    * the cell join; candidates are O(batch x mean cell), never
+    * batch x corpus. Single-cell probe (rn = 1 both sides) is the
+    * oracle-exact form; recall at the cell boundary is the same IVF trade
+    * x13 prices — raise recall by probing more cells on the BATCH side
+    * only, which multiplies candidates by nprobe, not by corpus.
+    */
+  def admitEmbedding(
+      corpusEmb: DataFrame,
+      batchEmb: DataFrame,
+      tau: Double = SEMDEDUP_TAU,
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cvi = fixedPoint(corpusEmb)
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(NC.toLong, corpusEmb.count() / TargetClusterSize).toInt
+    val cents = trainQuantizer(cvi, ncEff, trainSample, checkpointDir)
+    val casg = DedupClusters.ckpt(
+      quantizerRanked(cvi, cents).filter(col("rn") === 1)
+        .select(col("vec_id").as("cv_id"), col("cid"),
+          col("v").as("cv"), col("nrm").as("cn")),
+      checkpointDir)
+    val basg = DedupClusters.ckpt(
+      quantizerRanked(fixedPoint(batchEmb), cents).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn")),
+      checkpointDir)
+    val near = broadcast(basg).join(casg, "cid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct()
+      .withColumn("hit", lit(true))
+    basg.select("vec_id")
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("hit"), lit(false)).as("near_emb"))
+  }
+
   /** x85 core: label-RETRIEVAL evaluation of the embedding space — the
     * metric an embedding (or a quantization of it) is judged by before an
     * ANN index ships: for each query vector, rank the corpus by exact
@@ -1768,6 +1818,68 @@ object Similarity {
       // nc pinned to the literal the SQL twin inlines; library callers get
       // corpus-proportional auto-nc (and sampled training) by default
       semDedup(table(s, dir, "embeddings"), nc = NC).orderBy("vec_id")
+    },
+
+    // ----- x74 embedding leg: batch-vs-corpus near-dup on the vector side -----
+    Q(
+      "x74_admit_emb",
+      Some {
+        // corpus = every vector with vec_id % 9 <> 0; batch = the rest.
+        // The quantizer trains on the CORPUS ONLY (seeds = its first NC
+        // ids), the batch is assigned to the frozen centroids, and the
+        // within-cell cosine >= tau decision is x30's currency turned
+        // batch-vs-corpus.
+        s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+          "WHERE vec_id % 9 <> 0), " +
+          "n AS (SELECT vec_id, v, " +
+          "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), " +
+          s"$kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          "bn AS (SELECT vec_id, v, " +
+          "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm " +
+          "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+          "WHERE vec_id % 9 = 0)), " +
+          s"bvi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) " +
+          "AS vi FROM bn), " +
+          s"bd AS (SELECT bvi.vec_id, c.cid, " +
+          "list_aggregate(list_transform(generate_series(1, 64), " +
+          s"i -> (bvi.vi[i] - c.ci[i]) * (bvi.vi[i] - c.ci[i])), 'sum') AS dist " +
+          s"FROM bvi CROSS JOIN c$NITER c), " +
+          "rb AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM bd) " +
+          "WHERE rn = 1), " +
+          s"p AS (SELECT rb.vec_id, $cosSql AS cos FROM rb " +
+          "JOIN asg a ON a.cid = rb.cid " +
+          "JOIN bn q ON q.vec_id = rb.vec_id JOIN n c ON c.vec_id = a.vec_id), " +
+          s"near AS (SELECT DISTINCT vec_id FROM p WHERE cos >= $SEMDEDUP_TAU), " +
+          "st AS (SELECT b.vec_id, CASE WHEN near.vec_id IS NOT NULL " +
+          "THEN 'near_dup_corpus_emb' ELSE 'admitted' END AS status " +
+          "FROM bn b LEFT JOIN near USING (vec_id)) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(bit_xor(vec_id) AS BIGINT) AS checksum " +
+          "FROM st GROUP BY status ORDER BY status"
+      },
+      "the EMBEDDING leg of daily-ingest admission — x74's batch-vs-corpus posture on " +
+        "the vector side, catching what the text leg is blind to (rewordings whose " +
+        "embeddings still coincide with corpus content): coarse quantizer trained on the " +
+        "CORPUS only (x13's fixed-point k-means, bit-identical cross-engine), batch " +
+        s"vectors assigned to the frozen centroids (broadcast — zero corpus shuffle), " +
+        s"within-cell cosine >= $SEMDEDUP_TAU against corpus members only (x30's " +
+        "currency). Per status: count + bit_xor checksum pins exactly which vectors " +
+        "flag. Scale: candidates are O(batch x mean cell); the corpus contributes one " +
+        "assignment pass, persistable beside the corpus like the sig sidecar."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      admitEmbedding(
+        emb.filter(col("vec_id") % 9 =!= 0),
+        emb.filter(col("vec_id") % 9 === 0),
+        nc = NC)
+        .select(
+          col("vec_id"),
+          when(col("near_emb"), "near_dup_corpus_emb").otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(vec_id)").as("checksum"))
+        .orderBy("status")
     },
 
     // ----- x39: quality-filtered semantic search (cross-table composition) -----

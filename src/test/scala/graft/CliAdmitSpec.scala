@@ -199,6 +199,53 @@ class CliAdmitSpec extends SparkSpec {
     }
   }
 
+  test("admit --emb/--bemb flags rewordings by the embedding leg; vectorless docs pass") {
+    val base = tmpDir("cli-admit-emb")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    val corpusEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    // doc 70000: text UNIQUE (the text leg admits it) but its embedding is
+    // an exact copy of corpus vector 5 — a reworded corpus doc; doc 70001:
+    // unique text, NO batch vector at all
+    val batch = Seq(
+      (70000L, "a reworded account of the very same filing rendered in fresh phrasing", "b"),
+      (70001L, "an unrelated memorandum on boundary stone maintenance rotas", "b"))
+      .toDF("doc_id", "text", "source")
+    val batchEmb = corpusEmb.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(70000L))
+    val (corpusPath, batchPath) = (base.getPath + "/c.parquet", base.getPath + "/b.parquet")
+    val (cePath, bePath) = (base.getPath + "/ce.parquet", base.getPath + "/be.parquet")
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+    corpusEmb.write.parquet(cePath)
+    batchEmb.write.parquet(bePath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // text-only: both admitted — the reworded doc is invisible
+    val jPlain = runJson(List("admit", corpusPath, batchPath, base.getPath + "/plain"))
+    assert(jPlain.contains(""""admitted":2"""))
+    // embedding leg: the identical-vector doc flags, the vectorless passes
+    val jEmb = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/emb",
+      "--emb", cePath, "--bemb", bePath))
+    assert(jEmb.contains(""""admitted":1"""))
+    assert(jEmb.contains(""""near_dup_corpus_emb":1"""))
+    val ids = spark.read.parquet(base.getPath + "/emb/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(70001L))
+    // --emb without --bemb (and vice versa) is a contradiction — usage
+    val bufBad = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bufBad)) {
+      assert(Cli.run(spark, List(
+        "admit", corpusPath, batchPath, base.getPath + "/x", "--emb", cePath)) === 2)
+    }
+  }
+
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {
     val base = tmpDir("cli-admit-sigs")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

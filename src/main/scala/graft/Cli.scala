@@ -370,7 +370,8 @@ object Cli {
     case "admit" :: corpusPath :: batchPath :: outDir :: rest
         if parseAdmitFlags(rest).exists(f =>
           (!f.compact || f.sigsDir.isDefined) &&
-            (f.embPath.isDefined == f.bembPath.isDefined)) =>
+            (f.embPath.isDefined == f.bembPath.isDefined) &&
+            (f.esigsDir.isEmpty || f.embPath.isDefined)) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
       import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
@@ -440,13 +441,33 @@ object Cli {
       // quantizer trained on the corpus, batch assigned to frozen cells,
       // within-cell cosine). Catches rewordings the text leg cannot see;
       // docs with no batch vector pass through unflagged. Sampled
-      // quantizer training, the corpus --scale convention.
-      val st = (flags.embPath, flags.bembPath) match {
+      // quantizer training, the corpus --scale convention. --esigs <dir>
+      // is the emb twin of --sigs: run 1 bootstraps frozen centroids + the
+      // corpus assignment under the dir, later runs classify with ZERO
+      // corpus-embedding access (the --emb path may be retired) and the
+      // finally-admitted vectors' state rows append after classification.
+      val embState = (flags.embPath, flags.bembPath) match {
         case (Some(ce), Some(be)) =>
-          val nearE = xscale.Similarity.admitEmbedding(
-            spark.read.parquet(ce), spark.read.parquet(be),
-            trainSample = 0.1, checkpointDir = flags.ckptDir)
-            .filter(col("near_emb"))
+          val bEmb = spark.read.parquet(be)
+          val frame = flags.esigsDir match {
+            case Some(d) =>
+              if (!new java.io.File(d, "centroids").exists())
+                xscale.Similarity.admitEmbeddingBootstrap(
+                  spark.read.parquet(ce), d,
+                  trainSample = 0.1, checkpointDir = flags.ckptDir)
+              xscale.Similarity.admitEmbeddingSigs(
+                spark, d, bEmb, checkpointDir = flags.ckptDir)
+            case None =>
+              xscale.Similarity.admitEmbedding(
+                spark.read.parquet(ce), bEmb,
+                trainSample = 0.1, checkpointDir = flags.ckptDir)
+          }
+          Some(graft.xscale.DedupClusters.ckpt(frame, flags.ckptDir))
+        case _ => None
+      }
+      val st = embState match {
+        case Some(frame) =>
+          val nearE = frame.filter(col("near_emb"))
             .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
           graft.xscale.DedupClusters.ckpt(
             st1.join(nearE, Seq("doc_id"), "left")
@@ -457,7 +478,7 @@ object Cli {
                   "near_dup_corpus_emb").otherwise(col("status")))
               .drop("ne"),
             flags.ckptDir)
-        case _ => st1
+        case None => st1
       }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -478,6 +499,13 @@ object Cli {
         batchSigs.join(admittedIds, "doc_id")
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
       }
+      // emb-state append: the FINALLY admitted docs' vectors join the
+      // frozen assignment (append-only; centroids never change — retrain
+      // is a re-bootstrap, x79's add-vs-train rule)
+      for (frame <- embState; d <- flags.esigsDir)
+        frame.join(admittedIds, col("vec_id") === col("doc_id"))
+          .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/assign")
       val byStatus = spark.read.parquet(s"$outDir/report").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def n(s: String): Long = byStatus.getOrElse(s, 0L)
@@ -521,7 +549,8 @@ object Cli {
       strict: Boolean = false,
       compact: Boolean = false,
       embPath: Option[String] = None,
-      bembPath: Option[String] = None)
+      bembPath: Option[String] = None,
+      esigsDir: Option[String] = None)
 
   private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
     case Nil => Some(AdmitFlags())
@@ -537,6 +566,8 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(embPath = Some(dir)))
     case "--bemb" :: dir :: tail if !dir.startsWith("--") =>
       parseAdmitFlags(tail).map(_.copy(bembPath = Some(dir)))
+    case "--esigs" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(esigsDir = Some(dir)))
     case _ => None
   }
 
@@ -569,13 +600,15 @@ object Cli {
         "                 written under <outDir>/_audits)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
-        "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb>]\n" +
+        "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
         "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
         "                 --compact first reconciles the --sigs sidecar with the live corpus ids —\n" +
         "                 drops states of since-removed docs, collapses retried double-appends;\n" +
         "                 --emb/--bemb add the EMBEDDING leg — still-admitted docs whose vector has a\n" +
-        "                 cosine>=tau corpus neighbor within its frozen cell flag near_dup_corpus_emb)\n" +
+        "                 cosine>=tau corpus neighbor within its frozen cell flag near_dup_corpus_emb;\n" +
+        "                 --esigs persists that leg's frozen state (centroids + corpus assignment) so\n" +
+        "                 later runs never read the corpus embeddings — the emb twin of --sigs)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

@@ -773,6 +773,23 @@ object Similarity {
         .select(col("vec_id").as("cv_id"), col("cid"),
           col("v").as("cv"), col("nrm").as("cn")),
       checkpointDir)
+    admitEmbDecide(casg, cents, batchEmb, tau, checkpointDir)
+      .select("vec_id", "near_emb")
+  }
+
+  /** The decision core shared by [[admitEmbedding]] (live corpus) and
+    * [[admitEmbeddingSigs]] (frozen state): assign the batch to the given
+    * centroids, compare within-cell against the corpus assignment frame
+    * (cv_id, cid, cv, cn). Returns every batch vector with its cell and
+    * state-shaped columns so a caller can APPEND admitted vectors to the
+    * state — columns (vec_id, near_emb, cid, cv, cn).
+    */
+  private def admitEmbDecide(
+      casg: DataFrame,
+      cents: Seq[(Long, Seq[Long])],
+      batchEmb: DataFrame,
+      tau: Double,
+      checkpointDir: Option[String]): DataFrame = {
     val basg = DedupClusters.ckpt(
       quantizerRanked(fixedPoint(batchEmb), cents).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn")),
@@ -782,9 +799,61 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select("vec_id").distinct()
       .withColumn("hit", lit(true))
-    basg.select("vec_id")
+    basg
       .join(near, Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("hit"), lit(false)).as("near_emb"))
+      .select(
+        col("vec_id"), coalesce(col("hit"), lit(false)).as("near_emb"),
+        col("cid"), col("qv").as("cv"), col("qn").as("cn"))
+  }
+
+  /** Bootstrap the FROZEN embedding-admission state at `dir` — the emb
+    * twin of the text sig sidecar: `dir/centroids` (cid, ci — the
+    * corpus-trained coarse quantizer, x79's frozen-artifact rule) and
+    * `dir/assign` (cv_id, cid, cv, cn — every corpus vector's cell,
+    * full-precision vector and norm). One corpus pass; afterwards
+    * [[admitEmbeddingSigs]] classifies every batch with ZERO corpus
+    * embedding access.
+    */
+  def admitEmbeddingBootstrap(
+      corpusEmb: DataFrame,
+      dir: String,
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): Unit = {
+    val sp = corpusEmb.sparkSession
+    import sp.implicits._
+    val cvi = fixedPoint(corpusEmb)
+    val ncEff =
+      if (nc > 0) nc
+      else math.max(NC.toLong, corpusEmb.count() / TargetClusterSize).toInt
+    val cents = trainQuantizer(cvi, ncEff, trainSample, checkpointDir)
+    cents.toDF("cid", "ci").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/centroids")
+    quantizerRanked(cvi, cents).filter(col("rn") === 1)
+      .select(col("vec_id").as("cv_id"), col("cid"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/assign")
+  }
+
+  /** [[admitEmbedding]] against the PERSISTED state written by
+    * [[admitEmbeddingBootstrap]] — the corpus embeddings are never read
+    * (the centroids are a driver-bounded collect, the assignment a
+    * parquet scan of state rows). Returns (vec_id, near_emb, cid, cv, cn)
+    * so the caller can append the finally-admitted vectors' rows to
+    * `dir/assign`, keeping tomorrow's rewording of today's admission
+    * visible — append-only like the text sidecar; the centroids stay
+    * frozen (retrain = re-bootstrap, the add-vs-train distinction x79
+    * audits).
+    */
+  def admitEmbeddingSigs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batchEmb: DataFrame,
+      tau: Double = SEMDEDUP_TAU,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    admitEmbDecide(spark.read.parquet(s"$dir/assign"), cents, batchEmb, tau, checkpointDir)
   }
 
   /** x85 core: label-RETRIEVAL evaluation of the embedding space — the

@@ -244,6 +244,69 @@ class CliAdmitSpec extends SparkSpec {
       assert(Cli.run(spark, List(
         "admit", corpusPath, batchPath, base.getPath + "/x", "--emb", cePath)) === 2)
     }
+
+    // --esigs: run 1 bootstraps the frozen emb state (centroids + corpus
+    // assignment); run 2 classifies with the corpus EMBEDDINGS deleted —
+    // the emb twin of the text sidecar-independence pin — and the
+    // admitted doc's vector was appended, so a re-submission of ITS
+    // vector under a new id now flags
+    val esigs = base.getPath + "/esigs"
+    val j1 = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/e1",
+      "--emb", cePath, "--bemb", bePath, "--esigs", esigs))
+    assert(j1.contains(""""near_dup_corpus_emb":1"""))
+    assert(new java.io.File(esigs, "centroids").exists())
+    // corpus embeddings retired; batch 2 = doc 70001's text reworded
+    // again (unique text) carrying doc 70001's... no vector — plus a doc
+    // whose vector copies corpus vec 7 (still flags off the state)
+    val batch2 = Seq(
+      (80000L, "an audit trail of pilot boat departures logged against the tide tables", "b"))
+      .toDF("doc_id", "text", "source")
+    val batch2Emb = corpusEmb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(80000L))
+    val (b2Path, be2Path) = (base.getPath + "/b2.parquet", base.getPath + "/be2.parquet")
+    batch2.write.parquet(b2Path)
+    batch2Emb.write.parquet(be2Path)
+    val deleted = base.getPath + "/no-such-emb"
+    val j2 = runJson(List(
+      "admit", corpusPath, b2Path, base.getPath + "/e2",
+      "--emb", deleted, "--bemb", be2Path, "--esigs", esigs))
+    assert(j2.contains(""""near_dup_corpus_emb":1"""))
+    assert(j2.contains(""""admitted":0"""))
+    // append-only state: run 1 admitted doc 70001 (vectorless — nothing
+    // appended); the assign table is still exactly the 100 corpus rows
+    assert(spark.read.parquet(s"$esigs/assign").count() === 100L)
+
+    // positive append: a doc with a genuinely novel vector (the NEGATION
+    // of corpus vec 3 — cosine ≈ -1 to its twin, ≈ 0 elsewhere in this
+    // near-isotropic fixture) ADMITS and its vector joins the state…
+    val farEmb = corpusEmb.filter(col("vec_id") === 3)
+      .select(lit(90000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val batch3 = Seq((90000L,
+      "a census of drift nets recovered beyond the shoal marker last month",
+      "b")).toDF("doc_id", "text", "source")
+    val (b3Path, be3Path) = (base.getPath + "/b3.parquet", base.getPath + "/be3.parquet")
+    batch3.write.parquet(b3Path)
+    farEmb.write.parquet(be3Path)
+    val j3 = runJson(List(
+      "admit", corpusPath, b3Path, base.getPath + "/e3",
+      "--emb", deleted, "--bemb", be3Path, "--esigs", esigs))
+    assert(j3.contains(""""admitted":1"""))
+    assert(spark.read.parquet(s"$esigs/assign").count() === 101L)
+    // …so a re-submission of THAT vector under a new id flags off the
+    // appended state — yesterday's admission is visible today
+    val batch4 = Seq((90001L,
+      "the same drift net census retold in different words entirely",
+      "b")).toDF("doc_id", "text", "source")
+    val (b4Path, be4Path) = (base.getPath + "/b4.parquet", base.getPath + "/be4.parquet")
+    batch4.write.parquet(b4Path)
+    farEmb.withColumn("vec_id", lit(90001L)).write.parquet(be4Path)
+    val j4 = runJson(List(
+      "admit", corpusPath, b4Path, base.getPath + "/e4",
+      "--emb", deleted, "--bemb", be4Path, "--esigs", esigs))
+    assert(j4.contains(""""near_dup_corpus_emb":1"""))
+    assert(j4.contains(""""admitted":0"""))
   }
 
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {

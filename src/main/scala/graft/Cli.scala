@@ -451,8 +451,13 @@ object Cli {
           val bEmb = spark.read.parquet(be)
           val frame = flags.esigsDir match {
             case Some(d) =>
-              if (!new java.io.File(d, "centroids").exists())
-                xscale.Similarity.admitEmbeddingBootstrap(
+              // bootstrap flavor auto-chosen by corpus size (flat coarse
+              // cells within Similarity.FlatEmbBoundary, IMI product cells
+              // past it — the bootstrap that survives 100x); the state
+              // layout self-describes, the classifier detects it
+              if (!new java.io.File(d, "centroids").exists() &&
+                !new java.io.File(d, "halves").exists())
+                xscale.Similarity.admitEmbeddingBootstrapAuto(
                   spark.read.parquet(ce), d,
                   trainSample = 0.1, checkpointDir = flags.ckptDir)
               xscale.Similarity.admitEmbeddingSigs(

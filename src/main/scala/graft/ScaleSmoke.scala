@@ -45,6 +45,7 @@ object ScaleSmoke {
     "x50_joint_imi_powerlaw", "x50_joint_imi_powerlaw_minhash",
     "x99_cascade_powerlaw_auto",
     "x74_admit_powerlaw", "x74_admit_sigs_powerlaw",
+    "x74_admit_emb_powerlaw", "x74_admit_esigs_powerlaw",
     "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
     "x122_cluster_diameter_powerlaw_wide",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
@@ -101,6 +102,19 @@ object ScaleSmoke {
           col("doc_id"), lit(" with no shared shingles beyond this sentence"))
           .as("text"))
     exact.unionByName(near).unionByName(fresh)
+  }
+
+  /** Fixed 250-vector batch for the emb-admission smoke: 200 exact copies
+    * of corpus vectors (guaranteed within-cell flags) + 50 negations
+    * (novel directions in the near-isotropic fixture).
+    */
+  private def admitEmbBatch(emb: org.apache.spark.sql.DataFrame) = {
+    val copies = emb.filter(col("vec_id") < 200)
+      .withColumn("vec_id", col("vec_id") + 9000000000L)
+    val novel = emb.filter(col("vec_id") >= 200 && col("vec_id") < 250)
+      .select((col("vec_id") + 9100000000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    copies.unionByName(novel)
   }
 
   /** 1M-leaf star + 100k disjoint 2-cliques: the clone-heavy dedup graph. */
@@ -174,6 +188,20 @@ object ScaleSmoke {
       xscale.Dedup.dedupSignatures(
           spark.read.parquet(s"$dir/powerlaw_documents.parquet"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_sigs.parquet")
+    }
+    // The emb-admission state (`Cli admit --esigs` steady state): frozen
+    // codebooks + corpus assignment persisted once, cell engine chosen by
+    // corpus size (flat coarse cells to 1e5 vectors, IMI product cells
+    // past it — the flat auto-nc bootstrap carries full vectors through
+    // an n·nc rank shuffle and ABORTED at 200k vectors, the same named
+    // cap as x50's flat assignment; IMI is its measured remediation).
+    // The smoke times only the day-2 classify.
+    if (!new java.io.File(s"$dir/powerlaw_esigs/centroids").exists() &&
+      !new java.io.File(s"$dir/powerlaw_esigs/halves").exists()) {
+      xscale.Similarity.admitEmbeddingBootstrapAuto(
+        spark.read.parquet(s"$dir/powerlaw_embeddings.parquet"),
+        s"$dir/powerlaw_esigs", trainSample = 0.1,
+        checkpointDir = Some(s"$dir/_checkpoints"))
     }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
@@ -392,6 +420,25 @@ object ScaleSmoke {
           s.read.parquet(s"$d/powerlaw_sigs.parquet"),
           xscale.Dedup.dedupSignatures(admitBatch(docs)))
           .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      }),
+      // the EMB leg's two postures: live (corpus embeddings scanned +
+      // quantizer trained per run) vs the frozen --esigs state (day-2:
+      // centroids collected, corpus touched only through state rows). The
+      // fixed batch = 200 copies of corpus vectors (guaranteed flags) +
+      // 50 negations (novel direction in the near-isotropic fixture).
+      "x74_admit_emb_powerlaw" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/powerlaw_embeddings.parquet")
+        xscale.Similarity.admitEmbedding(
+          emb, admitEmbBatch(emb), trainSample = 0.1,
+          checkpointDir = Some(s"$d/_checkpoints"))
+          .groupBy("near_emb").agg(count(lit(1)).as("n"))
+      }),
+      "x74_admit_esigs_powerlaw" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/powerlaw_embeddings.parquet")
+        xscale.Similarity.admitEmbeddingSigs(
+          s, s"$d/powerlaw_esigs", admitEmbBatch(emb),
+          checkpointDir = Some(s"$d/_checkpoints"))
+          .groupBy("near_emb").agg(count(lit(1)).as("n"))
       }),
       "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
         xscale.Dedup.lshFidelity(

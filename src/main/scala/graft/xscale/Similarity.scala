@@ -407,19 +407,28 @@ object Similarity {
       trainSample: Double = 1.0,
       checkpointDir: Option[String] = None): DataFrame = {
     val vi = DedupClusters.ckpt(fixedPoint(emb).select("vec_id", "vi"), checkpointDir)
-    // the two half assignments compose via an INNER join on vec_id —
-    // mirroring the oracle's JOIN USING(vec_id) — so a malformed
-    // assignment (a half's rn=1 row missing or duplicated) drops or
-    // duplicates the row VISIBLY instead of summing into a
-    // wrong-but-valid cell id (which a union + groupBy/sum would do)
-    val halves = pqTrain(vi, 2, nc, trainSample, checkpointDir).map { case (s, cents) =>
+    imiCellOf(vi, pqTrain(vi, 2, nc, trainSample, checkpointDir), nc)
+  }
+
+  /** Assign `vi` (vec_id, vi) to IMI product cells under GIVEN half
+    * codebooks — the frozen-codebook form [[imiAssign]] trains inline and
+    * the emb-admission state classifies batches with. The two half
+    * assignments compose via an INNER join on vec_id — mirroring the
+    * oracle's JOIN USING(vec_id) — so a malformed assignment (a half's
+    * rn=1 row missing or duplicated) drops or duplicates the row VISIBLY
+    * instead of summing into a wrong-but-valid cell id (which a
+    * union + groupBy/sum would do).
+    */
+  private def imiCellOf(
+      vi: DataFrame,
+      halves: Seq[(Int, Seq[(Long, Seq[Long])])],
+      nc: Int): DataFrame =
+    halves.map { case (s, cents) =>
       quantizerRanked(pqSlice(vi, s, 32), cents)
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as(s"c$s"))
-    }
-    halves.reduce(_.join(_, Seq("vec_id")))
+    }.reduce(_.join(_, Seq("vec_id")))
       .select(col("vec_id"), (col("c0") * nc + col("c1")).as("cell"))
-  }
 
   /** x138 core: IMI CELL-HEALTH audit — the occupancy geometry of the
     * product cells in x136's currency (occupied cells, hottest cell,
@@ -794,6 +803,15 @@ object Similarity {
       quantizerRanked(fixedPoint(batchEmb), cents).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("v").as("qv"), col("nrm").as("qn")),
       checkpointDir)
+    admitEmbCompare(casg, basg, tau)
+  }
+
+  /** The within-cell compare shared by both cell engines: `basg` is the
+    * batch assignment (vec_id, cid, qv, qn) under WHATEVER cell scheme
+    * `casg` (cv_id, cid, cv, cn) uses — flat coarse cells or IMI product
+    * cells; the decision is exact full-precision cosine either way.
+    */
+  private def admitEmbCompare(casg: DataFrame, basg: DataFrame, tau: Double): DataFrame = {
     val near = broadcast(basg).join(casg, "cid")
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") >= tau)
@@ -827,21 +845,89 @@ object Similarity {
       if (nc > 0) nc
       else math.max(NC.toLong, corpusEmb.count() / TargetClusterSize).toInt
     val cents = trainQuantizer(cvi, ncEff, trainSample, checkpointDir)
-    cents.toDF("cid", "ci").write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // assign first, centroids LAST: the centroids table is the commit
+    // marker callers probe for state existence, so a bootstrap that dies
+    // mid-assign leaves no marker and retries cleanly (a marker-first
+    // order left a half-state that LOOKED bootstrapped — observed when
+    // the flat 100x bootstrap aborted between the two writes)
     quantizerRanked(cvi, cents).filter(col("rn") === 1)
       .select(col("vec_id").as("cv_id"), col("cid"),
         col("v").as("cv"), col("nrm").as("cn"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/assign")
+    cents.toDF("cid", "ci").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/centroids")
   }
 
+  /** The corpus size past which the FLAT coarse quantizer's bootstrap
+    * assignment is the wrong tool: with auto-nc = n/TargetClusterSize the
+    * assignment is n·nc = n²/64 distance evals, carrying full vectors
+    * through the rank shuffle (measured abort at 200k vectors on the 100×
+    * smoke). Past the boundary, bootstrap on IMI product cells instead —
+    * x138's remediation: the same ~n/64 cells at O(n·√cells) assignment.
+    */
+  val FlatEmbBoundary = 100000L
+
+  /** [[admitEmbeddingBootstrap]] on IMI PRODUCT CELLS — the form that
+    * survives corpus-proportional cell counts (x138): two half-space
+    * codebooks (per-half nc = [[imiAutoNc]] by default), corpus assigned
+    * at 2·nc evals/vector, state = `dir/halves` + `dir/meta` (the cell
+    * arithmetic's nc) + `dir/assign`. The known IMI trade (product-grid
+    * occupancy skew, x138's n_cells/max_share) applies to cell geometry
+    * only — the admission decision stays exact full-precision cosine
+    * within the cell.
+    */
+  def admitEmbeddingBootstrapImi(
+      corpusEmb: DataFrame,
+      dir: String,
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): Unit = {
+    val sp = corpusEmb.sparkSession
+    import sp.implicits._
+    val fp = DedupClusters.ckpt(fixedPoint(corpusEmb), checkpointDir)
+    val ncEff = if (nc > 0) nc else imiAutoNc(corpusEmb.count())
+    val halves = pqTrain(fp.select("vec_id", "vi"), 2, ncEff, trainSample, checkpointDir)
+    // assign + meta first, halves LAST — the commit-marker order (see
+    // admitEmbeddingBootstrap): existence probes key on the halves table
+    imiCellOf(fp.select("vec_id", "vi"), halves, ncEff)
+      .join(fp.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .select(col("vec_id").as("cv_id"), col("cell").as("cid"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/assign")
+    Seq(ncEff.toLong).toDF("nc")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/meta")
+    halves.flatMap { case (s, cs) => cs.map { case (cid, ci) => (s.toLong, cid, ci) } }
+      .toDF("m", "code", "ci")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/halves")
+  }
+
+  /** Bootstrap with the cell engine chosen by corpus size — flat coarse
+    * cells within [[FlatEmbBoundary]] (best geometry), IMI product cells
+    * past it (the only bootstrap that survives corpus-proportional cell
+    * counts). The same auto-boundary pattern as `Dedup.textLegFor`;
+    * `Cli admit --esigs` uses this. Costs one count() (parquet metadata).
+    */
+  def admitEmbeddingBootstrapAuto(
+      corpusEmb: DataFrame,
+      dir: String,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): Unit =
+    if (corpusEmb.count() > FlatEmbBoundary)
+      admitEmbeddingBootstrapImi(corpusEmb, dir,
+        trainSample = trainSample, checkpointDir = checkpointDir)
+    else
+      admitEmbeddingBootstrap(corpusEmb, dir,
+        trainSample = trainSample, checkpointDir = checkpointDir)
+
   /** [[admitEmbedding]] against the PERSISTED state written by
-    * [[admitEmbeddingBootstrap]] — the corpus embeddings are never read
-    * (the centroids are a driver-bounded collect, the assignment a
-    * parquet scan of state rows). Returns (vec_id, near_emb, cid, cv, cn)
-    * so the caller can append the finally-admitted vectors' rows to
+    * [[admitEmbeddingBootstrap]] (flat centroids) or
+    * [[admitEmbeddingBootstrapImi]] (half codebooks) — the flavor is
+    * detected from the state layout; the corpus embeddings are never read
+    * (codebooks are a driver-bounded collect, the assignment a parquet
+    * scan of state rows). Returns (vec_id, near_emb, cid, cv, cn) so the
+    * caller can append the finally-admitted vectors' rows to
     * `dir/assign`, keeping tomorrow's rewording of today's admission
-    * visible — append-only like the text sidecar; the centroids stay
+    * visible — append-only like the text sidecar; the codebooks stay
     * frozen (retrain = re-bootstrap, the add-vs-train distinction x79
     * audits).
     */
@@ -851,9 +937,26 @@ object Similarity {
       batchEmb: DataFrame,
       tau: Double = SEMDEDUP_TAU,
       checkpointDir: Option[String] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
-    admitEmbDecide(spark.read.parquet(s"$dir/assign"), cents, batchEmb, tau, checkpointDir)
+    val casg = spark.read.parquet(s"$dir/assign")
+    if (new java.io.File(dir, "halves").exists()) {
+      val nc = spark.read.parquet(s"$dir/meta").collect()(0).getLong(0).toInt
+      val halves = spark.read.parquet(s"$dir/halves").collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1), r.getSeq[Long](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, rows) => (s, rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1)) }
+      val fp = DedupClusters.ckpt(fixedPoint(batchEmb), checkpointDir)
+      val basg = DedupClusters.ckpt(
+        imiCellOf(fp.select("vec_id", "vi"), halves, nc)
+          .join(fp.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .select(col("vec_id"), col("cell").as("cid"),
+            col("v").as("qv"), col("nrm").as("qn")),
+        checkpointDir)
+      admitEmbCompare(casg, basg, tau)
+    } else {
+      val cents = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+      admitEmbDecide(casg, cents, batchEmb, tau, checkpointDir)
+    }
   }
 
   /** x85 core: label-RETRIEVAL evaluation of the embedding space — the

@@ -309,6 +309,37 @@ class CliAdmitSpec extends SparkSpec {
     assert(j4.contains(""""admitted":0"""))
   }
 
+  test("emb-admission state flavors agree: flat centroids vs IMI product cells") {
+    val base = tmpDir("esigs-flavors")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    // planted decisives: 5 exact copies (flag under ANY cell engine — a
+    // copy shares its original's cell by construction) + 1 negation
+    // (admits: cosine ≈ -1 to its twin, ≈ 0 elsewhere)
+    val batch = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 9000000000L)
+      .unionByName(emb.filter(col("vec_id") === 10)
+        .select(lit(9100000000L).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"), col("label")))
+    xscale.Similarity.admitEmbeddingBootstrap(emb, base.getPath + "/flat")
+    xscale.Similarity.admitEmbeddingBootstrapImi(emb, base.getPath + "/imi")
+    def decide(d: String): Map[Long, Boolean] =
+      xscale.Similarity.admitEmbeddingSigs(spark, d, batch)
+        .select("vec_id", "near_emb").as[(Long, Boolean)].collect().toMap
+    val flat = decide(base.getPath + "/flat")
+    val imi = decide(base.getPath + "/imi")
+    val expected = ((0L until 5L).map(i => (i + 9000000000L) -> true) :+
+      (9100000000L -> false)).toMap
+    assert(flat === expected)
+    assert(imi === expected)
+    // the auto rule picks flat below the boundary…
+    xscale.Similarity.admitEmbeddingBootstrapAuto(emb, base.getPath + "/auto")
+    assert(new java.io.File(base.getPath + "/auto", "centroids").exists())
+    // …and the IMI layout self-describes (halves + meta + assign)
+    assert(new java.io.File(base.getPath + "/imi", "halves").exists())
+    assert(new java.io.File(base.getPath + "/imi", "meta").exists())
+  }
+
   test("admit --sigs bootstraps the dedup-state sidecar; later runs never read the corpus") {
     val base = tmpDir("cli-admit-sigs")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

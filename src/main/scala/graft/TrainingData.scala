@@ -658,6 +658,26 @@ object TrainingData {
       checkpointDir: Option[String] = None): DataFrame =
     Similarity.admitEmbedding(corpusEmb, batchEmb, tau, nc, trainSample, checkpointDir)
 
+  /** Persist the FROZEN emb-admission state (cell engine auto-chosen by
+    * corpus size: flat coarse cells to 1e5 vectors, IMI product cells
+    * past — the bootstrap that survives corpus-proportional cell counts);
+    * [[admitEmbeddingSigs]] then classifies every batch with zero
+    * corpus-embedding access. The emb twin of [[dedupSignatures]].
+    */
+  def admitEmbeddingBootstrap(corpusEmb: DataFrame, dir: String,
+      trainSample: Double = 1.0, checkpointDir: Option[String] = None): Unit =
+    Similarity.admitEmbeddingBootstrapAuto(corpusEmb, dir, trainSample, checkpointDir)
+
+  /** [[admitEmbedding]] against the persisted state — flavor detected
+    * from the layout; returns state-shaped rows so callers can append the
+    * finally-admitted vectors to `dir/assign` (append-only; codebooks
+    * frozen — retrain = re-bootstrap).
+    */
+  def admitEmbeddingSigs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchEmb: DataFrame, tau: Double = Similarity.SEMDEDUP_TAU,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.admitEmbeddingSigs(spark, dir, batchEmb, tau, checkpointDir)
+
   /** Quality-signal calibration (x93): cross-tab of the Gopher verdict
     * against the LM-score band (corpus-mean threshold, no global sort) —
     * docs, token mass and mean score per cell; the audit that decides

@@ -37,6 +37,19 @@ object Cli {
       case c            => c.toString
     } + "\""
 
+  /** Filesystem-scheme-aware existence probe. Every state/sidecar probe
+    * MUST go through here (Hadoop `FileSystem`, as the lake code does —
+    * Lake.insertFast / readLake) rather than `java.io.File`: on HDFS/S3 —
+    * the deployments where "classify without re-reading the corpus"
+    * matters — a local-file probe always answers false, so an admit run
+    * would re-bootstrap and OVERWRITE the append-only sidecar state,
+    * silently erasing earlier batches' appended signatures.
+    */
+  private[graft] def hfsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def main(args: Array[String]): Unit =
     if (!Set("ingest", "query", "generate-synthetic-data", "corpus", "report", "admit").contains(
         args.headOption.getOrElse(""))) {
@@ -128,7 +141,7 @@ object Cli {
         "x120_markup_residue", "x123_shard_balance",
         "x126_dedup_length_bias", "x127_stage_overlap",
         "x129_threshold_sweep", "x130_token_profile") ++
-        (if (new java.io.File(s"$dir/embeddings.parquet").exists())
+        (if (hfsExists(spark, s"$dir/embeddings.parquet"))
           Seq("x106_norm_audit", "x118_dim_stats", "x124_anisotropy",
             "x136_lsh_buckets", "x137_lsh_centered", "x138_imi_cells")
         else Nil)
@@ -364,12 +377,13 @@ object Cli {
     // pattern (x79's IVFPQ add) applied to dedup state. Without --sigs,
     // the corpus still contributes only one key projection + one
     // signature scan; admitting a few GB never re-shuffles the corpus.
-    // --compact without --sigs (no sidecar to reconcile) and --emb/--bemb
-    // alone (the leg needs BOTH vector sides) are contradictions — reject
-    // to usage instead of silently ignoring flags
+    // --compact without any sidecar (--sigs/--esigs — nothing to
+    // reconcile) and --emb/--bemb alone (the leg needs BOTH vector sides)
+    // are contradictions — reject to usage instead of silently ignoring
+    // flags
     case "admit" :: corpusPath :: batchPath :: outDir :: rest
         if parseAdmitFlags(rest).exists(f =>
-          (!f.compact || f.sigsDir.isDefined) &&
+          (!f.compact || f.sigsDir.isDefined || f.esigsDir.isDefined) &&
             (f.embPath.isDefined == f.bembPath.isDefined) &&
             (f.esigsDir.isEmpty || f.embPath.isDefined)) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -380,7 +394,7 @@ object Cli {
       // text pass, materialized once (batch-sized frame)
       val batchSigs = graft.xscale.DedupClusters.ckpt(
         xscale.Dedup.dedupSignatures(batch), flags.ckptDir)
-      val sidecar0 = flags.sigsDir.filter(d => new java.io.File(d).exists())
+      val sidecar0 = flags.sigsDir.filter(d => hfsExists(spark, d))
       // --compact: reconcile the sidecar with the LIVE corpus before
       // classifying — a later re-filter/re-dedup that removed docs leaves
       // stale signatures behind, and stale state POISONS admission
@@ -451,26 +465,44 @@ object Cli {
           val bEmb = spark.read.parquet(be)
           val frame = flags.esigsDir match {
             case Some(d) =>
+              val bootstrapped = hfsExists(spark, s"$d/centroids") ||
+                hfsExists(spark, s"$d/halves")
+              // --compact: reconcile the assign table with the LIVE corpus
+              // ids before classifying — the emb analog of the sig-sidecar
+              // compaction above (stale vectors poison admission the same
+              // way: a rewording of deleted content keeps flagging
+              // near_dup_corpus_emb); corpus contributes ID PROJECTION
+              // only, centroids stay frozen. Same non-atomic-rewrite
+              // caveat — pass --ckpt so the cut is storage-backed.
+              if (flags.compact && bootstrapped) {
+                val compacted = graft.xscale.DedupClusters.ckpt(
+                  xscale.Similarity.compactEmbAssign(
+                    spark.read.parquet(s"$d/assign"),
+                    spark.read.parquet(corpusPath)
+                      .select(col("doc_id").as("vec_id"))),
+                  flags.ckptDir)
+                compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .parquet(s"$d/assign")
+              }
               // bootstrap flavor auto-chosen by corpus size (flat coarse
               // cells within Similarity.FlatEmbBoundary, IMI product cells
               // past it — the bootstrap that survives 100x); the state
               // layout self-describes, the classifier detects it
-              if (!new java.io.File(d, "centroids").exists() &&
-                !new java.io.File(d, "halves").exists())
+              if (!bootstrapped)
                 xscale.Similarity.admitEmbeddingBootstrapAuto(
                   spark.read.parquet(ce), d,
                   trainSample = 0.1, checkpointDir = flags.ckptDir)
               xscale.Similarity.admitEmbeddingSigs(
                 spark, d, bEmb, checkpointDir = flags.ckptDir)
             case None =>
-              xscale.Similarity.admitEmbedding(
+              xscale.Similarity.admitEmbeddingFrame(
                 spark.read.parquet(ce), bEmb,
                 trainSample = 0.1, checkpointDir = flags.ckptDir)
           }
           Some(graft.xscale.DedupClusters.ckpt(frame, flags.ckptDir))
         case _ => None
       }
-      val st = embState match {
+      val st2 = embState match {
         case Some(frame) =>
           val nearE = frame.filter(col("near_emb"))
             .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
@@ -484,6 +516,30 @@ object Cli {
               .drop("ne"),
             flags.ckptDir)
         case None => st1
+      }
+      // --strict + --emb: the emb analog of the text strict pass, one
+      // signal level down — two REWORDINGS arriving together both clear
+      // the batch-vs-corpus emb rule; within-cell cosine CC over the
+      // FINALLY-admitted docs' already-assigned vectors (zero extra
+      // embedding access), losers re-status near_dup_batch_emb
+      val st = (embState, flags.strict) match {
+        case (Some(frame), true) =>
+          val admNow = st2.filter(col("status") === "admitted")
+            .select(col("doc_id").as("vec_id"))
+          val losers = xscale.Similarity.admitEmbStrictLosers(
+            frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
+            checkpointDir = flags.ckptDir)
+            .select(col("vec_id").as("doc_id"), lit(true).as("le"))
+          graft.xscale.DedupClusters.ckpt(
+            st2.join(losers, Seq("doc_id"), "left")
+              .withColumn(
+                "status",
+                when(
+                  col("status") === "admitted" && coalesce(col("le"), lit(false)),
+                  "near_dup_batch_emb").otherwise(col("status")))
+              .drop("le"),
+            flags.ckptDir)
+        case _ => st2
       }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -522,6 +578,9 @@ object Cli {
           (if (flags.strict) s""""near_dup_batch":${n("near_dup_batch")},""" else "") +
           (if (flags.embPath.isDefined)
             s""""near_dup_corpus_emb":${n("near_dup_corpus_emb")},"""
+          else "") +
+          (if (flags.strict && flags.embPath.isDefined)
+            s""""near_dup_batch_emb":${n("near_dup_batch_emb")},"""
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -608,8 +667,11 @@ object Cli {
         "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
         "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
-        "                 --compact first reconciles the --sigs sidecar with the live corpus ids —\n" +
-        "                 drops states of since-removed docs, collapses retried double-appends;\n" +
+        "                 with --emb it ALSO runs the emb analog over the finally-admitted vectors —\n" +
+        "                 two rewordings arriving together keep one survivor, losers near_dup_batch_emb;\n" +
+        "                 --compact first reconciles the --sigs sidecar (and the --esigs assign table)\n" +
+        "                 with the live corpus ids — drops states of since-removed docs, collapses\n" +
+        "                 retried double-appends; centroids stay frozen;\n" +
         "                 --emb/--bemb add the EMBEDDING leg — still-admitted docs whose vector has a\n" +
         "                 cosine>=tau corpus neighbor within its frozen cell flag near_dup_corpus_emb;\n" +
         "                 --esigs persists that leg's frozen state (centroids + corpus assignment) so\n" +

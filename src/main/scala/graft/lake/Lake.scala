@@ -74,6 +74,18 @@ object Lake {
     * previous implementation re-scanned the whole `_delta` sidecar for
     * max(_seq) on EVERY single-row insert — O(delta) driver work per
     * point insert, exactly the cost the LSM path exists to avoid.
+    *
+    * SINGLE-WRITER-PER-LAKE assumption (deliberate): the monotonicity
+    * guarantee is per-process. Two concurrent writer processes in the
+    * same millisecond whose pids collide mod 2^20 emit the same `_seq`
+    * (latest-wins tie broken arbitrarily), and the clock-regression
+    * guard only holds within one process — a clock stepped back across a
+    * writer restart can rank the new process's inserts below an earlier
+    * process's later writes. Multi-writer deployments need a
+    * transactional table format underneath (the same Delta/Iceberg
+    * caveat as the partition-swap path) — widening the salt would shrink
+    * the collision window, not close it, so we document the boundary
+    * instead of pretending to fix it.
     */
   private val deltaSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextDeltaSeq(): Long = deltaSeq.updateAndGet { prev =>
@@ -95,12 +107,30 @@ object Lake {
     * Falls back to the merge path when the lake doesn't exist yet (the
     * first write defines the layout).
     */
+  /** Per-lake monthly-layout memo for the point-insert hot path: a lake's
+    * layout is fixed at first write (the on-disk-layout-wins rule below),
+    * so probing `spark.read.parquet(lakePath).schema` on EVERY insert —
+    * a file listing + parquet footer read per point insert — pays real
+    * latency for an answer that cannot change. First probe per lakePath
+    * per JVM; [[upsertIntoLake]] primes it on first write. Process-local
+    * like [[nextDeltaSeq]] (same single-writer-per-lake assumption);
+    * `layoutProbes` is the spec seam counting actual base-lake reads.
+    */
+  private val layoutCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[graft] val layoutProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def forgetLayout(lakePath: String): Unit = layoutCache.remove(lakePath)
+  private def monthlyLayout(spark: SparkSession, lakePath: String): Boolean =
+    layoutCache.getOrElseUpdate(lakePath, {
+      layoutProbes.incrementAndGet()
+      spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
+    })
+
   def insertFast(spark: SparkSession, t: Transaction, lakePath: String): Unit = {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(lakePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) { upsertIntoLake(spark, Seq(t).toDF(), lakePath); return }
-    val monthly = spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
+    val monthly = monthlyLayout(spark, lakePath)
     val dPath = new org.apache.hadoop.fs.Path(deltaDir(lakePath))
     val row0 = Seq(t).toDF()
     val row = if (monthly) row0.withColumn("posting_month", postingMonth(col("posting_date"))) else row0
@@ -162,8 +192,8 @@ object Lake {
     // single-row API insert or a streaming batch must not need to know how
     // the lake was created (and a mismatched union would throw).
     val effectiveMonthly =
-      if (exists) spark.read.parquet(lakePath).schema.fieldNames.contains("posting_month")
-      else monthPartitioned
+      if (exists) monthlyLayout(spark, lakePath)
+      else { layoutCache.put(lakePath, monthPartitioned); monthPartitioned }
     val parts = if (effectiveMonthly) Seq("data_source", "posting_month") else Seq("data_source")
     val batchP =
       if (effectiveMonthly) batch.withColumn("posting_month", postingMonth(col("posting_date")))

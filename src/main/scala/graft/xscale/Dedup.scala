@@ -531,6 +531,15 @@ object Dedup {
     * docs per bucket value, so candidate mass is ~9·128·C(n/128, 2) ≈
     * n²/28 regardless of content — ~3.6e8 rows at 1e5 docs (workable),
     * ~3.6e10 at 1e6 (not). Shard to this size or switch legs.
+    *
+    * NOT the same knob as [[Similarity.FlatEmbBoundary]], though both are
+    * numerically 1e5: this one prices BLOCK CAPACITY of the narrow-simhash
+    * pigeonhole (candidate-row mass in a bucketed self-join, measured on
+    * the 100×-smoke power-law fixture — SURVEY §7.4), that one prices the
+    * flat coarse quantizer's ASSIGNMENT cost (n·nc distance evals under
+    * corpus-proportional auto-nc, measured as a bootstrap abort at 200k
+    * vectors). They drift independently if K/B/R or TargetClusterSize
+    * change — do not fold them into one constant.
     */
   val NarrowSimhashBoundary = 100000L
 

@@ -771,19 +771,94 @@ object Similarity {
       tau: Double = SEMDEDUP_TAU,
       nc: Int = 0,
       trainSample: Double = 1.0,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val cvi = fixedPoint(corpusEmb)
-    val ncEff =
-      if (nc > 0) nc
-      else math.max(NC.toLong, corpusEmb.count() / TargetClusterSize).toInt
-    val cents = trainQuantizer(cvi, ncEff, trainSample, checkpointDir)
-    val casg = DedupClusters.ckpt(
-      quantizerRanked(cvi, cents).filter(col("rn") === 1)
-        .select(col("vec_id").as("cv_id"), col("cid"),
-          col("v").as("cv"), col("nrm").as("cn")),
-      checkpointDir)
-    admitEmbDecide(casg, cents, batchEmb, tau, checkpointDir)
+      checkpointDir: Option[String] = None): DataFrame =
+    admitEmbeddingFrame(corpusEmb, batchEmb, tau, nc, trainSample, checkpointDir)
       .select("vec_id", "near_emb")
+
+  /** [[admitEmbedding]] keeping the full state-shaped frame — columns
+    * (vec_id, near_emb, cid, cv, cn) — so callers can run the intra-batch
+    * strict pass ([[admitEmbStrictLosers]], which needs each vector's cell
+    * and norm) or append the admitted vectors to a persisted state.
+    *
+    * The live path picks its cell engine the way the bootstrap does: flat
+    * coarse cells when `nc` is explicit or the corpus is within
+    * [[FlatEmbBoundary]]; IMI product cells past it (auto-nc makes the
+    * flat assignment n·nc = n²/64 distance evals — the measured 200k-vector
+    * abort that [[admitEmbeddingBootstrapAuto]] already routes around; the
+    * live classify-without-a-sidecar path owes the same remediation).
+    */
+  def admitEmbeddingFrame(
+      corpusEmb: DataFrame,
+      batchEmb: DataFrame,
+      tau: Double = SEMDEDUP_TAU,
+      nc: Int = 0,
+      trainSample: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val n = if (nc > 0) 0L else corpusEmb.count()
+    if (nc == 0 && n > FlatEmbBoundary) {
+      val cfp = DedupClusters.ckpt(fixedPoint(corpusEmb), checkpointDir)
+      val ncEff = imiAutoNc(n)
+      val halves = pqTrain(cfp.select("vec_id", "vi"), 2, ncEff, trainSample, checkpointDir)
+      val casg = DedupClusters.ckpt(
+        imiCellOf(cfp.select("vec_id", "vi"), halves, ncEff)
+          .join(cfp.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .select(col("vec_id").as("cv_id"), col("cell").as("cid"),
+            col("v").as("cv"), col("nrm").as("cn")),
+        checkpointDir)
+      val bfp = DedupClusters.ckpt(fixedPoint(batchEmb), checkpointDir)
+      val basg = DedupClusters.ckpt(
+        imiCellOf(bfp.select("vec_id", "vi"), halves, ncEff)
+          .join(bfp.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .select(col("vec_id"), col("cell").as("cid"),
+            col("v").as("qv"), col("nrm").as("qn")),
+        checkpointDir)
+      admitEmbCompare(casg, basg, tau)
+    } else {
+      val cvi = fixedPoint(corpusEmb)
+      val ncEff = if (nc > 0) nc else math.max(NC.toLong, n / TargetClusterSize).toInt
+      val cents = trainQuantizer(cvi, ncEff, trainSample, checkpointDir)
+      val casg = DedupClusters.ckpt(
+        quantizerRanked(cvi, cents).filter(col("rn") === 1)
+          .select(col("vec_id").as("cv_id"), col("cid"),
+            col("v").as("cv"), col("nrm").as("cn")),
+        checkpointDir)
+      admitEmbDecide(casg, cents, batchEmb, tau, checkpointDir)
+    }
+  }
+
+  /** The EMBEDDING analog of `Dedup.admitStrict` — the intra-batch blind
+    * spot one level down the signal stack: two REWORDINGS of the same
+    * content arriving in one batch both clear the batch-vs-corpus emb rule
+    * (neither is near the corpus) and would both enter the corpus forever.
+    * Run within-cell cosine ≥ `tau` pairs over the FINALLY-admitted batch
+    * vectors' state rows (`admFrame` = (vec_id, cid, cv, cn), the
+    * already-computed [[admitEmbeddingFrame]]/[[admitEmbeddingSigs]]
+    * columns — zero extra embedding access), connected components, one
+    * survivor (min id) per cluster; returns the LOSER ids, one column
+    * `vec_id`, for the caller to re-status as `near_dup_batch_emb`.
+    *
+    * Recall caveat: pairs straddling a cell boundary are missed — the same
+    * single-probe IVF trade as the corpus leg (x13's pricing); batch-side
+    * multi-probe raises recall by nprobe × batch, never corpus. Scale:
+    * batch-sized self-join bucketed by cell + CC on the (tiny) pair graph.
+    */
+  def admitEmbStrictLosers(
+      admFrame: DataFrame,
+      tau: Double = SEMDEDUP_TAU,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val a = admFrame.select(
+      col("vec_id").as("va"), col("cid"), col("cv").as("qa"), col("cn").as("na"))
+    val b = admFrame.select(
+      col("vec_id").as("vb"), col("cid"), col("cv").as("qb"), col("cn").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", dot(col("qa"), col("qb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("va").as("a"), col("vb").as("b"))
+      .distinct()
+    DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
   }
 
   /** The decision core shared by [[admitEmbedding]] (live corpus) and
@@ -864,6 +939,13 @@ object Similarity {
     * through the rank shuffle (measured abort at 200k vectors on the 100×
     * smoke). Past the boundary, bootstrap on IMI product cells instead —
     * x138's remediation: the same ~n/64 cells at O(n·√cells) assignment.
+    *
+    * NOT the same knob as [[Dedup.NarrowSimhashBoundary]], though both are
+    * numerically 1e5: this one prices the flat quantizer's ASSIGNMENT cost
+    * (n·nc evals, measured as a 200k-vector bootstrap abort), that one
+    * prices narrow simhash's BLOCK CAPACITY (bucketed self-join candidate
+    * mass — SURVEY §7.4). They drift independently if TargetClusterSize
+    * or the simhash K/B/R change — do not fold them into one constant.
     */
   val FlatEmbBoundary = 100000L
 
@@ -919,6 +1001,27 @@ object Similarity {
       admitEmbeddingBootstrap(corpusEmb, dir,
         trainSample = trainSample, checkpointDir = checkpointDir)
 
+  /** Emb-state COMPACTION — the embedding analog of
+    * `Dedup.compactSignatures`, closing the same two drift modes for the
+    * `assign` table of a persisted emb-admission state: (1) docs REMOVED
+    * by a later re-filter leave stale vectors behind that keep voting
+    * `near_dup_corpus_emb` — tomorrow's rewording of deleted content is
+    * rejected against vectors the corpus no longer has; (2) a retried
+    * append lands a vector twice (identical rows — harmless to the
+    * decision, paid on every state scan). Keeps one assign row per cv_id
+    * still in `live` (column `vec_id` — an ID projection of the live
+    * corpus, never its embeddings). Same identity model as the text
+    * sidecar (ids name immutable content; revision = remove + re-admit
+    * under a new id) and the same non-atomic-rewrite caveat: the caller
+    * Overwrites the assign path, so make the cut storage-backed (ckpt
+    * with a dir) in production. Centroids/halves are untouched —
+    * compaction never retrains (x79's add-vs-train rule).
+    */
+  def compactEmbAssign(assign: DataFrame, live: DataFrame): DataFrame =
+    graft.lake.Lake.dedupKeepFirst(
+      assign.join(live.select(col("vec_id").as("cv_id")), Seq("cv_id"), "left_semi"),
+      Seq("cv_id"), Seq("cid"))
+
   /** [[admitEmbedding]] against the PERSISTED state written by
     * [[admitEmbeddingBootstrap]] (flat centroids) or
     * [[admitEmbeddingBootstrapImi]] (half codebooks) — the flavor is
@@ -938,7 +1041,13 @@ object Similarity {
       tau: Double = SEMDEDUP_TAU,
       checkpointDir: Option[String] = None): DataFrame = {
     val casg = spark.read.parquet(s"$dir/assign")
-    if (new java.io.File(dir, "halves").exists()) {
+    // layout self-description probe through Hadoop FileSystem (NOT
+    // java.io.File): on HDFS/S3 a local-file probe always answers false,
+    // mis-detecting an IMI state as flat and dying on the missing
+    // `centroids` table — the same scheme-awareness the lake code has
+    val halvesPath = new org.apache.hadoop.fs.Path(s"$dir/halves")
+    val hfs = halvesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(halvesPath)) {
       val nc = spark.read.parquet(s"$dir/meta").collect()(0).getLong(0).toInt
       val halves = spark.read.parquet(s"$dir/halves").collect()
         .map(r => (r.getLong(0).toInt, r.getLong(1), r.getSeq[Long](2).toSeq))
@@ -2052,6 +2161,143 @@ object Similarity {
         .groupBy("status")
         .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(vec_id)").as("checksum"))
         .orderBy("status")
+    },
+
+    // ----- x74 emb strict: + intra-batch rewording CC (`Cli admit --strict --emb`) -----
+    Q(
+      "x74_admit_emb_strict",
+      Some {
+        // x74_admit_emb's fixture + intra-batch REWORDING re-arrivals:
+        // every 45th vector (45 = 9*5, so the original is IN the batch)
+        // re-arrives under a new id with the SAME embedding — two
+        // rewordings of one content landing together, invisible to the
+        // batch-vs-corpus rule (neither is near the corpus unless the
+        // original already was, in which case BOTH flag corpus-near and
+        // stay out of the CC)
+        s"WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+          "WHERE vec_id % 9 <> 0), " +
+          "n AS (SELECT vec_id, v, " +
+          "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), " +
+          s"$kmeansRankedSql, " +
+          "asg AS (SELECT vec_id, cid FROM r0 WHERE rn = 1), " +
+          "bn AS (SELECT vec_id, v, " +
+          "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm " +
+          "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+          "WHERE vec_id % 9 = 0 " +
+          "UNION ALL SELECT vec_id + 2000000, embedding::DOUBLE[] AS v FROM embeddings " +
+          "WHERE vec_id % 45 = 0)), " +
+          s"bvi AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $VSCALE) AS BIGINT)) " +
+          "AS vi FROM bn), " +
+          s"bd AS (SELECT bvi.vec_id, c.cid, " +
+          "list_aggregate(list_transform(generate_series(1, 64), " +
+          s"i -> (bvi.vi[i] - c.ci[i]) * (bvi.vi[i] - c.ci[i])), 'sum') AS dist " +
+          s"FROM bvi CROSS JOIN c$NITER c), " +
+          "rb AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM bd) " +
+          "WHERE rn = 1), " +
+          s"p AS (SELECT rb.vec_id, $cosSql AS cos FROM rb " +
+          "JOIN asg a ON a.cid = rb.cid " +
+          "JOIN bn q ON q.vec_id = rb.vec_id JOIN n c ON c.vec_id = a.vec_id), " +
+          s"near AS (SELECT DISTINCT vec_id FROM p WHERE cos >= $SEMDEDUP_TAU), " +
+          "st AS (SELECT b.vec_id, CASE WHEN near.vec_id IS NOT NULL " +
+          "THEN 'near_dup_corpus_emb' ELSE 'admitted' END AS status " +
+          "FROM bn b LEFT JOIN near USING (vec_id)), " +
+          "adm AS (SELECT vec_id FROM st WHERE status = 'admitted'), " +
+          "bq AS (SELECT rb.vec_id, rb.cid, bn.v, bn.nrm FROM rb " +
+          "JOIN bn USING (vec_id) JOIN adm USING (vec_id)), " +
+          "pp AS (SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb FROM bq a " +
+          "JOIN bq b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+          "WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), " +
+          s"i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm) >= $SEMDEDUP_TAU), " +
+          "ed AS (SELECT pa, pb FROM pp UNION SELECT pb, pa FROM pp), " +
+          "reach AS (SELECT pa AS id, pa AS comp FROM ed " +
+          "UNION SELECT ed.pa AS id, r.comp FROM ed JOIN reach r ON ed.pb = r.id), " +
+          "comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "losers AS (SELECT id FROM comp WHERE id <> component), " +
+          "st2 AS (SELECT vec_id, CASE WHEN status = 'admitted' AND " +
+          "vec_id IN (SELECT id FROM losers) THEN 'near_dup_batch_emb' ELSE status END " +
+          "AS status FROM st) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(bit_xor(vec_id) AS BIGINT) AS checksum " +
+          "FROM st2 GROUP BY status ORDER BY status"
+      },
+      "STRICT embedding admission — x74_admit_emb plus the intra-batch case the " +
+        "batch-vs-corpus rule is structurally blind to, one signal level below " +
+        "x74_admit_strict: two REWORDINGS of the same content arriving together both " +
+        "clear the corpus check and would both enter the corpus forever. Within-cell " +
+        s"cosine >= $SEMDEDUP_TAU pairs over the still-admitted batch vectors " +
+        "(already-assigned cells, zero extra embedding access) -> connected components " +
+        "(recursive-CTE closure in the oracle) -> one survivor (min id) per cluster, " +
+        "losers near_dup_batch_emb — `Cli admit --strict --emb`'s refinement, " +
+        "oracle-pinned. Fixture re-arrives every 45th vector under a new id so the " +
+        "fifth bucket carries data. Scale: the pair join is batch-sized and bucketed " +
+        "by cell; CC runs on the (tiny) admitted-pair graph; corpus legs unchanged."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val batch = emb.filter(col("vec_id") % 9 === 0)
+        .unionByName(emb.filter(col("vec_id") % 45 === 0)
+          .withColumn("vec_id", col("vec_id") + 2000000L))
+      val frame = DedupClusters.ckpt(
+        admitEmbeddingFrame(emb.filter(col("vec_id") % 9 =!= 0), batch, nc = NC),
+        None)
+      val losers = admitEmbStrictLosers(frame.filter(!col("near_emb")))
+        .withColumn("lose", lit(true))
+      frame.join(losers, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          when(col("near_emb"), "near_dup_corpus_emb")
+            .when(coalesce(col("lose"), lit(false)), "near_dup_batch_emb")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(vec_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x74 esigs compact: emb-state reconciliation (`Cli admit --esigs --compact`) -----
+    Q(
+      "x74_esigs_compact",
+      Some {
+        // state fixture = every vector's assign row + a planted RETRY
+        // double-append (every 7th); the corpus then loses every 5th
+        // vector to a re-filter — compaction drops removed states and
+        // collapses doubles, mirroring x74_sigs_compact one signal down
+        s"WITH $normCtes, $kmeansRankedSql, " +
+          "a0 AS (SELECT vec_id AS cv_id, cid FROM r0 WHERE rn = 1), " +
+          "s0 AS (SELECT cv_id, cid FROM a0 " +
+          "UNION ALL SELECT cv_id, cid FROM a0 WHERE cv_id % 7 = 0), " +
+          "live AS (SELECT vec_id FROM e WHERE vec_id % 5 <> 0), " +
+          "c AS (SELECT DISTINCT s0.cv_id, s0.cid FROM s0 " +
+          "JOIN live ON live.vec_id = s0.cv_id) " +
+          "SELECT cv_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(bit_xor(cv_id) AS BIGINT) AS id_xor, " +
+          "CAST(bit_xor(cid) AS BIGINT) AS cid_xor " +
+          "FROM c GROUP BY 1 ORDER BY 1"
+      },
+      "emb-state COMPACTION (`Cli admit --esigs --compact`): the append-only assign " +
+        "table drifts from the corpus exactly like the text sidecar — docs removed by a " +
+        "re-filter leave STALE VECTORS that keep voting near_dup_corpus_emb (tomorrow's " +
+        "rewording of deleted content is rejected against vectors the corpus no longer " +
+        "has), and retried appends double rows. compactEmbAssign keeps one assign row " +
+        "per cv_id still in the live ID set: one left_semi on the 8-byte id (the corpus " +
+        "contributes ID PROJECTION only — never embeddings) + one keep-one shuffle; " +
+        "centroids stay frozen (compaction never retrains — x79's add-vs-train rule). " +
+        "Fixture plants both drift modes (double-append every 7th, remove every 5th); " +
+        "per-decile count + id/cell checksums pin the exact surviving membership."
+    ) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val vi = fixedPoint(emb)
+      val assign = quantizerRanked(vi, trainQuantizer(vi, NC)).filter(col("rn") === 1)
+        .select(col("vec_id").as("cv_id"), col("cid"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      compactEmbAssign(
+        assign.unionByName(assign.filter(col("cv_id") % 7 === 0)),
+        emb.filter(col("vec_id") % 5 =!= 0).select("vec_id"))
+        .groupBy((col("cv_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          expr("bit_xor(cv_id)").as("id_xor"),
+          expr("bit_xor(cid)").as("cid_xor"))
+        .orderBy("decile")
     },
 
     // ----- x39: quality-filtered semantic search (cross-table composition) -----

@@ -309,6 +309,134 @@ class CliAdmitSpec extends SparkSpec {
     assert(j4.contains(""""admitted":0"""))
   }
 
+  test("admit --strict --emb catches two rewordings arriving together in one batch") {
+    val base = tmpDir("cli-admit-emb-strict")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    val corpusEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    // two batch docs: texts UNIQUE (text leg admits both, strict text CC
+    // sees no pair), vectors IDENTICAL and genuinely novel (negation of
+    // corpus vec 3 — near nothing in the corpus, so the corpus emb rule
+    // admits both): exactly the blind spot
+    val batch = Seq(
+      (70000L, "a first rewording describing the cooperative grain ledger in fresh terms", "b"),
+      (70001L, "a second unrelated-sounding retelling of that very cooperative grain ledger", "b"))
+      .toDF("doc_id", "text", "source")
+    val novelVec = corpusEmb.filter(col("vec_id") === 3)
+      .select(lit(0L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val batchEmb = novelVec.withColumn("vec_id", lit(70000L))
+      .unionByName(novelVec.withColumn("vec_id", lit(70001L)))
+    val (corpusPath, batchPath) = (base.getPath + "/c.parquet", base.getPath + "/b.parquet")
+    val (cePath, bePath) = (base.getPath + "/ce.parquet", base.getPath + "/be.parquet")
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+    corpusEmb.write.parquet(cePath)
+    batchEmb.write.parquet(bePath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // without --strict the pair is invisible: both admitted
+    val jPlain = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/plain",
+      "--emb", cePath, "--bemb", bePath))
+    assert(jPlain.contains(""""admitted":2"""))
+    assert(!jPlain.contains("near_dup_batch_emb"))
+    // --strict: one survivor (CC min = 70000), the other near_dup_batch_emb
+    val jStrict = runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/strict",
+      "--emb", cePath, "--bemb", bePath, "--strict"))
+    assert(jStrict.contains(""""admitted":1"""))
+    assert(jStrict.contains(""""near_dup_batch_emb":1"""))
+    val ids = spark.read.parquet(base.getPath + "/strict/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(70000L))
+    // the loser's vector must NOT have been appended to the emb state —
+    // only the survivor's: re-run with --esigs and count the appends
+    val esigs = base.getPath + "/esigs"
+    runJson(List(
+      "admit", corpusPath, batchPath, base.getPath + "/es",
+      "--emb", cePath, "--bemb", bePath, "--esigs", esigs, "--strict"))
+    val assign = spark.read.parquet(s"$esigs/assign")
+    assert(assign.filter(col("cv_id") === 70000L).count() === 1L)
+    assert(assign.filter(col("cv_id") === 70001L).isEmpty)
+  }
+
+  test("admit --esigs --compact drops stale vectors of removed corpus docs") {
+    val base = tmpDir("cli-admit-esigs-compact")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    // corpus embeddings, with doc 99's vector swapped for a NOVEL one (the
+    // negation of vec 3 — near nothing else in this near-isotropic
+    // fixture) so removing doc 99 isolates the stale-state effect
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 99)
+    val novel = baseEmb.filter(col("vec_id") === 3)
+      .select(lit(99L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val corpusEmb = baseEmb.unionByName(novel)
+    val (corpusPath, cePath) = (base.getPath + "/c.parquet", base.getPath + "/ce.parquet")
+    corpus.write.parquet(corpusPath)
+    corpusEmb.write.parquet(cePath)
+
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // bootstrap the emb state off the full corpus (empty batch)
+    val esigs = base.getPath + "/esigs"
+    val emptyB = corpus.filter(lit(false))
+    val emptyE = corpusEmb.filter(lit(false))
+    val (b0, be0) = (base.getPath + "/b0.parquet", base.getPath + "/be0.parquet")
+    emptyB.write.parquet(b0)
+    emptyE.write.parquet(be0)
+    runJson(List("admit", corpusPath, b0, base.getPath + "/a0",
+      "--emb", cePath, "--bemb", be0, "--esigs", esigs))
+    // plant the retry double-append: doc 0's assign row lands twice
+    val assign = spark.read.parquet(s"$esigs/assign")
+    assign.filter(col("cv_id") === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$esigs/assign")
+    assert(spark.read.parquet(s"$esigs/assign").count() === 101L)
+
+    // corpus re-filtered: doc 99 removed; tomorrow a REWORDING of its
+    // content (same vector, unique text, new id) arrives
+    val corpus2 = base.getPath + "/c2.parquet"
+    corpus.filter(col("doc_id") =!= 99).write.parquet(corpus2)
+    val batch = Seq((80000L,
+      "a fresh retelling of the decommissioned appendix in different words",
+      "b")).toDF("doc_id", "text", "source")
+    val batchEmb = novel.withColumn("vec_id", lit(80000L))
+    val (bP, beP) = (base.getPath + "/b.parquet", base.getPath + "/be.parquet")
+    batch.write.parquet(bP)
+    batchEmb.write.parquet(beP)
+
+    // WITHOUT --compact the stale vector poisons admission
+    val jStale = runJson(List("admit", corpus2, bP, base.getPath + "/a1",
+      "--emb", cePath, "--bemb", beP, "--esigs", esigs))
+    assert(jStale.contains(""""near_dup_corpus_emb":1"""))
+    assert(jStale.contains(""""admitted":0"""))
+    // WITH --compact the removed doc's vector is dropped first (and the
+    // double-append collapses) — the rewording ADMITS
+    val jCompact = runJson(List("admit", corpus2, bP, base.getPath + "/a2",
+      "--emb", cePath, "--bemb", beP, "--esigs", esigs, "--compact"))
+    assert(jCompact.contains(""""admitted":1"""))
+    assert(jCompact.contains(""""near_dup_corpus_emb":0"""))
+    // assign after: 98 surviving corpus rows (99 gone, 0's double
+    // collapsed) + the newly admitted vector
+    val after = spark.read.parquet(s"$esigs/assign")
+    assert(after.count() === 100L)
+    assert(after.filter(col("cv_id") === 99).isEmpty)
+    assert(after.filter(col("cv_id") === 0).count() === 1L)
+    assert(after.filter(col("cv_id") === 80000L).count() === 1L)
+    // centroids stayed frozen through compaction (never retrained)
+    assert(spark.read.parquet(s"$esigs/centroids").count() > 0)
+  }
+
   test("emb-admission state flavors agree: flat centroids vs IMI product cells") {
     val base = tmpDir("esigs-flavors")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -383,5 +511,76 @@ class CliAdmitSpec extends SparkSpec {
     assert(j2.contains(""""dup_exact_corpus":3"""))
     // append-only: nothing admitted, nothing appended
     assert(spark.read.parquet(sigsDir).count() === 101L)
+  }
+
+  test("sidecar probes are scheme-aware: file: URIs hit the sidecar branch, IMI layout detected") {
+    // regression pin for the probe defect: a java.io.File probe on a
+    // scheme-qualified path ("file:/…") ALWAYS answers false (the scheme
+    // is treated as a path component), so run 2 would re-bootstrap and
+    // OVERWRITE the append-only state — the HDFS/S3 failure mode made
+    // reproducible locally. All state dirs here are file:-scheme URIs;
+    // only Hadoop FileSystem probes resolve them.
+    val base = tmpDir("cli-admit-scheme")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    val corpusPath = "file:" + base.getPath + "/corpus.parquet"
+    val sigsDir = "file:" + base.getPath + "/sigs"
+    corpus.write.parquet(corpusPath)
+    // the java.io premise the pin rests on: the scheme path is invisible
+    // to local-file probes even AFTER the state exists
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    val batch = Seq((80000L,
+      "a novel gazetteer of ferry crossings recorded by the harbor master",
+      "batch")).toDF("doc_id", "text", "source")
+    val batchPath = "file:" + base.getPath + "/batch.parquet"
+    batch.write.parquet(batchPath)
+    val j1 = runJson(List(
+      "admit", corpusPath, batchPath, "file:" + base.getPath + "/a1", "--sigs", sigsDir))
+    assert(j1.contains(""""corpus_state":"scan""""))
+    assert(!new java.io.File(sigsDir).exists()) // the old probe's answer
+    // run 2 takes the SIDECAR branch (corpus path retired to prove it) and
+    // the appended state survives — no re-bootstrap overwrite
+    assert(spark.read.parquet(sigsDir).count() === 101L)
+    val j2 = runJson(List(
+      "admit", "file:" + base.getPath + "/no-such-corpus", batchPath,
+      "file:" + base.getPath + "/a2", "--sigs", sigsDir))
+    assert(j2.contains(""""corpus_state":"sidecar""""))
+    assert(j2.contains(""""dup_exact_corpus":1"""))
+    assert(spark.read.parquet(sigsDir).count() === 101L)
+
+    // emb state under a file: URI: the IMI layout self-describes through
+    // the Hadoop probe (a local-file probe would mis-detect it as FLAT and
+    // die reading the nonexistent centroids table)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val imiDir = "file:" + base.getPath + "/imi"
+    xscale.Similarity.admitEmbeddingBootstrapImi(emb, imiDir)
+    val probe = emb.filter(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + 9000000000L)
+    val decided = xscale.Similarity.admitEmbeddingSigs(spark, imiDir, probe)
+      .select("vec_id", "near_emb").as[(Long, Boolean)].collect().toMap
+    assert(decided === Map(9000000000L -> true, 9000000001L -> true))
+    // and the Cli --esigs bootstrapped? probe: run 2 must NOT re-bootstrap
+    // (assign row count stays corpus-sized + appends, never reset)
+    val esigs = "file:" + base.getPath + "/esigs"
+    val cePath = "file:" + base.getPath + "/ce.parquet"
+    emb.write.parquet(cePath)
+    val bePath = "file:" + base.getPath + "/be.parquet"
+    emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(80000L)).write.parquet(bePath)
+    val je1 = runJson(List(
+      "admit", corpusPath, batchPath, "file:" + base.getPath + "/e1",
+      "--emb", cePath, "--bemb", bePath, "--esigs", esigs))
+    assert(je1.contains(""""near_dup_corpus_emb":1"""))
+    assert(spark.read.parquet(s"$esigs/assign").count() === 200L)
+    val je2 = runJson(List(
+      "admit", corpusPath, batchPath, "file:" + base.getPath + "/e2",
+      "--emb", "file:" + base.getPath + "/no-such-emb", "--bemb", bePath,
+      "--esigs", esigs))
+    assert(je2.contains(""""near_dup_corpus_emb":1"""))
+    assert(spark.read.parquet(s"$esigs/assign").count() === 200L)
   }
 }

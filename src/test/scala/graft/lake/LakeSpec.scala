@@ -164,6 +164,32 @@ class LakeSpec extends SparkSpec {
       .toSeq === Seq(7.0))
   }
 
+  test("insertFast probes the base-lake layout at most once per lake, not per insert") {
+    val lake = new java.io.File(tmpDir("lakeProbe"), "lake").getPath
+    // first write primes the layout memo — N subsequent point inserts must
+    // trigger ZERO base-lake schema reads (the former code paid a file
+    // listing + parquet footer read per insert)
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0)).toDF(), lake)
+    val before = Lake.layoutProbes.get()
+    (1 to 5).foreach(i => Lake.insertFast(spark, tx(desc = "p", amount = 1.0 + i), lake))
+    assert(Lake.layoutProbes.get() === before,
+      "a primed lake must never re-probe the base layout on point inserts")
+    // a FRESH process (memo forgotten) pays exactly one probe for N
+    // inserts — and still detects the monthly layout correctly
+    Lake.forgetLayout(lake)
+    (1 to 3).foreach(i => Lake.insertFast(spark, tx(desc = "q", amount = 10.0 + i), lake))
+    assert(Lake.layoutProbes.get() === before + 1,
+      "an unprimed lake pays exactly ONE layout probe, amortized over all inserts")
+    // monthly lake: same memo, and the delta rows carry posting_month
+    val mLake = new java.io.File(tmpDir("lakeProbeM"), "lake").getPath
+    Lake.upsertIntoLake(spark, Seq(tx(amount = 1.0)).toDF(), mLake, monthPartitioned = true)
+    Lake.forgetLayout(mLake)
+    val b2 = Lake.layoutProbes.get()
+    (1 to 3).foreach(i => Lake.insertFast(spark, tx(desc = "m", amount = 20.0 + i), mLake))
+    assert(Lake.layoutProbes.get() === b2 + 1)
+    assert(spark.read.parquet(mLake + "/_delta").columns.contains("posting_month"))
+  }
+
   test("batch upsert folds touched delta (batch wins); untouched-source delta survives") {
     val lake = new java.io.File(tmpDir("lakeDF"), "lake").getPath
     Lake.upsertIntoLake(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.xscale.{Dedup, DedupClusters}
+import graft.xscale.{Dedup, DedupClusters, Similarity}
 
 /** Streaming ADMISSION — x74's four-status decision rule (plus the strict
   * intra-batch near-dup refinement) as a continuous ingest path: each
@@ -16,7 +16,20 @@ import graft.xscale.{Dedup, DedupClusters}
   * state AND the decision rule are byte-identical (spec-pinned by a
   * cross-surface parity test), so a pipeline can admit continuously during
   * the day and reconcile with the batch verb at night
-  * ([[Dedup.compactSignatures]]) without changing currencies.
+  * ([[Dedup.compactSignatures]] / [[Similarity.compactEmbAssign]]) without
+  * changing currencies.
+  *
+  * The EMBEDDING leg (`Cli admit --emb --esigs`'s rule) runs when
+  * `esigsPath` is set: batch vectors are assigned to the state's frozen
+  * cells ([[Similarity.admitEmbeddingSigs]] — flat or IMI, the layout
+  * self-describes), still-admitted docs with a within-cell cosine ≥ τ
+  * corpus neighbor re-status `near_dup_corpus_emb`, and under `strict`
+  * the intra-batch rewording CC ([[Similarity.admitEmbStrictLosers]])
+  * re-statuses cluster losers `near_dup_batch_emb`. The state must be
+  * BOOTSTRAPPED before streaming starts (`Cli admit --esigs` run 1, or
+  * [[Similarity.admitEmbeddingBootstrapAuto]]) — a stream has no corpus
+  * to train on; finally-admitted vectors append to `esigsPath/assign`
+  * exactly as the batch verb appends, so the two surfaces interleave.
   *
   * Why foreachBatch + explicit parquet state rather than the keyed state
   * store: the near-dup decision is an OR across 4 LSH band buckets per doc
@@ -25,23 +38,36 @@ import graft.xscale.{Dedup, DedupClusters}
   * argument as [[StreamingDedup]], whose simhash state this generalizes to
   * the full admission rule.
   *
-  * Scale posture (100 TB): state carries ~144 bytes/doc and is only ever
-  * read two ways — an 8-byte key projection (exact leg) and a banded sig
-  * join whose batch side is broadcast (near leg); the corpus TEXT is never
-  * touched. Per micro-batch the decision is O(batch + candidates); the
-  * state append is admitted-docs-only. Same multi-write caveat as the
-  * lake swap: report, state and out appends are separate writes, so a
-  * replayed batch can duplicate report rows (detectable by batch_id) —
-  * exactly-once across all three needs a transactional table format
-  * underneath.
+  * Scale posture (100 TB): sig state carries ~144 bytes/doc and is only
+  * ever read two ways — an 8-byte key projection (exact leg) and a banded
+  * sig join whose batch side is broadcast (near leg); emb state is read as
+  * a keyed cell scan with the batch side broadcast; the corpus TEXT and
+  * EMBEDDINGS are never touched. Per micro-batch the decision is
+  * O(batch + candidates); state appends are admitted-docs-only.
+  *
+  * Write order (crash semantics): the admitted rows land in `outPath`
+  * BEFORE any state append. A crash between the two makes the replayed
+  * micro-batch re-admit the same docs (state unchanged) and append them
+  * to `outPath` again — duplicated OUTPUT, detectable and compactable by
+  * doc_id downstream. The reverse order would be silent LOSS: state-first
+  * means the replay classifies those docs `dup_exact_corpus` and the rows
+  * never reach the output at all. Report/out/state are still separate
+  * writes — exactly-once across all three needs a transactional table
+  * format underneath (the lake-swap caveat).
   */
 object StreamingAdmit {
 
   /** Classify one (micro-)batch against the signature state at `statePath`
-    * and return the admitted rows (original columns); appends the admitted
-    * docs' signatures to the state and, when `reportPath` is set, the
-    * per-status (batch_id, status, n_docs, checksum) report rows. Doc ids
-    * must be globally unique across the stream (they key the state).
+    * (and, when `esigsPath` is set, the frozen emb-admission state) and
+    * return the admitted rows (original columns). Writes, in order: the
+    * admitted rows to `outPath` (when set — see the write-order note
+    * above), the admitted docs' signatures to the state, the
+    * finally-admitted docs' vectors to `esigsPath/assign`, and (when
+    * `reportPath` is set) the per-status (batch_id, status, n_docs,
+    * checksum) report rows. `batchEmb` carries the batch's vectors
+    * (vec_id == doc_id, the admit convention); docs without a vector pass
+    * the emb leg unflagged. Doc ids must be globally unique across the
+    * stream (they key the state).
     */
   def admit(
       spark: SparkSession,
@@ -50,23 +76,65 @@ object StreamingAdmit {
       strict: Boolean = true,
       reportPath: Option[String] = None,
       batchId: Long = 0L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      esigsPath: Option[String] = None,
+      batchEmb: Option[DataFrame] = None,
+      outPath: Option[String] = None): DataFrame = {
     val sPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the two cuts are batch-sized; route through DedupClusters.ckpt so a
+    // the cuts are batch-sized; route through DedupClusters.ckpt so a
     // real cluster can make them storage-backed (the x30/x50 pattern) —
     // the default localCheckpoint recomputes on executor loss, which for
-    // the st cut would re-read a state dir the append below has advanced
+    // the st cut would re-read a state dir the appends below advance
     val batchSigs = DedupClusters.ckpt(Dedup.dedupSignatures(batch), checkpointDir)
     val stateSigs =
       if (fs.exists(sPath)) spark.read.parquet(statePath)
       else batchSigs.limit(0)
     val st0 = Dedup.incrementalDedupSigs(stateSigs, batchSigs)
-    // eager cut BEFORE the state append: the lazy plan reads the state
-    // dir, and appending to it first would make recomputation see new files
-    val st = DedupClusters.ckpt(
-      if (strict) Dedup.admitStrict(st0, batchSigs, checkpointDir = checkpointDir) else st0,
-      checkpointDir)
+    val st1 =
+      if (strict) Dedup.admitStrict(st0, batchSigs, checkpointDir = checkpointDir) else st0
+    // EMB leg — same composition as the batch verb: corpus-near flags
+    // first, then (strict) the intra-batch rewording CC over what's STILL
+    // admitted; the frame is ckpt'd once and feeds both passes plus the
+    // state append below
+    val embFrame = (esigsPath, batchEmb) match {
+      case (Some(d), Some(be)) =>
+        Some(DedupClusters.ckpt(
+          Similarity.admitEmbeddingSigs(spark, d, be, checkpointDir = checkpointDir),
+          checkpointDir))
+      case _ => None
+    }
+    val st2 = embFrame match {
+      case Some(frame) =>
+        val nearE = frame.filter(col("near_emb"))
+          .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
+        st1.join(nearE, Seq("doc_id"), "left")
+          .withColumn(
+            "status",
+            when(col("status") === "admitted" && coalesce(col("ne"), lit(false)),
+              "near_dup_corpus_emb").otherwise(col("status")))
+          .drop("ne")
+      case None => st1
+    }
+    val st3 = (embFrame, strict) match {
+      case (Some(frame), true) =>
+        val admNow = st2.filter(col("status") === "admitted")
+          .select(col("doc_id").as("vec_id"))
+        val losers = Similarity.admitEmbStrictLosers(
+          frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
+          checkpointDir = checkpointDir)
+          .select(col("vec_id").as("doc_id"), lit(true).as("le"))
+        st2.join(losers, Seq("doc_id"), "left")
+          .withColumn(
+            "status",
+            when(col("status") === "admitted" && coalesce(col("le"), lit(false)),
+              "near_dup_batch_emb").otherwise(col("status")))
+          .drop("le")
+      case _ => st2
+    }
+    // eager cut BEFORE the state appends: the lazy plan reads the state
+    // dirs, and appending first would make recomputation see new files
+    val st = DedupClusters.ckpt(st3, checkpointDir)
     reportPath.foreach { p =>
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -75,14 +143,24 @@ object StreamingAdmit {
         .write.mode(SaveMode.Append).parquet(p)
     }
     val admittedIds = st.filter(col("status") === "admitted").select("doc_id")
+    val admitted = batch.join(admittedIds, "doc_id")
+    // OUTPUT FIRST, state second — replay duplicates output instead of
+    // silently losing it (see the object scaladoc)
+    outPath.foreach(p => admitted.write.mode(SaveMode.Append).parquet(p))
     batchSigs.join(admittedIds, "doc_id")
       .write.mode(SaveMode.Append).parquet(statePath)
-    batch.join(admittedIds, "doc_id")
+    for (frame <- embFrame; d <- esigsPath)
+      frame.join(admittedIds, col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
+        .write.mode(SaveMode.Append).parquet(s"$d/assign")
+    admitted
   }
 
   /** Continuous form: admit every micro-batch of a streaming `docs` source,
     * appending admitted rows to `outPath` (and per-batch reports beside the
-    * state when `reportPath` is set).
+    * state when `reportPath` is set). When `esigsPath` is set the docs
+    * stream must carry an `embedding` column (array of float/double; null
+    * for vectorless docs) — the emb leg reads it as the batch vectors.
     */
   def stream(
       docs: DataFrame,
@@ -91,12 +169,17 @@ object StreamingAdmit {
       checkpointDir: String,
       strict: Boolean = true,
       reportPath: Option[String] = None,
-      stageCkptDir: Option[String] = None): StreamingQuery =
+      stageCkptDir: Option[String] = None,
+      esigsPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        admit(b.sparkSession, b, statePath, strict, reportPath, id, stageCkptDir)
-          .write.mode(SaveMode.Append).parquet(outPath)
+        val bEmb = esigsPath.map(_ =>
+          b.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")))
+        val bDocs = if (esigsPath.isDefined) b.drop("embedding") else b
+        admit(b.sparkSession, bDocs, statePath, strict, reportPath, id,
+          stageCkptDir, esigsPath, bEmb, Some(outPath))
         ()
       }
       .start()

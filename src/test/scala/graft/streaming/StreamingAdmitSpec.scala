@@ -86,6 +86,117 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(cliState === state)
   }
 
+  test("sequential admit == Cli admit --sigs --strict --emb --esigs day by day (full parity)") {
+    val base = tmpDir("stream-admit-emb")
+    val corpusEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    // two novel vectors, near nothing in this near-isotropic corpus:
+    // A = -vec3, B = -vec7 (cosine ≈ -1 to their twins, ≈ 0 elsewhere)
+    def neg(id: Long) = corpusEmb.filter(col("vec_id") === id)
+      .select(lit(0L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    def vecAs(src: org.apache.spark.sql.DataFrame, ids: Long*) =
+      ids.map(i => src.withColumn("vec_id", lit(i))).reduce(_ unionByName _)
+    val vA = neg(3L)
+    val vB = neg(7L)
+    // day 1: docs 1/2 exact text dups (one admits) both carrying vector A;
+    // doc 3 vectorless (passes the emb leg, its TEXT must enter the state)
+    val b1e = vecAs(vA, 1L, 2L)
+    // day 2: 11 exact-state text dup; 12 near-state text; 13/14 intra-batch
+    // text pair (13 survives); 15 fresh text but vector A — a REWORDING of
+    // day-1's admitted content, must flag off the APPENDED state; 16/17
+    // fresh texts both vector B — intra-batch emb pair, 16 survives
+    val b2x = b2.unionByName(Seq(
+      (16L, "an almanac of quarry blasting schedules filed with the parish clerk", "s"),
+      (17L, "the very same quarry blasting almanac retold in other words", "s"))
+      .toDF("doc_id", "text", "source"))
+    val b2e = vecAs(vA, 15L).unionByName(vecAs(vB, 16L, 17L))
+
+    // stream-side state: sig state fresh; emb state bootstrapped exactly
+    // as the Cli bootstraps it (same frame, same sample) — frozen cells
+    // are deterministic, so both surfaces share the cell geometry
+    val statePath = new java.io.File(base, "state").getPath
+    val esigsS = new java.io.File(base, "esigsS").getPath
+    graft.xscale.Similarity.admitEmbeddingBootstrapAuto(corpusEmb, esigsS, trainSample = 0.1)
+    val reportPath = new java.io.File(base, "report").getPath
+    val outPath = new java.io.File(base, "out").getPath
+    StreamingAdmit.admit(spark, b1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      esigsPath = Some(esigsS), batchEmb = Some(b1e), outPath = Some(outPath))
+    StreamingAdmit.admit(spark, b2x, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      esigsPath = Some(esigsS), batchEmb = Some(b2e), outPath = Some(outPath))
+
+    // day-2 statuses: every bucket carries data
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map(
+      "dup_exact_corpus" -> 1L, "near_dup_corpus" -> 1L, "near_dup_batch" -> 1L,
+      "near_dup_corpus_emb" -> 1L, "near_dup_batch_emb" -> 1L, "admitted" -> 2L))
+    val out = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSet
+    assert(out.contains(13L) && out.contains(16L) && !out.contains(15L) && !out.contains(17L))
+
+    // the batch verb over the SAME days with fresh sidecars
+    val emptyCorpus = b1.filter(lit(false))
+    val corpusPath = new java.io.File(base, "corpus.parquet").getPath
+    val cePath = new java.io.File(base, "ce.parquet").getPath
+    emptyCorpus.write.parquet(corpusPath)
+    corpusEmb.write.parquet(cePath)
+    val sigsC = new java.io.File(base, "sigsC").getPath
+    val esigsC = new java.io.File(base, "esigsC").getPath
+    def cli(bdf: org.apache.spark.sql.DataFrame, bedf: org.apache.spark.sql.DataFrame,
+        tag: String): String = {
+      val bPath = new java.io.File(base, s"b$tag.parquet").getPath
+      val bePath = new java.io.File(base, s"be$tag.parquet").getPath
+      bdf.write.parquet(bPath)
+      bedf.write.parquet(bePath)
+      val out = new java.io.File(base, s"o$tag").getPath
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        assert(graft.Cli.run(spark, List(
+          "admit", corpusPath, bPath, out, "--sigs", sigsC, "--strict",
+          "--emb", cePath, "--bemb", bePath, "--esigs", esigsC)) === 0)
+      }
+      out
+    }
+    val o1 = cli(b1, b1e, "1")
+    val o2 = cli(b2x, b2e, "2")
+    val streamed = spark.read.parquet(reportPath)
+    assert(reportKey(streamed.filter(col("batch_id") === 0L)) ===
+      reportKey(spark.read.parquet(s"$o1/report")))
+    assert(reportKey(streamed.filter(col("batch_id") === 1L)) ===
+      reportKey(spark.read.parquet(s"$o2/report")))
+    // sidecars agree doc-for-doc on BOTH legs
+    assert(spark.read.parquet(statePath).select("doc_id").as[Long].collect().toSet ===
+      spark.read.parquet(sigsC).select("doc_id").as[Long].collect().toSet)
+    assert(spark.read.parquet(s"$esigsS/assign")
+      .select("cv_id", "cid").as[(Long, Long)].collect().toSet ===
+      spark.read.parquet(s"$esigsC/assign")
+        .select("cv_id", "cid").as[(Long, Long)].collect().toSet)
+  }
+
+  test("replay after a crash between out-write and state-append duplicates, never loses") {
+    // the write-order pin: out lands BEFORE the state append, so a replayed
+    // micro-batch re-admits and re-appends — duplicated output rows
+    // (compactable by doc_id), NOT silently lost ones. Simulate the replay
+    // by running the same batch twice with the state manually rolled back.
+    val base = tmpDir("stream-admit-replay")
+    val statePath = new java.io.File(base, "state").getPath
+    val outPath = new java.io.File(base, "out").getPath
+    StreamingAdmit.admit(spark, b1, statePath, outPath = Some(outPath))
+    val stateAfter = spark.read.parquet(statePath).collect()
+    // roll the state back to empty (as if the crash hit before the append)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(statePath)).deleteRecursively()
+    StreamingAdmit.admit(spark, b1, statePath, outPath = Some(outPath))
+    // output: the admitted docs appear TWICE (duplicated, not lost)
+    val outIds = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSeq
+    assert(outIds.size === 4 && outIds.distinct.size === 2)
+    // state converged to the same admitted set
+    assert(spark.read.parquet(statePath).collect().map(_.getLong(0)).toSet ===
+      stateAfter.map(_.getLong(0)).toSet)
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -56,14 +56,27 @@ object Bench {
         case None        => !SparkEntry.benchExclude(name)
       }
     }
-    val results = timedQueries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => failed += name; -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      releaseState()
-      name -> dt
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1): time each query N times and
+    // report the per-query MEDIAN, plus a per-query spread (max - min).
+    // Rationale: eight same-code full-battery runs in round 11 spanned
+    // ~250–305 s — single-run comparisons can't detect a real 10%
+    // regression under that noise. The driver's single-run behavior is
+    // unchanged at the default; builder-local comparisons use 3 runs and
+    // compare medians, flagging queries whose spread swamps their delta.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val timings = timedQueries.map { case (name, fn) =>
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => if (!failed.contains(name)) failed += name; -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        dt
+      }.sorted
+      name -> (ts(runs / 2), ts.last - ts.head)
     }
+    val results = timings.map { case (name, (median, _)) => name -> median }
+    val spreads = timings.map { case (name, (_, spread)) => name -> spread }
     // Locale.ROOT: f"" interpolation is locale-sensitive — a comma-decimal
     // locale would emit invalid JSON.
     def fmt(v: Double, dec: Int): String =
@@ -76,8 +89,10 @@ object Bench {
     // A failed query must be attributable from the artifact, not disguised
     // as a fast timing (how the r8 q23 crash read as a 0.08 s "success").
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreadJson =
+      if (runs > 1) s""","spread":${queriesJson(spreads, 4)}""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","failed":$failedJson,"queries":${queriesJson(results, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","runs":$runs,"failed":$failedJson,"queries":${queriesJson(results, 4)}$spreadJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // The consumer reads a 2000-byte tail window, so the LAST stdout line
@@ -87,7 +102,7 @@ object Bench {
     // complete map in the file above.
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(20)
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"failed":$failedJson,"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE the stdout emission: its shutdown logging must not
     // land after the JSON line a tail-window consumer reads last.
     spark.stop()

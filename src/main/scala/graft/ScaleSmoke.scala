@@ -46,6 +46,7 @@ object ScaleSmoke {
     "x99_cascade_powerlaw_auto",
     "x74_admit_powerlaw", "x74_admit_sigs_powerlaw",
     "x74_admit_emb_powerlaw", "x74_admit_esigs_powerlaw",
+    "x74_emb_strict_powerlaw", "x74_esigs_compact_powerlaw",
     "x121_lsh_fidelity_powerlaw", "x122_cluster_diameter_powerlaw",
     "x122_cluster_diameter_powerlaw_wide",
     "x123_shard_balance", "x124_anisotropy", "x125_chunk_divergence",
@@ -439,6 +440,29 @@ object ScaleSmoke {
           s, s"$d/powerlaw_esigs", admitEmbBatch(emb),
           checkpointDir = Some(s"$d/_checkpoints"))
           .groupBy("near_emb").agg(count(lit(1)).as("n"))
+      }),
+      // the round-12 admission additions at scale: (a) the strict emb
+      // pass = esigs classification + within-cell cosine CC over the
+      // admitted batch vectors (batch-sized self-join bucketed by cell —
+      // must stay FLAT as the corpus grows, the whole point); (b) emb
+      // state compaction = left_semi of the corpus-sized assign table on
+      // the live ids + keep-one (one keyed shuffle, linear in state)
+      "x74_emb_strict_powerlaw" -> ((s, d) => {
+        val emb = s.read.parquet(s"$d/powerlaw_embeddings.parquet")
+        val frame = xscale.Similarity.admitEmbeddingSigs(
+          s, s"$d/powerlaw_esigs", admitEmbBatch(emb),
+          checkpointDir = Some(s"$d/_checkpoints")).localCheckpoint()
+        val losers = xscale.Similarity.admitEmbStrictLosers(
+          frame.filter(!col("near_emb")).select("vec_id", "cid", "cv", "cn"),
+          checkpointDir = Some(s"$d/_checkpoints"))
+        losers.agg(count(lit(1)).as("n_losers"))
+      }),
+      "x74_esigs_compact_powerlaw" -> ((s, d) => {
+        val assign = s.read.parquet(s"$d/powerlaw_esigs/assign")
+        val live = s.read.parquet(s"$d/powerlaw_embeddings.parquet")
+          .filter(col("vec_id") % 5 =!= 0).select("vec_id")
+        xscale.Similarity.compactEmbAssign(assign, live)
+          .agg(count(lit(1)).as("n_state"))
       }),
       "x121_lsh_fidelity_powerlaw" -> ((s, d) =>
         xscale.Dedup.lshFidelity(

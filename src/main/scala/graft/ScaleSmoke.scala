@@ -55,6 +55,8 @@ object ScaleSmoke {
     "x132_token_diversity", "x133_neardup_leakage", "x134_shuffle_audit",
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
     "x88_bm25_zipf", "x138_imi_auto",
+    "x139_image_dhash", "x139_image_dhash_wide", "x140_audio_dhash",
+    "x141_crossmodal_dedup",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df
@@ -217,6 +219,14 @@ object ScaleSmoke {
       // embedding signal PLUS both 100 TB knobs — sampled quantizer
       // training and reliable (storage-backed) checkpointing of the
       // assignment + every CC iteration
+      // x139 production swap past PerceptualDedup.BandBoundary (~1e6
+      // docs): the 256-bit wide hash in 8 x 32-bit bands on the SAME
+      // fixture corpus — 16-bit band buckets hold n/65536 docs, so the
+      // registered 64-bit pin's candidate mass grows ~n^2/32768 past 1e6
+      // while the wide form's stays ~n^2/2^32·8 (negligible to ~1e9)
+      "x139_image_dhash_wide" -> ((s, d) =>
+        xscale.PerceptualDedup.fixtureImageStatuses(
+          s, s.read.parquet(s"$d/documents.parquet"), wide = true)),
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(
           s.read.parquet(s"$d/documents.parquet"),

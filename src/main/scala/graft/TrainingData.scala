@@ -40,6 +40,25 @@ object TrainingData {
   def containmentPairs(docs: DataFrame, k: Int = 4, num: Int = 8, den: Int = 10): DataFrame =
     Dedup.containmentPairs(docs, k, num, den)
 
+  /** IMAGE near-dup pairs (x139): dHash over the REAL decoded luma plane
+    * (javax.imageio, oversize-hardened), 16-bit-banded pigeonhole join,
+    * hamming ≤ `maxHamming` verify — catches the re-encoded/re-brightened
+    * copies byte and text hashing cannot see. Input (doc_id, payload
+    * binary); undecodable rows are skipped (count them via
+    * [[xscale.PerceptualDedup.imageHashFrame]]'s `decoded` flag). Set
+    * `wide = true` past ~1e6 docs ([[xscale.PerceptualDedup.BandBoundary]]).
+    */
+  def imageNearDupPairs(media: DataFrame, wide: Boolean = false,
+      maxHamming: Int = xscale.PerceptualDedup.MaxHamming): DataFrame =
+    xscale.PerceptualDedup.imageNearDupPairs(media, wide, maxHamming)
+
+  /** AUDIO near-dup pairs (x140): frame-sum dHash through the hardened
+    * RIFF PCM walk — gain-invariant by construction; same banded join.
+    */
+  def audioNearDupPairs(media: DataFrame,
+      maxHamming: Int = xscale.PerceptualDedup.MaxHamming): DataFrame =
+    xscale.PerceptualDedup.audioNearDupPairs(media, maxHamming)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

@@ -326,6 +326,66 @@ object Multimodal {
     } catch { case _: Exception => Unreadable } finally in.close()
   }
 
+  /** REAL pixel decode into a bw×bh grid of BLOCK luma sums — the
+    * downsample primitive under [[PerceptualDedup.dhashBands]]: same
+    * reader + oversize-header hardening as [[decodeImage]], but instead
+    * of one global mean it accumulates the e3 BT.601 luma
+    * (299·R + 587·G + 114·B, never divided) into bw×bh box blocks while
+    * streaming rows — pixel (x, y) lands in block (x·bw div w,
+    * y·bh div h), the exact partition of the [⌊bx·w/bw⌋, ⌊(bx+1)·w/bw⌋)
+    * box convention. Returns (w, h, sums, counts) row-major
+    * (block (bx, by) at by·bw + bx); callers compare block means through
+    * cross-multiplied sums so UNEVEN block sizes stay exact. Memory is
+    * one pixel row + bw·bh accumulators regardless of image size. None
+    * for undecodable bytes, oversize header claims, or images smaller
+    * than the grid.
+    */
+  def decodeBlockLumaE3(
+      payload: Array[Byte],
+      bw: Int,
+      bh: Int): Option[(Int, Int, Array[Long], Array[Long])] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          // header-claim guard BEFORE r.read allocates (decodeImage's rule)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w < bw || h < bh) None
+            else {
+              val sums = new Array[Long](bw * bh)
+              val cnts = new Array[Long](bw * bh)
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                val by = y.toLong * bh / h
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  val i = (by * bw + x.toLong * bw / w).toInt
+                  sums(i) += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                  cnts(i) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              Some((w, h, sums, cnts))
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
   /** Env flag enabling REAL WAV PCM sample decode in
     * [[extractAudioFeatures]] (set to "1") — the pixel-decode flag
     * pattern: opt-in, stub-default byte-stable.
@@ -356,20 +416,15 @@ object Multimodal {
     r
   }
 
-  /** REAL WAV PCM sample decode — pure JVM, no codec libs: walks the RIFF
-    * chunks (same hardened cursor as [[parseHeader]]), accepts
-    * uncompressed PCM (format tag 1) at 8 or 16 bits, and reads the
-    * actual sample data into exact-integer statistics:
-    * (sample_rate, duration_ms, n_samples, mean_abs, rms) where
-    * mean_abs = Σ|s| div n and rms = floor(√(Σs² div n)) over every
-    * channel sample (16-bit signed LE; 8-bit unsigned re-centered at
-    * 128 per the WAV spec). The data chunk's CLAIMED size is clamped to
-    * the bytes actually present — a crafted header cannot inflate work
-    * or allocation (the scan is streaming, O(payload), zero-copy).
-    * None for non-WAV bytes, compressed/float formats, or an empty
-    * sample region — undecodable is data, not an exception.
+  /** Shared hardened RIFF/WAV layout walk — the chunk cursor both sample
+    * decoders ([[decodeWavSamples]], [[decodeWavFrameSums]]) sit on:
+    * returns (sample_rate, channels, bits, data_offset, n_samples) for
+    * uncompressed PCM (format tag 1) at 8 or 16 bits, with the data
+    * chunk's CLAIMED size clamped to the bytes actually present — a
+    * crafted header cannot inflate work or allocation. None for non-WAV
+    * bytes, compressed/float formats, or an empty sample region.
     */
-  def decodeWavSamples(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+  private def wavPcmLayout(p: Array[Byte]): Option[(Long, Int, Int, Int, Long)] = {
     def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def le32(o: Int): Long =
       (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
@@ -403,9 +458,30 @@ object Multimodal {
     }
     if (fmtTag != 1 || channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
     if (bits != 8 && bits != 16) return None
+    val n = dataLen / (bits / 8)
+    if (n <= 0) None else Some((sampleRate, channels, bits, dataOff, n))
+  }
+
+  /** REAL WAV PCM sample decode — pure JVM, no codec libs: walks the RIFF
+    * chunks (same hardened cursor as [[parseHeader]]), accepts
+    * uncompressed PCM (format tag 1) at 8 or 16 bits, and reads the
+    * actual sample data into exact-integer statistics:
+    * (sample_rate, duration_ms, n_samples, mean_abs, rms) where
+    * mean_abs = Σ|s| div n and rms = floor(√(Σs² div n)) over every
+    * channel sample (16-bit signed LE; 8-bit unsigned re-centered at
+    * 128 per the WAV spec). The data chunk's CLAIMED size is clamped to
+    * the bytes actually present — a crafted header cannot inflate work
+    * or allocation (the scan is streaming, O(payload), zero-copy).
+    * None for non-WAV bytes, compressed/float formats, or an empty
+    * sample region — undecodable is data, not an exception.
+    */
+  def decodeWavSamples(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    val (sampleRate, channels, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     val bytesPer = bits / 8
-    val n = dataLen / bytesPer
-    if (n <= 0) return None
     var sumAbs = 0L
     var sumSq = 0L
     var j = 0L
@@ -421,6 +497,44 @@ object Multimodal {
     }
     val durationMs = (n / channels) * 1000L / sampleRate
     Some((sampleRate, durationMs, n, sumAbs / n, isqrt(sumSq / n)))
+  }
+
+  /** Windowed exact-integer WAV decode: the centered sample sum of each of
+    * `nFrames` equal frames (frame f covers samples [f·spf, (f+1)·spf),
+    * spf = n div nFrames; the tail remainder is dropped so every frame
+    * compares over the SAME sample count — sums are then order-equivalent
+    * to means with no division in sight). Channels are NOT de-interleaved:
+    * a frame is a contiguous slice of the sample stream, which is the
+    * fingerprinting convention (energy envelope of the mix), not the
+    * per-channel analytics one. None when the payload is not decodable
+    * PCM ([[wavPcmLayout]]) or has fewer than `nFrames` samples. Same
+    * hardened cursor + clamped claims as [[decodeWavSamples]]; streaming
+    * O(payload), zero-copy.
+    */
+  def decodeWavFrameSums(p: Array[Byte], nFrames: Int): Option[Array[Long]] = {
+    val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    if (nFrames <= 0 || n < nFrames) return None
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val bytesPer = bits / 8
+    val spf = n / nFrames
+    val sums = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L
+      var j = f * spf
+      val end = j + spf
+      while (j < end) {
+        val o = dataOff + (j * bytesPer).toInt
+        s += (if (bits == 16) le16(o).toShort.toLong else (p(o) & 0xff).toLong - 128L)
+        j += 1
+      }
+      sums(f) = s
+      f += 1
+    }
+    Some(sums)
   }
 
   /** Batched distributed audio decode, flag-guarded like the pixel path:

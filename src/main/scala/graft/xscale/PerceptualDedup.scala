@@ -1,0 +1,621 @@
+package graft.xscale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.Q
+import graft.query.Registry.table
+
+/** Perceptual near-dup detection for the BINARY modalities — the dedup
+  * signal family the text stack (x01-x05, x14/x15, x99) cannot see:
+  * re-encoded, re-brightened or re-gained copies of the same image/audio
+  * have different bytes, different text (if any) and different md5s, but
+  * the same PERCEPTUAL structure. The classic batch-scale signal is a
+  * difference hash (dHash — Krawetz, "Kind of Like That", 2013, the
+  * average/difference-hash family also used by pHash): downsample the
+  * decoded luma plane to a (W+1)×H grid, emit one bit per horizontally
+  * adjacent cell pair ("is the right cell brighter?"), and treat small
+  * Hamming distance between the resulting 64-bit fingerprints as
+  * near-duplication. Brightness/contrast shifts move every cell the same
+  * way, so the COMPARISON bits — and the hash — survive exactly the edits
+  * that defeat byte hashing.
+  *
+  * Everything here is exact integer arithmetic end to end (the house
+  * oracle discipline): luma is the e3 BT.601 sum `299·R + 587·G + 114·B`
+  * (never divided), downsample blocks compare through cross-multiplied
+  * sums (`sumA·cntB > sumB·cntA` — no float means, exact for UNEVEN
+  * block sizes too), and the audio leg compares equal-length frame SUMS
+  * of centered PCM samples ([[Multimodal.decodeWavFrameSums]]).
+  *
+  * Candidate generation is the x04 simhash shape one modality over: split
+  * the 64-bit hash into [[Bands]] 16-bit bands; Hamming distance ≤
+  * [[MaxHamming]] pigeonholes at least one band into exact equality, so a
+  * keyed self-join on (band index, band value) finds every qualifying
+  * pair without an all-pairs scan; survivors come from min-id connected
+  * components ([[DedupClusters.connectedComponents]]).
+  *
+  * Scale boundary (measured reasoning, the [[Dedup.NarrowSimhashBoundary]]
+  * discipline): 16-bit bands hold n/65536 docs per (band, value) bucket,
+  * so candidate mass is ~4·65536·C(n/65536, 2) ≈ n²/32768 REGARDLESS of
+  * content once n clears ~10⁶ — at 5·10⁶ docs that is ~7.6·10⁸ candidate
+  * rows through the verify join. Past [[BandBoundary]], production swaps
+  * to the WIDE form ([[dhashBandsWide]]: a 17×16 grid → 256-bit hash in 8
+  * × 32-bit bands, hamming ≤ 7 pigeonholed, bucket mass n²/2³²·8 —
+  * negligible until ~10⁹ docs). The registered queries pin the classic
+  * 64-bit form; the wide swap is spec-pinned and measured in ScaleSmoke.
+  *
+  * The registered fixtures synthesize REAL container bytes closed-form
+  * (a 24-bit BMP writer, an 8-bit PCM WAV writer), push them through the
+  * REAL decoders (javax.imageio via [[Multimodal.decodeBlockLumaE3]];
+  * the hardened RIFF walk via [[Multimodal.decodeWavFrameSums]]), and the
+  * DuckDB oracle recomputes the same hash from the closed form — so a
+  * green row pins the whole encode → decode → downsample → hash → band →
+  * CC chain, not just the SQL-shaped tail. Reference scope: the reference
+  * engine has no binary-modality operators at all (its ingest is CSV
+  * text, `csv/csv.go`); this family is part of the north-star
+  * training-data surface, like x12/x42.
+  */
+object PerceptualDedup {
+
+  /** Bands per 64-bit hash (16 bits each): hamming ≤ [[MaxHamming]] = 3 <
+    * 4 bands forces at least one band to match exactly (pigeonhole).
+    */
+  val Bands = 4
+
+  /** Near-dup verify threshold: ≤ 3 of 64 comparison bits differ. */
+  val MaxHamming = 3
+
+  /** Docs per corpus past which 16-bit band buckets saturate (candidate
+    * mass ≈ n²/32768 — see the object scaladoc) and production swaps to
+    * [[dhashBandsWide]]'s 32-bit bands. NOT the same knob as
+    * [[Dedup.NarrowSimhashBoundary]] (block capacity of the 6-7-bit
+    * simhash pigeonhole) or [[Similarity.FlatEmbBoundary]] (flat
+    * quantizer assignment cost) — this one moves with the band WIDTH
+    * (16 → 32 bits multiplies the saturation point by 65536).
+    */
+  val BandBoundary = 1000000L
+
+  // ---------------------------------------------------------------------
+  // container writers (real bytes, exact layouts)
+  // ---------------------------------------------------------------------
+
+  /** A real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    * BGR byte order, rows padded to 4 bytes) with R = G = B = gray(x, y)
+    * — equal channels make the BT.601 e3 luma exactly 1000·gray, so a
+    * closed-form gray function stays closed-form through the real
+    * decoder. javax.imageio's BMP reader accepts this layout as-is.
+    */
+  def makeBmp(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, 54 + dataSize); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h) // positive height = bottom-up
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, dataSize)
+    le32(38, 2835); le32(42, 2835) // 72 dpi in px/m
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (gray(x, y) & 0xff).toByte
+        val o = 54 + (h - 1 - y) * rowSize + x * 3
+        out(o) = g; out(o + 1) = g; out(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A real 8-bit unsigned PCM mono WAV (RIFF/fmt/data, format tag 1) —
+    * the layout [[Multimodal.decodeWavSamples]]/`decodeWavFrameSums`
+    * accept; samples are raw unsigned bytes (the decoder re-centers at
+    * 128 per the WAV spec).
+    */
+  def makeWav8(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](44 + n)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    def tag(o: Int, s: String): Unit = s.indices.foreach(j => out(o + j) = s(j).toByte)
+    tag(0, "RIFF"); le32(4, 36 + n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, sampleRate); le32(28, sampleRate); le16(32, 1); le16(34, 8)
+    tag(36, "data"); le32(40, n)
+    var j = 0
+    while (j < n) { out(44 + j) = (samples(j) & 0xff).toByte; j += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // hashing
+  // ---------------------------------------------------------------------
+
+  /** Pack `16·bands` comparison bits into `bands` positive longs (bit i of
+    * band j = bits(16j + i) for 16-bit bands; width parameterized for the
+    * wide form). Band values stay well below 2⁶³, so no cross-engine
+    * sign-bit semantics ever enter the oracle comparison.
+    */
+  def bandsFromBits(bits: Array[Boolean], bandBits: Int = 16): Array[Long] = {
+    require(bits.length % bandBits == 0, s"${bits.length} bits not divisible into $bandBits-bit bands")
+    require(bandBits < 63, "band must fit a positive long")
+    Array.tabulate(bits.length / bandBits) { j =>
+      var acc = 0L
+      var i = 0
+      while (i < bandBits) {
+        if (bits(j * bandBits + i)) acc |= 1L << i
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** dHash of an image payload as [[Bands]] 16-bit band values: REAL
+    * decode ([[Multimodal.decodeBlockLumaE3]] — javax.imageio with the
+    * same oversize-header refusal as `decodeImage`), exact box downsample
+    * to a (gw+1)×gh luma grid, bit (x, y) = "block (x+1, y) brighter than
+    * block (x, y)" via cross-multiplied sums (exact for uneven blocks).
+    * None when the payload is not a decodable image or is smaller than
+    * the grid. No stub fallback: a perceptual hash is definitionally a
+    * pixel-space function, and the decode is pure-JVM (always available)
+    * — hashing bytes instead would silently group by byte content, the
+    * exact failure this operator exists to avoid.
+    */
+  def dhashBands(payload: Array[Byte], gw: Int = 8, gh: Int = 8, bandBits: Int = 16): Option[Array[Long]] =
+    Multimodal.decodeBlockLumaE3(payload, gw + 1, gh).map { case (_, _, sums, cnts) =>
+      val bits = new Array[Boolean](gw * gh)
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw) {
+          val i = y * (gw + 1) + x
+          // mean(x+1) > mean(x)  ⟺  sum(x+1)·cnt(x) > sum(x)·cnt(x+1)
+          bits(y * gw + x) = sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)
+          x += 1
+        }
+        y += 1
+      }
+      bandsFromBits(bits, bandBits)
+    }
+
+  /** The production swap past [[BandBoundary]]: a 17×16 grid → 256-bit
+    * hash packed as 8 × 32-bit bands. Hamming ≤ 7 still pigeonholes into
+    * 8 bands, and 32-bit band buckets hold n/2³² docs — saturation moves
+    * from ~10⁶ to ~10⁹ docs. Same decoder, same exact arithmetic.
+    */
+  def dhashBandsWide(payload: Array[Byte]): Option[Array[Long]] =
+    dhashBands(payload, gw = 16, gh = 16, bandBits = 32)
+
+  /** Audio frames per fingerprint: 65 equal windows → 64 adjacent-sum
+    * comparisons → the same 64-bit band layout as the image hash.
+    */
+  val AudioFrames = 65
+
+  /** Audio dHash — the image rule one modality over: 65 equal frames of
+    * centered PCM sample SUMS ([[Multimodal.decodeWavFrameSums]], exact
+    * integers, equal frame lengths so sums compare like means), bit f =
+    * "frame f+1 louder than frame f". A constant GAIN shifts every frame
+    * sum by the same amount, so the comparison bits — like the image
+    * hash under brightness — survive exactly the edit that defeats byte
+    * hashing. Single-alignment convention: a time-shifted copy is out of
+    * scope (that is audio fingerprinting à la Shazam, a different
+    * operator); this targets re-gained/re-encoded copies of the SAME
+    * clip, the dominant near-dup mode in scraped audio corpora.
+    */
+  def audioDhashBands(payload: Array[Byte]): Option[Array[Long]] =
+    Multimodal.decodeWavFrameSums(payload, AudioFrames).map { sums =>
+      val bits = Array.tabulate(AudioFrames - 1)(f => sums(f + 1) > sums(f))
+      bandsFromBits(bits)
+    }
+
+  // ---------------------------------------------------------------------
+  // banded near-dup pairs (the x04 candidate shape over band columns)
+  // ---------------------------------------------------------------------
+
+  /** Near-dup pairs (a, b), a < b, hamming ≤ `maxHamming` over a hashed
+    * frame (doc_id, bands array<long>). One keyed self-join on (band
+    * index, band value) — the pigeonhole guarantees every qualifying pair
+    * surfaces — then the exact hamming verify over the pair's full band
+    * vectors. Scale: the join shuffles on 16-byte keys, never payloads;
+    * candidate mass is the bucket formula in the object scaladoc (swap to
+    * the wide bands past [[BandBoundary]]).
+    */
+  def bandNearDupPairs(hashed: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val bands = hashed.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
+    val cand = bands.select(col("doc_id").as("a"), col("j"), col("bv"))
+      .join(bands.select(col("doc_id").as("b"), col("j"), col("bv")), Seq("j", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val ham = expr(
+      "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    cand
+      .join(hashed.select(col("doc_id").as("a"), col("bands").as("ba")), "a")
+      .join(hashed.select(col("doc_id").as("b"), col("bands").as("bb")), "b")
+      .filter(ham <= maxHamming)
+      .select("a", "b")
+  }
+
+  /** Hash a REAL media frame (doc_id, payload binary) into (doc_id,
+    * decoded, bands): the general library entry the registered fixtures
+    * stand in for. Rows whose payload no reader accepts (or that are
+    * smaller than the grid) keep `decoded = false` with null bands —
+    * decode failures are data, not exceptions (the [[Multimodal]] rule) —
+    * so corpus triage can count them while [[imageNearDupPairs]] skips
+    * them. Batched per partition like every decode step; `wide = true`
+    * switches to [[dhashBandsWide]]'s 256-bit form (the [[BandBoundary]]
+    * swap).
+    */
+  def imageHashFrame(media: DataFrame, wide: Boolean = false): DataFrame =
+    hashFrame(media, p => if (wide) dhashBandsWide(p) else dhashBands(p))
+
+  /** The audio twin of [[imageHashFrame]]: (doc_id, payload) →
+    * (doc_id, decoded, bands) through [[audioDhashBands]].
+    */
+  def audioHashFrame(media: DataFrame): DataFrame =
+    hashFrame(media, audioDhashBands)
+
+  private def hashFrame(
+      media: DataFrame,
+      hash: Array[Byte] => Option[Array[Long]]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
+          hash(p) match {
+            case Some(b) => (id, true, Some(b))
+            case None    => (id, false, None)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "bands")
+  }
+
+  /** Near-dup pairs over real image media: [[imageHashFrame]] (undecodable
+    * rows dropped — count them upstream via the `decoded` flag) →
+    * [[bandNearDupPairs]]. Feed the pairs to
+    * [[DedupClusters.connectedComponents]] / `Dedup.dedupByPairs` for the
+    * keep-one cut, exactly like the text pair generators.
+    */
+  def imageNearDupPairs(
+      media: DataFrame,
+      wide: Boolean = false,
+      maxHamming: Int = MaxHamming): DataFrame =
+    bandNearDupPairs(imageHashFrame(media, wide).filter(col("decoded")), maxHamming)
+
+  /** The audio twin of [[imageNearDupPairs]]. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = MaxHamming): DataFrame =
+    bandNearDupPairs(audioHashFrame(media).filter(col("decoded")), maxHamming)
+
+  /** Min-id survivor statuses over a hashed frame: 'survivor' (component
+    * representative of a near-dup group), 'near_dup_<modality>' (group
+    * loser), 'unique' (no qualifying pair). The x14 keep-one rule on the
+    * perceptual pair graph.
+    */
+  private def statusFrame(
+      hashed: DataFrame,
+      dupStatus: String,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    val comp = DedupClusters.connectedComponents(bandNearDupPairs(hashed, maxHamming))
+    hashed.join(comp, hashed("doc_id") === comp("id"), "left")
+      .select(
+        hashed("doc_id"),
+        when(col("component").isNull, "unique")
+          .when(col("component") === hashed("doc_id"), "survivor")
+          .otherwise(dupStatus).as("status"))
+  }
+
+  // ---------------------------------------------------------------------
+  // registered fixtures: closed-form media synthesized per doc_id
+  // ---------------------------------------------------------------------
+
+  /** Docs per perceptual content cluster in the registered fixtures:
+    * variants 0-2 are the same content (base / brightness-or-gain shift /
+    * one local edit), variants 3-4 are distinct content.
+    */
+  val ClusterSize = 5
+
+  private def variantOf(docId: Long): Long = docId % ClusterSize
+
+  /** Content key: variants 0-2 of a cluster share it (they must hash
+    * near), 3-4 get their own (they must not).
+    */
+  private def contentKey(docId: Long): Long = {
+    val v = variantOf(docId)
+    (docId / ClusterSize) * 7 + (if (v >= 3) v else 0)
+  }
+
+  /** Closed-form fixture gray: md5-mixed base in [10, 224] (so the +16
+    * brightness and the +31 local bump both stay ≤ 255), brightness
+    * variant shifts EVERY cell (hash-invariant by construction), edit
+    * variant bumps one cell (flips ≤ 2 comparison bits — still within
+    * [[MaxHamming]]). The DuckDB oracle recomputes this exact function.
+    */
+  def fixtureGray(docId: Long, x: Int, y: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}_${x}_$y") % 215).toInt + 10 +
+      (if (v == 1) 16 else 0) +
+      (if (v == 2 && x == 3 && y == 2) 31 else 0)
+  }
+
+  /** The registered image fixture: a real 9×8 BMP of [[fixtureGray]] —
+    * grid-sized, so the downsample is the identity and the oracle's
+    * pixel-level closed form IS the block-level one.
+    */
+  def fixtureBmp(docId: Long): Array[Byte] =
+    makeBmp(9, 8, (x, y) => fixtureGray(docId, x, y))
+
+  /** Hamming threshold for the wide (256-bit) hash: ≤ 7 pigeonholes into
+    * the 8 × 32-bit bands.
+    */
+  val MaxHammingWide = 7
+
+  /** 17×16 fixture twin for the WIDE hash's scale runs — same closed-form
+    * gray, grid-sized for [[dhashBandsWide]]; variant semantics carry
+    * over (brightness stays hamming-0, the one-cell bump stays ≤ 2 bits,
+    * both within [[MaxHammingWide]]).
+    */
+  def fixtureBmpWide(docId: Long): Array[Byte] =
+    makeBmp(17, 16, (x, y) => fixtureGray(docId, x, y))
+
+  /** The x139 status aggregation over the fixture corpus — shared by the
+    * registered query (classic 64-bit pin) and the ScaleSmoke wide twin
+    * (`wide = true`: [[dhashBandsWide]] + [[MaxHammingWide]], the
+    * [[BandBoundary]] production swap measured on the same fixture).
+    */
+  def fixtureImageStatuses(spark: SparkSession, docs: DataFrame, wide: Boolean = false): DataFrame =
+    statusFrame(
+      hashedFixture(spark, docs,
+        if (wide) fixtureBmpWide else fixtureBmp,
+        p => if (wide) dhashBandsWide(p) else dhashBands(p)),
+      "near_dup_image",
+      if (wide) MaxHammingWide else MaxHamming)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+      .orderBy("status")
+
+  /** Closed-form fixture frame level in [30, 235] after variants: gain
+    * variant shifts every frame (+10, hash-invariant), edit variant bumps
+    * frame 7 (+25, flips ≤ 2 bits).
+    */
+  def fixtureFrame(docId: Long, f: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}~$f") % 181).toInt + 30 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && f == 7) 25 else 0)
+  }
+
+  /** The registered audio fixture: a real 8-bit PCM WAV, 8 samples per
+    * frame × [[AudioFrames]] frames at 8 kHz, frame-constant levels from
+    * [[fixtureFrame]] (so the decoder's frame SUMS compare exactly like
+    * the closed-form levels).
+    */
+  def fixtureWav(docId: Long): Array[Byte] = {
+    // one md5 per FRAME, not per sample — the level is frame-constant
+    val levels = Array.tabulate(AudioFrames)(f => fixtureFrame(docId, f))
+    makeWav8(8000, Array.tabulate(AudioFrames * 8)(j => levels(j / 8)))
+  }
+
+  /** Hash the fixture images/audio for a (doc_id, img_id) frame — one
+    * real synthesize → decode → hash round trip per doc, batched per
+    * partition like every decode step in [[Multimodal]]. `img_id` is the
+    * CONTENT id the payload is synthesized from (x141's re-posts share
+    * the original's image under a new doc_id); x139/x140 pass the
+    * identity.
+    */
+  private def hashedFixture(
+      spark: SparkSession,
+      docs: DataFrame,
+      mk: Long => Array[Byte],
+      hash: Array[Byte] => Option[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    val src =
+      if (docs.columns.contains("img_id")) docs.select(col("doc_id"), col("img_id"))
+      else docs.select(col("doc_id"), col("doc_id").as("img_id"))
+    src.as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, imgId) =>
+        val b = hash(mk(imgId)).getOrElse(
+          throw new IllegalStateException(s"fixture payload for doc $id failed to decode"))
+        (id, b)
+      }
+    }.toDF("doc_id", "bands")
+  }
+
+  /** x141's augmented corpus: the real documents plus two deterministic
+    * re-post populations (the x47 mirror-augmentation pattern — the
+    * driver fixture has no exact text dups of its own), with `img_id`
+    * carrying WHICH image content each doc posts: every 10th doc
+    * re-arrives with the same caption but its OWN (new) image (same
+    * boilerplate caption, different picture), every 20th re-arrives with
+    * the same caption AND the original's image (a true re-post). The two
+    * offsets are ≡ 0 mod [[ClusterSize]], so variant semantics are
+    * preserved under the shift.
+    */
+  private def crossmodalSrc(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("doc_id").as("img_id"), col("text"))
+    base
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          (col("doc_id") + 2000000L).as("img_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          col("doc_id").as("img_id"), col("text")))
+  }
+
+  // ---------------------------------------------------------------------
+  // oracle SQL builders (shared CTE text between x139 and x141)
+  // ---------------------------------------------------------------------
+
+  /** CTEs dv → dk → px → ig → ib → ibands → cand → hm → p over a
+    * preceding `src(doc_id, img_id)` CTE: the image fixture's closed-form
+    * grays, dHash bits, 16-bit bands, pigeonhole candidates and
+    * hamming-verified pairs — the SQL twin of [[fixtureBmp]] →
+    * [[dhashBands]] → [[bandNearDupPairs]].
+    */
+  private def imagePairsSql: String =
+    s"dv AS (SELECT doc_id, img_id // $ClusterSize AS c, img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM dv), " +
+      "px AS (SELECT doc_id, v, ck, x, y FROM dk, " +
+      "(SELECT unnest(generate_series(0, 8)) AS x), " +
+      "(SELECT unnest(generate_series(0, 7)) AS y)), " +
+      "ig AS (SELECT doc_id, x, y, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 215) + 10 " +
+      "+ CASE WHEN v = 1 THEN 16 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND x = 3 AND y = 2 THEN 31 ELSE 0 END AS g FROM px), " +
+      "ib AS (SELECT l.doc_id, l.y * 8 + l.x AS i, CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      "FROM ig l JOIN ig r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 WHERE l.x < 8), " +
+      bandsPairsSql("ib")
+
+  /** CTEs af → ag → ab → ibands → cand → hm → p for the audio fixture —
+    * same band/candidate/verify tail, frame levels instead of grays.
+    */
+  private def audioPairsSql: String =
+    s"dv AS (SELECT doc_id, doc_id // $ClusterSize AS c, doc_id % $ClusterSize AS v FROM documents), " +
+      "dk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM dv), " +
+      s"af AS (SELECT doc_id, v, ck, f FROM dk, (SELECT unnest(generate_series(0, ${AudioFrames - 1})) AS f)), " +
+      "ag AS (SELECT doc_id, f, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '~' || CAST(f AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 7 THEN 25 ELSE 0 END AS g FROM af), " +
+      s"ab AS (SELECT l.doc_id, l.f AS i, CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      s"FROM ag l JOIN ag r ON r.doc_id = l.doc_id AND r.f = l.f + 1 WHERE l.f < ${AudioFrames - 1}), " +
+      bandsPairsSql("ab")
+
+  /** The shared tail: bits → 16-bit bands → pigeonhole candidates →
+    * hamming ≤ [[MaxHamming]] verified pairs.
+    */
+  private def bandsPairsSql(bitsCte: String): String =
+    s"ibands AS (SELECT doc_id, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
+      s"FROM $bitsCte GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb FROM ibands a " +
+      "JOIN ibands b ON b.j = a.j AND b.bv = a.bv AND a.doc_id < b.doc_id), " +
+      "hm AS (SELECT c.pa, c.pb, sum(bit_count(xor(xb.bv, yb.bv))) AS hd FROM cand c " +
+      "JOIN ibands xb ON xb.doc_id = c.pa " +
+      "JOIN ibands yb ON yb.doc_id = c.pb AND yb.j = xb.j GROUP BY 1, 2), " +
+      s"p AS (SELECT pa, pb FROM hm WHERE hd <= $MaxHamming)"
+
+  /** Recursive-CTE connected components over `p` (the x74_admit_strict
+    * closure technique) + min-id statuses.
+    */
+  private def statusSql(dupStatus: String): String =
+    "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
+      "reach AS (SELECT s AS id, s AS comp FROM ed " +
+      "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+      "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+      "st AS (SELECT dk.doc_id, CASE WHEN cmp.component IS NULL THEN 'unique' " +
+      s"WHEN cmp.component = dk.doc_id THEN 'survivor' ELSE '$dupStatus' END AS status " +
+      "FROM dk LEFT JOIN cmp ON cmp.id = dk.doc_id) " +
+      "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
+
+  // ---------------------------------------------------------------------
+  // registered queries
+  // ---------------------------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+    // ----- x139: image perceptual near-dup (dHash + banded LSH + CC) -----
+    Q(
+      "x139_image_dhash",
+      Some(
+        "WITH RECURSIVE src AS (SELECT doc_id, doc_id AS img_id FROM documents), " +
+          s"$imagePairsSql, ${statusSql("near_dup_image")}"),
+      "IMAGE near-dup dedup — the dedup family's missing modality: per doc a REAL 9x8 " +
+        "24-bit BMP is synthesized closed-form, decoded through javax.imageio " +
+        "(decodeBlockLumaE3, oversize-hardened), dHashed (64 comparison bits, exact " +
+        "integer luma), banded 4x16 bits, pigeonhole-joined, hamming<=3 verified, and " +
+        "min-id CC'd into survivor/near_dup_image/unique — so the oracle (which " +
+        "recomputes the hash from the same closed form) pins the whole encode -> decode " +
+        "-> downsample -> hash -> band -> CC chain, not just the SQL tail. Fixture: " +
+        "5-doc clusters, variants = base / +16 brightness (hash-INVARIANT by " +
+        "construction — the edit byte hashing cannot see) / one-cell bump (<=2 bits) / " +
+        "2 distinct. Scale: the x04 candidate shape on 16-byte keys; past ~1e6 docs " +
+        "16-bit bands saturate (n^2/32768 candidate mass) — swap to dhashBandsWide's " +
+        "256-bit/32-bit-band form (spec-pinned, ScaleSmoke-measured)."
+    ) { (s, dir) =>
+      fixtureImageStatuses(s, table(s, dir, "documents"))
+    },
+
+    // ----- x140: audio perceptual near-dup (frame-sum dHash) -----
+    Q(
+      "x140_audio_dhash",
+      Some(s"WITH RECURSIVE $audioPairsSql, ${statusSql("near_dup_audio")}"),
+      "AUDIO near-dup dedup — the x139 rule one modality over, REUSING the band/" +
+        "pigeonhole/CC machinery on a different real decoder: per doc a REAL 8-bit PCM " +
+        "WAV (520 samples, frame-constant levels) is synthesized closed-form, frame " +
+        "sums decoded through the hardened RIFF walk (decodeWavFrameSums — exact " +
+        "integers, claimed sizes clamped), 64 adjacent-frame comparisons banded 4x16. " +
+        "A +10 GAIN shifts every frame sum equally, so the gain variant is " +
+        "hash-invariant by construction — the re-gained re-encode byte hashing cannot " +
+        "see; a one-frame bump flips <=2 bits. Single-alignment convention (time-shift " +
+        "robustness is Shazam-style fingerprinting, a different operator). Oracle " +
+        "recomputes the hash from the closed form: encode -> RIFF walk -> frame sums " +
+        "-> hash -> band -> CC, all pinned."
+    ) { (s, dir) =>
+      statusFrame(
+        hashedFixture(s, table(s, dir, "documents"), fixtureWav, audioDhashBands),
+        "near_dup_audio")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x141: cross-modal dup agreement (image signal x text signal) -----
+    Q(
+      "x141_crossmodal_dedup",
+      Some(
+        "WITH src AS (SELECT doc_id, doc_id AS img_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, doc_id + 2000000, text FROM documents " +
+          "WHERE doc_id % 10 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, doc_id, text FROM documents " +
+          "WHERE doc_id % 20 = 0), " +
+          s"$imagePairsSql, " +
+          "idup AS (SELECT DISTINCT pa AS doc_id FROM p UNION SELECT pb FROM p), " +
+          s"t AS (SELECT doc_id, ${XHash.h60Sql(Dedup.normSql)} AS tkey FROM src), " +
+          "tg AS (SELECT tkey, count(*) AS n FROM t GROUP BY 1), " +
+          "st AS (SELECT t.doc_id, idup.doc_id IS NOT NULL AS img_dup, tg.n > 1 AS txt_dup " +
+          "FROM t JOIN tg USING (tkey) LEFT JOIN idup ON idup.doc_id = t.doc_id) " +
+          "SELECT img_dup, txt_dup, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
+      "CROSS-MODAL dup agreement — the caption-variation audit an image-text corpus " +
+        "needs before training (LAION-style pipelines dedup per modality, then ask " +
+        "where the signals DISAGREE): contingency of x139's image near-dup " +
+        "participation against x01's normalized-text exact key, per doc. img_dup AND " +
+        "txt_dup = true re-post; img_dup only = same image under different captions " +
+        "(keep-best candidates, not drop-all); txt_dup only = same boilerplate caption " +
+        "on different images (do NOT text-dedup these away — the images carry the " +
+        "signal). The driver fixture has no text dups of its own, so both engines add " +
+        "the x47 mirror augmentation: every 10th doc re-posts its caption with a NEW " +
+        "image, every 20th re-posts caption AND image — all four cells carry data. " +
+        "Composition is two keyed joins over already-computed frames; no new shuffle " +
+        "shape."
+    ) { (s, dir) =>
+      val src = crossmodalSrc(table(s, dir, "documents"))
+      val pairs = bandNearDupPairs(
+        hashedFixture(s, src, fixtureBmp, p => dhashBands(p)))
+      val idup = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id")))
+        .distinct()
+        .withColumn("i", lit(true))
+      val tkey = src.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("tkey"))
+      val tdup = tkey.join(
+        tkey.groupBy("tkey").agg(count(lit(1)).as("n")), "tkey")
+      tdup
+        .join(idup, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("i"), lit(false)).as("img_dup"),
+          (col("n") > 1).as("txt_dup"))
+        .groupBy("img_dup", "txt_dup")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("img_dup", "txt_dup")
+    }
+  )
+}

@@ -12,5 +12,6 @@ import graft.query.Q
 object XScaleQueries {
   val all: Seq[Q] =
     Dedup.queries ++ IncrementalDedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ DataPrep.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ DataPrep.queries ++ Multimodal.queries ++
+      PerceptualDedup.queries
 }

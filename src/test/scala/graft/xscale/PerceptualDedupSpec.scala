@@ -1,0 +1,167 @@
+package graft.xscale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the perceptual-dedup primitives end to end: the BMP/WAV writers
+  * against the REAL decoders (javax.imageio, the hardened RIFF walk), the
+  * exact-integer downsample, the hash's brightness/gain invariance (the
+  * property the operator exists for), the pigeonhole-vs-verify split in
+  * the banded pair join, and the closed-form fixtures' equality with what
+  * the oracle SQL recomputes.
+  */
+class PerceptualDedupSpec extends SparkSpec {
+  import PerceptualDedup._
+
+  // ---- container writers vs real decoders ----
+
+  test("makeBmp round-trips through javax.imageio: block sums are exactly 1000x gray") {
+    // asymmetric gray pins row order (bottom-up write, top-down read) and
+    // channel order (equal channels make BGR-vs-RGB invisible; the luma
+    // identity 299+587+114=1000 makes the sum exact)
+    val g = (x: Int, y: Int) => x * 10 + y
+    val Some((w, h, sums, cnts)) = Multimodal.decodeBlockLumaE3(makeBmp(9, 8, g), 9, 8)
+    assert(w == 9 && h == 8)
+    assert(cnts.forall(_ == 1L))
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(sums(y * 9 + x) == 1000L * (x * 10 + y), s"block ($x, $y)")
+  }
+
+  test("decodeBlockLumaE3: grid-divisible image aggregates exact 2x2 block sums") {
+    // 18x16 image of 2x2-constant blocks must hash identically to the 9x8
+    // image of the block values — the downsample-equivalence the dHash
+    // convention promises
+    val base = (x: Int, y: Int) => ((x * 31 + y * 17) % 200) + 20
+    val big = makeBmp(18, 16, (x, y) => base(x / 2, y / 2))
+    val small = makeBmp(9, 8, base)
+    val Some((_, _, sums, cnts)) = Multimodal.decodeBlockLumaE3(big, 9, 8)
+    assert(cnts.forall(_ == 4L))
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(sums(y * 9 + x) == 4000L * base(x, y))
+    assert(dhashBands(big).get.toSeq == dhashBands(small).get.toSeq)
+  }
+
+  test("decodeBlockLumaE3: uneven blocks partition every pixel exactly once") {
+    val Some((_, _, _, cnts)) = Multimodal.decodeBlockLumaE3(
+      makeBmp(13, 11, (x, y) => (x * 7 + y) % 256), 9, 8)
+    assert(cnts.sum == 13L * 11L)
+    assert(cnts.forall(_ >= 1L)) // no empty block: w >= bw, h >= bh
+  }
+
+  test("dhashBands: hand-computed alternating pattern gives 0x5555 in every band") {
+    // g alternates 50/200 by column parity: bit (x, y) = g(x+1) > g(x) is
+    // set exactly at even x, so each 16-bit band (two rows of 8 bits) is
+    // 0b0101010101010101
+    val p = makeBmp(9, 8, (x, _) => if (x % 2 == 0) 50 else 200)
+    assert(dhashBands(p).get.toSeq == Seq(0x5555L, 0x5555L, 0x5555L, 0x5555L))
+  }
+
+  test("dhashBands: brightness shift is hash-invariant; undecodable/undersized are None") {
+    val g = (x: Int, y: Int) => ((x * 53 + y * 29) % 220) + 10
+    assert(dhashBands(makeBmp(9, 8, g)).get.toSeq ==
+      dhashBands(makeBmp(9, 8, (x, y) => g(x, y) + 16)).get.toSeq)
+    assert(dhashBands("not an image".getBytes).isEmpty)
+    assert(dhashBands(makeBmp(8, 8, g)).isEmpty) // narrower than the 9-col grid
+  }
+
+  test("dhashBandsWide: 8 x 32-bit bands, brightness-invariant, needs a 17x16 image") {
+    val g = (x: Int, y: Int) => ((x * 41 + y * 13) % 210) + 15
+    val b = dhashBandsWide(makeBmp(17, 16, g)).get
+    assert(b.length == 8)
+    assert(b.forall(v => v >= 0L && v <= 0xffffffffL))
+    assert(b.toSeq == dhashBandsWide(makeBmp(17, 16, (x, y) => g(x, y) + 20)).get.toSeq)
+    assert(dhashBandsWide(makeBmp(9, 8, g)).isEmpty)
+  }
+
+  test("makeWav8 round-trips through decodeWavFrameSums: exact centered frame sums") {
+    // frame-constant levels: frame f sum = 8 * (level - 128); a trailing
+    // remainder (3 extra samples) is dropped so frames stay equal-length
+    val levels = Array.tabulate(65)(f => 30 + 2 * f)
+    val samples = Array.tabulate(65 * 8)(j => levels(j / 8))
+    val exact = Multimodal.decodeWavFrameSums(makeWav8(8000, samples), 65).get
+    assert(exact.toSeq == levels.map(l => 8L * (l - 128)).toSeq)
+    val padded = Multimodal.decodeWavFrameSums(makeWav8(8000, samples ++ Array(255, 255, 255)), 65).get
+    assert(padded.toSeq == exact.toSeq)
+    assert(Multimodal.decodeWavFrameSums("RIFFnope".getBytes, 65).isEmpty)
+    assert(Multimodal.decodeWavFrameSums(makeWav8(8000, Array.fill(64)(100)), 65).isEmpty) // < 1 sample/frame
+  }
+
+  test("audioDhashBands: gain shift is hash-invariant, one-frame bump flips <= 2 bits") {
+    // cluster 0: docs 0 (base), 1 (+10 gain), 2 (frame-7 bump)
+    val b0 = audioDhashBands(fixtureWav(0)).get
+    val b1 = audioDhashBands(fixtureWav(1)).get
+    val b2 = audioDhashBands(fixtureWav(2)).get
+    assert(b0.toSeq == b1.toSeq)
+    val ham = b0.zip(b2).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham <= 2, s"bump flipped $ham bits")
+  }
+
+  // ---- fixture closed form == real decode path (the oracle premise) ----
+
+  test("fixture BMP/WAV hashed through the REAL decoders equals the closed-form bits") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 123L)) {
+      val imgBits = Array.tabulate(64) { i =>
+        val (x, y) = (i % 8, i / 8)
+        fixtureGray(id, x + 1, y) > fixtureGray(id, x, y)
+      }
+      assert(dhashBands(fixtureBmp(id)).get.toSeq == bandsFromBits(imgBits).toSeq, s"img doc $id")
+      val audBits = Array.tabulate(64)(f => fixtureFrame(id, f + 1) > fixtureFrame(id, f))
+      assert(audioDhashBands(fixtureWav(id)).get.toSeq == bandsFromBits(audBits).toSeq, s"wav doc $id")
+    }
+  }
+
+  test("fixture variants: brightness twin identical, edit twin <= MaxHamming, distinct far") {
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val bands = (0L to 4L).map(id => dhashBands(fixtureBmp(id)).get)
+    assert(bands(0).toSeq == bands(1).toSeq)
+    assert(ham(bands(0), bands(2)) <= MaxHamming)
+    assert(ham(bands(0), bands(3)) > MaxHamming)
+    assert(ham(bands(0), bands(4)) > MaxHamming)
+    assert(ham(bands(3), bands(4)) > MaxHamming)
+  }
+
+  // ---- banded pair join: pigeonhole finds, verify rejects ----
+
+  test("bandNearDupPairs: hamming <= 3 pairs surface, band-colliding hamming-4 pairs don't") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(100L, 200L, 300L, 400L)), // base
+      (2L, Seq(100L, 200L, 300L, 400L)), // identical (hamming 0)
+      (3L, Seq(100L, 200L, 300L, 400L ^ 0x6L)), // hamming 2, bands 0-2 equal
+      (4L, Seq(100L, 200L, 300L ^ 0x3L, 400L ^ 0x3L)), // hamming 4, bands 0-1 equal: candidate, REJECTED
+      (5L, Seq(900L, 901L, 902L, 903L)) // no shared band
+    ).toDF("doc_id", "bands")
+    val pairs = bandNearDupPairs(rows).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // ---- the general media surface (real payloads, not fixtures) ----
+
+  test("imageHashFrame/imageNearDupPairs: undecodable rows flagged and skipped, dups found") {
+    import spark.implicits._
+    val g = (x: Int, y: Int) => ((x * 53 + y * 29) % 200) + 10
+    val media = Seq(
+      (1L, makeBmp(9, 8, g)),
+      (2L, makeBmp(9, 8, (x, y) => g(x, y) + 16)), // brightness twin of 1
+      (3L, makeBmp(9, 8, (x, y) => ((x * 91 + y * 57) % 200) + 10)), // distinct
+      (4L, "definitely not an image".getBytes) // undecodable
+    ).toDF("doc_id", "payload")
+    val hf = imageHashFrame(media).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hf == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+    val pairs = graft.TrainingData.imageNearDupPairs(media).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("audioNearDupPairs: gain twin pairs, undecodable skipped") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, fixtureWav(0L)),
+      (2L, fixtureWav(1L)), // +10 gain twin
+      (3L, fixtureWav(3L)), // distinct content
+      (4L, Array[Byte](1, 2, 3))
+    ).toDF("doc_id", "payload")
+    val pairs = graft.TrainingData.audioNearDupPairs(media).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

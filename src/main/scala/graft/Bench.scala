@@ -73,7 +73,12 @@ object Bench {
         releaseState()
         dt
       }.sorted
-      name -> (ts(runs / 2), ts.last - ts.head)
+      // true median for EVEN run counts too: ts(n/2) alone is the upper
+      // middle — a systematic upward bias presented as a median (runs=2
+      // would report each query's max)
+      val median =
+        if (runs % 2 == 1) ts(runs / 2) else (ts(runs / 2 - 1) + ts(runs / 2)) / 2
+      name -> (median, ts.last - ts.head)
     }
     val results = timings.map { case (name, (median, _)) => name -> median }
     val spreads = timings.map { case (name, (_, spread)) => name -> spread }

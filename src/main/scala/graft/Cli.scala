@@ -551,22 +551,29 @@ object Cli {
       batch.join(admittedIds, "doc_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/admitted")
-      // sidecar update: append ONLY the admitted docs' signatures (the
+      // sidecar updates: append ONLY the admitted docs' state (the
       // bootstrap already wrote the corpus state above, pre-classify).
       // Append-only — a retry after a crash re-runs the whole admit, and
       // the classification is idempotent against the already-appended
-      // state: re-admitted docs classify dup_exact_corpus, append nothing
-      flags.sigsDir.foreach { d =>
-        batchSigs.join(admittedIds, "doc_id")
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
-      }
-      // emb-state append: the FINALLY admitted docs' vectors join the
-      // frozen assignment (append-only; centroids never change — retrain
-      // is a re-bootstrap, x79's add-vs-train rule)
+      // state: re-admitted docs classify dup_exact_corpus, append nothing.
+      // ORDER: emb assign BEFORE the sig sidecar — the sig append is what
+      // flips the retried run to dup_exact_corpus, so any write that must
+      // still happen on retry has to precede it. A crash between the two
+      // then retries into duplicated identical assign rows (collapsed by
+      // --compact, harmless to decisions); the reverse order would leave
+      // the assign table permanently missing the admitted vectors, and
+      // future rewordings of that content would not flag
+      // near_dup_corpus_emb.
       for (frame <- embState; d <- flags.esigsDir)
         frame.join(admittedIds, col("vec_id") === col("doc_id"))
           .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/assign")
+      // centroids never change on append — retrain is a re-bootstrap
+      // (x79's add-vs-train rule)
+      flags.sigsDir.foreach { d =>
+        batchSigs.join(admittedIds, "doc_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
+      }
       val byStatus = spark.read.parquet(s"$outDir/report").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def n(s: String): Long = byStatus.getOrElse(s, 0L)

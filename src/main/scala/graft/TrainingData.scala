@@ -42,22 +42,26 @@ object TrainingData {
 
   /** IMAGE near-dup pairs (x139): dHash over the REAL decoded luma plane
     * (javax.imageio, oversize-hardened), 16-bit-banded pigeonhole join,
-    * hamming ≤ `maxHamming` verify — catches the re-encoded/re-brightened
-    * copies byte and text hashing cannot see. Input (doc_id, payload
-    * binary); undecodable rows are skipped (count them via
+    * hamming-verified — catches the re-encoded/re-brightened copies byte
+    * and text hashing cannot see. Input (doc_id, payload binary);
+    * undecodable rows are skipped (count them via
     * [[xscale.PerceptualDedup.imageHashFrame]]'s `decoded` flag). Set
-    * `wide = true` past ~1e6 docs ([[xscale.PerceptualDedup.BandBoundary]]).
+    * `wide = true` past ~1e6 docs ([[xscale.PerceptualDedup.BandBoundary]]);
+    * `maxHamming < 0` picks the width-appropriate threshold (3 classic,
+    * 7 wide). Pass `checkpointDir` on a real cluster: the hashed frame's
+    * cut is then storage-backed instead of executor-local.
     */
   def imageNearDupPairs(media: DataFrame, wide: Boolean = false,
-      maxHamming: Int = xscale.PerceptualDedup.MaxHamming): DataFrame =
-    xscale.PerceptualDedup.imageNearDupPairs(media, wide, maxHamming)
+      maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.imageNearDupPairs(media, wide, maxHamming, checkpointDir)
 
   /** AUDIO near-dup pairs (x140): frame-sum dHash through the hardened
     * RIFF PCM walk — gain-invariant by construction; same banded join.
     */
   def audioNearDupPairs(media: DataFrame,
-      maxHamming: Int = xscale.PerceptualDedup.MaxHamming): DataFrame =
-    xscale.PerceptualDedup.audioNearDupPairs(media, maxHamming)
+      maxHamming: Int = xscale.PerceptualDedup.MaxHamming,
+      checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.audioNearDupPairs(media, maxHamming, checkpointDir)
 
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists

@@ -45,15 +45,19 @@ import graft.xscale.{Dedup, DedupClusters, Similarity}
   * EMBEDDINGS are never touched. Per micro-batch the decision is
   * O(batch + candidates); state appends are admitted-docs-only.
   *
-  * Write order (crash semantics): the admitted rows land in `outPath`
-  * BEFORE any state append. A crash between the two makes the replayed
-  * micro-batch re-admit the same docs (state unchanged) and append them
-  * to `outPath` again — duplicated OUTPUT, detectable and compactable by
-  * doc_id downstream. The reverse order would be silent LOSS: state-first
-  * means the replay classifies those docs `dup_exact_corpus` and the rows
-  * never reach the output at all. Report/out/state are still separate
-  * writes — exactly-once across all three needs a transactional table
-  * format underneath (the lake-swap caveat).
+  * Write order (crash semantics): `outPath` first, then the emb assign
+  * append, then the SIG state append LAST. The sig append is the write
+  * that flips a replayed micro-batch to `dup_exact_corpus` (admitted set
+  * empty), so every write that must still happen on replay has to
+  * precede it: a crash anywhere before the sig append replays into
+  * duplicated output rows / duplicated identical assign rows (both
+  * detectable and compactable by doc_id). Either reverse order is silent
+  * LOSS — output rows that never reach `outPath`, or an assign table
+  * permanently missing the batch's vectors so later rewordings of that
+  * content are never flagged `near_dup_corpus_emb` (ordering
+  * fault-injection-pinned in the spec). Report/out/state are still
+  * separate writes — exactly-once across all of them needs a
+  * transactional table format underneath (the lake-swap caveat).
   */
 object StreamingAdmit {
 
@@ -144,15 +148,22 @@ object StreamingAdmit {
     }
     val admittedIds = st.filter(col("status") === "admitted").select("doc_id")
     val admitted = batch.join(admittedIds, "doc_id")
-    // OUTPUT FIRST, state second — replay duplicates output instead of
-    // silently losing it (see the object scaladoc)
+    // OUTPUT FIRST, then emb state, then sig state LAST. The sig append is
+    // what flips a replayed batch to dup_exact_corpus (admittedIds empty),
+    // so every write that must still happen on replay has to precede it:
+    // a crash after out/assign but before the sig append replays into
+    // duplicated output rows and duplicated identical assign rows (both
+    // documented-benign, compactable), while the reverse orders are
+    // silent LOSS — output rows gone forever, or an assign table
+    // permanently missing the batch's vectors so tomorrow's rewording of
+    // that content sails past near_dup_corpus_emb.
     outPath.foreach(p => admitted.write.mode(SaveMode.Append).parquet(p))
-    batchSigs.join(admittedIds, "doc_id")
-      .write.mode(SaveMode.Append).parquet(statePath)
     for (frame <- embFrame; d <- esigsPath)
       frame.join(admittedIds, col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
         .write.mode(SaveMode.Append).parquet(s"$d/assign")
+    batchSigs.join(admittedIds, "doc_id")
+      .write.mode(SaveMode.Append).parquet(statePath)
     admitted
   }
 

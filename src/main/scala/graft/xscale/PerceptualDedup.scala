@@ -226,6 +226,15 @@ object PerceptualDedup {
     * vectors. Scale: the join shuffles on 16-byte keys, never payloads;
     * candidate mass is the bucket formula in the object scaladoc (swap to
     * the wide bands past [[BandBoundary]]).
+    *
+    * CONTRACT: the pigeonhole is sound only for `maxHamming` < the number
+    * of bands in the frame (a pair can otherwise differ in every band and
+    * never surface as a candidate) — the public entries
+    * ([[imageNearDupPairs]]/[[audioNearDupPairs]]) require it; this
+    * primitive can't (band count is a runtime column shape). Callers
+    * should also CUT the hashed frame first ([[DedupClusters.ckpt]]):
+    * it's referenced five ways below and an uncut frame re-runs its
+    * decode per reference.
     */
   def bandNearDupPairs(hashed: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
     val bands = hashed.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
@@ -284,16 +293,42 @@ object PerceptualDedup {
     * [[bandNearDupPairs]]. Feed the pairs to
     * [[DedupClusters.connectedComponents]] / `Dedup.dedupByPairs` for the
     * keep-one cut, exactly like the text pair generators.
+    *
+    * `maxHamming < 0` (the default) resolves to the width-appropriate
+    * threshold — [[MaxHamming]] classic, [[MaxHammingWide]] wide — so
+    * flipping `wide` on never silently tightens recall; an explicit value
+    * must keep the pigeonhole sound (require below). The hashed frame is
+    * cut once ([[DedupClusters.ckpt]]) before the pair join references it
+    * five ways — without the cut every reference re-decodes the full
+    * corpus' payloads; pass `checkpointDir` on a real cluster so the cut
+    * is storage-backed (the x30/x50 rule).
     */
   def imageNearDupPairs(
       media: DataFrame,
       wide: Boolean = false,
-      maxHamming: Int = MaxHamming): DataFrame =
-    bandNearDupPairs(imageHashFrame(media, wide).filter(col("decoded")), maxHamming)
+      maxHamming: Int = -1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val nBands = if (wide) BandsWide else Bands
+    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    require(mh < nBands,
+      s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
+        "(a qualifying pair can differ in every band and never become a candidate)")
+    bandNearDupPairs(
+      DedupClusters.ckpt(imageHashFrame(media, wide).filter(col("decoded")), checkpointDir),
+      mh)
+  }
 
-  /** The audio twin of [[imageNearDupPairs]]. */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int = MaxHamming): DataFrame =
-    bandNearDupPairs(audioHashFrame(media).filter(col("decoded")), maxHamming)
+  /** The audio twin of [[imageNearDupPairs]] (64-bit hash only). */
+  def audioNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = MaxHamming,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHamming < Bands,
+      s"maxHamming=$maxHamming with $Bands bands breaks the pigeonhole guarantee")
+    bandNearDupPairs(
+      DedupClusters.ckpt(audioHashFrame(media).filter(col("decoded")), checkpointDir),
+      maxHamming)
+  }
 
   /** Min-id survivor statuses over a hashed frame: 'survivor' (component
     * representative of a near-dup group), 'near_dup_<modality>' (group
@@ -304,12 +339,15 @@ object PerceptualDedup {
       hashed: DataFrame,
       dupStatus: String,
       maxHamming: Int = MaxHamming): DataFrame = {
-    val comp = DedupClusters.connectedComponents(bandNearDupPairs(hashed, maxHamming))
-    hashed.join(comp, hashed("doc_id") === comp("id"), "left")
+    // one hash/decode pass total: the frame feeds the candidate join (×3),
+    // the verify join and the status join below
+    val hf = DedupClusters.ckpt(hashed, None)
+    val comp = DedupClusters.connectedComponents(bandNearDupPairs(hf, maxHamming))
+    hf.join(comp, hf("doc_id") === comp("id"), "left")
       .select(
-        hashed("doc_id"),
+        hf("doc_id"),
         when(col("component").isNull, "unique")
-          .when(col("component") === hashed("doc_id"), "survivor")
+          .when(col("component") === hf("doc_id"), "survivor")
           .otherwise(dupStatus).as("status"))
   }
 
@@ -352,6 +390,9 @@ object PerceptualDedup {
     */
   def fixtureBmp(docId: Long): Array[Byte] =
     makeBmp(9, 8, (x, y) => fixtureGray(docId, x, y))
+
+  /** Bands per wide (256-bit) hash: 8 × 32 bits. */
+  val BandsWide = 8
 
   /** Hamming threshold for the wide (256-bit) hash: ≤ 7 pigeonholes into
     * the 8 × 32-bit bands.
@@ -599,7 +640,7 @@ object PerceptualDedup {
     ) { (s, dir) =>
       val src = crossmodalSrc(table(s, dir, "documents"))
       val pairs = bandNearDupPairs(
-        hashedFixture(s, src, fixtureBmp, p => dhashBands(p)))
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureBmp, p => dhashBands(p)), None))
       val idup = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
         .distinct()

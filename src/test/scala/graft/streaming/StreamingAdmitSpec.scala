@@ -197,6 +197,41 @@ class StreamingAdmitSpec extends SparkSpec {
       stateAfter.map(_.getLong(0)).toSet)
   }
 
+  test("write order pinned by fault injection: sig append is LAST — out and assign landed") {
+    // the sig append is what flips a replayed batch to dup_exact_corpus,
+    // so every write that must still happen on replay (output rows, emb
+    // assign vectors) has to PRECEDE it. Inject a real failure at the sig
+    // append (its parent path is a plain file, so the parquet write cannot
+    // create the directory) and assert the earlier writes already landed:
+    // a crash in this window replays into benign duplication. The reverse
+    // order would leave the assign table permanently missing the admitted
+    // vectors — tomorrow's rewording of that content would never flag
+    // near_dup_corpus_emb.
+    val base = tmpDir("stream-admit-order")
+    val corpusEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val esigs = new java.io.File(base, "esigs").getPath
+    graft.xscale.Similarity.admitEmbeddingBootstrapAuto(corpusEmb, esigs, trainSample = 0.1)
+    val assignBefore = spark.read.parquet(s"$esigs/assign").count()
+    val blocker = new java.io.File(base, "blocker")
+    java.nio.file.Files.writeString(blocker.toPath, "not a directory")
+    val statePath = new java.io.File(blocker, "state").getPath
+    val outPath = new java.io.File(base, "out").getPath
+    val b1e = corpusEmb.filter(col("vec_id") === 3L)
+      .select(lit(0L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .flatMap { case (_, v) => Seq((1L, v), (2L, v)) }
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      StreamingAdmit.admit(spark, b1, statePath, strict = true,
+        esigsPath = Some(esigs), batchEmb = Some(b1e), outPath = Some(outPath))
+    }
+    assert(spark.read.parquet(outPath).count() > 0, "output must land before the sig append")
+    assert(spark.read.parquet(s"$esigs/assign").count() > assignBefore,
+      "emb assign must land before the sig append")
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -153,6 +153,29 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("imageNearDupPairs wide: default threshold is MaxHammingWide, pigeonhole guard throws") {
+    import spark.implicits._
+    // an edit with EXACTLY 5 flipped bits — strictly between the classic
+    // (3) and wide (7) thresholds, the case the width-appropriate default
+    // exists for (an explicit classic threshold would silently drop it).
+    // Base is strictly increasing per row (all 256 bits set); the variant
+    // drops the LAST column (which participates in only the final
+    // comparison of its row) below its neighbor in 5 rows.
+    val g = (x: Int, _: Int) => 10 + 12 * x
+    val g2 = (x: Int, y: Int) => if (x == 16 && y < 5) 5 else g(x, y)
+    val (ba, bb) = (dhashBandsWide(makeBmp(17, 16, g)).get, dhashBandsWide(makeBmp(17, 16, g2)).get)
+    val ham = ba.zip(bb).map { case (p, q) => java.lang.Long.bitCount(p ^ q) }.sum
+    assert(ham == 5, s"fixture hamming $ham, expected exactly 5")
+    val media = Seq((1L, makeBmp(17, 16, g)), (2L, makeBmp(17, 16, g2))).toDF("doc_id", "payload")
+    assert(graft.TrainingData.imageNearDupPairs(media, wide = true)
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(imageNearDupPairs(media, wide = true, maxHamming = MaxHamming)
+      .as[(Long, Long)].collect().isEmpty)
+    // pigeonhole soundness guard: a threshold >= the band count must throw
+    intercept[IllegalArgumentException](imageNearDupPairs(media, maxHamming = 4))
+    intercept[IllegalArgumentException](audioNearDupPairs(media, maxHamming = 4))
+  }
+
   test("audioNearDupPairs: gain twin pairs, undecodable skipped") {
     import spark.implicits._
     val media = Seq(

@@ -383,9 +383,12 @@ object Cli {
     // flags
     case "admit" :: corpusPath :: batchPath :: outDir :: rest
         if parseAdmitFlags(rest).exists(f =>
-          (!f.compact || f.sigsDir.isDefined || f.esigsDir.isDefined) &&
+          (!f.compact || f.sigsDir.isDefined || f.esigsDir.isDefined ||
+            f.psigsDir.isDefined) &&
             (f.embPath.isDefined == f.bembPath.isDefined) &&
-            (f.esigsDir.isEmpty || f.embPath.isDefined)) =>
+            (f.esigsDir.isEmpty || f.embPath.isDefined) &&
+            (f.pmediaPath.isDefined == f.bmediaPath.isDefined) &&
+            (f.psigsDir.isEmpty || f.pmediaPath.isDefined)) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
       import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
@@ -522,7 +525,7 @@ object Cli {
       // the batch-vs-corpus emb rule; within-cell cosine CC over the
       // FINALLY-admitted docs' already-assigned vectors (zero extra
       // embedding access), losers re-status near_dup_batch_emb
-      val st = (embState, flags.strict) match {
+      val st3 = (embState, flags.strict) match {
         case (Some(frame), true) =>
           val admNow = st2.filter(col("status") === "admitted")
             .select(col("doc_id").as("vec_id"))
@@ -540,6 +543,87 @@ object Cli {
               .drop("le"),
             flags.ckptDir)
         case _ => st2
+      }
+      // --pmedia/--bmedia: the PERCEPTUAL leg (x74_admit_img's rule) —
+      // still-admitted docs whose image dHash has a hamming<=3 corpus
+      // neighbor flag near_dup_corpus_img: the re-encoded/re-brightened
+      // re-posts neither the text nor the embedding signal can see.
+      // --psigs <dir> is the media twin of --sigs/--esigs: run 1 hashes
+      // the corpus media ONCE into <dir>/bands; later runs classify with
+      // zero corpus media access (the --pmedia path may be retired).
+      // Undecodable batch rows pass the leg unflagged (decode failures
+      // are data); --compact reconciles the bands state with the live
+      // corpus ids like the other two sidecars.
+      val mediaState = (flags.pmediaPath, flags.bmediaPath) match {
+        case (Some(cm), Some(bm)) =>
+          def corpusHash() = xscale.PerceptualDedup
+            .imageHashFrame(spark.read.parquet(cm)).filter(col("decoded"))
+            .select(col("doc_id").as("cv_id"), col("bands"))
+          val corpusBands = flags.psigsDir match {
+            case Some(d) =>
+              val bandsPath = s"$d/bands"
+              val bootstrapped = hfsExists(spark, bandsPath)
+              if (flags.compact && bootstrapped) {
+                val compacted = graft.xscale.DedupClusters.ckpt(
+                  xscale.PerceptualDedup.compactMediaBands(
+                    spark.read.parquet(bandsPath),
+                    spark.read.parquet(corpusPath)
+                      .select(col("doc_id").as("vec_id"))),
+                  flags.ckptDir)
+                compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .parquet(bandsPath)
+              }
+              if (!bootstrapped)
+                corpusHash().write
+                  .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bandsPath)
+              spark.read.parquet(bandsPath)
+            case None => corpusHash()
+          }
+          val batchBands = graft.xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
+              .filter(col("decoded")).select("doc_id", "bands"),
+            flags.ckptDir)
+          Some(graft.xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.admitMediaCompare(corpusBands, batchBands),
+            flags.ckptDir))
+        case _ => None
+      }
+      val st4 = mediaState match {
+        case Some(frame) =>
+          val nearI = frame.filter(col("near_img"))
+            .select(col("doc_id"), lit(true).as("ni"))
+          graft.xscale.DedupClusters.ckpt(
+            st3.join(nearI, Seq("doc_id"), "left")
+              .withColumn(
+                "status",
+                when(
+                  col("status") === "admitted" && coalesce(col("ni"), lit(false)),
+                  "near_dup_corpus_img").otherwise(col("status")))
+              .drop("ni"),
+            flags.ckptDir)
+        case None => st3
+      }
+      // --strict + --pmedia: two re-encodes of the same image arriving
+      // together both clear the batch-vs-corpus rule — banded CC over the
+      // FINALLY-admitted docs' already-computed bands, losers re-status
+      // near_dup_batch_img (zero extra decode)
+      val st = (mediaState, flags.strict) match {
+        case (Some(frame), true) =>
+          val admNow = st4.filter(col("status") === "admitted").select("doc_id")
+          val losers = xscale.PerceptualDedup.admitMediaStrictLosers(
+            frame.join(admNow, "doc_id").select("doc_id", "bands"),
+            checkpointDir = flags.ckptDir)
+            .withColumn("li", lit(true))
+          graft.xscale.DedupClusters.ckpt(
+            st4.join(losers, Seq("doc_id"), "left")
+              .withColumn(
+                "status",
+                when(
+                  col("status") === "admitted" && coalesce(col("li"), lit(false)),
+                  "near_dup_batch_img").otherwise(col("status")))
+              .drop("li"),
+            flags.ckptDir)
+        case _ => st4
       }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -570,6 +654,10 @@ object Cli {
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/assign")
       // centroids never change on append — retrain is a re-bootstrap
       // (x79's add-vs-train rule)
+      for (frame <- mediaState; d <- flags.psigsDir)
+        frame.join(admittedIds, "doc_id")
+          .select(col("doc_id").as("cv_id"), col("bands"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/bands")
       flags.sigsDir.foreach { d =>
         batchSigs.join(admittedIds, "doc_id")
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
@@ -588,6 +676,12 @@ object Cli {
           else "") +
           (if (flags.strict && flags.embPath.isDefined)
             s""""near_dup_batch_emb":${n("near_dup_batch_emb")},"""
+          else "") +
+          (if (flags.pmediaPath.isDefined)
+            s""""near_dup_corpus_img":${n("near_dup_corpus_img")},"""
+          else "") +
+          (if (flags.strict && flags.pmediaPath.isDefined)
+            s""""near_dup_batch_img":${n("near_dup_batch_img")},"""
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -621,7 +715,10 @@ object Cli {
       compact: Boolean = false,
       embPath: Option[String] = None,
       bembPath: Option[String] = None,
-      esigsDir: Option[String] = None)
+      esigsDir: Option[String] = None,
+      pmediaPath: Option[String] = None,
+      bmediaPath: Option[String] = None,
+      psigsDir: Option[String] = None)
 
   private def parseAdmitFlags(rest: List[String]): Option[AdmitFlags] = rest match {
     case Nil => Some(AdmitFlags())
@@ -639,6 +736,12 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(bembPath = Some(dir)))
     case "--esigs" :: dir :: tail if !dir.startsWith("--") =>
       parseAdmitFlags(tail).map(_.copy(esigsDir = Some(dir)))
+    case "--pmedia" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(pmediaPath = Some(dir)))
+    case "--bmedia" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(bmediaPath = Some(dir)))
+    case "--psigs" :: dir :: tail if !dir.startsWith("--") =>
+      parseAdmitFlags(tail).map(_.copy(psigsDir = Some(dir)))
     case _ => None
   }
 
@@ -672,6 +775,7 @@ object Cli {
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
         "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +
+        "                 [--pmedia <corpusMedia> --bmedia <batchMedia> [--psigs <dir>]]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
         "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
         "                 with --emb it ALSO runs the emb analog over the finally-admitted vectors —\n" +
@@ -682,7 +786,13 @@ object Cli {
         "                 --emb/--bemb add the EMBEDDING leg — still-admitted docs whose vector has a\n" +
         "                 cosine>=tau corpus neighbor within its frozen cell flag near_dup_corpus_emb;\n" +
         "                 --esigs persists that leg's frozen state (centroids + corpus assignment) so\n" +
-        "                 later runs never read the corpus embeddings — the emb twin of --sigs)\n" +
+        "                 later runs never read the corpus embeddings — the emb twin of --sigs;\n" +
+        "                 --pmedia/--bmedia add the PERCEPTUAL leg over (doc_id, payload) media parquet —\n" +
+        "                 still-admitted docs whose image dHash has a hamming<=3 corpus neighbor flag\n" +
+        "                 near_dup_corpus_img (re-encoded/re-brightened re-posts text and embeddings miss);\n" +
+        "                 with --strict, re-encode pairs arriving together keep one survivor\n" +
+        "                 (near_dup_batch_img); --psigs persists the corpus bands so later runs never\n" +
+        "                 re-decode the corpus media — the media twin of --sigs; --compact reconciles it)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

@@ -56,7 +56,7 @@ object ScaleSmoke {
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
     "x88_bm25_zipf", "x138_imi_auto",
     "x139_image_dhash", "x139_image_dhash_wide", "x140_audio_dhash",
-    "x141_crossmodal_dedup",
+    "x141_crossmodal_dedup", "x74_admit_img", "x74_admit_img_steady",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df
@@ -206,6 +206,14 @@ object ScaleSmoke {
         s"$dir/powerlaw_esigs", trainSample = 0.1,
         checkpointDir = Some(s"$dir/_checkpoints"))
     }
+    // The media-admission bands state (`Cli admit --psigs` steady state):
+    // the corpus images hashed ONCE — x74_admit_img_steady times only the
+    // day-2 classify against it, never the corpus decode it replaces.
+    if (!new java.io.File(s"$dir/media_bands.parquet").exists()) {
+      xscale.PerceptualDedup.fixtureBands(
+          spark, spark.read.parquet(s"$dir/documents.parquet").select("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/media_bands.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -227,6 +235,27 @@ object ScaleSmoke {
       "x139_image_dhash_wide" -> ((s, d) =>
         xscale.PerceptualDedup.fixtureImageStatuses(
           s, s.read.parquet(s"$d/documents.parquet"), wide = true)),
+      // media admission in the DAILY-INGEST shape: fixed 250-image batch
+      // (150 brightness re-encodes of corpus images + 100 fresh) against
+      // the persisted bands state — corpus media never touched, the
+      // steady-state flatness claim for the third admission signal
+      "x74_admit_img_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/media_bands.parquet")
+          .select(col("doc_id").as("cv_id"), col("bands"))
+        // re-encode targets are v=0 corpus docs (id = i*5): their base
+        // gray tops out at 224, so the +16 brightness never wraps a byte
+        val batch = ((0L until 150L).map(i => (9000000000L + i,
+          xscale.PerceptualDedup.makeBmp(9, 8,
+            (x, y) => xscale.PerceptualDedup.fixtureGray(i * 5, x, y) + 16))) ++
+          (0L until 100L).map(i => (9100000000L + i,
+            xscale.PerceptualDedup.fixtureBmp((2000000000L + i) * 5))))
+          .toDF("doc_id", "payload")
+        val bands = xscale.PerceptualDedup.imageHashFrame(batch)
+          .filter(col("decoded")).select("doc_id", "bands")
+        xscale.PerceptualDedup.admitMediaCompare(state, bands)
+          .groupBy("near_img").count()
+      }),
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(
           s.read.parquet(s"$d/documents.parquet"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.xscale.{Dedup, DedupClusters, Similarity}
+import graft.xscale.{Dedup, DedupClusters, PerceptualDedup, Similarity}
 
 /** Streaming ADMISSION — x74's four-status decision rule (plus the strict
   * intra-batch near-dup refinement) as a continuous ingest path: each
@@ -31,6 +31,15 @@ import graft.xscale.{Dedup, DedupClusters, Similarity}
   * to train on; finally-admitted vectors append to `esigsPath/assign`
   * exactly as the batch verb appends, so the two surfaces interleave.
   *
+  * The MEDIA leg (`Cli admit --pmedia --psigs`'s rule) runs when
+  * `psigsPath` is set: batch payloads are dHashed
+  * ([[PerceptualDedup.imageHashFrame]] — real decode, undecodable rows
+  * pass unflagged), banded-compared against the persisted bands state
+  * (`near_dup_corpus_img`), and under `strict` the intra-batch re-encode
+  * CC ([[PerceptualDedup.admitMediaStrictLosers]]) re-statuses cluster
+  * losers `near_dup_batch_img`; finally-admitted bands append to
+  * `psigsPath/bands`. Bootstrap with `Cli admit --psigs` run 1.
+  *
   * Why foreachBatch + explicit parquet state rather than the keyed state
   * store: the near-dup decision is an OR across 4 LSH band buckets per doc
   * (a doc's near-dups land in DIFFERENT buckets), which
@@ -46,7 +55,7 @@ import graft.xscale.{Dedup, DedupClusters, Similarity}
   * O(batch + candidates); state appends are admitted-docs-only.
   *
   * Write order (crash semantics): `outPath` first, then the emb assign
-  * append, then the SIG state append LAST. The sig append is the write
+  * and media bands appends, then the SIG state append LAST. The sig append is the write
   * that flips a replayed micro-batch to `dup_exact_corpus` (admitted set
   * empty), so every write that must still happen on replay has to
   * precede it: a crash anywhere before the sig append replays into
@@ -83,7 +92,9 @@ object StreamingAdmit {
       checkpointDir: Option[String] = None,
       esigsPath: Option[String] = None,
       batchEmb: Option[DataFrame] = None,
-      outPath: Option[String] = None): DataFrame = {
+      outPath: Option[String] = None,
+      psigsPath: Option[String] = None,
+      batchMedia: Option[DataFrame] = None): DataFrame = {
     val sPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the cuts are batch-sized; route through DedupClusters.ckpt so a
@@ -136,9 +147,55 @@ object StreamingAdmit {
           .drop("le")
       case _ => st2
     }
+    // MEDIA leg — the batch verb's --pmedia/--psigs composition: batch
+    // payloads hashed once (real decode; undecodable rows pass
+    // unflagged), compared banded against the persisted bands state,
+    // then (strict) the intra-batch re-encode CC over what's STILL
+    // admitted; finally-admitted bands append to the state below. The
+    // state must be BOOTSTRAPPED before streaming (Cli admit --psigs run
+    // 1) — a stream has no corpus to hash.
+    val mediaFrame = (psigsPath, batchMedia) match {
+      case (Some(d), Some(bm)) =>
+        val batchBands = DedupClusters.ckpt(
+          PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))
+            .select("doc_id", "bands"),
+          checkpointDir)
+        Some(DedupClusters.ckpt(
+          PerceptualDedup.admitMediaCompare(
+            spark.read.parquet(s"$d/bands"), batchBands),
+          checkpointDir))
+      case _ => None
+    }
+    val st4 = mediaFrame match {
+      case Some(frame) =>
+        val nearI = frame.filter(col("near_img"))
+          .select(col("doc_id"), lit(true).as("ni"))
+        st3.join(nearI, Seq("doc_id"), "left")
+          .withColumn(
+            "status",
+            when(col("status") === "admitted" && coalesce(col("ni"), lit(false)),
+              "near_dup_corpus_img").otherwise(col("status")))
+          .drop("ni")
+      case None => st3
+    }
+    val st5 = (mediaFrame, strict) match {
+      case (Some(frame), true) =>
+        val admNow = st4.filter(col("status") === "admitted").select("doc_id")
+        val losers = PerceptualDedup.admitMediaStrictLosers(
+          frame.join(admNow, "doc_id").select("doc_id", "bands"),
+          checkpointDir = checkpointDir)
+          .withColumn("li", lit(true))
+        st4.join(losers, Seq("doc_id"), "left")
+          .withColumn(
+            "status",
+            when(col("status") === "admitted" && coalesce(col("li"), lit(false)),
+              "near_dup_batch_img").otherwise(col("status")))
+          .drop("li")
+      case _ => st4
+    }
     // eager cut BEFORE the state appends: the lazy plan reads the state
     // dirs, and appending first would make recomputation see new files
-    val st = DedupClusters.ckpt(st3, checkpointDir)
+    val st = DedupClusters.ckpt(st5, checkpointDir)
     reportPath.foreach { p =>
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -162,6 +219,10 @@ object StreamingAdmit {
       frame.join(admittedIds, col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
         .write.mode(SaveMode.Append).parquet(s"$d/assign")
+    for (frame <- mediaFrame; d <- psigsPath)
+      frame.join(admittedIds, "doc_id")
+        .select(col("doc_id").as("cv_id"), col("bands"))
+        .write.mode(SaveMode.Append).parquet(s"$d/bands")
     batchSigs.join(admittedIds, "doc_id")
       .write.mode(SaveMode.Append).parquet(statePath)
     admitted
@@ -172,6 +233,8 @@ object StreamingAdmit {
     * state when `reportPath` is set). When `esigsPath` is set the docs
     * stream must carry an `embedding` column (array of float/double; null
     * for vectorless docs) — the emb leg reads it as the batch vectors.
+    * When `psigsPath` is set it must carry a `payload` binary column
+    * (null for media-less docs) — the media leg hashes it.
     */
   def stream(
       docs: DataFrame,
@@ -181,16 +244,21 @@ object StreamingAdmit {
       strict: Boolean = true,
       reportPath: Option[String] = None,
       stageCkptDir: Option[String] = None,
-      esigsPath: Option[String] = None): StreamingQuery =
+      esigsPath: Option[String] = None,
+      psigsPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         val bEmb = esigsPath.map(_ =>
           b.filter(col("embedding").isNotNull)
             .select(col("doc_id").as("vec_id"), col("embedding")))
-        val bDocs = if (esigsPath.isDefined) b.drop("embedding") else b
+        val bMedia = psigsPath.map(_ =>
+          b.filter(col("payload").isNotNull).select("doc_id", "payload"))
+        val bDocs = Seq(
+          esigsPath.map(_ => "embedding"), psigsPath.map(_ => "payload"))
+          .flatten.foldLeft(b)(_ drop _)
         admit(b.sparkSession, bDocs, statePath, strict, reportPath, id,
-          stageCkptDir, esigsPath, bEmb, Some(outPath))
+          stageCkptDir, esigsPath, bEmb, Some(outPath), psigsPath, bMedia)
         ()
       }
       .start()

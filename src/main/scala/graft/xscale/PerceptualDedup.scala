@@ -330,6 +330,67 @@ object PerceptualDedup {
       maxHamming)
   }
 
+  // ---------------------------------------------------------------------
+  // media ADMISSION (the x74 rule's third signal, under `Cli admit`)
+  // ---------------------------------------------------------------------
+
+  /** Batch-vs-corpus perceptual compare — the media analog of
+    * `Similarity.admitEmbCompare`: returns the state-shaped frame
+    * (doc_id, near_img, bands) for every batch row, `near_img` = some
+    * corpus hash within `maxHamming` (banded pigeonhole + exact verify,
+    * never all-pairs). `corpusBands` is (cv_id, bands) — the persisted
+    * `--psigs` state or a one-off corpus hash pass; rows the caller
+    * couldn't decode should be absent on both sides (they pass the leg
+    * unflagged upstream). Scale: the join shuffles 16-byte band keys; the
+    * batch side is batch-sized throughout; corpus payloads are never
+    * touched once the bands state exists.
+    */
+  def admitMediaCompare(
+      corpusBands: DataFrame,
+      batchBands: DataFrame,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    val cb = corpusBands.select(col("cv_id"), posexplode(col("bands")).as(Seq("j", "bv")))
+    val bb = batchBands.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
+    val cand = bb.join(cb, Seq("j", "bv")).select("doc_id", "cv_id").distinct()
+    val ham = expr(
+      "aggregate(zip_with(bb_, cb_, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    val near = cand
+      .join(batchBands.select(col("doc_id"), col("bands").as("bb_")), "doc_id")
+      .join(corpusBands.select(col("cv_id"), col("bands").as("cb_")), "cv_id")
+      .filter(ham <= maxHamming)
+      .select("doc_id").distinct()
+      .withColumn("ni", lit(true))
+    batchBands.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ni"), lit(false)).as("near_img"), col("bands"))
+  }
+
+  /** The media analog of `Dedup.admitStrict` / `admitEmbStrictLosers`:
+    * two re-encodes of the same image arriving in ONE batch both clear
+    * the batch-vs-corpus rule; run the banded pair join + CC over the
+    * FINALLY-admitted rows' already-computed bands (zero extra decode),
+    * min-id survivor, losers returned as one `doc_id` column for the
+    * caller to re-status `near_dup_batch_img`.
+    */
+  def admitMediaStrictLosers(
+      admBands: DataFrame,
+      maxHamming: Int = MaxHamming,
+      checkpointDir: Option[String] = None): DataFrame =
+    DedupClusters.connectedComponents(
+      bandNearDupPairs(admBands, maxHamming), checkpointDir = checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+
+  /** Compact the `--psigs` bands state against the live corpus ids — the
+    * media twin of `compactSignatures`/`compactEmbAssign`, closing the
+    * same two drift modes (stale rows of since-removed docs keep voting
+    * near_dup_corpus_img; retried appends double rows). Same identity
+    * model, same non-atomic-rewrite caveat as the siblings.
+    */
+  def compactMediaBands(bands: DataFrame, live: DataFrame): DataFrame =
+    graft.lake.Lake.dedupKeepFirst(
+      bands.join(live.select(col("vec_id").as("cv_id")), Seq("cv_id"), "left_semi"),
+      Seq("cv_id"), Seq("bands"))
+
   /** Min-id survivor statuses over a hashed frame: 'survivor' (component
     * representative of a near-dup group), 'near_dup_<modality>' (group
     * loser), 'unique' (no qualifying pair). The x14 keep-one rule on the
@@ -470,6 +531,28 @@ object PerceptualDedup {
     }.toDF("doc_id", "bands")
   }
 
+  /** Hash a (doc_id, img_id, off) source — x74_admit_img's batch side,
+    * where re-arrivals carry the ORIGINAL's image content brightened by
+    * `off` (the re-encode edit the whole family exists to catch).
+    */
+  private def hashedShiftFixture(spark: SparkSession, src: DataFrame): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("img_id"), col("off")).as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, off) =>
+        val b = dhashBands(makeBmp(9, 8, (x, y) => fixtureGray(img, x, y) + off))
+          .getOrElse(throw new IllegalStateException(s"fixture payload for doc $id failed to decode"))
+        (id, b)
+      })
+      .toDF("doc_id", "bands")
+  }
+
+  /** Public fixture-bands frame (doc_id, bands) for the scale smoke's
+    * cached media state — each row is a real synthesize → decode → hash
+    * round trip over [[fixtureBmp]].
+    */
+  def fixtureBands(spark: SparkSession, docs: DataFrame): DataFrame =
+    hashedFixture(spark, docs, fixtureBmp, p => dhashBands(p))
+
   /** x141's augmented corpus: the real documents plus two deterministic
     * re-post populations (the x47 mirror-augmentation pattern — the
     * driver fixture has no exact text dups of its own), with `img_id`
@@ -542,6 +625,61 @@ object PerceptualDedup {
       "JOIN ibands xb ON xb.doc_id = c.pa " +
       "JOIN ibands yb ON yb.doc_id = c.pb AND yb.j = xb.j GROUP BY 1, 2), " +
       s"p AS (SELECT pa, pb FROM hm WHERE hd <= $MaxHamming)"
+
+  /** Two-side (corpus 'c' / batch 'b') band CTEs for the x74_admit_img
+    * oracle: src2(doc_id, img_id, off, side) → grays (+off brightness on
+    * re-arrivals) → bits → bnd(doc_id, side, j, bv) → batch-vs-corpus
+    * near set → admitted strict pairs p — the SQL twin of
+    * [[admitMediaCompare]] + [[admitMediaStrictLosers]]. Re-arrival
+    * populations are % 45 == 0 (v = 0 always, so base ≤ 224 and the +16
+    * brightness stays ≤ 255 — no byte wrap on either engine) and
+    * % 9 == 0 ∧ v ≥ 3 (content unique to the batch: the intra-batch-only
+    * pair the strict pass exists for).
+    */
+  private def admitImgSql: String =
+    "src2 AS (SELECT doc_id, doc_id AS img_id, 0 AS off, 'c' AS side FROM documents " +
+      "WHERE doc_id % 9 <> 0 " +
+      "UNION ALL SELECT doc_id, doc_id, 0, 'b' FROM documents WHERE doc_id % 9 = 0 " +
+      "UNION ALL SELECT doc_id + 2000000, doc_id, 16, 'b' FROM documents " +
+      "WHERE doc_id % 45 = 0 " +
+      "UNION ALL SELECT doc_id + 3000000, doc_id, 16, 'b' FROM documents " +
+      "WHERE doc_id % 9 = 0 AND doc_id % 5 >= 3), " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      "px2 AS (SELECT doc_id, side, off, v, ck, x, y FROM dk2, " +
+      "(SELECT unnest(generate_series(0, 8)) AS x), " +
+      "(SELECT unnest(generate_series(0, 7)) AS y)), " +
+      "ig2 AS (SELECT doc_id, side, x, y, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 215) + 10 " +
+      "+ CASE WHEN v = 1 THEN 16 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND x = 3 AND y = 2 THEN 31 ELSE 0 END + off AS g FROM px2), " +
+      "ib2 AS (SELECT l.doc_id, l.side, l.y * 8 + l.x AS i, " +
+      "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      "FROM ig2 l JOIN ig2 r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 " +
+      "WHERE l.x < 8), " +
+      "bnd AS (SELECT doc_id, side, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
+      "FROM ib2 GROUP BY 1, 2, 3), " +
+      "candi AS (SELECT DISTINCT b.doc_id, c.doc_id AS cv_id FROM bnd b " +
+      "JOIN bnd c ON c.j = b.j AND c.bv = b.bv AND b.side = 'b' AND c.side = 'c'), " +
+      "hmi AS (SELECT ca.doc_id, ca.cv_id, sum(bit_count(xor(xb.bv, yb.bv))) AS hd " +
+      "FROM candi ca JOIN bnd xb ON xb.doc_id = ca.doc_id AND xb.side = 'b' " +
+      "JOIN bnd yb ON yb.doc_id = ca.cv_id AND yb.side = 'c' AND yb.j = xb.j " +
+      s"GROUP BY 1, 2), " +
+      s"neari AS (SELECT DISTINCT doc_id FROM hmi WHERE hd <= $MaxHamming), " +
+      "st0 AS (SELECT s.doc_id, CASE WHEN neari.doc_id IS NOT NULL " +
+      "THEN 'near_dup_corpus_img' ELSE 'admitted' END AS status " +
+      "FROM src2 s LEFT JOIN neari ON neari.doc_id = s.doc_id WHERE s.side = 'b'), " +
+      "admb AS (SELECT bnd.doc_id, bnd.j, bnd.bv FROM bnd " +
+      "JOIN st0 ON st0.doc_id = bnd.doc_id AND st0.status = 'admitted' " +
+      "WHERE bnd.side = 'b'), " +
+      "candp AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb FROM admb a " +
+      "JOIN admb b ON b.j = a.j AND b.bv = a.bv AND a.doc_id < b.doc_id), " +
+      "hmp AS (SELECT c.pa, c.pb, sum(bit_count(xor(xb.bv, yb.bv))) AS hd FROM candp c " +
+      "JOIN admb xb ON xb.doc_id = c.pa " +
+      "JOIN admb yb ON yb.doc_id = c.pb AND yb.j = xb.j GROUP BY 1, 2), " +
+      s"p AS (SELECT pa, pb FROM hmp WHERE hd <= $MaxHamming)"
 
   /** Recursive-CTE connected components over `p` (the x74_admit_strict
     * closure technique) + min-id statuses.
@@ -657,6 +795,68 @@ object PerceptualDedup {
         .groupBy("img_dup", "txt_dup")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
         .orderBy("img_dup", "txt_dup")
+    },
+
+    // ----- x74 media leg: perceptual admission (`Cli admit --pmedia`) -----
+    Q(
+      "x74_admit_img",
+      Some(
+        s"WITH RECURSIVE $admitImgSql, " +
+          "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT s AS id, s AS comp FROM ed " +
+          "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+          "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "st AS (SELECT st0.doc_id, CASE WHEN st0.status = 'admitted' AND " +
+          "cmp.component IS NOT NULL AND cmp.component <> st0.doc_id " +
+          "THEN 'near_dup_batch_img' ELSE st0.status END AS status " +
+          "FROM st0 LEFT JOIN cmp ON cmp.id = st0.doc_id) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum " +
+          "FROM st GROUP BY status ORDER BY status"),
+      "MEDIA leg of ADMISSION — x74's four-status rule carrying the perceptual signal " +
+        "(`Cli admit --pmedia/--bmedia/--psigs`): batch images hashed (real BMP decode, " +
+        "x139's dHash), compared banded-pigeonhole against the corpus bands state " +
+        "(admitMediaCompare — corpus payloads never re-decoded once the state exists), " +
+        "hamming<=3 neighbors flag near_dup_corpus_img; the strict pass runs the banded " +
+        "CC over the still-admitted batch bands (admitMediaStrictLosers), so two " +
+        "re-encodes of the same image arriving TOGETHER keep one survivor " +
+        "(near_dup_batch_img) — the text-strict asymmetry two signal levels down. " +
+        "Fixture: corpus = docs %9!=0 (own image); batch = %9==0 (own) + two re-arrival " +
+        "populations carrying the ORIGINAL's image brightened +16 (hash-invariant): " +
+        "%45==0 (v=0, siblings in corpus -> near_dup_corpus_img) and %9==0 & v>=3 " +
+        "(content unique to the batch -> only the strict CC can catch the pair). " +
+        "Scale: band-keyed joins, batch-sized everywhere; corpus side is the persisted " +
+        "bands state."
+    ) { (s, dir) =>
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusBands = hashedFixture(
+        s, ids.filter(col("doc_id") % 9 =!= 0), fixtureBmp, p => dhashBands(p))
+        .select(col("doc_id").as("cv_id"), col("bands"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(16).as("off")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(16).as("off")))
+      val frame = DedupClusters.ckpt(
+        admitMediaCompare(
+          DedupClusters.ckpt(corpusBands, None),
+          DedupClusters.ckpt(hashedShiftFixture(s, batchSrc), None)),
+        None)
+      val losers = admitMediaStrictLosers(
+        DedupClusters.ckpt(frame.filter(!col("near_img")).select("doc_id", "bands"), None))
+        .withColumn("lb", lit(true))
+      frame.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_img"), "near_dup_corpus_img")
+            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_img")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
     }
   )
 }

@@ -583,4 +583,128 @@ class CliAdmitSpec extends SparkSpec {
     assert(je2.contains(""""near_dup_corpus_emb":1"""))
     assert(spark.read.parquet(s"$esigs/assign").count() === 200L)
   }
+
+  test("admit --pmedia/--bmedia flags re-encoded images; --strict; --psigs steady state") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-media")
+    // all TEXTS are novel and mutually unrelated, so every status below
+    // comes from the IMAGE leg alone
+    def doc(id: Long, tag: String) =
+      (id, s"wholly unrelated $tag ledger entry number $id with its own " +
+        s"unshared shingle inventory $tag$id appended for good measure", "s")
+    val corpus = (0L to 9L).map(i => doc(i, s"corpus$i")).toDF("doc_id", "text", "source")
+    // distinct image per corpus doc: fixture cluster id*5 is always a v=0
+    // base — 10 mutually-far hashes
+    val corpusMedia = (0L to 9L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5)))
+      .toDF("doc_id", "payload")
+    // batch: 101 = brightness re-encode of corpus doc 3's image (the edit
+    // byte hashing cannot see); 102/103 = the SAME novel image arriving
+    // twice (one +16) — only the strict CC can catch it; 104 = payload no
+    // reader accepts (must pass unflagged); 105 = fresh image
+    def shifted(imgCluster: Long, off: Int) =
+      PerceptualDedup.makeBmp(9, 8,
+        (x, y) => PerceptualDedup.fixtureGray(imgCluster * 5, x, y) + off)
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
+      doc(104L, "d"), doc(105L, "e")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, shifted(3L, 16)),
+      (102L, PerceptualDedup.fixtureBmp(7777L * 5)),
+      (103L, shifted(7777L, 16)),
+      (104L, "not an image at all".getBytes),
+      (105L, PerceptualDedup.fixtureBmp(8888L * 5))
+    ).toDF("doc_id", "payload")
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val batchPath = base.getPath + "/batch.parquet"
+    val cmPath = base.getPath + "/cmedia.parquet"
+    val bmPath = base.getPath + "/bmedia.parquet"
+    corpus.write.parquet(corpusPath)
+    batch.write.parquet(batchPath)
+    corpusMedia.write.parquet(cmPath)
+    batchMedia.write.parquet(bmPath)
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    val psigs = base.getPath + "/psigs"
+    val j1 = runJson(List("admit", corpusPath, batchPath, base.getPath + "/m1",
+      "--strict", "--pmedia", cmPath, "--bmedia", bmPath, "--psigs", psigs))
+    assert(j1.contains(""""near_dup_corpus_img":1"""), j1)
+    assert(j1.contains(""""near_dup_batch_img":1"""), j1)
+    assert(j1.contains(""""admitted":3"""), j1)
+    val ids1 = spark.read.parquet(base.getPath + "/m1/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 === Set(102L, 104L, 105L)) // 102 = min-id survivor of the pair
+    // bands state: 10 corpus rows + the admitted DECODABLE batch rows
+    // (102, 105 — 104 has no hash to persist)
+    assert(spark.read.parquet(s"$psigs/bands").count() === 12L)
+
+    // steady state: the corpus media path is RETIRED (nonexistent) — the
+    // bands state alone classifies; a re-encode of day-1-admitted 102
+    // flags off the APPENDED state
+    val batch2 = Seq(doc(201L, "f")).toDF("doc_id", "text", "source")
+    val batchMedia2 = Seq((201L, shifted(7777L, 31))).toDF("doc_id", "payload")
+    val b2Path = base.getPath + "/batch2.parquet"
+    val bm2Path = base.getPath + "/bmedia2.parquet"
+    batch2.write.parquet(b2Path)
+    batchMedia2.write.parquet(bm2Path)
+    val j2 = runJson(List("admit", corpusPath, b2Path, base.getPath + "/m2",
+      "--strict", "--pmedia", base.getPath + "/no-such-media", "--bmedia", bm2Path,
+      "--psigs", psigs))
+    assert(j2.contains(""""near_dup_corpus_img":1"""), j2)
+    assert(spark.read.parquet(s"$psigs/bands").count() === 12L) // nothing admitted
+  }
+
+  test("admit --psigs --compact drops stale bands of removed corpus docs") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-media-compact")
+    def doc(id: Long, tag: String) =
+      (id, s"entirely distinct $tag manifest row $id carrying private " +
+        s"shingles $tag$id only", "s")
+    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    val corpusMedia = (0L to 9L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5))).toDF("doc_id", "payload")
+    val corpusPath = base.getPath + "/corpus.parquet"
+    val cmPath = base.getPath + "/cmedia.parquet"
+    corpus.write.parquet(corpusPath)
+    corpusMedia.write.parquet(cmPath)
+    def runJson(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // bootstrap the bands state with a no-op fresh batch
+    val b0Path = base.getPath + "/b0.parquet"
+    val bm0Path = base.getPath + "/bm0.parquet"
+    Seq(doc(100L, "z")).toDF("doc_id", "text", "source").write.parquet(b0Path)
+    Seq((100L, PerceptualDedup.fixtureBmp(9999L * 5))).toDF("doc_id", "payload")
+      .write.parquet(bm0Path)
+    val psigs = base.getPath + "/psigs"
+    runJson(List("admit", corpusPath, b0Path, base.getPath + "/m0",
+      "--pmedia", cmPath, "--bmedia", bm0Path, "--psigs", psigs))
+    // corpus re-filter removes doc 3; its band row is now STALE
+    val corpus2Path = base.getPath + "/corpus2.parquet"
+    corpus.filter(col("doc_id") =!= 3L).write.parquet(corpus2Path)
+    // a re-encode of the REMOVED doc's image arrives
+    val b1Path = base.getPath + "/b1.parquet"
+    val bm1Path = base.getPath + "/bm1.parquet"
+    Seq(doc(200L, "y")).toDF("doc_id", "text", "source").write.parquet(b1Path)
+    Seq((200L, PerceptualDedup.makeBmp(9, 8,
+      (x, y) => PerceptualDedup.fixtureGray(3L * 5, x, y) + 16)))
+      .toDF("doc_id", "payload").write.parquet(bm1Path)
+    // stale state POISONS admission: flagged against an image the corpus
+    // no longer has
+    val jStale = runJson(List("admit", corpus2Path, b1Path, base.getPath + "/ms",
+      "--pmedia", cmPath, "--bmedia", bm1Path, "--psigs", psigs))
+    assert(jStale.contains(""""near_dup_corpus_img":1"""), jStale)
+    // --compact reconciles against the LIVE corpus ids first: admitted
+    val jCompact = runJson(List("admit", corpus2Path, b1Path, base.getPath + "/mc",
+      "--compact", "--pmedia", cmPath, "--bmedia", bm1Path, "--psigs", psigs))
+    assert(jCompact.contains(""""near_dup_corpus_img":0"""), jCompact)
+    assert(jCompact.contains(""""admitted":1"""), jCompact)
+    // the stale row is gone; doc 200's band appended
+    val cvs = spark.read.parquet(s"$psigs/bands").select("cv_id").as[Long].collect().toSet
+    assert(!cvs.contains(3L) && cvs.contains(200L))
+  }
 }

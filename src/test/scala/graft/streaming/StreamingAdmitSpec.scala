@@ -232,6 +232,55 @@ class StreamingAdmitSpec extends SparkSpec {
       "emb assign must land before the sig append")
   }
 
+  test("media leg: corpus-near off the bands state, strict batch pair, day-2 off appended bands") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-media")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    // bootstrapped bands state: 10 distinct corpus images (fixture id*5 =
+    // v=0 bases, mutually far)
+    PerceptualDedup.imageHashFrame(
+      (0L to 9L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))).toDF("doc_id", "payload"))
+      .filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    def shifted(cluster: Long, off: Int) = PerceptualDedup.makeBmp(9, 8,
+      (x, y) => PerceptualDedup.fixtureGray(cluster * 5, x, y) + off)
+    // day 1: 21 = re-encode of corpus image 4; 22/23 = same novel image
+    // arriving twice (strict keeps 22); 24 = media-less (null payload path
+    // exercised by stream(); here simply absent from batchMedia)
+    val d1 = Seq((21L, novel1, "s"), (22L, novel2, "s"),
+      (23L, novel3, "s"), (24L, novel4, "s")).toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (21L, shifted(4L, 16)),
+      (22L, PerceptualDedup.fixtureBmp(5555L * 5)),
+      (23L, shifted(5555L, 16))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out))
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(22L, 24L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_img" -> 1L,
+      "near_dup_batch_img" -> 1L))
+    // appended bands = admitted ∩ decodable = 22 only
+    assert(spark.read.parquet(s"$psigs/bands").count() === 11L)
+    // day 2: a re-encode of day-1-admitted 22 flags off the APPENDED state
+    val d2 = Seq((31L, "a fresh gazetteer of unnamed creeks surveyed twice", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((31L, shifted(5555L, 31))).toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out))
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_img" -> 1L))
+    assert(spark.read.parquet(s"$psigs/bands").count() === 11L)
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -507,16 +507,11 @@ object Cli {
       }
       val st2 = embState match {
         case Some(frame) =>
-          val nearE = frame.filter(col("near_emb"))
-            .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
           graft.xscale.DedupClusters.ckpt(
-            st1.join(nearE, Seq("doc_id"), "left")
-              .withColumn(
-                "status",
-                when(
-                  col("status") === "admitted" && coalesce(col("ne"), lit(false)),
-                  "near_dup_corpus_emb").otherwise(col("status")))
-              .drop("ne"),
+            xscale.Dedup.restatus(
+              st1,
+              frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
+              "near_dup_corpus_emb"),
             flags.ckptDir)
         case None => st1
       }
@@ -532,15 +527,9 @@ object Cli {
           val losers = xscale.Similarity.admitEmbStrictLosers(
             frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
             checkpointDir = flags.ckptDir)
-            .select(col("vec_id").as("doc_id"), lit(true).as("le"))
+            .select(col("vec_id").as("doc_id"))
           graft.xscale.DedupClusters.ckpt(
-            st2.join(losers, Seq("doc_id"), "left")
-              .withColumn(
-                "status",
-                when(
-                  col("status") === "admitted" && coalesce(col("le"), lit(false)),
-                  "near_dup_batch_emb").otherwise(col("status")))
-              .drop("le"),
+            xscale.Dedup.restatus(st2, losers, "near_dup_batch_emb"),
             flags.ckptDir)
         case _ => st2
       }
@@ -577,7 +566,11 @@ object Cli {
                 corpusHash().write
                   .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bandsPath)
               spark.read.parquet(bandsPath)
-            case None => corpusHash()
+            case None =>
+              // cut ONCE: admitMediaCompare references the frame twice
+              // (candidate + verify sides) — uncut, the full corpus media
+              // would be image-decoded twice per run
+              graft.xscale.DedupClusters.ckpt(corpusHash(), flags.ckptDir)
           }
           val batchBands = graft.xscale.DedupClusters.ckpt(
             xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
@@ -590,16 +583,10 @@ object Cli {
       }
       val st4 = mediaState match {
         case Some(frame) =>
-          val nearI = frame.filter(col("near_img"))
-            .select(col("doc_id"), lit(true).as("ni"))
           graft.xscale.DedupClusters.ckpt(
-            st3.join(nearI, Seq("doc_id"), "left")
-              .withColumn(
-                "status",
-                when(
-                  col("status") === "admitted" && coalesce(col("ni"), lit(false)),
-                  "near_dup_corpus_img").otherwise(col("status")))
-              .drop("ni"),
+            xscale.Dedup.restatus(
+              st3, frame.filter(col("near_img")).select("doc_id"),
+              "near_dup_corpus_img"),
             flags.ckptDir)
         case None => st3
       }
@@ -613,15 +600,8 @@ object Cli {
           val losers = xscale.PerceptualDedup.admitMediaStrictLosers(
             frame.join(admNow, "doc_id").select("doc_id", "bands"),
             checkpointDir = flags.ckptDir)
-            .withColumn("li", lit(true))
           graft.xscale.DedupClusters.ckpt(
-            st4.join(losers, Seq("doc_id"), "left")
-              .withColumn(
-                "status",
-                when(
-                  col("status") === "admitted" && coalesce(col("li"), lit(false)),
-                  "near_dup_batch_img").otherwise(col("status")))
-              .drop("li"),
+            xscale.Dedup.restatus(st4, losers, "near_dup_batch_img"),
             flags.ckptDir)
         case _ => st4
       }

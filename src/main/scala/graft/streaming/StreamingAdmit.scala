@@ -121,14 +121,9 @@ object StreamingAdmit {
     }
     val st2 = embFrame match {
       case Some(frame) =>
-        val nearE = frame.filter(col("near_emb"))
-          .select(col("vec_id").as("doc_id"), lit(true).as("ne"))
-        st1.join(nearE, Seq("doc_id"), "left")
-          .withColumn(
-            "status",
-            when(col("status") === "admitted" && coalesce(col("ne"), lit(false)),
-              "near_dup_corpus_emb").otherwise(col("status")))
-          .drop("ne")
+        Dedup.restatus(
+          st1, frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
+          "near_dup_corpus_emb")
       case None => st1
     }
     val st3 = (embFrame, strict) match {
@@ -138,13 +133,8 @@ object StreamingAdmit {
         val losers = Similarity.admitEmbStrictLosers(
           frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
           checkpointDir = checkpointDir)
-          .select(col("vec_id").as("doc_id"), lit(true).as("le"))
-        st2.join(losers, Seq("doc_id"), "left")
-          .withColumn(
-            "status",
-            when(col("status") === "admitted" && coalesce(col("le"), lit(false)),
-              "near_dup_batch_emb").otherwise(col("status")))
-          .drop("le")
+          .select(col("vec_id").as("doc_id"))
+        Dedup.restatus(st2, losers, "near_dup_batch_emb")
       case _ => st2
     }
     // MEDIA leg — the batch verb's --pmedia/--psigs composition: batch
@@ -168,14 +158,9 @@ object StreamingAdmit {
     }
     val st4 = mediaFrame match {
       case Some(frame) =>
-        val nearI = frame.filter(col("near_img"))
-          .select(col("doc_id"), lit(true).as("ni"))
-        st3.join(nearI, Seq("doc_id"), "left")
-          .withColumn(
-            "status",
-            when(col("status") === "admitted" && coalesce(col("ni"), lit(false)),
-              "near_dup_corpus_img").otherwise(col("status")))
-          .drop("ni")
+        Dedup.restatus(
+          st3, frame.filter(col("near_img")).select("doc_id"),
+          "near_dup_corpus_img")
       case None => st3
     }
     val st5 = (mediaFrame, strict) match {
@@ -184,13 +169,7 @@ object StreamingAdmit {
         val losers = PerceptualDedup.admitMediaStrictLosers(
           frame.join(admNow, "doc_id").select("doc_id", "bands"),
           checkpointDir = checkpointDir)
-          .withColumn("li", lit(true))
-        st4.join(losers, Seq("doc_id"), "left")
-          .withColumn(
-            "status",
-            when(col("status") === "admitted" && coalesce(col("li"), lit(false)),
-              "near_dup_batch_img").otherwise(col("status")))
-          .drop("li")
+        Dedup.restatus(st4, losers, "near_dup_batch_img")
       case _ => st4
     }
     // eager cut BEFORE the state appends: the lazy plan reads the state

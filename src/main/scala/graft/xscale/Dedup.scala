@@ -395,6 +395,23 @@ object Dedup {
           .otherwise("admitted").as("status"))
   }
 
+  /** The admission status OVERLAY shared by every signal leg on both the
+    * batch verb and StreamingAdmit: docs in `hits` (one `doc_id` column)
+    * that are STILL 'admitted' in `st` re-status to `status`; every other
+    * row is untouched. One definition so the two surfaces can never
+    * diverge on the overlay semantics (the admitted-only guard is what
+    * makes the legs a waterfall, not a vote).
+    */
+  def restatus(st: DataFrame, hits: DataFrame, status: String): DataFrame =
+    st.join(
+      hits.select(col("doc_id")).distinct().withColumn("_hit", lit(true)),
+      Seq("doc_id"), "left")
+      .withColumn(
+        "status",
+        when(col("status") === "admitted" && coalesce(col("_hit"), lit(false)), status)
+          .otherwise(col("status")))
+      .drop("_hit")
+
   /** LSH band keys derived from a [[dedupSignatures]] sig ARRAY — the same
     * md5(concat_ws) currency as [[withSignature]]'s sig0..sigK columns
     * (element_at is 1-based). Columns (doc_id, sig, band, bk).

@@ -351,7 +351,16 @@ object PerceptualDedup {
       maxHamming: Int = MaxHamming): DataFrame = {
     val cb = corpusBands.select(col("cv_id"), posexplode(col("bands")).as(Seq("j", "bv")))
     val bb = batchBands.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
-    val cand = bb.join(cb, Seq("j", "bv")).select("doc_id", "cv_id").distinct()
+    // cv_id =!= doc_id: a doc must never flag against its OWN state row —
+    // a crash-window RETRY (bands appended, sig append lost) otherwise
+    // finds the doc's own band at hamming 0 and re-statuses it
+    // near_dup_corpus_img, permanently dropping it from the output.
+    // Normal runs never hit this (id spaces disjoint); excluding self-ids
+    // restores replay idempotence at zero normal-path cost (the emb leg's
+    // admitEmbCompare applies the same rule).
+    val cand = bb.join(cb, Seq("j", "bv"))
+      .filter(col("cv_id") =!= col("doc_id"))
+      .select("doc_id", "cv_id").distinct()
     val ham = expr(
       "aggregate(zip_with(bb_, cb_, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
     val near = cand

@@ -887,7 +887,16 @@ object Similarity {
     * cells; the decision is exact full-precision cosine either way.
     */
   private def admitEmbCompare(casg: DataFrame, basg: DataFrame, tau: Double): DataFrame = {
+    // cv_id =!= vec_id: a doc must never flag against its OWN state row.
+    // Normal runs never hit this (corpus and batch id spaces are
+    // disjoint), but a crash-window RETRY does: the assign append lands
+    // before the sig append (the crash-ordering rule), so the retried
+    // batch finds its own vectors in the state at cosine 1 and would
+    // re-status admitted docs near_dup_corpus_emb — permanently dropping
+    // them from the output and leaking their text keys. Excluding
+    // self-ids restores replay idempotence at zero normal-path cost.
     val near = broadcast(basg).join(casg, "cid")
+      .filter(col("cv_id") =!= col("vec_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") >= tau)
       .select("vec_id").distinct()

@@ -213,6 +213,15 @@ class StreamingAdmitSpec extends SparkSpec {
     val esigs = new java.io.File(base, "esigs").getPath
     graft.xscale.Similarity.admitEmbeddingBootstrapAuto(corpusEmb, esigs, trainSample = 0.1)
     val assignBefore = spark.read.parquet(s"$esigs/assign").count()
+    // media bands state: 10 distinct corpus images
+    import graft.xscale.PerceptualDedup
+    val psigs = new java.io.File(base, "psigs").getPath
+    PerceptualDedup.imageHashFrame(
+      (100L to 109L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))).toDF("doc_id", "payload"))
+      .filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    val bandsBefore = spark.read.parquet(s"$psigs/bands").count()
     val blocker = new java.io.File(base, "blocker")
     java.nio.file.Files.writeString(blocker.toPath, "not a directory")
     val statePath = new java.io.File(blocker, "state").getPath
@@ -223,13 +232,33 @@ class StreamingAdmitSpec extends SparkSpec {
       .as[(Long, Array[Float])].collect().toSeq
       .flatMap { case (_, v) => Seq((1L, v), (2L, v)) }
       .toDF("vec_id", "embedding")
+    val b1m = Seq((1L, PerceptualDedup.fixtureBmp(7007L * 5)),
+      (3L, PerceptualDedup.fixtureBmp(7008L * 5))).toDF("doc_id", "payload")
     intercept[Exception] {
       StreamingAdmit.admit(spark, b1, statePath, strict = true,
-        esigsPath = Some(esigs), batchEmb = Some(b1e), outPath = Some(outPath))
+        esigsPath = Some(esigs), batchEmb = Some(b1e), outPath = Some(outPath),
+        psigsPath = Some(psigs), batchMedia = Some(b1m))
     }
     assert(spark.read.parquet(outPath).count() > 0, "output must land before the sig append")
     assert(spark.read.parquet(s"$esigs/assign").count() > assignBefore,
       "emb assign must land before the sig append")
+    assert(spark.read.parquet(s"$psigs/bands").count() > bandsBefore,
+      "media bands must land before the sig append")
+
+    // RETRY idempotence after exactly this crash: the batch's own vectors
+    // and bands are now IN the emb/media states, so a naive compare would
+    // flag every admitted doc against its own state row (cosine 1 /
+    // hamming 0) and permanently drop it. The self-id exclusion in
+    // admitEmbCompare/admitMediaCompare makes the retry reach the same
+    // admitted set.
+    val statePath2 = new java.io.File(base, "state2").getPath
+    val firstAdmitted = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    val retry = StreamingAdmit.admit(spark, b1, statePath2, strict = true,
+      esigsPath = Some(esigs), batchEmb = Some(b1e), outPath = Some(outPath),
+      psigsPath = Some(psigs), batchMedia = Some(b1m))
+    assert(retry.select("doc_id").as[Long].collect().toSet === firstAdmitted,
+      "retry must re-admit the same docs, not reject them against their own state rows")
   }
 
   test("media leg: corpus-near off the bands state, strict batch pair, day-2 off appended bands") {

@@ -57,6 +57,7 @@ object ScaleSmoke {
     "x88_bm25_zipf", "x138_imi_auto",
     "x139_image_dhash", "x139_image_dhash_wide", "x140_audio_dhash",
     "x141_crossmodal_dedup", "x74_admit_img", "x74_admit_img_steady",
+    "x74_psigs_compact",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df

@@ -594,6 +594,13 @@ object PerceptualDedup {
     * [[dhashBands]] → [[bandNearDupPairs]].
     */
   private def imagePairsSql: String =
+    s"$imageBitsSql, ${bandsPairsSql("ib")}"
+
+  /** src(doc_id, img_id) → fixture grays → comparison bits `ib` — the
+    * prefix shared by the pair queries and the compact query (which needs
+    * band values but no pair join).
+    */
+  private def imageBitsSql: String =
     s"dv AS (SELECT doc_id, img_id // $ClusterSize AS c, img_id % $ClusterSize AS v FROM src), " +
       "dk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM dv), " +
       "px AS (SELECT doc_id, v, ck, x, y FROM dk, " +
@@ -604,8 +611,7 @@ object PerceptualDedup {
       "+ CASE WHEN v = 1 THEN 16 ELSE 0 END " +
       "+ CASE WHEN v = 2 AND x = 3 AND y = 2 THEN 31 ELSE 0 END AS g FROM px), " +
       "ib AS (SELECT l.doc_id, l.y * 8 + l.x AS i, CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
-      "FROM ig l JOIN ig r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 WHERE l.x < 8), " +
-      bandsPairsSql("ib")
+      "FROM ig l JOIN ig r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 WHERE l.x < 8)"
 
   /** CTEs af → ag → ab → ibands → cand → hm → p for the audio fixture —
     * same band/candidate/verify tail, frame levels instead of grays.
@@ -622,12 +628,16 @@ object PerceptualDedup {
       s"FROM ag l JOIN ag r ON r.doc_id = l.doc_id AND r.f = l.f + 1 WHERE l.f < ${AudioFrames - 1}), " +
       bandsPairsSql("ab")
 
+  /** bits → 16-bit band values, one row per (doc, band index). */
+  private def ibandsSql(bitsCte: String): String =
+    s"ibands AS (SELECT doc_id, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
+      s"FROM $bitsCte GROUP BY 1, 2)"
+
   /** The shared tail: bits → 16-bit bands → pigeonhole candidates →
     * hamming ≤ [[MaxHamming]] verified pairs.
     */
   private def bandsPairsSql(bitsCte: String): String =
-    s"ibands AS (SELECT doc_id, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
-      s"FROM $bitsCte GROUP BY 1, 2), " +
+    s"${ibandsSql(bitsCte)}, " +
       "cand AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb FROM ibands a " +
       "JOIN ibands b ON b.j = a.j AND b.bv = a.bv AND a.doc_id < b.doc_id), " +
       "hm AS (SELECT c.pa, c.pb, sum(bit_count(xor(xb.bv, yb.bv))) AS hd FROM cand c " +
@@ -866,6 +876,62 @@ object PerceptualDedup {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
         .orderBy("status")
+    },
+
+    // ----- x74 psigs compact: media-state reconciliation (`Cli admit --psigs --compact`) -----
+    Q(
+      "x74_psigs_compact",
+      Some(
+        "WITH src AS (SELECT doc_id, doc_id AS img_id FROM documents), " +
+          s"$imageBitsSql, ${ibandsSql("ib")}, " +
+          "pk AS (SELECT doc_id, " +
+          "CAST(sum(CASE WHEN j = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0, " +
+          "CAST(sum(CASE WHEN j = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1, " +
+          "CAST(sum(CASE WHEN j = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2, " +
+          "CAST(sum(CASE WHEN j = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3 " +
+          "FROM ibands GROUP BY 1), " +
+          "s0 AS (SELECT doc_id AS cv_id, b0, b1, b2, b3 FROM pk " +
+          "UNION ALL SELECT doc_id, b0, b1, b2, b3 FROM pk WHERE doc_id % 7 = 0), " +
+          "live AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0), " +
+          "c AS (SELECT DISTINCT s0.cv_id, s0.b0, s0.b1, s0.b2, s0.b3 FROM s0 " +
+          "JOIN live ON live.doc_id = s0.cv_id) " +
+          "SELECT cv_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_imgs, " +
+          "CAST(bit_xor(cv_id) AS BIGINT) AS id_xor, " +
+          "CAST(bit_xor(b0) AS BIGINT) AS b0_xor, " +
+          "CAST(bit_xor(b1) AS BIGINT) AS b1_xor, " +
+          "CAST(bit_xor(b2) AS BIGINT) AS b2_xor, " +
+          "CAST(bit_xor(b3) AS BIGINT) AS b3_xor " +
+          "FROM c GROUP BY 1 ORDER BY 1"),
+      "media-state COMPACTION (`Cli admit --psigs --compact`): the append-only bands " +
+        "table drifts from the corpus exactly like the sig and emb sidecars — images of " +
+        "docs removed by a re-filter leave STALE BANDS that keep voting " +
+        "near_dup_corpus_img (a re-encode of deleted content is rejected against images " +
+        "the corpus no longer has), and retried appends double rows. compactMediaBands " +
+        "keeps one bands row per cv_id still in the live ID set: one left_semi on the " +
+        "8-byte id + one keep-one shuffle, the exact compactSignatures/compactEmbAssign " +
+        "shape — all THREE sidecar compactions now oracle-keyed. Fixture plants both " +
+        "drift modes (double-append every 7th, remove every 5th); per-decile count + " +
+        "id and per-band checksums pin the exact surviving membership AND band values " +
+        "(the oracle recomputes every band from the closed-form pixels, so a compaction " +
+        "that corrupted a band would hash-mismatch)."
+    ) { (s, dir) =>
+      val ids = table(s, dir, "documents").select("doc_id")
+      val bands = fixtureBands(s, ids)
+        .select(col("doc_id").as("cv_id"), col("bands"))
+      compactMediaBands(
+        bands.unionByName(bands.filter(col("cv_id") % 7 === 0)),
+        ids.filter(col("doc_id") % 5 =!= 0).select(col("doc_id").as("vec_id")))
+        .select(
+          col("cv_id"),
+          element_at(col("bands"), 1).as("b0"), element_at(col("bands"), 2).as("b1"),
+          element_at(col("bands"), 3).as("b2"), element_at(col("bands"), 4).as("b3"))
+        .groupBy((col("cv_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_imgs"),
+          expr("bit_xor(cv_id)").as("id_xor"),
+          expr("bit_xor(b0)").as("b0_xor"), expr("bit_xor(b1)").as("b1_xor"),
+          expr("bit_xor(b2)").as("b2_xor"), expr("bit_xor(b3)").as("b3_xor"))
+        .orderBy("decile")
     }
   )
 }

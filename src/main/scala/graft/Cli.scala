@@ -256,25 +256,51 @@ object Cli {
             .dedupByPairs(exactDeduped, pairs, checkpointDir = ckptDir)
             .select(cols: _*))
         }
+      // --pdedup <mediaParquet>: the PERCEPTUAL dedup stage — a multimodal
+      // corpus build must drop image/audio near-dups (re-encodes,
+      // re-brightenings, re-gains) whose text and bytes all differ; x139's
+      // pairs → CC → keep-one cut wired into the build, FineWeb order
+      // (after whole-doc text dedup, before span removal — span rewrite
+      // must not run on docs the perceptual cut is about to drop). Only
+      // surviving docs' media vote (left_semi on the 8-byte id); the hash
+      // width auto-picks wide past BandBoundary on the surviving media
+      // count (mediaWideFor — the same rule the admission state bootstraps
+      // with); modality detection is mediaHashFrame's (one decode pass,
+      // images and clips in disjoint candidate spaces). Scale: the media
+      // payloads are decoded ONCE (the ckpt inside mediaNearDupPairs) and
+      // only 16/32-bit band keys shuffle — the measured x139/x140 shape.
+      val pdeduped = flags.pdedupPath match {
+        case Some(mp) =>
+          val media = spark.read.parquet(mp).join(
+            dedupedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+          val pairs = xscale.PerceptualDedup.mediaNearDupPairs(
+            media,
+            wide = xscale.PerceptualDedup.mediaWideFor(media.count()),
+            checkpointDir = ckptDir)
+          cut(graft.xscale.DedupClusters
+            .dedupByPairs(dedupedDocs, pairs, checkpointDir = ckptDir)
+            .select(cols: _*))
+        case None => dedupedDocs
+      }
       val deduped =
         if (flags.despan) {
           // docs emptied entirely by span removal carry no training signal
           // — drop them like any other filter stage
-          val clean = TrainingData.removeSharedSpans(dedupedDocs)
+          val clean = TrainingData.removeSharedSpans(pdeduped)
             .filter(org.apache.spark.sql.functions.col("text_clean") =!= "")
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text_clean"))
           // n_chars must describe the REWRITTEN text: the documents schema
           // carries it and downstream consumers (x09 quality) read it, so a
           // stale pre-removal value would skew them silently
-          cut(dedupedDocs.drop("text")
+          cut(pdeduped.drop("text")
             .join(clean, "doc_id")
             .withColumnRenamed("text_clean", "text")
             .withColumn("n_chars",
               org.apache.spark.sql.functions.length(
                 org.apache.spark.sql.functions.col("text")).cast("long"))
             .select(cols: _*))
-        } else dedupedDocs
+        } else pdeduped
       val selected = flags.dsirLang match {
         case Some(lang) =>
           val c = org.apache.spark.sql.functions.col _
@@ -348,6 +374,7 @@ object Cli {
         (if (flags.scale && flags.embPath.isDefined) Seq(s"neardup_joint_imi_$legName")
          else if (flags.scale) Seq(s"neardup_$legName") else Nil) ++
         (if (flags.scale) Seq("audit_diameter_capped", "audit_lsh_sampled") else Nil) ++
+        (if (flags.pdedupPath.isDefined) Seq("pdedup") else Nil) ++
         (if (flags.despan) Seq("despan") else Nil) ++
         (if (flags.dsirLang.isDefined) Seq("dsir_threshold") else Nil) ++
         Seq("split", "pack")
@@ -441,17 +468,6 @@ object Cli {
       // and the admitted join both read it
       val st0 = graft.xscale.DedupClusters.ckpt(
         xscale.Dedup.incrementalDedupSigs(corpusSigs, batchSigs), flags.ckptDir)
-      // --strict: the batch-vs-corpus rule cannot see two near-dups
-      // arriving TOGETHER (both admitted, both in the corpus forever) —
-      // close the leak with near-dup CC over the admitted docs'
-      // already-computed signatures (batch-sized, zero text access);
-      // cluster losers become near_dup_batch, exactly mirroring
-      // dup_exact_batch one level up the dup hierarchy
-      val st1 =
-        if (!flags.strict) st0
-        else graft.xscale.DedupClusters.ckpt(
-          xscale.Dedup.admitStrict(st0, batchSigs, checkpointDir = flags.ckptDir),
-          flags.ckptDir)
       // --emb/--bemb: the EMBEDDING leg (vec_id == doc_id, the corpus
       // verb's convention) — flags still-admitted docs whose vector has a
       // cosine >= tau neighbor in the corpus (x74_admit_emb's rule:
@@ -505,52 +521,34 @@ object Cli {
           Some(graft.xscale.DedupClusters.ckpt(frame, flags.ckptDir))
         case _ => None
       }
-      val st2 = embState match {
-        case Some(frame) =>
-          graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(
-              st1,
-              frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
-              "near_dup_corpus_emb"),
-            flags.ckptDir)
-        case None => st1
-      }
-      // --strict + --emb: the emb analog of the text strict pass, one
-      // signal level down — two REWORDINGS arriving together both clear
-      // the batch-vs-corpus emb rule; within-cell cosine CC over the
-      // FINALLY-admitted docs' already-assigned vectors (zero extra
-      // embedding access), losers re-status near_dup_batch_emb
-      val st3 = (embState, flags.strict) match {
-        case (Some(frame), true) =>
-          val admNow = st2.filter(col("status") === "admitted")
-            .select(col("doc_id").as("vec_id"))
-          val losers = xscale.Similarity.admitEmbStrictLosers(
-            frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
-            checkpointDir = flags.ckptDir)
-            .select(col("vec_id").as("doc_id"))
-          graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(st2, losers, "near_dup_batch_emb"),
-            flags.ckptDir)
-        case _ => st2
-      }
-      // --pmedia/--bmedia: the PERCEPTUAL leg (x74_admit_img's rule) —
-      // still-admitted docs whose image dHash has a hamming<=3 corpus
-      // neighbor flag near_dup_corpus_img: the re-encoded/re-brightened
-      // re-posts neither the text nor the embedding signal can see.
-      // --psigs <dir> is the media twin of --sigs/--esigs: run 1 hashes
-      // the corpus media ONCE into <dir>/bands; later runs classify with
-      // zero corpus media access (the --pmedia path may be retired).
-      // Undecodable batch rows pass the leg unflagged (decode failures
-      // are data); --compact reconciles the bands state with the live
-      // corpus ids like the other two sidecars.
-      val mediaState = (flags.pmediaPath, flags.bmediaPath) match {
+      // --pmedia/--bmedia: the PERCEPTUAL leg (x74_admit_img/_aud's rule)
+      // — still-admitted docs whose image or audio dHash has a close
+      // corpus neighbor OF THE SAME MODALITY flag near_dup_corpus_img/
+      // _aud: the re-encoded/re-brightened/re-gained re-posts neither the
+      // text nor the embedding signal can see. --psigs <dir> is the media
+      // twin of --sigs/--esigs: run 1 hashes the corpus media ONCE into
+      // <dir>/bands (modality-detected — mediaHashFrame tries the image
+      // decoder, falls back to the RIFF walk) at the WIDTH the corpus
+      // count demands (mediaWideFor — BandBoundary as code, the textLegFor
+      // pattern) and records that width in <dir>/meta; later runs read the
+      // meta and hash every batch AT THE STATE'S WIDTH, so a 4-band batch
+      // hash is never compared against an 8-band state. Pre-width states
+      // (no mod column) keep their original image-only classic-width
+      // contract — widening or adding audio to one is a re-bootstrap, the
+      // frozen-centroid retrain rule. Undecodable batch rows pass the leg
+      // unflagged (decode failures are data); --compact reconciles the
+      // bands state with the live corpus ids like the other two sidecars.
+      val mediaState: Option[MediaLeg] = (flags.pmediaPath, flags.bmediaPath) match {
         case (Some(cm), Some(bm)) =>
-          def corpusHash() = xscale.PerceptualDedup
-            .imageHashFrame(spark.read.parquet(cm)).filter(col("decoded"))
-            .select(col("doc_id").as("cv_id"), col("bands"))
-          val corpusBands = flags.psigsDir match {
+          def corpusHash(wide: Boolean) = xscale.PerceptualDedup
+            .mediaHashFrame(spark.read.parquet(cm), wide).filter(col("decoded"))
+            .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+          def corpusWide() = xscale.PerceptualDedup.mediaWideFor(
+            spark.read.parquet(cm).count())
+          val (corpusBands, wide, legacy) = flags.psigsDir match {
             case Some(d) =>
               val bandsPath = s"$d/bands"
+              val metaPath = s"$d/meta"
               val bootstrapped = hfsExists(spark, bandsPath)
               if (flags.compact && bootstrapped) {
                 val compacted = graft.xscale.DedupClusters.ckpt(
@@ -562,48 +560,139 @@ object Cli {
                 compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
                   .parquet(bandsPath)
               }
-              if (!bootstrapped)
-                corpusHash().write
+              if (!bootstrapped) {
+                val w = corpusWide()
+                // meta BEFORE bands: the bootstrap probe is on the bands
+                // path, so a crash between the two writes retries into a
+                // full re-bootstrap (meta harmlessly overwritten); the
+                // reverse order could leave a WIDE bands state that later
+                // batches read as classic — silent zero-recall
+                xscale.PerceptualDedup.writeBandMeta(spark, metaPath, w)
+                corpusHash(w).write
                   .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bandsPath)
-              spark.read.parquet(bandsPath)
+              }
+              val st = spark.read.parquet(bandsPath)
+              (st, xscale.PerceptualDedup.readBandMetaWide(spark, metaPath),
+                !st.columns.contains("mod"))
             case None =>
               // cut ONCE: admitMediaCompare references the frame twice
               // (candidate + verify sides) — uncut, the full corpus media
-              // would be image-decoded twice per run
-              graft.xscale.DedupClusters.ckpt(corpusHash(), flags.ckptDir)
+              // would be decoded twice per run
+              val w = corpusWide()
+              (graft.xscale.DedupClusters.ckpt(corpusHash(w), flags.ckptDir), w, false)
           }
           val batchBands = graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
-              .filter(col("decoded")).select("doc_id", "bands"),
+            (if (legacy)
+              xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
+                .filter(col("decoded")).select("doc_id", "bands")
+            else
+              xscale.PerceptualDedup.mediaHashFrame(spark.read.parquet(bm), wide)
+                .filter(col("decoded")).select("doc_id", "mod", "bands")),
             flags.ckptDir)
-          Some(graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.admitMediaCompare(corpusBands, batchBands),
-            flags.ckptDir))
+          val mh =
+            if (wide) xscale.PerceptualDedup.MaxHammingWide
+            else xscale.PerceptualDedup.MaxHamming
+          Some(MediaLeg(
+            graft.xscale.DedupClusters.ckpt(
+              xscale.PerceptualDedup.admitMediaCompare(corpusBands, batchBands, mh),
+              flags.ckptDir),
+            wide, legacy))
         case _ => None
       }
-      val st4 = mediaState match {
+      // ALL corpus-vs-batch legs run BEFORE either strict pass: a strict
+      // pass elects a survivor per intra-batch cluster, and a corpus leg
+      // that ran AFTER it could reject that survivor — leaving the
+      // cluster with no admitted representative while its losers stay
+      // rejected as near_dup_batch* (the round-12 ADVICE ordering
+      // defect). With every corpus signal applied first, the strict CCs
+      // run over docs that have cleared ALL corpus rules, so an elected
+      // survivor can only be demoted by a LATER strict pass — and then
+      // only because a cross-signal sibling survives in its place (the
+      // residual interplay between sequential strict legs, which keeps a
+      // representative of the merged content either way).
+      val stC1 = embState match {
         case Some(frame) =>
           graft.xscale.DedupClusters.ckpt(
             xscale.Dedup.restatus(
-              st3, frame.filter(col("near_img")).select("doc_id"),
-              "near_dup_corpus_img"),
+              st0,
+              frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
+              "near_dup_corpus_emb"),
             flags.ckptDir)
-        case None => st3
+        case None => st0
       }
-      // --strict + --pmedia: two re-encodes of the same image arriving
-      // together both clear the batch-vs-corpus rule — banded CC over the
-      // FINALLY-admitted docs' already-computed bands, losers re-status
-      // near_dup_batch_img (zero extra decode)
-      val st = (mediaState, flags.strict) match {
-        case (Some(frame), true) =>
-          val admNow = st4.filter(col("status") === "admitted").select("doc_id")
-          val losers = xscale.PerceptualDedup.admitMediaStrictLosers(
-            frame.join(admNow, "doc_id").select("doc_id", "bands"),
-            checkpointDir = flags.ckptDir)
+      val stC2 = mediaState match {
+        case Some(leg) =>
+          // one restatus per modality: near_med carries the decision, mod
+          // names which signal saw it (img vs aud — disjoint candidate
+          // spaces, disjoint statuses)
+          val near = leg.frame.filter(col("near_med"))
           graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(st4, losers, "near_dup_batch_img"),
+            xscale.Dedup.restatus(
+              xscale.Dedup.restatus(
+                stC1, near.filter(col("mod") === "img").select("doc_id"),
+                "near_dup_corpus_img"),
+              near.filter(col("mod") === "aud").select("doc_id"),
+              "near_dup_corpus_aud"),
             flags.ckptDir)
-        case _ => st4
+        case None => stC1
+      }
+      // --strict: the batch-vs-corpus rules cannot see two near-dups
+      // arriving TOGETHER (both admitted, both in the corpus forever) —
+      // close the leak with near-dup CC over the admitted docs'
+      // already-computed signatures (batch-sized, zero text access);
+      // cluster losers become near_dup_batch, exactly mirroring
+      // dup_exact_batch one level up the dup hierarchy
+      val stS0 =
+        if (!flags.strict) stC2
+        else graft.xscale.DedupClusters.ckpt(
+          xscale.Dedup.admitStrict(stC2, batchSigs, checkpointDir = flags.ckptDir),
+          flags.ckptDir)
+      // --strict + --emb: the emb analog of the text strict pass, one
+      // signal level down — two REWORDINGS arriving together both clear
+      // the batch-vs-corpus emb rule; within-cell cosine CC over the
+      // FINALLY-admitted docs' already-assigned vectors (zero extra
+      // embedding access), losers re-status near_dup_batch_emb
+      val stS1 = (embState, flags.strict) match {
+        case (Some(frame), true) =>
+          val admNow = stS0.filter(col("status") === "admitted")
+            .select(col("doc_id").as("vec_id"))
+          val losers = xscale.Similarity.admitEmbStrictLosers(
+            frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
+            checkpointDir = flags.ckptDir)
+            .select(col("vec_id").as("doc_id"))
+          graft.xscale.DedupClusters.ckpt(
+            xscale.Dedup.restatus(stS0, losers, "near_dup_batch_emb"),
+            flags.ckptDir)
+        case _ => stS0
+      }
+      // --strict + --pmedia: two re-encodes of the same image (or
+      // re-gains of the same clip) arriving together both clear the
+      // batch-vs-corpus rule — banded CC over the FINALLY-admitted docs'
+      // already-computed bands (modality-keyed, so cross-modal pairs
+      // never form), losers re-status near_dup_batch_img/_aud by their
+      // modality (zero extra decode)
+      val st = (mediaState, flags.strict) match {
+        case (Some(leg), true) =>
+          val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
+          val mh =
+            if (leg.wide) xscale.PerceptualDedup.MaxHammingWide
+            else xscale.PerceptualDedup.MaxHamming
+          val nb =
+            if (leg.wide) xscale.PerceptualDedup.BandsWide
+            else xscale.PerceptualDedup.Bands
+          val losers = xscale.PerceptualDedup.admitMediaStrictLosers(
+            leg.frame.join(admNow, "doc_id").select("doc_id", "mod", "bands"),
+            maxHamming = mh, checkpointDir = flags.ckptDir, nBands = nb)
+            .join(leg.frame.select("doc_id", "mod"), "doc_id")
+          graft.xscale.DedupClusters.ckpt(
+            xscale.Dedup.restatus(
+              xscale.Dedup.restatus(
+                stS1, losers.filter(col("mod") === "img").select("doc_id"),
+                "near_dup_batch_img"),
+              losers.filter(col("mod") === "aud").select("doc_id"),
+              "near_dup_batch_aud"),
+            flags.ckptDir)
+        case _ => stS1
       }
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -634,9 +723,14 @@ object Cli {
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/assign")
       // centroids never change on append — retrain is a re-bootstrap
       // (x79's add-vs-train rule)
-      for (frame <- mediaState; d <- flags.psigsDir)
-        frame.join(admittedIds, "doc_id")
-          .select(col("doc_id").as("cv_id"), col("bands"))
+      // the append CONFORMS to the state's layout: a pre-width (legacy)
+      // state stays (cv_id, bands) — mixing schemas within one parquet
+      // dir would make reads layout-dependent
+      for (leg <- mediaState; d <- flags.psigsDir)
+        leg.frame.join(admittedIds, "doc_id")
+          .select(
+            col("doc_id").as("cv_id") +:
+              (if (leg.legacy) Seq(col("bands")) else Seq(col("mod"), col("bands"))): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/bands")
       flags.sigsDir.foreach { d =>
         batchSigs.join(admittedIds, "doc_id")
@@ -658,10 +752,12 @@ object Cli {
             s""""near_dup_batch_emb":${n("near_dup_batch_emb")},"""
           else "") +
           (if (flags.pmediaPath.isDefined)
-            s""""near_dup_corpus_img":${n("near_dup_corpus_img")},"""
+            s""""near_dup_corpus_img":${n("near_dup_corpus_img")},""" +
+              s""""near_dup_corpus_aud":${n("near_dup_corpus_aud")},"""
           else "") +
           (if (flags.strict && flags.pmediaPath.isDefined)
-            s""""near_dup_batch_img":${n("near_dup_batch_img")},"""
+            s""""near_dup_batch_img":${n("near_dup_batch_img")},""" +
+              s""""near_dup_batch_aud":${n("near_dup_batch_aud")},"""
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -682,7 +778,19 @@ object Cli {
       dsirLang: Option[String] = None,
       ckptDir: Option[String] = None,
       scale: Boolean = false,
-      embPath: Option[String] = None)
+      embPath: Option[String] = None,
+      pdedupPath: Option[String] = None)
+
+  /** The resolved media leg: the admitMediaCompare frame plus the two
+    * state-layout facts every downstream step must agree on — `wide`
+    * (band width, from the `--psigs` meta or the corpus count) and
+    * `legacy` (a pre-width state without a mod column keeps its original
+    * image-only classic contract).
+    */
+  private final case class MediaLeg(
+      frame: org.apache.spark.sql.DataFrame,
+      wide: Boolean,
+      legacy: Boolean)
 
   /** Parsed `admit` flags: `--ckpt` = reliable stage-boundary
     * checkpoints (the corpus verb's contract); `--sigs` = the persisted
@@ -739,6 +847,8 @@ object Cli {
     case "--scale" :: tail => parseCorpusFlags(tail).map(_.copy(scale = true))
     case "--emb" :: path :: tail if !path.startsWith("--") =>
       parseCorpusFlags(tail).map(_.copy(embPath = Some(path)))
+    case "--pdedup" :: path :: tail if !path.startsWith("--") =>
+      parseCorpusFlags(tail).map(_.copy(pdedupPath = Some(path)))
     case _ => None
   }
 
@@ -748,10 +858,14 @@ object Cli {
         "       graft.Cli query <name> <sfDir> [numRows]\n" +
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
-        "                 [--scale] [--emb <embeddingsParquet>]   (--scale = the measured 100 TB dedup recipe:\n" +
+        "                 [--scale] [--emb <embeddingsParquet>] [--pdedup <mediaParquet>]\n" +
+        "                 (--scale = the measured 100 TB dedup recipe:\n" +
         "                 cascade exact-first -> near-dup CC (joint IMI with --emb; text leg auto-chosen by\n" +
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
-        "                 written under <outDir>/_audits)\n" +
+        "                 written under <outDir>/_audits;\n" +
+        "                 --pdedup = the PERCEPTUAL dedup stage over (doc_id, payload) media parquet —\n" +
+        "                 modality-detected image/audio dHash pairs -> CC -> keep-one, after text dedup and\n" +
+        "                 before span removal; hash width auto-picks wide past ~1e6 media docs)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
         "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +
@@ -768,11 +882,15 @@ object Cli {
         "                 --esigs persists that leg's frozen state (centroids + corpus assignment) so\n" +
         "                 later runs never read the corpus embeddings — the emb twin of --sigs;\n" +
         "                 --pmedia/--bmedia add the PERCEPTUAL leg over (doc_id, payload) media parquet —\n" +
-        "                 still-admitted docs whose image dHash has a hamming<=3 corpus neighbor flag\n" +
-        "                 near_dup_corpus_img (re-encoded/re-brightened re-posts text and embeddings miss);\n" +
-        "                 with --strict, re-encode pairs arriving together keep one survivor\n" +
-        "                 (near_dup_batch_img); --psigs persists the corpus bands so later runs never\n" +
-        "                 re-decode the corpus media — the media twin of --sigs; --compact reconciles it)\n" +
+        "                 payloads are MODALITY-DETECTED (image decode first, RIFF/WAV fall-back) and\n" +
+        "                 still-admitted docs whose dHash has a close corpus neighbor of the SAME modality\n" +
+        "                 flag near_dup_corpus_img / near_dup_corpus_aud (re-encoded/re-brightened/\n" +
+        "                 re-gained re-posts text and embeddings miss); with --strict, re-encode pairs\n" +
+        "                 arriving together keep one survivor (near_dup_batch_img/_aud); --psigs persists\n" +
+        "                 the corpus bands so later runs never re-decode the corpus media — the media twin\n" +
+        "                 of --sigs; its meta records the band WIDTH (wide 256-bit hashes past ~1e6 media\n" +
+        "                 docs, auto-chosen at bootstrap) and later batches hash at the state's width;\n" +
+        "                 --compact reconciles it)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

@@ -55,9 +55,11 @@ object ScaleSmoke {
     "x132_token_diversity", "x133_neardup_leakage", "x134_shuffle_audit",
     "x135_label_separation", "x136_lsh_buckets", "x137_lsh_centered",
     "x88_bm25_zipf", "x138_imi_auto",
-    "x139_image_dhash", "x139_image_dhash_wide", "x140_audio_dhash",
-    "x141_crossmodal_dedup", "x74_admit_img", "x74_admit_img_steady",
-    "x74_psigs_compact",
+    "x139_image_dhash", "x139_image_dhash_wide", "x139_image_auto",
+    "x140_audio_dhash",
+    "x141_crossmodal_dedup", "x141_crossmodal_aud",
+    "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
+    "x74_psigs_compact", "corpus_pdedup_stage",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df
@@ -129,6 +131,19 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // The smoke batches/fresh-content populations live at FIXED id bases
+    // (batch doc_ids at 9e9+, x74_admit_img_steady's fresh image clusters
+    // at 2e9 — reached through a ×5 img_id indirection, so their CONTENT
+    // keys sit at ~1.4e10) above the copy corpus, whose ids reach
+    // (factor-1)·1e7 + maxSrcId. Past factor ≈ 900 the corpus ids cross
+    // the 9e9 batch base and the flatness measurements would silently
+    // compare batch docs against colliding corpus ids/content — refuse
+    // loudly instead (the measured battery runs at 1/10/100×; anything
+    // past 500× needs the bases re-derived from the corpus max id first).
+    require(factor <= 500,
+      s"factor=$factor: copy-corpus ids would collide with the smoke's fixed " +
+        "batch/fresh-content id bases (9e9 / 2e9-clusters) — re-derive the bases " +
+        "from the corpus max doc_id before scaling past 500x")
     val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -255,7 +270,41 @@ object ScaleSmoke {
         val bands = xscale.PerceptualDedup.imageHashFrame(batch)
           .filter(col("decoded")).select("doc_id", "bands")
         xscale.PerceptualDedup.admitMediaCompare(state, bands)
-          .groupBy("near_img").count()
+          .groupBy("near_med").count()
+      }),
+      // the AUTO form: width picked from the corpus count (mediaWideFor —
+      // BandBoundary as code); below the boundary it routes to the
+      // classic 64-bit hash, past it to the wide 256-bit form whose
+      // measured join stays flat (the x139_image_dhash_wide row) — this
+      // entry measures the auto path itself, count included
+      "x139_image_auto" -> ((s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        xscale.PerceptualDedup.fixtureImageStatuses(
+          s, docs, wide = xscale.PerceptualDedup.mediaWideFor(docs.count()))
+      }),
+      // the `Cli corpus --pdedup` stage shape, measured end to end: one
+      // modality-detected decode pass over REAL mixed media (BMP images on
+      // even ids, WAV clips on odd — fixture clusters of 5 keep same-
+      // modality near-dup mass in every cluster), banded pairs -> CC ->
+      // keep-one; width auto-picked from the media count (mediaWideFor)
+      "corpus_pdedup_stage" -> ((s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+        // width picked ONCE from the media count, like the Cli stage; the
+        // image fixture must be grid-sized for the chosen width (a wide
+        // hash of a 9x8 image is None by the smaller-than-grid rule); the
+        // 520-sample WAV fixture clears both frame counts as-is
+        val wide = xscale.PerceptualDedup.mediaWideFor(docs.count())
+        val media = docs.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id,
+              if (id % 2 != 0) xscale.PerceptualDedup.fixtureWav(id)
+              else if (wide) xscale.PerceptualDedup.fixtureBmpWide(id)
+              else xscale.PerceptualDedup.fixtureBmp(id))
+          })
+          .toDF("doc_id", "payload")
+        val pairs = xscale.PerceptualDedup.mediaNearDupPairs(media, wide)
+        xscale.DedupClusters.dedupByPairs(docs, pairs)
       }),
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(

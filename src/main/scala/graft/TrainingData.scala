@@ -56,12 +56,24 @@ object TrainingData {
     xscale.PerceptualDedup.imageNearDupPairs(media, wide, maxHamming, checkpointDir)
 
   /** AUDIO near-dup pairs (x140): frame-sum dHash through the hardened
-    * RIFF PCM walk — gain-invariant by construction; same banded join.
+    * RIFF PCM walk — gain-invariant by construction; same banded join,
+    * same `wide` swap past [[xscale.PerceptualDedup.BandBoundary]]
+    * (257 frames → 256 bits → 8 × 32-bit bands).
     */
-  def audioNearDupPairs(media: DataFrame,
-      maxHamming: Int = xscale.PerceptualDedup.MaxHamming,
-      checkpointDir: Option[String] = None): DataFrame =
-    xscale.PerceptualDedup.audioNearDupPairs(media, maxHamming, checkpointDir)
+  def audioNearDupPairs(media: DataFrame, wide: Boolean = false,
+      maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.audioNearDupPairs(media, wide, maxHamming, checkpointDir)
+
+  /** MIXED-modality near-dup pairs — the corpus `--pdedup` stage's
+    * generator: one pass modality-detects and hashes images AND audio
+    * clips ([[xscale.PerceptualDedup.mediaHashFrame]]), keeps them in
+    * disjoint candidate spaces, and emits hamming-verified pairs for
+    * both. Pick `wide` with [[xscale.PerceptualDedup.mediaWideFor]] on
+    * the media count.
+    */
+  def mediaNearDupPairs(media: DataFrame, wide: Boolean = false,
+      maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.mediaNearDupPairs(media, wide, maxHamming, checkpointDir)
 
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists

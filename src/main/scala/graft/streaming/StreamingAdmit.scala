@@ -79,8 +79,12 @@ object StreamingAdmit {
     * `reportPath` is set) the per-status (batch_id, status, n_docs,
     * checksum) report rows. `batchEmb` carries the batch's vectors
     * (vec_id == doc_id, the admit convention); docs without a vector pass
-    * the emb leg unflagged. Doc ids must be globally unique across the
-    * stream (they key the state).
+    * the emb leg unflagged. Doc ids must be GLOBALLY UNIQUE across the
+    * stream AND disjoint from the state's corpus ids — they key the
+    * state, and the crash-window retry exclusions (`cv_id =!= doc_id` in
+    * the emb/media compares) rely on a batch doc never legitimately
+    * reusing a corpus id; a deployment without disjoint id spaces must
+    * key state by a content hash instead.
     */
   def admit(
       spark: SparkSession,
@@ -106,12 +110,8 @@ object StreamingAdmit {
       if (fs.exists(sPath)) spark.read.parquet(statePath)
       else batchSigs.limit(0)
     val st0 = Dedup.incrementalDedupSigs(stateSigs, batchSigs)
-    val st1 =
-      if (strict) Dedup.admitStrict(st0, batchSigs, checkpointDir = checkpointDir) else st0
-    // EMB leg — same composition as the batch verb: corpus-near flags
-    // first, then (strict) the intra-batch rewording CC over what's STILL
-    // admitted; the frame is ckpt'd once and feeds both passes plus the
-    // state append below
+    // EMB leg frame — the batch verb's composition; ckpt'd once, it feeds
+    // the corpus-near restatus, the strict CC and the state append below
     val embFrame = (esigsPath, batchEmb) match {
       case (Some(d), Some(be)) =>
         Some(DedupClusters.ckpt(
@@ -119,58 +119,87 @@ object StreamingAdmit {
           checkpointDir))
       case _ => None
     }
-    val st2 = embFrame match {
+    // MEDIA leg frame — the batch verb's --pmedia/--psigs composition:
+    // batch payloads hashed once (real decode, modality-detected;
+    // undecodable rows pass unflagged) AT THE STATE'S WIDTH (the meta
+    // self-description — a 4-band batch hash is never compared against an
+    // 8-band state), compared banded against the persisted bands state;
+    // finally-admitted bands append to the state below. A pre-width state
+    // (no mod column) keeps its original image-only classic contract.
+    // The state must be BOOTSTRAPPED before streaming (Cli admit --psigs
+    // run 1) — a stream has no corpus to hash.
+    val mediaLeg = (psigsPath, batchMedia) match {
+      case (Some(d), Some(bm)) =>
+        val stateBands = spark.read.parquet(s"$d/bands")
+        val legacy = !stateBands.columns.contains("mod")
+        val wide = PerceptualDedup.readBandMetaWide(spark, s"$d/meta")
+        val batchBands = DedupClusters.ckpt(
+          (if (legacy)
+            PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))
+              .select("doc_id", "bands")
+          else
+            PerceptualDedup.mediaHashFrame(bm, wide).filter(col("decoded"))
+              .select("doc_id", "mod", "bands")),
+          checkpointDir)
+        val mh = if (wide) PerceptualDedup.MaxHammingWide else PerceptualDedup.MaxHamming
+        Some((DedupClusters.ckpt(
+          PerceptualDedup.admitMediaCompare(stateBands, batchBands, mh),
+          checkpointDir), wide, legacy))
+      case _ => None
+    }
+    val mediaFrame = mediaLeg.map(_._1)
+    // ALL corpus-vs-batch legs BEFORE either strict pass (the batch
+    // verb's ordering, kept in lock-step for cross-surface parity): a
+    // strict survivor must never be subsequently rejected by a later
+    // corpus leg — that would leave its cluster with no admitted
+    // representative while the losers stay rejected.
+    val stC1 = embFrame match {
       case Some(frame) =>
         Dedup.restatus(
-          st1, frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
+          st0, frame.filter(col("near_emb")).select(col("vec_id").as("doc_id")),
           "near_dup_corpus_emb")
-      case None => st1
+      case None => st0
     }
-    val st3 = (embFrame, strict) match {
+    val stC2 = mediaFrame match {
+      case Some(frame) =>
+        val near = frame.filter(col("near_med"))
+        Dedup.restatus(
+          Dedup.restatus(
+            stC1, near.filter(col("mod") === "img").select("doc_id"),
+            "near_dup_corpus_img"),
+          near.filter(col("mod") === "aud").select("doc_id"),
+          "near_dup_corpus_aud")
+      case None => stC1
+    }
+    val stS0 =
+      if (strict) Dedup.admitStrict(stC2, batchSigs, checkpointDir = checkpointDir) else stC2
+    val stS1 = (embFrame, strict) match {
       case (Some(frame), true) =>
-        val admNow = st2.filter(col("status") === "admitted")
+        val admNow = stS0.filter(col("status") === "admitted")
           .select(col("doc_id").as("vec_id"))
         val losers = Similarity.admitEmbStrictLosers(
           frame.join(admNow, "vec_id").select("vec_id", "cid", "cv", "cn"),
           checkpointDir = checkpointDir)
           .select(col("vec_id").as("doc_id"))
-        Dedup.restatus(st2, losers, "near_dup_batch_emb")
-      case _ => st2
+        Dedup.restatus(stS0, losers, "near_dup_batch_emb")
+      case _ => stS0
     }
-    // MEDIA leg — the batch verb's --pmedia/--psigs composition: batch
-    // payloads hashed once (real decode; undecodable rows pass
-    // unflagged), compared banded against the persisted bands state,
-    // then (strict) the intra-batch re-encode CC over what's STILL
-    // admitted; finally-admitted bands append to the state below. The
-    // state must be BOOTSTRAPPED before streaming (Cli admit --psigs run
-    // 1) — a stream has no corpus to hash.
-    val mediaFrame = (psigsPath, batchMedia) match {
-      case (Some(d), Some(bm)) =>
-        val batchBands = DedupClusters.ckpt(
-          PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))
-            .select("doc_id", "bands"),
-          checkpointDir)
-        Some(DedupClusters.ckpt(
-          PerceptualDedup.admitMediaCompare(
-            spark.read.parquet(s"$d/bands"), batchBands),
-          checkpointDir))
-      case _ => None
-    }
-    val st4 = mediaFrame match {
-      case Some(frame) =>
-        Dedup.restatus(
-          st3, frame.filter(col("near_img")).select("doc_id"),
-          "near_dup_corpus_img")
-      case None => st3
-    }
-    val st5 = (mediaFrame, strict) match {
-      case (Some(frame), true) =>
-        val admNow = st4.filter(col("status") === "admitted").select("doc_id")
+    val st5 = (mediaLeg, strict) match {
+      case (Some((frame, wide, _)), true) =>
+        val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
+        val mh = if (wide) PerceptualDedup.MaxHammingWide else PerceptualDedup.MaxHamming
+        val nb = if (wide) PerceptualDedup.BandsWide else PerceptualDedup.Bands
         val losers = PerceptualDedup.admitMediaStrictLosers(
-          frame.join(admNow, "doc_id").select("doc_id", "bands"),
-          checkpointDir = checkpointDir)
-        Dedup.restatus(st4, losers, "near_dup_batch_img")
-      case _ => st4
+          frame.join(admNow, "doc_id").select("doc_id", "mod", "bands"),
+          maxHamming = mh, checkpointDir = checkpointDir, nBands = nb)
+          .join(frame.select("doc_id", "mod"), "doc_id")
+        Dedup.restatus(
+          Dedup.restatus(
+            stS1, losers.filter(col("mod") === "img").select("doc_id"),
+            "near_dup_batch_img"),
+          losers.filter(col("mod") === "aud").select("doc_id"),
+          "near_dup_batch_aud")
+      case _ => stS1
     }
     // eager cut BEFORE the state appends: the lazy plan reads the state
     // dirs, and appending first would make recomputation see new files
@@ -198,9 +227,14 @@ object StreamingAdmit {
       frame.join(admittedIds, col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("cv_id"), col("cid"), col("cv"), col("cn"))
         .write.mode(SaveMode.Append).parquet(s"$d/assign")
-    for (frame <- mediaFrame; d <- psigsPath)
+    // the append CONFORMS to the state's layout (legacy states stay
+    // (cv_id, bands) — mixed schemas in one parquet dir read
+    // layout-dependent)
+    for ((frame, _, legacy) <- mediaLeg; d <- psigsPath)
       frame.join(admittedIds, "doc_id")
-        .select(col("doc_id").as("cv_id"), col("bands"))
+        .select(
+          col("doc_id").as("cv_id") +:
+            (if (legacy) Seq(col("bands")) else Seq(col("mod"), col("bands"))): _*)
         .write.mode(SaveMode.Append).parquet(s"$d/bands")
     batchSigs.join(admittedIds, "doc_id")
       .write.mode(SaveMode.Append).parquet(statePath)

@@ -75,6 +75,41 @@ object PerceptualDedup {
     */
   val BandBoundary = 1000000L
 
+  /** The [[BandBoundary]] rule AS CODE (the `Dedup.textLegFor` pattern —
+    * boundary rules are code, not prose): `true` = the corpus is past the
+    * 16-bit bands' saturation point, hash WIDE ([[dhashBandsWide]] /
+    * [[audioDhashBandsWide]], 8 × 32-bit bands, hamming ≤
+    * [[MaxHammingWide]]). Callers that have just materialized a stage
+    * boundary pass its count; `Cli admit --pmedia` bootstraps the
+    * `--psigs` state at this width and the state then self-describes it
+    * (`meta`), so later batches always hash at the STATE's width.
+    */
+  def mediaWideFor(nDocs: Long): Boolean = nDocs > BandBoundary
+
+  /** Write the `--psigs` state's width self-description (the esigs
+    * layout-self-description pattern, `Similarity.admitEmbeddingSigs`):
+    * one (band_bits, n_bands) row under `metaPath`. Callers write it
+    * BEFORE the bands table — the bootstrap probe is on the bands path,
+    * so a crash between the two retries into a full re-bootstrap instead
+    * of leaving a wide bands state that later batches read as classic.
+    */
+  def writeBandMeta(spark: SparkSession, metaPath: String, wide: Boolean): Unit = {
+    import spark.implicits._
+    Seq((if (wide) 32L else 16L, if (wide) BandsWide.toLong else Bands.toLong))
+      .toDF("band_bits", "n_bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(metaPath)
+  }
+
+  /** Read the state width back: `true` = wide (32-bit bands). A state
+    * without a meta table predates the width self-description and is by
+    * construction classic 16-bit.
+    */
+  def readBandMetaWide(spark: SparkSession, metaPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
+  }
+
   // ---------------------------------------------------------------------
   // container writers (real bytes, exact layouts)
   // ---------------------------------------------------------------------
@@ -215,6 +250,25 @@ object PerceptualDedup {
       bandsFromBits(bits)
     }
 
+  /** Audio frames for the WIDE fingerprint: 257 equal windows → 256
+    * adjacent-sum comparisons → the same 8 × 32-bit band layout as
+    * [[dhashBandsWide]] — so a wide media state holds image AND audio
+    * hashes at ONE band geometry (8 bands, hamming ≤ [[MaxHammingWide]]).
+    */
+  val AudioFramesWide = 257
+
+  /** The audio production swap past [[BandBoundary]] — the exact
+    * [[dhashBandsWide]] recipe one modality over (more frames → 256 bits
+    * → 32-bit bands, saturation moves from ~10⁶ to ~10⁹ docs); a clip
+    * shorter than 257 samples has no wide hash (None), the same
+    * smaller-than-grid rule as the image side.
+    */
+  def audioDhashBandsWide(payload: Array[Byte]): Option[Array[Long]] =
+    Multimodal.decodeWavFrameSums(payload, AudioFramesWide).map { sums =>
+      val bits = Array.tabulate(AudioFramesWide - 1)(f => sums(f + 1) > sums(f))
+      bandsFromBits(bits, bandBits = 32)
+    }
+
   // ---------------------------------------------------------------------
   // banded near-dup pairs (the x04 candidate shape over band columns)
   // ---------------------------------------------------------------------
@@ -237,9 +291,16 @@ object PerceptualDedup {
     * decode per reference.
     */
   def bandNearDupPairs(hashed: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
-    val bands = hashed.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
-    val cand = bands.select(col("doc_id").as("a"), col("j"), col("bv"))
-      .join(bands.select(col("doc_id").as("b"), col("j"), col("bv")), Seq("j", "bv"))
+    // modality-keyed when the frame carries one ([[mediaHashFrame]]): an
+    // image hash and an audio hash are different FUNCTIONS of different
+    // signals — a 16-bit band collision across them is pure noise, so the
+    // candidate key includes `mod` and cross-modal pairs never form
+    val modCols = if (hashed.columns.contains("mod")) Seq(col("mod")) else Nil
+    val bands = hashed.select(
+      col("doc_id") +: modCols :+ posexplode(col("bands")).as(Seq("j", "bv")): _*)
+    val keyNames = modCols.map(_ => "mod") ++ Seq("j", "bv")
+    val cand = bands.withColumnRenamed("doc_id", "a")
+      .join(bands.withColumnRenamed("doc_id", "b"), keyNames)
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
@@ -266,10 +327,72 @@ object PerceptualDedup {
     hashFrame(media, p => if (wide) dhashBandsWide(p) else dhashBands(p))
 
   /** The audio twin of [[imageHashFrame]]: (doc_id, payload) →
-    * (doc_id, decoded, bands) through [[audioDhashBands]].
+    * (doc_id, decoded, bands) through [[audioDhashBands]]; `wide = true`
+    * switches to [[audioDhashBandsWide]] (the [[BandBoundary]] swap,
+    * same geometry as the image side's).
     */
-  def audioHashFrame(media: DataFrame): DataFrame =
-    hashFrame(media, audioDhashBands)
+  def audioHashFrame(media: DataFrame, wide: Boolean = false): DataFrame =
+    hashFrame(media, p => if (wide) audioDhashBandsWide(p) else audioDhashBands(p))
+
+  /** Modality-detected perceptual hash of ONE payload: try the image
+    * decoder first, fall back to the audio RIFF walk — both return None
+    * on foreign bytes, so the order only matters for a payload both
+    * would accept (none exists: a BMP header is not a RIFF header).
+    * Some(("img" | "aud", bands)) or None when no reader accepts it.
+    */
+  def mediaHashBands(payload: Array[Byte], wide: Boolean = false): Option[(String, Array[Long])] =
+    (if (wide) dhashBandsWide(payload) else dhashBands(payload)) match {
+      case Some(b) => Some(("img", b))
+      case None =>
+        (if (wide) audioDhashBandsWide(payload) else audioDhashBands(payload))
+          .map(("aud", _))
+    }
+
+  /** The MIXED-modality hash frame admission and the corpus `--pdedup`
+    * stage run on: (doc_id, payload) → (doc_id, decoded, mod, bands)
+    * through [[mediaHashBands]] — images and audio clips hash side by
+    * side in one pass, `mod` keeps them in DISJOINT candidate spaces
+    * downstream ([[bandNearDupPairs]] keys on it), and rows no reader
+    * accepts keep `decoded = false` (failures are data, the
+    * [[Multimodal]] rule). Both modalities share one band geometry per
+    * width (4 × 16-bit classic, 8 × 32-bit wide), so ONE state table and
+    * ONE hamming threshold serve both.
+    */
+  def mediaHashFrame(media: DataFrame, wide: Boolean = false): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
+          mediaHashBands(p, wide) match {
+            case Some((m, b)) => (id, true, m, Some(b))
+            case None         => (id, false, "", None)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "mod", "bands")
+  }
+
+  /** Near-dup pairs over a MIXED image/audio media frame — the corpus
+    * `--pdedup` stage's pair generator: [[mediaHashFrame]] (undecodable
+    * rows dropped) → modality-keyed [[bandNearDupPairs]]. The width is
+    * the caller's [[mediaWideFor]] decision on the media count; the
+    * default threshold resolves per width like [[imageNearDupPairs]].
+    */
+  def mediaNearDupPairs(
+      media: DataFrame,
+      wide: Boolean = false,
+      maxHamming: Int = -1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val nBands = if (wide) BandsWide else Bands
+    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    require(mh < nBands,
+      s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
+        "(a qualifying pair can differ in every band and never become a candidate)")
+    bandNearDupPairs(
+      DedupClusters.ckpt(mediaHashFrame(media, wide).filter(col("decoded")), checkpointDir),
+      mh)
+  }
 
   private def hashFrame(
       media: DataFrame,
@@ -318,16 +441,24 @@ object PerceptualDedup {
       mh)
   }
 
-  /** The audio twin of [[imageNearDupPairs]] (64-bit hash only). */
+  /** The audio twin of [[imageNearDupPairs]] — same auto-threshold rule,
+    * same [[BandBoundary]] swap (`wide = true` → [[audioDhashBandsWide]]'s
+    * 256-bit form; the boundary constant is SHARED with the image side
+    * because it prices the 16-bit BAND geometry, not the signal).
+    */
   def audioNearDupPairs(
       media: DataFrame,
-      maxHamming: Int = MaxHamming,
+      wide: Boolean = false,
+      maxHamming: Int = -1,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(maxHamming < Bands,
-      s"maxHamming=$maxHamming with $Bands bands breaks the pigeonhole guarantee")
+    val nBands = if (wide) BandsWide else Bands
+    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    require(mh < nBands,
+      s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
+        "(a qualifying pair can differ in every band and never become a candidate)")
     bandNearDupPairs(
-      DedupClusters.ckpt(audioHashFrame(media).filter(col("decoded")), checkpointDir),
-      maxHamming)
+      DedupClusters.ckpt(audioHashFrame(media, wide).filter(col("decoded")), checkpointDir),
+      mh)
   }
 
   // ---------------------------------------------------------------------
@@ -336,41 +467,76 @@ object PerceptualDedup {
 
   /** Batch-vs-corpus perceptual compare — the media analog of
     * `Similarity.admitEmbCompare`: returns the state-shaped frame
-    * (doc_id, near_img, bands) for every batch row, `near_img` = some
-    * corpus hash within `maxHamming` (banded pigeonhole + exact verify,
-    * never all-pairs). `corpusBands` is (cv_id, bands) — the persisted
-    * `--psigs` state or a one-off corpus hash pass; rows the caller
-    * couldn't decode should be absent on both sides (they pass the leg
-    * unflagged upstream). Scale: the join shuffles 16-byte band keys; the
-    * batch side is batch-sized throughout; corpus payloads are never
-    * touched once the bands state exists.
+    * (doc_id, mod, near_med, bands) for every batch row, `near_med` =
+    * some corpus hash OF THE SAME MODALITY within `maxHamming` (banded
+    * pigeonhole + exact verify, never all-pairs). `corpusBands` is
+    * (cv_id, [mod,] bands) — the persisted `--psigs` state or a one-off
+    * corpus hash pass; `batchBands` is (doc_id, [mod,] bands); a side
+    * without a `mod` column is treated as all-image (the pre-audio state
+    * layout). Rows the caller couldn't decode should be absent on both
+    * sides (they pass the leg unflagged upstream). Scale: the join
+    * shuffles band keys (≤ 17 bytes with the modality tag); the batch
+    * side is batch-sized throughout; corpus payloads are never touched
+    * once the bands state exists.
+    *
+    * ID-SPACE PRECONDITION (all admit surfaces): corpus/state ids and
+    * batch doc ids must be GLOBALLY UNIQUE across each other — ids name
+    * immutable content, never coordinates (the sidecar identity model).
+    * The `cv_id =!= doc_id` retry exclusion below RELIES on it: a batch
+    * doc that legitimately reused a corpus id would silently skip a
+    * genuine near-dup match against that state row. A deployment that
+    * cannot guarantee disjoint id spaces must key its state by a content
+    * hash instead of the raw id before using these surfaces.
     */
+  /** Add the modality column when a frame predates it — the pre-audio
+    * `--psigs` layout and the image-only fixtures are all-image.
+    */
+  private def withMod(df: DataFrame): DataFrame =
+    if (df.columns.contains("mod")) df else df.withColumn("mod", lit("img"))
+
   def admitMediaCompare(
       corpusBands: DataFrame,
       batchBands: DataFrame,
       maxHamming: Int = MaxHamming): DataFrame = {
-    val cb = corpusBands.select(col("cv_id"), posexplode(col("bands")).as(Seq("j", "bv")))
-    val bb = batchBands.select(col("doc_id"), posexplode(col("bands")).as(Seq("j", "bv")))
+    val cbf = withMod(corpusBands)
+    val bbf = withMod(batchBands)
+    val cb = cbf.select(col("cv_id"), col("mod"), posexplode(col("bands")).as(Seq("j", "bv")))
+    val bb = bbf.select(col("doc_id"), col("mod"), posexplode(col("bands")).as(Seq("j", "bv")))
     // cv_id =!= doc_id: a doc must never flag against its OWN state row —
     // a crash-window RETRY (bands appended, sig append lost) otherwise
     // finds the doc's own band at hamming 0 and re-statuses it
-    // near_dup_corpus_img, permanently dropping it from the output.
-    // Normal runs never hit this (id spaces disjoint); excluding self-ids
-    // restores replay idempotence at zero normal-path cost (the emb leg's
-    // admitEmbCompare applies the same rule).
-    val cand = bb.join(cb, Seq("j", "bv"))
+    // near_dup_corpus_*, permanently dropping it from the output.
+    // Normal runs never hit this (id spaces disjoint — the documented
+    // precondition above); excluding self-ids restores replay idempotence
+    // at zero normal-path cost (the emb leg's admitEmbCompare applies the
+    // same rule).
+    val cand = bb.join(cb, Seq("mod", "j", "bv"))
       .filter(col("cv_id") =!= col("doc_id"))
       .select("doc_id", "cv_id").distinct()
-    val ham = expr(
-      "aggregate(zip_with(bb_, cb_, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    // REJECT LOUDLY on a band-width mismatch: zip_with pads the shorter
+    // side with nulls, which would make the hamming sum null and the pair
+    // silently non-near — a 4-band batch against an 8-band state must be
+    // an error, never zero recall. (The Cli/streaming surfaces prevent
+    // this by construction — the state meta drives the batch hash width —
+    // so this guards direct library callers.)
+    val ham = when(
+      size(col("bb_")) =!= size(col("cb_")),
+      raise_error(concat(
+        lit("admitMediaCompare: band-width mismatch — batch hash has "),
+        size(col("bb_")).cast("string"), lit(" bands, state hash has "),
+        size(col("cb_")).cast("string"),
+        lit(" (hash the batch at the state's width; see --psigs meta)"))))
+      .otherwise(expr(
+        "aggregate(zip_with(bb_, cb_, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
     val near = cand
-      .join(batchBands.select(col("doc_id"), col("bands").as("bb_")), "doc_id")
-      .join(corpusBands.select(col("cv_id"), col("bands").as("cb_")), "cv_id")
+      .join(bbf.select(col("doc_id"), col("bands").as("bb_")), "doc_id")
+      .join(cbf.select(col("cv_id"), col("bands").as("cb_")), "cv_id")
       .filter(ham <= maxHamming)
       .select("doc_id").distinct()
       .withColumn("ni", lit(true))
-    batchBands.join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("ni"), lit(false)).as("near_img"), col("bands"))
+    bbf.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("mod"),
+        coalesce(col("ni"), lit(false)).as("near_med"), col("bands"))
   }
 
   /** The media analog of `Dedup.admitStrict` / `admitEmbStrictLosers`:
@@ -378,16 +544,25 @@ object PerceptualDedup {
     * the batch-vs-corpus rule; run the banded pair join + CC over the
     * FINALLY-admitted rows' already-computed bands (zero extra decode),
     * min-id survivor, losers returned as one `doc_id` column for the
-    * caller to re-status `near_dup_batch_img`.
+    * caller to re-status `near_dup_batch_img`. `nBands` names the frame's
+    * band count ([[Bands]] classic, [[BandsWide]] wide) so the same
+    * pigeonhole-soundness guard the public pair entries carry holds here
+    * too — a `maxHamming` ≥ the band count would silently MISS qualifying
+    * intra-batch pairs instead of throwing.
     */
   def admitMediaStrictLosers(
       admBands: DataFrame,
       maxHamming: Int = MaxHamming,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      nBands: Int = Bands): DataFrame = {
+    require(maxHamming < nBands,
+      s"maxHamming=$maxHamming with $nBands bands breaks the pigeonhole guarantee " +
+        "(a qualifying pair can differ in every band and never become a candidate)")
     DedupClusters.connectedComponents(
       bandNearDupPairs(admBands, maxHamming), checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
+  }
 
   /** Compact the `--psigs` bands state against the live corpus ids — the
     * media twin of `compactSignatures`/`compactEmbAssign`, closing the
@@ -540,19 +715,86 @@ object PerceptualDedup {
     }.toDF("doc_id", "bands")
   }
 
-  /** Hash a (doc_id, img_id, off) source — x74_admit_img's batch side,
-    * where re-arrivals carry the ORIGINAL's image content brightened by
-    * `off` (the re-encode edit the whole family exists to catch).
+  /** Hash a (doc_id, img_id, off) source — the admit fixtures' sides,
+    * where re-arrivals carry the ORIGINAL's content shifted by `off` (the
+    * re-encode/re-gain edit the whole family exists to catch). `mk`
+    * synthesizes the real container bytes for (content id, shift); `hash`
+    * is the modality's band function.
     */
-  private def hashedShiftFixture(spark: SparkSession, src: DataFrame): DataFrame = {
+  private def hashedShiftFixture(
+      spark: SparkSession,
+      src: DataFrame,
+      mk: (Long, Int) => Array[Byte],
+      hash: Array[Byte] => Option[Array[Long]]): DataFrame = {
     import spark.implicits._
     src.select(col("doc_id"), col("img_id"), col("off")).as[(Long, Long, Int)]
       .mapPartitions(_.map { case (id, img, off) =>
-        val b = dhashBands(makeBmp(9, 8, (x, y) => fixtureGray(img, x, y) + off))
+        val b = hash(mk(img, off))
           .getOrElse(throw new IllegalStateException(s"fixture payload for doc $id failed to decode"))
         (id, b)
       })
       .toDF("doc_id", "bands")
+  }
+
+  /** The brightened image fixture: [[fixtureBmp]]'s closed form with every
+    * gray shifted by `off` (re-arrival targets are v = 0, base ≤ 224, so
+    * +16 never wraps a byte).
+    */
+  def fixtureBmpShift(imgId: Long, off: Int): Array[Byte] =
+    makeBmp(9, 8, (x, y) => fixtureGray(imgId, x, y) + off)
+
+  /** The re-gained audio fixture: [[fixtureWav]]'s closed form with every
+    * frame level shifted by `off` (base ≤ 210 + v2's 25 = 235; the +10
+    * gain rides only on v = 0 re-arrivals, ceiling 220 — no byte wrap).
+    */
+  def fixtureWavShift(audId: Long, off: Int): Array[Byte] = {
+    val levels = Array.tabulate(AudioFrames)(f => fixtureFrame(audId, f) + off)
+    makeWav8(8000, Array.tabulate(AudioFrames * 8)(j => levels(j / 8)))
+  }
+
+  /** Shared Spark side of x74_admit_img / x74_admit_aud: build the
+    * admission fixture populations ([[admitSrc2Sql]]'s split), hash both
+    * sides through the REAL encode → decode path, run
+    * [[admitMediaCompare]] + [[admitMediaStrictLosers]], and fold the
+    * four-status report.
+    */
+  private def admitFixtureStatuses(
+      s: SparkSession,
+      ids: DataFrame,
+      off: Int,
+      mk: (Long, Int) => Array[Byte],
+      hash: Array[Byte] => Option[Array[Long]],
+      corpusStatus: String,
+      batchStatus: String): DataFrame = {
+    val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+    val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      .unionByName(ids.filter(col("doc_id") % 45 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(off).as("off")))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(off).as("off")))
+    val frame = DedupClusters.ckpt(
+      admitMediaCompare(
+        DedupClusters.ckpt(
+          hashedShiftFixture(s, corpusSrc, mk, hash)
+            .select(col("doc_id").as("cv_id"), col("bands")), None),
+        DedupClusters.ckpt(hashedShiftFixture(s, batchSrc, mk, hash), None)),
+      None)
+    val losers = admitMediaStrictLosers(
+      DedupClusters.ckpt(frame.filter(!col("near_med")).select("doc_id", "bands"), None))
+      .withColumn("lb", lit(true))
+    frame.join(losers, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("near_med"), corpusStatus)
+          .when(coalesce(col("lb"), lit(false)), batchStatus)
+          .otherwise("admitted").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+      .orderBy("status")
   }
 
   /** Public fixture-bands frame (doc_id, bands) for the scale smoke's
@@ -613,11 +855,14 @@ object PerceptualDedup {
       "ib AS (SELECT l.doc_id, l.y * 8 + l.x AS i, CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
       "FROM ig l JOIN ig r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 WHERE l.x < 8)"
 
-  /** CTEs af → ag → ab → ibands → cand → hm → p for the audio fixture —
+  /** CTEs af → ag → ab → ibands → cand → hm → p over a preceding
+    * `src(doc_id, img_id)` CTE (`img_id` names the CONTENT, the same
+    * convention as the image builder — x141's audio re-posts share the
+    * original's clip under a new doc_id; x140 passes the identity) —
     * same band/candidate/verify tail, frame levels instead of grays.
     */
   private def audioPairsSql: String =
-    s"dv AS (SELECT doc_id, doc_id // $ClusterSize AS c, doc_id % $ClusterSize AS v FROM documents), " +
+    s"dv AS (SELECT doc_id, img_id // $ClusterSize AS c, img_id % $ClusterSize AS v FROM src), " +
       "dk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM dv), " +
       s"af AS (SELECT doc_id, v, ck, f FROM dk, (SELECT unnest(generate_series(0, ${AudioFrames - 1})) AS f)), " +
       "ag AS (SELECT doc_id, f, " +
@@ -656,13 +901,7 @@ object PerceptualDedup {
     * pair the strict pass exists for).
     */
   private def admitImgSql: String =
-    "src2 AS (SELECT doc_id, doc_id AS img_id, 0 AS off, 'c' AS side FROM documents " +
-      "WHERE doc_id % 9 <> 0 " +
-      "UNION ALL SELECT doc_id, doc_id, 0, 'b' FROM documents WHERE doc_id % 9 = 0 " +
-      "UNION ALL SELECT doc_id + 2000000, doc_id, 16, 'b' FROM documents " +
-      "WHERE doc_id % 45 = 0 " +
-      "UNION ALL SELECT doc_id + 3000000, doc_id, 16, 'b' FROM documents " +
-      "WHERE doc_id % 9 = 0 AND doc_id % 5 >= 3), " +
+    s"${admitSrc2Sql(16)}, " +
       s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
       s"img_id % $ClusterSize AS v FROM src2), " +
       "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
@@ -678,7 +917,57 @@ object PerceptualDedup {
       "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
       "FROM ig2 l JOIN ig2 r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 " +
       "WHERE l.x < 8), " +
-      "bnd AS (SELECT doc_id, side, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
+      admitTailSql("near_dup_corpus_img")
+
+  /** The audio twin of [[admitImgSql]]: frame levels instead of pixel
+    * grays, a +10 GAIN on the re-arrival populations instead of the +16
+    * brightness (both hash-invariant by construction); the side-tagged
+    * bits flow through the same band/candidate/strict tail. Level ceiling:
+    * base ≤ 210, +10 gain (v = 0 re-arrivals) ≤ 220 ≤ 255 — no byte wrap
+    * on either engine.
+    */
+  private def admitAudSql: String =
+    s"${admitSrc2Sql(10)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      "af2 AS (SELECT doc_id, side, off, v, ck, f FROM dk2, " +
+      s"(SELECT unnest(generate_series(0, ${AudioFrames - 1})) AS f)), " +
+      "ag2 AS (SELECT doc_id, side, f, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '~' || CAST(f AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 7 THEN 25 ELSE 0 END + off AS g FROM af2), " +
+      "ib2 AS (SELECT l.doc_id, l.side, l.f AS i, " +
+      "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      "FROM ag2 l JOIN ag2 r ON r.doc_id = l.doc_id AND r.f = l.f + 1 " +
+      s"WHERE l.f < ${AudioFrames - 1}), " +
+      admitTailSql("near_dup_corpus_aud")
+
+  /** The admission fixture's population split, shared by both modalities:
+    * corpus = docs % 9 ≠ 0 (own content), batch = % 9 = 0 (own) + two
+    * re-arrival populations carrying the ORIGINAL's content shifted by
+    * `off` — % 45 = 0 (v = 0, siblings in corpus → near_dup_corpus_*) and
+    * % 9 = 0 ∧ v ≥ 3 (content unique to the batch: only the strict CC can
+    * catch the pair). `img_id` names the content regardless of modality.
+    */
+  private def admitSrc2Sql(off: Int): String =
+    "src2 AS (SELECT doc_id, doc_id AS img_id, 0 AS off, 'c' AS side FROM documents " +
+      "WHERE doc_id % 9 <> 0 " +
+      "UNION ALL SELECT doc_id, doc_id, 0, 'b' FROM documents WHERE doc_id % 9 = 0 " +
+      s"UNION ALL SELECT doc_id + 2000000, doc_id, $off, 'b' FROM documents " +
+      "WHERE doc_id % 45 = 0 " +
+      s"UNION ALL SELECT doc_id + 3000000, doc_id, $off, 'b' FROM documents " +
+      "WHERE doc_id % 9 = 0 AND doc_id % 5 >= 3)"
+
+  /** The side-tagged shared tail: ib2(doc_id, side, i, bit) → 16-bit
+    * bands → batch-vs-corpus pigeonhole candidates → hamming-verified
+    * near set (`corpusStatus`) → banded strict pairs `p` over the
+    * still-admitted batch rows — the SQL twin of [[admitMediaCompare]] +
+    * [[admitMediaStrictLosers]].
+    */
+  private def admitTailSql(corpusStatus: String): String =
+    "bnd AS (SELECT doc_id, side, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
       "FROM ib2 GROUP BY 1, 2, 3), " +
       "candi AS (SELECT DISTINCT b.doc_id, c.doc_id AS cv_id FROM bnd b " +
       "JOIN bnd c ON c.j = b.j AND c.bv = b.bv AND b.side = 'b' AND c.side = 'c'), " +
@@ -688,7 +977,7 @@ object PerceptualDedup {
       s"GROUP BY 1, 2), " +
       s"neari AS (SELECT DISTINCT doc_id FROM hmi WHERE hd <= $MaxHamming), " +
       "st0 AS (SELECT s.doc_id, CASE WHEN neari.doc_id IS NOT NULL " +
-      "THEN 'near_dup_corpus_img' ELSE 'admitted' END AS status " +
+      s"THEN '$corpusStatus' ELSE 'admitted' END AS status " +
       "FROM src2 s LEFT JOIN neari ON neari.doc_id = s.doc_id WHERE s.side = 'b'), " +
       "admb AS (SELECT bnd.doc_id, bnd.j, bnd.bv FROM bnd " +
       "JOIN st0 ON st0.doc_id = bnd.doc_id AND st0.status = 'admitted' " +
@@ -699,6 +988,23 @@ object PerceptualDedup {
       "JOIN admb xb ON xb.doc_id = c.pa " +
       "JOIN admb yb ON yb.doc_id = c.pb AND yb.j = xb.j GROUP BY 1, 2), " +
       s"p AS (SELECT pa, pb FROM hmp WHERE hd <= $MaxHamming)"
+
+  /** Recursive-CTE CC over the strict pairs `p` + the final admit status
+    * fold: still-admitted cluster losers re-status `batchStatus`, then the
+    * x74 report shape (status, n_docs, checksum).
+    */
+  private def admitStatusSql(batchStatus: String): String =
+    "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
+      "reach AS (SELECT s AS id, s AS comp FROM ed " +
+      "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+      "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+      "st AS (SELECT st0.doc_id, CASE WHEN st0.status = 'admitted' AND " +
+      "cmp.component IS NOT NULL AND cmp.component <> st0.doc_id " +
+      s"THEN '$batchStatus' ELSE st0.status END AS status " +
+      "FROM st0 LEFT JOIN cmp ON cmp.id = st0.doc_id) " +
+      "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(bit_xor(doc_id) AS BIGINT) AS checksum " +
+      "FROM st GROUP BY status ORDER BY status"
 
   /** Recursive-CTE connected components over `p` (the x74_admit_strict
     * closure technique) + min-id statuses.
@@ -744,7 +1050,9 @@ object PerceptualDedup {
     // ----- x140: audio perceptual near-dup (frame-sum dHash) -----
     Q(
       "x140_audio_dhash",
-      Some(s"WITH RECURSIVE $audioPairsSql, ${statusSql("near_dup_audio")}"),
+      Some(
+        "WITH RECURSIVE src AS (SELECT doc_id, doc_id AS img_id FROM documents), " +
+          s"$audioPairsSql, ${statusSql("near_dup_audio")}"),
       "AUDIO near-dup dedup — the x139 rule one modality over, REUSING the band/" +
         "pigeonhole/CC machinery on a different real decoder: per doc a REAL 8-bit PCM " +
         "WAV (520 samples, frame-constant levels) is synthesized closed-form, frame " +
@@ -816,22 +1124,61 @@ object PerceptualDedup {
         .orderBy("img_dup", "txt_dup")
     },
 
+    // ----- x141 audio form: cross-modal dup agreement (audio signal x text signal) -----
+    Q(
+      "x141_crossmodal_aud",
+      Some(
+        "WITH src AS (SELECT doc_id, doc_id AS img_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, doc_id + 2000000, text FROM documents " +
+          "WHERE doc_id % 10 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, doc_id, text FROM documents " +
+          "WHERE doc_id % 20 = 0), " +
+          s"$audioPairsSql, " +
+          "adup AS (SELECT DISTINCT pa AS doc_id FROM p UNION SELECT pb FROM p), " +
+          s"t AS (SELECT doc_id, ${XHash.h60Sql(Dedup.normSql)} AS tkey FROM src), " +
+          "tg AS (SELECT tkey, count(*) AS n FROM t GROUP BY 1), " +
+          "st AS (SELECT t.doc_id, adup.doc_id IS NOT NULL AS aud_dup, tg.n > 1 AS txt_dup " +
+          "FROM t JOIN tg USING (tkey) LEFT JOIN adup ON adup.doc_id = t.doc_id) " +
+          "SELECT aud_dup, txt_dup, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
+      "CROSS-MODAL dup agreement, AUDIO form — the x141 caption-variation audit for " +
+        "podcast/clip-text corpora (same question, other modality): contingency of " +
+        "x140's audio near-dup participation against x01's normalized-text exact key, " +
+        "per doc. aud_dup AND txt_dup = true re-post; aud_dup only = same clip under " +
+        "different transcripts/captions (keep-best candidates); txt_dup only = " +
+        "boilerplate caption on different clips (do NOT text-dedup these away). Same " +
+        "mirror augmentation as the image form — every 10th doc re-posts its caption " +
+        "with a NEW clip, every 20th re-posts caption AND clip — so all four cells " +
+        "carry data; the pair machinery is audioNearDupPairs', byte-for-byte the " +
+        "image query's banded join one decoder over. Composition: two keyed joins " +
+        "over already-computed frames, no new shuffle shape."
+    ) { (s, dir) =>
+      val src = crossmodalSrc(table(s, dir, "documents"))
+      val pairs = bandNearDupPairs(
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureWav, audioDhashBands), None))
+      val adup = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id")))
+        .distinct()
+        .withColumn("i", lit(true))
+      val tkey = src.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("tkey"))
+      val tdup = tkey.join(
+        tkey.groupBy("tkey").agg(count(lit(1)).as("n")), "tkey")
+      tdup
+        .join(adup, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("i"), lit(false)).as("aud_dup"),
+          (col("n") > 1).as("txt_dup"))
+        .groupBy("aud_dup", "txt_dup")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("aud_dup", "txt_dup")
+    },
+
     // ----- x74 media leg: perceptual admission (`Cli admit --pmedia`) -----
     Q(
       "x74_admit_img",
       Some(
-        s"WITH RECURSIVE $admitImgSql, " +
-          "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
-          "reach AS (SELECT s AS id, s AS comp FROM ed " +
-          "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
-          "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
-          "st AS (SELECT st0.doc_id, CASE WHEN st0.status = 'admitted' AND " +
-          "cmp.component IS NOT NULL AND cmp.component <> st0.doc_id " +
-          "THEN 'near_dup_batch_img' ELSE st0.status END AS status " +
-          "FROM st0 LEFT JOIN cmp ON cmp.id = st0.doc_id) " +
-          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
-          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum " +
-          "FROM st GROUP BY status ORDER BY status"),
+        s"WITH RECURSIVE $admitImgSql, ${admitStatusSql("near_dup_batch_img")}"),
       "MEDIA leg of ADMISSION — x74's four-status rule carrying the perceptual signal " +
         "(`Cli admit --pmedia/--bmedia/--psigs`): batch images hashed (real BMP decode, " +
         "x139's dHash), compared banded-pigeonhole against the corpus bands state " +
@@ -847,35 +1194,36 @@ object PerceptualDedup {
         "Scale: band-keyed joins, batch-sized everywhere; corpus side is the persisted " +
         "bands state."
     ) { (s, dir) =>
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusBands = hashedFixture(
-        s, ids.filter(col("doc_id") % 9 =!= 0), fixtureBmp, p => dhashBands(p))
-        .select(col("doc_id").as("cv_id"), col("bands"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(16).as("off")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(16).as("off")))
-      val frame = DedupClusters.ckpt(
-        admitMediaCompare(
-          DedupClusters.ckpt(corpusBands, None),
-          DedupClusters.ckpt(hashedShiftFixture(s, batchSrc), None)),
-        None)
-      val losers = admitMediaStrictLosers(
-        DedupClusters.ckpt(frame.filter(!col("near_img")).select("doc_id", "bands"), None))
-        .withColumn("lb", lit(true))
-      frame.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_img"), "near_dup_corpus_img")
-            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_img")
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
+      admitFixtureStatuses(
+        s, table(s, dir, "documents").select("doc_id"), 16,
+        fixtureBmpShift, p => dhashBands(p),
+        "near_dup_corpus_img", "near_dup_batch_img")
+    },
+
+    // ----- x74 audio leg: perceptual admission (`Cli admit --pmedia`, WAV batch rows) -----
+    Q(
+      "x74_admit_aud",
+      Some(s"WITH RECURSIVE $admitAudSql, ${admitStatusSql("near_dup_batch_aud")}"),
+      "AUDIO leg of media ADMISSION — the x74_admit_img rule one modality over, " +
+        "REUSING the compare/strict/band machinery end to end: batch WAV payloads " +
+        "hashed through the hardened RIFF walk (x140's frame-sum dHash), compared " +
+        "banded-pigeonhole against the corpus bands state, hamming<=3 SAME-MODALITY " +
+        "neighbors flag near_dup_corpus_aud; the strict pass CCs the still-admitted " +
+        "batch bands (near_dup_batch_aud). Under `Cli admit --pmedia` one " +
+        "modality-detected pass (mediaHashFrame: image decode first, RIFF fall-back) " +
+        "hashes images AND clips into ONE state table, `mod` keeping the candidate " +
+        "spaces disjoint — a re-gained re-post of corpus audio no longer sails " +
+        "through an image-only leg. Fixture: the admit population split with a +10 " +
+        "GAIN on re-arrivals (hash-invariant by construction — the edit byte hashing " +
+        "cannot see); oracle recomputes frame sums from the closed form, so the green " +
+        "row pins encode -> RIFF walk -> hash -> band -> compare -> strict CC. " +
+        "Scale: identical to the image leg — band-keyed joins, batch-sized, corpus " +
+        "audio never re-decoded once the bands state exists."
+    ) { (s, dir) =>
+      admitFixtureStatuses(
+        s, table(s, dir, "documents").select("doc_id"), 10,
+        fixtureWavShift, audioDhashBands,
+        "near_dup_corpus_aud", "near_dup_batch_aud")
     },
 
     // ----- x74 psigs compact: media-state reconciliation (`Cli admit --psigs --compact`) -----

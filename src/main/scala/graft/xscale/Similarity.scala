@@ -885,6 +885,13 @@ object Similarity {
     * batch assignment (vec_id, cid, qv, qn) under WHATEVER cell scheme
     * `casg` (cv_id, cid, cv, cn) uses — flat coarse cells or IMI product
     * cells; the decision is exact full-precision cosine either way.
+    *
+    * ID-SPACE PRECONDITION (all admit surfaces): corpus/state ids and
+    * batch vec ids must be GLOBALLY UNIQUE across each other — the
+    * `cv_id =!= vec_id` retry exclusion relies on it; a batch doc that
+    * legitimately reused a corpus id would silently skip a genuine
+    * near-dup match against that state row. Deployments without disjoint
+    * id spaces must key state by a content hash, not the raw id.
     */
   private def admitEmbCompare(casg: DataFrame, basg: DataFrame, tau: Double): DataFrame = {
     // cv_id =!= vec_id: a doc must never flag against its OWN state row.

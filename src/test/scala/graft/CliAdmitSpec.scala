@@ -366,6 +366,62 @@ class CliAdmitSpec extends SparkSpec {
     assert(assign.filter(col("cv_id") === 70001L).isEmpty)
   }
 
+  test("admit runs every corpus leg before any strict pass (survivor never dropped after election)") {
+    // The round-12 ADVICE ordering defect: under the old order the emb
+    // strict pass ran BEFORE the media corpus leg, so an intra-batch emb
+    // pair could elect a survivor that the media leg then rejected —
+    // leaving the cluster with NO admitted representative while its loser
+    // stayed near_dup_batch_emb. Fixture: two batch docs with unique
+    // texts and IDENTICAL novel vectors (the strict-emb pair); the
+    // min-id one ALSO carries a brightness re-encode of a corpus image.
+    // Correct order: the media corpus leg rejects 70010 first, the emb
+    // strict CC then runs over the one still-admitted doc (no pair), and
+    // 70011 — the content's only clean copy — is admitted.
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-leg-order")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text", "source")
+    val corpusEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val corpusMedia = (0L to 9L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5)))
+      .toDF("doc_id", "payload")
+    val batch = Seq(
+      (70010L, "an entirely fresh description of the cooperative seed exchange", "b"),
+      (70011L, "a different retelling of that very seed exchange in other words", "b"))
+      .toDF("doc_id", "text", "source")
+    val novelVec = corpusEmb.filter(col("vec_id") === 3)
+      .select(lit(0L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val batchEmb = novelVec.withColumn("vec_id", lit(70010L))
+      .unionByName(novelVec.withColumn("vec_id", lit(70011L)))
+    val batchMedia = Seq(
+      (70010L, PerceptualDedup.makeBmp(9, 8,
+        (x, y) => PerceptualDedup.fixtureGray(3L * 5, x, y) + 16)),
+      (70011L, PerceptualDedup.fixtureBmp(8888L * 5))).toDF("doc_id", "payload")
+    val paths = Map(
+      "c" -> "/corpus.parquet", "b" -> "/batch.parquet", "ce" -> "/ce.parquet",
+      "be" -> "/be.parquet", "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    corpusEmb.write.parquet(paths("ce")); batchEmb.write.parquet(paths("be"))
+    corpusMedia.write.parquet(paths("cm")); batchMedia.write.parquet(paths("bm"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List(
+        "admit", paths("c"), paths("b"), base.getPath + "/out", "--strict",
+        "--emb", paths("ce"), "--bemb", paths("be"),
+        "--pmedia", paths("cm"), "--bmedia", paths("bm"))) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_img":1"""), j)
+    assert(j.contains(""""near_dup_batch_emb":0"""), j)
+    assert(j.contains(""""admitted":1"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(70011L))
+  }
+
   test("admit --esigs --compact drops stale vectors of removed corpus docs") {
     val base = tmpDir("cli-admit-esigs-compact")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -654,6 +710,149 @@ class CliAdmitSpec extends SparkSpec {
       "--psigs", psigs))
     assert(j2.contains(""""near_dup_corpus_img":1"""), j2)
     assert(spark.read.parquet(s"$psigs/bands").count() === 12L) // nothing admitted
+  }
+
+  test("admit --pmedia modality-detects audio: a re-gained WAV re-post is rejected near_dup_corpus_aud") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-audio")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // MIXED corpus media: docs 0-4 post images, docs 5-9 post audio clips
+    val corpusMedia = ((0L to 4L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+      (5L to 9L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))))
+      .toDF("doc_id", "payload")
+    // batch: 101 = +10 re-gain of corpus doc 7's clip (the edit byte
+    // hashing cannot see -> near_dup_corpus_aud); 102/103 = the SAME
+    // novel clip arriving twice (one re-gained) -> strict CC keeps 102,
+    // 103 near_dup_batch_aud; 104 = +16 re-encode of corpus doc 2's IMAGE
+    // (the image leg must keep working beside the audio one); 105 = fresh
+    // clip, admitted
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
+      doc(104L, "d"), doc(105L, "e")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.fixtureWavShift(7L * 5, 10)),
+      (102L, PerceptualDedup.fixtureWav(6666L * 5)),
+      (103L, PerceptualDedup.fixtureWavShift(6666L * 5, 10)),
+      (104L, PerceptualDedup.fixtureBmpShift(2L * 5, 16)),
+      (105L, PerceptualDedup.fixtureWav(8888L * 5))
+    ).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
+      "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    corpusMedia.write.parquet(paths("cm")); batchMedia.write.parquet(paths("bm"))
+    val psigs = base.getPath + "/psigs"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", paths("bm"),
+        "--psigs", psigs)) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_aud":1"""), j)
+    assert(j.contains(""""near_dup_batch_aud":1"""), j)
+    assert(j.contains(""""near_dup_corpus_img":1"""), j)
+    assert(j.contains(""""admitted":2"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(102L, 105L))
+    // the bands state holds BOTH modalities side by side, mod-tagged, and
+    // self-describes its width (classic at this corpus size)
+    val st = spark.read.parquet(s"$psigs/bands")
+    assert(st.columns.toSet === Set("cv_id", "mod", "bands"))
+    assert(st.filter(col("mod") === "aud").count() === 7L) // 5 corpus + 102, 105
+    assert(st.filter(col("mod") === "img").count() === 5L)
+    assert(spark.read.parquet(s"$psigs/meta").select("band_bits")
+      .as[Long].head() === 16L)
+  }
+
+  test("psigs meta drives the batch hash width: a wide state makes later batches hash wide") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-wide-state")
+    def doc(id: Long, tag: String) =
+      (id, s"totally separate $tag record $id with unshared tokens $tag$id", "s")
+    val corpus = (0L to 4L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // a WIDE bands state, as a past-BandBoundary bootstrap would write it:
+    // 17x16 fixture images hashed 256-bit (8 x 32-bit bands) + the meta
+    val wideBands = (0L to 4L)
+      .map(i => (i, "img",
+        PerceptualDedup.dhashBandsWide(PerceptualDedup.fixtureBmpWide(i * 5)).get))
+      .toDF("cv_id", "mod", "bands")
+    val psigs = base.getPath + "/psigs"
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = true)
+    wideBands.write.parquet(s"$psigs/bands")
+    // batch: 101 = brightness re-encode of corpus doc 3's wide image —
+    // only a WIDE batch hash can flag it (a classic 4-band hash against
+    // the 8-band state would either raise or never match); 102 = fresh
+    val batch = Seq(doc(101L, "a"), doc(102L, "b")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.makeBmp(17, 16,
+        (x, y) => PerceptualDedup.fixtureGray(3L * 5, x, y) + 16)),
+      (102L, PerceptualDedup.fixtureBmpWide(7777L * 5))).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/c.parquet", "b" -> "/b.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    batchMedia.write.parquet(paths("bm"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--pmedia", base.getPath + "/retired", "--bmedia", paths("bm"),
+        "--psigs", psigs)) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_img":1"""), j)
+    assert(j.contains(""""admitted":1"""), j)
+    // the appended state row is WIDE — the batch hashed at the state's width
+    val appended = spark.read.parquet(s"$psigs/bands")
+      .filter(col("cv_id") === 102L).select(size(col("bands"))).as[Int].head()
+    assert(appended === PerceptualDedup.BandsWide)
+  }
+
+  test("legacy psigs state (pre-width, no mod) keeps its image-only classic contract") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-legacy-state")
+    def doc(id: Long, tag: String) =
+      (id, s"independent $tag entry $id with its own vocabulary $tag$id", "s")
+    val corpus = (0L to 4L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // the pre-audio state layout: (cv_id, bands), no mod column, no meta
+    val legacyBands = (0L to 4L)
+      .map(i => (i, PerceptualDedup.dhashBands(PerceptualDedup.fixtureBmp(i * 5)).get))
+      .toDF("cv_id", "bands")
+    val psigs = base.getPath + "/psigs"
+    legacyBands.write.parquet(s"$psigs/bands")
+    // batch: 101 = re-encode of corpus doc 2's image (must still flag);
+    // 102 = fresh image (admitted, appended in the legacy 2-col layout);
+    // 103 = an AUDIO clip — a legacy state cannot classify audio, so it
+    // passes unflagged (documented: adding audio is a re-bootstrap)
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"))
+      .toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.fixtureBmpShift(2L * 5, 16)),
+      (102L, PerceptualDedup.fixtureBmp(7777L * 5)),
+      (103L, PerceptualDedup.fixtureWav(9L * 5))).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/c.parquet", "b" -> "/b.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    batchMedia.write.parquet(paths("bm"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--pmedia", base.getPath + "/retired", "--bmedia", paths("bm"),
+        "--psigs", psigs)) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_img":1"""), j)
+    assert(j.contains(""""near_dup_corpus_aud":0"""), j)
+    assert(j.contains(""""admitted":2"""), j)
+    // the append CONFORMED to the legacy layout: still exactly two
+    // columns — 5 corpus rows + admitted-and-decodable 102 (103's audio
+    // has no hash under the legacy image-only contract)
+    val st = spark.read.parquet(s"$psigs/bands")
+    assert(st.columns.toSet === Set("cv_id", "bands"))
+    assert(st.count() === 6L)
   }
 
   test("admit --psigs --compact drops stale bands of removed corpus docs") {

@@ -216,4 +216,55 @@ class CliCorpusSpec extends SparkSpec {
     // embedding copies mirror the text copies) and never keeps MORE
     assert(spark.read.parquet(base.getPath + "/joint").count() <= scale.count())
   }
+
+  test("corpus --pdedup drops perceptual media near-dups, keeps the min-id survivor") {
+    import org.apache.spark.sql.functions._
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-corpus-pdedup")
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // planted: doc 30001 re-posts doc 1's IMAGE brightened +16 under a
+    // text only trivially edited (per-doc suffix: exact text dedup cannot
+    // see either signal); doc 30002 re-posts doc 2's AUDIO clip re-gained
+    // +10, same trick; doc 30003 posts a fresh clip (must survive). The
+    // planted rows derive from REAL quality-passing docs so the quality
+    // stage keeps them in play.
+    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L))
+      .withColumn("doc_id", col("doc_id") + 29990L)
+      .withColumn("text", concat(col("text"), lit(" zq"), col("doc_id")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = docs0.unionByName(extraFull)
+    // media side: every base doc < 100 posts its own fixture image
+    // (mutually far at id*5); the planted trio as described
+    val media = ((0L to 99L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+      Seq(
+        (30001L, PerceptualDedup.fixtureBmpShift(1L * 5, 16)),
+        (30002L, PerceptualDedup.fixtureWavShift(2L * 5, 10)),
+        (30003L, PerceptualDedup.fixtureWav(7777L * 5))))
+      .toDF("doc_id", "payload")
+    // give docs 0-99 audio? no — doc 2 posts an IMAGE above; re-post its
+    // clip instead from a doc that HAS one: make doc 2's media a WAV
+    val media2 = media.filter(col("doc_id") =!= 2L)
+      .unionByName(Seq((2L, PerceptualDedup.fixtureWav(2L * 5))).toDF("doc_id", "payload"))
+    val docsPath = base.getPath + "/docs.parquet"
+    val mediaPath = base.getPath + "/media.parquet"
+    docs.write.parquet(docsPath)
+    media2.write.parquet(mediaPath)
+    def runCapture(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    val j = runCapture(List("corpus", docsPath, base.getPath + "/out",
+      "--pdedup", mediaPath))
+    // stage list carries the provenance, FineWeb order (before despan)
+    assert(j.contains(""""stages":["quality","dedup_exact","pdedup","split","pack"]"""), j)
+    val out = spark.read.parquet(base.getPath + "/out")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // the perceptual losers are GONE (min-id survivors 1 and 2 kept),
+    // the fresh-clip doc survived
+    assert(!ids.contains(30001L) && !ids.contains(30002L))
+    assert(ids.contains(1L) && ids.contains(2L) && ids.contains(30003L))
+    // docs with no media row pass the stage untouched
+    assert(out.count() > 90)
+  }
 }

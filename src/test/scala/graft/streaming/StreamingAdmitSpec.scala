@@ -310,6 +310,63 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(spark.read.parquet(s"$psigs/bands").count() === 11L)
   }
 
+  test("media leg audio: mod-tagged state classifies clips, appends conform, write-order holds") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-audio")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    // the NEW state layout, as `Cli admit --psigs` run 1 writes it:
+    // mod-tagged mixed media (5 images + 5 clips) + the width meta
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    PerceptualDedup.mediaHashFrame(
+      ((0L to 4L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+        (5L to 9L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))))
+        .toDF("doc_id", "payload"))
+      .filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    // 41 = +10 re-gain of corpus clip 7 (near_dup_corpus_aud); 42/43 =
+    // the same novel clip arriving twice (strict keeps 42, 43
+    // near_dup_batch_aud); 44 = re-encode of corpus IMAGE 2 (the image
+    // rule keeps firing beside the audio one); 45 = fresh clip
+    val d1 = Seq((41L, novel1, "s"), (42L, novel2, "s"), (43L, novel3, "s"),
+      (44L, novel4, "s"), (45L, "an unrelated homestead audit ledger", "s"))
+      .toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (41L, PerceptualDedup.fixtureWavShift(7L * 5, 10)),
+      (42L, PerceptualDedup.fixtureWav(6666L * 5)),
+      (43L, PerceptualDedup.fixtureWavShift(6666L * 5, 10)),
+      (44L, PerceptualDedup.fixtureBmpShift(2L * 5, 16)),
+      (45L, PerceptualDedup.fixtureWav(8888L * 5))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out))
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(42L, 45L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_aud" -> 1L,
+      "near_dup_batch_aud" -> 1L, "near_dup_corpus_img" -> 1L))
+    // the append conformed to the mod-tagged layout (write-order pin:
+    // bands landed — the sig append above succeeded, so ordering held)
+    val st = spark.read.parquet(s"$psigs/bands")
+    assert(st.columns.toSet === Set("cv_id", "mod", "bands"))
+    assert(st.filter(col("mod") === "aud").count() === 7L)
+    // day 2: a re-gain of day-1-admitted 42 flags off the APPENDED state
+    val d2 = Seq((51L, "a novel weir maintenance schedule for the upper reach", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((51L, PerceptualDedup.fixtureWavShift(6666L * 5, 10)))
+      .toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out))
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_aud" -> 1L))
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -187,4 +187,77 @@ class PerceptualDedupSpec extends SparkSpec {
     val pairs = graft.TrainingData.audioNearDupPairs(media).as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("mediaWideFor: BandBoundary as code — classic at the boundary, wide one past it") {
+    assert(!mediaWideFor(BandBoundary))
+    assert(mediaWideFor(BandBoundary + 1))
+    assert(!mediaWideFor(0L))
+  }
+
+  test("audioDhashBandsWide: 8 x 32-bit bands, gain-invariant, needs >= 257 samples") {
+    // 514 samples, level varies per 2-sample wide-frame — closed-form
+    // bits survive the decoder exactly like the classic form's
+    def wav(off: Int) = makeWav8(8000,
+      Array.tabulate(AudioFramesWide * 2)(j => 30 + (j / 2 * 37) % 181 + off))
+    val b = audioDhashBandsWide(wav(0)).get
+    assert(b.length == BandsWide)
+    assert(b.forall(v => v >= 0 && v <= 0xffffffffL), "32-bit band values")
+    assert(audioDhashBandsWide(wav(10)).get.toSeq == b.toSeq, "gain-invariant")
+    // a clip shorter than the wide frame count has no wide hash
+    assert(audioDhashBandsWide(makeWav8(8000, Array.fill(256)(100))).isEmpty)
+    // the same clip still hashes CLASSIC (65 frames)
+    assert(audioDhashBands(makeWav8(8000, Array.fill(256)(100))).isDefined)
+  }
+
+  test("audioNearDupPairs wide: gain twin pairs at the wide threshold, width-resolved default") {
+    import spark.implicits._
+    def wav(seed: Int, off: Int) = makeWav8(8000,
+      Array.tabulate(AudioFramesWide * 2)(j => 30 + (j / 2 * 37 + seed * 53) % 181 + off))
+    val media = Seq(
+      (1L, wav(0, 0)),
+      (2L, wav(0, 10)), // re-gain twin: hamming 0 wide
+      (3L, wav(7, 0))   // distinct content
+    ).toDF("doc_id", "payload")
+    assert(graft.TrainingData.audioNearDupPairs(media, wide = true)
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    // pigeonhole guard holds per width
+    intercept[IllegalArgumentException](
+      audioNearDupPairs(media, wide = true, maxHamming = BandsWide))
+  }
+
+  test("mediaHashFrame: modality-detected, disjoint candidate spaces, cross-modal never pairs") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, fixtureBmp(0L)),          // image, cluster 0
+      (2L, fixtureBmp(1L)),          // its brightness twin
+      (3L, fixtureWav(0L)),          // audio, cluster 0 — same closed-form
+      (4L, fixtureWav(1L)),          // content FAMILY as the images
+      (5L, "neither".getBytes)       // no reader accepts it
+    ).toDF("doc_id", "payload")
+    val hf = mediaHashFrame(media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(hf(1L) == ((true, "img")) && hf(2L) == ((true, "img")))
+    assert(hf(3L) == ((true, "aud")) && hf(4L) == ((true, "aud")))
+    assert(hf(5L)._1 == false)
+    // pairs form WITHIN a modality only — even if an image band value
+    // happened to collide with an audio one, `mod` keys them apart
+    val pairs = graft.TrainingData.mediaNearDupPairs(media)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("admitMediaCompare: band-width mismatch rejects loudly, never silently zero-recall") {
+    import spark.implicits._
+    // craft a candidate collision across widths: state band (j=0, bv=5)
+    // meets a classic batch band (j=0, bv=5) — the verify must RAISE, not
+    // quietly drop the pair
+    val state = Seq((10L, Seq(5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L)))
+      .toDF("cv_id", "bands")
+    val batch = Seq((20L, Seq(5L, 6L, 7L, 8L))).toDF("doc_id", "bands")
+    val e = intercept[Exception](
+      admitMediaCompare(state, batch).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("band-width mismatch")), e.getMessage)
+  }
 }

@@ -804,6 +804,17 @@ object PerceptualDedup {
   def fixtureBands(spark: SparkSession, docs: DataFrame): DataFrame =
     hashedFixture(spark, docs, fixtureBmp, p => dhashBands(p))
 
+  /** The x142 fixture: the SAME closed-form gray function rendered at 2×
+    * resolution (18×16) — every source pixel becomes a 2×2 block. The
+    * dHash is EXACTLY resolution-invariant for integer scales: the 9×8
+    * downsample grid's block sums scale by 4 and counts by 4, and the
+    * cross-multiplied comparison (`sumA·cntB > sumB·cntA`) cancels the
+    * factor — so the scaled re-post hashes IDENTICALLY through the real
+    * javax.imageio decode, with zero float arithmetic to drift.
+    */
+  def fixtureBmp2x(imgId: Long): Array[Byte] =
+    makeBmp(18, 16, (x, y) => fixtureGray(imgId, x / 2, y / 2))
+
   /** x141's augmented corpus: the real documents plus two deterministic
     * re-post populations (the x47 mirror-augmentation pattern — the
     * driver fixture has no exact text dups of its own), with `img_id`
@@ -1172,6 +1183,75 @@ object PerceptualDedup {
         .groupBy("aud_dup", "txt_dup")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
         .orderBy("aud_dup", "txt_dup")
+    },
+
+    // ----- x142: resolution-invariant image dedup, keep-BEST survivor -----
+    Q(
+      "x142_image_keepbest",
+      Some(
+        "WITH RECURSIVE src AS (SELECT doc_id, doc_id AS img_id, 72 AS px FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, doc_id, 288 FROM documents " +
+          "WHERE doc_id % 10 = 0), " +
+          s"$imagePairsSql, " +
+          "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
+          "reach AS (SELECT s AS id, s AS comp FROM ed " +
+          "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+          "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+          "rk AS (SELECT s.doc_id, ROW_NUMBER() OVER (PARTITION BY cmp.component " +
+          "ORDER BY s.px DESC, s.doc_id) AS rn FROM src s JOIN cmp ON cmp.id = s.doc_id), " +
+          "st AS (SELECT s.doc_id, CASE WHEN rk.rn IS NULL THEN 'unique' " +
+          "WHEN rk.rn = 1 THEN 'survivor' ELSE 'near_dup_resized' END AS status " +
+          "FROM src s LEFT JOIN rk ON rk.doc_id = s.doc_id) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum " +
+          "FROM st GROUP BY status ORDER BY status"),
+      "RESOLUTION-invariant image dedup with keep-BEST survivor — the LAION rule " +
+        "(of N copies of an image at different sizes, keep the LARGEST; min-id " +
+        "keep-one throws away the best training signal): the dHash's cross-multiplied " +
+        "box downsample (sumA*cntB > sumB*cntA) cancels integer scaling exactly, so a " +
+        "2x re-encode hashes IDENTICALLY through the real javax.imageio decode — no " +
+        "float drift, hamming 0 BY CONSTRUCTION, which is what the oracle pins " +
+        "(fixture: every 10th doc re-posts its image at 18x16; both sizes render the " +
+        "same closed-form gray, both go through the real encode -> decode -> " +
+        "downsample path). Pairs -> CC -> rank per component by pixel count DESC " +
+        "(doc_id tiebreak): the scaled re-post WINS over its 9x8 original; statuses " +
+        "survivor / near_dup_resized / unique. Library composition: " +
+        "imageNearDupPairs + DedupClusters.dedupByPairsKeepBest(score = px) — the " +
+        "x95 keep-best machinery on the perceptual pair graph. Scale: identical " +
+        "shape to x139 (band-keyed joins) + one per-component window over cluster " +
+        "members only."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val src = ids
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(false).as("big"))
+        .unionByName(ids.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(true).as("big")))
+      val hashed = src.as[(Long, Long, Boolean)].mapPartitions(_.map {
+        case (id, img, big) =>
+          val b = dhashBands(if (big) fixtureBmp2x(img) else fixtureBmp(img))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture payload for doc $id failed to decode"))
+          (id, if (big) 288L else 72L, b)
+      }).toDF("doc_id", "px", "bands")
+      val hf = DedupClusters.ckpt(hashed, None)
+      val comp = DedupClusters.connectedComponents(
+        bandNearDupPairs(hf.select("doc_id", "bands")))
+      val clustered = hf.join(comp, hf("doc_id") === comp("id"), "left")
+        .select(hf("doc_id"), col("px"), col("component"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("px").desc, col("doc_id"))
+      val ranked = clustered.filter(col("component").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          when(col("rn") === 1, "survivor").otherwise("near_dup_resized").as("status"))
+      clustered.filter(col("component").isNull)
+        .select(col("doc_id"), lit("unique").as("status"))
+        .unionByName(ranked)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
     },
 
     // ----- x74 media leg: perceptual admission (`Cli admit --pmedia`) -----

@@ -188,6 +188,18 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dhash is exactly resolution-invariant for integer scales through the real decoder") {
+    // the x142 claim: a 2x (and 3x) re-render of the same gray function
+    // hashes IDENTICALLY — block sums scale by k^2, counts by k^2, and the
+    // cross-multiplied comparison cancels the factor; no float drift
+    for (id <- 0L to 9L) {
+      val base = dhashBands(fixtureBmp(id * 5)).get
+      assert(dhashBands(fixtureBmp2x(id * 5)).get.toSeq == base.toSeq, s"2x, img ${id * 5}")
+      val bmp3x = makeBmp(27, 24, (x, y) => fixtureGray(id * 5, x / 3, y / 3))
+      assert(dhashBands(bmp3x).get.toSeq == base.toSeq, s"3x, img ${id * 5}")
+    }
+  }
+
   test("mediaWideFor: BandBoundary as code — classic at the boundary, wide one past it") {
     assert(!mediaWideFor(BandBoundary))
     assert(mediaWideFor(BandBoundary + 1))

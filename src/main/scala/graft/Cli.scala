@@ -572,7 +572,7 @@ object Cli {
                   .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bandsPath)
               }
               val st = spark.read.parquet(bandsPath)
-              (st, xscale.PerceptualDedup.readBandMetaWide(spark, metaPath),
+              (st, xscale.PerceptualDedup.stateWide(spark, metaPath, st),
                 !st.columns.contains("mod"))
             case None =>
               // cut ONCE: admitMediaCompare references the frame twice

@@ -59,6 +59,7 @@ object ScaleSmoke {
     "x140_audio_dhash",
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
+    "x74_admit_media_steady",
     "x74_psigs_compact", "corpus_pdedup_stage",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -230,6 +231,19 @@ object ScaleSmoke {
           spark, spark.read.parquet(s"$dir/documents.parquet").select("doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/media_bands.parquet")
     }
+    // the audio twin, cached the same way (the steady-state entries must
+    // time the CLASSIFY, not the one-off state build). cv_id = -(doc_id+1):
+    // negative state ids can never collide with any fixed batch/corpus id
+    // base at ANY copy factor
+    if (!new java.io.File(s"$dir/audio_bands.parquet").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .mapPartitions(_.map(i => (-(i + 1L),
+          xscale.PerceptualDedup.audioDhashBands(
+            xscale.PerceptualDedup.fixtureWav(i * 5)).get)))
+        .toDF("cv_id", "bands")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio_bands.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -281,6 +295,31 @@ object ScaleSmoke {
         val docs = s.read.parquet(s"$d/documents.parquet")
         xscale.PerceptualDedup.fixtureImageStatuses(
           s, docs, wide = xscale.PerceptualDedup.mediaWideFor(docs.count()))
+      }),
+      // the audio leg's steady state: the same fixed-batch-vs-state shape
+      // as x74_admit_img_steady, but MIXED — a mod-tagged state (images +
+      // clips) and a batch of 100 re-gained clips + 100 brightened images
+      // + 50 fresh; proves the modality key keeps the banded join flat
+      // with both signals live
+      "x74_admit_media_steady" -> ((s, d) => {
+        import s.implicits._
+        val imgState = s.read.parquet(s"$d/media_bands.parquet")
+          .select(col("doc_id").as("cv_id"), lit("img").as("mod"), col("bands"))
+        val audState = s.read.parquet(s"$d/audio_bands.parquet")
+          .select(col("cv_id"), lit("aud").as("mod"), col("bands"))
+        val state = imgState.unionByName(audState)
+        val batch = ((0L until 100L).map(i => (9000000000L + i,
+          xscale.PerceptualDedup.makeBmp(9, 8,
+            (x, y) => xscale.PerceptualDedup.fixtureGray(i * 5, x, y) + 16))) ++
+          (0L until 100L).map(i => (9100000000L + i,
+            xscale.PerceptualDedup.fixtureWavShift(i * 5, 10))) ++
+          (0L until 50L).map(i => (9200000000L + i,
+            xscale.PerceptualDedup.fixtureBmp((2000000000L + i) * 5))))
+          .toDF("doc_id", "payload")
+        val bands = xscale.PerceptualDedup.mediaHashFrame(batch)
+          .filter(col("decoded")).select("doc_id", "mod", "bands")
+        xscale.PerceptualDedup.admitMediaCompare(state, bands)
+          .groupBy("mod", "near_med").count()
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
       // modality-detected decode pass over REAL mixed media (BMP images on

@@ -132,7 +132,7 @@ object StreamingAdmit {
       case (Some(d), Some(bm)) =>
         val stateBands = spark.read.parquet(s"$d/bands")
         val legacy = !stateBands.columns.contains("mod")
-        val wide = PerceptualDedup.readBandMetaWide(spark, s"$d/meta")
+        val wide = PerceptualDedup.stateWide(spark, s"$d/meta", stateBands)
         val batchBands = DedupClusters.ckpt(
           (if (legacy)
             PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))

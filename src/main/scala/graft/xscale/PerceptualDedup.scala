@@ -110,6 +110,24 @@ object PerceptualDedup {
       spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
   }
 
+  /** Resolve a bands state's width, meta-first with a DATA fallback: a
+    * NEW-layout state (mod column present) whose meta table was lost —
+    * operator error; the bootstrap writes meta before bands — must not
+    * silently read as classic: a wide state compared against
+    * classic-hashed batches would mostly produce NO band collisions, so
+    * even the loud mismatch guard rarely fires and recall silently goes
+    * to zero. Sample one state row's band count instead (one tiny job,
+    * only on the meta-missing path). Pre-width legacy states (no mod) are
+    * classic by construction and never pay the probe.
+    */
+  def stateWide(spark: SparkSession, metaPath: String, stateBands: DataFrame): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
+    else if (!stateBands.columns.contains("mod")) false
+    else stateBands.select(size(col("bands"))).head().getInt(0) == BandsWide
+  }
+
   // ---------------------------------------------------------------------
   // container writers (real bytes, exact layouts)
   // ---------------------------------------------------------------------

@@ -811,6 +811,42 @@ class CliAdmitSpec extends SparkSpec {
     assert(appended === PerceptualDedup.BandsWide)
   }
 
+  test("a wide mod-tagged state with a LOST meta still drives wide batch hashing (data fallback)") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-lost-meta")
+    def doc(id: Long, tag: String) =
+      (id, s"standalone $tag ledger $id with its own phrasing $tag$id", "s")
+    val corpus = (0L to 4L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // a NEW-layout wide state — but its meta table is gone (operator
+    // error; the bootstrap always writes meta first). The width must be
+    // recovered from the state's own band arrays, not silently default
+    // to classic (which would zero-recall without even tripping the
+    // mismatch guard: wide and classic band values rarely collide).
+    val wideBands = (0L to 4L)
+      .map(i => (i, "img",
+        PerceptualDedup.dhashBandsWide(PerceptualDedup.fixtureBmpWide(i * 5)).get))
+      .toDF("cv_id", "mod", "bands")
+    val psigs = base.getPath + "/psigs"
+    wideBands.write.parquet(s"$psigs/bands") // no meta written
+    val batch = Seq(doc(101L, "a")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.makeBmp(17, 16,
+        (x, y) => PerceptualDedup.fixtureGray(3L * 5, x, y) + 16)))
+      .toDF("doc_id", "payload")
+    val paths = Map("c" -> "/c.parquet", "b" -> "/b.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    batchMedia.write.parquet(paths("bm"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--pmedia", base.getPath + "/retired", "--bmedia", paths("bm"),
+        "--psigs", psigs)) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_img":1"""), j)
+  }
+
   test("legacy psigs state (pre-width, no mod) keeps its image-only classic contract") {
     import xscale.PerceptualDedup
     val base = tmpDir("cli-admit-legacy-state")

@@ -259,26 +259,42 @@ object Cli {
       // --pdedup <mediaParquet>: the PERCEPTUAL dedup stage — a multimodal
       // corpus build must drop image/audio near-dups (re-encodes,
       // re-brightenings, re-gains) whose text and bytes all differ; x139's
-      // pairs → CC → keep-one cut wired into the build, FineWeb order
-      // (after whole-doc text dedup, before span removal — span rewrite
-      // must not run on docs the perceptual cut is about to drop). Only
+      // pairs → CC wired into the build, FineWeb order (after whole-doc
+      // text dedup, before span removal — span rewrite must not run on
+      // docs the perceptual cut is about to drop). The survivor rule is
+      // keep-BEST by payload size (x142's rule: of N copies of an image
+      // at different sizes, keep the LARGEST — min-id keep-one throws
+      // away the highest-fidelity training signal), doc_id tiebreak; the
+      // score rides out of the single decode pass (mediaHashFrame's
+      // nbytes), so survivor selection never re-reads media. Only
       // surviving docs' media vote (left_semi on the 8-byte id); the hash
       // width auto-picks wide past BandBoundary on the surviving media
       // count (mediaWideFor — the same rule the admission state bootstraps
       // with); modality detection is mediaHashFrame's (one decode pass,
-      // images and clips in disjoint candidate spaces). Scale: the media
-      // payloads are decoded ONCE (the ckpt inside mediaNearDupPairs) and
-      // only 16/32-bit band keys shuffle — the measured x139/x140 shape.
+      // images and clips in disjoint candidate spaces, small media in the
+      // width-suffixed classic spaces under wide). Scale: payloads are
+      // decoded ONCE (the hf cut) and only 16/32-bit band keys shuffle —
+      // the measured x139/x140 shape.
       val pdeduped = flags.pdedupPath match {
         case Some(mp) =>
           val media = spark.read.parquet(mp).join(
             dedupedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-          val pairs = xscale.PerceptualDedup.mediaNearDupPairs(
-            media,
-            wide = xscale.PerceptualDedup.mediaWideFor(media.count()),
+          val wide = xscale.PerceptualDedup.mediaWideFor(media.count())
+          val hf = cut(xscale.PerceptualDedup.mediaHashFrame(media, wide)
+            .filter(org.apache.spark.sql.functions.col("decoded")))
+          val comp = graft.xscale.DedupClusters.connectedComponents(
+            xscale.PerceptualDedup.bandNearDupPairs(
+              hf, xscale.PerceptualDedup.widthThreshold(wide)),
             checkpointDir = ckptDir)
+          val scored = dedupedDocs.join(
+            hf.select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("nbytes")),
+            Seq("doc_id"), "left")
           cut(graft.xscale.DedupClusters
-            .dedupByPairs(dedupedDocs, pairs, checkpointDir = ckptDir)
+            .dedupByComponentsKeepBest(scored, comp,
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("nbytes"),
+                org.apache.spark.sql.functions.lit(-1L)))
             .select(cols: _*))
         case None => dedupedDocs
       }
@@ -589,12 +605,11 @@ object Cli {
               xscale.PerceptualDedup.mediaHashFrame(spark.read.parquet(bm), wide)
                 .filter(col("decoded")).select("doc_id", "mod", "bands")),
             flags.ckptDir)
-          val mh =
-            if (wide) xscale.PerceptualDedup.MaxHammingWide
-            else xscale.PerceptualDedup.MaxHamming
           Some(MediaLeg(
             graft.xscale.DedupClusters.ckpt(
-              xscale.PerceptualDedup.admitMediaCompare(corpusBands, batchBands, mh),
+              xscale.PerceptualDedup.admitMediaCompare(
+                corpusBands, batchBands,
+                xscale.PerceptualDedup.widthThreshold(wide)),
               flags.ckptDir),
             wide, legacy))
         case _ => None
@@ -624,14 +639,15 @@ object Cli {
         case Some(leg) =>
           // one restatus per modality: near_med carries the decision, mod
           // names which signal saw it (img vs aud — disjoint candidate
-          // spaces, disjoint statuses)
+          // spaces, disjoint statuses; startswith folds the width-suffixed
+          // img16/aud16 small-media rows into their modality's status)
           val near = leg.frame.filter(col("near_med"))
           graft.xscale.DedupClusters.ckpt(
             xscale.Dedup.restatus(
               xscale.Dedup.restatus(
-                stC1, near.filter(col("mod") === "img").select("doc_id"),
+                stC1, near.filter(col("mod").startsWith("img")).select("doc_id"),
                 "near_dup_corpus_img"),
-              near.filter(col("mod") === "aud").select("doc_id"),
+              near.filter(col("mod").startsWith("aud")).select("doc_id"),
               "near_dup_corpus_aud"),
             flags.ckptDir)
         case None => stC1
@@ -674,22 +690,17 @@ object Cli {
       val st = (mediaState, flags.strict) match {
         case (Some(leg), true) =>
           val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
-          val mh =
-            if (leg.wide) xscale.PerceptualDedup.MaxHammingWide
-            else xscale.PerceptualDedup.MaxHamming
-          val nb =
-            if (leg.wide) xscale.PerceptualDedup.BandsWide
-            else xscale.PerceptualDedup.Bands
           val losers = xscale.PerceptualDedup.admitMediaStrictLosers(
             leg.frame.join(admNow, "doc_id").select("doc_id", "mod", "bands"),
-            maxHamming = mh, checkpointDir = flags.ckptDir, nBands = nb)
-            .join(leg.frame.select("doc_id", "mod"), "doc_id")
+            maxHamming = xscale.PerceptualDedup.widthThreshold(leg.wide),
+            checkpointDir = flags.ckptDir,
+            nBands = xscale.PerceptualDedup.widthBands(leg.wide))
           graft.xscale.DedupClusters.ckpt(
             xscale.Dedup.restatus(
               xscale.Dedup.restatus(
-                stS1, losers.filter(col("mod") === "img").select("doc_id"),
+                stS1, losers.filter(col("mod").startsWith("img")).select("doc_id"),
                 "near_dup_batch_img"),
-              losers.filter(col("mod") === "aud").select("doc_id"),
+              losers.filter(col("mod").startsWith("aud")).select("doc_id"),
               "near_dup_batch_aud"),
             flags.ckptDir)
         case _ => stS1

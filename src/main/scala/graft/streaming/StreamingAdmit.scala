@@ -141,9 +141,9 @@ object StreamingAdmit {
             PerceptualDedup.mediaHashFrame(bm, wide).filter(col("decoded"))
               .select("doc_id", "mod", "bands")),
           checkpointDir)
-        val mh = if (wide) PerceptualDedup.MaxHammingWide else PerceptualDedup.MaxHamming
         Some((DedupClusters.ckpt(
-          PerceptualDedup.admitMediaCompare(stateBands, batchBands, mh),
+          PerceptualDedup.admitMediaCompare(
+            stateBands, batchBands, PerceptualDedup.widthThreshold(wide)),
           checkpointDir), wide, legacy))
       case _ => None
     }
@@ -162,12 +162,14 @@ object StreamingAdmit {
     }
     val stC2 = mediaFrame match {
       case Some(frame) =>
+        // startswith folds the width-suffixed img16/aud16 small-media
+        // rows into their modality's status, like the batch verb
         val near = frame.filter(col("near_med"))
         Dedup.restatus(
           Dedup.restatus(
-            stC1, near.filter(col("mod") === "img").select("doc_id"),
+            stC1, near.filter(col("mod").startsWith("img")).select("doc_id"),
             "near_dup_corpus_img"),
-          near.filter(col("mod") === "aud").select("doc_id"),
+          near.filter(col("mod").startsWith("aud")).select("doc_id"),
           "near_dup_corpus_aud")
       case None => stC1
     }
@@ -187,17 +189,16 @@ object StreamingAdmit {
     val st5 = (mediaLeg, strict) match {
       case (Some((frame, wide, _)), true) =>
         val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
-        val mh = if (wide) PerceptualDedup.MaxHammingWide else PerceptualDedup.MaxHamming
-        val nb = if (wide) PerceptualDedup.BandsWide else PerceptualDedup.Bands
         val losers = PerceptualDedup.admitMediaStrictLosers(
           frame.join(admNow, "doc_id").select("doc_id", "mod", "bands"),
-          maxHamming = mh, checkpointDir = checkpointDir, nBands = nb)
-          .join(frame.select("doc_id", "mod"), "doc_id")
+          maxHamming = PerceptualDedup.widthThreshold(wide),
+          checkpointDir = checkpointDir,
+          nBands = PerceptualDedup.widthBands(wide))
         Dedup.restatus(
           Dedup.restatus(
-            stS1, losers.filter(col("mod") === "img").select("doc_id"),
+            stS1, losers.filter(col("mod").startsWith("img")).select("doc_id"),
             "near_dup_batch_img"),
-          losers.filter(col("mod") === "aud").select("doc_id"),
+          losers.filter(col("mod").startsWith("aud")).select("doc_id"),
           "near_dup_batch_aud")
       case _ => stS1
     }

@@ -86,6 +86,17 @@ object PerceptualDedup {
     */
   def mediaWideFor(nDocs: Long): Boolean = nDocs > BandBoundary
 
+  /** Band count for a width — THE resolution point for every consumer
+    * (Cli, StreamingAdmit, the pair entries); re-deriving `if (wide) ...`
+    * inline at call sites is how a future width retune drifts.
+    */
+  def widthBands(wide: Boolean): Int = if (wide) BandsWide else Bands
+
+  /** Default hamming threshold for a width. Both widths sit at
+    * `bands − 1` — the largest pigeonhole-sound threshold.
+    */
+  def widthThreshold(wide: Boolean): Int = if (wide) MaxHammingWide else MaxHamming
+
   /** Write the `--psigs` state's width self-description (the esigs
     * layout-self-description pattern, `Similarity.admitEmbeddingSigs`):
     * one (band_bits, n_bands) row under `metaPath`. Callers write it
@@ -100,32 +111,24 @@ object PerceptualDedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(metaPath)
   }
 
-  /** Read the state width back: `true` = wide (32-bit bands). A state
-    * without a meta table predates the width self-description and is by
-    * construction classic 16-bit.
-    */
-  def readBandMetaWide(spark: SparkSession, metaPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(metaPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
-  }
-
   /** Resolve a bands state's width, meta-first with a DATA fallback: a
     * NEW-layout state (mod column present) whose meta table was lost —
     * operator error; the bootstrap writes meta before bands — must not
     * silently read as classic: a wide state compared against
     * classic-hashed batches would mostly produce NO band collisions, so
     * even the loud mismatch guard rarely fires and recall silently goes
-    * to zero. Sample one state row's band count instead (one tiny job,
-    * only on the meta-missing path). Pre-width legacy states (no mod) are
-    * classic by construction and never pay the probe.
+    * to zero. Read the MAX band count off the state instead (one
+    * single-column scan, only on the meta-missing path) — max, not a
+    * sampled row, because a wide state legitimately carries 4-band
+    * `img16`/`aud16` small-media rows. Pre-width legacy states (no mod)
+    * are classic by construction and never pay the probe.
     */
   def stateWide(spark: SparkSession, metaPath: String, stateBands: DataFrame): Boolean = {
     val p = new org.apache.hadoop.fs.Path(metaPath)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
     else if (!stateBands.columns.contains("mod")) false
-    else stateBands.select(size(col("bands"))).head().getInt(0) == BandsWide
+    else stateBands.select(max(size(col("bands")))).head().getInt(0) == BandsWide
   }
 
   // ---------------------------------------------------------------------
@@ -324,10 +327,17 @@ object PerceptualDedup {
       .distinct()
     val ham = expr(
       "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    // per-row threshold clamp to size(bands) − 1: in a MIXED-width frame
+    // (the small-media classic fallback rows beside wide rows) the
+    // caller's wide threshold would both break the pigeonhole for the
+    // 4-band rows (7 ≥ 4 bands ⇒ silent misses) and loosen their verify
+    // (7 of 64 bits instead of 3). Both width defaults sit at bands − 1,
+    // so the clamp IS the width-resolved default per row and a no-op on
+    // uniform frames.
     cand
       .join(hashed.select(col("doc_id").as("a"), col("bands").as("ba")), "a")
       .join(hashed.select(col("doc_id").as("b"), col("bands").as("bb")), "b")
-      .filter(ham <= maxHamming)
+      .filter(ham <= least(lit(maxHamming), size(col("ba")) - 1))
       .select("a", "b")
   }
 
@@ -356,25 +366,49 @@ object PerceptualDedup {
     * decoder first, fall back to the audio RIFF walk — both return None
     * on foreign bytes, so the order only matters for a payload both
     * would accept (none exists: a BMP header is not a RIFF header).
-    * Some(("img" | "aud", bands)) or None when no reader accepts it.
+    * Some((mod, bands)) or None when no reader accepts it.
+    *
+    * SMALL MEDIA under `wide`: a payload too small for the wide grid
+    * (images under 17×16, clips under 257 samples) must not silently
+    * fall out of dedup/admission — recall for thumbnails would turn off
+    * the moment a corpus crossed [[BandBoundary]]. Such rows fall back
+    * to the CLASSIC hash under the width-suffixed modality `img16` /
+    * `aud16`: a separate candidate space (the mod key carries the width,
+    * so a 4-band hash never meets an 8-band one), still deduped among
+    * themselves at the classic threshold (the per-row clamp in
+    * [[bandNearDupPairs]]/[[admitMediaCompare]]). Known, documented
+    * limit: a SMALL copy of a LARGE image lives in the other space and
+    * won't pair — different hash functions; x142's integer-scale
+    * invariance only holds within one grid.
     */
   def mediaHashBands(payload: Array[Byte], wide: Boolean = false): Option[(String, Array[Long])] =
     (if (wide) dhashBandsWide(payload) else dhashBands(payload)) match {
       case Some(b) => Some(("img", b))
       case None =>
-        (if (wide) audioDhashBandsWide(payload) else audioDhashBands(payload))
-          .map(("aud", _))
+        (if (wide) audioDhashBandsWide(payload) else audioDhashBands(payload)) match {
+          case Some(b) => Some(("aud", b))
+          case None if wide =>
+            dhashBands(payload).map(("img16", _))
+              .orElse(audioDhashBands(payload).map(("aud16", _)))
+          case None => None
+        }
     }
 
   /** The MIXED-modality hash frame admission and the corpus `--pdedup`
-    * stage run on: (doc_id, payload) → (doc_id, decoded, mod, bands)
-    * through [[mediaHashBands]] — images and audio clips hash side by
-    * side in one pass, `mod` keeps them in DISJOINT candidate spaces
+    * stage run on: (doc_id, payload) → (doc_id, decoded, mod, nbytes,
+    * bands) through [[mediaHashBands]] — images and audio clips hash side
+    * by side in one pass, `mod` keeps them in DISJOINT candidate spaces
     * downstream ([[bandNearDupPairs]] keys on it), and rows no reader
     * accepts keep `decoded = false` (failures are data, the
-    * [[Multimodal]] rule). Both modalities share one band geometry per
-    * width (4 × 16-bit classic, 8 × 32-bit wide), so ONE state table and
-    * ONE hamming threshold serve both.
+    * [[Multimodal]] rule). `nbytes` is the payload size — the free
+    * keep-BEST score (of N near-dup copies, the larger payload is the
+    * higher-fidelity one; x142's rule) carried out of the single decode
+    * pass so survivor selection never re-reads media. Both modalities
+    * share one band geometry per width (4 × 16-bit classic, 8 × 32-bit
+    * wide), so ONE state table and ONE hamming threshold serve both;
+    * under `wide`, payloads too small for the wide grid fall back to the
+    * classic hash in the width-suffixed `img16`/`aud16` spaces (see
+    * [[mediaHashBands]]).
     */
   def mediaHashFrame(media: DataFrame, wide: Boolean = false): DataFrame = {
     val spark = media.sparkSession
@@ -383,12 +417,12 @@ object PerceptualDedup {
       .mapPartitions { it =>
         it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
           mediaHashBands(p, wide) match {
-            case Some((m, b)) => (id, true, m, Some(b))
-            case None         => (id, false, "", None)
+            case Some((m, b)) => (id, true, m, p.length.toLong, Some(b))
+            case None         => (id, false, "", p.length.toLong, None)
           }
         })
       }
-      .toDF("doc_id", "decoded", "mod", "bands")
+      .toDF("doc_id", "decoded", "mod", "nbytes", "bands")
   }
 
   /** Near-dup pairs over a MIXED image/audio media frame — the corpus
@@ -402,8 +436,8 @@ object PerceptualDedup {
       wide: Boolean = false,
       maxHamming: Int = -1,
       checkpointDir: Option[String] = None): DataFrame = {
-    val nBands = if (wide) BandsWide else Bands
-    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    val nBands = widthBands(wide)
+    val mh = if (maxHamming < 0) widthThreshold(wide) else maxHamming
     require(mh < nBands,
       s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
         "(a qualifying pair can differ in every band and never become a candidate)")
@@ -449,8 +483,8 @@ object PerceptualDedup {
       wide: Boolean = false,
       maxHamming: Int = -1,
       checkpointDir: Option[String] = None): DataFrame = {
-    val nBands = if (wide) BandsWide else Bands
-    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    val nBands = widthBands(wide)
+    val mh = if (maxHamming < 0) widthThreshold(wide) else maxHamming
     require(mh < nBands,
       s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
         "(a qualifying pair can differ in every band and never become a candidate)")
@@ -469,8 +503,8 @@ object PerceptualDedup {
       wide: Boolean = false,
       maxHamming: Int = -1,
       checkpointDir: Option[String] = None): DataFrame = {
-    val nBands = if (wide) BandsWide else Bands
-    val mh = if (maxHamming < 0) (if (wide) MaxHammingWide else MaxHamming) else maxHamming
+    val nBands = widthBands(wide)
+    val mh = if (maxHamming < 0) widthThreshold(wide) else maxHamming
     require(mh < nBands,
       s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
         "(a qualifying pair can differ in every band and never become a candidate)")
@@ -546,10 +580,13 @@ object PerceptualDedup {
         lit(" (hash the batch at the state's width; see --psigs meta)"))))
       .otherwise(expr(
         "aggregate(zip_with(bb_, cb_, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+    // per-row clamp to size − 1, like bandNearDupPairs: small-media
+    // classic-fallback rows in a wide run verify at THEIR width's
+    // threshold (a no-op on uniform frames — both defaults are bands − 1)
     val near = cand
       .join(bbf.select(col("doc_id"), col("bands").as("bb_")), "doc_id")
       .join(cbf.select(col("cv_id"), col("bands").as("cb_")), "cv_id")
-      .filter(ham <= maxHamming)
+      .filter(ham <= least(lit(maxHamming), size(col("bb_")) - 1))
       .select("doc_id").distinct()
       .withColumn("ni", lit(true))
     bbf.join(near, Seq("doc_id"), "left")
@@ -562,11 +599,15 @@ object PerceptualDedup {
     * the batch-vs-corpus rule; run the banded pair join + CC over the
     * FINALLY-admitted rows' already-computed bands (zero extra decode),
     * min-id survivor, losers returned as one `doc_id` column for the
-    * caller to re-status `near_dup_batch_img`. `nBands` names the frame's
-    * band count ([[Bands]] classic, [[BandsWide]] wide) so the same
-    * pigeonhole-soundness guard the public pair entries carry holds here
-    * too — a `maxHamming` ≥ the band count would silently MISS qualifying
-    * intra-batch pairs instead of throwing.
+    * caller to re-status `near_dup_batch_img` — WITH the row's `mod` when
+    * the frame carries one, so modality-split callers (Cli admit,
+    * StreamingAdmit) don't each re-join the full leg frame to recover it.
+    * `nBands` names the frame's band count ([[Bands]] classic,
+    * [[BandsWide]] wide) so the same pigeonhole-soundness guard the
+    * public pair entries carry holds here too — a `maxHamming` ≥ the band
+    * count would silently MISS qualifying intra-batch pairs instead of
+    * throwing (mixed-width frames are additionally clamped per row inside
+    * [[bandNearDupPairs]]).
     */
   def admitMediaStrictLosers(
       admBands: DataFrame,
@@ -576,10 +617,13 @@ object PerceptualDedup {
     require(maxHamming < nBands,
       s"maxHamming=$maxHamming with $nBands bands breaks the pigeonhole guarantee " +
         "(a qualifying pair can differ in every band and never become a candidate)")
-    DedupClusters.connectedComponents(
+    val losers = DedupClusters.connectedComponents(
       bandNearDupPairs(admBands, maxHamming), checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
+    if (admBands.columns.contains("mod"))
+      losers.join(admBands.select("doc_id", "mod"), "doc_id")
+    else losers
   }
 
   /** Compact the `--psigs` bands state against the live corpus ids — the
@@ -1233,11 +1277,14 @@ object PerceptualDedup {
         "same closed-form gray, both go through the real encode -> decode -> " +
         "downsample path). Pairs -> CC -> rank per component by pixel count DESC " +
         "(doc_id tiebreak): the scaled re-post WINS over its 9x8 original; statuses " +
-        "survivor / near_dup_resized / unique. Library composition: " +
-        "imageNearDupPairs + DedupClusters.dedupByPairsKeepBest(score = px) — the " +
-        "x95 keep-best machinery on the perceptual pair graph. Scale: identical " +
-        "shape to x139 (band-keyed joins) + one per-component window over cluster " +
-        "members only."
+        "survivor / near_dup_resized / unique. The query computes the full status " +
+        "frame directly with the SAME survivor ordering (score DESC, doc_id) as " +
+        "DedupClusters.dedupByPairsKeepBest — the library route for users who want " +
+        "the deduped docs rather than statuses (imageNearDupPairs + " +
+        "dedupByPairsKeepBest(score = pixel count), the x95 machinery on the " +
+        "perceptual pair graph; `Cli corpus --pdedup` ships exactly that rule with " +
+        "payload size as the free score). Scale: identical shape to x139 " +
+        "(band-keyed joins) + one per-component window over cluster members only."
     ) { (s, dir) =>
       import s.implicits._
       val ids = table(s, dir, "documents").select("doc_id")

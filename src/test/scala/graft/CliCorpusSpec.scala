@@ -225,10 +225,12 @@ class CliCorpusSpec extends SparkSpec {
     // planted: doc 30001 re-posts doc 1's IMAGE brightened +16 under a
     // text only trivially edited (per-doc suffix: exact text dedup cannot
     // see either signal); doc 30002 re-posts doc 2's AUDIO clip re-gained
-    // +10, same trick; doc 30003 posts a fresh clip (must survive). The
+    // +10, same trick; doc 30003 posts a fresh clip (must survive);
+    // doc 30005 re-posts doc 3's image at 2x RESOLUTION — keep-best must
+    // keep the LARGER copy and drop the original (x142's rule). The
     // planted rows derive from REAL quality-passing docs so the quality
     // stage keeps them in play.
-    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L))
+    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L))
       .withColumn("doc_id", col("doc_id") + 29990L)
       .withColumn("text", concat(col("text"), lit(" zq"), col("doc_id")))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -239,7 +241,8 @@ class CliCorpusSpec extends SparkSpec {
       Seq(
         (30001L, PerceptualDedup.fixtureBmpShift(1L * 5, 16)),
         (30002L, PerceptualDedup.fixtureWavShift(2L * 5, 10)),
-        (30003L, PerceptualDedup.fixtureWav(7777L * 5))))
+        (30003L, PerceptualDedup.fixtureWav(7777L * 5)),
+        (30005L, PerceptualDedup.fixtureBmp2x(3L * 5))))
       .toDF("doc_id", "payload")
     // give docs 0-99 audio? no — doc 2 posts an IMAGE above; re-post its
     // clip instead from a doc that HAS one: make doc 2's media a WAV
@@ -260,10 +263,14 @@ class CliCorpusSpec extends SparkSpec {
     assert(j.contains(""""stages":["quality","dedup_exact","pdedup","split","pack"]"""), j)
     val out = spark.read.parquet(base.getPath + "/out")
     val ids = out.select("doc_id").as[Long].collect().toSet
-    // the perceptual losers are GONE (min-id survivors 1 and 2 kept),
-    // the fresh-clip doc survived
+    // keep-BEST by payload size: the same-size re-posts lose on the
+    // doc_id tiebreak (1 and 2 kept), the fresh-clip doc survives, and
+    // the 2x re-post WINS over its smaller original (x142's rule — the
+    // min-id cut would have kept doc 3 and discarded the best copy)
     assert(!ids.contains(30001L) && !ids.contains(30002L))
     assert(ids.contains(1L) && ids.contains(2L) && ids.contains(30003L))
+    assert(ids.contains(30005L) && !ids.contains(3L),
+      "the larger re-post must be the survivor")
     // docs with no media row pass the stage untouched
     assert(out.count() > 90)
   }

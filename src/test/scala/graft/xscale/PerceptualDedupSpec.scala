@@ -258,6 +258,36 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("small media under wide fall back to classic in width-suffixed spaces — recall stays on") {
+    import spark.implicits._
+    // a wide-width run (corpus past BandBoundary) containing THUMBNAILS:
+    // 9x8 images and 520-sample clips can't fill the 17x16 / 257-frame
+    // wide grids — they must still dedup among themselves (classic hash,
+    // img16/aud16 spaces) rather than silently dropping out as
+    // undecodable
+    val media = Seq(
+      (1L, fixtureBmpWide(0L)),            // wide-sized image
+      (2L, fixtureBmpWide(1L)),            // its brightness twin (wide pair)
+      (3L, fixtureBmp(10L)),               // 9x8 thumbnail...
+      (4L, fixtureBmp(11L)),               // ...and its brightness twin
+      // 200-sample clips: enough for the classic 65 frames, short of the
+      // wide 257 (the 520-sample fixtureWav clears BOTH grids)
+      (5L, makeWav8(8000, Array.tabulate(200)(j => 30 + (j * 37) % 181))),
+      (6L, makeWav8(8000, Array.tabulate(200)(j => 40 + (j * 37) % 181))),
+      (7L, "junk".getBytes)                // truly undecodable
+    ).toDF("doc_id", "payload")
+    val hf = mediaHashFrame(media, wide = true).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(hf(1L) == ((true, "img")) && hf(3L) == ((true, "img16")))
+    assert(hf(5L) == ((true, "aud16")) && hf(7L)._1 == false)
+    // all three pairs surface; the width-suffixed spaces never meet the
+    // wide ones, and the per-row threshold clamp keeps the classic rows
+    // at hamming<=3 even though the wide default is 7
+    val pairs = mediaNearDupPairs(media, wide = true)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+  }
+
   test("admitMediaCompare: band-width mismatch rejects loudly, never silently zero-recall") {
     import spark.implicits._
     // craft a candidate collision across widths: state band (j=0, bv=5)

@@ -61,6 +61,7 @@ object ScaleSmoke {
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady",
     "x74_psigs_compact", "corpus_pdedup_stage",
+    "x142_image_keepbest", "x143_audio_quality",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df
@@ -342,8 +343,18 @@ object ScaleSmoke {
               else xscale.PerceptualDedup.fixtureBmp(id))
           })
           .toDF("doc_id", "payload")
-        val pairs = xscale.PerceptualDedup.mediaNearDupPairs(media, wide)
-        xscale.DedupClusters.dedupByPairs(docs, pairs)
+        // the SHIPPED stage composition (keep-best by nbytes, one decode
+        // pass, CC on band keys)
+        val hf = xscale.DedupClusters.ckpt(
+          xscale.PerceptualDedup.mediaHashFrame(media, wide)
+            .filter(col("decoded")), None)
+        val comp = xscale.DedupClusters.connectedComponents(
+          xscale.PerceptualDedup.bandNearDupPairs(
+            hf, xscale.PerceptualDedup.widthThreshold(wide)))
+        xscale.DedupClusters.dedupByComponentsKeepBest(
+          docs.join(hf.select("doc_id", "nbytes"), Seq("doc_id"), "left"),
+          comp,
+          coalesce(col("nbytes"), lit(-1L)))
       }),
       "x50_joint_auto" -> ((s, d) =>
         TrainingData.jointDedup(

@@ -75,6 +75,14 @@ object TrainingData {
       maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
     xscale.PerceptualDedup.mediaNearDupPairs(media, wide, maxHamming, checkpointDir)
 
+  /** Per-clip audio QUALITY counters (x143): exact-integer silence /
+    * clipping / energy stats over real PCM payloads — the audio analog of
+    * [[qualityFilter]]'s text rules; the drop rule is the caller's (e.g.
+    * `n_silent/n_samples > 0.9` or `n_clipped/n_samples > 0.05`).
+    */
+  def audioQuality(media: DataFrame, silenceMax: Long = 1L): DataFrame =
+    xscale.Multimodal.audioQualityFrame(media, silenceMax)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

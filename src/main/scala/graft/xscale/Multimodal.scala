@@ -499,6 +499,75 @@ object Multimodal {
     Some((sampleRate, durationMs, n, sumAbs / n, isqrt(sumSq / n)))
   }
 
+  /** Exact-integer audio QUALITY decode — the per-clip counters the x143
+    * audit aggregates: (n_samples, n_silent, n_clipped, sum_abs, sum_sq,
+    * peak) over centered samples. `silent` = |s| ≤ `silenceMax` (dead
+    * air); `clipped` = s at the format's rail (−2^(bits−1) or
+    * 2^(bits−1)−1 — a clipped recording parks samples at the rails, the
+    * signature no spectral feature is needed to detect). All integer
+    * arithmetic (sum_sq of an 8-bit clip of bounded length cannot
+    * overflow a long; 16-bit peaks at 2³⁰ per sample — 2³³ samples to
+    * overflow, far past any clip). Same hardened layout walk as the
+    * other decoders; None for non-PCM bytes.
+    */
+  def decodeWavQuality(
+      p: Array[Byte],
+      silenceMax: Long = 1L): Option[(Long, Long, Long, Long, Long, Long)] = {
+    val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val bytesPer = bits / 8
+    val clipHi = (1L << (bits - 1)) - 1
+    val clipLo = -(1L << (bits - 1))
+    var silent = 0L
+    var clipped = 0L
+    var sumAbs = 0L
+    var sumSq = 0L
+    var peak = 0L
+    var j = 0L
+    while (j < n) {
+      val o = dataOff + (j * bytesPer).toInt
+      val s: Long =
+        if (bits == 16) le16(o).toShort.toLong
+        else (p(o) & 0xff).toLong - 128L
+      val a = math.abs(s)
+      if (a <= silenceMax) silent += 1
+      if (s >= clipHi || s <= clipLo) clipped += 1
+      sumAbs += a
+      sumSq += a * a
+      if (a > peak) peak = a
+      j += 1
+    }
+    Some((n, silent, clipped, sumAbs, sumSq, peak))
+  }
+
+  /** Per-clip audio quality frame over REAL media (doc_id, payload) —
+    * the library route for the x143 audit: (doc_id, decoded, n_samples,
+    * n_silent, n_clipped, sum_abs, sum_sq, peak); rows that are not
+    * decodable PCM keep `decoded = false` with zeroed counters (decode
+    * failures are data). Batched per partition like every decode step.
+    * The downstream filter rule is the caller's (e.g. drop clips with
+    * n_silent/n_samples > 0.9 or n_clipped/n_samples > 0.05 — dead air
+    * and clipped garbage carry no training signal).
+    */
+  def audioQualityFrame(media: DataFrame, silenceMax: Long = 1L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeWavQuality(p, silenceMax) match {
+            case Some((n, sil, clip, sa, sq, pk)) => (id, true, n, sil, clip, sa, sq, pk)
+            case None                             => (id, false, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "n_samples", "n_silent", "n_clipped",
+        "sum_abs", "sum_sq", "peak")
+  }
+
   /** Windowed exact-integer WAV decode: the centered sample sum of each of
     * `nFrames` equal frames (frame f covers samples [f·spf, (f+1)·spf),
     * spf = n div nFrames; the tail remainder is dropped so every frame
@@ -726,6 +795,65 @@ object Multimodal {
     ) { (s, dir) =>
       sampleFramesEvenly(asMedia(s, table(s, dir, "documents")))
         .toDF().orderBy("doc_id", "frame_idx")
+    },
+
+    // ----- x143: audio quality audit (silence / clipping / energy) -----
+    Q(
+      "x143_audio_quality",
+      Some(
+        "WITH sj AS (SELECT doc_id, j FROM documents, " +
+          "(SELECT unnest(generate_series(0, 159)) AS j)), " +
+          s"lv AS (SELECT doc_id, j, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'q' || CAST(j AS VARCHAR)")} % 100 AS r FROM sj), " +
+          "cs AS (SELECT doc_id, (CASE WHEN r < 6 THEN 128 WHEN r < 10 THEN 255 " +
+          "WHEN r < 13 THEN 0 ELSE 20 + 2 * r END) - 128 AS s FROM lv), " +
+          "pc AS (SELECT doc_id, " +
+          "CAST(sum(CASE WHEN abs(s) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS sil, " +
+          "CAST(sum(CASE WHEN s >= 127 OR s <= -128 THEN 1 ELSE 0 END) AS BIGINT) AS clip, " +
+          "CAST(sum(abs(s)) AS BIGINT) AS sa, " +
+          "CAST(sum(abs(s) * abs(s)) AS BIGINT) AS sq, " +
+          "CAST(max(abs(s)) AS BIGINT) AS pk FROM cs GROUP BY doc_id) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_clips, " +
+          "CAST(sum(sil) AS BIGINT) AS silent_total, " +
+          "CAST(sum(clip) AS BIGINT) AS clipped_total, " +
+          "CAST(bit_xor(sa) AS BIGINT) AS abs_xor, " +
+          "CAST(bit_xor(sq) AS BIGINT) AS sq_xor, " +
+          "CAST(max(pk) AS BIGINT) AS peak_max " +
+          "FROM pc GROUP BY 1 ORDER BY 1"),
+      "AUDIO QUALITY audit — the x09 idea one modality over: a speech/audio corpus " +
+        "must drop dead air and clipped garbage before training, and the detectors " +
+        "are exact integer counters over centered PCM samples (no spectral features " +
+        "needed): n_silent = |s| <= 1 (dead air), n_clipped = samples parked at the " +
+        "format rails (-128 / +127 for 8-bit — the clipping signature), sum|s| / " +
+        "sum(s^2) / peak (energy + dynamic range, division-free). Per doc a REAL " +
+        "160-sample 8-bit PCM WAV is synthesized closed-form (~6% silent, ~4% " +
+        "clip-high, ~3% clip-low per the per-sample md5 branch) and decoded through " +
+        "the hardened RIFF walk (decodeWavQuality — claimed sizes clamped); the " +
+        "oracle recomputes every counter from the same closed form, so the green row " +
+        "pins encode -> layout walk -> centering -> counters exactly. Library route " +
+        "for real media: Multimodal.audioQualityFrame (per-clip counters; the filter " +
+        "rule is the caller's, e.g. silent > 90% or clipped > 5%). Scale: one decode " +
+        "pass, one groupBy — x12's shape."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate(160) { j =>
+            val r = (XHash.h60(s"${id}q$j") % 100).toInt
+            if (r < 6) 128 else if (r < 10) 255 else if (r < 13) 0 else 20 + 2 * r
+          }
+          (id, PerceptualDedup.makeWav8(8000, samples))
+        })
+        .toDF("doc_id", "payload")
+      audioQualityFrame(media)
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum("n_silent").as("silent_total"),
+          sum("n_clipped").as("clipped_total"),
+          expr("bit_xor(sum_abs)").as("abs_xor"),
+          expr("bit_xor(sum_sq)").as("sq_xor"),
+          max("peak").as("peak_max"))
+        .orderBy("decile")
     },
 
     // ----- x12: multimodal feature extraction over binary payloads -----

@@ -255,6 +255,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavSamples(pcmWav(16, 1, 1000, Seq.empty)).isEmpty)
   }
 
+  test("decodeWavQuality: exact silence/clipping/energy counters, both bit depths") {
+    // 8-bit: bytes 128 (s=0, silent), 129 (s=1, silent at the default
+    // threshold), 255 (s=127, clip-high rail), 0 (s=-128, clip-low rail),
+    // 228 (s=100, plain signal)
+    val eight = pcmWav(8, 1, 8000, Seq(128, 129, 255, 0, 228).map(_.toByte))
+    // sum|s| = 0+1+127+128+100 = 356; sum s^2 = 0+1+16129+16384+10000 = 42514
+    assert(Multimodal.decodeWavQuality(eight) === Some((5L, 2L, 2L, 356L, 42514L, 128L)))
+    // 16-bit rails: 32767 and -32768 clip, 1000 does not; silence at 0
+    val mono = pcmWav(16, 1, 8000, s16(0, 32767, -32768, 1000))
+    val Some((n, sil, clip, sa, sq, pk)) = Multimodal.decodeWavQuality(mono)
+    assert((n, sil, clip, pk) === ((4L, 1L, 2L, 32768L)))
+    assert(sa === 0L + 32767L + 32768L + 1000L)
+    assert(sq === 32767L * 32767L + 32768L * 32768L + 1000L * 1000L)
+    // a stricter silence threshold counts the near-zero sample too
+    assert(Multimodal.decodeWavQuality(mono, silenceMax = 1000L).get._2 === 2L)
+    // non-PCM bytes are None; the frame entry flags them decoded = false
+    assert(Multimodal.decodeWavQuality("not audio".getBytes).isEmpty)
+    import spark.implicits._
+    val frame = Multimodal.audioQualityFrame(
+      Seq((1L, eight), (2L, "junk".getBytes)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(frame === Map(1L -> true, 2L -> false))
+  }
+
   test("extractAudioFeatures: flag-guarded sample decode, stub fallback byte-stable") {
     val mono = pcmWav(16, 1, 1000, s16(0, 1000, -1000, 32767))
     val ds = Seq(

@@ -61,7 +61,7 @@ object ScaleSmoke {
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady",
     "x74_psigs_compact", "corpus_pdedup_stage",
-    "x142_image_keepbest", "x143_audio_quality",
+    "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
   // battery: that fixture's vocabulary is 31 words in a ~74.6-80.4% df

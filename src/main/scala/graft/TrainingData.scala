@@ -83,6 +83,17 @@ object TrainingData {
   def audioQuality(media: DataFrame, silenceMax: Long = 1L): DataFrame =
     xscale.Multimodal.audioQualityFrame(media, silenceMax)
 
+  /** Per-image EXPOSURE counters (x144): exact-integer crushed-black /
+    * blown-white pixel mass + mean/variance sufficient statistics over e3
+    * BT.601 luma — [[audioQuality]]'s twin for the pixel modality; the
+    * drop rule is the caller's (e.g. `n_dark/n_px > 0.95`).
+    */
+  def imageExposure(
+      media: DataFrame,
+      darkMaxE3: Long = 30000L,
+      brightMinE3: Long = 225000L): DataFrame =
+    xscale.Multimodal.imageExposureFrame(media, darkMaxE3, brightMinE3)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

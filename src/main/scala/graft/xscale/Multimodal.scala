@@ -386,6 +386,88 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
+  /** Exact-integer image EXPOSURE decode — the per-image counters the
+    * x144 audit aggregates: (n_px, n_dark, n_bright, sum_e3, sq_e3) over
+    * e3 BT.601 luma (`299·R + 587·G + 114·B`, range 0..255000, never
+    * divided). `dark` = luma ≤ `darkMaxE3`, `bright` = luma ≥
+    * `brightMinE3` — crushed-black and blown-white pixel mass, the
+    * under/over-exposure signature; sum + sum-of-squares give exact
+    * mean/variance sufficient statistics (contrast). sq_e3 peaks at
+    * 255000² ≈ 6.5e10 per pixel — overflow needs > 1.4e8 px, already
+    * refused by the [[MaxDecodePixels]] header guard. Same streaming-row
+    * javax.imageio read as [[decodeBlockLumaE3]]: one pixel row of
+    * memory regardless of image size; None for undecodable bytes or
+    * oversize header claims.
+    */
+  def decodeImageExposure(
+      payload: Array[Byte],
+      darkMaxE3: Long = 30000L,
+      brightMinE3: Long = 225000L): Option[(Long, Long, Long, Long, Long)] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val row = new Array[Int](w)
+            var dark = 0L
+            var bright = 0L
+            var sum = 0L
+            var sq = 0L
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                if (l <= darkMaxE3) dark += 1
+                if (l >= brightMinE3) bright += 1
+                sum += l
+                sq += l * l
+                x += 1
+              }
+              y += 1
+            }
+            Some((w.toLong * h, dark, bright, sum, sq))
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** Per-image exposure frame over REAL media (doc_id, payload) — the
+    * library route for the x144 audit: (doc_id, decoded, n_px, n_dark,
+    * n_bright, sum_e3, sq_e3); undecodable rows keep `decoded = false`
+    * (failures are data). The drop rule is the caller's (e.g.
+    * n_dark/n_px > 0.95 — a black thumbnail carries no training signal).
+    */
+  def imageExposureFrame(
+      media: DataFrame,
+      darkMaxE3: Long = 30000L,
+      brightMinE3: Long = 225000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeImageExposure(p, darkMaxE3, brightMinE3) match {
+            case Some((n, d, b, s, q)) => (id, true, n, d, b, s, q)
+            case None                  => (id, false, 0L, 0L, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "n_px", "n_dark", "n_bright", "sum_e3", "sq_e3")
+  }
+
   /** Env flag enabling REAL WAV PCM sample decode in
     * [[extractAudioFeatures]] (set to "1") — the pixel-decode flag
     * pattern: opt-in, stub-default byte-stable.
@@ -795,6 +877,62 @@ object Multimodal {
     ) { (s, dir) =>
       sampleFramesEvenly(asMedia(s, table(s, dir, "documents")))
         .toDF().orderBy("doc_id", "frame_idx")
+    },
+
+    // ----- x144: image exposure audit (crushed blacks / blown whites / contrast) -----
+    Q(
+      "x144_image_exposure",
+      Some(
+        "WITH px AS (SELECT doc_id, x, y FROM documents, " +
+          "(SELECT unnest(generate_series(0, 8)) AS x), " +
+          "(SELECT unnest(generate_series(0, 7)) AS y)), " +
+          s"rv AS (SELECT doc_id, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'e' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 100 AS r FROM px), " +
+          "lm AS (SELECT doc_id, 1000 * (CASE WHEN r < 7 THEN 5 WHEN r < 12 THEN 250 " +
+          "ELSE 40 + r END) AS l FROM rv), " +
+          "pc AS (SELECT doc_id, " +
+          "CAST(sum(CASE WHEN l <= 30000 THEN 1 ELSE 0 END) AS BIGINT) AS dk, " +
+          "CAST(sum(CASE WHEN l >= 225000 THEN 1 ELSE 0 END) AS BIGINT) AS br, " +
+          "CAST(sum(l) AS BIGINT) AS sl, CAST(sum(l * l) AS BIGINT) AS sq " +
+          "FROM lm GROUP BY doc_id) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_imgs, " +
+          "CAST(sum(dk) AS BIGINT) AS dark_total, " +
+          "CAST(sum(br) AS BIGINT) AS bright_total, " +
+          "CAST(bit_xor(sl) AS BIGINT) AS sum_xor, " +
+          "CAST(bit_xor(sq) AS BIGINT) AS sq_xor " +
+          "FROM pc GROUP BY 1 ORDER BY 1"),
+      "IMAGE EXPOSURE audit — x143's twin for the pixel modality: an image corpus " +
+        "must drop crushed-black and blown-white garbage (failed thumbnails, " +
+        "overexposed scans) before training, and the detectors are exact integer " +
+        "counters over e3 BT.601 luma (299R+587G+114B, never divided): n_dark = " +
+        "luma <= 30000 (crushed), n_bright = luma >= 225000 (blown), sum + " +
+        "sum-of-squares (exact mean/variance sufficient statistics — contrast). " +
+        "Per doc a REAL 9x8 BMP is synthesized closed-form (~7% dark / ~5% bright " +
+        "pixels per the per-pixel md5 branch; equal channels make luma exactly " +
+        "1000*gray) and decoded through the streaming-row javax.imageio read " +
+        "(decodeImageExposure — one pixel row of memory, oversize headers refused); " +
+        "the oracle recomputes every counter from the same closed form. Library " +
+        "route for real media: Multimodal.imageExposureFrame / " +
+        "TrainingData.imageExposure. Scale: one decode pass, one groupBy — x12's " +
+        "shape; sq overflow needs >1.4e8 px, already refused by the header guard."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, PerceptualDedup.makeBmp(9, 8, (x, y) => {
+            val r = (XHash.h60(s"${id}e${x}_$y") % 100).toInt
+            if (r < 7) 5 else if (r < 12) 250 else 40 + r
+          }))
+        })
+        .toDF("doc_id", "payload")
+      imageExposureFrame(media)
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_imgs"),
+          sum("n_dark").as("dark_total"),
+          sum("n_bright").as("bright_total"),
+          expr("bit_xor(sum_e3)").as("sum_xor"),
+          expr("bit_xor(sq_e3)").as("sq_xor"))
+        .orderBy("decile")
     },
 
     // ----- x143: audio quality audit (silence / clipping / energy) -----

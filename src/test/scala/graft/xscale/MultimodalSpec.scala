@@ -279,6 +279,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frame === Map(1L -> true, 2L -> false))
   }
 
+  test("decodeImageExposure: exact dark/bright/luma counters through the real decoder") {
+    import graft.xscale.PerceptualDedup.makeBmp
+    // 3x2 gray BMP: grays 5 (dark: luma 5000), 250 (bright: 250000),
+    // 30 (exactly AT the dark threshold 30000 — inclusive), 225 (exactly
+    // at the bright threshold — inclusive), 100, 101
+    val g = Map((0, 0) -> 5, (1, 0) -> 250, (2, 0) -> 30,
+      (0, 1) -> 225, (1, 1) -> 100, (2, 1) -> 101)
+    val bmp = makeBmp(3, 2, (x, y) => g((x, y)))
+    val lumas = g.values.map(_ * 1000L)
+    assert(Multimodal.decodeImageExposure(bmp) === Some((
+      6L, 2L, 2L, lumas.sum, lumas.map(l => l * l).sum)))
+    // thresholds are parameters
+    assert(Multimodal.decodeImageExposure(bmp, darkMaxE3 = 4000L).get._2 === 0L)
+    assert(Multimodal.decodeImageExposure("not an image".getBytes).isEmpty)
+    import spark.implicits._
+    val frame = Multimodal.imageExposureFrame(
+      Seq((1L, bmp), (2L, "junk".getBytes)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(frame === Map(1L -> true, 2L -> false))
+  }
+
   test("extractAudioFeatures: flag-guarded sample decode, stub fallback byte-stable") {
     val mono = pcmWav(16, 1, 1000, s16(0, 1000, -1000, 32767))
     val ds = Seq(

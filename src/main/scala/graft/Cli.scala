@@ -638,17 +638,20 @@ object Cli {
       val stC2 = mediaState match {
         case Some(leg) =>
           // one restatus per modality: near_med carries the decision, mod
-          // names which signal saw it (img vs aud — disjoint candidate
+          // names which signal saw it (img/aud/vid — disjoint candidate
           // spaces, disjoint statuses; startswith folds the width-suffixed
-          // img16/aud16 small-media rows into their modality's status)
+          // img16/aud16/vid16 small-media rows into their modality's
+          // status). The modality table IS the wiring
+          // (PerceptualDedup.Modalities) — adding a modality there adds
+          // its statuses here.
           val near = leg.frame.filter(col("near_med"))
           graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(
-              xscale.Dedup.restatus(
-                stC1, near.filter(col("mod").startsWith("img")).select("doc_id"),
-                "near_dup_corpus_img"),
-              near.filter(col("mod").startsWith("aud")).select("doc_id"),
-              "near_dup_corpus_aud"),
+            xscale.PerceptualDedup.Modalities.foldLeft(stC1) {
+              case (st, (m, corpusStatus, _)) =>
+                xscale.Dedup.restatus(
+                  st, near.filter(col("mod").startsWith(m)).select("doc_id"),
+                  corpusStatus)
+            },
             flags.ckptDir)
         case None => stC1
       }
@@ -682,11 +685,12 @@ object Cli {
         case _ => stS0
       }
       // --strict + --pmedia: two re-encodes of the same image (or
-      // re-gains of the same clip) arriving together both clear the
-      // batch-vs-corpus rule — banded CC over the FINALLY-admitted docs'
-      // already-computed bands (modality-keyed, so cross-modal pairs
-      // never form), losers re-status near_dup_batch_img/_aud by their
-      // modality (zero extra decode)
+      // re-gains of the same clip, or re-renders of the same video)
+      // arriving together both clear the batch-vs-corpus rule — banded CC
+      // over the FINALLY-admitted docs' already-computed bands
+      // (modality-keyed, so cross-modal pairs never form), losers
+      // re-status near_dup_batch_img/_aud/_vid by their modality (zero
+      // extra decode)
       val st = (mediaState, flags.strict) match {
         case (Some(leg), true) =>
           val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
@@ -696,12 +700,12 @@ object Cli {
             checkpointDir = flags.ckptDir,
             nBands = xscale.PerceptualDedup.widthBands(leg.wide))
           graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(
-              xscale.Dedup.restatus(
-                stS1, losers.filter(col("mod").startsWith("img")).select("doc_id"),
-                "near_dup_batch_img"),
-              losers.filter(col("mod").startsWith("aud")).select("doc_id"),
-              "near_dup_batch_aud"),
+            xscale.PerceptualDedup.Modalities.foldLeft(stS1) {
+              case (st0, (m, _, batchStatus)) =>
+                xscale.Dedup.restatus(
+                  st0, losers.filter(col("mod").startsWith(m)).select("doc_id"),
+                  batchStatus)
+            },
             flags.ckptDir)
         case _ => stS1
       }
@@ -763,12 +767,12 @@ object Cli {
             s""""near_dup_batch_emb":${n("near_dup_batch_emb")},"""
           else "") +
           (if (flags.pmediaPath.isDefined)
-            s""""near_dup_corpus_img":${n("near_dup_corpus_img")},""" +
-              s""""near_dup_corpus_aud":${n("near_dup_corpus_aud")},"""
+            xscale.PerceptualDedup.Modalities
+              .map { case (_, cs, _) => s""""$cs":${n(cs)},""" }.mkString
           else "") +
           (if (flags.strict && flags.pmediaPath.isDefined)
-            s""""near_dup_batch_img":${n("near_dup_batch_img")},""" +
-              s""""near_dup_batch_aud":${n("near_dup_batch_aud")},"""
+            xscale.PerceptualDedup.Modalities
+              .map { case (_, _, bs) => s""""$bs":${n(bs)},""" }.mkString
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -875,7 +879,7 @@ object Cli {
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
         "                 written under <outDir>/_audits;\n" +
         "                 --pdedup = the PERCEPTUAL dedup stage over (doc_id, payload) media parquet —\n" +
-        "                 modality-detected image/audio dHash pairs -> CC -> keep-one, after text dedup and\n" +
+        "                 modality-detected image/audio/video dHash pairs -> CC -> keep-BEST, after text dedup and\n" +
         "                 before span removal; hash width auto-picks wide past ~1e6 media docs)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +

@@ -245,6 +245,18 @@ object ScaleSmoke {
         .toDF("cv_id", "bands")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio_bands.parquet")
     }
+    // the video twin: cv_id = -(doc_id+1) - 6e9 — below the audio
+    // negatives for any corpus maxId < 6e9, which the factor<=500 guard
+    // already bounds (maxId ~ 5e9 at 500x)
+    if (!new java.io.File(s"$dir/video_bands.parquet").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .mapPartitions(_.map(i => (-(i + 1L) - 6000000000L,
+          xscale.PerceptualDedup.videoDhashBands(
+            xscale.PerceptualDedup.fixtureAvi(i * 5)).get)))
+        .toDF("cv_id", "bands")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_bands.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -297,23 +309,28 @@ object ScaleSmoke {
         xscale.PerceptualDedup.fixtureImageStatuses(
           s, docs, wide = xscale.PerceptualDedup.mediaWideFor(docs.count()))
       }),
-      // the audio leg's steady state: the same fixed-batch-vs-state shape
-      // as x74_admit_img_steady, but MIXED — a mod-tagged state (images +
-      // clips) and a batch of 100 re-gained clips + 100 brightened images
-      // + 50 fresh; proves the modality key keeps the banded join flat
-      // with both signals live
+      // the mixed media-admission steady state: the same fixed-batch-vs-
+      // state shape as x74_admit_img_steady, but over ALL THREE
+      // modalities — a mod-tagged state (images + clips + videos) and a
+      // batch of 100 brightened images + 100 re-gained clips + 100
+      // re-rendered videos + 50 fresh; proves the modality key keeps the
+      // banded join flat with every signal live
       "x74_admit_media_steady" -> ((s, d) => {
         import s.implicits._
         val imgState = s.read.parquet(s"$d/media_bands.parquet")
           .select(col("doc_id").as("cv_id"), lit("img").as("mod"), col("bands"))
         val audState = s.read.parquet(s"$d/audio_bands.parquet")
           .select(col("cv_id"), lit("aud").as("mod"), col("bands"))
-        val state = imgState.unionByName(audState)
+        val vidState = s.read.parquet(s"$d/video_bands.parquet")
+          .select(col("cv_id"), lit("vid").as("mod"), col("bands"))
+        val state = imgState.unionByName(audState).unionByName(vidState)
         val batch = ((0L until 100L).map(i => (9000000000L + i,
           xscale.PerceptualDedup.makeBmp(9, 8,
             (x, y) => xscale.PerceptualDedup.fixtureGray(i * 5, x, y) + 16))) ++
           (0L until 100L).map(i => (9100000000L + i,
             xscale.PerceptualDedup.fixtureWavShift(i * 5, 10))) ++
+          (0L until 100L).map(i => (9300000000L + i,
+            xscale.PerceptualDedup.fixtureAvi2x(i * 5))) ++
           (0L until 50L).map(i => (9200000000L + i,
             xscale.PerceptualDedup.fixtureBmp((2000000000L + i) * 5))))
           .toDF("doc_id", "payload")
@@ -323,22 +340,27 @@ object ScaleSmoke {
           .groupBy("mod", "near_med").count()
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
-      // modality-detected decode pass over REAL mixed media (BMP images on
-      // even ids, WAV clips on odd — fixture clusters of 5 keep same-
-      // modality near-dup mass in every cluster), banded pairs -> CC ->
-      // keep-one; width auto-picked from the media count (mediaWideFor)
+      // modality-detected decode pass over REAL three-way mixed media
+      // (BMP images on ids % 3 == 0, WAV clips on % 3 == 1, AVI videos on
+      // % 3 == 2 — fixture clusters of 5 keep same-modality near-dup mass
+      // in every cluster), banded pairs -> CC -> keep-one; width
+      // auto-picked from the media count (mediaWideFor)
       "corpus_pdedup_stage" -> ((s, d) => {
         import s.implicits._
         val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
         // width picked ONCE from the media count, like the Cli stage; the
-        // image fixture must be grid-sized for the chosen width (a wide
-        // hash of a 9x8 image is None by the smaller-than-grid rule); the
-        // 520-sample WAV fixture clears both frame counts as-is
+        // image/video fixtures must be grid-sized for the chosen width (a
+        // wide hash of a 9x8 image or a 65-frame clip is None by the
+        // smaller-than-grid rule); the 520-sample WAV fixture clears both
+        // frame counts as-is
         val wide = xscale.PerceptualDedup.mediaWideFor(docs.count())
         val media = docs.select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             (id,
-              if (id % 2 != 0) xscale.PerceptualDedup.fixtureWav(id)
+              if (id % 3 == 1) xscale.PerceptualDedup.fixtureWav(id)
+              else if (id % 3 == 2)
+                (if (wide) xscale.PerceptualDedup.fixtureAviWide(id)
+                 else xscale.PerceptualDedup.fixtureAvi(id))
               else if (wide) xscale.PerceptualDedup.fixtureBmpWide(id)
               else xscale.PerceptualDedup.fixtureBmp(id))
           })

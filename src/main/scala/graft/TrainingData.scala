@@ -64,12 +64,51 @@ object TrainingData {
       maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
     xscale.PerceptualDedup.audioNearDupPairs(media, wide, maxHamming, checkpointDir)
 
+  /** VIDEO near-dup pairs (x145): temporal dHash over frame-window luma
+    * sums through the hardened AVI walk — invariant to brightness shift
+    * AND k× re-render by construction; same banded join, same `wide`
+    * swap past [[xscale.PerceptualDedup.BandBoundary]] (257 windows →
+    * 256 bits → 8 × 32-bit bands).
+    */
+  def videoNearDupPairs(media: DataFrame, wide: Boolean = false,
+      maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.videoNearDupPairs(media, wide, maxHamming, checkpointDir)
+
+  /** DIRECTIONAL video containment (x147): trimmed/re-cut copies via
+    * distinct frame-bigram fingerprints — the case the whole-clip hash
+    * ([[videoNearDupPairs]]) misses by design; the two cover each
+    * other's blind spot (a trim that also re-brightens needs the hash).
+    */
+  def videoContainmentPairs(media: DataFrame, num: Int = 4, den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.videoContainmentPairs(media, num, den, checkpointDir)
+
+  /** THUMBNAIL provenance (x148): which images are frames of which
+    * videos — every `every`-th frame extracted as a standalone BMP
+    * (container surgery, no re-encode) and dHash-matched against the
+    * image table through one shared hash function. Returns
+    * (doc_id, vid_id, frame_idx).
+    */
+  def thumbnailMatches(images: DataFrame, videos: DataFrame, every: Int = 16,
+      maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.thumbnailMatches(images, videos, every,
+      if (maxHamming < 0) xscale.PerceptualDedup.MaxHamming else maxHamming,
+      checkpointDir)
+
+  /** REAL frame extraction (the x42 stub's production form): every
+    * `every`-th complete AVI frame as a standalone BMP payload —
+    * (doc_id, frame_idx, payload); every downstream IMAGE operator runs
+    * on frames unchanged.
+    */
+  def extractFrames(videos: DataFrame, every: Int = 1): DataFrame =
+    xscale.Multimodal.extractAviFrames(videos, every)
+
   /** MIXED-modality near-dup pairs — the corpus `--pdedup` stage's
-    * generator: one pass modality-detects and hashes images AND audio
-    * clips ([[xscale.PerceptualDedup.mediaHashFrame]]), keeps them in
-    * disjoint candidate spaces, and emits hamming-verified pairs for
-    * both. Pick `wide` with [[xscale.PerceptualDedup.mediaWideFor]] on
-    * the media count.
+    * generator: one pass modality-detects and hashes images, audio clips
+    * AND videos ([[xscale.PerceptualDedup.mediaHashFrame]]), keeps them
+    * in disjoint candidate spaces, and emits hamming-verified pairs for
+    * all three. Pick `wide` with [[xscale.PerceptualDedup.mediaWideFor]]
+    * on the media count.
     */
   def mediaNearDupPairs(media: DataFrame, wide: Boolean = false,
       maxHamming: Int = -1, checkpointDir: Option[String] = None): DataFrame =
@@ -93,6 +132,15 @@ object TrainingData {
       darkMaxE3: Long = 30000L,
       brightMinE3: Long = 225000L): DataFrame =
     xscale.Multimodal.imageExposureFrame(media, darkMaxE3, brightMinE3)
+
+  /** Per-clip video QUALITY counters (x146): exact-integer black-frame /
+    * frozen-frame detection over per-frame luma moments through the
+    * hardened AVI walk — [[audioQuality]]/[[imageExposure]]'s twin for
+    * the frame-stream modality; the drop rule is the caller's (e.g.
+    * `n_black/n_frames > 0.5` or `n_frozen/n_frames > 0.9`).
+    */
+  def videoQuality(media: DataFrame, blackMaxMeanE3: Long = 30000L): DataFrame =
+    xscale.Multimodal.videoQualityFrame(media, blackMaxMeanE3)
 
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists

@@ -162,15 +162,17 @@ object StreamingAdmit {
     }
     val stC2 = mediaFrame match {
       case Some(frame) =>
-        // startswith folds the width-suffixed img16/aud16 small-media
-        // rows into their modality's status, like the batch verb
+        // startswith folds the width-suffixed img16/aud16/vid16
+        // small-media rows into their modality's status, like the batch
+        // verb; the modality table (PerceptualDedup.Modalities) IS the
+        // wiring on both surfaces
         val near = frame.filter(col("near_med"))
-        Dedup.restatus(
-          Dedup.restatus(
-            stC1, near.filter(col("mod").startsWith("img")).select("doc_id"),
-            "near_dup_corpus_img"),
-          near.filter(col("mod").startsWith("aud")).select("doc_id"),
-          "near_dup_corpus_aud")
+        PerceptualDedup.Modalities.foldLeft(stC1) {
+          case (st1, (m, corpusStatus, _)) =>
+            Dedup.restatus(
+              st1, near.filter(col("mod").startsWith(m)).select("doc_id"),
+              corpusStatus)
+        }
       case None => stC1
     }
     val stS0 =
@@ -194,12 +196,12 @@ object StreamingAdmit {
           maxHamming = PerceptualDedup.widthThreshold(wide),
           checkpointDir = checkpointDir,
           nBands = PerceptualDedup.widthBands(wide))
-        Dedup.restatus(
-          Dedup.restatus(
-            stS1, losers.filter(col("mod").startsWith("img")).select("doc_id"),
-            "near_dup_batch_img"),
-          losers.filter(col("mod").startsWith("aud")).select("doc_id"),
-          "near_dup_batch_aud")
+        PerceptualDedup.Modalities.foldLeft(stS1) {
+          case (st1, (m, _, batchStatus)) =>
+            Dedup.restatus(
+              st1, losers.filter(col("mod").startsWith(m)).select("doc_id"),
+              batchStatus)
+        }
       case _ => stS1
     }
     // eager cut BEFORE the state appends: the lazy plan reads the state

@@ -688,6 +688,279 @@ object Multimodal {
     Some(sums)
   }
 
+  /** Hardened RIFF/AVI layout walk — the video modality's chunk cursor,
+    * the same discipline as [[wavPcmLayout]] one container over (AVI is
+    * RIFF too): returns (width, height, movi_offset, movi_end) for a
+    * payload with a 'hdrl'/'avih' main header and a 'movi' frame list.
+    * Every chunk's CLAIMED size is clamped to the bytes actually present
+    * (a crafted header cannot inflate work or allocation), and a header
+    * claiming more than [[MaxDecodePixels]] pixels per frame is refused
+    * BEFORE any frame byte is touched — the image reader's
+    * oversize-header rule. None for non-AVI bytes (a WAV payload fails
+    * the 'AVI ' fourcc, a BMP fails 'RIFF' — the three modality spaces
+    * are disjoint by construction).
+    */
+  private def aviLayout(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
+        ((p(o + 3) & 0xffL) << 24)
+    def ascii(o: Int, s: String): Boolean =
+      o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
+    if (p.length < 24 || !ascii(0, "RIFF") || !ascii(8, "AVI ")) return None
+    var i = 12
+    var w = 0L
+    var h = 0L
+    var moviOff = -1
+    var moviEnd = -1
+    var ok = true
+    while (ok && i + 8 <= p.length && (w == 0 || moviOff < 0)) {
+      val sz = le32(i + 4)
+      if (ascii(i, "LIST") && i + 12 <= p.length) {
+        // clamp the list's claim to the bytes actually present
+        val end = math.min(i + 8 + sz, p.length.toLong).toInt
+        if (ascii(i + 8, "hdrl")) {
+          // walk the header list for the 'avih' main header (56-byte
+          // MainAVIHeader: dwWidth at data offset 32, dwHeight at 36)
+          var j = i + 12
+          var inOk = true
+          while (inOk && j + 8 <= end && w == 0) {
+            val s2 = le32(j + 4)
+            if (ascii(j, "avih") && s2 >= 40 && j + 48 <= p.length) {
+              w = le32(j + 8 + 32)
+              h = le32(j + 8 + 36)
+            }
+            val nx = j.toLong + 8L + s2 + (s2 & 1L)
+            if (nx <= j || nx > end) inOk = false else j = nx.toInt
+          }
+        } else if (ascii(i + 8, "movi")) {
+          moviOff = i + 12
+          moviEnd = end
+        }
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > p.length.toLong) ok = false else i = next.toInt
+    }
+    if (w <= 0 || h <= 0 || moviOff < 0) None
+    else if (w * h > MaxDecodePixels) None // oversize refusal, pre-decode
+    else Some((w.toInt, h.toInt, moviOff, moviEnd))
+  }
+
+  /** REAL AVI video decode into per-frame luma statistics — the frame
+    * primitive under both the temporal fingerprint
+    * ([[decodeAviWindowSums]]) and the quality audit
+    * ([[decodeAviQuality]]): walks the 'movi' list's '00db' chunks (each
+    * an uncompressed 24-bit DIB frame — BGR, rows padded to 4 bytes; the
+    * BMP pixel-array layout one container over) and returns each frame's
+    * exact e3 BT.601 luma SUM and sum of per-pixel luma SQUARES. Frames
+    * whose chunk is smaller than the header's rowSize·h are SKIPPED, not
+    * partially summed (a truncated frame is data, never a different
+    * number); non-'00db' chunks (compressed frames, audio streams, index
+    * chunks) are skipped over by the cursor. Sum-of-squares stays in a
+    * long: per-pixel luma ≤ 255 000, squared ≤ 6.6e10, × the
+    * [[MaxDecodePixels]] frame cap = 4.4e18 < 2⁶³. None when the layout
+    * walk fails or no complete frame exists.
+    */
+  def decodeAviFrameStats(p: Array[Byte]): Option[(Int, Int, Array[Long], Array[Long])] = {
+    val (w, h, moviOff, moviEnd) = aviLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
+        ((p(o + 3) & 0xffL) << 24)
+    def ascii(o: Int, s: String): Boolean =
+      o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowSize.toLong * h
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = moviOff
+    var ok = true
+    while (ok && i + 8 <= moviEnd) {
+      val sz = le32(i + 4)
+      if (ascii(i, "00db") && sz >= frameBytes && i + 8 + frameBytes <= p.length.toLong) {
+        var s = 0L
+        var sq = 0L
+        var y = 0
+        while (y < h) {
+          val ro = i + 8 + y * rowSize
+          var x = 0
+          while (x < w) {
+            val o = ro + 3 * x
+            val l = 299L * (p(o + 2) & 0xff) + 587L * (p(o + 1) & 0xff) +
+              114L * (p(o) & 0xff)
+            s += l
+            sq += l * l
+            x += 1
+          }
+          y += 1
+        }
+        sums += s
+        sqs += sq
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > moviEnd) ok = false else i = next.toInt
+    }
+    if (sums.isEmpty) None else Some((w, h, sums.toArray, sqs.toArray))
+  }
+
+  /** Windowed exact-integer AVI decode — [[decodeWavFrameSums]] one
+    * modality over: the luma sum of each of `nWindows` equal WINDOWS of
+    * frames (window v covers frames [v·fpw, (v+1)·fpw), fpw = n div
+    * nWindows; the tail remainder is dropped so every window sums the
+    * SAME frame count — and every frame the same pixel count, so sums
+    * compare like means with no division). The temporal-fingerprint
+    * invariances fall out exactly: a +c brightness shift adds the same
+    * 1000·c·npx·fpw to every window, and a k× re-render multiplies every
+    * window by k² — neither changes any adjacent-window comparison. None
+    * when the payload is not a decodable AVI or has fewer than
+    * `nWindows` complete frames.
+    */
+  def decodeAviWindowSums(p: Array[Byte], nWindows: Int): Option[Array[Long]] = {
+    val (_, _, frameSums, _) = decodeAviFrameStats(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val n = frameSums.length
+    if (nWindows <= 0 || n < nWindows) return None
+    val fpw = n / nWindows
+    Some(Array.tabulate(nWindows) { v =>
+      var s = 0L
+      var f = v * fpw
+      val end = f + fpw
+      while (f < end) { s += frameSums(f); f += 1 }
+      s
+    })
+  }
+
+  /** Exact-integer video QUALITY decode — the per-clip counters the x146
+    * audit aggregates, [[decodeWavQuality]]'s twin for the pixel-stream
+    * modality: (n_frames, n_black, n_frozen, lum_sum, lum_peak) where
+    * `black` = frame MEAN e3 luma ≤ `blackMaxMeanE3` (dead frames — a
+    * leader/trailer/failed-capture carries no training signal, the
+    * x144 crushed-black rule per FRAME), `frozen` = a frame whose luma
+    * sum AND sum-of-squares both equal the previous frame's (a static
+    * scene holds both envelope moments; two different frames colliding
+    * on BOTH integer moments is the detector's documented approximation
+    * — exact frame identity would need a per-frame content hash),
+    * lum_sum = Σ frame sums, lum_peak = max frame sum. All exact
+    * integers; same hardened walk, truncated frames skipped.
+    */
+  def decodeAviQuality(
+      p: Array[Byte],
+      blackMaxMeanE3: Long = 30000L): Option[(Long, Long, Long, Long, Long)] = {
+    val (w, h, sums, sqs) = decodeAviFrameStats(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val npx = w.toLong * h
+    var black = 0L
+    var frozen = 0L
+    var total = 0L
+    var peak = 0L
+    var f = 0
+    while (f < sums.length) {
+      val s = sums(f)
+      if (s <= blackMaxMeanE3 * npx) black += 1
+      if (f > 0 && s == sums(f - 1) && sqs(f) == sqs(f - 1)) frozen += 1
+      total += s
+      if (s > peak) peak = s
+      f += 1
+    }
+    Some((sums.length.toLong, black, frozen, total, peak))
+  }
+
+  /** Per-clip video quality frame over REAL media (doc_id, payload) —
+    * the library route for the x146 audit, [[audioQualityFrame]]'s twin:
+    * (doc_id, decoded, n_frames, n_black, n_frozen, lum_sum, lum_peak);
+    * rows that are not decodable AVI keep `decoded = false` with zeroed
+    * counters (decode failures are data). Batched per partition like
+    * every decode step. The downstream filter rule is the caller's
+    * (e.g. drop clips with n_black/n_frames > 0.5 or n_frozen/n_frames
+    * > 0.9 — dead footage and frozen captures carry no training signal).
+    */
+  def videoQualityFrame(media: DataFrame, blackMaxMeanE3: Long = 30000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeAviQuality(p, blackMaxMeanE3) match {
+            case Some((nf, bk, fz, ls, pk)) => (id, true, nf, bk, fz, ls, pk)
+            case None                       => (id, false, 0L, 0L, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "n_frames", "n_black", "n_frozen", "lum_sum", "lum_peak")
+  }
+
+  /** Evenly-strided REAL frame extraction — the video → image bridge the
+    * x42 stub stands in for: every `every`-th complete '00db' frame of a
+    * decodable AVI becomes a STANDALONE BMP payload (container surgery,
+    * not re-encoding: the DIB frame body IS the BMP pixel array —
+    * bottom-up BGR rows padded to 4 bytes — so a 54-byte
+    * BITMAPFILEHEADER + BITMAPINFOHEADER prepend plus one byte copy
+    * yields a file javax.imageio accepts, and every downstream IMAGE
+    * operator — x139's dHash, x144's exposure audit — runs on frames
+    * unchanged). Output (doc_id, frame_idx, payload); `frame_idx`
+    * counts COMPLETE frames (the walk's own skip rule). Undecodable
+    * payloads contribute no rows. Same hardened walk + batched
+    * mapPartitions as every decode step; memory is one frame, not the
+    * clip.
+    */
+  def extractAviFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every=$every: the extraction stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
+          aviLayout(p) match {
+            case None => Nil
+            case Some((w, h, moviOff, moviEnd)) =>
+              def le32(o: Int): Long =
+                (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+                  ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+              def ascii(o: Int, s: String): Boolean =
+                o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
+              val rowSize = ((w * 3 + 3) / 4) * 4
+              val frameBytes = rowSize * h
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+              var k = 0L
+              var i = moviOff
+              var ok = true
+              while (ok && i + 8 <= moviEnd) {
+                val sz = le32(i + 4)
+                if (ascii(i, "00db") && sz >= frameBytes &&
+                  i + 8 + frameBytes.toLong <= p.length.toLong) {
+                  if (k % every == 0) {
+                    val bmp = new Array[Byte](54 + frameBytes)
+                    def ole16(o: Int, v: Int): Unit = {
+                      bmp(o) = (v & 0xff).toByte; bmp(o + 1) = ((v >> 8) & 0xff).toByte
+                    }
+                    def ole32(o: Int, v: Int): Unit = {
+                      ole16(o, v & 0xffff); ole16(o + 2, (v >> 16) & 0xffff)
+                    }
+                    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+                    ole32(2, 54 + frameBytes); ole32(10, 54)
+                    ole32(14, 40); ole32(18, w); ole32(22, h)
+                    ole16(26, 1); ole16(28, 24); ole32(30, 0); ole32(34, frameBytes)
+                    ole32(38, 2835); ole32(42, 2835)
+                    System.arraycopy(p, i + 8, bmp, 54, frameBytes)
+                    out += ((id, k, bmp))
+                  }
+                  k += 1
+                }
+                val next = i.toLong + 8L + sz + (sz & 1L)
+                if (next <= i || next > moviEnd) ok = false else i = next.toInt
+              }
+              out
+          }
+        })
+      }
+      .toDF("doc_id", "frame_idx", "payload")
+  }
+
   /** Batched distributed audio decode, flag-guarded like the pixel path:
     * with `audioDecode` on (default: [[AudioDecodeEnv]]), each payload
     * goes through [[decodeWavSamples]]; non-PCM/non-WAV rows — and every

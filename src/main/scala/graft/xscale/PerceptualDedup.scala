@@ -190,6 +190,57 @@ object PerceptualDedup {
     out
   }
 
+  /** A real RIFF/AVI container (LIST 'hdrl' with the 56-byte 'avih' main
+    * header, LIST 'movi' with one '00db' uncompressed 24-bit DIB chunk
+    * per frame — BGR, bottom-up rows padded to 4 bytes, the BMP
+    * pixel-array layout) with R = G = B = gray(f, x, y), so a closed-form
+    * gray function stays closed-form through the real decoder (e3 luma
+    * exactly 1000·gray). The layout is the minimal subset the AVI chunk
+    * grammar and [[Multimodal.decodeAviFrameStats]] share — real byte
+    * offsets, real clamp-tested sizes; no codec library exists in this
+    * container to cross-validate against (javax.imageio plays that role
+    * for the BMP writer), which the video specs compensate for by
+    * pinning the walk against hand-computed layouts and crafted
+    * corruptions.
+    */
+  def makeAvi(w: Int, h: Int, nFrames: Int, gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * h
+    val moviData = 4 + nFrames * (8 + frameBytes)
+    val total = 12 + (8 + 4 + 8 + 56) + (8 + moviData)
+    val out = new Array[Byte](total)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    def tag(o: Int, s: String): Unit = s.indices.foreach(j => out(o + j) = s(j).toByte)
+    tag(0, "RIFF"); le32(4, total - 8); tag(8, "AVI ")
+    tag(12, "LIST"); le32(16, 4 + 8 + 56); tag(20, "hdrl")
+    tag(24, "avih"); le32(28, 56)
+    // MainAVIHeader: dwTotalFrames at 16, dwWidth at 32, dwHeight at 36
+    le32(32 + 16, nFrames); le32(32 + 32, w); le32(32 + 36, h)
+    tag(88, "LIST"); le32(92, moviData); tag(96, "movi")
+    var off = 100
+    var f = 0
+    while (f < nFrames) {
+      tag(off, "00db"); le32(off + 4, frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (gray(f, x, y) & 0xff).toByte
+          val o = off + 8 + (h - 1 - y) * rowSize + x * 3
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      off += 8 + frameBytes
+      f += 1
+    }
+    out
+  }
+
   // ---------------------------------------------------------------------
   // hashing
   // ---------------------------------------------------------------------
@@ -290,6 +341,53 @@ object PerceptualDedup {
       bandsFromBits(bits, bandBits = 32)
     }
 
+  /** Video windows per fingerprint: 65 equal frame windows → 64
+    * adjacent-sum comparisons → the same 64-bit band layout as the image
+    * and audio hashes.
+    */
+  val VideoWindows = 65
+
+  /** Video dHash — the audio rule one modality over, on the pixel-stream
+    * axis: 65 equal WINDOWS of frame luma sums
+    * ([[Multimodal.decodeAviWindowSums]] — real AVI walk, exact
+    * integers, equal window lengths so sums compare like means), bit v =
+    * "window v+1 brighter than window v". The temporal envelope is
+    * invariant to exactly the two edits that defeat byte hashing: a +c
+    * BRIGHTNESS shifts every window sum by the same 1000·c·npx·fpw, and
+    * a k× RE-RENDER multiplies every window by k² — neither flips a
+    * comparison, so a brightened or re-rendered re-encode hashes
+    * IDENTICALLY (both spec-pinned through the real encode → decode
+    * path). Single-alignment convention like the audio side: a TRIMMED
+    * copy is out of scope (video fingerprinting with shot alignment is a
+    * different operator); this targets re-encoded/re-rendered copies of
+    * the SAME clip, the dominant near-dup mode in scraped video corpora.
+    */
+  def videoDhashBands(payload: Array[Byte]): Option[Array[Long]] =
+    Multimodal.decodeAviWindowSums(payload, VideoWindows).map { sums =>
+      val bits = Array.tabulate(VideoWindows - 1)(v => sums(v + 1) > sums(v))
+      bandsFromBits(bits)
+    }
+
+  /** Video windows for the WIDE fingerprint: 257 equal windows → 256
+    * adjacent-sum comparisons → the shared 8 × 32-bit band geometry. A
+    * clip with fewer than 257 complete frames has no wide hash (None) —
+    * the smaller-than-grid rule; [[mediaHashBands]] falls such clips
+    * back to the classic hash in the width-suffixed `vid16` space.
+    */
+  val VideoWindowsWide = 257
+
+  /** The video production swap past [[BandBoundary]] — the shared wide
+    * recipe (more windows → 256 bits → 32-bit bands, saturation moves
+    * from ~10⁶ to ~10⁹ docs); the boundary constant is SHARED with the
+    * image and audio sides because it prices the band WIDTH, not the
+    * signal.
+    */
+  def videoDhashBandsWide(payload: Array[Byte]): Option[Array[Long]] =
+    Multimodal.decodeAviWindowSums(payload, VideoWindowsWide).map { sums =>
+      val bits = Array.tabulate(VideoWindowsWide - 1)(v => sums(v + 1) > sums(v))
+      bandsFromBits(bits, bandBits = 32)
+    }
+
   // ---------------------------------------------------------------------
   // banded near-dup pairs (the x04 candidate shape over band columns)
   // ---------------------------------------------------------------------
@@ -362,20 +460,42 @@ object PerceptualDedup {
   def audioHashFrame(media: DataFrame, wide: Boolean = false): DataFrame =
     hashFrame(media, p => if (wide) audioDhashBandsWide(p) else audioDhashBands(p))
 
+  /** The video twin of [[imageHashFrame]]: (doc_id, payload) →
+    * (doc_id, decoded, bands) through [[videoDhashBands]]; `wide = true`
+    * switches to [[videoDhashBandsWide]] (the [[BandBoundary]] swap,
+    * same geometry as the other modalities').
+    */
+  def videoHashFrame(media: DataFrame, wide: Boolean = false): DataFrame =
+    hashFrame(media, p => if (wide) videoDhashBandsWide(p) else videoDhashBands(p))
+
+  /** The admission/dedup modality table: (mod prefix, corpus-leg status,
+    * strict-leg status) — THE resolution point for every status-splitting
+    * consumer (`Cli admit`, StreamingAdmit). A `startsWith` on the prefix
+    * folds the width-suffixed small-media spaces (`img16`/`aud16`/
+    * `vid16`) into their modality's status; adding a modality here is
+    * the whole per-status wiring.
+    */
+  val Modalities: Seq[(String, String, String)] = Seq(
+    ("img", "near_dup_corpus_img", "near_dup_batch_img"),
+    ("aud", "near_dup_corpus_aud", "near_dup_batch_aud"),
+    ("vid", "near_dup_corpus_vid", "near_dup_batch_vid"))
+
   /** Modality-detected perceptual hash of ONE payload: try the image
-    * decoder first, fall back to the audio RIFF walk — both return None
-    * on foreign bytes, so the order only matters for a payload both
-    * would accept (none exists: a BMP header is not a RIFF header).
+    * decoder first, then the audio RIFF walk, then the AVI walk — each
+    * returns None on foreign bytes, so the order only matters for a
+    * payload two would accept (none exists: a BMP header is not a RIFF
+    * header, and within RIFF the 'WAVE'/'AVI ' fourccs are disjoint).
     * Some((mod, bands)) or None when no reader accepts it.
     *
     * SMALL MEDIA under `wide`: a payload too small for the wide grid
-    * (images under 17×16, clips under 257 samples) must not silently
-    * fall out of dedup/admission — recall for thumbnails would turn off
-    * the moment a corpus crossed [[BandBoundary]]. Such rows fall back
-    * to the CLASSIC hash under the width-suffixed modality `img16` /
-    * `aud16`: a separate candidate space (the mod key carries the width,
-    * so a 4-band hash never meets an 8-band one), still deduped among
-    * themselves at the classic threshold (the per-row clamp in
+    * (images under 17×16, clips under 257 samples, videos under 257
+    * frames) must not silently fall out of dedup/admission — recall for
+    * thumbnails would turn off the moment a corpus crossed
+    * [[BandBoundary]]. Such rows fall back to the CLASSIC hash under the
+    * width-suffixed modality `img16` / `aud16` / `vid16`: a separate
+    * candidate space (the mod key carries the width, so a 4-band hash
+    * never meets an 8-band one), still deduped among themselves at the
+    * classic threshold (the per-row clamp in
     * [[bandNearDupPairs]]/[[admitMediaCompare]]). Known, documented
     * limit: a SMALL copy of a LARGE image lives in the other space and
     * won't pair — different hash functions; x142's integer-scale
@@ -387,10 +507,15 @@ object PerceptualDedup {
       case None =>
         (if (wide) audioDhashBandsWide(payload) else audioDhashBands(payload)) match {
           case Some(b) => Some(("aud", b))
-          case None if wide =>
-            dhashBands(payload).map(("img16", _))
-              .orElse(audioDhashBands(payload).map(("aud16", _)))
-          case None => None
+          case None =>
+            (if (wide) videoDhashBandsWide(payload) else videoDhashBands(payload)) match {
+              case Some(b) => Some(("vid", b))
+              case None if wide =>
+                dhashBands(payload).map(("img16", _))
+                  .orElse(audioDhashBands(payload).map(("aud16", _)))
+                  .orElse(videoDhashBands(payload).map(("vid16", _)))
+              case None => None
+            }
         }
     }
 
@@ -510,6 +635,142 @@ object PerceptualDedup {
         "(a qualifying pair can differ in every band and never become a candidate)")
     bandNearDupPairs(
       DedupClusters.ckpt(audioHashFrame(media, wide).filter(col("decoded")), checkpointDir),
+      mh)
+  }
+
+  /** DISTINCT frame-bigram shingles of each video: one row per distinct
+    * ((sum, sq)_f, (sum, sq)_f+1) pair of ADJACENT frame luma moments —
+    * the k=2 shingle of the frame stream, the x03/x25 idea one modality
+    * over. Frames are the container's own content units, so a TRIMMED
+    * copy keeps its frames' fingerprints bit-exact — the case the
+    * single-alignment temporal dHash ([[videoDhashBands]]) declares out
+    * of scope. (Audio has no such containment form here: WAV samples
+    * carry no intrinsic framing, so [[Multimodal.decodeWavFrameSums]]
+    * re-bins the WHOLE clip into equal windows and any trim moves every
+    * window boundary.) Undecodable payloads and clips under 2 complete
+    * frames contribute no rows (failures are data). Both frame moments
+    * go into the fingerprint — two different frames colliding on sum AND
+    * sum-of-squares is the same documented approximation as
+    * [[Multimodal.decodeAviQuality]]'s frozen rule.
+    */
+  def videoFrameShingles(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
+          Multimodal.decodeAviFrameStats(p) match {
+            case Some((_, _, sums, sqs)) if sums.length >= 2 =>
+              (0 until sums.length - 1)
+                .map(f => (id, sums(f), sqs(f), sums(f + 1), sqs(f + 1)))
+                .distinct
+            case _ => Nil
+          }
+        })
+      }
+      .toDF("doc_id", "s1", "q1", "s2", "q2")
+  }
+
+  /** DIRECTIONAL video containment — x25's rule on [[videoFrameShingles]]:
+    * pairs (doc_id_a, doc_id_b, n_inter, n_a) where den·|A∩B| ≥
+    * num·|A| over the distinct frame-bigram sets (default 4/5 = 0.8,
+    * x25's threshold). A video TRIMMED out of a longer one is contained
+    * at ~1.0 in its source — the re-cut/excerpt mode that defeats the
+    * whole-clip hash; a one-frame edit still scores ≥ (n−3)/n. Exact
+    * frame identity is the contract: a trim that ALSO re-brightens moves
+    * every fingerprint and needs the dHash signal instead — the two
+    * operators cover each other's blind spot. Scale: the join shuffles
+    * 32-byte fingerprint keys, never payloads; candidate mass follows
+    * the fingerprint collision rate (real frame sums over real frames
+    * are near-unique; the x25 caveat applies — at 100 TB run it over
+    * banded candidates, not the raw self-join).
+    */
+  def videoContainmentPairs(
+      media: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    val sh = DedupClusters.ckpt(videoFrameShingles(media), checkpointDir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val inter = sh.toDF("da", "s1", "q1", "s2", "q2")
+      .join(sh.toDF("db", "s1", "q1", "s2", "q2"), keys)
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_inter"))
+    inter.join(sz.withColumnRenamed("doc_id", "da"), "da")
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+        col("n_inter"), col("n_a"))
+  }
+
+  /** Cross-modal THUMBNAIL provenance — which images are frames of which
+    * videos: [[Multimodal.extractAviFrames]] turns every `every`-th
+    * frame into a standalone BMP (container surgery, no re-encode),
+    * [[dhashBands]] hashes frames and images through the SAME real
+    * javax.imageio decode (one hash function ⇒ one candidate space — the
+    * opposite of the modality-disjoint dedup rule, on purpose: a
+    * thumbnail IS an image of the frame), and a bipartite banded join +
+    * hamming verify yields (doc_id, vid_id, frame_idx) matches. Catches
+    * the brightened/re-encoded thumbnail byte equality cannot see; a
+    * thumbnail at a DIFFERENT resolution matches when the scale is
+    * integral (the x142 invariance) — arbitrary rescales are the
+    * documented limit. Scale: frames-per-video is capped by the stride,
+    * the join shuffles 16-byte band keys, and neither payload side
+    * shuffles; images and frames are each decoded once.
+    */
+  def thumbnailMatches(
+      images: DataFrame,
+      videos: DataFrame,
+      every: Int = 16,
+      maxHamming: Int = MaxHamming,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val fh = DedupClusters.ckpt(
+      Multimodal.extractAviFrames(videos, every)
+        .select(col("doc_id"), col("frame_idx"), col("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(Multimodal.decodeBatchSize)
+            .flatMap(_.flatMap { case (vid, f, p) => dhashBands(p).map(b => (vid, f, b)) })
+        }
+        .toDF("vid_id", "frame_idx", "fbands"),
+      checkpointDir)
+    val ih = DedupClusters.ckpt(
+      imageHashFrame(images).filter(col("decoded"))
+        .select(col("doc_id"), col("bands").as("ibands")),
+      checkpointDir)
+    val ib = ih.select(col("doc_id"), posexplode(col("ibands")).as(Seq("j", "bv")))
+    val fb = fh.select(col("vid_id"), col("frame_idx"),
+      posexplode(col("fbands")).as(Seq("j", "bv")))
+    val cand = ib.join(fb, Seq("j", "bv"))
+      .select("doc_id", "vid_id", "frame_idx").distinct()
+    val ham = expr(
+      "aggregate(zip_with(ibands, fbands, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    cand.join(ih, "doc_id").join(fh, Seq("vid_id", "frame_idx"))
+      .filter(ham <= maxHamming)
+      .select("doc_id", "vid_id", "frame_idx")
+  }
+
+  /** The video twin of [[imageNearDupPairs]]/[[audioNearDupPairs]] — same
+    * auto-threshold rule, same [[BandBoundary]] swap (`wide = true` →
+    * [[videoDhashBandsWide]]'s 256-bit form; the boundary constant is
+    * shared across all three modalities because it prices the band
+    * geometry, not the signal).
+    */
+  def videoNearDupPairs(
+      media: DataFrame,
+      wide: Boolean = false,
+      maxHamming: Int = -1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val nBands = widthBands(wide)
+    val mh = if (maxHamming < 0) widthThreshold(wide) else maxHamming
+    require(mh < nBands,
+      s"maxHamming=$mh with $nBands bands breaks the pigeonhole guarantee " +
+        "(a qualifying pair can differ in every band and never become a candidate)")
+    bandNearDupPairs(
+      DedupClusters.ckpt(videoHashFrame(media, wide).filter(col("decoded")), checkpointDir),
       mh)
   }
 
@@ -752,6 +1013,96 @@ object PerceptualDedup {
     makeWav8(8000, Array.tabulate(AudioFrames * 8)(j => levels(j / 8)))
   }
 
+  /** Closed-form fixture video frame gray in [30, 235] after variants —
+    * the audio closed form's shape with its own content separator ('^',
+    * so video fixture content never collides with audio's): brightness
+    * variant shifts every frame (+10, hash-invariant — every window sum
+    * moves by the same 1000·10·npx), edit variant bumps frame 7 (+25,
+    * flips ≤ 2 comparison bits).
+    */
+  def fixtureFrameVid(docId: Long, f: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}^$f") % 181).toInt + 30 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && f == 7) 25 else 0)
+  }
+
+  /** The registered video fixture: a real AVI of [[VideoWindows]] 4×4
+    * frames, each frame a constant gray from [[fixtureFrameVid]] — one
+    * frame per hash window, so the decoder's window SUMS (16 000 × level)
+    * compare exactly like the closed-form levels and the DuckDB oracle
+    * recomputes the hash from the level function alone.
+    */
+  def fixtureAvi(docId: Long): Array[Byte] =
+    makeAvi(4, 4, VideoWindows, (f, _, _) => fixtureFrameVid(docId, f))
+
+  /** The brightened/re-encoded video fixture: [[fixtureAvi]]'s closed
+    * form with every frame gray shifted by `off` (re-arrival targets are
+    * v = 0, base ≤ 210, so +10 never wraps a byte) — hash-invariant by
+    * construction, the edit the admission leg exists to catch.
+    */
+  def fixtureAviShift(vidId: Long, off: Int): Array[Byte] =
+    makeAvi(4, 4, VideoWindows, (f, _, _) => fixtureFrameVid(vidId, f) + off)
+
+  /** The re-rendered video fixture: the SAME closed-form frames at 2×
+    * resolution (8×8) — every window sum scales by exactly 4, no
+    * comparison flips, so the re-render hashes IDENTICALLY through the
+    * real encode → decode path (spec-pinned; the x142 invariance on the
+    * temporal axis).
+    */
+  def fixtureAvi2x(vidId: Long): Array[Byte] =
+    makeAvi(8, 8, VideoWindows, (f, _, _) => fixtureFrameVid(vidId, f))
+
+  /** The [[VideoWindowsWide]]-frame fixture twin for WIDE scale runs —
+    * same closed-form levels, one frame per wide window; variant
+    * semantics carry over (brightness stays hamming-0, the frame-7 bump
+    * stays ≤ 2 bits, both within [[MaxHammingWide]]).
+    */
+  def fixtureAviWide(vidId: Long): Array[Byte] =
+    makeAvi(4, 4, VideoWindowsWide, (f, _, _) => fixtureFrameVid(vidId, f))
+
+  /** Closed-form PER-PIXEL frame gray for the x148 fixture — the
+    * thumbnail-match family needs frames big enough for the image dHash
+    * grid (9×8), with full per-pixel structure so a frame's dHash is as
+    * informative as a real image's. '#' separates this content space
+    * from the image ('_'), audio ('~') and window-video ('^') fixtures.
+    */
+  def fixtureVidFrameGray(docId: Long, f: Int, x: Int, y: Int): Int =
+    (XHash.h60(s"$docId#${f}_${x}_$y") % 215).toInt + 10
+
+  /** The x148 video fixture: a real 65-frame 9×8 AVI of
+    * [[fixtureVidFrameGray]] — grid-sized frames, so an extracted frame
+    * hashes through the REAL javax.imageio decode exactly like
+    * [[fixtureBmp]] does.
+    */
+  def fixtureAviFrames(docId: Long): Array[Byte] =
+    makeAvi(9, 8, VideoWindows, (f, x, y) => fixtureVidFrameGray(docId, f, x, y))
+
+  /** Closed-form frame level for the x146 quality fixture: ~10% of frames
+    * forced BLACK (level 5 — mean e3 luma 5000, under the 30 000
+    * threshold), every f ≡ 3 (mod 7) frame COPYING its predecessor's
+    * base level (a forced frozen run; (f−1) ≡ 2 (mod 7) is never itself
+    * frozen, so the SQL twin's `lag` is non-recursive), the rest in
+    * [40, 139]. Adjacent base levels can also collide by hash chance —
+    * the decoder and the oracle apply the SAME equality rule, so chance
+    * collisions count as frozen on both engines.
+    */
+  def fixtureQualityLevel(docId: Long, f: Int): Int = {
+    def base(g: Int): Int = {
+      val r = (XHash.h60(s"${docId}v$g") % 100).toInt
+      if (r < 10) 5 else 40 + r
+    }
+    if (f % 7 == 3) base(f - 1) else base(f)
+  }
+
+  /** The x146 fixture: a real 20-frame 4×4 AVI of constant-gray frames
+    * from [[fixtureQualityLevel]] — frame luma sum exactly 16 000 ×
+    * level, so the DuckDB oracle recomputes every quality counter from
+    * the level closed form.
+    */
+  def fixtureAviQuality(docId: Long): Array[Byte] =
+    makeAvi(4, 4, 20, (f, _, _) => fixtureQualityLevel(docId, f))
+
   /** Hash the fixture images/audio for a (doc_id, img_id) frame — one
     * real synthesize → decode → hash round trip per doc, batched per
     * partition like every decode step in [[Multimodal]]. `img_id` is the
@@ -946,6 +1297,27 @@ object PerceptualDedup {
       s"FROM ag l JOIN ag r ON r.doc_id = l.doc_id AND r.f = l.f + 1 WHERE l.f < ${AudioFrames - 1}), " +
       bandsPairsSql("ab")
 
+  /** The video twin of [[audioPairsSql]] over a preceding
+    * `src(doc_id, img_id)` CTE: closed-form frame grays (the '^'
+    * separator keeps video content distinct from audio's '~'), 64
+    * adjacent-window comparisons, the shared band/candidate/verify tail.
+    * The oracle sees the LEVELS because the fixture's window sums are
+    * exactly 16 000 × level — the Spark side's real AVI encode → RIFF
+    * walk → window sums must land on the same comparisons or the hash
+    * mismatches.
+    */
+  private def videoPairsSql: String =
+    s"dv AS (SELECT doc_id, img_id // $ClusterSize AS c, img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM dv), " +
+      s"vf AS (SELECT doc_id, v, ck, f FROM dk, (SELECT unnest(generate_series(0, ${VideoWindows - 1})) AS f)), " +
+      "vg AS (SELECT doc_id, f, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(f AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 7 THEN 25 ELSE 0 END AS g FROM vf), " +
+      s"vb AS (SELECT l.doc_id, l.f AS i, CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      s"FROM vg l JOIN vg r ON r.doc_id = l.doc_id AND r.f = l.f + 1 WHERE l.f < ${VideoWindows - 1}), " +
+      bandsPairsSql("vb")
+
   /** bits → 16-bit band values, one row per (doc, band index). */
   private def ibandsSql(bitsCte: String): String =
     s"ibands AS (SELECT doc_id, i // 16 AS j, CAST(sum(bit << (i % 16)) AS BIGINT) AS bv " +
@@ -1016,6 +1388,31 @@ object PerceptualDedup {
       "FROM ag2 l JOIN ag2 r ON r.doc_id = l.doc_id AND r.f = l.f + 1 " +
       s"WHERE l.f < ${AudioFrames - 1}), " +
       admitTailSql("near_dup_corpus_aud")
+
+  /** The video twin of [[admitAudSql]]: closed-form frame grays (the '^'
+    * content separator), a +10 BRIGHTNESS on the re-arrival populations
+    * (hash-invariant by construction — every window sum shifts equally);
+    * the side-tagged bits flow through the same band/candidate/strict
+    * tail. Level ceiling: base ≤ 210, +10 shift (v = 0 re-arrivals)
+    * ≤ 220 ≤ 255 — no byte wrap on either engine.
+    */
+  private def admitVidSql: String =
+    s"${admitSrc2Sql(10)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      "vf2 AS (SELECT doc_id, side, off, v, ck, f FROM dk2, " +
+      s"(SELECT unnest(generate_series(0, ${VideoWindows - 1})) AS f)), " +
+      "vg2 AS (SELECT doc_id, side, f, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(f AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 7 THEN 25 ELSE 0 END + off AS g FROM vf2), " +
+      "ib2 AS (SELECT l.doc_id, l.side, l.f AS i, " +
+      "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit " +
+      "FROM vg2 l JOIN vg2 r ON r.doc_id = l.doc_id AND r.f = l.f + 1 " +
+      s"WHERE l.f < ${VideoWindows - 1}), " +
+      admitTailSql("near_dup_corpus_vid")
 
   /** The admission fixture's population split, shared by both modalities:
     * corpus = docs % 9 ≠ 0 (own content), batch = % 9 = 0 (own) + two
@@ -1424,6 +1821,253 @@ object PerceptualDedup {
           expr("bit_xor(cv_id)").as("id_xor"),
           expr("bit_xor(b0)").as("b0_xor"), expr("bit_xor(b1)").as("b1_xor"),
           expr("bit_xor(b2)").as("b2_xor"), expr("bit_xor(b3)").as("b3_xor"))
+        .orderBy("decile")
+    },
+
+    // ----- x145: video perceptual near-dup (temporal dHash over a REAL AVI walk) -----
+    Q(
+      "x145_video_dhash",
+      Some(
+        "WITH RECURSIVE src AS (SELECT doc_id, doc_id AS img_id FROM documents), " +
+          s"$videoPairsSql, ${statusSql("near_dup_video")}"),
+      "VIDEO near-dup dedup — the modality triad's last leg, REUSING the band/" +
+        "pigeonhole/CC machinery on a third real decoder: per doc a REAL AVI container " +
+        "(RIFF 'hdrl'/'avih' + 'movi'/'00db' uncompressed 24-bit DIB frames) is " +
+        "synthesized closed-form and decoded through the hardened AVI walk " +
+        "(decodeAviFrameStats — claimed sizes clamped, oversize headers refused " +
+        "pre-decode, truncated frames skipped), 65 frame-window luma sums -> 64 " +
+        "adjacent comparisons -> 4x16-bit bands. The temporal envelope is invariant " +
+        "to exactly the edits that defeat byte hashing: +10 BRIGHTNESS shifts every " +
+        "window sum equally (the fixture's v=1 variant — hamming 0 BY CONSTRUCTION) " +
+        "and a kx re-render scales every window by k^2 (spec-pinned via the 2x " +
+        "fixture); a one-frame bump flips <=2 bits. Trimmed copies are out of scope " +
+        "(shot-aligned video fingerprinting is a different operator). Oracle " +
+        "recomputes the hash from the closed-form levels: encode -> AVI walk -> " +
+        "window sums -> hash -> band -> CC, all pinned. Scale: the x139 candidate " +
+        "shape — band-keyed joins, payloads decoded once."
+    ) { (s, dir) =>
+      statusFrame(
+        hashedFixture(s, table(s, dir, "documents"), fixtureAvi, videoDhashBands),
+        "near_dup_video")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x74 video leg: perceptual admission (`Cli admit --pmedia`, AVI batch rows) -----
+    Q(
+      "x74_admit_vid",
+      Some(s"WITH RECURSIVE $admitVidSql, ${admitStatusSql("near_dup_batch_vid")}"),
+      "VIDEO leg of media ADMISSION — the x74_admit_img/_aud rule on the third " +
+        "modality, REUSING the compare/strict/band machinery end to end: batch AVI " +
+        "payloads hashed through the hardened AVI walk (x145's temporal dHash), " +
+        "compared banded-pigeonhole against the corpus bands state, hamming<=3 " +
+        "SAME-MODALITY neighbors flag near_dup_corpus_vid; the strict pass CCs the " +
+        "still-admitted batch bands (near_dup_batch_vid). Under `Cli admit --pmedia` " +
+        "ONE modality-detected pass (mediaHashFrame: image decode, RIFF/WAVE " +
+        "fall-back, RIFF/AVI fall-back — fourccs disjoint by construction) hashes " +
+        "images, clips AND videos into ONE state table, `mod` keeping the three " +
+        "candidate spaces disjoint — a re-rendered re-post of corpus video no longer " +
+        "sails through admission unflagged. Fixture: the admit population split with " +
+        "a +10 BRIGHTNESS on re-arrivals (hash-invariant by construction); oracle " +
+        "recomputes window sums from the closed form, pinning encode -> AVI walk -> " +
+        "hash -> band -> compare -> strict CC. Scale: identical to the other legs — " +
+        "band-keyed joins, batch-sized, corpus video never re-decoded once the bands " +
+        "state exists."
+    ) { (s, dir) =>
+      admitFixtureStatuses(
+        s, table(s, dir, "documents").select("doc_id"), 10,
+        fixtureAviShift, videoDhashBands,
+        "near_dup_corpus_vid", "near_dup_batch_vid")
+    },
+
+    // ----- x147: video containment (trimmed-copy detection via frame bigrams) -----
+    Q(
+      "x147_video_containment",
+      Some(
+        "WITH src AS (SELECT doc_id, doc_id AS img_id, 0 AS off, " +
+          s"$VideoWindows AS nf FROM documents " +
+          s"UNION ALL SELECT doc_id + 5000000, doc_id, 10, ${VideoWindows - 10} " +
+          "FROM documents WHERE doc_id % 15 = 0), " +
+          s"dv AS (SELECT doc_id, off, nf, img_id // $ClusterSize AS c, " +
+          s"img_id % $ClusterSize AS v FROM src), " +
+          "dk AS (SELECT doc_id, off, nf, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+          "AS ck FROM dv), " +
+          "vf AS (SELECT doc_id, v, ck, off + unnest(generate_series(0, nf - 1)) AS fo FROM dk), " +
+          "vg AS (SELECT doc_id, fo, " +
+          s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
+          "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+          "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf), " +
+          "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM vg l " +
+          "JOIN vg r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM bg a " +
+          "JOIN bg b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id <> b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "WHERE 5 * i >= 4 * sa.n ORDER BY doc_id_a, doc_id_b"),
+      "VIDEO containment — trimmed-copy detection, x25's directional rule on the frame " +
+        "stream: distinct frame-BIGRAM fingerprints (adjacent (luma sum, sum-of-squares) " +
+        "moment pairs — the k=2 shingle over frames as content units), |A∩B|/|A| >= 0.8 " +
+        "integer-thresholded (5i >= 4*n_a, no float crosses the oracle). This is the " +
+        "case x145's single-alignment temporal dHash declares OUT of scope: a re-cut/" +
+        "excerpt keeps its frames bit-exact but shifts every hash window, so the " +
+        "whole-clip hash misses it while the trim is contained at 1.0 in its source. " +
+        "The two operators cover each other's blind spot (a trim that ALSO " +
+        "re-brightens moves every fingerprint and needs the dHash signal); audio has " +
+        "no containment form here BY DESIGN — WAV samples carry no intrinsic framing, " +
+        "any trim re-bins every window (documented on videoFrameShingles). Fixture: " +
+        "every 15th doc re-posts frames 10..64 of its own video as a REAL 55-frame " +
+        "AVI; both engines see the trim contained at 54/54 and the source at 54/64, " +
+        "plus the one-frame-edit cluster variants at 62/64. Oracle recomputes the " +
+        "closed-form levels, so the green row pins encode -> AVI walk -> frame " +
+        "moments -> bigram -> containment. Scale: the join shuffles 32-byte " +
+        "fingerprint keys, never payloads; real frame moments are near-unique (the " +
+        "fixture's 181-level concentration is the worst case) — the x25 caveat " +
+        "applies past that."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val src = ids
+        .select(col("doc_id"), col("doc_id").as("img_id"),
+          lit(0).as("off"), lit(VideoWindows).as("nf"))
+        .unionByName(ids.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("doc_id").as("img_id"),
+            lit(10).as("off"), lit(VideoWindows - 10).as("nf")))
+      val media = src.as[(Long, Long, Int, Int)]
+        .mapPartitions(_.map { case (id, img, off, nf) =>
+          (id, makeAvi(4, 4, nf, (f, _, _) => fixtureFrameVid(img, f + off)))
+        })
+        .toDF("doc_id", "payload")
+      videoContainmentPairs(media)
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x148: thumbnail provenance (image == frame-of-video cross-match) -----
+    Q(
+      "x148_thumbnail_match",
+      Some(
+        "WITH fidx AS (SELECT unnest([0, 16, 32, 48, 64]) AS f), " +
+          "vx AS (SELECT doc_id, f, x, y FROM documents, fidx, " +
+          "(SELECT unnest(generate_series(0, 8)) AS x), " +
+          "(SELECT unnest(generate_series(0, 7)) AS y)), " +
+          "vgp AS (SELECT doc_id, f, x, y, " +
+          s"(${XHash.h60Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(f AS VARCHAR) || '_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 215) + 10 AS g FROM vx), " +
+          "fbits AS (SELECT l.doc_id, l.f, l.y * 8 + l.x AS i, " +
+          "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit FROM vgp l " +
+          "JOIN vgp r ON r.doc_id = l.doc_id AND r.f = l.f AND r.y = l.y AND r.x = l.x + 1 " +
+          "WHERE l.x < 8), " +
+          "fbands AS (SELECT doc_id, f, i // 16 AS j, " +
+          "CAST(sum(bit << (i % 16)) AS BIGINT) AS bv FROM fbits GROUP BY 1, 2, 3), " +
+          "ix AS (SELECT doc_id, x, y FROM documents, " +
+          "(SELECT unnest(generate_series(0, 8)) AS x), " +
+          "(SELECT unnest(generate_series(0, 7)) AS y)), " +
+          "igp AS (SELECT doc_id, x, y, CASE WHEN doc_id % 10 = 0 THEN " +
+          s"(${XHash.h60Sql("CAST(doc_id AS VARCHAR) || '#32_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 215) + 26 ELSE " +
+          s"(${XHash.h60Sql("CAST(doc_id AS VARCHAR) || '#i_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 215) + 10 END AS g FROM ix), " +
+          "ibits AS (SELECT l.doc_id, l.y * 8 + l.x AS i, " +
+          "CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit FROM igp l " +
+          "JOIN igp r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1 WHERE l.x < 8), " +
+          "ibands AS (SELECT doc_id + 7000000 AS img_id, i // 16 AS j, " +
+          "CAST(sum(bit << (i % 16)) AS BIGINT) AS bv FROM ibits GROUP BY 1, 2), " +
+          "cand AS (SELECT DISTINCT i.img_id, fb.doc_id AS vid_id, fb.f FROM ibands i " +
+          "JOIN fbands fb ON fb.j = i.j AND fb.bv = i.bv), " +
+          "hm AS (SELECT c.img_id, c.vid_id, c.f, " +
+          "sum(bit_count(xor(ib.bv, fb.bv))) AS hd FROM cand c " +
+          "JOIN ibands ib ON ib.img_id = c.img_id " +
+          "JOIN fbands fb ON fb.doc_id = c.vid_id AND fb.f = c.f AND fb.j = ib.j " +
+          "GROUP BY 1, 2, 3) " +
+          s"SELECT img_id AS doc_id, vid_id, CAST(f AS BIGINT) AS frame_idx " +
+          s"FROM hm WHERE hd <= $MaxHamming ORDER BY 1, 2, 3"),
+      "THUMBNAIL provenance — the cross-modal question a video+image corpus must " +
+        "answer before training (is this 'image' just a frame of a video we already " +
+        "have? LAION-style pipelines dedup images and videos separately and never " +
+        "see the overlap): every 16th frame of each video is extracted as a REAL " +
+        "standalone BMP (extractAviFrames — container surgery, the DIB frame body IS " +
+        "the BMP pixel array, 54-byte header prepend + one byte copy, no re-encode), " +
+        "hashed through the SAME javax.imageio decode + dHash as the image side (one " +
+        "hash function = one candidate space — deliberately the OPPOSITE of the " +
+        "dedup family's modality-disjoint rule: a thumbnail IS an image of the " +
+        "frame), banded bipartite join + hamming<=3 verify -> (image, video, " +
+        "frame_idx) matches. Fixture: per doc a 65-frame 9x8 AVI with full per-pixel " +
+        "closed-form structure; every 10th doc posts frame 32 BRIGHTENED +16 as its " +
+        "image (byte equality cannot see it, the dHash invariance can — which is " +
+        "what the oracle pins through makeAvi -> extract -> imageio -> hash -> " +
+        "band -> verify); other docs post unrelated images (no false matches at " +
+        "hamming<=3 of 64 informative bits). Scale: frames-per-video capped by the " +
+        "stride, 16-byte band keys shuffle, payloads decoded once and never moved."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val videos = ids.as[Long]
+        .mapPartitions(_.map(id => (id, fixtureAviFrames(id))))
+        .toDF("doc_id", "payload")
+      val images = ids.as[Long]
+        .mapPartitions(_.map { id =>
+          val p =
+            if (id % 10 == 0) makeBmp(9, 8, (x, y) => fixtureVidFrameGray(id, 32, x, y) + 16)
+            else makeBmp(9, 8, (x, y) =>
+              (XHash.h60(s"$id#i_${x}_$y") % 215).toInt + 10)
+          (id + 7000000L, p)
+        })
+        .toDF("doc_id", "payload")
+      thumbnailMatches(images, videos, every = 16)
+        .orderBy("doc_id", "vid_id", "frame_idx")
+    },
+
+    // ----- x146: video quality audit (black frames / frozen frames) -----
+    Q(
+      "x146_video_quality",
+      Some(
+        "WITH f0 AS (SELECT doc_id, unnest(generate_series(0, 19)) AS f FROM documents), " +
+          s"rv AS (SELECT doc_id, f, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'v' || CAST(f AS VARCHAR)")} % 100 AS r FROM f0), " +
+          "bs AS (SELECT doc_id, f, CASE WHEN r < 10 THEN 5 ELSE 40 + r END AS b FROM rv), " +
+          "ac AS (SELECT doc_id, f, CASE WHEN f % 7 = 3 THEN " +
+          "lag(b) OVER (PARTITION BY doc_id ORDER BY f) ELSE b END AS l FROM bs), " +
+          "q AS (SELECT doc_id, f, l, lag(l) OVER (PARTITION BY doc_id ORDER BY f) AS pl FROM ac), " +
+          "pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf, " +
+          "CAST(sum(CASE WHEN l <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+          "CAST(sum(CASE WHEN pl IS NOT NULL AND l = pl THEN 1 ELSE 0 END) AS BIGINT) AS nz, " +
+          "CAST(sum(l) * 16000 AS BIGINT) AS ls, " +
+          "CAST(max(l) * 16000 AS BIGINT) AS pk FROM q GROUP BY 1) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_vids, " +
+          "CAST(sum(nf) AS BIGINT) AS frames_total, " +
+          "CAST(sum(nb) AS BIGINT) AS black_total, " +
+          "CAST(sum(nz) AS BIGINT) AS frozen_total, " +
+          "CAST(bit_xor(ls) AS BIGINT) AS sum_xor, " +
+          "CAST(bit_xor(pk) AS BIGINT) AS peak_xor " +
+          "FROM pc GROUP BY 1 ORDER BY 1"),
+      "VIDEO quality audit — x143/x144's twin for the frame-stream modality: a video " +
+        "corpus must drop dead footage before training, and the detectors are exact " +
+        "integer counters over per-frame luma moments (no optical flow needed): " +
+        "n_black = frames whose MEAN e3 luma <= 30000 (leaders, trailers, failed " +
+        "captures — the x144 crushed-black rule per frame), n_frozen = frames whose " +
+        "luma sum AND sum-of-squares both equal the previous frame's (a static " +
+        "capture holds both envelope moments; the two-moment collision is the " +
+        "detector's documented approximation), plus exact lum_sum / lum_peak. " +
+        "Fixture: per doc a REAL 20-frame AVI with closed-form constant-gray frames — " +
+        "~10% forced black (level 5), every 7th frame copying its predecessor " +
+        "(forced frozen runs, (f-1)%7 never itself frozen so the SQL lag twin is " +
+        "non-recursive) — decoded through the hardened walk (decodeAviQuality); the " +
+        "oracle recomputes every counter from the level closed form, threshold edges " +
+        "inclusive. Registered via the REAL library route (videoQualityFrame over " +
+        "synthesized payloads). Plan: 2 shuffles, 0 joins — a pure decode-scan " +
+        "aggregate, embarrassingly parallel at 100 TB."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, fixtureAviQuality(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoQualityFrame(media)
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_vids"),
+          sum("n_frames").as("frames_total"),
+          sum("n_black").as("black_total"),
+          sum("n_frozen").as("frozen_total"),
+          expr("bit_xor(lum_sum)").as("sum_xor"),
+          expr("bit_xor(lum_peak)").as("peak_xor"))
         .orderBy("decile")
     }
   )

@@ -769,6 +769,62 @@ class CliAdmitSpec extends SparkSpec {
       .as[Long].head() === 16L)
   }
 
+  test("admit --pmedia modality-detects video: a re-rendered AVI re-post is rejected near_dup_corpus_vid") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-video")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // THREE-modality corpus media: docs 0-3 images, 4-6 clips, 7-9 videos
+    val corpusMedia = ((0L to 3L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+      (4L to 6L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))) ++
+      (7L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5))))
+      .toDF("doc_id", "payload")
+    // batch: 101 = +10 brightened re-encode of corpus doc 8's video (the
+    // edit byte hashing cannot see -> near_dup_corpus_vid); 102/103 = the
+    // SAME novel video arriving twice, once as a 2x RE-RENDER (hamming 0
+    // by the window-sum invariance) -> strict CC keeps 102, 103
+    // near_dup_batch_vid; 104 = +10 re-gain of corpus doc 5's CLIP (the
+    // audio leg must keep working beside the video one); 105 = fresh
+    // video, admitted
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
+      doc(104L, "d"), doc(105L, "e")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.fixtureAviShift(8L * 5, 10)),
+      (102L, PerceptualDedup.fixtureAvi(7777L * 5)),
+      (103L, PerceptualDedup.fixtureAvi2x(7777L * 5)),
+      (104L, PerceptualDedup.fixtureWavShift(5L * 5, 10)),
+      (105L, PerceptualDedup.fixtureAvi(9999L * 5))
+    ).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
+      "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    corpusMedia.write.parquet(paths("cm")); batchMedia.write.parquet(paths("bm"))
+    val psigs = base.getPath + "/psigs"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", paths("bm"),
+        "--psigs", psigs)) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_vid":1"""), j)
+    assert(j.contains(""""near_dup_batch_vid":1"""), j)
+    assert(j.contains(""""near_dup_corpus_aud":1"""), j)
+    assert(j.contains(""""admitted":2"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(102L, 105L))
+    // the bands state holds all THREE modalities side by side, mod-tagged
+    val st = spark.read.parquet(s"$psigs/bands")
+    assert(st.filter(col("mod") === "vid").count() === 5L) // 3 corpus + 102, 105
+    assert(st.filter(col("mod") === "aud").count() === 3L)
+    assert(st.filter(col("mod") === "img").count() === 4L)
+  }
+
   test("psigs meta drives the batch hash width: a wide state makes later batches hash wide") {
     import xscale.PerceptualDedup
     val base = tmpDir("cli-admit-wide-state")

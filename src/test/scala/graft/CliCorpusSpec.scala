@@ -230,24 +230,31 @@ class CliCorpusSpec extends SparkSpec {
     // keep the LARGER copy and drop the original (x142's rule). The
     // planted rows derive from REAL quality-passing docs so the quality
     // stage keeps them in play.
-    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L))
+    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L, 17L))
       .withColumn("doc_id", col("doc_id") + 29990L)
       .withColumn("text", concat(col("text"), lit(" zq"), col("doc_id")))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val docs = docs0.unionByName(extraFull)
     // media side: every base doc < 100 posts its own fixture image
-    // (mutually far at id*5); the planted trio as described
+    // (mutually far at id*5); the planted trio as described; doc 30007
+    // re-posts doc 6's VIDEO as a 2x RE-RENDER (the third modality rides
+    // the same stage — and the larger re-render must WIN keep-best).
+    // Planted bases 11/12/13/15/17 are the quality-passing picks (14 and
+    // 16 fail the quality stage and would vanish before pdedup votes)
     val media = ((0L to 99L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
       Seq(
         (30001L, PerceptualDedup.fixtureBmpShift(1L * 5, 16)),
         (30002L, PerceptualDedup.fixtureWavShift(2L * 5, 10)),
         (30003L, PerceptualDedup.fixtureWav(7777L * 5)),
+        (30007L, PerceptualDedup.fixtureAvi2x(6L * 5)),
         (30005L, PerceptualDedup.fixtureBmp2x(3L * 5))))
       .toDF("doc_id", "payload")
-    // give docs 0-99 audio? no — doc 2 posts an IMAGE above; re-post its
-    // clip instead from a doc that HAS one: make doc 2's media a WAV
-    val media2 = media.filter(col("doc_id") =!= 2L)
-      .unionByName(Seq((2L, PerceptualDedup.fixtureWav(2L * 5))).toDF("doc_id", "payload"))
+    // docs 2 and 6 post IMAGES above; their re-posts target a clip and a
+    // video, so swap their media rows to the matching modality
+    val media2 = media.filter(!col("doc_id").isin(2L, 6L))
+      .unionByName(Seq(
+        (2L, PerceptualDedup.fixtureWav(2L * 5)),
+        (6L, PerceptualDedup.fixtureAvi(6L * 5))).toDF("doc_id", "payload"))
     val docsPath = base.getPath + "/docs.parquet"
     val mediaPath = base.getPath + "/media.parquet"
     docs.write.parquet(docsPath)
@@ -271,6 +278,10 @@ class CliCorpusSpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(2L) && ids.contains(30003L))
     assert(ids.contains(30005L) && !ids.contains(3L),
       "the larger re-post must be the survivor")
+    // the video modality rides the same stage: the 2x re-render (larger
+    // payload) wins keep-best over the original clip
+    assert(ids.contains(30007L) && !ids.contains(6L),
+      "the larger video re-render must be the survivor")
     // docs with no media row pass the stage untouched
     assert(out.count() > 90)
   }

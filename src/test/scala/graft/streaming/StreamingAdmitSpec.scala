@@ -367,6 +367,60 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(rep2 === Map("near_dup_corpus_aud" -> 1L))
   }
 
+  test("media leg video: third modality classifies off the shared state, appended bands flag day 2") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-video")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    // three-modality state, as `Cli admit --psigs` run 1 writes it
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    PerceptualDedup.mediaHashFrame(
+      ((0L to 3L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+        (4L to 6L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))) ++
+        (7L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5))))
+        .toDF("doc_id", "payload"))
+      .filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    // 61 = brightened re-encode of corpus video 8 (near_dup_corpus_vid);
+    // 62/63 = the same novel video twice, once 2x re-rendered (strict
+    // keeps 62, 63 near_dup_batch_vid); 64 = re-gain of corpus clip 5
+    // (the audio rule keeps firing beside the video one); 65 = fresh
+    val d1 = Seq((61L, novel1, "s"), (62L, novel2, "s"), (63L, novel3, "s"),
+      (64L, novel4, "s"), (65L, "an unrelated sluice calibration ledger", "s"))
+      .toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (61L, PerceptualDedup.fixtureAviShift(8L * 5, 10)),
+      (62L, PerceptualDedup.fixtureAvi(6161L * 5)),
+      (63L, PerceptualDedup.fixtureAvi2x(6161L * 5)),
+      (64L, PerceptualDedup.fixtureWavShift(5L * 5, 10)),
+      (65L, PerceptualDedup.fixtureAvi(8989L * 5))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out))
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(62L, 65L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_vid" -> 1L,
+      "near_dup_batch_vid" -> 1L, "near_dup_corpus_aud" -> 1L))
+    val st = spark.read.parquet(s"$psigs/bands")
+    assert(st.filter(col("mod") === "vid").count() === 5L) // 3 corpus + 62, 65
+    // day 2: a re-render of day-1-admitted 62 flags off the APPENDED state
+    val d2 = Seq((71L, "a novel penstock inspection roster for the east race", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((71L, PerceptualDedup.fixtureAvi2x(6161L * 5)))
+      .toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out))
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_vid" -> 1L))
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -288,6 +288,225 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L)))
   }
 
+  // ---- the video modality: AVI walk, temporal dHash, quality counters ----
+
+  test("makeAvi round-trips through decodeAviFrameStats: exact per-frame luma sums") {
+    // asymmetric gray pins row order; equal channels make the e3 luma
+    // exactly 1000x gray, so the frame sums are closed-form
+    val g = (f: Int, x: Int, y: Int) => f * 20 + x * 5 + y
+    val Some((w, h, sums, sqs)) = Multimodal.decodeAviFrameStats(makeAvi(3, 2, 4, g))
+    assert(w == 3 && h == 2)
+    assert(sums.length == 4)
+    for (f <- 0 until 4) {
+      val expect = (for (x <- 0 until 3; y <- 0 until 2) yield 1000L * g(f, x, y)).sum
+      assert(sums(f) == expect, s"frame $f sum")
+      val expectSq = (for (x <- 0 until 3; y <- 0 until 2)
+        yield { val l = 1000L * g(f, x, y); l * l }).sum
+      assert(sqs(f) == expectSq, s"frame $f sumSq")
+    }
+  }
+
+  test("AVI walk hardening: truncated frames skipped, oversize refused, claims clamped") {
+    val base = fixtureAvi(0L)
+    // truncating the last frame's tail drops THAT frame, not the clip:
+    // 64 complete frames remain — under the 65-window grid, so no hash
+    val cut = base.take(base.length - 10)
+    assert(Multimodal.decodeAviFrameStats(cut).get._3.length == VideoWindows - 1)
+    assert(videoDhashBands(cut).isEmpty)
+    // a crafted header claiming 100000x100000 pixels is refused BEFORE
+    // any frame byte is touched (MaxDecodePixels, the image reader's rule)
+    val big = base.clone()
+    def le32(o: Int, v: Long): Unit =
+      (0 until 4).foreach(j => big(o + j) = ((v >> (8 * j)) & 0xff).toByte)
+    le32(32 + 32, 100000L); le32(32 + 36, 100000L)
+    assert(Multimodal.decodeAviFrameStats(big).isEmpty)
+    // an inflated movi LIST size claim is clamped to the bytes present —
+    // same decode as the honest container, no crash, no extra work
+    val inflated = base.clone()
+    (0 until 4).foreach(j => inflated(92 + j) = ((0x7fffffffL >> (8 * j)) & 0xff).toByte)
+    assert(Multimodal.decodeAviFrameStats(inflated).get._3.toSeq ==
+      Multimodal.decodeAviFrameStats(base).get._3.toSeq)
+    // foreign bytes: a WAV is RIFF but not 'AVI '; a BMP is not RIFF
+    assert(Multimodal.decodeAviFrameStats(fixtureWav(0L)).isEmpty)
+    assert(Multimodal.decodeAviFrameStats(fixtureBmp(0L)).isEmpty)
+    // and the other direction: an AVI is None to the WAV/image decoders
+    assert(audioDhashBands(fixtureAvi(0L)).isEmpty)
+    assert(dhashBands(fixtureAvi(0L)).isEmpty)
+  }
+
+  test("videoDhashBands: brightness AND 2x re-render are hash-invariant, bump <= 2 bits") {
+    // cluster 0: docs 0 (base), 1 (+10 brightness), 2 (frame-7 bump)
+    val b0 = videoDhashBands(fixtureAvi(0L)).get
+    assert(videoDhashBands(fixtureAvi(1L)).get.toSeq == b0.toSeq, "brightness twin")
+    assert(videoDhashBands(fixtureAvi2x(0L)).get.toSeq == b0.toSeq, "2x re-render")
+    val ham = b0.zip(videoDhashBands(fixtureAvi(2L)).get)
+      .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham <= 2, s"bump flipped $ham bits")
+    // fewer than 65 complete frames: no classic hash
+    assert(videoDhashBands(makeAvi(4, 4, 64, (f, _, _) => f % 200)).isEmpty)
+  }
+
+  test("fixture AVI hashed through the REAL decoder equals the closed-form bits") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 123L)) {
+      val bits = Array.tabulate(64)(f => fixtureFrameVid(id, f + 1) > fixtureFrameVid(id, f))
+      assert(videoDhashBands(fixtureAvi(id)).get.toSeq == bandsFromBits(bits).toSeq,
+        s"vid doc $id")
+    }
+  }
+
+  test("videoDhashBandsWide: 8 x 32-bit bands, brightness-invariant, needs >= 257 frames") {
+    def avi(off: Int) = makeAvi(4, 4, VideoWindowsWide,
+      (f, _, _) => 30 + (f * 37) % 181 + off)
+    val b = videoDhashBandsWide(avi(0)).get
+    assert(b.length == BandsWide)
+    assert(b.forall(v => v >= 0 && v <= 0xffffffffL), "32-bit band values")
+    assert(videoDhashBandsWide(avi(10)).get.toSeq == b.toSeq, "brightness-invariant")
+    // a 65-frame clip has no wide hash but still hashes classic
+    assert(videoDhashBandsWide(fixtureAvi(0L)).isEmpty)
+    assert(videoDhashBands(fixtureAvi(0L)).isDefined)
+  }
+
+  test("videoNearDupPairs: brightness twin pairs, undecodable skipped, pigeonhole guard") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, fixtureAvi(0L)),
+      (2L, fixtureAvi(1L)),   // +10 brightness twin
+      (3L, fixtureAvi(3L)),   // distinct content
+      (4L, Array[Byte](9, 9, 9))
+    ).toDF("doc_id", "payload")
+    val pairs = graft.TrainingData.videoNearDupPairs(media).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    intercept[IllegalArgumentException](videoNearDupPairs(media, maxHamming = 4))
+  }
+
+  test("mediaHashFrame: video detected as third modality, vid16 fallback under wide") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, fixtureBmp(0L)),   // image
+      (2L, fixtureWav(0L)),   // audio
+      (3L, fixtureAvi(0L)),   // video, cluster 0 — same content FAMILY
+      (4L, fixtureAvi(1L)),   // its brightness twin
+      (5L, "none".getBytes)
+    ).toDF("doc_id", "payload")
+    val hf = mediaHashFrame(media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(hf(3L) == ((true, "vid")) && hf(4L) == ((true, "vid")))
+    assert(hf(1L)._2 == "img" && hf(2L)._2 == "aud" && !hf(5L)._1)
+    // video pairs form within the vid space only; img/aud rows of the
+    // same closed-form content family never pair with it
+    val pairs = graft.TrainingData.mediaNearDupPairs(media)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)))
+    // under wide, a 65-frame clip can't fill the 257-window grid and
+    // falls back to the classic hash in the width-suffixed vid16 space
+    val hw = mediaHashFrame(media, wide = true).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(hw(3L) == ((true, "vid16")) && hw(4L) == ((true, "vid16")))
+    val wp = mediaNearDupPairs(media, wide = true).as[(Long, Long)].collect().toSet
+    assert(wp == Set((3L, 4L)), "vid16 recall stays on under wide")
+  }
+
+  test("video containment catches the trim the temporal dHash misses — and vice versa") {
+    import spark.implicits._
+    def avi(img: Long, off: Int, nf: Int, bright: Int = 0) =
+      makeAvi(4, 4, nf, (f, _, _) => fixtureFrameVid(img, f + off) + bright)
+    val media = Seq(
+      (1L, avi(0L, 0, 65)),        // the source clip
+      (2L, avi(0L, 10, 55)),       // frames 10..64 trimmed out of it
+      (3L, avi(0L, 10, 55, 10)),   // the same trim ALSO re-brightened
+      (4L, avi(15L, 0, 65)),       // unrelated clip
+      (5L, "junk".getBytes)
+    ).toDF("doc_id", "payload")
+    // containment sees the exact trim in BOTH directions (54/54 and
+    // 54/64), not the brightened one (every fingerprint moved) and not
+    // the unrelated clip
+    val pairs = graft.TrainingData.videoContainmentPairs(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L, 54L, 54L), (1L, 2L, 54L, 64L)), pairs)
+    // the complementarity claim, pinned from the other side: the temporal
+    // dHash misses the trim entirely (window re-alignment) but catches
+    // the BRIGHTENED full-length re-encode containment cannot see
+    val media2 = Seq(
+      (1L, avi(0L, 0, 65)),
+      (2L, avi(0L, 10, 55)),       // trim: invisible to the hash
+      (6L, avi(0L, 0, 65, 10))     // +10 brightness: invisible to containment
+    ).toDF("doc_id", "payload")
+    assert(graft.TrainingData.videoNearDupPairs(media2)
+      .as[(Long, Long)].collect().toSet == Set((1L, 6L)))
+    assert(graft.TrainingData.videoContainmentPairs(media2)
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet ==
+      Set((2L, 1L), (1L, 2L)))
+    intercept[IllegalArgumentException](videoContainmentPairs(media, num = 6, den = 5))
+  }
+
+  test("extractAviFrames: container surgery round-trips through javax.imageio bit-exact") {
+    import spark.implicits._
+    // an extracted frame must decode to EXACTLY the gray the AVI writer
+    // put in — same block sums as a makeBmp of the same function (the
+    // no-re-encode claim), including the padded 9-wide rows
+    val videos = Seq((1L, fixtureAviFrames(5L))).toDF("doc_id", "payload")
+    val frames = Multimodal.extractAviFrames(videos, every = 16).collect()
+      .map(r => (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    assert(frames.keySet == Set(0L, 16L, 32L, 48L, 64L), "stride rule")
+    for ((f, p) <- frames) {
+      val Some((w, h, sums, _)) = Multimodal.decodeBlockLumaE3(p, 9, 8)
+      assert(w == 9 && h == 8)
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert(sums(y * 9 + x) == 1000L * fixtureVidFrameGray(5L, f.toInt, x, y),
+          s"frame $f block ($x, $y)")
+      // and the extracted frame's dHash equals the direct BMP's
+      assert(dhashBands(p).get.toSeq ==
+        dhashBands(makeBmp(9, 8, (x, y) => fixtureVidFrameGray(5L, f.toInt, x, y))).get.toSeq)
+    }
+    // non-AVI payloads contribute no rows; every must be >= 1
+    assert(Multimodal.extractAviFrames(
+      Seq((2L, fixtureBmp(0L))).toDF("doc_id", "payload")).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.extractAviFrames(videos, every = 0))
+  }
+
+  test("thumbnailMatches: a brightened frame re-post matches (vid, frame_idx); no false hits") {
+    import spark.implicits._
+    val videos = Seq((10L, fixtureAviFrames(10L)), (20L, fixtureAviFrames(20L)))
+      .toDF("doc_id", "payload")
+    val images = Seq(
+      // frame 48 of video 10, brightened +16 — byte hashing cannot see it
+      (100L, makeBmp(9, 8, (x, y) => fixtureVidFrameGray(10L, 48, x, y) + 16)),
+      // an unrelated image
+      (101L, makeBmp(9, 8, (x, y) => ((x * 67 + y * 31) % 200) + 20)),
+      // undecodable bytes are skipped, not errors
+      (102L, "not media".getBytes)
+    ).toDF("doc_id", "payload")
+    val m = graft.TrainingData.thumbnailMatches(images, videos)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m == Set((100L, 10L, 48L)), m)
+  }
+
+  test("decodeAviQuality: exact black/frozen counters, inclusive threshold, two-moment rule") {
+    // constant-gray frames with hand-chosen levels: black at 5 and at the
+    // inclusive 30 edge; frozen at the two exact repeats
+    val levels = Array(5, 80, 80, 30, 200, 200)
+    val p = makeAvi(4, 4, 6, (f, _, _) => levels(f))
+    val Some((nf, black, frozen, lumSum, lumPeak)) = Multimodal.decodeAviQuality(p)
+    assert(nf == 6 && black == 2 && frozen == 2)
+    assert(lumSum == 16000L * levels.map(_.toLong).sum)
+    assert(lumPeak == 16000L * 200)
+    // equal SUMS with different pixels are NOT frozen — the sum-of-squares
+    // second moment tells a static capture from a re-lit scene: frame 1
+    // is constant 10, frame 2 is half 5 / half 15 (same sum, higher sq)
+    val tricky = makeAvi(4, 4, 2,
+      (f, x, _) => if (f == 0) 10 else if (x % 2 == 0) 5 else 15)
+    val Some((_, _, fz2, _, _)) = Multimodal.decodeAviQuality(tricky)
+    assert(fz2 == 0, "equal-sum different-pixels frames must not count frozen")
+    // fixture closed form == decoder counters (the x146 oracle premise)
+    for (id <- Seq(0L, 7L, 123L)) {
+      val lv = Array.tabulate(20)(f => fixtureQualityLevel(id, f).toLong)
+      val Some((n2, b2, z2, s2, k2)) = Multimodal.decodeAviQuality(fixtureAviQuality(id))
+      assert(n2 == 20 && s2 == 16000L * lv.sum && k2 == 16000L * lv.max)
+      assert(b2 == lv.count(_ <= 30))
+      assert(z2 == (1 until 20).count(f => lv(f) == lv(f - 1)))
+    }
+  }
+
   test("admitMediaCompare: band-width mismatch rejects loudly, never silently zero-recall") {
     import spark.implicits._
     // craft a candidate collision across widths: state band (j=0, bv=5)

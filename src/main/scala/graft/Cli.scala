@@ -431,7 +431,8 @@ object Cli {
             (f.embPath.isDefined == f.bembPath.isDefined) &&
             (f.esigsDir.isEmpty || f.embPath.isDefined) &&
             (f.pmediaPath.isDefined == f.bmediaPath.isDefined) &&
-            (f.psigsDir.isEmpty || f.pmediaPath.isDefined)) =>
+            (f.psigsDir.isEmpty || f.pmediaPath.isDefined) &&
+            (!f.ptrim || f.pmediaPath.isDefined)) =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val flags = parseAdmitFlags(rest).get
       import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
@@ -614,6 +615,61 @@ object Cli {
             wide, legacy))
         case _ => None
       }
+      // --ptrim: the TRIM leg — the blind spot the band leg leaves open
+      // by design: a re-cut/excerpt of corpus video keeps its frames
+      // bit-exact but shifts every hash window, so --pmedia admits it
+      // (x145's single-alignment convention). The x147 containment rule
+      // as an admission signal: batch videos' distinct frame-bigram
+      // shingles vs the corpus shingle state (<psigs>/shingles — ~64
+      // rows per corpus video, corpus media never re-decoded once it
+      // exists), >= 0.8 containment flags near_dup_corpus_vtrim; under
+      // --strict, a trim and its source arriving TOGETHER keep the
+      // LONGER clip (keep-best by shingle count — min-id would keep the
+      // excerpt and drop the footage), losers near_dup_batch_vtrim.
+      // The shingle state has no band-width concept, so it composes with
+      // both classic and wide band states unchanged; --compact
+      // reconciles it (left_semi on live ids + DISTINCT — shingle rows
+      // are pure values, exact duplicates are always append replays).
+      val trimState: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+        if (!flags.ptrim) None
+        else (flags.pmediaPath, flags.bmediaPath) match {
+          case (Some(cm), Some(bm)) =>
+            def corpusShingleScan() = xscale.PerceptualDedup
+              .videoFrameShingles(spark.read.parquet(cm))
+              .withColumnRenamed("doc_id", "cv_id")
+            val corpusSh = flags.psigsDir match {
+              case Some(d) =>
+                val shPath = s"$d/shingles"
+                val bootstrapped = hfsExists(spark, shPath)
+                if (flags.compact && bootstrapped) {
+                  val compacted = graft.xscale.DedupClusters.ckpt(
+                    xscale.PerceptualDedup.compactTrimShingles(
+                      spark.read.parquet(shPath),
+                      spark.read.parquet(corpusPath)
+                        .select(col("doc_id").as("vec_id"))),
+                    flags.ckptDir)
+                  compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                    .parquet(shPath)
+                }
+                if (!bootstrapped)
+                  corpusShingleScan().write
+                    .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(shPath)
+                spark.read.parquet(shPath)
+              case None =>
+                graft.xscale.DedupClusters.ckpt(corpusShingleScan(), flags.ckptDir)
+            }
+            // batch shingles cut once: referenced by the compare, the
+            // strict pass AND the state append
+            val batchSh = graft.xscale.DedupClusters.ckpt(
+              xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm)),
+              flags.ckptDir)
+            Some((
+              graft.xscale.DedupClusters.ckpt(
+                xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchSh),
+                flags.ckptDir),
+              batchSh))
+          case _ => None
+        }
       // ALL corpus-vs-batch legs run BEFORE either strict pass: a strict
       // pass elects a survivor per intra-batch cluster, and a corpus leg
       // that ran AFTER it could reject that survivor — leaving the
@@ -655,6 +711,19 @@ object Cli {
             flags.ckptDir)
         case None => stC1
       }
+      // the trim corpus leg runs AFTER the band leg: restatus only
+      // demotes still-admitted docs, so a full near-dup keeps its
+      // stronger near_dup_corpus_img/_aud/_vid status and only docs the
+      // band rule cleared can flag near_dup_corpus_vtrim
+      val stC3 = trimState match {
+        case Some((frame, _)) =>
+          graft.xscale.DedupClusters.ckpt(
+            xscale.Dedup.restatus(
+              stC2, frame.filter(col("near_trim")).select("doc_id"),
+              "near_dup_corpus_vtrim"),
+            flags.ckptDir)
+        case None => stC2
+      }
       // --strict: the batch-vs-corpus rules cannot see two near-dups
       // arriving TOGETHER (both admitted, both in the corpus forever) —
       // close the leak with near-dup CC over the admitted docs'
@@ -662,9 +731,9 @@ object Cli {
       // cluster losers become near_dup_batch, exactly mirroring
       // dup_exact_batch one level up the dup hierarchy
       val stS0 =
-        if (!flags.strict) stC2
+        if (!flags.strict) stC3
         else graft.xscale.DedupClusters.ckpt(
-          xscale.Dedup.admitStrict(stC2, batchSigs, checkpointDir = flags.ckptDir),
+          xscale.Dedup.admitStrict(stC3, batchSigs, checkpointDir = flags.ckptDir),
           flags.ckptDir)
       // --strict + --emb: the emb analog of the text strict pass, one
       // signal level down — two REWORDINGS arriving together both clear
@@ -709,13 +778,27 @@ object Cli {
             flags.ckptDir)
         case _ => stS1
       }
-      st.groupBy("status")
+      // --strict + --ptrim: a trim and its SOURCE arriving together both
+      // clear the corpus rules — undirected containment CC over the
+      // finally-admitted batch shingles, keep-BEST by shingle count (the
+      // longer clip is the source), losers near_dup_batch_vtrim
+      val stF = (trimState, flags.strict) match {
+        case (Some((_, batchSh)), true) =>
+          val admNow = st.filter(col("status") === "admitted").select("doc_id")
+          val losers = xscale.PerceptualDedup.admitTrimStrictLosers(
+            batchSh.join(admNow, "doc_id"), checkpointDir = flags.ckptDir)
+          graft.xscale.DedupClusters.ckpt(
+            xscale.Dedup.restatus(st, losers, "near_dup_batch_vtrim"),
+            flags.ckptDir)
+        case _ => st
+      }
+      stF.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
         .orderBy("status")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/report")
-      val admittedIds = st.filter(col("status") === "admitted").select("doc_id")
+      val admittedIds = stF.filter(col("status") === "admitted").select("doc_id")
       batch.join(admittedIds, "doc_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/admitted")
@@ -747,6 +830,15 @@ object Cli {
             col("doc_id").as("cv_id") +:
               (if (leg.legacy) Seq(col("bands")) else Seq(col("mod"), col("bands"))): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/bands")
+      // the shingle append rides the same crash rule: before the sig
+      // append (still-needed on retry), after the output — a crash here
+      // retries into doubled shingle rows, collapsed by --compact's
+      // DISTINCT and harmless to containment decisions
+      for ((_, batchSh) <- trimState; d <- flags.psigsDir)
+        batchSh.join(admittedIds, "doc_id")
+          .select(col("doc_id").as("cv_id"),
+            col("s1"), col("q1"), col("s2"), col("q2"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/shingles")
       flags.sigsDir.foreach { d =>
         batchSigs.join(admittedIds, "doc_id")
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
@@ -773,6 +865,12 @@ object Cli {
           (if (flags.strict && flags.pmediaPath.isDefined)
             xscale.PerceptualDedup.Modalities
               .map { case (_, _, bs) => s""""$bs":${n(bs)},""" }.mkString
+          else "") +
+          (if (flags.ptrim)
+            s""""near_dup_corpus_vtrim":${n("near_dup_corpus_vtrim")},""" +
+              (if (flags.strict)
+                s""""near_dup_batch_vtrim":${n("near_dup_batch_vtrim")},"""
+              else "")
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -820,6 +918,7 @@ object Cli {
       bembPath: Option[String] = None,
       esigsDir: Option[String] = None,
       pmediaPath: Option[String] = None,
+      ptrim: Boolean = false,
       bmediaPath: Option[String] = None,
       psigsDir: Option[String] = None)
 
@@ -845,6 +944,8 @@ object Cli {
       parseAdmitFlags(tail).map(_.copy(bmediaPath = Some(dir)))
     case "--psigs" :: dir :: tail if !dir.startsWith("--") =>
       parseAdmitFlags(tail).map(_.copy(psigsDir = Some(dir)))
+    case "--ptrim" :: tail =>
+      parseAdmitFlags(tail).map(_.copy(ptrim = true))
     case _ => None
   }
 
@@ -884,7 +985,7 @@ object Cli {
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
         "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +
-        "                 [--pmedia <corpusMedia> --bmedia <batchMedia> [--psigs <dir>]]\n" +
+        "                 [--pmedia <corpusMedia> --bmedia <batchMedia> [--psigs <dir>] [--ptrim]]\n" +
         "                 (--strict also near-dedups WITHIN the admitted set — near-dup pairs arriving\n" +
         "                 together in one batch keep one survivor, losers report as near_dup_batch;\n" +
         "                 with --emb it ALSO runs the emb analog over the finally-admitted vectors —\n" +
@@ -905,6 +1006,11 @@ object Cli {
         "                 the corpus bands so later runs never re-decode the corpus media — the media twin\n" +
         "                 of --sigs; its meta records the band WIDTH (wide 256-bit hashes past ~1e6 media\n" +
         "                 docs, auto-chosen at bootstrap) and later batches hash at the state's width;\n" +
+        "                 --ptrim adds the TRIM leg over the same media flags: batch videos whose distinct\n" +
+        "                 frame-bigram shingles are >=80% contained in a corpus video flag\n" +
+        "                 near_dup_corpus_vtrim (the re-cut/excerpt the band leg admits by design; with\n" +
+        "                 --strict a trim and its source arriving together keep the LONGER clip, losers\n" +
+        "                 near_dup_batch_vtrim); the shingle state persists under <psigs>/shingles;\n" +
         "                 --compact reconciles it)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +

@@ -40,6 +40,17 @@ import graft.xscale.{Dedup, DedupClusters, PerceptualDedup, Similarity}
   * losers `near_dup_batch_img`; finally-admitted bands append to
   * `psigsPath/bands`. Bootstrap with `Cli admit --psigs` run 1.
   *
+  * The TRIM leg (`Cli admit --ptrim`'s rule) runs when `ptrim` is set
+  * beside the media leg: batch videos' distinct frame-bigram shingles
+  * ([[PerceptualDedup.videoFrameShingles]]) are containment-compared
+  * against `psigsPath/shingles` (the re-cut/excerpt whose temporal hash
+  * differs BY DESIGN, so the band leg admits it); ≥ 0.8 containment
+  * re-statuses `near_dup_corpus_vtrim`, and under `strict` the
+  * keep-best CC ([[PerceptualDedup.admitTrimStrictLosers]] — the longer
+  * clip survives) re-statuses losers `near_dup_batch_vtrim`;
+  * finally-admitted shingles append to the state. Bootstrap with
+  * `Cli admit --ptrim --psigs` run 1.
+  *
   * Why foreachBatch + explicit parquet state rather than the keyed state
   * store: the near-dup decision is an OR across 4 LSH band buckets per doc
   * (a doc's near-dups land in DIFFERENT buckets), which
@@ -98,7 +109,8 @@ object StreamingAdmit {
       batchEmb: Option[DataFrame] = None,
       outPath: Option[String] = None,
       psigsPath: Option[String] = None,
-      batchMedia: Option[DataFrame] = None): DataFrame = {
+      batchMedia: Option[DataFrame] = None,
+      ptrim: Boolean = false): DataFrame = {
     val sPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the cuts are batch-sized; route through DedupClusters.ckpt so a
@@ -148,6 +160,22 @@ object StreamingAdmit {
       case _ => None
     }
     val mediaFrame = mediaLeg.map(_._1)
+    // TRIM leg frame — the batch verb's --ptrim composition: batch
+    // videos' distinct frame-bigram shingles vs the persisted shingle
+    // state (the re-cut/excerpt whose temporal hash differs BY DESIGN,
+    // so the band leg admits it); finally-admitted shingles append
+    // below. Bootstrapped by `Cli admit --ptrim --psigs` run 1.
+    val trimLeg = (psigsPath, batchMedia) match {
+      case (Some(d), Some(bm)) if ptrim =>
+        val stateSh = spark.read.parquet(s"$d/shingles")
+        val batchSh = DedupClusters.ckpt(
+          PerceptualDedup.videoFrameShingles(bm), checkpointDir)
+        Some((
+          DedupClusters.ckpt(
+            PerceptualDedup.admitTrimCompare(stateSh, batchSh), checkpointDir),
+          batchSh))
+      case _ => None
+    }
     // ALL corpus-vs-batch legs BEFORE either strict pass (the batch
     // verb's ordering, kept in lock-step for cross-surface parity): a
     // strict survivor must never be subsequently rejected by a later
@@ -175,8 +203,17 @@ object StreamingAdmit {
         }
       case None => stC1
     }
+    // trim corpus leg AFTER the band leg (restatus only demotes
+    // still-admitted docs — a full near-dup keeps its stronger status)
+    val stC3 = trimLeg match {
+      case Some((frame, _)) =>
+        Dedup.restatus(
+          stC2, frame.filter(col("near_trim")).select("doc_id"),
+          "near_dup_corpus_vtrim")
+      case None => stC2
+    }
     val stS0 =
-      if (strict) Dedup.admitStrict(stC2, batchSigs, checkpointDir = checkpointDir) else stC2
+      if (strict) Dedup.admitStrict(stC3, batchSigs, checkpointDir = checkpointDir) else stC3
     val stS1 = (embFrame, strict) match {
       case (Some(frame), true) =>
         val admNow = stS0.filter(col("status") === "admitted")
@@ -204,9 +241,21 @@ object StreamingAdmit {
         }
       case _ => stS1
     }
+    // --strict + trim leg: a trim and its SOURCE arriving together both
+    // clear the corpus rules — undirected containment CC over the
+    // finally-admitted shingles, keep-BEST by shingle count (the longer
+    // clip is the source), losers near_dup_batch_vtrim
+    val st6 = (trimLeg, strict) match {
+      case (Some((_, batchSh)), true) =>
+        val admNow = st5.filter(col("status") === "admitted").select("doc_id")
+        val losers = PerceptualDedup.admitTrimStrictLosers(
+          batchSh.join(admNow, "doc_id"), checkpointDir = checkpointDir)
+        Dedup.restatus(st5, losers, "near_dup_batch_vtrim")
+      case _ => st5
+    }
     // eager cut BEFORE the state appends: the lazy plan reads the state
     // dirs, and appending first would make recomputation see new files
-    val st = DedupClusters.ckpt(st5, checkpointDir)
+    val st = DedupClusters.ckpt(st6, checkpointDir)
     reportPath.foreach { p =>
       st.groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(key)").as("checksum"))
@@ -239,6 +288,14 @@ object StreamingAdmit {
           col("doc_id").as("cv_id") +:
             (if (legacy) Seq(col("bands")) else Seq(col("mod"), col("bands"))): _*)
         .write.mode(SaveMode.Append).parquet(s"$d/bands")
+    // shingles ride the same crash rule: before the sig append — a crash
+    // here replays into doubled value-identical shingle rows (collapsed
+    // by --compact's DISTINCT, harmless to containment decisions)
+    for ((_, batchSh) <- trimLeg; d <- psigsPath)
+      batchSh.join(admittedIds, "doc_id")
+        .select(col("doc_id").as("cv_id"),
+          col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Append).parquet(s"$d/shingles")
     batchSigs.join(admittedIds, "doc_id")
       .write.mode(SaveMode.Append).parquet(statePath)
     admitted
@@ -261,7 +318,8 @@ object StreamingAdmit {
       reportPath: Option[String] = None,
       stageCkptDir: Option[String] = None,
       esigsPath: Option[String] = None,
-      psigsPath: Option[String] = None): StreamingQuery =
+      psigsPath: Option[String] = None,
+      ptrim: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -274,7 +332,7 @@ object StreamingAdmit {
           esigsPath.map(_ => "embedding"), psigsPath.map(_ => "payload"))
           .flatten.foldLeft(b)(_ drop _)
         admit(b.sparkSession, bDocs, statePath, strict, reportPath, id,
-          stageCkptDir, esigsPath, bEmb, Some(outPath), psigsPath, bMedia)
+          stageCkptDir, esigsPath, bEmb, Some(outPath), psigsPath, bMedia, ptrim)
         ()
       }
       .start()

@@ -704,6 +704,91 @@ object PerceptualDedup {
         col("n_inter"), col("n_a"))
   }
 
+  /** Batch-vs-corpus TRIM containment compare — the media leg's second
+    * video signal (`Cli admit --ptrim`): `corpusShingles` /
+    * `batchShingles` are [[videoFrameShingles]] frames ((cv_id | doc_id),
+    * s1, q1, s2, q2); returns one row per batch VIDEO doc (doc_id, n_sh,
+    * near_trim) where `near_trim` = some corpus video contains ≥
+    * `num`/`den` of the doc's distinct frame bigrams — the re-cut/
+    * excerpt re-post whose temporal dHash differs BY DESIGN
+    * (single-alignment), so the band leg cannot see it. The x147 rule as
+    * an admission signal. `cv_id =!= doc_id` keeps crash-window retries
+    * idempotent (same rule and same GLOBALLY-UNIQUE id-space
+    * precondition as [[admitMediaCompare]]). Scale: the join shuffles
+    * 32-byte fingerprint keys; the batch side is batch-sized; corpus
+    * video payloads are never re-decoded once the shingle state exists.
+    */
+  def admitTrimCompare(
+      corpusShingles: DataFrame,
+      batchShingles: DataFrame,
+      num: Int = 4,
+      den: Int = 5): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = batchShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cs =
+      if (corpusShingles.columns.contains("cv_id")) corpusShingles
+      else corpusShingles.withColumnRenamed("doc_id", "cv_id")
+    val near = batchShingles
+      .join(cs, keys)
+      .filter(col("cv_id") =!= col("doc_id"))
+      .groupBy("doc_id", "cv_id").agg(count(lit(1)).as("i"))
+      .join(sz, "doc_id")
+      .filter(col("i") * den >= col("n_sh") * num)
+      .select("doc_id").distinct()
+      .withColumn("nt", lit(true))
+    sz.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("nt"), lit(false)).as("near_trim"))
+  }
+
+  /** The strict pass of the trim leg: a trim and its SOURCE arriving in
+    * ONE batch both clear the corpus rule — run undirected containment
+    * pairs over the finally-admitted batch videos' already-computed
+    * shingles (a pair qualifies when den·|A∩B| ≥ num·min(|A|, |B|): the
+    * directional score of the smaller side), CC them, and keep the clip
+    * with the MOST shingles per component (the longer clip IS the
+    * source; min-id would happily keep the excerpt and drop the
+    * footage), doc_id tiebreak. Returns the losers' (doc_id) for the
+    * caller to re-status `near_dup_batch_vtrim`. Zero extra decode —
+    * `admShingles` is the already-cut batch shingle frame filtered to
+    * still-admitted docs.
+    */
+  def admitTrimStrictLosers(
+      admShingles: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = admShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = admShingles.toDF("a", "s1", "q1", "s2", "q2")
+      .join(admShingles.toDF("b", "s1", "q1", "s2", "q2"), keys)
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .filter(col("i") * den >= least(col("na"), col("nb")) * num)
+      .select("a", "b")
+    val comp = DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("n_sh").desc, col("doc_id"))
+    comp.join(sz, comp("id") === sz("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("doc_id")
+  }
+
+  /** Compact the `--ptrim` shingle state against the live corpus ids —
+    * the shingle-table sibling of [[compactMediaBands]]: keep rows of
+    * still-live videos, collapse retried double-appends by DISTINCT
+    * (shingle rows are pure values — one per distinct bigram — so exact
+    * duplicates are always append replays, never data).
+    */
+  def compactTrimShingles(shingles: DataFrame, live: DataFrame): DataFrame =
+    shingles.join(live.select(col("vec_id").as("cv_id")), Seq("cv_id"), "left_semi")
+      .distinct()
+
   /** Cross-modal THUMBNAIL provenance — which images are frames of which
     * videos: [[Multimodal.extractAviFrames]] turns every `every`-th
     * frame into a standalone BMP (container surgery, no re-encode),
@@ -1414,6 +1499,59 @@ object PerceptualDedup {
       s"WHERE l.f < ${VideoWindows - 1}), " +
       admitTailSql("near_dup_corpus_vid")
 
+  /** The trim-admission oracle: the [[admitSrc2Sql]] population split
+    * with `off` meaning TRIM START (frames off..64 of the original's
+    * closed-form levels) instead of a brightness shift — re-arrivals are
+    * re-cuts, the edit the band leg cannot see. Side-tagged distinct
+    * frame bigrams → batch-vs-corpus containment (5i ≥ 4n) →
+    * still-admitted pairwise containment (the smaller side's score) →
+    * recursive-CTE CC → keep-BEST by shingle count (the longer clip is
+    * the source; doc_id tiebreak) — the SQL twin of
+    * [[admitTrimCompare]] + [[admitTrimStrictLosers]].
+    */
+  private def admitVtrimSql: String =
+    s"${admitSrc2Sql(10)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      "vf2 AS (SELECT doc_id, side, v, ck, " +
+      s"off + unnest(generate_series(0, ${VideoWindows - 1} - off)) AS fo FROM dk2), " +
+      "vg2 AS (SELECT doc_id, side, fo, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf2), " +
+      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM vg2 l " +
+      "JOIN vg2 r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
+      "szb AS (SELECT doc_id, count(*) AS n FROM bg2 WHERE side = 'b' GROUP BY 1), " +
+      "ic AS (SELECT b.doc_id, c.doc_id AS cv_id, count(*) AS i FROM bg2 b " +
+      "JOIN bg2 c ON c.g1 = b.g1 AND c.g2 = b.g2 AND b.side = 'b' AND c.side = 'c' " +
+      "GROUP BY 1, 2), " +
+      "nearc AS (SELECT DISTINCT ic.doc_id FROM ic JOIN szb ON szb.doc_id = ic.doc_id " +
+      "WHERE 5 * i >= 4 * n), " +
+      "st0 AS (SELECT s.doc_id, CASE WHEN nearc.doc_id IS NOT NULL " +
+      "THEN 'near_dup_corpus_vtrim' ELSE 'admitted' END AS status " +
+      "FROM src2 s LEFT JOIN nearc ON nearc.doc_id = s.doc_id WHERE s.side = 'b'), " +
+      "admb AS (SELECT bg2.doc_id, g1, g2 FROM bg2 " +
+      "JOIN st0 ON st0.doc_id = bg2.doc_id AND st0.status = 'admitted' " +
+      "WHERE bg2.side = 'b'), " +
+      "szp AS (SELECT doc_id, count(*) AS n FROM admb GROUP BY 1), " +
+      "ip AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS i FROM admb a " +
+      "JOIN admb b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "p AS (SELECT pa, pb FROM ip JOIN szp xa ON xa.doc_id = ip.pa " +
+      "JOIN szp xb ON xb.doc_id = ip.pb WHERE 5 * i >= 4 * least(xa.n, xb.n)), " +
+      "ed AS (SELECT pa AS s, pb AS t FROM p UNION SELECT pb, pa FROM p), " +
+      "reach AS (SELECT s AS id, s AS comp FROM ed " +
+      "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+      "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+      "rk AS (SELECT cmp.id AS doc_id, ROW_NUMBER() OVER (PARTITION BY cmp.component " +
+      "ORDER BY szp.n DESC, cmp.id) AS rn FROM cmp JOIN szp ON szp.doc_id = cmp.id), " +
+      "st AS (SELECT st0.doc_id, CASE WHEN st0.status = 'admitted' AND rk.rn > 1 " +
+      "THEN 'near_dup_batch_vtrim' ELSE st0.status END AS status " +
+      "FROM st0 LEFT JOIN rk ON rk.doc_id = st0.doc_id) " +
+      "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
+
   /** The admission fixture's population split, shared by both modalities:
     * corpus = docs % 9 ≠ 0 (own content), batch = % 9 = 0 (own) + two
     * re-arrival populations carrying the ORIGINAL's content shifted by
@@ -1642,6 +1780,56 @@ object PerceptualDedup {
         .groupBy("aud_dup", "txt_dup")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
         .orderBy("aud_dup", "txt_dup")
+    },
+
+    // ----- x141 video form: cross-modal dup agreement (video signal x text signal) -----
+    Q(
+      "x141_crossmodal_vid",
+      Some(
+        "WITH src AS (SELECT doc_id, doc_id AS img_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000, doc_id + 2000000, text FROM documents " +
+          "WHERE doc_id % 10 = 0 " +
+          "UNION ALL SELECT doc_id + 4000000, doc_id, text FROM documents " +
+          "WHERE doc_id % 20 = 0), " +
+          s"$videoPairsSql, " +
+          "vdup AS (SELECT DISTINCT pa AS doc_id FROM p UNION SELECT pb FROM p), " +
+          s"t AS (SELECT doc_id, ${XHash.h60Sql(Dedup.normSql)} AS tkey FROM src), " +
+          "tg AS (SELECT tkey, count(*) AS n FROM t GROUP BY 1), " +
+          "st AS (SELECT t.doc_id, vdup.doc_id IS NOT NULL AS vid_dup, tg.n > 1 AS txt_dup " +
+          "FROM t JOIN tg USING (tkey) LEFT JOIN vdup ON vdup.doc_id = t.doc_id) " +
+          "SELECT vid_dup, txt_dup, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
+      "CROSS-MODAL dup agreement, VIDEO form — the x141 caption-variation audit for " +
+        "clip-text corpora, completing the triad: contingency of x145's video " +
+        "near-dup participation against x01's normalized-text exact key, per doc. " +
+        "vid_dup AND txt_dup = true re-post; vid_dup only = same clip under " +
+        "different captions (keep-best candidates); txt_dup only = boilerplate " +
+        "caption on different clips (do NOT text-dedup these away). Same mirror " +
+        "augmentation as the image/audio forms — every 10th doc re-posts its caption " +
+        "with a NEW clip, every 20th re-posts caption AND clip — so all four cells " +
+        "carry data; the pair machinery is videoNearDupPairs', byte-for-byte the " +
+        "audio query's banded join one decoder over. Composition: two keyed joins " +
+        "over already-computed frames, no new shuffle shape."
+    ) { (s, dir) =>
+      val src = crossmodalSrc(table(s, dir, "documents"))
+      val pairs = bandNearDupPairs(
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureAvi, videoDhashBands), None))
+      val vdup = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id")))
+        .distinct()
+        .withColumn("i", lit(true))
+      val tkey = src.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("tkey"))
+      val tdup = tkey.join(
+        tkey.groupBy("tkey").agg(count(lit(1)).as("n")), "tkey")
+      tdup
+        .join(vdup, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("i"), lit(false)).as("vid_dup"),
+          (col("n") > 1).as("txt_dup"))
+        .groupBy("vid_dup", "txt_dup")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("vid_dup", "txt_dup")
     },
 
     // ----- x142: resolution-invariant image dedup, keep-BEST survivor -----
@@ -1942,6 +2130,64 @@ object PerceptualDedup {
         .toDF("doc_id", "payload")
       videoContainmentPairs(media)
         .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x74 trim leg: re-cut video admission (`Cli admit --ptrim`) -----
+    Q(
+      "x74_admit_vtrim",
+      Some(s"WITH RECURSIVE $admitVtrimSql"),
+      "TRIM leg of media ADMISSION (`Cli admit --ptrim`) — the blind spot the band " +
+        "leg leaves OPEN by design: a re-cut/excerpt of corpus video keeps its frames " +
+        "bit-exact but shifts every hash window, so x74_admit_vid admits it. The " +
+        "x147 containment rule as the admission signal: batch videos' distinct " +
+        "frame-bigram shingles compared against the corpus shingle state " +
+        "(admitTrimCompare — 32-byte fingerprint keys, corpus video never re-decoded " +
+        "once the state exists), >= 0.8 containment flags near_dup_corpus_vtrim; the " +
+        "strict pass runs undirected containment pairs + CC over the still-admitted " +
+        "batch shingles and keeps the clip with the MOST shingles per component " +
+        "(admitTrimStrictLosers — the LONGER clip is the source; min-id would keep " +
+        "the excerpt and drop the footage), losers near_dup_batch_vtrim. Fixture: " +
+        "the admit population split with off meaning TRIM START — re-arrivals are " +
+        "frames 10..64 of the original's closed form; %45==0 trims have corpus " +
+        "siblings (flagged corpus), %9==0 & v>=3 trims arrive WITH their source " +
+        "(only the strict keep-best can order that pair). Oracle recomputes the " +
+        "shingle sets from the closed form: encode -> AVI walk -> frame moments -> " +
+        "bigrams -> containment -> keep-best CC, all pinned. Scale: batch-sized " +
+        "joins on fingerprint keys; the shingle state is ~64 rows per corpus video."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(10).as("off")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(10).as("off")))
+      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) =>
+          (id, makeAvi(4, 4, VideoWindows - off,
+            (f, _, _) => fixtureFrameVid(img, f + off)))
+        })
+        .toDF("doc_id", "payload")
+      val corpusSh = DedupClusters.ckpt(videoFrameShingles(synth(corpusSrc)), None)
+      val batchSh = DedupClusters.ckpt(videoFrameShingles(synth(batchSrc)), None)
+      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
+      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+        .withColumn("lb", lit(true))
+      frame.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_trim"), "near_dup_corpus_vtrim")
+            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_vtrim")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
     },
 
     // ----- x148: thumbnail provenance (image == frame-of-video cross-match) -----

@@ -998,4 +998,77 @@ class CliAdmitSpec extends SparkSpec {
     val cvs = spark.read.parquet(s"$psigs/bands").select("cv_id").as[Long].collect().toSet
     assert(!cvs.contains(3L) && cvs.contains(200L))
   }
+
+  test("admit --ptrim flags re-cut videos the band leg admits; strict keeps the LONGER clip") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-ptrim")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
+      PerceptualDedup.VideoWindows - from,
+      (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
+    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    val corpusMedia = (0L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5)))
+      .toDF("doc_id", "payload")
+    // 101 = frames 10..64 of corpus doc 7's video — bit-exact frames,
+    // shifted hash windows: the band leg ADMITS it, only the trim leg
+    // can flag it; 102/103 = a novel video and its trim arriving
+    // TOGETHER — strict keep-best must keep 102 (the longer source) and
+    // reject 103, which min-id would get exactly backwards here since
+    // the trim carries the LOWER... (ids chosen so min-id would keep the
+    // trim: 102 source, 103 trim — swap roles: make 102 the TRIM and
+    // 103 the source, so min-id would keep the trim but keep-best keeps
+    // 103); 104 = fresh video, admitted
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"), doc(104L, "d"))
+      .toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, trim(7L * 5, 10)),
+      (102L, trim(6666L * 5, 10)),                       // the trim (lower id)
+      (103L, PerceptualDedup.fixtureAvi(6666L * 5)),     // the full source
+      (104L, PerceptualDedup.fixtureAvi(8888L * 5))
+    ).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
+      "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    corpusMedia.write.parquet(paths("cm")); batchMedia.write.parquet(paths("bm"))
+    val psigs = base.getPath + "/psigs"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", paths("bm"),
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
+    assert(j.contains(""""near_dup_batch_vtrim":1"""), j)
+    assert(j.contains(""""admitted":2"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(103L, 104L), "keep-best kept the longer source, not the min-id trim")
+    // the shingle state bootstrapped from the corpus and appended the
+    // admitted docs' shingles (103: 64 bigrams, 104: 64)
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.columns.toSet === Set("cv_id", "s1", "q1", "s2", "q2"))
+    assert(sh.filter(col("cv_id") === 103L).count() >= 60L)
+    assert(sh.filter(col("cv_id") === 101L).count() === 0L)
+    // day 2: a NEW trim of day-1-admitted 103 flags off the APPENDED state
+    val b2 = Seq(doc(201L, "e")).toDF("doc_id", "text", "source")
+    val bm2 = Seq((201L, trim(6666L * 5, 10))).toDF("doc_id", "payload")
+    val b2Path = base.getPath + "/b2.parquet"; b2.write.parquet(b2Path)
+    val bm2Path = base.getPath + "/bm2.parquet"; bm2.write.parquet(bm2Path)
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      assert(Cli.run(spark, List("admit", paths("c"), b2Path, base.getPath + "/out2",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", bm2Path,
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j2 = buf2.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j2.contains(""""near_dup_corpus_vtrim":1"""), j2)
+    assert(j2.contains(""""admitted":0"""), j2)
+    // --ptrim without --pmedia is a contradiction -> usage
+    assert(Cli.run(spark, List("admit", paths("c"), paths("b"),
+      base.getPath + "/bad", "--ptrim")) === 2)
+  }
 }

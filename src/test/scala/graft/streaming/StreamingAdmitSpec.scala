@@ -421,6 +421,65 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(rep2 === Map("near_dup_corpus_vid" -> 1L))
   }
 
+  test("trim leg: re-cut of corpus video flagged off the shingle state; strict keeps the source") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-ptrim")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
+      PerceptualDedup.VideoWindows - from,
+      (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
+    // state as `Cli admit --ptrim --psigs` run 1 writes it: bands + meta
+    // + the shingle table
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    val corpusMedia = (0L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5)))
+      .toDF("doc_id", "payload")
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    PerceptualDedup.videoFrameShingles(corpusMedia)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigs/shingles")
+    // 81 = frames 10..64 of corpus video 7 (band leg blind -> only the
+    // trim leg flags it); 82 = a novel TRIM and 83 its full source
+    // arriving together (strict keep-best keeps 83 — min-id would keep
+    // the lower-id trim 82); 84 = fresh
+    val d1 = Seq((81L, novel1, "s"), (82L, novel2, "s"), (83L, novel3, "s"),
+      (84L, novel4, "s")).toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (81L, trim(7L * 5, 10)),
+      (82L, trim(8282L * 5, 10)),
+      (83L, PerceptualDedup.fixtureAvi(8282L * 5)),
+      (84L, PerceptualDedup.fixtureAvi(8484L * 5))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out),
+      ptrim = true)
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(83L, 84L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_vtrim" -> 1L,
+      "near_dup_batch_vtrim" -> 1L))
+    // the shingle append landed for the admitted docs only
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.filter(col("cv_id") === 83L).count() >= 60L)
+    assert(sh.filter(col("cv_id") === 81L).count() === 0L)
+    // day 2: a trim of day-1-admitted 83 flags off the APPENDED shingles
+    val d2 = Seq((91L, "a novel tailrace dredging logbook for the lower bay", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((91L, trim(8282L * 5, 20))).toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out),
+      ptrim = true)
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_vtrim" -> 1L))
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

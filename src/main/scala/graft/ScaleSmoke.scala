@@ -59,7 +59,7 @@ object ScaleSmoke {
     "x140_audio_dhash",
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
-    "x74_admit_media_steady",
+    "x74_admit_media_steady", "x74_admit_vtrim_steady",
     "x74_psigs_compact", "corpus_pdedup_stage",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
@@ -257,6 +257,21 @@ object ScaleSmoke {
         .toDF("cv_id", "bands")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_bands.parquet")
     }
+    // the trim-admission shingle state (`Cli admit --ptrim` steady
+    // state): ~64 fingerprint rows per corpus video, hashed ONCE —
+    // x74_admit_vtrim_steady times only the day-2 classify. cv_id base
+    // -12e9 keeps a third disjoint negative id space
+    if (!new java.io.File(s"$dir/video_shingles.parquet").exists()) {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .mapPartitions(_.map(i => (i, xscale.PerceptualDedup.fixtureAvi(i * 5))))
+        .toDF("doc_id", "payload")
+      xscale.PerceptualDedup.videoFrameShingles(media)
+        .select((-(col("doc_id") + 1L) - 12000000000L).as("cv_id"),
+          col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_shingles.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -338,6 +353,25 @@ object ScaleSmoke {
           .filter(col("decoded")).select("doc_id", "mod", "bands")
         xscale.PerceptualDedup.admitMediaCompare(state, bands)
           .groupBy("mod", "near_med").count()
+      }),
+      // the trim leg's steady state: a fixed batch of 200 re-cut corpus
+      // videos + 50 fresh classified against the persisted shingle state
+      // — the fingerprint join is keyed on 32-byte values, so candidate
+      // mass follows the state's fingerprint collision rate, not its row
+      // count; flat 10x -> 100x is the claim
+      "x74_admit_vtrim_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/video_shingles.parquet")
+        val batch = ((0L until 200L).map(i => (9400000000L + i,
+          xscale.PerceptualDedup.makeAvi(4, 4,
+            xscale.PerceptualDedup.VideoWindows - 10,
+            (f, _, _) => xscale.PerceptualDedup.fixtureFrameVid(i * 5, f + 10)))) ++
+          (0L until 50L).map(i => (9500000000L + i,
+            xscale.PerceptualDedup.fixtureAvi((2100000000L + i) * 5))))
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.admitTrimCompare(
+          state, xscale.PerceptualDedup.videoFrameShingles(batch))
+          .groupBy("near_trim").count()
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
       // modality-detected decode pass over REAL three-way mixed media

@@ -1118,16 +1118,23 @@ object PerceptualDedup {
     * compare exactly like the closed-form levels and the DuckDB oracle
     * recomputes the hash from the level function alone.
     */
-  def fixtureAvi(docId: Long): Array[Byte] =
-    makeAvi(4, 4, VideoWindows, (f, _, _) => fixtureFrameVid(docId, f))
+  def fixtureAvi(docId: Long): Array[Byte] = {
+    // one md5 per FRAME, not per pixel — makeAvi evaluates its gray
+    // closure per pixel, so the closed form is precomputed (the
+    // fixtureWav levels pattern)
+    val levels = Array.tabulate(VideoWindows)(f => fixtureFrameVid(docId, f))
+    makeAvi(4, 4, VideoWindows, (f, _, _) => levels(f))
+  }
 
   /** The brightened/re-encoded video fixture: [[fixtureAvi]]'s closed
     * form with every frame gray shifted by `off` (re-arrival targets are
     * v = 0, base ≤ 210, so +10 never wraps a byte) — hash-invariant by
     * construction, the edit the admission leg exists to catch.
     */
-  def fixtureAviShift(vidId: Long, off: Int): Array[Byte] =
-    makeAvi(4, 4, VideoWindows, (f, _, _) => fixtureFrameVid(vidId, f) + off)
+  def fixtureAviShift(vidId: Long, off: Int): Array[Byte] = {
+    val levels = Array.tabulate(VideoWindows)(f => fixtureFrameVid(vidId, f) + off)
+    makeAvi(4, 4, VideoWindows, (f, _, _) => levels(f))
+  }
 
   /** The re-rendered video fixture: the SAME closed-form frames at 2×
     * resolution (8×8) — every window sum scales by exactly 4, no
@@ -1135,16 +1142,20 @@ object PerceptualDedup {
     * real encode → decode path (spec-pinned; the x142 invariance on the
     * temporal axis).
     */
-  def fixtureAvi2x(vidId: Long): Array[Byte] =
-    makeAvi(8, 8, VideoWindows, (f, _, _) => fixtureFrameVid(vidId, f))
+  def fixtureAvi2x(vidId: Long): Array[Byte] = {
+    val levels = Array.tabulate(VideoWindows)(f => fixtureFrameVid(vidId, f))
+    makeAvi(8, 8, VideoWindows, (f, _, _) => levels(f))
+  }
 
   /** The [[VideoWindowsWide]]-frame fixture twin for WIDE scale runs —
     * same closed-form levels, one frame per wide window; variant
     * semantics carry over (brightness stays hamming-0, the frame-7 bump
     * stays ≤ 2 bits, both within [[MaxHammingWide]]).
     */
-  def fixtureAviWide(vidId: Long): Array[Byte] =
-    makeAvi(4, 4, VideoWindowsWide, (f, _, _) => fixtureFrameVid(vidId, f))
+  def fixtureAviWide(vidId: Long): Array[Byte] = {
+    val levels = Array.tabulate(VideoWindowsWide)(f => fixtureFrameVid(vidId, f))
+    makeAvi(4, 4, VideoWindowsWide, (f, _, _) => levels(f))
+  }
 
   /** Closed-form PER-PIXEL frame gray for the x148 fixture — the
     * thumbnail-match family needs frames big enough for the image dHash
@@ -1160,8 +1171,16 @@ object PerceptualDedup {
     * hashes through the REAL javax.imageio decode exactly like
     * [[fixtureBmp]] does.
     */
-  def fixtureAviFrames(docId: Long): Array[Byte] =
-    makeAvi(9, 8, VideoWindows, (f, x, y) => fixtureVidFrameGray(docId, f, x, y))
+  def fixtureAviFrames(docId: Long): Array[Byte] = {
+    // per-pixel structure ONLY on the frames the 16-stride extraction
+    // samples — the frames the operator ever hashes; filler frames are
+    // frame-constant (one md5 each), so synthesis stays ~400 hashes per
+    // video instead of 4680 (65 × 72)
+    val fill = Array.tabulate(VideoWindows)(f =>
+      (XHash.h60(s"$docId#c$f") % 215).toInt + 10)
+    makeAvi(9, 8, VideoWindows, (f, x, y) =>
+      if (f % 16 == 0) fixtureVidFrameGray(docId, f, x, y) else fill(f))
+  }
 
   /** Closed-form frame level for the x146 quality fixture: ~10% of frames
     * forced BLACK (level 5 — mean e3 luma 5000, under the 30 000
@@ -1185,8 +1204,10 @@ object PerceptualDedup {
     * level, so the DuckDB oracle recomputes every quality counter from
     * the level closed form.
     */
-  def fixtureAviQuality(docId: Long): Array[Byte] =
-    makeAvi(4, 4, 20, (f, _, _) => fixtureQualityLevel(docId, f))
+  def fixtureAviQuality(docId: Long): Array[Byte] = {
+    val levels = Array.tabulate(20)(f => fixtureQualityLevel(docId, f))
+    makeAvi(4, 4, 20, (f, _, _) => levels(f))
+  }
 
   /** Hash the fixture images/audio for a (doc_id, img_id) frame — one
     * real synthesize → decode → hash round trip per doc, batched per
@@ -2125,7 +2146,8 @@ object PerceptualDedup {
             lit(10).as("off"), lit(VideoWindows - 10).as("nf")))
       val media = src.as[(Long, Long, Int, Int)]
         .mapPartitions(_.map { case (id, img, off, nf) =>
-          (id, makeAvi(4, 4, nf, (f, _, _) => fixtureFrameVid(img, f + off)))
+          val levels = Array.tabulate(nf)(f => fixtureFrameVid(img, f + off))
+          (id, makeAvi(4, 4, nf, (f, _, _) => levels(f)))
         })
         .toDF("doc_id", "payload")
       videoContainmentPairs(media)
@@ -2169,8 +2191,8 @@ object PerceptualDedup {
             col("doc_id").as("img_id"), lit(10).as("off")))
       def synth(src: DataFrame) = src.as[(Long, Long, Int)]
         .mapPartitions(_.map { case (id, img, off) =>
-          (id, makeAvi(4, 4, VideoWindows - off,
-            (f, _, _) => fixtureFrameVid(img, f + off)))
+          val levels = Array.tabulate(VideoWindows - off)(f => fixtureFrameVid(img, f + off))
+          (id, makeAvi(4, 4, VideoWindows - off, (f, _, _) => levels(f)))
         })
         .toDF("doc_id", "payload")
       val corpusSh = DedupClusters.ckpt(videoFrameShingles(synth(corpusSrc)), None)

@@ -142,6 +142,13 @@ object TrainingData {
   def videoQuality(media: DataFrame, blackMaxMeanE3: Long = 30000L): DataFrame =
     xscale.Multimodal.videoQualityFrame(media, blackMaxMeanE3)
 
+  /** Per-clip SCENE-CUT counters (x149): shot boundaries over the frame
+    * luma envelope + longest-scene run — the segmentation signal frame
+    * sampling and slideshow detection key on.
+    */
+  def videoSceneCuts(media: DataFrame, cutMinMeanDeltaE3: Long = 50000L): DataFrame =
+    xscale.Multimodal.videoSceneCutFrame(media, cutMinMeanDeltaE3)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

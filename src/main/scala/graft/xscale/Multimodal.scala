@@ -894,6 +894,60 @@ object Multimodal {
       .toDF("doc_id", "decoded", "n_frames", "n_black", "n_frozen", "lum_sum", "lum_peak")
   }
 
+  /** Exact-integer SCENE-CUT decode — shot-boundary detection over the
+    * frame luma envelope: a CUT is a frame whose mean e3 luma moves more
+    * than `cutMinMeanDeltaE3` from its predecessor (|Δ frame sum| >
+    * threshold · npx, exact integers — a hard cut jumps the envelope;
+    * gradual fades under the threshold are the documented limit, as is
+    * a cut between equal-luminance scenes). Returns (n_frames, n_cuts,
+    * longest_scene) where `longest_scene` is the longest run of frames
+    * between cuts — the slideshow-vs-continuous-footage signal a frame
+    * sampler keys on (one frame per SCENE beats one per stride when
+    * scenes are long). Same hardened walk; None for non-AVI bytes.
+    */
+  def decodeAviSceneCuts(
+      p: Array[Byte],
+      cutMinMeanDeltaE3: Long = 50000L): Option[(Long, Long, Long)] = {
+    val (w, h, sums, _) = decodeAviFrameStats(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val npx = w.toLong * h
+    var cuts = 0L
+    var run = 1L
+    var longest = 1L
+    var f = 1
+    while (f < sums.length) {
+      if (math.abs(sums(f) - sums(f - 1)) > cutMinMeanDeltaE3 * npx) {
+        cuts += 1
+        run = 1L
+      } else run += 1
+      if (run > longest) longest = run
+      f += 1
+    }
+    Some((sums.length.toLong, cuts, longest))
+  }
+
+  /** Per-clip scene-cut frame over REAL media — the library route for the
+    * x149 audit: (doc_id, decoded, n_frames, n_cuts, longest_scene);
+    * undecodable rows keep `decoded = false` with zeroed counters.
+    * Batched per partition like every decode step.
+    */
+  def videoSceneCutFrame(media: DataFrame, cutMinMeanDeltaE3: Long = 50000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeAviSceneCuts(p, cutMinMeanDeltaE3) match {
+            case Some((nf, nc, ls)) => (id, true, nf, nc, ls)
+            case None               => (id, false, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "n_frames", "n_cuts", "longest_scene")
+  }
+
   /** Evenly-strided REAL frame extraction — the video → image bridge the
     * x42 stub stands in for: every `every`-th complete '00db' frame of a
     * decodable AVI becomes a STANDALONE BMP payload (container surgery,

@@ -1157,6 +1157,26 @@ object PerceptualDedup {
     makeAvi(4, 4, VideoWindowsWide, (f, _, _) => levels(f))
   }
 
+  /** Closed-form frame level for the x149 scene fixture: 6 planted scenes
+    * of 5 frames each — scene base in [50, 199], per-frame jitter < 10
+    * (always under the 50-level cut threshold, so cuts can only occur at
+    * scene boundaries, where |Δbase + Δjitter| > 50 sometimes holds and
+    * sometimes doesn't — both cells carry data).
+    */
+  def fixtureSceneLevel(docId: Long, f: Int): Int =
+    (XHash.h60(s"${docId}s${f / 5}") % 150).toInt + 50 +
+      (XHash.h60(s"${docId}j$f") % 10).toInt
+
+  /** The x149 fixture: a real 30-frame 4×4 AVI of constant-gray frames
+    * from [[fixtureSceneLevel]] — frame mean e3 luma exactly 1000 ×
+    * level, so the cut rule |Δ| > 50 levels is the decoder's exact
+    * integer comparison.
+    */
+  def fixtureAviScenes(docId: Long): Array[Byte] = {
+    val levels = Array.tabulate(30)(f => fixtureSceneLevel(docId, f))
+    makeAvi(4, 4, 30, (f, _, _) => levels(f))
+  }
+
   /** Closed-form PER-PIXEL frame gray for the x148 fixture — the
     * thumbnail-match family needs frames big enough for the image dHash
     * grid (9×8), with full per-pixel structure so a frame's dHash is as
@@ -2282,6 +2302,58 @@ object PerceptualDedup {
         .toDF("doc_id", "payload")
       thumbnailMatches(images, videos, every = 16)
         .orderBy("doc_id", "vid_id", "frame_idx")
+    },
+
+    // ----- x149: scene-cut audit (shot boundaries / slideshow detection) -----
+    Q(
+      "x149_scene_cuts",
+      Some(
+        "WITH f0 AS (SELECT doc_id, unnest(generate_series(0, 29)) AS f FROM documents), " +
+          "lv AS (SELECT doc_id, f, " +
+          s"(${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 's' || CAST(f // 5 AS VARCHAR)")} % 150) + 50 " +
+          s"+ (${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'j' || CAST(f AS VARCHAR)")} % 10) AS l FROM f0), " +
+          "q AS (SELECT doc_id, f, l, lag(l) OVER (PARTITION BY doc_id ORDER BY f) AS pl FROM lv), " +
+          "c AS (SELECT doc_id, f, CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50 " +
+          "THEN 1 ELSE 0 END AS cut FROM q), " +
+          "sg AS (SELECT doc_id, f, sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS seg FROM c), " +
+          "sl AS (SELECT doc_id, seg, count(*) AS n FROM sg GROUP BY 1, 2), " +
+          "pc AS (SELECT doc_id, CAST(sum(cut) AS BIGINT) AS nc FROM c GROUP BY 1), " +
+          "pl2 AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS ls FROM sl GROUP BY 1) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_vids, " +
+          "CAST(count(*) * 30 AS BIGINT) AS frames_total, " +
+          "CAST(sum(nc) AS BIGINT) AS cuts_total, " +
+          "CAST(bit_xor(nc) AS BIGINT) AS cuts_xor, " +
+          "CAST(bit_xor(ls) AS BIGINT) AS longest_xor " +
+          "FROM pc JOIN pl2 USING (doc_id) GROUP BY 1 ORDER BY 1"),
+      "SCENE-CUT audit — shot-boundary detection over the frame luma envelope, the " +
+        "segmentation signal a video curation pipeline keys frame sampling on (one " +
+        "frame per SCENE beats one per stride when scenes are long; a deck of " +
+        "near-static 'scenes' is a slideshow, not footage): a CUT is a frame whose " +
+        "mean e3 luma moves > 50 levels from its predecessor (|delta frame sum| > " +
+        "threshold * npx — exact integers, no optical flow; gradual fades and " +
+        "equal-luminance cuts are the documented misses), longest_scene = the " +
+        "longest run between cuts. Fixture: per doc a REAL 30-frame AVI with 6 " +
+        "planted 5-frame scenes — intra-scene jitter < 10 can never cut, scene " +
+        "boundaries cut only when the bases differ enough, so both cells carry " +
+        "data and the oracle (which recomputes levels and replays the run-length " +
+        "rule via window functions) pins the decoder's exact counters. Registered " +
+        "via the REAL library route (videoSceneCutFrame over synthesized " +
+        "payloads). Plan: decode-scan + per-doc aggregate — embarrassingly " +
+        "parallel at 100 TB."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, fixtureAviScenes(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoSceneCutFrame(media)
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_vids"),
+          sum("n_frames").as("frames_total"),
+          sum("n_cuts").as("cuts_total"),
+          expr("bit_xor(n_cuts)").as("cuts_xor"),
+          expr("bit_xor(longest_scene)").as("longest_xor"))
+        .orderBy("decile")
     },
 
     // ----- x146: video quality audit (black frames / frozen frames) -----

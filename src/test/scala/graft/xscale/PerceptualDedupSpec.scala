@@ -507,6 +507,32 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("decodeAviSceneCuts: exact cut counting, strict threshold edge, longest run") {
+    // hand-built levels: cuts at |delta| > 50 — the 51 jump cuts, the
+    // exactly-50 jump does NOT (strict), runs: [3, 2, 4] -> longest 4
+    val levels = Array(100, 100, 100, 151, 151, 100, 100, 100, 100)
+    //                 run of 3   | +51 cut | -51 cut, run of 4
+    val p = makeAvi(4, 4, 9, (f, _, _) => levels(f))
+    val Some((nf, cuts, longest)) = Multimodal.decodeAviSceneCuts(p)
+    assert(nf == 9 && cuts == 2 && longest == 4)
+    // the exactly-threshold edge: a 50-level jump is NOT a cut
+    val edge = makeAvi(4, 4, 4, (f, _, _) => if (f < 2) 100 else 150)
+    assert(Multimodal.decodeAviSceneCuts(edge).get._2 == 0)
+    assert(Multimodal.decodeAviSceneCuts("nope".getBytes).isEmpty)
+    // fixture closed form == decoder counters (the x149 oracle premise):
+    // replay the run-length rule over the closed-form levels
+    for (id <- Seq(0L, 7L, 123L)) {
+      val lv = Array.tabulate(30)(f => fixtureSceneLevel(id, f))
+      var cuts2 = 0L; var run = 1L; var longest2 = 1L
+      for (f <- 1 until 30) {
+        if (math.abs(lv(f) - lv(f - 1)) > 50) { cuts2 += 1; run = 1 } else run += 1
+        if (run > longest2) longest2 = run
+      }
+      val Some((_, c2, l2)) = Multimodal.decodeAviSceneCuts(fixtureAviScenes(id))
+      assert(c2 == cuts2 && l2 == longest2, s"doc $id")
+    }
+  }
+
   test("admitMediaCompare: band-width mismatch rejects loudly, never silently zero-recall") {
     import spark.implicits._
     // craft a candidate collision across widths: state band (j=0, bv=5)

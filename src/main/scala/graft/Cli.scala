@@ -208,13 +208,33 @@ object Cli {
       val kept =
         if (flags.strict) TrainingData.repetitionFilter(quality).select(cols: _*)
         else quality
+      // --mquality <mediaParquet>: the multimodal QUALITY gate (x150's
+      // rule) — drop docs whose media is decodable AND fails its
+      // modality's exact-integer rule (image > 95% crushed/blown, audio
+      // > 90% silent or > 10% rail-clipped, video > 50% black or > 90%
+      // frozen; Multimodal.mediaQualityFrame). Media-less docs and
+      // undecodable payloads always pass — the gate never drops what it
+      // cannot read. A QUALITY stage, so it runs with the text rules
+      // BEFORE any dedup (FineWeb order): a bad-media doc must not
+      // survive as a dedup cluster's representative.
+      val mkept = flags.mqualityPath match {
+        case Some(mp) =>
+          val bad = xscale.Multimodal.mediaQualityFrame(
+            spark.read.parquet(mp).join(
+              kept.select("doc_id"), Seq("doc_id"), "left_semi"))
+            .filter(org.apache.spark.sql.functions.col("decoded") &&
+              org.apache.spark.sql.functions.col("flagged"))
+            .select("doc_id")
+          kept.join(bad, Seq("doc_id"), "left_anti")
+        case None => kept
+      }
       // Materialize the reused stage boundaries (the x57 rule): dedup
       // output feeds span removal (three internal reads) + the re-join +
       // its own stats count, and `selected` feeds split, packs, the write
       // AND a count — without the cuts every consumer re-runs the whole
       // upstream pipeline. The quality filter itself stays lazy (one
       // cheap per-row scan each for the dedup lineage and kept-count).
-      val exactDeduped = cut(TrainingData.dedupExact(kept))
+      val exactDeduped = cut(TrainingData.dedupExact(mkept))
       // --scale: the MEASURED 100 TB dedup recipe (NOTES 100× tables) as
       // one preset — CASCADE exact-first (x99: clone mass collapses on the
       // cheap 8-byte norm-key groupBy before any candidate generation;
@@ -385,6 +405,7 @@ object Cli {
         case _ => "simhash"
       } else ""
       val stages = Seq("quality") ++
+        (if (flags.mqualityPath.isDefined) Seq("mquality") else Nil) ++
         (if (flags.strict) Seq("strict") else Nil) ++
         Seq("dedup_exact") ++
         (if (flags.scale && flags.embPath.isDefined) Seq(s"neardup_joint_imi_$legName")
@@ -892,7 +913,8 @@ object Cli {
       ckptDir: Option[String] = None,
       scale: Boolean = false,
       embPath: Option[String] = None,
-      pdedupPath: Option[String] = None)
+      pdedupPath: Option[String] = None,
+      mqualityPath: Option[String] = None)
 
   /** The resolved media leg: the admitMediaCompare frame plus the two
     * state-layout facts every downstream step must agree on — `wide`
@@ -965,6 +987,8 @@ object Cli {
       parseCorpusFlags(tail).map(_.copy(embPath = Some(path)))
     case "--pdedup" :: path :: tail if !path.startsWith("--") =>
       parseCorpusFlags(tail).map(_.copy(pdedupPath = Some(path)))
+    case "--mquality" :: path :: tail if !path.startsWith("--") =>
+      parseCorpusFlags(tail).map(_.copy(mqualityPath = Some(path)))
     case _ => None
   }
 
@@ -975,13 +999,18 @@ object Cli {
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
         "                 [--scale] [--emb <embeddingsParquet>] [--pdedup <mediaParquet>]\n" +
+        "                 [--mquality <mediaParquet>]\n" +
         "                 (--scale = the measured 100 TB dedup recipe:\n" +
         "                 cascade exact-first -> near-dup CC (joint IMI with --emb; text leg auto-chosen by\n" +
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
         "                 written under <outDir>/_audits;\n" +
         "                 --pdedup = the PERCEPTUAL dedup stage over (doc_id, payload) media parquet —\n" +
         "                 modality-detected image/audio/video dHash pairs -> CC -> keep-BEST, after text dedup and\n" +
-        "                 before span removal; hash width auto-picks wide past ~1e6 media docs)\n" +
+        "                 before span removal; hash width auto-picks wide past ~1e6 media docs;\n" +
+        "                 --mquality = the multimodal quality GATE over the same media shape — drop docs\n" +
+        "                 whose media fails its modality's rule: image >95% crushed/blown, audio >90%\n" +
+        "                 silent or >10% rail-clipped, video >50% black or >90% frozen; undecodable and\n" +
+        "                 media-less docs always pass; runs with the text quality rules before dedup)\n" +
         "       graft.Cli report <sfDir> <outDir>   (release-audit battery -> parquet per audit + stats line)\n" +
         "       graft.Cli admit <corpusParquet> <batchParquet> <outDir> [--ckpt <dir>] [--sigs <dir>]\n" +
         "                 [--strict] [--compact] [--emb <corpusEmb> --bemb <batchEmb> [--esigs <dir>]]\n" +

@@ -149,6 +149,14 @@ object TrainingData {
   def videoSceneCuts(media: DataFrame, cutMinMeanDeltaE3: Long = 50000L): DataFrame =
     xscale.Multimodal.videoSceneCutFrame(media, cutMinMeanDeltaE3)
 
+  /** The multimodal quality GATE (x150, `Cli corpus --mquality`'s rule):
+    * one modality-detected verdict per media doc — (doc_id, decoded,
+    * mod, flagged); the documented per-modality integer rules live on
+    * [[xscale.Multimodal.mediaQualityFrame]].
+    */
+  def mediaQuality(media: DataFrame): DataFrame =
+    xscale.Multimodal.mediaQualityFrame(media)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

@@ -894,6 +894,56 @@ object Multimodal {
       .toDF("doc_id", "decoded", "n_frames", "n_black", "n_frozen", "lum_sum", "lum_peak")
   }
 
+  /** Modality-detected media QUALITY verdict — the composite gate the
+    * `Cli corpus --mquality` stage and the x150 audit run on: one decode
+    * attempt chain (image reader → RIFF/WAV → RIFF/AVI, each None on
+    * foreign bytes) computes the modality's own exact-integer counters
+    * and applies its documented drop rule:
+    *
+    *   - image ([[decodeImageExposure]]): flagged when > 95% of pixels
+    *     are crushed dark OR > 95% blown bright (20·n > 19·n_px) — a
+    *     black/white rectangle carries no training signal;
+    *   - audio ([[decodeWavQuality]]): flagged when > 90% of samples are
+    *     silent (10·n_silent > 9·n) OR > 10% are parked at the format
+    *     rails (10·n_clipped > n) — dead air / clipped garbage;
+    *   - video ([[decodeAviQuality]]): flagged when > 50% of frames are
+    *     black (2·n_black > n_frames) OR > 90% frozen
+    *     (10·n_frozen > 9·n_frames) — dead footage / stuck capture.
+    *
+    * All integer comparisons (no float crosses a gate decision). Returns
+    * (doc_id, decoded, mod, flagged); undecodable rows keep
+    * `decoded = false, flagged = false` — failures are data and the gate
+    * never drops what it cannot read. Callers wanting different
+    * thresholds compose the per-modality frames
+    * ([[imageExposureFrame]] / [[audioQualityFrame]] /
+    * [[videoQualityFrame]]) directly.
+    */
+  def mediaQualityFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeImageExposure(p) match {
+            case Some((npx, dark, bright, _, _)) =>
+              (id, true, "img", 20L * dark > 19L * npx || 20L * bright > 19L * npx)
+            case None =>
+              decodeWavQuality(p) match {
+                case Some((n, sil, clip, _, _, _)) =>
+                  (id, true, "aud", 10L * sil > 9L * n || 10L * clip > n)
+                case None =>
+                  decodeAviQuality(p) match {
+                    case Some((nf, black, frozen, _, _)) =>
+                      (id, true, "vid", 2L * black > nf || 10L * frozen > 9L * nf)
+                    case None => (id, false, "", false)
+                  }
+              }
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "mod", "flagged")
+  }
+
   /** Exact-integer SCENE-CUT decode — shot-boundary detection over the
     * frame luma envelope: a CUT is a frame whose mean e3 luma moves more
     * than `cutMinMeanDeltaE3` from its predecessor (|Δ frame sum| >

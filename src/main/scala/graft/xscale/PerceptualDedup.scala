@@ -2356,6 +2356,96 @@ object PerceptualDedup {
         .orderBy("decile")
     },
 
+    // ----- x150: the multimodal quality GATE (one verdict per media doc) -----
+    Q(
+      "x150_media_quality",
+      Some(
+        "WITH ipx AS (SELECT doc_id, x, y FROM documents, " +
+          "(SELECT unnest(generate_series(0, 8)) AS x), " +
+          "(SELECT unnest(generate_series(0, 7)) AS y) WHERE doc_id % 3 = 0), " +
+          s"irv AS (SELECT doc_id, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'e' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)")} % 100 AS r FROM ipx), " +
+          "ig AS (SELECT doc_id, CASE WHEN doc_id % 21 = 0 THEN 5 ELSE " +
+          "(CASE WHEN r < 7 THEN 5 WHEN r < 12 THEN 250 ELSE 40 + r END) END AS g FROM irv), " +
+          "ipc AS (SELECT doc_id, " +
+          "sum(CASE WHEN 1000 * g <= 30000 THEN 1 ELSE 0 END) AS nd, " +
+          "sum(CASE WHEN 1000 * g >= 225000 THEN 1 ELSE 0 END) AS nb " +
+          "FROM ig GROUP BY 1), " +
+          "ist AS (SELECT doc_id, 'img' AS mod, " +
+          "(20 * nd > 19 * 72 OR 20 * nb > 19 * 72) AS flagged FROM ipc), " +
+          "asj AS (SELECT doc_id, j FROM documents, " +
+          "(SELECT unnest(generate_series(0, 159)) AS j) WHERE doc_id % 3 = 1), " +
+          s"arv AS (SELECT doc_id, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'q' || CAST(j AS VARCHAR)")} % 100 AS r FROM asj), " +
+          "acs AS (SELECT doc_id, CASE WHEN doc_id % 21 = 1 THEN 0 ELSE " +
+          "(CASE WHEN r < 6 THEN 128 WHEN r < 10 THEN 255 WHEN r < 13 THEN 0 " +
+          "ELSE 20 + 2 * r END) - 128 END AS s FROM arv), " +
+          "apc AS (SELECT doc_id, " +
+          "sum(CASE WHEN abs(s) <= 1 THEN 1 ELSE 0 END) AS sil, " +
+          "sum(CASE WHEN s >= 127 OR s <= -128 THEN 1 ELSE 0 END) AS clip " +
+          "FROM acs GROUP BY 1), " +
+          "ast AS (SELECT doc_id, 'aud' AS mod, " +
+          "(10 * sil > 9 * 160 OR 10 * clip > 160) AS flagged FROM apc), " +
+          "vf0 AS (SELECT doc_id, unnest(generate_series(0, 19)) AS f FROM documents " +
+          "WHERE doc_id % 3 = 2), " +
+          s"vrv AS (SELECT doc_id, f, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'v' || CAST(f AS VARCHAR)")} % 100 AS r FROM vf0), " +
+          "vbs AS (SELECT doc_id, f, CASE WHEN r < 10 THEN 5 ELSE 40 + r END AS b FROM vrv), " +
+          "vac AS (SELECT doc_id, f, CASE WHEN doc_id % 21 = 2 THEN 5 ELSE " +
+          "(CASE WHEN f % 7 = 3 THEN lag(b) OVER (PARTITION BY doc_id ORDER BY f) " +
+          "ELSE b END) END AS l FROM vbs), " +
+          "vq AS (SELECT doc_id, l, lag(l) OVER (PARTITION BY doc_id ORDER BY f) AS pl FROM vac), " +
+          "vpc AS (SELECT doc_id, " +
+          "sum(CASE WHEN l <= 30 THEN 1 ELSE 0 END) AS black, " +
+          "sum(CASE WHEN pl IS NOT NULL AND l = pl THEN 1 ELSE 0 END) AS frozen " +
+          "FROM vq GROUP BY 1), " +
+          "vst AS (SELECT doc_id, 'vid' AS mod, " +
+          "(2 * black > 20 OR 10 * frozen > 9 * 20) AS flagged FROM vpc), " +
+          "u AS (SELECT * FROM ist UNION ALL SELECT * FROM ast UNION ALL SELECT * FROM vst) " +
+          "SELECT mod, flagged, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(bit_xor(doc_id) AS BIGINT) AS checksum " +
+          "FROM u GROUP BY 1, 2 ORDER BY 1, 2"),
+      "The multimodal quality GATE — one modality-detected verdict per media doc " +
+        "(`Cli corpus --mquality`'s rule, x150): ONE decode-attempt chain computes " +
+        "each modality's own exact-integer counters and applies its documented drop " +
+        "rule — images > 95% crushed/blown (x144's counters), audio > 90% silent or " +
+        "> 10% rail-clipped (x143's), video > 50% black or > 90% frozen (x146's). " +
+        "All integer comparisons; undecodable payloads are never dropped (failures " +
+        "are data). Fixture: modality by doc_id % 3 reusing the three audits' " +
+        "closed forms, with a planted BAD doc per 21 per modality (all-black image, " +
+        "all-silence clip, all-black video) — every (mod, flagged) cell carries " +
+        "data, and the aud rule's 10% clip threshold sits inside the fixture's " +
+        "~7%±3% clip distribution so the flagged set exercises the boundary " +
+        "per-doc. Oracle recomputes all three closed forms and the union. Scale: " +
+        "one decode pass + one groupBy — embarrassingly parallel; the gate " +
+        "composes with --pdedup (quality first, FineWeb order)."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val p = (id % 3) match {
+            case 0 =>
+              if (id % 21 == 0) makeBmp(9, 8, (_, _) => 5)
+              else makeBmp(9, 8, (x, y) => {
+                val r = (XHash.h60(s"${id}e${x}_$y") % 100).toInt
+                if (r < 7) 5 else if (r < 12) 250 else 40 + r
+              })
+            case 1 =>
+              if (id % 21 == 1) makeWav8(8000, Array.fill(160)(128))
+              else makeWav8(8000, Array.tabulate(160) { j =>
+                val r = (XHash.h60(s"${id}q$j") % 100).toInt
+                if (r < 6) 128 else if (r < 10) 255 else if (r < 13) 0 else 20 + 2 * r
+              })
+            case _ =>
+              if (id % 21 == 2) makeAvi(4, 4, 20, (_, _, _) => 5)
+              else fixtureAviQuality(id)
+          }
+          (id, p)
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.mediaQualityFrame(media)
+        .groupBy("mod", "flagged")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("mod", "flagged")
+    },
+
     // ----- x146: video quality audit (black frames / frozen frames) -----
     Q(
       "x146_video_quality",

@@ -285,4 +285,46 @@ class CliCorpusSpec extends SparkSpec {
     // docs with no media row pass the stage untouched
     assert(out.count() > 90)
   }
+
+  test("corpus --mquality drops docs with dead media, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-corpus-mquality")
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    // quality-passing docs (checked against the plain run below): 1 posts
+    // an all-black image, 2 an all-silence clip, 6 an all-black video —
+    // all three must drop; 5 posts a healthy image, 7 a healthy clip;
+    // 8 posts undecodable bytes (must NOT drop — the gate never drops
+    // what it cannot read); everyone else has no media row
+    val media = Seq(
+      (1L, PerceptualDedup.makeBmp(9, 8, (_, _) => 5)),
+      (2L, PerceptualDedup.makeWav8(8000, Array.fill(160)(128))),
+      (6L, PerceptualDedup.makeAvi(4, 4, 20, (_, _, _) => 5)),
+      (5L, PerceptualDedup.fixtureBmp(5L * 5)),
+      (7L, PerceptualDedup.fixtureWav(7L * 5)),
+      (8L, "not decodable media".getBytes)
+    ).toDF("doc_id", "payload")
+    val mediaPath = base.getPath + "/media.parquet"
+    media.write.parquet(mediaPath)
+    def runCapture(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    val jPlain = runCapture(List("corpus", docsPath, base.getPath + "/plain"))
+    val plainIds = spark.read.parquet(base.getPath + "/plain")
+      .select("doc_id").as[Long].collect().toSet
+    // the planted docs must be in play before the gate can show its cut
+    assert(Set(1L, 2L, 5L, 6L, 7L, 8L).subsetOf(plainIds), plainIds.toSeq.sorted.take(12))
+    val j = runCapture(List("corpus", docsPath, base.getPath + "/out",
+      "--mquality", mediaPath))
+    assert(j.contains(""""stages":["quality","mquality","dedup_exact","split","pack"]"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L) && !ids.contains(2L) && !ids.contains(6L),
+      "dead media must drop")
+    assert(ids.contains(5L) && ids.contains(7L) && ids.contains(8L),
+      "healthy and undecodable media must pass")
+    assert((plainIds -- ids) === Set(1L, 2L, 6L), "only the dead-media docs drop")
+  }
 }

@@ -157,6 +157,14 @@ object TrainingData {
   def mediaQuality(media: DataFrame): DataFrame =
     xscale.Multimodal.mediaQualityFrame(media)
 
+  /** Per-clip UTTERANCE segmentation (x151): silence-gap splitting with
+    * pauses kept inside utterances — the VAD-style signal speech
+    * curation keys on; (doc_id, decoded, n_samples, n_utterances,
+    * longest_utterance).
+    */
+  def audioUtterances(media: DataFrame, silenceMax: Long = 1L, gapMin: Int = 8): DataFrame =
+    xscale.Multimodal.audioUtteranceFrame(media, silenceMax, gapMin)
+
   /** Near-dup pairs → connected components → one survivor per cluster.
     * Pass `checkpointDir` on a real cluster: iteration state then persists
     * to reliable storage and survives executor loss (executor-local

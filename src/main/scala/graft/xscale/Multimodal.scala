@@ -688,6 +688,89 @@ object Multimodal {
     Some(sums)
   }
 
+  /** Exact-integer UTTERANCE segmentation — the audio sibling of the
+    * scene-cut rule ([[decodeAviSceneCuts]]), the VAD-style signal a
+    * speech corpus keys segmentation on: a run of ≥ `gapMin` consecutive
+    * SILENT samples (|s| ≤ `silenceMax`, the x143 rule) is a SEPARATOR;
+    * an utterance is a maximal segment between separators containing at
+    * least one non-silent sample (short silent runs under `gapMin` stay
+    * INSIDE an utterance — pauses are not boundaries). Returns
+    * (n_samples, n_utterances, longest_utterance) with the longest
+    * measured in samples from segment start to the first sample of the
+    * closing separator. Same hardened RIFF walk as every WAV decoder;
+    * None for non-PCM bytes.
+    */
+  def decodeWavUtterances(
+      p: Array[Byte],
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): Option[(Long, Long, Long)] = {
+    val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val bytesPer = bits / 8
+    var utt = 0L
+    var longest = 0L
+    var segStart = 0L // first sample index of the open segment
+    var segVoiced = false // the open segment saw a non-silent sample
+    var silentRun = 0L
+    var j = 0L
+    def closeSegment(endExclusive: Long): Unit = {
+      if (segVoiced) {
+        utt += 1
+        val len = endExclusive - segStart
+        if (len > longest) longest = len
+      }
+    }
+    while (j < n) {
+      val o = dataOff + (j * bytesPer).toInt
+      val s: Long =
+        if (bits == 16) le16(o).toShort.toLong
+        else (p(o) & 0xff).toLong - 128L
+      if (math.abs(s) <= silenceMax) {
+        silentRun += 1
+        if (silentRun == gapMin) {
+          // the run just became a separator: the segment ended where it
+          // began, gapMin samples back
+          closeSegment(j + 1 - gapMin)
+          segVoiced = false
+        }
+      } else {
+        if (silentRun >= gapMin) segStart = j // new segment after a separator
+        silentRun = 0
+        segVoiced = true
+      }
+      j += 1
+    }
+    if (silentRun < gapMin) closeSegment(n)
+    Some((n, utt, longest))
+  }
+
+  /** Per-clip utterance frame over REAL media — the library route for the
+    * x151 audit: (doc_id, decoded, n_samples, n_utterances,
+    * longest_utterance); undecodable rows keep `decoded = false` with
+    * zeroed counters. Batched per partition like every decode step.
+    */
+  def audioUtteranceFrame(
+      media: DataFrame,
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap(_.map { case (id, p) =>
+          decodeWavUtterances(p, silenceMax, gapMin) match {
+            case Some((ns, nu, lu)) => (id, true, ns, nu, lu)
+            case None               => (id, false, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("doc_id", "decoded", "n_samples", "n_utterances", "longest_utterance")
+  }
+
   /** Hardened RIFF/AVI layout walk — the video modality's chunk cursor,
     * the same discipline as [[wavPcmLayout]] one container over (AVI is
     * RIFF too): returns (width, height, movi_offset, movi_end) for a
@@ -1368,6 +1451,66 @@ object Multimodal {
           expr("bit_xor(sum_abs)").as("abs_xor"),
           expr("bit_xor(sum_sq)").as("sq_xor"),
           max("peak").as("peak_max"))
+        .orderBy("decile")
+    },
+
+    // ----- x151: utterance segmentation (silence-gap splitting, the VAD signal) -----
+    Q(
+      "x151_utterance_split",
+      Some(
+        "WITH bd AS (SELECT doc_id, b FROM documents, " +
+          "(SELECT unnest(generate_series(0, 19)) AS b)), " +
+          s"gp AS (SELECT doc_id, b, ${XHash.h60Sql("CAST(doc_id AS VARCHAR) || 'g' || CAST(b AS VARCHAR)")} % 4 = 0 AS gap FROM bd), " +
+          "q AS (SELECT doc_id, b, gap, " +
+          "lag(gap) OVER (PARTITION BY doc_id ORDER BY b) AS pg, " +
+          "sum(CASE WHEN gap THEN 1 ELSE 0 END) OVER " +
+          "(PARTITION BY doc_id ORDER BY b) AS seg FROM gp), " +
+          "sl AS (SELECT doc_id, seg, " +
+          "sum(CASE WHEN gap THEN 0 ELSE 1 END) AS nb FROM q GROUP BY 1, 2), " +
+          "pc AS (SELECT q.doc_id, " +
+          "CAST(sum(CASE WHEN NOT gap AND (pg IS NULL OR pg) THEN 1 ELSE 0 END) AS BIGINT) AS nu " +
+          "FROM q GROUP BY 1), " +
+          "pl AS (SELECT doc_id, CAST(8 * coalesce(max(nb), 0) AS BIGINT) AS lu FROM sl GROUP BY 1) " +
+          "SELECT doc_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_clips, " +
+          "CAST(sum(nu) AS BIGINT) AS utt_total, " +
+          "CAST(bit_xor(nu) AS BIGINT) AS utt_xor, " +
+          "CAST(bit_xor(lu) AS BIGINT) AS longest_xor " +
+          "FROM pc JOIN pl USING (doc_id) GROUP BY 1 ORDER BY 1"),
+      "UTTERANCE segmentation — the x149 scene-cut rule's audio sibling, the " +
+        "VAD-style signal a speech corpus keys curation on (many short fragments = " +
+        "chopped uploads; one unbroken block = no natural segment boundaries for " +
+        "training windows): a run of >= 8 consecutive SILENT samples (|s| <= 1, " +
+        "x143's rule) is a SEPARATOR; an utterance is a maximal segment between " +
+        "separators containing voiced samples — short pauses stay INSIDE an " +
+        "utterance, which is exactly what a fixed silence-threshold splitter gets " +
+        "wrong. Counters are exact integers (n_utterances, longest in samples). " +
+        "Fixture: per doc a REAL 160-sample WAV of twenty 8-sample bands — each " +
+        "band silent (all-128) with closed-form probability 1/4, else never-silent " +
+        "voiced samples — so separators align with band runs and the oracle " +
+        "replays the segmentation with window functions (islands by cumulative gap " +
+        "count) while the DECODER runs the general sample-level rule; the two " +
+        "agree exactly because fixture silence only occurs in full bands. Library " +
+        "route for real media: Multimodal.audioUtteranceFrame / " +
+        "TrainingData.audioUtterances. Scale: one decode pass + one groupBy."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate(160) { j =>
+            val b = j / 8
+            if (XHash.h60(s"${id}g$b") % 4 == 0) 128
+            else 30 + (XHash.h60(s"${id}u$j") % 90).toInt
+          }
+          (id, PerceptualDedup.makeWav8(8000, samples))
+        })
+        .toDF("doc_id", "payload")
+      audioUtteranceFrame(media)
+        .groupBy((col("doc_id") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum("n_utterances").as("utt_total"),
+          expr("bit_xor(n_utterances)").as("utt_xor"),
+          expr("bit_xor(longest_utterance)").as("longest_xor"))
         .orderBy("decile")
     },
 

@@ -353,4 +353,42 @@ class MultimodalSpec extends SparkSpec {
       assert(g.map(_.frame_h).distinct.length == g.length) // distinct fingerprints
     }
   }
+
+  test("decodeWavUtterances: pauses stay inside, separators split, exact lengths") {
+    import PerceptualDedup.makeWav8
+    def wav(samples: Seq[Int]) = makeWav8(8000, samples.toArray)
+    // [8 silence][5 voiced][3-sample PAUSE][4 voiced][8 silence][2 voiced]
+    // -> leading silence yields no utterance; the pause stays INSIDE
+    // (utterance length 12 = 5+3+4); the trailing 2-voiced tail counts
+    val p = wav(Seq.fill(8)(128) ++ Seq.fill(5)(60) ++ Seq.fill(3)(128) ++
+      Seq.fill(4)(60) ++ Seq.fill(8)(128) ++ Seq.fill(2)(60))
+    assert(Multimodal.decodeWavUtterances(p) == Some((30L, 2L, 12L)))
+    // a 7-sample silent run is UNDER gapMin=8: one unbroken utterance
+    val q = wav(Seq.fill(3)(60) ++ Seq.fill(7)(128) ++ Seq.fill(3)(60))
+    assert(Multimodal.decodeWavUtterances(q) == Some((13L, 1L, 13L)))
+    // all-silence clip: zero utterances
+    assert(Multimodal.decodeWavUtterances(wav(Seq.fill(16)(128))) == Some((16L, 0L, 0L)))
+    assert(Multimodal.decodeWavUtterances("not audio".getBytes).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWavUtterances(p, gapMin = 0))
+    // fixture closed form == decoder (the x151 oracle premise): silence
+    // only occurs in full 8-sample bands, so utterances are exactly the
+    // maximal non-gap band runs x 8
+    for (id <- Seq(0L, 7L, 123L)) {
+      val gaps = Array.tabulate(20)(b => XHash.h60(s"${id}g$b") % 4 == 0)
+      val samples = Array.tabulate(160) { j =>
+        if (gaps(j / 8)) 128 else 30 + (XHash.h60(s"${id}u$j") % 90).toInt
+      }
+      var runs = List.empty[Int]
+      var cur = 0
+      for (b <- 0 until 20) {
+        if (gaps(b)) { if (cur > 0) runs ::= cur; cur = 0 } else cur += 1
+      }
+      if (cur > 0) runs ::= cur
+      val expect = (160L, runs.length.toLong,
+        if (runs.isEmpty) 0L else 8L * runs.max)
+      assert(Multimodal.decodeWavUtterances(makeWav8(8000, samples)) == Some(expect),
+        s"doc $id")
+    }
+  }
 }

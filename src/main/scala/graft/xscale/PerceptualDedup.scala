@@ -729,9 +729,17 @@ object PerceptualDedup {
     val cs =
       if (corpusShingles.columns.contains("cv_id")) corpusShingles
       else corpusShingles.withColumnRenamed("doc_id", "cv_id")
+    // DISTINCT on the matched (doc, cv, fingerprint) rows before counting:
+    // a crash-window RETRY doubles the state's appended shingle rows (the
+    // documented append-replay mode every sidecar shares), and unlike the
+    // bands sidecar — where a duplicate row changes no hamming verdict —
+    // a doubled shingle row would double `i` for that pair and inflate
+    // containment past the threshold. The distinct is on the JOIN OUTPUT
+    // (batch-sized × matches), never on the full state.
     val near = batchShingles
       .join(cs, keys)
       .filter(col("cv_id") =!= col("doc_id"))
+      .select(col("doc_id") +: col("cv_id") +: keys.map(col): _*).distinct()
       .groupBy("doc_id", "cv_id").agg(count(lit(1)).as("i"))
       .join(sz, "doc_id")
       .filter(col("i") * den >= col("n_sh") * num)

@@ -175,6 +175,115 @@ class StreamingAdmitSpec extends SparkSpec {
         .select("cv_id", "cid").as[(Long, Long)].collect().toSet)
   }
 
+  test("sequential admit == Cli admit --pmedia --ptrim day by day (media+trim parity)") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-media-parity")
+    def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
+      PerceptualDedup.VideoWindows - from,
+      (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
+    val corpusMedia = ((0L to 3L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+      (4L to 6L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))) ++
+      (7L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5))))
+      .toDF("doc_id", "payload")
+    // day 1: 41 brightened re-encode of corpus IMAGE 2; 42 TRIM of corpus
+    // video 8 (band leg blind — only --ptrim flags it); 43/44 a novel
+    // video + its 2x re-render arriving together (band strict pair;
+    // fingerprints differ by the x4 sum scale, so the trim leg stays out
+    // of it); 45 fresh video
+    val d1 = Seq((41L, novel1, "s"), (42L, novel2, "s"), (43L, novel3, "s"),
+      (44L, novel4, "s"),
+      (45L, "a gazetteer of disused towpath mileposts west of the junction", "s"))
+      .toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (41L, PerceptualDedup.fixtureBmpShift(2L * 5, 16)),
+      (42L, trim(8L * 5, 10)),
+      (43L, PerceptualDedup.fixtureAvi(4343L * 5)),
+      (44L, PerceptualDedup.fixtureAvi2x(4343L * 5)),
+      (45L, PerceptualDedup.fixtureAvi(4545L * 5))).toDF("doc_id", "payload")
+    // day 2: 51 = trim of day-1-admitted 45 (off the APPENDED shingles);
+    // 52 = brightened re-encode of 45 (off the APPENDED bands)
+    val d2 = Seq(
+      (51L, "the register of sluice paddle replacements for the east lock", "s"),
+      (52L, "an inventory of unclaimed ferry tokens held by the harbourmaster", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq(
+      (51L, trim(4545L * 5, 20)),
+      (52L, PerceptualDedup.fixtureAviShift(4545L * 5, 10))).toDF("doc_id", "payload")
+
+    // STREAM side: state bootstrapped exactly as `Cli admit --psigs
+    // --ptrim` run 1 writes it (deterministic hashes — both surfaces
+    // derive identical states from the same corpus media)
+    val statePath = new java.io.File(base, "state").getPath
+    val psigsS = new java.io.File(base, "psigsS").getPath
+    PerceptualDedup.writeBandMeta(spark, s"$psigsS/meta", wide = false)
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigsS/bands")
+    PerceptualDedup.videoFrameShingles(corpusMedia)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigsS/shingles")
+    val reportPath = new java.io.File(base, "report").getPath
+    val outPath = new java.io.File(base, "out").getPath
+    StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigsS), batchMedia = Some(d1m), outPath = Some(outPath),
+      ptrim = true)
+    StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigsS), batchMedia = Some(d2m), outPath = Some(outPath),
+      ptrim = true)
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_img" -> 1L,
+      "near_dup_corpus_vtrim" -> 1L, "near_dup_batch_vid" -> 1L))
+    val rep2s = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2s === Map("near_dup_corpus_vtrim" -> 1L, "near_dup_corpus_vid" -> 1L))
+
+    // BATCH verb over the SAME days with its own fresh sidecars
+    val emptyCorpus = d1.filter(lit(false))
+    val corpusPath = new java.io.File(base, "corpus.parquet").getPath
+    val cmPath = new java.io.File(base, "cm.parquet").getPath
+    emptyCorpus.write.parquet(corpusPath)
+    corpusMedia.write.parquet(cmPath)
+    val sigsC = new java.io.File(base, "sigsC").getPath
+    val psigsC = new java.io.File(base, "psigsC").getPath
+    def cli(bdf: org.apache.spark.sql.DataFrame, bmdf: org.apache.spark.sql.DataFrame,
+        tag: String): String = {
+      val bPath = new java.io.File(base, s"b$tag.parquet").getPath
+      val bmPath = new java.io.File(base, s"bm$tag.parquet").getPath
+      bdf.write.parquet(bPath)
+      bmdf.write.parquet(bmPath)
+      val out = new java.io.File(base, s"o$tag").getPath
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        assert(graft.Cli.run(spark, List(
+          "admit", corpusPath, bPath, out, "--sigs", sigsC, "--strict",
+          "--pmedia", cmPath, "--bmedia", bmPath, "--psigs", psigsC,
+          "--ptrim")) === 0)
+      }
+      out
+    }
+    val o1 = cli(d1, d1m, "1")
+    val o2 = cli(d2, d2m, "2")
+    val streamed = spark.read.parquet(reportPath)
+    assert(reportKey(streamed.filter(col("batch_id") === 0L)) ===
+      reportKey(spark.read.parquet(s"$o1/report")))
+    assert(reportKey(streamed.filter(col("batch_id") === 1L)) ===
+      reportKey(spark.read.parquet(s"$o2/report")))
+    // sidecars agree doc-for-doc: bands (id, mod) and shingle rows
+    assert(spark.read.parquet(s"$psigsS/bands")
+      .select("cv_id", "mod").as[(Long, String)].collect().toSet ===
+      spark.read.parquet(s"$psigsC/bands")
+        .select("cv_id", "mod").as[(Long, String)].collect().toSet)
+    assert(spark.read.parquet(s"$psigsS/shingles")
+      .select("cv_id", "s1", "q1", "s2", "q2").as[(Long, Long, Long, Long, Long)]
+      .collect().toSet ===
+      spark.read.parquet(s"$psigsC/shingles")
+        .select("cv_id", "s1", "q1", "s2", "q2").as[(Long, Long, Long, Long, Long)]
+        .collect().toSet)
+  }
+
   test("replay after a crash between out-write and state-append duplicates, never loses") {
     // the write-order pin: out lands BEFORE the state append, so a replayed
     // micro-batch re-admits and re-appends — duplicated output rows

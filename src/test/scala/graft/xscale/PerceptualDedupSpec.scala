@@ -507,6 +507,34 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("admitTrimCompare: retry-doubled state rows never inflate containment") {
+    import spark.implicits._
+    // shingle frames fed directly: batch doc 1 has 10 distinct
+    // fingerprints; cv 100 shares 5 of them (0.5 — under the 0.8 rule),
+    // cv 200 shares 9 (0.9 — flagged). Doubling every state row (the
+    // crash-window append replay every sidecar documents) must not
+    // change either verdict: a naive per-row count would see i = 10 for
+    // cv 100 and flip it over the threshold.
+    def fp(i: Int) = (i.toLong, i.toLong * 7, i.toLong + 1, i.toLong * 11)
+    val batch = (1 to 10).map(i => (1L, fp(i)._1, fp(i)._2, fp(i)._3, fp(i)._4))
+      .toDF("doc_id", "s1", "q1", "s2", "q2")
+    val state = ((1 to 5).map(i => (100L, fp(i)._1, fp(i)._2, fp(i)._3, fp(i)._4)) ++
+      (1 to 9).map(i => (200L, fp(i)._1, fp(i)._2, fp(i)._3, fp(i)._4)))
+      .toDF("cv_id", "s1", "q1", "s2", "q2")
+    def verdict(st: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      admitTrimCompare(st, batch).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdict(state) == Map(1L -> true)) // cv 200's 0.9 flags doc 1
+    val clean = verdict(state)
+    assert(verdict(state.unionByName(state)) == clean,
+      "doubled state rows changed a containment verdict")
+    // and with cv 200 removed, doc 1 must be clean at 0.5 even doubled
+    val half = state.filter(col("cv_id") === 100L)
+    assert(verdict(half) == Map(1L -> false))
+    assert(verdict(half.unionByName(half)) == Map(1L -> false),
+      "doubling flipped a 0.5-containment pair over the 0.8 threshold")
+  }
+
   test("decodeAviSceneCuts: exact cut counting, strict threshold edge, longest run") {
     // hand-built levels: cuts at |delta| > 50 — the 51 jump cuts, the
     // exactly-50 jump does NOT (strict), runs: [3, 2, 4] -> longest 4

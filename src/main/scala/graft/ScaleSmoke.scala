@@ -60,7 +60,7 @@ object ScaleSmoke {
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady", "x74_admit_vtrim_steady",
-    "x74_psigs_compact", "corpus_pdedup_stage",
+    "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -372,6 +372,22 @@ object ScaleSmoke {
         xscale.PerceptualDedup.admitTrimCompare(
           state, xscale.PerceptualDedup.videoFrameShingles(batch))
           .groupBy("near_trim").count()
+      }),
+      // the `Cli corpus --mquality` gate shape, measured end to end: one
+      // modality-detected decode pass over the same three-way media mix
+      // as the pdedup entry, one groupBy — the gate's cost IS the decode
+      "corpus_mquality_stage" -> ((s, d) => {
+        import s.implicits._
+        val media = s.read.parquet(s"$d/documents.parquet").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            (id,
+              if (id % 3 == 1) xscale.PerceptualDedup.fixtureWav(id)
+              else if (id % 3 == 2) xscale.PerceptualDedup.fixtureAvi(id)
+              else xscale.PerceptualDedup.fixtureBmp(id))
+          })
+          .toDF("doc_id", "payload")
+        xscale.Multimodal.mediaQualityFrame(media)
+          .groupBy("mod", "flagged").count()
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
       // modality-detected decode pass over REAL three-way mixed media

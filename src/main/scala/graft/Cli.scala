@@ -217,16 +217,19 @@ object Cli {
       // cannot read. A QUALITY stage, so it runs with the text rules
       // BEFORE any dedup (FineWeb order): a bad-media doc must not
       // survive as a dedup cluster's representative.
-      val mkept = flags.mqualityPath match {
+      val (mkept, mqualityDropped) = flags.mqualityPath match {
         case Some(mp) =>
-          val bad = xscale.Multimodal.mediaQualityFrame(
+          // the flagged set is cut before its two consumers (the
+          // anti-join and the stats count) — uncut, each would re-run
+          // the full media decode pass
+          val bad = cut(xscale.Multimodal.mediaQualityFrame(
             spark.read.parquet(mp).join(
               kept.select("doc_id"), Seq("doc_id"), "left_semi"))
             .filter(org.apache.spark.sql.functions.col("decoded") &&
               org.apache.spark.sql.functions.col("flagged"))
-            .select("doc_id")
-          kept.join(bad, Seq("doc_id"), "left_anti")
-        case None => kept
+            .select("doc_id"))
+          (kept.join(bad, Seq("doc_id"), "left_anti"), bad.count())
+        case None => (kept, 0L)
       }
       // Materialize the reused stage boundaries (the x57 rule): dedup
       // output feeds span removal (three internal reads) + the re-join +
@@ -417,6 +420,12 @@ object Cli {
         Seq("split", "pack")
       println(
         s"""{"input":${inStats.getLong(0)},"kept":${inStats.getLong(1)},""" +
+          // "kept" is the TEXT-rule count (the annotated scan); the media
+          // gate's cut gets its own figure so kept - deduped stays an
+          // honest dedup attribution when --mquality is on
+          (if (flags.mqualityPath.isDefined)
+            s""""mquality_dropped":$mqualityDropped,"""
+          else "") +
           s""""deduped":${deduped.count()},"selected":${selectedM.count()},""" +
           s""""train":${outStats.getLong(0)},"val":${outStats.getLong(1)},""" +
           s""""test":${outStats.getLong(2)},"packs":${outStats.getLong(3)},""" +
@@ -619,21 +628,36 @@ object Cli {
               val w = corpusWide()
               (graft.xscale.DedupClusters.ckpt(corpusHash(w), flags.ckptDir), w, false)
           }
-          val batchBands = graft.xscale.DedupClusters.ckpt(
-            (if (legacy)
-              xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
-                .filter(col("decoded")).select("doc_id", "bands")
-            else
-              xscale.PerceptualDedup.mediaHashFrame(spark.read.parquet(bm), wide)
-                .filter(col("decoded")).select("doc_id", "mod", "bands")),
-            flags.ckptDir)
+          // with --ptrim (non-legacy), ONE decode pass serves both video
+          // signals: the combined frame carries bands AND shingles per
+          // payload (the separate passes each re-ran the per-pixel AVI
+          // decode — 2x the leg's dominant cost)
+          val (batchBands, batchShingles) =
+            if (legacy)
+              (graft.xscale.DedupClusters.ckpt(
+                xscale.PerceptualDedup.imageHashFrame(spark.read.parquet(bm))
+                  .filter(col("decoded")).select("doc_id", "bands"),
+                flags.ckptDir), None)
+            else if (flags.ptrim) {
+              val combined = graft.xscale.DedupClusters.ckpt(
+                xscale.PerceptualDedup.mediaHashShingleFrame(
+                  spark.read.parquet(bm), wide),
+                flags.ckptDir)
+              (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
+                Some(graft.xscale.DedupClusters.ckpt(
+                  xscale.PerceptualDedup.shingleRows(combined), flags.ckptDir)))
+            } else
+              (graft.xscale.DedupClusters.ckpt(
+                xscale.PerceptualDedup.mediaHashFrame(spark.read.parquet(bm), wide)
+                  .filter(col("decoded")).select("doc_id", "mod", "bands"),
+                flags.ckptDir), None)
           Some(MediaLeg(
             graft.xscale.DedupClusters.ckpt(
               xscale.PerceptualDedup.admitMediaCompare(
                 corpusBands, batchBands,
                 xscale.PerceptualDedup.widthThreshold(wide)),
               flags.ckptDir),
-            wide, legacy))
+            wide, legacy, batchShingles))
         case _ => None
       }
       // --ptrim: the TRIM leg — the blind spot the band leg leaves open
@@ -679,11 +703,14 @@ object Cli {
               case None =>
                 graft.xscale.DedupClusters.ckpt(corpusShingleScan(), flags.ckptDir)
             }
-            // batch shingles cut once: referenced by the compare, the
-            // strict pass AND the state append
-            val batchSh = graft.xscale.DedupClusters.ckpt(
-              xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm)),
-              flags.ckptDir)
+            // batch shingles: the media leg's combined one-decode frame
+            // already carries them (non-legacy --pmedia runs); only the
+            // legacy-state path pays a separate shingle decode. Cut once:
+            // referenced by the compare, the strict pass AND the append
+            val batchSh = mediaState.flatMap(_.batchShingles).getOrElse(
+              graft.xscale.DedupClusters.ckpt(
+                xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm)),
+                flags.ckptDir))
             Some((
               graft.xscale.DedupClusters.ckpt(
                 xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchSh),
@@ -925,7 +952,8 @@ object Cli {
   private final case class MediaLeg(
       frame: org.apache.spark.sql.DataFrame,
       wide: Boolean,
-      legacy: Boolean)
+      legacy: Boolean,
+      batchShingles: Option[org.apache.spark.sql.DataFrame] = None)
 
   /** Parsed `admit` flags: `--ckpt` = reliable stage-boundary
     * checkpoints (the corpus verb's contract); `--sigs` = the persisted

@@ -390,10 +390,13 @@ object ScaleSmoke {
           .groupBy("mod", "flagged").count()
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
-      // modality-detected decode pass over REAL three-way mixed media
-      // (BMP images on ids % 3 == 0, WAV clips on % 3 == 1, AVI videos on
-      // % 3 == 2 — fixture clusters of 5 keep same-modality near-dup mass
-      // in every cluster), banded pairs -> CC -> keep-one; width
+      // modality-detected decode pass over REAL three-way mixed media —
+      // modality chosen per CLUSTER ((id / ClusterSize) % 3), never per
+      // id: the same-content variants of a cluster are CONSECUTIVE ids,
+      // so a per-id split would scatter them across modalities and the
+      // mod-keyed candidate join would run over an empty pair graph
+      // (caught in review — the stage must exercise its join/CC path,
+      // not just the decode); banded pairs -> CC -> keep-one; width
       // auto-picked from the media count (mediaWideFor)
       "corpus_pdedup_stage" -> ((s, d) => {
         import s.implicits._
@@ -406,9 +409,10 @@ object ScaleSmoke {
         val wide = xscale.PerceptualDedup.mediaWideFor(docs.count())
         val media = docs.select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
+            val m = (id / xscale.PerceptualDedup.ClusterSize) % 3
             (id,
-              if (id % 3 == 1) xscale.PerceptualDedup.fixtureWav(id)
-              else if (id % 3 == 2)
+              if (m == 1) xscale.PerceptualDedup.fixtureWav(id)
+              else if (m == 2)
                 (if (wide) xscale.PerceptualDedup.fixtureAviWide(id)
                  else xscale.PerceptualDedup.fixtureAvi(id))
               else if (wide) xscale.PerceptualDedup.fixtureBmpWide(id)

@@ -145,18 +145,27 @@ object StreamingAdmit {
         val stateBands = spark.read.parquet(s"$d/bands")
         val legacy = !stateBands.columns.contains("mod")
         val wide = PerceptualDedup.stateWide(spark, s"$d/meta", stateBands)
-        val batchBands = DedupClusters.ckpt(
-          (if (legacy)
-            PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))
-              .select("doc_id", "bands")
-          else
-            PerceptualDedup.mediaHashFrame(bm, wide).filter(col("decoded"))
-              .select("doc_id", "mod", "bands")),
-          checkpointDir)
+        // with ptrim (non-legacy), ONE decode pass serves both video
+        // signals — the batch verb's combined-frame rule
+        val (batchBands, batchShingles) =
+          if (legacy)
+            (DedupClusters.ckpt(
+              PerceptualDedup.imageHashFrame(bm).filter(col("decoded"))
+                .select("doc_id", "bands"), checkpointDir), None)
+          else if (ptrim) {
+            val combined = DedupClusters.ckpt(
+              PerceptualDedup.mediaHashShingleFrame(bm, wide), checkpointDir)
+            (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
+              Some(DedupClusters.ckpt(
+                PerceptualDedup.shingleRows(combined), checkpointDir)))
+          } else
+            (DedupClusters.ckpt(
+              PerceptualDedup.mediaHashFrame(bm, wide).filter(col("decoded"))
+                .select("doc_id", "mod", "bands"), checkpointDir), None)
         Some((DedupClusters.ckpt(
           PerceptualDedup.admitMediaCompare(
             stateBands, batchBands, PerceptualDedup.widthThreshold(wide)),
-          checkpointDir), wide, legacy))
+          checkpointDir), wide, legacy, batchShingles))
       case _ => None
     }
     val mediaFrame = mediaLeg.map(_._1)
@@ -165,11 +174,17 @@ object StreamingAdmit {
     // state (the re-cut/excerpt whose temporal hash differs BY DESIGN,
     // so the band leg admits it); finally-admitted shingles append
     // below. Bootstrapped by `Cli admit --ptrim --psigs` run 1.
+    // the batch verb REJECTS --ptrim without --pmedia; the library
+    // surface must not silently downgrade to zero trim recall instead
+    require(!ptrim || (psigsPath.isDefined && batchMedia.isDefined),
+      "ptrim = true requires psigsPath and batchMedia — without them every " +
+        "re-cut video would be admitted unflagged (silent zero recall)")
     val trimLeg = (psigsPath, batchMedia) match {
       case (Some(d), Some(bm)) if ptrim =>
         val stateSh = spark.read.parquet(s"$d/shingles")
-        val batchSh = DedupClusters.ckpt(
-          PerceptualDedup.videoFrameShingles(bm), checkpointDir)
+        val batchSh = mediaLeg.flatMap(_._4).getOrElse(
+          DedupClusters.ckpt(
+            PerceptualDedup.videoFrameShingles(bm), checkpointDir))
         Some((
           DedupClusters.ckpt(
             PerceptualDedup.admitTrimCompare(stateSh, batchSh), checkpointDir),
@@ -226,7 +241,7 @@ object StreamingAdmit {
       case _ => stS0
     }
     val st5 = (mediaLeg, strict) match {
-      case (Some((frame, wide, _)), true) =>
+      case (Some((frame, wide, _, _)), true) =>
         val admNow = stS1.filter(col("status") === "admitted").select("doc_id")
         val losers = PerceptualDedup.admitMediaStrictLosers(
           frame.join(admNow, "doc_id").select("doc_id", "mod", "bands"),
@@ -282,7 +297,7 @@ object StreamingAdmit {
     // the append CONFORMS to the state's layout (legacy states stay
     // (cv_id, bands) — mixed schemas in one parquet dir read
     // layout-dependent)
-    for ((frame, _, legacy) <- mediaLeg; d <- psigsPath)
+    for ((frame, _, legacy, _) <- mediaLeg; d <- psigsPath)
       frame.join(admittedIds, "doc_id")
         .select(
           col("doc_id").as("cv_id") +:

@@ -824,7 +824,13 @@ object Multimodal {
       if (next <= i || next > p.length.toLong) ok = false else i = next.toInt
     }
     if (w <= 0 || h <= 0 || moviOff < 0) None
-    else if (w * h > MaxDecodePixels) None // oversize refusal, pre-decode
+    // oversize refusal, pre-decode — each dimension checked BEFORE the
+    // product: w = h = 0xFFFFFFFF would wrap w*h past Long.MaxValue to a
+    // negative value and sail through a product-only guard (then
+    // rowSize = 0 frames of luma 0 — every crafted payload a mutual
+    // "near-dup"); per-dimension bounds make the product overflow-free
+    else if (w > MaxDecodePixels || h > MaxDecodePixels) None
+    else if (w * h > MaxDecodePixels) None
     else Some((w.toInt, h.toInt, moviOff, moviEnd))
   }
 
@@ -843,46 +849,62 @@ object Multimodal {
     * [[MaxDecodePixels]] frame cap = 4.4e18 < 2⁶³. None when the layout
     * walk fails or no complete frame exists.
     */
-  def decodeAviFrameStats(p: Array[Byte]): Option[(Int, Int, Array[Long], Array[Long])] = {
-    val (w, h, moviOff, moviEnd) = aviLayout(p) match {
-      case Some(l) => l
-      case None    => return None
-    }
+  /** The single 'movi' cursor every AVI frame consumer shares
+    * ([[decodeAviFrameStats]], [[extractAviFrames]]) — ONE source of
+    * truth for the completeness/skip rules: `f(frameDataOffset)` fires
+    * for each COMPLETE '00db' frame (claimed size covers `frameBytes`
+    * AND the bytes are actually present); truncated frames and foreign
+    * chunks are skipped; a non-advancing or out-of-range claim stops
+    * the walk.
+    */
+  private def foreachAviFrame(
+      p: Array[Byte],
+      moviOff: Int,
+      moviEnd: Int,
+      frameBytes: Long)(f: Int => Unit): Unit = {
     def le32(o: Int): Long =
       (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
         ((p(o + 3) & 0xffL) << 24)
     def ascii(o: Int, s: String): Boolean =
       o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    val frameBytes = rowSize.toLong * h
-    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = moviOff
     var ok = true
     while (ok && i + 8 <= moviEnd) {
       val sz = le32(i + 4)
-      if (ascii(i, "00db") && sz >= frameBytes && i + 8 + frameBytes <= p.length.toLong) {
-        var s = 0L
-        var sq = 0L
-        var y = 0
-        while (y < h) {
-          val ro = i + 8 + y * rowSize
-          var x = 0
-          while (x < w) {
-            val o = ro + 3 * x
-            val l = 299L * (p(o + 2) & 0xff) + 587L * (p(o + 1) & 0xff) +
-              114L * (p(o) & 0xff)
-            s += l
-            sq += l * l
-            x += 1
-          }
-          y += 1
-        }
-        sums += s
-        sqs += sq
-      }
+      if (ascii(i, "00db") && sz >= frameBytes && i + 8 + frameBytes <= p.length.toLong)
+        f(i + 8)
       val next = i.toLong + 8L + sz + (sz & 1L)
       if (next <= i || next > moviEnd) ok = false else i = next.toInt
+    }
+  }
+
+  def decodeAviFrameStats(p: Array[Byte]): Option[(Int, Int, Array[Long], Array[Long])] = {
+    val (w, h, moviOff, moviEnd) = aviLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    foreachAviFrame(p, moviOff, moviEnd, rowSize.toLong * h) { off =>
+      var s = 0L
+      var sq = 0L
+      var y = 0
+      while (y < h) {
+        val ro = off + y * rowSize
+        var x = 0
+        while (x < w) {
+          val o = ro + 3 * x
+          val l = 299L * (p(o + 2) & 0xff) + 587L * (p(o + 1) & 0xff) +
+            114L * (p(o) & 0xff)
+          s += l
+          sq += l * l
+          x += 1
+        }
+        y += 1
+      }
+      sums += s
+      sqs += sq
     }
     if (sums.isEmpty) None else Some((w, h, sums.toArray, sqs.toArray))
   }
@@ -1105,41 +1127,28 @@ object Multimodal {
           aviLayout(p) match {
             case None => Nil
             case Some((w, h, moviOff, moviEnd)) =>
-              def le32(o: Int): Long =
-                (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-                  ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-              def ascii(o: Int, s: String): Boolean =
-                o + s.length <= p.length && s.indices.forall(j => p(o + j) == s(j).toByte)
               val rowSize = ((w * 3 + 3) / 4) * 4
               val frameBytes = rowSize * h
               val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
               var k = 0L
-              var i = moviOff
-              var ok = true
-              while (ok && i + 8 <= moviEnd) {
-                val sz = le32(i + 4)
-                if (ascii(i, "00db") && sz >= frameBytes &&
-                  i + 8 + frameBytes.toLong <= p.length.toLong) {
-                  if (k % every == 0) {
-                    val bmp = new Array[Byte](54 + frameBytes)
-                    def ole16(o: Int, v: Int): Unit = {
-                      bmp(o) = (v & 0xff).toByte; bmp(o + 1) = ((v >> 8) & 0xff).toByte
-                    }
-                    def ole32(o: Int, v: Int): Unit = {
-                      ole16(o, v & 0xffff); ole16(o + 2, (v >> 16) & 0xffff)
-                    }
-                    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
-                    ole32(2, 54 + frameBytes); ole32(10, 54)
-                    ole32(14, 40); ole32(18, w); ole32(22, h)
-                    ole16(26, 1); ole16(28, 24); ole32(30, 0); ole32(34, frameBytes)
-                    ole32(38, 2835); ole32(42, 2835)
-                    System.arraycopy(p, i + 8, bmp, 54, frameBytes)
-                    out += ((id, k, bmp))
+              foreachAviFrame(p, moviOff, moviEnd, frameBytes.toLong) { off =>
+                if (k % every == 0) {
+                  val bmp = new Array[Byte](54 + frameBytes)
+                  def ole16(o: Int, v: Int): Unit = {
+                    bmp(o) = (v & 0xff).toByte; bmp(o + 1) = ((v >> 8) & 0xff).toByte
                   }
-                  k += 1
+                  def ole32(o: Int, v: Int): Unit = {
+                    ole16(o, v & 0xffff); ole16(o + 2, (v >> 16) & 0xffff)
+                  }
+                  bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+                  ole32(2, 54 + frameBytes); ole32(10, 54)
+                  ole32(14, 40); ole32(18, w); ole32(22, h)
+                  ole16(26, 1); ole16(28, 24); ole32(30, 0); ole32(34, frameBytes)
+                  ole32(38, 2835); ole32(42, 2835)
+                  System.arraycopy(p, off, bmp, 54, frameBytes)
+                  out += ((id, k, bmp))
                 }
-                val next = i.toLong + 8L + sz + (sz & 1L)
-                if (next <= i || next > moviEnd) ok = false else i = next.toInt
+                k += 1
               }
               out
           }

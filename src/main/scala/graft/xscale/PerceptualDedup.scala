@@ -363,10 +363,44 @@ object PerceptualDedup {
     * the SAME clip, the dominant near-dup mode in scraped video corpora.
     */
   def videoDhashBands(payload: Array[Byte]): Option[Array[Long]] =
-    Multimodal.decodeAviWindowSums(payload, VideoWindows).map { sums =>
-      val bits = Array.tabulate(VideoWindows - 1)(v => sums(v + 1) > sums(v))
-      bandsFromBits(bits)
+    Multimodal.decodeAviFrameStats(payload)
+      .flatMap { case (_, _, sums, _) => videoBandsFromSums(sums, wide = false) }
+
+  /** Window the raw frame sums and pack the comparison bits — the band
+    * computation SHARED between the per-payload hash entries and the
+    * one-decode combined frame ([[mediaHashShingleFrame]]): both video
+    * signals derive from one [[Multimodal.decodeAviFrameStats]] pass.
+    * None when fewer frames than the width's window count (the
+    * smaller-than-grid rule).
+    */
+  def videoBandsFromSums(frameSums: Array[Long], wide: Boolean): Option[Array[Long]] = {
+    val nW = if (wide) VideoWindowsWide else VideoWindows
+    val n = frameSums.length
+    if (n < nW) None
+    else {
+      val fpw = n / nW
+      val sums = Array.tabulate(nW) { v =>
+        var s = 0L
+        var f = v * fpw
+        val end = f + fpw
+        while (f < end) { s += frameSums(f); f += 1 }
+        s
+      }
+      val bits = Array.tabulate(nW - 1)(v => sums(v + 1) > sums(v))
+      Some(bandsFromBits(bits, if (wide) 32 else 16))
     }
+  }
+
+  /** Distinct frame-bigram fingerprints from the raw frame moments — the
+    * shingle computation shared the same way.
+    */
+  def shinglesFromStats(
+      sums: Array[Long],
+      sqs: Array[Long]): IndexedSeq[(Long, Long, Long, Long)] =
+    if (sums.length < 2) Vector.empty
+    else (0 until sums.length - 1)
+      .map(f => (sums(f), sqs(f), sums(f + 1), sqs(f + 1)))
+      .distinct
 
   /** Video windows for the WIDE fingerprint: 257 equal windows → 256
     * adjacent-sum comparisons → the shared 8 × 32-bit band geometry. A
@@ -383,10 +417,8 @@ object PerceptualDedup {
     * signal.
     */
   def videoDhashBandsWide(payload: Array[Byte]): Option[Array[Long]] =
-    Multimodal.decodeAviWindowSums(payload, VideoWindowsWide).map { sums =>
-      val bits = Array.tabulate(VideoWindowsWide - 1)(v => sums(v + 1) > sums(v))
-      bandsFromBits(bits, bandBits = 32)
-    }
+    Multimodal.decodeAviFrameStats(payload)
+      .flatMap { case (_, _, sums, _) => videoBandsFromSums(sums, wide = true) }
 
   // ---------------------------------------------------------------------
   // banded near-dup pairs (the x04 candidate shape over band columns)
@@ -550,6 +582,68 @@ object PerceptualDedup {
       .toDF("doc_id", "decoded", "mod", "nbytes", "bands")
   }
 
+  /** The ONE-DECODE combined frame for the `--pmedia --ptrim` hot path:
+    * [[mediaHashFrame]]'s columns PLUS a `shingles` array — a video
+    * payload's bands and frame-bigram fingerprints both derive from a
+    * single [[Multimodal.decodeAviFrameStats]] pass (the separate
+    * band/shingle passes each re-ran the per-pixel luma decode, 2× the
+    * dominant cost of the leg; caught in review). Image/audio rows carry
+    * empty shingles; a SHORT video (2–64 frames) carries shingles with
+    * `decoded = false` null bands — the trim leg still sees it, exactly
+    * as the separate [[videoFrameShingles]] pass would. Band semantics
+    * (modality detection order, `vid16` small-media fallback under wide)
+    * are [[mediaHashBands]]'s, bit for bit.
+    */
+  def mediaHashShingleFrame(media: DataFrame, wide: Boolean = false): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
+          val none = Vector.empty[(Long, Long, Long, Long)]
+          val (dec, m, b, sh) =
+            (if (wide) dhashBandsWide(p) else dhashBands(p)) match {
+              case Some(ib) => (true, "img", Some(ib), none)
+              case None =>
+                (if (wide) audioDhashBandsWide(p) else audioDhashBands(p)) match {
+                  case Some(ab) => (true, "aud", Some(ab), none)
+                  case None =>
+                    Multimodal.decodeAviFrameStats(p) match {
+                      case Some((_, _, sums, sqs)) =>
+                        val shingles = shinglesFromStats(sums, sqs)
+                        videoBandsFromSums(sums, wide) match {
+                          case Some(vb) => (true, "vid", Some(vb), shingles)
+                          case None if wide =>
+                            videoBandsFromSums(sums, wide = false) match {
+                              case Some(vb) => (true, "vid16", Some(vb), shingles)
+                              case None     => (false, "", None, shingles)
+                            }
+                          case None => (false, "", None, shingles)
+                        }
+                      case None if wide =>
+                        // the non-video small-media fallbacks
+                        dhashBands(p).map(ib => (true, "img16", Some(ib), none))
+                          .orElse(audioDhashBands(p).map(ab => (true, "aud16", Some(ab), none)))
+                          .getOrElse((false, "", None, none))
+                      case None => (false, "", None, none)
+                    }
+                }
+            }
+          (id, dec, m, p.length.toLong, b, sh)
+        })
+      }
+      .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shingles")
+  }
+
+  /** Explode a [[mediaHashShingleFrame]]'s `shingles` into the
+    * (doc_id, s1, q1, s2, q2) shape every trim-leg consumer takes.
+    */
+  def shingleRows(combined: DataFrame): DataFrame =
+    combined.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("sh._1").as("s1"), col("sh._2").as("q1"),
+        col("sh._3").as("s2"), col("sh._4").as("q2"))
+
   /** Near-dup pairs over a MIXED image/audio media frame — the corpus
     * `--pdedup` stage's pair generator: [[mediaHashFrame]] (undecodable
     * rows dropped) → modality-keyed [[bandNearDupPairs]]. The width is
@@ -660,10 +754,8 @@ object PerceptualDedup {
       .mapPartitions { it =>
         it.grouped(Multimodal.decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
           Multimodal.decodeAviFrameStats(p) match {
-            case Some((_, _, sums, sqs)) if sums.length >= 2 =>
-              (0 until sums.length - 1)
-                .map(f => (id, sums(f), sqs(f), sums(f + 1), sqs(f + 1)))
-                .distinct
+            case Some((_, _, sums, sqs)) =>
+              shinglesFromStats(sums, sqs).map { case (a, b, c, d) => (id, a, b, c, d) }
             case _ => Nil
           }
         })

@@ -319,6 +319,9 @@ class CliCorpusSpec extends SparkSpec {
     val j = runCapture(List("corpus", docsPath, base.getPath + "/out",
       "--mquality", mediaPath))
     assert(j.contains(""""stages":["quality","mquality","dedup_exact","split","pack"]"""), j)
+    // the gate's cut is its own stats figure — kept/deduped attribution
+    // stays honest (the three planted dead-media docs)
+    assert(j.contains(""""mquality_dropped":3"""), j)
     val ids = spark.read.parquet(base.getPath + "/out")
       .select("doc_id").as[Long].collect().toSet
     assert(!ids.contains(1L) && !ids.contains(2L) && !ids.contains(6L),

@@ -320,6 +320,15 @@ class PerceptualDedupSpec extends SparkSpec {
       (0 until 4).foreach(j => big(o + j) = ((v >> (8 * j)) & 0xff).toByte)
     le32(32 + 32, 100000L); le32(32 + 36, 100000L)
     assert(Multimodal.decodeAviFrameStats(big).isEmpty)
+    // and the Long-overflow variant: 0xFFFFFFFF x 0xFFFFFFFF wraps w*h
+    // NEGATIVE — a product-only guard would accept it (rowSize 0, every
+    // chunk a zero-luma "frame"); the per-dimension bound refuses it
+    val wrap = base.clone()
+    def le32w(o: Int, v: Long): Unit =
+      (0 until 4).foreach(j => wrap(o + j) = ((v >> (8 * j)) & 0xff).toByte)
+    le32w(32 + 32, 0xFFFFFFFFL); le32w(32 + 36, 0xFFFFFFFFL)
+    assert(Multimodal.decodeAviFrameStats(wrap).isEmpty,
+      "overflowing dimensions must be refused, not decoded as zero-size frames")
     // an inflated movi LIST size claim is clamped to the bytes present —
     // same decode as the honest container, no crash, no extra work
     val inflated = base.clone()

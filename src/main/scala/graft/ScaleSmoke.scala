@@ -61,6 +61,7 @@ object ScaleSmoke {
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady", "x74_admit_vtrim_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
+    "x147_containment_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -353,6 +354,28 @@ object ScaleSmoke {
           .filter(col("decoded")).select("doc_id", "mod", "bands")
         xscale.PerceptualDedup.admitMediaCompare(state, bands)
           .groupBy("mod", "near_med").count()
+      }),
+      // the x147 scale path measured: corpus-wide trimmed-copy detection
+      // via LSH candidates + exact verify (every 15th doc re-posts a
+      // trim) — the production twin of the all-pairs fingerprint join,
+      // on the 181-level fixture that IS that join's collision worst case
+      "x147_containment_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val src = ids
+          .select(col("doc_id"), col("doc_id").as("img_id"),
+            lit(0).as("off"), lit(65).as("nf"))
+          .unionByName(ids.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(10).as("off"), lit(55).as("nf")))
+        val media = src.as[(Long, Long, Int, Int)]
+          .mapPartitions(_.map { case (id, img, off, nf) =>
+            val levels = Array.tabulate(nf)(f =>
+              xscale.PerceptualDedup.fixtureFrameVid(img, f + off))
+            (id, xscale.PerceptualDedup.makeAvi(4, 4, nf, (f, _, _) => levels(f)))
+          })
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.videoContainmentPairsLsh(media)
       }),
       // the trim leg's steady state: a fixed batch of 200 re-cut corpus
       // videos + 50 fresh classified against the persisted shingle state

@@ -83,6 +83,15 @@ object TrainingData {
       checkpointDir: Option[String] = None): DataFrame =
     xscale.PerceptualDedup.videoContainmentPairs(media, num, den, checkpointDir)
 
+  /** The x147 SCALE path: MinHash-LSH candidates over the shingle sets,
+    * exact containment verify on candidates only — precision 1.0, recall
+    * on the Jaccard S-curve (extreme length ratios need the exact form;
+    * see [[xscale.PerceptualDedup.videoContainmentPairsLsh]]).
+    */
+  def videoContainmentPairsLsh(media: DataFrame, num: Int = 4, den: Int = 5,
+      k: Int = 16, bands: Int = 4, checkpointDir: Option[String] = None): DataFrame =
+    xscale.PerceptualDedup.videoContainmentPairsLsh(media, num, den, k, bands, checkpointDir)
+
   /** THUMBNAIL provenance (x148): which images are frames of which
     * videos — every `every`-th frame extracted as a standalone BMP
     * (container surgery, no re-encode) and dHash-matched against the

@@ -938,6 +938,66 @@ object PerceptualDedup {
       .select("doc_id", "vid_id", "frame_idx")
   }
 
+  /** The x147 SCALE path — [[videoContainmentPairs]]'s raw fingerprint
+    * self-join is the x25 caveat's all-pairs shape (candidate mass
+    * follows the fingerprint collision rate); past that, generate
+    * candidates with MinHash-LSH over the shingle SETS (x02's machinery
+    * on frame bigrams: `k` hash-permutation minhashes per video, banded
+    * `bands`-way, one keyed join on 16-byte band keys) and run the EXACT
+    * containment verify on candidate pairs only — precision stays 1.0
+    * (the verify is the exact rule), recall follows the Jaccard S-curve.
+    * HONEST LIMIT: MinHash calibrates to JACCARD, and containment ≠
+    * Jaccard when lengths diverge — a common trim (say frames 10..64 of
+    * 65, J ≈ 0.84) is found with near-certainty at the default 4×4
+    * geometry, but a TINY excerpt inside long footage has J ≈ |A|/|B|
+    * and falls off the curve; extreme-ratio containment needs the exact
+    * form (or asymmetric sketching, a different operator). Deterministic
+    * (hash-permutation minhashes — no RNG crosses a result).
+    */
+  def videoContainmentPairsLsh(
+      media: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    require(k % bands == 0, s"k=$k minhashes must divide into $bands bands")
+    val sh = DedupClusters.ckpt(videoFrameShingles(media), checkpointDir)
+    val rows = k / bands
+    val keyed = sh.select(col("doc_id"),
+      xxhash64(col("s1"), col("q1"), col("s2"), col("q2")).as("hk"))
+    val mins = keyed.groupBy("doc_id").agg(
+      min(xxhash64(col("hk"), lit(0))).as("m0"),
+      (1 until k).map(i => min(xxhash64(col("hk"), lit(i))).as(s"m$i")): _*)
+    val bandFrames = (0 until bands).map { b =>
+      mins.select(col("doc_id"), lit(b).as("bj"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bk"))
+    }
+    val banded = bandFrames.reduce(_ unionByName _)
+    val cand = banded.toDF("a", "bj", "bk")
+      .join(banded.toDF("b", "bj", "bk"), Seq("bj", "bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verify on candidates only: intersection via the fingerprint
+    // join RESTRICTED to candidate pairs, then x25's directional rule in
+    // BOTH orientations
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.toDF("a", "s1", "q1", "s2", "q2"), "a")
+      .join(sh.toDF("b", "s1", "q1", "s2", "q2"), Seq("b") ++ keys)
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+    inter.filter(col("i") * den >= col("na") * num)
+      .select(col("a").as("doc_id_a"), col("b").as("doc_id_b"),
+        col("i").as("n_inter"), col("na").as("n_a"))
+      .unionByName(inter.filter(col("i") * den >= col("nb") * num)
+        .select(col("b").as("doc_id_a"), col("a").as("doc_id_b"),
+          col("i").as("n_inter"), col("nb").as("n_a")))
+  }
+
   /** The video twin of [[imageNearDupPairs]]/[[audioNearDupPairs]] — same
     * auto-threshold rule, same [[BandBoundary]] swap (`wide = true` →
     * [[videoDhashBandsWide]]'s 256-bit form; the boundary constant is

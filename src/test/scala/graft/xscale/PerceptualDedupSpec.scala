@@ -516,6 +516,31 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("videoContainmentPairsLsh: candidates LSH'd, verify exact — precision 1.0") {
+    import spark.implicits._
+    def avi(img: Long, off: Int, nf: Int, bright: Int = 0) =
+      makeAvi(4, 4, nf, (f, _, _) => fixtureFrameVid(img, f + off) + bright)
+    val media = Seq(
+      (1L, avi(0L, 0, 65)),        // source
+      (2L, avi(0L, 10, 55)),       // its trim (J = 54/64 — on the curve)
+      (3L, avi(0L, 10, 55, 10)),   // brightened trim: no shared fingerprints
+      (4L, avi(15L, 0, 65)),       // unrelated
+      (5L, "junk".getBytes)
+    ).toDF("doc_id", "payload")
+    val exact = graft.TrainingData.videoContainmentPairs(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = PerceptualDedup.videoContainmentPairsLsh(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every LSH result is exact-verified (precision 1.0 by construction)
+    assert(lsh.subsetOf(exact), (lsh -- exact).toString)
+    // the common-trim band is found at the default 4x4 geometry
+    // (deterministic hash-permutation minhashes — this is a fixed fact,
+    // not a probabilistic one)
+    assert(lsh.contains((2L, 1L, 54L, 54L)) && lsh.contains((1L, 2L, 54L, 64L)), lsh)
+    intercept[IllegalArgumentException](
+      PerceptualDedup.videoContainmentPairsLsh(media, k = 10, bands = 4))
+  }
+
   test("admitTrimCompare: retry-doubled state rows never inflate containment") {
     import spark.implicits._
     // shingle frames fed directly: batch doc 1 has 10 distinct

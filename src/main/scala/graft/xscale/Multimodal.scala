@@ -910,7 +910,9 @@ object Multimodal {
   }
 
   /** Windowed exact-integer AVI decode — [[decodeWavFrameSums]] one
-    * modality over: the luma sum of each of `nWindows` equal WINDOWS of
+    * modality over (a direct-use convenience; the hash entries window
+    * via [[graft.xscale.PerceptualDedup.videoBandsFromSums]] over one
+    * shared stats pass): the luma sum of each of `nWindows` equal WINDOWS of
     * frames (window v covers frames [v·fpw, (v+1)·fpw), fpw = n div
     * nWindows; the tail remainder is dropped so every window sums the
     * SAME frame count — and every frame the same pixel count, so sums
@@ -1338,8 +1340,9 @@ object Multimodal {
           s"${XHash.h60Sql("mh || '_' || CAST(frame_idx AS VARCHAR)")} AS frame_h " +
           "FROM i ORDER BY doc_id, frame_idx"),
       "evenly-spaced frame sampling for the video modality — the 'k thumbnails per video' " +
-        "stage of a multimodal pipeline: frame count derived from the payload (stub; a real " +
-        "decoder reads the container header), min(4, n) indices spread across the clip, " +
+        "stage of a multimodal pipeline: frame count derived from the payload (the oracle-" +
+        "pinned stub form; the PRODUCTION route is extractAviFrames, which walks the real " +
+        "container and emits standalone BMP frames — see x148), min(4, n) indices spread across the clip, " +
         "each fingerprinted so downstream frame-level dedup/embedding joins on " +
         "(doc_id, frame_idx) without re-touching the bytes. Same batched mapPartitions " +
         "plumbing as x12 — the 1-to-N flatMap that makes frame work distributable."

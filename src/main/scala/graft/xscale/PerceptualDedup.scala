@@ -348,9 +348,11 @@ object PerceptualDedup {
   val VideoWindows = 65
 
   /** Video dHash — the audio rule one modality over, on the pixel-stream
-    * axis: 65 equal WINDOWS of frame luma sums
-    * ([[Multimodal.decodeAviWindowSums]] — real AVI walk, exact
-    * integers, equal window lengths so sums compare like means), bit v =
+    * axis: 65 equal WINDOWS of frame luma sums (one
+    * [[Multimodal.decodeAviFrameStats]] pass → [[videoBandsFromSums]] —
+    * real AVI walk, exact integers, equal window lengths so sums compare
+    * like means; the same stats pass serves the trim-leg shingles, so
+    * the combined admission frame never decodes twice), bit v =
     * "window v+1 brighter than window v". The temporal envelope is
     * invariant to exactly the two edits that defeat byte hashing: a +c
     * BRIGHTNESS shifts every window sum by the same 1000·c·npx·fpw, and

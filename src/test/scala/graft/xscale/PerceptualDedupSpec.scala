@@ -516,6 +516,36 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("mediaHashShingleFrame == mediaHashFrame + videoFrameShingles, both widths") {
+    import spark.implicits._
+    // the combined one-decode frame must be row-identical to the two
+    // separate passes on every modality and fallback path — the drift
+    // guard for the --pmedia --ptrim hot-path refactor
+    val media = Seq(
+      (1L, fixtureBmp(0L)),                      // image (img / img16)
+      (2L, fixtureWav(0L)),                      // audio (aud / aud16)
+      (3L, fixtureAvi(0L)),                      // video (vid / vid16)
+      (4L, fixtureAviWide(7L)),                  // wide-sized video (vid both widths)
+      (5L, makeAvi(4, 4, 10, (f, _, _) => 40 + f)), // SHORT video: shingles, no bands
+      (6L, fixtureBmpWide(5L)),                  // wide-sized image
+      (7L, "gibberish".getBytes)                 // undecodable
+    ).toDF("doc_id", "payload")
+    for (wide <- Seq(false, true)) {
+      val combined = mediaHashShingleFrame(media, wide)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "decoded", "mod", "nbytes", "bands").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3),
+          Option(r.getSeq[Long](4)).map(_.toList)))
+        .toSet
+      assert(key(combined) == key(mediaHashFrame(media, wide)), s"bands, wide=$wide")
+      val sh = shingleRows(combined)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val direct = videoFrameShingles(media)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(sh == direct, s"shingles, wide=$wide")
+    }
+  }
+
   test("videoContainmentPairsLsh: candidates LSH'd, verify exact — precision 1.0") {
     import spark.implicits._
     def avi(img: Long, off: Int, nf: Int, bright: Int = 0) =

@@ -408,8 +408,12 @@ object Cli {
         case _ => "simhash"
       } else ""
       val stages = Seq("quality") ++
-        (if (flags.mqualityPath.isDefined) Seq("mquality") else Nil) ++
+        // strict prints BEFORE mquality because that is the applied order
+        // (the repetition filter cuts `kept` before the media gate's
+        // left_semi, so the cheaper text rule prunes the decode pass);
+        // the two filters commute, the list reports execution
         (if (flags.strict) Seq("strict") else Nil) ++
+        (if (flags.mqualityPath.isDefined) Seq("mquality") else Nil) ++
         Seq("dedup_exact") ++
         (if (flags.scale && flags.embPath.isDefined) Seq(s"neardup_joint_imi_$legName")
          else if (flags.scale) Seq(s"neardup_$legName") else Nil) ++

@@ -36,6 +36,11 @@ object SparkEntry {
     */
   val benchExclude: Set[String] = Set(
     "x88_bm25_retrieval", // exact BM25, |q| x n on this fixture; benched twin: x88_bm25_capped
-    "x98_hubness" // all-pairs exact k-NN graph; benched twin: x98_hubness_ann
+    "x98_hubness", // all-pairs exact k-NN graph; benched twin: x98_hubness_ann
+    // raw fingerprint self-join: candidate mass follows the fingerprint
+    // collision rate (content-dependent quadratic tail — the fixture's
+    // 181-level concentration is that worst case); benched twin:
+    // x147_containment_lsh
+    "x147_video_containment"
   )
 }

@@ -704,11 +704,13 @@ object Multimodal {
       p: Array[Byte],
       silenceMax: Long = 1L,
       gapMin: Int = 8): Option[(Long, Long, Long)] = {
+    // validate BEFORE the parse: an invalid gapMin must throw on every
+    // call, not silently return None on non-WAV rows
+    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
     val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
       case Some(l) => l
       case None    => return None
     }
-    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
     def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     val bytesPer = bits / 8
     var utt = 0L
@@ -757,6 +759,9 @@ object Multimodal {
       media: DataFrame,
       silenceMax: Long = 1L,
       gapMin: Int = 8): DataFrame = {
+    // driver-side validation: an invalid gapMin must fail HERE, not as an
+    // executor-side task failure inside the distributed map
+    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -808,7 +813,10 @@ object Multimodal {
           var inOk = true
           while (inOk && j + 8 <= end && w == 0) {
             val s2 = le32(j + 4)
-            if (ascii(j, "avih") && s2 >= 40 && j + 48 <= p.length) {
+            // field reads bounded by the CLAMPED hdrl list end, not
+            // p.length — strict list containment: bytes outside the
+            // claimed list are never consumed as header fields
+            if (ascii(j, "avih") && s2 >= 40 && j + 48 <= end) {
               w = le32(j + 8 + 32)
               h = le32(j + 8 + 36)
             }
@@ -871,7 +879,10 @@ object Multimodal {
     var ok = true
     while (ok && i + 8 <= moviEnd) {
       val sz = le32(i + 4)
-      if (ascii(i, "00db") && sz >= frameBytes && i + 8 + frameBytes <= p.length.toLong)
+      // completeness against moviEnd, not p.length — strict list
+      // containment: a frame's data must lie inside the clamped 'movi'
+      // list, bytes past the claimed list are never summed as pixels
+      if (ascii(i, "00db") && sz >= frameBytes && i + 8 + frameBytes <= moviEnd.toLong)
         f(i + 8)
       val next = i.toLong + 8L + sz + (sz & 1L)
       if (next <= i || next > moviEnd) ok = false else i = next.toInt
@@ -1116,8 +1127,10 @@ object Multimodal {
     * unchanged). Output (doc_id, frame_idx, payload); `frame_idx`
     * counts COMPLETE frames (the walk's own skip rule). Undecodable
     * payloads contribute no rows. Same hardened walk + batched
-    * mapPartitions as every decode step; memory is one frame, not the
-    * clip.
+    * mapPartitions as every decode step; extraction collects only the
+    * selected frames' 16-byte (idx, offset) pairs and builds each BMP
+    * lazily as the consumer pulls it, so peak memory is the clip payload
+    * plus ONE extracted frame — never the clip's worth of frames.
     */
   def extractAviFrames(media: DataFrame, every: Int = 1): DataFrame = {
     require(every >= 1, s"every=$every: the extraction stride must be >= 1")
@@ -1125,34 +1138,41 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
+        // the inner flatMap is over the batch's ITERATOR so the frame
+        // iterators below stay lazy (Seq.flatMap would materialize every
+        // BMP in the batch at once)
+        it.grouped(decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
           aviLayout(p) match {
-            case None => Nil
+            case None => Iterator.empty
             case Some((w, h, moviOff, moviEnd)) =>
               val rowSize = ((w * 3 + 3) / 4) * 4
               val frameBytes = rowSize * h
-              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+              // collect only the selected frames' (idx, offset) pairs —
+              // 16 bytes each — then build each BMP LAZILY as the
+              // consumer pulls it: peak memory is the clip payload plus
+              // ONE extracted frame, never the clip's worth of frames
+              val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
               var k = 0L
               foreachAviFrame(p, moviOff, moviEnd, frameBytes.toLong) { off =>
-                if (k % every == 0) {
-                  val bmp = new Array[Byte](54 + frameBytes)
-                  def ole16(o: Int, v: Int): Unit = {
-                    bmp(o) = (v & 0xff).toByte; bmp(o + 1) = ((v >> 8) & 0xff).toByte
-                  }
-                  def ole32(o: Int, v: Int): Unit = {
-                    ole16(o, v & 0xffff); ole16(o + 2, (v >> 16) & 0xffff)
-                  }
-                  bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
-                  ole32(2, 54 + frameBytes); ole32(10, 54)
-                  ole32(14, 40); ole32(18, w); ole32(22, h)
-                  ole16(26, 1); ole16(28, 24); ole32(30, 0); ole32(34, frameBytes)
-                  ole32(38, 2835); ole32(42, 2835)
-                  System.arraycopy(p, off, bmp, 54, frameBytes)
-                  out += ((id, k, bmp))
-                }
+                if (k % every == 0) offs += ((k, off))
                 k += 1
               }
-              out
+              offs.iterator.map { case (idx, off) =>
+                val bmp = new Array[Byte](54 + frameBytes)
+                def ole16(o: Int, v: Int): Unit = {
+                  bmp(o) = (v & 0xff).toByte; bmp(o + 1) = ((v >> 8) & 0xff).toByte
+                }
+                def ole32(o: Int, v: Int): Unit = {
+                  ole16(o, v & 0xffff); ole16(o + 2, (v >> 16) & 0xffff)
+                }
+                bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+                ole32(2, 54 + frameBytes); ole32(10, 54)
+                ole32(14, 40); ole32(18, w); ole32(22, h)
+                ole16(26, 1); ole16(28, 24); ole32(30, 0); ole32(34, frameBytes)
+                ole32(38, 2835); ole32(42, 2835)
+                System.arraycopy(p, off, bmp, 54, frameBytes)
+                (id, idx, bmp)
+              }
           }
         })
       }

@@ -940,6 +940,16 @@ object PerceptualDedup {
       .select("doc_id", "vid_id", "frame_idx")
   }
 
+  /** MinHash permutation coefficients for [[videoContainmentPairsLsh]] —
+    * derived driver-side from the md5 house hash and inlined as LITERALS
+    * into both the Spark plan and the oracle SQL (the x07 hyperplane
+    * pattern, which is what makes the LSH form oracle-keyable):
+    * a ∈ [1, P−1] (never 0 — a zero slope collapses the permutation to a
+    * constant), b ∈ [0, P−1].
+    */
+  def containmentLshA(i: Int): Long = XHash.h60(s"x147lsh-a-$i") % (XHash.P - 1) + 1
+  def containmentLshB(i: Int): Long = XHash.h60(s"x147lsh-b-$i") % XHash.P
+
   /** The x147 SCALE path — [[videoContainmentPairs]]'s raw fingerprint
     * self-join is the x25 caveat's all-pairs shape (candidate mass
     * follows the fingerprint collision rate); past that, generate
@@ -954,7 +964,13 @@ object PerceptualDedup {
     * geometry, but a TINY excerpt inside long footage has J ≈ |A|/|B|
     * and falls off the curve; extreme-ratio containment needs the exact
     * form (or asymmetric sketching, a different operator). Deterministic
-    * (hash-permutation minhashes — no RNG crosses a result).
+    * AND cross-engine: one md5-based 60-bit hash per distinct fingerprint
+    * ([[XHash.h60]], the house cross-engine primitive) then `k` affine
+    * permutations `(a_i·(h mod P) + b_i) mod P` whose coefficients are
+    * driver-derived literals ([[containmentLshA]]/[[containmentLshB]])
+    * inlined into BOTH the Spark plan and the DuckDB oracle SQL — the x07
+    * hyperplane pattern, which is what makes the LSH form ORACLE-KEYED
+    * (x147_containment_lsh) rather than merely deterministic.
     */
   def videoContainmentPairsLsh(
       media: DataFrame,
@@ -968,15 +984,21 @@ object PerceptualDedup {
     val sh = DedupClusters.ckpt(videoFrameShingles(media), checkpointDir)
     val rows = k / bands
     val keyed = sh.select(col("doc_id"),
-      xxhash64(col("s1"), col("q1"), col("s2"), col("q2")).as("hk"))
+      XHash.h60(concat_ws("^", col("s1"), col("q1"), col("s2"), col("q2"))).as("hk"))
+    def mh(i: Int) =
+      min((lit(containmentLshA(i)) * (col("hk") % XHash.P) + lit(containmentLshB(i)))
+        % XHash.P)
     val mins = keyed.groupBy("doc_id").agg(
-      min(xxhash64(col("hk"), lit(0))).as("m0"),
-      (1 until k).map(i => min(xxhash64(col("hk"), lit(i))).as(s"m$i")): _*)
-    val bandFrames = (0 until bands).map { b =>
-      mins.select(col("doc_id"), lit(b).as("bj"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bk"))
-    }
-    val banded = bandFrames.reduce(_ unionByName _)
+      mh(0).as("m0"), (1 until k).map(i => mh(i).as(s"m$i")): _*)
+    // ALL band keys in one projection + posexplode — a per-band union of
+    // selects over `mins` would re-run the minhash aggregation once per
+    // band (4x the shuffles for the same rows); the cut stops the band
+    // SELF-join below from running it twice more
+    val banded = DedupClusters.ckpt(mins.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        XHash.h60(concat_ws("^",
+          (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+      }: _*)).as(Seq("bj", "bk"))), checkpointDir)
     val cand = banded.toDF("a", "bj", "bk")
       .join(banded.toDF("b", "bj", "bk"), Seq("bj", "bk"))
       .filter(col("a") < col("b"))
@@ -1712,6 +1734,92 @@ object PerceptualDedup {
     * the source; doc_id tiebreak) — the SQL twin of
     * [[admitTrimCompare]] + [[admitTrimStrictLosers]].
     */
+  /** Shared oracle-CTE prefix for the x147 PAIR (exact + LSH): the
+    * closed-form trim fixture's distinct frame-bigram sets
+    * `bg(doc_id, g1, g2)` plus per-doc set sizes `sz(doc_id, n)` — one
+    * source of truth so the two registered forms can never drift on what
+    * the fixture IS.
+    */
+  private def x147BgSql: String =
+    "src AS (SELECT doc_id, doc_id AS img_id, 0 AS off, " +
+      s"$VideoWindows AS nf FROM documents " +
+      s"UNION ALL SELECT doc_id + 5000000, doc_id, 10, ${VideoWindows - 10} " +
+      "FROM documents WHERE doc_id % 15 = 0), " +
+      s"dv AS (SELECT doc_id, off, nf, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, off, nf, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv), " +
+      "vf AS (SELECT doc_id, v, ck, off + unnest(generate_series(0, nf - 1)) AS fo FROM dk), " +
+      "vg AS (SELECT doc_id, fo, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf), " +
+      "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM vg l " +
+      "JOIN vg r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)"
+
+  /** The x147_containment_lsh oracle's LSH + verify CTEs over [[x147BgSql]]
+    * — DuckDB recomputing the IDENTICAL candidate set: the fixture's 4×4
+    * uniform frames make the decoded fingerprint a closed form of the
+    * level (s = 16·1000·g, q = 16·(1000·g)², BT.601 luma of r=g=b=g is
+    * exactly 1000g), hashed through the same md5 h60 and the same
+    * inlined affine permutation literals as the Spark plan.
+    */
+  private def x147LshSql: String = {
+    val k = 16
+    val bands = 4
+    val rows = k / bands
+    val p = XHash.P
+    val hkInner =
+      "CAST(16000 * g1 AS VARCHAR) || '^' || CAST(16000000 * g1 * g1 AS VARCHAR) " +
+        "|| '^' || CAST(16000 * g2 AS VARCHAR) || '^' || CAST(16000000 * g2 * g2 AS VARCHAR)"
+    val minCols = (0 until k).map(i =>
+      s"min((${containmentLshA(i)} * (hk % $p) + ${containmentLshB(i)}) % $p) AS m$i")
+      .mkString(", ")
+    val bandSel = (0 until bands).map { b =>
+      val inner = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '^' || ")
+      s"SELECT doc_id, $b AS bj, ${XHash.h60Sql(inner)} AS bk FROM mins"
+    }.mkString(" UNION ALL ")
+    s"hk AS (SELECT doc_id, ${XHash.h60Sql(hkInner)} AS hk FROM bg), " +
+      s"mins AS (SELECT doc_id, $minCols FROM hk GROUP BY doc_id), " +
+      s"bnd AS ($bandSel), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bnd a " +
+      "JOIN bnd b ON a.bj = b.bj AND a.bk = b.bk AND a.doc_id < b.doc_id), " +
+      "icv AS (SELECT c.a, c.b, count(*) AS i FROM cand c " +
+      "JOIN bg xa ON xa.doc_id = c.a JOIN bg xb ON xb.doc_id = c.b " +
+      "AND xb.g1 = xa.g1 AND xb.g2 = xa.g2 GROUP BY 1, 2), " +
+      "jv AS (SELECT a, b, i, sa.n AS na, sb.n AS nb FROM icv " +
+      "JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b) " +
+      "SELECT a AS doc_id_a, b AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+      "CAST(na AS BIGINT) AS n_a FROM jv WHERE 5 * i >= 4 * na " +
+      "UNION ALL SELECT b AS doc_id_a, a AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+      "CAST(nb AS BIGINT) AS n_a FROM jv WHERE 5 * i >= 4 * nb " +
+      "ORDER BY doc_id_a, doc_id_b"
+  }
+
+  /** Shared Spark-side fixture media for the x147 pair: one real
+    * [[VideoWindows]]-frame AVI per doc, plus every 15th doc's TRIM
+    * (frames 10..64 re-posted under a disjoint id) — the same population
+    * [[x147BgSql]] describes in closed form.
+    */
+  private def x147FixtureMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val src = ids
+      .select(col("doc_id"), col("doc_id").as("img_id"),
+        lit(0).as("off"), lit(VideoWindows).as("nf"))
+      .unionByName(ids.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("doc_id").as("img_id"),
+          lit(10).as("off"), lit(VideoWindows - 10).as("nf")))
+    src.as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, img, off, nf) =>
+        val levels = Array.tabulate(nf)(f => fixtureFrameVid(img, f + off))
+        (id, makeAvi(4, 4, nf, (f, _, _) => levels(f)))
+      })
+      .toDF("doc_id", "payload")
+  }
+
   private def admitVtrimSql: String =
     s"${admitSrc2Sql(10)}, " +
       s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
@@ -2276,22 +2384,7 @@ object PerceptualDedup {
     Q(
       "x147_video_containment",
       Some(
-        "WITH src AS (SELECT doc_id, doc_id AS img_id, 0 AS off, " +
-          s"$VideoWindows AS nf FROM documents " +
-          s"UNION ALL SELECT doc_id + 5000000, doc_id, 10, ${VideoWindows - 10} " +
-          "FROM documents WHERE doc_id % 15 = 0), " +
-          s"dv AS (SELECT doc_id, off, nf, img_id // $ClusterSize AS c, " +
-          s"img_id % $ClusterSize AS v FROM src), " +
-          "dk AS (SELECT doc_id, off, nf, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
-          "AS ck FROM dv), " +
-          "vf AS (SELECT doc_id, v, ck, off + unnest(generate_series(0, nf - 1)) AS fo FROM dk), " +
-          "vg AS (SELECT doc_id, fo, " +
-          s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
-          "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
-          "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf), " +
-          "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM vg l " +
-          "JOIN vg r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
-          "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1), " +
+        s"WITH $x147BgSql, " +
           "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM bg a " +
           "JOIN bg b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id <> b.doc_id " +
           "GROUP BY 1, 2) " +
@@ -2318,21 +2411,35 @@ object PerceptualDedup {
         "fixture's 181-level concentration is the worst case) — the x25 caveat " +
         "applies past that."
     ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val src = ids
-        .select(col("doc_id"), col("doc_id").as("img_id"),
-          lit(0).as("off"), lit(VideoWindows).as("nf"))
-        .unionByName(ids.filter(col("doc_id") % 15 === 0)
-          .select((col("doc_id") + 5000000L).as("doc_id"), col("doc_id").as("img_id"),
-            lit(10).as("off"), lit(VideoWindows - 10).as("nf")))
-      val media = src.as[(Long, Long, Int, Int)]
-        .mapPartitions(_.map { case (id, img, off, nf) =>
-          val levels = Array.tabulate(nf)(f => fixtureFrameVid(img, f + off))
-          (id, makeAvi(4, 4, nf, (f, _, _) => levels(f)))
-        })
-        .toDF("doc_id", "payload")
-      videoContainmentPairs(media)
+      videoContainmentPairs(x147FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x147 scale twin: LSH-candidate containment (the benched production form) -----
+    Q(
+      "x147_containment_lsh",
+      Some(s"WITH $x147BgSql, $x147LshSql"),
+      "The x147 SCALE path as the benched production default (the x88/x98 dual-key " +
+        "pattern: the exact all-pairs form stays registered as the benchExcluded " +
+        "exactness baseline, THIS is the plan a 100 TB run would use): MinHash-LSH " +
+        "candidates over the frame-bigram shingle SETS — one md5 h60 per distinct " +
+        "fingerprint, 16 affine hash-permutation minhashes banded 4-way, ONE keyed " +
+        "join on (band, 60-bit key) — then the EXACT directional containment verify " +
+        "on candidate pairs only, both orientations. Precision 1.0 by construction " +
+        "(the verify is the exact rule); recall follows the Jaccard S-curve — the " +
+        "common trim (J = 54/64) sits on the curve's high side and IS found at this " +
+        "geometry (a fixed deterministic fact, spec-pinned), while a tiny excerpt in " +
+        "long footage (J ~ |A|/|B|) is the documented limit needing the exact form. " +
+        "The permutation coefficients are driver-derived literals inlined into BOTH " +
+        "engines (the x07 hyperplane pattern), so the DuckDB oracle recomputes the " +
+        "IDENTICAL candidate set: this green row pins encode -> AVI walk -> frame " +
+        "moments -> bigrams -> minhash -> banding -> candidate join -> exact verify " +
+        "cross-engine. Scale: candidate mass follows band collisions (near-linear to " +
+        "533k videos in ScaleSmoke, 100x flat), never the fingerprint collision " +
+        "rate's content-dependent quadratic tail; joins shuffle 16-byte band keys " +
+        "and 32-byte fingerprints, never payloads."
+    ) { (s, dir) =>
+      videoContainmentPairsLsh(x147FixtureMedia(table(s, dir, "documents").select("doc_id")))
         .orderBy("doc_id_a", "doc_id_b")
     },
 

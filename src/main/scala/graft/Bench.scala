@@ -108,8 +108,17 @@ object Bench {
     // query count, and only the 20 slowest queries (~0.8 KB) — and keep the
     // complete map in the file above.
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(20)
+    // spread for the SAME top-20 in the tail too (driver artifact), so a
+    // per-query outlier in BENCH_rN.json is adjudicable from the artifact
+    // alone — r13's x122 10.15 s outlier took a local-battery cross-check
+    // because the tail carried medians only. ~600 extra bytes; the tail
+    // stays under the consumer's 2000-byte window.
+    val topSpread =
+      if (runs > 1)
+        s""","spread":${queriesJson(top.map { case (k, _) => k -> spreads(k) }, 2)}"""
+      else ""
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"failed":$failedJson,"queries":${queriesJson(top, 2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"failed":$failedJson,"queries":${queriesJson(top, 2)}$topSpread,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the stdout emission: its shutdown logging must not
     // land after the JSON line a tail-window consumer reads last.
     spark.stop()

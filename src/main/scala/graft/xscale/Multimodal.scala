@@ -698,7 +698,12 @@ object Multimodal {
     * (n_samples, n_utterances, longest_utterance) with the longest
     * measured in samples from segment start to the first sample of the
     * closing separator. Same hardened RIFF walk as every WAV decoder;
-    * None for non-PCM bytes.
+    * None for non-PCM bytes. The registered x151 fixture's silence falls
+    * in full 8-sample bands (structural exactness), so boundary behavior
+    * at ARBITRARY alignment is pinned separately: XScalePropertySpec runs
+    * random unaligned silence runs against an independent sequential
+    * split-on-separator reference at both bit depths and every
+    * (gapMin, silenceMax) combination.
     */
   def decodeWavUtterances(
       p: Array[Byte],

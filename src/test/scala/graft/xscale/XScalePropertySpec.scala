@@ -248,6 +248,97 @@ class XScalePropertySpec extends SparkSpec {
     }
   }
 
+  // ---- x151 utterance segmentation vs an independent reference ----
+
+  /** Independent sequential segmenter, expressed the OPPOSITE way from the
+    * production decoder's streaming state machine: mark every maximal
+    * silent run of length >= gapMin as a SEPARATOR, split the index range
+    * on separator positions, and count/measure the remaining maximal
+    * intervals that contain at least one voiced sample. No shared code,
+    * no shared traversal shape.
+    */
+  private def refUtterances(
+      samples: Array[Long], silenceMax: Long, gapMin: Int): (Long, Long, Long) = {
+    val n = samples.length
+    val silent = samples.map(s => math.abs(s) <= silenceMax)
+    val isSep = Array.fill(n)(false)
+    var i = 0
+    while (i < n) {
+      if (silent(i)) {
+        var j = i
+        while (j < n && silent(j)) j += 1
+        if (j - i >= gapMin) (i until j).foreach(isSep(_) = true)
+        i = j
+      } else i += 1
+    }
+    var utt = 0L
+    var longest = 0L
+    i = 0
+    while (i < n) {
+      if (!isSep(i)) {
+        var j = i
+        while (j < n && !isSep(j)) j += 1
+        if ((i until j).exists(k => !silent(k))) {
+          utt += 1
+          if (j - i > longest) longest = j - i
+        }
+        i = j
+      } else i += 1
+    }
+    (n.toLong, utt, longest)
+  }
+
+  /** Minimal 16-bit mono PCM WAV writer, local to this spec (the main
+    * source only ships the 8-bit form) — exercises the le16 sample path.
+    */
+  private def wav16(samples: Seq[Int]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](44 + 2 * n)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    def tag(o: Int, s: String): Unit = s.indices.foreach(j => out(o + j) = s(j).toByte)
+    tag(0, "RIFF"); le32(4, 36 + 2 * n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, 2 * n)
+    samples.zipWithIndex.foreach { case (s, j) => le16(44 + 2 * j, s & 0xffff) }
+    out
+  }
+
+  test("x151 utterances: arbitrary-alignment silence agrees with the independent segmenter") {
+    // The registered fixture's silence falls in full 8-sample bands
+    // (structural exactness — documented on decodeWavUtterances), so the
+    // oracle alone can't catch an off-by-one at a silence boundary. Here
+    // run lengths are 1..12 — NEVER band-aligned by construction — and
+    // every (gapMin, silenceMax) combination must agree with the
+    // reference at both bit depths, including runs that straddle the
+    // clip's start and end.
+    val genRun: Gen[List[Int]] = for {
+      silent <- Gen.oneOf(true, false)
+      len <- Gen.chooseNum(1, 12)
+      base <- if (silent) Gen.chooseNum(-1, 1) else Gen.chooseNum(2, 125)
+      sign <- Gen.oneOf(1, -1)
+    } yield List.fill(len)(if (silent) base else sign * base)
+    val genClip: Gen[List[Int]] = for {
+      nRuns <- Gen.chooseNum(1, 16)
+      runs <- Gen.listOfN(nRuns, genRun)
+    } yield runs.flatten
+    for {
+      clip <- samples(genClip, 50)
+      gapMin <- Seq(1, 2, 5, 8)
+      silenceMax <- Seq(0L, 1L, 3L)
+    } {
+      val ref = refUtterances(clip.map(_.toLong).toArray, silenceMax, gapMin)
+      val got8 = Multimodal.decodeWavUtterances(
+        PerceptualDedup.makeWav8(8000, clip.map(_ + 128).toArray), silenceMax, gapMin)
+      assert(got8 == Some(ref), s"8-bit gapMin=$gapMin silenceMax=$silenceMax clip=$clip")
+      val got16 = Multimodal.decodeWavUtterances(wav16(clip), silenceMax, gapMin)
+      assert(got16 == Some(ref), s"16-bit gapMin=$gapMin silenceMax=$silenceMax clip=$clip")
+    }
+  }
+
   test("vocabGrowth conserves docs, tokens and vocabulary for arbitrary phase counts") {
     for ((texts, i) <- samples(Gen.listOfN(15, genText), 6).zipWithIndex) {
       val phases = Seq(1, 3, 10)(i % 3)

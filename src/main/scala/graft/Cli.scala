@@ -664,27 +664,34 @@ object Cli {
             wide, legacy, batchShingles))
         case _ => None
       }
-      // --ptrim: the TRIM leg — the blind spot the band leg leaves open
-      // by design: a re-cut/excerpt of corpus video keeps its frames
-      // bit-exact but shifts every hash window, so --pmedia admits it
-      // (x145's single-alignment convention). The x147 containment rule
-      // as an admission signal: batch videos' distinct frame-bigram
-      // shingles vs the corpus shingle state (<psigs>/shingles — ~64
-      // rows per corpus video, corpus media never re-decoded once it
-      // exists), >= 0.8 containment flags near_dup_corpus_vtrim; under
-      // --strict, a trim and its source arriving TOGETHER keep the
-      // LONGER clip (keep-best by shingle count — min-id would keep the
-      // excerpt and drop the footage), losers near_dup_batch_vtrim.
-      // The shingle state has no band-width concept, so it composes with
-      // both classic and wide band states unchanged; --compact
-      // reconciles it (left_semi on live ids + DISTINCT — shingle rows
-      // are pure values, exact duplicates are always append replays).
-      val trimState: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+      // --ptrim: the CONTAINMENT leg — the blind spot the band leg leaves
+      // open by design, now on BOTH containment modalities: a re-cut/
+      // excerpt of corpus video keeps its frames bit-exact but shifts
+      // every hash window (x145's single-alignment convention), and a
+      // tile-aligned crop of a corpus image keeps its interior tiles
+      // bit-exact but shifts every dHash block boundary — --pmedia admits
+      // both. The x147/x152 rule as an admission signal: batch docs'
+      // distinct shingles (frame bigrams for vid, diagonal tile
+      // neighborhoods for img; mod keeps the spaces disjoint) vs the
+      // corpus shingle state (<psigs>/shingles — corpus media never
+      // re-decoded once it exists), >= 0.8 containment flags
+      // near_dup_corpus_vtrim/_icrop per modality; under --strict, a
+      // trim/crop and its source arriving TOGETHER keep the doc with the
+      // MOST shingles (the longer clip / larger image is the source),
+      // losers near_dup_batch_vtrim/_icrop. A pre-mod shingle state
+      // keeps its original VIDEO-ONLY contract (legacy: img shingles
+      // neither compare nor append — widening is a re-bootstrap, the
+      // bands-width rule). The shingle state has no band-width concept,
+      // so it composes with both classic and wide band states unchanged;
+      // --compact reconciles it (left_semi on live ids + DISTINCT —
+      // shingle rows are pure values, exact duplicates are always
+      // append replays).
+      val trimState: Option[TrimLeg] =
         if (!flags.ptrim) None
         else (flags.pmediaPath, flags.bmediaPath) match {
           case (Some(cm), Some(bm)) =>
             def corpusShingleScan() = xscale.PerceptualDedup
-              .videoFrameShingles(spark.read.parquet(cm))
+              .mediaShingles(spark.read.parquet(cm))
               .withColumnRenamed("doc_id", "cv_id")
             val corpusSh = flags.psigsDir match {
               case Some(d) =>
@@ -707,19 +714,24 @@ object Cli {
               case None =>
                 graft.xscale.DedupClusters.ckpt(corpusShingleScan(), flags.ckptDir)
             }
+            val shLegacy = !corpusSh.columns.contains("mod")
             // batch shingles: the media leg's combined one-decode frame
             // already carries them (non-legacy --pmedia runs); only the
             // legacy-state path pays a separate shingle decode. Cut once:
-            // referenced by the compare, the strict pass AND the append
-            val batchSh = mediaState.flatMap(_.batchShingles).getOrElse(
+            // referenced by the compare, the strict pass AND the append.
+            // Under a LEGACY shingle state the leg restricts to vid end
+            // to end (compare, strict, append) — the state's original
+            // contract, byte-compatible with pre-crop runs.
+            val batchSh0 = mediaState.flatMap(_.batchShingles).getOrElse(
               graft.xscale.DedupClusters.ckpt(
-                xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm)),
+                xscale.PerceptualDedup.mediaShingles(spark.read.parquet(bm)),
                 flags.ckptDir))
-            Some((
+            val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
+            Some(TrimLeg(
               graft.xscale.DedupClusters.ckpt(
                 xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchSh),
                 flags.ckptDir),
-              batchSh))
+              batchSh, shLegacy))
           case _ => None
         }
       // ALL corpus-vs-batch legs run BEFORE either strict pass: a strict
@@ -754,25 +766,32 @@ object Cli {
           // its statuses here.
           val near = leg.frame.filter(col("near_med"))
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.Modalities.foldLeft(stC1) {
-              case (st, (m, corpusStatus, _)) =>
-                xscale.Dedup.restatus(
-                  st, near.filter(col("mod").startsWith(m)).select("doc_id"),
-                  corpusStatus)
+            xscale.PerceptualDedup.Modalities.foldLeft(stC1) { (st, m) =>
+              xscale.Dedup.restatus(
+                st, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                m.corpusStatus)
             },
             flags.ckptDir)
         case None => stC1
       }
-      // the trim corpus leg runs AFTER the band leg: restatus only
+      // the containment corpus leg runs AFTER the band leg: restatus only
       // demotes still-admitted docs, so a full near-dup keeps its
       // stronger near_dup_corpus_img/_aud/_vid status and only docs the
-      // band rule cleared can flag near_dup_corpus_vtrim
+      // band rule cleared can flag near_dup_corpus_vtrim/_icrop —
+      // per-modality statuses off the Modalities containment column
       val stC3 = trimState match {
-        case Some((frame, _)) =>
+        case Some(leg) =>
+          val near = leg.frame.filter(col("near_trim"))
           graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(
-              stC2, frame.filter(col("near_trim")).select("doc_id"),
-              "near_dup_corpus_vtrim"),
+            xscale.PerceptualDedup.Modalities.foldLeft(stC2) { (st, m) =>
+              m.containCorpusStatus match {
+                case Some(status) =>
+                  xscale.Dedup.restatus(
+                    st, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                    status)
+                case None => st
+              }
+            },
             flags.ckptDir)
         case None => stC2
       }
@@ -821,26 +840,36 @@ object Cli {
             checkpointDir = flags.ckptDir,
             nBands = xscale.PerceptualDedup.widthBands(leg.wide))
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.Modalities.foldLeft(stS1) {
-              case (st0, (m, _, batchStatus)) =>
-                xscale.Dedup.restatus(
-                  st0, losers.filter(col("mod").startsWith(m)).select("doc_id"),
-                  batchStatus)
+            xscale.PerceptualDedup.Modalities.foldLeft(stS1) { (st0, m) =>
+              xscale.Dedup.restatus(
+                st0, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                m.strictStatus)
             },
             flags.ckptDir)
         case _ => stS1
       }
-      // --strict + --ptrim: a trim and its SOURCE arriving together both
-      // clear the corpus rules — undirected containment CC over the
-      // finally-admitted batch shingles, keep-BEST by shingle count (the
-      // longer clip is the source), losers near_dup_batch_vtrim
+      // --strict + --ptrim: a trim/crop and its SOURCE arriving together
+      // both clear the corpus rules — undirected containment CC over the
+      // finally-admitted batch shingles (within one shingle space), keep
+      // BEST by shingle count (the longer clip / larger image is the
+      // source), losers near_dup_batch_vtrim/_icrop by modality
       val stF = (trimState, flags.strict) match {
-        case (Some((_, batchSh)), true) =>
+        case (Some(leg), true) =>
           val admNow = st.filter(col("status") === "admitted").select("doc_id")
-          val losers = xscale.PerceptualDedup.admitTrimStrictLosers(
-            batchSh.join(admNow, "doc_id"), checkpointDir = flags.ckptDir)
+          val losers = graft.xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.admitTrimStrictLosers(
+              leg.batchShingles.join(admNow, "doc_id"), checkpointDir = flags.ckptDir),
+            flags.ckptDir)
           graft.xscale.DedupClusters.ckpt(
-            xscale.Dedup.restatus(st, losers, "near_dup_batch_vtrim"),
+            xscale.PerceptualDedup.Modalities.foldLeft(st) { (st0, m) =>
+              m.containStrictStatus match {
+                case Some(status) =>
+                  xscale.Dedup.restatus(
+                    st0, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                    status)
+                case None => st0
+              }
+            },
             flags.ckptDir)
         case _ => st
       }
@@ -885,11 +914,16 @@ object Cli {
       // the shingle append rides the same crash rule: before the sig
       // append (still-needed on retry), after the output — a crash here
       // retries into doubled shingle rows, collapsed by --compact's
-      // DISTINCT and harmless to containment decisions
-      for ((_, batchSh) <- trimState; d <- flags.psigsDir)
-        batchSh.join(admittedIds, "doc_id")
-          .select(col("doc_id").as("cv_id"),
-            col("s1"), col("q1"), col("s2"), col("q2"))
+      // DISTINCT and harmless to containment decisions. The append
+      // CONFORMS to the state's layout: a legacy (pre-mod) state stays
+      // (cv_id, s1..q2) and only ever receives vid rows (batchShingles
+      // is already vid-filtered under legacy)
+      for (leg <- trimState; d <- flags.psigsDir)
+        leg.batchShingles.join(admittedIds, "doc_id")
+          .select(
+            col("doc_id").as("cv_id") +:
+              ((if (leg.legacy) Nil else Seq(col("mod"))) ++
+                Seq(col("s1"), col("q1"), col("s2"), col("q2"))): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$d/shingles")
       flags.sigsDir.foreach { d =>
         batchSigs.join(admittedIds, "doc_id")
@@ -912,17 +946,19 @@ object Cli {
           else "") +
           (if (flags.pmediaPath.isDefined)
             xscale.PerceptualDedup.Modalities
-              .map { case (_, cs, _) => s""""$cs":${n(cs)},""" }.mkString
+              .map(m => s""""${m.corpusStatus}":${n(m.corpusStatus)},""").mkString
           else "") +
           (if (flags.strict && flags.pmediaPath.isDefined)
             xscale.PerceptualDedup.Modalities
-              .map { case (_, _, bs) => s""""$bs":${n(bs)},""" }.mkString
+              .map(m => s""""${m.strictStatus}":${n(m.strictStatus)},""").mkString
           else "") +
           (if (flags.ptrim)
-            s""""near_dup_corpus_vtrim":${n("near_dup_corpus_vtrim")},""" +
-              (if (flags.strict)
-                s""""near_dup_batch_vtrim":${n("near_dup_batch_vtrim")},"""
-              else "")
+            xscale.PerceptualDedup.Modalities
+              .flatMap(m => m.containCorpusStatus.map(cs => s""""$cs":${n(cs)},""") ++
+                (if (flags.strict)
+                  m.containStrictStatus.map(bs => s""""$bs":${n(bs)},""")
+                else Nil))
+              .mkString
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")
@@ -958,6 +994,18 @@ object Cli {
       wide: Boolean,
       legacy: Boolean,
       batchShingles: Option[org.apache.spark.sql.DataFrame] = None)
+
+  /** The resolved containment (`--ptrim`) leg: the admitTrimCompare frame,
+    * the (possibly legacy-filtered) batch shingles the strict pass and
+    * the state append reuse, and `legacy` — a pre-mod shingle state keeps
+    * its original VIDEO-ONLY contract (only vid shingles compare and
+    * append; adding the image space is a re-bootstrap, the same rule as
+    * the bands state's width).
+    */
+  private final case class TrimLeg(
+      frame: org.apache.spark.sql.DataFrame,
+      batchShingles: org.apache.spark.sql.DataFrame,
+      legacy: Boolean)
 
   /** Parsed `admit` flags: `--ckpt` = reliable stage-boundary
     * checkpoints (the corpus verb's contract); `--sigs` = the persisted

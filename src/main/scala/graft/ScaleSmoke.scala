@@ -61,7 +61,8 @@ object ScaleSmoke {
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady", "x74_admit_vtrim_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
-    "x147_containment_lsh",
+    "corpus_full_multimodal",
+    "x147_containment_lsh", "x152_crop_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -202,6 +203,38 @@ object ScaleSmoke {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_documents.parquet")
       source.Synthetic.powerlawEmbeddings(spark, 2000L * factor)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/powerlaw_embeddings.parquet")
+    }
+    // The multimodal corpus-build media sidecar (the composed --scale
+    // recipe smoke): the pdedup fixture's cluster-consecutive modality
+    // split persisted once, so corpus_full_multimodal times the BUILD,
+    // not the fixture synthesis. Width baked at the same mediaWideFor
+    // rule the consumer re-derives.
+    if (!new java.io.File(s"$dir/mixed_media.parquet").exists()) {
+      val sp = spark
+      import sp.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val wide = xscale.PerceptualDedup.mediaWideFor(docs.count())
+      docs.as[Long]
+        .mapPartitions(_.map { id =>
+          val m = (id / xscale.PerceptualDedup.ClusterSize) % 3
+          (id,
+            // ~2% planted DEAD media (silent clip / black image / black
+            // video) so the composed run's mquality gate provably drops,
+            // not just scans
+            if (id % 50 == 0) {
+              if (m == 1) xscale.PerceptualDedup.makeWav8(8000, Array.fill(520)(128))
+              else if (m == 2) xscale.PerceptualDedup.makeAvi(4, 4, 65, (_, _, _) => 0)
+              else xscale.PerceptualDedup.makeBmp(9, 8, (_, _) => 0)
+            }
+            else if (m == 1) xscale.PerceptualDedup.fixtureWav(id)
+            else if (m == 2)
+              (if (wide) xscale.PerceptualDedup.fixtureAviWide(id)
+               else xscale.PerceptualDedup.fixtureAvi(id))
+            else if (wide) xscale.PerceptualDedup.fixtureBmpWide(id)
+            else xscale.PerceptualDedup.fixtureBmp(id))
+        })
+        .toDF("doc_id", "payload")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/mixed_media.parquet")
     }
     // The admission sidecar (`Cli admit --sigs` steady state): the corpus's
     // dedup STATE persisted once — x74_admit_sigs_powerlaw times ONLY the
@@ -377,6 +410,31 @@ object ScaleSmoke {
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.videoContainmentPairsLsh(media)
       }),
+      // the x152 scale path measured: corpus-wide cropped-copy detection
+      // via the same LSH engine on tile shingles (every 15th doc
+      // re-posts a tile-aligned crop) — the production twin of the
+      // all-pairs tile-fingerprint join
+      "x152_crop_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val src = ids
+          .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+          .unionByName(ids.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(1).as("off")))
+        val t = xscale.PerceptualDedup.TileSize
+        val media = src.as[(Long, Long, Int)]
+          .mapPartitions(_.map { case (id, img, off) =>
+            val tw = xscale.PerceptualDedup.CropTilesX - off
+            val th = xscale.PerceptualDedup.CropTilesY - off
+            val levels = Array.tabulate(tw, th)((i, j) =>
+              xscale.PerceptualDedup.fixtureTileLvl(img, i + off, j + off))
+            (id, xscale.PerceptualDedup.makeBmp(tw * t, th * t,
+              (x, y) => levels(x / t)(y / t)))
+          })
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.imageCropContainmentPairsLsh(media)
+      }),
       // the trim leg's steady state: a fixed batch of 200 re-cut corpus
       // videos + 50 fresh classified against the persisted shingle state
       // — the fingerprint join is keyed on 32-byte values, so candidate
@@ -411,6 +469,25 @@ object ScaleSmoke {
           .toDF("doc_id", "payload")
         xscale.Multimodal.mediaQualityFrame(media)
           .groupBy("mod", "flagged").count()
+      }),
+      // the COMPOSED end-to-end multimodal --scale recipe (VERDICT r13
+      // ask 5): every corpus-build stage in ONE run over all three
+      // modalities — quality -> strict -> mquality -> dedup_exact ->
+      // joint near-dup (emb leg) -> capped audits -> pdedup keep-best ->
+      // despan -> dsir -> split/pack — via the real Cli verb, against
+      // the persisted mixed_media sidecar (fixture synthesis excluded
+      // from the timing). The number to quote BESIDE the per-stage
+      // corpus_pdedup_stage / corpus_mquality_stage entries.
+      "corpus_full_multimodal" -> ((s, d) => {
+        val out = s"$d/_full_corpus_out"
+        val rc = graft.Cli.run(s, List("corpus", s"$d/documents.parquet", out,
+          "--strict", "--scale", "--emb", s"$d/embeddings.parquet",
+          "--mquality", s"$d/mixed_media.parquet",
+          "--pdedup", s"$d/mixed_media.parquet",
+          "--despan", "--dsir", "en",
+          "--ckpt", s"$d/_checkpoints"))
+        require(rc == 0, s"composed corpus build failed, rc=$rc")
+        s.read.parquet(out)
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
       // modality-detected decode pass over REAL three-way mixed media —

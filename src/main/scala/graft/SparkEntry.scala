@@ -41,6 +41,9 @@ object SparkEntry {
     // collision rate (content-dependent quadratic tail — the fixture's
     // 181-level concentration is that worst case); benched twin:
     // x147_containment_lsh
-    "x147_video_containment"
+    "x147_video_containment",
+    // same all-pairs shape one modality over; benched twin:
+    // x152_crop_containment_lsh
+    "x152_image_crop_containment"
   )
 }

@@ -182,13 +182,17 @@ object StreamingAdmit {
     val trimLeg = (psigsPath, batchMedia) match {
       case (Some(d), Some(bm)) if ptrim =>
         val stateSh = spark.read.parquet(s"$d/shingles")
-        val batchSh = mediaLeg.flatMap(_._4).getOrElse(
+        // a pre-mod shingle state keeps the VIDEO-ONLY contract end to
+        // end (compare, strict, append) — the batch verb's rule
+        val shLegacy = !stateSh.columns.contains("mod")
+        val batchSh0 = mediaLeg.flatMap(_._4).getOrElse(
           DedupClusters.ckpt(
-            PerceptualDedup.videoFrameShingles(bm), checkpointDir))
+            PerceptualDedup.mediaShingles(bm), checkpointDir))
+        val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
         Some((
           DedupClusters.ckpt(
             PerceptualDedup.admitTrimCompare(stateSh, batchSh), checkpointDir),
-          batchSh))
+          batchSh, shLegacy))
       case _ => None
     }
     // ALL corpus-vs-batch legs BEFORE either strict pass (the batch
@@ -210,21 +214,29 @@ object StreamingAdmit {
         // verb; the modality table (PerceptualDedup.Modalities) IS the
         // wiring on both surfaces
         val near = frame.filter(col("near_med"))
-        PerceptualDedup.Modalities.foldLeft(stC1) {
-          case (st1, (m, corpusStatus, _)) =>
-            Dedup.restatus(
-              st1, near.filter(col("mod").startsWith(m)).select("doc_id"),
-              corpusStatus)
+        PerceptualDedup.Modalities.foldLeft(stC1) { (st1, m) =>
+          Dedup.restatus(
+            st1, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+            m.corpusStatus)
         }
       case None => stC1
     }
-    // trim corpus leg AFTER the band leg (restatus only demotes
-    // still-admitted docs — a full near-dup keeps its stronger status)
+    // containment corpus leg AFTER the band leg (restatus only demotes
+    // still-admitted docs — a full near-dup keeps its stronger status);
+    // per-modality statuses off the Modalities containment column, the
+    // batch verb's wiring
     val stC3 = trimLeg match {
-      case Some((frame, _)) =>
-        Dedup.restatus(
-          stC2, frame.filter(col("near_trim")).select("doc_id"),
-          "near_dup_corpus_vtrim")
+      case Some((frame, _, _)) =>
+        val near = frame.filter(col("near_trim"))
+        PerceptualDedup.Modalities.foldLeft(stC2) { (st1, m) =>
+          m.containCorpusStatus match {
+            case Some(status) =>
+              Dedup.restatus(
+                st1, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                status)
+            case None => st1
+          }
+        }
       case None => stC2
     }
     val stS0 =
@@ -248,24 +260,34 @@ object StreamingAdmit {
           maxHamming = PerceptualDedup.widthThreshold(wide),
           checkpointDir = checkpointDir,
           nBands = PerceptualDedup.widthBands(wide))
-        PerceptualDedup.Modalities.foldLeft(stS1) {
-          case (st1, (m, _, batchStatus)) =>
-            Dedup.restatus(
-              st1, losers.filter(col("mod").startsWith(m)).select("doc_id"),
-              batchStatus)
+        PerceptualDedup.Modalities.foldLeft(stS1) { (st1, m) =>
+          Dedup.restatus(
+            st1, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+            m.strictStatus)
         }
       case _ => stS1
     }
-    // --strict + trim leg: a trim and its SOURCE arriving together both
-    // clear the corpus rules — undirected containment CC over the
-    // finally-admitted shingles, keep-BEST by shingle count (the longer
-    // clip is the source), losers near_dup_batch_vtrim
+    // --strict + containment leg: a trim/crop and its SOURCE arriving
+    // together both clear the corpus rules — undirected containment CC
+    // over the finally-admitted shingles (within one shingle space),
+    // keep-BEST by shingle count (the longer clip / larger image is the
+    // source), losers near_dup_batch_vtrim/_icrop by modality
     val st6 = (trimLeg, strict) match {
-      case (Some((_, batchSh)), true) =>
+      case (Some((_, batchSh, _)), true) =>
         val admNow = st5.filter(col("status") === "admitted").select("doc_id")
-        val losers = PerceptualDedup.admitTrimStrictLosers(
-          batchSh.join(admNow, "doc_id"), checkpointDir = checkpointDir)
-        Dedup.restatus(st5, losers, "near_dup_batch_vtrim")
+        val losers = DedupClusters.ckpt(
+          PerceptualDedup.admitTrimStrictLosers(
+            batchSh.join(admNow, "doc_id"), checkpointDir = checkpointDir),
+          checkpointDir)
+        PerceptualDedup.Modalities.foldLeft(st5) { (st1, m) =>
+          m.containStrictStatus match {
+            case Some(status) =>
+              Dedup.restatus(
+                st1, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
+                status)
+            case None => st1
+          }
+        }
       case _ => st5
     }
     // eager cut BEFORE the state appends: the lazy plan reads the state
@@ -305,11 +327,16 @@ object StreamingAdmit {
         .write.mode(SaveMode.Append).parquet(s"$d/bands")
     // shingles ride the same crash rule: before the sig append — a crash
     // here replays into doubled value-identical shingle rows (collapsed
-    // by --compact's DISTINCT, harmless to containment decisions)
-    for ((_, batchSh) <- trimLeg; d <- psigsPath)
+    // by --compact's DISTINCT, harmless to containment decisions); the
+    // append CONFORMS to the state's layout (legacy states stay
+    // (cv_id, s1..q2), vid rows only — the batch side is already
+    // vid-filtered under legacy)
+    for ((_, batchSh, shLegacy) <- trimLeg; d <- psigsPath)
       batchSh.join(admittedIds, "doc_id")
-        .select(col("doc_id").as("cv_id"),
-          col("s1"), col("q1"), col("s2"), col("q2"))
+        .select(
+          col("doc_id").as("cv_id") +:
+            ((if (shLegacy) Nil else Seq(col("mod"))) ++
+              Seq(col("s1"), col("q1"), col("s2"), col("q2"))): _*)
         .write.mode(SaveMode.Append).parquet(s"$d/shingles")
     batchSigs.join(admittedIds, "doc_id")
       .write.mode(SaveMode.Append).parquet(statePath)

@@ -468,6 +468,149 @@ object Multimodal {
       .toDF("doc_id", "decoded", "n_px", "n_dark", "n_bright", "sum_e3", "sq_e3")
   }
 
+  /** REAL pixel decode into FIXED-size tile luma moments — the image
+    * analog of [[decodeAviFrameStats]]'s per-frame moments and the
+    * primitive under crop containment
+    * ([[graft.xscale.PerceptualDedup.imageTileShingles]]): the pixel grid
+    * is cut into `tile`×`tile` squares ANCHORED AT THE ORIGIN (row-major
+    * (tx, ty) tiles; partial right/bottom edge tiles are DROPPED — a crop
+    * changes them anyway), and each tile's exact e3 BT.601 luma SUM and
+    * per-pixel luma sum of SQUARES are returned. Tiles are fixed PIXEL
+    * size — unlike [[decodeBlockLumaE3]]'s image-relative grid — so a
+    * tile's moments do not depend on the total image size: a crop whose
+    * offsets are MULTIPLES of `tile` preserves every interior tile's
+    * moments bit-exact, which is the whole signal. Per-tile sq peaks at
+    * 255000²·tile² ≈ 4.2e12 for the default 8 — far inside a long.
+    * Memory is one pixel row + the tile arrays ((w·h)/tile² longs — the
+    * video decoder's frames-per-clip shape). None for undecodable bytes,
+    * oversize header claims, or images smaller than one tile.
+    */
+  def decodeImageTileStats(
+      payload: Array[Byte],
+      tile: Int = 8): Option[(Int, Int, Array[Long], Array[Long])] = {
+    require(tile >= 1, s"tile=$tile: the tile edge must be >= 1")
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val tx = w / tile
+            val ty = h / tile
+            if (tx <= 0 || ty <= 0) None
+            else {
+              val sums = new Array[Long](tx * ty)
+              val sqs = new Array[Long](tx * ty)
+              val row = new Array[Int](w)
+              val xMax = tx * tile
+              val yMax = ty * tile
+              var y = 0
+              while (y < yMax) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                val base = (y / tile) * tx
+                var x = 0
+                while (x < xMax) {
+                  val p = row(x)
+                  val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                    114L * (p & 0xff)
+                  val i = base + x / tile
+                  sums(i) += l
+                  sqs(i) += l * l
+                  x += 1
+                }
+                y += 1
+              }
+              Some((tx, ty, sums, sqs))
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** ONE-PASS image decode for the `--pmedia --ptrim` hot path — the
+    * image twin of the video side's shared [[decodeAviFrameStats]] pass:
+    * the bw×bh image-relative box grid ([[decodeBlockLumaE3]]'s
+    * convention — feeds the dHash bands) AND the fixed `tile`-px tile
+    * moments ([[decodeImageTileStats]]'s convention — feeds the crop
+    * shingles) accumulate from a single streaming-row read, so the
+    * combined frame never decodes an image twice. Returns
+    * (gridSums, gridCnts, tx, ty, tileSums, tileSqs); the grid halves are
+    * bit-identical to [[decodeBlockLumaE3]] and the tile halves to
+    * [[decodeImageTileStats]] (spec-pinned). `tx`/`ty` may be 0 for
+    * images under one tile (band-hashable, no shingles — the under-2×2
+    * rule upstream); None only when the grid side would be None.
+    */
+  def decodeImageBlocksTiles(
+      payload: Array[Byte],
+      bw: Int,
+      bh: Int,
+      tile: Int): Option[(Array[Long], Array[Long], Int, Int, Array[Long], Array[Long])] = {
+    require(tile >= 1, s"tile=$tile: the tile edge must be >= 1")
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w < bw || h < bh) None
+            else {
+              val gSums = new Array[Long](bw * bh)
+              val gCnts = new Array[Long](bw * bh)
+              val tx = w / tile
+              val ty = h / tile
+              val tSums = new Array[Long](math.max(tx * ty, 0))
+              val tSqs = new Array[Long](math.max(tx * ty, 0))
+              val xMax = tx * tile
+              val yMax = ty * tile
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                val by = y.toLong * bh / h
+                val inTileRow = y < yMax
+                val tBase = if (inTileRow) (y / tile) * tx else 0
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                    114L * (p & 0xff)
+                  val gi = (by * bw + x.toLong * bw / w).toInt
+                  gSums(gi) += l
+                  gCnts(gi) += 1L
+                  if (inTileRow && x < xMax) {
+                    val ti = tBase + x / tile
+                    tSums(ti) += l
+                    tSqs(ti) += l * l
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some((gSums, gCnts, tx, ty, tSums, tSqs))
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
   /** Env flag enabling REAL WAV PCM sample decode in
     * [[extractAudioFeatures]] (set to "1") — the pixel-decode flag
     * pattern: opt-in, stub-default byte-stable.

@@ -276,21 +276,35 @@ object PerceptualDedup {
     * exact failure this operator exists to avoid.
     */
   def dhashBands(payload: Array[Byte], gw: Int = 8, gh: Int = 8, bandBits: Int = 16): Option[Array[Long]] =
-    Multimodal.decodeBlockLumaE3(payload, gw + 1, gh).map { case (_, _, sums, cnts) =>
-      val bits = new Array[Boolean](gw * gh)
-      var y = 0
-      while (y < gh) {
-        var x = 0
-        while (x < gw) {
-          val i = y * (gw + 1) + x
-          // mean(x+1) > mean(x)  ⟺  sum(x+1)·cnt(x) > sum(x)·cnt(x+1)
-          bits(y * gw + x) = sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)
-          x += 1
-        }
-        y += 1
+    Multimodal.decodeBlockLumaE3(payload, gw + 1, gh)
+      .map { case (_, _, sums, cnts) => dhashBandsFromBlocks(sums, cnts, gw, gh, bandBits) }
+
+  /** The dHash comparison + packing step alone, over an already-decoded
+    * (gw+1)×gh block grid — shared by [[dhashBands]] and the one-pass
+    * combined frame ([[mediaHashShingleFrame]], whose image decode also
+    * feeds the crop shingles). Bit (x, y) = "block (x+1, y) brighter than
+    * block (x, y)" via cross-multiplied sums (exact for uneven blocks).
+    */
+  def dhashBandsFromBlocks(
+      sums: Array[Long],
+      cnts: Array[Long],
+      gw: Int,
+      gh: Int,
+      bandBits: Int): Array[Long] = {
+    val bits = new Array[Boolean](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        val i = y * (gw + 1) + x
+        // mean(x+1) > mean(x)  ⟺  sum(x+1)·cnt(x) > sum(x)·cnt(x+1)
+        bits(y * gw + x) = sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)
+        x += 1
       }
-      bandsFromBits(bits, bandBits)
+      y += 1
     }
+    bandsFromBits(bits, bandBits)
+  }
 
   /** The production swap past [[BandBoundary]]: a 17×16 grid → 256-bit
     * hash packed as 8 × 32-bit bands. Hamming ≤ 7 still pigeonholes into
@@ -404,6 +418,30 @@ object PerceptualDedup {
       .map(f => (sums(f), sqs(f), sums(f + 1), sqs(f + 1)))
       .distinct
 
+  /** The 2-D shingle rule — [[shinglesFromStats]] one dimension up: for
+    * every tile (i, j) with a diagonal neighbor, the fingerprint is the
+    * DIAGONAL pair's moments (sum(i,j), sq(i,j), sum(i+1,j+1),
+    * sq(i+1,j+1)) over a row-major tx×ty tile-moment grid, distinct.
+    * Tile moments are POSITION-FREE, so a crop whose offsets are
+    * tile-aligned preserves every interior neighborhood's fingerprint
+    * bit-exact — the containment signal; the diagonal pairing keeps the
+    * 4-long fingerprint shape every trim-leg consumer already takes
+    * while still encoding local 2-D structure (a lone tile's (sum, sq)
+    * would pair any two images sharing one texture patch). Images under
+    * 2×2 tiles contribute no shingles (the video under-2-frames rule).
+    */
+  def shinglesFromTiles(
+      tx: Int,
+      ty: Int,
+      sums: Array[Long],
+      sqs: Array[Long]): IndexedSeq[(Long, Long, Long, Long)] =
+    if (tx < 2 || ty < 2) Vector.empty
+    else (for { j <- 0 until ty - 1; i <- 0 until tx - 1 } yield {
+      val a = j * tx + i
+      val b = (j + 1) * tx + (i + 1)
+      (sums(a), sqs(a), sums(b), sqs(b))
+    }).distinct
+
   /** Video windows for the WIDE fingerprint: 257 equal windows → 256
     * adjacent-sum comparisons → the shared 8 × 32-bit band geometry. A
     * clip with fewer than 257 complete frames has no wide hash (None) —
@@ -502,17 +540,34 @@ object PerceptualDedup {
   def videoHashFrame(media: DataFrame, wide: Boolean = false): DataFrame =
     hashFrame(media, p => if (wide) videoDhashBandsWide(p) else videoDhashBands(p))
 
-  /** The admission/dedup modality table: (mod prefix, corpus-leg status,
-    * strict-leg status) — THE resolution point for every status-splitting
-    * consumer (`Cli admit`, StreamingAdmit). A `startsWith` on the prefix
-    * folds the width-suffixed small-media spaces (`img16`/`aud16`/
-    * `vid16`) into their modality's status; adding a modality here is
-    * the whole per-status wiring.
+  /** One admission/dedup modality's full status wiring: the band leg's
+    * corpus/strict statuses plus (when the modality HAS a containment
+    * form) the containment leg's — `None` is a per-modality design
+    * decision, not an omission (audio: samples carry no intrinsic
+    * framing, so no containment form exists — documented on
+    * [[videoFrameShingles]]).
     */
-  val Modalities: Seq[(String, String, String)] = Seq(
-    ("img", "near_dup_corpus_img", "near_dup_batch_img"),
-    ("aud", "near_dup_corpus_aud", "near_dup_batch_aud"),
-    ("vid", "near_dup_corpus_vid", "near_dup_batch_vid"))
+  final case class Modality(
+      prefix: String,
+      corpusStatus: String,
+      strictStatus: String,
+      containCorpusStatus: Option[String],
+      containStrictStatus: Option[String])
+
+  /** The admission/dedup modality table — THE resolution point for every
+    * status-splitting consumer (`Cli admit`, StreamingAdmit). A
+    * `startsWith` on the prefix folds the width-suffixed small-media
+    * spaces (`img16`/`aud16`/`vid16`) into their modality's status;
+    * adding a modality here is the whole per-status wiring, and the
+    * containment columns wire the `--ptrim` leg the same one-row way
+    * (video trims, image tile-aligned crops; audio none BY DESIGN).
+    */
+  val Modalities: Seq[Modality] = Seq(
+    Modality("img", "near_dup_corpus_img", "near_dup_batch_img",
+      Some("near_dup_corpus_icrop"), Some("near_dup_batch_icrop")),
+    Modality("aud", "near_dup_corpus_aud", "near_dup_batch_aud", None, None),
+    Modality("vid", "near_dup_corpus_vid", "near_dup_batch_vid",
+      Some("near_dup_corpus_vtrim"), Some("near_dup_batch_vtrim")))
 
   /** Modality-detected perceptual hash of ONE payload: try the image
     * decoder first, then the audio RIFF walk, then the AVI walk — each
@@ -599,51 +654,70 @@ object PerceptualDedup {
   def mediaHashShingleFrame(media: DataFrame, wide: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val (gw, gh, bb) = if (wide) (16, 16, 32) else (8, 8, 16)
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
           val none = Vector.empty[(Long, Long, Long, Long)]
-          val (dec, m, b, sh) =
-            (if (wide) dhashBandsWide(p) else dhashBands(p)) match {
-              case Some(ib) => (true, "img", Some(ib), none)
+          // `shmod` names the SHINGLE space separately from the band
+          // modality: image shingles are width-independent (fixed-px
+          // tiles — an img16 small image shares the img shingle space,
+          // so a small crop of a small image still matches), and a SHORT
+          // video (2-64 frames) carries vid shingles with no bands at
+          // all (mod = "")
+          val (dec, m, b, shmod, sh) =
+            Multimodal.decodeImageBlocksTiles(p, gw + 1, gh, TileSize) match {
+              case Some((gs, gc, tx, ty, ts, tq)) =>
+                (true, "img", Some(dhashBandsFromBlocks(gs, gc, gw, gh, bb)),
+                  "img", shinglesFromTiles(tx, ty, ts, tq))
               case None =>
                 (if (wide) audioDhashBandsWide(p) else audioDhashBands(p)) match {
-                  case Some(ab) => (true, "aud", Some(ab), none)
+                  case Some(ab) => (true, "aud", Some(ab), "", none)
                   case None =>
                     Multimodal.decodeAviFrameStats(p) match {
                       case Some((_, _, sums, sqs)) =>
                         val shingles = shinglesFromStats(sums, sqs)
                         videoBandsFromSums(sums, wide) match {
-                          case Some(vb) => (true, "vid", Some(vb), shingles)
+                          case Some(vb) => (true, "vid", Some(vb), "vid", shingles)
                           case None if wide =>
                             videoBandsFromSums(sums, wide = false) match {
-                              case Some(vb) => (true, "vid16", Some(vb), shingles)
-                              case None     => (false, "", None, shingles)
+                              case Some(vb) => (true, "vid16", Some(vb), "vid", shingles)
+                              case None     => (false, "", None, "vid", shingles)
                             }
-                          case None => (false, "", None, shingles)
+                          case None => (false, "", None, "vid", shingles)
                         }
                       case None if wide =>
-                        // the non-video small-media fallbacks
-                        dhashBands(p).map(ib => (true, "img16", Some(ib), none))
-                          .orElse(audioDhashBands(p).map(ab => (true, "aud16", Some(ab), none)))
-                          .getOrElse((false, "", None, none))
-                      case None => (false, "", None, none)
+                        // the non-video small-media fallbacks — the image
+                        // one still rides ONE decode pass (classic grid +
+                        // tiles together)
+                        Multimodal.decodeImageBlocksTiles(p, 9, 8, TileSize)
+                          .map { case (gs, gc, tx, ty, ts, tq) =>
+                            (true, "img16",
+                              Some(dhashBandsFromBlocks(gs, gc, 8, 8, 16)),
+                              "img", shinglesFromTiles(tx, ty, ts, tq))
+                          }
+                          .orElse(audioDhashBands(p)
+                            .map(ab => (true, "aud16", Some(ab), "", none)))
+                          .getOrElse((false, "", None, "", none))
+                      case None => (false, "", None, "", none)
                     }
                 }
             }
-          (id, dec, m, p.length.toLong, b, sh)
+          (id, dec, m, p.length.toLong, b, shmod, sh)
         })
       }
-      .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shingles")
+      .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shmod", "shingles")
   }
 
   /** Explode a [[mediaHashShingleFrame]]'s `shingles` into the
-    * (doc_id, s1, q1, s2, q2) shape every trim-leg consumer takes.
+    * (doc_id, mod, s1, q1, s2, q2) shape every containment-leg consumer
+    * takes — `mod` is the SHINGLE space (`shmod`: img tiles vs vid frame
+    * bigrams, disjoint candidate spaces even on numeric collision).
     */
   def shingleRows(combined: DataFrame): DataFrame =
     combined.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), col("sh._1").as("s1"), col("sh._2").as("q1"),
+      .select(col("doc_id"), col("shmod").as("mod"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("mod"), col("sh._1").as("s1"), col("sh._2").as("q1"),
         col("sh._3").as("s2"), col("sh._4").as("q2"))
 
   /** Near-dup pairs over a MIXED image/audio media frame — the corpus
@@ -765,6 +839,125 @@ object PerceptualDedup {
       .toDF("doc_id", "s1", "q1", "s2", "q2")
   }
 
+  /** Per-image CROP-containment shingles — [[videoFrameShingles]] one
+    * modality over, with TILES as the content units frames play for
+    * video: real javax.imageio decode into fixed `tile`-pixel tile
+    * moments ([[Multimodal.decodeImageTileStats]] — origin-anchored,
+    * partial edge tiles dropped), fingerprinted as diagonal 2×2
+    * neighborhoods ([[shinglesFromTiles]]). A crop whose offsets are
+    * MULTIPLES of `tile` keeps every interior neighborhood bit-exact —
+    * the re-post mode that defeats BOTH whole-image hashes (a crop
+    * shifts every dHash block boundary, classic and wide; before this
+    * operator it sailed through every perceptual signal silently).
+    * HONEST LIMIT, the x142-integral-scale shape: a crop at an offset
+    * NOT a multiple of `tile` moves every tile boundary and shares no
+    * fingerprints — same reason audio has no trim form at all (samples
+    * carry no intrinsic framing); tiles give images a COARSER framing
+    * that aligned crops respect. A crop that also re-brightens moves
+    * every moment and is out of scope for this signal too (the video
+    * trim rule). Undecodable payloads and images under 2×2 tiles
+    * contribute no rows. Shingle count is (w/tile−1)·(h/tile−1) — the
+    * frames-per-clip shape, ~2M at the [[Multimodal.MaxDecodePixels]]
+    * header cap.
+    */
+  def imageTileShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
+          Multimodal.decodeImageTileStats(p, tile) match {
+            case Some((tx, ty, sums, sqs)) =>
+              shinglesFromTiles(tx, ty, sums, sqs)
+                .map { case (a, b, c, d) => (id, a, b, c, d) }
+            case _ => Nil
+          }
+        })
+      }
+      .toDF("doc_id", "s1", "q1", "s2", "q2")
+  }
+
+  /** The crop-containment tile edge: 8 px — small enough that real crops
+    * (banner strips, letterbox bars, watermark margins are usually
+    * multiples of 8 or 16) align often, large enough that a tile carries
+    * texture (64 pixels of exact moments).
+    */
+  val TileSize = 8
+
+  /** Modality-detected CONTAINMENT shingles over mixed media — the
+    * shingle-space twin of [[mediaHashFrame]], the scan the `--ptrim`
+    * state bootstraps from: (doc_id, mod, s1, q1, s2, q2) where images
+    * contribute tile-neighborhood fingerprints (`mod = "img"`,
+    * [[imageTileShingles]]'s rule) and videos frame-bigram fingerprints
+    * (`mod = "vid"`, [[videoFrameShingles]]'s rule) — ONE decode pass per
+    * payload, modality order identical to [[mediaHashBands]] (image
+    * reader first, AVI fall-back; audio has no containment form BY
+    * DESIGN). `mod` rides every shingle row so the two fingerprint
+    * families stay in DISJOINT candidate spaces even when their integer
+    * moments collide numerically. Shingles are width-independent (no
+    * wide concept): a small crop of a LARGE image shares the img space —
+    * the cross-size case the width-suffixed band fallback documents as
+    * its limit is covered HERE.
+    */
+  def mediaShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+          Multimodal.decodeImageTileStats(p, tile) match {
+            case Some((tx, ty, ts, tq)) =>
+              shinglesFromTiles(tx, ty, ts, tq)
+                .map { case (a, b, c, d) => (id, "img", a, b, c, d) }
+            case None =>
+              Multimodal.decodeAviFrameStats(p) match {
+                case Some((_, _, sums, sqs)) =>
+                  shinglesFromStats(sums, sqs)
+                    .map { case (a, b, c, d) => (id, "vid", a, b, c, d) }
+                case None => Nil
+              }
+          }
+        })
+      }
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+  }
+
+  /** DIRECTIONAL image CROP containment — the x147 rule one modality
+    * over: (doc_id_a, doc_id_b, n_inter, n_a) where den·|A∩B| ≥ num·|A|
+    * over the distinct diagonal tile-neighborhood fingerprints. A
+    * tile-aligned crop is contained at ~1.0 in its source — directional,
+    * like the video trim; containment ≥ threshold in BOTH directions is
+    * the near-identical case. Shares [[containmentPairsFromShingles]]
+    * verbatim with the video form; the same scale caveat applies (use
+    * [[imageCropContainmentPairsLsh]] past the collision-rate boundary).
+    */
+  def imageCropContainmentPairs(
+      media: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsFromShingles(imageTileShingles(media, tile), num, den, checkpointDir)
+
+  /** The image-crop SCALE path — [[videoContainmentPairsLsh]]'s engine on
+    * [[imageTileShingles]]: MinHash-LSH candidates over the tile-shingle
+    * sets, exact verify on candidates only. Same cross-engine md5
+    * minhashes and inlined affine permutation literals, so the form is
+    * oracle-keyed (x152_crop_containment_lsh); same Jaccard S-curve
+    * recall contract (a small crop of a LARGE image has J ~ |A|/|B| and
+    * needs the exact form — the extreme-ratio limit).
+    */
+  def imageCropContainmentPairsLsh(
+      media: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsLshFromShingles(
+      imageTileShingles(media, tile), num, den, k, bands, checkpointDir)
+
   /** DIRECTIONAL video containment — x25's rule on [[videoFrameShingles]]:
     * pairs (doc_id_a, doc_id_b, n_inter, n_a) where den·|A∩B| ≥
     * num·|A| over the distinct frame-bigram sets (default 4/5 = 0.8,
@@ -783,9 +976,25 @@ object PerceptualDedup {
       media: DataFrame,
       num: Int = 4,
       den: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsFromShingles(videoFrameShingles(media), num, den, checkpointDir)
+
+  /** x25's directional rule over ANY (doc_id, s1, q1, s2, q2) shingle
+    * frame — the shared exact engine under video TRIM containment
+    * ([[videoContainmentPairs]]) and image CROP containment
+    * ([[imageCropContainmentPairs]]): pairs (doc_id_a, doc_id_b, n_inter,
+    * n_a) where den·|A∩B| ≥ num·|A| over the distinct fingerprint sets.
+    * Scale caveat travels with it: the fingerprint self-join's candidate
+    * mass follows the collision rate — at 100 TB use the LSH twin
+    * ([[containmentPairsLshFromShingles]]).
+    */
+  private[xscale] def containmentPairsFromShingles(
+      shingles: DataFrame,
+      num: Int,
+      den: Int,
+      checkpointDir: Option[String]): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
-    val sh = DedupClusters.ckpt(videoFrameShingles(media), checkpointDir)
+    val sh = DedupClusters.ckpt(shingles, checkpointDir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
     val keys = Seq("s1", "q1", "s2", "q2")
     val inter = sh.toDF("da", "s1", "q1", "s2", "q2")
@@ -798,19 +1007,29 @@ object PerceptualDedup {
         col("n_inter"), col("n_a"))
   }
 
-  /** Batch-vs-corpus TRIM containment compare — the media leg's second
-    * video signal (`Cli admit --ptrim`): `corpusShingles` /
-    * `batchShingles` are [[videoFrameShingles]] frames ((cv_id | doc_id),
-    * s1, q1, s2, q2); returns one row per batch VIDEO doc (doc_id, n_sh,
-    * near_trim) where `near_trim` = some corpus video contains ≥
-    * `num`/`den` of the doc's distinct frame bigrams — the re-cut/
-    * excerpt re-post whose temporal dHash differs BY DESIGN
-    * (single-alignment), so the band leg cannot see it. The x147 rule as
-    * an admission signal. `cv_id =!= doc_id` keeps crash-window retries
-    * idempotent (same rule and same GLOBALLY-UNIQUE id-space
-    * precondition as [[admitMediaCompare]]). Scale: the join shuffles
-    * 32-byte fingerprint keys; the batch side is batch-sized; corpus
-    * video payloads are never re-decoded once the shingle state exists.
+  /** Add the shingle-space column when a frame predates it — the pre-mod
+    * `--ptrim` shingle layout and the raw [[videoFrameShingles]] frames
+    * are all-video (the state's original video-only contract).
+    */
+  private def withShMod(df: DataFrame): DataFrame =
+    if (df.columns.contains("mod")) df else df.withColumn("mod", lit("vid"))
+
+  /** Batch-vs-corpus CONTAINMENT compare — the media leg's second signal
+    * (`Cli admit --ptrim`), serving BOTH containment modalities:
+    * `corpusShingles` / `batchShingles` are ((cv_id | doc_id), [mod,] s1,
+    * q1, s2, q2) frames ([[mediaShingles]] / [[shingleRows]]; a side
+    * without a `mod` column is treated as all-video — the pre-mod
+    * state's contract); returns one row per batch doc WITH shingles
+    * (doc_id, mod, n_sh, near_trim) where `near_trim` = some corpus doc
+    * OF THE SAME SHINGLE SPACE contains ≥ `num`/`den` of the doc's
+    * distinct fingerprints — the re-cut/excerpt (vid) or tile-aligned
+    * crop (img) whose whole-payload hash differs BY DESIGN, so the band
+    * leg cannot see it. The x147/x152 rule as an admission signal.
+    * `cv_id =!= doc_id` keeps crash-window retries idempotent (same rule
+    * and same GLOBALLY-UNIQUE id-space precondition as
+    * [[admitMediaCompare]]). Scale: the join shuffles 32-byte fingerprint
+    * keys (+ the mod tag); the batch side is batch-sized; corpus
+    * payloads are never re-decoded once the shingle state exists.
     */
   def admitTrimCompare(
       corpusShingles: DataFrame,
@@ -818,11 +1037,12 @@ object PerceptualDedup {
       num: Int = 4,
       den: Int = 5): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
-    val keys = Seq("s1", "q1", "s2", "q2")
-    val sz = batchShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cs =
+    val keys = Seq("mod", "s1", "q1", "s2", "q2")
+    val bs = withShMod(batchShingles)
+    val sz = bs.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
+    val cs = withShMod(
       if (corpusShingles.columns.contains("cv_id")) corpusShingles
-      else corpusShingles.withColumnRenamed("doc_id", "cv_id")
+      else corpusShingles.withColumnRenamed("doc_id", "cv_id"))
     // DISTINCT on the matched (doc, cv, fingerprint) rows before counting:
     // a crash-window RETRY doubles the state's appended shingle rows (the
     // documented append-replay mode every sidecar shares), and unlike the
@@ -830,31 +1050,35 @@ object PerceptualDedup {
     // a doubled shingle row would double `i` for that pair and inflate
     // containment past the threshold. The distinct is on the JOIN OUTPUT
     // (batch-sized × matches), never on the full state.
-    val near = batchShingles
+    val near = bs
       .join(cs, keys)
       .filter(col("cv_id") =!= col("doc_id"))
       .select(col("doc_id") +: col("cv_id") +: keys.map(col): _*).distinct()
       .groupBy("doc_id", "cv_id").agg(count(lit(1)).as("i"))
-      .join(sz, "doc_id")
+      .join(sz.select("doc_id", "n_sh"), "doc_id")
       .filter(col("i") * den >= col("n_sh") * num)
       .select("doc_id").distinct()
       .withColumn("nt", lit(true))
     sz.join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
+      .select(col("doc_id"), col("mod"), col("n_sh"),
         coalesce(col("nt"), lit(false)).as("near_trim"))
   }
 
-  /** The strict pass of the trim leg: a trim and its SOURCE arriving in
-    * ONE batch both clear the corpus rule — run undirected containment
-    * pairs over the finally-admitted batch videos' already-computed
-    * shingles (a pair qualifies when den·|A∩B| ≥ num·min(|A|, |B|): the
-    * directional score of the smaller side), CC them, and keep the clip
-    * with the MOST shingles per component (the longer clip IS the
-    * source; min-id would happily keep the excerpt and drop the
-    * footage), doc_id tiebreak. Returns the losers' (doc_id) for the
-    * caller to re-status `near_dup_batch_vtrim`. Zero extra decode —
+  /** The strict pass of the containment leg: a trim/crop and its SOURCE
+    * arriving in ONE batch both clear the corpus rule — run undirected
+    * containment pairs over the finally-admitted batch docs'
+    * already-computed shingles (a pair qualifies when den·|A∩B| ≥
+    * num·min(|A|, |B|): the directional score of the smaller side,
+    * within ONE shingle space — img pairs never form with vid), CC them,
+    * and keep the doc with the MOST shingles per component (the longer
+    * clip / larger image IS the source; min-id would happily keep the
+    * excerpt and drop the footage), doc_id tiebreak. Returns the losers'
+    * (doc_id, mod) for the caller to re-status per modality
+    * (`near_dup_batch_vtrim` / `near_dup_batch_icrop` — the
+    * [[Modalities]] containment column). Zero extra decode —
     * `admShingles` is the already-cut batch shingle frame filtered to
-    * still-admitted docs.
+    * still-admitted docs; a frame without `mod` is all-video (pre-mod
+    * contract).
     */
   def admitTrimStrictLosers(
       admShingles: DataFrame,
@@ -862,10 +1086,12 @@ object PerceptualDedup {
       den: Int = 5,
       checkpointDir: Option[String] = None): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
-    val keys = Seq("s1", "q1", "s2", "q2")
-    val sz = admShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = admShingles.toDF("a", "s1", "q1", "s2", "q2")
-      .join(admShingles.toDF("b", "s1", "q1", "s2", "q2"), keys)
+    val sh = withShMod(admShingles)
+    val keys = Seq("mod", "s1", "q1", "s2", "q2")
+    val cols = Seq("mod", "s1", "q1", "s2", "q2")
+    val sz = sh.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select((col("doc_id").as("a") +: cols.map(col)): _*)
+      .join(sh.select((col("doc_id").as("b") +: cols.map(col)): _*), keys)
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
       .join(sz.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
@@ -878,7 +1104,7 @@ object PerceptualDedup {
     comp.join(sz, comp("id") === sz("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
-      .select("doc_id")
+      .select("doc_id", "mod")
   }
 
   /** Compact the `--ptrim` shingle state against the live corpus ids —
@@ -978,10 +1204,24 @@ object PerceptualDedup {
       den: Int = 5,
       k: Int = 16,
       bands: Int = 4,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsLshFromShingles(
+      videoFrameShingles(media), num, den, k, bands, checkpointDir)
+
+  /** The LSH containment engine shared by the video and image forms —
+    * [[containmentPairsFromShingles]]'s scale twin; see
+    * [[videoContainmentPairsLsh]] for the full contract.
+    */
+  private[xscale] def containmentPairsLshFromShingles(
+      shingles: DataFrame,
+      num: Int,
+      den: Int,
+      k: Int,
+      bands: Int,
+      checkpointDir: Option[String]): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
     require(k % bands == 0, s"k=$k minhashes must divide into $bands bands")
-    val sh = DedupClusters.ckpt(videoFrameShingles(media), checkpointDir)
+    val sh = DedupClusters.ckpt(shingles, checkpointDir)
     val rows = k / bands
     val keyed = sh.select(col("doc_id"),
       XHash.h60(concat_ws("^", col("s1"), col("q1"), col("s2"), col("q2"))).as("hk"))
@@ -1758,21 +1998,23 @@ object PerceptualDedup {
       "JOIN vg r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)"
 
-  /** The x147_containment_lsh oracle's LSH + verify CTEs over [[x147BgSql]]
-    * — DuckDB recomputing the IDENTICAL candidate set: the fixture's 4×4
-    * uniform frames make the decoded fingerprint a closed form of the
-    * level (s = 16·1000·g, q = 16·(1000·g)², BT.601 luma of r=g=b=g is
+  /** The LSH-containment oracle CTEs over a `bg(doc_id, g1, g2)` + `sz`
+    * prefix — DuckDB recomputing the IDENTICAL candidate set: the
+    * fixtures' uniform content units (4×4 frames for x147, 8×8 tiles for
+    * x152) make the decoded fingerprint a closed form of the level
+    * (s = npx·1000·g, q = npx·(1000·g)² — BT.601 luma of r=g=b=g is
     * exactly 1000g), hashed through the same md5 h60 and the same
-    * inlined affine permutation literals as the Spark plan.
+    * inlined affine permutation literals as the Spark plan. `sMul`/`qMul`
+    * are those closed-form multipliers (npx·1000 and npx·10⁶).
     */
-  private def x147LshSql: String = {
+  private def lshContainSql(sMul: Long, qMul: Long): String = {
     val k = 16
     val bands = 4
     val rows = k / bands
     val p = XHash.P
     val hkInner =
-      "CAST(16000 * g1 AS VARCHAR) || '^' || CAST(16000000 * g1 * g1 AS VARCHAR) " +
-        "|| '^' || CAST(16000 * g2 AS VARCHAR) || '^' || CAST(16000000 * g2 * g2 AS VARCHAR)"
+      s"CAST($sMul * g1 AS VARCHAR) || '^' || CAST($qMul * g1 * g1 AS VARCHAR) " +
+        s"|| '^' || CAST($sMul * g2 AS VARCHAR) || '^' || CAST($qMul * g2 * g2 AS VARCHAR)"
     val minCols = (0 until k).map(i =>
       s"min((${containmentLshA(i)} * (hk % $p) + ${containmentLshB(i)}) % $p) AS m$i")
       .mkString(", ")
@@ -1798,6 +2040,81 @@ object PerceptualDedup {
       "ORDER BY doc_id_a, doc_id_b"
   }
 
+  /** Closed-form fixture TILE gray for the x152 pair — the video frame
+    * closed form ([[fixtureFrameVid]]) one modality over, with its own
+    * content separator ('t'): brightness variant shifts every tile (+10
+    * — moves every MOMENT, so by design NOT contained: the containment
+    * signal is brightness-sensitive, unlike the dHash), edit variant
+    * bumps tile (2, 2) (+25 — kills exactly the 2 diagonal neighborhoods
+    * touching it, 18/20 stays over the 0.8 rule).
+    */
+  def fixtureTileLvl(docId: Long, i: Int, j: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}t${i}_$j") % 181).toInt + 30 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && i == 2 && j == 2) 25 else 0)
+  }
+
+  /** x152's fixture tile grid: 6×5 tiles of [[TileSize]] px (48×40 px
+    * BMPs); the crop re-post drops the first tile row AND column (5×4).
+    */
+  val CropTilesX = 6
+  val CropTilesY = 5
+
+  /** Shared oracle-CTE prefix for the x152 pair — [[x147BgSql]] one
+    * modality over: the closed-form CROP fixture's distinct diagonal
+    * tile-neighborhood sets `bg(doc_id, g1, g2)` + sizes `sz`. `off` is
+    * the crop's TILE offset (crop tile (i, j) = source tile (i+1, j+1)),
+    * so the crop replays the source's exact levels shifted — the
+    * tile-aligned containment the operator exists to catch.
+    */
+  private def x152BgSql: String =
+    "src AS (SELECT doc_id, doc_id AS img_id, 0 AS off FROM documents " +
+      "UNION ALL SELECT doc_id + 5000000, doc_id, 1 FROM documents " +
+      "WHERE doc_id % 15 = 0), " +
+      s"dv AS (SELECT doc_id, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv), " +
+      s"ti AS (SELECT doc_id, v, ck, off, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1} - off)) AS i FROM dk), " +
+      s"tf AS (SELECT doc_id, v, ck, off, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1} - off)) AS j FROM ti), " +
+      "tg AS (SELECT doc_id, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 't' || CAST(i + off AS VARCHAR) || '_' || CAST(j + off AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND i + off = 2 AND j + off = 2 THEN 25 ELSE 0 END AS g FROM tf), " +
+      "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM tg l " +
+      "JOIN tg r ON r.doc_id = l.doc_id AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)"
+
+  /** Shared Spark-side fixture media for the x152 pair: one real
+    * 6×5-tile BMP per doc, plus every 15th doc's tile-aligned CROP
+    * (tiles (1..5, 1..4) re-posted under a disjoint id) — the population
+    * [[x152BgSql]] describes in closed form. One md5 per TILE, not per
+    * pixel (the fixtureAvi levels pattern).
+    */
+  private def x152FixtureMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val src = ids.select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      .unionByName(ids.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(1).as("off")))
+    src.as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, off) =>
+        val tw = CropTilesX - off
+        val th = CropTilesY - off
+        val levels =
+          Array.tabulate(tw, th)((i, j) => fixtureTileLvl(img, i + off, j + off))
+        (id, makeBmp(tw * TileSize, th * TileSize,
+          (x, y) => levels(x / TileSize)(y / TileSize)))
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** Shared Spark-side fixture media for the x147 pair: one real
     * [[VideoWindows]]-frame AVI per doc, plus every 15th doc's TRIM
     * (frames 10..64 re-posted under a disjoint id) — the same population
@@ -1820,28 +2137,24 @@ object PerceptualDedup {
       .toDF("doc_id", "payload")
   }
 
-  private def admitVtrimSql: String =
-    s"${admitSrc2Sql(10)}, " +
-      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
-      s"img_id % $ClusterSize AS v FROM src2), " +
-      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
-      "AS ck FROM dv2), " +
-      "vf2 AS (SELECT doc_id, side, v, ck, " +
-      s"off + unnest(generate_series(0, ${VideoWindows - 1} - off)) AS fo FROM dk2), " +
-      "vg2 AS (SELECT doc_id, side, fo, " +
-      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
-      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
-      "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf2), " +
-      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM vg2 l " +
-      "JOIN vg2 r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
-      "szb AS (SELECT doc_id, count(*) AS n FROM bg2 WHERE side = 'b' GROUP BY 1), " +
+  /** The shared CONTAINMENT-admission oracle tail over a side-tagged
+    * bigram set `bg2(doc_id, side, g1, g2)` — the SQL twin of
+    * [[admitTrimCompare]] + [[admitTrimStrictLosers]] (batch-vs-corpus
+    * ≥ 0.8 containment → `corpusStatus`; undirected min-side containment
+    * CC + keep-MOST-shingles over the still-admitted → `batchStatus`),
+    * ending in the x74 report shape. Shared by the vtrim and icrop
+    * oracles: the rule is modality-independent once the fingerprints are
+    * cut.
+    */
+  private def admitContainTailSql(corpusStatus: String, batchStatus: String): String =
+    "szb AS (SELECT doc_id, count(*) AS n FROM bg2 WHERE side = 'b' GROUP BY 1), " +
       "ic AS (SELECT b.doc_id, c.doc_id AS cv_id, count(*) AS i FROM bg2 b " +
       "JOIN bg2 c ON c.g1 = b.g1 AND c.g2 = b.g2 AND b.side = 'b' AND c.side = 'c' " +
       "GROUP BY 1, 2), " +
       "nearc AS (SELECT DISTINCT ic.doc_id FROM ic JOIN szb ON szb.doc_id = ic.doc_id " +
       "WHERE 5 * i >= 4 * n), " +
       "st0 AS (SELECT s.doc_id, CASE WHEN nearc.doc_id IS NOT NULL " +
-      "THEN 'near_dup_corpus_vtrim' ELSE 'admitted' END AS status " +
+      s"THEN '$corpusStatus' ELSE 'admitted' END AS status " +
       "FROM src2 s LEFT JOIN nearc ON nearc.doc_id = s.doc_id WHERE s.side = 'b'), " +
       "admb AS (SELECT bg2.doc_id, g1, g2 FROM bg2 " +
       "JOIN st0 ON st0.doc_id = bg2.doc_id AND st0.status = 'admitted' " +
@@ -1858,10 +2171,52 @@ object PerceptualDedup {
       "rk AS (SELECT cmp.id AS doc_id, ROW_NUMBER() OVER (PARTITION BY cmp.component " +
       "ORDER BY szp.n DESC, cmp.id) AS rn FROM cmp JOIN szp ON szp.doc_id = cmp.id), " +
       "st AS (SELECT st0.doc_id, CASE WHEN st0.status = 'admitted' AND rk.rn > 1 " +
-      "THEN 'near_dup_batch_vtrim' ELSE st0.status END AS status " +
+      s"THEN '$batchStatus' ELSE st0.status END AS status " +
       "FROM st0 LEFT JOIN rk ON rk.doc_id = st0.doc_id) " +
       "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
+
+  private def admitVtrimSql: String =
+    s"${admitSrc2Sql(10)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      "vf2 AS (SELECT doc_id, side, v, ck, " +
+      s"off + unnest(generate_series(0, ${VideoWindows - 1} - off)) AS fo FROM dk2), " +
+      "vg2 AS (SELECT doc_id, side, fo, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || '^' || CAST(fo AS VARCHAR)")} % 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND fo = 7 THEN 25 ELSE 0 END AS g FROM vf2), " +
+      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM vg2 l " +
+      "JOIN vg2 r ON r.doc_id = l.doc_id AND r.fo = l.fo + 1), " +
+      admitContainTailSql("near_dup_corpus_vtrim", "near_dup_batch_vtrim")
+
+  /** The crop-admission oracle: [[admitVtrimSql]] one modality over —
+    * `off` is the crop's TILE offset (batch re-arrivals replay the
+    * original's tiles shifted by one row + column), the bigrams are
+    * DIAGONAL tile neighborhoods, and the tail is the shared containment
+    * rule verbatim.
+    */
+  private def admitIcropSql: String =
+    s"${admitSrc2Sql(1)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      s"ti2 AS (SELECT doc_id, side, v, ck, off, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1} - off)) AS i FROM dk2), " +
+      s"tf2 AS (SELECT doc_id, side, v, ck, off, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1} - off)) AS j FROM ti2), " +
+      "tg2 AS (SELECT doc_id, side, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 't' || CAST(i + off AS VARCHAR) || '_' || CAST(j + off AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND i + off = 2 AND j + off = 2 THEN 25 ELSE 0 END AS g FROM tf2), " +
+      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM tg2 l " +
+      "JOIN tg2 r ON r.doc_id = l.doc_id AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      admitContainTailSql("near_dup_corpus_icrop", "near_dup_batch_icrop")
 
   /** The admission fixture's population split, shared by both modalities:
     * corpus = docs % 9 ≠ 0 (own content), batch = % 9 = 0 (own) + two
@@ -2418,7 +2773,7 @@ object PerceptualDedup {
     // ----- x147 scale twin: LSH-candidate containment (the benched production form) -----
     Q(
       "x147_containment_lsh",
-      Some(s"WITH $x147BgSql, $x147LshSql"),
+      Some(s"WITH $x147BgSql, ${lshContainSql(16000L, 16000000L)}"),
       "The x147 SCALE path as the benched production default (the x88/x98 dual-key " +
         "pattern: the exact all-pairs form stays registered as the benchExcluded " +
         "exactness baseline, THIS is the plan a 100 TB run would use): MinHash-LSH " +
@@ -2440,6 +2795,67 @@ object PerceptualDedup {
         "and 32-byte fingerprints, never payloads."
     ) { (s, dir) =>
       videoContainmentPairsLsh(x147FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x152: image CROP containment (tile-shingle rule, exact baseline) -----
+    Q(
+      "x152_image_crop_containment",
+      Some(
+        s"WITH $x152BgSql, " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM bg a " +
+          "JOIN bg b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id <> b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "WHERE 5 * i >= 4 * sa.n ORDER BY doc_id_a, doc_id_b"),
+      "Image CROP containment — the x147 rule one modality over, closing the gap the " +
+        "round-13 verdict named: a cropped re-post of a corpus image shifts every " +
+        "dHash block boundary (classic AND wide), so before this operator it evaded " +
+        "every perceptual signal silently. TILES are the content units frames play " +
+        "for video: fixed 8-px origin-anchored tile moments through the real " +
+        "javax.imageio decode (decodeImageTileStats — partial edge tiles dropped), " +
+        "fingerprinted as DIAGONAL 2x2 neighborhoods (shinglesFromTiles — the " +
+        "4-long fingerprint shape every containment consumer shares), x25's " +
+        "directional rule |A-inter-B|/|A| >= 0.8 integer-thresholded. A TILE-ALIGNED " +
+        "crop keeps every interior neighborhood bit-exact and is contained at 1.0 in " +
+        "its source; HONEST LIMIT (the x142 integral-scale shape, spec-pinned from " +
+        "the evasion side too): a crop at a non-multiple-of-8 offset moves every " +
+        "tile boundary and shares nothing — tiles give pixels the COARSER framing " +
+        "aligned crops respect, where raw samples gave audio none at all. Fixture: " +
+        "6x5-tile closed-form BMPs; every 15th doc re-posts tiles (1..5, 1..4) as a " +
+        "REAL 5x4-tile BMP — contained at 12/12, source at 12/20 stays below the " +
+        "rule; the tile-(2,2) edit variant keeps 18/20 both ways. Oracle recomputes " +
+        "the tile levels, pinning encode -> decode -> tile moments -> diagonal " +
+        "shingle -> containment. EXACTNESS BASELINE: all-pairs fingerprint " +
+        "self-join, benchExcluded like x147's exact form; the benched production " +
+        "twin is x152_crop_containment_lsh."
+    ) { (s, dir) =>
+      imageCropContainmentPairs(x152FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x152 scale twin: LSH-candidate crop containment (benched) -----
+    Q(
+      "x152_crop_containment_lsh",
+      Some(s"WITH $x152BgSql, ${lshContainSql(64000L, 64000000L)}"),
+      "The image-crop SCALE path — containmentPairsLshFromShingles on the tile " +
+        "shingles, sharing the x147 LSH engine verbatim: one md5 h60 per distinct " +
+        "fingerprint, 16 affine hash-permutation minhashes (driver-derived literals " +
+        "inlined into BOTH engines), 4-way banding, ONE keyed join on the 60-bit " +
+        "band keys, exact directional verify on candidates only (precision 1.0 by " +
+        "construction). The oracle recomputes the IDENTICAL candidate set from the " +
+        "closed-form tile levels (s = 64000g, q = 64e6 g^2 for 8x8 uniform tiles), " +
+        "so the green row pins the full cross-engine minhash -> band -> candidate -> " +
+        "verify chain on the image modality. Recall follows the Jaccard S-curve: " +
+        "the fixture's 12/20 crop sits mid-curve (found or not is a fixed " +
+        "deterministic fact both engines agree on); a small crop of a large image " +
+        "needs the exact form — the extreme-ratio limit, documented. Scale: " +
+        "candidate mass follows band collisions, never the fingerprint collision " +
+        "rate; joins shuffle 16-byte band keys and 32-byte fingerprints, never " +
+        "payloads."
+    ) { (s, dir) =>
+      imageCropContainmentPairsLsh(x152FixtureMedia(table(s, dir, "documents").select("doc_id")))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -2489,12 +2905,75 @@ object PerceptualDedup {
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
       val adm = frame.filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .withColumn("lb", lit(true))
+        .select("doc_id").withColumn("lb", lit(true))
       frame.join(losers, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           when(col("near_trim"), "near_dup_corpus_vtrim")
             .when(coalesce(col("lb"), lit(false)), "near_dup_batch_vtrim")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x74 crop leg: tile-aligned crop admission (the icrop modality row) -----
+    Q(
+      "x74_admit_icrop",
+      Some(s"WITH RECURSIVE $admitIcropSql"),
+      "CROP leg of media ADMISSION — x74_admit_vtrim one modality over, completing " +
+        "the Modalities containment column: a tile-aligned crop of corpus IMAGE " +
+        "keeps its interior tiles bit-exact but shifts every dHash block boundary, " +
+        "so x74_admit_img admits it. The x152 containment rule as the admission " +
+        "signal, through the SAME machinery the video leg uses (admitTrimCompare / " +
+        "admitTrimStrictLosers — the shingle spaces stay disjoint via the mod tag, " +
+        "statuses split per modality off the one Modalities table): batch images' " +
+        "distinct diagonal tile-neighborhood shingles vs the corpus shingle state, " +
+        ">= 0.8 containment flags near_dup_corpus_icrop; the strict pass CCs the " +
+        "still-admitted batch shingles and keeps the image with the MOST shingles " +
+        "per component (the LARGER image is the source; min-id would keep the crop " +
+        "and drop the original), losers near_dup_batch_icrop. Fixture: the shared " +
+        "admit population split with off meaning TILE offset — re-arrivals replay " +
+        "the original's 6x5 tile grid cropped to (1..5, 1..4); %45==0 crops have " +
+        "corpus siblings (flagged corpus), %9==0 & v>=3 crops arrive WITH their " +
+        "source (only the strict keep-best can order that pair). Oracle recomputes " +
+        "the tile levels: encode -> decode -> tile moments -> diagonal bigrams -> " +
+        "containment -> keep-best CC, all pinned. Scale: batch-sized joins on " +
+        "fingerprint keys; the shingle state is ~20 rows per corpus image."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(1).as("off")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(1).as("off")))
+      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) =>
+          val tw = CropTilesX - off
+          val th = CropTilesY - off
+          val levels =
+            Array.tabulate(tw, th)((i, j) => fixtureTileLvl(img, i + off, j + off))
+          (id, makeBmp(tw * TileSize, th * TileSize,
+            (x, y) => levels(x / TileSize)(y / TileSize)))
+        })
+        .toDF("doc_id", "payload")
+      val corpusSh = DedupClusters.ckpt(mediaShingles(synth(corpusSrc)), None)
+      val batchSh = DedupClusters.ckpt(mediaShingles(synth(batchSrc)), None)
+      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
+      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+        .select("doc_id").withColumn("lb", lit(true))
+      frame.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_trim"), "near_dup_corpus_icrop")
+            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_icrop")
             .otherwise("admitted").as("status"))
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))

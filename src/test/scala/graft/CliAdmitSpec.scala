@@ -1048,9 +1048,12 @@ class CliAdmitSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids === Set(103L, 104L), "keep-best kept the longer source, not the min-id trim")
     // the shingle state bootstrapped from the corpus and appended the
-    // admitted docs' shingles (103: 64 bigrams, 104: 64)
+    // admitted docs' shingles (103: 64 bigrams, 104: 64) — mod-tagged
+    // since the containment leg went multimodal (new bootstraps carry
+    // the shingle-space column; legacy states keep the old layout)
     val sh = spark.read.parquet(s"$psigs/shingles")
-    assert(sh.columns.toSet === Set("cv_id", "s1", "q1", "s2", "q2"))
+    assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
+    assert(sh.select("mod").distinct().as[String].collect().toSet === Set("vid"))
     assert(sh.filter(col("cv_id") === 103L).count() >= 60L)
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
     // day 2: a NEW trim of day-1-admitted 103 flags off the APPENDED state
@@ -1070,5 +1073,144 @@ class CliAdmitSpec extends SparkSpec {
     // --ptrim without --pmedia is a contradiction -> usage
     assert(Cli.run(spark, List("admit", paths("c"), paths("b"),
       base.getPath + "/bad", "--ptrim")) === 2)
+  }
+
+  test("admit --ptrim flags tile-aligned image crops; ONE state serves both containment modalities") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-icrop")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    def cimg(img: Long, off: Int) = {
+      val tw = PerceptualDedup.CropTilesX - off
+      val th = PerceptualDedup.CropTilesY - off
+      val levels = Array.tabulate(tw, th)((i, j) =>
+        PerceptualDedup.fixtureTileLvl(img, i + off, j + off))
+      PerceptualDedup.makeBmp(tw * PerceptualDedup.TileSize, th * PerceptualDedup.TileSize,
+        (x, y) => levels(x / PerceptualDedup.TileSize)(y / PerceptualDedup.TileSize))
+    }
+    def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
+      PerceptualDedup.VideoWindows - from,
+      (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
+    // MIXED corpus media: docs 0..8 images, doc 9 a video — both
+    // containment modalities bootstrap into ONE shingle state
+    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    val corpusMedia = ((0L to 8L).map(i => (i, cimg(i * 5, 0))) :+
+      ((9L, PerceptualDedup.fixtureAvi(9L * 5)))).toDF("doc_id", "payload")
+    // 101 = tile-aligned CROP of corpus image 7 (band leg blind: the
+    // crop shifts every dHash block boundary — only the crop leg flags
+    // it); 102 = a novel CROP and 103 its full source arriving TOGETHER
+    // (strict keep-best keeps 103, the 20-shingle original; min-id would
+    // keep the 12-shingle crop 102); 104 = fresh image; 105 = trim of
+    // corpus video 9 (the vid space, same state, same run)
+    val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
+      doc(104L, "d"), doc(105L, "e")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, cimg(7L * 5, 1)),
+      (102L, cimg(6666L * 5, 1)),
+      (103L, cimg(6666L * 5, 0)),
+      (104L, cimg(8888L * 5, 0)),
+      (105L, trim(9L * 5, 10))
+    ).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
+      "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); batch.write.parquet(paths("b"))
+    corpusMedia.write.parquet(paths("cm")); batchMedia.write.parquet(paths("bm"))
+    val psigs = base.getPath + "/psigs"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), paths("b"), base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", paths("bm"),
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_icrop":1"""), j)
+    assert(j.contains(""""near_dup_batch_icrop":1"""), j)
+    assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
+    assert(j.contains(""""admitted":2"""), j)
+    val ids = spark.read.parquet(base.getPath + "/out/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(103L, 104L), "keep-best kept the larger source image")
+    // ONE mod-tagged state holds both shingle spaces; the admitted
+    // images' tile shingles appended (103/104: 20 each)
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
+    assert(sh.select("mod").distinct().as[String].collect().toSet === Set("img", "vid"))
+    assert(sh.filter(col("cv_id") === 103L && col("mod") === "img").count() === 20L)
+    assert(sh.filter(col("cv_id") === 101L).count() === 0L)
+    // day 2: a crop of day-1-admitted 103 flags off the APPENDED state
+    val b2 = Seq(doc(201L, "f")).toDF("doc_id", "text", "source")
+    val bm2 = Seq((201L, cimg(6666L * 5, 1))).toDF("doc_id", "payload")
+    val b2Path = base.getPath + "/b2.parquet"; b2.write.parquet(b2Path)
+    val bm2Path = base.getPath + "/bm2.parquet"; bm2.write.parquet(bm2Path)
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      assert(Cli.run(spark, List("admit", paths("c"), b2Path, base.getPath + "/out2",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", bm2Path,
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j2 = buf2.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j2.contains(""""near_dup_corpus_icrop":1"""), j2)
+    assert(j2.contains(""""admitted":0"""), j2)
+  }
+
+  test("admit --ptrim legacy (pre-mod) shingle state keeps the video-only contract") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-icrop-legacy")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    def cimg(img: Long, off: Int) = {
+      val tw = PerceptualDedup.CropTilesX - off
+      val th = PerceptualDedup.CropTilesY - off
+      val levels = Array.tabulate(tw, th)((i, j) =>
+        PerceptualDedup.fixtureTileLvl(img, i + off, j + off))
+      PerceptualDedup.makeBmp(tw * PerceptualDedup.TileSize, th * PerceptualDedup.TileSize,
+        (x, y) => levels(x / PerceptualDedup.TileSize)(y / PerceptualDedup.TileSize))
+    }
+    val corpus = (0L to 3L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    val corpusMedia = ((0L to 2L).map(i => (i, cimg(i * 5, 0))) :+
+      ((3L, PerceptualDedup.fixtureAvi(3L * 5)))).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "cm" -> "/cm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); corpusMedia.write.parquet(paths("cm"))
+    // an r13-shaped state: mod-tagged bands, but a PRE-MOD shingle table
+    // (cv_id, s1..q2 — the video-only layout)
+    val psigs = base.getPath + "/psigs"
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    PerceptualDedup.videoFrameShingles(corpusMedia)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigs/shingles")
+    // batch: an image crop of corpus image 2 — under the legacy contract
+    // it must pass UNFLAGGED (img shingles neither compare nor append;
+    // widening is a re-bootstrap), plus a trim of corpus video 3 which
+    // the legacy state still catches
+    val batch = Seq(doc(101L, "a"), doc(102L, "b")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, cimg(2L * 5, 1)),
+      (102L, PerceptualDedup.makeAvi(4, 4, PerceptualDedup.VideoWindows - 10,
+        (f, _, _) => PerceptualDedup.fixtureFrameVid(3L * 5, f + 10)))
+    ).toDF("doc_id", "payload")
+    val bPath = base.getPath + "/b.parquet"; batch.write.parquet(bPath)
+    val bmPath = base.getPath + "/bm.parquet"; batchMedia.write.parquet(bmPath)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), bPath, base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", bmPath,
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_icrop":0"""), j)
+    assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
+    assert(j.contains(""""admitted":1"""), j)
+    // the appended state stays in the legacy layout: vid rows only,
+    // no mod column — a later reader's contract is unchanged
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.columns.toSet === Set("cv_id", "s1", "q1", "s2", "q2"))
+    assert(sh.filter(col("cv_id") === 101L).count() === 0L)
   }
 }

@@ -589,6 +589,68 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(rep2 === Map("near_dup_corpus_vtrim" -> 1L))
   }
 
+  test("crop leg: tile-aligned image crop flagged off a mod-tagged shingle state; strict keeps the source") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-icrop")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    def cimg(img: Long, off: Int) = {
+      val tw = PerceptualDedup.CropTilesX - off
+      val th = PerceptualDedup.CropTilesY - off
+      val levels = Array.tabulate(tw, th)((i, j) =>
+        PerceptualDedup.fixtureTileLvl(img, i + off, j + off))
+      PerceptualDedup.makeBmp(tw * PerceptualDedup.TileSize, th * PerceptualDedup.TileSize,
+        (x, y) => levels(x / PerceptualDedup.TileSize)(y / PerceptualDedup.TileSize))
+    }
+    // state as `Cli admit --ptrim --psigs` run 1 writes it TODAY:
+    // mod-tagged bands AND mod-tagged shingles (mediaShingles)
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    val corpusMedia = (0L to 9L).map(i => (i, cimg(i * 5, 0)))
+      .toDF("doc_id", "payload")
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    PerceptualDedup.mediaShingles(corpusMedia)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigs/shingles")
+    // 81 = crop of corpus image 7 (band leg blind — only the crop leg
+    // flags it); 82 = a novel CROP and 83 its full source together
+    // (strict keep-best keeps 83, the 20-shingle original); 84 = fresh
+    val d1 = Seq((81L, novel1, "s"), (82L, novel2, "s"), (83L, novel3, "s"),
+      (84L, novel4, "s")).toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (81L, cimg(7L * 5, 1)),
+      (82L, cimg(8282L * 5, 1)),
+      (83L, cimg(8282L * 5, 0)),
+      (84L, cimg(8484L * 5, 0))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out),
+      ptrim = true)
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(83L, 84L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_icrop" -> 1L,
+      "near_dup_batch_icrop" -> 1L))
+    // the appended rows carry the img tag; day 2 flags a crop of
+    // day-1-admitted 83 off the APPENDED shingles
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.filter(col("cv_id") === 83L && col("mod") === "img").count() === 20L)
+    val d2 = Seq((91L, "a novel tailrace dredging logbook for the lower bay", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((91L, cimg(8282L * 5, 1))).toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out),
+      ptrim = true)
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_icrop" -> 1L))
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

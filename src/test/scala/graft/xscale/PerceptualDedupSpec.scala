@@ -538,12 +538,87 @@ class PerceptualDedupSpec extends SparkSpec {
           Option(r.getSeq[Long](4)).map(_.toList)))
         .toSet
       assert(key(combined) == key(mediaHashFrame(media, wide)), s"bands, wide=$wide")
+      // shingles == the dedicated modality-detected scan (img tiles +
+      // vid frame bigrams, mod-tagged) — which itself equals the two
+      // per-modality generators
       val sh = shingleRows(combined)
-        .as[(Long, Long, Long, Long, Long)].collect().toSet
-      val direct = videoFrameShingles(media)
-        .as[(Long, Long, Long, Long, Long)].collect().toSet
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val direct = mediaShingles(media)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
       assert(sh == direct, s"shingles, wide=$wide")
+      val vids = videoFrameShingles(media)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(direct.filter(_._2 == "vid").map(t => (t._1, t._3, t._4, t._5, t._6)) == vids,
+        s"vid shingles, wide=$wide")
+      val imgs = imageTileShingles(media)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(direct.filter(_._2 == "img").map(t => (t._1, t._3, t._4, t._5, t._6)) == imgs,
+        s"img shingles, wide=$wide")
     }
+  }
+
+  test("decodeImageTileStats: origin-anchored fixed tiles, exact moments, edge tiles dropped") {
+    // 20x11 px at tile=8: tx=2, ty=1 — the right 4-px strip and bottom
+    // 3-px strip are DROPPED, not partially summed
+    val p = makeBmp(20, 11, (x, y) => x + y)
+    val Some((tx, ty, sums, sqs)) = Multimodal.decodeImageTileStats(p, 8)
+    assert(tx == 2 && ty == 1)
+    def tileMoments(x0: Int) = {
+      val ls = for (y <- 0 until 8; x <- x0 until x0 + 8) yield 1000L * (x + y)
+      (ls.sum, ls.map(l => l * l).sum)
+    }
+    assert((sums(0), sqs(0)) == tileMoments(0))
+    assert((sums(1), sqs(1)) == tileMoments(8))
+    // smaller than one tile, undecodable, invalid tile edge
+    assert(Multimodal.decodeImageTileStats(makeBmp(7, 7, (_, _) => 5), 8).isEmpty)
+    assert(Multimodal.decodeImageTileStats("junk".getBytes, 8).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImageTileStats(p, 0))
+  }
+
+  test("imageTileShingles: tile-aligned crops preserved, unaligned crops evade (known limit)") {
+    import spark.implicits._
+    // source: 6x5 tiles of uniform gray per tile (48x40 px, tile=8)
+    def lvl(i: Int, j: Int) = ((i * 31 + j * 17) % 180) + 30
+    def img(ti0: Int, tj0: Int, tw: Int, th: Int, px0: Int = 0) =
+      makeBmp(tw * 8, th * 8,
+        (x, y) => lvl(ti0 + (x + px0) / 8, tj0 + (y + px0) / 8))
+    val src = img(0, 0, 6, 5)
+    val crop = img(1, 1, 5, 4) // tiles [1..5]x[1..4] — aligned crop
+    val media = Seq((1L, src), (2L, crop)).toDF("doc_id", "payload")
+    val sh = imageTileShingles(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val srcSet = sh.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).toSet
+    val cropSet = sh.filter(_._1 == 2L).map(t => (t._2, t._3, t._4, t._5)).toSet
+    // 6x5 tiles -> 5x4 = 20 neighborhoods; 5x4 -> 4x3 = 12, ALL interior
+    assert(srcSet.size == 20 && cropSet.size == 12)
+    assert(cropSet.subsetOf(srcSet))
+    // the containment rule sees it, DIRECTIONALLY
+    val pairs = imageCropContainmentPairs(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L, 12L, 12L)), pairs) // crop contained in source
+    assert(!pairs.exists(p => p._1 == 1L), pairs) // source NOT contained in crop (12/20)
+    // the LSH twin: precision 1.0 by construction (every result is
+    // exact-verified); recall at J = 12/20 sits mid-curve — whether this
+    // particular pair surfaces is a fixed deterministic fact the oracle
+    // recomputes identically, not asserted here
+    val lsh = imageCropContainmentPairsLsh(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pairs))
+    // KNOWN LIMIT, pinned: a crop offset NOT a multiple of the tile edge
+    // shifts every tile boundary — zero shared fingerprints, the evasion
+    // is documented (the x142 integral-scale shape), not silent
+    val off = makeBmp(40, 32, (x, y) => lvl((x + 3) / 8, (y + 3) / 8))
+    val media2 = Seq((1L, src), (3L, off)).toDF("doc_id", "payload")
+    val sh2 = imageTileShingles(media2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val offSet = sh2.filter(_._1 == 3L).map(t => (t._2, t._3, t._4, t._5)).toSet
+    assert(offSet.intersect(srcSet).isEmpty)
+    // a brightened crop moves every moment too — out of scope for this
+    // signal (the video trim rule)
+    val bright = makeBmp(40, 32, (x, y) => lvl(1 + x / 8, 1 + y / 8) + 10)
+    val media3 = Seq((1L, src), (4L, bright)).toDF("doc_id", "payload")
+    assert(imageCropContainmentPairs(media3).count() == 0)
   }
 
   test("videoContainmentPairsLsh: candidates LSH'd, verify exact — precision 1.0") {
@@ -586,8 +661,8 @@ class PerceptualDedupSpec extends SparkSpec {
       (1 to 9).map(i => (200L, fp(i)._1, fp(i)._2, fp(i)._3, fp(i)._4)))
       .toDF("cv_id", "s1", "q1", "s2", "q2")
     def verdict(st: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
-      admitTrimCompare(st, batch).collect()
-        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      admitTrimCompare(st, batch).select("doc_id", "near_trim").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(verdict(state) == Map(1L -> true)) // cv 200's 0.9 flags doc 1
     val clean = verdict(state)
     assert(verdict(state.unionByName(state)) == clean,

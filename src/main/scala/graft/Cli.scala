@@ -724,7 +724,12 @@ object Cli {
             // contract, byte-compatible with pre-crop runs.
             val batchSh0 = mediaState.flatMap(_.batchShingles).getOrElse(
               graft.xscale.DedupClusters.ckpt(
-                xscale.PerceptualDedup.mediaShingles(spark.read.parquet(bm)),
+                // under the legacy contract the img shingles would only be
+                // filtered away — skip the image tile decode entirely
+                if (shLegacy)
+                  xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm))
+                    .withColumn("mod", lit("vid"))
+                else xscale.PerceptualDedup.mediaShingles(spark.read.parquet(bm)),
                 flags.ckptDir))
             val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
             Some(TrimLeg(

@@ -59,7 +59,7 @@ object ScaleSmoke {
     "x140_audio_dhash",
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
-    "x74_admit_media_steady", "x74_admit_vtrim_steady",
+    "x74_admit_media_steady", "x74_admit_vtrim_steady", "x74_admit_icrop_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
     "corpus_full_multimodal",
     "x147_containment_lsh", "x152_crop_lsh",
@@ -306,6 +306,29 @@ object ScaleSmoke {
           col("s1"), col("q1"), col("s2"), col("q2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_shingles.parquet")
     }
+    // the crop-admission shingle state (`Cli admit --ptrim`, the img
+    // space): 20 mod-tagged tile fingerprints per corpus image, hashed
+    // ONCE — x74_admit_icrop_steady times only the day-2 classify.
+    // cv_id base -14e9 keeps a fourth disjoint negative id space
+    if (!new java.io.File(s"$dir/image_shingles.parquet").exists()) {
+      import spark.implicits._
+      val t = xscale.PerceptualDedup.TileSize
+      val media = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .mapPartitions(_.map { i =>
+          val levels = Array.tabulate(
+            xscale.PerceptualDedup.CropTilesX, xscale.PerceptualDedup.CropTilesY)(
+            (x, y) => xscale.PerceptualDedup.fixtureTileLvl(i * 5, x, y))
+          (i, xscale.PerceptualDedup.makeBmp(
+            xscale.PerceptualDedup.CropTilesX * t, xscale.PerceptualDedup.CropTilesY * t,
+            (x, y) => levels(x / t)(y / t)))
+        })
+        .toDF("doc_id", "payload")
+      xscale.PerceptualDedup.mediaShingles(media)
+        .select((-(col("doc_id") + 1L) - 14000000000L).as("cv_id"),
+          col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/image_shingles.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -434,6 +457,38 @@ object ScaleSmoke {
           })
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.imageCropContainmentPairsLsh(media)
+      }),
+      // the crop leg's steady state: a fixed batch of 200 tile-aligned
+      // crops of corpus images + 50 fresh classified against the
+      // persisted mod-tagged shingle state — same flat 10x -> 100x claim
+      // as the vtrim twin (candidate mass follows fingerprint collisions,
+      // not state rows)
+      "x74_admit_icrop_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/image_shingles.parquet")
+        val t = xscale.PerceptualDedup.TileSize
+        def crop(img: Long) = {
+          val tw = xscale.PerceptualDedup.CropTilesX - 1
+          val th = xscale.PerceptualDedup.CropTilesY - 1
+          val levels = Array.tabulate(tw, th)((x, y) =>
+            xscale.PerceptualDedup.fixtureTileLvl(img, x + 1, y + 1))
+          xscale.PerceptualDedup.makeBmp(tw * t, th * t,
+            (x, y) => levels(x / t)(y / t))
+        }
+        def full(img: Long) = {
+          val levels = Array.tabulate(
+            xscale.PerceptualDedup.CropTilesX, xscale.PerceptualDedup.CropTilesY)(
+            (x, y) => xscale.PerceptualDedup.fixtureTileLvl(img, x, y))
+          xscale.PerceptualDedup.makeBmp(
+            xscale.PerceptualDedup.CropTilesX * t, xscale.PerceptualDedup.CropTilesY * t,
+            (x, y) => levels(x / t)(y / t))
+        }
+        val batch = ((0L until 200L).map(i => (9600000000L + i, crop(i * 5))) ++
+          (0L until 50L).map(i => (9700000000L + i, full((2200000000L + i) * 5))))
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.admitTrimCompare(
+          state, xscale.PerceptualDedup.mediaShingles(batch))
+          .groupBy("near_trim").count()
       }),
       // the trim leg's steady state: a fixed batch of 200 re-cut corpus
       // videos + 50 fresh classified against the persisted shingle state

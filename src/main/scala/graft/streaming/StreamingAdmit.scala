@@ -187,7 +187,11 @@ object StreamingAdmit {
         val shLegacy = !stateSh.columns.contains("mod")
         val batchSh0 = mediaLeg.flatMap(_._4).getOrElse(
           DedupClusters.ckpt(
-            PerceptualDedup.mediaShingles(bm), checkpointDir))
+            // legacy contract: img shingles would only be filtered away —
+            // skip the image tile decode entirely (the batch verb's rule)
+            if (shLegacy)
+              PerceptualDedup.videoFrameShingles(bm).withColumn("mod", lit("vid"))
+            else PerceptualDedup.mediaShingles(bm), checkpointDir))
         val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
         Some((
           DedupClusters.ckpt(

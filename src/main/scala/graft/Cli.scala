@@ -1120,12 +1120,14 @@ object Cli {
         "                 the corpus bands so later runs never re-decode the corpus media — the media twin\n" +
         "                 of --sigs; its meta records the band WIDTH (wide 256-bit hashes past ~1e6 media\n" +
         "                 docs, auto-chosen at bootstrap) and later batches hash at the state's width;\n" +
-        "                 --ptrim adds the TRIM leg over the same media flags: batch videos whose distinct\n" +
-        "                 frame-bigram shingles are >=80% contained in a corpus video flag\n" +
-        "                 near_dup_corpus_vtrim (the re-cut/excerpt the band leg admits by design; with\n" +
-        "                 --strict a trim and its source arriving together keep the LONGER clip, losers\n" +
-        "                 near_dup_batch_vtrim); the shingle state persists under <psigs>/shingles;\n" +
-        "                 --compact reconciles it)\n" +
+        "                 --ptrim adds the CONTAINMENT leg over the same media flags: batch videos whose\n" +
+        "                 frame-bigram shingles — and batch images whose diagonal tile-neighborhood\n" +
+        "                 shingles — are >=80% contained in a corpus doc of the same shingle space flag\n" +
+        "                 near_dup_corpus_vtrim/_icrop (the re-cut/excerpt or tile-aligned crop the band\n" +
+        "                 leg admits by design; with --strict a trim/crop and its source arriving together\n" +
+        "                 keep the doc with the MOST shingles, losers near_dup_batch_vtrim/_icrop); the\n" +
+        "                 mod-tagged shingle state persists under <psigs>/shingles (a pre-mod state keeps\n" +
+        "                 its video-only contract); --compact reconciles it)\n" +
         "                 (daily-ingest admission: classify a batch against the corpus without re-shuffling\n" +
         "                 it — x74's rule; writes <outDir>/admitted + <outDir>/report + stats line; --sigs\n" +
         "                 persists the corpus dedup state so later runs never re-read the corpus text)\n" +

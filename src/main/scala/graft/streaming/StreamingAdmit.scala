@@ -40,15 +40,21 @@ import graft.xscale.{Dedup, DedupClusters, PerceptualDedup, Similarity}
   * losers `near_dup_batch_img`; finally-admitted bands append to
   * `psigsPath/bands`. Bootstrap with `Cli admit --psigs` run 1.
   *
-  * The TRIM leg (`Cli admit --ptrim`'s rule) runs when `ptrim` is set
-  * beside the media leg: batch videos' distinct frame-bigram shingles
-  * ([[PerceptualDedup.videoFrameShingles]]) are containment-compared
-  * against `psigsPath/shingles` (the re-cut/excerpt whose temporal hash
-  * differs BY DESIGN, so the band leg admits it); ≥ 0.8 containment
-  * re-statuses `near_dup_corpus_vtrim`, and under `strict` the
-  * keep-best CC ([[PerceptualDedup.admitTrimStrictLosers]] — the longer
-  * clip survives) re-statuses losers `near_dup_batch_vtrim`;
-  * finally-admitted shingles append to the state. Bootstrap with
+  * The CONTAINMENT leg (`Cli admit --ptrim`'s rule) runs when `ptrim`
+  * is set beside the media leg, on BOTH containment modalities: batch
+  * videos' frame-bigram shingles and batch images' diagonal
+  * tile-neighborhood shingles ([[PerceptualDedup.mediaShingles]] — one
+  * decode pass, `mod` keeps the spaces disjoint) are
+  * containment-compared against `psigsPath/shingles` (the re-cut/
+  * excerpt or tile-aligned crop whose whole-payload hash differs BY
+  * DESIGN, so the band leg admits it); ≥ 0.8 containment re-statuses
+  * `near_dup_corpus_vtrim`/`_icrop` per modality (the [[PerceptualDedup
+  * .Modalities]] containment column), and under `strict` the keep-best
+  * CC ([[PerceptualDedup.admitTrimStrictLosers]] — the longer clip /
+  * larger image survives) re-statuses losers
+  * `near_dup_batch_vtrim`/`_icrop`; finally-admitted shingles append to
+  * the state. A pre-mod shingle state keeps its video-only contract
+  * (widening is a re-bootstrap). Bootstrap with
   * `Cli admit --ptrim --psigs` run 1.
   *
   * Why foreachBatch + explicit parquet state rather than the keyed state

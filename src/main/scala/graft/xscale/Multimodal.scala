@@ -575,8 +575,8 @@ object Multimodal {
               val gCnts = new Array[Long](bw * bh)
               val tx = w / tile
               val ty = h / tile
-              val tSums = new Array[Long](math.max(tx * ty, 0))
-              val tSqs = new Array[Long](math.max(tx * ty, 0))
+              val tSums = new Array[Long](tx * ty)
+              val tSqs = new Array[Long](tx * ty)
               val xMax = tx * tile
               val yMax = ty * tile
               val row = new Array[Int](w)

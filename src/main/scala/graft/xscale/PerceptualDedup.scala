@@ -994,6 +994,11 @@ object PerceptualDedup {
       den: Int,
       checkpointDir: Option[String]): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    // the pair engines take a SINGLE-modality (doc_id, s1, q1, s2, q2)
+    // frame; a mod-tagged mixed frame must be split by mod first — the
+    // LSH twin would otherwise silently hash across modalities
+    require(!shingles.columns.contains("mod"),
+      "containment engine takes a single-modality shingle frame — split by mod first")
     val sh = DedupClusters.ckpt(shingles, checkpointDir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
     val keys = Seq("s1", "q1", "s2", "q2")
@@ -1221,6 +1226,10 @@ object PerceptualDedup {
       checkpointDir: Option[String]): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
     require(k % bands == 0, s"k=$k minhashes must divide into $bands bands")
+    // single-modality contract (see containmentPairsFromShingles): the
+    // minhash would silently IGNORE a mod column and pair across spaces
+    require(!shingles.columns.contains("mod"),
+      "containment engine takes a single-modality shingle frame — split by mod first")
     val sh = DedupClusters.ckpt(shingles, checkpointDir)
     val rows = k / bands
     val keyed = sh.select(col("doc_id"),
@@ -1964,16 +1973,6 @@ object PerceptualDedup {
       s"WHERE l.f < ${VideoWindows - 1}), " +
       admitTailSql("near_dup_corpus_vid")
 
-  /** The trim-admission oracle: the [[admitSrc2Sql]] population split
-    * with `off` meaning TRIM START (frames off..64 of the original's
-    * closed-form levels) instead of a brightness shift — re-arrivals are
-    * re-cuts, the edit the band leg cannot see. Side-tagged distinct
-    * frame bigrams → batch-vs-corpus containment (5i ≥ 4n) →
-    * still-admitted pairwise containment (the smaller side's score) →
-    * recursive-CTE CC → keep-BEST by shingle count (the longer clip is
-    * the source; doc_id tiebreak) — the SQL twin of
-    * [[admitTrimCompare]] + [[admitTrimStrictLosers]].
-    */
   /** Shared oracle-CTE prefix for the x147 PAIR (exact + LSH): the
     * closed-form trim fixture's distinct frame-bigram sets
     * `bg(doc_id, g1, g2)` plus per-doc set sizes `sz(doc_id, n)` — one
@@ -2176,6 +2175,13 @@ object PerceptualDedup {
       "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
 
+  /** The trim-admission oracle: the [[admitSrc2Sql]] population split
+    * with `off` meaning TRIM START (frames off..64 of the original's
+    * closed-form levels) instead of a brightness shift — re-arrivals are
+    * re-cuts, the edit the band leg cannot see. Side-tagged distinct
+    * frame bigrams feed the shared containment tail
+    * ([[admitContainTailSql]]).
+    */
   private def admitVtrimSql: String =
     s"${admitSrc2Sql(10)}, " +
       s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +

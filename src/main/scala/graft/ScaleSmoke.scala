@@ -60,9 +60,10 @@ object ScaleSmoke {
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady", "x74_admit_vtrim_steady", "x74_admit_icrop_steady",
+    "x74_admit_atrim_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
     "corpus_full_multimodal",
-    "x147_containment_lsh", "x152_crop_lsh",
+    "x147_containment_lsh", "x152_crop_lsh", "x153_utt_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -329,6 +330,21 @@ object ScaleSmoke {
           col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/image_shingles.parquet")
     }
+    // the excerpt-admission shingle state (`Cli admit --ptrim`, the aud
+    // space): ~21 mod-tagged utterance bigrams per corpus clip, decoded
+    // ONCE — x74_admit_atrim_steady times only the day-2 classify.
+    // cv_id base -16e9 keeps a fifth disjoint negative id space
+    if (!new java.io.File(s"$dir/audio_shingles.parquet").exists()) {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .mapPartitions(_.map(i => (i, xscale.PerceptualDedup.fixtureWavUtt(i * 5))))
+        .toDF("doc_id", "payload")
+      xscale.PerceptualDedup.mediaShingles(media)
+        .select((-(col("doc_id") + 1L) - 16000000000L).as("cv_id"),
+          col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio_shingles.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -457,6 +473,42 @@ object ScaleSmoke {
           })
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.imageCropContainmentPairsLsh(media)
+      }),
+      // the x153 scale path measured: corpus-wide excerpt detection via
+      // the same LSH engine on utterance bigrams (every 15th doc
+      // re-posts a pause-cut excerpt)
+      "x153_utt_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val drop = xscale.PerceptualDedup.UttDrop
+        val src = ids
+          .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+          .unionByName(ids.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(drop).as("off")))
+        val media = src.as[(Long, Long, Int)]
+          .mapPartitions(_.map { case (id, img, off) =>
+            (id, xscale.PerceptualDedup.fixtureWavUtt(img, off))
+          })
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.audioContainmentPairsLsh(media)
+      }),
+      // the excerpt leg's steady state: a fixed batch of 200 pause-cut
+      // excerpts of corpus clips + 50 fresh classified against the
+      // persisted mod-tagged shingle state — the flat 10x -> 100x claim
+      // on the third containment modality
+      "x74_admit_atrim_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/audio_shingles.parquet")
+        val drop = xscale.PerceptualDedup.UttDrop
+        val batch = ((0L until 200L).map(i =>
+          (9800000000L + i, xscale.PerceptualDedup.fixtureWavUtt(i * 5, drop))) ++
+          (0L until 50L).map(i =>
+            (9900000000L + i, xscale.PerceptualDedup.fixtureWavUtt((2300000000L + i) * 5))))
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.admitTrimCompare(
+          state, xscale.PerceptualDedup.mediaShingles(batch))
+          .groupBy("near_trim").count()
       }),
       // the crop leg's steady state: a fixed batch of 200 tile-aligned
       // crops of corpus images + 50 fresh classified against the

@@ -44,6 +44,8 @@ object SparkEntry {
     "x147_video_containment",
     // same all-pairs shape one modality over; benched twin:
     // x152_crop_containment_lsh
-    "x152_image_crop_containment"
+    "x152_image_crop_containment",
+    // the triad's third exact form; benched twin: x153_utt_containment_lsh
+    "x153_audio_containment"
   )
 }

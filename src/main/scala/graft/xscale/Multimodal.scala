@@ -898,6 +898,136 @@ object Multimodal {
     Some((n, utt, longest))
   }
 
+  /** Per-UTTERANCE voiced-core moments — the audio containment
+    * primitive (x153), turning [[decodeWavUtterances]]'s segmentation
+    * into CONTENT-ANCHORED framing: for every utterance (the same
+    * maximal-voiced-segment rule, same `silenceMax`/`gapMin` semantics),
+    * the exact signed sample SUM and sum of SQUARES over its VOICED CORE
+    * — from the first to the last non-silent sample, interior sub-gap
+    * pauses included, leading/trailing sub-gap silence EXCLUDED. The
+    * exclusion is the whole signal: an excerpt cut anywhere INSIDE a
+    * silence separator leaves at most gapMin−1 silent samples attached
+    * outside every core, so every surviving utterance's moments are
+    * bit-exact — the trim invariance raw samples cannot give (any
+    * sample-grid framing moves with the cut; the documented reason the
+    * sample-level containment form does not exist). Limits, documented:
+    * a cut INSIDE an utterance changes that utterance's moments (its
+    * bigrams die, neighbors survive — the containment ratio absorbs
+    * one edge cut like the video form absorbs a one-frame edit);
+    * continuous audio with no ≥ gapMin silence is ONE utterance → no
+    * bigrams → no signal; a re-gained copy moves every moment (the
+    * brightness rule). Returns the per-utterance (sums, sqs) arrays in
+    * stream order; None for non-PCM bytes. Sum of squares peaks at
+    * 32768²·n — a long overflows past ~8.6e9 samples, far past any
+    * clamped RIFF payload (data length ≤ 2³² bytes).
+    */
+  def decodeWavUtteranceStats(
+      p: Array[Byte],
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): Option[(Array[Long], Array[Long])] = {
+    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
+    val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val bytesPer = bits / 8
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var voiced = false
+    var silentRun = 0L
+    var acc = 0L
+    var accSq = 0L
+    var tail = 0L // the trailing-silence share of acc since the last voiced sample
+    var tailSq = 0L
+    def emit(): Unit = { sums += acc - tail; sqs += accSq - tailSq; voiced = false }
+    var j = 0L
+    while (j < n) {
+      val o = dataOff + (j * bytesPer).toInt
+      val s: Long =
+        if (bits == 16) le16(o).toShort.toLong
+        else (p(o) & 0xff).toLong - 128L
+      if (math.abs(s) <= silenceMax) {
+        silentRun += 1
+        if (voiced) {
+          acc += s; accSq += s * s
+          tail += s; tailSq += s * s
+          if (silentRun == gapMin) emit()
+        }
+      } else {
+        silentRun = 0
+        if (!voiced) { voiced = true; acc = 0L; accSq = 0L }
+        acc += s; accSq += s * s
+        tail = 0L; tailSq = 0L
+      }
+      j += 1
+    }
+    if (voiced) emit()
+    Some((sums.toArray, sqs.toArray))
+  }
+
+  /** ONE-PASS WAV decode for the `--pmedia --ptrim` hot path — the audio
+    * twin of [[decodeImageBlocksTiles]]: the `nWindows` equal window sums
+    * (the audio dHash's primitive, bit-identical to
+    * [[decodeWavFrameSums]]) AND the per-utterance voiced-core moments
+    * (bit-identical to [[decodeWavUtteranceStats]]) from a single byte
+    * scan. The window half is None when the clip has fewer than
+    * `nWindows` samples (the smaller-than-grid rule — the caller falls
+    * back to the classic width on what is by definition a tiny payload);
+    * the utterance half is always present. None for non-PCM bytes.
+    */
+  def decodeWavWindowsUtterances(
+      p: Array[Byte],
+      nWindows: Int,
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): Option[(Option[Array[Long]], Array[Long], Array[Long])] = {
+    require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
+    require(nWindows > 0, s"nWindows=$nWindows must be > 0")
+    val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val bytesPer = bits / 8
+    val windowed = n >= nWindows
+    val spf = if (windowed) n / nWindows else 0L
+    val winEnd = spf * nWindows
+    val wsums = if (windowed) new Array[Long](nWindows) else null
+    val uSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val uSqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var voiced = false
+    var silentRun = 0L
+    var acc = 0L
+    var accSq = 0L
+    var tail = 0L
+    var tailSq = 0L
+    def emit(): Unit = { uSums += acc - tail; uSqs += accSq - tailSq; voiced = false }
+    var j = 0L
+    while (j < n) {
+      val o = dataOff + (j * bytesPer).toInt
+      val s: Long =
+        if (bits == 16) le16(o).toShort.toLong
+        else (p(o) & 0xff).toLong - 128L
+      if (windowed && j < winEnd) wsums((j / spf).toInt) += s
+      if (math.abs(s) <= silenceMax) {
+        silentRun += 1
+        if (voiced) {
+          acc += s; accSq += s * s
+          tail += s; tailSq += s * s
+          if (silentRun == gapMin) emit()
+        }
+      } else {
+        silentRun = 0
+        if (!voiced) { voiced = true; acc = 0L; accSq = 0L }
+        acc += s; accSq += s * s
+        tail = 0L; tailSq = 0L
+      }
+      j += 1
+    }
+    if (voiced) emit()
+    Some((Option(wsums), uSums.toArray, uSqs.toArray))
+  }
+
   /** Per-clip utterance frame over REAL media — the library route for the
     * x151 audit: (doc_id, decoded, n_samples, n_utterances,
     * longest_utterance); undecodable rows keep `decoded = false` with

@@ -331,10 +331,19 @@ object PerceptualDedup {
     * clip, the dominant near-dup mode in scraped audio corpora.
     */
   def audioDhashBands(payload: Array[Byte]): Option[Array[Long]] =
-    Multimodal.decodeWavFrameSums(payload, AudioFrames).map { sums =>
-      val bits = Array.tabulate(AudioFrames - 1)(f => sums(f + 1) > sums(f))
-      bandsFromBits(bits)
-    }
+    Multimodal.decodeWavFrameSums(payload, AudioFrames)
+      .map(audioBandsFromSums(_, wide = false))
+
+  /** The audio dHash comparison + packing step alone, over
+    * already-computed window sums — shared by [[audioDhashBands]] /
+    * [[audioDhashBandsWide]] and the one-pass combined frame
+    * ([[mediaHashShingleFrame]], whose WAV scan also feeds the
+    * utterance shingles).
+    */
+  def audioBandsFromSums(sums: Array[Long], wide: Boolean): Array[Long] = {
+    val bits = Array.tabulate(sums.length - 1)(f => sums(f + 1) > sums(f))
+    bandsFromBits(bits, if (wide) 32 else 16)
+  }
 
   /** Audio frames for the WIDE fingerprint: 257 equal windows → 256
     * adjacent-sum comparisons → the same 8 × 32-bit band layout as
@@ -350,10 +359,8 @@ object PerceptualDedup {
     * smaller-than-grid rule as the image side.
     */
   def audioDhashBandsWide(payload: Array[Byte]): Option[Array[Long]] =
-    Multimodal.decodeWavFrameSums(payload, AudioFramesWide).map { sums =>
-      val bits = Array.tabulate(AudioFramesWide - 1)(f => sums(f + 1) > sums(f))
-      bandsFromBits(bits, bandBits = 32)
-    }
+    Multimodal.decodeWavFrameSums(payload, AudioFramesWide)
+      .map(audioBandsFromSums(_, wide = true))
 
   /** Video windows per fingerprint: 65 equal frame windows → 64
     * adjacent-sum comparisons → the same 64-bit band layout as the image
@@ -541,11 +548,10 @@ object PerceptualDedup {
     hashFrame(media, p => if (wide) videoDhashBandsWide(p) else videoDhashBands(p))
 
   /** One admission/dedup modality's full status wiring: the band leg's
-    * corpus/strict statuses plus (when the modality HAS a containment
-    * form) the containment leg's — `None` is a per-modality design
-    * decision, not an omission (audio: samples carry no intrinsic
-    * framing, so no containment form exists — documented on
-    * [[videoFrameShingles]]).
+    * corpus/strict statuses plus the containment leg's (`None` would
+    * declare a modality containment-free — since x153 all three carry
+    * the column: video trims, image tile-aligned crops, audio
+    * utterance-anchored excerpts).
     */
   final case class Modality(
       prefix: String,
@@ -559,13 +565,17 @@ object PerceptualDedup {
     * `startsWith` on the prefix folds the width-suffixed small-media
     * spaces (`img16`/`aud16`/`vid16`) into their modality's status;
     * adding a modality here is the whole per-status wiring, and the
-    * containment columns wire the `--ptrim` leg the same one-row way
-    * (video trims, image tile-aligned crops; audio none BY DESIGN).
+    * containment columns wire the `--ptrim` leg the same one-row way.
+    * Audio's SAMPLE-grid containment form still does not exist (samples
+    * carry no intrinsic framing); its containment signal is
+    * utterance-anchored ([[audioUtteranceShingles]] — x151's
+    * segmentation as the framing mechanism).
     */
   val Modalities: Seq[Modality] = Seq(
     Modality("img", "near_dup_corpus_img", "near_dup_batch_img",
       Some("near_dup_corpus_icrop"), Some("near_dup_batch_icrop")),
-    Modality("aud", "near_dup_corpus_aud", "near_dup_batch_aud", None, None),
+    Modality("aud", "near_dup_corpus_aud", "near_dup_batch_aud",
+      Some("near_dup_corpus_atrim"), Some("near_dup_batch_atrim")),
     Modality("vid", "near_dup_corpus_vid", "near_dup_batch_vid",
       Some("near_dup_corpus_vtrim"), Some("near_dup_batch_vtrim")))
 
@@ -671,8 +681,25 @@ object PerceptualDedup {
                 (true, "img", Some(dhashBandsFromBlocks(gs, gc, gw, gh, bb)),
                   "img", shinglesFromTiles(tx, ty, ts, tq))
               case None =>
-                (if (wide) audioDhashBandsWide(p) else audioDhashBands(p)) match {
-                  case Some(ab) => (true, "aud", Some(ab), "", none)
+                // ONE byte scan serves both audio signals: window sums
+                // (bands) + utterance voiced-core moments (containment
+                // shingles); a clip under the wide window count falls
+                // back to the classic hash on what is by definition a
+                // tiny payload
+                Multimodal.decodeWavWindowsUtterances(
+                  p, if (wide) AudioFramesWide else AudioFrames) match {
+                  case Some((wsums, us, uq)) =>
+                    val sh = shinglesFromStats(us, uq)
+                    wsums match {
+                      case Some(s) =>
+                        (true, "aud", Some(audioBandsFromSums(s, wide)), "aud", sh)
+                      case None if wide =>
+                        audioDhashBands(p) match {
+                          case Some(ab) => (true, "aud16", Some(ab), "aud", sh)
+                          case None     => (false, "", None, "aud", sh)
+                        }
+                      case None => (false, "", None, "aud", sh)
+                    }
                   case None =>
                     Multimodal.decodeAviFrameStats(p) match {
                       case Some((_, _, sums, sqs)) =>
@@ -687,17 +714,16 @@ object PerceptualDedup {
                           case None => (false, "", None, "vid", shingles)
                         }
                       case None if wide =>
-                        // the non-video small-media fallbacks — the image
-                        // one still rides ONE decode pass (classic grid +
-                        // tiles together)
+                        // the small-IMAGE fallback, still ONE decode pass
+                        // (classic grid + tiles together); small audio is
+                        // handled inside the WAV branch above — its
+                        // combined scan accepts any PCM clip
                         Multimodal.decodeImageBlocksTiles(p, 9, 8, TileSize)
                           .map { case (gs, gc, tx, ty, ts, tq) =>
                             (true, "img16",
                               Some(dhashBandsFromBlocks(gs, gc, 8, 8, 16)),
                               "img", shinglesFromTiles(tx, ty, ts, tq))
                           }
-                          .orElse(audioDhashBands(p)
-                            .map(ab => (true, "aud16", Some(ab), "", none)))
                           .getOrElse((false, "", None, "", none))
                       case None => (false, "", None, "", none)
                     }
@@ -814,10 +840,12 @@ object PerceptualDedup {
     * over. Frames are the container's own content units, so a TRIMMED
     * copy keeps its frames' fingerprints bit-exact — the case the
     * single-alignment temporal dHash ([[videoDhashBands]]) declares out
-    * of scope. (Audio has no such containment form here: WAV samples
-    * carry no intrinsic framing, so [[Multimodal.decodeWavFrameSums]]
-    * re-bins the WHOLE clip into equal windows and any trim moves every
-    * window boundary.) Undecodable payloads and clips under 2 complete
+    * of scope. (Audio's SAMPLE-grid containment form does not exist —
+    * WAV samples carry no intrinsic framing, so
+    * [[Multimodal.decodeWavFrameSums]] re-bins the WHOLE clip into equal
+    * windows and any trim moves every window boundary; since x153 its
+    * containment signal is UTTERANCE-anchored instead:
+    * [[audioUtteranceShingles]].) Undecodable payloads and clips under 2 complete
     * frames contribute no rows (failures are data). Both frame moments
     * go into the fingerprint — two different frames colliding on sum AND
     * sum-of-squares is the same documented approximation as
@@ -851,9 +879,9 @@ object PerceptualDedup {
     * operator it sailed through every perceptual signal silently).
     * HONEST LIMIT, the x142-integral-scale shape: a crop at an offset
     * NOT a multiple of `tile` moves every tile boundary and shares no
-    * fingerprints — same reason audio has no trim form at all (samples
-    * carry no intrinsic framing); tiles give images a COARSER framing
-    * that aligned crops respect. A crop that also re-brightens moves
+    * fingerprints — the same no-intrinsic-framing problem raw audio
+    * samples have; tiles give images a COARSER framing that aligned
+    * crops respect (utterances play that role for audio — x153). A crop that also re-brightens moves
     * every moment and is out of scope for this signal too (the video
     * trim rule). Undecodable payloads and images under 2×2 tiles
     * contribute no rows. Shingle count is (w/tile−1)·(h/tile−1) — the
@@ -884,20 +912,90 @@ object PerceptualDedup {
     */
   val TileSize = 8
 
+  /** Per-clip AUDIO containment shingles — the third containment
+    * modality (x153), [[videoFrameShingles]]'s rule with UTTERANCES as
+    * the content units: the x151 segmentation gives audio the
+    * content-anchored framing raw samples lack (any sample-grid framing
+    * moves with a cut, the reason no SAMPLE-level containment form
+    * exists), per-utterance voiced-core moments
+    * ([[Multimodal.decodeWavUtteranceStats]] — leading/trailing sub-gap
+    * silence excluded, so an excerpt cut anywhere INSIDE a silence
+    * separator keeps every surviving utterance's fingerprint bit-exact),
+    * shingled as adjacent-utterance bigrams ([[shinglesFromStats]] — the
+    * same k=2 rule, the same 4-long shape). Catches the podcast/speech
+    * excerpt re-cut at pauses — the re-post mode the gain-invariant
+    * whole-clip hash ([[audioDhashBands]]) misses BY DESIGN
+    * (single-alignment). Documented limits: a cut INSIDE an utterance
+    * kills that utterance's bigrams (one edge cut is absorbed by the
+    * 0.8 ratio like the video one-frame edit); continuous audio with no
+    * ≥ gapMin silence is one utterance → no bigrams → no signal; a
+    * re-gained copy moves every moment (the brightness rule — the two
+    * audio signals cover each other's blind spot). Clips under 2
+    * utterances contribute no rows.
+    */
+  def audioUtteranceShingles(
+      media: DataFrame,
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+          Multimodal.decodeWavUtteranceStats(p, silenceMax, gapMin) match {
+            case Some((sums, sqs)) =>
+              shinglesFromStats(sums, sqs)
+                .map { case (a, b, c, d) => (id, a, b, c, d) }
+            case _ => Nil
+          }
+        })
+      }
+      .toDF("doc_id", "s1", "q1", "s2", "q2")
+  }
+
+  /** DIRECTIONAL audio containment — the x147/x152 rule on the third
+    * modality: den·|A∩B| ≥ num·|A| over the distinct adjacent-utterance
+    * bigram fingerprints. Shares the exact engine verbatim; the scale
+    * path is [[audioContainmentPairsLsh]].
+    */
+  def audioContainmentPairs(
+      media: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsFromShingles(audioUtteranceShingles(media), num, den, checkpointDir)
+
+  /** The audio-containment SCALE path — the shared LSH engine on
+    * [[audioUtteranceShingles]]; same cross-engine md5 minhashes and
+    * inlined permutation literals (oracle-keyed as
+    * x153_utt_containment_lsh), same Jaccard S-curve recall contract.
+    */
+  def audioContainmentPairsLsh(
+      media: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsLshFromShingles(
+      audioUtteranceShingles(media), num, den, k, bands, checkpointDir)
+
   /** Modality-detected CONTAINMENT shingles over mixed media — the
     * shingle-space twin of [[mediaHashFrame]], the scan the `--ptrim`
     * state bootstraps from: (doc_id, mod, s1, q1, s2, q2) where images
     * contribute tile-neighborhood fingerprints (`mod = "img"`,
-    * [[imageTileShingles]]'s rule) and videos frame-bigram fingerprints
-    * (`mod = "vid"`, [[videoFrameShingles]]'s rule) — ONE decode pass per
-    * payload, modality order identical to [[mediaHashBands]] (image
-    * reader first, AVI fall-back; audio has no containment form BY
-    * DESIGN). `mod` rides every shingle row so the two fingerprint
-    * families stay in DISJOINT candidate spaces even when their integer
-    * moments collide numerically. Shingles are width-independent (no
-    * wide concept): a small crop of a LARGE image shares the img space —
-    * the cross-size case the width-suffixed band fallback documents as
-    * its limit is covered HERE.
+    * [[imageTileShingles]]'s rule), audio clips utterance bigrams
+    * (`mod = "aud"`, [[audioUtteranceShingles]]'s rule — the x151
+    * segmentation as content-anchored framing) and videos frame-bigram
+    * fingerprints (`mod = "vid"`, [[videoFrameShingles]]'s rule) — ONE
+    * decode pass per payload, modality order identical to
+    * [[mediaHashBands]] (image reader first, RIFF/WAVE, then RIFF/AVI —
+    * fourccs disjoint). `mod` rides every shingle row so the three
+    * fingerprint families stay in DISJOINT candidate spaces even when
+    * their integer moments collide numerically. Shingles are
+    * width-independent (no wide concept): a small crop of a LARGE image
+    * shares the img space — the cross-size case the width-suffixed band
+    * fallback documents as its limit is covered HERE.
     */
   def mediaShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
     val spark = media.sparkSession
@@ -910,11 +1008,17 @@ object PerceptualDedup {
               shinglesFromTiles(tx, ty, ts, tq)
                 .map { case (a, b, c, d) => (id, "img", a, b, c, d) }
             case None =>
-              Multimodal.decodeAviFrameStats(p) match {
-                case Some((_, _, sums, sqs)) =>
-                  shinglesFromStats(sums, sqs)
-                    .map { case (a, b, c, d) => (id, "vid", a, b, c, d) }
-                case None => Nil
+              Multimodal.decodeWavUtteranceStats(p) match {
+                case Some((us, uq)) =>
+                  shinglesFromStats(us, uq)
+                    .map { case (a, b, c, d) => (id, "aud", a, b, c, d) }
+                case None =>
+                  Multimodal.decodeAviFrameStats(p) match {
+                    case Some((_, _, sums, sqs)) =>
+                      shinglesFromStats(sums, sqs)
+                        .map { case (a, b, c, d) => (id, "vid", a, b, c, d) }
+                    case None => Nil
+                  }
               }
           }
         })
@@ -2114,6 +2218,90 @@ object PerceptualDedup {
       .toDF("doc_id", "payload")
   }
 
+  /** Closed-form fixture UTTERANCE level for the x153 pair — the tile/
+    * frame closed forms one modality over, with its own content
+    * separator ('a'): voiced levels in [2, 81] (never inside the
+    * silenceMax=1 band, and 81+25+128 stays under the 8-bit rail);
+    * gain variant shifts every utterance (+10 — moves every voiced-core
+    * moment, by design NOT contained: the containment signal is
+    * gain-sensitive, the dHash's complement), edit variant bumps
+    * utterance 3 (+25 — kills exactly the 2 adjacent bigrams, 19/21
+    * stays over the 0.8 rule).
+    */
+  def fixtureUttLvl(docId: Long, u: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}a$u") % 80).toInt + 2 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && u == 3) 25 else 0)
+  }
+
+  /** x153's fixture clip grammar: [[UttCount]] utterances of [[UttLen]]
+    * constant-level samples, separated by exactly-gapMin (8) silence;
+    * the excerpt re-post drops the first [[UttDrop]] utterances AND cuts
+    * 4 samples INTO the preceding separator — the mid-separator cut the
+    * voiced-core rule exists for (4 < gapMin leading silent samples
+    * attach OUTSIDE every core, so the surviving fingerprints are
+    * bit-exact).
+    */
+  val UttCount = 22
+  val UttLen = 12
+  val UttDrop = 7
+
+  /** A real 8-bit WAV of the x153 closed form, starting at utterance
+    * `uttOff` (0 = the full clip; > 0 = the excerpt, led by the
+    * 4-sample mid-separator remnant).
+    */
+  def fixtureWavUtt(docId: Long, uttOff: Int = 0): Array[Byte] = {
+    val lead = if (uttOff == 0) Seq.empty[Int] else Seq.fill(4)(128)
+    val samples = lead ++ (uttOff until UttCount).zipWithIndex.flatMap {
+      case (u, idx) =>
+        val g = fixtureUttLvl(docId, u)
+        (if (idx == 0) Seq.empty[Int] else Seq.fill(8)(128)) ++
+          Seq.fill(UttLen)(128 + g)
+    }
+    makeWav8(8000, samples.toArray)
+  }
+
+  /** Shared oracle-CTE prefix for the x153 pair — the x147/x152 shape on
+    * the utterance axis: the closed-form excerpt fixture's distinct
+    * adjacent-utterance bigram sets `bg(doc_id, g1, g2)` + sizes `sz`.
+    * `off` is the excerpt's utterance offset.
+    */
+  private def x153BgSql: String =
+    "src AS (SELECT doc_id, doc_id AS img_id, 0 AS off FROM documents " +
+      s"UNION ALL SELECT doc_id + 5000000, doc_id, $UttDrop FROM documents " +
+      "WHERE doc_id % 15 = 0), " +
+      s"dv AS (SELECT doc_id, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv), " +
+      s"uf AS (SELECT doc_id, v, ck, " +
+      s"off + unnest(generate_series(0, ${UttCount - 1} - off)) AS u FROM dk), " +
+      "ug AS (SELECT doc_id, u, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || 'a' || CAST(u AS VARCHAR)")} % 80) + 2 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND u = 3 THEN 25 ELSE 0 END AS g FROM uf), " +
+      "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM ug l " +
+      "JOIN ug r ON r.doc_id = l.doc_id AND r.u = l.u + 1), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)"
+
+  /** Shared Spark-side fixture media for the x153 pair: one real
+    * [[UttCount]]-utterance WAV per doc, plus every 15th doc's EXCERPT
+    * (utterances 7..21 re-posted under a disjoint id, cut mid-separator)
+    * — the population [[x153BgSql]] describes in closed form.
+    */
+  private def x153FixtureMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val src = ids.select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      .unionByName(ids.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(UttDrop).as("off")))
+    src.as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, off) => (id, fixtureWavUtt(img, off)) })
+      .toDF("doc_id", "payload")
+  }
+
   /** Shared Spark-side fixture media for the x147 pair: one real
     * [[VideoWindows]]-frame AVI per doc, plus every 15th doc's TRIM
     * (frames 10..64 re-posted under a disjoint id) — the same population
@@ -2223,6 +2411,27 @@ object PerceptualDedup {
       "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM tg2 l " +
       "JOIN tg2 r ON r.doc_id = l.doc_id AND r.i = l.i + 1 AND r.j = l.j + 1), " +
       admitContainTailSql("near_dup_corpus_icrop", "near_dup_batch_icrop")
+
+  /** The excerpt-admission oracle: [[admitVtrimSql]]/[[admitIcropSql]] on
+    * the utterance axis — `off` is the excerpt's UTTERANCE offset, the
+    * bigrams are adjacent utterance voiced-core moments, and the tail is
+    * the shared containment rule verbatim.
+    */
+  private def admitAtrimSql: String =
+    s"${admitSrc2Sql(UttDrop)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      s"uf2 AS (SELECT doc_id, side, v, ck, " +
+      s"off + unnest(generate_series(0, ${UttCount - 1} - off)) AS u FROM dk2), " +
+      "ug2 AS (SELECT doc_id, side, u, " +
+      s"(${XHash.h60Sql("CAST(ck AS VARCHAR) || 'a' || CAST(u AS VARCHAR)")} % 80) + 2 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND u = 3 THEN 25 ELSE 0 END AS g FROM uf2), " +
+      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM ug2 l " +
+      "JOIN ug2 r ON r.doc_id = l.doc_id AND r.u = l.u + 1), " +
+      admitContainTailSql("near_dup_corpus_atrim", "near_dup_batch_atrim")
 
   /** The admission fixture's population split, shared by both modalities:
     * corpus = docs % 9 ≠ 0 (own content), batch = % 9 = 0 (own) + two
@@ -2760,9 +2969,10 @@ object PerceptualDedup {
         "excerpt keeps its frames bit-exact but shifts every hash window, so the " +
         "whole-clip hash misses it while the trim is contained at 1.0 in its source. " +
         "The two operators cover each other's blind spot (a trim that ALSO " +
-        "re-brightens moves every fingerprint and needs the dHash signal); audio has " +
-        "no containment form here BY DESIGN — WAV samples carry no intrinsic framing, " +
-        "any trim re-bins every window (documented on videoFrameShingles). Fixture: " +
+        "re-brightens moves every fingerprint and needs the dHash signal); audio's " +
+        "SAMPLE-grid containment form does not exist — WAV samples carry no intrinsic " +
+        "framing, any trim re-bins every window — so its signal is utterance-anchored " +
+        "instead (x153, documented on videoFrameShingles). Fixture: " +
         "every 15th doc re-posts frames 10..64 of its own video as a REAL 55-frame " +
         "AVI; both engines see the trim contained at 54/54 and the source at 54/64, " +
         "plus the one-frame-edit cluster variants at 62/64. Oracle recomputes the " +
@@ -2828,7 +3038,7 @@ object PerceptualDedup {
         "its source; HONEST LIMIT (the x142 integral-scale shape, spec-pinned from " +
         "the evasion side too): a crop at a non-multiple-of-8 offset moves every " +
         "tile boundary and shares nothing — tiles give pixels the COARSER framing " +
-        "aligned crops respect, where raw samples gave audio none at all. Fixture: " +
+        "aligned crops respect (utterances play that role for audio - x153). Fixture: " +
         "6x5-tile closed-form BMPs; every 15th doc re-posts tiles (1..5, 1..4) as a " +
         "REAL 5x4-tile BMP — contained at 12/12, source at 12/20 stays below the " +
         "rule; the tile-(2,2) edit variant keeps 18/20 both ways. Oracle recomputes " +
@@ -2862,6 +3072,66 @@ object PerceptualDedup {
         "payloads."
     ) { (s, dir) =>
       imageCropContainmentPairsLsh(x152FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x153: AUDIO containment (utterance-anchored excerpts, exact baseline) -----
+    Q(
+      "x153_audio_containment",
+      Some(
+        s"WITH $x153BgSql, " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM bg a " +
+          "JOIN bg b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id <> b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "WHERE 5 * i >= 4 * sa.n ORDER BY doc_id_a, doc_id_b"),
+      "AUDIO containment — the containment triad's third modality, closing the " +
+        "'audio has no containment form' gap with the honest mechanism: samples " +
+        "still carry no intrinsic framing (any sample-grid fingerprint moves with a " +
+        "cut — that form remains impossible BY DESIGN), but x151's silence-gap " +
+        "UTTERANCES are content-anchored framing. Fingerprints are per-utterance " +
+        "voiced-core moments (decodeWavUtteranceStats: exact signed sum + sum of " +
+        "squares from first to last voiced sample — leading/trailing sub-gap " +
+        "silence EXCLUDED, so an excerpt cut anywhere INSIDE a separator keeps " +
+        "every surviving fingerprint bit-exact), shingled as adjacent-utterance " +
+        "bigrams, x25's directional rule at 0.8. Catches the podcast excerpt " +
+        "re-cut at pauses that the gain-invariant whole-clip hash misses by " +
+        "design; the two audio signals cover each other's blind spot (a re-gained " +
+        "excerpt moves every moment and needs neither — documented). Fixture: " +
+        "22-utterance closed-form WAVs (12 constant-level samples per utterance, " +
+        "8-sample separators); every 15th doc re-posts utterances 7..21 cut FOUR " +
+        "samples INTO the preceding separator — the mid-cut case the voiced-core " +
+        "rule exists for — contained at 14/14 while the source stays 14/21 below " +
+        "the rule (directional); the utterance-3 edit variant keeps 19/21 both " +
+        "ways. Oracle recomputes the utterance levels, pinning encode -> RIFF " +
+        "walk -> segmentation -> core moments -> bigram -> containment. EXACTNESS " +
+        "BASELINE: all-pairs fingerprint self-join, benchExcluded like the x147/" +
+        "x152 exact forms; the benched production twin is x153_utt_containment_lsh."
+    ) { (s, dir) =>
+      audioContainmentPairs(x153FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x153 scale twin: LSH-candidate audio containment (benched) -----
+    Q(
+      "x153_utt_containment_lsh",
+      Some(s"WITH $x153BgSql, ${lshContainSql(UttLen.toLong, UttLen.toLong)}"),
+      "The audio-containment SCALE path — the shared LSH engine on the utterance " +
+        "bigram shingles: one md5 h60 per distinct fingerprint, 16 affine " +
+        "hash-permutation minhashes (driver-derived literals inlined into BOTH " +
+        "engines), 4-way banding, one keyed join on 60-bit band keys, exact " +
+        "directional verify on candidates only (precision 1.0 by construction). " +
+        "The oracle recomputes the IDENTICAL candidate set from the closed-form " +
+        "utterance levels (s = 12g, q = 12g^2 for 12-sample constant-level " +
+        "cores), pinning the full cross-engine chain on the third modality. " +
+        "Recall follows the Jaccard S-curve (the fixture's 14/21 excerpt sits " +
+        "mid-curve — found or not is a fixed deterministic fact both engines " +
+        "agree on); extreme-ratio containment needs the exact form, documented. " +
+        "Scale: candidate mass follows band collisions; joins shuffle 16-byte " +
+        "band keys and 32-byte fingerprints, never payloads."
+    ) { (s, dir) =>
+      audioContainmentPairsLsh(x153FixtureMedia(table(s, dir, "documents").select("doc_id")))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -2980,6 +3250,64 @@ object PerceptualDedup {
           col("doc_id"),
           when(col("near_trim"), "near_dup_corpus_icrop")
             .when(coalesce(col("lb"), lit(false)), "near_dup_batch_icrop")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x74 excerpt leg: utterance-anchored audio admission (the atrim row) -----
+    Q(
+      "x74_admit_atrim",
+      Some(s"WITH RECURSIVE $admitAtrimSql"),
+      "EXCERPT leg of media ADMISSION — the containment triad's third admission " +
+        "row, completing the Modalities containment column on every modality: a " +
+        "re-posted excerpt of corpus audio cut at pauses keeps its utterances' " +
+        "voiced-core moments bit-exact but shifts every dHash window, so " +
+        "x74_admit_aud admits it. The x153 rule as the admission signal through " +
+        "the SAME machinery (admitTrimCompare / admitTrimStrictLosers — the aud " +
+        "shingle space disjoint via the mod tag): batch clips' distinct " +
+        "adjacent-utterance bigrams vs the corpus shingle state, >= 0.8 " +
+        "containment flags near_dup_corpus_atrim; the strict pass CCs the " +
+        "still-admitted batch shingles and keeps the clip with the MOST " +
+        "utterance bigrams per component (the LONGER recording is the source), " +
+        "losers near_dup_batch_atrim. Fixture: the shared admit population split " +
+        "with off meaning UTTERANCE offset — re-arrivals replay utterances 7..21 " +
+        "cut four samples into the preceding separator (the mid-separator cut " +
+        "the voiced-core rule exists for); %45==0 excerpts have corpus siblings " +
+        "(flagged corpus), %9==0 & v>=3 excerpts arrive WITH their source (only " +
+        "the strict keep-best can order that pair). Oracle recomputes the " +
+        "utterance levels: encode -> RIFF walk -> segmentation -> core moments " +
+        "-> bigrams -> containment -> keep-best CC, all pinned. Scale: " +
+        "batch-sized joins on fingerprint keys; the shingle state is ~21 rows " +
+        "per corpus clip."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(UttDrop).as("off")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(UttDrop).as("off")))
+      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) => (id, fixtureWavUtt(img, off)) })
+        .toDF("doc_id", "payload")
+      val corpusSh = DedupClusters.ckpt(mediaShingles(synth(corpusSrc)), None)
+      val batchSh = DedupClusters.ckpt(mediaShingles(synth(batchSrc)), None)
+      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
+      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+        .select("doc_id").withColumn("lb", lit(true))
+      frame.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_trim"), "near_dup_corpus_atrim")
+            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_atrim")
             .otherwise("admitted").as("status"))
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))

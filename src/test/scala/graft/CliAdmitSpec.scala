@@ -1092,25 +1092,30 @@ class CliAdmitSpec extends SparkSpec {
     def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
       PerceptualDedup.VideoWindows - from,
       (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
-    // MIXED corpus media: docs 0..8 images, doc 9 a video — both
-    // containment modalities bootstrap into ONE shingle state
+    // MIXED corpus media: docs 0..7 images, doc 8 an utterance clip, doc
+    // 9 a video — ALL THREE containment modalities bootstrap into ONE
+    // shingle state
     val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
-    val corpusMedia = ((0L to 8L).map(i => (i, cimg(i * 5, 0))) :+
-      ((9L, PerceptualDedup.fixtureAvi(9L * 5)))).toDF("doc_id", "payload")
+    val corpusMedia = ((0L to 7L).map(i => (i, cimg(i * 5, 0))) ++
+      Seq((8L, PerceptualDedup.fixtureWavUtt(8L * 5)),
+        (9L, PerceptualDedup.fixtureAvi(9L * 5)))).toDF("doc_id", "payload")
     // 101 = tile-aligned CROP of corpus image 7 (band leg blind: the
     // crop shifts every dHash block boundary — only the crop leg flags
     // it); 102 = a novel CROP and 103 its full source arriving TOGETHER
     // (strict keep-best keeps 103, the 20-shingle original; min-id would
     // keep the 12-shingle crop 102); 104 = fresh image; 105 = trim of
-    // corpus video 9 (the vid space, same state, same run)
+    // corpus video 9 (the vid space); 106 = pause-cut EXCERPT of corpus
+    // clip 8 (the aud space) — three containment flavors, one state,
+    // one run
     val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
-      doc(104L, "d"), doc(105L, "e")).toDF("doc_id", "text", "source")
+      doc(104L, "d"), doc(105L, "e"), doc(106L, "g")).toDF("doc_id", "text", "source")
     val batchMedia = Seq(
       (101L, cimg(7L * 5, 1)),
       (102L, cimg(6666L * 5, 1)),
       (103L, cimg(6666L * 5, 0)),
       (104L, cimg(8888L * 5, 0)),
-      (105L, trim(9L * 5, 10))
+      (105L, trim(9L * 5, 10)),
+      (106L, PerceptualDedup.fixtureWavUtt(8L * 5, uttOff = PerceptualDedup.UttDrop))
     ).toDF("doc_id", "payload")
     val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
       "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
@@ -1128,15 +1133,17 @@ class CliAdmitSpec extends SparkSpec {
     assert(j.contains(""""near_dup_corpus_icrop":1"""), j)
     assert(j.contains(""""near_dup_batch_icrop":1"""), j)
     assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
+    assert(j.contains(""""near_dup_corpus_atrim":1"""), j)
     assert(j.contains(""""admitted":2"""), j)
     val ids = spark.read.parquet(base.getPath + "/out/admitted")
       .select("doc_id").as[Long].collect().toSet
     assert(ids === Set(103L, 104L), "keep-best kept the larger source image")
-    // ONE mod-tagged state holds both shingle spaces; the admitted
+    // ONE mod-tagged state holds all three shingle spaces; the admitted
     // images' tile shingles appended (103/104: 20 each)
     val sh = spark.read.parquet(s"$psigs/shingles")
     assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
-    assert(sh.select("mod").distinct().as[String].collect().toSet === Set("img", "vid"))
+    assert(sh.select("mod").distinct().as[String].collect().toSet ===
+      Set("img", "aud", "vid"))
     assert(sh.filter(col("cv_id") === 103L && col("mod") === "img").count() === 20L)
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
     // day 2: a crop of day-1-admitted 103 flags off the APPENDED state

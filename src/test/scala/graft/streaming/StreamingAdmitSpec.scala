@@ -219,7 +219,9 @@ class StreamingAdmitSpec extends SparkSpec {
     PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
       .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
       .write.parquet(s"$psigsS/bands")
-    PerceptualDedup.videoFrameShingles(corpusMedia)
+    // the mod-tagged layout Cli run 1 writes TODAY (mediaShingles — the
+    // legacy pre-mod layout has its own dedicated specs)
+    PerceptualDedup.mediaShingles(corpusMedia)
       .withColumnRenamed("doc_id", "cv_id")
       .write.parquet(s"$psigsS/shingles")
     val reportPath = new java.io.File(base, "report").getPath

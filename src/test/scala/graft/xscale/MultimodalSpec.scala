@@ -391,4 +391,60 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id")
     }
   }
+
+  test("decodeWavUtteranceStats: voiced-core moments, edge silence excluded, pauses inside") {
+    import PerceptualDedup.makeWav8
+    def wav(samples: Seq[Int]) = makeWav8(8000, samples.toArray)
+    // [8 sep][5x(+60)][3-sample pause of 128,129,127][4x(-20 -> byte 108)][8 sep][2x(+7)]
+    // -> utt 1 core = 5x60 + pause (0, 1, -1) + 4x(-20): sum = 300+0-80 = 220,
+    //    sq = 5*3600 + (0+1+1) + 4*400 = 19602; utt 2: sum 14, sq 98
+    val p = wav(Seq.fill(8)(128) ++ Seq.fill(5)(188) ++ Seq(128, 129, 127) ++
+      Seq.fill(4)(108) ++ Seq.fill(8)(128) ++ Seq.fill(2)(135))
+    val Some((sums, sqs)) = Multimodal.decodeWavUtteranceStats(p)
+    assert(sums.toSeq == Seq(220L, 14L) && sqs.toSeq == Seq(19602L, 98L))
+    // trailing sub-gap silence stays OUTSIDE the core — NONZERO silent
+    // samples (s = +1) so a core that wrongly included them would differ:
+    // [3x(+10)][5x(+1)] -> sum 30 (not 35), sq 300 (not 305)
+    val q = wav(Seq.fill(3)(138) ++ Seq.fill(5)(129))
+    assert(Multimodal.decodeWavUtteranceStats(q)
+      .map { case (s, sq) => (s.toSeq, sq.toSeq) } == Some((Seq(30L), Seq(300L))))
+    // the EXCERPT invariance this decoder exists for, through real bytes:
+    // cutting mid-separator (4 leading silent samples < gapMin) leaves
+    // every surviving utterance's core moments bit-exact
+    val full = PerceptualDedup.fixtureWavUtt(30L)
+    val cut = PerceptualDedup.fixtureWavUtt(30L, uttOff = PerceptualDedup.UttDrop)
+    val Some((fs, fq)) = Multimodal.decodeWavUtteranceStats(full)
+    val Some((cs, cq)) = Multimodal.decodeWavUtteranceStats(cut)
+    assert(fs.length == PerceptualDedup.UttCount &&
+      cs.length == PerceptualDedup.UttCount - PerceptualDedup.UttDrop)
+    assert(cs.toSeq == fs.drop(PerceptualDedup.UttDrop).toSeq)
+    assert(cq.toSeq == fq.drop(PerceptualDedup.UttDrop).toSeq)
+    // 16-bit path + non-PCM + invalid gapMin
+    val s16 = Seq(0, 500, -500, 0, 0, 0, 0, 0, 0, 0, 0, 700)
+      .flatMap(x => Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte))
+    val p16 = pcmWav(16, 1, 8000, s16)
+    assert(Multimodal.decodeWavUtteranceStats(p16)
+      .map { case (s, sq) => (s.toSeq, sq.toSeq) } ==
+      Some((Seq(0L, 700L), Seq(500000L, 490000L))))
+    assert(Multimodal.decodeWavUtteranceStats("junk".getBytes).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWavUtteranceStats(p, gapMin = 0))
+  }
+
+  test("decodeWavWindowsUtterances: one pass == decodeWavFrameSums + decodeWavUtteranceStats") {
+    import PerceptualDedup.makeWav8
+    // a real utterance fixture + a short clip (windows None) + junk
+    val clips = Seq(
+      PerceptualDedup.fixtureWavUtt(5L),
+      PerceptualDedup.fixtureWavUtt(5L, uttOff = 7),
+      makeWav8(8000, Array.tabulate(40)(j => 128 + (j % 3))))
+    for ((p, i) <- clips.zipWithIndex; nW <- Seq(65, 257)) {
+      val Some((ws, us, uq)) = Multimodal.decodeWavWindowsUtterances(p, nW)
+      assert(ws.map(_.toSeq) == Multimodal.decodeWavFrameSums(p, nW).map(_.toSeq),
+        s"windows clip=$i nW=$nW")
+      val Some((es, eq)) = Multimodal.decodeWavUtteranceStats(p)
+      assert(us.toSeq == es.toSeq && uq.toSeq == eq.toSeq, s"utterances clip=$i nW=$nW")
+    }
+    assert(Multimodal.decodeWavWindowsUtterances("junk".getBytes, 65).isEmpty)
+  }
 }

@@ -523,12 +523,16 @@ class PerceptualDedupSpec extends SparkSpec {
     // guard for the --pmedia --ptrim hot-path refactor
     val media = Seq(
       (1L, fixtureBmp(0L)),                      // image (img / img16)
-      (2L, fixtureWav(0L)),                      // audio (aud / aud16)
+      (2L, fixtureWav(0L)),                      // audio, NO silence: 1 utterance, 0 shingles
       (3L, fixtureAvi(0L)),                      // video (vid / vid16)
       (4L, fixtureAviWide(7L)),                  // wide-sized video (vid both widths)
       (5L, makeAvi(4, 4, 10, (f, _, _) => 40 + f)), // SHORT video: shingles, no bands
       (6L, fixtureBmpWide(5L)),                  // wide-sized image
-      (7L, "gibberish".getBytes)                 // undecodable
+      (7L, "gibberish".getBytes),                // undecodable
+      (8L, fixtureWavUtt(3L)),                   // audio WITH utterances: aud shingles
+      (9L, makeWav8(8000, Array.tabulate(40)(j => 128 + 5 * ((j / 9) % 2))))
+      // ^ SHORT clip (40 < 65 samples): no bands at either width, but its
+      //   utterances still shingle — the short-video rule, audio side
     ).toDF("doc_id", "payload")
     for (wide <- Seq(false, true)) {
       val combined = mediaHashShingleFrame(media, wide)
@@ -554,7 +558,48 @@ class PerceptualDedupSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(direct.filter(_._2 == "img").map(t => (t._1, t._3, t._4, t._5, t._6)) == imgs,
         s"img shingles, wide=$wide")
+      val auds = audioUtteranceShingles(media)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(direct.filter(_._2 == "aud").map(t => (t._1, t._3, t._4, t._5, t._6)) == auds,
+        s"aud shingles, wide=$wide")
+      // the utterance fixture and the short clip both contribute aud rows
+      assert(auds.exists(_._1 == 8L) && auds.exists(_._1 == 9L))
     }
+  }
+
+  test("audioContainmentPairs: pause-cut excerpt contained; gain evades (known limit); LSH precision") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, fixtureWavUtt(30L)),                       // source (22 utterances)
+      (2L, fixtureWavUtt(30L, uttOff = UttDrop)),     // its excerpt, cut mid-separator
+      (3L, fixtureWavUtt(95L)),                       // unrelated
+      (4L, "junk".getBytes)
+    ).toDF("doc_id", "payload")
+    val pairs = audioContainmentPairs(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // excerpt contained at 14/14; the source stays 14/21 BELOW the rule
+    assert(pairs.contains((2L, 1L, 14L, 14L)), pairs)
+    assert(!pairs.exists(p => p._1 == 1L), pairs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs)
+    // LSH: precision 1.0 by construction (exact verify on candidates)
+    val lsh = audioContainmentPairsLsh(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pairs))
+    // KNOWN LIMIT, pinned: a re-GAINED excerpt moves every voiced-core
+    // moment — this signal misses it by design (the dHash covers gain,
+    // these two cover each other's blind spot)
+    def gained(docId: Long, off: Int) = {
+      val lead = if (off == 0) Seq.empty[Int] else Seq.fill(4)(128)
+      val samples = lead ++ (off until UttCount).zipWithIndex.flatMap {
+        case (u, idx) =>
+          (if (idx == 0) Seq.empty[Int] else Seq.fill(8)(128)) ++
+            Seq.fill(UttLen)(128 + fixtureUttLvl(docId, u) + 10)
+      }
+      makeWav8(8000, samples.toArray)
+    }
+    val media2 = Seq((1L, fixtureWavUtt(30L)), (5L, gained(30L, UttDrop)))
+      .toDF("doc_id", "payload")
+    assert(audioContainmentPairs(media2).count() == 0)
   }
 
   test("decodeImageTileStats: origin-anchored fixed tiles, exact moments, edge tiles dropped") {

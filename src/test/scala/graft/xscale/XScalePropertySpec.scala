@@ -339,6 +339,76 @@ class XScalePropertySpec extends SparkSpec {
     }
   }
 
+  /** Independent reference for the x153 voiced-core moments — the
+    * OPPOSITE formulation again: split the sample array on separator
+    * runs, slice each surviving segment to [first voiced, last voiced],
+    * and fold the slice's moments. No shared traversal.
+    */
+  private def refUtteranceStats(
+      samples: Array[Long], silenceMax: Long, gapMin: Int): (Seq[Long], Seq[Long]) = {
+    val n = samples.length
+    val silent = samples.map(s => math.abs(s) <= silenceMax)
+    val isSep = Array.fill(n)(false)
+    var i = 0
+    while (i < n) {
+      if (silent(i)) {
+        var j = i
+        while (j < n && silent(j)) j += 1
+        if (j - i >= gapMin) (i until j).foreach(isSep(_) = true)
+        i = j
+      } else i += 1
+    }
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    i = 0
+    while (i < n) {
+      if (!isSep(i)) {
+        var j = i
+        while (j < n && !isSep(j)) j += 1
+        val voicedIdx = (i until j).filter(k => !silent(k))
+        if (voicedIdx.nonEmpty) {
+          val core = (voicedIdx.head to voicedIdx.last).map(samples)
+          sums += core.sum
+          sqs += core.map(s => s * s).sum
+        }
+        i = j
+      } else i += 1
+    }
+    (sums.toSeq, sqs.toSeq)
+  }
+
+  test("x153 voiced-core moments: arbitrary-alignment silence agrees with the reference") {
+    // same never-band-aligned clip generator as the x151 property; the
+    // silent runs carry NONZERO values (-1..1) so a core that wrongly
+    // included or excluded edge silence would change a moment
+    val genRun: Gen[List[Int]] = for {
+      silent <- Gen.oneOf(true, false)
+      len <- Gen.chooseNum(1, 12)
+      base <- if (silent) Gen.chooseNum(-1, 1) else Gen.chooseNum(2, 125)
+      sign <- Gen.oneOf(1, -1)
+    } yield List.fill(len)(if (silent) base else sign * base)
+    val genClip: Gen[List[Int]] = for {
+      nRuns <- Gen.chooseNum(1, 16)
+      runs <- Gen.listOfN(nRuns, genRun)
+    } yield runs.flatten
+    for {
+      clip <- samples(genClip, 40)
+      gapMin <- Seq(1, 2, 5, 8)
+      silenceMax <- Seq(0L, 1L, 3L)
+    } {
+      val ref = refUtteranceStats(clip.map(_.toLong).toArray, silenceMax, gapMin)
+      val got = Multimodal.decodeWavUtteranceStats(
+        PerceptualDedup.makeWav8(8000, clip.map(_ + 128).toArray), silenceMax, gapMin)
+        .map { case (s, q) => (s.toSeq, q.toSeq) }
+      assert(got == Some(ref), s"gapMin=$gapMin silenceMax=$silenceMax clip=$clip")
+      // and the one-pass combined decoder agrees sample-for-sample
+      val comb = Multimodal.decodeWavWindowsUtterances(
+        PerceptualDedup.makeWav8(8000, clip.map(_ + 128).toArray), 65, silenceMax, gapMin)
+        .map { case (_, s, q) => (s.toSeq, q.toSeq) }
+      assert(comb == Some(ref), s"combined gapMin=$gapMin silenceMax=$silenceMax")
+    }
+  }
+
   test("vocabGrowth conserves docs, tokens and vocabulary for arbitrary phase counts") {
     for ((texts, i) <- samples(Gen.listOfN(15, genText), 6).zipWithIndex) {
       val phases = Seq(1, 3, 10)(i % 3)

@@ -298,13 +298,28 @@ object Cli {
       // width-suffixed classic spaces under wide). Scale: payloads are
       // decoded ONCE (the hf cut) and only 16/32-bit band keys shuffle —
       // the measured x139/x140 shape.
-      val pdeduped = flags.pdedupPath match {
+      // when --pcontain shares --pdedup's media parquet (the common
+      // case), the combined one-decode frame serves BOTH stages — bands
+      // + nbytes for the band dedup, mod-tagged shingles for the
+      // containment dedup (the --pmedia --ptrim hot-path rule)
+      val sameMedia = flags.pdedupPath.isDefined &&
+        flags.pcontainPath == flags.pdedupPath
+      val (pdeduped, pcontainSh) = flags.pdedupPath match {
         case Some(mp) =>
           val media = spark.read.parquet(mp).join(
             dedupedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
           val wide = xscale.PerceptualDedup.mediaWideFor(media.count())
-          val hf = cut(xscale.PerceptualDedup.mediaHashFrame(media, wide)
-            .filter(org.apache.spark.sql.functions.col("decoded")))
+          val (hf, shOpt) =
+            if (sameMedia) {
+              val combined = cut(
+                xscale.PerceptualDedup.mediaHashShingleFrame(media, wide))
+              (combined
+                .filter(org.apache.spark.sql.functions.col("decoded"))
+                .drop("shmod", "shingles"),
+                Some(cut(xscale.PerceptualDedup.shingleRows(combined))))
+            } else
+              (cut(xscale.PerceptualDedup.mediaHashFrame(media, wide)
+                .filter(org.apache.spark.sql.functions.col("decoded"))), None)
           val comp = graft.xscale.DedupClusters.connectedComponents(
             xscale.PerceptualDedup.bandNearDupPairs(
               hf, xscale.PerceptualDedup.widthThreshold(wide)),
@@ -313,33 +328,59 @@ object Cli {
             hf.select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("nbytes")),
             Seq("doc_id"), "left")
-          cut(graft.xscale.DedupClusters
+          (cut(graft.xscale.DedupClusters
             .dedupByComponentsKeepBest(scored, comp,
               org.apache.spark.sql.functions.coalesce(
                 org.apache.spark.sql.functions.col("nbytes"),
                 org.apache.spark.sql.functions.lit(-1L)))
-            .select(cols: _*))
-        case None => dedupedDocs
+            .select(cols: _*)), shOpt)
+        case None => (dedupedDocs, None)
+      }
+      // --pcontain <mediaParquet>: the CONTAINMENT dedup stage — the
+      // admission surface catches the trimmed/cropped/excerpted re-post
+      // arriving tomorrow, but a corpus BUILD containing a video and its
+      // trim (or an image and its tile-aligned crop, or a clip and its
+      // pause-cut excerpt) kept both until this stage: band hashes
+      // differ BY DESIGN for a containment re-post, so --pdedup cannot
+      // see it. Per-modality LSH-candidate containment pairs + exact
+      // verify over ONE mod-tagged shingle scan (the production posture
+      // — never the raw fingerprint self-join), CC, keep the doc with
+      // the MOST shingles per component (the longer/larger original IS
+      // the source). Runs AFTER --pdedup (FineWeb order: still whole-doc
+      // dedup, before span rewrite) over the surviving docs' media only.
+      val pcontained = flags.pcontainPath match {
+        case Some(mp) =>
+          val sh0 = pcontainSh.getOrElse(
+            cut(xscale.PerceptualDedup.mediaShingles(
+              spark.read.parquet(mp).join(
+                pdeduped.select("doc_id"), Seq("doc_id"), "left_semi"))))
+          // only surviving docs' shingles vote (the shared combined frame
+          // was cut on the pre-pdedup survivor set)
+          val sh = sh0.join(pdeduped.select("doc_id"), Seq("doc_id"), "left_semi")
+          val losers = xscale.PerceptualDedup.containmentLosersFromShingles(
+            sh, checkpointDir = ckptDir)
+          cut(pdeduped.join(losers, Seq("doc_id"), "left_anti").select(cols: _*))
+        case None => pdeduped
       }
       val deduped =
         if (flags.despan) {
           // docs emptied entirely by span removal carry no training signal
           // — drop them like any other filter stage
-          val clean = TrainingData.removeSharedSpans(pdeduped)
+          val clean = TrainingData.removeSharedSpans(pcontained)
             .filter(org.apache.spark.sql.functions.col("text_clean") =!= "")
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text_clean"))
           // n_chars must describe the REWRITTEN text: the documents schema
           // carries it and downstream consumers (x09 quality) read it, so a
           // stale pre-removal value would skew them silently
-          cut(pdeduped.drop("text")
+          cut(pcontained.drop("text")
             .join(clean, "doc_id")
             .withColumnRenamed("text_clean", "text")
             .withColumn("n_chars",
               org.apache.spark.sql.functions.length(
                 org.apache.spark.sql.functions.col("text")).cast("long"))
             .select(cols: _*))
-        } else pdeduped
+        } else pcontained
       val selected = flags.dsirLang match {
         case Some(lang) =>
           val c = org.apache.spark.sql.functions.col _
@@ -419,6 +460,7 @@ object Cli {
          else if (flags.scale) Seq(s"neardup_$legName") else Nil) ++
         (if (flags.scale) Seq("audit_diameter_capped", "audit_lsh_sampled") else Nil) ++
         (if (flags.pdedupPath.isDefined) Seq("pdedup") else Nil) ++
+        (if (flags.pcontainPath.isDefined) Seq("pcontain") else Nil) ++
         (if (flags.despan) Seq("despan") else Nil) ++
         (if (flags.dsirLang.isDefined) Seq("dsir_threshold") else Nil) ++
         Seq("split", "pack")
@@ -986,6 +1028,7 @@ object Cli {
       scale: Boolean = false,
       embPath: Option[String] = None,
       pdedupPath: Option[String] = None,
+      pcontainPath: Option[String] = None,
       mqualityPath: Option[String] = None)
 
   /** The resolved media leg: the admitMediaCompare frame plus the two
@@ -1072,6 +1115,8 @@ object Cli {
       parseCorpusFlags(tail).map(_.copy(embPath = Some(path)))
     case "--pdedup" :: path :: tail if !path.startsWith("--") =>
       parseCorpusFlags(tail).map(_.copy(pdedupPath = Some(path)))
+    case "--pcontain" :: path :: tail if !path.startsWith("--") =>
+      parseCorpusFlags(tail).map(_.copy(pcontainPath = Some(path)))
     case "--mquality" :: path :: tail if !path.startsWith("--") =>
       parseCorpusFlags(tail).map(_.copy(mqualityPath = Some(path)))
     case _ => None
@@ -1084,7 +1129,7 @@ object Cli {
         "       graft.Cli generate-synthetic-data <rows> <target> [--persist]\n" +
         "       graft.Cli corpus <documentsParquet> <outDir> [--strict] [--despan] [--dsir <lang>] [--ckpt <dir>]\n" +
         "                 [--scale] [--emb <embeddingsParquet>] [--pdedup <mediaParquet>]\n" +
-        "                 [--mquality <mediaParquet>]\n" +
+        "                 [--pcontain <mediaParquet>] [--mquality <mediaParquet>]\n" +
         "                 (--scale = the measured 100 TB dedup recipe:\n" +
         "                 cascade exact-first -> near-dup CC (joint IMI with --emb; text leg auto-chosen by\n" +
         "                 survivor count: simhash <= 1e5 docs, minhash past it) -> capped x122/x121 audits\n" +
@@ -1092,6 +1137,10 @@ object Cli {
         "                 --pdedup = the PERCEPTUAL dedup stage over (doc_id, payload) media parquet —\n" +
         "                 modality-detected image/audio/video dHash pairs -> CC -> keep-BEST, after text dedup and\n" +
         "                 before span removal; hash width auto-picks wide past ~1e6 media docs;\n" +
+        "                 --pcontain = the CONTAINMENT dedup stage over the same media shape — drop docs\n" +
+        "                 whose media is a trimmed/cropped/excerpted re-post of a surviving doc's media\n" +
+        "                 (x147/x152/x153's rules: per-modality LSH-candidate containment pairs -> CC ->\n" +
+        "                 keep-most-shingles; runs after --pdedup, shares its decode when the paths match);\n" +
         "                 --mquality = the multimodal quality GATE over the same media shape — drop docs\n" +
         "                 whose media fails its modality's rule: image >95% crushed/blown, audio >90%\n" +
         "                 silent or >10% rail-clipped, video >50% black or >90% frozen; undecodable and\n" +

@@ -62,7 +62,7 @@ object ScaleSmoke {
     "x74_admit_media_steady", "x74_admit_vtrim_steady", "x74_admit_icrop_steady",
     "x74_admit_atrim_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
-    "corpus_full_multimodal",
+    "corpus_pcontain_stage", "corpus_full_multimodal",
     "x147_containment_lsh", "x152_crop_lsh", "x153_utt_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
@@ -591,10 +591,59 @@ object ScaleSmoke {
           "--strict", "--scale", "--emb", s"$d/embeddings.parquet",
           "--mquality", s"$d/mixed_media.parquet",
           "--pdedup", s"$d/mixed_media.parquet",
+          "--pcontain", s"$d/mixed_media.parquet",
           "--despan", "--dsir", "en",
           "--ckpt", s"$d/_checkpoints"))
         require(rc == 0, s"composed corpus build failed, rc=$rc")
         s.read.parquet(out)
+      }),
+      // the `Cli corpus --pcontain` stage shape, measured end to end:
+      // mixed media with every 15th doc's trim/crop/excerpt planted
+      // (modality by cluster, matching the pdedup fixture's split), one
+      // modality-detected shingle pass -> per-mod LSH candidates ->
+      // exact verify -> CC -> keep-most-shingles
+      "corpus_pcontain_stage" -> ((s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+        val t = xscale.PerceptualDedup.TileSize
+        val media = docs.select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val m = (id / xscale.PerceptualDedup.ClusterSize) % 3
+            val full =
+              if (m == 1) xscale.PerceptualDedup.fixtureWavUtt(id)
+              else if (m == 2) xscale.PerceptualDedup.fixtureAvi(id)
+              else {
+                val levels = Array.tabulate(
+                  xscale.PerceptualDedup.CropTilesX, xscale.PerceptualDedup.CropTilesY)(
+                  (x, y) => xscale.PerceptualDedup.fixtureTileLvl(id, x, y))
+                xscale.PerceptualDedup.makeBmp(
+                  xscale.PerceptualDedup.CropTilesX * t,
+                  xscale.PerceptualDedup.CropTilesY * t,
+                  (x, y) => levels(x / t)(y / t))
+              }
+            val re = if (id % 15 != 0) Nil else Seq((id + 5000000L,
+              if (m == 1)
+                xscale.PerceptualDedup.fixtureWavUtt(id, xscale.PerceptualDedup.UttDrop)
+              else if (m == 2) xscale.PerceptualDedup.makeAvi(4, 4,
+                xscale.PerceptualDedup.VideoWindows - 10,
+                (f, _, _) => xscale.PerceptualDedup.fixtureFrameVid(id, f + 10))
+              else {
+                val tw = xscale.PerceptualDedup.CropTilesX - 1
+                val th = xscale.PerceptualDedup.CropTilesY - 1
+                val levels = Array.tabulate(tw, th)((x, y) =>
+                  xscale.PerceptualDedup.fixtureTileLvl(id, x + 1, y + 1))
+                xscale.PerceptualDedup.makeBmp(tw * t, th * t,
+                  (x, y) => levels(x / t)(y / t))
+              }))
+            Seq((id, full)) ++ re
+          })
+          .toDF("doc_id", "payload")
+        // storage-backed cuts (the x30/x50 heavy-smoke rule): the stage
+        // pins several corpus-sized shingle/band frames across its CC —
+        // memory-pinned localCheckpoints would squeeze the runtime
+        // broadcasts out of the shared local-mode heap at 100x
+        xscale.PerceptualDedup.mediaContainmentLosers(
+          media, checkpointDir = Some(s"$d/_checkpoints"))
       }),
       // the `Cli corpus --pdedup` stage shape, measured end to end: one
       // modality-detected decode pass over REAL three-way mixed media —

@@ -1062,6 +1062,79 @@ object PerceptualDedup {
     containmentPairsLshFromShingles(
       imageTileShingles(media, tile), num, den, k, bands, checkpointDir)
 
+  /** Corpus-wide containment-dedup LOSERS at production posture — the
+    * `Cli corpus --pcontain` stage's core, the build-side twin of the
+    * admission strict pass: per-modality MinHash-LSH candidate pairs +
+    * exact directional verify over a MOD-TAGGED shingle frame
+    * ([[mediaShingles]] / [[shingleRows]] — the engines take one
+    * modality at a time, so the frame is split on `mod` first), CC'd
+    * undirected (a pair qualifying in EITHER direction satisfies the
+    * min-side rule, since min(|A|,|B|) ≤ |A|), keep the doc with the
+    * MOST shingles per component (the longer clip / larger image /
+    * longer recording IS the source; min-id would keep the excerpt),
+    * doc_id tiebreak. Returns the losers' (doc_id). The default LSH
+    * geometry is RECALL-leaning (16 minhashes in 8 bands of 2 — band
+    * match probability J² instead of the retrieval twins' J⁴): a dedup
+    * STAGE that misses a mid-curve crop ships a duplicate forever,
+    * where a retrieval query can tolerate S-curve recall; the extra
+    * bands double the band-key rows, never the verify cost (candidates
+    * stay collision-bounded). Scale: the LSH candidate generators are
+    * band-keyed (never the raw fingerprint self-join's collision-rate
+    * tail — this is the form a 100 TB build runs); payloads are decoded
+    * once upstream and never shuffle.
+    */
+  def containmentLosersFromShingles(
+      shingles: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // NO extra full-frame cut here: callers pass an already-materialized
+    // frame (`Cli corpus` cuts it; [[mediaContainmentLosers]] wraps one),
+    // and the per-modality engine calls cut their own slices — a second
+    // full copy only squeezes the local-mode heap the runtime broadcasts
+    // share (what OOM'd the first 100x smoke)
+    val sh = withShMod(shingles)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // cut each modality's pair sub-plan EAGERLY before the union: the
+    // three LSH+verify plans each carry several runtime broadcasts, and
+    // materializing them under ONE downstream CC action stacks all
+    // modalities' broadcasts on the driver at once (OOM'd the 100x
+    // smoke); the cuts run them one modality at a time
+    val pairs = Modalities.map(_.prefix).map { m =>
+      DedupClusters.ckpt(
+        containmentPairsLshFromShingles(
+          sh.filter(col("mod") === m).drop("mod"), num, den, k, bands, checkpointDir)
+          .select(least(col("doc_id_a"), col("doc_id_b")).as("a"),
+            greatest(col("doc_id_a"), col("doc_id_b")).as("b")),
+        checkpointDir)
+    }.reduce(_ unionByName _).distinct()
+    val comp = DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("n_sh").desc, col("doc_id"))
+    comp.join(sz, comp("id") === sz("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("doc_id")
+  }
+
+  /** [[containmentLosersFromShingles]] from raw media — ONE
+    * modality-detected decode pass ([[mediaShingles]]) then the shared
+    * stage core; `Cli corpus --pcontain` uses the shingle-frame form
+    * directly so the `--pdedup` combined decode can serve both stages.
+    */
+  def mediaContainmentLosers(
+      media: DataFrame,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentLosersFromShingles(
+      DedupClusters.ckpt(mediaShingles(media), checkpointDir),
+      num, den, k, bands, checkpointDir)
+
   /** DIRECTIONAL video containment — x25's rule on [[videoFrameShingles]]:
     * pairs (doc_id_a, doc_id_b, n_inter, n_a) where den·|A∩B| ≥
     * num·|A| over the distinct frame-bigram sets (default 4/5 = 0.8,
@@ -1358,9 +1431,15 @@ object PerceptualDedup {
       .select("a", "b").distinct()
     // exact verify on candidates only: intersection via the fingerprint
     // join RESTRICTED to candidate pairs, then x25's directional rule in
-    // BOTH orientations
+    // BOTH orientations. `sz` is CORPUS-sized (one row per doc) and its
+    // post-aggregation stats read small, so AQE would happily build it
+    // as a runtime broadcast — which OOM'd the 100x smoke's driver (in
+    // local mode the broadcast build shares the heap with every cached
+    // frame). The merge hint keeps the per-doc aggregate a shuffle join
+    // at every scale; the candidate-side joins keep their broadcast
+    // freedom (candidates are collision-bounded, never corpus-sized).
     val keys = Seq("s1", "q1", "s2", "q2")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).hint("merge")
     val inter = cand
       .join(sh.toDF("a", "s1", "q1", "s2", "q2"), "a")
       .join(sh.toDF("b", "s1", "q1", "s2", "q2"), Seq("b") ++ keys)

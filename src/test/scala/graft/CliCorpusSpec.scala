@@ -286,6 +286,77 @@ class CliCorpusSpec extends SparkSpec {
     assert(out.count() > 90)
   }
 
+  test("corpus --pcontain drops trimmed/cropped/excerpted media re-posts, keeps the sources") {
+    import org.apache.spark.sql.functions._
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-corpus-pcontain")
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // planted under trivially-edited texts (exact text dedup blind):
+    // 30001 re-posts frames 10..64 of doc 11's VIDEO (a trim — band
+    // hashes differ by design, --pdedup alone would keep both); 30002
+    // re-posts the tile-aligned CROP of doc 12's IMAGE; 30003 re-posts
+    // the pause-cut EXCERPT of doc 13's CLIP; 30005 posts a fresh image
+    // (must survive). Sources carry MORE shingles, so keep-most keeps
+    // them and drops every re-post.
+    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L))
+      .withColumn("doc_id", col("doc_id") + 29990L)
+      .withColumn("text", concat(col("text"), lit(" zq"), col("doc_id")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = docs0.unionByName(extraFull)
+    def cimg(img: Long, off: Int) = {
+      val tw = PerceptualDedup.CropTilesX - off
+      val th = PerceptualDedup.CropTilesY - off
+      val levels = Array.tabulate(tw, th)((i, j) =>
+        PerceptualDedup.fixtureTileLvl(img, i + off, j + off))
+      PerceptualDedup.makeBmp(tw * PerceptualDedup.TileSize, th * PerceptualDedup.TileSize,
+        (x, y) => levels(x / PerceptualDedup.TileSize)(y / PerceptualDedup.TileSize))
+    }
+    def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
+      PerceptualDedup.VideoWindows - from,
+      (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
+    val media = ((0L to 99L).filter(i => i != 11L && i != 12L && i != 13L)
+      .map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
+      Seq(
+        (11L, PerceptualDedup.fixtureAvi(11L * 5)),
+        (12L, cimg(12L * 5, 0)),
+        (13L, PerceptualDedup.fixtureWavUtt(13L * 5)),
+        (30001L, trim(11L * 5, 10)),
+        (30002L, cimg(12L * 5, 1)),
+        (30003L, PerceptualDedup.fixtureWavUtt(13L * 5, uttOff = PerceptualDedup.UttDrop)),
+        (30005L, cimg(8888L * 5, 0))))
+      .toDF("doc_id", "payload")
+    val docsPath = base.getPath + "/docs.parquet"
+    val mediaPath = base.getPath + "/media.parquet"
+    docs.write.parquet(docsPath)
+    media.write.parquet(mediaPath)
+    def runCapture(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { assert(Cli.run(spark, args) === 0) }
+      buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    }
+    // SHARED media path: the combined one-decode frame serves both the
+    // band dedup and the containment dedup
+    val j = runCapture(List("corpus", docsPath, base.getPath + "/out",
+      "--pdedup", mediaPath, "--pcontain", mediaPath))
+    assert(j.contains(
+      """"stages":["quality","dedup_exact","pdedup","pcontain","split","pack"]"""), j)
+    val out = spark.read.parquet(base.getPath + "/out")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(30001L) && ids.contains(11L), "video trim dropped, source kept")
+    assert(!ids.contains(30002L) && ids.contains(12L), "image crop dropped, source kept")
+    assert(!ids.contains(30003L) && ids.contains(13L), "audio excerpt dropped, source kept")
+    assert(ids.contains(30005L), "the fresh image survives")
+    // --pcontain on its OWN media path (no --pdedup) takes the
+    // standalone decode route and drops the same re-posts
+    val j2 = runCapture(List("corpus", docsPath, base.getPath + "/out2",
+      "--pcontain", mediaPath))
+    assert(j2.contains(""""stages":["quality","dedup_exact","pcontain","split","pack"]"""), j2)
+    val ids2 = spark.read.parquet(base.getPath + "/out2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids2.contains(30001L) && !ids2.contains(30002L) && !ids2.contains(30003L))
+    assert(ids2.contains(11L) && ids2.contains(12L) && ids2.contains(13L))
+  }
+
   test("corpus --mquality drops docs with dead media, keeps the rest") {
     import org.apache.spark.sql.functions._
     import xscale.PerceptualDedup

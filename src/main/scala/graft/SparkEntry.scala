@@ -46,6 +46,12 @@ object SparkEntry {
     // x152_crop_containment_lsh
     "x152_image_crop_containment",
     // the triad's third exact form; benched twin: x153_utt_containment_lsh
-    "x153_audio_containment"
+    "x153_audio_containment",
+    // the fourth shingle space's exact form; benched twin:
+    // x154_vcrop_containment_lsh
+    "x154_video_spatial_containment",
+    // bipartite raw-fingerprint join (the same collision-rate shape);
+    // benched twin: x155_thumb_containment_lsh
+    "x155_thumbnail_containment"
   )
 }

@@ -1198,6 +1198,131 @@ object Multimodal {
     if (sums.isEmpty) None else Some((w, h, sums.toArray, sqs.toArray))
   }
 
+  /** Per-frame TILE luma moments of an AVI — [[decodeImageTileStats]]'s
+    * fixed `tile`-px origin-anchored grid applied to EVERY complete
+    * '00db' frame, the decode primitive under video SPATIAL-crop
+    * containment ([[graft.xscale.PerceptualDedup.videoFrameTileShingles]]):
+    * each frame yields a tx×ty row-major grid of exact (luma sum, luma
+    * sum-of-squares) tile moments, tx = w div tile, ty = h div tile,
+    * partial edge tiles dropped. The grid is anchored at the IMAGE
+    * top-left (DIB rows are stored bottom-up — image row y reads from
+    * stored row h−1−y — so a tile here is bit-identical to the same
+    * pixels decoded through javax.imageio by [[decodeImageTileStats]]:
+    * the cross-modal identity thumbnail provenance rides on). Same
+    * hardened walk as [[decodeAviFrameStats]] (strict 'movi' list
+    * containment, truncated frames skipped, oversize headers refused by
+    * [[aviLayout]]). Returns (tx, ty, per-frame sums, per-frame sqs);
+    * None when the layout walk fails, the frame grid is under one tile,
+    * or no complete frame exists.
+    */
+  def decodeAviFrameTileStats(
+      p: Array[Byte],
+      tile: Int = 8): Option[(Int, Int, Array[Array[Long]], Array[Array[Long]])] = {
+    require(tile >= 1, s"tile=$tile: the tile edge must be >= 1")
+    val (w, h, moviOff, moviEnd) = aviLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val tx = w / tile
+    val ty = h / tile
+    if (tx <= 0 || ty <= 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val xMax = tx * tile
+    val yMax = ty * tile
+    val fs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val fq = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    foreachAviFrame(p, moviOff, moviEnd, rowSize.toLong * h) { off =>
+      val sums = new Array[Long](tx * ty)
+      val sqs = new Array[Long](tx * ty)
+      var y = 0
+      while (y < yMax) {
+        // bottom-up DIB: image row y lives at stored row h-1-y
+        val ro = off + (h - 1 - y) * rowSize
+        val base = (y / tile) * tx
+        var x = 0
+        while (x < xMax) {
+          val o = ro + 3 * x
+          val l = 299L * (p(o + 2) & 0xff) + 587L * (p(o + 1) & 0xff) +
+            114L * (p(o) & 0xff)
+          val i = base + x / tile
+          sums(i) += l
+          sqs(i) += l * l
+          x += 1
+        }
+        y += 1
+      }
+      fs += sums
+      fq += sqs
+    }
+    if (fs.isEmpty) None else Some((tx, ty, fs.toArray, fq.toArray))
+  }
+
+  /** ONE-PASS video decode for the `--pmedia --ptrim` hot path — the
+    * video twin of [[decodeImageBlocksTiles]] now that videos carry TWO
+    * shingle spaces: whole-frame luma moments ([[decodeAviFrameStats]]'s
+    * convention — feeds the temporal dHash bands AND the vid frame-bigram
+    * shingles) and per-frame `tile`-px tile moments
+    * ([[decodeAviFrameTileStats]]'s convention — feeds the vsp
+    * spatial-crop shingles) accumulate from a single pixel pass over each
+    * frame, so the combined frame never decodes a video twice. Returns
+    * (frameSums, frameSqs, tx, ty, tileSums, tileSqs); the frame halves
+    * are bit-identical to [[decodeAviFrameStats]] and the tile halves to
+    * [[decodeAviFrameTileStats]] (spec-pinned). `tx`/`ty` may be 0 for
+    * frames under one tile (band-hashable, no vsp shingles — the
+    * under-2×2 rule upstream); None only when the frame side would be
+    * None.
+    */
+  def decodeAviFrameStatsTiles(
+      p: Array[Byte],
+      tile: Int): Option[(Array[Long], Array[Long], Int, Int, Array[Array[Long]], Array[Array[Long]])] = {
+    require(tile >= 1, s"tile=$tile: the tile edge must be >= 1")
+    val (w, h, moviOff, moviEnd) = aviLayout(p) match {
+      case Some(l) => l
+      case None    => return None
+    }
+    val tx = w / tile
+    val ty = h / tile
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val xMax = tx * tile
+    val yMax = ty * tile
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val fq = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    foreachAviFrame(p, moviOff, moviEnd, rowSize.toLong * h) { off =>
+      var s = 0L
+      var sq = 0L
+      val tSums = if (tx > 0 && ty > 0) new Array[Long](tx * ty) else null
+      val tSqs = if (tSums != null) new Array[Long](tx * ty) else null
+      var y = 0
+      while (y < h) {
+        val ro = off + (h - 1 - y) * rowSize
+        val inTileRow = tSums != null && y < yMax
+        val tBase = if (inTileRow) (y / tile) * tx else 0
+        var x = 0
+        while (x < w) {
+          val o = ro + 3 * x
+          val l = 299L * (p(o + 2) & 0xff) + 587L * (p(o + 1) & 0xff) +
+            114L * (p(o) & 0xff)
+          s += l
+          sq += l * l
+          if (inTileRow && x < xMax) {
+            val ti = tBase + x / tile
+            tSums(ti) += l
+            tSqs(ti) += l * l
+          }
+          x += 1
+        }
+        y += 1
+      }
+      sums += s
+      sqs += sq
+      if (tSums != null) { fs += tSums; fq += tSqs }
+    }
+    if (sums.isEmpty) None
+    else Some((sums.toArray, sqs.toArray, tx, ty, fs.toArray, fq.toArray))
+  }
+
   /** Windowed exact-integer AVI decode — [[decodeWavFrameSums]] one
     * modality over (a direct-use convenience; the hash entries window
     * via [[graft.xscale.PerceptualDedup.videoBandsFromSums]] over one

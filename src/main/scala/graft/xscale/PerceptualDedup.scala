@@ -845,7 +845,14 @@ object PerceptualDedup {
     * [[Multimodal.decodeWavFrameSums]] re-bins the WHOLE clip into equal
     * windows and any trim moves every window boundary; since x153 its
     * containment signal is UTTERANCE-anchored instead:
-    * [[audioUtteranceShingles]].) Undecodable payloads and clips under 2 complete
+    * [[audioUtteranceShingles]].) The TEMPORAL axis is this signal's
+    * whole scope: a SPATIALLY cropped re-render (letterbox removal,
+    * watermark strip) moves every frame's whole-frame moment and evades
+    * both this form and the temporal dHash — that re-post mode is
+    * covered by the per-frame TILE shingle space instead
+    * ([[videoFrameTileShingles]], x154), the two video containment
+    * signals covering each other's blind spot the way the dHash/trim
+    * pair does. Undecodable payloads and clips under 2 complete
     * frames contribute no rows (failures are data). Both frame moments
     * go into the fingerprint — two different frames colliding on sum AND
     * sum-of-squares is the same documented approximation as
@@ -885,8 +892,8 @@ object PerceptualDedup {
     * every moment and is out of scope for this signal too (the video
     * trim rule). Undecodable payloads and images under 2×2 tiles
     * contribute no rows. Shingle count is (w/tile−1)·(h/tile−1) — the
-    * frames-per-clip shape, ~2M at the [[Multimodal.MaxDecodePixels]]
-    * header cap.
+    * frames-per-clip shape, bounded by [[Multimodal.MaxDecodePixels]]/tile²
+    * ≈ 1M at the header cap.
     */
   def imageTileShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
     val spark = media.sparkSession
@@ -979,6 +986,132 @@ object PerceptualDedup {
       checkpointDir: Option[String] = None): DataFrame =
     containmentPairsLshFromShingles(
       audioUtteranceShingles(media), num, den, k, bands, checkpointDir)
+
+  /** Per-video SPATIAL-crop containment shingles — the fourth shingle
+    * space (`vsp`), closing the one evasion the r14 triad left open: a
+    * spatially cropped video re-render (letterbox removal, watermark
+    * strip, aspect re-frame) keeps every frame temporally but moves
+    * every frame's WHOLE-FRAME luma moment, so it evades both the
+    * temporal dHash ([[videoDhashBands]]) and the trim signal
+    * ([[videoFrameShingles]]) — before this operator it sailed through
+    * every video signal silently. The x152 recipe composed per frame:
+    * fixed `tile`-px origin-anchored tile moments of EVERY frame
+    * ([[Multimodal.decodeAviFrameTileStats]] — the image tile decoder's
+    * grid through the hardened AVI walk, bottom-up DIB rows mapped to
+    * image space so a tile is bit-identical to the same pixels through
+    * javax.imageio), fingerprinted as diagonal 2×2 tile neighborhoods
+    * ([[shinglesFromTiles]]) and DISTINCT-unioned across frames per
+    * video (frames of one payload dedupe locally in the decode pass —
+    * no shuffle). A crop at tile-aligned offsets keeps every interior
+    * neighborhood of every frame bit-exact → containment ~1.0 in the
+    * source. HONEST LIMITS (each the established per-space rule): a
+    * non-multiple-of-`tile` crop offset moves every tile boundary and
+    * shares nothing (the x152 framing rule); a crop that also
+    * re-brightens moves every moment (the trim-signal rule); a crop
+    * that also TRIMS temporally still matches (the surviving frames'
+    * interior neighborhoods are a subset — the two video spaces compose
+    * rather than conflict). Frames under 2×2 tiles contribute no rows.
+    */
+  def videoFrameTileShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+          videoTileShingleSet(p, tile).map { case (a, b, c, d) => (id, a, b, c, d) }
+        })
+      }
+      .toDF("doc_id", "s1", "q1", "s2", "q2")
+  }
+
+  /** The per-payload vsp shingle SET — [[videoFrameTileShingles]]'s
+    * decode step, shared with the combined one-pass frame: per-frame
+    * diagonal tile neighborhoods, DISTINCT across the clip's frames
+    * (locally — all frames of a payload are in hand, so the dedupe costs
+    * no shuffle and the engine's rows-are-distinct-per-doc contract
+    * holds).
+    */
+  private def videoTileShingleSet(
+      p: Array[Byte],
+      tile: Int): Vector[(Long, Long, Long, Long)] =
+    Multimodal.decodeAviFrameTileStats(p, tile) match {
+      case Some((tx, ty, fs, fq)) => distinctFrameTileShingles(tx, ty, fs, fq)
+      case None                   => Vector.empty
+    }
+
+  /** Distinct-across-frames diagonal tile neighborhoods from per-frame
+    * tile moment grids — the shared tail of [[videoTileShingleSet]] and
+    * the combined one-pass decode.
+    */
+  private[xscale] def distinctFrameTileShingles(
+      tx: Int,
+      ty: Int,
+      fs: Array[Array[Long]],
+      fq: Array[Array[Long]]): Vector[(Long, Long, Long, Long)] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long, Long)]
+    var f = 0
+    while (f < fs.length) {
+      shinglesFromTiles(tx, ty, fs(f), fq(f)).foreach(seen += _)
+      f += 1
+    }
+    seen.toVector
+  }
+
+  /** [[videoFrameTileShingles]] WITH frame identity — the thumbnail
+    * provenance side (x155) needs per-FRAME shingle sets (a thumbnail is
+    * contained in one frame, not diluted across the clip's union):
+    * (doc_id, frame_idx, s1, q1, s2, q2), distinct within a frame
+    * ([[shinglesFromTiles]]'s own distinct), frame_idx counting complete
+    * decoded frames in 'movi' order.
+    */
+  def videoFrameTileShinglesByFrame(media: DataFrame, tile: Int = TileSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+          Multimodal.decodeAviFrameTileStats(p, tile) match {
+            case Some((tx, ty, fs, fq)) =>
+              fs.indices.flatMap { f =>
+                shinglesFromTiles(tx, ty, fs(f), fq(f))
+                  .map { case (a, b, c, d) => (id, f.toLong, a, b, c, d) }
+              }
+            case None => Nil
+          }
+        })
+      }
+      .toDF("doc_id", "frame_idx", "s1", "q1", "s2", "q2")
+  }
+
+  /** DIRECTIONAL video SPATIAL-crop containment — the x147/x152/x153
+    * rule on the fourth shingle space: den·|A∩B| ≥ num·|A| over the
+    * distinct per-frame tile-neighborhood fingerprints. Shares the exact
+    * engine verbatim; the scale path is
+    * [[videoSpatialContainmentPairsLsh]].
+    */
+  def videoSpatialContainmentPairs(
+      media: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsFromShingles(videoFrameTileShingles(media, tile), num, den, checkpointDir)
+
+  /** The video spatial-crop SCALE path — the shared LSH engine on
+    * [[videoFrameTileShingles]]; same cross-engine md5 minhashes and
+    * inlined permutation literals (oracle-keyed as
+    * x154_vcrop_containment_lsh), same Jaccard S-curve recall contract.
+    */
+  def videoSpatialContainmentPairsLsh(
+      media: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame =
+    containmentPairsLshFromShingles(
+      videoFrameTileShingles(media, tile), num, den, k, bands, checkpointDir)
 
   /** Modality-detected CONTAINMENT shingles over mixed media — the
     * shingle-space twin of [[mediaHashFrame]], the scan the `--ptrim`
@@ -1310,9 +1443,13 @@ object PerceptualDedup {
     * the brightened/re-encoded thumbnail byte equality cannot see; a
     * thumbnail at a DIFFERENT resolution matches when the scale is
     * integral (the x142 invariance) — arbitrary rescales are the
-    * documented limit. Scale: frames-per-video is capped by the stride,
-    * the join shuffles 16-byte band keys, and neither payload side
-    * shuffles; images and frames are each decoded once.
+    * documented limit, and a CROPPED thumbnail moves every dHash block
+    * boundary and evades this form BY DESIGN — that re-post mode is
+    * covered by the tile-shingle bipartite containment instead
+    * ([[thumbnailContainmentPairs]], x155). Scale: frames-per-video is
+    * capped by the stride, the join shuffles 16-byte band keys, and
+    * neither payload side shuffles; images and frames are each decoded
+    * once.
     */
   def thumbnailMatches(
       images: DataFrame,
@@ -1346,6 +1483,117 @@ object PerceptualDedup {
     cand.join(ih, "doc_id").join(fh, Seq("vid_id", "frame_idx"))
       .filter(ham <= maxHamming)
       .select("doc_id", "vid_id", "frame_idx")
+  }
+
+  /** CROPPED-thumbnail provenance — the bipartite containment form
+    * [[thumbnailMatches]] cannot be: which images are (possibly
+    * tile-aligned-cropped) regions of which corpus-video frames. The
+    * image side's diagonal tile-neighborhood fingerprints
+    * ([[imageTileShingles]]) and the video side's PER-FRAME tile
+    * fingerprints ([[videoFrameTileShinglesByFrame]]) live in the SAME
+    * numeric space on purpose — one tile function, one luma, one grid
+    * anchor (the cross-modal identity [[Multimodal.decodeAviFrameTileStats]]
+    * pins against javax.imageio), the [[thumbnailMatches]] one-hash-one-
+    * space rule on the shingle axis — so x25's directional rule applies
+    * ACROSS modalities: (doc_id, vid_id, frame_idx, n_inter, n_a) where
+    * den·|A∩F| ≥ num·|A| for A the image's distinct fingerprint set and
+    * F ONE frame's (per-frame, not the clip union — a 20-shingle
+    * thumbnail would dilute to nothing against a 2-hour clip's union).
+    * A tile-aligned crop of a frame is contained at 1.0; a full-frame
+    * re-post at 1.0 with n_a = the frame's own count. Directional only
+    * (image side): "is this frame contained in that image" is not
+    * provenance. HONEST LIMITS: the x152 framing rule (non-tile-aligned
+    * crop offsets shift every boundary), the brightness rule (a
+    * re-brightened thumbnail moves every moment — [[thumbnailMatches]]'s
+    * dHash covers that case, the two operators covering each other's
+    * blind spot), and the x142 scale rule (a RESIZED crop is out of
+    * scope for both). Precondition: image and video doc_id spaces must
+    * be globally unique (the admission id rule); the engine never
+    * equates them. Scale caveat: this exact form joins raw fingerprints
+    * (collision-rate candidate mass) — at 100 TB use
+    * [[thumbnailContainmentPairsLsh]].
+    */
+  def thumbnailContainmentPairs(
+      images: DataFrame,
+      videos: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    val imgSh = DedupClusters.ckpt(imageTileShingles(images, tile), checkpointDir)
+    val frameSh =
+      DedupClusters.ckpt(videoFrameTileShinglesByFrame(videos, tile), checkpointDir)
+    val sz = imgSh.groupBy("doc_id").agg(count(lit(1)).as("n_a")).hint("merge")
+    val keys = Seq("s1", "q1", "s2", "q2")
+    imgSh.join(frameSh.withColumnRenamed("doc_id", "vid_id"), keys)
+      .groupBy("doc_id", "vid_id", "frame_idx").agg(count(lit(1)).as("n_inter"))
+      .join(sz, "doc_id")
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select("doc_id", "vid_id", "frame_idx", "n_inter", "n_a")
+  }
+
+  /** The thumbnail-provenance SCALE path — the x147 LSH recipe made
+    * bipartite: minhash each image's fingerprint set AND each (video,
+    * frame)'s set through the SAME md5 h60 + affine permutation literals
+    * (so the DuckDB oracle recomputes the identical candidate set —
+    * x155_thumb_containment_lsh is oracle-keyed), band-join ACROSS the
+    * two sides only, exact directional verify on candidate (image,
+    * frame) pairs. Geometry defaults RECALL-leaning (16 minhashes in 8
+    * bands of 2, band match probability J² — the `--pcontain` dedup-
+    * stage rationale: a missed thumbnail ships a leaked frame forever,
+    * and the extra bands double band-key rows, never verify cost). A
+    * tile-aligned crop of a frame has J = |A|/|F| (subset), mid-curve
+    * at typical crop ratios — found or not is a fixed deterministic
+    * fact both engines agree on; extreme crops need the exact form
+    * (the documented extreme-ratio limit). Scale: candidate mass
+    * follows band collisions; joins shuffle 16-byte band keys and
+    * 32-byte fingerprints, never payloads; each side is decoded once.
+    */
+  def thumbnailContainmentPairsLsh(
+      images: DataFrame,
+      videos: DataFrame,
+      tile: Int = TileSize,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    require(k % bands == 0, s"k=$k minhashes must divide into $bands bands")
+    val imgSh = DedupClusters.ckpt(imageTileShingles(images, tile), checkpointDir)
+    val frameSh =
+      DedupClusters.ckpt(videoFrameTileShinglesByFrame(videos, tile), checkpointDir)
+    val rows = k / bands
+    def mh(i: Int) =
+      min((lit(containmentLshA(i)) * (col("hk") % XHash.P) + lit(containmentLshB(i)))
+        % XHash.P)
+    def bandKeys(keyed: DataFrame, group: Seq[String]): DataFrame = {
+      val mins = keyed.groupBy(group.map(col): _*).agg(
+        mh(0).as("m0"), (1 until k).map(i => mh(i).as(s"m$i")): _*)
+      mins.select(group.map(col) :+
+        posexplode(array((0 until bands).map { b =>
+          XHash.h60(concat_ws("^",
+            (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+        }: _*)).as(Seq("bj", "bk")): _*)
+    }
+    val hk = XHash.h60(concat_ws("^", col("s1"), col("q1"), col("s2"), col("q2"))).as("hk")
+    val ib = bandKeys(imgSh.select(col("doc_id"), hk), Seq("doc_id"))
+    val fb = bandKeys(
+      frameSh.select(col("doc_id").as("vid_id"), col("frame_idx"), hk),
+      Seq("vid_id", "frame_idx"))
+    val cand = ib.join(fb, Seq("bj", "bk"))
+      .select("doc_id", "vid_id", "frame_idx").distinct()
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = imgSh.groupBy("doc_id").agg(count(lit(1)).as("n_a")).hint("merge")
+    cand
+      .join(imgSh, "doc_id")
+      .join(frameSh.toDF(Seq("vid_id", "frame_idx") ++ keys: _*),
+        Seq("vid_id", "frame_idx") ++ keys)
+      .groupBy("doc_id", "vid_id", "frame_idx").agg(count(lit(1)).as("n_inter"))
+      .join(sz, "doc_id")
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select("doc_id", "vid_id", "frame_idx", "n_inter", "n_a")
   }
 
   /** MinHash permutation coefficients for [[videoContainmentPairsLsh]] —
@@ -2381,6 +2629,265 @@ object PerceptualDedup {
       .toDF("doc_id", "payload")
   }
 
+  /** Closed-form fixture tile level for the x154/x155 pair — the x152
+    * tile closed form with a FRAME axis and its own content separator
+    * ('w'): per-(frame, tile) levels in [30, 236]; brightness variant
+    * shifts every tile of every frame (+10 — moves every moment, by
+    * design NOT contained); edit variant bumps frame 1's tile (2, 2)
+    * (+25 — kills exactly the 2 diagonal neighborhoods touching it in
+    * that frame, ≥118/120 stays over the 0.8 rule).
+    */
+  def fixtureVidTileLvl(docId: Long, f: Int, i: Int, j: Int): Int = {
+    val v = variantOf(docId)
+    (XHash.h60(s"${contentKey(docId)}w${f}_${i}_$j") % 181).toInt + 30 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && f == 1 && i == 2 && j == 2) 25 else 0)
+  }
+
+  /** Frames per x154/x155 fixture video — enough that the spatial crop's
+    * per-frame subset relation is exercised across several frames while
+    * the 500-doc fixture stays decode-cheap (6 × 6×5 tiles = 720 tile
+    * moments per clip).
+    */
+  val VcropFrames = 6
+
+  /** Shared oracle-CTE prefix for the x154 pair — [[x152BgSql]] with the
+    * frame axis: the closed-form SPATIAL-crop fixture's distinct
+    * per-frame diagonal tile-neighborhood sets `bg(doc_id, g1, g2)` +
+    * sizes `sz`. `off` is the crop's TILE offset applied to EVERY frame
+    * (crop tile (i, j) of frame f = source tile (i+1, j+1) of the SAME
+    * frame f) — the letterbox-strip/watermark-crop re-render the
+    * temporal signals cannot see.
+    */
+  private def x154BgSql: String =
+    "src AS (SELECT doc_id, doc_id AS img_id, 0 AS off FROM documents " +
+      "UNION ALL SELECT doc_id + 5000000, doc_id, 1 FROM documents " +
+      "WHERE doc_id % 15 = 0), " +
+      s"dv AS (SELECT doc_id, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src), " +
+      "dk AS (SELECT doc_id, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv), " +
+      s"fr AS (SELECT doc_id, v, ck, off, " +
+      s"unnest(generate_series(0, ${VcropFrames - 1})) AS f FROM dk), " +
+      s"ti AS (SELECT doc_id, v, ck, off, f, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1} - off)) AS i FROM fr), " +
+      s"tf AS (SELECT doc_id, v, ck, off, f, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1} - off)) AS j FROM ti), " +
+      "tg AS (SELECT doc_id, f, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 'w' || CAST(f AS VARCHAR) || '_' || " +
+          "CAST(i + off AS VARCHAR) || '_' || CAST(j + off AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 1 AND i + off = 2 AND j + off = 2 THEN 25 ELSE 0 END " +
+      "AS g FROM tf), " +
+      "bg AS (SELECT DISTINCT l.doc_id, l.g AS g1, r.g AS g2 FROM tg l " +
+      "JOIN tg r ON r.doc_id = l.doc_id AND r.f = l.f " +
+      "AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)"
+
+  /** Shared Spark-side fixture media for the x154 pair: one real
+    * [[VcropFrames]]-frame AVI of 6×5-tile frames per doc, plus every
+    * 15th doc's SPATIAL CROP (every frame's tiles (1..5, 1..4) re-posted
+    * under a disjoint id — same frames, smaller canvas) — the population
+    * [[x154BgSql]] describes in closed form. One md5 per (frame, tile).
+    */
+  private def x154FixtureMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val src = ids.select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      .unionByName(ids.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(1).as("off")))
+    src.as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, off) => (id, fixtureAviTiles(img, off)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** A real AVI of the x154 closed form at tile offset `off` (0 = the
+    * full 6×5-tile clip; 1 = the spatial crop: every frame's tile grid
+    * shifted one row + column, 5×4 tiles).
+    */
+  def fixtureAviTiles(docId: Long, off: Int): Array[Byte] = {
+    val tw = CropTilesX - off
+    val th = CropTilesY - off
+    // one md5 per (frame, tile), not per pixel (the fixtureAvi pattern)
+    val levels = Array.tabulate(VcropFrames, tw, th)(
+      (f, i, j) => fixtureVidTileLvl(docId, f, i + off, j + off))
+    makeAvi(tw * TileSize, th * TileSize, VcropFrames,
+      (f, x, y) => levels(f)(x / TileSize)(y / TileSize))
+  }
+
+  /** Shared oracle-CTE prefix for the x155 pair: the full-grid x154
+    * videos' per-FRAME bigram sets `vbg(doc_id, f, g1, g2)` plus the
+    * THUMBNAIL images' sets `tbg(img_id, g1, g2)` + sizes `tsz` — every
+    * 3rd doc posts a thumbnail of its video's frame (doc div 3) mod
+    * [[VcropFrames]], CROPPED one tile row + column when doc ≡ 0
+    * (mod 6), full-frame otherwise. Thumbnail ids live at +7000000 —
+    * the globally-unique-id precondition.
+    */
+  private def x155BgSql: String =
+    s"vdv AS (SELECT doc_id, doc_id // $ClusterSize AS c, " +
+      s"doc_id % $ClusterSize AS v FROM documents), " +
+      "vdk AS (SELECT doc_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM vdv), " +
+      s"vfr AS (SELECT doc_id, v, ck, " +
+      s"unnest(generate_series(0, ${VcropFrames - 1})) AS f FROM vdk), " +
+      s"vti AS (SELECT doc_id, v, ck, f, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1})) AS i FROM vfr), " +
+      s"vtf AS (SELECT doc_id, v, ck, f, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1})) AS j FROM vti), " +
+      "vtg AS (SELECT doc_id, f, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 'w' || CAST(f AS VARCHAR) || '_' || " +
+          "CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 1 AND i = 2 AND j = 2 THEN 25 ELSE 0 END " +
+      "AS g FROM vtf), " +
+      "vbg AS (SELECT DISTINCT l.doc_id, l.f, l.g AS g1, r.g AS g2 FROM vtg l " +
+      "JOIN vtg r ON r.doc_id = l.doc_id AND r.f = l.f " +
+      "AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      "tsrc AS (SELECT doc_id + 7000000 AS img_id, doc_id, " +
+      s"(doc_id // 3) % $VcropFrames AS f0, " +
+      "CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS toff " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      s"tdv AS (SELECT img_id, f0, toff, doc_id // $ClusterSize AS c, " +
+      s"doc_id % $ClusterSize AS v FROM tsrc), " +
+      "tdk AS (SELECT img_id, f0, toff, v, " +
+      "c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END AS ck FROM tdv), " +
+      s"tti AS (SELECT img_id, f0, toff, v, ck, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1} - toff)) AS i FROM tdk), " +
+      s"ttf AS (SELECT img_id, f0, toff, v, ck, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1} - toff)) AS j FROM tti), " +
+      "ttg AS (SELECT img_id, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 'w' || CAST(f0 AS VARCHAR) || '_' || " +
+          "CAST(i + toff AS VARCHAR) || '_' || CAST(j + toff AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f0 = 1 AND i + toff = 2 AND j + toff = 2 THEN 25 ELSE 0 END " +
+      "AS g FROM ttf), " +
+      "tbg AS (SELECT DISTINCT l.img_id, l.g AS g1, r.g AS g2 FROM ttg l " +
+      "JOIN ttg r ON r.img_id = l.img_id AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      "tsz AS (SELECT img_id, count(*) AS n FROM tbg GROUP BY 1)"
+
+  /** The exact x155 oracle tail over [[x155BgSql]]'s `tbg`/`tsz`/`vbg`:
+    * bipartite directional containment, image side only.
+    */
+  private def x155ExactTailSql: String =
+    "inter AS (SELECT t.img_id, v.doc_id AS vid_id, v.f, count(*) AS i FROM tbg t " +
+      "JOIN vbg v ON v.g1 = t.g1 AND v.g2 = t.g2 GROUP BY 1, 2, 3) " +
+      "SELECT inter.img_id AS doc_id, vid_id, CAST(f AS BIGINT) AS frame_idx, " +
+      "CAST(i AS BIGINT) AS n_inter, CAST(tsz.n AS BIGINT) AS n_a " +
+      "FROM inter JOIN tsz ON tsz.img_id = inter.img_id " +
+      "WHERE 5 * i >= 4 * tsz.n ORDER BY doc_id, vid_id, frame_idx"
+
+  /** The BIPARTITE LSH-containment oracle tail over [[x155BgSql]] —
+    * [[lshContainSql]]'s recipe with per-side minhash groups (images by
+    * img_id, videos by (doc_id, f)) and the x155 recall-leaning 8×2
+    * geometry; `sMul`/`qMul` are the uniform-tile closed-form
+    * multipliers (64000 and 64·10⁶ for 8-px tiles).
+    */
+  private def lshThumbSql(sMul: Long, qMul: Long): String = {
+    val k = 16
+    val bands = 8
+    val rows = k / bands
+    val p = XHash.P
+    def hkInner(g1: String, g2: String) =
+      s"CAST($sMul * $g1 AS VARCHAR) || '^' || CAST($qMul * $g1 * $g1 AS VARCHAR) " +
+        s"|| '^' || CAST($sMul * $g2 AS VARCHAR) || '^' || CAST($qMul * $g2 * $g2 AS VARCHAR)"
+    val minCols = (0 until k).map(i =>
+      s"min((${containmentLshA(i)} * (hk % $p) + ${containmentLshB(i)}) % $p) AS m$i")
+      .mkString(", ")
+    def bandSel(src: String, group: String) = (0 until bands).map { b =>
+      val inner = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '^' || ")
+      s"SELECT $group, $b AS bj, ${XHash.h60Sql(inner)} AS bk FROM $src"
+    }.mkString(" UNION ALL ")
+    s"thk AS (SELECT img_id, ${XHash.h60Sql(hkInner("g1", "g2"))} AS hk FROM tbg), " +
+      s"tmins AS (SELECT img_id, $minCols FROM thk GROUP BY img_id), " +
+      s"tbnd AS (${bandSel("tmins", "img_id")}), " +
+      s"vhk AS (SELECT doc_id, f, ${XHash.h60Sql(hkInner("g1", "g2"))} AS hk FROM vbg), " +
+      s"vmins AS (SELECT doc_id, f, $minCols FROM vhk GROUP BY doc_id, f), " +
+      s"vbnd AS (${bandSel("vmins", "doc_id, f")}), " +
+      "cand AS (SELECT DISTINCT t.img_id, v.doc_id AS vid_id, v.f FROM tbnd t " +
+      "JOIN vbnd v ON v.bj = t.bj AND v.bk = t.bk), " +
+      "icv AS (SELECT c.img_id, c.vid_id, c.f, count(*) AS i FROM cand c " +
+      "JOIN tbg ON tbg.img_id = c.img_id " +
+      "JOIN vbg ON vbg.doc_id = c.vid_id AND vbg.f = c.f " +
+      "AND vbg.g1 = tbg.g1 AND vbg.g2 = tbg.g2 GROUP BY 1, 2, 3) " +
+      "SELECT icv.img_id AS doc_id, vid_id, CAST(f AS BIGINT) AS frame_idx, " +
+      "CAST(i AS BIGINT) AS n_inter, CAST(tsz.n AS BIGINT) AS n_a " +
+      "FROM icv JOIN tsz ON tsz.img_id = icv.img_id " +
+      "WHERE 5 * i >= 4 * tsz.n ORDER BY doc_id, vid_id, frame_idx"
+  }
+
+  /** Shared Spark-side fixture media for the x155 pair: the full-grid
+    * x154 videos (one per doc) plus every 3rd doc's THUMBNAIL — a real
+    * BMP of one frame, cropped one tile row + column when doc ≡ 0
+    * (mod 6) — the population [[x155BgSql]] describes in closed form.
+    * Returns (videos, images).
+    */
+  private def x155FixtureMedia(ids: DataFrame): (DataFrame, DataFrame) = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val vids = ids.as[Long]
+      .mapPartitions(_.map(id => (id, fixtureAviTiles(id, 0))))
+      .toDF("doc_id", "payload")
+    val thumbs = ids.filter(col("doc_id") % 3 === 0).as[Long]
+      .mapPartitions(_.map { id =>
+        val f0 = ((id / 3) % VcropFrames).toInt
+        val off = if (id % 6 == 0) 1 else 0
+        (id + 7000000L, fixtureThumbBmp(id, f0, off))
+      })
+      .toDF("doc_id", "payload")
+    (vids, thumbs)
+  }
+
+  /** A real BMP of ONE x154 closed-form frame at tile offset `off` — the
+    * thumbnail re-post (0 = the full frame, 1 = the tile-aligned crop).
+    */
+  def fixtureThumbBmp(docId: Long, f0: Int, off: Int): Array[Byte] = {
+    val tw = CropTilesX - off
+    val th = CropTilesY - off
+    val levels =
+      Array.tabulate(tw, th)((i, j) => fixtureVidTileLvl(docId, f0, i + off, j + off))
+    makeBmp(tw * TileSize, th * TileSize,
+      (x, y) => levels(x / TileSize)(y / TileSize))
+  }
+
+  /** The spatial-crop-admission oracle: [[admitIcropSql]] with the frame
+    * axis — `off` is the crop's TILE offset applied to every frame of
+    * the batch re-arrival, the bigrams are per-frame diagonal tile
+    * neighborhoods, and the tail is the shared containment rule
+    * verbatim.
+    */
+  private def admitVcropSql: String =
+    s"${admitSrc2Sql(1)}, " +
+      s"dv2 AS (SELECT doc_id, side, off, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "dk2 AS (SELECT doc_id, side, off, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM dv2), " +
+      s"fr2 AS (SELECT doc_id, side, v, ck, off, " +
+      s"unnest(generate_series(0, ${VcropFrames - 1})) AS f FROM dk2), " +
+      s"ti2 AS (SELECT doc_id, side, v, ck, off, f, " +
+      s"unnest(generate_series(0, ${CropTilesX - 1} - off)) AS i FROM fr2), " +
+      s"tf2 AS (SELECT doc_id, side, v, ck, off, f, i, " +
+      s"unnest(generate_series(0, ${CropTilesY - 1} - off)) AS j FROM ti2), " +
+      "tg2 AS (SELECT doc_id, side, f, i, j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 'w' || CAST(f AS VARCHAR) || '_' || " +
+          "CAST(i + off AS VARCHAR) || '_' || CAST(j + off AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN v = 2 AND f = 1 AND i + off = 2 AND j + off = 2 THEN 25 ELSE 0 END " +
+      "AS g FROM tf2), " +
+      "bg2 AS (SELECT DISTINCT l.doc_id, l.side, l.g AS g1, r.g AS g2 FROM tg2 l " +
+      "JOIN tg2 r ON r.doc_id = l.doc_id AND r.side = l.side AND r.f = l.f " +
+      "AND r.i = l.i + 1 AND r.j = l.j + 1), " +
+      admitContainTailSql("near_dup_corpus_vcrop", "near_dup_batch_vcrop")
+
   /** Shared Spark-side fixture media for the x147 pair: one real
     * [[VideoWindows]]-frame AVI per doc, plus every 15th doc's TRIM
     * (frames 10..64 re-posted under a disjoint id) — the same population
@@ -3387,6 +3894,192 @@ object PerceptualDedup {
           col("doc_id"),
           when(col("near_trim"), "near_dup_corpus_atrim")
             .when(coalesce(col("lb"), lit(false)), "near_dup_batch_atrim")
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
+
+    // ----- x154: video SPATIAL-crop containment (per-frame tiles, exact baseline) -----
+    Q(
+      "x154_video_spatial_containment",
+      Some(
+        s"WITH $x154BgSql, " +
+          "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM bg a " +
+          "JOIN bg b ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id <> b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_inter, " +
+          "CAST(sa.n AS BIGINT) AS n_a FROM inter JOIN sz sa ON sa.doc_id = da " +
+          "WHERE 5 * i >= 4 * sa.n ORDER BY doc_id_a, doc_id_b"),
+      "Video SPATIAL-crop containment — the fourth shingle space, closing the one " +
+        "evasion the r14 triad left open (the round-14 verdict's #1 ask): a " +
+        "spatially cropped video re-render (letterbox removal, watermark strip) " +
+        "keeps every frame temporally but moves every frame's WHOLE-frame luma " +
+        "moment, so it evades BOTH the temporal dHash (x145) and the trim signal " +
+        "(x147) silently. The x152 recipe composed per frame: fixed 8-px " +
+        "origin-anchored tile moments of EVERY frame through the hardened AVI walk " +
+        "(decodeAviFrameTileStats — bottom-up DIB rows mapped to image space, so a " +
+        "tile is bit-identical to the same pixels through javax.imageio), diagonal " +
+        "2x2 tile-neighborhood fingerprints DISTINCT-unioned across frames per " +
+        "video, x25's directional rule at 0.8. A tile-aligned crop keeps every " +
+        "interior neighborhood of every frame bit-exact and is contained at 1.0 in " +
+        "its source; the source stays at 12/20 per frame below the rule " +
+        "(directional). HONEST LIMITS, each the established per-space rule: " +
+        "non-multiple-of-8 crop offsets shift every tile boundary (the x152 " +
+        "framing rule, spec-pinned from the evasion side); a re-brightened crop " +
+        "moves every moment (the trim-signal rule); a crop that ALSO trims " +
+        "temporally still matches (subset of a subset — the two video spaces " +
+        "compose). Fixture: 6-frame 6x5-tile closed-form AVIs; every 15th doc " +
+        "re-posts every frame's tiles (1..5, 1..4) as a REAL 5x4-tile AVI. Oracle " +
+        "recomputes the per-(frame, tile) levels, pinning encode -> AVI walk -> " +
+        "tile moments -> per-frame diagonal shingles -> cross-frame distinct -> " +
+        "containment. EXACTNESS BASELINE: all-pairs fingerprint self-join, " +
+        "benchExcluded like the x147/x152/x153 exact forms; the benched " +
+        "production twin is x154_vcrop_containment_lsh."
+    ) { (s, dir) =>
+      videoSpatialContainmentPairs(
+        x154FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x154 scale twin: LSH-candidate spatial-crop containment (benched) -----
+    Q(
+      "x154_vcrop_containment_lsh",
+      Some(s"WITH $x154BgSql, ${lshContainSql(64000L, 64000000L)}"),
+      "The video spatial-crop SCALE path — containmentPairsLshFromShingles on the " +
+        "cross-frame tile shingles, sharing the x147/x152/x153 LSH engine " +
+        "verbatim: one md5 h60 per distinct fingerprint, 16 affine " +
+        "hash-permutation minhashes (driver-derived literals inlined into BOTH " +
+        "engines), 4-way banding, ONE keyed join on 60-bit band keys, exact " +
+        "directional verify on candidates only (precision 1.0 by construction). " +
+        "The oracle recomputes the IDENTICAL candidate set from the closed-form " +
+        "per-(frame, tile) levels (s = 64000g, q = 64e6 g^2 for 8x8 uniform " +
+        "tiles), pinning the full cross-engine chain on the fourth shingle " +
+        "space. Recall follows the Jaccard S-curve (the fixture's 72/120 crop " +
+        "sits mid-curve — found or not is a fixed deterministic fact both " +
+        "engines agree on); extreme-ratio containment needs the exact form, " +
+        "documented. Scale: candidate mass follows band collisions, never the " +
+        "fingerprint collision rate; joins shuffle 16-byte band keys and " +
+        "32-byte fingerprints, never payloads."
+    ) { (s, dir) =>
+      videoSpatialContainmentPairsLsh(
+        x154FixtureMedia(table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // ----- x155: cropped-thumbnail provenance (bipartite containment, exact baseline) -----
+    Q(
+      "x155_thumbnail_containment",
+      Some(s"WITH $x155BgSql, $x155ExactTailSql"),
+      "CROPPED-thumbnail provenance — the bipartite containment form x148's exact " +
+        "dHash match cannot be (the round-14 verdict's #4 ask): which images are " +
+        "(possibly tile-aligned-cropped) regions of which corpus-video frames. " +
+        "The image tile shingles (x152) and the video per-FRAME tile shingles " +
+        "(x154's decoder WITH frame identity) live in the same numeric space ON " +
+        "PURPOSE — one tile function, one luma, one grid anchor; the cross-modal " +
+        "identity is what decodeAviFrameTileStats's bottom-up-DIB mapping is " +
+        "spec-pinned against javax.imageio FOR — so x25's rule applies ACROSS " +
+        "modalities: den*|A inter F| >= num*|A| for A the image's fingerprint set " +
+        "and F ONE frame's (per-frame, not the clip union — a 20-shingle " +
+        "thumbnail would dilute to nothing against long footage). Directional " +
+        "(image side) only: frame-in-image is not provenance. A tile-aligned " +
+        "crop of a frame is contained at 1.0; a full-frame re-post at 1.0. " +
+        "HONEST LIMITS: the x152 framing rule (non-aligned crop offsets), the " +
+        "brightness rule (x148's dHash covers the re-brightened FULL thumbnail " +
+        "— the two operators cover each other's blind spot), the x142 scale " +
+        "rule (a RESIZED crop evades both — documented). Fixture: the x154 " +
+        "full-grid videos; every 3rd doc posts a thumbnail of frame (doc div 3) " +
+        "mod 6, cropped one tile row+column when doc % 6 = 0, full-frame " +
+        "otherwise, ids at +7000000 (the globally-unique-id precondition). " +
+        "Oracle recomputes both sides' tile levels, pinning BMP encode -> " +
+        "imageio decode AND AVI encode -> DIB walk -> one shared fingerprint " +
+        "space -> bipartite containment. EXACTNESS BASELINE: raw fingerprint " +
+        "join (collision-rate candidate mass), benchExcluded; the benched " +
+        "production twin is x155_thumb_containment_lsh."
+    ) { (s, dir) =>
+      val (vids, thumbs) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      thumbnailContainmentPairs(thumbs, vids)
+        .orderBy("doc_id", "vid_id", "frame_idx")
+    },
+
+    // ----- x155 scale twin: bipartite LSH thumbnail containment (benched) -----
+    Q(
+      "x155_thumb_containment_lsh",
+      Some(s"WITH $x155BgSql, ${lshThumbSql(64000L, 64000000L)}"),
+      "The thumbnail-provenance SCALE path — the shared LSH recipe made " +
+        "BIPARTITE: minhash each image's fingerprint set AND each (video, " +
+        "frame)'s set through the SAME md5 h60 + inlined affine permutation " +
+        "literals, band-join ACROSS the two sides only, exact directional " +
+        "verify on candidate (image, frame) pairs (precision 1.0 by " +
+        "construction). Geometry is the recall-leaning 8 bands x 2 rows (band " +
+        "match probability J^2 — the --pcontain dedup-stage rationale: a missed " +
+        "thumbnail ships a leaked frame forever; the extra bands double band-key " +
+        "rows, never verify cost). The oracle recomputes the IDENTICAL " +
+        "candidate set from the closed-form levels, so the green row pins the " +
+        "full cross-engine bipartite minhash -> band -> candidate -> verify " +
+        "chain. The fixture's cropped thumbnails sit at J = 12/20 per frame — " +
+        "found or not is a fixed deterministic fact both engines agree on; " +
+        "extreme crops need the exact form (documented). Scale: candidate mass " +
+        "follows band collisions; joins shuffle 16-byte band keys and 32-byte " +
+        "fingerprints, never payloads; each side is decoded once."
+    ) { (s, dir) =>
+      val (vids, thumbs) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      thumbnailContainmentPairsLsh(thumbs, vids)
+        .orderBy("doc_id", "vid_id", "frame_idx")
+    },
+
+    // ----- x74 spatial-crop leg: cropped-video admission (the vcrop status pair) -----
+    Q(
+      "x74_admit_vcrop",
+      Some(s"WITH RECURSIVE $admitVcropSql"),
+      "SPATIAL-CROP leg of media ADMISSION — x74_admit_icrop with the frame axis, " +
+        "giving the vid modality its SECOND containment row: a tile-aligned " +
+        "spatial crop of corpus video keeps every frame's interior tiles " +
+        "bit-exact but moves every whole-frame moment, so both x74_admit_vid " +
+        "(bands) and x74_admit_vtrim (frame bigrams) admit it. The x154 rule as " +
+        "the admission signal through the SAME machinery (admitTrimCompare / " +
+        "admitTrimStrictLosers — the vsp shingle space disjoint via the mod " +
+        "tag): batch videos' cross-frame distinct tile-neighborhood shingles vs " +
+        "the corpus shingle state, >= 0.8 containment flags " +
+        "near_dup_corpus_vcrop; the strict pass CCs the still-admitted batch " +
+        "shingles and keeps the video with the MOST shingles per component (the " +
+        "larger canvas is the source), losers near_dup_batch_vcrop. Fixture: " +
+        "the shared admit population split with off meaning TILE offset on " +
+        "every frame; %45==0 crops have corpus siblings (flagged corpus), " +
+        "%9==0 & v>=3 crops arrive WITH their source (only the strict keep-best " +
+        "can order that pair). Oracle recomputes the per-(frame, tile) levels: " +
+        "encode -> AVI walk -> tile moments -> per-frame bigrams -> containment " +
+        "-> keep-best CC, all pinned. Scale: batch-sized joins on fingerprint " +
+        "keys; the shingle state is ~120 rows per corpus video."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(1).as("off")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(1).as("off")))
+      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) => (id, fixtureAviTiles(img, off)) })
+        .toDF("doc_id", "payload")
+      val corpusSh = DedupClusters.ckpt(
+        videoFrameTileShingles(synth(corpusSrc)).withColumn("mod", lit("vsp")), None)
+      val batchSh = DedupClusters.ckpt(
+        videoFrameTileShingles(synth(batchSrc)).withColumn("mod", lit("vsp")), None)
+      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
+      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+        .select("doc_id").withColumn("lb", lit(true))
+      frame.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_trim"), "near_dup_corpus_vcrop")
+            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_vcrop")
             .otherwise("admitted").as("status"))
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))

@@ -759,4 +759,136 @@ class PerceptualDedupSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("band-width mismatch")), e.getMessage)
   }
+
+  // ---- the fourth shingle space: video spatial-crop containment (x154/x155) ----
+
+  test("decodeAviFrameTileStats: per-frame tiles bit-identical to the image decoder") {
+    // THE cross-modal identity thumbnail provenance rides on: an AVI
+    // frame's tile moments must equal the SAME pixels decoded through
+    // javax.imageio (pins the bottom-up DIB row mapping — an asymmetric
+    // per-frame gray makes a flipped read produce different tiles)
+    def g(f: Int, x: Int, y: Int) = ((x * 13 + y * 7 + f * 29) % 200) + 20
+    val avi = makeAvi(20, 11, 3, g)
+    val Some((tx, ty, fs, fq)) = Multimodal.decodeAviFrameTileStats(avi, 8)
+    assert(tx == 2 && ty == 1 && fs.length == 3)
+    for (f <- 0 until 3) {
+      val Some((itx, ity, is, iq)) =
+        Multimodal.decodeImageTileStats(makeBmp(20, 11, (x, y) => g(f, x, y)), 8)
+      assert(itx == tx && ity == ty)
+      assert(fs(f).sameElements(is) && fq(f).sameElements(iq), s"frame $f")
+    }
+    // under one tile, undecodable, invalid tile edge
+    assert(Multimodal.decodeAviFrameTileStats(makeAvi(7, 7, 2, (_, _, _) => 5), 8).isEmpty)
+    assert(Multimodal.decodeAviFrameTileStats("junk".getBytes, 8).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.decodeAviFrameTileStats(avi, 0))
+  }
+
+  test("decodeAviFrameStatsTiles == decodeAviFrameStats + decodeAviFrameTileStats") {
+    // the one-pass combined decode must be bit-identical to the separate
+    // decoders on BOTH halves (the decodeImageBlocksTiles rule, video twin)
+    def g(f: Int, x: Int, y: Int) = ((x * 11 + y * 23 + f * 41) % 210) + 15
+    val avi = makeAvi(20, 11, 3, g)
+    val Some((cs, cq, tx, ty, cts, ctq)) = Multimodal.decodeAviFrameStatsTiles(avi, 8)
+    val Some((_, _, ss, sq)) = Multimodal.decodeAviFrameStats(avi)
+    val Some((stx, sty, sts, stq)) = Multimodal.decodeAviFrameTileStats(avi, 8)
+    assert(cs.sameElements(ss) && cq.sameElements(sq))
+    assert(tx == stx && ty == sty)
+    assert(cts.indices.forall(f => cts(f).sameElements(sts(f)) && ctq(f).sameElements(stq(f))))
+    // frames under one tile: frame stats present, no tile grids (tx = 0)
+    val tiny = makeAvi(4, 4, 2, (f, x, y) => g(f, x, y))
+    val Some((ts, _, ttx, tty, tfs, _)) = Multimodal.decodeAviFrameStatsTiles(tiny, 8)
+    assert(ts.length == 2 && ttx == 0 && tty == 0 && tfs.isEmpty)
+    assert(Multimodal.decodeAviFrameStatsTiles("junk".getBytes, 8).isEmpty)
+  }
+
+  test("videoFrameTileShingles: tile-aligned spatial crop contained, evasions pinned") {
+    import spark.implicits._
+    // source: 3 frames of 6x5 tiles (48x40 px); the spatial crop drops
+    // the first tile row AND column of EVERY frame — the letterbox-strip
+    // re-render both temporal signals miss by design. Levels are
+    // INJECTIVE in (f, i, j) so the expected distinct counts are exact
+    // (a colliding closed form would exercise — correctly — the
+    // cross-frame distinct and shrink the sets)
+    def lvl(f: Int, i: Int, j: Int) = f * 30 + j * 6 + i + 30
+    def vid(ti0: Int, tw: Int, th: Int, nf: Int, f0: Int = 0, bright: Int = 0) =
+      makeAvi(tw * 8, th * 8, nf,
+        (f, x, y) => lvl(f0 + f, ti0 + x / 8, ti0 + y / 8) + bright)
+    val src = vid(0, 6, 5, 3)
+    val crop = vid(1, 5, 4, 3)
+    val media = Seq((1L, src), (2L, crop)).toDF("doc_id", "payload")
+    val sh = videoFrameTileShingles(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val srcSet = sh.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).toSet
+    val cropSet = sh.filter(_._1 == 2L).map(t => (t._2, t._3, t._4, t._5)).toSet
+    // 3 frames x (5x4) = 60 distinct neighborhoods; crop: 3 x (4x3) = 36
+    assert(srcSet.size == 60 && cropSet.size == 36)
+    assert(cropSet.subsetOf(srcSet))
+    val pairs = videoSpatialContainmentPairs(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L, 36L, 36L)), pairs) // crop contained at 1.0
+    assert(!pairs.exists(_._1 == 1L), pairs) // source not contained (36/60)
+    val lsh = videoSpatialContainmentPairsLsh(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pairs)) // precision 1.0 by construction
+    // the two video spaces COMPOSE: a crop that also TRIMS (drops frame 0)
+    // is still contained — 2 frames x 12 = 24 fingerprints, all in src
+    val cropTrim = vid(1, 5, 4, 2, f0 = 1)
+    val mediaCT = Seq((1L, src), (3L, cropTrim)).toDF("doc_id", "payload")
+    val pairsCT = videoSpatialContainmentPairs(mediaCT)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairsCT.contains((3L, 1L, 24L, 24L)), pairsCT)
+    // KNOWN LIMITS, pinned from the evasion side: a non-multiple-of-8
+    // offset shifts every tile boundary (zero shared fingerprints); a
+    // re-brightened crop moves every moment
+    val off = makeAvi(40, 32, 3, (f, x, y) => lvl(f, (x + 3) / 8, (y + 3) / 8))
+    val sh2 = videoFrameTileShingles(Seq((4L, off)).toDF("doc_id", "payload"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._2, t._3, t._4, t._5)).toSet
+    assert(sh2.intersect(srcSet).isEmpty)
+    val bright = vid(1, 5, 4, 3, bright = 10)
+    assert(videoSpatialContainmentPairs(
+      Seq((1L, src), (5L, bright)).toDF("doc_id", "payload")).count() == 0)
+    // cross-frame DISTINCT: a static clip (identical frames) carries one
+    // frame's worth of fingerprints, not nFrames x
+    val static = makeAvi(48, 40, 3, (_, x, y) => lvl(0, x / 8, y / 8))
+    val shS = videoFrameTileShingles(Seq((6L, static)).toDF("doc_id", "payload"))
+    assert(shS.count() == 20)
+  }
+
+  test("thumbnailContainmentPairs: cropped thumbnail found per frame — x148's blind spot") {
+    import spark.implicits._
+    def lvl(f: Int, i: Int, j: Int) = ((f * 53 + i * 31 + j * 17) % 180) + 30
+    val vids = Seq(
+      (1L, makeAvi(48, 40, 3, (f, x, y) => lvl(f, x / 8, y / 8))),
+      (2L, makeAvi(48, 40, 3, (f, x, y) => lvl(f + 7, x / 8, y / 8)))) // unrelated
+      .toDF("doc_id", "payload")
+    // cropped thumbnail of vid 1's frame 1 (tiles 1..5 x 1..4) + a
+    // full-frame thumbnail of frame 2 + an unrelated image
+    val thumbs = Seq(
+      (100L, makeBmp(40, 32, (x, y) => lvl(1, 1 + x / 8, 1 + y / 8))),
+      (101L, makeBmp(48, 40, (x, y) => lvl(2, x / 8, y / 8))),
+      (102L, makeBmp(48, 40, (x, y) => lvl(99, x / 8, y / 8))))
+      .toDF("doc_id", "payload")
+    val exact = thumbnailContainmentPairs(thumbs, vids)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact.contains((100L, 1L, 1L, 12L, 12L)), exact) // the crop, per-frame
+    assert(exact.contains((101L, 1L, 2L, 20L, 20L)), exact) // the full frame
+    assert(!exact.exists(_._1 == 102L), exact)
+    assert(!exact.exists(_._2 == 2L), exact)
+    // the LSH twin: subset of exact (precision 1.0); the FULL-frame
+    // re-post (J = 1.0) is always found at any geometry
+    val lsh = thumbnailContainmentPairsLsh(thumbs, vids)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((101L, 1L, 2L, 20L, 20L)), lsh)
+    // x148's exact bipartite dHash does NOT see the cropped thumbnail
+    // (every block boundary moved) — the blind spot x155 exists for; it
+    // DOES see the full-frame re-post (the two operators compose)
+    val x148 = thumbnailMatches(thumbs, vids, every = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!x148.exists(_._1 == 100L), x148)
+    assert(x148.contains((101L, 1L, 2L)), x148)
+    intercept[IllegalArgumentException](
+      thumbnailContainmentPairsLsh(thumbs, vids, k = 10, bands = 4))
+  }
 }

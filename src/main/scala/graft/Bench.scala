@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Battery fixture sidecar (VERDICT r14 ask #2): a FRESH per-battery
+    // temp dir — media queries materialize their closed-form fixtures
+    // once (the first of the N timed runs) and read them back after, so
+    // the reported MEDIAN prices the read + engine, not per-pixel md5
+    // synthesis (x148 spent ~15 s/run mostly on fixture cost). Fresh dir
+    // per battery = no cross-version staleness by construction.
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-bench-fixtures")
+    sys.props(graft.xscale.FixtureSidecar.DirProp) = fixDir.toString
     // Untimed warmup: pay one-time session costs (codegen compiler init,
     // parquet footer reads, shuffle service spin-up) outside the per-query
     // timings so the first measured query isn't charged for them.
@@ -66,6 +74,18 @@ object Bench {
     // 17× from machine contention). Medians-by-default makes every
     // artifact comparison noise-honest; set RUNS=1 for a quick smoke.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Fixture-materialization + warmup pass, UNTIMED: media queries
+    // materialize their sidecar fixtures here, so no timed run carries
+    // the one-time synthesis + parquet write — the per-query spread
+    // stays an instability signal instead of a materialization artifact
+    // (without this pass, run 1's write showed up as a 15 s "spread" on
+    // x148). Every query also gets one warm execution, which the
+    // 3-run median previously only approximated for the first query.
+    timedQueries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+      releaseState()
+    }
     val timings = timedQueries.map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -84,6 +104,30 @@ object Bench {
     }
     val results = timings.map { case (name, (median, _)) => name -> median }
     val spreads = timings.map { case (name, (_, spread)) => name -> spread }
+    // Constant-work calibration SENTINEL (VERDICT r14 ask #3): a fixed
+    // generated-data plan — no file I/O, no fixtures, identical work
+    // every round and every machine — so round-over-round total
+    // comparisons can be quoted sentinel-normalized instead of
+    // adjudicating machine-state drift by cross-referencing batteries
+    // (three same-code r14 batteries spanned ±13%; the driver box read
+    // 29% over local on identical code). 2^27 codegen'd xxhash64 rows,
+    // one partial+final agg; timed with the battery's own run/median
+    // discipline, after the battery (so it prices the SAME warmed JVM
+    // the queries ran in).
+    val sentinelTs = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: xxhash64 spans the full 64-bit range and an
+      // ANSI-mode sum overflows. 2^31 rows ≈ 1 s on 32 threads — big
+      // enough that JVM jitter is a small fraction of the reading.
+      spark.range(0L, 1L << 31, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseState()
+      dt
+    }.sorted
+    val sentinel =
+      if (runs % 2 == 1) sentinelTs(runs / 2)
+      else (sentinelTs(runs / 2 - 1) + sentinelTs(runs / 2)) / 2
     // Locale.ROOT: f"" interpolation is locale-sensitive — a comma-decimal
     // locale would emit invalid JSON.
     def fmt(v: Double, dec: Int): String =
@@ -99,7 +143,7 @@ object Bench {
     val spreadJson =
       if (runs > 1) s""","spread":${queriesJson(spreads, 4)}""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","runs":$runs,"failed":$failedJson,"queries":${queriesJson(results, 4)}$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","runs":$runs,"sentinel":${fmt(sentinel, 4)},"failed":$failedJson,"queries":${queriesJson(results, 4)}$spreadJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // The consumer reads a 2000-byte tail window, so the LAST stdout line
@@ -118,7 +162,12 @@ object Bench {
         s""","spread":${queriesJson(top.map { case (k, _) => k -> spreads(k) }, 2)}"""
       else ""
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"failed":$failedJson,"queries":${queriesJson(top, 2)}$topSpread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"sentinel":${fmt(sentinel, 2)},"failed":$failedJson,"queries":${queriesJson(top, 2)}$topSpread,"sf":"$sfDir"}"""
+    // the fixture sidecar is a battery-scoped cache, not an artifact
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(fixDir.toFile)
     // Stop Spark BEFORE the stdout emission: its shutdown logging must not
     // land after the JSON line a tail-window consumer reads last.
     spark.stop()

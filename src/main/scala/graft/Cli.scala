@@ -631,6 +631,23 @@ object Cli {
       // frozen-centroid retrain rule. Undecodable batch rows pass the leg
       // unflagged (decode failures are data); --compact reconciles the
       // bands state with the live corpus ids like the other two sidecars.
+      // Resolved BEFORE the media leg: the shingle-state SPACES govern
+      // which containment spaces the batch decodes, compares and appends
+      // (the combined one-decode frame must know whether to accumulate
+      // the vsp per-frame tile grids at all). A bootstrapped state
+      // answers from its meta sidecar (geometry validated — loud failure
+      // on mismatch, the band-width rule) or, lacking one, from its
+      // layout (pre-mod → vid only; r14 mod-tagged → the triad, no vsp);
+      // an unbootstrapped run uses every space (the bootstrap below
+      // writes that contract into the new state's meta).
+      val trimSpaces: Option[Seq[String]] =
+        if (!flags.ptrim) None
+        else Some(flags.psigsDir match {
+          case Some(d) if hfsExists(spark, s"$d/shingles") =>
+            xscale.PerceptualDedup.stateShingleSpaces(
+              spark, s"$d/shmeta", spark.read.parquet(s"$d/shingles"))
+          case _ => xscale.PerceptualDedup.ShingleSpaces.map(_.space)
+        })
       val mediaState: Option[MediaLeg] = (flags.pmediaPath, flags.bmediaPath) match {
         case (Some(cm), Some(bm)) =>
           def corpusHash(wide: Boolean) = xscale.PerceptualDedup
@@ -687,7 +704,8 @@ object Cli {
             else if (flags.ptrim) {
               val combined = graft.xscale.DedupClusters.ckpt(
                 xscale.PerceptualDedup.mediaHashShingleFrame(
-                  spark.read.parquet(bm), wide),
+                  spark.read.parquet(bm), wide,
+                  vsp = trimSpaces.exists(_.contains("vsp"))),
                 flags.ckptDir)
               (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
                 Some(graft.xscale.DedupClusters.ckpt(
@@ -735,6 +753,8 @@ object Cli {
             def corpusShingleScan() = xscale.PerceptualDedup
               .mediaShingles(spark.read.parquet(cm))
               .withColumnRenamed("doc_id", "cv_id")
+            val shSpaces = trimSpaces.getOrElse(
+              xscale.PerceptualDedup.ShingleSpaces.map(_.space))
             val corpusSh = flags.psigsDir match {
               case Some(d) =>
                 val shPath = s"$d/shingles"
@@ -749,9 +769,16 @@ object Cli {
                   compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
                     .parquet(shPath)
                 }
-                if (!bootstrapped)
+                if (!bootstrapped) {
+                  // meta BEFORE shingles (the band-meta crash rule): the
+                  // bootstrap probe is on the shingles path, so a crash
+                  // between the writes retries into a full re-bootstrap;
+                  // the reverse order could leave a state whose spaces
+                  // and geometry later batches can only guess
+                  xscale.PerceptualDedup.writeShingleMeta(spark, s"$d/shmeta")
                   corpusShingleScan().write
                     .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(shPath)
+                }
                 spark.read.parquet(shPath)
               case None =>
                 graft.xscale.DedupClusters.ckpt(corpusShingleScan(), flags.ckptDir)
@@ -763,7 +790,12 @@ object Cli {
             // referenced by the compare, the strict pass AND the append.
             // Under a LEGACY shingle state the leg restricts to vid end
             // to end (compare, strict, append) — the state's original
-            // contract, byte-compatible with pre-crop runs.
+            // contract, byte-compatible with pre-crop runs; under an r14
+            // (pre-vsp, meta-less mod-tagged) state it restricts to the
+            // triad the same way — vsp rows neither compare (they would
+            // silently never match) nor append (a partially-covered
+            // space would make future batches' vsp recall depend on
+            // append history).
             val batchSh0 = mediaState.flatMap(_.batchShingles).getOrElse(
               graft.xscale.DedupClusters.ckpt(
                 // under the legacy contract the img shingles would only be
@@ -771,9 +803,12 @@ object Cli {
                 if (shLegacy)
                   xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm))
                     .withColumn("mod", lit("vid"))
-                else xscale.PerceptualDedup.mediaShingles(spark.read.parquet(bm)),
+                else xscale.PerceptualDedup.mediaShingles(
+                  spark.read.parquet(bm), vsp = shSpaces.contains("vsp")),
                 flags.ckptDir))
-            val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
+            val batchSh =
+              if (shLegacy) batchSh0.filter(col("mod") === "vid")
+              else batchSh0.filter(col("mod").isin(shSpaces: _*))
             Some(TrimLeg(
               graft.xscale.DedupClusters.ckpt(
                 xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchSh),
@@ -824,20 +859,18 @@ object Cli {
       // the containment corpus leg runs AFTER the band leg: restatus only
       // demotes still-admitted docs, so a full near-dup keeps its
       // stronger near_dup_corpus_img/_aud/_vid status and only docs the
-      // band rule cleared can flag near_dup_corpus_vtrim/_icrop —
-      // per-modality statuses off the Modalities containment column
+      // band rule cleared can flag near_dup_corpus_vtrim/_icrop/_atrim/
+      // _vcrop — per-SPACE statuses off the Modalities contain column
+      // (exact mod match: shingle spaces are never width-suffixed; a doc
+      // flagged in several spaces takes the first in Modalities order)
       val stC3 = trimState match {
         case Some(leg) =>
           val near = leg.frame.filter(col("near_trim"))
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.Modalities.foldLeft(stC2) { (st, m) =>
-              m.containCorpusStatus match {
-                case Some(status) =>
-                  xscale.Dedup.restatus(
-                    st, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
-                    status)
-                case None => st
-              }
+            xscale.PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st, cs) =>
+              xscale.Dedup.restatus(
+                st, near.filter(col("mod") === cs.space).select("doc_id"),
+                cs.corpusStatus)
             },
             flags.ckptDir)
         case None => stC2
@@ -895,11 +928,11 @@ object Cli {
             flags.ckptDir)
         case _ => stS1
       }
-      // --strict + --ptrim: a trim/crop and its SOURCE arriving together
-      // both clear the corpus rules — undirected containment CC over the
-      // finally-admitted batch shingles (within one shingle space), keep
-      // BEST by shingle count (the longer clip / larger image is the
-      // source), losers near_dup_batch_vtrim/_icrop by modality
+      // --strict + --ptrim: a trim/crop/excerpt and its SOURCE arriving
+      // together both clear the corpus rules — undirected containment CC
+      // over the finally-admitted batch shingles (within one shingle
+      // space), keep BEST by shingle count (the longer clip / larger
+      // image is the source), losers per space off the contain column
       val stF = (trimState, flags.strict) match {
         case (Some(leg), true) =>
           val admNow = st.filter(col("status") === "admitted").select("doc_id")
@@ -908,14 +941,10 @@ object Cli {
               leg.batchShingles.join(admNow, "doc_id"), checkpointDir = flags.ckptDir),
             flags.ckptDir)
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.Modalities.foldLeft(st) { (st0, m) =>
-              m.containStrictStatus match {
-                case Some(status) =>
-                  xscale.Dedup.restatus(
-                    st0, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
-                    status)
-                case None => st0
-              }
+            xscale.PerceptualDedup.ShingleSpaces.foldLeft(st) { (st0, cs) =>
+              xscale.Dedup.restatus(
+                st0, losers.filter(col("mod") === cs.space).select("doc_id"),
+                cs.strictStatus)
             },
             flags.ckptDir)
         case _ => st
@@ -1000,11 +1029,12 @@ object Cli {
               .map(m => s""""${m.strictStatus}":${n(m.strictStatus)},""").mkString
           else "") +
           (if (flags.ptrim)
-            xscale.PerceptualDedup.Modalities
-              .flatMap(m => m.containCorpusStatus.map(cs => s""""$cs":${n(cs)},""") ++
-                (if (flags.strict)
-                  m.containStrictStatus.map(bs => s""""$bs":${n(bs)},""")
-                else Nil))
+            xscale.PerceptualDedup.ShingleSpaces
+              .flatMap(cs =>
+                Seq(s""""${cs.corpusStatus}":${n(cs.corpusStatus)},""") ++
+                  (if (flags.strict)
+                    Seq(s""""${cs.strictStatus}":${n(cs.strictStatus)},""")
+                  else Nil))
               .mkString
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +

@@ -60,10 +60,11 @@ object ScaleSmoke {
     "x141_crossmodal_dedup", "x141_crossmodal_aud",
     "x74_admit_img", "x74_admit_aud", "x74_admit_img_steady",
     "x74_admit_media_steady", "x74_admit_vtrim_steady", "x74_admit_icrop_steady",
-    "x74_admit_atrim_steady",
+    "x74_admit_atrim_steady", "x74_admit_vcrop_steady",
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
     "corpus_pcontain_stage", "corpus_full_multimodal",
     "x147_containment_lsh", "x152_crop_lsh", "x153_utt_lsh",
+    "x154_vcrop_lsh", "x155_thumb_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -345,6 +346,23 @@ object ScaleSmoke {
           col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio_shingles.parquet")
     }
+    // the spatial-crop-admission shingle state (`Cli admit --ptrim`, the
+    // vsp space): a tiled 6-frame video per corpus doc, decoded ONCE
+    // into its vid + vsp mod-tagged rows — x74_admit_vcrop_steady times
+    // only the day-2 classify. cv_id base -18e9 keeps a sixth disjoint
+    // negative id space
+    if (!new java.io.File(s"$dir/video_tile_shingles.parquet").exists()) {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .mapPartitions(_.map(i =>
+          (i, xscale.PerceptualDedup.fixtureAviTiles(i * 5, 0))))
+        .toDF("doc_id", "payload")
+      xscale.PerceptualDedup.mediaShingles(media)
+        .select((-(col("doc_id") + 1L) - 18000000000L).as("cv_id"),
+          col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_tile_shingles.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -492,6 +510,61 @@ object ScaleSmoke {
           })
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.audioContainmentPairsLsh(media)
+      }),
+      // the x154 scale path measured: corpus-wide SPATIAL-crop detection
+      // via the shared LSH engine on cross-frame tile shingles (every
+      // 15th doc re-posts a tile-aligned spatial crop of its video) —
+      // the production twin of the all-pairs fingerprint join
+      "x154_vcrop_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val src = ids
+          .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+          .unionByName(ids.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(1).as("off")))
+        val media = src.as[(Long, Long, Int)]
+          .mapPartitions(_.map { case (id, img, off) =>
+            (id, xscale.PerceptualDedup.fixtureAviTiles(img, off))
+          })
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.videoSpatialContainmentPairsLsh(media)
+      }),
+      // the x155 scale path measured: cropped-thumbnail provenance via
+      // the bipartite LSH (every 3rd doc posts a thumbnail of one frame,
+      // every 6th cropped) — image decode + per-frame video decode, band
+      // join across sides only
+      "x155_thumb_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val vids = ids.as[Long]
+          .mapPartitions(_.map(id => (id, xscale.PerceptualDedup.fixtureAviTiles(id, 0))))
+          .toDF("doc_id", "payload")
+        val thumbs = ids.filter(col("doc_id") % 3 === 0).as[Long]
+          .mapPartitions(_.map { id =>
+            val f0 = ((id / 3) % xscale.PerceptualDedup.VcropFrames).toInt
+            val off = if (id % 6 == 0) 1 else 0
+            (id + 7000000L, xscale.PerceptualDedup.fixtureThumbBmp(id, f0, off))
+          })
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.thumbnailContainmentPairsLsh(thumbs, vids)
+      }),
+      // the spatial-crop leg's steady state: a fixed batch of 200
+      // tile-aligned spatial crops of corpus videos + 50 fresh,
+      // classified against the persisted mod-tagged shingle state — the
+      // flat 10x -> 100x claim on the fourth shingle space
+      "x74_admit_vcrop_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/video_tile_shingles.parquet")
+        val batch = ((0L until 200L).map(i =>
+          (9300000000L + i, xscale.PerceptualDedup.fixtureAviTiles(i * 5, 1))) ++
+          (0L until 50L).map(i =>
+            (9400000000L + i,
+              xscale.PerceptualDedup.fixtureAviTiles((2400000000L + i) * 5, 0))))
+          .toDF("doc_id", "payload")
+        xscale.PerceptualDedup.admitTrimCompare(
+          state, xscale.PerceptualDedup.mediaShingles(batch))
+          .groupBy("near_trim").count()
       }),
       // the excerpt leg's steady state: a fixed batch of 200 pause-cut
       // excerpts of corpus clips + 50 fresh classified against the

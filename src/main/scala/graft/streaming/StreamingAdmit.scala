@@ -146,6 +146,16 @@ object StreamingAdmit {
     // (no mod column) keeps its original image-only classic contract.
     // The state must be BOOTSTRAPPED before streaming (Cli admit --psigs
     // run 1) — a stream has no corpus to hash.
+    // Resolved before the media leg (the batch verb's rule): the shingle
+    // state's SPACES govern which containment spaces the batch decodes,
+    // compares and appends — meta-first (geometry validated, loud
+    // failure on mismatch), layout fallback for meta-less states
+    // (pre-mod → vid only; r14 mod-tagged → the triad, no vsp).
+    val trimSpaces: Option[Seq[String]] =
+      if (!ptrim) None
+      else psigsPath.map(d =>
+        PerceptualDedup.stateShingleSpaces(
+          spark, s"$d/shmeta", spark.read.parquet(s"$d/shingles")))
     val mediaLeg = (psigsPath, batchMedia) match {
       case (Some(d), Some(bm)) =>
         val stateBands = spark.read.parquet(s"$d/bands")
@@ -160,7 +170,8 @@ object StreamingAdmit {
                 .select("doc_id", "bands"), checkpointDir), None)
           else if (ptrim) {
             val combined = DedupClusters.ckpt(
-              PerceptualDedup.mediaHashShingleFrame(bm, wide), checkpointDir)
+              PerceptualDedup.mediaHashShingleFrame(bm, wide,
+                vsp = trimSpaces.exists(_.contains("vsp"))), checkpointDir)
             (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
               Some(DedupClusters.ckpt(
                 PerceptualDedup.shingleRows(combined), checkpointDir)))
@@ -189,16 +200,22 @@ object StreamingAdmit {
       case (Some(d), Some(bm)) if ptrim =>
         val stateSh = spark.read.parquet(s"$d/shingles")
         // a pre-mod shingle state keeps the VIDEO-ONLY contract end to
-        // end (compare, strict, append) — the batch verb's rule
+        // end (compare, strict, append) — the batch verb's rule; an r14
+        // (meta-less mod-tagged) state keeps the triad the same way
         val shLegacy = !stateSh.columns.contains("mod")
+        val shSpaces = trimSpaces.getOrElse(
+          PerceptualDedup.ShingleSpaces.map(_.space))
         val batchSh0 = mediaLeg.flatMap(_._4).getOrElse(
           DedupClusters.ckpt(
             // legacy contract: img shingles would only be filtered away —
             // skip the image tile decode entirely (the batch verb's rule)
             if (shLegacy)
               PerceptualDedup.videoFrameShingles(bm).withColumn("mod", lit("vid"))
-            else PerceptualDedup.mediaShingles(bm), checkpointDir))
-        val batchSh = if (shLegacy) batchSh0.filter(col("mod") === "vid") else batchSh0
+            else PerceptualDedup.mediaShingles(
+              bm, vsp = shSpaces.contains("vsp")), checkpointDir))
+        val batchSh =
+          if (shLegacy) batchSh0.filter(col("mod") === "vid")
+          else batchSh0.filter(col("mod").isin(shSpaces: _*))
         Some((
           DedupClusters.ckpt(
             PerceptualDedup.admitTrimCompare(stateSh, batchSh), checkpointDir),
@@ -238,14 +255,10 @@ object StreamingAdmit {
     val stC3 = trimLeg match {
       case Some((frame, _, _)) =>
         val near = frame.filter(col("near_trim"))
-        PerceptualDedup.Modalities.foldLeft(stC2) { (st1, m) =>
-          m.containCorpusStatus match {
-            case Some(status) =>
-              Dedup.restatus(
-                st1, near.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
-                status)
-            case None => st1
-          }
+        PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st1, cs) =>
+          Dedup.restatus(
+            st1, near.filter(col("mod") === cs.space).select("doc_id"),
+            cs.corpusStatus)
         }
       case None => stC2
     }
@@ -289,14 +302,10 @@ object StreamingAdmit {
           PerceptualDedup.admitTrimStrictLosers(
             batchSh.join(admNow, "doc_id"), checkpointDir = checkpointDir),
           checkpointDir)
-        PerceptualDedup.Modalities.foldLeft(st5) { (st1, m) =>
-          m.containStrictStatus match {
-            case Some(status) =>
-              Dedup.restatus(
-                st1, losers.filter(col("mod").startsWith(m.prefix)).select("doc_id"),
-                status)
-            case None => st1
-          }
+        PerceptualDedup.ShingleSpaces.foldLeft(st5) { (st1, cs) =>
+          Dedup.restatus(
+            st1, losers.filter(col("mod") === cs.space).select("doc_id"),
+            cs.strictStatus)
         }
       case _ => st5
     }

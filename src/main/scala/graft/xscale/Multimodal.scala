@@ -1868,15 +1868,16 @@ object Multimodal {
         "pass, one groupBy — x12's shape."
     ) { (s, dir) =>
       import s.implicits._
-      val media = table(s, dir, "documents").select("doc_id").as[Long]
-        .mapPartitions(_.map { id =>
-          val samples = Array.tabulate(160) { j =>
-            val r = (XHash.h60(s"${id}q$j") % 100).toInt
-            if (r < 6) 128 else if (r < 10) 255 else if (r < 13) 0 else 20 + 2 * r
-          }
-          (id, PerceptualDedup.makeWav8(8000, samples))
-        })
-        .toDF("doc_id", "payload")
+      val media = FixtureSidecar(s, s"x143_media_${FixtureSidecar.dirTag(dir)}")(
+        table(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(160) { j =>
+              val r = (XHash.h60(s"${id}q$j") % 100).toInt
+              if (r < 6) 128 else if (r < 10) 255 else if (r < 13) 0 else 20 + 2 * r
+            }
+            (id, PerceptualDedup.makeWav8(8000, samples))
+          })
+          .toDF("doc_id", "payload"))
       audioQualityFrame(media)
         .groupBy((col("doc_id") % 10).as("decile"))
         .agg(
@@ -1929,16 +1930,17 @@ object Multimodal {
         "TrainingData.audioUtterances. Scale: one decode pass + one groupBy."
     ) { (s, dir) =>
       import s.implicits._
-      val media = table(s, dir, "documents").select("doc_id").as[Long]
-        .mapPartitions(_.map { id =>
-          val samples = Array.tabulate(160) { j =>
-            val b = j / 8
-            if (XHash.h60(s"${id}g$b") % 4 == 0) 128
-            else 30 + (XHash.h60(s"${id}u$j") % 90).toInt
-          }
-          (id, PerceptualDedup.makeWav8(8000, samples))
-        })
-        .toDF("doc_id", "payload")
+      val media = FixtureSidecar(s, s"x151_media_${FixtureSidecar.dirTag(dir)}")(
+        table(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(160) { j =>
+              val b = j / 8
+              if (XHash.h60(s"${id}g$b") % 4 == 0) 128
+              else 30 + (XHash.h60(s"${id}u$j") % 90).toInt
+            }
+            (id, PerceptualDedup.makeWav8(8000, samples))
+          })
+          .toDF("doc_id", "payload"))
       audioUtteranceFrame(media)
         .groupBy((col("doc_id") % 10).as("decile"))
         .agg(

@@ -1,6 +1,6 @@
 package graft.xscale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.query.Q
@@ -129,6 +129,57 @@ object PerceptualDedup {
       spark.read.parquet(metaPath).collect()(0).getLong(0) == 32L
     else if (!stateBands.columns.contains("mod")) false
     else stateBands.select(max(size(col("bands")))).head().getInt(0) == BandsWide
+  }
+
+  /** Write the `--psigs` SHINGLE state's self-description (the band-meta
+    * pattern on the containment axis, closing the r14-ADVICE gap: a
+    * batch shingled at a different tile/gap geometry against a
+    * default-geometry state would silently never match): one
+    * (spaces, tile, silence_max, gap_min) row under `metaPath`. Callers
+    * write it BEFORE the shingles table — the bootstrap probe is on the
+    * shingles path, so a crash between the two retries into a full
+    * re-bootstrap instead of leaving a state later batches misread.
+    */
+  def writeShingleMeta(
+      spark: SparkSession,
+      metaPath: String,
+      spaces: Seq[String] = ShingleSpaces.map(_.space),
+      tile: Int = TileSize,
+      silenceMax: Long = 1L,
+      gapMin: Int = 8): Unit = {
+    import spark.implicits._
+    Seq((spaces, tile.toLong, silenceMax, gapMin.toLong))
+      .toDF("spaces", "tile", "silence_max", "gap_min")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(metaPath)
+  }
+
+  /** Resolve a shingle state's SPACES, validating its recorded geometry
+    * against this build's constants — a mismatch raises (the band-width
+    * rule: loud failure, never silent zero-recall; re-shingling at a new
+    * geometry is a re-bootstrap). States without the meta sidecar keep
+    * their historical contracts by LAYOUT: pre-mod → video-only
+    * ([[videoFrameShingles]]'s original state), mod-tagged →
+    * [[TriadSpaces]] (the r14 triad — bootstrapped before the vsp space
+    * existed, so vsp rows neither compare nor append against it;
+    * widening is a re-bootstrap).
+    */
+  def stateShingleSpaces(
+      spark: SparkSession,
+      metaPath: String,
+      stateShingles: DataFrame): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val r = spark.read.parquet(metaPath)
+        .select("spaces", "tile", "silence_max", "gap_min").head()
+      val (tile, sil, gap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      require(tile == TileSize.toLong && sil == 1L && gap == 8L,
+        s"shingle-state geometry mismatch: state (tile=$tile, silence_max=$sil, " +
+          s"gap_min=$gap) vs this build (tile=$TileSize, silence_max=1, gap_min=8)" +
+          " — comparing across geometries silently never matches; re-bootstrap the" +
+          " shingle state")
+      r.getSeq[String](0)
+    } else if (!stateShingles.columns.contains("mod")) Seq("vid")
+    else TriadSpaces
   }
 
   // ---------------------------------------------------------------------
@@ -553,31 +604,59 @@ object PerceptualDedup {
     * the column: video trims, image tile-aligned crops, audio
     * utterance-anchored excerpts).
     */
+  /** One CONTAINMENT shingle space and its admission statuses — a
+    * modality may carry several (video: `vid` frame bigrams for trims +
+    * `vsp` per-frame tiles for spatial crops, since x154).
+    */
+  final case class ContainSpace(
+      space: String,
+      corpusStatus: String,
+      strictStatus: String)
+
   final case class Modality(
       prefix: String,
       corpusStatus: String,
       strictStatus: String,
-      containCorpusStatus: Option[String],
-      containStrictStatus: Option[String])
+      contain: Seq[ContainSpace])
 
   /** The admission/dedup modality table — THE resolution point for every
     * status-splitting consumer (`Cli admit`, StreamingAdmit). A
     * `startsWith` on the prefix folds the width-suffixed small-media
-    * spaces (`img16`/`aud16`/`vid16`) into their modality's status;
+    * spaces (`img16`/`aud16`/`vid16`) into their modality's BAND status;
     * adding a modality here is the whole per-status wiring, and the
-    * containment columns wire the `--ptrim` leg the same one-row way.
+    * `contain` column wires the `--ptrim` leg per SHINGLE SPACE the same
+    * one-row way (shingle mods are exact space names, never
+    * width-suffixed — the containment consumers match them exactly).
     * Audio's SAMPLE-grid containment form still does not exist (samples
     * carry no intrinsic framing); its containment signal is
     * utterance-anchored ([[audioUtteranceShingles]] — x151's
-    * segmentation as the framing mechanism).
+    * segmentation as the framing mechanism). Video carries TWO spaces:
+    * temporal trims (`vid`, x147) and spatial crops (`vsp`, x154) — the
+    * two re-post modes move different moments, so neither space can
+    * serve the other.
     */
   val Modalities: Seq[Modality] = Seq(
     Modality("img", "near_dup_corpus_img", "near_dup_batch_img",
-      Some("near_dup_corpus_icrop"), Some("near_dup_batch_icrop")),
+      Seq(ContainSpace("img", "near_dup_corpus_icrop", "near_dup_batch_icrop"))),
     Modality("aud", "near_dup_corpus_aud", "near_dup_batch_aud",
-      Some("near_dup_corpus_atrim"), Some("near_dup_batch_atrim")),
+      Seq(ContainSpace("aud", "near_dup_corpus_atrim", "near_dup_batch_atrim"))),
     Modality("vid", "near_dup_corpus_vid", "near_dup_batch_vid",
-      Some("near_dup_corpus_vtrim"), Some("near_dup_batch_vtrim")))
+      Seq(
+        ContainSpace("vid", "near_dup_corpus_vtrim", "near_dup_batch_vtrim"),
+        ContainSpace("vsp", "near_dup_corpus_vcrop", "near_dup_batch_vcrop"))))
+
+  /** Every containment shingle space, flattened in [[Modalities]] order —
+    * the iteration set for space-splitting consumers (status folds, the
+    * `--pcontain` per-space sub-plans, the shingle-state meta).
+    */
+  val ShingleSpaces: Seq[ContainSpace] = Modalities.flatMap(_.contain)
+
+  /** The r14 shingle-state contract — what a mod-tagged state WITHOUT a
+    * geometry meta sidecar contains (bootstrapped before the vsp space
+    * existed): the containment triad, no per-frame tile rows. Widening
+    * such a state is a re-bootstrap (the bands-width rule).
+    */
+  val TriadSpaces: Seq[String] = Seq("img", "aud", "vid")
 
   /** Modality-detected perceptual hash of ONE payload: try the image
     * decoder first, then the audio RIFF walk, then the AVI walk — each
@@ -661,7 +740,10 @@ object PerceptualDedup {
     * (modality detection order, `vid16` small-media fallback under wide)
     * are [[mediaHashBands]]'s, bit for bit.
     */
-  def mediaHashShingleFrame(media: DataFrame, wide: Boolean = false): DataFrame = {
+  def mediaHashShingleFrame(
+      media: DataFrame,
+      wide: Boolean = false,
+      vsp: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val (gw, gh, bb) = if (wide) (16, 16, 32) else (8, 8, 16)
@@ -674,12 +756,16 @@ object PerceptualDedup {
           // tiles — an img16 small image shares the img shingle space,
           // so a small crop of a small image still matches), and a SHORT
           // video (2-64 frames) carries vid shingles with no bands at
-          // all (mod = "")
-          val (dec, m, b, shmod, sh) =
+          // all (mod = ""). Videos carry a SECOND shingle set (`sh2`,
+          // the vsp per-frame tile space — x154) out of the same pixel
+          // pass; empty for every other modality and when `vsp = false`
+          // (a batch against a pre-vsp state skips the tile
+          // accumulation entirely).
+          val (dec, m, b, shmod, sh, sh2) =
             Multimodal.decodeImageBlocksTiles(p, gw + 1, gh, TileSize) match {
               case Some((gs, gc, tx, ty, ts, tq)) =>
                 (true, "img", Some(dhashBandsFromBlocks(gs, gc, gw, gh, bb)),
-                  "img", shinglesFromTiles(tx, ty, ts, tq))
+                  "img", shinglesFromTiles(tx, ty, ts, tq), none)
               case None =>
                 // ONE byte scan serves both audio signals: window sums
                 // (bands) + utterance voiced-core moments (containment
@@ -692,26 +778,37 @@ object PerceptualDedup {
                     val sh = shinglesFromStats(us, uq)
                     wsums match {
                       case Some(s) =>
-                        (true, "aud", Some(audioBandsFromSums(s, wide)), "aud", sh)
+                        (true, "aud", Some(audioBandsFromSums(s, wide)), "aud", sh, none)
                       case None if wide =>
                         audioDhashBands(p) match {
-                          case Some(ab) => (true, "aud16", Some(ab), "aud", sh)
-                          case None     => (false, "", None, "aud", sh)
+                          case Some(ab) => (true, "aud16", Some(ab), "aud", sh, none)
+                          case None     => (false, "", None, "aud", sh, none)
                         }
-                      case None => (false, "", None, "aud", sh)
+                      case None => (false, "", None, "aud", sh, none)
                     }
                   case None =>
-                    Multimodal.decodeAviFrameStats(p) match {
-                      case Some((_, _, sums, sqs)) =>
+                    val aviStats =
+                      if (vsp)
+                        Multimodal.decodeAviFrameStatsTiles(p, TileSize)
+                          .map { case (sums, sqs, tx, ty, fs, fq) =>
+                            (sums, sqs, distinctFrameTileShingles(tx, ty, fs, fq))
+                          }
+                      else
+                        Multimodal.decodeAviFrameStats(p)
+                          .map { case (_, _, sums, sqs) => (sums, sqs, none) }
+                    aviStats match {
+                      case Some((sums, sqs, vspSh)) =>
                         val shingles = shinglesFromStats(sums, sqs)
                         videoBandsFromSums(sums, wide) match {
-                          case Some(vb) => (true, "vid", Some(vb), "vid", shingles)
+                          case Some(vb) =>
+                            (true, "vid", Some(vb), "vid", shingles, vspSh)
                           case None if wide =>
                             videoBandsFromSums(sums, wide = false) match {
-                              case Some(vb) => (true, "vid16", Some(vb), "vid", shingles)
-                              case None     => (false, "", None, "vid", shingles)
+                              case Some(vb) =>
+                                (true, "vid16", Some(vb), "vid", shingles, vspSh)
+                              case None => (false, "", None, "vid", shingles, vspSh)
                             }
-                          case None => (false, "", None, "vid", shingles)
+                          case None => (false, "", None, "vid", shingles, vspSh)
                         }
                       case None if wide =>
                         // the small-IMAGE fallback, still ONE decode pass
@@ -722,29 +819,38 @@ object PerceptualDedup {
                           .map { case (gs, gc, tx, ty, ts, tq) =>
                             (true, "img16",
                               Some(dhashBandsFromBlocks(gs, gc, 8, 8, 16)),
-                              "img", shinglesFromTiles(tx, ty, ts, tq))
+                              "img", shinglesFromTiles(tx, ty, ts, tq), none)
                           }
-                          .getOrElse((false, "", None, "", none))
-                      case None => (false, "", None, "", none)
+                          .getOrElse((false, "", None, "", none, none))
+                      case None => (false, "", None, "", none, none)
                     }
                 }
             }
-          (id, dec, m, p.length.toLong, b, shmod, sh)
+          (id, dec, m, p.length.toLong, b, shmod, sh, sh2)
         })
       }
-      .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shmod", "shingles")
+      .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shmod", "shingles",
+        "vsp_shingles")
   }
 
-  /** Explode a [[mediaHashShingleFrame]]'s `shingles` into the
+  /** Explode a [[mediaHashShingleFrame]]'s shingle sets into the
     * (doc_id, mod, s1, q1, s2, q2) shape every containment-leg consumer
-    * takes — `mod` is the SHINGLE space (`shmod`: img tiles vs vid frame
-    * bigrams, disjoint candidate spaces even on numeric collision).
+    * takes — `mod` is the SHINGLE space (`shmod`: img tiles / aud
+    * utterance bigrams / vid frame bigrams, plus the video rows' second
+    * `vsp` per-frame tile set — disjoint candidate spaces even on
+    * numeric collision). A combined frame from before the vsp column
+    * (r14 layout) explodes its single set unchanged.
     */
-  def shingleRows(combined: DataFrame): DataFrame =
-    combined.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shmod").as("mod"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), col("mod"), col("sh._1").as("s1"), col("sh._2").as("q1"),
-        col("sh._3").as("s2"), col("sh._4").as("q2"))
+  def shingleRows(combined: DataFrame): DataFrame = {
+    def rows(df: DataFrame, modCol: Column, shCol: Column): DataFrame =
+      df.filter(size(shCol) > 0)
+        .select(col("doc_id"), modCol.as("mod"), explode(shCol).as("sh"))
+        .select(col("doc_id"), col("mod"), col("sh._1").as("s1"), col("sh._2").as("q1"),
+          col("sh._3").as("s2"), col("sh._4").as("q2"))
+    val base = rows(combined, col("shmod"), col("shingles"))
+    if (!combined.columns.contains("vsp_shingles")) base
+    else base.unionByName(rows(combined, lit("vsp"), col("vsp_shingles")))
+  }
 
   /** Near-dup pairs over a MIXED image/audio media frame — the corpus
     * `--pdedup` stage's pair generator: [[mediaHashFrame]] (undecodable
@@ -1119,18 +1225,27 @@ object PerceptualDedup {
     * contribute tile-neighborhood fingerprints (`mod = "img"`,
     * [[imageTileShingles]]'s rule), audio clips utterance bigrams
     * (`mod = "aud"`, [[audioUtteranceShingles]]'s rule — the x151
-    * segmentation as content-anchored framing) and videos frame-bigram
-    * fingerprints (`mod = "vid"`, [[videoFrameShingles]]'s rule) — ONE
+    * segmentation as content-anchored framing) and videos BOTH video
+    * spaces — frame-bigram fingerprints (`mod = "vid"`,
+    * [[videoFrameShingles]]'s rule, the trim signal) and per-frame
+    * tile-neighborhood fingerprints (`mod = "vsp"`,
+    * [[videoFrameTileShingles]]'s rule, the x154 spatial-crop signal) in
+    * ONE pixel pass ([[Multimodal.decodeAviFrameStatsTiles]]) — ONE
     * decode pass per payload, modality order identical to
     * [[mediaHashBands]] (image reader first, RIFF/WAVE, then RIFF/AVI —
-    * fourccs disjoint). `mod` rides every shingle row so the three
-    * fingerprint families stay in DISJOINT candidate spaces even when
-    * their integer moments collide numerically. Shingles are
-    * width-independent (no wide concept): a small crop of a LARGE image
-    * shares the img space — the cross-size case the width-suffixed band
-    * fallback documents as its limit is covered HERE.
+    * fourccs disjoint). `mod` rides every shingle row so the fingerprint
+    * families stay in DISJOINT candidate spaces even when their integer
+    * moments collide numerically. Shingles are width-independent (no
+    * wide concept): a small crop of a LARGE image shares the img space —
+    * the cross-size case the width-suffixed band fallback documents as
+    * its limit is covered HERE. `vsp = false` reproduces the r14 triad
+    * scan (for batches against a pre-vsp state, where vsp rows would
+    * neither compare nor append — the decode is skipped, not discarded).
     */
-  def mediaShingles(media: DataFrame, tile: Int = TileSize): DataFrame = {
+  def mediaShingles(
+      media: DataFrame,
+      tile: Int = TileSize,
+      vsp: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -1145,6 +1260,15 @@ object PerceptualDedup {
                 case Some((us, uq)) =>
                   shinglesFromStats(us, uq)
                     .map { case (a, b, c, d) => (id, "aud", a, b, c, d) }
+                case None if vsp =>
+                  Multimodal.decodeAviFrameStatsTiles(p, tile) match {
+                    case Some((sums, sqs, tx, ty, fs, fq)) =>
+                      shinglesFromStats(sums, sqs)
+                        .map { case (a, b, c, d) => (id, "vid", a, b, c, d) } ++
+                        distinctFrameTileShingles(tx, ty, fs, fq)
+                          .map { case (a, b, c, d) => (id, "vsp", a, b, c, d) }
+                    case None => Nil
+                  }
                 case None =>
                   Multimodal.decodeAviFrameStats(p) match {
                     case Some((_, _, sums, sqs)) =>
@@ -1230,12 +1354,19 @@ object PerceptualDedup {
     // share (what OOM'd the first 100x smoke)
     val sh = withShMod(shingles)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // cut each modality's pair sub-plan EAGERLY before the union: the
-    // three LSH+verify plans each carry several runtime broadcasts, and
-    // materializing them under ONE downstream CC action stacks all
-    // modalities' broadcasts on the driver at once (OOM'd the 100x
-    // smoke); the cuts run them one modality at a time
-    val pairs = Modalities.map(_.prefix).map { m =>
+    // cut each space's pair sub-plan EAGERLY before the union: the
+    // per-space LSH+verify plans each carry several runtime broadcasts,
+    // and materializing them under ONE downstream CC action stacks all
+    // spaces' broadcasts on the driver at once (OOM'd the 100x smoke);
+    // the cuts run them one space at a time. Only spaces with ROWS run —
+    // a single-modality corpus must not pay three empty checkpointed job
+    // chains (each would still scan the shingle frame and write a
+    // checkpoint; the r14-ADVICE finding). The distinct-mod probe is a
+    // driver collect of at most |ShingleSpaces| values.
+    val present = sh.select("mod").distinct().collect().map(_.getString(0)).toSet
+    val activeSpaces = ShingleSpaces.map(_.space).filter(present)
+    if (activeSpaces.isEmpty) return sh.select("doc_id").limit(0)
+    val pairs = activeSpaces.map { m =>
       DedupClusters.ckpt(
         containmentPairsLshFromShingles(
           sh.filter(col("mod") === m).drop("mod"), num, den, k, bands, checkpointDir)
@@ -1334,12 +1465,16 @@ object PerceptualDedup {
     * `corpusShingles` / `batchShingles` are ((cv_id | doc_id), [mod,] s1,
     * q1, s2, q2) frames ([[mediaShingles]] / [[shingleRows]]; a side
     * without a `mod` column is treated as all-video — the pre-mod
-    * state's contract); returns one row per batch doc WITH shingles
-    * (doc_id, mod, n_sh, near_trim) where `near_trim` = some corpus doc
-    * OF THE SAME SHINGLE SPACE contains ≥ `num`/`den` of the doc's
-    * distinct fingerprints — the re-cut/excerpt (vid) or tile-aligned
-    * crop (img) whose whole-payload hash differs BY DESIGN, so the band
-    * leg cannot see it. The x147/x152 rule as an admission signal.
+    * state's contract); returns one row per batch (doc, SPACE) with
+    * shingles — (doc_id, mod, n_sh, near_trim) where `near_trim` = some
+    * corpus doc OF THAT SHINGLE SPACE contains ≥ `num`/`den` of the
+    * doc's distinct fingerprints in that space — the re-cut/excerpt
+    * (vid), tile-aligned crop (img), pause-cut excerpt (aud) or
+    * spatially cropped re-render (vsp) whose whole-payload hash differs
+    * BY DESIGN, so the band leg cannot see it. Videos carry two rows
+    * (vid + vsp) since x154; the per-space verdict is what lets the
+    * status folds name the signal that actually saw the re-post.
+    * The x147/x152/x153/x154 rules as admission signals.
     * `cv_id =!= doc_id` keeps crash-window retries idempotent (same rule
     * and same GLOBALLY-UNIQUE id-space precondition as
     * [[admitMediaCompare]]). Scale: the join shuffles 32-byte fingerprint
@@ -1365,16 +1500,22 @@ object PerceptualDedup {
     // a doubled shingle row would double `i` for that pair and inflate
     // containment past the threshold. The distinct is on the JOIN OUTPUT
     // (batch-sized × matches), never on the full state.
+    // Grouped and thresholded PER (doc, mod, cv): since videos carry TWO
+    // spaces (vid + vsp), pooling `i` across a doc's spaces against one
+    // space's n_sh would both mis-price the ratio and mislabel which
+    // signal saw the re-post — near_trim answers per SPACE, so the
+    // status folds name the right signal (a spatial crop flags the vsp
+    // row, never the vid row).
     val near = bs
       .join(cs, keys)
       .filter(col("cv_id") =!= col("doc_id"))
       .select(col("doc_id") +: col("cv_id") +: keys.map(col): _*).distinct()
-      .groupBy("doc_id", "cv_id").agg(count(lit(1)).as("i"))
-      .join(sz.select("doc_id", "n_sh"), "doc_id")
+      .groupBy("doc_id", "mod", "cv_id").agg(count(lit(1)).as("i"))
+      .join(sz, Seq("doc_id", "mod"))
       .filter(col("i") * den >= col("n_sh") * num)
-      .select("doc_id").distinct()
+      .select("doc_id", "mod").distinct()
       .withColumn("nt", lit(true))
-    sz.join(near, Seq("doc_id"), "left")
+    sz.join(near, Seq("doc_id", "mod"), "left")
       .select(col("doc_id"), col("mod"), col("n_sh"),
         coalesce(col("nt"), lit(false)).as("near_trim"))
   }
@@ -3095,6 +3236,16 @@ object PerceptualDedup {
       "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
 
+  /** Registered-query media fixtures route through the battery sidecar
+    * ([[FixtureSidecar]] — a no-op outside [[graft.Bench]]): at sf0.1 the
+    * per-frame/per-tile md5 synthesis dominated several timed medians
+    * (x148 ~15 s mostly fixture cost), and a bench median should price
+    * the read + engine, the work a real corpus run pays.
+    */
+  private def sidecar(s: SparkSession, name: String, dir: String)(
+      b: => DataFrame): DataFrame =
+    FixtureSidecar(s, s"${name}_${FixtureSidecar.dirTag(dir)}")(b)
+
   // ---------------------------------------------------------------------
   // registered queries
   // ---------------------------------------------------------------------
@@ -3568,7 +3719,8 @@ object PerceptualDedup {
         "fixture's 181-level concentration is the worst case) — the x25 caveat " +
         "applies past that."
     ) { (s, dir) =>
-      videoContainmentPairs(x147FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      videoContainmentPairs(sidecar(s, "x147_media", dir)(
+        x147FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3596,7 +3748,8 @@ object PerceptualDedup {
         "rate's content-dependent quadratic tail; joins shuffle 16-byte band keys " +
         "and 32-byte fingerprints, never payloads."
     ) { (s, dir) =>
-      videoContainmentPairsLsh(x147FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      videoContainmentPairsLsh(sidecar(s, "x147_media", dir)(
+        x147FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3633,7 +3786,8 @@ object PerceptualDedup {
         "self-join, benchExcluded like x147's exact form; the benched production " +
         "twin is x152_crop_containment_lsh."
     ) { (s, dir) =>
-      imageCropContainmentPairs(x152FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      imageCropContainmentPairs(sidecar(s, "x152_media", dir)(
+        x152FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3657,7 +3811,8 @@ object PerceptualDedup {
         "rate; joins shuffle 16-byte band keys and 32-byte fingerprints, never " +
         "payloads."
     ) { (s, dir) =>
-      imageCropContainmentPairsLsh(x152FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      imageCropContainmentPairsLsh(sidecar(s, "x152_media", dir)(
+        x152FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3695,7 +3850,8 @@ object PerceptualDedup {
         "BASELINE: all-pairs fingerprint self-join, benchExcluded like the x147/" +
         "x152 exact forms; the benched production twin is x153_utt_containment_lsh."
     ) { (s, dir) =>
-      audioContainmentPairs(x153FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      audioContainmentPairs(sidecar(s, "x153_media", dir)(
+        x153FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3717,7 +3873,8 @@ object PerceptualDedup {
         "Scale: candidate mass follows band collisions; joins shuffle 16-byte " +
         "band keys and 32-byte fingerprints, never payloads."
     ) { (s, dir) =>
-      audioContainmentPairsLsh(x153FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      audioContainmentPairsLsh(sidecar(s, "x153_media", dir)(
+        x153FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3762,8 +3919,10 @@ object PerceptualDedup {
           (id, makeAvi(4, 4, VideoWindows - off, (f, _, _) => levels(f)))
         })
         .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(videoFrameShingles(synth(corpusSrc)), None)
-      val batchSh = DedupClusters.ckpt(videoFrameShingles(synth(batchSrc)), None)
+      val corpusSh = DedupClusters.ckpt(videoFrameShingles(
+        sidecar(s, "x74vtrim_corpus", dir)(synth(corpusSrc))), None)
+      val batchSh = DedupClusters.ckpt(videoFrameShingles(
+        sidecar(s, "x74vtrim_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
       val adm = frame.filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
@@ -3825,8 +3984,10 @@ object PerceptualDedup {
             (x, y) => levels(x / TileSize)(y / TileSize)))
         })
         .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(mediaShingles(synth(corpusSrc)), None)
-      val batchSh = DedupClusters.ckpt(mediaShingles(synth(batchSrc)), None)
+      val corpusSh = DedupClusters.ckpt(mediaShingles(
+        sidecar(s, "x74icrop_corpus", dir)(synth(corpusSrc))), None)
+      val batchSh = DedupClusters.ckpt(mediaShingles(
+        sidecar(s, "x74icrop_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
       val adm = frame.filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
@@ -3883,8 +4044,10 @@ object PerceptualDedup {
       def synth(src: DataFrame) = src.as[(Long, Long, Int)]
         .mapPartitions(_.map { case (id, img, off) => (id, fixtureWavUtt(img, off)) })
         .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(mediaShingles(synth(corpusSrc)), None)
-      val batchSh = DedupClusters.ckpt(mediaShingles(synth(batchSrc)), None)
+      val corpusSh = DedupClusters.ckpt(mediaShingles(
+        sidecar(s, "x74atrim_corpus", dir)(synth(corpusSrc))), None)
+      val batchSh = DedupClusters.ckpt(mediaShingles(
+        sidecar(s, "x74atrim_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
       val adm = frame.filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
@@ -3937,8 +4100,8 @@ object PerceptualDedup {
         "benchExcluded like the x147/x152/x153 exact forms; the benched " +
         "production twin is x154_vcrop_containment_lsh."
     ) { (s, dir) =>
-      videoSpatialContainmentPairs(
-        x154FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      videoSpatialContainmentPairs(sidecar(s, "x154_media", dir)(
+        x154FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3962,8 +4125,8 @@ object PerceptualDedup {
         "fingerprint collision rate; joins shuffle 16-byte band keys and " +
         "32-byte fingerprints, never payloads."
     ) { (s, dir) =>
-      videoSpatialContainmentPairsLsh(
-        x154FixtureMedia(table(s, dir, "documents").select("doc_id")))
+      videoSpatialContainmentPairsLsh(sidecar(s, "x154_media", dir)(
+        x154FixtureMedia(table(s, dir, "documents").select("doc_id"))))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -3997,7 +4160,9 @@ object PerceptualDedup {
         "join (collision-rate candidate mass), benchExcluded; the benched " +
         "production twin is x155_thumb_containment_lsh."
     ) { (s, dir) =>
-      val (vids, thumbs) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      val (vids0, thumbs0) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      val vids = sidecar(s, "x155_vids", dir)(vids0)
+      val thumbs = sidecar(s, "x155_thumbs", dir)(thumbs0)
       thumbnailContainmentPairs(thumbs, vids)
         .orderBy("doc_id", "vid_id", "frame_idx")
     },
@@ -4023,7 +4188,9 @@ object PerceptualDedup {
         "follows band collisions; joins shuffle 16-byte band keys and 32-byte " +
         "fingerprints, never payloads; each side is decoded once."
     ) { (s, dir) =>
-      val (vids, thumbs) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      val (vids0, thumbs0) = x155FixtureMedia(table(s, dir, "documents").select("doc_id"))
+      val vids = sidecar(s, "x155_vids", dir)(vids0)
+      val thumbs = sidecar(s, "x155_thumbs", dir)(thumbs0)
       thumbnailContainmentPairsLsh(thumbs, vids)
         .orderBy("doc_id", "vid_id", "frame_idx")
     },
@@ -4068,9 +4235,11 @@ object PerceptualDedup {
         .mapPartitions(_.map { case (id, img, off) => (id, fixtureAviTiles(img, off)) })
         .toDF("doc_id", "payload")
       val corpusSh = DedupClusters.ckpt(
-        videoFrameTileShingles(synth(corpusSrc)).withColumn("mod", lit("vsp")), None)
+        videoFrameTileShingles(sidecar(s, "x74vcrop_corpus", dir)(synth(corpusSrc)))
+          .withColumn("mod", lit("vsp")), None)
       val batchSh = DedupClusters.ckpt(
-        videoFrameTileShingles(synth(batchSrc)).withColumn("mod", lit("vsp")), None)
+        videoFrameTileShingles(sidecar(s, "x74vcrop_batch", dir)(synth(batchSrc)))
+          .withColumn("mod", lit("vsp")), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
       val adm = frame.filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
@@ -4142,10 +4311,10 @@ object PerceptualDedup {
     ) { (s, dir) =>
       import s.implicits._
       val ids = table(s, dir, "documents").select("doc_id")
-      val videos = ids.as[Long]
+      val videos = sidecar(s, "x148_videos", dir)(ids.as[Long]
         .mapPartitions(_.map(id => (id, fixtureAviFrames(id))))
-        .toDF("doc_id", "payload")
-      val images = ids.as[Long]
+        .toDF("doc_id", "payload"))
+      val images = sidecar(s, "x148_images", dir)(ids.as[Long]
         .mapPartitions(_.map { id =>
           val p =
             if (id % 10 == 0) makeBmp(9, 8, (x, y) => fixtureVidFrameGray(id, 32, x, y) + 16)
@@ -4153,7 +4322,7 @@ object PerceptualDedup {
               (XHash.h60(s"$id#i_${x}_$y") % 215).toInt + 10)
           (id + 7000000L, p)
         })
-        .toDF("doc_id", "payload")
+        .toDF("doc_id", "payload"))
       thumbnailMatches(images, videos, every = 16)
         .orderBy("doc_id", "vid_id", "frame_idx")
     },

@@ -1093,29 +1093,35 @@ class CliAdmitSpec extends SparkSpec {
       PerceptualDedup.VideoWindows - from,
       (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
     // MIXED corpus media: docs 0..7 images, doc 8 an utterance clip, doc
-    // 9 a video — ALL THREE containment modalities bootstrap into ONE
+    // 9 a video, doc 10 a TILED video (6x5 tiles — carries both video
+    // shingle spaces) — ALL FOUR containment flavors bootstrap into ONE
     // shingle state
-    val corpus = (0L to 9L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    val corpus = (0L to 10L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
     val corpusMedia = ((0L to 7L).map(i => (i, cimg(i * 5, 0))) ++
       Seq((8L, PerceptualDedup.fixtureWavUtt(8L * 5)),
-        (9L, PerceptualDedup.fixtureAvi(9L * 5)))).toDF("doc_id", "payload")
+        (9L, PerceptualDedup.fixtureAvi(9L * 5)),
+        (10L, PerceptualDedup.fixtureAviTiles(10L * 5, 0)))).toDF("doc_id", "payload")
     // 101 = tile-aligned CROP of corpus image 7 (band leg blind: the
     // crop shifts every dHash block boundary — only the crop leg flags
     // it); 102 = a novel CROP and 103 its full source arriving TOGETHER
     // (strict keep-best keeps 103, the 20-shingle original; min-id would
     // keep the 12-shingle crop 102); 104 = fresh image; 105 = trim of
     // corpus video 9 (the vid space); 106 = pause-cut EXCERPT of corpus
-    // clip 8 (the aud space) — three containment flavors, one state,
-    // one run
+    // clip 8 (the aud space); 107 = SPATIAL CROP of corpus video 10 —
+    // every frame's tiles (1..5, 1..4), which moves every whole-frame
+    // moment, so the vid space is blind and only the vsp space (x154)
+    // flags it — four containment flavors, one state, one run
     val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
-      doc(104L, "d"), doc(105L, "e"), doc(106L, "g")).toDF("doc_id", "text", "source")
+      doc(104L, "d"), doc(105L, "e"), doc(106L, "g"), doc(107L, "h"))
+      .toDF("doc_id", "text", "source")
     val batchMedia = Seq(
       (101L, cimg(7L * 5, 1)),
       (102L, cimg(6666L * 5, 1)),
       (103L, cimg(6666L * 5, 0)),
       (104L, cimg(8888L * 5, 0)),
       (105L, trim(9L * 5, 10)),
-      (106L, PerceptualDedup.fixtureWavUtt(8L * 5, uttOff = PerceptualDedup.UttDrop))
+      (106L, PerceptualDedup.fixtureWavUtt(8L * 5, uttOff = PerceptualDedup.UttDrop)),
+      (107L, PerceptualDedup.fixtureAviTiles(10L * 5, 1))
     ).toDF("doc_id", "payload")
     val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
       "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
@@ -1134,18 +1140,35 @@ class CliAdmitSpec extends SparkSpec {
     assert(j.contains(""""near_dup_batch_icrop":1"""), j)
     assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
     assert(j.contains(""""near_dup_corpus_atrim":1"""), j)
+    assert(j.contains(""""near_dup_corpus_vcrop":1"""), j)
     assert(j.contains(""""admitted":2"""), j)
     val ids = spark.read.parquet(base.getPath + "/out/admitted")
       .select("doc_id").as[Long].collect().toSet
     assert(ids === Set(103L, 104L), "keep-best kept the larger source image")
-    // ONE mod-tagged state holds all three shingle spaces; the admitted
-    // images' tile shingles appended (103/104: 20 each)
+    // ONE mod-tagged state holds all four shingle spaces (the tiled
+    // video carries vid AND vsp rows); the admitted images' tile
+    // shingles appended (103/104: 20 each); the meta sidecar records
+    // the spaces + geometry
     val sh = spark.read.parquet(s"$psigs/shingles")
     assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
     assert(sh.select("mod").distinct().as[String].collect().toSet ===
-      Set("img", "aud", "vid"))
+      Set("img", "aud", "vid", "vsp"))
     assert(sh.filter(col("cv_id") === 103L && col("mod") === "img").count() === 20L)
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
+    assert(sh.filter(col("cv_id") === 107L).count() === 0L)
+    // expected vsp rows from the closed form (DISTINCT across frames —
+    // mod-181 levels can collide between frames, so the count is the
+    // distinct-set size, not frames x neighborhoods)
+    val expVsp = (for {
+      f <- 0 until PerceptualDedup.VcropFrames
+      i <- 0 until PerceptualDedup.CropTilesX - 1
+      jj <- 0 until PerceptualDedup.CropTilesY - 1
+    } yield (PerceptualDedup.fixtureVidTileLvl(10L * 5, f, i, jj),
+      PerceptualDedup.fixtureVidTileLvl(10L * 5, f, i + 1, jj + 1))).distinct.size
+    assert(sh.filter(col("cv_id") === 10L && col("mod") === "vsp").count() ===
+      expVsp.toLong)
+    assert(xscale.PerceptualDedup.stateShingleSpaces(
+      spark, s"$psigs/shmeta", sh) === Seq("img", "aud", "vid", "vsp"))
     // day 2: a crop of day-1-admitted 103 flags off the APPENDED state
     val b2 = Seq(doc(201L, "f")).toDF("doc_id", "text", "source")
     val bm2 = Seq((201L, cimg(6666L * 5, 1))).toDF("doc_id", "payload")
@@ -1219,5 +1242,62 @@ class CliAdmitSpec extends SparkSpec {
     val sh = spark.read.parquet(s"$psigs/shingles")
     assert(sh.columns.toSet === Set("cv_id", "s1", "q1", "s2", "q2"))
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
+  }
+
+  test("admit --ptrim r14 (meta-less mod-tagged) shingle state keeps the TRIAD contract") {
+    import xscale.PerceptualDedup
+    val base = tmpDir("cli-admit-vcrop-r14")
+    def doc(id: Long, tag: String) =
+      (id, s"fully unrelated $tag journal line $id with its own private " +
+        s"shingle set $tag$id attached", "s")
+    val corpus = (0L to 2L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // corpus: two tiled videos + one plain video
+    val corpusMedia = Seq(
+      (0L, PerceptualDedup.fixtureAviTiles(0L, 0)),
+      (1L, PerceptualDedup.fixtureAviTiles(5L, 0)),
+      (2L, PerceptualDedup.fixtureAvi(10L))).toDF("doc_id", "payload")
+    val paths = Map("c" -> "/corpus.parquet", "cm" -> "/cm.parquet")
+      .map { case (k, v) => k -> (base.getPath + v) }
+    corpus.write.parquet(paths("c")); corpusMedia.write.parquet(paths("cm"))
+    // an r14-shaped state: mod-tagged bands AND mod-tagged shingles, but
+    // NO shmeta sidecar and no vsp rows (bootstrapped before the vsp
+    // space existed) — the triad contract must hold end to end
+    val psigs = base.getPath + "/psigs"
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    PerceptualDedup.mediaShingles(corpusMedia, vsp = false)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigs/shingles")
+    // batch: a SPATIAL crop of corpus video 0 — under the r14 contract it
+    // must pass UNFLAGGED (vsp rows neither compare nor append; widening
+    // is a re-bootstrap), plus a temporal trim of video 2 which the
+    // triad state still catches in the vid space
+    val batch = Seq(doc(101L, "a"), doc(102L, "b")).toDF("doc_id", "text", "source")
+    val batchMedia = Seq(
+      (101L, PerceptualDedup.fixtureAviTiles(0L, 1)),
+      (102L, PerceptualDedup.makeAvi(4, 4, PerceptualDedup.VideoWindows - 10,
+        (f, _, _) => PerceptualDedup.fixtureFrameVid(10L, f + 10)))
+    ).toDF("doc_id", "payload")
+    val bPath = base.getPath + "/b.parquet"; batch.write.parquet(bPath)
+    val bmPath = base.getPath + "/bm.parquet"; batchMedia.write.parquet(bmPath)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      assert(Cli.run(spark, List("admit", paths("c"), bPath, base.getPath + "/out",
+        "--strict", "--pmedia", paths("cm"), "--bmedia", bmPath,
+        "--psigs", psigs, "--ptrim")) === 0)
+    }
+    val j = buf.toString("UTF-8").linesIterator.filter(_.startsWith("{")).mkString
+    assert(j.contains(""""near_dup_corpus_vcrop":0"""), j)
+    assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
+    assert(j.contains(""""admitted":1"""), j)
+    // the appended state stays on the triad contract: the admitted
+    // crop's VID rows append, its vsp rows never do — future batches'
+    // vsp recall cannot silently depend on append history
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.select("mod").distinct().as[String].collect().toSet === Set("vid"))
+    assert(sh.filter(col("cv_id") === 101L && col("mod") === "vsp").count() === 0L)
+    assert(sh.filter(col("cv_id") === 101L && col("mod") === "vid").count() > 0L)
   }
 }

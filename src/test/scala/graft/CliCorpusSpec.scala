@@ -295,10 +295,14 @@ class CliCorpusSpec extends SparkSpec {
     // 30001 re-posts frames 10..64 of doc 11's VIDEO (a trim — band
     // hashes differ by design, --pdedup alone would keep both); 30002
     // re-posts the tile-aligned CROP of doc 12's IMAGE; 30003 re-posts
-    // the pause-cut EXCERPT of doc 13's CLIP; 30005 posts a fresh image
-    // (must survive). Sources carry MORE shingles, so keep-most keeps
-    // them and drops every re-post.
-    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L))
+    // the pause-cut EXCERPT of doc 13's CLIP; 30004 re-posts the
+    // SPATIAL CROP of doc 17's tiled video (every frame's tiles
+    // (1..5, 1..4) — the vsp space, x154: both temporal signals are
+    // blind to it; id 30007 = 17 + 29990); 30005 posts a fresh image
+    // (must survive). Sources
+    // carry MORE shingles, so keep-most keeps them and drops every
+    // re-post.
+    val extraFull = docs0.filter(col("doc_id").isin(11L, 12L, 13L, 15L, 17L))
       .withColumn("doc_id", col("doc_id") + 29990L)
       .withColumn("text", concat(col("text"), lit(" zq"), col("doc_id")))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -314,15 +318,17 @@ class CliCorpusSpec extends SparkSpec {
     def trim(img: Long, from: Int) = PerceptualDedup.makeAvi(4, 4,
       PerceptualDedup.VideoWindows - from,
       (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
-    val media = ((0L to 99L).filter(i => i != 11L && i != 12L && i != 13L)
+    val media = ((0L to 99L).filter(i => i != 11L && i != 12L && i != 13L && i != 17L)
       .map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
       Seq(
         (11L, PerceptualDedup.fixtureAvi(11L * 5)),
         (12L, cimg(12L * 5, 0)),
         (13L, PerceptualDedup.fixtureWavUtt(13L * 5)),
+        (17L, PerceptualDedup.fixtureAviTiles(17L * 5, 0)),
         (30001L, trim(11L * 5, 10)),
         (30002L, cimg(12L * 5, 1)),
         (30003L, PerceptualDedup.fixtureWavUtt(13L * 5, uttOff = PerceptualDedup.UttDrop)),
+        (30007L, PerceptualDedup.fixtureAviTiles(17L * 5, 1)),
         (30005L, cimg(8888L * 5, 0))))
       .toDF("doc_id", "payload")
     val docsPath = base.getPath + "/docs.parquet"
@@ -345,6 +351,7 @@ class CliCorpusSpec extends SparkSpec {
     assert(!ids.contains(30001L) && ids.contains(11L), "video trim dropped, source kept")
     assert(!ids.contains(30002L) && ids.contains(12L), "image crop dropped, source kept")
     assert(!ids.contains(30003L) && ids.contains(13L), "audio excerpt dropped, source kept")
+    assert(!ids.contains(30007L) && ids.contains(17L), "spatial crop dropped, source kept")
     assert(ids.contains(30005L), "the fresh image survives")
     // --pcontain on its OWN media path (no --pdedup) takes the
     // standalone decode route and drops the same re-posts
@@ -353,8 +360,10 @@ class CliCorpusSpec extends SparkSpec {
     assert(j2.contains(""""stages":["quality","dedup_exact","pcontain","split","pack"]"""), j2)
     val ids2 = spark.read.parquet(base.getPath + "/out2")
       .select("doc_id").as[Long].collect().toSet
-    assert(!ids2.contains(30001L) && !ids2.contains(30002L) && !ids2.contains(30003L))
-    assert(ids2.contains(11L) && ids2.contains(12L) && ids2.contains(13L))
+    assert(!ids2.contains(30001L) && !ids2.contains(30002L) && !ids2.contains(30003L) &&
+      !ids2.contains(30007L))
+    assert(ids2.contains(11L) && ids2.contains(12L) && ids2.contains(13L) &&
+      ids2.contains(17L))
   }
 
   test("corpus --mquality drops docs with dead media, keeps the rest") {

@@ -183,23 +183,27 @@ class StreamingAdmitSpec extends SparkSpec {
       (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
     val corpusMedia = ((0L to 3L).map(i => (i, PerceptualDedup.fixtureBmp(i * 5))) ++
       (4L to 6L).map(i => (i, PerceptualDedup.fixtureWav(i * 5))) ++
-      (7L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5))))
+      (7L to 9L).map(i => (i, PerceptualDedup.fixtureAvi(i * 5))) :+
+      ((10L, PerceptualDedup.fixtureAviTiles(10L * 5, 0))))
       .toDF("doc_id", "payload")
     // day 1: 41 brightened re-encode of corpus IMAGE 2; 42 TRIM of corpus
     // video 8 (band leg blind — only --ptrim flags it); 43/44 a novel
     // video + its 2x re-render arriving together (band strict pair;
     // fingerprints differ by the x4 sum scale, so the trim leg stays out
-    // of it); 45 fresh video
+    // of it); 45 fresh video; 46 SPATIAL CROP of corpus tiled video 10
+    // (the vsp space — both temporal signals blind, x154)
     val d1 = Seq((41L, novel1, "s"), (42L, novel2, "s"), (43L, novel3, "s"),
       (44L, novel4, "s"),
-      (45L, "a gazetteer of disused towpath mileposts west of the junction", "s"))
+      (45L, "a gazetteer of disused towpath mileposts west of the junction", "s"),
+      (46L, "minutes of the quarterly dredging committee for the upper reach", "s"))
       .toDF("doc_id", "text", "source")
     val d1m = Seq(
       (41L, PerceptualDedup.fixtureBmpShift(2L * 5, 16)),
       (42L, trim(8L * 5, 10)),
       (43L, PerceptualDedup.fixtureAvi(4343L * 5)),
       (44L, PerceptualDedup.fixtureAvi2x(4343L * 5)),
-      (45L, PerceptualDedup.fixtureAvi(4545L * 5))).toDF("doc_id", "payload")
+      (45L, PerceptualDedup.fixtureAvi(4545L * 5)),
+      (46L, PerceptualDedup.fixtureAviTiles(10L * 5, 1))).toDF("doc_id", "payload")
     // day 2: 51 = trim of day-1-admitted 45 (off the APPENDED shingles);
     // 52 = brightened re-encode of 45 (off the APPENDED bands)
     val d2 = Seq(
@@ -219,8 +223,10 @@ class StreamingAdmitSpec extends SparkSpec {
     PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
       .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
       .write.parquet(s"$psigsS/bands")
-    // the mod-tagged layout Cli run 1 writes TODAY (mediaShingles — the
-    // legacy pre-mod layout has its own dedicated specs)
+    // the mod-tagged layout Cli run 1 writes TODAY (mediaShingles with
+    // the vsp space + the shmeta sidecar — the legacy pre-mod and r14
+    // meta-less layouts have their own dedicated specs)
+    PerceptualDedup.writeShingleMeta(spark, s"$psigsS/shmeta")
     PerceptualDedup.mediaShingles(corpusMedia)
       .withColumnRenamed("doc_id", "cv_id")
       .write.parquet(s"$psigsS/shingles")
@@ -237,7 +243,8 @@ class StreamingAdmitSpec extends SparkSpec {
     val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
       .select("status", "n_docs").as[(String, Long)].collect().toMap
     assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_img" -> 1L,
-      "near_dup_corpus_vtrim" -> 1L, "near_dup_batch_vid" -> 1L))
+      "near_dup_corpus_vtrim" -> 1L, "near_dup_batch_vid" -> 1L,
+      "near_dup_corpus_vcrop" -> 1L))
     val rep2s = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
       .select("status", "n_docs").as[(String, Long)].collect().toMap
     assert(rep2s === Map("near_dup_corpus_vtrim" -> 1L, "near_dup_corpus_vid" -> 1L))

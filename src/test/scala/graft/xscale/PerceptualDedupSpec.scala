@@ -530,9 +530,12 @@ class PerceptualDedupSpec extends SparkSpec {
       (6L, fixtureBmpWide(5L)),                  // wide-sized image
       (7L, "gibberish".getBytes),                // undecodable
       (8L, fixtureWavUtt(3L)),                   // audio WITH utterances: aud shingles
-      (9L, makeWav8(8000, Array.tabulate(40)(j => 128 + 5 * ((j / 9) % 2))))
+      (9L, makeWav8(8000, Array.tabulate(40)(j => 128 + 5 * ((j / 9) % 2)))),
       // ^ SHORT clip (40 < 65 samples): no bands at either width, but its
       //   utterances still shingle — the short-video rule, audio side
+      (10L, makeAvi(16, 16, 3, (f, x, y) => 30 + f * 40 + x + y))
+      // ^ tile-sized video (16x16 px = 2x2 tiles): carries BOTH video
+      //   shingle spaces — vid frame bigrams AND vsp per-frame tiles
     ).toDF("doc_id", "payload")
     for (wide <- Seq(false, true)) {
       val combined = mediaHashShingleFrame(media, wide)
@@ -564,6 +567,20 @@ class PerceptualDedupSpec extends SparkSpec {
         s"aud shingles, wide=$wide")
       // the utterance fixture and the short clip both contribute aud rows
       assert(auds.exists(_._1 == 8L) && auds.exists(_._1 == 9L))
+      // the vsp half (x154): per-frame tile shingles, same one-pass frame
+      val vsps = videoFrameTileShingles(media)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(vsps.nonEmpty)
+      assert(direct.filter(_._2 == "vsp").map(t => (t._1, t._3, t._4, t._5, t._6)) == vsps,
+        s"vsp shingles, wide=$wide")
+      // vsp = false reproduces the r14 triad scan (a batch against a
+      // pre-vsp state skips the tile accumulation, never discards it)
+      val triad = mediaShingles(media, vsp = false)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(triad == direct.filterNot(_._2 == "vsp"), s"triad scan, wide=$wide")
+      val combinedTriad = shingleRows(mediaHashShingleFrame(media, wide, vsp = false))
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(combinedTriad == triad, s"combined triad, wide=$wide")
     }
   }
 
@@ -853,6 +870,29 @@ class PerceptualDedupSpec extends SparkSpec {
     val static = makeAvi(48, 40, 3, (_, x, y) => lvl(0, x / 8, y / 8))
     val shS = videoFrameTileShingles(Seq((6L, static)).toDF("doc_id", "payload"))
     assert(shS.count() == 20)
+  }
+
+  test("shingle-state meta: spaces recorded, geometry mismatch raises, layout fallbacks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shmeta").toString
+    // bootstrap contract: meta records every space + this build's geometry
+    writeShingleMeta(spark, s"$dir/ok")
+    val dummy = Seq((1L, "vid", 1L, 1L, 2L, 2L))
+      .toDF("cv_id", "mod", "s1", "q1", "s2", "q2")
+    assert(stateShingleSpaces(spark, s"$dir/ok", dummy) ==
+      Seq("img", "aud", "vid", "vsp"))
+    // a state shingled at a different geometry must raise LOUDLY — a
+    // silent cross-geometry compare would never match (the r14-ADVICE
+    // tile-parameter finding, closed by recording + validating)
+    writeShingleMeta(spark, s"$dir/bad", tile = 16)
+    val e = intercept[IllegalArgumentException](
+      stateShingleSpaces(spark, s"$dir/bad", dummy))
+    assert(e.getMessage.contains("geometry mismatch"), e.getMessage)
+    // meta-less states keep their historical contracts by layout:
+    // pre-mod → video-only; r14 mod-tagged → the triad (no vsp)
+    assert(stateShingleSpaces(spark, s"$dir/absent",
+      dummy.drop("mod")) == Seq("vid"))
+    assert(stateShingleSpaces(spark, s"$dir/absent", dummy) == TriadSpaces)
   }
 
   test("thumbnailContainmentPairs: cropped thumbnail found per frame — x148's blind spot") {

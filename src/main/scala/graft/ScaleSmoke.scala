@@ -528,7 +528,11 @@ object ScaleSmoke {
             (id, xscale.PerceptualDedup.fixtureAviTiles(img, off))
           })
           .toDF("doc_id", "payload")
-        xscale.PerceptualDedup.videoSpatialContainmentPairsLsh(media)
+        // storage-backed cuts (the x30/x50 heavy-smoke rule): the 100x
+        // corpus carries ~64M vsp fingerprints — local-checkpoint memory
+        // blocks for the shingle frame alone exceed the default 8g heap
+        xscale.PerceptualDedup.videoSpatialContainmentPairsLsh(
+          media, checkpointDir = Some(s"$d/_checkpoints"))
       }),
       // the x155 scale path measured: cropped-thumbnail provenance via
       // the bipartite LSH (every 3rd doc posts a thumbnail of one frame,
@@ -547,7 +551,8 @@ object ScaleSmoke {
             (id + 7000000L, xscale.PerceptualDedup.fixtureThumbBmp(id, f0, off))
           })
           .toDF("doc_id", "payload")
-        xscale.PerceptualDedup.thumbnailContainmentPairsLsh(thumbs, vids)
+        xscale.PerceptualDedup.thumbnailContainmentPairsLsh(
+          thumbs, vids, checkpointDir = Some(s"$d/_checkpoints"))
       }),
       // the spatial-crop leg's steady state: a fixed batch of 200
       // tile-aligned spatial crops of corpus videos + 50 fresh,

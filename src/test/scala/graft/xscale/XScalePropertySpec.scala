@@ -428,4 +428,47 @@ class XScalePropertySpec extends SparkSpec {
       assert(rows.forall(r => r._1 >= 0 && r._1 < phases))
     }
   }
+
+  test("x154 per-frame tile moments: AVI walk == extractAviFrames + imageio on random clips") {
+    // THREE independent code paths must agree on random geometry: the
+    // direct DIB walk (decodeAviFrameTileStats — bottom-up rows mapped in
+    // place), the real container surgery + javax.imageio route
+    // (extractAviFrames builds a standalone BMP per frame, the image
+    // tile decoder reads it back), and the combined one-pass decoder.
+    // Random non-tile-aligned sizes exercise the dropped partial edge
+    // tiles; the asymmetric per-pixel gray would expose any row-order or
+    // channel-order slip as a different moment.
+    val gen: Gen[(Int, Int, Int, Int)] = for {
+      w <- Gen.chooseNum(4, 37)
+      h <- Gen.chooseNum(4, 29)
+      nf <- Gen.chooseNum(1, 4)
+      tile <- Gen.oneOf(3, 5, 8)
+    } yield (w, h, nf, tile)
+    for (((w, h, nf, tile), i) <- samples(gen, 25).zipWithIndex) {
+      def g(f: Int, x: Int, y: Int) = (x * 31 + y * 17 + f * 57 + i * 13) % 251
+      val avi = PerceptualDedup.makeAvi(w, h, nf, g)
+      val got = Multimodal.decodeAviFrameTileStats(avi, tile)
+      if (w / tile == 0 || h / tile == 0) assert(got.isEmpty, s"w=$w h=$h tile=$tile")
+      else {
+        val Some((tx, ty, fs, fq)) = got
+        assert(tx == w / tile && ty == h / tile && fs.length == nf)
+        val frames = Multimodal.extractAviFrames(
+          Seq((1L, avi)).toDF("doc_id", "payload"))
+          .orderBy("frame_idx").select("payload").as[Array[Byte]].collect()
+        assert(frames.length == nf)
+        frames.zipWithIndex.foreach { case (bmp, f) =>
+          val Some((rtx, rty, rs, rq)) = Multimodal.decodeImageTileStats(bmp, tile)
+          assert(rtx == tx && rty == ty)
+          assert(fs(f).sameElements(rs) && fq(f).sameElements(rq),
+            s"f=$f w=$w h=$h tile=$tile")
+        }
+        val Some((cs, cq, ctx, cty, cfs, cfq)) =
+          Multimodal.decodeAviFrameStatsTiles(avi, tile)
+        val Some((_, _, ss, sq)) = Multimodal.decodeAviFrameStats(avi)
+        assert(cs.sameElements(ss) && cq.sameElements(sq) && ctx == tx && cty == ty)
+        assert(cfs.indices.forall(f =>
+          cfs(f).sameElements(fs(f)) && cfq(f).sameElements(fq(f))))
+      }
+    }
+  }
 }

@@ -110,7 +110,7 @@ object Bench {
     // comparisons can be quoted sentinel-normalized instead of
     // adjudicating machine-state drift by cross-referencing batteries
     // (three same-code r14 batteries spanned ±13%; the driver box read
-    // 29% over local on identical code). 2^27 codegen'd xxhash64 rows,
+    // 29% over local on identical code). 2^31 codegen'd xxhash64 rows,
     // one partial+final agg; timed with the battery's own run/median
     // discipline, after the battery (so it prices the SAME warmed JVM
     // the queries ran in).

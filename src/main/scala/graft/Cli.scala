@@ -725,27 +725,34 @@ object Cli {
         case _ => None
       }
       // --ptrim: the CONTAINMENT leg — the blind spot the band leg leaves
-      // open by design, now on BOTH containment modalities: a re-cut/
-      // excerpt of corpus video keeps its frames bit-exact but shifts
-      // every hash window (x145's single-alignment convention), and a
-      // tile-aligned crop of a corpus image keeps its interior tiles
-      // bit-exact but shifts every dHash block boundary — --pmedia admits
-      // both. The x147/x152 rule as an admission signal: batch docs'
-      // distinct shingles (frame bigrams for vid, diagonal tile
-      // neighborhoods for img; mod keeps the spaces disjoint) vs the
-      // corpus shingle state (<psigs>/shingles — corpus media never
-      // re-decoded once it exists), >= 0.8 containment flags
-      // near_dup_corpus_vtrim/_icrop per modality; under --strict, a
-      // trim/crop and its source arriving TOGETHER keep the doc with the
-      // MOST shingles (the longer clip / larger image is the source),
-      // losers near_dup_batch_vtrim/_icrop. A pre-mod shingle state
-      // keeps its original VIDEO-ONLY contract (legacy: img shingles
-      // neither compare nor append — widening is a re-bootstrap, the
-      // bands-width rule). The shingle state has no band-width concept,
-      // so it composes with both classic and wide band states unchanged;
-      // --compact reconciles it (left_semi on live ids + DISTINCT —
-      // shingle rows are pure values, exact duplicates are always
-      // append replays).
+      // open by design, on all FOUR shingle spaces: a re-cut/excerpt of
+      // corpus video keeps its frames bit-exact but shifts every hash
+      // window (x145's single-alignment convention); a tile-aligned crop
+      // of a corpus image keeps its interior tiles bit-exact but shifts
+      // every dHash block boundary; a pause-cut audio excerpt keeps its
+      // utterances' voiced cores; and a SPATIALLY cropped video
+      // re-render keeps every frame's interior tiles while moving every
+      // whole-frame moment (x154 — the one mode the other video signal
+      // is also blind to). --pmedia admits them all. The
+      // x147/x152/x153/x154 rules as admission signals: batch docs'
+      // distinct shingles (frame bigrams + per-frame tile neighborhoods
+      // for video, tile neighborhoods for img, utterance bigrams for
+      // aud; mod keeps the spaces disjoint) vs the corpus shingle state
+      // (<psigs>/shingles — corpus media never re-decoded once it
+      // exists), >= 0.8 containment per SPACE flags
+      // near_dup_corpus_vtrim/_icrop/_atrim/_vcrop; under --strict, a
+      // trim/crop/excerpt and its source arriving TOGETHER keep the doc
+      // with the MOST fingerprints (the longer clip / larger image is
+      // the source), losers labeled by their linking space. The state's
+      // spaces + shingle geometry live in <psigs>/shmeta (validated on
+      // load — loud failure on mismatch); meta-less states keep their
+      // historical contracts by layout (pre-mod → vid-only; r14
+      // mod-tagged → the triad: vsp neither compares nor appends —
+      // widening is a re-bootstrap, the bands-width rule). The shingle
+      // state has no band-width concept, so it composes with both
+      // classic and wide band states unchanged; --compact reconciles it
+      // (left_semi on live ids + DISTINCT — shingle rows are pure
+      // values, exact duplicates are always append replays).
       val trimState: Option[TrimLeg] =
         if (!flags.ptrim) None
         else (flags.pmediaPath, flags.bmediaPath) match {

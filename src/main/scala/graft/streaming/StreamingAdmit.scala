@@ -146,6 +146,12 @@ object StreamingAdmit {
     // (no mod column) keeps its original image-only classic contract.
     // The state must be BOOTSTRAPPED before streaming (Cli admit --psigs
     // run 1) — a stream has no corpus to hash.
+    // The ptrim contract check runs BEFORE the shingle-state read below:
+    // a misconfigured call must fail with the named message, not with a
+    // path-missing read error pointing at state corruption.
+    require(!ptrim || (psigsPath.isDefined && batchMedia.isDefined),
+      "ptrim = true requires psigsPath and batchMedia — without them every " +
+        "re-cut video would be admitted unflagged (silent zero recall)")
     // Resolved before the media leg (the batch verb's rule): the shingle
     // state's SPACES govern which containment spaces the batch decodes,
     // compares and appends — meta-first (geometry validated, loud
@@ -190,12 +196,11 @@ object StreamingAdmit {
     // videos' distinct frame-bigram shingles vs the persisted shingle
     // state (the re-cut/excerpt whose temporal hash differs BY DESIGN,
     // so the band leg admits it); finally-admitted shingles append
-    // below. Bootstrapped by `Cli admit --ptrim --psigs` run 1.
-    // the batch verb REJECTS --ptrim without --pmedia; the library
-    // surface must not silently downgrade to zero trim recall instead
-    require(!ptrim || (psigsPath.isDefined && batchMedia.isDefined),
-      "ptrim = true requires psigsPath and batchMedia — without them every " +
-        "re-cut video would be admitted unflagged (silent zero recall)")
+    // below. Bootstrapped by `Cli admit --ptrim --psigs` run 1. The
+    // ptrim-requires-batchMedia contract is enforced up top, BEFORE the
+    // trimSpaces state read (the batch verb REJECTS --ptrim without
+    // --pmedia; the library surface must not silently downgrade to zero
+    // trim recall either).
     val trimLeg = (psigsPath, batchMedia) match {
       case (Some(d), Some(bm)) if ptrim =>
         val stateSh = spark.read.parquet(s"$d/shingles")

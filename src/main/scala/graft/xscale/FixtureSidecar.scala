@@ -37,7 +37,12 @@ object FixtureSidecar {
     sys.props.get(DirProp) match {
       case Some(dir) =>
         val path = s"$dir/$key.parquet"
-        if (!new java.io.File(path).exists())
+        // probe the _SUCCESS marker, not the directory: an interrupted
+        // first write leaves partial part-files behind, and a
+        // directory-existence probe would silently serve the truncated
+        // fixture to every later run (and to every query SHARING the
+        // key); Overwrite mode clears the leftovers on the rebuild
+        if (!new java.io.File(path, "_SUCCESS").exists())
           build.write.mode(SaveMode.Overwrite).parquet(path)
         spark.read.parquet(path)
       case None => build

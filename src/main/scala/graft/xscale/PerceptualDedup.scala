@@ -1545,22 +1545,48 @@ object PerceptualDedup {
     val sh = withShMod(admShingles)
     val keys = Seq("mod", "s1", "q1", "s2", "q2")
     val cols = Seq("mod", "s1", "q1", "s2", "q2")
-    val sz = sh.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.select((col("doc_id").as("a") +: cols.map(col)): _*)
+    // PER-SPACE qualification (the admitTrimCompare rule on the strict
+    // side — videos carry vid AND vsp rows since x154): intersections
+    // group by (a, b, SPACE) and compare against THAT space's sizes.
+    // Pooling i across a doc's spaces against one space's n_sh would let
+    // two videos sharing ~50% in each space cross a 0.8 bar no single
+    // space meets.
+    val szMod = sh.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
+    val qual = sh.select((col("doc_id").as("a") +: cols.map(col)): _*)
       .join(sh.select((col("doc_id").as("b") +: cols.map(col)): _*), keys)
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .groupBy("a", "b", "mod").agg(count(lit(1)).as("i"))
+      .join(szMod.select(col("doc_id").as("a"), col("mod"), col("n_sh").as("na")),
+        Seq("a", "mod"))
+      .join(szMod.select(col("doc_id").as("b"), col("mod"), col("n_sh").as("nb")),
+        Seq("b", "mod"))
       .filter(col("i") * den >= least(col("na"), col("nb")) * num)
-      .select("a", "b")
-    val comp = DedupClusters.connectedComponents(pairs, checkpointDir = checkpointDir)
+      .select("a", "b", "mod")
+    val qualC = DedupClusters.ckpt(qual, checkpointDir)
+    // ONE undirected CC over pairs qualifying in ANY space (spaces only
+    // ever link docs of one modality); keep the doc with the most
+    // fingerprints across ALL its spaces — the larger canvas / longer
+    // clip carries more in every space, and a per-space rank would emit
+    // the WINNER's other-space row as a loser (the two-space bug this
+    // per-doc rank replaces).
+    val comp = DedupClusters.connectedComponents(
+      qualC.select("a", "b").distinct(), checkpointDir = checkpointDir)
+    val szDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_tot"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("component").orderBy(col("n_sh").desc, col("doc_id"))
-    comp.join(sz, comp("id") === sz("doc_id"))
+      .partitionBy("component").orderBy(col("n_tot").desc, col("doc_id"))
+    val losers = comp.join(szDoc, comp("id") === szDoc("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
-      .select("doc_id", "mod")
+      .select("doc_id")
+    // label each loser by the space(s) that actually LINKED it (a pure
+    // spatial-crop pair labels vcrop, never vtrim — the compare side's
+    // name-the-signal rule); single-space docs reproduce the r14 rows
+    // exactly (their only space is their linking space)
+    losers.join(
+      qualC.select(col("a").as("doc_id"), col("mod"))
+        .unionByName(qualC.select(col("b").as("doc_id"), col("mod"))),
+      "doc_id")
+      .select("doc_id", "mod").distinct()
   }
 
   /** Compact the `--ptrim` shingle state against the live corpus ids —

@@ -1110,9 +1110,14 @@ class CliAdmitSpec extends SparkSpec {
     // clip 8 (the aud space); 107 = SPATIAL CROP of corpus video 10 —
     // every frame's tiles (1..5, 1..4), which moves every whole-frame
     // moment, so the vid space is blind and only the vsp space (x154)
-    // flags it — four containment flavors, one state, one run
+    // flags it; 108/109 = a NOVEL tiled video's spatial crop arriving
+    // WITH its source (both clear every corpus rule; only the strict
+    // keep-best can order that pair, and the SOURCE — a TWO-SPACE doc —
+    // must stay admitted while the crop re-statuses by its LINKING
+    // space) — four containment flavors, one state, one run
     val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
-      doc(104L, "d"), doc(105L, "e"), doc(106L, "g"), doc(107L, "h"))
+      doc(104L, "d"), doc(105L, "e"), doc(106L, "g"), doc(107L, "h"),
+      doc(108L, "i"), doc(109L, "j"))
       .toDF("doc_id", "text", "source")
     val batchMedia = Seq(
       (101L, cimg(7L * 5, 1)),
@@ -1121,7 +1126,9 @@ class CliAdmitSpec extends SparkSpec {
       (104L, cimg(8888L * 5, 0)),
       (105L, trim(9L * 5, 10)),
       (106L, PerceptualDedup.fixtureWavUtt(8L * 5, uttOff = PerceptualDedup.UttDrop)),
-      (107L, PerceptualDedup.fixtureAviTiles(10L * 5, 1))
+      (107L, PerceptualDedup.fixtureAviTiles(10L * 5, 1)),
+      (108L, PerceptualDedup.fixtureAviTiles(7777L * 5, 1)),
+      (109L, PerceptualDedup.fixtureAviTiles(7777L * 5, 0))
     ).toDF("doc_id", "payload")
     val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
       "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
@@ -1141,10 +1148,17 @@ class CliAdmitSpec extends SparkSpec {
     assert(j.contains(""""near_dup_corpus_vtrim":1"""), j)
     assert(j.contains(""""near_dup_corpus_atrim":1"""), j)
     assert(j.contains(""""near_dup_corpus_vcrop":1"""), j)
-    assert(j.contains(""""admitted":2"""), j)
+    // the strict two-space pair: 108 (crop) loses by total fingerprints
+    // and re-statuses by its LINKING space (vcrop, never vtrim); 109
+    // (the source, a vid+vsp doc) must STAY admitted — a per-(doc, mod)
+    // keep-best rank would have demoted the winner's vid row too
+    assert(j.contains(""""near_dup_batch_vcrop":1"""), j)
+    assert(j.contains(""""near_dup_batch_vtrim":0"""), j)
+    assert(j.contains(""""admitted":3"""), j)
     val ids = spark.read.parquet(base.getPath + "/out/admitted")
       .select("doc_id").as[Long].collect().toSet
-    assert(ids === Set(103L, 104L), "keep-best kept the larger source image")
+    assert(ids === Set(103L, 104L, 109L),
+      "keep-best kept the larger source image AND the two-space source video")
     // ONE mod-tagged state holds all four shingle spaces (the tiled
     // video carries vid AND vsp rows); the admitted images' tile
     // shingles appended (103/104: 20 each); the meta sidecar records

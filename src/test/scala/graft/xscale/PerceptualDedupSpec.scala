@@ -872,6 +872,34 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(shS.count() == 20)
   }
 
+  test("admitTrimStrictLosers: two-space videos — winner never demoted, per-space rule") {
+    import spark.implicits._
+    def rows(id: Long, mod: String, tag: Long, n: Int) =
+      (0 until n).map(i => (id, mod, tag * 1000 + i, 1L, tag * 1000 + i + 1, 1L))
+    // a source video carries vid (5 bigrams) + vsp (40 tiles) rows; its
+    // SPATIAL crop shares 36/36 vsp fingerprints but zero vid ones (a
+    // crop moves every whole-frame moment). The keep-best rank must be
+    // per DOC (total fingerprints), not per (doc, mod): a per-row rank
+    // would emit the WINNER's vid row as a loser and the status fold
+    // would demote the kept source — the cluster ships no admitted
+    // representative (the self-review finding this test pins).
+    val sh = (rows(1L, "vid", 1, 5) ++ rows(1L, "vsp", 2, 40) ++
+      rows(2L, "vid", 3, 5) ++ rows(2L, "vsp", 2, 36))
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+    val losers = admitTrimStrictLosers(sh).as[(Long, String)].collect().toSet
+    // the crop loses (fewer total fingerprints), labeled by the space
+    // that LINKED it — vsp, never vtrim (name-the-signal)
+    assert(losers == Set((2L, "vsp")), losers)
+    // per-space qualification: docs sharing ~50% in EACH space must not
+    // pair — the pooled form summed i across spaces (25) against ONE
+    // space's least-size (10) and crossed a 0.8 bar no space meets
+    val sh2 = (rows(3L, "vid", 5, 10) ++ rows(3L, "vsp", 6, 40) ++
+      rows(4L, "vid", 5, 5) ++ rows(4L, "vid", 7, 5) ++
+      rows(4L, "vsp", 6, 20) ++ rows(4L, "vsp", 8, 20))
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+    assert(admitTrimStrictLosers(sh2).count() === 0L)
+  }
+
   test("shingle-state meta: spaces recorded, geometry mismatch raises, layout fallbacks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("shmeta").toString

@@ -1025,6 +1025,17 @@ object PerceptualDedup {
     */
   val TileSize = 8
 
+  /** Batch-side broadcast boundary for [[admitTrimCompare]]: 2M shingle
+    * rows ≈ 100 MB at the 6-long row width — well inside an executor
+    * heap, and a daily admission batch (250–100k docs × ~20–120
+    * fingerprints) sits orders of magnitude below it, while a corpus
+    * STATE (64M rows at the 100× smoke, billions at 100 TB) sits far
+    * above. Measured reasoning, the NarrowSimhashBoundary discipline:
+    * below the boundary the state is scanned once per run (broadcast
+    * hash join); above it the join falls back to the shuffle form.
+    */
+  val BroadcastBatchShingleRows = 2000000L
+
   /** Per-clip AUDIO containment shingles — the third containment
     * modality (x153), [[videoFrameShingles]]'s rule with UTTERANCES as
     * the content units: the x151 segmentation gives audio the
@@ -1477,9 +1488,18 @@ object PerceptualDedup {
     * The x147/x152/x153/x154 rules as admission signals.
     * `cv_id =!= doc_id` keeps crash-window retries idempotent (same rule
     * and same GLOBALLY-UNIQUE id-space precondition as
-    * [[admitMediaCompare]]). Scale: the join shuffles 32-byte fingerprint
-    * keys (+ the mod tag); the batch side is batch-sized; corpus
-    * payloads are never re-decoded once the shingle state exists.
+    * [[admitMediaCompare]]). Scale: the batch side BROADCASTS when it is
+    * genuinely broadcast-sized (≤ [[BroadcastBatchShingleRows]], decided
+    * by one cheap count on the already-cut batch frame), so the
+    * corpus-sized state is SCANNED, never shuffled — the planner cannot
+    * see this on its own (the batch frame reaches the join through a
+    * decode mapPartitions / checkpoint, which erases size statistics, so
+    * left alone it sort-merge-joins and re-shuffles the ENTIRE state
+    * every admission run: the 100× vcrop steady smoke spent ~3× the
+    * state-scan cost in that shuffle). An oversized batch falls back to
+    * the shuffle join (a multi-GB broadcast build would OOM executors
+    * instead). Corpus payloads are never re-decoded once the shingle
+    * state exists.
     */
   def admitTrimCompare(
       corpusShingles: DataFrame,
@@ -1488,7 +1508,8 @@ object PerceptualDedup {
       den: Int = 5): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
     val keys = Seq("mod", "s1", "q1", "s2", "q2")
-    val bs = withShMod(batchShingles)
+    val bs0 = withShMod(batchShingles)
+    val bs = if (bs0.count() <= BroadcastBatchShingleRows) broadcast(bs0) else bs0
     val sz = bs.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
     val cs = withShMod(
       if (corpusShingles.columns.contains("cv_id")) corpusShingles

@@ -24,7 +24,14 @@ object Bench {
     // Untimed warmup: pay one-time session costs (codegen compiler init,
     // parquet footer reads, shuffle service spin-up) outside the per-query
     // timings so the first measured query isn't charged for them.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // NonFatal only: a fatal warmup error (OutOfMemoryError and kin)
+    // corrupts JVM state and would silently distort every subsequent
+    // timing — let it crash the battery instead (the r15-ADVICE rule).
+    try SparkEntry.entry(spark).count()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup entry failed: ${e.getClass.getName}")
+    }
     // Execute the FULL physical plan (queryExecution.toRdd), not
     // df.count(): count() lets Catalyst prune every projection and drop
     // provably count-preserving joins, so per-row operators (x31's native
@@ -81,16 +88,31 @@ object Bench {
     // (without this pass, run 1's write showed up as a 15 s "spread" on
     // x148). Every query also gets one warm execution, which the
     // 3-run median previously only approximated for the first query.
-    timedQueries.foreach { case (_, fn) =>
+    timedQueries.foreach { case (name, fn) =>
+      // NonFatal only (the entry-warmup rule): a swallowed fatal here
+      // would leave a corrupted JVM timing the whole battery with no
+      // trace in the artifact; the failing query's NAME goes to stderr
+      // so a warmup-only failure is attributable even though the timed
+      // pass records its own failures.
       try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] warmup failed for $name: ${e.getClass.getName}")
+      }
       releaseState()
     }
     val timings = timedQueries.map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
+        // NonFatal (the warmup rule): an OOM-class error here must crash
+        // the battery, not be recorded as a "failed query" while every
+        // later timing runs in a corrupted JVM
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed += name; -1L }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            if (!failed.contains(name)) failed += name; -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         releaseState()
         dt

@@ -568,7 +568,11 @@ object ScaleSmoke {
               xscale.PerceptualDedup.fixtureAviTiles((2400000000L + i) * 5, 0))))
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.admitTrimCompare(
-          state, xscale.PerceptualDedup.mediaShingles(batch))
+          // cut the batch frame BEFORE the call (the admitTrimCompare
+          // contract): the broadcast-decision count on a raw decode plan
+          // would run the full batch decode one extra time
+          state, xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.mediaShingles(batch), None))
           .groupBy("near_trim").count()
       }),
       // the excerpt leg's steady state: a fixed batch of 200 pause-cut
@@ -585,7 +589,8 @@ object ScaleSmoke {
             (9900000000L + i, xscale.PerceptualDedup.fixtureWavUtt((2300000000L + i) * 5))))
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.admitTrimCompare(
-          state, xscale.PerceptualDedup.mediaShingles(batch))
+          state, xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.mediaShingles(batch), None))
           .groupBy("near_trim").count()
       }),
       // the crop leg's steady state: a fixed batch of 200 tile-aligned
@@ -617,7 +622,8 @@ object ScaleSmoke {
           (0L until 50L).map(i => (9700000000L + i, full((2200000000L + i) * 5))))
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.admitTrimCompare(
-          state, xscale.PerceptualDedup.mediaShingles(batch))
+          state, xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.mediaShingles(batch), None))
           .groupBy("near_trim").count()
       }),
       // the trim leg's steady state: a fixed batch of 200 re-cut corpus
@@ -636,7 +642,8 @@ object ScaleSmoke {
             xscale.PerceptualDedup.fixtureAvi((2100000000L + i) * 5))))
           .toDF("doc_id", "payload")
         xscale.PerceptualDedup.admitTrimCompare(
-          state, xscale.PerceptualDedup.videoFrameShingles(batch))
+          state, xscale.DedupClusters.ckpt(
+            xscale.PerceptualDedup.videoFrameShingles(batch), None))
           .groupBy("near_trim").count()
       }),
       // the `Cli corpus --mquality` gate shape, measured end to end: one

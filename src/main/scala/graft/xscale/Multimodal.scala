@@ -241,6 +241,23 @@ object Multimodal {
     */
   val MaxDecodePixels: Long = 64L * 1024 * 1024
 
+  /** Default silence threshold for every WAV quality/segmentation
+    * decoder (|sample| ≤ SilenceMax = dead air): ±1 absorbs DC-offset
+    * dither around the 8-bit midpoint without eating quiet speech. ONE
+    * named constant — the shingle-state geometry sidecar
+    * ([[graft.xscale.PerceptualDedup.writeShingleMeta]]) records and
+    * validates this value, so the decoder defaults and the state
+    * contract can never drift apart silently.
+    */
+  val SilenceMax: Long = 1L
+
+  /** Default separator length for utterance segmentation (a run of ≥
+    * GapMin consecutive silent samples splits utterances; shorter silent
+    * runs are pauses INSIDE one). Shares [[SilenceMax]]'s
+    * single-constant rule: the shingle-state meta records it.
+    */
+  val GapMin: Int = 8
+
   /** Pixel-level features: true dimensions plus the mean ITU-R BT.601
     * luma (e3: 0..255000) over every pixel, with `decoded` recording
     * whether the REAL decoder ran or the row fell back to the
@@ -737,7 +754,7 @@ object Multimodal {
     */
   def decodeWavQuality(
       p: Array[Byte],
-      silenceMax: Long = 1L): Option[(Long, Long, Long, Long, Long, Long)] = {
+      silenceMax: Long = SilenceMax): Option[(Long, Long, Long, Long, Long, Long)] = {
     val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
       case Some(l) => l
       case None    => return None
@@ -777,7 +794,7 @@ object Multimodal {
     * n_silent/n_samples > 0.9 or n_clipped/n_samples > 0.05 — dead air
     * and clipped garbage carry no training signal).
     */
-  def audioQualityFrame(media: DataFrame, silenceMax: Long = 1L): DataFrame = {
+  def audioQualityFrame(media: DataFrame, silenceMax: Long = SilenceMax): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -850,8 +867,8 @@ object Multimodal {
     */
   def decodeWavUtterances(
       p: Array[Byte],
-      silenceMax: Long = 1L,
-      gapMin: Int = 8): Option[(Long, Long, Long)] = {
+      silenceMax: Long = SilenceMax,
+      gapMin: Int = GapMin): Option[(Long, Long, Long)] = {
     // validate BEFORE the parse: an invalid gapMin must throw on every
     // call, not silently return None on non-WAV rows
     require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
@@ -923,8 +940,8 @@ object Multimodal {
     */
   def decodeWavUtteranceStats(
       p: Array[Byte],
-      silenceMax: Long = 1L,
-      gapMin: Int = 8): Option[(Array[Long], Array[Long])] = {
+      silenceMax: Long = SilenceMax,
+      gapMin: Int = GapMin): Option[(Array[Long], Array[Long])] = {
     require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
     val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
       case Some(l) => l
@@ -979,8 +996,8 @@ object Multimodal {
   def decodeWavWindowsUtterances(
       p: Array[Byte],
       nWindows: Int,
-      silenceMax: Long = 1L,
-      gapMin: Int = 8): Option[(Option[Array[Long]], Array[Long], Array[Long])] = {
+      silenceMax: Long = SilenceMax,
+      gapMin: Int = GapMin): Option[(Option[Array[Long]], Array[Long], Array[Long])] = {
     require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")
     require(nWindows > 0, s"nWindows=$nWindows must be > 0")
     val (_, _, bits, dataOff, n) = wavPcmLayout(p) match {
@@ -1035,8 +1052,8 @@ object Multimodal {
     */
   def audioUtteranceFrame(
       media: DataFrame,
-      silenceMax: Long = 1L,
-      gapMin: Int = 8): DataFrame = {
+      silenceMax: Long = SilenceMax,
+      gapMin: Int = GapMin): DataFrame = {
     // driver-side validation: an invalid gapMin must fail HERE, not as an
     // executor-side task failure inside the distributed map
     require(gapMin >= 1, s"gapMin=$gapMin must be >= 1")

@@ -145,8 +145,8 @@ object PerceptualDedup {
       metaPath: String,
       spaces: Seq[String] = ShingleSpaces.map(_.space),
       tile: Int = TileSize,
-      silenceMax: Long = 1L,
-      gapMin: Int = 8): Unit = {
+      silenceMax: Long = Multimodal.SilenceMax,
+      gapMin: Int = Multimodal.GapMin): Unit = {
     import spark.implicits._
     Seq((spaces, tile.toLong, silenceMax, gapMin.toLong))
       .toDF("spaces", "tile", "silence_max", "gap_min")
@@ -172,9 +172,17 @@ object PerceptualDedup {
       val r = spark.read.parquet(metaPath)
         .select("spaces", "tile", "silence_max", "gap_min").head()
       val (tile, sil, gap) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      require(tile == TileSize.toLong && sil == 1L && gap == 8L,
+      // validated against the SAME named constants the decoders default
+      // to (Multimodal.SilenceMax/GapMin, TileSize) — not re-stated
+      // literals, so a segmentation-default change can never leave the
+      // write/validate pair agreeing with each other but not with the
+      // shingle producers (the r15-ADVICE drift mode)
+      require(
+        tile == TileSize.toLong && sil == Multimodal.SilenceMax &&
+          gap == Multimodal.GapMin.toLong,
         s"shingle-state geometry mismatch: state (tile=$tile, silence_max=$sil, " +
-          s"gap_min=$gap) vs this build (tile=$TileSize, silence_max=1, gap_min=8)" +
+          s"gap_min=$gap) vs this build (tile=$TileSize, " +
+          s"silence_max=${Multimodal.SilenceMax}, gap_min=${Multimodal.GapMin})" +
           " — comparing across geometries silently never matches; re-bootstrap the" +
           " shingle state")
       r.getSeq[String](0)
@@ -1505,11 +1513,21 @@ object PerceptualDedup {
       corpusShingles: DataFrame,
       batchShingles: DataFrame,
       num: Int = 4,
-      den: Int = 5): DataFrame = {
+      den: Int = 5,
+      batchRows: Option[Long] = None): DataFrame = {
     require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
     val keys = Seq("mod", "s1", "q1", "s2", "q2")
     val bs0 = withShMod(batchShingles)
-    val bs = if (bs0.count() <= BroadcastBatchShingleRows) broadcast(bs0) else bs0
+    // broadcast decision: a caller-supplied row count wins (zero extra
+    // jobs — StreamingAdmit pays this per MICRO-BATCH, where even a
+    // cheap count is one avoidable Spark job); otherwise one count() at
+    // plan-construction time. CONTRACT: pass `batchShingles` already
+    // checkpointed (every production call site does) — on a raw decode
+    // plan the fallback count re-runs the full batch decode once.
+    val bs =
+      if (batchRows.getOrElse(bs0.count()) <= BroadcastBatchShingleRows)
+        broadcast(bs0)
+      else bs0
     val sz = bs.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
     val cs = withShMod(
       if (corpusShingles.columns.contains("cv_id")) corpusShingles
@@ -1540,6 +1558,19 @@ object PerceptualDedup {
       .select(col("doc_id"), col("mod"), col("n_sh"),
         coalesce(col("nt"), lit(false)).as("near_trim"))
   }
+
+  /** Doc-level fold of [[admitTrimCompare]]'s per-(doc, SPACE) frame:
+    * one row per doc, `near_trim` = flagged in ANY space. The compare
+    * frame deliberately answers per space (the status folds name the
+    * signal that saw the re-post), which makes the once-obvious pattern
+    * `frame.filter(!near_trim).select("doc_id")` a TRAP for multi-space
+    * docs — a two-space video flagged in only one space would surface as
+    * BOTH an "admitted" and a flagged doc_id, and a distinct() over the
+    * filter would silently admit it (the r15-ADVICE latent-trap finding).
+    * Derive any doc-level admitted/flagged set through THIS fold.
+    */
+  def admitTrimDocVerdicts(frame: DataFrame): DataFrame =
+    frame.groupBy("doc_id").agg(max(col("near_trim")).as("near_trim"))
 
   /** The strict pass of the containment leg: a trim/crop and its SOURCE
     * arriving in ONE batch both clear the corpus rule — run undirected
@@ -3971,7 +4002,10 @@ object PerceptualDedup {
       val batchSh = DedupClusters.ckpt(videoFrameShingles(
         sidecar(s, "x74vtrim_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      // doc-level fold, NOT a raw filter on the per-space frame (the
+      // admitTrimDocVerdicts trap note) — these fixtures are single-space
+      // today, but the pattern must survive a multi-space leg
+      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
         .select("doc_id").withColumn("lb", lit(true))
       frame.join(losers, Seq("doc_id"), "left")
@@ -4036,7 +4070,10 @@ object PerceptualDedup {
       val batchSh = DedupClusters.ckpt(mediaShingles(
         sidecar(s, "x74icrop_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      // doc-level fold, NOT a raw filter on the per-space frame (the
+      // admitTrimDocVerdicts trap note) — these fixtures are single-space
+      // today, but the pattern must survive a multi-space leg
+      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
         .select("doc_id").withColumn("lb", lit(true))
       frame.join(losers, Seq("doc_id"), "left")
@@ -4096,7 +4133,10 @@ object PerceptualDedup {
       val batchSh = DedupClusters.ckpt(mediaShingles(
         sidecar(s, "x74atrim_batch", dir)(synth(batchSrc))), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      // doc-level fold, NOT a raw filter on the per-space frame (the
+      // admitTrimDocVerdicts trap note) — these fixtures are single-space
+      // today, but the pattern must survive a multi-space leg
+      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
         .select("doc_id").withColumn("lb", lit(true))
       frame.join(losers, Seq("doc_id"), "left")
@@ -4288,7 +4328,10 @@ object PerceptualDedup {
         videoFrameTileShingles(sidecar(s, "x74vcrop_batch", dir)(synth(batchSrc)))
           .withColumn("mod", lit("vsp")), None)
       val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      val adm = frame.filter(!col("near_trim")).select("doc_id")
+      // doc-level fold, NOT a raw filter on the per-space frame (the
+      // admitTrimDocVerdicts trap note) — these fixtures are single-space
+      // today, but the pattern must survive a multi-space leg
+      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
       val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
         .select("doc_id").withColumn("lb", lit(true))
       frame.join(losers, Seq("doc_id"), "left")

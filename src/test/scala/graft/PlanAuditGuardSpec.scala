@@ -41,4 +41,22 @@ class PlanAuditGuardSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"PLANS.md rows for unregistered queries (regenerate PLANS.md): ${stale.mkString(", ")}")
   }
+
+  test("README.md's oracle-keyed count matches the live registry") {
+    // the r15 verdict's #4: the README quoted a two-round-stale count
+    // ("184/184 ... round 12") because nothing regenerated it — pin the
+    // quoted N/N against SparkEntry.oracleSql so registering a query
+    // without bumping the README goes red like a missing PLANS.md row
+    val readme = new String(
+      Files.readAllBytes(Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = "(\\d+)/(\\d+) oracle-keyed".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md must state the N/N oracle-keyed query count")
+    val quoted = m.get.group(1).toInt
+    assert(m.get.group(2).toInt == quoted,
+      "README.md's oracle-keyed count must be N/N with matching halves")
+    val live = SparkEntry.oracleSql.size
+    assert(quoted == live,
+      s"README.md quotes $quoted/$quoted oracle-keyed queries but the registry has " +
+        s"$live - update the README count (and the as-of round/artifact reference)")
+  }
 }

@@ -136,20 +136,47 @@ object Bench {
     // one partial+final agg; timed with the battery's own run/median
     // discipline, after the battery (so it prices the SAME warmed JVM
     // the queries ran in).
-    val sentinelTs = (1 to runs).map { _ =>
-      val t0 = System.nanoTime()
+    def timeSentinel(run: () => Unit): Double = {
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        dt
+      }.sorted
+      if (runs % 2 == 1) ts(runs / 2) else (ts(runs / 2 - 1) + ts(runs / 2)) / 2
+    }
+    val sentinel = timeSentinel { () =>
       // bit_xor, not sum: xxhash64 spans the full 64-bit range and an
       // ANSI-mode sum overflows. 2^31 rows ≈ 1 s on 32 threads — big
       // enough that JVM jitter is a small fraction of the reading.
       spark.range(0L, 1L << 31, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS s").queryExecution.toRdd.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      releaseState()
-      dt
-    }.sorted
-    val sentinel =
-      if (runs % 2 == 1) sentinelTs(runs / 2)
-      else (sentinelTs(runs / 2 - 1) + sentinelTs(runs / 2)) / 2
+      ()
+    }
+    // SHUFFLE-shaped sentinel (VERDICT r15 ask #2): the xxhash64 sentinel
+    // is pure codegen'd CPU — it normalizes clock/JIT drift but cannot
+    // see the shuffle-spill/page-cache contention that moved the
+    // shuffle-heavy queries 15–40% between same-code r15 batteries AT THE
+    // SAME cpu sentinel. This one prices that axis: two generated 2^24-row
+    // sides, each shuffled for a merge-pinned sort-merge join on a
+    // near-unique key (b's key is a fixed XOR permutation of [0, 2^24) —
+    // bijective, overflow-free under ANSI — so the join is 1:1: 16M
+    // matched rows through two full shuffle sorts, no file I/O,
+    // identical every round/machine). Round-over-round claims should
+    // quote BOTH sentinels: cpu drift reads on the first, shuffle-side
+    // machine state on this one.
+    val n = 1L << 24
+    val sentinelShuffle = timeSentinel { () =>
+      val a = spark.range(0L, n, 1L, cpus.toInt)
+        .selectExpr("id AS k", "id AS v")
+      val b = spark.range(0L, n, 1L, cpus.toInt)
+        .selectExpr("(id ^ 10855845) AS k", "id AS w")
+      a.hint("merge").join(b.hint("merge"), "k")
+        .selectExpr("bit_xor(xxhash64(v + w)) AS s")
+        .queryExecution.toRdd.count()
+      ()
+    }
     // Locale.ROOT: f"" interpolation is locale-sensitive — a comma-decimal
     // locale would emit invalid JSON.
     def fmt(v: Double, dec: Int): String =
@@ -165,7 +192,7 @@ object Bench {
     val spreadJson =
       if (runs > 1) s""","spread":${queriesJson(spreads, 4)}""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","runs":$runs,"sentinel":${fmt(sentinel, 4)},"failed":$failedJson,"queries":${queriesJson(results, 4)}$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","runs":$runs,"sentinel":${fmt(sentinel, 4)},"sentinel_shuffle":${fmt(sentinelShuffle, 4)},"failed":$failedJson,"queries":${queriesJson(results, 4)}$spreadJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // The consumer reads a 2000-byte tail window, so the LAST stdout line
@@ -184,7 +211,7 @@ object Bench {
         s""","spread":${queriesJson(top.map { case (k, _) => k -> spreads(k) }, 2)}"""
       else ""
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"sentinel":${fmt(sentinel, 2)},"failed":$failedJson,"queries":${queriesJson(top, 2)}$topSpread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"runs":$runs,"sentinel":${fmt(sentinel, 2)},"sentinel_shuffle":${fmt(sentinelShuffle, 2)},"failed":$failedJson,"queries":${queriesJson(top, 2)}$topSpread,"sf":"$sfDir"}"""
     // the fixture sidecar is a battery-scoped cache, not an artifact
     def rmrf(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()

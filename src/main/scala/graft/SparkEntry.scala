@@ -52,6 +52,17 @@ object SparkEntry {
     "x154_video_spatial_containment",
     // bipartite raw-fingerprint join (the same collision-rate shape);
     // benched twin: x155_thumb_containment_lsh
-    "x155_thumbnail_containment"
+    "x155_thumbnail_containment",
+    // The four containment-admission COMPOSITES each rebuild the corpus
+    // shingle state in-query — a bootstrap a deployment pays once, not
+    // per batch. Their benched twins are the x74_admit_*_steady forms
+    // (same population/compare/strict, same oracle; the state rides the
+    // battery fixture sidecar), which price the per-batch steady cost a
+    // real admission run pays. The composites stay oracle-verified per
+    // Verify run as the bootstrap-coverage forms.
+    "x74_admit_vtrim",
+    "x74_admit_icrop",
+    "x74_admit_atrim",
+    "x74_admit_vcrop"
   )
 }

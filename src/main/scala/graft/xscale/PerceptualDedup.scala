@@ -3324,6 +3324,144 @@ object PerceptualDedup {
       b: => DataFrame): DataFrame =
     FixtureSidecar(s, s"${name}_${FixtureSidecar.dirTag(dir)}")(b)
 
+  /** Shared body of the four x74 CONTAINMENT-admission legs (vtrim /
+    * icrop / atrim / vcrop) and their `_steady` twins: the admit
+    * population split (corpus %9≠0; batch = fresh %9==0 + `off`-edited
+    * re-arrivals at +2000000 for %45==0 and +3000000 for %9==0 & v≥3),
+    * synthesized by the leg's `synth`, shingled by the leg's producer,
+    * then compare → doc-level fold → strict keep-best → the x74 report
+    * shape. `steady = true` additionally routes the CORPUS SHINGLE
+    * STATE itself through the battery fixture sidecar (r15 VERDICT ask
+    * #3): in the bench the state materializes ONCE per battery in the
+    * untimed pass and every timed run prices state-read + batch decode +
+    * compare + strict — the cost a DEPLOYED admission run pays per
+    * batch (ScaleSmoke's `x74_admit_*_steady` shape, now in the timed
+    * battery) — while the composite form keeps timing the full
+    * bootstrap+compare chain. Outside the battery the sidecar is
+    * identity, so both forms compute the identical frame and share one
+    * oracle.
+    */
+  private def admitContainLegQuery(
+      s: SparkSession,
+      dir: String,
+      key: String,
+      synth: DataFrame => DataFrame,
+      shingle: DataFrame => DataFrame,
+      editOff: Int,
+      corpusStatus: String,
+      batchStatus: String,
+      steady: Boolean): DataFrame = {
+    val ids = table(s, dir, "documents").select("doc_id")
+    val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+    val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
+      .unionByName(ids.filter(col("doc_id") % 45 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(editOff).as("off")))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(editOff).as("off")))
+    val corpusSh =
+      if (steady)
+        // the state parquet carries real statistics, so the compare's
+        // broadcast decision sees true sizes; referenced once — no cut
+        sidecar(s, s"${key}_state", dir)(
+          shingle(sidecar(s, s"${key}_corpus", dir)(synth(corpusSrc))))
+      else
+        DedupClusters.ckpt(
+          shingle(sidecar(s, s"${key}_corpus", dir)(synth(corpusSrc))), None)
+    val batchSh = DedupClusters.ckpt(
+      shingle(sidecar(s, s"${key}_batch", dir)(synth(batchSrc))), None)
+    val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
+    // doc-level fold, NOT a raw filter on the per-space frame (the
+    // admitTrimDocVerdicts trap note) — these fixtures are single-space
+    // today, but the pattern must survive a multi-space leg
+    val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
+    val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+      .select("doc_id").withColumn("lb", lit(true))
+    frame.join(losers, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("near_trim"), corpusStatus)
+          .when(coalesce(col("lb"), lit(false)), batchStatus)
+          .otherwise("admitted").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+      .orderBy("status")
+  }
+
+  /** The vtrim admission leg ([[admitContainLegQuery]]): `off` = trim
+    * start — re-arrivals are frames off..64 of the original's closed
+    * form, shingled as frame bigrams.
+    */
+  private def admitVtrimLeg(s: SparkSession, dir: String, steady: Boolean): DataFrame = {
+    import s.implicits._
+    admitContainLegQuery(
+      s, dir, "x74vtrim",
+      src => src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) =>
+          val levels =
+            Array.tabulate(VideoWindows - off)(f => fixtureFrameVid(img, f + off))
+          (id, makeAvi(4, 4, VideoWindows - off, (f, _, _) => levels(f)))
+        })
+        .toDF("doc_id", "payload"),
+      videoFrameShingles(_), 10,
+      "near_dup_corpus_vtrim", "near_dup_batch_vtrim", steady)
+  }
+
+  /** The icrop admission leg: `off` = tile offset — re-arrivals replay
+    * the original's 6x5 tile grid cropped to (1..5, 1..4), shingled as
+    * diagonal tile neighborhoods through the modality-detected scan.
+    */
+  private def admitIcropLeg(s: SparkSession, dir: String, steady: Boolean): DataFrame = {
+    import s.implicits._
+    admitContainLegQuery(
+      s, dir, "x74icrop",
+      src => src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) =>
+          val tw = CropTilesX - off
+          val th = CropTilesY - off
+          val levels =
+            Array.tabulate(tw, th)((i, j) => fixtureTileLvl(img, i + off, j + off))
+          (id, makeBmp(tw * TileSize, th * TileSize,
+            (x, y) => levels(x / TileSize)(y / TileSize)))
+        })
+        .toDF("doc_id", "payload"),
+      mediaShingles(_), 1,
+      "near_dup_corpus_icrop", "near_dup_batch_icrop", steady)
+  }
+
+  /** The atrim admission leg: `off` = dropped leading utterances
+    * ([[UttDrop]]) — re-arrivals are pause-cut excerpts, shingled as
+    * utterance bigrams through the modality-detected scan.
+    */
+  private def admitAtrimLeg(s: SparkSession, dir: String, steady: Boolean): DataFrame = {
+    import s.implicits._
+    admitContainLegQuery(
+      s, dir, "x74atrim",
+      src => src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) => (id, fixtureWavUtt(img, off)) })
+        .toDF("doc_id", "payload"),
+      mediaShingles(_), UttDrop,
+      "near_dup_corpus_atrim", "near_dup_batch_atrim", steady)
+  }
+
+  /** The vcrop admission leg: `off` = spatial tile offset applied to
+    * EVERY frame — re-arrivals are tile-aligned spatial crops, shingled
+    * as cross-frame distinct tile neighborhoods in the vsp space.
+    */
+  private def admitVcropLeg(s: SparkSession, dir: String, steady: Boolean): DataFrame = {
+    import s.implicits._
+    admitContainLegQuery(
+      s, dir, "x74vcrop",
+      src => src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, off) => (id, fixtureAviTiles(img, off)) })
+        .toDF("doc_id", "payload"),
+      m => videoFrameTileShingles(m).withColumn("mod", lit("vsp")), 1,
+      "near_dup_corpus_vcrop", "near_dup_batch_vcrop", steady)
+  }
+
   // ---------------------------------------------------------------------
   // registered queries
   // ---------------------------------------------------------------------
@@ -3978,46 +4116,7 @@ object PerceptualDedup {
         "shingle sets from the closed form: encode -> AVI walk -> frame moments -> " +
         "bigrams -> containment -> keep-best CC, all pinned. Scale: batch-sized " +
         "joins on fingerprint keys; the shingle state is ~64 rows per corpus video."
-    ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(10).as("off")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(10).as("off")))
-      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
-        .mapPartitions(_.map { case (id, img, off) =>
-          val levels = Array.tabulate(VideoWindows - off)(f => fixtureFrameVid(img, f + off))
-          (id, makeAvi(4, 4, VideoWindows - off, (f, _, _) => levels(f)))
-        })
-        .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(videoFrameShingles(
-        sidecar(s, "x74vtrim_corpus", dir)(synth(corpusSrc))), None)
-      val batchSh = DedupClusters.ckpt(videoFrameShingles(
-        sidecar(s, "x74vtrim_batch", dir)(synth(batchSrc))), None)
-      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      // doc-level fold, NOT a raw filter on the per-space frame (the
-      // admitTrimDocVerdicts trap note) — these fixtures are single-space
-      // today, but the pattern must survive a multi-space leg
-      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
-      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .select("doc_id").withColumn("lb", lit(true))
-      frame.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_trim"), "near_dup_corpus_vtrim")
-            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_vtrim")
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
-    },
+    ) { (s, dir) => admitVtrimLeg(s, dir, steady = false) },
 
     // ----- x74 crop leg: tile-aligned crop admission (the icrop modality row) -----
     Q(
@@ -4042,50 +4141,7 @@ object PerceptualDedup {
         "the tile levels: encode -> decode -> tile moments -> diagonal bigrams -> " +
         "containment -> keep-best CC, all pinned. Scale: batch-sized joins on " +
         "fingerprint keys; the shingle state is ~20 rows per corpus image."
-    ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(1).as("off")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(1).as("off")))
-      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
-        .mapPartitions(_.map { case (id, img, off) =>
-          val tw = CropTilesX - off
-          val th = CropTilesY - off
-          val levels =
-            Array.tabulate(tw, th)((i, j) => fixtureTileLvl(img, i + off, j + off))
-          (id, makeBmp(tw * TileSize, th * TileSize,
-            (x, y) => levels(x / TileSize)(y / TileSize)))
-        })
-        .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(mediaShingles(
-        sidecar(s, "x74icrop_corpus", dir)(synth(corpusSrc))), None)
-      val batchSh = DedupClusters.ckpt(mediaShingles(
-        sidecar(s, "x74icrop_batch", dir)(synth(batchSrc))), None)
-      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      // doc-level fold, NOT a raw filter on the per-space frame (the
-      // admitTrimDocVerdicts trap note) — these fixtures are single-space
-      // today, but the pattern must survive a multi-space leg
-      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
-      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .select("doc_id").withColumn("lb", lit(true))
-      frame.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_trim"), "near_dup_corpus_icrop")
-            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_icrop")
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
-    },
+    ) { (s, dir) => admitIcropLeg(s, dir, steady = false) },
 
     // ----- x74 excerpt leg: utterance-anchored audio admission (the atrim row) -----
     Q(
@@ -4112,43 +4168,7 @@ object PerceptualDedup {
         "-> bigrams -> containment -> keep-best CC, all pinned. Scale: " +
         "batch-sized joins on fingerprint keys; the shingle state is ~21 rows " +
         "per corpus clip."
-    ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(UttDrop).as("off")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(UttDrop).as("off")))
-      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
-        .mapPartitions(_.map { case (id, img, off) => (id, fixtureWavUtt(img, off)) })
-        .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(mediaShingles(
-        sidecar(s, "x74atrim_corpus", dir)(synth(corpusSrc))), None)
-      val batchSh = DedupClusters.ckpt(mediaShingles(
-        sidecar(s, "x74atrim_batch", dir)(synth(batchSrc))), None)
-      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      // doc-level fold, NOT a raw filter on the per-space frame (the
-      // admitTrimDocVerdicts trap note) — these fixtures are single-space
-      // today, but the pattern must survive a multi-space leg
-      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
-      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .select("doc_id").withColumn("lb", lit(true))
-      frame.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_trim"), "near_dup_corpus_atrim")
-            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_atrim")
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
-    },
+    ) { (s, dir) => admitAtrimLeg(s, dir, steady = false) },
 
     // ----- x154: video SPATIAL-crop containment (per-frame tiles, exact baseline) -----
     Q(
@@ -4305,45 +4325,57 @@ object PerceptualDedup {
         "encode -> AVI walk -> tile moments -> per-frame bigrams -> containment " +
         "-> keep-best CC, all pinned. Scale: batch-sized joins on fingerprint " +
         "keys; the shingle state is ~120 rows per corpus video."
-    ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(1).as("off")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(1).as("off")))
-      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
-        .mapPartitions(_.map { case (id, img, off) => (id, fixtureAviTiles(img, off)) })
-        .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(
-        videoFrameTileShingles(sidecar(s, "x74vcrop_corpus", dir)(synth(corpusSrc)))
-          .withColumn("mod", lit("vsp")), None)
-      val batchSh = DedupClusters.ckpt(
-        videoFrameTileShingles(sidecar(s, "x74vcrop_batch", dir)(synth(batchSrc)))
-          .withColumn("mod", lit("vsp")), None)
-      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
-      // doc-level fold, NOT a raw filter on the per-space frame (the
-      // admitTrimDocVerdicts trap note) — these fixtures are single-space
-      // today, but the pattern must survive a multi-space leg
-      val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
-      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .select("doc_id").withColumn("lb", lit(true))
-      frame.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_trim"), "near_dup_corpus_vcrop")
-            .when(coalesce(col("lb"), lit(false)), "near_dup_batch_vcrop")
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
-    },
+    ) { (s, dir) => admitVcropLeg(s, dir, steady = false) },
+
+    // ----- x74 steady twins: the admit legs at DEPLOYMENT cost (r15 ask 3) -----
+    // Every composite leg above times bootstrap+compare — it builds the
+    // corpus shingle state in-query, which a deployed admission run pays
+    // ONCE, not per batch. These twins route the corpus SHINGLE STATE
+    // through the battery fixture sidecar: in the bench it materializes
+    // once per battery (untimed pass) and the timed median prices
+    // state-read + batch decode + compare + strict — the per-batch steady
+    // cost ScaleSmoke measures (3.2 s vs the 6.3 s vcrop composite at
+    // r15). Outside the battery the sidecar is identity, so each twin
+    // computes the identical frame and shares its composite's oracle; the
+    // composites move to benchExclude with this dual-key rationale.
+    Q(
+      "x74_admit_vtrim_steady",
+      Some(s"WITH RECURSIVE $admitVtrimSql"),
+      "STEADY-state twin of x74_admit_vtrim (r15 verdict ask 3): identical " +
+        "population, shingles, compare and strict pass, but the corpus shingle " +
+        "STATE rides the battery fixture sidecar — the benched median prices what " +
+        "a deployed admission run pays PER BATCH (state scan + batch decode + " +
+        "compare + keep-best), not the corpus bootstrap the composite re-times " +
+        "per run. Outside the battery the sidecar is identity, so this computes " +
+        "the composite's exact frame and shares its oracle (same report rows)."
+    ) { (s, dir) => admitVtrimLeg(s, dir, steady = true) },
+    Q(
+      "x74_admit_icrop_steady",
+      Some(s"WITH RECURSIVE $admitIcropSql"),
+      "STEADY-state twin of x74_admit_icrop — the vtrim steady rationale one " +
+        "modality over: the corpus tile-shingle state rides the battery fixture " +
+        "sidecar, so the benched median prices the per-batch admission cost " +
+        "(state scan + batch decode + compare + keep-best). Identity outside the " +
+        "battery; shares the composite's oracle."
+    ) { (s, dir) => admitIcropLeg(s, dir, steady = true) },
+    Q(
+      "x74_admit_atrim_steady",
+      Some(s"WITH RECURSIVE $admitAtrimSql"),
+      "STEADY-state twin of x74_admit_atrim — the utterance-excerpt leg at " +
+        "deployment cost: the corpus utterance-shingle state rides the battery " +
+        "fixture sidecar, so the benched median prices the per-batch admission " +
+        "cost. Identity outside the battery; shares the composite's oracle."
+    ) { (s, dir) => admitAtrimLeg(s, dir, steady = true) },
+    Q(
+      "x74_admit_vcrop_steady",
+      Some(s"WITH RECURSIVE $admitVcropSql"),
+      "STEADY-state twin of x74_admit_vcrop — the densest shingle space (vsp, " +
+        "~120 fingerprints/video) at deployment cost: the corpus per-frame " +
+        "tile-shingle state rides the battery fixture sidecar, so the benched " +
+        "median prices the per-batch admission cost the r15 ScaleSmoke steady " +
+        "measured at 3.2 s against the composite's 6.3 s. Identity outside the " +
+        "battery; shares the composite's oracle."
+    ) { (s, dir) => admitVcropLeg(s, dir, steady = true) },
 
     // ----- x148: thumbnail provenance (image == frame-of-video cross-match) -----
     Q(

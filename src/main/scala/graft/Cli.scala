@@ -646,7 +646,7 @@ object Cli {
           case Some(d) if hfsExists(spark, s"$d/shingles") =>
             xscale.PerceptualDedup.stateShingleSpaces(
               spark, s"$d/shmeta", spark.read.parquet(s"$d/shingles"))
-          case _ => xscale.PerceptualDedup.ShingleSpaces.map(_.space)
+          case _ => xscale.PerceptualDedup.AdmitShingleSpaces
         })
       val mediaState: Option[MediaLeg] = (flags.pmediaPath, flags.bmediaPath) match {
         case (Some(cm), Some(bm)) =>
@@ -705,7 +705,9 @@ object Cli {
               val combined = graft.xscale.DedupClusters.ckpt(
                 xscale.PerceptualDedup.mediaHashShingleFrame(
                   spark.read.parquet(bm), wide,
-                  vsp = trimSpaces.exists(_.contains("vsp"))),
+                  vsp = trimSpaces.exists(_.contains("vsp")),
+                  rscales = xscale.PerceptualDedup.rescaleScalesOf(
+                    trimSpaces.getOrElse(Nil))),
                 flags.ckptDir)
               (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
                 Some(graft.xscale.DedupClusters.ckpt(
@@ -757,11 +759,15 @@ object Cli {
         if (!flags.ptrim) None
         else (flags.pmediaPath, flags.bmediaPath) match {
           case (Some(cm), Some(bm)) =>
-            def corpusShingleScan() = xscale.PerceptualDedup
-              .mediaShingles(spark.read.parquet(cm))
-              .withColumnRenamed("doc_id", "cv_id")
             val shSpaces = trimSpaces.getOrElse(
-              xscale.PerceptualDedup.ShingleSpaces.map(_.space))
+              xscale.PerceptualDedup.AdmitShingleSpaces)
+            // the scan emits exactly the spaces the state records (a new
+            // bootstrap: AdmitShingleSpaces incl. the rescale spaces --
+            // SCALED img fingerprints under rs<k>, the x156 state role)
+            def corpusShingleScan() = xscale.PerceptualDedup
+              .mediaShingles(spark.read.parquet(cm),
+                rscales = xscale.PerceptualDedup.rescaleScalesOf(shSpaces))
+              .withColumnRenamed("doc_id", "cv_id")
             val corpusSh = flags.psigsDir match {
               case Some(d) =>
                 val shPath = s"$d/shingles"
@@ -811,14 +817,30 @@ object Cli {
                   xscale.PerceptualDedup.videoFrameShingles(spark.read.parquet(bm))
                     .withColumn("mod", lit("vid"))
                 else xscale.PerceptualDedup.mediaShingles(
-                  spark.read.parquet(bm), vsp = shSpaces.contains("vsp")),
+                  spark.read.parquet(bm), vsp = shSpaces.contains("vsp"),
+                  rscales = xscale.PerceptualDedup.rescaleScalesOf(shSpaces)),
                 flags.ckptDir))
             val batchSh =
               if (shLegacy) batchSh0.filter(col("mod") === "vid")
               else batchSh0.filter(col("mod").isin(shSpaces: _*))
+            // COMPARE feed: the rescale spaces are asymmetric (state side
+            // scaled, batch side native -- the RescaleSpace contract), so
+            // the batch's rs rows (scaled; kept for the APPEND below) are
+            // swapped for its NATIVE img fingerprints re-tagged per active
+            // rs space -- zero extra decode, and n_sh prices the native
+            // set (the x156 denominator)
+            val rsActive = xscale.PerceptualDedup.RescaleSpaces
+              .filter(sp => shSpaces.contains(sp.space))
+            val batchCompare =
+              if (shLegacy || rsActive.isEmpty) batchSh
+              else batchSh.filter(!col("mod").startsWith("rs"))
+                .unionByName(rsActive.map(sp =>
+                  batchSh.filter(col("mod") === "img")
+                    .withColumn("mod", lit(sp.space)))
+                  .reduce(_ unionByName _))
             Some(TrimLeg(
               graft.xscale.DedupClusters.ckpt(
-                xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchSh),
+                xscale.PerceptualDedup.admitTrimCompare(corpusSh, batchCompare),
                 flags.ckptDir),
               batchSh, shLegacy))
           case _ => None
@@ -873,12 +895,18 @@ object Cli {
       val stC3 = trimState match {
         case Some(leg) =>
           val near = leg.frame.filter(col("near_trim"))
+          // the rescale spaces (rs2/rs4...) fold to ONE status -- the
+          // signal is "resized crop", whatever scale saw it
+          val stSym = xscale.PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st, cs) =>
+            xscale.Dedup.restatus(
+              st, near.filter(col("mod") === cs.space).select("doc_id"),
+              cs.corpusStatus)
+          }
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st, cs) =>
-              xscale.Dedup.restatus(
-                st, near.filter(col("mod") === cs.space).select("doc_id"),
-                cs.corpusStatus)
-            },
+            xscale.Dedup.restatus(
+              stSym,
+              near.filter(col("mod").startsWith("rs")).select("doc_id").distinct(),
+              xscale.PerceptualDedup.RcropCorpusStatus),
             flags.ckptDir)
         case None => stC2
       }
@@ -947,12 +975,16 @@ object Cli {
             xscale.PerceptualDedup.admitTrimStrictLosers(
               leg.batchShingles.join(admNow, "doc_id"), checkpointDir = flags.ckptDir),
             flags.ckptDir)
+          val stSymF = xscale.PerceptualDedup.ShingleSpaces.foldLeft(st) { (st0, cs) =>
+            xscale.Dedup.restatus(
+              st0, losers.filter(col("mod") === cs.space).select("doc_id"),
+              cs.strictStatus)
+          }
           graft.xscale.DedupClusters.ckpt(
-            xscale.PerceptualDedup.ShingleSpaces.foldLeft(st) { (st0, cs) =>
-              xscale.Dedup.restatus(
-                st0, losers.filter(col("mod") === cs.space).select("doc_id"),
-                cs.strictStatus)
-            },
+            xscale.Dedup.restatus(
+              stSymF,
+              losers.filter(col("mod").startsWith("rs")).select("doc_id").distinct(),
+              xscale.PerceptualDedup.RcropStrictStatus),
             flags.ckptDir)
         case _ => st
       }
@@ -1042,7 +1074,13 @@ object Cli {
                   (if (flags.strict)
                     Seq(s""""${cs.strictStatus}":${n(cs.strictStatus)},""")
                   else Nil))
-              .mkString
+              .mkString +
+            s""""${xscale.PerceptualDedup.RcropCorpusStatus}":${
+              n(xscale.PerceptualDedup.RcropCorpusStatus)},""" +
+            (if (flags.strict)
+              s""""${xscale.PerceptualDedup.RcropStrictStatus}":${
+                n(xscale.PerceptualDedup.RcropStrictStatus)},"""
+            else "")
           else "") +
           s""""corpus_state":${jsonStr(if (sidecar.isDefined) "sidecar" else "scan")},""" +
           s""""out":${jsonStr(outDir)}}""")

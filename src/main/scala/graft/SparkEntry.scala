@@ -60,6 +60,9 @@ object SparkEntry {
     // battery fixture sidecar), which price the per-batch steady cost a
     // real admission run pays. The composites stay oracle-verified per
     // Verify run as the bootstrap-coverage forms.
+    // the x156 exact form: the same all-pairs raw-fingerprint shape;
+    // benched twin: x156_rcrop_containment_lsh
+    "x156_resized_crop_containment",
     "x74_admit_vtrim",
     "x74_admit_icrop",
     "x74_admit_atrim",

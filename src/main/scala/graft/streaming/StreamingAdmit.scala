@@ -177,7 +177,9 @@ object StreamingAdmit {
           else if (ptrim) {
             val combined = DedupClusters.ckpt(
               PerceptualDedup.mediaHashShingleFrame(bm, wide,
-                vsp = trimSpaces.exists(_.contains("vsp"))), checkpointDir)
+                vsp = trimSpaces.exists(_.contains("vsp")),
+                rscales = PerceptualDedup.rescaleScalesOf(
+                  trimSpaces.getOrElse(Nil))), checkpointDir)
             (combined.filter(col("decoded")).select("doc_id", "mod", "bands"),
               Some(DedupClusters.ckpt(
                 PerceptualDedup.shingleRows(combined), checkpointDir)))
@@ -209,7 +211,7 @@ object StreamingAdmit {
         // (meta-less mod-tagged) state keeps the triad the same way
         val shLegacy = !stateSh.columns.contains("mod")
         val shSpaces = trimSpaces.getOrElse(
-          PerceptualDedup.ShingleSpaces.map(_.space))
+          PerceptualDedup.AdmitShingleSpaces)
         val batchSh0 = mediaLeg.flatMap(_._4).getOrElse(
           DedupClusters.ckpt(
             // legacy contract: img shingles would only be filtered away —
@@ -217,13 +219,27 @@ object StreamingAdmit {
             if (shLegacy)
               PerceptualDedup.videoFrameShingles(bm).withColumn("mod", lit("vid"))
             else PerceptualDedup.mediaShingles(
-              bm, vsp = shSpaces.contains("vsp")), checkpointDir))
+              bm, vsp = shSpaces.contains("vsp"),
+              rscales = PerceptualDedup.rescaleScalesOf(shSpaces)), checkpointDir))
         val batchSh =
           if (shLegacy) batchSh0.filter(col("mod") === "vid")
           else batchSh0.filter(col("mod").isin(shSpaces: _*))
+        // COMPARE feed (the batch verb's rule): rescale spaces are
+        // asymmetric -- swap the batch's scaled rs rows (kept for the
+        // append) for its native img fingerprints re-tagged per active
+        // rs space
+        val rsActive = PerceptualDedup.RescaleSpaces
+          .filter(sp => shSpaces.contains(sp.space))
+        val batchCompare =
+          if (shLegacy || rsActive.isEmpty) batchSh
+          else batchSh.filter(!col("mod").startsWith("rs"))
+            .unionByName(rsActive.map(sp =>
+              batchSh.filter(col("mod") === "img")
+                .withColumn("mod", lit(sp.space)))
+              .reduce(_ unionByName _))
         Some((
           DedupClusters.ckpt(
-            PerceptualDedup.admitTrimCompare(stateSh, batchSh), checkpointDir),
+            PerceptualDedup.admitTrimCompare(stateSh, batchCompare), checkpointDir),
           batchSh, shLegacy))
       case _ => None
     }
@@ -260,11 +276,16 @@ object StreamingAdmit {
     val stC3 = trimLeg match {
       case Some((frame, _, _)) =>
         val near = frame.filter(col("near_trim"))
-        PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st1, cs) =>
+        val stSym = PerceptualDedup.ShingleSpaces.foldLeft(stC2) { (st1, cs) =>
           Dedup.restatus(
             st1, near.filter(col("mod") === cs.space).select("doc_id"),
             cs.corpusStatus)
         }
+        // rescale spaces fold to ONE status (the batch verb's rule)
+        Dedup.restatus(
+          stSym,
+          near.filter(col("mod").startsWith("rs")).select("doc_id").distinct(),
+          PerceptualDedup.RcropCorpusStatus)
       case None => stC2
     }
     val stS0 =
@@ -307,11 +328,15 @@ object StreamingAdmit {
           PerceptualDedup.admitTrimStrictLosers(
             batchSh.join(admNow, "doc_id"), checkpointDir = checkpointDir),
           checkpointDir)
-        PerceptualDedup.ShingleSpaces.foldLeft(st5) { (st1, cs) =>
+        val stSymF = PerceptualDedup.ShingleSpaces.foldLeft(st5) { (st1, cs) =>
           Dedup.restatus(
             st1, losers.filter(col("mod") === cs.space).select("doc_id"),
             cs.strictStatus)
         }
+        Dedup.restatus(
+          stSymF,
+          losers.filter(col("mod").startsWith("rs")).select("doc_id").distinct(),
+          PerceptualDedup.RcropStrictStatus)
       case _ => st5
     }
     // eager cut BEFORE the state appends: the lazy plan reads the state

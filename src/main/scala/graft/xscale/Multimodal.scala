@@ -628,6 +628,171 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
+  /** ONE-PASS image decode with CANONICAL-RESCALE tile passes — the
+    * x156 primitive under resized-crop containment: alongside the
+    * optional bw×bh image-relative dHash grid ([[decodeBlockLumaE3]]'s
+    * convention; `bw = bh = 0` disables it and its size gate) and the
+    * native fixed-`tile` moments ([[decodeImageTileStats]]'s convention,
+    * bit-identical halves, spec-pinned), each `scale` k ∈ `scales` runs
+    * the tile pass over the CANONICAL k× BOX DOWNSCALE of the image —
+    * each output pixel is the per-channel round-half-up integer average
+    * of its k×k source block ((Σ + k²/2) / k², the box-reduction rule
+    * area-average thumbnailers implement), lumas taken AFTER the channel
+    * rounding so the simulated pass is bit-identical to DECODING AN
+    * ACTUAL k×-downscaled render (spec-pinned against
+    * [[decodeImageTileStats]] of a materialized downscale on random
+    * content). Output dims floor (w/k × h/k — remainder rows/cols
+    * dropped, the partial-tile rule one level up); a scale too small for
+    * one tile yields (0, 0, empty, empty). One streaming row read feeds
+    * every pass; per-scale extra memory is one downscaled channel-sum
+    * row band (3·w/k longs) + its tile arrays. Returns
+    * (gridSums, gridCnts, tx, ty, tileSums, tileSqs, perScaleTiles) —
+    * grid arrays empty when disabled. None on undecodable bytes,
+    * oversize header claims, or (grid enabled) images under the grid.
+    */
+  def decodeImageBlocksTilesScales(
+      payload: Array[Byte],
+      bw: Int,
+      bh: Int,
+      tile: Int,
+      scales: Seq[Int]): Option[(Array[Long], Array[Long], Int, Int, Array[Long],
+        Array[Long], Seq[(Int, Int, Array[Long], Array[Long])])] = {
+    require(tile >= 1, s"tile=$tile: the tile edge must be >= 1")
+    require(scales.forall(_ >= 2), s"scales=$scales: each downscale factor must be >= 2")
+    val gridOn = bw > 0 && bh > 0
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val (hw, hh) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxDecodePixels) None
+          else {
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (gridOn && (w < bw || h < bh)) None
+            else {
+              val gSums = new Array[Long](if (gridOn) bw * bh else 0)
+              val gCnts = new Array[Long](if (gridOn) bw * bh else 0)
+              val tx = w / tile
+              val ty = h / tile
+              val tSums = new Array[Long](tx * ty)
+              val tSqs = new Array[Long](tx * ty)
+              val xMax = tx * tile
+              val yMax = ty * tile
+              // per-scale band state: channel sums for the CURRENT
+              // downscaled row band, flushed every k native rows
+              val sc = scales.map { k =>
+                val wk = w / k
+                val hk = h / k
+                val txk = wk / tile
+                val tyk = hk / tile
+                (k, wk, hk, txk, tyk,
+                  new Array[Long](wk), new Array[Long](wk), new Array[Long](wk),
+                  new Array[Long](math.max(txk * tyk, 0)),
+                  new Array[Long](math.max(txk * tyk, 0)))
+              }
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                val by = if (gridOn) y.toLong * bh / h else 0L
+                val inTileRow = y < yMax
+                val tBase = if (inTileRow) (y / tile) * tx else 0
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                    114L * (p & 0xff)
+                  if (gridOn) {
+                    val gi = (by * bw + x.toLong * bw / w).toInt
+                    gSums(gi) += l
+                    gCnts(gi) += 1L
+                  }
+                  if (inTileRow && x < xMax) {
+                    val ti = tBase + x / tile
+                    tSums(ti) += l
+                    tSqs(ti) += l * l
+                  }
+                  x += 1
+                }
+                sc.foreach { case (k, wk, hk, txk, tyk, sr, sg, sb, _, _) =>
+                  if (y < k * hk && txk > 0 && tyk > 0) {
+                    var x2 = 0
+                    val x2Max = k * wk
+                    while (x2 < x2Max) {
+                      val p = row(x2)
+                      val u = x2 / k
+                      sr(u) += (p >> 16) & 0xff
+                      sg(u) += (p >> 8) & 0xff
+                      sb(u) += p & 0xff
+                      x2 += 1
+                    }
+                  }
+                }
+                // flush completed downscaled row bands
+                sc.foreach { case (k, wk, hk, txk, tyk, sr, sg, sb, ks, kq) =>
+                  if ((y + 1) % k == 0 && y < k * hk && txk > 0 && tyk > 0) {
+                    val v = y / k
+                    if (v < tyk * tile) {
+                      val div = k.toLong * k
+                      val half = div / 2
+                      val kBase = (v / tile) * txk
+                      var u = 0
+                      val uMax = txk * tile
+                      while (u < uMax) {
+                        // channel round-half-up FIRST, luma second — the
+                        // order an actual downscaled render's decode takes
+                        val cr = (sr(u) + half) / div
+                        val cg = (sg(u) + half) / div
+                        val cb = (sb(u) + half) / div
+                        val l = 299L * cr + 587L * cg + 114L * cb
+                        val ki = kBase + u / tile
+                        ks(ki) += l
+                        kq(ki) += l * l
+                        u += 1
+                      }
+                    }
+                    java.util.Arrays.fill(sr, 0L)
+                    java.util.Arrays.fill(sg, 0L)
+                    java.util.Arrays.fill(sb, 0L)
+                  }
+                }
+                y += 1
+              }
+              Some((gSums, gCnts, tx, ty, tSums, tSqs,
+                sc.map { case (_, _, _, txk, tyk, _, _, _, ks, kq) =>
+                  if (txk <= 0 || tyk <= 0) (0, 0, Array.empty[Long], Array.empty[Long])
+                  else (txk, tyk, ks, kq)
+                }))
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** The SCALED tile moments of ONE canonical k× box downscale — the
+    * single-scale view of [[decodeImageBlocksTilesScales]], shaped like
+    * [[decodeImageTileStats]] (None when the downscale is under one
+    * tile). The property pin rides this entry: its output is
+    * bit-identical to `decodeImageTileStats` of an actually-materialized
+    * canonical downscale of the same image.
+    */
+  def decodeImageTileStatsScaled(
+      payload: Array[Byte],
+      tile: Int,
+      scale: Int): Option[(Int, Int, Array[Long], Array[Long])] =
+    decodeImageBlocksTilesScales(payload, 0, 0, tile, Seq(scale)).flatMap {
+      case (_, _, _, _, _, _, sc) =>
+        val (txk, tyk, ks, kq) = sc.head
+        if (txk <= 0 || tyk <= 0) None else Some((txk, tyk, ks, kq))
+    }
+
   /** Env flag enabling REAL WAV PCM sample decode in
     * [[extractAudioFeatures]] (set to "1") — the pixel-decode flag
     * pattern: opt-in, stub-default byte-stable.

@@ -143,7 +143,7 @@ object PerceptualDedup {
   def writeShingleMeta(
       spark: SparkSession,
       metaPath: String,
-      spaces: Seq[String] = ShingleSpaces.map(_.space),
+      spaces: Seq[String] = AdmitShingleSpaces,
       tile: Int = TileSize,
       silenceMax: Long = Multimodal.SilenceMax,
       gapMin: Int = Multimodal.GapMin): Unit = {
@@ -751,7 +751,8 @@ object PerceptualDedup {
   def mediaHashShingleFrame(
       media: DataFrame,
       wide: Boolean = false,
-      vsp: Boolean = true): DataFrame = {
+      vsp: Boolean = true,
+      rscales: Seq[Int] = Nil): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val (gw, gh, bb) = if (wide) (16, 16, 32) else (8, 8, 16)
@@ -759,6 +760,16 @@ object PerceptualDedup {
       .mapPartitions { it =>
         it.grouped(Multimodal.decodeBatchSize).flatMap(_.map { case (id, p) =>
           val none = Vector.empty[(Long, Long, Long, Long)]
+          val noneRs = Vector.empty[(Int, Long, Long, Long, Long)]
+          // the rescale spaces ride the SAME image pixel pass (x156):
+          // per k a (scale, s1, q1, s2, q2) row set of the canonical
+          // k-box-downscale's tile fingerprints — the state/append role
+          def rsRows(sc: Seq[(Int, Int, Array[Long], Array[Long])])
+            : Vector[(Int, Long, Long, Long, Long)] =
+            rscales.zip(sc).flatMap { case (k, (ktx, kty, ks, kq)) =>
+              shinglesFromTiles(ktx, kty, ks, kq)
+                .map { case (a, b, c, d) => (k, a, b, c, d) }
+            }.toVector
           // `shmod` names the SHINGLE space separately from the band
           // modality: image shingles are width-independent (fixed-px
           // tiles — an img16 small image shares the img shingle space,
@@ -769,11 +780,11 @@ object PerceptualDedup {
           // pass; empty for every other modality and when `vsp = false`
           // (a batch against a pre-vsp state skips the tile
           // accumulation entirely).
-          val (dec, m, b, shmod, sh, sh2) =
-            Multimodal.decodeImageBlocksTiles(p, gw + 1, gh, TileSize) match {
-              case Some((gs, gc, tx, ty, ts, tq)) =>
+          val (dec, m, b, shmod, sh, sh2, rsh) =
+            Multimodal.decodeImageBlocksTilesScales(p, gw + 1, gh, TileSize, rscales) match {
+              case Some((gs, gc, tx, ty, ts, tq, sc)) =>
                 (true, "img", Some(dhashBandsFromBlocks(gs, gc, gw, gh, bb)),
-                  "img", shinglesFromTiles(tx, ty, ts, tq), none)
+                  "img", shinglesFromTiles(tx, ty, ts, tq), none, rsRows(sc))
               case None =>
                 // ONE byte scan serves both audio signals: window sums
                 // (bands) + utterance voiced-core moments (containment
@@ -786,13 +797,15 @@ object PerceptualDedup {
                     val sh = shinglesFromStats(us, uq)
                     wsums match {
                       case Some(s) =>
-                        (true, "aud", Some(audioBandsFromSums(s, wide)), "aud", sh, none)
+                        (true, "aud", Some(audioBandsFromSums(s, wide)), "aud", sh, none,
+                          noneRs)
                       case None if wide =>
                         audioDhashBands(p) match {
-                          case Some(ab) => (true, "aud16", Some(ab), "aud", sh, none)
-                          case None     => (false, "", None, "aud", sh, none)
+                          case Some(ab) =>
+                            (true, "aud16", Some(ab), "aud", sh, none, noneRs)
+                          case None => (false, "", None, "aud", sh, none, noneRs)
                         }
-                      case None => (false, "", None, "aud", sh, none)
+                      case None => (false, "", None, "aud", sh, none, noneRs)
                     }
                   case None =>
                     val aviStats =
@@ -809,36 +822,37 @@ object PerceptualDedup {
                         val shingles = shinglesFromStats(sums, sqs)
                         videoBandsFromSums(sums, wide) match {
                           case Some(vb) =>
-                            (true, "vid", Some(vb), "vid", shingles, vspSh)
+                            (true, "vid", Some(vb), "vid", shingles, vspSh, noneRs)
                           case None if wide =>
                             videoBandsFromSums(sums, wide = false) match {
                               case Some(vb) =>
-                                (true, "vid16", Some(vb), "vid", shingles, vspSh)
-                              case None => (false, "", None, "vid", shingles, vspSh)
+                                (true, "vid16", Some(vb), "vid", shingles, vspSh, noneRs)
+                              case None =>
+                                (false, "", None, "vid", shingles, vspSh, noneRs)
                             }
-                          case None => (false, "", None, "vid", shingles, vspSh)
+                          case None => (false, "", None, "vid", shingles, vspSh, noneRs)
                         }
                       case None if wide =>
                         // the small-IMAGE fallback, still ONE decode pass
                         // (classic grid + tiles together); small audio is
                         // handled inside the WAV branch above — its
                         // combined scan accepts any PCM clip
-                        Multimodal.decodeImageBlocksTiles(p, 9, 8, TileSize)
-                          .map { case (gs, gc, tx, ty, ts, tq) =>
+                        Multimodal.decodeImageBlocksTilesScales(p, 9, 8, TileSize, rscales)
+                          .map { case (gs, gc, tx, ty, ts, tq, sc) =>
                             (true, "img16",
                               Some(dhashBandsFromBlocks(gs, gc, 8, 8, 16)),
-                              "img", shinglesFromTiles(tx, ty, ts, tq), none)
+                              "img", shinglesFromTiles(tx, ty, ts, tq), none, rsRows(sc))
                           }
-                          .getOrElse((false, "", None, "", none, none))
-                      case None => (false, "", None, "", none, none)
+                          .getOrElse((false, "", None, "", none, none, noneRs))
+                      case None => (false, "", None, "", none, none, noneRs)
                     }
                 }
             }
-          (id, dec, m, p.length.toLong, b, shmod, sh, sh2)
+          (id, dec, m, p.length.toLong, b, shmod, sh, sh2, rsh)
         })
       }
       .toDF("doc_id", "decoded", "mod", "nbytes", "bands", "shmod", "shingles",
-        "vsp_shingles")
+        "vsp_shingles", "rs_shingles")
   }
 
   /** Explode a [[mediaHashShingleFrame]]'s shingle sets into the
@@ -856,8 +870,16 @@ object PerceptualDedup {
         .select(col("doc_id"), col("mod"), col("sh._1").as("s1"), col("sh._2").as("q1"),
           col("sh._3").as("s2"), col("sh._4").as("q2"))
     val base = rows(combined, col("shmod"), col("shingles"))
-    if (!combined.columns.contains("vsp_shingles")) base
-    else base.unionByName(rows(combined, lit("vsp"), col("vsp_shingles")))
+    val withVsp =
+      if (!combined.columns.contains("vsp_shingles")) base
+      else base.unionByName(rows(combined, lit("vsp"), col("vsp_shingles")))
+    if (!combined.columns.contains("rs_shingles")) withVsp
+    else withVsp.unionByName(
+      combined.filter(size(col("rs_shingles")) > 0)
+        .select(col("doc_id"), explode(col("rs_shingles")).as("sh"))
+        .select(col("doc_id"), concat(lit("rs"), col("sh._1")).as("mod"),
+          col("sh._2").as("s1"), col("sh._3").as("q1"),
+          col("sh._4").as("s2"), col("sh._5").as("q2")))
   }
 
   /** Near-dup pairs over a MIXED image/audio media frame — the corpus
@@ -1032,6 +1054,197 @@ object PerceptualDedup {
     * texture (64 pixels of exact moments).
     */
   val TileSize = 8
+
+  /** The canonical rescale set for RESIZED-crop containment (x156): the
+    * mip-level reductions (half and quarter size — the thumbnail chain's
+    * standard box reductions; a 4× resize is also what two 2× halvings
+    * produce). Each k multiplies the corpus side's candidate mass by
+    * ~1/k² (a k×-downscale carries ~1/k² of the native tile count), so
+    * the whole set costs under +31% shingle rows. Parameterized
+    * everywhere (`scales`) — the SET is a corpus-level contract recorded
+    * in the shingle-state meta via the per-scale space names
+    * ([[RescaleSpaces]]), like every other shingle geometry choice.
+    */
+  val RescaleSet: Seq[Int] = Seq(2, 4)
+
+  /** One RESCALE shingle space: `rs<k>` holds the tile-neighborhood
+    * fingerprints of the canonical k× box DOWNSCALE of each image —
+    * deliberately ASYMMETRIC, unlike every [[ContainSpace]]: the
+    * state/corpus side carries SCALED fingerprints, while a batch doc
+    * compares its NATIVE fingerprints against them (a k×-downscaled crop
+    * re-post's native tiles ARE tiles of the k×-downscaled original).
+    * The asymmetry is why these spaces live outside [[ShingleSpaces]]'s
+    * symmetric per-space engines and carry their own admission
+    * qualification ([[admitTrimStrictLosers]]'s bipartite leg).
+    */
+  final case class RescaleSpace(scale: Int, space: String)
+
+  /** Every rescale space, in [[RescaleSet]] order. Both fold to ONE
+    * status pair — the signal is "resized crop", whatever the scale.
+    */
+  val RescaleSpaces: Seq[RescaleSpace] =
+    RescaleSet.map(k => RescaleSpace(k, s"rs$k"))
+
+  /** The resized-crop admission statuses ([[RescaleSpaces]]' fold). */
+  val RcropCorpusStatus = "near_dup_corpus_rcrop"
+  val RcropStrictStatus = "near_dup_batch_rcrop"
+
+  /** Every shingle space a NEW admission state records: the symmetric
+    * containment spaces plus the rescale spaces — the
+    * [[writeShingleMeta]] default. Meta-carrying states own their spaces
+    * (an r15-meta state without rs rows keeps its four-space contract:
+    * rs neither compares nor appends against it — widening is a
+    * re-bootstrap, the established evolution rule).
+    */
+  val AdmitShingleSpaces: Seq[String] =
+    ShingleSpaces.map(_.space) ++ RescaleSpaces.map(_.space)
+
+  /** Parse a state's rescale SCALES out of its space list (`rs2` → 2) —
+    * the batch decode must know which canonical downscales to run.
+    */
+  def rescaleScalesOf(spaces: Seq[String]): Seq[Int] =
+    RescaleSpaces.filter(sp => spaces.contains(sp.space)).map(_.scale)
+
+  /** Per-image MULTI-SCALE tile shingles — the x156 producer: ONE
+    * streaming pixel pass ([[Multimodal.decodeImageBlocksTilesScales]])
+    * yields the native tile-neighborhood fingerprints (`scale = 1`,
+    * bit-identical to [[imageTileShingles]]' rows — spec-pinned) AND,
+    * per k ∈ `scales`, the fingerprints of the canonical k× box
+    * DOWNSCALE of the image. A crop re-post RESIZED by k matches the
+    * original through the scaled sets: crop offsets that are multiples
+    * of `tile`·k commute with the canonical downscale, so the re-post's
+    * NATIVE tiles are bit-exact tiles of the original's k×-downscale —
+    * the one re-post mode every prior perceptual signal missed (dHash
+    * blocks AND tile boundaries all move under crop-then-rescale; the
+    * r15 verdict's #1). HONEST LIMITS, each the established per-space
+    * shape: a rescale factor outside `scales` shares nothing (the
+    * canonical-set rule — mip factors cover the dominant thumbnail
+    * chain); crop offsets not multiples of tile·k shift every scaled
+    * tile boundary (the x152 framing rule, one scale level up); a
+    * resampler with a different kernel or rounding than the canonical
+    * per-channel round-half-up box average moves every moment (the
+    * brightness rule's shape — the canonical convention IS the
+    * area-average reduction thumbnailers implement); re-brightened
+    * crops move every moment (the trim rule). UPSCALED re-posts are the
+    * mirror case (the re-post's own scaled set vs the original's native
+    * set) and ride the same frame by swapping which side filters
+    * `scale = 1` — documented at the engines.
+    */
+  def imageMultiScaleTileShingles(
+      media: DataFrame,
+      tile: Int = TileSize,
+      scales: Seq[Int] = RescaleSet): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(Multimodal.decodeBatchSize).flatMap(_.flatMap { case (id, p) =>
+          Multimodal.decodeImageBlocksTilesScales(p, 0, 0, tile, scales) match {
+            case Some((_, _, tx, ty, ts, tq, sc)) =>
+              shinglesFromTiles(tx, ty, ts, tq)
+                .map { case (a, b, c, d) => (id, 1, a, b, c, d) } ++
+                scales.zip(sc).flatMap { case (k, (ktx, kty, ks, kq)) =>
+                  shinglesFromTiles(ktx, kty, ks, kq)
+                    .map { case (a, b, c, d) => (id, k, a, b, c, d) }
+                }
+            case None => Nil
+          }
+        })
+      }
+      .toDF("doc_id", "scale", "s1", "q1", "s2", "q2")
+  }
+
+  /** DIRECTIONAL RESIZED-crop containment — x25's rule across SCALE
+    * levels, the x155 bipartite shape within one modality: (doc_id,
+    * src_id, scale, n_inter, n_a) where den·|A∩S_k| ≥ num·|A| for A a
+    * doc's NATIVE fingerprint set and S_k another doc's scale-k set
+    * ([[imageMultiScaleTileShingles]]). Directional on the native side:
+    * "is this image a k×-downscaled (possibly cropped) region of that
+    * one" — the thumbnail-provenance question. Per-scale verdicts (the
+    * per-space rule): the reported `scale` names which reduction saw the
+    * re-post. EXACTNESS BASELINE shape — raw fingerprint join; the scale
+    * path is [[resizedCropContainmentPairsLsh]].
+    */
+  def resizedCropContainmentPairs(
+      media: DataFrame,
+      tile: Int = TileSize,
+      scales: Seq[Int] = RescaleSet,
+      num: Int = 4,
+      den: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    val sh = DedupClusters.ckpt(
+      imageMultiScaleTileShingles(media, tile, scales), checkpointDir)
+    val nat = sh.filter(col("scale") === 1).drop("scale")
+    val scl = sh.filter(col("scale") =!= 1)
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = nat.groupBy("doc_id").agg(count(lit(1)).as("n_a")).hint("merge")
+    nat.join(
+      scl.select(col("doc_id").as("src_id") +: col("scale") +: keys.map(col): _*), keys)
+      .filter(col("doc_id") =!= col("src_id"))
+      .groupBy("doc_id", "src_id", "scale").agg(count(lit(1)).as("n_inter"))
+      .join(sz, "doc_id")
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select("doc_id", "src_id", "scale", "n_inter", "n_a")
+  }
+
+  /** The resized-crop SCALE path — the bipartite LSH recipe
+    * ([[thumbnailContainmentPairsLsh]]) across scale levels: minhash
+    * each doc's NATIVE set AND each (doc, k) SCALED set through the same
+    * md5 h60 + inlined affine permutation literals (oracle-keyable),
+    * band-join native-vs-scaled only, exact directional verify on
+    * candidates. Geometry defaults RECALL-leaning (16 minhashes in 8
+    * bands of 2, J² — the dedup-stage rationale: a missed resized
+    * thumbnail ships forever). Scale: candidate mass follows band
+    * collisions; joins shuffle 16-byte band keys and 32-byte
+    * fingerprints, never payloads; each image is decoded once for ALL
+    * scale levels.
+    */
+  def resizedCropContainmentPairsLsh(
+      media: DataFrame,
+      tile: Int = TileSize,
+      scales: Seq[Int] = RescaleSet,
+      num: Int = 4,
+      den: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(num > 0 && den >= num, s"containment threshold $num/$den must be in (0, 1]")
+    require(k % bands == 0, s"k=$k minhashes must divide into $bands bands")
+    val sh = DedupClusters.ckpt(
+      imageMultiScaleTileShingles(media, tile, scales), checkpointDir)
+    val nat = sh.filter(col("scale") === 1).drop("scale")
+    val scl = sh.filter(col("scale") =!= 1)
+    val rows = k / bands
+    def mh(i: Int) =
+      min((lit(containmentLshA(i)) * (col("hk") % XHash.P) + lit(containmentLshB(i)))
+        % XHash.P)
+    def bandKeys(keyed: DataFrame, group: Seq[String]): DataFrame = {
+      val mins = keyed.groupBy(group.map(col): _*).agg(
+        mh(0).as("m0"), (1 until k).map(i => mh(i).as(s"m$i")): _*)
+      mins.select(group.map(col) :+
+        posexplode(array((0 until bands).map { b =>
+          XHash.h60(concat_ws("^",
+            (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+        }: _*)).as(Seq("bj", "bk")): _*)
+    }
+    val hk = XHash.h60(concat_ws("^", col("s1"), col("q1"), col("s2"), col("q2"))).as("hk")
+    val nb = bandKeys(nat.select(col("doc_id"), hk), Seq("doc_id"))
+    val sb = bandKeys(
+      scl.select(col("doc_id").as("src_id"), col("scale"), hk), Seq("src_id", "scale"))
+    val cand = nb.join(sb, Seq("bj", "bk"))
+      .filter(col("doc_id") =!= col("src_id"))
+      .select("doc_id", "src_id", "scale").distinct()
+    val keys = Seq("s1", "q1", "s2", "q2")
+    val sz = nat.groupBy("doc_id").agg(count(lit(1)).as("n_a")).hint("merge")
+    cand
+      .join(nat, "doc_id")
+      .join(scl.toDF(Seq("src_id", "scale") ++ keys: _*), Seq("src_id", "scale") ++ keys)
+      .groupBy("doc_id", "src_id", "scale").agg(count(lit(1)).as("n_inter"))
+      .join(sz, "doc_id")
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select("doc_id", "src_id", "scale", "n_inter", "n_a")
+  }
 
   /** Batch-side broadcast boundary for [[admitTrimCompare]]: 2M shingle
     * rows ≈ 100 MB at the 6-long row width — well inside an executor
@@ -1264,16 +1477,36 @@ object PerceptualDedup {
   def mediaShingles(
       media: DataFrame,
       tile: Int = TileSize,
-      vsp: Boolean = true): DataFrame = {
+      vsp: Boolean = true,
+      rscales: Seq[Int] = Nil): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.flatMap { case (id, p) =>
-          Multimodal.decodeImageTileStats(p, tile) match {
-            case Some((tx, ty, ts, tq)) =>
+          // rscales non-empty: the SAME pixel pass also accumulates each
+          // canonical k-box-downscale's tile moments, emitted as rs<k>
+          // rows — the x156 rescale spaces (SCALED fingerprints: the
+          // state/append role; the compare feed re-tags img rows instead,
+          // per the RescaleSpace asymmetry contract)
+          (if (rscales.nonEmpty)
+            Multimodal.decodeImageBlocksTilesScales(p, 0, 0, tile, rscales) match {
+              case Some((_, _, tx, ty, ts, tq, sc)) =>
+                Some(
+                  shinglesFromTiles(tx, ty, ts, tq)
+                    .map { case (a, b, c, d) => (id, "img", a, b, c, d) } ++
+                    rscales.zip(sc).flatMap { case (k, (ktx, kty, ks, kq)) =>
+                      shinglesFromTiles(ktx, kty, ks, kq)
+                        .map { case (a, b, c, d) => (id, s"rs$k", a, b, c, d) }
+                    })
+              case None => None
+            }
+          else
+            Multimodal.decodeImageTileStats(p, tile).map { case (tx, ty, ts, tq) =>
               shinglesFromTiles(tx, ty, ts, tq)
                 .map { case (a, b, c, d) => (id, "img", a, b, c, d) }
+            }) match {
+            case Some(imgRows) => imgRows
             case None =>
               Multimodal.decodeWavUtteranceStats(p) match {
                 case Some((us, uq)) =>
@@ -1604,8 +1837,15 @@ object PerceptualDedup {
     // two videos sharing ~50% in each space cross a 0.8 bar no single
     // space meets.
     val szMod = sh.groupBy("doc_id", "mod").agg(count(lit(1)).as("n_sh"))
-    val qual = sh.select((col("doc_id").as("a") +: cols.map(col)): _*)
-      .join(sh.select((col("doc_id").as("b") +: cols.map(col)): _*), keys)
+    // rescale spaces are ASYMMETRIC (state side scaled, batch side
+    // native — the RescaleSpace contract) and get their own bipartite
+    // qualification below; running them through the symmetric self-join
+    // would at best duplicate img-space links and at worst min-side-rate
+    // two docs by their DOWNSCALES' overlap
+    val isRs = col("mod").startsWith("rs")
+    val sym = sh.filter(!isRs)
+    val qual = sym.select((col("doc_id").as("a") +: cols.map(col)): _*)
+      .join(sym.select((col("doc_id").as("b") +: cols.map(col)): _*), keys)
       .filter(col("a") < col("b"))
       .groupBy("a", "b", "mod").agg(count(lit(1)).as("i"))
       .join(szMod.select(col("doc_id").as("a"), col("mod"), col("n_sh").as("na")),
@@ -1614,7 +1854,27 @@ object PerceptualDedup {
         Seq("b", "mod"))
       .filter(col("i") * den >= least(col("na"), col("nb")) * num)
       .select("a", "b", "mod")
-    val qualC = DedupClusters.ckpt(qual, checkpointDir)
+    // BIPARTITE rescale qualification (x156's rule intra-batch): doc a's
+    // NATIVE img fingerprints contained in doc b's rs-space SCALED set —
+    // a resized crop and its source arriving in one batch. Directional
+    // on the native side (|A ∩ S_k| vs |A| — the crop's own set prices
+    // the ratio, exactly the compare leg's denominator); the link enters
+    // the same undirected CC, normalized a < b so edge orientation never
+    // leaks into components.
+    val vkeys = Seq("s1", "q1", "s2", "q2")
+    val qualRs = sh.filter(col("mod") === "img")
+      .select((col("doc_id").as("na_id") +: vkeys.map(col)): _*)
+      .join(sh.filter(isRs)
+        .select((col("doc_id").as("sc_id") +: col("mod") +: vkeys.map(col)): _*), vkeys)
+      .filter(col("na_id") =!= col("sc_id"))
+      .groupBy("na_id", "sc_id", "mod").agg(count(lit(1)).as("i"))
+      .join(
+        szMod.filter(col("mod") === "img")
+          .select(col("doc_id").as("na_id"), col("n_sh").as("na")), Seq("na_id"))
+      .filter(col("i") * den >= col("na") * num)
+      .select(least(col("na_id"), col("sc_id")).as("a"),
+        greatest(col("na_id"), col("sc_id")).as("b"), col("mod"))
+    val qualC = DedupClusters.ckpt(qual.unionByName(qualRs), checkpointDir)
     // ONE undirected CC over pairs qualifying in ANY space (spaces only
     // ever link docs of one modality); keep the doc with the most
     // fingerprints across ALL its spaces — the larger canvas / longer
@@ -3076,6 +3336,329 @@ object PerceptualDedup {
       (x, y) => levels(x / TileSize)(y / TileSize))
   }
 
+  /** x156's fixture fine grid: 16×12 cells of [[TileSize]] px (128×96 px
+    * originals) — big enough that the 2× AND 4× canonical downscales
+    * both carry multi-tile grids (8×6 and 4×3 super-tiles).
+    */
+  val RcropFineX = 16
+  val RcropFineY = 12
+
+  /** Closed-form fixture CELL gray for the x156 pair — fresh content per
+    * image (no cluster variants: the resized-crop signal is exercised by
+    * the scale chain itself), its own content separator ('rc').
+    */
+  def fixtureRcropLvl(imgId: Long, i: Int, j: Int): Int =
+    (XHash.h60(s"${imgId}rc${i}_$j") % 181).toInt + 30
+
+  /** One x156 fixture payload: `kind` 0 = the 128×96 original (cell
+    * (i, j) rendered as an 8-px tile), 2 = the 2×-RESIZED crop — cells
+    * (2..15, 2..11) of the original's grid at FOUR px per cell, exactly
+    * the canonical 2× box downscale of the 16-px-aligned 112×80 crop
+    * (cell-constant gray makes the channel averaging exact, so the
+    * render IS what an area-average thumbnailer produces) — and 4 = the
+    * 4×-resized crop (cells (4..15, 4..11) at TWO px per cell, the
+    * 32-px-aligned crop through the 4× reduction).
+    */
+  def fixtureRcropBmp(imgId: Long, kind: Int): Array[Byte] = kind match {
+    case 0 =>
+      val lv = Array.tabulate(RcropFineX, RcropFineY)((i, j) => fixtureRcropLvl(imgId, i, j))
+      makeBmp(RcropFineX * TileSize, RcropFineY * TileSize,
+        (x, y) => lv(x / TileSize)(y / TileSize))
+    case 2 =>
+      val lv = Array.tabulate(RcropFineX - 2, RcropFineY - 2)(
+        (i, j) => fixtureRcropLvl(imgId, i + 2, j + 2))
+      makeBmp((RcropFineX - 2) * 4, (RcropFineY - 2) * 4, (u, v) => lv(u / 4)(v / 4))
+    case 4 =>
+      val lv = Array.tabulate(RcropFineX - 4, RcropFineY - 4)(
+        (i, j) => fixtureRcropLvl(imgId, i + 4, j + 4))
+      makeBmp((RcropFineX - 4) * 2, (RcropFineY - 4) * 2, (u, v) => lv(u / 2)(v / 2))
+    case _ => throw new IllegalArgumentException(s"kind=$kind")
+  }
+
+  /** Shared Spark-side fixture media for the x156 pair: one 128×96
+    * original per doc, every 15th doc's 2×-resized crop at +5000000,
+    * every 45th doc's 4×-resized crop at +6000000 — the population
+    * [[x156BgSql]] describes in closed form.
+    */
+  private def x156FixtureMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val src = ids.select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+      .unionByName(ids.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(2).as("kind")))
+      .unionByName(ids.filter(col("doc_id") % 45 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(4).as("kind")))
+    src.as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, kind) => (id, fixtureRcropBmp(img, kind)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Cluster-keyed x156 cell level for the ADMISSION fixture — the
+    * established variant machinery (variants 0-2 share content; v = 1
+    * shifts every cell +10, v = 2 bumps cell (2, 2) +25) on the rcrop
+    * fine grid, so a batch crop of a %45==0 doc has CORPUS content
+    * siblings: the v=2 sibling's scaled set differs in exactly the one
+    * super-tile holding the bumped cell (23/24 stays over the rule), the
+    * v=1 sibling moves every moment (the brightness rule, no match).
+    */
+  def fixtureRcropLvlCk(imgId: Long, i: Int, j: Int): Int = {
+    val v = variantOf(imgId)
+    (XHash.h60(s"${contentKey(imgId)}rc${i}_$j") % 181).toInt + 30 +
+      (if (v == 1) 10 else 0) +
+      (if (v == 2 && i == 2 && j == 2) 25 else 0)
+  }
+
+  /** [[fixtureRcropBmp]] with the cluster-keyed levels — the admission
+    * fixture's payload (kind 0 = full 128×96 original, 2 = the
+    * 2×-resized 16-px-aligned crop).
+    */
+  def fixtureRcropBmpCk(imgId: Long, kind: Int): Array[Byte] = kind match {
+    case 0 =>
+      val lv = Array.tabulate(RcropFineX, RcropFineY)((i, j) => fixtureRcropLvlCk(imgId, i, j))
+      makeBmp(RcropFineX * TileSize, RcropFineY * TileSize,
+        (x, y) => lv(x / TileSize)(y / TileSize))
+    case 2 =>
+      val lv = Array.tabulate(RcropFineX - 2, RcropFineY - 2)(
+        (i, j) => fixtureRcropLvlCk(imgId, i + 2, j + 2))
+      makeBmp((RcropFineX - 2) * 4, (RcropFineY - 2) * 4, (u, v) => lv(u / 4)(v / 4))
+    case _ => throw new IllegalArgumentException(s"kind=$kind")
+  }
+
+  /** Shared oracle-CTE prefix for the x156 pair: the closed-form
+    * fixture's per-doc shingle sets ACROSS SCALE LEVELS. The fine cell
+    * grid `rlv` (16×12, one md5 per cell) is the single source of truth;
+    * every set is a window-sum family over it — native tiles are single
+    * cells (s = 64000·g for an 8-px tile of luma 1000g), 2× super-tiles
+    * are 2×2 cell sums ×16000 (16 px per cell after the downscale), 4×
+    * super-tiles 4×4 sums ×4000, and the 2×-resized crop's sets are the
+    * same families at the crop's cell offset — which is exactly why the
+    * operator works: the repost's NATIVE tiles land in the original's
+    * SCALED families. `rsh(doc_id, scale, s1, q1, s2, q2)` are the
+    * DISTINCT diagonal-neighborhood fingerprints per (doc, scale);
+    * `rsz` the native-set sizes.
+    */
+  private def x156BgSql: String =
+    "msrc AS (SELECT doc_id, doc_id AS img, 0 AS kind FROM documents " +
+      "UNION ALL SELECT doc_id + 5000000, doc_id, 2 FROM documents WHERE doc_id % 15 = 0 " +
+      "UNION ALL SELECT doc_id + 6000000, doc_id, 4 FROM documents WHERE doc_id % 45 = 0), " +
+      "rlv AS (SELECT d.doc_id AS img, ci.i, cj.j, " +
+      s"(${XHash.h60Sql(
+        "CAST(d.doc_id AS VARCHAR) || 'rc' || CAST(ci.i AS VARCHAR) || '_' || CAST(cj.j AS VARCHAR)")} " +
+      "% 181) + 30 AS g FROM documents d, " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineX - 1})) AS i) ci, " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 1})) AS j) cj), " +
+      "rps AS (SELECT l.img, o.x0, o.y0, sum(l.g) AS s, sum(l.g * l.g) AS q FROM rlv l " +
+      s"JOIN (SELECT x0, y0 FROM (SELECT unnest(generate_series(0, ${RcropFineX - 2})) AS x0), " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 2})) AS y0)) o " +
+      "ON l.i >= o.x0 AND l.i < o.x0 + 2 AND l.j >= o.y0 AND l.j < o.y0 + 2 " +
+      "GROUP BY 1, 2, 3), " +
+      "rws AS (SELECT l.img, o.x0, o.y0, sum(l.g) AS s, sum(l.g * l.g) AS q FROM rlv l " +
+      s"JOIN (SELECT x0, y0 FROM (SELECT unnest(generate_series(0, ${RcropFineX - 4})) AS x0), " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 4})) AS y0)) o " +
+      "ON l.i >= o.x0 AND l.i < o.x0 + 4 AND l.j >= o.y0 AND l.j < o.y0 + 4 " +
+      "GROUP BY 1, 2, 3), " +
+      "rtl AS (" +
+      "SELECT m.doc_id, 1 AS scale, l.i AS ti, l.j AS tj, " +
+      "64000 * l.g AS s, 64000000 * l.g * l.g AS q " +
+      "FROM msrc m JOIN rlv l ON l.img = m.img WHERE m.kind = 0 " +
+      "UNION ALL SELECT m.doc_id, 2, p.x0 // 2, p.y0 // 2, 16000 * p.s, 16000000 * p.q " +
+      "FROM msrc m JOIN rps p ON p.img = m.img " +
+      "WHERE m.kind = 0 AND p.x0 % 2 = 0 AND p.y0 % 2 = 0 " +
+      "UNION ALL SELECT m.doc_id, 4, w.x0 // 4, w.y0 // 4, 4000 * w.s, 4000000 * w.q " +
+      "FROM msrc m JOIN rws w ON w.img = m.img " +
+      "WHERE m.kind = 0 AND w.x0 % 4 = 0 AND w.y0 % 4 = 0 " +
+      "UNION ALL SELECT m.doc_id, 1, (p.x0 - 2) // 2, (p.y0 - 2) // 2, " +
+      "16000 * p.s, 16000000 * p.q " +
+      "FROM msrc m JOIN rps p ON p.img = m.img " +
+      "WHERE m.kind = 2 AND p.x0 % 2 = 0 AND p.x0 >= 2 AND p.y0 % 2 = 0 AND p.y0 >= 2 " +
+      "UNION ALL SELECT m.doc_id, 2, (w.x0 - 2) // 4, (w.y0 - 2) // 4, " +
+      "4000 * w.s, 4000000 * w.q " +
+      "FROM msrc m JOIN rws w ON w.img = m.img " +
+      "WHERE m.kind = 2 AND w.x0 % 4 = 2 AND w.y0 % 4 = 2 " +
+      "UNION ALL SELECT m.doc_id, 1, (w.x0 - 4) // 4, (w.y0 - 4) // 4, " +
+      "4000 * w.s, 4000000 * w.q " +
+      "FROM msrc m JOIN rws w ON w.img = m.img " +
+      "WHERE m.kind = 4 AND w.x0 % 4 = 0 AND w.x0 >= 4 AND w.y0 % 4 = 0 AND w.y0 >= 4), " +
+      "rsh AS (SELECT DISTINCT l.doc_id, l.scale, l.s AS s1, l.q AS q1, " +
+      "r.s AS s2, r.q AS q2 FROM rtl l JOIN rtl r ON r.doc_id = l.doc_id " +
+      "AND r.scale = l.scale AND r.ti = l.ti + 1 AND r.tj = l.tj + 1), " +
+      "rsz AS (SELECT doc_id, count(*) AS n FROM rsh WHERE scale = 1 GROUP BY 1)"
+
+  /** The exact x156 oracle tail over [[x156BgSql]]: native-vs-scaled
+    * bipartite directional containment, native side's size pricing the
+    * ratio, per-scale verdicts.
+    */
+  private def x156ExactTailSql: String =
+    "rint AS (SELECT a.doc_id, b.doc_id AS src_id, b.scale, count(*) AS i " +
+      "FROM rsh a JOIN rsh b ON a.scale = 1 AND b.scale <> 1 AND b.doc_id <> a.doc_id " +
+      "AND b.s1 = a.s1 AND b.q1 = a.q1 AND b.s2 = a.s2 AND b.q2 = a.q2 " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT r.doc_id, r.src_id, CAST(r.scale AS INTEGER) AS scale, " +
+      "CAST(r.i AS BIGINT) AS n_inter, CAST(z.n AS BIGINT) AS n_a " +
+      "FROM rint r JOIN rsz z ON z.doc_id = r.doc_id " +
+      "WHERE 5 * r.i >= 4 * z.n ORDER BY 1, 2, 3"
+
+  /** The x156 LSH oracle tail over [[x156BgSql]] — [[lshThumbSql]]'s
+    * bipartite recipe across SCALE levels: hk over the ACTUAL fingerprint
+    * columns (the sets span several closed-form value families, so the
+    * hash key concatenates the numeric moments directly — exactly what
+    * the Spark engine hashes), per-side minhash groups (native by doc,
+    * scaled by (doc, scale)), the recall-leaning 8×2 geometry.
+    */
+  private def x156LshTailSql: String = {
+    val k = 16
+    val bands = 8
+    val rows = k / bands
+    val p = XHash.P
+    val hkInner =
+      "CAST(s1 AS VARCHAR) || '^' || CAST(q1 AS VARCHAR) || '^' || " +
+        "CAST(s2 AS VARCHAR) || '^' || CAST(q2 AS VARCHAR)"
+    val minCols = (0 until k).map(i =>
+      s"min((${containmentLshA(i)} * (hk % $p) + ${containmentLshB(i)}) % $p) AS m$i")
+      .mkString(", ")
+    def bandSel(src: String, group: String) = (0 until bands).map { b =>
+      val inner = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '^' || ")
+      s"SELECT $group, $b AS bj, ${XHash.h60Sql(inner)} AS bk FROM $src"
+    }.mkString(" UNION ALL ")
+    s"nhk AS (SELECT doc_id, ${XHash.h60Sql(hkInner)} AS hk FROM rsh WHERE scale = 1), " +
+      s"nmins AS (SELECT doc_id, $minCols FROM nhk GROUP BY doc_id), " +
+      s"nbnd AS (${bandSel("nmins", "doc_id")}), " +
+      s"shk AS (SELECT doc_id AS src_id, scale, ${XHash.h60Sql(hkInner)} AS hk " +
+      "FROM rsh WHERE scale <> 1), " +
+      s"smins AS (SELECT src_id, scale, $minCols FROM shk GROUP BY src_id, scale), " +
+      s"sbnd AS (${bandSel("smins", "src_id, scale")}), " +
+      "rcand AS (SELECT DISTINCT n.doc_id, s.src_id, s.scale FROM nbnd n " +
+      "JOIN sbnd s ON s.bj = n.bj AND s.bk = n.bk AND s.src_id <> n.doc_id), " +
+      "ricv AS (SELECT c.doc_id, c.src_id, c.scale, count(*) AS i FROM rcand c " +
+      "JOIN rsh a ON a.doc_id = c.doc_id AND a.scale = 1 " +
+      "JOIN rsh b ON b.doc_id = c.src_id AND b.scale = c.scale " +
+      "AND b.s1 = a.s1 AND b.q1 = a.q1 AND b.s2 = a.s2 AND b.q2 = a.q2 " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT r.doc_id, r.src_id, CAST(r.scale AS INTEGER) AS scale, " +
+      "CAST(r.i AS BIGINT) AS n_inter, CAST(z.n AS BIGINT) AS n_a " +
+      "FROM ricv r JOIN rsz z ON z.doc_id = r.doc_id " +
+      "WHERE 5 * r.i >= 4 * z.n ORDER BY 1, 2, 3"
+  }
+
+  /** The resized-crop-admission oracle — the [[admitSrc2Sql]] population
+    * with `off` meaning "is the 2×-RESIZED 16-px-aligned crop", levels
+    * cluster-keyed ([[fixtureRcropLvlCk]]'s closed form), sets computed
+    * per (doc, side, role, scale): the compare joins batch NATIVE
+    * fingerprints against corpus SCALED families per scale (the
+    * RescaleSpace asymmetry — n_sh prices the native set), the strict
+    * pass runs the bipartite native-vs-scaled qualification over the
+    * still-admitted docs, one CC, keep-best by TOTAL (native + scaled)
+    * fingerprints, ending in the x74 report shape.
+    */
+  private def admitRcropSql: String =
+    s"${admitSrc2Sql(1)}, " +
+      s"adv AS (SELECT DISTINCT img_id, img_id // $ClusterSize AS c, " +
+      s"img_id % $ClusterSize AS v FROM src2), " +
+      "adk AS (SELECT img_id, v, c * 7 + CASE WHEN v >= 3 THEN v ELSE 0 END " +
+      "AS ck FROM adv), " +
+      "alv AS (SELECT k.img_id, k.v, ci.i, cj.j, " +
+      s"(${XHash.h60Sql(
+        "CAST(ck AS VARCHAR) || 'rc' || CAST(ci.i AS VARCHAR) || '_' || CAST(cj.j AS VARCHAR)")} " +
+      "% 181) + 30 " +
+      "+ CASE WHEN k.v = 1 THEN 10 ELSE 0 END " +
+      "+ CASE WHEN k.v = 2 AND ci.i = 2 AND cj.j = 2 THEN 25 ELSE 0 END AS g " +
+      "FROM adk k, " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineX - 1})) AS i) ci, " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 1})) AS j) cj), " +
+      "aps AS (SELECT l.img_id, o.x0, o.y0, sum(l.g) AS s, sum(l.g * l.g) AS q " +
+      "FROM alv l JOIN " +
+      s"(SELECT x0, y0 FROM (SELECT unnest(generate_series(0, ${RcropFineX - 2})) AS x0), " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 2})) AS y0)) o " +
+      "ON l.i >= o.x0 AND l.i < o.x0 + 2 AND l.j >= o.y0 AND l.j < o.y0 + 2 " +
+      "GROUP BY 1, 2, 3), " +
+      "aws AS (SELECT l.img_id, o.x0, o.y0, sum(l.g) AS s, sum(l.g * l.g) AS q " +
+      "FROM alv l JOIN " +
+      s"(SELECT x0, y0 FROM (SELECT unnest(generate_series(0, ${RcropFineX - 4})) AS x0), " +
+      s"(SELECT unnest(generate_series(0, ${RcropFineY - 4})) AS y0)) o " +
+      "ON l.i >= o.x0 AND l.i < o.x0 + 4 AND l.j >= o.y0 AND l.j < o.y0 + 4 " +
+      "GROUP BY 1, 2, 3), " +
+      "atl AS (" +
+      // corpus scaled families (the rs2/rs4 state)
+      "SELECT s2.doc_id, s2.side, 'scl' AS role, 2 AS scale, p.x0 // 2 AS ti, " +
+      "p.y0 // 2 AS tj, 16000 * p.s AS s, 16000000 * p.q AS q " +
+      "FROM src2 s2 JOIN aps p ON p.img_id = s2.img_id " +
+      "WHERE s2.side = 'c' AND p.x0 % 2 = 0 AND p.y0 % 2 = 0 " +
+      "UNION ALL SELECT s2.doc_id, s2.side, 'scl', 4, w.x0 // 4, w.y0 // 4, " +
+      "4000 * w.s, 4000000 * w.q " +
+      "FROM src2 s2 JOIN aws w ON w.img_id = s2.img_id " +
+      "WHERE s2.side = 'c' AND w.x0 % 4 = 0 AND w.y0 % 4 = 0 " +
+      // batch native sets: originals are the fine grid, crops the
+      // 2x-crop family at cell offset 2
+      "UNION ALL SELECT s2.doc_id, s2.side, 'nat', 1, l.i, l.j, " +
+      "64000 * l.g, 64000000 * l.g * l.g " +
+      "FROM src2 s2 JOIN alv l ON l.img_id = s2.img_id " +
+      "WHERE s2.side = 'b' AND s2.off = 0 " +
+      "UNION ALL SELECT s2.doc_id, s2.side, 'nat', 1, (p.x0 - 2) // 2, (p.y0 - 2) // 2, " +
+      "16000 * p.s, 16000000 * p.q " +
+      "FROM src2 s2 JOIN aps p ON p.img_id = s2.img_id " +
+      "WHERE s2.side = 'b' AND s2.off = 1 " +
+      "AND p.x0 % 2 = 0 AND p.x0 >= 2 AND p.y0 % 2 = 0 AND p.y0 >= 2 " +
+      // batch scaled sets (append/strict role): originals' 2x/4x
+      // families; crops' own 2x downscale
+      "UNION ALL SELECT s2.doc_id, s2.side, 'scl', 2, p.x0 // 2, p.y0 // 2, " +
+      "16000 * p.s, 16000000 * p.q " +
+      "FROM src2 s2 JOIN aps p ON p.img_id = s2.img_id " +
+      "WHERE s2.side = 'b' AND s2.off = 0 AND p.x0 % 2 = 0 AND p.y0 % 2 = 0 " +
+      "UNION ALL SELECT s2.doc_id, s2.side, 'scl', 4, w.x0 // 4, w.y0 // 4, " +
+      "4000 * w.s, 4000000 * w.q " +
+      "FROM src2 s2 JOIN aws w ON w.img_id = s2.img_id " +
+      "WHERE s2.side = 'b' AND s2.off = 0 AND w.x0 % 4 = 0 AND w.y0 % 4 = 0 " +
+      "UNION ALL SELECT s2.doc_id, s2.side, 'scl', 2, (w.x0 - 2) // 4, (w.y0 - 2) // 4, " +
+      "4000 * w.s, 4000000 * w.q " +
+      "FROM src2 s2 JOIN aws w ON w.img_id = s2.img_id " +
+      "WHERE s2.side = 'b' AND s2.off = 1 AND w.x0 % 4 = 2 AND w.y0 % 4 = 2), " +
+      "ash AS (SELECT DISTINCT l.doc_id, l.side, l.role, l.scale, " +
+      "l.s AS s1, l.q AS q1, r.s AS s2, r.q AS q2 " +
+      "FROM atl l JOIN atl r ON r.doc_id = l.doc_id AND r.side = l.side " +
+      "AND r.role = l.role AND r.scale = l.scale " +
+      "AND r.ti = l.ti + 1 AND r.tj = l.tj + 1), " +
+      "absz AS (SELECT doc_id, count(*) AS n FROM ash " +
+      "WHERE side = 'b' AND role = 'nat' GROUP BY 1), " +
+      "aic AS (SELECT b.doc_id, c.doc_id AS cv_id, c.scale, count(*) AS i " +
+      "FROM ash b JOIN ash c ON b.side = 'b' AND b.role = 'nat' " +
+      "AND c.side = 'c' AND c.role = 'scl' " +
+      "AND c.s1 = b.s1 AND c.q1 = b.q1 AND c.s2 = b.s2 AND c.q2 = b.q2 " +
+      "GROUP BY 1, 2, 3), " +
+      "anear AS (SELECT DISTINCT aic.doc_id FROM aic " +
+      "JOIN absz z ON z.doc_id = aic.doc_id WHERE 5 * i >= 4 * z.n), " +
+      "ast0 AS (SELECT s.doc_id, CASE WHEN anear.doc_id IS NOT NULL " +
+      s"THEN '$RcropCorpusStatus' ELSE 'admitted' END AS status " +
+      "FROM src2 s LEFT JOIN anear ON anear.doc_id = s.doc_id WHERE s.side = 'b'), " +
+      "admn AS (SELECT ash.doc_id, s1, q1, s2, q2 FROM ash " +
+      "JOIN ast0 ON ast0.doc_id = ash.doc_id AND ast0.status = 'admitted' " +
+      "WHERE ash.side = 'b' AND ash.role = 'nat'), " +
+      "adms AS (SELECT ash.doc_id, s1, q1, s2, q2 FROM ash " +
+      "JOIN ast0 ON ast0.doc_id = ash.doc_id AND ast0.status = 'admitted' " +
+      "WHERE ash.side = 'b' AND ash.role = 'scl'), " +
+      "aszp AS (SELECT doc_id, count(*) AS n FROM admn GROUP BY 1), " +
+      "asztot AS (SELECT doc_id, count(*) AS n FROM " +
+      "(SELECT * FROM admn UNION ALL SELECT * FROM adms) GROUP BY 1), " +
+      "aip AS (SELECT a.doc_id AS na_id, b.doc_id AS sc_id, count(*) AS i " +
+      "FROM admn a JOIN adms b ON b.s1 = a.s1 AND b.q1 = a.q1 " +
+      "AND b.s2 = a.s2 AND b.q2 = a.q2 AND b.doc_id <> a.doc_id GROUP BY 1, 2), " +
+      "ap AS (SELECT least(na_id, sc_id) AS pa, greatest(na_id, sc_id) AS pb " +
+      "FROM aip JOIN aszp z ON z.doc_id = aip.na_id WHERE 5 * i >= 4 * z.n), " +
+      "ed AS (SELECT pa AS s, pb AS t FROM ap UNION SELECT pb, pa FROM ap), " +
+      "reach AS (SELECT s AS id, s AS comp FROM ed " +
+      "UNION SELECT ed.s AS id, r.comp FROM ed JOIN reach r ON ed.t = r.id), " +
+      "cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), " +
+      "rk AS (SELECT cmp.id AS doc_id, ROW_NUMBER() OVER (PARTITION BY cmp.component " +
+      "ORDER BY asztot.n DESC, cmp.id) AS rn FROM cmp " +
+      "JOIN asztot ON asztot.doc_id = cmp.id), " +
+      "st AS (SELECT ast0.doc_id, CASE WHEN ast0.status = 'admitted' AND rk.rn > 1 " +
+      s"THEN '$RcropStrictStatus' ELSE ast0.status END AS status " +
+      "FROM ast0 LEFT JOIN rk ON rk.doc_id = ast0.doc_id) " +
+      "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(bit_xor(doc_id) AS BIGINT) AS checksum FROM st GROUP BY status ORDER BY status"
+
   /** The spatial-crop-admission oracle: [[admitIcropSql]] with the frame
     * axis — `off` is the crop's TILE offset applied to every frame of
     * the batch re-arrival, the bigrams are per-frame diagonal tile
@@ -4376,6 +4959,139 @@ object PerceptualDedup {
         "measured at 3.2 s against the composite's 6.3 s. Identity outside the " +
         "battery; shares the composite's oracle."
     ) { (s, dir) => admitVcropLeg(s, dir, steady = true) },
+
+    // ----- x156: RESIZED-crop containment (multi-scale tiles, exact baseline) -----
+    Q(
+      "x156_resized_crop_containment",
+      Some(s"WITH $x156BgSql, $x156ExactTailSql"),
+      "RESIZED-crop containment — closing the perceptual family's last undetected " +
+        "re-post mode (the round-15 verdict's #1 ask): crop-then-RESCALE moves " +
+        "every dHash block (x139/x142) and every tile boundary (x152/x154/x155) " +
+        "simultaneously, so it evaded every prior signal. The fix re-shingles the " +
+        "corpus side at the canonical mip rescales (RescaleSet = 2x and 4x box " +
+        "reductions) through the ONE-PASS scaled decoder " +
+        "(decodeImageBlocksTilesScales — per-channel round-half-up box average, " +
+        "property-pinned BIT-IDENTICAL to decoding an actually-materialized " +
+        "canonical downscale on random RGB content): a k-resized crop re-post's " +
+        "NATIVE tiles are bit-exact tiles of the original's k-downscale when the " +
+        "crop is tile*k-aligned, so x25's directional rule applies across scale " +
+        "levels — den*|A inter S_k| >= num*|A| for A the re-post's native set. " +
+        "Per-scale verdicts name which reduction saw it. HONEST LIMITS, each the " +
+        "established per-space rule: rescale factors outside the canonical set " +
+        "share nothing (the mip chain covers the dominant thumbnail reductions; " +
+        "`scales` is the corpus-level knob); non-tile*k-aligned crop offsets " +
+        "shift every scaled boundary (the x152 framing rule one scale up); a " +
+        "non-box or differently-rounded resampler moves every moment (the " +
+        "brightness rule's shape); UPSCALED re-posts are the mirror case (swap " +
+        "which side filters scale=1), documented at the engine. Fixture: 128x96 " +
+        "originals on a 16x12 closed-form cell grid; every 15th doc re-posts the " +
+        "2x-resized 16-px-aligned crop (+5000000), every 45th the 4x-resized " +
+        "32-px-aligned crop (+6000000). The oracle recomputes every set as " +
+        "window-sum families over the cell grid, pinning encode -> imageio -> " +
+        "canonical downscale -> tile moments -> cross-scale containment. " +
+        "EXACTNESS BASELINE: raw fingerprint join, benchExcluded; the benched " +
+        "production twin is x156_rcrop_containment_lsh."
+    ) { (s, dir) =>
+      resizedCropContainmentPairs(sidecar(s, "x156_media", dir)(
+        x156FixtureMedia(table(s, dir, "documents").select("doc_id"))))
+        .orderBy("doc_id", "src_id", "scale")
+    },
+
+    // ----- x156 scale twin: LSH-candidate resized-crop containment (benched) -----
+    Q(
+      "x156_rcrop_containment_lsh",
+      Some(s"WITH $x156BgSql, $x156LshTailSql"),
+      "The resized-crop SCALE path — the bipartite LSH recipe across scale " +
+        "levels: one md5 h60 per fingerprint (hashing the ACTUAL moment tuple — " +
+        "the multi-scale sets span several value families), 16 affine " +
+        "permutation minhashes per set (native per doc, scaled per (doc, k)), " +
+        "the recall-leaning 8x2 banding (J^2 band match — the dedup-stage " +
+        "rationale: a missed resized thumbnail ships forever), ONE band-keyed " +
+        "join native-vs-scaled, exact directional verify on candidates " +
+        "(precision 1.0 by construction). The oracle recomputes the IDENTICAL " +
+        "candidate set from the closed-form window-sum families through the " +
+        "same literals, pinning the full cross-engine chain. The fixture's " +
+        "2x crops sit at J = 24/35 (found); the 4x crops at J = 2/6 — found or " +
+        "not is a fixed deterministic fact both engines agree on (extreme " +
+        "ratios need the exact form, documented). Scale: candidate mass " +
+        "follows band collisions; joins shuffle 16-byte band keys and 32-byte " +
+        "fingerprints, never payloads; each image is decoded ONCE for all " +
+        "scale levels (the one-pass decoder)."
+    ) { (s, dir) =>
+      resizedCropContainmentPairsLsh(sidecar(s, "x156_media", dir)(
+        x156FixtureMedia(table(s, dir, "documents").select("doc_id"))))
+        .orderBy("doc_id", "src_id", "scale")
+    },
+
+    // ----- x74 resized-crop leg: rcrop admission (the rescale-space status pair) -----
+    Q(
+      "x74_admit_rcrop",
+      Some(s"WITH RECURSIVE $admitRcropSql"),
+      "RESIZED-CROP leg of media ADMISSION — the x156 rule as an admission " +
+        "signal through the SAME machinery, on the ASYMMETRIC rescale spaces " +
+        "(RescaleSpaces: the state carries each image's SCALED fingerprints " +
+        "under rs2/rs4; the batch compares its NATIVE fingerprints re-tagged " +
+        "per space — zero extra decode, n_sh pricing the native set): a " +
+        "2x-resized tile*k-aligned crop of corpus imagery flags " +
+        "near_dup_corpus_rcrop (both scales fold to ONE status — the signal is " +
+        "'resized crop'); the strict pass adds the bipartite native-vs-scaled " +
+        "qualification to the shared CC (admitTrimStrictLosers' rs leg) and " +
+        "keeps the doc with the most total fingerprints (the full-canvas " +
+        "source), losers near_dup_batch_rcrop. Fixture: the shared admit " +
+        "population split with off meaning 'is the 2x-resized crop'; %45==0 " +
+        "crops have corpus content siblings (the v=2 one-cell bump leaves " +
+        "23/24 over the rule — flagged corpus), %9==0 & v>=3 crops arrive " +
+        "WITH their full-canvas source (only the strict keep-best can order " +
+        "that pair). Oracle recomputes the cluster-keyed window-sum families: " +
+        "encode -> decode -> canonical downscale -> containment -> bipartite " +
+        "strict CC, all pinned. Scale: batch-sized joins on fingerprint keys; " +
+        "the rs state adds ~41 rows per corpus image (~+31% of its native " +
+        "count, the 1/k^2 sum)."
+    ) { (s, dir) =>
+      import s.implicits._
+      val ids = table(s, dir, "documents").select("doc_id")
+      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+        .unionByName(ids.filter(col("doc_id") % 45 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(2).as("kind")))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("doc_id").as("img_id"), lit(2).as("kind")))
+      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, img, kind) => (id, fixtureRcropBmpCk(img, kind)) })
+        .toDF("doc_id", "payload")
+      val corpusSh = DedupClusters.ckpt(
+        mediaShingles(sidecar(s, "x74rcrop_corpus", dir)(synth(corpusSrc)),
+          rscales = RescaleSet)
+          .filter(col("mod").startsWith("rs")), None)
+      val batchSh = DedupClusters.ckpt(
+        mediaShingles(sidecar(s, "x74rcrop_batch", dir)(synth(batchSrc)),
+          rscales = RescaleSet), None)
+      // the Cli compare-feed assembly: batch NATIVE img fingerprints
+      // re-tagged into each rescale space (the RescaleSpace asymmetry)
+      val batchCompare = RescaleSpaces.map(sp =>
+        batchSh.filter(col("mod") === "img").withColumn("mod", lit(sp.space)))
+        .reduce(_ unionByName _)
+      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchCompare), None)
+      // the frame is genuinely multi-space here (rs2 + rs4 rows per doc)
+      // — the doc-level fold is load-bearing, not defensive
+      val docs = DedupClusters.ckpt(admitTrimDocVerdicts(frame), None)
+      val adm = docs.filter(!col("near_trim")).select("doc_id")
+      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+        .select("doc_id").distinct().withColumn("lb", lit(true))
+      docs.join(losers, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("near_trim"), RcropCorpusStatus)
+            .when(coalesce(col("lb"), lit(false)), RcropStrictStatus)
+            .otherwise("admitted").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+        .orderBy("status")
+    },
 
     // ----- x148: thumbnail provenance (image == frame-of-video cross-match) -----
     Q(

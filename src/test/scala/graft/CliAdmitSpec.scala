@@ -1165,8 +1165,12 @@ class CliAdmitSpec extends SparkSpec {
     // the spaces + geometry
     val sh = spark.read.parquet(s"$psigs/shingles")
     assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
+    // rs2 rows: the images' 2x-downscale fingerprints (x156's state
+    // role); rs4 has NO rows here -- a 48x40 image's 4x downscale is
+    // under one 2x2-tile grid -- but the space is still RECORDED in the
+    // meta (spaces are a contract, not an observation)
     assert(sh.select("mod").distinct().as[String].collect().toSet ===
-      Set("img", "aud", "vid", "vsp"))
+      Set("img", "aud", "vid", "vsp", "rs2"))
     assert(sh.filter(col("cv_id") === 103L && col("mod") === "img").count() === 20L)
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
     assert(sh.filter(col("cv_id") === 107L).count() === 0L)
@@ -1182,7 +1186,7 @@ class CliAdmitSpec extends SparkSpec {
     assert(sh.filter(col("cv_id") === 10L && col("mod") === "vsp").count() ===
       expVsp.toLong)
     assert(xscale.PerceptualDedup.stateShingleSpaces(
-      spark, s"$psigs/shmeta", sh) === Seq("img", "aud", "vid", "vsp"))
+      spark, s"$psigs/shmeta", sh) === xscale.PerceptualDedup.AdmitShingleSpaces)
     // day 2: a crop of day-1-admitted 103 flags off the APPENDED state
     val b2 = Seq(doc(201L, "f")).toDF("doc_id", "text", "source")
     val bm2 = Seq((201L, cimg(6666L * 5, 1))).toDF("doc_id", "payload")

@@ -471,4 +471,94 @@ class XScalePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("x156 scaled tile moments: simulated canonical downscale == imageio on a materialized downscale") {
+    // THE x156 exactness contract: decodeImageBlocksTilesScales' scaled
+    // pass must be BIT-IDENTICAL to actually materializing the canonical
+    // k-box downscale (per-channel round-half-up integer average) as a
+    // real BMP and decoding its tiles through javax.imageio — i.e. the
+    // simulation and an adversary's canonical thumbnailer agree on every
+    // moment. Random DISTINCT per-channel content exercises the channel
+    // rounding (a luma-first slip would differ); random non-aligned
+    // sizes exercise the dropped remainder rows/cols and partial tiles.
+    // The native-tile and grid halves are pinned against the existing
+    // decoders in the same pass.
+    def makeRgbBmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val dataSize = rowSize * h
+      val out = new Array[Byte](54 + dataSize)
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+      out(0) = 'B'.toByte; out(1) = 'M'.toByte
+      le32(2, 54 + dataSize); le32(10, 54)
+      le32(14, 40); le32(18, w); le32(22, h)
+      le16(26, 1); le16(28, 24); le32(30, 0); le32(34, dataSize)
+      le32(38, 2835); le32(42, 2835)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          val o = 54 + (h - 1 - y) * rowSize + x * 3
+          out(o) = (b & 0xff).toByte; out(o + 1) = (g & 0xff).toByte
+          out(o + 2) = (r & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val gen: Gen[(Int, Int, Int, Int)] = for {
+      w <- Gen.chooseNum(8, 61)
+      h <- Gen.chooseNum(8, 53)
+      k <- Gen.oneOf(2, 3, 4, 5)
+      tile <- Gen.oneOf(3, 8)
+    } yield (w, h, k, tile)
+    for (((w, h, k, tile), i) <- samples(gen, 30).zipWithIndex) {
+      def ch(x: Int, y: Int) =
+        ((x * 37 + y * 11 + i * 7) % 251, (x * 13 + y * 29 + i * 3) % 251,
+          (x * 5 + y * 41 + i * 17) % 251)
+      val bmp = makeRgbBmp(w, h, ch)
+      val wk = w / k
+      val hk = h / k
+      val got = Multimodal.decodeImageTileStatsScaled(bmp, tile, k)
+      if (wk / tile <= 0 || hk / tile <= 0) assert(got.isEmpty, s"w=$w h=$h k=$k tile=$tile")
+      else {
+        // slow reference: materialize the canonical downscale, decode it
+        val down = makeRgbBmp(wk, hk, (u, v) => {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var dy = 0
+          while (dy < k) {
+            var dx = 0
+            while (dx < k) {
+              val (r, g, b) = ch(u * k + dx, v * k + dy)
+              sr += r; sg += g; sb += b
+              dx += 1
+            }
+            dy += 1
+          }
+          val div = k.toLong * k
+          val half = div / 2
+          (((sr + half) / div).toInt, ((sg + half) / div).toInt, ((sb + half) / div).toInt)
+        })
+        val Some((rtx, rty, rs, rq)) = Multimodal.decodeImageTileStats(down, tile)
+        val Some((gtx, gty, gs, gq)) = got
+        assert(gtx == rtx && gty == rty, s"w=$w h=$h k=$k tile=$tile")
+        assert(gs.sameElements(rs) && gq.sameElements(rq), s"w=$w h=$h k=$k tile=$tile")
+      }
+      // the native-tile and grid halves of the combined pass reproduce
+      // the existing decoders bit-exact on the same bytes
+      if (w >= 9 && h >= 8) {
+        val Some((cgs, cgc, ctx, cty, cts, ctq, _)) =
+          Multimodal.decodeImageBlocksTilesScales(bmp, 9, 8, tile, Seq(k))
+        val Some((egs, egc, etx, ety, ets, etq)) =
+          Multimodal.decodeImageBlocksTiles(bmp, 9, 8, tile)
+        assert(cgs.sameElements(egs) && cgc.sameElements(egc))
+        assert(ctx == etx && cty == ety)
+        assert(cts.sameElements(ets) && ctq.sameElements(etq))
+      }
+    }
+  }
 }

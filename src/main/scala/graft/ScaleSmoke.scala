@@ -363,6 +363,25 @@ object ScaleSmoke {
           col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/video_tile_shingles.parquet")
     }
+    // the resized-crop-admission shingle state (`Cli admit --ptrim`, the
+    // rs2/rs4 rescale spaces): each corpus image's SCALED fingerprints
+    // (x156's state role, ~41 rows per 128x96 image), decoded ONCE —
+    // x74_admit_rcrop_steady times only the day-2 classify. cv_id base
+    // -20e9 keeps a seventh disjoint negative id space
+    if (!new java.io.File(s"$dir/image_scaled_shingles.parquet").exists()) {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .mapPartitions(_.map(i =>
+          (i, xscale.PerceptualDedup.fixtureRcropBmp(i * 5, 0))))
+        .toDF("doc_id", "payload")
+      xscale.PerceptualDedup
+        .mediaShingles(media, rscales = xscale.PerceptualDedup.RescaleSet)
+        .filter(col("mod").startsWith("rs"))
+        .select((-(col("doc_id") + 1L) - 20000000000L).as("cv_id"),
+          col("mod"), col("s1"), col("q1"), col("s2"), col("q2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/image_scaled_shingles.parquet")
+    }
     // x30 with corpus-proportional nc + sampled quantizer training — the
     // scale configuration the oracle-pinned nc=8 query can't use. This is
     // the entry that demonstrates the auto-nc claim: per-doc cost at 10×
@@ -624,6 +643,32 @@ object ScaleSmoke {
         xscale.PerceptualDedup.admitTrimCompare(
           state, xscale.DedupClusters.ckpt(
             xscale.PerceptualDedup.mediaShingles(batch), None))
+          .groupBy("near_trim").count()
+      }),
+      // the resized-crop leg's steady state: a fixed batch of 200
+      // 2x-resized crops of corpus images + 50 fresh, the batch's NATIVE
+      // fingerprints re-tagged per rescale space and classified against
+      // the persisted SCALED state (the RescaleSpace asymmetry) — the
+      // flat 10x -> 100x claim on the x156 admission signal
+      "x74_admit_rcrop_steady" -> ((s, d) => {
+        import s.implicits._
+        val state = s.read.parquet(s"$d/image_scaled_shingles.parquet")
+        val batch = ((0L until 200L).map(i =>
+          (9950000000L + i, xscale.PerceptualDedup.fixtureRcropBmp(i * 5, 2))) ++
+          (0L until 50L).map(i =>
+            (9960000000L + i,
+              xscale.PerceptualDedup.fixtureRcropBmp((2500000000L + i) * 5, 0))))
+          .toDF("doc_id", "payload")
+        val batchSh = xscale.DedupClusters.ckpt(
+          xscale.PerceptualDedup.mediaShingles(
+            batch, rscales = xscale.PerceptualDedup.RescaleSet), None)
+        val compare = xscale.PerceptualDedup.RescaleSpaces.map(sp =>
+          batchSh.filter(col("mod") === "img")
+            .withColumn("mod", lit(sp.space)))
+          .reduce(_ unionByName _)
+        xscale.PerceptualDedup
+          .admitTrimDocVerdicts(
+            xscale.PerceptualDedup.admitTrimCompare(state, compare))
           .groupBy("near_trim").count()
       }),
       // the trim leg's steady state: a fixed batch of 200 re-cut corpus

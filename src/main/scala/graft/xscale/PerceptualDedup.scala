@@ -1462,7 +1462,11 @@ object PerceptualDedup {
     * [[videoFrameShingles]]'s rule, the trim signal) and per-frame
     * tile-neighborhood fingerprints (`mod = "vsp"`,
     * [[videoFrameTileShingles]]'s rule, the x154 spatial-crop signal) in
-    * ONE pixel pass ([[Multimodal.decodeAviFrameStatsTiles]]) — ONE
+    * ONE pixel pass ([[Multimodal.decodeAviFrameStatsTiles]]); with
+    * `rscales` non-empty, images ALSO emit their canonical k×-downscale
+    * fingerprints as `rs<k>` rows ([[RescaleSpaces]] — the x156 STATE
+    * role: scaled rows bootstrap/append; the compare feed re-tags the
+    * img rows instead) out of the same image pixel pass — ONE
     * decode pass per payload, modality order identical to
     * [[mediaHashBands]] (image reader first, RIFF/WAVE, then RIFF/AVI —
     * fourccs disjoint). `mod` rides every shingle row so the fingerprint
@@ -1721,12 +1725,16 @@ object PerceptualDedup {
     * shingles — (doc_id, mod, n_sh, near_trim) where `near_trim` = some
     * corpus doc OF THAT SHINGLE SPACE contains ≥ `num`/`den` of the
     * doc's distinct fingerprints in that space — the re-cut/excerpt
-    * (vid), tile-aligned crop (img), pause-cut excerpt (aud) or
-    * spatially cropped re-render (vsp) whose whole-payload hash differs
+    * (vid), tile-aligned crop (img), pause-cut excerpt (aud),
+    * spatially cropped re-render (vsp) or RESIZED crop (rs2/rs4 — the
+    * batch side's rows are its NATIVE fingerprints re-tagged per rescale
+    * space, the state side's its SCALED ones: the [[RescaleSpace]]
+    * asymmetry) whose whole-payload hash differs
     * BY DESIGN, so the band leg cannot see it. Videos carry two rows
-    * (vid + vsp) since x154; the per-space verdict is what lets the
+    * (vid + vsp) since x154, images one per active rescale space since
+    * x156; the per-space verdict is what lets the
     * status folds name the signal that actually saw the re-post.
-    * The x147/x152/x153/x154 rules as admission signals.
+    * The x147/x152/x153/x154/x156 rules as admission signals.
     * `cv_id =!= doc_id` keeps crash-window retries idempotent (same rule
     * and same GLOBALLY-UNIQUE id-space precondition as
     * [[admitMediaCompare]]). Scale: the batch side BROADCASTS when it is
@@ -1813,10 +1821,16 @@ object PerceptualDedup {
     * within ONE shingle space — img pairs never form with vid), CC them,
     * and keep the doc with the MOST shingles per component (the longer
     * clip / larger image IS the source; min-id would happily keep the
-    * excerpt and drop the footage), doc_id tiebreak. Returns the losers'
+    * excerpt and drop the footage), doc_id tiebreak. RESCALE spaces
+    * (rs-prefixed mods, [[RescaleSpaces]]) are asymmetric and get their
+    * own BIPARTITE qualification instead: doc a's NATIVE img
+    * fingerprints contained in doc b's rs-space SCALED set (a resized
+    * crop and its source arriving together — x156 intra-batch), the
+    * link entering the SAME undirected CC. Returns the losers'
     * (doc_id, mod) for the caller to re-status per modality
-    * (`near_dup_batch_vtrim` / `near_dup_batch_icrop` — the
-    * [[Modalities]] containment column). Zero extra decode —
+    * (`near_dup_batch_vtrim` / `near_dup_batch_icrop`, rs-mods folding
+    * to [[RcropStrictStatus]] — the [[Modalities]] containment column
+    * plus the rescale table). Zero extra decode —
     * `admShingles` is the already-cut batch shingle frame filtered to
     * still-admitted docs; a frame without `mod` is all-video (pre-mod
     * contract).

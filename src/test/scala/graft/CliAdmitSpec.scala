@@ -1094,13 +1094,15 @@ class CliAdmitSpec extends SparkSpec {
       (f, _, _) => PerceptualDedup.fixtureFrameVid(img, f + from))
     // MIXED corpus media: docs 0..7 images, doc 8 an utterance clip, doc
     // 9 a video, doc 10 a TILED video (6x5 tiles — carries both video
-    // shingle spaces) — ALL FOUR containment flavors bootstrap into ONE
-    // shingle state
-    val corpus = (0L to 10L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
+    // shingle spaces), doc 11 a 128x96 original (the x156 fine grid —
+    // its 2x/4x scaled fingerprints bootstrap the rescale spaces) — ALL
+    // FIVE containment flavors bootstrap into ONE shingle state
+    val corpus = (0L to 11L).map(i => doc(i, s"c$i")).toDF("doc_id", "text", "source")
     val corpusMedia = ((0L to 7L).map(i => (i, cimg(i * 5, 0))) ++
       Seq((8L, PerceptualDedup.fixtureWavUtt(8L * 5)),
         (9L, PerceptualDedup.fixtureAvi(9L * 5)),
-        (10L, PerceptualDedup.fixtureAviTiles(10L * 5, 0)))).toDF("doc_id", "payload")
+        (10L, PerceptualDedup.fixtureAviTiles(10L * 5, 0)),
+        (11L, PerceptualDedup.fixtureRcropBmp(11L * 5, 0)))).toDF("doc_id", "payload")
     // 101 = tile-aligned CROP of corpus image 7 (band leg blind: the
     // crop shifts every dHash block boundary — only the crop leg flags
     // it); 102 = a novel CROP and 103 its full source arriving TOGETHER
@@ -1115,9 +1117,15 @@ class CliAdmitSpec extends SparkSpec {
     // keep-best can order that pair, and the SOURCE — a TWO-SPACE doc —
     // must stay admitted while the crop re-statuses by its LINKING
     // space) — four containment flavors, one state, one run
+    // 110 = the 2x-RESIZED 16-px-aligned crop of corpus image 11 — every
+    // dHash block AND every native tile boundary moved, so only the
+    // rescale spaces (x156) can flag it; 111/112 = a novel 128x96
+    // original and ITS resized crop arriving together (the bipartite
+    // strict leg orders that pair: the full-canvas source must stay)
     val batch = Seq(doc(101L, "a"), doc(102L, "b"), doc(103L, "c"),
       doc(104L, "d"), doc(105L, "e"), doc(106L, "g"), doc(107L, "h"),
-      doc(108L, "i"), doc(109L, "j"))
+      doc(108L, "i"), doc(109L, "j"), doc(110L, "k"), doc(111L, "l"),
+      doc(112L, "m"))
       .toDF("doc_id", "text", "source")
     val batchMedia = Seq(
       (101L, cimg(7L * 5, 1)),
@@ -1128,7 +1136,10 @@ class CliAdmitSpec extends SparkSpec {
       (106L, PerceptualDedup.fixtureWavUtt(8L * 5, uttOff = PerceptualDedup.UttDrop)),
       (107L, PerceptualDedup.fixtureAviTiles(10L * 5, 1)),
       (108L, PerceptualDedup.fixtureAviTiles(7777L * 5, 1)),
-      (109L, PerceptualDedup.fixtureAviTiles(7777L * 5, 0))
+      (109L, PerceptualDedup.fixtureAviTiles(7777L * 5, 0)),
+      (110L, PerceptualDedup.fixtureRcropBmp(11L * 5, 2)),
+      (111L, PerceptualDedup.fixtureRcropBmp(9999L * 5, 0)),
+      (112L, PerceptualDedup.fixtureRcropBmp(9999L * 5, 2))
     ).toDF("doc_id", "payload")
     val paths = Map("c" -> "/corpus.parquet", "b" -> "/batch.parquet",
       "cm" -> "/cm.parquet", "bm" -> "/bm.parquet")
@@ -1154,23 +1165,29 @@ class CliAdmitSpec extends SparkSpec {
     // keep-best rank would have demoted the winner's vid row too
     assert(j.contains(""""near_dup_batch_vcrop":1"""), j)
     assert(j.contains(""""near_dup_batch_vtrim":0"""), j)
-    assert(j.contains(""""admitted":3"""), j)
+    // the FIFTH flavor: 110 flags against corpus 11's scaled state rows
+    // (both scales fold to the one rcrop status); the 111/112 strict
+    // pair keeps the full-canvas source and labels the crop by the
+    // bipartite leg
+    assert(j.contains(""""near_dup_corpus_rcrop":1"""), j)
+    assert(j.contains(""""near_dup_batch_rcrop":1"""), j)
+    assert(j.contains(""""admitted":4"""), j)
     val ids = spark.read.parquet(base.getPath + "/out/admitted")
       .select("doc_id").as[Long].collect().toSet
-    assert(ids === Set(103L, 104L, 109L),
-      "keep-best kept the larger source image AND the two-space source video")
+    assert(ids === Set(103L, 104L, 109L, 111L),
+      "keep-best kept the larger source image, the two-space source video " +
+        "AND the full-canvas rcrop source")
     // ONE mod-tagged state holds all four shingle spaces (the tiled
     // video carries vid AND vsp rows); the admitted images' tile
     // shingles appended (103/104: 20 each); the meta sidecar records
     // the spaces + geometry
     val sh = spark.read.parquet(s"$psigs/shingles")
     assert(sh.columns.toSet === Set("cv_id", "mod", "s1", "q1", "s2", "q2"))
-    // rs2 rows: the images' 2x-downscale fingerprints (x156's state
-    // role); rs4 has NO rows here -- a 48x40 image's 4x downscale is
-    // under one 2x2-tile grid -- but the space is still RECORDED in the
-    // meta (spaces are a contract, not an observation)
+    // rs2/rs4 rows: the images' canonical-downscale fingerprints (x156's
+    // state role) — the 48x40 images carry rs2 only (their 4x downscale
+    // is under one 2x2-tile grid), the 128x96 original both
     assert(sh.select("mod").distinct().as[String].collect().toSet ===
-      Set("img", "aud", "vid", "vsp", "rs2"))
+      Set("img", "aud", "vid", "vsp", "rs2", "rs4"))
     assert(sh.filter(col("cv_id") === 103L && col("mod") === "img").count() === 20L)
     assert(sh.filter(col("cv_id") === 101L).count() === 0L)
     assert(sh.filter(col("cv_id") === 107L).count() === 0L)

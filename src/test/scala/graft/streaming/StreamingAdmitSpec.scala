@@ -660,6 +660,66 @@ class StreamingAdmitSpec extends SparkSpec {
     assert(rep2 === Map("near_dup_corpus_icrop" -> 1L))
   }
 
+  test("rcrop leg: resized crop flagged off the rescale-space state; append serves day 2") {
+    import graft.xscale.PerceptualDedup
+    val base = tmpDir("stream-admit-rcrop")
+    val statePath = new java.io.File(base, "state").getPath
+    val psigs = new java.io.File(base, "psigs").getPath
+    // state as `Cli admit --ptrim --psigs` run 1 writes it TODAY: shmeta
+    // (all six spaces) + mod-tagged shingles INCLUDING the rs2/rs4
+    // scaled fingerprints (mediaShingles with the rescale set)
+    PerceptualDedup.writeBandMeta(spark, s"$psigs/meta", wide = false)
+    PerceptualDedup.writeShingleMeta(spark, s"$psigs/shmeta")
+    val corpusMedia = (0L to 5L).map(i => (i, PerceptualDedup.fixtureRcropBmp(i * 7, 0)))
+      .toDF("doc_id", "payload")
+    PerceptualDedup.mediaHashFrame(corpusMedia).filter(col("decoded"))
+      .select(col("doc_id").as("cv_id"), col("mod"), col("bands"))
+      .write.parquet(s"$psigs/bands")
+    PerceptualDedup.mediaShingles(corpusMedia, rscales = PerceptualDedup.RescaleSet)
+      .withColumnRenamed("doc_id", "cv_id")
+      .write.parquet(s"$psigs/shingles")
+    // 81 = the 2x-resized crop of corpus image 3 (every dHash block AND
+    // every native tile boundary moved — only the rescale spaces flag
+    // it); 82/83 = a novel resized crop WITH its full-canvas source
+    // (the bipartite strict leg orders the pair); 84 = fresh
+    val d1 = Seq((81L, novel1, "s"), (82L, novel2, "s"), (83L, novel3, "s"),
+      (84L, novel4, "s")).toDF("doc_id", "text", "source")
+    val d1m = Seq(
+      (81L, PerceptualDedup.fixtureRcropBmp(3L * 7, 2)),
+      (82L, PerceptualDedup.fixtureRcropBmp(8282L * 7, 2)),
+      (83L, PerceptualDedup.fixtureRcropBmp(8282L * 7, 0)),
+      (84L, PerceptualDedup.fixtureRcropBmp(8484L * 7, 0))).toDF("doc_id", "payload")
+    val out = new java.io.File(base, "out").getPath
+    val reportPath = new java.io.File(base, "report").getPath
+    val adm1 = StreamingAdmit.admit(spark, d1, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 0L,
+      psigsPath = Some(psigs), batchMedia = Some(d1m), outPath = Some(out),
+      ptrim = true)
+    assert(adm1.select("doc_id").as[Long].collect().toSet === Set(83L, 84L))
+    val rep1 = spark.read.parquet(reportPath).filter(col("batch_id") === 0L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep1 === Map("admitted" -> 2L, "near_dup_corpus_rcrop" -> 1L,
+      "near_dup_batch_rcrop" -> 1L))
+    // the append conformed to the state's spaces: the admitted source's
+    // SCALED fingerprints landed (35 rs2 + 6 rs4 for a 128x96 canvas) —
+    // which is exactly what lets day 2 flag a resized crop of it
+    val sh = spark.read.parquet(s"$psigs/shingles")
+    assert(sh.filter(col("cv_id") === 83L && col("mod") === "rs2").count() === 35L)
+    assert(sh.filter(col("cv_id") === 83L && col("mod") === "rs4").count() === 6L)
+    val d2 = Seq((91L, "a novel tailrace dredging logbook for the lower bay", "s"))
+      .toDF("doc_id", "text", "source")
+    val d2m = Seq((91L, PerceptualDedup.fixtureRcropBmp(8282L * 7, 2)))
+      .toDF("doc_id", "payload")
+    val adm2 = StreamingAdmit.admit(spark, d2, statePath, strict = true,
+      reportPath = Some(reportPath), batchId = 1L,
+      psigsPath = Some(psigs), batchMedia = Some(d2m), outPath = Some(out),
+      ptrim = true)
+    assert(adm2.isEmpty)
+    val rep2 = spark.read.parquet(reportPath).filter(col("batch_id") === 1L)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(rep2 === Map("near_dup_corpus_rcrop" -> 1L))
+  }
+
   test("MemoryStream end-to-end: every status routed, state admitted-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]

@@ -908,7 +908,8 @@ class PerceptualDedupSpec extends SparkSpec {
     val dummy = Seq((1L, "vid", 1L, 1L, 2L, 2L))
       .toDF("cv_id", "mod", "s1", "q1", "s2", "q2")
     assert(stateShingleSpaces(spark, s"$dir/ok", dummy) ==
-      Seq("img", "aud", "vid", "vsp"))
+      Seq("img", "aud", "vid", "vsp", "rs2", "rs4"))
+    assert(AdmitShingleSpaces == Seq("img", "aud", "vid", "vsp", "rs2", "rs4"))
     // a state shingled at a different geometry must raise LOUDLY — a
     // silent cross-geometry compare would never match (the r14-ADVICE
     // tile-parameter finding, closed by recording + validating)
@@ -958,5 +959,89 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(x148.contains((101L, 1L, 2L)), x148)
     intercept[IllegalArgumentException](
       thumbnailContainmentPairsLsh(thumbs, vids, k = 10, bands = 4))
+  }
+
+  test("resizedCropContainmentPairs: resized crops contained per scale; evasions pinned") {
+    import spark.implicits._
+    // fixture closed forms through the REAL chain: a 2x-resized
+    // 16-px-aligned crop and a 4x-resized 32-px-aligned crop of the
+    // 128x96 original are contained in its scale-2/scale-4 fingerprint
+    // sets; an unrelated image matches nothing
+    val media = Seq(
+      (1L, fixtureRcropBmp(1L, 0)),
+      (2L, fixtureRcropBmp(1L, 2)),
+      (3L, fixtureRcropBmp(1L, 4)),
+      (9L, fixtureRcropBmp(9L, 0)))
+      .toDF("doc_id", "payload")
+    val exact = resizedCropContainmentPairs(media)
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(exact.contains((2L, 1L, 2, 24L, 24L)), exact)
+    assert(exact.contains((3L, 1L, 4, 2L, 2L)), exact)
+    assert(!exact.exists(r => r._1 == 9L || r._1 == 1L), exact)
+    // the LSH twin: subset of exact (precision 1.0 — verify is exact on
+    // candidates); the 2x crop's J = 24/35 sits comfortably on the
+    // recall-leaning 8x2 curve
+    val lsh = resizedCropContainmentPairsLsh(media)
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((2L, 1L, 2, 24L, 24L)), lsh)
+    // EVASIONS, pinned from the adversary's side.
+    // (a) the framing rule one scale up: a crop at a cell offset NOT a
+    // multiple of tile*k (here 8 px = one cell, not 16) lands every
+    // 2x-super-tile window at odd cell parity — zero shared fingerprints
+    val cropOdd = makeBmp((RcropFineX - 2) * 4, (RcropFineY - 2) * 4,
+      (u, v) => fixtureRcropLvl(1L, 1 + u / 4, 1 + v / 4))
+    // (b) the brightness rule: a re-brightened resized crop moves every
+    // moment
+    val cropBright = makeBmp((RcropFineX - 2) * 4, (RcropFineY - 2) * 4,
+      (u, v) => fixtureRcropLvl(1L, 2 + u / 4, 2 + v / 4) + 10)
+    val evading = media.unionByName(
+      Seq((20L, cropOdd), (21L, cropBright)).toDF("doc_id", "payload"))
+    val exact2 = resizedCropContainmentPairs(evading)
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(!exact2.exists(r => r._1 == 20L || r._1 == 21L), exact2)
+    // (c) the canonical-set rule: a 3x rescale has no rs3 space — a
+    // 3x-resized crop shares nothing with any emitted scale level. Built
+    // on 24-px cells so the 3x downscale is exact (cells stay constant).
+    def g3(i: Int, j: Int) = ((i * 41 + j * 13) % 181) + 30
+    val orig24 = makeBmp(144, 96, (x, y) => g3(x / 24, y / 24))
+    val crop3x = makeBmp(40, 24, (u, v) => g3(1 + u / 8, 1 + v / 8))
+    val ev3 = resizedCropContainmentPairs(
+      Seq((30L, orig24), (31L, crop3x)).toDF("doc_id", "payload"))
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(!ev3.exists(r => r._1 == 31L && r._2 == 30L), ev3)
+    // the producer emits exactly the declared scale levels
+    val scales = imageMultiScaleTileShingles(media)
+      .select("scale").distinct().as[Int].collect().toSet
+    assert(scales == (Set(1) ++ RescaleSet), scales)
+  }
+
+  test("admitTrimStrictLosers: bipartite rescale leg — crop loses to its full-canvas source") {
+    import spark.implicits._
+    def rows(id: Long, mod: String, tag: Long, n: Int) =
+      (0 until n).map(i => (id, mod, tag * 1000 + i, 1L, tag * 1000 + i + 1, 1L))
+    // source doc 1: 100 native img fingerprints + 30 scaled rs2 ones;
+    // crop doc 2: its 24 native fingerprints are a SUBSET of the
+    // source's rs2 set (the x156 relationship) and its own rs2 set is
+    // unrelated. The bipartite leg must link them (native-in-scaled),
+    // the CC keep-best must keep the source (more total fingerprints),
+    // and the loser label must name the LINKING space (rs2)
+    val sh = (rows(1L, "img", 1, 100) ++ rows(1L, "rs2", 2, 30) ++
+      rows(2L, "img", 2, 24) ++ rows(2L, "rs2", 3, 2))
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+    val losers = admitTrimStrictLosers(sh).as[(Long, String)].collect().toSet
+    assert(losers == Set((2L, "rs2")), losers)
+    // directional denominator: a doc sharing only HALF its native set
+    // with another's scaled set stays under the 0.8 bar — no pair
+    val sh2 = (rows(3L, "img", 5, 100) ++ rows(3L, "rs2", 6, 30) ++
+      rows(4L, "img", 6, 60) ++ rows(4L, "img", 7, 60))
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+    assert(admitTrimStrictLosers(sh2).count() === 0L)
+    // rs rows never enter the SYMMETRIC qualification: two docs with
+    // overlapping SCALED sets but disjoint native sets must not pair
+    val sh3 = (rows(5L, "img", 8, 50) ++ rows(5L, "rs2", 9, 30) ++
+      rows(6L, "img", 10, 50) ++ rows(6L, "rs2", 9, 30))
+      .toDF("doc_id", "mod", "s1", "q1", "s2", "q2")
+    assert(admitTrimStrictLosers(sh3).count() === 0L)
   }
 }

@@ -64,7 +64,7 @@ object ScaleSmoke {
     "x74_psigs_compact", "corpus_pdedup_stage", "corpus_mquality_stage",
     "corpus_pcontain_stage", "corpus_full_multimodal",
     "x147_containment_lsh", "x152_crop_lsh", "x153_utt_lsh",
-    "x154_vcrop_lsh", "x155_thumb_lsh",
+    "x154_vcrop_lsh", "x155_thumb_lsh", "x156_rcrop_lsh",
     "x142_image_keepbest", "x143_audio_quality", "x144_image_exposure",
     "cc_uniform", "cc_megastar", "cc_megastar_salted")
   // NEITHER x88 form runs on the DRIVER-FIXTURE corpus in the default
@@ -534,6 +534,31 @@ object ScaleSmoke {
       // via the shared LSH engine on cross-frame tile shingles (every
       // 15th doc re-posts a tile-aligned spatial crop of its video) —
       // the production twin of the all-pairs fingerprint join
+      // the x156 scale path measured: resized-crop containment via the
+      // bipartite multi-scale LSH — every 15th doc posts the 2x-resized
+      // crop, every 45th the 4x one; ONE decode pass per image yields
+      // native + scaled fingerprint sets, band join native-vs-scaled only
+      "x156_rcrop_lsh" -> ((s, d) => {
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val src = ids
+          .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+          .unionByName(ids.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(2).as("kind")))
+          .unionByName(ids.filter(col("doc_id") % 45 === 0)
+            .select((col("doc_id") + 6000000L).as("doc_id"),
+              col("doc_id").as("img_id"), lit(4).as("kind")))
+        val media = src.as[(Long, Long, Int)]
+          .mapPartitions(_.map { case (id, img, kind) =>
+            (id, xscale.PerceptualDedup.fixtureRcropBmp(img, kind))
+          })
+          .toDF("doc_id", "payload")
+        // storage-backed cuts (the heavy-smoke rule): the 100x corpus
+        // carries ~110M multi-scale fingerprints
+        xscale.PerceptualDedup.resizedCropContainmentPairsLsh(
+          media, checkpointDir = Some(s"$d/_checkpoints"))
+      }),
       "x154_vcrop_lsh" -> ((s, d) => {
         import s.implicits._
         val ids = s.read.parquet(s"$d/documents.parquet").select("doc_id")

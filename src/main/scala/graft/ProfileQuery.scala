@@ -39,8 +39,15 @@ object ProfileQuery {
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
     val stageRows = mutable.ArrayBuffer.empty[(String, Long, Int)]
+    val jobSites = mutable.Map.empty[String, Int]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobSites.synchronized { jobSites(site) = jobSites.getOrElse(site, 0) + 1 }
+        ()
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         val info = sc.stageInfo
@@ -49,10 +56,13 @@ object ProfileQuery {
         tasks.addAndGet(info.numTasks)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        val site = info.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+          .map(_.trim.take(110)).getOrElse(info.name.takeWhile(_ != '\n').take(90))
         stageRows.synchronized {
-          stageRows += ((info.name.takeWhile(_ != '\n').take(90),
-            m.executorRunTime, info.numTasks))
+          stageRows += ((site, m.executorRunTime, info.numTasks))
         }
+        jobSites.synchronized { jobSites(site) = jobSites.getOrElse(site, 0) + 1 }
         ()
       }
     }
@@ -76,19 +86,26 @@ object ProfileQuery {
       // measured run
       jobs.set(0); stages.set(0); taskMs.set(0); tasks.set(0)
       shufRead.set(0); shufWrite.set(0); stageRows.clear()
+      jobSites.synchronized(jobSites.clear())
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan // force analysis+optimization+planning
       val nExch = plan.toString.sliding("Exchange ".length).count(_ == "Exchange ")
       val t1 = System.nanoTime()
+      Thread.sleep(200)
+      val constructionSites = jobSites.synchronized(jobSites.toSeq.sortBy(-_._2))
+      val constructionJobs = jobs.get
       df.queryExecution.toRdd.count()
       val t2 = System.nanoTime()
       Thread.sleep(400) // let the listener bus drain (no public waitUntilEmpty)
       val planMs = (t1 - t0) / 1e6
       val execMs = (t2 - t1) / 1e6
       println(f"[$name] plan=${planMs}%.0fms exec=${execMs}%.0fms jobs=${jobs.get} " +
-        f"stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get}ms " +
+        f"(constr=$constructionJobs) stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get}ms " +
         f"shufR=${shufRead.get / 1024}KB shufW=${shufWrite.get / 1024}KB exch=$nExch")
+      constructionSites.take(8).foreach { case (s, c) =>
+        println(f"    constr-jobs $c%3d  $s")
+      }
       val top = stageRows.sortBy(-_._2).take(12)
       top.foreach { case (n, ms, nt) => println(f"    ${ms}%6dms ${nt}%4d tasks  $n") }
       releaseState()

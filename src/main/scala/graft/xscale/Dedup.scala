@@ -32,6 +32,18 @@ object Dedup {
   val As: Seq[Long] = (0 until K).map(i => 2L * i + 1)
   val Bs: Seq[Long] = (0 until K).map(i => (104729L * (i + 1)) % P)
 
+  /** Partition width for candidate-generating joins: the session's own
+    * shuffle width or the cluster's core count, whichever is larger —
+    * scale-adaptive by construction (local[n] ⇒ n; a cluster ⇒ its
+    * configured width), never a tuned constant.
+    */
+  private[xscale] def candidateParallelism(df: DataFrame): Int = {
+    val sp = df.sparkSession
+    math.max(
+      sp.sparkContext.defaultParallelism,
+      sp.sessionState.conf.numShufflePartitions)
+  }
+
   /** Near-dup pairs by pigeonhole-blocked simhash.
     *
     * Narrow (default): one 60-bit fingerprint, 9 blocks (6×7 + 3×6 bits),
@@ -119,10 +131,31 @@ object Dedup {
     val blocks = fp.select(
       col("doc_id") +: fpCols.map(col) :+
         posexplode(array(blockCols: _*)).as(Seq("blk", "bv")): _*)
+    // Co-partition both sides by the block key BEFORE the candidate join
+    // (guide §2.3/§2.5): the join's output is QUADRATIC in bucket occupancy
+    // while its input is 8-byte fingerprints, so without an explicit
+    // exchange the whole pair fan-out + hamming verify runs at the SCAN's
+    // parallelism (one small parquet file = one task doing every pair;
+    // measured 3.7 s of x04's 4.9 s at sf0.1), and when the planner
+    // broadcasts one side AQE has no shuffle left to re-split. The
+    // partition count follows the session (max of cluster parallelism and
+    // the configured shuffle width), never a local constant; at corpus
+    // scale a sort-merge plan needs these exact exchanges anyway, so the
+    // repartition replaces — not adds to — the planner's own shuffle.
+    val n = candidateParallelism(fp)
     def side(pre: String, id: String) = blocks.select(
       col("blk") +: col("bv") +: col("doc_id").as(id) +:
         fpCols.map(c => col(c).as(s"$pre${c.drop(1)}")): _*)
-    side("sa", "da").join(side("sb", "db"), Seq("blk", "bv")).filter(col("da") < col("db"))
+    // Only the PROBE side is repartitioned: the build side stays eligible
+    // for broadcast (the hash-probe generated code is ~4× cheaper per
+    // candidate than a sort-merge/shuffled-hash pair-walk, measured at
+    // sf0.1), and when the build side outgrows the broadcast threshold the
+    // planner's sort-merge fallback inserts its own exchange on that side —
+    // this one already matches the n-way hash partitioning, so nothing
+    // shuffles twice.
+    side("sa", "da").repartition(n, col("blk"), col("bv"))
+      .join(side("sb", "db").repartition(n, col("blk"), col("bv")), Seq("blk", "bv"))
+      .filter(col("da") < col("db"))
   }
 
   /** Aggressive text normalization for exact dedup: lowercase, strip

@@ -60,16 +60,21 @@ object DedupClusters {
       pairs.select(col("a"), col("b"))
         .union(pairs.select(col("b").as("a"), col("a").as("b"))),
       checkpointDir)
-    // Adaptive parallelism for the iterative tail: a near-dup pair graph
-    // is usually TINY next to the corpus (thousands of edges from millions
-    // of docs), yet every label-prop round would run full-width stages
-    // whose fixed task overhead dwarfs the work. The edge list is already
-    // materialized, so counting it is free — small graphs collapse to one
-    // partition (rounds become single-task stages), big graphs keep full
-    // width. Same spirit as AQE's post-shuffle coalescing, applied to a
-    // loop AQE can't see across.
-    val edges =
-      if (edges0.count() <= 200000) edges0.coalesce(1) else edges0
+    // Adaptive algorithm choice for the iterative tail: a near-dup pair
+    // graph is usually TINY next to the corpus (thousands of edges from
+    // millions of docs), yet every label-prop round is a full
+    // shuffle+checkpoint+convergence-check cycle whose fixed cost dwarfs
+    // the work (a sf0.1 simhash graph took 9 rounds ≈ 50 Spark jobs to
+    // move a few thousand labels). The edge list is already materialized,
+    // so counting it is free — a graph that fits ONE task (≤ 200k edges ≈
+    // 3 MB) is solved in ONE single-task pass by union–find inside that
+    // task (executor-side, never a driver collect; same row-identical
+    // min-id labeling), while big graphs keep the full distributed loop
+    // below. Same spirit as a broadcast join's small-side threshold,
+    // applied to an iterative algorithm.
+    if (edges0.count() <= 200000)
+      return ckpt(unionFindOneTask(edges0.coalesce(1)), checkpointDir)
+    val edges = edges0
     // seed labels at min(id, min neighbor) instead of id: for the dense
     // little cliques near-dup graphs are made of, that IS the fixed point,
     // so the loop runs one confirmation round instead of two propagation
@@ -81,13 +86,24 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels); the old label
-      // rides along into the one materialization so the convergence check
-      // reads the checkpointed result instead of re-joining
+      // each node adopts min(own label, neighbors' labels, label-of-label);
+      // the old label rides along into the one materialization so the
+      // convergence check reads the checkpointed result instead of
+      // re-joining. The label-of-label term is POINTER JUMPING (Shiloach–
+      // Vishkin): the current labeling is unioned in as extra edges
+      // (id → component), so the same join+min also pulls each node's
+      // label's label — distance-to-root doubles per round and long chains
+      // converge in O(log d) rounds instead of d (a sf0.1 simhash pair
+      // graph took 9 propagation rounds; each round is a full
+      // shuffle+checkpoint cycle, the dominant cost of every CC consumer).
+      // Labels are always in-component node ids, so the fixed point — min
+      // reachable id — is unchanged.
       val lbl = labels.withColumnRenamed("id", "b")
+      val stepEdges = edges.select(col("a"), col("b"))
+        .unionByName(labels.select(col("id").as("a"), col("component").as("b")))
       val joined =
-        if (salts > 1) graft.query.SkewJoin.saltedInnerJoin(edges, lbl, "b", salts)
-        else edges.join(lbl, "b")
+        if (salts > 1) graft.query.SkewJoin.saltedInnerJoin(stepEdges, lbl, "b", salts)
+        else stepEdges.join(lbl, "b")
       val neighborMin = joined
         .groupBy(col("a").as("id"))
         .agg(min("component").as("_neighbor_min"))
@@ -112,6 +128,47 @@ object DedupClusters {
         s"connectedComponents did not converge within $maxIter rounds — " +
           "raise maxIter (rounds needed = largest component diameter)")
     labels
+  }
+
+  /** Exact connected components of a SINGLE-PARTITION symmetric edge list
+    * by union–find (path halving + union by smaller root id), emitting the
+    * same `(id, component = min reachable id)` labeling the distributed
+    * loop converges to. Runs as one executor task over the coalesced
+    * edges — bounded by the caller's small-graph threshold, so the
+    * in-memory state is a few MB; this is an executor-side fast path, not
+    * a driver collect.
+    */
+  private def unionFindOneTask(edges: DataFrame): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) { // path halving
+            val gp = parent.get(p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) { // min id becomes the root, so root == component
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach(id => out += ((id, find(id))))
+        out.iterator
+      }
+      .toDF("id", "component")
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (the

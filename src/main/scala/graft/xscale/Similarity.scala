@@ -368,8 +368,61 @@ object Similarity {
       checkpointDir: Option[String] = None): Seq[(Int, Seq[(Long, Seq[Long])])] = {
     require(m > 0 && 64 % m == 0, "m must divide the 64-dim embedding")
     val sub = 64 / m
-    (0 until m).map(s =>
-      s -> trainQuantizer(pqSlice(vi, s, sub), nc, trainSample, checkpointDir))
+    val sp = vi.sparkSession
+    import sp.implicits._
+    // FUSED training: one (s, vec_id, svi) frame carries every subspace, so
+    // the seed collect and each k-means round are ONE Spark job for all m
+    // codebooks instead of m independent chains of corpus scans (the same
+    // per-subspace math — every window/groupBy is additionally keyed by s,
+    // which the per-slice formulation kept implicit). At 100 TB this is m
+    // fewer passes over the training frame per round; locally it removes
+    // ~3(m-1) driver-blocking jobs per training.
+    def sliced(src: DataFrame): DataFrame = src.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        expr(s"slice(vi, ${s * sub + 1}, $sub)")): _*)).as(Seq("s", "svi")))
+    val train =
+      if (trainSample >= 1.0) vi
+      else {
+        val keep = math.max(1L, (trainSample * 1000).toLong)
+        DedupClusters.ckpt(
+          vi.filter(XHash.h60(col("vec_id").cast("string")) % 1000 < keep)
+            .select("vec_id", "vi"),
+          checkpointDir)
+      }
+    val trainSl = sliced(train)
+    def collectCents(df: DataFrame): Seq[(Int, Seq[(Long, Seq[Long])])] = {
+      val bySub = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+        .groupBy(_._1)
+      (0 until m).map(s =>
+        s -> bySub.getOrElse(s, Array.empty[(Int, Long, Seq[Long])]).toSeq
+          .map { case (_, cid, ci) => (cid, ci) }.sortBy(_._1))
+    }
+    // Seeds from the FULL frame (first nc vec_ids), like the flat trainer.
+    var cents: Seq[(Int, Seq[(Long, Seq[Long])])] = collectCents(
+      sliced(vi.filter(col("vec_id") < nc))
+        .select(col("s"), col("vec_id").as("cid"), col("svi").as("ci")))
+    for (_ <- 1 to NITER) {
+      val centsDF = cents.flatMap { case (s, cs) =>
+        cs.map { case (cid, ci) => (s, cid, ci) }
+      }.toDF("s", "cid", "ci")
+      val byDist = Window.partitionBy("s", "vec_id").orderBy(col("dist"), col("cid"))
+      cents = collectCents(
+        trainSl.join(broadcast(centsDF), "s")
+          .withColumn("dist", graftnative.api.sqdistLong(col("svi"), col("ci")))
+          .withColumn("rn", row_number().over(byDist))
+          .filter(col("rn") === 1)
+          .select(col("s"), col("cid"), posexplode(col("svi")).as(Seq("i", "x")))
+          .groupBy("s", "cid", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+          .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+          .groupBy("s", "cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("m")))),
+            t => t.getField("m")).as("ci")))
+    }
+    cents
   }
 
   def pqCodes(
@@ -1741,8 +1794,17 @@ object Similarity {
     */
   private def rankBucketCandidates(
       e: DataFrame, side: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    // bucket-collision join: quadratic fan-out from metadata-sized inputs —
+    // co-partition by the bucket key so candidate generation parallelizes
+    // regardless of scan width (the simhash-block-join rule, Dedup.scala)
+    // probe side only, so the build side stays broadcast (hash-probe is
+    // far cheaper per candidate than a sort-merge group walk)
+    val n = Dedup.candidateParallelism(side)
     val cand = side.filter(isQuery).select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-      .join(side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .repartition(n, col("tbl"), col("bucket"))
+      .join(
+        side.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()

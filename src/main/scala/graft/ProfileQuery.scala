@@ -31,6 +31,10 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // battery-equivalent fixture sidecar: media fixtures materialize in the
+    // warmup pass, so the measured run prices read + engine like Bench does
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-profile-fixtures")
+    sys.props(graft.xscale.FixtureSidecar.DirProp) = fixDir.toString
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)

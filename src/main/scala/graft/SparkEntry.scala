@@ -66,6 +66,9 @@ object SparkEntry {
     "x74_admit_vtrim",
     "x74_admit_icrop",
     "x74_admit_atrim",
-    "x74_admit_vcrop"
+    "x74_admit_vcrop",
+    // the fifth leg, completing the steady-twin pattern this round:
+    // benched twin x74_admit_rcrop_steady
+    "x74_admit_rcrop"
   )
 }

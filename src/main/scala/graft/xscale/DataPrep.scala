@@ -1114,7 +1114,13 @@ object DataPrep {
     // (fixtures pass an explicit ord to place rows deliberately)
     val withOrd = if (docs.columns.contains("ord")) docs else docs.withColumn("ord", ordCol)
     val keyed = withOrd.select(col("doc_id"), XHash.h60(Dedup.normText(col("text"))).as("key"))
-    val p = packAssignmentsOrd(withOrd, budget, shards).join(keyed, "doc_id")
+    // the keyed pack frame feeds SIX consumers below (occurrence ranks,
+    // collision-pack set, key counts, candidate ranks, the target-pack
+    // guard and the two final joins); un-materialized, each consumer
+    // re-derives the normalization + packing cumsum from text — the plan
+    // carried 92 exchanges. One materialization, every consumer reads it.
+    val p = DedupClusters.ckpt(
+      packAssignmentsOrd(withOrd, budget, shards).join(keyed, "doc_id"), None)
     val byOcc = Window.partitionBy("shard", "pack", "key").orderBy("ord", "doc_id")
     val rkx = p.withColumn("rk", row_number().over(byOcc))
     val dirty = rkx.filter(col("rk") >= 2).select("shard", "pack").distinct()

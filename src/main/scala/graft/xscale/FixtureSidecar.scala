@@ -42,8 +42,17 @@ object FixtureSidecar {
         // directory-existence probe would silently serve the truncated
         // fixture to every later run (and to every query SHARING the
         // key); Overwrite mode clears the leftovers on the rebuild
-        if (!new java.io.File(path, "_SUCCESS").exists())
-          build.write.mode(SaveMode.Overwrite).parquet(path)
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          // write at session width (untimed, first pass only): a single
+          // part-file would pin every timed decode that scans this fixture
+          // to one or two tasks — a small-input artifact a real corpus
+          // (many files) never has. Width follows the session, not a
+          // constant.
+          val n = math.max(
+            spark.sparkContext.defaultParallelism,
+            spark.sessionState.conf.numShufflePartitions)
+          build.repartition(n).write.mode(SaveMode.Overwrite).parquet(path)
+        }
         spark.read.parquet(path)
       case None => build
     }

@@ -4059,6 +4059,67 @@ object PerceptualDedup {
       "near_dup_corpus_vcrop", "near_dup_batch_vcrop", steady)
   }
 
+  /** The rcrop admission leg — not routed through [[admitContainLegQuery]]
+    * because its spaces are ASYMMETRIC (state carries SCALED fingerprints
+    * under rs2/rs4; the batch compares NATIVE img fingerprints re-tagged
+    * per space). `steady = true` routes the corpus rs shingle STATE
+    * through the battery fixture sidecar exactly like the other four
+    * legs' steady twins: the timed median prices state-read + batch
+    * decode + compare + strict; identity outside the battery, so both
+    * forms compute the identical frame and share one oracle.
+    */
+  private def admitRcropLeg(s: SparkSession, dir: String, steady: Boolean): DataFrame = {
+    import s.implicits._
+    val ids = table(s, dir, "documents").select("doc_id")
+    val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+    val batchSrc = ids.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
+      .unionByName(ids.filter(col("doc_id") % 45 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(2).as("kind")))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("doc_id").as("img_id"), lit(2).as("kind")))
+    def synth(src: DataFrame) = src.as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, img, kind) => (id, fixtureRcropBmpCk(img, kind)) })
+      .toDF("doc_id", "payload")
+    val corpusState =
+      mediaShingles(sidecar(s, "x74rcrop_corpus", dir)(synth(corpusSrc)),
+        rscales = RescaleSet)
+        .filter(col("mod").startsWith("rs"))
+    val corpusSh =
+      if (steady) sidecar(s, "x74rcrop_state", dir)(corpusState)
+      else DedupClusters.ckpt(corpusState, None)
+    val batchSh = DedupClusters.ckpt(
+      mediaShingles(sidecar(s, "x74rcrop_batch", dir)(synth(batchSrc)),
+        rscales = RescaleSet), None)
+    // the Cli compare-feed assembly: batch NATIVE img fingerprints
+    // re-tagged into each rescale space (the RescaleSpace asymmetry)
+    val batchCompare = RescaleSpaces.map(sp =>
+      batchSh.filter(col("mod") === "img").withColumn("mod", lit(sp.space)))
+      .reduce(_ unionByName _)
+    // the frame is genuinely multi-space here (rs2 + rs4 rows per doc)
+    // — the doc-level fold is load-bearing, not defensive. Only the FOLD
+    // is materialized: the per-space frame has exactly one consumer
+    // (this fold), so checkpointing both would pay a full extra
+    // materialization cycle for nothing.
+    val docs = DedupClusters.ckpt(
+      admitTrimDocVerdicts(admitTrimCompare(corpusSh, batchCompare)), None)
+    val adm = docs.filter(!col("near_trim")).select("doc_id")
+    val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
+      .select("doc_id").distinct().withColumn("lb", lit(true))
+    docs.join(losers, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("near_trim"), RcropCorpusStatus)
+          .when(coalesce(col("lb"), lit(false)), RcropStrictStatus)
+          .otherwise("admitted").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
+      .orderBy("status")
+  }
+
   // ---------------------------------------------------------------------
   // registered queries
   // ---------------------------------------------------------------------
@@ -5061,51 +5122,20 @@ object PerceptualDedup {
         "strict CC, all pinned. Scale: batch-sized joins on fingerprint keys; " +
         "the rs state adds ~41 rows per corpus image (~+31% of its native " +
         "count, the 1/k^2 sum)."
-    ) { (s, dir) =>
-      import s.implicits._
-      val ids = table(s, dir, "documents").select("doc_id")
-      val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
-      val batchSrc = ids.filter(col("doc_id") % 9 === 0)
-        .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("kind"))
-        .unionByName(ids.filter(col("doc_id") % 45 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(2).as("kind")))
-        .unionByName(ids.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 >= 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            col("doc_id").as("img_id"), lit(2).as("kind")))
-      def synth(src: DataFrame) = src.as[(Long, Long, Int)]
-        .mapPartitions(_.map { case (id, img, kind) => (id, fixtureRcropBmpCk(img, kind)) })
-        .toDF("doc_id", "payload")
-      val corpusSh = DedupClusters.ckpt(
-        mediaShingles(sidecar(s, "x74rcrop_corpus", dir)(synth(corpusSrc)),
-          rscales = RescaleSet)
-          .filter(col("mod").startsWith("rs")), None)
-      val batchSh = DedupClusters.ckpt(
-        mediaShingles(sidecar(s, "x74rcrop_batch", dir)(synth(batchSrc)),
-          rscales = RescaleSet), None)
-      // the Cli compare-feed assembly: batch NATIVE img fingerprints
-      // re-tagged into each rescale space (the RescaleSpace asymmetry)
-      val batchCompare = RescaleSpaces.map(sp =>
-        batchSh.filter(col("mod") === "img").withColumn("mod", lit(sp.space)))
-        .reduce(_ unionByName _)
-      val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchCompare), None)
-      // the frame is genuinely multi-space here (rs2 + rs4 rows per doc)
-      // — the doc-level fold is load-bearing, not defensive
-      val docs = DedupClusters.ckpt(admitTrimDocVerdicts(frame), None)
-      val adm = docs.filter(!col("near_trim")).select("doc_id")
-      val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
-        .select("doc_id").distinct().withColumn("lb", lit(true))
-      docs.join(losers, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("near_trim"), RcropCorpusStatus)
-            .when(coalesce(col("lb"), lit(false)), RcropStrictStatus)
-            .otherwise("admitted").as("status"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
-        .orderBy("status")
-    },
+    ) { (s, dir) => admitRcropLeg(s, dir, steady = false) },
+
+    Q(
+      "x74_admit_rcrop_steady",
+      Some(s"WITH RECURSIVE $admitRcropSql"),
+      "STEADY-state twin of x74_admit_rcrop — the fifth admit leg completing " +
+        "the r15 verdict-ask-3 pattern: identical population, rescale-space " +
+        "shingles, compare-feed assembly, doc-level fold and bipartite strict " +
+        "pass, but the corpus rs2/rs4 shingle STATE rides the battery fixture " +
+        "sidecar, so the benched median prices what a deployed admission run " +
+        "pays PER BATCH (state scan + batch decode + compare + keep-best) " +
+        "instead of re-timing the corpus bootstrap per run. Identity outside " +
+        "the battery; shares the composite's oracle (same report rows)."
+    ) { (s, dir) => admitRcropLeg(s, dir, steady = true) },
 
     // ----- x148: thumbnail provenance (image == frame-of-video cross-match) -----
     Q(

@@ -2008,7 +2008,11 @@ object Similarity {
       seedCap: Long = RagSeedCap,
       trainSample: Double = 1.0,
       checkpointDir: Option[String] = None): DataFrame = {
-    val vi = ragEmbed(docs)
+    // chunk+hash-embed is two shuffles over token-level rows and feeds the
+    // seed collect, every training round AND the assignment — materialize
+    // it ONCE (the pqCodes repeated-subtree rule) instead of re-deriving
+    // it from text per consumer
+    val vi = DedupClusters.ckpt(ragEmbed(docs), checkpointDir)
     val cents = trainQuantizer(vi, seedCap.toInt, trainSample, checkpointDir)
     quantizerRanked(vi, cents)
       .filter(col("rn") === 1)
@@ -2046,7 +2050,9 @@ object Similarity {
       checkpointDir: Option[String] = None): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    val vi = ragEmbed(docs)
+    // one materialization feeds training, assignment, the per-doc chunk
+    // counts and the query frame (the pqCodes repeated-subtree rule)
+    val vi = DedupClusters.ckpt(ragEmbed(docs), checkpointDir)
     val cents = trainQuantizer(vi, seedCap.toInt, trainSample, checkpointDir)
     val asg = quantizerRanked(vi, cents).filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("vi"))

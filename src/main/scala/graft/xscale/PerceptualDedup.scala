@@ -2422,11 +2422,16 @@ object PerceptualDedup {
     * (`wide = true`: [[dhashBandsWide]] + [[MaxHammingWide]], the
     * [[BandBoundary]] production swap measured on the same fixture).
     */
-  def fixtureImageStatuses(spark: SparkSession, docs: DataFrame, wide: Boolean = false): DataFrame =
+  def fixtureImageStatuses(
+      spark: SparkSession,
+      docs: DataFrame,
+      wide: Boolean = false,
+      sidecarName: Option[(String, String)] = None): DataFrame =
     statusFrame(
       hashedFixture(spark, docs,
         if (wide) fixtureBmpWide else fixtureBmp,
-        p => if (wide) dhashBandsWide(p) else dhashBands(p)),
+        p => if (wide) dhashBandsWide(p) else dhashBands(p),
+        sidecarName),
       "near_dup_image",
       if (wide) MaxHammingWide else MaxHamming)
       .groupBy("status")
@@ -2597,14 +2602,31 @@ object PerceptualDedup {
       spark: SparkSession,
       docs: DataFrame,
       mk: Long => Array[Byte],
-      hash: Array[Byte] => Option[Array[Long]]): DataFrame = {
+      hash: Array[Byte] => Option[Array[Long]],
+      sidecarName: Option[(String, String)] = None): DataFrame = {
     import spark.implicits._
     val src =
       if (docs.columns.contains("img_id")) docs.select(col("doc_id"), col("img_id"))
       else docs.select(col("doc_id"), col("doc_id").as("img_id"))
-    src.as[(Long, Long)].mapPartitions { it =>
-      it.map { case (id, imgId) =>
-        val b = hash(mk(imgId)).getOrElse(
+    // (name, sfDir) routes the SYNTHESIZED payloads through the battery
+    // fixture sidecar, so timed bench runs price decode+hash over read
+    // payloads (what a corpus run pays) instead of per-pixel synthesis;
+    // identity outside the battery, where payloads stream straight into
+    // the hash in one pass.
+    val payloads = sidecarName match {
+      case Some((name, dir)) =>
+        sidecar(spark, name, dir)(
+          src.as[(Long, Long)]
+            .mapPartitions(_.map { case (id, imgId) => (id, mk(imgId)) })
+            .toDF("doc_id", "payload"))
+      case None =>
+        src.as[(Long, Long)]
+          .mapPartitions(_.map { case (id, imgId) => (id, mk(imgId)) })
+          .toDF("doc_id", "payload")
+    }
+    payloads.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, p) =>
+        val b = hash(p).getOrElse(
           throw new IllegalStateException(s"fixture payload for doc $id failed to decode"))
         (id, b)
       }
@@ -2621,11 +2643,25 @@ object PerceptualDedup {
       spark: SparkSession,
       src: DataFrame,
       mk: (Long, Int) => Array[Byte],
-      hash: Array[Byte] => Option[Array[Long]]): DataFrame = {
+      hash: Array[Byte] => Option[Array[Long]],
+      sidecarName: Option[(String, String)] = None): DataFrame = {
     import spark.implicits._
-    src.select(col("doc_id"), col("img_id"), col("off")).as[(Long, Long, Int)]
-      .mapPartitions(_.map { case (id, img, off) =>
-        val b = hash(mk(img, off))
+    // same sidecar split as [[hashedFixture]]: synthesis rides the battery
+    // fixture cache, decode+hash stays timed
+    val payloads = sidecarName match {
+      case Some((name, dir)) =>
+        sidecar(spark, name, dir)(
+          src.select(col("doc_id"), col("img_id"), col("off")).as[(Long, Long, Int)]
+            .mapPartitions(_.map { case (id, img, off) => (id, mk(img, off)) })
+            .toDF("doc_id", "payload"))
+      case None =>
+        src.select(col("doc_id"), col("img_id"), col("off")).as[(Long, Long, Int)]
+          .mapPartitions(_.map { case (id, img, off) => (id, mk(img, off)) })
+          .toDF("doc_id", "payload")
+    }
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val b = hash(p)
           .getOrElse(throw new IllegalStateException(s"fixture payload for doc $id failed to decode"))
         (id, b)
       })
@@ -2661,7 +2697,8 @@ object PerceptualDedup {
       mk: (Long, Int) => Array[Byte],
       hash: Array[Byte] => Option[Array[Long]],
       corpusStatus: String,
-      batchStatus: String): DataFrame = {
+      batchStatus: String,
+      sidecarName: Option[(String, String)] = None): DataFrame = {
     val corpusSrc = ids.filter(col("doc_id") % 9 =!= 0)
       .select(col("doc_id"), col("doc_id").as("img_id"), lit(0).as("off"))
     val batchSrc = ids.filter(col("doc_id") % 9 === 0)
@@ -2675,9 +2712,12 @@ object PerceptualDedup {
     val frame = DedupClusters.ckpt(
       admitMediaCompare(
         DedupClusters.ckpt(
-          hashedShiftFixture(s, corpusSrc, mk, hash)
+          hashedShiftFixture(s, corpusSrc, mk, hash,
+            sidecarName.map { case (n, d) => (s"${n}_corpus", d) })
             .select(col("doc_id").as("cv_id"), col("bands")), None),
-        DedupClusters.ckpt(hashedShiftFixture(s, batchSrc, mk, hash), None)),
+        DedupClusters.ckpt(
+          hashedShiftFixture(s, batchSrc, mk, hash,
+            sidecarName.map { case (n, d) => (s"${n}_batch", d) }), None)),
       None)
     val losers = admitMediaStrictLosers(
       DedupClusters.ckpt(frame.filter(!col("near_med")).select("doc_id", "bands"), None))
@@ -4144,7 +4184,8 @@ object PerceptualDedup {
         "16-bit bands saturate (n^2/32768 candidate mass) — swap to dhashBandsWide's " +
         "256-bit/32-bit-band form (spec-pinned, ScaleSmoke-measured)."
     ) { (s, dir) =>
-      fixtureImageStatuses(s, table(s, dir, "documents"))
+      fixtureImageStatuses(s, table(s, dir, "documents"),
+        sidecarName = Some(("x139", dir)))
     },
 
     // ----- x140: audio perceptual near-dup (frame-sum dHash) -----
@@ -4166,7 +4207,8 @@ object PerceptualDedup {
         "-> hash -> band -> CC, all pinned."
     ) { (s, dir) =>
       statusFrame(
-        hashedFixture(s, table(s, dir, "documents"), fixtureWav, audioDhashBands),
+        hashedFixture(s, table(s, dir, "documents"), fixtureWav, audioDhashBands,
+          Some(("x140", dir))),
         "near_dup_audio")
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
@@ -4205,7 +4247,8 @@ object PerceptualDedup {
     ) { (s, dir) =>
       val src = crossmodalSrc(table(s, dir, "documents"))
       val pairs = bandNearDupPairs(
-        DedupClusters.ckpt(hashedFixture(s, src, fixtureBmp, p => dhashBands(p)), None))
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureBmp, p => dhashBands(p),
+          Some(("x141img", dir))), None))
       val idup = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
         .distinct()
@@ -4255,7 +4298,8 @@ object PerceptualDedup {
     ) { (s, dir) =>
       val src = crossmodalSrc(table(s, dir, "documents"))
       val pairs = bandNearDupPairs(
-        DedupClusters.ckpt(hashedFixture(s, src, fixtureWav, audioDhashBands), None))
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureWav, audioDhashBands,
+          Some(("x141aud", dir))), None))
       val adup = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
         .distinct()
@@ -4305,7 +4349,8 @@ object PerceptualDedup {
     ) { (s, dir) =>
       val src = crossmodalSrc(table(s, dir, "documents"))
       val pairs = bandNearDupPairs(
-        DedupClusters.ckpt(hashedFixture(s, src, fixtureAvi, videoDhashBands), None))
+        DedupClusters.ckpt(hashedFixture(s, src, fixtureAvi, videoDhashBands,
+          Some(("x141vid", dir))), None))
       val vdup = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
         .distinct()
@@ -4419,7 +4464,8 @@ object PerceptualDedup {
       admitFixtureStatuses(
         s, table(s, dir, "documents").select("doc_id"), 16,
         fixtureBmpShift, p => dhashBands(p),
-        "near_dup_corpus_img", "near_dup_batch_img")
+        "near_dup_corpus_img", "near_dup_batch_img",
+        sidecarName = Some(("x74img", dir)))
     },
 
     // ----- x74 audio leg: perceptual admission (`Cli admit --pmedia`, WAV batch rows) -----
@@ -4445,7 +4491,8 @@ object PerceptualDedup {
       admitFixtureStatuses(
         s, table(s, dir, "documents").select("doc_id"), 10,
         fixtureWavShift, audioDhashBands,
-        "near_dup_corpus_aud", "near_dup_batch_aud")
+        "near_dup_corpus_aud", "near_dup_batch_aud",
+        sidecarName = Some(("x74aud", dir)))
     },
 
     // ----- x74 psigs compact: media-state reconciliation (`Cli admit --psigs --compact`) -----
@@ -4527,7 +4574,8 @@ object PerceptualDedup {
         "shape — band-keyed joins, payloads decoded once."
     ) { (s, dir) =>
       statusFrame(
-        hashedFixture(s, table(s, dir, "documents"), fixtureAvi, videoDhashBands),
+        hashedFixture(s, table(s, dir, "documents"), fixtureAvi, videoDhashBands,
+          Some(("x145", dir))),
         "near_dup_video")
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("checksum"))
@@ -4558,7 +4606,8 @@ object PerceptualDedup {
       admitFixtureStatuses(
         s, table(s, dir, "documents").select("doc_id"), 10,
         fixtureAviShift, videoDhashBands,
-        "near_dup_corpus_vid", "near_dup_batch_vid")
+        "near_dup_corpus_vid", "near_dup_batch_vid",
+        sidecarName = Some(("x74vid", dir)))
     },
 
     // ----- x147: video containment (trimmed-copy detection via frame bigrams) -----

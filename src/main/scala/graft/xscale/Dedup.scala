@@ -44,6 +44,20 @@ object Dedup {
       sp.sessionState.conf.numShufflePartitions)
   }
 
+  /** Round-robin widen a frame that enters a heavy per-row fan-out
+    * (n-gram explode, shingle generation) when — and only when — its scan
+    * is narrower than the session: a single small parquet file yields one
+    * scan task, and the whole fan-out then runs single-threaded however
+    * many cores the session has. Gated on the OBSERVED partition count,
+    * so a corpus-scale source (already wide) is returned untouched and
+    * never pays the extra shuffle; the widened rows are the pre-explode
+    * originals (ids + text), never the fan-out output.
+    */
+  private[xscale] def widenNarrowScan(df: DataFrame): DataFrame = {
+    val n = candidateParallelism(df)
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Near-dup pairs by pigeonhole-blocked simhash.
     *
     * Narrow (default): one 60-bit fingerprint, 9 blocks (6×7 + 3×6 bits),
@@ -725,7 +739,10 @@ object Dedup {
       md5(concat_ws(",", (0 until R).map(r => col(s"sig${b * R + r}")): _*)))
     val bands = sig.select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
       .toDF("doc_id", "sig", "band", "key")
+    // probe side co-partitioned by the band key (the simhash-block rule):
+    // the collision fan-out must not run at scan parallelism
     val a = bands.select(col("band"), col("key"), col("doc_id").as("da"), col("sig").as("sa"))
+      .repartition(candidateParallelism(bands), col("band"), col("key"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("db"), col("sig").as("sb"))
     val nMatch = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -747,7 +764,9 @@ object Dedup {
     val shd = docs
       .select(col("doc_id"), explode(graftnative.api.shingleHash60(col("text"), k)).as("sgl"))
     val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shd.as("a")
+    // probe side co-partitioned by the shingle hash (the simhash-block
+    // rule): the per-shingle pair fan-out must not run at scan parallelism
+    val inter = shd.repartition(candidateParallelism(shd), col("sgl")).as("a")
       .join(shd.as("b"), col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))

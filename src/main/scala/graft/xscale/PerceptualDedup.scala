@@ -4010,11 +4010,15 @@ object PerceptualDedup {
           shingle(sidecar(s, s"${key}_corpus", dir)(synth(corpusSrc))), None)
     val batchSh = DedupClusters.ckpt(
       shingle(sidecar(s, s"${key}_batch", dir)(synth(batchSrc))), None)
-    val frame = DedupClusters.ckpt(admitTrimCompare(corpusSh, batchSh), None)
     // doc-level fold, NOT a raw filter on the per-space frame (the
     // admitTrimDocVerdicts trap note) — these fixtures are single-space
-    // today, but the pattern must survive a multi-space leg
-    val adm = admitTrimDocVerdicts(frame).filter(!col("near_trim")).select("doc_id")
+    // today, but the pattern must survive a multi-space leg. Only the
+    // FOLD is materialized (the rcrop-leg rule): the per-space frame has
+    // exactly one consumer chain, and both downstream reads (the admitted
+    // set and the final report) are doc-level.
+    val frame = DedupClusters.ckpt(
+      admitTrimDocVerdicts(admitTrimCompare(corpusSh, batchSh)), None)
+    val adm = frame.filter(!col("near_trim")).select("doc_id")
     val losers = admitTrimStrictLosers(batchSh.join(adm, "doc_id"))
       .select("doc_id").withColumn("lb", lit(true))
     frame.join(losers, Seq("doc_id"), "left")

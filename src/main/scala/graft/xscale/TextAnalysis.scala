@@ -383,7 +383,9 @@ object TextAnalysis {
   def bm25Retrieval(docs: org.apache.spark.sql.DataFrame,
       qMod: Int = BmQMod,
       maxDfPpm: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    val w = docs.select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
+    val w = Dedup.widenNarrowScan(
+      docs.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), XText.words(col("text")).as("ws"))
     val tok = w.select(col("doc_id"), explode(col("ws")).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
     val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
@@ -3178,7 +3180,7 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       k: Int = TopNgramK,
       topK: Int = TopNgramN): org.apache.spark.sql.DataFrame = {
-    val t = docs
+    val t = Dedup.widenNarrowScan(docs)
       .select(col("doc_id"), XText.words(col("text")).as("ws"),
         posexplode(graftnative.api.windowHash60(col("text"), k)).as(Seq("p0", "h")))
       .select(col("doc_id"), col("h"),
@@ -3220,7 +3222,8 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       k: Int = TopNgramK,
       topK: Int = TopNgramN): org.apache.spark.sql.DataFrame = {
-    val occ = docs.select(explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
+    val occ = Dedup.widenNarrowScan(docs)
+      .select(explode(graftnative.api.windowHash60(col("text"), k)).as("h"))
     val cells = occ
       .select(posexplode(cmsCols(col("h"))).as(Seq("j", "c")))
       .groupBy("j", "c")

@@ -655,6 +655,22 @@ class XScaleSpec extends SparkSpec {
     assert(total > nEn && total < nEn + nRaw, s"threshold must bind: $total ($nEn en, $nRaw raw)")
   }
 
+  test("fused pqTrain equals independent per-slice trainQuantizer chains") {
+    // the r16 optimization trains all m subspace codebooks in ONE job per
+    // round (exploded subspace frame); this pins it bit-identical to the
+    // original formulation — m independent trainQuantizer chains over
+    // explicit slices — on the real fixture
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val viDf = Similarity.fixedPoint(emb).select("vec_id", "vi")
+    val fused = Similarity.pqTrain(viDf, m = Similarity.PqM, nc = Similarity.NC).toMap
+    val sub = Similarity.PqSub
+    (0 until Similarity.PqM).foreach { s =>
+      val slice = viDf.select(col("vec_id"), expr(s"slice(vi, ${s * sub + 1}, $sub)").as("vi"))
+      val solo = Similarity.trainQuantizer(slice, Similarity.NC)
+      assert(fused(s) === solo, s"subspace $s codebooks diverged")
+    }
+  }
+
   test("x58/x59 PQ: full code coverage, true argmin assignment, ADC recall vs exact L2") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val n = emb.count()
